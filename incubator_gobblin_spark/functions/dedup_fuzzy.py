@@ -1,0 +1,231 @@
+"""Near-duplicate detection: MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the whole point of these algorithms):
+- The naive all-pairs O(n²) comparison is only ever applied WITHIN an
+  LSH band bucket or a simhash prefix bucket — candidate generation is a
+  groupBy on the bucket key (one shuffle), not a cross join.
+- Hashes are computed with built-in ``xxhash64``/``crc32`` (JVM,
+  codegen) over shingles; no Python in the signature-computation path.
+- Signatures travel as fixed-width arrays; the self-join for candidate
+  pairs joins on (band_id, band_hash) with ``id_l < id_r`` dedup, so
+  each pair appears once.
+
+MinHash math: sig[i] = min over shingles s of h_i(s), with h_i derived
+from one 64-bit base hash via the standard (a*h+b mod p) family — same
+construction as Spark MLlib's MinHashLSH, re-expressed over DataFrame
+columns so it composes with the rest of the engine (MLlib needs a
+Vector column; we keep plain arrays).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from incubator_gobblin_spark.functions.text import ngrams, tokens
+
+# 2^31-1: keeps a*h+b below 2^62, inside signed-long range even under
+# ANSI arithmetic (Spark 4 default would reject a 61-bit family's
+# overflow); collision probability ~2^-31 per hash is ample for dedup.
+_MERSENNE_P = (1 << 31) - 1
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingle set for minhashing."""
+    return F.array_distinct(ngrams(col, n))
+
+
+def minhash_signature(
+    shingle_col: Column, num_hashes: int = 64, seed: int = 42
+) -> Column:
+    """array<bigint> MinHash signature of a shingle array column.
+
+    One base xxhash64 per shingle, then num_hashes affine re-hashes
+    (a_i * h + b_i mod p) — entirely Column expressions, vectorized by
+    codegen. Empty shingle sets get sentinel p (never collides).
+    """
+    import random
+
+    rng = random.Random(seed)
+    coeffs = [
+        (rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P))
+        for _ in range(num_hashes)
+    ]
+    base = F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
+    sig = F.array(
+        *[
+            F.coalesce(
+                F.array_min(
+                    F.transform(
+                        base,
+                        # pmod keeps the value positive; arithmetic in
+                        # bigint — overflow wraps identically everywhere,
+                        # which is fine for a hash family.
+                        lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P)),
+                    )
+                ),
+                F.lit(_MERSENNE_P),
+            )
+            for (a, b) in coeffs
+        ]
+    )
+    return sig
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH-banded candidate pairs: (id_l, id_r) with id_l < id_r.
+
+    shingle -> minhash -> split signature into ``bands`` bands of
+    ``num_hashes // bands`` rows -> bucket-join on (band_id, band_hash).
+    The join is a self-equi-join on the bucket key — shuffle on a
+    high-cardinality key, no cross product. Distinct at the end because
+    a pair can collide in multiple bands.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes, seed)
+    banded = df.select(F.col(id_col).alias("_id"), sig.alias("_sig")).select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at(F.col("_sig"), b * rows_per_band + i + 1)
+                                    for i in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("_id", "band.band_id", "band.band_hash")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band_id") == F.col("r.band_id"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
+                F.col("l._id") < F.col("r._id"),
+            ],
+        )
+        .select(F.col("l._id").alias("id_l"), F.col("r._id").alias("id_r"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle_n: int = 3,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs (or all pairs when
+    ``candidates`` is None — only for small/test inputs; at scale always
+    pass LSH candidates). Returns (id_l, id_r, jaccard) above threshold."""
+    sh = df.select(
+        F.col(id_col).alias("_jid"), shingles(F.col(text_col), shingle_n).alias("_sh")
+    )
+    if candidates is None:
+        l = sh.select(F.col("_jid").alias("id_l"), F.col("_sh").alias("_sh_l"))
+        r = sh.select(F.col("_jid").alias("id_r"), F.col("_sh").alias("_sh_r"))
+        cand = l.crossJoin(r).filter(F.col("id_l") < F.col("id_r"))
+    else:
+        cand = (
+            candidates.join(
+                sh.withColumnRenamed("_jid", "id_l").withColumnRenamed("_sh", "_sh_l"),
+                "id_l",
+            ).join(
+                sh.withColumnRenamed("_jid", "id_r").withColumnRenamed("_sh", "_sh_r"),
+                "id_r",
+            )
+        )
+    inter = F.size(F.array_intersect("_sh_l", "_sh_r"))
+    union = F.size(F.array_union("_sh_l", "_sh_r"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        cand.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_l", "id_r", "jaccard")
+    )
+
+
+def simhash(col: Column | str, num_bits: int = 64) -> Column:
+    """64-bit SimHash over whitespace tokens, as bigint.
+
+    Per token: xxhash64; per bit: +1 if set else -1; sign of the sum
+    gives the output bit. Pure-Column fold via aggregate over the token
+    array — no UDF.
+    """
+    toks = tokens(col)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def _vote(bit: int):
+        # closure factory: pyspark lambda introspection requires exactly
+        # the declared arity, so the bit index can't ride as a default arg
+        def merge(acc, h):
+            return acc + F.when(
+                F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return F.aggregate(hashes, F.lit(0), merge)
+
+    out = F.lit(0).cast("long")
+    for i in range(num_bits):
+        vote = _vote(i)
+        # bit 63 is the sign bit of a signed long
+        bit_val = (1 << i) if i < 63 else -(1 << 63)
+        out = out.bitwiseOR(
+            F.when(vote > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return out
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit simhashes (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by simhash: bucket on ``prefix_bits``-bit prefix
+    (cheap LSH: near-identical docs share the prefix with high
+    probability), then exact hamming filter within buckets."""
+    h = df.select(F.col(id_col).alias("_id"), simhash(F.col(text_col)).alias("_sh"))
+    bucketed = h.withColumn("_bucket", F.shiftright(F.col("_sh"), 64 - prefix_bits))
+    l = bucketed.select(
+        F.col("_id").alias("id_l"), F.col("_sh").alias("_sh_l"), "_bucket"
+    )
+    r = bucketed.select(
+        F.col("_id").alias("id_r"), F.col("_sh").alias("_sh_r"), "_bucket"
+    )
+    return (
+        l.join(r, "_bucket")
+        .filter(F.col("id_l") < F.col("id_r"))
+        .withColumn("hamming", hamming_distance(F.col("_sh_l"), F.col("_sh_r")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_l", "id_r", "hamming")
+    )

@@ -1,0 +1,226 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, mirroring the standard vector-search architecture:
+
+- ``cosine_topk``: exact brute-force top-k — the correctness baseline.
+  The dot product / norms are pure Column expressions (``zip_with`` +
+  ``aggregate``), so the O(nq × n) score computation stays JVM-side; the
+  top-k is a window over query id. Use when |queries| is small or as the
+  re-rank stage.
+- ``lsh_topk``: random-hyperplane (signed random projection) LSH — each
+  vector gets a ``num_bits`` signature; candidates share a signature
+  band; exact cosine re-ranks candidates. This is the 100 TB path: the
+  candidate join is an equi-join on band hash (shuffle on a
+  high-cardinality key), never a cross product. Recall is tunable via
+  bands/bits.
+
+No MLlib dependency: MLlib's BucketedRandomProjectionLSH requires Vector
+columns and its own pipeline model; plain array columns keep the
+operators composable with the rest of the engine and with the parquet
+lake schema.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<numeric> columns (double)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k by cosine: (query_id, neighbor_id, sim), k rows per query.
+
+    ``queries`` is broadcast (the query set is small by construction);
+    the big ``vectors`` side is never shuffled — each partition scores
+    its vectors against all queries and the window top-k reduces
+    per-query. Ties broken by neighbor id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vvec")
+    )
+    scored = v.join(F.broadcast(q), on=F.lit(True), how="inner")
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = scored.withColumn(
+        "sim", F.round(cosine(F.col("_qvec"), F.col("_vvec")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", "neighbor_id", "sim")
+    )
+
+
+def _hyperplanes(dim: int, num_bits: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_bits)
+    ]
+
+
+def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Signed-random-projection signature as array<int> of 0/1 bits."""
+    return F.array(
+        *[
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(w) for w in plane]),
+                        lambda x, y: x.cast("double") * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                >= 0,
+                1,
+            ).otherwise(0)
+            for plane in planes
+        ]
+    )
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    num_bits: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k: SRP-LSH candidate generation + exact cosine
+    re-rank. Bands of ``num_bits//bands`` bits each; a vector is a
+    candidate for a query if any band matches. Output shape matches
+    :func:`cosine_topk` (fewer than k rows per query is possible —
+    that's the recall trade-off; widen bands/bits to recover)."""
+    planes = _hyperplanes(dim, num_bits, seed)
+    bits_per_band = num_bits // bands
+
+    def banded(df: DataFrame, idname: str) -> DataFrame:
+        sig = srp_signature(F.col(vec_col), planes)
+        return (
+            df.select(
+                F.col(id_col).alias(idname),
+                F.col(vec_col).alias(f"_{idname}_vec"),
+                sig.alias("_sig"),
+            )
+            .select(
+                idname,
+                f"_{idname}_vec",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(b).alias("band_id"),
+                                F.concat_ws(
+                                    "",
+                                    *[
+                                        F.element_at(
+                                            F.col("_sig"), b * bits_per_band + i + 1
+                                        )
+                                        for i in range(bits_per_band)
+                                    ],
+                                ).alias("band_key"),
+                            )
+                            for b in range(bands)
+                        ]
+                    )
+                ).alias("band"),
+            )
+            .select(idname, f"_{idname}_vec", "band.band_id", "band.band_key")
+        )
+
+    v = banded(vectors, "neighbor_id")
+    q = banded(queries, "query_id")
+    cand = (
+        v.join(F.broadcast(q), on=["band_id", "band_key"])
+        .select("query_id", "neighbor_id", "_query_id_vec", "_neighbor_id_vec")
+        .distinct()
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = cand.withColumn(
+        "sim", F.round(cosine(F.col("_query_id_vec"), F.col("_neighbor_id_vec")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", "neighbor_id", "sim")
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out: str = "cluster_id",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF coarse quantizer).
+
+    Centroids are a driver-side list (k-means of a sample — cheap and
+    done once), embedded as literals so assignment is a pure projection:
+    no shuffle, no UDF. Partitioning the lake by ``cluster_id`` then
+    turns ANN into partition-pruned scans.
+    """
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(x) for x in c]),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for c in centroids
+    ]
+    best = F.array_position(
+        F.array(*dists), F.array_min(F.array(*dists))
+    ) - 1
+    return vectors.withColumn(out, best.cast("int"))

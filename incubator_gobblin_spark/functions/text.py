@@ -1,0 +1,124 @@
+"""Text-analysis columns for document corpora.
+
+All pure Column expressions (whole-stage codegen, no Python in the hot
+path) over a string column — designed for the ``documents`` table shape
+(doc_id, text, lang, source, n_chars) but schema-agnostic.
+
+These extend the reference's surface: Gobblin ships ingestion converters,
+not content analytics; a 100 TB training-data pipeline needs both. The
+operators follow the same Converter discipline (stateless per-record
+transforms) so they chain into Pipeline like any other converter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small multilingual stopword sets for the n-gram/stopword language
+# heuristic. Deliberately tiny: the heuristic is a cheap first-pass
+# filter; a real model-based langid would ride in a Pandas UDF.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "for", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans", "que", "pour"],
+    "es": ["el", "la", "los", "y", "es", "una", "en", "que", "por"],
+}
+
+_BPEISH_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column | str, delimiter: str = r"\s+") -> Column:
+    """Whitespace tokenization -> array<string>."""
+    return F.split(F.col(col) if isinstance(col, str) else col, delimiter)
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpeish_token_count(col: Column | str) -> Column:
+    """Approximate subword-ish token count: alpha runs + digit runs +
+    individual punctuation, via one regexp pass. A cheap stand-in for a
+    real BPE tokenizer when budgeting token counts at corpus scale."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(f"({_BPEISH_TOKEN_RE})"), F.lit(1)))
+
+
+def stopword_count(col: Column | str, lang: str = "en") -> Column:
+    """Number of tokens that are stopwords of ``lang``."""
+    toks = tokens(col)
+    stops = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(stops, F.lower(t))))
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    return stopword_count(col, lang) / F.greatest(token_count(col), F.lit(1))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Punctuation characters / total characters."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return n_punct / F.greatest(F.length(c), F.lit(1))
+
+
+def mean_token_length(col: Column | str) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col: Column | str, lang: str = "en") -> Column:
+    """Composite heuristic quality score in [0, 1]: rewards documents with
+    a sane stopword ratio, moderate token length, and low punctuation
+    density — the classic cheap pre-filter before expensive model-based
+    scoring. Deterministic, pure-Column."""
+    sw = stopword_ratio(col, lang)
+    mtl = mean_token_length(col)
+    pr = punct_ratio(col)
+    score = (
+        F.when(sw > 0.05, F.lit(0.4)).otherwise(sw * 8)
+        + F.when((mtl >= 3) & (mtl <= 10), F.lit(0.4)).otherwise(F.lit(0.1))
+        + (F.lit(0.2) * (F.lit(1.0) - F.least(pr * 4, F.lit(1.0))))
+    )
+    return F.round(score, 4)
+
+
+def lang_guess(col: Column | str) -> Column:
+    """Stopword-vote language ID: the language with the highest stopword
+    hit count wins; 'und' (undetermined) when no stopwords hit."""
+    counts = [(lang, stopword_count(col, lang)) for lang in STOPWORDS]
+    best = F.greatest(*[c for _, c in counts])
+    expr = F.lit("und")
+    # Later languages take precedence on ties in this fold; iterate
+    # reversed so earlier (more common) languages win ties.
+    for lang, c in reversed(counts):
+        expr = F.when((c == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of
+    whitespace-normalized, lower-cased text. The canonical exact-dedup
+    key at corpus scale (hash once, group on the 128-bit digest instead
+    of the full text — the shuffle carries 32 bytes/row, not documents)."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+    return F.md5(normalized)
+
+
+def ngrams(col: Column | str, n: int = 3) -> Column:
+    """Word n-grams as array<string> (for Jaccard similarity / shingling).
+    Pure-Column: transform over a token index sequence."""
+    toks = tokens(col)
+    k = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
+    return F.when(k <= 0, F.array()).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )

@@ -1,0 +1,898 @@
+"""Operator manifest: every declared operator as a (spark_fn, oracle_sql) pair.
+
+Each entry exercises one operator family from SURVEY.md §2 over the
+driver-generated tables (region nation customer supplier part orders
+lineitem events documents embeddings). The Spark side uses the engine's
+operator library; the oracle side is ANSI SQL DuckDB runs on the same
+parquet — the correctness gate hash-compares both at sf0.01.
+
+Determinism rules applied throughout (both sides identically):
+- double SUMs go through DECIMAL (exact, order-independent) and are cast
+  back to double for the output schema;
+- AVGs are computed as decimal-sum / count, never the engine's float avg
+  (accumulation order differs across engines/runs);
+- every window/top-k orders with explicit tie-breakers;
+- DuckDB integer SUMs are cast to BIGINT (DuckDB widens to INT128,
+  Spark to long).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from incubator_gobblin_spark.functions import dedup_fuzzy, similarity, text
+from incubator_gobblin_spark.operators import converters as C
+from incubator_gobblin_spark.operators import dedup, joins, retention
+from incubator_gobblin_spark.operators.watermark import WatermarkInterval
+from incubator_gobblin_spark.session import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# name -> (spark_fn, oracle_sql | None)
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+
+
+def _dsum(col, scale: int = 6):
+    """Order-independent SUM of a double expression via decimal."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Scan / filter / project / aggregate core (QueryBasedExtractor +
+# compaction-style aggregation surface)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped groupBy aggregation: the full hash-agg surface the
+    reference only has as MR dedup counting. Map-side partial agg + one
+    shuffle on a tiny key space."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    cnt = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(charge).alias("sum_charge"),
+            (_dsum("l_quantity") / cnt).alias("avg_qty"),
+            (_dsum("l_extendedprice") / cnt).alias("avg_price"),
+            (_dsum("l_discount") / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q02_filter_project",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_discount > 0.05
+    """,
+)
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + predicate converters (AvroProjectionConverter +
+    AvroFilterConverter chain) — both reach the parquet scan as
+    PushedFilters/ReadSchema."""
+    li = load_table(spark, sf_dir, "lineitem")
+    chain = C.chain(
+        C.filter_expr(
+            (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_discount") > 0.05)
+        ),
+        C.project(["l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate"]),
+    )
+    return li.transform(chain)
+
+
+@register(
+    "q03_revenue_by_nation",
+    """
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q03_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join: fact table joined to broadcast dimensions
+    (the enrichment-join pattern of HttpJoinConverter generalized). Only
+    the lineitem<->orders join shuffles; every dim side is broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dims = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q04_segment_rollup",
+    """
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q04_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast enrichment join (joins.enrich_broadcast) + aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    enriched = joins.enrich_broadcast(orders, customer, on="o_custkey", how="inner")
+    return enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum("o_totalprice").alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins: purge anti-join, semi join (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q05_purge_anti_join",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+    FROM orders o
+    WHERE NOT EXISTS (
+        SELECT 1 FROM customer c
+        WHERE c.c_acctbal < 0 AND c.c_custkey = o.o_custkey
+    )
+    GROUP BY o_orderstatus
+    """,
+)
+def q05_purge_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR purge semantics (HivePurgerQueryTemplate.java:82-89): drop all
+    rows whose key appears in the compliance-id set, via broadcast
+    left-anti join — the fact side never shuffles."""
+    orders = load_table(spark, sf_dir, "orders")
+    purge_ids = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    kept = joins.purge_anti_join(orders, purge_ids, on="o_custkey")
+    return kept.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum("o_totalprice").alias("total_price"),
+    )
+
+
+@register(
+    "q06_semi_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+    )
+    """,
+)
+def q06_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS)."""
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return customer.join(big, on="c_custkey", how="left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup (compaction semantics, SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q07_dedup_exact_fingerprint",
+    """
+    SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           count(*) AS dup_count
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q07_dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content fingerprint: hash once, group on the 128-bit
+    digest (the shuffle carries 32-byte keys, not documents). Canonical
+    representative = min id, so the result is deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fingerprint", text.fingerprint("text"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+@register(
+    "q08_dedup_argmax",
+    """
+    SELECT user_id, event_type, event_id, ts, value FROM (
+        SELECT user_id, event_type, event_id, ts, value,
+               row_number() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q08_dedup_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction delta-dedup (RecordKeyDedupReducerBase.reduce:74-97):
+    per key keep the record with the greatest delta tuple. Implemented as
+    one hash-agg with max_by (map-side partial agg — shuffles one
+    candidate per key per partition, not the dataset)."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    return dedup.dedup_argmax(
+        events, keys=["user_id", "event_type"], delta=["ts"], tie_breakers=["event_id"]
+    ).select("user_id", "event_type", "event_id", "ts", "value")
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k / retention (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q09_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC
+               ) AS rk
+        FROM orders
+    ) WHERE rk <= 3
+    """,
+)
+def q09_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group (NewestKSelectionPolicy generalized)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+@register(
+    "q10_newest_k_deletable",
+    """
+    SELECT o_orderkey FROM (
+        SELECT o_orderkey,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey ASC
+               ) AS rn
+        FROM orders
+    ) WHERE rn > 2
+    """,
+)
+def q10_newest_k_deletable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NewestKRetentionPolicy.listDeletableVersions: everything past the
+    newest K versions per dataset (here: orders per customer)."""
+    orders = load_table(spark, sf_dir, "orders")
+    deletable = retention.newest_k(
+        orders,
+        group_by=["o_custkey"],
+        version_col="o_orderdate",
+        k=2,
+        keep=False,
+        tie_breakers=["o_orderkey"],
+    )
+    return deletable.select("o_orderkey")
+
+
+@register(
+    "q11_time_retention",
+    "SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'",
+)
+def q11_time_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimeBasedRetentionPolicy: the deletable set older than the cutoff."""
+    orders = load_table(spark, sf_dir, "orders")
+    return retention.older_than(
+        orders, "o_orderdate", F.lit("1996-01-01").cast("timestamp")
+    ).select("o_orderkey", "o_orderdate")
+
+
+@register(
+    "q12_select_between",
+    """
+    SELECT event_id, ts FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+    """,
+)
+def q12_select_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SelectBetweenTimeBasedPolicy time-range selection."""
+    events = load_table(spark, sf_dir, "events")
+    return retention.select_between(
+        events,
+        "ts",
+        F.lit("2024-01-10 00:00:00").cast("timestamp"),
+        F.lit("2024-01-20 00:00:00").cast("timestamp"),
+    ).select("event_id", "ts")
+
+
+# ---------------------------------------------------------------------------
+# Windows / sessionization
+# ---------------------------------------------------------------------------
+
+@register(
+    "q13_running_total",
+    """
+    SELECT user_id, event_id,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+           ) AS DOUBLE) AS running
+    FROM events
+    """,
+)
+def q13_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate window (frame semantics)."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+    return events.select("user_id", "event_id", running.alias("running"))
+
+
+@register(
+    "q14_sessionize",
+    """
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions FROM (
+        SELECT user_id,
+               CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM (
+            SELECT user_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events
+        )
+    ) GROUP BY user_id
+    """,
+)
+def q14_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute inactivity gap starts a new session
+    (lag + cumulative flag — the batch analogue of session_window)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > 1800),
+        1,
+    ).otherwise(0)
+    return (
+        events.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup / cube (free Spark capability, declared in t2)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q15_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q15_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        _dsum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "q16_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q16_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), _dsum("o_totalprice").alias("total")
+    )
+
+
+@register(
+    "q17_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q17_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("q17_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM q17_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (CombineRetentionPolicy union/intersect + except)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q18_union",
+    """
+    SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+    UNION
+    SELECT o_orderkey FROM orders WHERE o_totalprice > 450000
+    """,
+)
+def q18_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    b = orders.filter(F.col("o_totalprice") > 450000).select("o_orderkey")
+    return retention.combine_union(a, b)
+
+
+@register(
+    "q19_intersect",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
+    """,
+)
+def q19_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = orders.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return retention.combine_intersect(a, b)
+
+
+@register(
+    "q20_except",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def q20_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders — anti-join via set difference."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return customer.exceptAll(orders).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Converters: explode, regex filter, json serde, casts, time partitions
+# ---------------------------------------------------------------------------
+
+@register(
+    "q21_explode_tokens",
+    """
+    SELECT token, count(*) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ) GROUP BY token
+    """,
+)
+def q21_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StringSplitterConverter (1:N explode) + aggregation."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    split = C.split_to_rows("text", " ", out="token")
+    return docs.transform(split).groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q22_regex_filter",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE regexp_matches(text, 'batch batch')
+    """,
+)
+def q22_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StringFilterConverter: regex row filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.transform(C.filter_regex("text", "batch batch")).select(
+        "doc_id", "lang"
+    )
+
+
+@register(
+    "q23_json_extract",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q23_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-string payload parsing (JsonStringToJsonIntermediateConverter
+    surface) + aggregation over the extracted field."""
+    events = load_table(spark, sf_dir, "events")
+    extracted = events.transform(C.json_get("props", "$.k", out="k_str")).withColumn(
+        "k", F.col("k_str").cast("int")
+    )
+    return extracted.groupBy("event_type").agg(
+        F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "q24_time_partition",
+    """
+    SELECT strftime(o_orderdate, '%Y/%m') AS partition_path,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def q24_time_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimeBasedWriterPartitioner (partitionForRecord:147): derive the
+    time-pattern partition path from the record timestamp; at write time
+    this column feeds partitionBy."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn(
+            "partition_path", F.date_format("o_orderdate", "yyyy/MM")
+        )
+        .groupBy("partition_path")
+        .agg(F.count(F.lit(1)).alias("n"), _dsum("o_totalprice").alias("total"))
+    )
+
+
+@register(
+    "q25_watermark_increment",
+    """
+    SELECT l_returnflag, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate > TIMESTAMP '1996-01-01' AND l_shipdate <= TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q25_watermark_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-interval incremental read (low-exclusive, high-inclusive
+    — QueryBasedExtractor predicate semantics). The predicate reaches the
+    parquet scan as PushedFilters."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wm = WatermarkInterval(
+        column="l_shipdate",
+        low=F.lit("1996-01-01").cast("timestamp"),
+        high=F.lit("1997-01-01").cast("timestamp"),
+    )
+    return wm.apply(li).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), _dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@register(
+    "q26_sample_mod",
+    """
+    SELECT count(*) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(n_chars) AS BIGINT) / CAST(count(*) AS DOUBLE) AS avg_chars
+    FROM documents WHERE doc_id % 20 = 0
+    """,
+)
+def q26_sample_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic systematic sampling (SamplingConverter's reproducible
+    variant)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = docs.transform(C.sample_mod("doc_id", 20))
+    return sampled.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars") / F.count(F.lit(1)).cast("double")).alias("avg_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality checking (RowLevelPolicy / RowCountPolicy surface)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q27_quality_counts",
+    """
+    SELECT event_type,
+           count(*) FILTER (WHERE value >= 0 AND value <= 200 AND user_id IS NOT NULL) AS n_pass,
+           count(*) FILTER (WHERE NOT (value >= 0 AND value <= 200 AND user_id IS NOT NULL)) AS n_fail
+    FROM events GROUP BY event_type
+    """,
+)
+def q27_quality_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level policy pass/fail accounting (RowLevelPolicyChecker
+    metrics) in one pass — no double evaluation of the input."""
+    events = load_table(spark, sf_dir, "events")
+    ok = (
+        (F.col("value") >= 0) & (F.col("value") <= 200) & F.col("user_id").isNotNull()
+    )
+    return events.groupBy("event_type").agg(
+        F.count(F.when(ok, 1)).alias("n_pass"),
+        F.count(F.when(~ok, 1)).alias("n_fail"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (LLM-pipeline operators)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q28_text_stats",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(text) AS text_len,
+           len(list_filter(string_split(text, ' '),
+               x -> lower(x) IN ('the','and','of','to','a','in','is','that','for','it')))
+             AS stop_hits
+    FROM documents
+    """,
+)
+def q28_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/stopword statistics — pure-Column text ops."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.length("text").alias("text_len"),
+        text.stopword_count(F.col("text"), "en").alias("stop_hits"),
+    )
+
+
+def _lang_oracle() -> str:
+    hits = {
+        lang: (
+            f"len(list_filter(string_split(text, ' '), x -> lower(x) IN "
+            f"({', '.join(repr(s) for s in words)})))"
+        )
+        for lang, words in text.STOPWORDS.items()
+    }
+    greatest = f"greatest({', '.join(hits[lang] for lang in text.STOPWORDS)})"
+    case = "CASE WHEN " + greatest + " = 0 THEN 'und' "
+    for lang in text.STOPWORDS:
+        case += f"WHEN {hits[lang]} = {greatest} THEN '{lang}' "
+    case += "END"
+    return f"""
+    SELECT lang_guess, count(*) AS n FROM (
+        SELECT {case} AS lang_guess FROM documents
+    ) GROUP BY lang_guess
+    """
+
+
+@register("q29_lang_guess", _lang_oracle())
+def q29_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID (cheap first-pass langid filter)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("lang_guess", text.lang_guess("text"))
+        .groupBy("lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q30_token_jaccard",
+    """
+    WITH sub AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        FROM documents WHERE doc_id % 50 = 0
+    )
+    SELECT l.doc_id AS id_l, r.doc_id AS id_r,
+           round(len(list_intersect(l.toks, r.toks)) /
+                 (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks))), 6)
+             AS jaccard
+    FROM sub l JOIN sub r ON l.doc_id < r.doc_id
+    WHERE len(list_intersect(l.toks, r.toks)) /
+          (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks))) >= 0.2
+    """,
+)
+def q30_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram (n=1) Jaccard similarity pairs over a deterministic document
+    sample — the exact-verification stage of fuzzy dedup."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    return dedup_fuzzy.jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", threshold=0.2, shingle_n=1
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy dedup + similarity search (scale-path operators; the LSH stages are
+# engine-specific so only exact stages carry SQL oracles)
+# ---------------------------------------------------------------------------
+
+@register("q31_minhash_candidates", None)
+def q31_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs (shingle->minhash->band->
+    bucket-join). Not SQL-expressible (hash family) — rows-only check."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_fuzzy.minhash_candidate_pairs(
+        docs, id_col="doc_id", text_col="text", num_hashes=32, bands=8, shingle_n=2
+    )
+
+
+@register("q32_simhash_neardups", None)
+def q32_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (prefix-bucket LSH + hamming filter)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_fuzzy.simhash_near_dups(
+        docs, id_col="doc_id", text_col="text", max_hamming=12, prefix_bits=8
+    )
+
+
+@register(
+    "q33_ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 8)
+    SELECT query_id, neighbor_id, sim FROM (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.qv, v.embedding::DOUBLE[]), 6) AS sim,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(list_cosine_similarity(q.qv, v.embedding::DOUBLE[]), 6) DESC,
+                            v.vec_id ASC
+               ) AS rn
+        FROM embeddings v CROSS JOIN q
+        WHERE v.vec_id <> q.query_id
+    ) WHERE rn <= 5
+    """,
+)
+def q33_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the exact ANN baseline): broadcast the
+    query set, score JVM-side, window top-k per query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return similarity.cosine_topk(
+        emb, queries_df, id_col="vec_id", vec_col="embedding", k=5
+    )
+
+
+@register("q34_ann_lsh_topk", None)
+def q34_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN: signed-random-projection LSH candidates + exact
+    re-rank (the 100 TB path; recall < 1 by design — rows-only check)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    return similarity.lsh_topk(
+        emb, queries_df, dim=64, id_col="vec_id", vec_col="embedding", k=5,
+        num_bits=16, bands=8,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot-style conditional aggregation
+# ---------------------------------------------------------------------------
+
+@register(
+    "q35_pivot_events",
+    """
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS n_click,
+           count(*) FILTER (WHERE event_type = 'view') AS n_view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+           count(*) FILTER (WHERE event_type = 'error') AS n_error,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+             AS purchase_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q35_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (explicit-values form with stable column names)."""
+    events = load_table(spark, sf_dir, "events")
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+        for t in ["click", "view", "purchase", "signup", "error"]
+    ]
+    purchase_value = (
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase", F.col("value")
+            ).cast("decimal(18,6)")
+        )
+        .cast("double")
+        .alias("purchase_value")
+    )
+    return events.groupBy("user_id").agg(*aggs, purchase_value)
+
+
+def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """Flagship: the multi-way broadcast star join + aggregation."""
+    return q03_revenue_by_nation(spark, sf_dir)

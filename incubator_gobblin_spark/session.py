@@ -1,0 +1,75 @@
+"""SparkSession factory with scale-aware defaults.
+
+The session config is the engine's substitute for Gobblin's launcher
+selection (reference: gobblin-runtime JobLauncherFactory): instead of
+choosing thread-pool vs MapReduce execution, we configure one Spark
+session and let the cluster manager own parallelism.
+
+Defaults are tuned so the same code runs on ``local[N]`` for tests and
+on a multi-executor cluster unchanged:
+
+- AQE on (runtime coalescing, skew-join splitting) so a plan built at
+  sf0.001 still behaves at 100 TB;
+- shuffle partitions ~ cores locally; on a real cluster the AQE
+  coalescer right-sizes post-shuffle partitions anyway;
+- UTC session timezone (oracle comparisons and lake layouts are
+  timezone-free);
+- Arrow enabled for every pandas-interop path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "incubator_gobblin_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master=None`` defers to an existing session / spark-submit; tests
+    pass ``local[N]`` explicitly.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    conf = {
+        "spark.sql.shuffle.partitions": str(
+            shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+        ),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.ui.enabled": os.environ.get("SPARK_GRAFT_UI", "false"),
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    """Path of one driver-generated parquet table."""
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one of the standard tables (region nation customer supplier
+    part orders lineitem events documents embeddings). Tolerant of
+    nanosecond-timestamp parquet (sources.files.read_parquet)."""
+    from incubator_gobblin_spark.sources.files import read_parquet
+
+    return read_parquet(spark, table_path(sf_dir, name))
