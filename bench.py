@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Each query is timed as a full action (count of the result — forces the
+whole plan, returns one long to the driver; no toPandas materialization
+cost polluting the engine measurement). One untimed warmup query first
+absorbs JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from incubator_gobblin_spark.plans import queries as Q  # noqa: E402
+from incubator_gobblin_spark.session import get_spark, load_table  # noqa: E402
+
+# Headline set: one per operator family that matters at scale.
+HEADLINE = [
+    "q01_pricing_summary",     # scan + 8-agg hash aggregation
+    "q03_revenue_by_nation",   # multi-way broadcast star join
+    "q05_purge_anti_join",     # broadcast left-anti purge
+    "q08_dedup_argmax",        # compaction dedup (max_by hash-agg)
+    "q09_topk_per_group",      # window top-k
+    "q13_running_total",       # running window frame
+    "q18_union",               # set op
+    "q21_explode_tokens",      # 1:N explode + agg
+    "q28_text_stats",          # text analysis columns
+    "q31_minhash_candidates",  # minhash LSH fuzzy dedup
+    "q33_ann_cosine_topk",     # brute-force ANN
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    spark = get_spark(
+        app_name="gobblin-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+
+    # warmup: JVM + codegen + parquet footer caches
+    load_table(spark, sf_dir, "lineitem").count()
+
+    registry = Q.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        registry[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -35,41 +35,50 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(ngrams(col, n))
 
 
-def minhash_signature(
-    shingle_col: Column, num_hashes: int = 64, seed: int = 42
-) -> Column:
-    """array<bigint> MinHash signature of a shingle array column.
-
-    One base xxhash64 per shingle, then num_hashes affine re-hashes
-    (a_i * h + b_i mod p) — entirely Column expressions, vectorized by
-    codegen. Empty shingle sets get sentinel p (never collides).
-    """
+def _hash_coeffs(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     import random
 
     rng = random.Random(seed)
-    coeffs = [
+    return [
         (rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P))
         for _ in range(num_hashes)
     ]
-    base = F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
-    sig = F.array(
+
+
+def base_hashes(shingle_col: Column) -> Column:
+    """One 31-bit base hash per shingle (xxhash64 reduced mod p)."""
+    return F.transform(
+        shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P))
+    )
+
+
+def minhash_signature(
+    base_col: Column, num_hashes: int = 64, seed: int = 42
+) -> Column:
+    """array<bigint> MinHash signature from a *materialized* base-hash
+    array column (see :func:`base_hashes`), via num_hashes affine
+    re-hashes min'd per row — entirely Column expressions.
+
+    IMPORTANT: pass a physical column, not the base-hash expression
+    itself — Catalyst inlines the argument into each of the num_hashes
+    subtrees, so an unmaterialized expression gets recomputed
+    num_hashes times per row (measured ~100x slowdown). Empty shingle
+    sets get sentinel p (never collides).
+    """
+    return F.array(
         *[
             F.coalesce(
                 F.array_min(
                     F.transform(
-                        base,
-                        # pmod keeps the value positive; arithmetic in
-                        # bigint — overflow wraps identically everywhere,
-                        # which is fine for a hash family.
+                        base_col,
                         lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P)),
                     )
                 ),
                 F.lit(_MERSENNE_P),
             )
-            for (a, b) in coeffs
+            for (a, b) in _hash_coeffs(num_hashes, seed)
         ]
     )
-    return sig
 
 
 def minhash_candidate_pairs(
@@ -90,8 +99,17 @@ def minhash_candidate_pairs(
     a pair can collide in multiple bands.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes, seed)
-    banded = df.select(F.col(id_col).alias("_id"), sig.alias("_sig")).select(
+    # Stage each intermediate as a physical column: shingles -> base
+    # hashes -> signature. Each projection materializes once per row;
+    # composing them as one expression would recompute the shingle set
+    # per hash function.
+    staged = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+        .select("_id", shingles(F.col("_text"), shingle_n).alias("_shingles"))
+        .select("_id", base_hashes(F.col("_shingles")).alias("_base"))
+        .select("_id", minhash_signature(F.col("_base"), num_hashes, seed).alias("_sig"))
+    )
+    banded = staged.select(
         "_id",
         F.explode(
             F.array(
@@ -168,15 +186,11 @@ def jaccard_pairs(
     )
 
 
-def simhash(col: Column | str, num_bits: int = 64) -> Column:
-    """64-bit SimHash over whitespace tokens, as bigint.
-
-    Per token: xxhash64; per bit: +1 if set else -1; sign of the sum
-    gives the output bit. Pure-Column fold via aggregate over the token
-    array — no UDF.
-    """
-    toks = tokens(col)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+def simhash_from_hashes(hashes: Column, num_bits: int = 64) -> Column:
+    """64-bit SimHash from a *materialized* array<bigint> token-hash
+    column. Per bit: +1 if set else -1 over all token hashes; sign of
+    the sum gives the output bit. Pure-Column fold — no UDF. Pass a
+    physical column (see minhash_signature's note on inlining)."""
 
     def _vote(bit: int):
         # closure factory: pyspark lambda introspection requires exactly
@@ -199,6 +213,16 @@ def simhash(col: Column | str, num_bits: int = 64) -> Column:
     return out
 
 
+def simhash(col: Column | str, num_bits: int = 64) -> Column:
+    """Convenience single-expression SimHash over whitespace tokens.
+    For hot paths prefer staging token hashes as a column and calling
+    :func:`simhash_from_hashes` (this form recomputes the token-hash
+    array once per bit)."""
+    return simhash_from_hashes(
+        F.transform(tokens(col), lambda t: F.xxhash64(t)), num_bits
+    )
+
+
 def hamming_distance(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit simhashes (bit_count of xor)."""
     return F.bit_count(a.bitwiseXOR(b))
@@ -214,7 +238,14 @@ def simhash_near_dups(
     """Near-dup pairs by simhash: bucket on ``prefix_bits``-bit prefix
     (cheap LSH: near-identical docs share the prefix with high
     probability), then exact hamming filter within buckets."""
-    h = df.select(F.col(id_col).alias("_id"), simhash(F.col(text_col)).alias("_sh"))
+    h = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+        .select(
+            "_id",
+            F.transform(tokens(F.col("_text")), lambda t: F.xxhash64(t)).alias("_th"),
+        )
+        .select("_id", simhash_from_hashes(F.col("_th")).alias("_sh"))
+    )
     bucketed = h.withColumn("_bucket", F.shiftright(F.col("_sh"), 64 - prefix_bits))
     l = bucketed.select(
         F.col("_id").alias("id_l"), F.col("_sh").alias("_sh_l"), "_bucket"
