@@ -1,0 +1,85 @@
+"""GDPR purge job: broadcast anti-join + partition-preserving rewrite.
+
+Reference: gobblin-compliance's HivePurgerQueryTemplate
+(.../purger/HivePurgerQueryTemplate.java:82-89) rewrites each Hive
+partition as ``SELECT a.* FROM part a LEFT JOIN /*+MAPJOIN(b)*/ ids b ON
+key WHERE b.key IS NULL`` — i.e. per-partition broadcast anti-join, then
+swaps the partition in.
+
+Spark-first: one job over all affected partitions — the anti-join is
+broadcast (fact side never shuffles), the rewrite preserves the
+partition layout, and publish is the staged atomic rename
+(SNAPSHOT_APPEND = dynamic partition overwrite: only partitions
+containing purged rows are rewritten). At 100 TB the win over the
+reference is doing every partition in one scan instead of one Hive
+query per partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubator_gobblin_spark.operators.joins import purge_anti_join
+from incubator_gobblin_spark.sinks.files import FileSink, TableType, new_run_id
+
+
+@dataclass
+class PurgeResult:
+    run_id: str
+    rows_before: int
+    rows_after: int
+    rows_purged: int
+    published_paths: list[str]
+
+
+def purge(
+    spark: SparkSession,
+    data_path: str,
+    ids: DataFrame,
+    on: Sequence[str] | str,
+    partition_by: Sequence[str] = (),
+    fmt: str = "parquet",
+    only_affected_partitions: bool = True,
+) -> PurgeResult:
+    """Remove all rows whose key appears in ``ids``; rewrite in place.
+
+    ``only_affected_partitions``: restrict the rewrite to partitions that
+    actually contain purgeable rows (semi-join on the partition values —
+    a partition-pruning pre-pass), so an id set touching 1% of
+    partitions rewrites 1% of the data.
+    """
+    df = spark.read.format(fmt).load(data_path)
+    on_cols = [on] if isinstance(on, str) else list(on)
+
+    if only_affected_partitions and partition_by:
+        affected = (
+            df.join(F.broadcast(ids), on=on_cols, how="left_semi")
+            .select(*partition_by)
+            .distinct()
+        )
+        df = df.join(F.broadcast(affected), on=list(partition_by), how="left_semi")
+
+    rows_before = df.count()
+    kept = purge_anti_join(df, ids, on=on_cols)
+
+    sink = FileSink(
+        path=data_path,
+        fmt=fmt,
+        table_type=TableType.SNAPSHOT_APPEND if partition_by else TableType.SNAPSHOT_ONLY,
+        partition_by=list(partition_by),
+    )
+    run_id = new_run_id()
+    sink.write_staging(kept, run_id)
+    rows_after = spark.read.format(fmt).load(sink.staging_dir(run_id)).count()
+    published = sink.publish(run_id)
+    return PurgeResult(
+        run_id=run_id,
+        rows_before=rows_before,
+        rows_after=rows_after,
+        rows_purged=rows_before - rows_after,
+        published_paths=published,
+    )

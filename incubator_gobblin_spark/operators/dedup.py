@@ -74,8 +74,11 @@ def dedup_argmax_window(
     full row ordering matters beyond the delta fields it generalizes
     better. Costs a shuffle + per-partition sort vs the hash-agg's
     partial-aggregate; prefer ``dedup_argmax`` in pipelines.
+
+    Tie-breakers order DESC like the delta fields so both formulations
+    pick the identical row (greatest tie-breaker wins).
     """
-    order = [F.col(c).desc() for c in delta] + [F.col(c).asc() for c in tie_breakers]
+    order = [F.col(c).desc() for c in [*delta, *tie_breakers]]
     w = Window.partitionBy(*keys).orderBy(*order)
     return (
         df.withColumn("_rn", F.row_number().over(w))

@@ -1,0 +1,192 @@
+"""File sinks with staged atomic publish.
+
+Reference semantics being reproduced:
+- DataWriter writes to a *staging* path; DataPublisher atomically renames
+  staging -> final AFTER task-level quality policies pass
+  (gobblin-core .../publisher/BaseDataPublisher.java:97, publishData:332,
+  movePath:496; FsDataWriter staging dirs). Spark's own file committer
+  makes individual task output atomic, but not the
+  quality-gate-then-publish step — so the engine writes to
+  ``<final>/_staging/<run_id>``, evaluates task policies, then renames.
+- PartitionedDataWriter / TimeBasedWriterPartitioner demux records into
+  per-partition outputs (gobblin-core .../writer/PartitionedDataWriter.java:77,
+  partitioner/TimeBasedWriterPartitioner.java:59) -> ``partitionBy`` on a
+  derived time-pattern column.
+- Extract.TableType {SNAPSHOT_ONLY, SNAPSHOT_APPEND, APPEND_ONLY}
+  (gobblin-api .../source/workunit/Extract.java:53-57) -> write modes
+  overwrite / append / dynamic partition overwrite.
+- RowLevelErrFileWriter's error file -> the quality error stream written
+  next to the output under ``_errors/``.
+
+Scale notes: ``max_records_per_file`` bounds output file sizes (the
+write-side small/large-file discipline the reference solves with
+compaction); partition columns must be low-cardinality (time buckets,
+not ids). The rename-based publish is O(#partition-dirs) driver-side
+metadata ops, parallelized with a thread pool like the reference's
+ParallelRunner (gobblin-utility .../util/ParallelRunner.java:82).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from enum import Enum
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class TableType(Enum):
+    SNAPSHOT_ONLY = "snapshot_only"    # full overwrite each run
+    SNAPSHOT_APPEND = "snapshot_append"  # overwrite only touched partitions
+    APPEND_ONLY = "append_only"        # append
+
+
+@dataclass
+class FileSink:
+    """Declarative file sink; ``write`` stages, ``publish`` commits."""
+
+    path: str
+    fmt: str = "parquet"
+    table_type: TableType = TableType.APPEND_ONLY
+    partition_by: list[str] = field(default_factory=list)
+    max_records_per_file: int | None = None
+    options: dict[str, str] = field(default_factory=dict)
+
+    def staging_dir(self, run_id: str) -> str:
+        return os.path.join(self.path, "_staging", run_id)
+
+    def write_staging(self, df: DataFrame, run_id: str) -> str:
+        """Write to the staging dir (always overwrite: a retried run with
+        the same run_id must not double its data — the reference's
+        staging-cleanup-on-retry, FsDataWriter)."""
+        staging = self.staging_dir(run_id)
+        writer = df.write.mode("overwrite").format(self.fmt)
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        if self.max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", self.max_records_per_file)
+        for k, v in self.options.items():
+            writer = writer.option(k, v)
+        writer.save(staging)
+        return staging
+
+    def publish(self, run_id: str) -> list[str]:
+        """Atomic-rename staging output into the final layout
+        (BaseDataPublisher.movePath:496 semantics). Returns published
+        paths. Local/HDFS rename is atomic per path; object stores want
+        a manifest-commit variant instead (future sink)."""
+        staging = self.staging_dir(run_id)
+        if not os.path.isdir(staging):
+            raise FileNotFoundError(f"staging dir missing: {staging}")
+        published: list[str] = []
+
+        if self.table_type == TableType.SNAPSHOT_ONLY:
+            # replace the entire dataset (keep _staging of other runs)
+            for entry in os.listdir(self.path):
+                if entry != "_staging" and entry != "_errors":
+                    _rm(os.path.join(self.path, entry))
+
+        def _move(rel: str) -> str:
+            src = os.path.join(staging, rel)
+            dst = os.path.join(self.path, rel)
+            if self.table_type == TableType.SNAPSHOT_APPEND and os.path.isdir(dst):
+                _rm(dst)  # dynamic partition overwrite: replace touched dirs
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            if os.path.exists(dst) and os.path.isdir(dst):
+                # append into existing partition dir: move files in
+                for f_ in os.listdir(src):
+                    if f_.startswith("_"):
+                        continue
+                    os.replace(
+                        os.path.join(src, f_),
+                        os.path.join(dst, f"{run_id}-{f_}"),
+                    )
+            else:
+                os.replace(src, dst)
+            return dst
+
+        entries = [
+            e for e in _leaf_outputs(staging) if not os.path.basename(e).startswith("_")
+        ]
+        rels = [os.path.relpath(e, staging) for e in entries]
+        # ParallelRunner-style fan-out for many partition dirs
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            published = list(pool.map(_move, rels))
+        _rm(staging)
+        _prune_empty(os.path.join(self.path, "_staging"))
+        return published
+
+    def abort(self, run_id: str) -> None:
+        """Drop staging output (failed task policies — data never
+        published, the reference's cleanup-on-commit-failure)."""
+        _rm(self.staging_dir(run_id))
+
+    def write_errors(self, errors: DataFrame, run_id: str) -> str | None:
+        """ERR_FILE side output (RowLevelErrFileWriter analogue): failing
+        rows land under ``<path>/_errors/<run_id>`` without gating the
+        main publish."""
+        if errors is None:
+            return None
+        err_path = os.path.join(self.path, "_errors", run_id)
+        errors.write.mode("overwrite").format(self.fmt).save(err_path)
+        return err_path
+
+
+def _leaf_outputs(root: str) -> list[str]:
+    """Top-level outputs of a write: partition dirs (part_col=value) or
+    data files for unpartitioned output."""
+    return [os.path.join(root, e) for e in os.listdir(root)]
+
+
+def _rm(path: str) -> None:
+    if os.path.isdir(path):
+        shutil.rmtree(path, ignore_errors=True)
+    elif os.path.exists(path):
+        os.unlink(path)
+
+
+def _prune_empty(path: str) -> None:
+    try:
+        if os.path.isdir(path) and not os.listdir(path):
+            os.rmdir(path)
+    except OSError:  # pragma: no cover
+        pass
+
+
+def new_run_id() -> str:
+    return f"{int(time.time())}-{uuid.uuid4().hex[:8]}"
+
+
+def time_partition_column(
+    ts_col: str | Column, pattern: str = "yyyy/MM/dd", out: str = "dt"
+) -> tuple[str, Column]:
+    """Derived partition column from a record timestamp
+    (TimeBasedWriterPartitioner.partitionForRecord:147). Returned as
+    (name, expr) for ``withColumn`` + ``partition_by=[name]``. Pattern
+    '/' separators are mapped to '-' because partition values cannot
+    contain path separators in hive-style layouts; use nested patterns
+    (list of columns) for true yyyy/MM/dd directory trees."""
+    c = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    return out, F.date_format(c, pattern.replace("/", "-"))
+
+
+def time_partition_tree(
+    ts_col: str | Column, granularity: str = "day"
+) -> list[tuple[str, Column]]:
+    """Multi-level time partition columns (year/month/day[/hour]) giving
+    the reference's yyyy/MM/dd[/HH] directory tree as hive-style
+    partition levels — partition-prunable by Catalyst."""
+    c = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    levels = [
+        ("year", F.date_format(c, "yyyy")),
+        ("month", F.date_format(c, "MM")),
+        ("day", F.date_format(c, "dd")),
+    ]
+    if granularity == "hour":
+        levels.append(("hour", F.date_format(c, "HH")))
+    return levels

@@ -1,0 +1,209 @@
+"""Streaming pipelines: the reference's streaming task model on
+Structured Streaming.
+
+Reference mapping (SURVEY.md §2.11):
+- StreamingExtractor's unbounded ackable pull (gobblin-api
+  .../source/extractor/StreamingExtractor.java:29) -> ``readStream``.
+- FlushingExtractor's flush interval (gobblin-core-base
+  .../extract/FlushingExtractor.java:79-83, default 60s) -> the
+  processing-time trigger; a micro-batch boundary IS the flush+commit.
+- Per-partition checkpointable watermarks (KafkaStreamingExtractor.java:137,
+  StateStoreBasedWatermarkStorage) -> the streaming checkpoint location.
+- Fork (ForkOperator) in streaming -> foreachBatch writing N sinks per
+  micro-batch from one cached batch DataFrame.
+- Late-data policy (RecordTimestampLowerBoundPolicy) -> withWatermark +
+  filter; event-time tumbling/sliding/session windows are new native
+  capability (F.window / F.session_window).
+- DeliverySemantics.EXACTLY_ONCE (gobblin-api .../commit/DeliverySemantics.java:33)
+  -> checkpoint + idempotent file sink / foreachBatch txn sink.
+- ThrottleWriter / rate limiting -> maxFilesPerTrigger / maxOffsetsPerTrigger
+  admission control.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from incubator_gobblin_spark.operators.converters import Transform
+from incubator_gobblin_spark.operators.quality import RowPolicy, check_rows
+
+
+@dataclass
+class StreamBranch:
+    """One fork branch of a streaming pipeline (its own transforms +
+    batch-sink function, applied per micro-batch)."""
+
+    name: str
+    write: Callable[[DataFrame, int], None]  # (batch_df, epoch_id)
+    transforms: Sequence[Transform] = field(default_factory=tuple)
+
+
+class StreamPipeline:
+    """readStream -> converters -> quality -> (windows) -> sink(s).
+
+    Single-sink streams use native writeStream (full engine fault
+    tolerance); forked streams use foreachBatch with cache-once-write-N
+    (each branch sees the same micro-batch exactly once)."""
+
+    def __init__(self, spark: SparkSession, name: str = "stream"):
+        self.spark = spark
+        self.name = name
+        self._source: Callable[[SparkSession], DataFrame] | None = None
+        self._transforms: list[Transform] = []
+        self._row_policies: list[RowPolicy] = []
+        self._watermark: tuple[str, str] | None = None
+
+    def source(self, fn: Callable[[SparkSession], DataFrame]) -> "StreamPipeline":
+        self._source = fn
+        return self
+
+    def source_files(
+        self, path: str, fmt: str, schema, max_files_per_trigger: int | None = None
+    ) -> "StreamPipeline":
+        """File-drop source (the FileBasedSource streaming analogue);
+        ``max_files_per_trigger`` is the ThrottleWriter-style admission
+        limit."""
+
+        def _read(spark: SparkSession) -> DataFrame:
+            reader = spark.readStream.format(fmt).schema(schema)
+            if max_files_per_trigger:
+                reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+            return reader.load(path)
+
+        self._source = _read
+        return self
+
+    def convert(self, *transforms: Transform) -> "StreamPipeline":
+        self._transforms.extend(transforms)
+        return self
+
+    def quality(self, *policies: RowPolicy) -> "StreamPipeline":
+        self._row_policies.extend(policies)
+        return self
+
+    def with_watermark(self, ts_col: str, delay: str) -> "StreamPipeline":
+        """Event-time watermark for late data (the
+        RecordTimestampLowerBoundPolicy analogue, but with real
+        event-time semantics instead of a wall-clock bound)."""
+        self._watermark = (ts_col, delay)
+        return self
+
+    def dataframe(self) -> DataFrame:
+        if self._source is None:
+            raise ValueError("stream has no source")
+        df = self._source(self.spark)
+        if self._watermark:
+            df = df.withWatermark(*self._watermark)
+        for t in self._transforms:
+            df = t(df)
+        if self._row_policies:
+            df = check_rows(df, list(self._row_policies)).passed
+        return df
+
+    # -- sinks -------------------------------------------------------------
+    def to_files(
+        self,
+        path: str,
+        checkpoint: str,
+        fmt: str = "parquet",
+        trigger_secs: int | None = 60,
+        partition_by: Sequence[str] = (),
+        once: bool = False,
+    ) -> StreamingQuery:
+        """Exactly-once file sink; trigger default mirrors the
+        reference's 60s flush interval."""
+        writer = (
+            self.dataframe()
+            .writeStream.format(fmt)
+            .option("checkpointLocation", checkpoint)
+            .option("path", path)
+            .outputMode("append")
+        )
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        if once:
+            writer = writer.trigger(availableNow=True)
+        elif trigger_secs:
+            writer = writer.trigger(processingTime=f"{trigger_secs} seconds")
+        return writer.start()
+
+    def to_branches(
+        self,
+        branches: Sequence[StreamBranch],
+        checkpoint: str,
+        trigger_secs: int | None = 60,
+        once: bool = False,
+    ) -> StreamingQuery:
+        """Forked streaming write: one checkpointed query, each
+        micro-batch cached once and written to every branch."""
+
+        def _process(batch_df: DataFrame, epoch_id: int) -> None:
+            batch_df.persist()
+            try:
+                for br in branches:
+                    bdf = batch_df
+                    for t in br.transforms:
+                        bdf = t(bdf)
+                    br.write(bdf, epoch_id)
+            finally:
+                batch_df.unpersist()
+
+        writer = (
+            self.dataframe()
+            .writeStream.foreachBatch(_process)
+            .option("checkpointLocation", checkpoint)
+        )
+        if once:
+            writer = writer.trigger(availableNow=True)
+        elif trigger_secs:
+            writer = writer.trigger(processingTime=f"{trigger_secs} seconds")
+        return writer.start()
+
+
+def windowed_counts(
+    df: DataFrame,
+    ts_col: str,
+    window: str,
+    slide: str | None = None,
+    group_cols: Sequence[str] = (),
+    agg_exprs: dict[str, str] | None = None,
+) -> DataFrame:
+    """Tumbling/sliding event-time windowed aggregation (new native
+    capability beyond the reference — it has no event-time windows)."""
+    w = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
+    grouped = df.groupBy(w.alias("win"), *[F.col(c) for c in group_cols])
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for col, fn in (agg_exprs or {}).items():
+        aggs.append(getattr(F, fn)(F.col(col)).alias(f"{fn}_{col}"))
+    return grouped.agg(*aggs).select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        *group_cols,
+        "n",
+        *[f"{fn}_{col}" for col, fn in (agg_exprs or {}).items()],
+    )
+
+
+def session_windows(
+    df: DataFrame, ts_col: str, gap: str, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Session windows with an inactivity gap (streaming-native analogue
+    of the batch sessionization operator)."""
+    return (
+        df.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("session"),
+            *[F.col(c) for c in group_cols],
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            *group_cols,
+            "n",
+        )
+    )

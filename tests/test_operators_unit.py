@@ -1,0 +1,207 @@
+"""Golden-pair style unit tests for converters and fuzzy-dedup/similarity
+operators over constructed inputs (mirroring the reference's
+input+expected converter test fixtures)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_gobblin_spark.functions import dedup_fuzzy, multimodal, similarity, text
+from incubator_gobblin_spark.operators import converters as C
+from incubator_gobblin_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def nested_df(spark):
+    data = [
+        (1, {"id": "a", "url": "http://x", "meta2": {"depth": 2}}, ["t1", "t2"], "keep"),
+        (2, {"id": "b", "url": "http://y", "meta2": {"depth": 3}}, ["t3"], "drop"),
+    ]
+    return spark.createDataFrame(
+        data,
+        "k int, meta struct<id:string,url:string,meta2:struct<depth:int>>, "
+        "tags array<string>, flag string",
+    )
+
+
+def test_pick_fields_nested(nested_df):
+    out = nested_df.transform(C.pick_fields(["meta.id", "meta.meta2.depth"]))
+    assert out.columns == ["meta_id", "meta_meta2_depth"]
+    rows = {r["meta_id"]: r["meta_meta2_depth"] for r in out.collect()}
+    assert rows == {"a": 2, "b": 3}
+
+
+def test_flatten_all(nested_df):
+    out = C.flatten_all(nested_df)
+    assert set(out.columns) == {"k", "meta_id", "meta_url", "meta_meta2_depth", "tags", "flag"}
+
+
+def test_filter_and_project_chain(nested_df):
+    chain = C.chain(C.filter_equals("flag", "keep"), C.project(["k", "tags"]))
+    out = nested_df.transform(chain)
+    assert out.columns == ["k", "tags"]
+    assert out.count() == 1
+
+
+def test_split_explode_roundtrip(spark):
+    df = spark.createDataFrame([("a|b|c",)], "s string")
+    rows = df.transform(C.split_to_rows("s", "|", out="tok")).select("tok").collect()
+    assert [r["tok"] for r in rows] == ["a", "b", "c"]
+    lst = df.transform(C.split_to_list("s", "|")).first()["s"]
+    assert lst == ["a", "b", "c"]
+
+
+def test_regex_extract_struct(spark):
+    df = spark.createDataFrame(
+        [("2024-01-15 ERROR conn timeout",)], "line string"
+    )
+    out = df.transform(
+        C.regex_extract_struct(
+            "line",
+            {
+                "date": (r"^(\S+)", 1),
+                "level": (r"^\S+ (\w+)", 1),
+                "msg": (r"^\S+ \w+ (.*)$", 1),
+            },
+        )
+    ).first()
+    assert out["date"] == "2024-01-15"
+    assert out["level"] == "ERROR"
+    assert out["msg"] == "conn timeout"
+
+
+def test_dedup_argmax_tie_keeps_greatest_tiebreaker(spark):
+    df = spark.createDataFrame(
+        [("k1", 5, "a"), ("k1", 5, "b"), ("k1", 3, "z"), ("k2", 1, "q")],
+        "key string, scn int, payload string",
+    )
+    out = dedup.dedup_argmax(df, ["key"], ["scn"], tie_breakers=["payload"])
+    rows = {r["key"]: (r["scn"], r["payload"]) for r in out.collect()}
+    assert rows == {"k1": (5, "b"), "k2": (1, "q")}
+    # window formulation agrees
+    out_w = dedup.dedup_argmax_window(df, ["key"], ["scn"], tie_breakers=["payload"])
+    rows_w = {r["key"]: (r["scn"], r["payload"]) for r in out_w.collect()}
+    assert rows_w == rows
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("lazy", "sleepy")
+    far = "completely different words about spark engines and parquet files"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = dedup_fuzzy.minhash_candidate_pairs(
+        df, "doc_id", "text", num_hashes=64, bands=16, shingle_n=2
+    ).collect()
+    got = {(r["id_l"], r["id_r"]) for r in pairs}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_jaccard_exact_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")],
+        "doc_id long, text string",
+    )
+    out = dedup_fuzzy.jaccard_pairs(df, "doc_id", "text", threshold=0.5, shingle_n=1)
+    rows = {(r["id_l"], r["id_r"]): r["jaccard"] for r in out.collect()}
+    assert rows == {(1, 2): 0.6}  # |{a,b,c}| / |{a,b,c,d,e}|
+
+
+def test_simhash_identical_and_near(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "totally unrelated content knob dial switch lever"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = dedup_fuzzy.simhash_near_dups(df, "doc_id", "text", max_hamming=0, prefix_bits=4)
+    got = {(r["id_l"], r["id_r"]): r["hamming"] for r in pairs.collect()}
+    assert got.get((1, 2)) == 0
+    assert (1, 3) not in got
+
+
+def test_cosine_topk_exact(spark):
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 1.0]),
+        (3, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = similarity.cosine_topk(df, df.filter(F.col("vec_id") == 0), k=2)
+    rows = [(r["neighbor_id"], r["sim"]) for r in out.collect()]
+    assert rows[0][0] == 1  # most similar
+    assert rows[1][0] == 2
+    assert abs(rows[0][1] - 0.993884) < 1e-5
+
+
+def test_lsh_topk_recall_on_clustered_vectors(spark):
+    import random
+
+    rng = random.Random(7)
+    base = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(4)]
+    vecs = []
+    vid = 0
+    for b in base:
+        for _ in range(10):
+            vecs.append((vid, [x + rng.gauss(0, 0.05) for x in b]))
+            vid += 1
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id").isin(0, 10, 20, 30))
+    exact = similarity.cosine_topk(df, queries, k=3)
+    approx = similarity.lsh_topk(df, queries, dim=16, k=3, num_bits=12, bands=6)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5  # tight clusters + 6 bands: recall far above chance
+
+
+def test_ivf_assign(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 10.0]), (2, [0.5, -0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.ivf_assign(df, centroids=[[0.0, 0.0], [10.0, 10.0]])
+    rows = {r["vec_id"]: r["cluster_id"] for r in out.collect()}
+    assert rows == {0: 0, 1: 1, 2: 0}
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [("The quick brown fox and the dog",)], "text string"
+    )
+    row = df.select(
+        text.token_count("text").alias("n"),
+        text.stopword_count("text").alias("sw"),
+        text.fingerprint("text").alias("fp"),
+        text.ngrams("text", 2).alias("bi"),
+    ).first()
+    assert row["n"] == 7
+    assert row["sw"] == 3  # The, and, the
+    assert len(row["fp"]) == 32
+    assert row["bi"][0] == "The quick" and len(row["bi"]) == 6
+
+
+def test_multimodal_plumbing_fake_decode(spark, tmp_path):
+    d = tmp_path / "imgs"
+    d.mkdir()
+    (d / "a.bin").write_bytes(b"payload-a")
+    (d / "b.bin").write_bytes(b"payload-bb")
+    df = multimodal.read_binary_dir(spark, str(d))
+    assert df.count() == 2
+    meta = multimodal.extract_image_meta(df, fake=True)
+    rows = meta.collect()
+    assert {r["mime"] for r in rows} == {"image/unknown"}
+    assert all(r["width"] >= 64 and r["height"] >= 64 for r in rows)
+    feats = multimodal.image_features(meta, dim=8, fake=True)
+    frows = feats.collect()
+    assert all(len(r["feature"]) == 8 for r in frows)
+
+
+def test_frame_sampling_plan(spark):
+    df = spark.createDataFrame([("v1", 25)], "clip string, frame_count int")
+    out = multimodal.sample_frames(df, every_n=10)
+    assert [r["frame_index"] for r in out.collect()] == [0, 10, 20]
