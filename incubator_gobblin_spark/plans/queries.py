@@ -325,7 +325,7 @@ def q09_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
     return (
-        orders.withColumn("rk", F.row_number().over(w))
+        orders.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
     )
@@ -547,14 +547,18 @@ def q19_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey FROM customer
     EXCEPT
-    SELECT o_custkey AS c_custkey FROM orders
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 100000
     """,
 )
 def q20_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers with no orders — anti-join via set difference."""
+    """Customers with no six-figure orders — set difference. (The filter
+    keeps the result non-empty at every sf: every customer has *some*
+    order in the synthetic data.)"""
     customer = load_table(spark, sf_dir, "customer").select("c_custkey")
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 100000)
+        .select(F.col("o_custkey").alias("c_custkey"))
     )
     return customer.exceptAll(orders).distinct()
 
@@ -728,11 +732,13 @@ def q27_quality_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q28_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token/stopword statistics — pure-Column text ops."""
     docs = load_table(spark, sf_dir, "documents")
+    # casts to long: Spark size()/length() emit int32 while the oracle's
+    # len()/length() emit int64 — align output schemas exactly
     return docs.select(
         "doc_id",
-        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
-        F.length("text").alias("text_len"),
-        text.stopword_count(F.col("text"), "en").alias("stop_hits"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("text_len"),
+        text.stopword_count(F.col("text"), "en").cast("long").alias("stop_hits"),
     )
 
 
@@ -891,6 +897,407 @@ def q35_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("purchase_value")
     )
     return events.groupBy("user_id").agg(*aggs, purchase_value)
+
+
+# ---------------------------------------------------------------------------
+# Window function matrix (lag/lead/rank/dense_rank + frames)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q36_window_functions",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           lag(o_totalprice)  OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           CAST(rank()       OVER w AS BIGINT) AS rk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+)
+def q36_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.rank().over(w).cast("long").alias("rk"),
+        F.dense_rank().over(w).cast("long").alias("drk"),
+    )
+
+
+@register(
+    "q37_moving_sum",
+    """
+    SELECT user_id, event_id,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS mv_sum
+    FROM events
+    """,
+)
+def q37_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded window frame (moving aggregate)."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("mv_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface (string/date built-ins — the cast-converter family)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q38_scalar_functions",
+    """
+    SELECT o_orderkey,
+           upper(o_orderstatus) AS status_u,
+           substring(o_orderpriority, 1, 3) AS prio3,
+           concat_ws('#', o_orderstatus, o_orderpriority) AS tag,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mo,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since
+    FROM orders WHERE o_orderkey % 10 = 0
+    """,
+)
+def q38_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    return orders.select(
+        "o_orderkey",
+        F.upper("o_orderstatus").alias("status_u"),
+        F.substring("o_orderpriority", 1, 3).alias("prio3"),
+        F.concat_ws("#", "o_orderstatus", "o_orderpriority").alias("tag"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("long")
+        .alias("days_since"),
+    )
+
+
+@register(
+    "q39_count_distinct",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q39_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand + two-phase agg in Spark)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q40_having",
+    """
+    SELECT o_custkey, count(*) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+    """,
+)
+def q40_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@register(
+    "q41_case_bucketing",
+    """
+    SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+                WHEN o_totalprice < 300000 THEN 'mid'
+                ELSE 'high' END AS band,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def q41_case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/WHEN bucketing (the enum/row-policy classification shape)."""
+    orders = load_table(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 100000, "low")
+        .when(F.col("o_totalprice") < 300000, "mid")
+        .otherwise("high")
+    )
+    return (
+        orders.withColumn("band", band)
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"), _dsum("o_totalprice").alias("total"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join matrix completion: full outer, cross, shuffle (sort-merge) join
+# ---------------------------------------------------------------------------
+
+@register(
+    "q42_full_outer_join",
+    """
+    WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust
+               FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS nk, count(*) AS n_supp
+               FROM supplier GROUP BY 1)
+    SELECT coalesce(c.nk, s.nk) AS nationkey,
+           coalesce(n_cust, 0) AS n_cust,
+           coalesce(n_supp, 0) AS n_supp
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def q42_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    c = customer.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    s = supplier.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    j = c.alias("c").join(s.alias("s"), F.col("c.nk") == F.col("s.nk"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("c.nk"), F.col("s.nk")).alias("nationkey"),
+        F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+        F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+    )
+
+
+@register(
+    "q43_cross_join",
+    """
+    SELECT r_name, s.o_orderstatus
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+)
+def q43_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").select("r_name")
+    status = load_table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return region.crossJoin(status)
+
+
+@register(
+    "q44_shuffle_join",
+    """
+    SELECT p_brand,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           count(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def q44_shuffle_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact equi-join with no broadcast hint: Catalyst/AQE pick
+    the physical join (broadcast at small sf, sort-merge at scale) — the
+    declared general-join capability."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(_dsum("l_extendedprice").alias("revenue"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Serde: from_json struct parse; union-all accounting; compaction audit
+# ---------------------------------------------------------------------------
+
+@register(
+    "q45_from_json_struct",
+    """
+    SELECT user_id,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+    FROM events GROUP BY user_id
+    """,
+)
+def q45_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-schema JSON parse (parse_json converter with the schema
+    lattice) rather than per-path extraction."""
+    from incubator_gobblin_spark import schema as S
+
+    events = load_table(spark, sf_dir, "events")
+    struct_type = S.to_struct_type(
+        [{"columnName": "k", "dataType": {"type": "int"}}]
+    )
+    parsed = events.transform(C.parse_json("props", struct_type, out="p"))
+    return parsed.groupBy("user_id").agg(F.sum(F.col("p.k")).alias("sum_k"))
+
+
+@register(
+    "q46_union_all",
+    """
+    SELECT src, count(*) AS n FROM (
+        SELECT 'f' AS src FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT 'big' AS src FROM orders WHERE o_totalprice > 400000
+    ) GROUP BY src
+    """,
+)
+def q46_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics union (MultiWorkUnit-style multi-source read)."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "F").select(F.lit("f").alias("src"))
+    b = orders.filter(F.col("o_totalprice") > 400000).select(
+        F.lit("big").alias("src")
+    )
+    return a.unionAll(b).groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q47_compaction_audit",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           count(*) AS n_records,
+           count(DISTINCT event_id) AS n_keys
+    FROM events GROUP BY 1
+    """,
+)
+def q47_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction audit counts per window (CompactionAuditCountVerifier /
+    InputRecordCountHelper): records vs distinct keys — the
+    duplication-rate report."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.countDistinct("event_id").alias("n_keys"),
+    )
+
+
+@register(
+    "q48_oldest_k",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               row_number() OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+               ) AS rn
+        FROM orders
+    ) WHERE rn <= 2
+    """,
+)
+def q48_oldest_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NewestKSelectionPolicy in OLDEST mode (:126 — selects the oldest K
+    versions when configured)."""
+    orders = load_table(spark, sf_dir, "orders")
+    oldest = retention.newest_k(
+        orders,
+        group_by=["o_custkey"],
+        version_col="o_orderdate",
+        k=2,
+        keep=True,
+        newest_first=False,
+        tie_breakers=["o_orderkey"],
+    )
+    return oldest.select("o_custkey", "o_orderkey", "o_orderdate")
+
+
+@register(
+    "q49_text_quality",
+    """
+    SELECT doc_id,
+           round(
+             (CASE WHEN sw_ratio > 0.05 THEN 0.4 ELSE sw_ratio * 8 END)
+             + (CASE WHEN mtl >= 3 AND mtl <= 10 THEN 0.4 ELSE 0.1 END)
+             + 0.2 * (1.0 - least(pr * 4, 1.0)), 4) AS quality
+    FROM (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '),
+                   x -> lower(x) IN ('the','and','of','to','a','in','is','that','for','it')))
+                 / greatest(len(string_split(text, ' ')), 1) AS sw_ratio,
+               CAST(list_aggregate(list_transform(string_split(text, ' '),
+                   x -> length(x)), 'sum') AS DOUBLE)
+                 / greatest(len(string_split(text, ' ')), 1) AS mtl,
+               CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1) AS pr
+        FROM documents
+    )
+    """,
+)
+def q49_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality score (the cheap pre-filter before
+    model-based scoring)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.quality_score("text").alias("quality"))
+
+
+@register(
+    "q50_knn_l2",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id >= 490)
+    SELECT query_id, neighbor_id, dist FROM (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+               round(sqrt(list_aggregate(list_transform(
+                   list_zip(q.qv, v.embedding::DOUBLE[]),
+                   p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum')), 6) AS dist,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(sqrt(list_aggregate(list_transform(
+                       list_zip(q.qv, v.embedding::DOUBLE[]),
+                       p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum')), 6) ASC,
+                   v.vec_id ASC
+               ) AS rn
+        FROM embeddings v CROSS JOIN q
+        WHERE v.vec_id <> q.query_id
+    ) WHERE rn <= 3
+    """,
+)
+def q50_knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN under L2 (metric variety for the similarity-search
+    family; same broadcast + window top-k plan as cosine)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") >= 490).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+    )
+    v = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_vv"))
+    sq = F.zip_with(
+        F.col("_qv"),
+        F.col("_vv"),
+        lambda a, b: (a.cast("double") - b.cast("double"))
+        * (a.cast("double") - b.cast("double")),
+    )
+    dist = F.round(F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)), 6)
+    scored = (
+        v.join(F.broadcast(q), on=F.lit(True))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dist", dist)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+        .select("query_id", "neighbor_id", "dist")
+    )
 
 
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
