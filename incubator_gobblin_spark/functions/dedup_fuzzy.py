@@ -131,21 +131,45 @@ def minhash_candidate_pairs(
             )
         ).alias("band"),
     ).select("_id", "band.band_id", "band.band_hash")
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (
-        left.join(
-            right,
-            on=[
-                F.col("l.band_id") == F.col("r.band_id"),
-                F.col("l.band_hash") == F.col("r.band_hash"),
-                F.col("l._id") < F.col("r._id"),
-            ],
+    # Candidate pairs via groupBy-bucket + in-bucket expansion rather
+    # than a self-join: a self-join would recompute the whole
+    # shingle->minhash pipeline on BOTH sides (Spark shares no subplans
+    # without an explicit persist) and shuffle twice. One groupBy = one
+    # shuffle, one signature computation. Buckets are collision sets —
+    # tiny by construction (a giant bucket means the band hash is
+    # degenerate, not that the data is big).
+    return _bucket_pairs(banded, ["band_id", "band_hash"], "_id")
+
+
+def _bucket_pairs(df: DataFrame, bucket_cols: list[str], id_col: str) -> DataFrame:
+    """(id_l, id_r) distinct pairs of ids sharing a bucket key.
+
+    groupBy(bucket) -> sorted id list -> all ordered pairs in-bucket via
+    nested ``transform``/``flatten`` (pure Column expressions, JVM-side).
+    """
+    ids = (
+        df.groupBy(*bucket_cols)
+        .agg(F.sort_array(F.collect_set(id_col)).alias("_ids"))
+        .filter(F.size("_ids") > 1)
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("_ids"),
+                lambda x, i: F.transform(
+                    F.slice(
+                        F.col("_ids"), i + 2, F.size(F.col("_ids")) - i - 1
+                    ),
+                    lambda y: F.struct(x.alias("id_l"), y.alias("id_r")),
+                ),
+            )
         )
-        .select(F.col("l._id").alias("id_l"), F.col("r._id").alias("id_r"))
+    )
+    return (
+        ids.select(pair.alias("_p"))
+        .select("_p.id_l", "_p.id_r")
         .distinct()
     )
-    return pairs
 
 
 def jaccard_pairs(
@@ -247,16 +271,34 @@ def simhash_near_dups(
         .select("_id", simhash_from_hashes(F.col("_th")).alias("_sh"))
     )
     bucketed = h.withColumn("_bucket", F.shiftright(F.col("_sh"), 64 - prefix_bits))
-    l = bucketed.select(
-        F.col("_id").alias("id_l"), F.col("_sh").alias("_sh_l"), "_bucket"
+    # Same one-shuffle bucket expansion as minhash candidates (see
+    # _bucket_pairs): a self-join would run the 64-bit vote fold twice.
+    members = (
+        bucketed.groupBy("_bucket")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_id"), F.col("_sh")))
+            ).alias("_ms")
+        )
+        .filter(F.size("_ms") > 1)
     )
-    r = bucketed.select(
-        F.col("_id").alias("id_r"), F.col("_sh").alias("_sh_r"), "_bucket"
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("_ms"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("_ms"), i + 2, F.size(F.col("_ms")) - i - 1),
+                    lambda y: F.struct(
+                        x["_id"].alias("id_l"),
+                        y["_id"].alias("id_r"),
+                        hamming_distance(x["_sh"], y["_sh"]).alias("hamming"),
+                    ),
+                ),
+            )
+        )
     )
     return (
-        l.join(r, "_bucket")
-        .filter(F.col("id_l") < F.col("id_r"))
-        .withColumn("hamming", hamming_distance(F.col("_sh_l"), F.col("_sh_r")))
+        members.select(pair.alias("_p"))
+        .select("_p.id_l", "_p.id_r", "_p.hamming")
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_l", "id_r", "hamming")
     )
