@@ -99,17 +99,32 @@ def minhash_candidate_pairs(
     a pair can collide in multiple bands.
     """
     rows_per_band = num_hashes // bands
-    # Stage each intermediate as a physical column: shingles -> base
-    # hashes -> signature. Each projection materializes once per row;
-    # composing them as one expression would recompute the shingle set
-    # per hash function.
-    staged = (
-        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
-        .select("_id", shingles(F.col("_text"), shingle_n).alias("_shingles"))
-        .select("_id", base_hashes(F.col("_shingles")).alias("_base"))
-        .select("_id", minhash_signature(F.col("_base"), num_hashes, seed).alias("_sig"))
+    coeffs = _hash_coeffs(num_hashes, seed)
+    # Signature via explode + groupBy rather than array higher-order
+    # functions: lambda expressions never enter whole-stage codegen (the
+    # interpreted evaluator is ~10x slower per element), while
+    # ``min(...)`` aggregates over exploded shingle rows are fully
+    # codegen'd, vectorized JVM work. The explode multiplies rows by the
+    # shingle count, but each row is 16 bytes and the partial (map-side)
+    # aggregation collapses them back to one row per doc before the
+    # shuffle — the exchange carries |docs| rows regardless of text size.
+    exploded = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode_outer(shingles(F.col(text_col), shingle_n)).alias("_s"),
+    ).select("_id", F.pmod(F.xxhash64("_s"), F.lit(_MERSENNE_P)).alias("_h"))
+    # explode_outer keeps shingle-less docs as a null row; null hashes are
+    # ignored by min(), and coalesce restores the sentinel-p signature so
+    # empty docs still band together (matching minhash_signature).
+    sig = exploded.groupBy("_id").agg(
+        *[
+            F.coalesce(
+                F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))),
+                F.lit(_MERSENNE_P),
+            ).alias(f"_m{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
     )
-    banded = staged.select(
+    banded = sig.select(
         "_id",
         F.explode(
             F.array(
@@ -120,7 +135,7 @@ def minhash_candidate_pairs(
                             F.concat_ws(
                                 ",",
                                 *[
-                                    F.element_at(F.col("_sig"), b * rows_per_band + i + 1)
+                                    F.col(f"_m{b * rows_per_band + i}")
                                     for i in range(rows_per_band)
                                 ],
                             )
@@ -261,15 +276,46 @@ def simhash_near_dups(
 ) -> DataFrame:
     """Near-dup pairs by simhash: bucket on ``prefix_bits``-bit prefix
     (cheap LSH: near-identical docs share the prefix with high
-    probability), then exact hamming filter within buckets."""
-    h = (
-        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
-        .select(
-            "_id",
-            F.transform(tokens(F.col("_text")), lambda t: F.xxhash64(t)).alias("_th"),
-        )
-        .select("_id", simhash_from_hashes(F.col("_th")).alias("_sh"))
+    probability), then exact hamming filter within buckets.
+
+    The per-bit votes are computed as 64 codegen'd ``sum`` aggregates
+    over exploded token rows (see minhash_candidate_pairs for why this
+    beats the higher-order-function fold: lambdas run interpreted);
+    map-side partial aggregation keeps the shuffle at one row per doc.
+    """
+    exploded = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode_outer(tokens(F.col(text_col))).alias("_t"),
+    ).select(
+        # xxhash64 maps null to the seed, not null — keep null-text docs
+        # vote-less (sum of no rows -> null -> coalesce 0 -> simhash 0,
+        # matching the fold form)
+        "_id",
+        F.when(F.col("_t").isNotNull(), F.xxhash64("_t")).alias("_h"),
     )
+    votes = exploded.groupBy("_id").agg(
+        *[
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("_h").isNull(), None)
+                    .when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                    .otherwise(-1)
+                ),
+                F.lit(0),
+            ).alias(f"_v{i}")
+            for i in range(64)
+        ]
+    )
+    sh = F.lit(0).cast("long")
+    for i in range(64):
+        # bit 63 is the sign bit of a signed long
+        bit_val = (1 << i) if i < 63 else -(1 << 63)
+        sh = sh.bitwiseOR(
+            F.when(F.col(f"_v{i}") > 0, F.lit(bit_val).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    h = votes.select("_id", sh.alias("_sh"))
     bucketed = h.withColumn("_bucket", F.shiftright(F.col("_sh"), 64 - prefix_bits))
     # Same one-shuffle bucket expansion as minhash candidates (see
     # _bucket_pairs): a self-join would run the 64-bit vote fold twice.

@@ -22,23 +22,54 @@ from pyspark.sql import functions as F
 
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
+# Fan-out is pointless for dimension-sized tables: the repartition
+# shuffle stage would cost more than single-task processing saves.
+_FAN_OUT_MIN_ROWS = 1000
 
-def _nanos_timestamp_columns(path: str) -> list[str]:
-    """Columns stored as parquet TIMESTAMP(NANOS) (pandas/arrow default),
-    which Spark refuses to read as timestamps. Footer-only inspection —
-    no data read, driver-side, O(1)."""
+
+def _parquet_footer(path: str):
+    """(nanos-timestamp columns, total rows, total row groups) from
+    parquet footers only — no data read, driver-side, O(files)."""
     try:
         import pyarrow.dataset as ds
         import pyarrow as pa
 
-        schema = ds.dataset(path, format="parquet").schema
-        return [
+        dataset = ds.dataset(path, format="parquet")
+        ns_cols = [
             f.name
-            for f in schema
+            for f in dataset.schema
             if isinstance(f.type, pa.TimestampType) and f.type.unit == "ns"
         ]
+        rows = 0
+        row_groups = 0
+        for frag in dataset.get_fragments():
+            md = frag.metadata
+            rows += md.num_rows
+            row_groups += md.num_row_groups
+        return ns_cols, rows, row_groups
     except Exception:  # pragma: no cover - pyarrow always present in-container
-        return []
+        return [], None, None
+
+
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Redistribute a under-parallel scan across the configured
+    parallelism (one round-robin shuffle).
+
+    Parquet scans can't split below row-group granularity, so a
+    single-row-group file pins every downstream map-side computation
+    (hashing, minhash signatures, text stats) to ONE task no matter how
+    many cores exist. At warehouse scale (100 TB = thousands of
+    row groups) the caller's guard makes this a no-op — the scan already
+    feeds every core; the shuffle only ever pays for itself on
+    scan-starved inputs. Filters/pruning still push through: Catalyst
+    moves predicates below Repartition, so the shuffle carries
+    filtered, pruned rows only.
+    """
+    if min_partitions is None:
+        min_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    return df.repartition(min_partitions)
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
@@ -46,20 +77,34 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     are read as long (legacy conf) and converted to microsecond
     timestamps in the plan (floor division — exact when the writer's
     sub-microsecond digits are zero, which holds for ms/us-sourced
-    data round-tripped through arrow ns)."""
-    ns_cols = _nanos_timestamp_columns(path)
+    data round-tripped through arrow ns).
+
+    Scans whose row-group count can't feed the configured parallelism
+    are fanned out (see :func:`fan_out`); dimension-sized tables are
+    left alone so broadcast-join sides stay shuffle-free.
+    """
+    ns_cols, rows, row_groups = _parquet_footer(path)
     if not ns_cols:
-        return spark.read.parquet(path)
-    prev = spark.conf.get(_NANOS_CONF, "false")
-    spark.conf.set(_NANOS_CONF, "true")
-    try:
         df = spark.read.parquet(path)
-    finally:
-        spark.conf.set(_NANOS_CONF, prev)
-    for c in ns_cols:
-        # integer `div` (not `/`): float division of an int64 nanosecond
-        # value loses low bits above 2^53.
-        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    else:
+        prev = spark.conf.get(_NANOS_CONF, "false")
+        spark.conf.set(_NANOS_CONF, "true")
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            spark.conf.set(_NANOS_CONF, prev)
+        for c in ns_cols:
+            # integer `div` (not `/`): float division of an int64
+            # nanosecond value loses low bits above 2^53.
+            df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    target = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    if (
+        rows is not None
+        and rows >= _FAN_OUT_MIN_ROWS
+        and row_groups is not None
+        and row_groups < target
+    ):
+        df = fan_out(df, target)
     return df
 
 
