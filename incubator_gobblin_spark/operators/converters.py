@@ -303,6 +303,50 @@ def regex_extract_struct(field: str, extracts: dict[str, tuple[str, int]]) -> Tr
     return _t
 
 
+def encrypt_field(
+    field: str, key: str, out: str | None = None, mode: str = "GCM"
+) -> Transform:
+    """Field-level AES encryption -> base64 string. Mirrors
+    StringFieldEncryptorConverter (gobblin-modules/gobblin-crypto-provider
+    .../StringFieldEncryptorConverter.java:41): the record flows on with
+    one column ciphered, everything else untouched.
+
+    JVM-side ``aes_encrypt`` — no Python in the row path. GCM (default)
+    is randomized per row; use mode="ECB" only where deterministic
+    ciphertext is required (joinable pseudonyms), accepting the pattern
+    leakage that implies. Key must be 16/24/32 bytes.
+    """
+
+    def _t(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            out or field,
+            F.base64(
+                F.aes_encrypt(
+                    F.col(field).cast("string"), F.lit(key), F.lit(mode)
+                )
+            ),
+        )
+
+    return _t
+
+
+def decrypt_field(
+    field: str, key: str, out: str | None = None, mode: str = "GCM"
+) -> Transform:
+    """Inverse of :func:`encrypt_field` (the decryptor converter in
+    gobblin-modules/gobblin-crypto)."""
+
+    def _t(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            out or field,
+            F.aes_decrypt(F.unbase64(F.col(field)), F.lit(key), F.lit(mode)).cast(
+                "string"
+            ),
+        )
+
+    return _t
+
+
 def identity() -> Transform:
     """Pass-through. Mirrors IdentityConverter (gobblin-core-base
     .../converter/IdentityConverter.java)."""

@@ -1,0 +1,210 @@
+"""Query-based JDBC source: watermark-predicated extract SQL + partitioned reads.
+
+Reference surface:
+- QueryBasedSource partitions a source table into WorkUnits by watermark
+  ranges (gobblin-core .../source/extractor/extract/QueryBasedSource.java:73,
+  getWorkunits:170).
+- QueryBasedExtractor builds the per-partition extract query with low/high
+  watermark predicates (extract/QueryBasedExtractor.java:63, build():285-321).
+- JdbcExtractor generates ``SELECT <proj> FROM schema.entity`` + predicates
+  + a sampling clause, with per-vendor dialects
+  (gobblin-modules/gobblin-sql/.../source/jdbc/JdbcExtractor.java:161
+  getExtractSql, :383 query build, :402 addPredicate;
+  SqlQueryUtils.addPredicate:43; MysqlExtractor.java:120-172 LIMIT sampling;
+  OracleExtractor.java, SqlServerExtractor.java, TeradataExtractor.java,
+  PostgresqlExtractor.java).
+- Predicate / WatermarkPredicate: ``{columnName, value, condition, format}``
+  conditions injected into the source SQL
+  (gobblin-core .../extractor/watermark/Predicate.java:27).
+
+Spark-first: the engine generates the SQL strings and partition ranges,
+then delegates scan execution to ``spark.read.jdbc`` — Spark's JDBC
+relation already does WHERE/projection pushdown and parallel range
+scans; one generated predicate string per partition maps onto the
+``predicates=[...]`` API exactly as one Gobblin WorkUnit maps onto one
+extract query. The SQL is deliberately ANSI (validated against DuckDB in
+tests) with dialect hooks only where vendors genuinely diverge
+(sampling clause), mirroring where the reference put its dialect
+subclasses.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import date, datetime
+from enum import Enum
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from incubator_gobblin_spark.operators.watermark import (
+    WatermarkInterval,
+    WatermarkType,
+)
+
+
+class Dialect(Enum):
+    """Vendor dialects with a distinct sampling clause (the only
+    per-vendor divergence the reference encodes in its *Extractor
+    subclasses; everything else is ANSI)."""
+
+    ANSI = "ansi"
+    MYSQL = "mysql"          # SELECT ... LIMIT n   (MysqlExtractor.java:148-172)
+    POSTGRESQL = "postgresql"  # SELECT ... LIMIT n
+    ORACLE = "oracle"        # WHERE ROWNUM <= n    (OracleExtractor)
+    SQLSERVER = "sqlserver"  # SELECT TOP n ...     (SqlServerExtractor)
+    TERADATA = "teradata"    # SELECT TOP n ...     (TeradataExtractor)
+
+
+def _sql_literal(value: object, wm_type: WatermarkType) -> str:
+    """Render a watermark value as a SQL literal. Date-ish types render
+    as ANSI date/timestamp literals rather than the reference's
+    yyyyMMddHHmmss longs — same ordering semantics, standard SQL."""
+    if value is None:
+        raise ValueError("watermark value must not be None")
+    if wm_type is WatermarkType.SIMPLE:
+        return str(int(value))
+    if isinstance(value, datetime):
+        return f"TIMESTAMP '{value.strftime('%Y-%m-%d %H:%M:%S')}'"
+    if isinstance(value, date):
+        return f"DATE '{value.isoformat()}'"
+    return f"TIMESTAMP '{value}'"
+
+
+@dataclass(frozen=True)
+class Predicate:
+    """One SQL condition (Predicate.java:27 ``{column, condition, value}``)."""
+
+    column: str
+    condition: str  # ">", ">=", "<", "<=", "="
+    literal: str
+
+    def sql(self) -> str:
+        return f"{self.column} {self.condition} {self.literal}"
+
+
+def watermark_predicates(
+    interval: WatermarkInterval,
+    wm_type: WatermarkType = WatermarkType.SIMPLE,
+) -> list[Predicate]:
+    """Low-exclusive / high-inclusive predicates for a watermark interval
+    (QueryBasedExtractor.setRangePredicates via build():285-321)."""
+    preds = []
+    if interval.low is not None:
+        preds.append(
+            Predicate(interval.column, ">", _sql_literal(interval.low, wm_type))
+        )
+    if interval.high is not None:
+        preds.append(
+            Predicate(interval.column, "<=", _sql_literal(interval.high, wm_type))
+        )
+    return preds
+
+
+def add_predicate(sql: str, predicate: str) -> str:
+    """Append one condition to a query that may or may not already have a
+    WHERE clause (SqlQueryUtils.addPredicate:43 — same contract: the
+    query must not contain grouping/ordering clauses yet)."""
+    lowered = sql.lower()
+    for kw in (" group by ", " order by ", " having ", " limit "):
+        if kw in lowered:
+            raise ValueError(f"cannot add predicate to a query containing '{kw.strip()}'")
+    joiner = " AND " if " where " in lowered else " WHERE "
+    return f"{sql}{joiner}({predicate})"
+
+
+def extract_sql(
+    table: str,
+    columns: Sequence[str] | None = None,
+    predicates: Sequence[Predicate] = (),
+    sample_limit: int | None = None,
+    dialect: Dialect = Dialect.ANSI,
+) -> str:
+    """Build the extract query (JdbcExtractor.getExtractSql:161): explicit
+    projection (column pruning at the source), watermark/user predicates,
+    optional vendor-specific sampling clause."""
+    proj = ", ".join(columns) if columns else "*"
+    if sample_limit is not None and dialect in (Dialect.SQLSERVER, Dialect.TERADATA):
+        sql = f"SELECT TOP {sample_limit} {proj} FROM {table}"
+    else:
+        sql = f"SELECT {proj} FROM {table}"
+    for p in predicates:
+        sql = add_predicate(sql, p.sql())
+    if sample_limit is not None:
+        if dialect is Dialect.ORACLE:
+            sql = add_predicate(sql, f"ROWNUM <= {sample_limit}")
+        elif dialect in (Dialect.MYSQL, Dialect.POSTGRESQL, Dialect.ANSI):
+            sql = f"{sql} LIMIT {sample_limit}"
+    return sql
+
+
+def partition_predicates(
+    interval: WatermarkInterval,
+    num_partitions: int,
+    wm_type: WatermarkType = WatermarkType.SIMPLE,
+) -> list[str]:
+    """One WHERE-fragment per partition covering (low, high] with no gap
+    or overlap (Partitioner.getPartitionList:167 → the exact input shape
+    of ``spark.read.jdbc(predicates=...)``, where each string becomes one
+    Spark input partition = one Gobblin WorkUnit).
+
+    SIMPLE watermarks split the integer range; date-ish ones split the
+    time range (WatermarkType granularity only affects literal
+    rendering — interval arithmetic is exact either way).
+    """
+    low, high = interval.low, interval.high
+    if low is None or high is None:
+        raise ValueError("partitioned extract requires a bounded interval")
+    if num_partitions < 1:
+        raise ValueError("num_partitions must be >= 1")
+    if wm_type is WatermarkType.SIMPLE:
+        lo, hi = int(low), int(high)
+        span = hi - lo
+        bounds = [lo + span * i // num_partitions for i in range(num_partitions)]
+        bounds.append(hi)
+    else:
+        span = high - low
+        bounds = [low + span * i / num_partitions for i in range(num_partitions)]
+        bounds.append(high)
+    out = []
+    for i in range(num_partitions):
+        b_lo, b_hi = bounds[i], bounds[i + 1]
+        if b_lo == b_hi:
+            continue  # empty split from integer rounding on tiny ranges
+        lo_lit = _sql_literal(b_lo, wm_type)
+        hi_lit = _sql_literal(b_hi, wm_type)
+        out.append(f"{interval.column} > {lo_lit} AND {interval.column} <= {hi_lit}")
+    return out
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    interval: WatermarkInterval | None = None,
+    wm_type: WatermarkType = WatermarkType.SIMPLE,
+    columns: Sequence[str] | None = None,
+    num_partitions: int = 1,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """Incremental, partitioned JDBC read (QueryBasedSource semantics).
+
+    Plan shape at scale: each partition predicate becomes one concurrent
+    source query — the database does the index range scan, Spark never
+    funnels the table through one connection. Catalyst additionally
+    pushes later ``filter``/``select`` into each partition's query.
+    """
+    preds = watermark_predicates(interval, wm_type) if interval else []
+    dbtable = f"({extract_sql(table, columns, preds)}) AS src"
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", dbtable)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if num_partitions > 1 and interval is not None:
+        parts = partition_predicates(interval, num_partitions, wm_type)
+        return spark.read.jdbc(
+            url=url,
+            table=dbtable,
+            predicates=parts,
+            properties=properties or {},
+        )
+    return reader.load()
