@@ -195,6 +195,99 @@ def lsh_topk(
     )
 
 
+def cosine_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs: (id_l, id_r, sim) with
+    id_l < id_r and sim >= threshold.
+
+    All-pairs scoring with one side broadcast: correct-by-construction
+    baseline, O(n²) compute — use only when one side fits in a broadcast
+    (re-rank stages, validation runs). The corpus-scale path is
+    :func:`cosine_near_dup_pairs` (LSH candidates first).
+    """
+    l = vectors.select(F.col(id_col).alias("id_l"), F.col(vec_col).alias("_lv"))
+    r = vectors.select(F.col(id_col).alias("id_r"), F.col(vec_col).alias("_rv"))
+    return (
+        l.join(F.broadcast(r), l.id_l < r.id_r)
+        .withColumn("sim", F.round(cosine(F.col("_lv"), F.col("_rv")), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("id_l", "id_r", "sim")
+    )
+
+
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    dim: int,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_bits: int = 16,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs at corpus scale: SRP-LSH bucket
+    candidates (vectors sharing any signature band), then exact cosine
+    filter. Same candidate discipline as MinHash dedup — the all-pairs
+    expansion only ever happens inside a bucket, via one groupBy shuffle;
+    recall < 1 by design (raise bands to recover)."""
+    planes = _hyperplanes(dim, num_bits, seed)
+    bits_per_band = num_bits // bands
+    sig = srp_signature(F.col(vec_col), planes)
+    banded = vectors.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), sig.alias("_sig")
+    ).select(
+        "_id",
+        "_v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "",
+                            *[
+                                F.element_at(F.col("_sig"), b * bits_per_band + i + 1)
+                                for i in range(bits_per_band)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    )
+    members = (
+        banded.groupBy("band.band_id", "band.band_key")
+        .agg(F.array_sort(F.collect_set(F.struct("_id", "_v"))).alias("_ms"))
+        .filter(F.size("_ms") > 1)
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("_ms"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("_ms"), i + 2, F.size(F.col("_ms")) - i - 1),
+                    lambda y: F.struct(
+                        x["_id"].alias("id_l"),
+                        y["_id"].alias("id_r"),
+                        F.round(cosine(x["_v"], y["_v"]), 6).alias("sim"),
+                    ),
+                ),
+            )
+        )
+    )
+    return (
+        members.select(pair.alias("_p"))
+        .select("_p.id_l", "_p.id_r", "_p.sim")
+        .filter(F.col("sim") >= threshold)
+        .distinct()
+    )
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: list[list[float]],

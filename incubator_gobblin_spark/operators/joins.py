@@ -51,6 +51,71 @@ def enrich_broadcast(
     return data.join(F.broadcast(dim), on=on, how=how)
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """As-of join: each left row picks the latest right row with
+    ``right_ts <= left_ts`` for the same key (backward direction).
+
+    Spark has no built-in as-of join; the naive formulation is an
+    inequality join (O(n×m) range explosion) or a per-key subquery. This
+    implementation is the union+window pattern: tag both sides, union
+    them, sort within each key by (ts, side) — right rows first on ties,
+    so an exactly-simultaneous right row IS visible — and carry the last
+    non-null right values forward with ``last(ignorenulls)`` over an
+    unbounded-preceding frame. ONE shuffle on the join key, linear work,
+    no candidate explosion: the pattern that survives 100 TB where a
+    range join would not.
+    """
+    lcols = left.columns
+    tagged_right = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).cast("timestamp").alias("_t"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            left.select(F.struct(*lcols).alias("_lrow")).schema["_lrow"].dataType
+        ).alias("_lrow"),
+        # one struct, not per-column carries: every value column must come
+        # from the SAME right row
+        F.struct(*[F.col(c) for c in value_cols]).alias("_vrow"),
+    )
+    tagged_left = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).cast("timestamp").alias("_t"),
+        F.lit(1).alias("_side"),
+        F.struct(*lcols).alias("_lrow"),
+        F.lit(None).cast(tagged_right.schema["_vrow"].dataType).alias("_vrow"),
+    )
+    from pyspark.sql.window import Window
+
+    # right rows sort before left rows at equal ts (>= semantics); among
+    # simultaneous right rows the value struct itself is the final
+    # tiebreak, keeping the carried row deterministic
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_vrow").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = tagged_left.unionByName(tagged_right).select(
+        "_side",
+        "_lrow",
+        F.last(F.col("_vrow"), ignorenulls=True).over(w).alias("_vrow"),
+    )
+    out = merged.filter(F.col("_side") == 1).select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in lcols],
+        *[F.col(f"_vrow.{c}").alias(c) for c in value_cols],
+    )
+    if how == "inner":
+        out = out.filter(F.col(value_cols[0]).isNotNull())
+    return out
+
+
 def join_skew_salted(
     left: DataFrame,
     right: DataFrame,

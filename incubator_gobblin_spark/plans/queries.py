@@ -1300,6 +1300,65 @@ def q50_knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q51_embedding_neardup_exact",
+    """
+    SELECT a.vec_id AS id_l, b.vec_id AS id_r,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 6) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]), 6) >= 0.35
+    """,
+)
+def q51_embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact all-pairs baseline
+    (broadcast one side; no shuffle of the big side)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs(emb, threshold=0.35)
+
+
+@register("q52_embedding_neardup_lsh", None)
+def q52_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup via SRP-LSH buckets + exact re-rank —
+    the corpus-scale path (recall < 1 by design; rows-only check)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs(
+        emb, dim=64, threshold=0.35, num_bits=16, bands=8
+    )
+
+
+@register(
+    "q53_asof_join",
+    """
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderdate AS last_order_date
+    FROM events e ASOF JOIN orders o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def q53_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (each event picks the user's latest order at or before
+    the event time) via the union+window pattern: one shuffle on the key,
+    no range-join candidate explosion. Spark has no built-in ASOF;
+    DuckDB's native ASOF JOIN is the oracle."""
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+    out = joins.asof_join(
+        events.select("event_id", "user_id", "ts"),
+        orders,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["o_orderdate"],
+        how="inner",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("o_orderdate").alias("last_order_date")
+    )
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the multi-way broadcast star join + aggregation."""
     return q03_revenue_by_nation(spark, sf_dir)

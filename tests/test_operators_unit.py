@@ -205,3 +205,61 @@ def test_frame_sampling_plan(spark):
     df = spark.createDataFrame([("v1", 25)], "clip string, frame_count int")
     out = multimodal.sample_frames(df, every_n=10)
     assert [r["frame_index"] for r in out.collect()] == [0, 10, 20]
+
+
+def test_asof_join_semantics(spark):
+    from incubator_gobblin_spark.operators.joins import asof_join
+
+    events = spark.createDataFrame(
+        [(1, 10, "2024-01-05"), (2, 10, "2024-01-01"), (3, 20, "2024-01-10"),
+         (4, 30, "2024-01-10")],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    orders = spark.createDataFrame(
+        [(10, "2024-01-03", 100.0), (10, "2024-01-05", 200.0),
+         (20, "2024-01-01", 50.0), (40, "2024-01-01", 9.0)],
+        "user_id long, odate string, amount double",
+    ).withColumn("odate", F.col("odate").cast("timestamp"))
+
+    out = asof_join(
+        events, orders, on="user_id", left_ts="ts", right_ts="odate",
+        value_cols=["odate", "amount"],
+    )
+    got = {r["event_id"]: (str(r["odate"])[:10], r["amount"]) for r in out.collect()}
+    # event 1: exactly-simultaneous order matches (>= semantics)
+    assert got[1] == ("2024-01-05", 200.0)
+    # event 2: before any order for user 10 -> dropped (inner)
+    assert 2 not in got
+    # event 3: latest order at/before
+    assert got[3] == ("2024-01-01", 50.0)
+    # event 4: user 30 has no orders -> dropped
+    assert 4 not in got
+
+    left = asof_join(
+        events, orders, on="user_id", left_ts="ts", right_ts="odate",
+        value_cols=["odate", "amount"], how="left",
+    )
+    got_left = {r["event_id"]: r["amount"] for r in left.collect()}
+    assert got_left[2] is None and got_left[4] is None and len(got_left) == 4
+
+
+def test_cosine_pairs_exact_and_lsh_subset(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.1, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),    # orthogonal
+        (4, [0.0, 0.99, 0.1, 0.0]),   # near-dup of 3
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r["id_l"], r["id_r"])
+        for r in similarity.cosine_pairs(df, threshold=0.9).collect()
+    }
+    assert exact == {(1, 2), (3, 4)}
+    lsh = {
+        (r["id_l"], r["id_r"])
+        for r in similarity.cosine_near_dup_pairs(
+            df, dim=4, threshold=0.9, num_bits=8, bands=8
+        ).collect()
+    }
+    assert lsh <= exact  # candidates never invent pairs; recall may drop

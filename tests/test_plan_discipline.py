@@ -1,0 +1,107 @@
+"""Physical-plan discipline: the properties that matter at 100 TB.
+
+These tests read ``explain`` output rather than results: a query can be
+correct and still carry a plan that dies at scale (full-scan instead of
+pushdown, shuffle instead of broadcast, Python in the row path). Each
+assertion pins one scale property of the engine's plans.
+"""
+
+from pyspark.sql import functions as F
+
+from incubator_gobblin_spark.operators import joins
+from incubator_gobblin_spark.plans import queries as Q
+from incubator_gobblin_spark.session import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    """Watermark predicates must land in PushedFilters of the scan, not
+    evaluate post-shuffle — at 100 TB the difference is reading row
+    groups vs skipping them on statistics."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    ).select("l_orderkey", "l_shipdate")
+    plan = _formatted(li)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """A 2-column projection must read a 2-column schema."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _formatted(li)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_star_join_broadcasts_every_dimension(spark, sf_dir):
+    """q03's star join: dimensions broadcast, only the fact-side orders
+    join shuffles."""
+    plan = _plan(Q.queries()["q03_revenue_by_nation"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+
+
+def test_purge_is_broadcast_anti_join(spark, sf_dir):
+    plan = _plan(Q.queries()["q05_purge_anti_join"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_no_python_in_any_query_row_path(spark, sf_dir):
+    """No registered query may fall back to row-at-a-time Python: every
+    operator stays JVM-side (BatchEvalPython / ArrowEvalPython nodes are
+    the slow path the engine forbids in its declared query set)."""
+    for name, fn in Q.queries().items():
+        plan = _plan(fn(spark, sf_dir))
+        assert "EvalPython" not in plan, f"{name} executes Python per-row"
+
+
+def test_aggregation_uses_whole_stage_codegen(spark, sf_dir):
+    df = Q.queries()["q01_pricing_summary"](spark, sf_dir)
+    # collect() (not count(): that builds a different plan) so THIS
+    # query execution finalizes under AQE and codegen spans materialize
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    # '*(n)' prefixes are whole-stage-codegen span markers
+    assert "*(1)" in plan
+    # partial (map-side) aggregation must precede the shuffle: the
+    # exchange carries group states, not raw rows
+    assert "partial_sum" in plan and "Exchange hashpartitioning" in plan
+
+
+def test_asof_join_has_no_range_explosion(spark, sf_dir):
+    """The as-of join must be the union+window plan: no nested-loop /
+    cartesian candidate generation anywhere."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+    out = joins.asof_join(
+        events, orders, on="user_id", left_ts="ts", right_ts="o_orderdate",
+        value_cols=["o_orderdate"],
+    )
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_fan_out_skips_dimension_tables(spark, sf_dir):
+    """Tiny dimensions must not pay a repartition shuffle (they are
+    broadcast sides; fanning them out would add a stage for nothing)."""
+    nation = load_table(spark, sf_dir, "nation")
+    assert "Exchange" not in _plan(nation)
+    li = load_table(spark, sf_dir, "lineitem")
+    assert "Exchange" in _plan(li)  # scan-starved fact table is fanned out
