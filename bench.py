@@ -35,6 +35,8 @@ HEADLINE = [
     "q28_text_stats",          # text analysis columns
     "q31_minhash_candidates",  # minhash LSH fuzzy dedup
     "q33_ann_cosine_topk",     # brute-force ANN
+    "q52_embedding_neardup_lsh",  # embedding near-dup, LSH scale path
+    "q53_asof_join",           # as-of join (union+window, one shuffle)
 ]
 
 

@@ -209,11 +209,23 @@ def cosine_pairs(
     (re-rank stages, validation runs). The corpus-scale path is
     :func:`cosine_near_dup_pairs` (LSH candidates first).
     """
-    l = vectors.select(F.col(id_col).alias("id_l"), F.col(vec_col).alias("_lv"))
-    r = vectors.select(F.col(id_col).alias("id_r"), F.col(vec_col).alias("_rv"))
+    # Norms are staged as physical scalar columns BEFORE the pair join —
+    # one norm per vector instead of one per pair (the naive
+    # cosine-per-pair form recomputes each norm n-1 times).
+    l = vectors.select(
+        F.col(id_col).alias("id_l"),
+        F.col(vec_col).alias("_lv"),
+        norm(F.col(vec_col)).alias("_nl"),
+    )
+    r = vectors.select(
+        F.col(id_col).alias("id_r"),
+        F.col(vec_col).alias("_rv"),
+        norm(F.col(vec_col)).alias("_nr"),
+    )
+    sim = dot(F.col("_lv"), F.col("_rv")) / (F.col("_nl") * F.col("_nr"))
     return (
-        l.join(F.broadcast(r), l.id_l < r.id_r)
-        .withColumn("sim", F.round(cosine(F.col("_lv"), F.col("_rv")), 6))
+        l.join(F.broadcast(r), F.col("id_l") < F.col("id_r"))
+        .withColumn("sim", F.round(sim, 6))
         .filter(F.col("sim") >= threshold)
         .select("id_l", "id_r", "sim")
     )
@@ -225,7 +237,7 @@ def cosine_near_dup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_bits: int = 16,
+    num_bits: int = 64,
     bands: int = 8,
     seed: int = 42,
 ) -> DataFrame:
@@ -236,32 +248,54 @@ def cosine_near_dup_pairs(
     recall < 1 by design (raise bands to recover)."""
     planes = _hyperplanes(dim, num_bits, seed)
     bits_per_band = num_bits // bands
-    sig = srp_signature(F.col(vec_col), planes)
-    banded = vectors.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), sig.alias("_sig")
-    ).select(
+    # Signature via posexplode + grouped sums (whole-stage codegen), not
+    # the srp_signature HOF fold — lambda expressions run interpreted,
+    # and num_bits folds per vector dominate the whole job (measured
+    # ~10x). Each projection is sum(x * plane[b][pos]) with the plane
+    # row resolved by element_at on a literal array; map-side partial
+    # aggregation keeps the shuffle at one row per vector.
+    exploded = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(vec_col)).alias("_pos", "_x"),
+    )
+    projections = exploded.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.col("_x").cast("double")
+                * F.element_at(
+                    F.array(*[F.lit(w) for w in planes[b]]), F.col("_pos") + 1
+                )
+            ).alias(f"_p{b}")
+            for b in range(num_bits)
+        ]
+    )
+    band_key = lambda b: F.concat(  # noqa: E731
+        *[
+            F.when(F.col(f"_p{b * bits_per_band + i}") >= 0, "1").otherwise("0")
+            for i in range(bits_per_band)
+        ]
+    )
+    sig_banded = projections.select(
         "_id",
-        "_v",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.concat_ws(
-                            "",
-                            *[
-                                F.element_at(F.col("_sig"), b * bits_per_band + i + 1)
-                                for i in range(bits_per_band)
-                            ],
-                        ).alias("band_key"),
+                        F.lit(b).alias("band_id"), band_key(b).alias("band_key")
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("band"),
+    ).select("_id", "band.band_id", "band.band_key")
+    # vectors rejoin by id for the in-bucket exact re-rank (carrying the
+    # vector through the posexplode would duplicate it dim times)
+    banded = sig_banded.join(
+        vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+        "_id",
     )
     members = (
-        banded.groupBy("band.band_id", "band.band_key")
+        banded.groupBy("band_id", "band_key")
         .agg(F.array_sort(F.collect_set(F.struct("_id", "_v"))).alias("_ms"))
         .filter(F.size("_ms") > 1)
     )

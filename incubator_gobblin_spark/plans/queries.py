@@ -1324,7 +1324,7 @@ def q52_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus-scale path (recall < 1 by design; rows-only check)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.cosine_near_dup_pairs(
-        emb, dim=64, threshold=0.35, num_bits=16, bands=8
+        emb, dim=64, threshold=0.35, num_bits=64, bands=8
     )
 
 

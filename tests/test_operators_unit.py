@@ -263,3 +263,31 @@ def test_cosine_pairs_exact_and_lsh_subset(spark):
         ).collect()
     }
     assert lsh <= exact  # candidates never invent pairs; recall may drop
+
+
+def test_token_bucket_enforces_rate():
+    import time
+    from incubator_gobblin_spark.operators.throttle import TokenBucket, throttled
+
+    bucket = TokenBucket(rate_per_sec=1000, burst=10)
+    assert bucket.try_acquire(10)
+    assert not bucket.try_acquire(5)  # bucket drained
+    t0 = time.monotonic()
+    bucket.acquire(5)  # ~5ms refill at 1000/s
+    assert time.monotonic() - t0 >= 0.004
+
+    # 30 rows above a 10-token burst at 1000 rows/s -> >= ~20ms total
+    t0 = time.monotonic()
+    out = list(throttled(range(30), rate_per_sec=1000, burst=10))
+    assert out == list(range(30))
+    assert time.monotonic() - t0 >= 0.015
+
+
+def test_throttled_bytes_cost():
+    import time
+    from incubator_gobblin_spark.operators.throttle import throttled
+
+    rows = [b"x" * 100] * 5  # 500 bytes at 10_000 B/s with 100 B burst
+    t0 = time.monotonic()
+    assert len(list(throttled(rows, rate_per_sec=10_000, burst=100, cost=len))) == 5
+    assert time.monotonic() - t0 >= 0.03

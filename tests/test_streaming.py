@@ -143,3 +143,76 @@ def test_session_windows_batch_parity(spark, events_dir):
         .count()
     )
     assert diff == 0
+
+
+def test_stateful_running_stats_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-key state must carry across
+    micro-batches (two files, one per trigger)."""
+    import json
+    from incubator_gobblin_spark.streaming.stateful import running_stats
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        "\n".join(json.dumps({"k": k, "v": v}) for k, v in [("a", 1.0), ("a", 3.0), ("b", 10.0)])
+    )
+    (src / "b2.json").write_text(
+        "\n".join(json.dumps({"k": k, "v": v}) for k, v in [("a", 5.0), ("b", 20.0)])
+    )
+    schema = "k string, v double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = running_stats(stream, "k", "v", ema_alpha=0.5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_stats_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM running_stats_sink").collect()
+    # final emission per key must include BOTH batches' contributions
+    last = {}
+    for r in rows:
+        last[r["key"]] = max(last.get(r["key"], (0,)), (r["n"], r["total"]))
+    assert last["a"] == (3, 9.0)
+    assert last["b"] == (2, 30.0)
+
+
+def test_stateful_seen_keys_filter_dedups_across_batches(spark, tmp_path):
+    import json
+    from incubator_gobblin_spark.streaming.stateful import seen_keys_filter
+
+    src = tmp_path / "src2"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        "\n".join(json.dumps({"fp": fp, "doc": d}) for fp, d in [("x", "doc-x"), ("y", "doc-y")])
+    )
+    (src / "b2.json").write_text(
+        "\n".join(json.dumps({"fp": fp, "doc": d}) for fp, d in [("x", "doc-x-dup"), ("z", "doc-z")])
+    )
+    stream = (
+        spark.readStream.schema("fp string, doc string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = seen_keys_filter(stream, ["fp"], "doc")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("seen_keys_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT fp, doc FROM seen_keys_sink").collect()
+    got = {r["fp"]: r["doc"] for r in rows}
+    # x emitted once with its FIRST payload; the batch-2 dup dropped
+    assert len(rows) == 3
+    assert got == {"x": "doc-x", "y": "doc-y", "z": "doc-z"}
