@@ -190,3 +190,28 @@ def time_partition_tree(
     if granularity == "hour":
         levels.append(("hour", F.date_format(c, "HH")))
     return levels
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    fmt: str = "parquet",
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed catalog table: the co-located-join strategy.
+
+    Two tables bucketed on the same key with the same bucket count join
+    WITHOUT any exchange — each task zips bucket i with bucket i. At
+    100 TB the fact<->fact shuffle is the dominant cost of repeated
+    joins; paying one bucketed write amortizes it across every
+    downstream join/aggregation on that key (the reference has no
+    analogue — its MR dedup re-shuffles per job). ``sort_cols``
+    additionally makes each bucket sort-merge-ready without a sort step.
+    """
+    writer = df.write.format(fmt).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.mode(mode).saveAsTable(table)

@@ -118,3 +118,52 @@ def test_copy_incremental(spark, tmp_path):
     r3 = copy.copy_dataset(spark, str(src), str(dst))
     assert r3.files_copied == 1
     assert (dst / "a.txt").read_text() == "alpha-v2"
+
+
+def test_flow_dag_ordering_and_skip():
+    from incubator_gobblin_spark.plans.flow import (
+        FlowNode,
+        NodeStatus,
+        compile_order,
+        run_flow,
+    )
+
+    ran = []
+    nodes = [
+        FlowNode("publish", lambda: ran.append("publish"), depends_on=["ingest"]),
+        FlowNode("ingest", lambda: ran.append("ingest")),
+        FlowNode("compact", lambda: ran.append("compact"), depends_on=["publish"]),
+        FlowNode("unrelated", lambda: ran.append("unrelated")),
+    ]
+    order = compile_order(nodes)
+    assert order.index("ingest") < order.index("publish") < order.index("compact")
+    res = run_flow(nodes)
+    assert res.succeeded and set(ran) == {"ingest", "publish", "compact", "unrelated"}
+
+    # a failing node skips its descendants, unrelated branches still run
+    def boom():
+        raise RuntimeError("publish failed")
+
+    nodes2 = [
+        FlowNode("ingest", lambda: "ok"),
+        FlowNode("publish", boom, depends_on=["ingest"]),
+        FlowNode("compact", lambda: "never", depends_on=["publish"]),
+        FlowNode("unrelated", lambda: "ok2"),
+    ]
+    res2 = run_flow(nodes2)
+    assert res2.status["ingest"] is NodeStatus.SUCCEEDED
+    assert res2.status["publish"] is NodeStatus.FAILED
+    assert res2.status["compact"] is NodeStatus.SKIPPED
+    assert res2.status["unrelated"] is NodeStatus.SUCCEEDED
+    assert not res2.succeeded and "publish" in res2.errors
+
+    # cycles and unknown deps are compile-time errors
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cycle"):
+        compile_order([
+            FlowNode("a", lambda: None, depends_on=["b"]),
+            FlowNode("b", lambda: None, depends_on=["a"]),
+        ])
+    with _pytest.raises(ValueError, match="unknown"):
+        compile_order([FlowNode("a", lambda: None, depends_on=["zzz"])])

@@ -105,3 +105,36 @@ def test_fan_out_skips_dimension_tables(spark, sf_dir):
     assert "Exchange" not in _plan(nation)
     li = load_table(spark, sf_dir, "lineitem")
     assert "Exchange" in _plan(li)  # scan-starved fact table is fanned out
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Same-bucketed tables must join with ZERO shuffle: no Exchange
+    node anywhere in the join plan (the co-location contract)."""
+    from incubator_gobblin_spark.sinks.files import write_bucketed
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    write_bucketed(li, "li_bkt", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+    write_bucketed(orders, "ord_bkt", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+    # disable auto-broadcast: at test scale the planner would broadcast
+    # the small side and never consult bucketing; at 100 TB neither side
+    # broadcasts and the bucket layout is exactly what prevents the
+    # fact<->fact shuffle this test pins down
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("li_bkt").join(spark.table("ord_bkt"), "l_orderkey")
+        joined.collect()
+        plan = _plan(joined)
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+        n = joined.count()
+        assert n == load_table(spark, sf_dir, "lineitem").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS li_bkt")
+        spark.sql("DROP TABLE IF EXISTS ord_bkt")
