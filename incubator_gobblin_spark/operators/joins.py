@@ -116,6 +116,46 @@ def asof_join(
     return out
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    lo: str,
+    hi: str,
+    on: Sequence[str] = (),
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Interval join: left rows whose ``left_ts`` falls in a right-side
+    ``[lo, hi]`` interval (plus optional equi-keys ``on``).
+
+    Spark plans the naive formulation as a nested-loop join (every left
+    row against every right interval). This implementation buckets time:
+    each interval explodes to the buckets it spans, each left row maps to
+    its single bucket, and the join becomes an EQUI-join on
+    (keys, bucket) + an exact range filter. Each matching pair meets in
+    exactly one bucket (the left row's), so no dedup is needed. Intervals
+    must be bounded; pick ``bucket`` near the typical interval length —
+    wider buckets mean more false candidates filtered after the join,
+    narrower ones replicate each interval across more buckets.
+    """
+    # bucket spec '<n> <second|minute|hour|day>[s]' -> seconds per bucket
+    qty, unit = bucket.split()
+    secs_per = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[
+        unit.rstrip("s")
+    ] * int(qty)
+    lbucket = (F.unix_timestamp(F.col(left_ts)) / secs_per).cast("long")
+    tagged_left = left.withColumn("_bucket", lbucket)
+    rspan = F.sequence(
+        (F.unix_timestamp(F.col(lo)) / secs_per).cast("long"),
+        (F.unix_timestamp(F.col(hi)) / secs_per).cast("long"),
+    )
+    tagged_right = right.withColumn("_bucket", F.explode(rspan))
+    joined = tagged_left.join(tagged_right, on=[*on, "_bucket"])
+    return joined.filter(
+        (F.col(left_ts) >= F.col(lo)) & (F.col(left_ts) <= F.col(hi))
+    ).drop("_bucket")
+
+
 def join_skew_salted(
     left: DataFrame,
     right: DataFrame,

@@ -1359,6 +1359,38 @@ def q53_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q54_range_join",
+    """
+    SELECT c.event_id AS click_id, w.event_id AS error_id, c.user_id, c.ts
+    FROM events c
+    JOIN (SELECT event_id, user_id, ts AS lo, ts + INTERVAL 10 MINUTE AS hi
+          FROM events WHERE event_type = 'error') w
+      ON c.user_id = w.user_id AND c.ts >= w.lo AND c.ts <= w.hi
+    WHERE c.event_type = 'click'
+    """,
+)
+def q54_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (clicks inside a same-user 10-minute error window)
+    via time bucketing: equi-join on (user, bucket) + exact range filter —
+    no nested-loop candidate explosion (the naive plan Spark would pick)."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    windows = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("hi"),
+    )
+    out = joins.range_join(
+        clicks, windows, left_ts="ts", lo="lo", hi="hi",
+        on=["user_id"], bucket="10 minutes",
+    )
+    return out.select("click_id", "error_id", "user_id", "ts")
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the multi-way broadcast star join + aggregation."""
     return q03_revenue_by_nation(spark, sf_dir)

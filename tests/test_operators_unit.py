@@ -291,3 +291,29 @@ def test_throttled_bytes_cost():
     t0 = time.monotonic()
     assert len(list(throttled(rows, rate_per_sec=10_000, burst=100, cost=len))) == 5
     assert time.monotonic() - t0 >= 0.03
+
+
+def test_range_join_buckets_match_exactly(spark):
+    from incubator_gobblin_spark.operators.joins import range_join
+
+    left = spark.createDataFrame(
+        [(1, 7, "2024-01-01 00:05:00"), (2, 7, "2024-01-01 00:59:00"),
+         (3, 7, "2024-01-01 02:00:00"), (4, 8, "2024-01-01 00:05:00")],
+        "id long, k long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        # interval spans two 1h buckets; boundary-inclusive both ends
+        [(100, 7, "2024-01-01 00:00:00", "2024-01-01 01:00:00"),
+         (200, 9, "2024-01-01 00:00:00", "2024-01-01 23:00:00")],
+        "wid long, k long, lo string, hi string",
+    ).withColumn("lo", F.col("lo").cast("timestamp")).withColumn(
+        "hi", F.col("hi").cast("timestamp"))
+
+    out = range_join(left, right, left_ts="ts", lo="lo", hi="hi",
+                     on=["k"], bucket="1 hour")
+    got = {(r["id"], r["wid"]) for r in out.collect()}
+    # ids 1,2 in window 100 (same key); id 3 outside; id 4 wrong key;
+    # window 200 matches nothing (no key-9 rows). Each pair appears ONCE
+    # even though window 100 spans two buckets.
+    assert got == {(1, 100), (2, 100)}
+    assert out.count() == 2
