@@ -1391,6 +1391,70 @@ def q54_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("click_id", "error_id", "user_id", "ts")
 
 
+@register(
+    "q55_ivf_assign",
+    """
+    WITH cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                   FROM embeddings WHERE vec_id < 8),
+    assigned AS (
+        SELECT vec_id, cid,
+               row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY round(list_distance(embedding::DOUBLE[], cv), 6), cid
+               ) AS rn
+        FROM embeddings CROSS JOIN cents
+    )
+    SELECT CAST(cid AS INT) AS cluster_id,
+           count(*) AS n,
+           CAST(min(vec_id) AS BIGINT) AS min_vec_id
+    FROM assigned WHERE rn = 1
+    GROUP BY 1
+    """,
+)
+def q55_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization: the quantizer's centroids (here the first
+    8 vectors, standing in for k-means-of-sample) are collected driver-
+    side ONCE and embedded as plan literals, so assignment is a pure
+    projection — no shuffle, no UDF, no join against the centroid set.
+    The lake path to ANN at 100 TB: partition by cluster_id, then queries
+    prune to probed clusters. First-wins tie semantics on both sides
+    (array_position's first minimal index == ORDER BY dist, cid)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    cents = [[float(x) for x in r["embedding"]] for r in cent_rows]
+    # sqrt to mirror DuckDB's list_distance exactly: identical rounded
+    # values -> identical tie behavior
+    dists = [
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding"),
+                        F.array(*[F.lit(x) for x in c]),
+                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            6,
+        )
+        for c in cents
+    ]
+    cluster = (
+        F.array_position(F.array(*dists), F.array_min(F.array(*dists))) - 1
+    ).cast("int")
+    assigned = emb.withColumn("cluster_id", cluster)
+    return assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n"), F.min("vec_id").alias("min_vec_id")
+    )
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the multi-way broadcast star join + aggregation."""
     return q03_revenue_by_nation(spark, sf_dir)
