@@ -289,14 +289,21 @@ def cosine_near_dup_pairs(
         ).alias("band"),
     ).select("_id", "band.band_id", "band.band_key")
     # vectors rejoin by id for the in-bucket exact re-rank (carrying the
-    # vector through the posexplode would duplicate it dim times)
+    # vector through the posexplode would duplicate it dim times). The
+    # inverse norm rides along per vector so each candidate pair costs
+    # one dot product + two multiplies instead of dot + two norm folds
+    # (the re-rank lambdas run interpreted — 3x fewer HOF evals).
     banded = sig_banded.join(
-        vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+        vectors.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            (F.lit(1.0) / norm(F.col(vec_col))).alias("_inv"),
+        ),
         "_id",
     )
     members = (
         banded.groupBy("band_id", "band_key")
-        .agg(F.array_sort(F.collect_set(F.struct("_id", "_v"))).alias("_ms"))
+        .agg(F.array_sort(F.collect_set(F.struct("_id", "_v", "_inv"))).alias("_ms"))
         .filter(F.size("_ms") > 1)
     )
     pair = F.explode(
@@ -308,7 +315,9 @@ def cosine_near_dup_pairs(
                     lambda y: F.struct(
                         x["_id"].alias("id_l"),
                         y["_id"].alias("id_r"),
-                        F.round(cosine(x["_v"], y["_v"]), 6).alias("sim"),
+                        F.round(
+                            dot(x["_v"], y["_v"]) * x["_inv"] * y["_inv"], 6
+                        ).alias("sim"),
                     ),
                 ),
             )
