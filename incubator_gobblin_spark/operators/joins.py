@@ -107,13 +107,16 @@ def asof_join(
         "_lrow",
         F.last(F.col("_vrow"), ignorenulls=True).over(w).alias("_vrow"),
     )
-    out = merged.filter(F.col("_side") == 1).select(
+    out = merged.filter(F.col("_side") == 1)
+    if how == "inner":
+        # match on the carried struct itself being non-null: a matched
+        # right row may legitimately carry NULL in every value column,
+        # but the struct it was packed into is never null
+        out = out.filter(F.col("_vrow").isNotNull())
+    return out.select(
         *[F.col(f"_lrow.{c}").alias(c) for c in lcols],
         *[F.col(f"_vrow.{c}").alias(c) for c in value_cols],
     )
-    if how == "inner":
-        out = out.filter(F.col(value_cols[0]).isNotNull())
-    return out
 
 
 def range_join(
@@ -124,6 +127,7 @@ def range_join(
     hi: str,
     on: Sequence[str] = (),
     bucket: str = "1 hour",
+    max_span_buckets: int = 10_000,
 ) -> DataFrame:
     """Interval join: left rows whose ``left_ts`` falls in a right-side
     ``[lo, hi]`` interval (plus optional equi-keys ``on``).
@@ -137,19 +141,29 @@ def range_join(
     must be bounded; pick ``bucket`` near the typical interval length —
     wider buckets mean more false candidates filtered after the join,
     narrower ones replicate each interval across more buckets.
+
+    ``max_span_buckets`` bounds the per-interval explosion: one corrupt
+    interval (hi in year 2286) would otherwise materialize millions of
+    bucket rows and kill the stage. An interval spanning more buckets
+    than the cap is clamped to its first ``max_span_buckets`` buckets —
+    matches beyond the clamp are dropped, which is the deliberate
+    bounded-damage trade for a row that is already out of spec.
     """
     # bucket spec '<n> <second|minute|hour|day>[s]' -> seconds per bucket
     qty, unit = bucket.split()
     secs_per = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[
         unit.rstrip("s")
     ] * int(qty)
-    lbucket = (F.unix_timestamp(F.col(left_ts)) / secs_per).cast("long")
-    tagged_left = left.withColumn("_bucket", lbucket)
-    rspan = F.sequence(
-        (F.unix_timestamp(F.col(lo)) / secs_per).cast("long"),
-        (F.unix_timestamp(F.col(hi)) / secs_per).cast("long"),
-    )
-    tagged_right = right.withColumn("_bucket", F.explode(rspan))
+
+    def _b(c):
+        # floor, not truncate-toward-zero: pre-1970 timestamps are
+        # negative and must bucket consistently on both sides
+        return F.floor(F.unix_timestamp(c) / secs_per).cast("long")
+
+    tagged_left = left.withColumn("_bucket", _b(F.col(left_ts)))
+    lo_b = _b(F.col(lo))
+    hi_b = F.least(_b(F.col(hi)), lo_b + F.lit(max_span_buckets - 1))
+    tagged_right = right.withColumn("_bucket", F.explode(F.sequence(lo_b, hi_b)))
     joined = tagged_left.join(tagged_right, on=[*on, "_bucket"])
     return joined.filter(
         (F.col(left_ts) >= F.col(lo)) & (F.col(left_ts) <= F.col(hi))

@@ -100,7 +100,10 @@ class FileSink:
             if os.path.exists(dst) and os.path.isdir(dst):
                 # append into existing partition dir: move files in
                 for f_ in os.listdir(src):
-                    if f_.startswith("_"):
+                    # skip committer metadata (_SUCCESS) and hidden
+                    # checksum files (.*.crc): renaming a .crc strips its
+                    # hidden prefix and turns it into a bogus data file
+                    if f_.startswith(("_", ".")):
                         continue
                     os.replace(
                         os.path.join(src, f_),
@@ -111,7 +114,9 @@ class FileSink:
             return dst
 
         entries = [
-            e for e in _leaf_outputs(staging) if not os.path.basename(e).startswith("_")
+            e
+            for e in _leaf_outputs(staging, len(self.partition_by))
+            if not os.path.basename(e).startswith("_")
         ]
         rels = [os.path.relpath(e, staging) for e in entries]
         # ParallelRunner-style fan-out for many partition dirs
@@ -137,10 +142,26 @@ class FileSink:
         return err_path
 
 
-def _leaf_outputs(root: str) -> list[str]:
-    """Top-level outputs of a write: partition dirs (part_col=value) or
-    data files for unpartitioned output."""
-    return [os.path.join(root, e) for e in os.listdir(root)]
+def _leaf_outputs(root: str, depth: int) -> list[str]:
+    """Publish units of a staged write. For a partitioned write the unit
+    is a LEAF partition dir — exactly ``depth == len(partition_by)``
+    levels below the staging root — never an intermediate level: moving
+    or replacing at an intermediate level (e.g. ``year=`` when the
+    layout is year/month/day) would silently delete sibling partitions
+    that this run never touched. For an unpartitioned write (depth 0)
+    the units are the data files at the top level."""
+    if depth == 0:
+        return [os.path.join(root, e) for e in os.listdir(root)]
+    dirs = [root]
+    for _ in range(depth):
+        nxt = []
+        for d in dirs:
+            for e in os.listdir(d):
+                p = os.path.join(d, e)
+                if not e.startswith("_") and os.path.isdir(p):
+                    nxt.append(p)
+        dirs = nxt
+    return dirs
 
 
 def _rm(path: str) -> None:

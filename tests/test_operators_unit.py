@@ -317,3 +317,63 @@ def test_range_join_buckets_match_exactly(spark):
     # even though window 100 spans two buckets.
     assert got == {(1, 100), (2, 100)}
     assert out.count() == 2
+
+
+def test_asof_join_inner_keeps_null_value_columns(spark):
+    """Regression: a matched right row carrying NULL in its value columns
+    must survive how='inner' — the match indicator is the carried struct,
+    not any particular value column."""
+    from incubator_gobblin_spark.operators.joins import asof_join
+
+    events = spark.createDataFrame(
+        [(1, 10, "2024-01-05"), (2, 20, "2024-01-05")],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    orders = spark.createDataFrame(
+        [(10, "2024-01-03", None)],  # matched row with genuinely-NULL value
+        "user_id long, odate string, amount double",
+    ).withColumn("odate", F.col("odate").cast("timestamp"))
+
+    out = asof_join(
+        events, orders, on="user_id", left_ts="ts", right_ts="odate",
+        value_cols=["amount"],
+    )
+    got = {r["event_id"]: r["amount"] for r in out.collect()}
+    assert got == {1: None}  # event 1 matched (NULL amount kept); event 2 unmatched
+
+
+def test_range_join_pre1970_and_clamped_span(spark):
+    from incubator_gobblin_spark.operators.joins import range_join
+
+    # pre-1970 timestamps are negative unix seconds: floor bucketing must
+    # keep both sides consistent
+    left = spark.createDataFrame(
+        [(1, "1950-01-01 05:45:00"), (2, "1950-01-01 07:00:00")],
+        "id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(100, "1950-01-01 05:30:00", "1950-01-01 06:30:00")],
+        "wid long, lo string, hi string",
+    ).withColumn("lo", F.col("lo").cast("timestamp")).withColumn(
+        "hi", F.col("hi").cast("timestamp"))
+    out = range_join(left, right, left_ts="ts", lo="lo", hi="hi", bucket="1 hour")
+    assert {(r["id"], r["wid"]) for r in out.collect()} == {(1, 100)}
+
+    # one corrupt interval (hi centuries out) must not explode the stage:
+    # the span clamps to max_span_buckets, keeping early matches only
+    left2 = spark.createDataFrame(
+        [(1, "2024-01-01 00:30:00"), (2, "2024-06-01 00:00:00")],
+        "id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right2 = spark.createDataFrame(
+        [(9, "2024-01-01 00:00:00", "2286-01-01 00:00:00")],
+        "wid long, lo string, hi string",
+    ).withColumn("lo", F.col("lo").cast("timestamp")).withColumn(
+        "hi", F.col("hi").cast("timestamp"))
+    out2 = range_join(
+        left2, right2, left_ts="ts", lo="lo", hi="hi",
+        bucket="1 hour", max_span_buckets=48,
+    )
+    # id 1 inside the clamp window matches; id 2 is beyond the clamped
+    # span of the corrupt interval and is (deliberately) dropped
+    assert {(r["id"], r["wid"]) for r in out2.collect()} == {(1, 9)}

@@ -164,3 +164,44 @@ def test_partitioned_append_and_snapshot(spark, sf_dir, tmp_path):
     # dynamic partition overwrite: re-running 1995 replaces, not doubles
     Pipeline(spark, "p3").source_df(src.filter(F.col("year") == "1995")).sink(sink).run()
     assert spark.read.parquet(out).count() == exp
+
+
+def test_multilevel_partition_publish_preserves_siblings(spark, tmp_path):
+    """Regression: with multi-level partition_by, publish must operate on
+    LEAF partition dirs — replacing at an intermediate level (year=) would
+    silently delete sibling month partitions this run never touched."""
+    out = str(tmp_path / "ml")
+    df1 = spark.createDataFrame(
+        [("1995", "01", 1), ("1995", "01", 2), ("1995", "02", 3), ("1996", "01", 4)],
+        "year string, month string, v int",
+    )
+    sink = FileSink(
+        path=out, partition_by=["year", "month"], table_type=TableType.SNAPSHOT_APPEND
+    )
+    Pipeline(spark, "ml1").source_df(df1).sink(sink).run()
+    assert spark.read.parquet(out).count() == 4
+
+    # run 2 touches ONLY 1995/01 — siblings 1995/02 and 1996/01 must survive
+    df2 = spark.createDataFrame([("1995", "01", 9)], "year string, month string, v int")
+    Pipeline(spark, "ml2").source_df(df2).sink(sink).run()
+    got = spark.read.parquet(out)
+    assert got.count() == 3  # 1995/01 replaced (2 rows -> 1), siblings intact
+    # partition values read back with type inference (int)
+    assert {(int(r["year"]), int(r["month"]), r["v"]) for r in got.collect()} == {
+        (1995, 1, 9), (1995, 2, 3), (1996, 1, 4)
+    }
+
+    # APPEND_ONLY into an existing leaf dir: files append inside month=,
+    # never renaming nested partition dirs into bogus file names
+    asink = FileSink(
+        path=out, partition_by=["year", "month"], table_type=TableType.APPEND_ONLY
+    )
+    df3 = spark.createDataFrame([("1995", "02", 7)], "year string, month string, v int")
+    Pipeline(spark, "ml3").source_df(df3).sink(asink).run()
+    got = spark.read.parquet(out)
+    assert got.count() == 4
+    assert got.filter((F.col("year") == 1995) & (F.col("month") == 2)).count() == 2
+    # layout is still a clean hive-style tree
+    assert sorted(
+        e for e in os.listdir(os.path.join(out, "year=1995")) if not e.startswith("_")
+    ) == ["month=01", "month=02"]
