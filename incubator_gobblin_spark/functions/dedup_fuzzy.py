@@ -89,6 +89,7 @@ def minhash_candidate_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     seed: int = 42,
+    max_bucket_size: int = 512,
 ) -> DataFrame:
     """LSH-banded candidate pairs: (id_l, id_r) with id_l < id_r.
 
@@ -97,6 +98,16 @@ def minhash_candidate_pairs(
     The join is a self-equi-join on the bucket key — shuffle on a
     high-cardinality key, no cross product. Distinct at the end because
     a pair can collide in multiple bands.
+
+    Skew guards (the things that kill this at corpus scale):
+    - shingle-less docs (empty/whitespace text) all share the sentinel
+      signature [p,...,p] and would pile into ONE bucket per band —
+      they are excluded from banding entirely (empty docs are *exact*
+      duplicates of each other; exact dedup owns them);
+    - buckets larger than ``max_bucket_size`` are dropped (see
+      :func:`_bucket_pairs`) — a giant bucket means the band hash is
+      degenerate for that cluster (boilerplate floods), and expanding
+      its O(m²) pairs inside one row would OOM the executor.
     """
     rows_per_band = num_hashes // bands
     coeffs = _hash_coeffs(num_hashes, seed)
@@ -111,10 +122,16 @@ def minhash_candidate_pairs(
     exploded = df.select(
         F.col(id_col).alias("_id"),
         F.explode_outer(shingles(F.col(text_col), shingle_n)).alias("_s"),
-    ).select("_id", F.pmod(F.xxhash64("_s"), F.lit(_MERSENNE_P)).alias("_h"))
-    # explode_outer keeps shingle-less docs as a null row; null hashes are
-    # ignored by min(), and coalesce restores the sentinel-p signature so
-    # empty docs still band together (matching minhash_signature).
+    ).select(
+        # xxhash64(NULL) returns the seed, not NULL — guard it so the
+        # explode_outer null row of a shingle-less doc stays null, min()
+        # ignores it, and coalesce restores the sentinel-p signature that
+        # the banding stage then excludes
+        "_id",
+        F.when(
+            F.col("_s").isNotNull(), F.pmod(F.xxhash64("_s"), F.lit(_MERSENNE_P))
+        ).alias("_h"),
+    )
     sig = exploded.groupBy("_id").agg(
         *[
             F.coalesce(
@@ -124,6 +141,11 @@ def minhash_candidate_pairs(
             for i, (a, b) in enumerate(coeffs)
         ]
     )
+    # sentinel exclusion: every real shingle hash is < p, so a doc whose
+    # first signature slot equals p has NO shingles at all (all slots are
+    # the coalesce sentinel) — banding it would put every empty doc of
+    # the corpus into the same bucket in every band
+    sig = sig.filter(F.col("_m0") < F.lit(_MERSENNE_P))
     banded = sig.select(
         "_id",
         F.explode(
@@ -150,22 +172,40 @@ def minhash_candidate_pairs(
     # than a self-join: a self-join would recompute the whole
     # shingle->minhash pipeline on BOTH sides (Spark shares no subplans
     # without an explicit persist) and shuffle twice. One groupBy = one
-    # shuffle, one signature computation. Buckets are collision sets —
-    # tiny by construction (a giant bucket means the band hash is
-    # degenerate, not that the data is big).
-    return _bucket_pairs(banded, ["band_id", "band_hash"], "_id")
+    # shuffle, one signature computation.
+    return _bucket_pairs(banded, ["band_id", "band_hash"], "_id", max_bucket_size)
 
 
-def _bucket_pairs(df: DataFrame, bucket_cols: list[str], id_col: str) -> DataFrame:
+def _bucket_pairs(
+    df: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    max_bucket_size: int = 512,
+) -> DataFrame:
     """(id_l, id_r) distinct pairs of ids sharing a bucket key.
 
     groupBy(bucket) -> sorted id list -> all ordered pairs in-bucket via
     nested ``transform``/``flatten`` (pure Column expressions, JVM-side).
+
+    Buckets larger than ``max_bucket_size`` are DROPPED, not expanded:
+    one hot bucket (degenerate band hash over boilerplate-heavy corpora)
+    would otherwise materialize O(m²) pair structs inside a single row —
+    executor OOM at corpus scale. The dropped-bucket count rides on the
+    plan as an ``observe`` metric (``fuzzy_dedup_dropped_buckets``) so
+    runs can alert on it; members of a dropped bucket typically still
+    meet in their other, non-degenerate bands.
     """
     ids = (
         df.groupBy(*bucket_cols)
         .agg(F.sort_array(F.collect_set(id_col)).alias("_ids"))
         .filter(F.size("_ids") > 1)
+        .observe(
+            "fuzzy_dedup_dropped_buckets",
+            F.sum(
+                F.when(F.size("_ids") > max_bucket_size, 1).otherwise(0)
+            ).alias("dropped_buckets"),
+        )
+        .filter(F.size("_ids") <= max_bucket_size)
     )
     pair = F.explode(
         F.flatten(
@@ -273,6 +313,7 @@ def simhash_near_dups(
     text_col: str,
     max_hamming: int = 3,
     prefix_bits: int = 16,
+    max_bucket_size: int = 512,
 ) -> DataFrame:
     """Near-dup pairs by simhash: bucket on ``prefix_bits``-bit prefix
     (cheap LSH: near-identical docs share the prefix with high
@@ -282,6 +323,12 @@ def simhash_near_dups(
     over exploded token rows (see minhash_candidate_pairs for why this
     beats the higher-order-function fold: lambdas run interpreted);
     map-side partial aggregation keeps the shuffle at one row per doc.
+
+    Skew guards mirror :func:`minhash_candidate_pairs`: token-less docs
+    (simhash 0 — every empty doc in the corpus shares it) are excluded
+    from bucketing, and prefix buckets larger than ``max_bucket_size``
+    are dropped rather than pair-expanded (observe metric
+    ``simhash_dropped_buckets``).
     """
     exploded = df.select(
         F.col(id_col).alias("_id"),
@@ -289,9 +336,12 @@ def simhash_near_dups(
     ).select(
         # xxhash64 maps null to the seed, not null — keep null-text docs
         # vote-less (sum of no rows -> null -> coalesce 0 -> simhash 0,
-        # matching the fold form)
+        # matching the fold form). Empty-string tokens (split("") yields
+        # [""]) are vote-less too, so ""-text docs count as token-less.
         "_id",
-        F.when(F.col("_t").isNotNull(), F.xxhash64("_t")).alias("_h"),
+        F.when(
+            F.col("_t").isNotNull() & (F.col("_t") != ""), F.xxhash64("_t")
+        ).alias("_h"),
     )
     votes = exploded.groupBy("_id").agg(
         *[
@@ -304,8 +354,12 @@ def simhash_near_dups(
                 F.lit(0),
             ).alias(f"_v{i}")
             for i in range(64)
-        ]
+        ],
+        F.count("_h").alias("_nt"),
     )
+    # sentinel exclusion: token-less docs all hash to simhash 0 and would
+    # flood one prefix bucket; empty docs belong to exact dedup
+    votes = votes.filter(F.col("_nt") > 0)
     sh = F.lit(0).cast("long")
     for i in range(64):
         # bit 63 is the sign bit of a signed long
@@ -327,6 +381,13 @@ def simhash_near_dups(
             ).alias("_ms")
         )
         .filter(F.size("_ms") > 1)
+        .observe(
+            "simhash_dropped_buckets",
+            F.sum(
+                F.when(F.size("_ms") > max_bucket_size, 1).otherwise(0)
+            ).alias("dropped_buckets"),
+        )
+        .filter(F.size("_ms") <= max_bucket_size)
     )
     pair = F.explode(
         F.flatten(

@@ -240,12 +240,23 @@ def cosine_near_dup_pairs(
     num_bits: int = 64,
     bands: int = 8,
     seed: int = 42,
+    max_bucket_size: int = 512,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs at corpus scale: SRP-LSH bucket
     candidates (vectors sharing any signature band), then exact cosine
     filter. Same candidate discipline as MinHash dedup — the all-pairs
     expansion only ever happens inside a bucket, via one groupBy shuffle;
-    recall < 1 by design (raise bands to recover)."""
+    recall < 1 by design (raise bands to recover).
+
+    Skew guards: zero-norm vectors (cosine undefined; every one of them
+    projects to the all-ones band key) are excluded up front, and
+    buckets larger than ``max_bucket_size`` are dropped instead of
+    pair-expanded (observe metric ``cosine_lsh_dropped_buckets``) — one
+    degenerate bucket would otherwise hold O(m²) pair structs in a
+    single row. Rounded sims sitting exactly at the threshold can
+    differ in the last ulp from the exact-baseline formulation
+    (dot*inv_l*inv_r vs dot/(norm*norm)); boundary pairs are not
+    bit-stable between the two."""
     planes = _hyperplanes(dim, num_bits, seed)
     bits_per_band = num_bits // bands
     # Signature via posexplode + grouped sums (whole-stage codegen), not
@@ -254,6 +265,9 @@ def cosine_near_dup_pairs(
     # ~10x). Each projection is sum(x * plane[b][pos]) with the plane
     # row resolved by element_at on a literal array; map-side partial
     # aggregation keeps the shuffle at one row per vector.
+    # zero-norm vectors are excluded before any hashing: cosine is
+    # undefined for them and they all share one degenerate band key
+    vectors = vectors.filter(norm(F.col(vec_col)) > 0)
     exploded = vectors.select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.col(vec_col)).alias("_pos", "_x"),
@@ -305,6 +319,13 @@ def cosine_near_dup_pairs(
         banded.groupBy("band_id", "band_key")
         .agg(F.array_sort(F.collect_set(F.struct("_id", "_v", "_inv"))).alias("_ms"))
         .filter(F.size("_ms") > 1)
+        .observe(
+            "cosine_lsh_dropped_buckets",
+            F.sum(
+                F.when(F.size("_ms") > max_bucket_size, 1).otherwise(0)
+            ).alias("dropped_buckets"),
+        )
+        .filter(F.size("_ms") <= max_bucket_size)
     )
     pair = F.explode(
         F.flatten(

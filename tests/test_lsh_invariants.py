@@ -1,0 +1,164 @@
+"""Falsifiable invariants for the hash-family (no-SQL-oracle) queries.
+
+The driver's correctness gate can only do rows-only checks on
+q31/q32/q34/q52 — these tests give each one an independent, exact
+falsifier on the real test corpus:
+
+- q31 (MinHash candidates): candidate pairs must be a SUPERSET of
+  exact-duplicate pairs (identical text ⇒ identical signatures ⇒ same
+  bucket in every band). The corpus has no natural dups, so they are
+  PLANTED (copies under shifted ids).
+- q32 (SimHash): planted identical-text pairs must appear with
+  hamming = 0, and every reported hamming must be correct when
+  recomputed via an independent code path.
+- q34 (SRP-LSH ANN): measured recall vs the exact baseline (q33 shape)
+  must clear a pinned floor, and every reported sim must equal the
+  exactly-recomputed cosine.
+- q52 (cosine LSH pairs): every reported pair must clear the threshold
+  when recomputed exactly, and recall vs the exact baseline (q51 shape)
+  must clear a pinned floor.
+
+Floors are pinned from measured values on the corpus minus slack — a
+hash-family regression (wrong banding, broken signature math) drops
+recall to near zero, which these floors catch.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_gobblin_spark.functions import dedup_fuzzy, similarity
+from incubator_gobblin_spark.plans import queries as Q
+from incubator_gobblin_spark.session import load_table
+
+ALL = Q.queries()
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+_PLANT_OFFSET = 1_000_000
+
+
+def _with_planted_dups(docs, n=25):
+    """The corpus has no natural exact dups, so plant them: copy ``n``
+    shingle-bearing docs under shifted ids. Each (orig, orig+OFFSET)
+    pair is an exact duplicate the LSH stages MUST surface."""
+    sample = (
+        docs.filter(F.size(dedup_fuzzy.shingles(F.col("text"), 2)) > 0)
+        .orderBy("doc_id")
+        .limit(n)
+    )
+    copies = sample.withColumn("doc_id", F.col("doc_id") + F.lit(_PLANT_OFFSET))
+    planted = sample.select(
+        F.col("doc_id").alias("id_l"),
+        (F.col("doc_id") + F.lit(_PLANT_OFFSET)).alias("id_r"),
+    )
+    return docs.unionByName(copies), planted
+
+
+def test_q31_candidates_superset_of_exact_dups(spark, docs):
+    corpus, planted = _with_planted_dups(docs)
+    # q31's exact parameters over the planted corpus
+    cand = dedup_fuzzy.minhash_candidate_pairs(
+        corpus, id_col="doc_id", text_col="text",
+        num_hashes=32, bands=8, shingle_n=2,
+    )
+    n_exact = planted.count()
+    assert n_exact > 0
+    missing = planted.join(cand, ["id_l", "id_r"], "left_anti").count()
+    assert missing == 0, f"{missing}/{n_exact} exact-dup pairs not candidates"
+
+
+def test_q32_simhash_identical_pairs_and_hamming_exact(spark, sf_dir, docs):
+    corpus, planted = _with_planted_dups(docs)
+    out_planted = dedup_fuzzy.simhash_near_dups(
+        corpus, "doc_id", "text", max_hamming=12, prefix_bits=8
+    )
+    n_exact = planted.count()
+    got = out_planted.join(planted, ["id_l", "id_r"])  # identical docs reported...
+    assert got.count() == n_exact
+    assert got.filter(F.col("hamming") != 0).count() == 0  # ...with hamming 0
+
+    out = ALL["q32_simhash_neardups"](spark, sf_dir)
+
+    # every reported hamming is correct under independent recomputation
+    # (the single-expression fold form, a different code path than the
+    # grouped-vote form the query uses)
+    sh = docs.select(
+        "doc_id", dedup_fuzzy.simhash(F.col("text")).alias("_sh")
+    )
+    recheck = (
+        out.join(sh.select(F.col("doc_id").alias("id_l"), F.col("_sh").alias("_l")), "id_l")
+        .join(sh.select(F.col("doc_id").alias("id_r"), F.col("_sh").alias("_r")), "id_r")
+        .withColumn("_h2", dedup_fuzzy.hamming_distance(F.col("_l"), F.col("_r")))
+    )
+    bad = recheck.filter(F.col("hamming") != F.col("_h2")).count()
+    assert bad == 0
+
+
+def test_q34_lsh_topk_recall_and_exact_sims(spark, sf_dir, emb):
+    approx = ALL["q34_ann_lsh_topk"](spark, sf_dir)
+    exact = ALL["q33_ann_cosine_topk"](spark, sf_dir)
+    n_exact = exact.count()
+    hit = exact.join(approx, ["query_id", "neighbor_id"]).count()
+    recall = hit / n_exact
+    # measured 1.0 at sf0.001/sf0.01 with (num_bits=16, bands=8);
+    # floor pinned with slack — a banding/signature regression craters it
+    assert recall >= 0.6, f"LSH top-k recall {recall:.2f} below floor"
+
+    # reported sims are exact: recompute cosine from raw embeddings
+    v = emb.select(F.col("vec_id"), F.col("embedding"))
+    recheck = (
+        approx.join(v.select(F.col("vec_id").alias("query_id"),
+                             F.col("embedding").alias("_q")), "query_id")
+        .join(v.select(F.col("vec_id").alias("neighbor_id"),
+                       F.col("embedding").alias("_n")), "neighbor_id")
+        .withColumn("_sim2", F.round(similarity.cosine(F.col("_q"), F.col("_n")), 6))
+    )
+    assert recheck.filter(F.col("sim") != F.col("_sim2")).count() == 0
+
+
+def test_q52_lsh_pairs_threshold_and_recall(spark, sf_dir, emb):
+    approx = ALL["q52_embedding_neardup_lsh"](spark, sf_dir)
+    exact = ALL["q51_embedding_neardup_exact"](spark, sf_dir)
+
+    # every reported pair clears the threshold under exact recomputation
+    # (epsilon: the bucket path computes dot*inv_l*inv_r, the canonical
+    # form dot/(norm*norm) — not bit-identical at the last ulp)
+    v = emb.select("vec_id", "embedding")
+    recheck = (
+        approx.join(v.select(F.col("vec_id").alias("id_l"),
+                             F.col("embedding").alias("_l")), "id_l")
+        .join(v.select(F.col("vec_id").alias("id_r"),
+                       F.col("embedding").alias("_r")), "id_r")
+        .withColumn("_sim2", similarity.cosine(F.col("_l"), F.col("_r")))
+    )
+    below = recheck.filter(F.col("_sim2") < 0.35 - 1e-6).count()
+    assert below == 0, f"{below} reported pairs below threshold on recompute"
+
+    # recall vs the exact baseline
+    n_exact = exact.count()
+    assert n_exact > 0
+    hit = exact.join(approx, ["id_l", "id_r"]).count()
+    recall = hit / n_exact
+    # 8 bands x 8 bits at threshold 0.35: pairs at the low end of the
+    # sim range have modest per-band collision probability; floor pinned
+    # from measured values (sf0.001 and sf0.01) minus slack
+    assert recall >= 0.10, f"LSH pair recall {recall:.3f} below floor"
+
+
+def test_q31_q32_q52_report_no_pairs_below_their_filters(spark, sf_dir):
+    """Structural sanity shared by the three pair queries: ordered ids,
+    no self-pairs, no duplicates."""
+    for name in ("q31_minhash_candidates", "q32_simhash_neardups",
+                 "q52_embedding_neardup_lsh"):
+        df = ALL[name](spark, sf_dir)
+        assert df.filter(F.col("id_l") >= F.col("id_r")).count() == 0, name
+        assert df.count() == df.select("id_l", "id_r").distinct().count(), name

@@ -377,3 +377,46 @@ def test_range_join_pre1970_and_clamped_span(spark):
     # id 1 inside the clamp window matches; id 2 is beyond the clamped
     # span of the corrupt interval and is (deliberately) dropped
     assert {(r["id"], r["wid"]) for r in out2.collect()} == {(1, 9)}
+
+
+def test_fuzzy_dedup_degenerate_bucket_guards(spark):
+    """Scale guard: a degenerate cluster (thousands of identical docs →
+    one bucket per band) must not expand O(m²) pairs in a single row —
+    over-cap buckets are dropped; empty docs never enter banding."""
+    n = 5000
+    rows = [(i, "the same boilerplate text repeated on every page of the crawl")
+            for i in range(n)]
+    rows += [(n + i, "") for i in range(50)]          # empty docs
+    rows += [(n + 100, None)]                          # null text
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+
+    pairs = dedup_fuzzy.minhash_candidate_pairs(
+        df, "doc_id", "text", num_hashes=16, bands=4, max_bucket_size=100
+    )
+    assert pairs.count() == 0  # giant bucket dropped, empties excluded
+
+    sim_pairs = dedup_fuzzy.simhash_near_dups(
+        df, "doc_id", "text", max_hamming=3, prefix_bits=8, max_bucket_size=100
+    )
+    assert sim_pairs.count() == 0
+
+    # under-cap clusters still expand: same corpus, cap above cluster size
+    small = spark.createDataFrame(rows[:40] + rows[n:], "doc_id long, text string")
+    ok = dedup_fuzzy.minhash_candidate_pairs(
+        small, "doc_id", "text", num_hashes=16, bands=4, max_bucket_size=100
+    )
+    assert ok.count() == 40 * 39 // 2  # all identical-doc pairs, no empties
+
+
+def test_cosine_lsh_zero_norm_and_bucket_cap(spark):
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(300)]   # one hot cluster
+    rows += [(1000 + i, [0.0, 0.0, 0.0, 0.0]) for i in range(20)]  # zero vectors
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = similarity.cosine_near_dup_pairs(
+        df, dim=4, threshold=0.9, num_bits=8, bands=2, max_bucket_size=100
+    )
+    assert capped.count() == 0  # hot cluster over cap -> dropped; zeros excluded
+    uncapped = similarity.cosine_near_dup_pairs(
+        df, dim=4, threshold=0.9, num_bits=8, bands=2, max_bucket_size=400
+    )
+    assert uncapped.count() == 300 * 299 // 2  # zero vectors still excluded
