@@ -23,6 +23,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
+from incubator_gobblin_spark.formats.avro_ocf import resolve_format
+
 from incubator_gobblin_spark.operators.dedup import dedup_argmax, dedup_exact
 from incubator_gobblin_spark.sinks.files import FileSink, TableType, new_run_id
 
@@ -53,7 +55,7 @@ def compact(
     primarykey-annotated fields exist); ``delta`` non-empty -> argmax
     dedup. ``target_file_rows`` drives the small-file rewrite.
     """
-    df = spark.read.format(fmt).load(input_path)
+    df = spark.read.format(resolve_format(fmt)).load(input_path)
     input_rows = df.count()
 
     if delta:
@@ -70,7 +72,7 @@ def compact(
     )
     run_id = new_run_id()
     sink.write_staging(out, run_id)
-    output_rows = spark.read.format(fmt).load(sink.staging_dir(run_id)).count()
+    output_rows = spark.read.format(resolve_format(fmt)).load(sink.staging_dir(run_id)).count()
     published = sink.publish(run_id)
     return CompactionResult(
         run_id=run_id,

@@ -24,6 +24,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
+from incubator_gobblin_spark.formats.avro_ocf import resolve_format
+
 from incubator_gobblin_spark.operators.converters import flatten_all
 
 
@@ -43,7 +45,7 @@ def materialize(
     Partitioned output uses ``partitionBy`` so the catalog records the
     partition columns — downstream readers get partition pruning."""
     out = flatten_all(df) if flatten else df
-    writer = out.write.format(fmt)
+    writer = out.write.format(resolve_format(fmt))
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.mode("overwrite" if overwrite else "errorifexists").saveAsTable(table)

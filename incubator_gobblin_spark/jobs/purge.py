@@ -23,6 +23,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from incubator_gobblin_spark.formats.avro_ocf import resolve_format
+
 from incubator_gobblin_spark.operators.joins import purge_anti_join
 from incubator_gobblin_spark.sinks.files import FileSink, TableType, new_run_id
 
@@ -52,7 +54,7 @@ def purge(
     a partition-pruning pre-pass), so an id set touching 1% of
     partitions rewrites 1% of the data.
     """
-    df = spark.read.format(fmt).load(data_path)
+    df = spark.read.format(resolve_format(fmt)).load(data_path)
     on_cols = [on] if isinstance(on, str) else list(on)
 
     if only_affected_partitions and partition_by:
@@ -74,7 +76,7 @@ def purge(
     )
     run_id = new_run_id()
     sink.write_staging(kept, run_id)
-    rows_after = spark.read.format(fmt).load(sink.staging_dir(run_id)).count()
+    rows_after = spark.read.format(resolve_format(fmt)).load(sink.staging_dir(run_id)).count()
     published = sink.publish(run_id)
     return PurgeResult(
         run_id=run_id,

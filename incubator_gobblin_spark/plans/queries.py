@@ -1455,6 +1455,42 @@ def q55_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q56_avro_scan_agg",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def q56_avro_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro lake scan (AvroHdfsDataWriter.java:51 output format +
+    FileBasedSource listing): the orders table is materialized ONCE as
+    deflate avro container files, then scanned through the native avro
+    FileFormat (spark-sql's bundled implementation addressed by class
+    name — columnar decode, whole-stage codegen downstream) and
+    aggregated. Oracle runs the same aggregation over the parquet copy,
+    proving the avro write+scan is value-faithful end to end."""
+    import os
+
+    from incubator_gobblin_spark.formats.avro_ocf import read_avro, write_avro
+
+    cache = os.path.join(
+        "/tmp/gobblin_avro_cache", os.path.basename(sf_dir.rstrip("/")), "orders"
+    )
+    if not os.path.isdir(cache) or not any(
+        n.endswith(".avro") for n in os.listdir(cache)
+    ):
+        write_avro(load_table(spark, sf_dir, "orders"), cache)
+    orders = read_avro(spark, cache)
+    return orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum("o_totalprice").alias("sum_price"),
+    )
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the multi-way broadcast star join + aggregation."""
     return q03_revenue_by_nation(spark, sf_dir)

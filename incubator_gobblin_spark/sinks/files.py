@@ -39,6 +39,8 @@ from enum import Enum
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from incubator_gobblin_spark.formats.avro_ocf import resolve_format
+
 
 class TableType(Enum):
     SNAPSHOT_ONLY = "snapshot_only"    # full overwrite each run
@@ -65,7 +67,7 @@ class FileSink:
         the same run_id must not double its data — the reference's
         staging-cleanup-on-retry, FsDataWriter)."""
         staging = self.staging_dir(run_id)
-        writer = df.write.mode("overwrite").format(self.fmt)
+        writer = df.write.mode("overwrite").format(resolve_format(self.fmt))
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         if self.max_records_per_file:
@@ -138,7 +140,7 @@ class FileSink:
         if errors is None:
             return None
         err_path = os.path.join(self.path, "_errors", run_id)
-        errors.write.mode("overwrite").format(self.fmt).save(err_path)
+        errors.write.mode("overwrite").format(resolve_format(self.fmt)).save(err_path)
         return err_path
 
 
@@ -232,7 +234,7 @@ def write_bucketed(
     analogue — its MR dedup re-shuffles per job). ``sort_cols``
     additionally makes each bucket sort-merge-ready without a sort step.
     """
-    writer = df.write.format(fmt).bucketBy(num_buckets, *bucket_cols)
+    writer = df.write.format(resolve_format(fmt)).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.mode(mode).saveAsTable(table)

@@ -158,8 +158,14 @@ def read_date_partitioned(
     row data of skipped files thanks to file-level filter pushdown on the
     derived column being evaluated before row decode.
     """
+    from incubator_gobblin_spark.formats.avro_ocf import resolve_format
+
     depth = partition_pattern.count("/") + 1
-    df = spark.read.format(fmt).option("recursiveFileLookup", "true").load(root)
+    df = (
+        spark.read.format(resolve_format(fmt))
+        .option("recursiveFileLookup", "true")
+        .load(root)
+    )
     segs = F.slice(F.split(F.input_file_name(), "/"), -1 - depth, depth)
     date_str = F.array_join(segs, "/")
     spark_fmt = partition_pattern

@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from incubator_gobblin_spark.formats.avro_ocf import resolve_format
+
 from incubator_gobblin_spark.operators.converters import Transform
 from incubator_gobblin_spark.operators.quality import RowPolicy, check_rows
 
@@ -70,7 +72,7 @@ class StreamPipeline:
         limit."""
 
         def _read(spark: SparkSession) -> DataFrame:
-            reader = spark.readStream.format(fmt).schema(schema)
+            reader = spark.readStream.format(resolve_format(fmt)).schema(schema)
             if max_files_per_trigger:
                 reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
             return reader.load(path)
@@ -119,7 +121,7 @@ class StreamPipeline:
         reference's 60s flush interval."""
         writer = (
             self.dataframe()
-            .writeStream.format(fmt)
+            .writeStream.format(resolve_format(fmt))
             .option("checkpointLocation", checkpoint)
             .option("path", path)
             .outputMode("append")
