@@ -21,8 +21,10 @@ as the reference: data movement vs metadata-only registration.
 from __future__ import annotations
 
 from collections.abc import Sequence
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from incubator_gobblin_spark.formats.avro_ocf import resolve_format
 
@@ -49,6 +51,113 @@ def materialize(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.mode("overwrite" if overwrite else "errorifexists").saveAsTable(table)
+
+
+@dataclass
+class ConversionResult:
+    """Audit trail of the conversion (the QueryBasedHivePublishEntity
+    analogue — HiveAvroORCQueryGenerator.serializePublishCommands:1124):
+    every DDL/DML the flow executed, in order."""
+
+    table: str
+    staging_table: str | None  # None = first run, direct CTAS
+    statements: list[str]
+    rows: int
+
+
+def convert_to_orc(
+    spark: SparkSession,
+    source: DataFrame,
+    table: str,
+    partition_by: Sequence[str] = (),
+    orc_compress: str = "ZLIB",
+    flatten: bool = True,
+    run_id: str | None = None,
+) -> ConversionResult:
+    """The Avro→ORC materialization flow
+    (HiveAvroORCQueryGenerator.java): nested lake data → flat ORC Hive
+    table, published atomically through a staging table.
+
+    Mirrors the reference's statement sequence:
+    1. staging CTAS stored as ORC with compression table property
+       (generateCreateTableDDL:124 — here Catalyst plans the flatten
+       projection instead of generated HiveQL column mappings,
+       generateAvroToHiveColumnMapping:382);
+    2. destination schema evolution — new staging columns are ADDed to
+       the existing destination so old consumers keep working
+       (generateEvolutionDDL:876);
+    3. publish = INSERT OVERWRITE by NAME with dynamic partition
+       overwrite — only partitions present in this run are swapped,
+       untouched partitions survive (generateDropPartitionsDDL:962 +
+       partition re-create:319); the FIRST run is a plain CTAS into the
+       destination (the table appears only after the distributed write
+       commits — same atomicity, no swap needed);
+    4. drop staging (generateDropTableDDL:371).
+
+    Scale: the only data movement is the one distributed ORC write; the
+    publish is a per-partition metadata swap planned by the
+    dynamic-overwrite committer."""
+    import uuid as _uuid
+
+    run_id = run_id or _uuid.uuid4().hex[:8]
+    staging = f"{table}_staging_{run_id}"
+    stmts: list[str] = []
+
+    out = flatten_all(source) if flatten else source
+
+    def _write(target: str) -> None:
+        writer = out.write.format("orc").option("compression", orc_compress.lower())
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.saveAsTable(target)
+
+    if not spark.catalog.tableExists(table):
+        _write(table)
+        stmts.append(f"CREATE TABLE {table} USING ORC AS SELECT ... [distributed write]")
+        return ConversionResult(table, None, stmts, spark.table(table).count())
+
+    _write(staging)
+    stmts.append(f"CREATE TABLE {staging} USING ORC AS SELECT ... [distributed write]")
+    rows = spark.table(staging).count()
+
+    # schema evolution: add staging-only columns to the destination
+    dest_cols = {f.name.lower() for f in spark.table(table).schema.fields}
+    new_fields = [
+        f for f in spark.table(staging).schema.fields if f.name.lower() not in dest_cols
+    ]
+    if new_fields:
+        cols_ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in new_fields
+        )
+        evo = f"ALTER TABLE {table} ADD COLUMNS ({cols_ddl})"
+        spark.sql(evo)
+        stmts.append(evo)
+
+    # publish: partition swap for partitioned tables (only partitions in
+    # this run are replaced), full overwrite otherwise. insertInto is
+    # POSITIONAL — project the staging rows into destination column
+    # order, null-filling destination columns this run didn't produce.
+    staging_cols = {f.name.lower() for f in spark.table(staging).schema.fields}
+    sel = [
+        F.col(f.name) if f.name.lower() in staging_cols
+        else F.lit(None).cast(f.dataType).alias(f.name)
+        for f in spark.table(table).schema.fields
+    ]
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        spark.table(staging).select(*sel).write.mode("overwrite").insertInto(table)
+        stmts.append(
+            f"INSERT OVERWRITE TABLE {table} "
+            f"{'PARTITION (dynamic) ' if partition_by else ''}SELECT ... FROM {staging}"
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    drop = f"DROP TABLE {staging}"
+    spark.sql(drop)
+    stmts.append(drop)
+    return ConversionResult(table, staging, stmts, rows)
 
 
 def register_external_table(

@@ -56,6 +56,101 @@ def find_versions_datetime(
     )
 
 
+def find_versions_glob_modtime(
+    spark: SparkSession,
+    root: str,
+    glob_pattern: str = "*",
+) -> DataFrame:
+    """GlobModTimeDatasetVersionFinder (gobblin-data-management
+    .../version/finder/GlobModTimeDatasetVersionFinder.java:37): versions
+    are the glob matches under each dataset root, version timestamp =
+    path MODIFICATION time (for layouts whose names carry no time)."""
+    import glob as _glob
+
+    rows = []
+    for dataset in sorted(os.listdir(root)):
+        ds_root = os.path.join(root, dataset)
+        if not os.path.isdir(ds_root):
+            continue
+        for p in sorted(_glob.glob(os.path.join(ds_root, glob_pattern))):
+            st = os.stat(p)
+            version_ts = datetime.fromtimestamp(st.st_mtime)
+            size = _tree_size(p)
+            rows.append((dataset, p, version_ts, size))
+    return spark.createDataFrame(
+        rows, "dataset string, version_path string, version_ts timestamp, size_bytes long"
+    )
+
+
+def find_versions_watermark(
+    spark: SparkSession,
+    root: str,
+    regex: str | None = None,
+) -> DataFrame:
+    """WatermarkDatasetVersionFinder (.../version/finder/
+    WatermarkDatasetVersionFinder.java:55): versions are DIRECT
+    subdirectories of each dataset dir; the watermark is the subdir name
+    (or regex capture group 1), ordered by STRING sort — policies order
+    on the ``watermark`` column. Non-matching candidates are skipped,
+    mirroring the reference's warn-and-ignore."""
+    pat = re.compile(regex) if regex else None
+    rows = []
+    for dataset in sorted(os.listdir(root)):
+        ds_root = os.path.join(root, dataset)
+        if not os.path.isdir(ds_root):
+            continue
+        for name in sorted(os.listdir(ds_root)):
+            p = os.path.join(ds_root, name)
+            if not os.path.isdir(p):
+                continue
+            if pat is not None:
+                m = pat.search(name)
+                if not m or not m.groups():
+                    continue
+                wm = m.group(1)
+            else:
+                wm = name
+            rows.append((dataset, p, wm, _tree_size(p)))
+    return spark.createDataFrame(
+        rows, "dataset string, version_path string, watermark string, size_bytes long"
+    )
+
+
+def find_versions_unix_timestamp(
+    spark: SparkSession,
+    root: str,
+    regex: str | None = None,
+    unit: str = "ms",
+) -> DataFrame:
+    """UnixTimestampVersionFinder (.../version/finder/
+    UnixTimestampVersionFinder.java:44): the watermark finder's string
+    version parsed as a unix timestamp (reference feeds epoch MILLIS to
+    joda DateTime; ``unit="s"`` for second-resolution layouts).
+    Unparsable versions are skipped with a warning, as in the
+    reference."""
+    versions = find_versions_watermark(spark, root, regex).collect()
+    div = 1000.0 if unit == "ms" else 1.0
+    rows = []
+    for r in versions:
+        try:
+            ts = datetime.fromtimestamp(int(r["watermark"]) / div)
+        except (ValueError, OSError, OverflowError):
+            continue
+        rows.append((r["dataset"], r["version_path"], ts, r["size_bytes"]))
+    return spark.createDataFrame(
+        rows, "dataset string, version_path string, version_ts timestamp, size_bytes long"
+    )
+
+
+def _tree_size(path: str) -> int:
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for dirpath, _dirs, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(dirpath, f_)) for f_ in files)
+    return total
+
+
 @dataclass
 class RetentionResult:
     deleted: list[str]

@@ -58,6 +58,11 @@ class FileSink:
     partition_by: list[str] = field(default_factory=list)
     max_records_per_file: int | None = None
     options: dict[str, str] = field(default_factory=dict)
+    # "rename" = atomic dir renames (POSIX/HDFS); "manifest" = data
+    # files stay put, commit is ONE atomic pointer swap — the
+    # object-store-safe mode (S3/GCS renames are copy+delete, not
+    # atomic; a single small-object PUT is).
+    commit_mode: str = "rename"
 
     def staging_dir(self, run_id: str) -> str:
         return os.path.join(self.path, "_staging", run_id)
@@ -78,10 +83,16 @@ class FileSink:
         return staging
 
     def publish(self, run_id: str) -> list[str]:
-        """Atomic-rename staging output into the final layout
-        (BaseDataPublisher.movePath:496 semantics). Returns published
-        paths. Local/HDFS rename is atomic per path; object stores want
-        a manifest-commit variant instead (future sink)."""
+        """Commit staged output (BaseDataPublisher.movePath:496
+        semantics). ``commit_mode="rename"`` renames staging dirs into
+        the final layout (atomic per path on POSIX/HDFS);
+        ``commit_mode="manifest"`` leaves data files in immutable
+        run dirs and atomically swaps a manifest pointer — see
+        :meth:`_publish_manifest`. Returns published paths."""
+        if self.commit_mode == "manifest":
+            # manifest mode tolerates a missing staging dir on retry
+            # (the data move already happened before the crash)
+            return self._publish_manifest(run_id)
         staging = self.staging_dir(run_id)
         if not os.path.isdir(staging):
             raise FileNotFoundError(f"staging dir missing: {staging}")
@@ -127,6 +138,134 @@ class FileSink:
         _rm(staging)
         _prune_empty(os.path.join(self.path, "_staging"))
         return published
+
+    # -- manifest commit (object-store-safe publish) ----------------------
+
+    def manifest_pointer(self) -> str:
+        return os.path.join(self.path, "_CURRENT")
+
+    def current_manifest(self) -> dict | None:
+        """Resolve the committed snapshot (readers start here)."""
+        import json
+
+        ptr = self.manifest_pointer()
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as fh:
+            manifest_rel = fh.read().strip()
+        with open(os.path.join(self.path, manifest_rel)) as fh:
+            return json.load(fh)
+
+    def _publish_manifest(self, run_id: str) -> list[str]:
+        """Manifest commit: data files move ONCE into an immutable
+        ``_data/<run_id>/`` dir (never rewritten, so the non-atomicity
+        of the move is invisible — nothing reads uncommitted run dirs),
+        a manifest lists every live data file of the NEW snapshot, and
+        the commit point is a single atomic pointer swap. A crash
+        anywhere before the swap leaves the previous snapshot fully
+        readable; re-running publish with the same run_id converges.
+
+        Snapshot composition per TableType (same semantics as renames):
+        - SNAPSHOT_ONLY: manifest = this run's files only;
+        - APPEND_ONLY: parent manifest files + this run's;
+        - SNAPSHOT_APPEND: parent files whose leaf partition is NOT
+          touched by this run + this run's files.
+        """
+        import json
+
+        staging = self.staging_dir(run_id)
+        data_dir = os.path.join(self.path, "_data", run_id)
+        if os.path.isdir(staging):
+            os.makedirs(os.path.dirname(data_dir), exist_ok=True)
+            _rm(data_dir)  # same-run retry: immutable run dir, rebuild
+            os.replace(staging, data_dir)
+        elif not os.path.isdir(data_dir):
+            raise FileNotFoundError(f"no staging or data dir for run {run_id}")
+
+        depth = len(self.partition_by)
+        new_entries: list[dict] = []
+        for leaf in _leaf_outputs(data_dir, depth):
+            rel_part = os.path.relpath(leaf, data_dir) if depth else ""
+            leaf_dir = leaf if os.path.isdir(leaf) else None
+            files = (
+                sorted(os.listdir(leaf_dir)) if leaf_dir else [os.path.basename(leaf)]
+            )
+            base = leaf_dir or os.path.dirname(leaf)
+            for f_ in files:
+                if f_.startswith(("_", ".")):
+                    continue
+                new_entries.append(
+                    {
+                        "file": os.path.relpath(os.path.join(base, f_), self.path),
+                        "partition": rel_part if rel_part != "." else "",
+                    }
+                )
+
+        parent = self.current_manifest()
+        if self.table_type == TableType.SNAPSHOT_ONLY or parent is None:
+            entries = new_entries
+        elif self.table_type == TableType.APPEND_ONLY:
+            entries = parent["entries"] + new_entries
+        else:  # SNAPSHOT_APPEND: replace touched leaf partitions
+            touched = {e["partition"] for e in new_entries}
+            entries = [
+                e for e in parent["entries"] if e["partition"] not in touched
+            ] + new_entries
+
+        manifest = {
+            "run_id": run_id,
+            "table_type": self.table_type.value,
+            "fmt": self.fmt,
+            "partition_by": self.partition_by,
+            "parent": parent["run_id"] if parent else None,
+            "entries": entries,
+        }
+        mdir = os.path.join(self.path, "_manifests")
+        os.makedirs(mdir, exist_ok=True)
+        mrel = os.path.join("_manifests", f"{run_id}.json")
+        mtmp = os.path.join(self.path, mrel + ".tmp")
+        with open(mtmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(mtmp, os.path.join(self.path, mrel))
+
+        # THE commit: one atomic pointer swap (object stores: one PUT)
+        ptr_tmp = self.manifest_pointer() + f".{run_id}.tmp"
+        with open(ptr_tmp, "w") as fh:
+            fh.write(mrel)
+        os.replace(ptr_tmp, self.manifest_pointer())
+        return [os.path.join(self.path, e["file"]) for e in entries]
+
+    def read_committed(self, spark) -> DataFrame:
+        """Read the committed snapshot through the manifest — the only
+        correct read path in manifest mode (directory listings see
+        uncommitted run dirs; the manifest never does)."""
+        from incubator_gobblin_spark.formats.avro_ocf import resolve_format as _rf
+
+        manifest = self.current_manifest()
+        if manifest is None:
+            raise FileNotFoundError(f"no committed manifest under {self.path}")
+        files = [os.path.join(self.path, e["file"]) for e in manifest["entries"]]
+        if not self.partition_by:
+            return spark.read.format(_rf(self.fmt)).load(files)
+        # partition columns resolve against a per-run basePath (the
+        # run-id path segment is not a key=value dir); one read per
+        # live run dir, unioned by name. Live-run count is bounded —
+        # compaction rewrites old runs into one.
+        by_run: dict[str, list[str]] = {}
+        data_root = os.path.join(self.path, "_data")
+        for f_ in files:
+            rid = os.path.relpath(f_, data_root).split(os.sep, 1)[0]
+            by_run.setdefault(rid, []).append(f_)
+        parts = [
+            spark.read.format(_rf(self.fmt))
+            .option("basePath", os.path.join(data_root, rid))
+            .load(fs)
+            for rid, fs in sorted(by_run.items())
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
 
     def abort(self, run_id: str) -> None:
         """Drop staging output (failed task policies — data never

@@ -206,6 +206,67 @@ def test_materialize_flattens_and_registers(spark, sf_dir, tmp_path):
     spark.sql("DROP TABLE t_mat")
 
 
+def test_convert_to_orc_first_run_and_partition_swap(spark, tmp_path):
+    """HiveAvroORCQueryGenerator flow: avro lake input -> flat ORC table;
+    second run swaps ONLY the partitions it produced."""
+    from incubator_gobblin_spark.formats.avro_ocf import write_avro, read_avro
+
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS t_orc")
+    shutil.rmtree("/tmp/spark-warehouse/t_orc", ignore_errors=True)
+    src = str(tmp_path / "avro_in")
+    df = spark.createDataFrame(
+        [(i, f"u{i}", {"city": "x" if i % 2 else "y"}, i % 2) for i in range(20)],
+        "id int, name string, meta struct<city:string>, p int",
+    )
+    write_avro(df, src)
+
+    res = HM.convert_to_orc(
+        spark, read_avro(spark, src), "t_orc", partition_by=("p",)
+    )
+    assert res.rows == 20
+    got = spark.table("t_orc")
+    assert set(got.columns) == {"id", "name", "meta_city", "p"}
+    assert got.count() == 20
+    # first run: direct CTAS, no staging table; destination is ORC
+    assert res.staging_table is None
+    fmt = spark.sql("DESCRIBE EXTENDED t_orc").filter("col_name='Provider'").first()
+    assert fmt and "orc" in fmt["data_type"].lower()
+
+    # run 2: only partition p=1 produced, p=0 rows must survive untouched
+    df2 = spark.createDataFrame(
+        [(100 + i, f"v{i}", {"city": "z"}, 1) for i in range(5)],
+        "id int, name string, meta struct<city:string>, p int",
+    )
+    res2 = HM.convert_to_orc(spark, df2, "t_orc", partition_by=("p",))
+    got2 = spark.table("t_orc")
+    assert got2.filter("p = 0").count() == 10  # untouched partition intact
+    assert got2.filter("p = 1").count() == 5   # swapped, not appended
+    assert "INSERT OVERWRITE" in " ".join(res2.statements)
+    spark.sql("DROP TABLE t_orc")
+
+
+def test_convert_to_orc_schema_evolution(spark, tmp_path):
+    """generateEvolutionDDL: a new source column is ADDed to the
+    destination; old rows read NULL for it."""
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS t_evo")
+    shutil.rmtree("/tmp/spark-warehouse/t_evo", ignore_errors=True)
+    d1 = spark.createDataFrame([(1, "a")], "id int, name string")
+    HM.convert_to_orc(spark, d1, "t_evo")
+    d2 = spark.createDataFrame([(2, "b", 7.5)], "id int, name string, score double")
+    res = HM.convert_to_orc(spark, d2, "t_evo")
+    assert any("ADD COLUMNS" in s for s in res.statements)
+    got = {r.id: r for r in spark.table("t_evo").collect()}
+    # unpartitioned second run is a full overwrite of data, but the
+    # evolved column exists and reads correctly
+    assert got[2].score == 7.5
+    assert set(spark.table("t_evo").columns) == {"id", "name", "score"}
+    spark.sql("DROP TABLE t_evo")
+
+
 def test_register_external_and_partition(spark, tmp_path):
     base = str(tmp_path / "ext")
     df = spark.range(10).withColumn("p", F.col("id") % 2)

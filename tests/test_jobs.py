@@ -69,6 +69,84 @@ def test_retention_newest_k_and_older_than(spark, tmp_path):
     assert versions_after.count() == 4
 
 
+def test_version_finder_glob_modtime(spark, tmp_path):
+    """GlobModTimeDatasetVersionFinder: version ts = mtime of the
+    glob-matched path."""
+    import os as _os
+    import time as _time
+
+    root = tmp_path / "lake"
+    ages = {"v_old": 3000, "v_mid": 2000, "v_new": 1000}
+    for name, age in ages.items():
+        d = root / "ds1" / name
+        d.mkdir(parents=True)
+        (d / "data.bin").write_bytes(b"x" * 5)
+        when = _time.time() - age
+        _os.utime(d, (when, when))
+    # non-matching dir ignored by the glob
+    (root / "ds1" / "tmp_scratch").mkdir()
+
+    versions = retention.find_versions_glob_modtime(spark, str(root), "v_*")
+    rows = {r.version_path.split("/")[-1]: r for r in versions.collect()}
+    assert set(rows) == {"v_old", "v_mid", "v_new"}
+    assert rows["v_new"].version_ts > rows["v_mid"].version_ts > rows["v_old"].version_ts
+    assert all(r.size_bytes == 5 for r in rows.values())
+
+    res = retention.apply_newest_k(versions, k=1, dry_run=True)
+    deleted = {p.split("/")[-1] for p in res.deleted}
+    assert deleted == {"v_old", "v_mid"}
+
+
+def test_version_finder_watermark_string_sort(spark, tmp_path):
+    """WatermarkDatasetVersionFinder: watermark = subdir name (or regex
+    group 1), STRING ordering; unmatched candidates skipped."""
+    root = tmp_path / "snaps"
+    for name in ["1436223009-snapshot", "1436234210-snapshot", "not-a-snap"]:
+        (root / "db" / name).mkdir(parents=True)
+        (root / "db" / name / "dump").write_bytes(b"y")
+
+    plain = retention.find_versions_watermark(spark, str(root))
+    assert plain.count() == 3  # no regex: every subdir name is a watermark
+
+    versions = retention.find_versions_watermark(
+        spark, str(root), regex=r"^(\d+)-snapshot$"
+    )
+    rows = sorted(versions.collect(), key=lambda r: r.watermark)
+    assert [r.watermark for r in rows] == ["1436223009", "1436234210"]
+
+    from incubator_gobblin_spark.operators import retention as R
+
+    deletable = R.newest_k(
+        versions,
+        group_by=["dataset"],
+        version_col="watermark",
+        k=1,
+        keep=False,
+        tie_breakers=["version_path"],
+    )
+    assert [r.watermark for r in deletable.collect()] == ["1436223009"]
+
+
+def test_version_finder_unix_timestamp(spark, tmp_path):
+    """UnixTimestampVersionFinder: watermark parsed as epoch millis ->
+    timestamp; unparsable versions skipped."""
+    root = tmp_path / "snaps"
+    for name in ["1436223009000-snap", "1436234210000-snap", "garbage-snap"]:
+        (root / "db" / name).mkdir(parents=True)
+        (root / "db" / name / "dump").write_bytes(b"y")
+
+    versions = retention.find_versions_unix_timestamp(
+        spark, str(root), regex=r"^(\w+)-snap$"
+    )
+    rows = sorted(versions.collect(), key=lambda r: r.version_ts)
+    assert len(rows) == 2  # garbage skipped
+    assert rows[0].version_ts == datetime.utcfromtimestamp(1436223009)
+    res = retention.apply_older_than(
+        versions, datetime.utcfromtimestamp(1436230000), dry_run=True
+    )
+    assert [p.split("/")[-1] for p in res.deleted] == ["1436223009000-snap"]
+
+
 def test_purge_partitioned(spark, sf_dir, tmp_path):
     data_path = str(tmp_path / "users")
     orders = load_table(spark, sf_dir, "orders").withColumn(

@@ -1,0 +1,117 @@
+"""Manifest-commit publish: the object-store-safe publish mode.
+
+Rename-based publish (BaseDataPublisher.movePath:496) is atomic per
+path only on POSIX/HDFS; on S3/GCS a rename is copy+delete. Manifest
+mode keeps data files in immutable run dirs and commits with ONE
+atomic pointer swap; a crash anywhere before the swap leaves the
+previous snapshot intact and readable."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_gobblin_spark.session import load_table
+from incubator_gobblin_spark.sinks.files import FileSink, TableType
+
+
+def _sink(path, **kw):
+    return FileSink(path=str(path), commit_mode="manifest", **kw)
+
+
+def test_append_only_accumulates_runs(spark, sf_dir, tmp_path):
+    df = load_table(spark, sf_dir, "region")
+    sink = _sink(tmp_path / "t")
+    sink.write_staging(df, "run1")
+    sink.publish("run1")
+    assert sink.read_committed(spark).count() == 5
+
+    sink.write_staging(df, "run2")
+    sink.publish("run2")
+    assert sink.read_committed(spark).count() == 10
+    m = sink.current_manifest()
+    assert m["run_id"] == "run2" and m["parent"] == "run1"
+
+
+def test_snapshot_only_replaces(spark, sf_dir, tmp_path):
+    sink = _sink(tmp_path / "t", table_type=TableType.SNAPSHOT_ONLY)
+    sink.write_staging(load_table(spark, sf_dir, "region"), "run1")
+    sink.publish("run1")
+    sink.write_staging(load_table(spark, sf_dir, "nation"), "run2")
+    sink.publish("run2")
+    got = sink.read_committed(spark)
+    assert got.count() == 25  # nation only, region snapshot replaced
+    assert "n_nationkey" in got.columns
+
+
+def test_snapshot_append_partition_swap(spark, sf_dir, tmp_path):
+    """Only leaf partitions touched by a run are replaced; siblings
+    survive — the multi-level-partition publish contract, manifest
+    edition."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    days = [r.day for r in ev.select("day").distinct().orderBy("day").limit(3).collect()]
+    sink = _sink(
+        tmp_path / "t", table_type=TableType.SNAPSHOT_APPEND, partition_by=["day"]
+    )
+    first = ev.filter(F.col("day").isin(days[:2]))
+    sink.write_staging(first, "run1")
+    sink.publish("run1")
+    assert sink.read_committed(spark).count() == first.count()
+
+    # run2 rewrites day[1] (halved) and adds day[2]; day[0] untouched
+    rewrite = ev.filter(F.col("day") == days[1]).limit(5)
+    add = ev.filter(F.col("day") == days[2])
+    sink.write_staging(rewrite.unionByName(add), "run2")
+    sink.publish("run2")
+    got = sink.read_committed(spark)
+    d0 = ev.filter(F.col("day") == days[0]).count()
+    assert got.filter(F.col("day") == days[0]).count() == d0
+    assert got.filter(F.col("day") == days[1]).count() == 5
+    assert got.filter(F.col("day") == days[2]).count() == add.count()
+
+
+def test_crash_before_pointer_swap_preserves_snapshot(spark, sf_dir, tmp_path, monkeypatch):
+    """Crash after data move + manifest write but BEFORE the pointer
+    swap: readers still see run1; retrying the publish converges."""
+    df = load_table(spark, sf_dir, "region")
+    sink = _sink(tmp_path / "t")
+    sink.write_staging(df, "run1")
+    sink.publish("run1")
+
+    sink.write_staging(df, "run2")
+    real_replace = os.replace
+
+    def _crashing_replace(src, dst):
+        if dst.endswith("_CURRENT"):
+            raise OSError("simulated crash during commit")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", _crashing_replace)
+    with pytest.raises(OSError, match="simulated crash"):
+        sink.publish("run2")
+    monkeypatch.undo()
+
+    # old snapshot intact, new data invisible
+    assert sink.current_manifest()["run_id"] == "run1"
+    assert sink.read_committed(spark).count() == 5
+
+    # retry with the same run_id converges (data dir already moved)
+    sink.publish("run2")
+    assert sink.current_manifest()["run_id"] == "run2"
+    assert sink.read_committed(spark).count() == 10
+
+
+def test_uncommitted_run_dirs_invisible_to_readers(spark, sf_dir, tmp_path):
+    """Directory listings would see staged/aborted runs; the manifest
+    never does."""
+    df = load_table(spark, sf_dir, "region")
+    sink = _sink(tmp_path / "t")
+    sink.write_staging(df, "good")
+    sink.publish("good")
+    # stage another run and abandon it (no publish)
+    sink.write_staging(df, "abandoned")
+    assert sink.read_committed(spark).count() == 5
+    files = {e["file"] for e in sink.current_manifest()["entries"]}
+    assert all("/good/" in f or f.startswith("_data/good") for f in files)
