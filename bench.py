@@ -87,31 +87,59 @@ def main() -> None:
             )
         ).collect()
 
+    # METHODOLOGY (frozen as of r2; do not change between rounds):
+    # per query, two timed runs after the untimed warmup. run 1 = COLD
+    # (pays this query's janino/JIT codegen compilation), run 2 = STEADY
+    # (the amortized per-execution cost of a deployed pipeline). The
+    # headline `value` remains the steady-state sum — the same quantity
+    # r1's best-of-2 reported — and `value_cold`/`queries_cold` expose
+    # the full first-run cost so the measurement is explicit.
     registry = Q.queries()
-    timings: dict[str, float] = {}
+    steady: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
-        # best-of-2: the first run pays one-time janino/JIT compilation of
-        # this query's generated code, which is amortized across reruns in
-        # any real deployment; the min is the engine's steady-state cost
-        best = float("inf")
+        runs = []
         for _ in range(2):
             t0 = time.perf_counter()
             registry[name](spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        cold[name] = round(runs[0], 3)
+        steady[name] = round(min(runs), 3)
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    total = round(sum(steady.values()), 3)
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": steady,
+        "value_cold": round(sum(cold.values()), 3),
+        "queries_cold": cold,
+        "methodology": "untimed warmup; 2 timed runs/query: run1=cold, min=steady; value=sum(steady)",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    # round-over-round delta against the latest BENCH_r{N}.json present
+    here = os.path.dirname(os.path.abspath(__file__))
+    prevs = sorted(
+        f for f in os.listdir(here)
+        if f.startswith("BENCH_r") and f.endswith(".json")
     )
+    if prevs:
+        try:
+            prev = json.load(open(os.path.join(here, prevs[-1])))
+            prev = prev.get("parsed", prev)  # driver wraps under "parsed"
+            prev_q = prev.get("queries", {})
+            out["delta_vs"] = prevs[-1]
+            out["delta_total"] = round(total - prev.get("value", 0.0), 3)
+            out["delta_queries"] = {
+                n: round(steady[n] - prev_q[n], 3)
+                for n in steady
+                if n in prev_q
+            }
+        except Exception:
+            pass
+
+    print(json.dumps(out))
     spark.stop()
 
 
