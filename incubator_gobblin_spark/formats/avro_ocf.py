@@ -608,6 +608,32 @@ def struct_to_avro(schema: T.StructType, name: str = "spark_record") -> dict:
 # ---------------------------------------------------------------------------
 
 
+def _ensure_portable_pickling() -> None:
+    """Mark the formats modules for BY-VALUE cloudpickle serialization.
+
+    The codec UDF closures reference module-level functions; by default
+    cloudpickle serializes those by reference, which requires
+    ``incubator_gobblin_spark`` to be importable inside every executor
+    Python worker — true when the driver runs from the repo root, false
+    for an arbitrary-cwd driver (exactly how a cluster submits jobs
+    without shipping the package). By-value registration makes every
+    UDF closure self-contained: no addPyFile / PYTHONPATH coupling."""
+    try:
+        from pyspark import cloudpickle
+
+        import incubator_gobblin_spark.formats.avro_ocf as _m1
+
+        cloudpickle.register_pickle_by_value(_m1)
+        try:
+            import incubator_gobblin_spark.formats.registry as _m2
+
+            cloudpickle.register_pickle_by_value(_m2)
+        except ImportError:  # pragma: no cover
+            pass
+    except Exception:  # pragma: no cover - best effort, old cloudpickle
+        pass
+
+
 def resolve_format(fmt: str) -> str:
     """Translate the engine's short format names to loadable data-source
     names. "avro" has no short-name registration without the spark-avro
@@ -653,6 +679,7 @@ def read_avro(
             reader = reader.schema(schema)
         return reader.option("recursiveFileLookup", "true").load(path)
 
+    _ensure_portable_pickling()
     if schema is None:
         first = _first_avro_file(path)
         with open(first, "rb") as fh:
@@ -706,6 +733,7 @@ def write_avro(
         )
         return -1
 
+    _ensure_portable_pickling()
     avro_schema = struct_to_avro(df.schema, record_name)
     names = [f.name for f in df.schema.fields]
     os.makedirs(path, exist_ok=True)
@@ -774,6 +802,7 @@ def from_avro_column(col, avro_schema: dict | str):
     (BytesToAvroConverter.java:40). Decoder compiled once per task."""
     from pyspark.sql import functions as F
 
+    _ensure_portable_pickling()
     schema = json.loads(avro_schema) if isinstance(avro_schema, str) else avro_schema
     spark_type, _ = avro_to_spark_type(schema)
     if not isinstance(spark_type, T.StructType):
@@ -796,6 +825,7 @@ def to_avro_column(col, avro_schema: dict | str):
     from pyspark.sql import functions as F
     from pyspark.sql import types as _T
 
+    _ensure_portable_pickling()
     schema = json.loads(avro_schema) if isinstance(avro_schema, str) else avro_schema
 
     @F.pandas_udf(returnType=_T.BinaryType())

@@ -39,6 +39,7 @@ from pyspark.sql import types as T
 
 from incubator_gobblin_spark.formats.avro_ocf import (
     _Reader,
+    _ensure_portable_pickling,
     avro_to_struct,
     make_decoder,
     make_encoder,
@@ -121,6 +122,7 @@ class FileSchemaRegistry(InMemorySchemaRegistry):
 
 def encode_envelope(col: Column | str, schema: dict, schema_id: int) -> Column:
     """struct column -> envelope binary (magic + id + avro body)."""
+    _ensure_portable_pickling()
 
     @F.pandas_udf(returnType=T.BinaryType())
     def _enc(s: pd.Series) -> pd.Series:
@@ -152,6 +154,7 @@ def decode_envelope(
     plan time — executors decode from the captured dict. Records whose
     id is missing from the snapshot raise (fail-fast — the
     SchemaChangeMonitor is the graceful path)."""
+    _ensure_portable_pickling()
     if reader_schema is None:
         if subject is None:
             raise ValueError("need reader_schema or subject")

@@ -53,6 +53,20 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _assert_broadcast_sized(
+    df: DataFrame, max_rows: int, op: str, scale_alt: str
+) -> None:
+    """Bounded-cost guard that a side intended for broadcast actually
+    is broadcast-sized (limit(max+1).count() — never a full scan)."""
+    n = df.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"{op}: broadcast side exceeds {max_rows} rows; "
+            f"use {scale_alt} for corpus-scale inputs "
+            f"(or raise max_broadcast_rows explicitly)"
+        )
+
+
 def cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -60,6 +74,7 @@ def cosine_topk(
     vec_col: str = "embedding",
     k: int = 10,
     exclude_self: bool = True,
+    max_broadcast_rows: int = 100_000,
 ) -> DataFrame:
     """Exact top-k by cosine: (query_id, neighbor_id, sim), k rows per query.
 
@@ -67,7 +82,14 @@ def cosine_topk(
     the big ``vectors`` side is never shuffled — each partition scores
     its vectors against all queries and the window top-k reduces
     per-query. Ties broken by neighbor id for determinism.
+
+    Guard: the query side must actually be broadcast-sized — a fat
+    "query" set silently turns this into an O(n·q) full cross product
+    across the cluster. Checked with a bounded count (costs at most a
+    ``max_broadcast_rows+1``-row scan); oversize callers are pointed at
+    :func:`lsh_topk`.
     """
+    _assert_broadcast_sized(queries, max_broadcast_rows, "cosine_topk", "lsh_topk")
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
     )
@@ -200,6 +222,7 @@ def cosine_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_broadcast_rows: int = 100_000,
 ) -> DataFrame:
     """Exact embedding-cosine near-dup pairs: (id_l, id_r, sim) with
     id_l < id_r and sim >= threshold.
@@ -207,8 +230,18 @@ def cosine_pairs(
     All-pairs scoring with one side broadcast: correct-by-construction
     baseline, O(n²) compute — use only when one side fits in a broadcast
     (re-rank stages, validation runs). The corpus-scale path is
-    :func:`cosine_near_dup_pairs` (LSH candidates first).
+    :func:`cosine_near_dup_pairs` (LSH candidates first). Guarded like
+    :func:`cosine_topk` — the broadcast side is the whole corpus here.
+
+    Threshold boundary: ``sim`` is rounded to 6 decimals before the
+    ``>=`` comparison (determinism across engines), so membership of a
+    pair whose TRUE cosine sits within 5e-7 of the threshold is
+    rounding-defined — the same contract as the LSH path's re-rank,
+    but not bit-identical to comparing the unrounded value.
     """
+    _assert_broadcast_sized(
+        vectors, max_broadcast_rows, "cosine_pairs", "cosine_near_dup_pairs"
+    )
     # Norms are staged as physical scalar columns BEFORE the pair join —
     # one norm per vector instead of one per pair (the naive
     # cosine-per-pair form recomputes each norm n-1 times).

@@ -259,6 +259,39 @@ def to_json_string(fields: Sequence[str] | None, out: str = "json") -> Transform
     return _t
 
 
+def to_rest_entry(
+    resource_template: str,
+    json_fields: Sequence[str] | None = None,
+    resource_out: str = "resource",
+    json_out: str = "json",
+) -> Transform:
+    """Record -> REST entry: a resource path rendered from a
+    ``{column}`` template plus the JSON body.
+
+    Mirrors AvroToRestJsonEntryConverter (gobblin-core
+    .../converter/http/AvroToRestJsonEntryConverter.java:43) — the
+    reference resolves a resource-key template against record fields
+    and pairs it with the record JSON. Template rendering is
+    ``format_string`` (JVM-side); e.g. ``"users/{id}/posts/{post_id}"``.
+    """
+    import re as _re
+
+    parts = _re.split(r"\{([A-Za-z0-9_.]+)\}", resource_template)
+    # even indices = literal text (escape %), odd = column placeholders
+    fmt = "".join(
+        p.replace("%", "%%") if i % 2 == 0 else "%s" for i, p in enumerate(parts)
+    )
+    cols = [parts[i] for i in range(1, len(parts), 2)]
+
+    def _t(df: DataFrame) -> DataFrame:
+        body = [F.col(c) for c in (json_fields or df.columns)]
+        return df.withColumn(
+            resource_out, F.format_string(fmt, *[F.col(c) for c in cols])
+        ).withColumn(json_out, F.to_json(F.struct(*body)))
+
+    return _t
+
+
 def cast_columns(casts: dict[str, str]) -> Transform:
     """Cast columns by name -> Spark type string. Covers the family of
     trivial cast converters (ObjectToStringConverter,

@@ -42,6 +42,7 @@ from incubator_gobblin_spark.operators.quality import (
     TaskPolicyError,
     check_rows,
 )
+from incubator_gobblin_spark.formats.avro_ocf import resolve_format
 from incubator_gobblin_spark.operators.watermark import WatermarkInterval, high_watermark
 from incubator_gobblin_spark.sinks.files import FileSink, new_run_id
 from incubator_gobblin_spark.state import StateStore, TableState
@@ -86,6 +87,7 @@ class Pipeline:
         self._state_table: str | None = None
         self._wm_high: object | None = None
         self._wm_obs: Observation | None = None
+        self._metrics_reporter = None
 
     # -- builder -----------------------------------------------------------
     def source(self, fn: Callable[[SparkSession], DataFrame]) -> "Pipeline":
@@ -129,6 +131,13 @@ class Pipeline:
         self._sink = sink
         return self
 
+    def metrics(self, reporter) -> "Pipeline":
+        """Attach a metrics reporter (gobblin-metrics emission surface,
+        metrics.FileMetricsReporter): every run emits one scrapable
+        event with rows, duration, watermark, and publish status."""
+        self._metrics_reporter = reporter
+        return self
+
     def fork(self, *branches: ForkBranch) -> "Pipeline":
         """Multiplex the post-quality stream into N branches, each with
         its own converters/policies/sink (ForkOperator,
@@ -166,7 +175,40 @@ class Pipeline:
 
     # -- execute -----------------------------------------------------------
     def run(self, run_id: str | None = None) -> RunResult:
+        import time as _time
+
+        t0 = _time.perf_counter()
         run_id = run_id or new_run_id()
+        try:
+            result = self._run_inner(run_id)
+        except Exception as e:
+            self._emit_metrics(run_id, None, _time.perf_counter() - t0, error=repr(e))
+            raise
+        self._emit_metrics(run_id, result, _time.perf_counter() - t0)
+        return result
+
+    def _emit_metrics(self, run_id, result, secs, error: str | None = None) -> None:
+        if self._metrics_reporter is None:
+            return
+        event = {
+            "event": "pipeline_run",
+            "pipeline": self.name,
+            "run_id": run_id,
+            "duration_sec": round(secs, 3),
+            "status": "failed" if error else "committed",
+        }
+        if error:
+            event["error"] = error
+        else:
+            event["rows_written"] = result.rows_written
+            event["published_paths"] = len(result.published_paths)
+            if result.high_watermark is not None:
+                event["high_watermark"] = str(result.high_watermark)
+            if result.branch_rows:
+                event["branch_rows"] = result.branch_rows
+        self._metrics_reporter.emit(event)
+
+    def _run_inner(self, run_id: str) -> RunResult:
         df, quality = self.dataframe()
 
         if self._branches:
@@ -177,7 +219,7 @@ class Pipeline:
         # Stage the output; the write action is also the count action.
         self._sink.write_staging(df, run_id)
         # Count from staged files: no recomputation of the source plan.
-        staged = self.spark.read.format(self._sink.fmt).load(
+        staged = self.spark.read.format(resolve_format(self._sink.fmt)).load(
             self._sink.staging_dir(run_id)
         )
         rows = staged.count()
@@ -222,7 +264,7 @@ class Pipeline:
                     bdf = bq.passed
                 br.sink.write_staging(bdf, run_id)
                 branch_rows[br.name] = (
-                    self.spark.read.format(br.sink.fmt)
+                    self.spark.read.format(resolve_format(br.sink.fmt))
                     .load(br.sink.staging_dir(run_id))
                     .count()
                 )

@@ -1480,15 +1480,184 @@ def q56_avro_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache = os.path.join(
         "/tmp/gobblin_avro_cache", os.path.basename(sf_dir.rstrip("/")), "orders"
     )
-    if not os.path.isdir(cache) or not any(
-        n.endswith(".avro") for n in os.listdir(cache)
-    ):
+    # _SUCCESS gates the cache: an aborted write leaves a dir without it
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
         write_avro(load_table(spark, sf_dir, "orders"), cache)
     orders = read_avro(spark, cache)
     return orders.groupBy("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
         _dsum("o_totalprice").alias("sum_price"),
     )
+
+
+@register(
+    "q57_orc_scan_agg",
+    """
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q57_orc_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC lake scan (GobblinBaseOrcWriter.java:53 output +
+    HiveAvroORCQueryGenerator read-side): lineitem materialized once as
+    zlib ORC, scanned through Spark's columnar ORC reader, aggregated.
+    Oracle runs over the parquet copy — the ORC write+scan is
+    value-faithful end to end."""
+    import os
+
+    cache = os.path.join(
+        "/tmp/gobblin_orc_cache", os.path.basename(sf_dir.rstrip("/")), "lineitem"
+    )
+    # _SUCCESS gates the cache: an aborted write leaves a dir without it
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        load_table(spark, sf_dir, "lineitem").write.mode("overwrite").option(
+            "compression", "zlib"
+        ).orc(cache)
+    li = spark.read.orc(cache)
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), _dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@register(
+    "q58_envelope_decode_agg",
+    """
+    SELECT c_mktsegment,
+           count(*) AS n,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q58_envelope_decode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-registry envelope pipeline (EnvelopeSchemaConverter.java:57):
+    customer rows framed as magic+id+avro-binary envelopes (cached once),
+    decoded per record against the plan-time registry snapshot, then
+    aggregated. PYTHON-BY-NECESSITY: binary avro decode has no JVM
+    implementation without the spark-avro package (AvroDataToCatalyst),
+    so this query's decode stage is an Arrow-batched pandas UDF —
+    exempted, with this rationale, from the zero-EvalPython plan rule."""
+    import os
+
+    from incubator_gobblin_spark.formats.registry import (
+        InMemorySchemaRegistry,
+        decode_envelope,
+        encode_envelope,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "customer_env",
+        "fields": [
+            {"name": "c_custkey", "type": "long"},
+            {"name": "c_mktsegment", "type": ["null", "string"]},
+            {"name": "c_acctbal", "type": ["null", "double"]},
+        ],
+    }
+    registry = InMemorySchemaRegistry()
+    sid = registry.register("customer", schema)
+
+    cache = os.path.join(
+        "/tmp/gobblin_envelope_cache", os.path.basename(sf_dir.rstrip("/")), "customer"
+    )
+    # _SUCCESS gates the cache: an aborted write leaves a dir without it
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "customer")
+            .select(
+                encode_envelope(
+                    F.struct("c_custkey", "c_mktsegment", "c_acctbal"), schema, sid
+                ).alias("value")
+            )
+            .write.mode("overwrite")
+            .parquet(cache)
+        )
+    env = spark.read.parquet(cache)
+    dec = env.select(
+        decode_envelope("value", registry, subject="customer").alias("s")
+    ).select("s.*")
+    return dec.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), _dsum("c_acctbal").alias("sum_bal")
+    )
+
+
+@register(
+    "q59_scalar_subquery_above_avg",
+    """
+    SELECT p_brand,
+           count(*) AS n,
+           CAST(min(p_retailprice) AS DOUBLE) AS min_price
+    FROM part
+    WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+    GROUP BY p_brand
+    """,
+)
+def q59_scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery filter (the compaction threshold-verifier shape,
+    CompactionThresholdVerifier): global aggregate computed once,
+    broadcast into the fact filter — one scan computes the avg, one
+    scan filters; no driver-side collect of the scalar."""
+    part = load_table(spark, sf_dir, "part")
+    avg_df = part.agg(F.avg("p_retailprice").alias("_avg"))
+    return (
+        part.join(F.broadcast(avg_df))
+        .filter(F.col("p_retailprice") > F.col("_avg"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("p_retailprice").cast("double").alias("min_price"),
+        )
+    )
+
+
+@register(
+    "q60_time_partition_tree_rollup",
+    """
+    SELECT CAST(strftime(ts, '%Y') AS VARCHAR) AS year,
+           CAST(strftime(ts, '%m') AS VARCHAR) AS month,
+           CAST(strftime(ts, '%d') AS VARCHAR) AS day,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q60_time_partition_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level time-partition math (TimeBasedWriterPartitioner
+    .partitionForRecord:147 via sinks.time_partition_tree): the exact
+    year/month/day derivation the partitioned writer uses, aggregated —
+    proving the directory-tree math against the oracle's strftime."""
+    from incubator_gobblin_spark.sinks.files import time_partition_tree
+
+    ev = load_table(spark, sf_dir, "events")
+    levels = time_partition_tree("ts", granularity="day")
+    for name, col in levels:
+        ev = ev.withColumn(name, col)
+    return ev.groupBy("year", "month", "day").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q61_rest_entry_projection",
+    """
+    SELECT 'nations/' || CAST(n_nationkey AS VARCHAR) || '/region/' ||
+           CAST(n_regionkey AS VARCHAR) AS resource,
+           '{"n_name":"' || n_name || '"}' AS json
+    FROM nation
+    """,
+)
+def q61_rest_entry_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REST entry converter (AvroToRestJsonEntryConverter.java:43):
+    resource template rendered JVM-side (format_string) + JSON body
+    (to_json) — the HTTP-egress record shape as a pure projection."""
+    from incubator_gobblin_spark.operators.converters import to_rest_entry
+
+    nation = load_table(spark, sf_dir, "nation")
+    out = to_rest_entry(
+        "nations/{n_nationkey}/region/{n_regionkey}", json_fields=["n_name"]
+    )(nation)
+    return out.select("resource", "json")
 
 
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

@@ -337,6 +337,25 @@ def time_partition_column(
     return out, F.date_format(c, pattern.replace("/", "-"))
 
 
+def schema_partition_column(
+    df: DataFrame, out: str = "schema_name", name: str | None = None
+) -> tuple[str, Column]:
+    """SchemaBasedWriterPartitioner (gobblin-core
+    .../writer/partitioner/SchemaBasedWriterPartitioner.java:31):
+    partition output by the record schema's identity, so heterogeneous
+    streams demux into per-schema directories. A DataFrame has ONE
+    schema, so the value is a plan literal: ``name`` if given (the avro
+    record name case) else a stable 8-hex fingerprint of the schema
+    shape — two writers with the same schema land in the same dir,
+    any shape change lands in a new one."""
+    import hashlib
+
+    value = name or hashlib.sha256(
+        df.schema.simpleString().encode()
+    ).hexdigest()[:8]
+    return out, F.lit(value)
+
+
 def time_partition_tree(
     ts_col: str | Column, granularity: str = "day"
 ) -> list[tuple[str, Column]]:

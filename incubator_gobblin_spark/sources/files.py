@@ -139,6 +139,28 @@ def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.json(path)
 
 
+def read_hadoop_input_format(
+    spark: SparkSession,
+    path: str,
+    input_format: str = "org.apache.hadoop.mapreduce.lib.input.TextInputFormat",
+    key_class: str = "org.apache.hadoop.io.LongWritable",
+    value_class: str = "org.apache.hadoop.io.Text",
+) -> DataFrame:
+    """HadoopFileInputSource/HadoopTextInputSource (gobblin-core
+    .../extractor/hadoop/HadoopFileInputSource.java:74): wrap an
+    arbitrary Hadoop InputFormat. The escape hatch for formats Spark
+    has no reader for — ``newAPIHadoopFile`` plans one partition per
+    input split, exactly the reference's one-WorkUnit-per-split.
+
+    Default TextInputFormat yields (byte offset, line). Prefer
+    ``spark.read.*`` built-ins whenever one exists — they're columnar
+    and pushdown-capable; this path is row-RDD + one conversion."""
+    rdd = spark.sparkContext.newAPIHadoopFile(
+        path, input_format, key_class, value_class
+    )
+    return spark.createDataFrame(rdd, "key long, value string")
+
+
 def read_date_partitioned(
     spark: SparkSession,
     root: str,
