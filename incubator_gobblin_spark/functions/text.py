@@ -113,6 +113,50 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalized)
 
 
+def winnow_fingerprints(
+    col: Column | str, k: int = 4, window: int = 4
+) -> Column:
+    """Winnowing document fingerprints (the rolling-hash fingerprint
+    family): k-token shingles are hashed and a sliding window keeps
+    each window's MINIMUM hash — the standard local-minimum sampling
+    that guarantees any shared run of >= k+window-1 tokens between two
+    documents shares at least one fingerprint (the plagiarism/near-dup
+    detection invariant).
+
+    Pure Column (one transform over an index sequence, no UDF, no
+    shuffle): at corpus scale the fingerprint array replaces the
+    document in every downstream comparison — grouping on exploded
+    fingerprints finds candidate pairs with shuffle rows of ~16 bytes.
+    Hashes are hex-md5 prefixes, so an external engine (the DuckDB
+    oracle) reproduces them bit-for-bit; window minimum is
+    lexicographic on the hex strings, identical in both engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != "")
+    n_grams = F.size(toks) - (k - 1)
+    grams = F.when(n_grams <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+    hashes = F.transform(grams, lambda g: F.substring(F.md5(g), 1, 16))
+    n_win = F.size(hashes) - (window - 1)
+    return (
+        F.when(F.size(hashes) == 0, F.array().cast("array<string>"))
+        .when(n_win <= 0, F.array_distinct(F.array(F.array_min(hashes))))
+        .otherwise(
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), n_win),
+                        lambda i: F.array_min(F.slice(hashes, i, window)),
+                    )
+                )
+            )
+        )
+    )
+
+
 def ngrams(col: Column | str, n: int = 3) -> Column:
     """Word n-grams as array<string> (for Jaccard similarity / shingling).
     Pure-Column: transform over a token index sequence."""

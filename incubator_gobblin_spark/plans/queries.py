@@ -1660,6 +1660,49 @@ def q61_rest_entry_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("resource", "json")
 
 
+@register(
+    "q62_winnow_fingerprints",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x != '') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, CASE WHEN len(toks) - 3 <= 0 THEN []::VARCHAR[]
+        ELSE [array_to_string(toks[i:i+3], ' ')
+              FOR i IN range(1, len(toks) - 3 + 1)] END AS grams
+      FROM t
+    ), h AS (
+      SELECT doc_id, [substring(md5(x), 1, 16) FOR x IN grams] AS hashes
+      FROM g
+    ), w AS (
+      SELECT doc_id, CASE
+        WHEN len(hashes) = 0 THEN []::VARCHAR[]
+        WHEN len(hashes) - 3 <= 0 THEN [list_aggregate(hashes, 'min')]
+        ELSE list_sort(list_distinct(
+               [list_aggregate(hashes[i:i+3], 'min')
+                FOR i IN range(1, len(hashes) - 3 + 1)]))
+      END AS fps FROM h
+    )
+    SELECT doc_id, len(fps) AS n_fps, fps[1] AS min_fp FROM w
+    """,
+)
+def q62_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints over the documents table
+    (functions/text.py:winnow_fingerprints): per doc, the count of
+    local-minimum shingle hashes and the smallest fingerprint. Pure
+    Column — the oracle reproduces the md5-prefix hashes bit-for-bit
+    via DuckDB list comprehensions."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = text.winnow_fingerprints("text", k=4, window=4)
+    return docs.select(
+        "doc_id",
+        F.size(fps).alias("n_fps"),
+        F.element_at(fps, 1).alias("min_fp"),
+    )
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the multi-way broadcast star join + aggregation."""
     return q03_revenue_by_nation(spark, sf_dir)
