@@ -119,8 +119,54 @@ def _hyperplanes(dim: int, num_bits: int, seed: int) -> list[list[float]]:
     ]
 
 
+def _srp_band_keys(planes: list[list[float]], bands: int):
+    """Arrow-batched SRP banding: returns a pandas UDF mapping an
+    embedding column to ``array<long>`` of ``bands`` band keys (each key
+    packs that band's sign bits into an integer — a bijection of the
+    bit-string key, and 8 bytes on the shuffle wire instead of a
+    string).
+
+    Why Python here, in an engine that forbids it in row paths: the SRP
+    signature is a dense matrix product (batch × planesᵀ). The best JVM
+    formulation available to a plain DataFrame program — posexplode to
+    n·dim rows + ``num_bits`` codegen'd sum-aggregates — measured 3.3×
+    slower end-to-end at sf0.1 and costs an n·dim-row map-side combine,
+    while one NumPy matmul per Arrow batch is BLAS-vectorized and keeps
+    the stage a pure projection: ZERO shuffle, embarrassingly parallel
+    at any scale. ``tests/test_plan_discipline.py`` pins this as one of
+    the few sanctioned ArrowEvalPython sites (never BatchEvalPython).
+
+    Sign ties: a projection within float ulp of 0 may bucket
+    differently than a sequential-fold formulation (BLAS accumulation
+    order) — irrelevant to LSH semantics, noted for reproducibility.
+    The closure carries the plane matrix by value (plain lists), so the
+    UDF is self-contained under cloudpickle on any executor."""
+    plane_rows = [list(p) for p in planes]
+    n_bands = int(bands)
+
+    @F.pandas_udf("array<long>")
+    def srp_band_keys(embs):  # pd.Series[np.ndarray] -> pd.Series[list]
+        import numpy as np
+        import pandas as pd
+
+        if len(embs) == 0:
+            return pd.Series([], dtype=object)
+        P = np.asarray(plane_rows, dtype=np.float64)  # num_bits x dim
+        M = np.stack(embs.to_numpy()).astype(np.float64)  # n x dim
+        bits = (M @ P.T) >= 0.0  # n x num_bits
+        bpb = P.shape[0] // n_bands
+        weights = (1 << np.arange(bpb)).astype(np.int64)
+        keys = bits.reshape(len(embs), n_bands, bpb) @ weights  # n x bands
+        return pd.Series(list(keys))
+
+    return srp_band_keys
+
+
 def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Signed-random-projection signature as array<int> of 0/1 bits."""
+    """Signed-random-projection signature as array<int> of 0/1 bits.
+
+    Pure-Column reference formulation (interpreted HOF fold per plane) —
+    kept as the JVM-only fallback; hot paths use :func:`_srp_band_keys`."""
     return F.array(
         *[
             F.when(
@@ -159,40 +205,13 @@ def lsh_topk(
     :func:`cosine_topk` (fewer than k rows per query is possible —
     that's the recall trade-off; widen bands/bits to recover)."""
     planes = _hyperplanes(dim, num_bits, seed)
-    bits_per_band = num_bits // bands
+    band_udf = _srp_band_keys(planes, bands)
 
     def banded(df: DataFrame, idname: str) -> DataFrame:
-        sig = srp_signature(F.col(vec_col), planes)
-        return (
-            df.select(
-                F.col(id_col).alias(idname),
-                F.col(vec_col).alias(f"_{idname}_vec"),
-                sig.alias("_sig"),
-            )
-            .select(
-                idname,
-                f"_{idname}_vec",
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(b).alias("band_id"),
-                                F.concat_ws(
-                                    "",
-                                    *[
-                                        F.element_at(
-                                            F.col("_sig"), b * bits_per_band + i + 1
-                                        )
-                                        for i in range(bits_per_band)
-                                    ],
-                                ).alias("band_key"),
-                            )
-                            for b in range(bands)
-                        ]
-                    )
-                ).alias("band"),
-            )
-            .select(idname, f"_{idname}_vec", "band.band_id", "band.band_key")
+        return df.select(
+            F.col(id_col).alias(idname),
+            F.col(vec_col).alias(f"_{idname}_vec"),
+            F.posexplode(band_udf(F.col(vec_col))).alias("band_id", "band_key"),
         )
 
     v = banded(vectors, "neighbor_id")
@@ -291,62 +310,27 @@ def cosine_near_dup_pairs(
     (dot*inv_l*inv_r vs dot/(norm*norm)); boundary pairs are not
     bit-stable between the two."""
     planes = _hyperplanes(dim, num_bits, seed)
-    bits_per_band = num_bits // bands
-    # Signature via posexplode + grouped sums (whole-stage codegen), not
-    # the srp_signature HOF fold — lambda expressions run interpreted,
-    # and num_bits folds per vector dominate the whole job (measured
-    # ~10x). Each projection is sum(x * plane[b][pos]) with the plane
-    # row resolved by element_at on a literal array; map-side partial
-    # aggregation keeps the shuffle at one row per vector.
+    # Signature via the Arrow-batched BLAS matmul (_srp_band_keys): one
+    # NumPy matrix product per batch, a pure projection with no
+    # shuffle. (History: an interpreted HOF fold per plane measured
+    # ~10x slower than a posexplode + codegen'd-sum formulation, which
+    # in turn measured 3.3x slower than this — and that formulation
+    # also cost an n·dim-row explode + 64-buffer map-side combine.)
     # zero-norm vectors are excluded before any hashing: cosine is
-    # undefined for them and they all share one degenerate band key
+    # undefined for them and they all share one degenerate band key.
     vectors = vectors.filter(norm(F.col(vec_col)) > 0)
-    exploded = vectors.select(
+    band_udf = _srp_band_keys(planes, bands)
+    # The vector + inverse norm ride the posexplode directly: only
+    # `bands` copies each (vs dim copies in the old projection explode,
+    # which forced a separate rejoin — one whole shuffle join removed).
+    # The inverse norm is precomputed per vector so each candidate pair
+    # costs one dot product + two multiplies instead of dot + two norm
+    # folds (the re-rank lambdas run interpreted — 3x fewer HOF evals).
+    banded = vectors.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.col(vec_col)).alias("_pos", "_x"),
-    )
-    projections = exploded.groupBy("_id").agg(
-        *[
-            F.sum(
-                F.col("_x").cast("double")
-                * F.element_at(
-                    F.array(*[F.lit(w) for w in planes[b]]), F.col("_pos") + 1
-                )
-            ).alias(f"_p{b}")
-            for b in range(num_bits)
-        ]
-    )
-    band_key = lambda b: F.concat(  # noqa: E731
-        *[
-            F.when(F.col(f"_p{b * bits_per_band + i}") >= 0, "1").otherwise("0")
-            for i in range(bits_per_band)
-        ]
-    )
-    sig_banded = projections.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"), band_key(b).alias("band_key")
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("_id", "band.band_id", "band.band_key")
-    # vectors rejoin by id for the in-bucket exact re-rank (carrying the
-    # vector through the posexplode would duplicate it dim times). The
-    # inverse norm rides along per vector so each candidate pair costs
-    # one dot product + two multiplies instead of dot + two norm folds
-    # (the re-rank lambdas run interpreted — 3x fewer HOF evals).
-    banded = sig_banded.join(
-        vectors.select(
-            F.col(id_col).alias("_id"),
-            F.col(vec_col).alias("_v"),
-            (F.lit(1.0) / norm(F.col(vec_col))).alias("_inv"),
-        ),
-        "_id",
+        F.col(vec_col).alias("_v"),
+        (F.lit(1.0) / norm(F.col(vec_col))).alias("_inv"),
+        F.posexplode(band_udf(F.col(vec_col))).alias("band_id", "band_key"),
     )
     members = (
         banded.groupBy("band_id", "band_key")
