@@ -193,3 +193,47 @@ def repair_partitions(spark: SparkSession, table: str) -> None:
     """MSCK REPAIR: discover hive-layout partition directories under the
     table location (bulk HiveRegistrationPublisher for backfills)."""
     spark.sql(f"MSCK REPAIR TABLE {table}")
+
+
+def hive_source_partitions(
+    spark: SparkSession,
+    table: str,
+    partition_col: str,
+    lookback_days: int,
+    as_of: "str | None" = None,
+) -> tuple[list[str], DataFrame]:
+    """HiveSource WorkUnit planning (gobblin-data-management
+    .../conversion/hive/source/HiveSource.java:106, lookback :110,:425):
+    of a catalog table's partitions, select only those newer than the
+    lookback window and return (selected partition values, a DataFrame
+    pruned to exactly those partitions).
+
+    The reference walks the metastore and creates one WorkUnit per
+    partition whose create time is inside ``lookbackDays``; here the
+    partition VALUE is the time source (the reference's
+    partition-name-datetime mode) and the pruned DataFrame carries a
+    catalog partition filter, so the scan plans only the selected
+    partitions (partition pruning — no data outside the window is
+    listed, let alone read). ``as_of`` (ISO date, default today) exists
+    for deterministic tests."""
+    rows = spark.sql(f"SHOW PARTITIONS {table}").collect()
+    values: list[str] = []
+    for r in rows:
+        for piece in r[0].split("/"):
+            k, _, v = piece.partition("=")
+            if k == partition_col:
+                values.append(v)
+    as_of_expr = (
+        F.to_date(F.lit(as_of)) if as_of is not None else F.current_date()
+    )
+    cutoff_df = spark.range(1).select(
+        F.date_sub(as_of_expr, lookback_days).cast("string").alias("c")
+    )
+    cutoff = cutoff_df.collect()[0]["c"]
+    selected = sorted(v for v in values if v >= cutoff)
+    pruned = spark.table(table).filter(
+        F.col(partition_col).cast("string").isin(selected)
+        if selected
+        else F.lit(False)
+    )
+    return selected, pruned

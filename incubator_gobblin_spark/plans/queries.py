@@ -1703,6 +1703,78 @@ def q62_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q63_minhash_covers_exact_dups",
+    """
+    SELECT count(*) AS n_covered
+    FROM documents
+    WHERE len(string_split_regex(text, '\\s+')) >= 2
+    """,
+)
+def q63_minhash_covers_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine MinHash-LSH invariant: identical texts share every
+    band bucket, so when the corpus is unioned with an id-shifted copy
+    of itself, EVERY (doc, copy) pair of a shingle-eligible doc must
+    appear among the candidate pairs. Spark counts the covered pairs;
+    the oracle independently counts the eligible docs — equal iff the
+    signature/banding/bucket pipeline routes identical inputs
+    identically (any hashing, banding, or bucket-expansion bug drops
+    the count). Assumes no boilerplate cluster exceeds the bucket cap
+    at oracle scale (holds for the test corpora)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shifted = docs.select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
+    )
+    cand = dedup_fuzzy.minhash_candidate_pairs(
+        docs.unionByName(shifted),
+        id_col="doc_id",
+        text_col="text",
+        num_hashes=32,
+        bands=8,
+        shingle_n=2,
+    )
+    expected = docs.filter(F.size(text.tokens("text")) >= 2).select(
+        F.col("doc_id").alias("id_l"),
+        (F.col("doc_id") + F.lit(1_000_000)).alias("id_r"),
+    )
+    return expected.join(cand, ["id_l", "id_r"]).agg(
+        F.count(F.lit(1)).alias("n_covered")
+    )
+
+
+@register(
+    "q64_simhash_covers_exact_dups",
+    """
+    SELECT count(*) AS n_covered
+    FROM documents
+    WHERE len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) >= 1
+    """,
+)
+def q64_simhash_covers_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine SimHash invariant (same construction as q63):
+    identical texts produce identical 64-bit simhashes, hence the same
+    prefix bucket and hamming distance 0, so every (doc, id-shifted
+    copy) pair of a token-bearing doc must be reported as a near-dup.
+    The oracle counts the token-bearing docs independently."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shifted = docs.select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
+    )
+    pairs = dedup_fuzzy.simhash_near_dups(
+        docs.unionByName(shifted), id_col="doc_id", text_col="text"
+    )
+    eligible = text.tokens("text")
+    expected = docs.filter(
+        F.size(F.filter(eligible, lambda t: t != "")) >= 1
+    ).select(
+        F.col("doc_id").alias("id_l"),
+        (F.col("doc_id") + F.lit(1_000_000)).alias("id_r"),
+    )
+    return expected.join(pairs, ["id_l", "id_r"]).agg(
+        F.count(F.lit(1)).alias("n_covered")
+    )
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the multi-way broadcast star join + aggregation."""
     return q03_revenue_by_nation(spark, sf_dir)

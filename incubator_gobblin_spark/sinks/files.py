@@ -396,3 +396,36 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.mode(mode).saveAsTable(table)
+
+
+def orc_tuned_options(
+    df: DataFrame,
+    sample_rows: int = 1024,
+    stripe_mb: int = 64,
+    compression: str = "zlib",
+) -> dict[str, str]:
+    """Self-tuning ORC writer options (GobblinBaseOrcWriter semantics,
+    gobblin-modules/gobblin-orc/.../writer/GobblinBaseOrcWriter.java:53:
+    the reference observes average record size and re-sizes its
+    VectorizedRowBatch so a batch never overshoots memory).
+
+    Spark's ORC writer batches internally, so the tunable surface is the
+    stripe geometry: estimate the average encoded row width from a
+    bounded sample (``limit(sample_rows)`` — never a full scan), then
+    size ``orc.stripe.size`` and the memory-check cadence
+    (``orc.rows.between.memory.checks``) so one stripe holds roughly
+    ``stripe_mb`` of rows and the writer checks memory ~16x per stripe.
+    Wide rows => fewer rows per check (bounded memory); narrow rows =>
+    sparse checks (less overhead). Pass the result as
+    ``FileSink(options=...)``."""
+    sample = df.limit(sample_rows).select(
+        F.avg(F.length(F.to_json(F.struct(*df.columns)))).alias("w")
+    ).collect()
+    avg_width = int(sample[0]["w"] or 256)  # empty input: sane default
+    stripe_bytes = stripe_mb * 1024 * 1024
+    rows_per_stripe = max(1024, stripe_bytes // max(1, avg_width))
+    return {
+        "orc.stripe.size": str(stripe_bytes),
+        "orc.compress": compression.upper(),
+        "orc.rows.between.memory.checks": str(max(1, rows_per_stripe // 16)),
+    }

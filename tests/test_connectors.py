@@ -290,3 +290,64 @@ def test_encrypt_decrypt_roundtrip(spark, sf_dir):
     out = pipeline(docs).select("text", "ct", "pt")
     assert out.filter(F.col("pt") != F.col("text")).count() == 0
     assert out.filter(F.col("ct") == F.col("text")).count() == 0
+
+
+def test_hive_source_partitions_lookback(spark, tmp_path):
+    """HiveSource lookback WorkUnit planning: only partitions inside the
+    lookback window are selected, and the pruned scan reads exactly
+    those partitions."""
+    from incubator_gobblin_spark.jobs.hive_materialize import (
+        hive_source_partitions,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS t_lookback")
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(
+            ["2024-03-01", "2024-03-05", "2024-03-09", "2024-03-10"]
+        )],
+        "id int, ds string",
+    )
+    df.write.partitionBy("ds").mode("overwrite").saveAsTable("t_lookback")
+
+    sel, pruned = hive_source_partitions(
+        spark, "t_lookback", "ds", lookback_days=5, as_of="2024-03-10"
+    )
+    assert sel == ["2024-03-05", "2024-03-09", "2024-03-10"]
+    assert sorted(r["ds"] for r in pruned.select("ds").collect()) == sel
+    # the plan must carry a partition filter (pruning, not a full scan)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "ds" in plan.split(
+        "PartitionFilters"
+    )[1][:120]
+
+    # empty window: nothing selected, empty (not erroring) scan
+    sel0, pruned0 = hive_source_partitions(
+        spark, "t_lookback", "ds", lookback_days=2, as_of="2024-06-01"
+    )
+    assert sel0 == [] and pruned0.count() == 0
+    spark.sql("DROP TABLE t_lookback")
+
+
+def test_orc_tuned_options_scale_with_row_width(spark):
+    """GobblinBaseOrcWriter self-tuning analogue: wider rows => more
+    frequent memory checks (fewer rows between checks), fixed stripe."""
+    from incubator_gobblin_spark.sinks.files import orc_tuned_options
+
+    narrow = spark.range(500).selectExpr("id", "'x' AS s")
+    wide = spark.range(500).selectExpr("id", "repeat('x', 2000) AS s")
+    o_narrow = orc_tuned_options(narrow)
+    o_wide = orc_tuned_options(wide)
+    assert o_narrow["orc.stripe.size"] == o_wide["orc.stripe.size"]
+    assert int(o_wide["orc.rows.between.memory.checks"]) < int(
+        o_narrow["orc.rows.between.memory.checks"]
+    )
+    # options flow through a real ORC write via FileSink(options=...)
+    import tempfile, os
+    from incubator_gobblin_spark.sinks.files import FileSink
+
+    with tempfile.TemporaryDirectory() as d:
+        sink = FileSink(path=d, fmt="orc", options=o_narrow)
+        sink.write_staging(narrow, "r1")
+        sink.publish("r1")
+        back = spark.read.orc(os.path.join(d))
+        assert back.count() == 500
