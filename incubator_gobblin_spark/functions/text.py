@@ -157,6 +157,76 @@ def winnow_fingerprints(
     )
 
 
+def chunk_spans(
+    col: Column | str, chunk_tokens: int = 256, overlap: int = 32
+) -> Column:
+    """Document chunking for training pipelines: fixed-size token
+    windows with overlap, as ``array<struct<chunk_id:int, start_tok:int,
+    n_tokens:int, chunk:string>>``. Chunk i covers tokens
+    [i*stride, i*stride + chunk_tokens) with stride =
+    chunk_tokens - overlap; the last chunk may be short; a doc shorter
+    than one chunk yields exactly one chunk (possibly empty text ->
+    zero-token chunk suppressed).
+
+    Pure Column — one ``transform`` over the chunk-index sequence, no
+    UDF, no shuffle: chunking is a projection, so at corpus scale it
+    pipelines into whatever shuffle follows (dedup, tokenize, write)
+    without adding an exchange of its own."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+    n = F.size(toks)
+    # number of chunks: 1 + ceil(max(0, n - chunk) / stride); 0 if no tokens
+    extra = F.greatest(n - chunk_tokens, F.lit(0))
+    n_chunks = F.when(n <= 0, 0).otherwise(
+        F.lit(1) + F.ceil(extra / F.lit(stride)).cast("int")
+    )
+    spans = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            (i * stride).cast("int").alias("start_tok"),
+            F.least(n - i * stride, F.lit(chunk_tokens))
+            .cast("int")
+            .alias("n_tokens"),
+            F.concat_ws(
+                " ", F.slice(toks, i * stride + 1, chunk_tokens)
+            ).alias("chunk"),
+        ),
+    )
+    # sequence(0, -1) would generate a DESCENDING [0, -1] — token-less
+    # docs must yield an empty span array, not two bogus chunks
+    return F.when(n_chunks <= 0, F.array().cast(
+        "array<struct<chunk_id:int,start_tok:int,n_tokens:int,chunk:string>>"
+    )).otherwise(spans)
+
+
+# (pattern, replacement) in application order; \b word boundaries keep
+# the digit patterns from eating parts of longer numbers. RE2-compatible
+# (no backrefs/lookaround) so external engines replicate them exactly.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(col: Column | str) -> Column:
+    """PII scrubbing for training corpora: emails, SSN-shaped, US-phone-
+    shaped, and IPv4-shaped substrings replaced with typed placeholder
+    tags, in a fixed order (SSN before phone: both are digit-dash
+    shapes). Pure Column — a chain of JVM ``regexp_replace`` calls,
+    no UDF; patterns are RE2-compatible by construction so the DuckDB
+    oracle applies the identical regexes."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, tag in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, tag)
+    return c
+
+
 def ngrams(col: Column | str, n: int = 3) -> Column:
     """Word n-grams as array<string> (for Jaccard similarity / shingling).
     Pure-Column: transform over a token index sequence."""

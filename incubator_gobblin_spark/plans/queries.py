@@ -1775,6 +1775,85 @@ def q64_simhash_covers_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "q65_chunk_documents",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x != '') AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) <= 0 THEN 0
+                  ELSE 1 + CAST(ceil(greatest(len(toks) - 40, 0) / 32.0) AS INT)
+             END AS n_chunks
+      FROM t
+    )
+    SELECT doc_id, u.chunk_id, u.start_tok, u.n_tokens, u.chunk_md5
+    FROM (
+      SELECT doc_id,
+             unnest([{'chunk_id': CAST(i AS INT),
+                      'start_tok': CAST(i * 32 AS INT),
+                      'n_tokens': CAST(least(n - i * 32, 40) AS INT),
+                      'chunk_md5': md5(array_to_string(
+                          toks[i * 32 + 1 : i * 32 + 40], ' '))}
+                     FOR i IN range(0, n_chunks)]) AS u
+      FROM c
+    )
+    """,
+)
+def q65_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking (functions/text.py:chunk_spans): 40-token
+    windows, 8-token overlap (stride 32), exploded to one row per
+    chunk with the chunk content md5'd for compact comparison. Pure
+    Column projection — no shuffle added by the chunker itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    span = F.explode(text.chunk_spans("text", chunk_tokens=40, overlap=8))
+    return docs.select("doc_id", span.alias("_c")).select(
+        "doc_id",
+        F.col("_c.chunk_id").alias("chunk_id"),
+        F.col("_c.start_tok").alias("start_tok"),
+        F.col("_c.n_tokens").alias("n_tokens"),
+        F.md5(F.col("_c.chunk")).alias("chunk_md5"),
+    )
+
+
+@register(
+    "q66_pii_redaction",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             text || ' contact user' || doc_id ||
+             '@example.com or 555-123-4567 (ssn 123-45-6789, host 10.0.0.' ||
+             (doc_id % 256) || ')',
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+             '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')
+           ) AS redacted_md5
+    FROM documents
+    """,
+)
+def q66_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (functions/text.py:redact_pii) over the corpus,
+    with a deterministic PII suffix appended per doc so the redaction
+    provably fires on every row in both engines (the corpus itself
+    carries no planted PII). Chain of JVM regexp_replace — no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-123-4567 (ssn 123-45-6789, host 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(")"),
+    )
+    return docs.select(
+        "doc_id", F.md5(text.redact_pii(with_pii)).alias("redacted_md5")
+    )
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the multi-way broadcast star join + aggregation."""
     return q03_revenue_by_nation(spark, sf_dir)

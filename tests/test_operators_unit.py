@@ -420,3 +420,57 @@ def test_cosine_lsh_zero_norm_and_bucket_cap(spark):
         df, dim=4, threshold=0.9, num_bits=8, bands=2, max_bucket_size=400
     )
     assert uncapped.count() == 300 * 299 // 2  # zero vectors still excluded
+
+
+def test_chunk_spans_geometry_and_edges(spark):
+    """Chunk windows tile with the configured overlap; short and empty
+    docs behave (one short chunk / zero chunks, never bogus spans)."""
+    from incubator_gobblin_spark.functions.text import chunk_spans
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(25))),  # 25 toks
+            (2, "a b c"),                                # shorter than one chunk
+            (3, ""),                                     # token-less
+            (4, "   "),                                  # whitespace only
+        ],
+        "id int, text string",
+    )
+    out = {
+        r["id"]: r["c"]
+        for r in df.select(
+            "id", chunk_spans("text", chunk_tokens=10, overlap=4).alias("c")
+        ).collect()
+    }
+    # 25 tokens, stride 6: chunks at 0,6,12,18 -> 1+ceil(15/6)=4 chunks
+    assert [(c["chunk_id"], c["start_tok"], c["n_tokens"]) for c in out[1]] == [
+        (0, 0, 10), (1, 6, 10), (2, 12, 10), (3, 18, 7)
+    ]
+    # consecutive chunks overlap by exactly `overlap` tokens
+    c0, c1 = out[1][0]["chunk"].split(), out[1][1]["chunk"].split()
+    assert c0[-4:] == c1[:4]
+    assert [(c["chunk_id"], c["n_tokens"]) for c in out[2]] == [(0, 3)]
+    assert out[3] == [] and out[4] == []
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_spans("text", chunk_tokens=8, overlap=8)
+
+
+def test_redact_pii_patterns_and_order(spark):
+    from incubator_gobblin_spark.functions.text import redact_pii
+    from pyspark.sql import functions as F
+
+    rows = spark.createDataFrame(
+        [
+            ("mail a.b+c@ex-am.ple.org end", "mail <EMAIL> end"),
+            ("ssn 123-45-6789 end", "ssn <SSN> end"),
+            ("ph 555-123-4567 or 555.123.4567", "ph <PHONE> or <PHONE>"),
+            ("ip 192.168.0.1 end", "ip <IP> end"),
+            ("plain text stays", "plain text stays"),
+            # SSN must win over the phone shape (applied first)
+            ("id 078-05-1120", "id <SSN>"),
+        ],
+        "t string, want string",
+    ).select(redact_pii("t").alias("got"), "want").collect()
+    for r in rows:
+        assert r["got"] == r["want"]
