@@ -398,3 +398,94 @@ def ivf_assign(
         F.array(*dists), F.array_min(F.array(*dists))
     ) - 1
     return vectors.withColumn(out, best.cast("int"))
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 2,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF ANN search end-to-end: coarse-quantize the corpus to its
+    nearest centroid, probe each query's ``n_probe`` nearest cells, and
+    exactly re-rank candidates inside the probed cells. Returns
+    (query_id, neighbor_id, sim) with at most k rows per query (recall
+    < 1 by design — raise ``n_probe`` to recover).
+
+    The 100 TB shape: both assignment and probing are pure projections
+    against literal centroids (no shuffle, no join against a centroid
+    table), so the only exchange is the candidate equi-join on
+    cluster_id — and when the lake is partitioned by cluster_id
+    (`ivf_assign` + partitionBy), that join prunes to the probed
+    partitions and never touches the rest of the corpus.
+
+    Determinism contract (shared with the DuckDB oracle): centroid
+    distances are rounded to 6 decimals with first-wins ties on
+    centroid index; sims rounded to 6 with ties on neighbor id.
+    """
+    def cdists(col: Column) -> list[Column]:
+        return [
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(
+                            col,
+                            F.array(*[F.lit(x) for x in c]),
+                            lambda a, b: (a.cast("double") - b)
+                            * (a.cast("double") - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                ),
+                6,
+            )
+            for c in centroids
+        ]
+
+    def nearest(col: Column) -> Column:
+        d = cdists(col)
+        return (F.array_position(F.array(*d), F.array_min(F.array(*d))) - 1).cast(
+            "int"
+        )
+
+    def probed(col: Column) -> Column:
+        d = cdists(col)
+        ranked = F.array_sort(
+            F.array(
+                *[
+                    F.struct(dc.alias("d"), F.lit(i).cast("int").alias("cid"))
+                    for i, dc in enumerate(d)
+                ]
+            )
+        )
+        return F.transform(F.slice(ranked, 1, n_probe), lambda s: s["cid"])
+
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_nv"),
+        nearest(F.col(vec_col)).alias("_cluster"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(probed(F.col(vec_col))).alias("_cluster"),
+    )
+    cand = v.join(F.broadcast(q), "_cluster")
+    if exclude_self:
+        cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = cand.withColumn(
+        "sim", F.round(cosine(F.col("_qv"), F.col("_nv")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", "neighbor_id", "sim")
+    )

@@ -1854,6 +1854,72 @@ def q66_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q67_ivf_topk",
+    """
+    WITH cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                   FROM embeddings WHERE vec_id < 8),
+    qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 20),
+    vassign AS (
+        SELECT vec_id, embedding FROM embeddings
+    ), vcell AS (
+        SELECT vec_id, embedding, cid FROM (
+            SELECT v.vec_id, v.embedding, c.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(list_distance(v.embedding::DOUBLE[], c.cv), 6), c.cid
+                   ) AS rn
+            FROM vassign v CROSS JOIN cents c
+        ) WHERE rn = 1
+    ), probes AS (
+        SELECT query_id, qv, cid FROM (
+            SELECT q.query_id, q.qv, c.cid,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round(list_distance(q.qv, c.cv), 6), c.cid
+                   ) AS rn
+            FROM qs q CROSS JOIN cents c
+        ) WHERE rn <= 2
+    ), cand AS (
+        SELECT p.query_id, v.vec_id AS neighbor_id,
+               round(list_cosine_similarity(p.qv, v.embedding::DOUBLE[]), 6) AS sim
+        FROM probes p JOIN vcell v ON v.cid = p.cid
+        WHERE v.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, sim FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+        ) AS rn FROM cand
+    ) WHERE rn <= 5
+    """,
+)
+def q67_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search end-to-end (similarity.ivf_topk): corpus assigned
+    to literal centroids, each query probes its 2 nearest cells, exact
+    cosine re-rank inside the probed cells, top-5. The whole coarse
+    stage is a projection — the only exchange is the candidate
+    equi-join on cluster_id (partition-prunable when the lake is laid
+    out by cluster). Oracle replicates assignment, probing, and
+    re-ranking exactly (round-6 distances, first-wins centroid ties,
+    neighbor-id sim ties)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    cents = [[float(x) for x in r["embedding"]] for r in cent_rows]
+    return similarity.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 20),
+        cents,
+        k=5,
+        n_probe=2,
+    )
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the multi-way broadcast star join + aggregation."""
     return q03_revenue_by_nation(spark, sf_dir)

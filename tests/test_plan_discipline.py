@@ -128,6 +128,16 @@ def test_asof_join_has_no_range_explosion(spark, sf_dir):
     assert "Window" in plan
 
 
+def test_ivf_topk_candidate_join_is_equi_join(spark, sf_dir):
+    """IVF search must reach candidates through an equi-join on the
+    probed cluster id (the partition-prunable shape) — never a
+    cross/nested-loop of queries x corpus."""
+    plan = _plan(Q.queries()["q67_ivf_topk"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_fan_out_skips_dimension_tables(spark, sf_dir):
     """Tiny dimensions must not pay a repartition shuffle (they are
     broadcast sides; fanning them out would add a stage for nothing)."""
