@@ -1,0 +1,334 @@
+"""Corpus-level text analytics for LLM training-data pipelines.
+
+These operate across documents (vs. `functions/text.py` whose operators
+are per-row projections): benchmark decontamination, repetition quality
+signals, corpus-wide hot n-grams, TF-IDF term weighting, and BM25
+retrieval scoring. They extend the reference's ingestion surface the
+same way the dedup/similarity families do — Gobblin ships converters
+and quality policies (gobblin-core/.../qualitychecker), not content
+analytics; a 100 TB training-data pipeline needs both.
+
+Scale shapes, by design:
+
+- Tokenization/shingling is a pure-Column projection (no UDF, no
+  shuffle) that pipelines into the aggregation that follows.
+- Per-document aggregates group on the document id — one shuffle with
+  map-side partial aggregation (counts collapse before the exchange).
+- Decontamination broadcasts the benchmark side: an eval set is small
+  by definition, so the 100 TB training side never shuffles at all.
+- Corpus-wide n-gram aggregates shuffle the gram strings themselves;
+  at full scale substitute ``xxhash64(gram)`` for the string to cut
+  shuffle bytes ~10x (kept as strings here so external engines can
+  reproduce results bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _toks(col: Column | str) -> Column:
+    """Trimmed whitespace tokens with empties removed — the exact
+    tokenization external engines replicate as
+    ``list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+
+
+def _word_ngrams(col: Column | str, n: int) -> Column:
+    """Word n-grams over :func:`_toks` as array<string> (space-joined)."""
+    toks = _toks(col)
+    k = F.size(toks) - (n - 1)
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def ngram_postings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    distinct_per_doc: bool = True,
+) -> DataFrame:
+    """(doc, gram) postings: one row per (document, word-n-gram).
+
+    The shared projection under decontamination / hot-grams / TF-IDF.
+    Pure projection + explode — no shuffle of its own; whatever
+    aggregation follows supplies the exchange."""
+    grams = _word_ngrams(text_col, n)
+    if distinct_per_doc:
+        grams = F.array_distinct(grams)
+    return df.select(
+        F.col(id_col).alias("doc"), F.explode(grams).alias("gram")
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: for each training document, the number
+    of distinct word-``n``-grams it shares with the benchmark corpus.
+    Rows with zero overlap are omitted (filter on the result to drop
+    contaminated docs; anti-join the ids to keep the clean set).
+
+    Output: (``id_col``, ``n_shared_ngrams``).
+
+    100 TB shape: the benchmark's distinct grams are broadcast (an eval
+    set is small by definition), so the training side is scanned once
+    with NO shuffle before the per-doc count — which groups on the doc
+    id with map-side combine. This is the n-gram-overlap
+    decontamination used by LLM data pipelines (GPT-3 appendix C /
+    PaLM-style 8-gram overlap; ``n`` is a dial)."""
+    tg = ngram_postings(train, id_col, text_col, n)
+    bg = ngram_postings(bench, id_col, text_col, n).select("gram").distinct()
+    return (
+        tg.join(F.broadcast(bg), "gram")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+        .select(F.col("doc").alias(id_col), "n_shared_ngrams")
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition quality signals, per document:
+
+    - ``n_tokens`` / ``n_distinct_tokens`` and ``dup_token_ratio``
+      (1 - distinct/total: the duplicate-token fraction),
+    - ``top_ngram_count`` and ``top_ngram_ratio`` (occurrences of the
+      single most frequent word-``n``-gram over total n-gram count —
+      the "fraction of characters in the most common n-gram" family
+      from the Gopher/MassiveText filters, at token granularity).
+
+    Docs with fewer than ``n`` tokens report 0 counts and 0.0 ratios.
+
+    Shape: token ratios are pure Column; the top-n-gram count is
+    explode -> two groupBys keyed on (doc, gram) then doc — both with
+    map-side partial aggregation, and both partitioned by the doc id so
+    AQE coalesces them into one effective exchange chain. No UDFs."""
+    toks = _toks(text_col)
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        _word_ngrams(text_col, n).alias("_grams"),
+    )
+    gram_top = (
+        base.select("doc", F.explode("_grams").alias("gram"))
+        .groupBy("doc", "gram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("doc")
+        .agg(
+            F.max("_c").alias("top_ngram_count"),
+            F.sum("_c").alias("_n_grams"),
+        )
+    )
+    joined = base.drop("_grams").join(gram_top, "doc", "left")
+    return joined.select(
+        F.col("doc").alias(id_col),
+        "n_tokens",
+        "n_distinct_tokens",
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                F.lit(1.0) - F.col("n_distinct_tokens") / F.col("n_tokens"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_token_ratio"),
+        F.coalesce(F.col("top_ngram_count"), F.lit(0)).alias("top_ngram_count"),
+        F.round(
+            F.coalesce(F.col("top_ngram_count") / F.col("_n_grams"), F.lit(0.0)), 6
+        ).alias("top_ngram_ratio"),
+    )
+
+
+def hot_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-wide hot n-grams: word-``n``-grams appearing in at least
+    ``min_docs`` DISTINCT documents, with their document frequency.
+    Output: (``gram``, ``n_docs``).
+
+    This is the n-gram-granularity form of cross-document exact
+    substring detection (the suffix-array dedup family, Lee et al.
+    "Deduplicating Training Data Makes Language Models Better",
+    approximated at fixed span length): a gram shared by many docs
+    marks boilerplate to strip before training.
+
+    Shape: per-doc-distinct postings (array_distinct collapses repeats
+    BEFORE the explode, so a doc repeating one gram 10^6 times emits it
+    once), then one count-per-gram shuffle with map-side combine. At
+    full scale group on ``xxhash64(gram)`` and keep an example string
+    via ``min(gram)`` to cut shuffle width."""
+    postings = ngram_postings(df, id_col, text_col, n, distinct_per_doc=True)
+    return (
+        postings.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` terms per document by TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1, the smoothed scikit-style variant;
+    scores rounded to 6 decimals; ties broken by term ascending).
+    Output: (``id_col``, ``term``, ``tfidf``, ``rank``).
+
+    Shape: one (doc, term) count aggregation; document frequency is a
+    second aggregation over the SAME partial — Catalyst reuses the
+    exchange; N arrives as a broadcast one-row cross join (never a
+    driver collect); final per-doc top-k is a window over the doc
+    partition. All JVM-side."""
+    tf = (
+        df.select(F.col(id_col).alias("doc"), F.explode(_toks(text_col)).alias("term"))
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("doc").alias(id_col), "term", "tfidf", "rank")
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top: int | None = None,
+) -> DataFrame:
+    """BM25 retrieval scores for a bag-of-words query over the corpus —
+    the classic search primitive (Robertson/Sparck Jones; the Okapi
+    formulation with idf = ln(1 + (N - df + 0.5)/(df + 0.5))). Output:
+    (``id_col``, ``score``) for documents matching at least one query
+    term, scores rounded to 6 decimals; ``top`` keeps the best ``top``
+    (score desc, id asc).
+
+    Shape: the query terms are literals folded into the scan filter, so
+    only matching (doc, term) rows survive the exchange; N / avgdl /
+    per-term df are broadcast one-row aggregates (no driver collect).
+    One shuffle on the doc id."""
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.size(_toks(text_col)).alias("dl"),
+        F.explode(_toks(text_col)).alias("term"),
+    )
+    stats = df.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(_toks(text_col))).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.array_contains(terms, F.col("term")))
+        .groupBy("doc", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    # Per-term contributions are cast to decimal BEFORE the sum: decimal
+    # addition is exact and order-independent, so the score is stable
+    # under Spark's nondeterministic partial-aggregation order (and
+    # reproducible by external engines summing in any order).
+    scored = (
+        tf.join(F.broadcast(docfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_s",
+            (idf * F.col("tf") * F.lit(k1 + 1.0) / denom).cast("decimal(18,8)"),
+        )
+        .groupBy("doc")
+        .agg(F.round(F.sum("_s").cast("double"), 6).alias("score"))
+        .select(F.col("doc").alias(id_col), "score")
+    )
+    if top is not None:
+        w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        scored = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= top)
+            .drop("_rn")
+        )
+    return scored
+
+
+def sample_stratified(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key: str,
+) -> DataFrame:
+    """Deterministic stratified sample: keep a row iff the first 8 hex
+    chars of ``md5(cast(key as string))`` fall below the stratum's
+    fraction of the 32-bit hex space. Strata absent from ``fractions``
+    are dropped.
+
+    Unlike ``df.sampleBy`` (seeded but partitioning-dependent), the
+    kept set is a pure function of the key — identical on every
+    engine, every run, every partitioning, which is what a
+    reproducible training-data pipeline needs (and what the oracle
+    check requires). Pure-Column filter: pipelines into the scan,
+    no shuffle. The hex-string comparison avoids any base-conversion
+    or float-rounding divergence across engines."""
+    key_hex = F.substring(F.md5(F.col(key).cast("string")), 1, 8)
+    cond = F.lit(False)
+    for stratum, frac in sorted(fractions.items()):
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {stratum!r} must be in [0,1]")
+        threshold = format(min(int(frac * 16**8), 16**8 - 1), "08x")
+        cond = cond | (
+            (F.col(strata_col) == stratum) & (key_hex <= F.lit(threshold))
+            if frac >= 1.0
+            else (F.col(strata_col) == stratum) & (key_hex < F.lit(threshold))
+        )
+    return df.filter(cond)

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from incubator_gobblin_spark.functions import dedup_fuzzy, similarity, text
+from incubator_gobblin_spark.functions import corpus, dedup_fuzzy, similarity, text
 from incubator_gobblin_spark.operators import converters as C
 from incubator_gobblin_spark.operators import dedup, joins, retention
 from incubator_gobblin_spark.operators.watermark import WatermarkInterval
@@ -1917,6 +1917,263 @@ def q67_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents,
         k=5,
         n_probe=2,
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN coverage invariants (oracle-checked falsifiability for the
+# no-oracle LSH family, same construction as q63/q64)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q68_srplsh_covers_identical",
+    """
+    SELECT count(*) AS n_covered FROM embeddings
+    WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+    """,
+)
+def q68_srplsh_covers_identical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine SRP-LSH invariant for q52's machinery
+    (similarity.cosine_near_dup_pairs): identical vectors project to
+    identical sign bits, hence share EVERY band bucket and re-rank at
+    cosine 1.0 >= threshold — so when the corpus is unioned with an
+    id-shifted copy of itself, every (vector, copy) pair of a
+    nonzero-norm vector must be reported. Spark counts the covered
+    pairs; the oracle independently counts the eligible vectors — any
+    hyperplane, banding, bucket-expansion, or re-rank bug drops the
+    count. (Assumes buckets stay under the skew cap at oracle scale —
+    holds for the test corpora.)"""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    shifted = emb.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding"
+    )
+    pairs = similarity.cosine_near_dup_pairs(
+        emb.unionByName(shifted), dim=64, threshold=0.35, num_bits=64, bands=8
+    )
+    expected = emb.filter(similarity.norm(F.col("embedding")) > 0).select(
+        F.col("vec_id").alias("id_l"),
+        (F.col("vec_id") + F.lit(1_000_000)).alias("id_r"),
+    )
+    return expected.join(pairs, ["id_l", "id_r"]).agg(
+        F.count(F.lit(1)).alias("n_covered")
+    )
+
+
+@register(
+    "q69_lsh_topk_self_retrieval",
+    """
+    SELECT count(*) AS n_self_top1 FROM embeddings WHERE vec_id < 8
+    """,
+)
+def q69_lsh_topk_self_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine invariant for q34's machinery (similarity.lsh_topk):
+    with an id-shifted copy of every vector unioned into the corpus,
+    each query's copy shares all its bands, survives candidate
+    generation, and re-ranks at cosine 1.0 — strictly above every
+    other vector (the corpus has no duplicate vectors), so it MUST be
+    the top-1 neighbor. Spark counts queries whose top-1 is their own
+    copy at sim 1.0; the oracle counts the query set."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    shifted = emb.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(shifted)
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    res = similarity.lsh_topk(
+        corpus, queries_df, dim=64, id_col="vec_id", vec_col="embedding",
+        k=5, num_bits=16, bands=8,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    top1 = res.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    hit = (F.col("neighbor_id") == F.col("query_id") + 1_000_000) & (
+        F.col("sim") >= 0.999999
+    )
+    return top1.agg(
+        F.sum(F.when(hit, 1).otherwise(0)).alias("n_self_top1")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level training-data operators (functions/corpus.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q70_decontamination",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]) AS g
+      FROM toks
+    ), tg AS (
+      SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 97 <> 0
+    ), bg AS (
+      SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 97 = 0
+    )
+    SELECT tg.doc_id, count(*) AS n_shared_ngrams
+    FROM tg JOIN bg USING (gram)
+    GROUP BY tg.doc_id
+    """,
+)
+def q70_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (corpus.decontaminate): trigram overlap
+    between the training split (doc_id % 97 != 0) and a benchmark split
+    (doc_id % 97 == 0). The benchmark's distinct grams broadcast, so
+    the 100 TB training side never shuffles before the per-doc count."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return corpus.decontaminate(train, bench, id_col="doc_id", text_col="text", n=3)
+
+
+@register(
+    "q71_repetition_stats",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS t
+      FROM documents
+    ), cnt AS (
+      SELECT doc_id, gram, count(*) AS c FROM (
+        SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]) AS gram
+        FROM toks
+      ) GROUP BY doc_id, gram
+    ), top AS (
+      SELECT doc_id, max(c) AS top_ngram_count, sum(c) AS n_grams FROM cnt GROUP BY doc_id
+    )
+    SELECT toks.doc_id,
+           len(t) AS n_tokens,
+           len(list_distinct(t)) AS n_distinct_tokens,
+           round(CASE WHEN len(t) > 0 THEN 1.0 - len(list_distinct(t)) / CAST(len(t) AS DOUBLE) ELSE 0.0 END, 6) AS dup_token_ratio,
+           coalesce(top.top_ngram_count, 0) AS top_ngram_count,
+           round(coalesce(top.top_ngram_count / CAST(top.n_grams AS DOUBLE), 0.0), 6) AS top_ngram_ratio
+    FROM toks LEFT JOIN top USING (doc_id)
+    """,
+)
+def q71_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (corpus.repetition_stats):
+    duplicate-token fraction + most-frequent-bigram share, per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    rep = corpus.repetition_stats(docs, id_col="doc_id", text_col="text", n=2)
+    return rep.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+        "dup_token_ratio",
+        F.col("top_ngram_count").cast("long").alias("top_ngram_count"),
+        "top_ngram_ratio",
+    )
+
+
+@register(
+    "q72_hot_ngrams",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS t
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)])) AS gram
+      FROM toks
+    )
+    SELECT gram, count(*) AS n_docs FROM ex GROUP BY gram HAVING count(*) >= 5
+    """,
+)
+def q72_hot_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate detection (corpus.hot_ngrams): trigrams
+    appearing in >= 5 distinct documents — the n-gram-granularity form
+    of cross-document exact substring dedup (Lee et al.)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.hot_ngrams(docs, id_col="doc_id", text_col="text", n=3, min_docs=5)
+
+
+@register(
+    "q73_tfidf_top_terms",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS t
+      FROM documents
+    ), tfc AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY doc_id, term
+    ), dfc AS (
+      SELECT term, count(*) AS df FROM tfc GROUP BY term
+    ), n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tfidf, rank FROM (
+      SELECT tfc.doc_id, tfc.term,
+             round(tf * (ln((n_docs + 1) / CAST(df + 1 AS DOUBLE)) + 1.0), 6) AS tfidf,
+             row_number() OVER (
+               PARTITION BY tfc.doc_id
+               ORDER BY round(tf * (ln((n_docs + 1) / CAST(df + 1 AS DOUBLE)) + 1.0), 6) DESC,
+                        tfc.term ASC
+             ) AS rank
+      FROM tfc JOIN dfc USING (term) CROSS JOIN n
+    ) WHERE rank <= 3
+    """,
+)
+def q73_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (corpus.tfidf_top_terms):
+    smoothed idf, broadcast one-row N, window top-k — all JVM-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    res = corpus.tfidf_top_terms(docs, id_col="doc_id", text_col="text", k=3)
+    return res.select(
+        "doc_id", "term", "tfidf", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@register(
+    "q74_stratified_sample",
+    """
+    SELECT doc_id, lang, source FROM documents
+    WHERE (lang = 'de' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000')
+       OR (lang = 'en' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000')
+       OR (lang = 'fr' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999')
+    """,
+)
+def q74_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (corpus.sample_stratified):
+    per-language keep fractions via md5-hex thresholds — identical kept
+    set on every engine/partitioning, unlike seeded sampleBy. Strata
+    not listed (zh, es) are dropped."""
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = corpus.sample_stratified(
+        docs, strata_col="lang", fractions={"en": 0.5, "de": 0.25, "fr": 0.1},
+        key="doc_id",
+    )
+    return sampled.select("doc_id", "lang", "source")
+
+
+@register(
+    "q75_bm25_search",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS t
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, dl, term, count(*) AS tf FROM (
+        SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks
+      ) WHERE term IN ('spark', 'hash', 'window') GROUP BY doc_id, dl, term
+    ), dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl FROM toks)
+    SELECT doc_id,
+           round(CAST(sum(CAST(
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+             AS DECIMAL(18,8))) AS DOUBLE), 6) AS score
+    FROM tf JOIN dfc USING (term) CROSS JOIN stats
+    GROUP BY doc_id
+    """,
+)
+def q75_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 scoring for a 3-term query (corpus.bm25_scores, k1=1.2,
+    b=0.75): query terms fold into the scan filter; N/avgdl/df ride
+    broadcast one-row aggregates; one shuffle on the doc id. Per-term
+    contributions sum through decimal for order-independence."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.bm25_scores(
+        docs, ["spark", "hash", "window"], id_col="doc_id", text_col="text",
+        k1=1.2, b=0.75,
     )
 
 

@@ -1,0 +1,103 @@
+"""Edge-case unit tests for functions/corpus.py (the oracle parity test
+covers the registered-query happy paths at scale)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_gobblin_spark.functions import corpus
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a b a b a b", "en"),       # heavy bigram repetition
+            (2, "x y z w v u", "en"),        # all distinct
+            (3, "", "en"),                   # empty text
+            (4, "solo", "de"),               # single token -> no bigrams
+            (5, "  a b a b  ", "fr"),        # needs trim; dup tokens
+        ],
+        "doc_id long, text string, lang string",
+    )
+
+
+def test_repetition_stats_edges(docs):
+    rows = {
+        r["doc_id"]: r
+        for r in corpus.repetition_stats(docs, "doc_id", "text", n=2).collect()
+    }
+    assert rows[3]["n_tokens"] == 0
+    assert rows[3]["dup_token_ratio"] == 0.0
+    assert rows[3]["top_ngram_count"] == 0
+    assert rows[3]["top_ngram_ratio"] == 0.0
+    assert rows[4]["n_tokens"] == 1
+    assert rows[4]["top_ngram_count"] == 0  # no bigram from one token
+    # doc 1: 6 tokens, 2 distinct -> dup ratio 1 - 2/6
+    assert rows[1]["n_tokens"] == 6
+    assert rows[1]["dup_token_ratio"] == pytest.approx(1 - 2 / 6, abs=1e-6)
+    # bigrams of doc 1: "a b" x3, "b a" x2 -> top count 3 of 5
+    assert rows[1]["top_ngram_count"] == 3
+    assert rows[1]["top_ngram_ratio"] == pytest.approx(3 / 5, abs=1e-6)
+    assert rows[2]["dup_token_ratio"] == 0.0
+
+
+def test_decontaminate_only_overlapping_docs(spark, docs):
+    bench = spark.createDataFrame([(100, "a b a", "en")], "doc_id long, text string, lang string")
+    res = {
+        r["doc_id"]: r["n_shared_ngrams"]
+        for r in corpus.decontaminate(docs, bench, n=2).collect()
+    }
+    # bench bigrams: {"a b", "b a"}; docs 1 and 5 share both; others none
+    assert res == {1: 2, 5: 2}
+
+
+def test_hot_ngrams_distinct_per_doc(docs):
+    res = {
+        r["gram"]: r["n_docs"]
+        for r in corpus.hot_ngrams(docs, "doc_id", "text", n=2, min_docs=2).collect()
+    }
+    # "a b" appears 3x in doc 1 and 2x in doc 5 but counts once per doc
+    assert res == {"a b": 2, "b a": 2}
+
+
+def test_tfidf_rank_ties_break_by_term(docs):
+    res = corpus.tfidf_top_terms(docs, "doc_id", "text", k=6).filter(
+        F.col("doc_id") == 2
+    ).orderBy("rank").collect()
+    # all 6 terms of doc 2 are distinct corpus-unique -> equal scores,
+    # ties broken by term ascending
+    assert [r["term"] for r in res] == sorted(r["term"] for r in res)
+
+
+def test_bm25_scores_only_matching_docs(docs):
+    res = corpus.bm25_scores(docs, ["solo"], "doc_id", "text").collect()
+    assert [r["doc_id"] for r in res] == [4]
+    assert res[0]["score"] > 0
+
+
+def test_sample_stratified_deterministic_and_drops_unlisted(docs):
+    frac = {"en": 1.0, "de": 0.0}
+    a = corpus.sample_stratified(docs, "lang", frac, "doc_id")
+    b = corpus.sample_stratified(docs, "lang", frac, "doc_id")
+    ids = sorted(r["doc_id"] for r in a.collect())
+    assert ids == sorted(r["doc_id"] for r in b.collect())
+    assert ids == [1, 2, 3]  # all en kept, de fraction 0, fr unlisted
+
+
+def test_sample_stratified_rejects_bad_fraction(docs):
+    with pytest.raises(ValueError):
+        corpus.sample_stratified(docs, "lang", {"en": 1.5}, "doc_id")
+
+
+def test_no_python_in_corpus_plans(docs, spark):
+    bench = docs.limit(1)
+    for df in [
+        corpus.repetition_stats(docs),
+        corpus.decontaminate(docs, bench),
+        corpus.hot_ngrams(docs),
+        corpus.tfidf_top_terms(docs),
+        corpus.bm25_scores(docs, ["a"]),
+        corpus.sample_stratified(docs, "lang", {"en": 0.5}, "doc_id"),
+    ]:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
