@@ -73,6 +73,9 @@ PYTHON_BY_NECESSITY = {
     # which also shuffles n*dim rows through a map-side combine)
     "q34_ann_lsh_topk",
     "q52_embedding_neardup_lsh",
+    # the coverage-invariant queries drive the SAME SRP machinery
+    "q68_srplsh_covers_identical",
+    "q69_lsh_topk_self_retrieval",
 }
 
 
@@ -178,3 +181,38 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS li_bkt")
         spark.sql("DROP TABLE IF EXISTS ord_bkt")
+
+
+def test_decontamination_broadcasts_benchmark_side(spark, sf_dir):
+    """Decontamination's gram join must broadcast the benchmark side
+    even when the stats say nothing (an eval set is small by
+    definition, and the 100 TB training side must not shuffle before
+    its per-doc count): the hint is structural, not size-inferred."""
+    from incubator_gobblin_spark.functions import corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        res = corpus.decontaminate(
+            docs.filter(F.col("doc_id") % 97 != 0),
+            docs.filter(F.col("doc_id") % 97 == 0),
+        )
+        plan = _plan(res)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bm25_query_terms_fold_into_scan_filter(spark, sf_dir):
+    """BM25's term filter must run BEFORE the (doc, term) aggregation:
+    the exploded postings of non-query terms die in the projection, so
+    the only full-width shuffle carries matching terms only."""
+    from incubator_gobblin_spark.functions import corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    res = corpus.bm25_scores(docs, ["spark", "hash"], "doc_id", "text")
+    plan = _plan(res)
+    assert "array_contains" in plan or "ARRAY_CONTAINS" in plan.upper()
+    assert "EvalPython" not in plan
