@@ -2177,6 +2177,116 @@ def q75_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q76_group_quantiles",
+    """
+    WITH ranked AS (
+      SELECT l_returnflag, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           max(n) AS n_rows,
+           max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN l_extendedprice END) AS p50,
+           max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN l_extendedprice END) AS p90,
+           max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN l_extendedprice END) AS p99
+    FROM ranked GROUP BY l_returnflag
+    """,
+)
+def q76_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact quantiles via the discrete (value-at-index)
+    formulation: rank rows in-group, pick the value at ceil(q*n).
+    Deterministic on every engine — unlike interpolating
+    percentile/quantile_cont built-ins, whose float blending differs
+    engine-to-engine. One window over the group partition (single
+    shuffle); at 100 TB swap in approx_percentile for the screening
+    pass and keep this for the audited final numbers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    def _at(q: float):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("long"),
+                F.col("l_extendedprice"),
+            )
+        )
+    return ranked.groupBy("l_returnflag").agg(
+        F.max("n").alias("n_rows"),
+        _at(0.5).alias("p50"),
+        _at(0.9).alias("p90"),
+        _at(0.99).alias("p99"),
+    )
+
+
+@register(
+    "q77_stats_moments",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((sxy - sx * sy / n) / n, 6) AS covar_pop,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr,
+           round(sqrt((n * sxx - sx * sx) / (CAST(n AS DOUBLE) * n)), 6) AS stddev_pop_qty
+    FROM s
+    """,
+)
+def q77_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / covariance / stddev from decimal-exact moment sums
+    (the statistical-aggregate surface). Built-in corr()/stddev() use
+    streaming co-moment updates whose float accumulation order is
+    engine- and partition-dependent; summing the raw moments through
+    decimal is exact and order-independent, so the derived statistics
+    are bit-reproducible — the moments also downgrade to ONE map-side
+    combining aggregation at 100 TB (five sums), vs the built-ins'
+    per-group state merge."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+
+    def dsum(expr):
+        return F.sum(expr.cast("decimal(38,8)")).cast("double")
+
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * y).alias("sxy"),
+        dsum(x * x).alias("sxx"),
+        dsum(y * y).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round((sxy - sx * sy / n) / n, 6).alias("covar_pop"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("corr"),
+        F.round(
+            F.sqrt((n * sxx - sx * sx) / (n.cast("double") * n)), 6
+        ).alias("stddev_pop_qty"),
+    )
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the multi-way broadcast star join + aggregation."""
     return q03_revenue_by_nation(spark, sf_dir)

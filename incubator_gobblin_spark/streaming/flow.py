@@ -191,6 +191,63 @@ def windowed_counts(
     )
 
 
+def dedup_stream(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    within: str,
+) -> DataFrame:
+    """Streaming exact dedup: keep the first record per key seen within
+    the watermark horizon (``dropDuplicatesWithinWatermark``) — the
+    streaming analogue of ``dedup.dedup_exact`` and of the reference's
+    RecordKeyDedupReducerBase applied to an unbounded stream.
+
+    State posture at scale: per-key state is EVICTED once the event-time
+    watermark passes ``within`` behind — bounded state for unbounded
+    streams. Plain ``dropDuplicates`` on a stream would grow state
+    forever; this is the form that survives a year-long run. The dedup
+    state shuffles on the key columns (one exchange), identical to the
+    batch fingerprint groupBy shape."""
+    return df.withWatermark(ts_col, within).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    left_delay: str,
+    right_delay: str,
+    lower: str = "interval 0 seconds",
+    upper: str = "interval 1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream event-time join: equi-join on ``on`` plus a time
+    bound ``right_ts in [left_ts - lower, left_ts + upper]`` with
+    watermarks on BOTH sides so the join state is evictable (Spark
+    drops a buffered row once the other side's watermark passes its
+    join window — without the interval bound, stream-stream state grows
+    forever). The enrichment-join analogue when the dimension itself is
+    a stream (e.g. orders enriched by a payments stream).
+
+    Outer modes emit the unmatched row only after the watermark proves
+    no match can arrive — correct-by-construction late-data handling."""
+    lts, rts = F.col(f"_l.{left_ts}"), F.col(f"_r.{right_ts}")
+    cond = (
+        (F.col(f"_l.{on}") == F.col(f"_r.{on}"))
+        & (rts >= lts - F.expr(lower))
+        & (rts <= lts + F.expr(upper))
+    )
+    return (
+        left.withWatermark(left_ts, left_delay)
+        .alias("_l")
+        .join(right.withWatermark(right_ts, right_delay).alias("_r"), cond, how)
+    )
+
+
 def session_windows(
     df: DataFrame, ts_col: str, gap: str, group_cols: Sequence[str] = ()
 ) -> DataFrame:

@@ -216,3 +216,87 @@ def test_stateful_seen_keys_filter_dedups_across_batches(spark, tmp_path):
     # x emitted once with its FIRST payload; the batch-2 dup dropped
     assert len(rows) == 3
     assert got == {"x": "doc-x", "y": "doc-y", "z": "doc-z"}
+
+
+def test_dedup_stream_drops_duplicates_within_watermark(spark, tmp_path):
+    """Streaming dedup keeps one record per key across micro-batches
+    (state within the watermark horizon) and evicts old state."""
+    from incubator_gobblin_spark.streaming.flow import dedup_stream
+
+    src = tmp_path / "dds"
+    src.mkdir()
+    out = str(tmp_path / "dds_out")
+    schema = "k long, ts timestamp, v string"
+
+    def _write(rows, dest):
+        (spark.createDataFrame(rows, "k long, ts string, v string")
+         .select("k", F.col("ts").cast("timestamp").alias("ts"), "v")
+         .coalesce(1).write.parquet(dest))
+
+    # batch 1: duplicate key 1 inside the file; batch 2: key 1 again
+    _write([(1, "2024-01-01 00:00:00", "a"), (1, "2024-01-01 00:00:05", "b"),
+            (2, "2024-01-01 00:00:10", "c")], str(src / "b1"))
+    _write([(1, "2024-01-01 00:00:20", "d"), (3, "2024-01-01 00:00:30", "e")],
+           str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        dedup_stream(stream, ["k"], "ts", "10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "dds_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    # exactly one row per key: duplicates both in-batch and cross-batch dropped
+    assert sorted(r["k"] for r in rows) == [1, 2, 3]
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream event-time join matches rows within the interval
+    and carries watermarks on both sides (bounded state)."""
+    from incubator_gobblin_spark.streaming.flow import stream_stream_interval_join
+
+    lsrc, rsrc = tmp_path / "ssl", tmp_path / "ssr"
+    lsrc.mkdir(); rsrc.mkdir()
+    lschema = "uid long, lts timestamp, lval string"
+    rschema = "uid long, rts timestamp, rval string"
+
+    def _write(rows, raw_schema, ts_col, dest):
+        cols = [c.split()[0] for c in raw_schema.split(", ")]
+        (spark.createDataFrame(rows, raw_schema.replace("timestamp", "string"))
+         .select(*[F.col(c).cast("timestamp").alias(c) if c == ts_col else F.col(c)
+                   for c in cols])
+         .coalesce(1).write.parquet(dest))
+
+    _write([(1, "2024-01-01 00:00:00", "l1"), (2, "2024-01-01 01:00:00", "l2")],
+           lschema, "lts", str(lsrc / "b1"))
+    _write([(1, "2024-01-01 00:10:00", "r-in"),      # within 1h of l1
+            (1, "2024-01-01 03:00:00", "r-late"),    # outside the interval
+            (2, "2024-01-01 01:30:00", "r2-in")],
+           rschema, "rts", str(rsrc / "b1"))
+
+    left = spark.readStream.schema(lschema).parquet(str(lsrc / "*"))
+    right = spark.readStream.schema(rschema).parquet(str(rsrc / "*"))
+    joined = stream_stream_interval_join(
+        left, right, on="uid", left_ts="lts", right_ts="rts",
+        left_delay="1 minute", right_delay="1 minute",
+        lower="interval 0 seconds", upper="interval 1 hour",
+    ).select("_l.uid", "lval", "rval")
+    out = str(tmp_path / "ss_out")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ss_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r["uid"], r["rval"]) for r in spark.read.parquet(out).collect())
+    assert got == [(1, "r-in"), (2, "r2-in")]
