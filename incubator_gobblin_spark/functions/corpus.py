@@ -116,28 +116,34 @@ def repetition_stats(
 
     Docs with fewer than ``n`` tokens report 0 counts and 0.0 ratios.
 
-    Shape: token ratios are pure Column; the top-n-gram count is
-    explode -> two groupBys keyed on (doc, gram) then doc — both with
-    map-side partial aggregation, and both partitioned by the doc id so
-    AQE coalesces them into one effective exchange chain. No UDFs."""
+    Shape: ONE pass over the text. The per-doc token scalars ride the
+    n-gram explode as grouping keys (they are functionally dependent on
+    the doc id, so the key widens by two ints and nothing else) — a
+    separate token-stats lineage would re-scan the corpus, since Spark
+    shares no subplans across branches. explode_outer keeps gram-less
+    docs alive through the aggregation. Two groupBys — (doc, gram) then
+    doc — both with map-side partial aggregation, both partitioned by
+    the doc id so AQE coalesces the exchange chain. No UDFs."""
     toks = _toks(text_col)
     base = df.select(
         F.col(id_col).alias("doc"),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
-        _word_ngrams(text_col, n).alias("_grams"),
+        F.explode_outer(_word_ngrams(text_col, n)).alias("gram"),
     )
-    gram_top = (
-        base.select("doc", F.explode("_grams").alias("gram"))
-        .groupBy("doc", "gram")
+    joined = (
+        base.groupBy("doc", "n_tokens", "n_distinct_tokens", "gram")
         .agg(F.count(F.lit(1)).alias("_c"))
-        .groupBy("doc")
+        .groupBy("doc", "n_tokens", "n_distinct_tokens")
         .agg(
-            F.max("_c").alias("top_ngram_count"),
-            F.sum("_c").alias("_n_grams"),
+            F.max(F.when(F.col("gram").isNotNull(), F.col("_c"))).alias(
+                "top_ngram_count"
+            ),
+            F.sum(F.when(F.col("gram").isNotNull(), F.col("_c"))).alias(
+                "_n_grams"
+            ),
         )
     )
-    joined = base.drop("_grams").join(gram_top, "doc", "left")
     return joined.select(
         F.col("doc").alias(id_col),
         "n_tokens",
@@ -197,20 +203,23 @@ def tfidf_top_terms(
     scores rounded to 6 decimals; ties broken by term ascending).
     Output: (``id_col``, ``term``, ``tfidf``, ``rank``).
 
-    Shape: one (doc, term) count aggregation; document frequency is a
-    second aggregation over the SAME partial — Catalyst reuses the
-    exchange; N arrives as a broadcast one-row cross join (never a
-    driver collect); final per-doc top-k is a window over the doc
-    partition. All JVM-side."""
+    Shape: ONE pass over the text — (doc, term) counts aggregate once,
+    then document frequency is a COUNT window over the term partition
+    of those same rows (Spark shares no subplans across branches, so a
+    second groupBy lineage would re-scan and re-explode the whole
+    corpus; the window trades that second 100 TB scan for one exchange
+    of the much smaller (doc, term) set). N arrives as a broadcast
+    one-row cross join reading only the id column (never a driver
+    collect); final per-doc top-k is a window over the doc partition.
+    All JVM-side."""
     tf = (
         df.select(F.col(id_col).alias("doc"), F.explode(_toks(text_col)).alias("term"))
         .groupBy("doc", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(docfreq, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
@@ -251,9 +260,12 @@ def bm25_scores(
     (score desc, id asc).
 
     Shape: the query terms are literals folded into the scan filter, so
-    only matching (doc, term) rows survive the exchange; N / avgdl /
-    per-term df are broadcast one-row aggregates (no driver collect).
-    One shuffle on the doc id."""
+    only matching (doc, term) rows survive the exchange; per-term df is
+    a COUNT window over the term partition of the tf rows (a separate
+    groupBy lineage would re-scan and re-explode the corpus — Spark
+    shares no subplans across branches); N / avgdl ride one broadcast
+    one-row aggregate (the only other text scan, agg-only with no
+    explode). One shuffle on the doc id."""
     terms = F.array(*[F.lit(t) for t in query_terms])
     toks = df.select(
         F.col(id_col).alias("doc"),
@@ -269,7 +281,6 @@ def bm25_scores(
         .groupBy("doc", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -282,7 +293,7 @@ def bm25_scores(
     # under Spark's nondeterministic partial-aggregation order (and
     # reproducible by external engines summing in any order).
     scored = (
-        tf.join(F.broadcast(docfreq), "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "_s",
