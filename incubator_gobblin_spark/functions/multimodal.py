@@ -100,6 +100,36 @@ def image_features(df: DataFrame, payload_col: str = "payload",
     return df.mapInPandas(_op, schema=IMAGE_FEATURES_SCHEMA)
 
 
+def binary_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Checksum/size pass over binary payloads via the SAME Arrow-batched
+    mapInPandas contract as the decode stages — but with no codec
+    dependency, so unlike the stubbed decode it runs for real: this is
+    the multimodal plumbing under a hard correctness check (byte counts
+    and md5 digests are engine-reproducible). The dedup/integrity
+    primitive for media corpora: digest once, compare digests ever
+    after — the shuffle carries 32 hex chars, never payload bytes."""
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            yield pd.DataFrame(
+                {
+                    "_id": pdf[id_col],
+                    "n_bytes": [len(b) for b in payloads],
+                    "payload_md5": [
+                        hashlib.md5(bytes(b)).hexdigest() for b in payloads
+                    ],
+                }
+            )
+
+    out_schema = f"_id {dict(df.dtypes)[id_col]}, n_bytes long, payload_md5 string"
+    return df.mapInPandas(_op, schema=out_schema).withColumnRenamed("_id", id_col)
+
+
 def sample_frames(df: DataFrame, every_n: int = 10,
                   frame_count_col: str = "frame_count") -> DataFrame:
     """Video frame-sampling plan: explode frame indices 0, n, 2n, ... per

@@ -2287,6 +2287,31 @@ def q77_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q78_multimodal_binary_stats",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def q78_multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary plumbing under a HARD correctness check
+    (multimodal.binary_stats): documents' text becomes an opaque binary
+    payload column (the media-column contract), then the same
+    Arrow-batched mapInPandas stage shape as the stubbed decode
+    computes byte counts + md5 digests — values an external engine
+    reproduces exactly. Proves the batching/schema/binary-transfer
+    path end-to-end, not just in fake mode."""
+    from incubator_gobblin_spark.functions import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return multimodal.binary_stats(docs, id_col="doc_id", payload_col="payload")
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the multi-way broadcast star join + aggregation."""
     return q03_revenue_by_nation(spark, sf_dir)

@@ -78,26 +78,39 @@ PYTHON_BY_NECESSITY = {
     "q69_lsh_topk_self_retrieval",
 }
 
+# Multimodal plumbing is DEFINED as an Arrow mapInPandas stage (binary
+# codecs are Python-library territory); its query is exempt with a
+# different expected node than the pandas-UDF projections above.
+MAP_IN_PANDAS_BY_DESIGN = {"q78_multimodal_binary_stats"}
+
+_PY_NODES = ("EvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+
 
 def test_no_python_in_any_query_row_path(spark, sf_dir):
-    """No registered query may fall back to row-at-a-time Python: every
-    operator stays JVM-side (BatchEvalPython / ArrowEvalPython nodes are
-    the slow path the engine forbids in its declared query set), except
-    the explicitly documented PYTHON_BY_NECESSITY set."""
+    """No registered query may fall back to Python in the row path —
+    EvalPython, MapInPandas, or grouped-pandas nodes — except the
+    explicitly documented exemption sets."""
+    exempt = PYTHON_BY_NECESSITY | MAP_IN_PANDAS_BY_DESIGN
     for name, fn in Q.queries().items():
-        if name in PYTHON_BY_NECESSITY:
+        if name in exempt:
             continue
         plan = _plan(fn(spark, sf_dir))
-        assert "EvalPython" not in plan, f"{name} executes Python per-row"
+        for node in _PY_NODES:
+            assert node not in plan, f"{name} executes Python ({node})"
 
 
 def test_python_by_necessity_is_arrow_batched(spark, sf_dir):
     """The exempted queries must at least use Arrow-vectorized Python
-    (ArrowEvalPython), never row-at-a-time BatchEvalPython."""
+    (ArrowEvalPython / MapInPandas), never row-at-a-time
+    BatchEvalPython."""
     for name in PYTHON_BY_NECESSITY:
         plan = _plan(Q.queries()[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan, f"{name} is row-at-a-time Python"
         assert "ArrowEvalPython" in plan, f"{name} should be Arrow-batched"
+    for name in MAP_IN_PANDAS_BY_DESIGN:
+        plan = _plan(Q.queries()[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan, f"{name} is row-at-a-time Python"
+        assert "MapInPandas" in plan, f"{name} should be an Arrow mapInPandas stage"
 
 
 def test_aggregation_uses_whole_stage_codegen(spark, sf_dir):
