@@ -369,6 +369,57 @@ def cosine_near_dup_pairs(
     )
 
 
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 5,
+) -> list[list[float]]:
+    """Train IVF coarse-quantizer centroids with distributed Lloyd's
+    k-means over DataFrame ops — the index-BUILD step that feeds
+    :func:`ivf_assign` / :func:`ivf_topk`.
+
+    Per iteration: assignment is the same literal-centroid projection
+    as ``ivf_assign`` (no shuffle, no UDF); the update step is
+    posexplode -> groupBy(cluster, dim) mean — ONE shuffle whose rows
+    are (cluster, dim, partial-sum) triples collapsed map-side, never
+    vectors. Only k*dim floats cross to the driver per iteration
+    (model state, not data — the legitimate driver-side payload).
+
+    Initialization is deterministic: the k vectors with the smallest
+    ids (callers wanting k-means++ quality pass a pre-shuffled sample).
+    Empty clusters keep their previous centroid. At 100 TB, fit on a
+    sampled fraction (classic IVF practice) and assign the full corpus
+    once."""
+    init = (
+        vectors.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    cents = [[float(x) for x in r[vec_col]] for r in init]
+    for _ in range(iters):
+        assigned = ivf_assign(vectors.select(vec_col), cents, vec_col=vec_col)
+        sums = (
+            assigned.select(
+                "cluster_id", F.posexplode(F.col(vec_col)).alias("dim", "x")
+            )
+            .groupBy("cluster_id", "dim")
+            .agg(F.avg(F.col("x").cast("double")).alias("mean"))
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in sums:
+            by_cluster.setdefault(r["cluster_id"], {})[r["dim"]] = r["mean"]
+        for cid, dims in by_cluster.items():
+            for d, m in dims.items():
+                new[cid][d] = m
+        cents = new
+    return cents
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: list[list[float]],

@@ -192,3 +192,42 @@ def join_skew_salted(
     )
     out = salted_left.join(salted_right, on=[on, "_salt"], how=how)
     return out.drop("_salt")
+
+
+def skew_report(
+    df: DataFrame, cols: list[str], top: int = 10
+) -> DataFrame:
+    """Hot-key diagnostic for join/agg planning: the ``top`` most
+    frequent key tuples with row count and corpus fraction — the
+    numbers that decide between plain shuffle, AQE skew splitting, and
+    explicit salting (:func:`join_skew_salted`). Deterministic order:
+    count desc, then key columns asc.
+
+    Shape: one map-side-combining groupBy on the key; the total rides a
+    broadcast one-row aggregate (no driver collect); top-k goes through
+    ``orderBy().limit()`` — Spark's TakeOrderedAndProject, a partial
+    per-partition top-k merged once, NOT a single-partition global sort
+    of every distinct key — and the rank window touches only the k
+    survivors. Run it on the join key BEFORE shipping a 100 TB join —
+    a 1% hot key at that scale is a 1 TB partition."""
+    from pyspark.sql.window import Window
+
+    order = [F.col("n").desc(), *[F.col(c).asc() for c in cols]]
+    counts = (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(*order)
+        .limit(top)
+    )
+    total = df.select(F.count(F.lit(1)).alias("_total"))
+    w = Window.orderBy(*order)
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            *cols,
+            "n",
+            F.round(F.col("n") / F.col("_total"), 6).alias("frac"),
+            F.col("_rn").cast("long").alias("rank"),
+        )
+    )

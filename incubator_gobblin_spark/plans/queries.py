@@ -2312,6 +2312,27 @@ def q78_multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.binary_stats(docs, id_col="doc_id", payload_col="payload")
 
 
+@register(
+    "q79_skew_hot_keys",
+    """
+    WITH counts AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+      ORDER BY n DESC, user_id ASC LIMIT 10
+    ), total AS (SELECT count(*) AS t FROM events)
+    SELECT user_id, n,
+           round(n / CAST(t AS DOUBLE), 6) AS frac,
+           row_number() OVER (ORDER BY n DESC, user_id ASC) AS rank
+    FROM counts CROSS JOIN total
+    """,
+)
+def q79_skew_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key skew diagnostic (joins.skew_report): the numbers that
+    decide between plain shuffle, AQE skew split, and explicit salting.
+    TakeOrderedAndProject top-k — no global sort of the key space."""
+    events = load_table(spark, sf_dir, "events")
+    return joins.skew_report(events, ["user_id"], top=10)
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the multi-way broadcast star join + aggregation."""
     return q03_revenue_by_nation(spark, sf_dir)

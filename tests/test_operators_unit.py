@@ -474,3 +474,32 @@ def test_redact_pii_patterns_and_order(spark):
     ).select(redact_pii("t").alias("got"), "want").collect()
     for r in rows:
         assert r["got"] == r["want"]
+
+
+def test_kmeans_fit_recovers_blob_centers(spark):
+    """Lloyd's over DataFrame ops recovers well-separated blob centers
+    and composes with ivf_assign to separate the blobs exactly."""
+    import random
+
+    from incubator_gobblin_spark.functions import similarity
+
+    rng = random.Random(7)
+    centers = [[0.0, 0.0, 10.0], [10.0, 0.0, 0.0], [0.0, 10.0, 0.0]]
+    rows = []
+    for i in range(90):
+        c = centers[i % 3]
+        rows.append((i, [x + rng.uniform(-0.5, 0.5) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.kmeans_fit(df, k=3, iters=6)
+    # every true center has a fitted centroid within 1.0 (noise is 0.5)
+    for c in centers:
+        best = min(sum((a - b) ** 2 for a, b in zip(c, f)) ** 0.5 for f in cents)
+        assert best < 1.0, (c, cents)
+    # assignment separates blobs: each cluster holds exactly one blob
+    assigned = similarity.ivf_assign(df, cents).collect()
+    blob_of_cluster = {}
+    for r in assigned:
+        blob = r["vec_id"] % 3
+        cid = r["cluster_id"]
+        assert blob_of_cluster.setdefault(cid, blob) == blob
+    assert len(blob_of_cluster) == 3
