@@ -93,7 +93,15 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
             df = spark.read.parquet(path)
         finally:
             spark.conf.set(_NANOS_CONF, prev)
+        dtypes = dict(df.dtypes)
         for c in ns_cols:
+            # Only columns the legacy conf actually surfaced as raw int64
+            # need the conversion: Spark 4 reads ITS OWN nanos files
+            # natively as timestamp (the conf applies to the legacy
+            # nanos encoding the external generator produces), and
+            # 'timestamp div 1000' would fail analysis.
+            if dtypes.get(c) != "bigint":
+                continue
             # integer `div` (not `/`): float division of an int64
             # nanosecond value loses low bits above 2^53.
             df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))

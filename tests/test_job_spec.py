@@ -1,0 +1,179 @@
+"""Gobblin .pull job-spec compatibility (jobs/spec.py): the reference's
+properties vocabulary compiles onto Pipeline and runs end-to-end."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_gobblin_spark.jobs import spec as S
+
+
+def test_parse_properties_comments_continuations_interpolation(monkeypatch):
+    monkeypatch.setenv("GOBBLIN_TEST_DIR", "/tmp/gwork")
+    props = S.parse_properties(
+        """
+# a comment
+! another comment
+fs.uri=file:///
+job.name=Demo
+writer.fs.uri=${fs.uri}
+metrics.log.dir=${env:GOBBLIN_TEST_DIR}/metrics
+long.value=a,\\
+b,c
+missing.ref=${not.defined}
+"""
+    )
+    assert props["writer.fs.uri"] == "file:///"
+    assert props["metrics.log.dir"] == "/tmp/gwork/metrics"
+    assert props["long.value"] == "a,b,c"
+    assert props["missing.ref"] == "${not.defined}"  # kept literal
+
+
+@pytest.fixture()
+def json_source_dir(tmp_path):
+    path = tmp_path / "users.json"
+    rows = [
+        {"name": "ada", "favorite_number": 1, "favorite_color": "green"},
+        {"name": "bob", "favorite_number": 2, "favorite_color": "blue"},
+        {"name": "eve", "favorite_number": 3, "favorite_color": "green"},
+    ]
+    path.write_text("\n".join(json.dumps(r) for r in rows))
+    return str(path)
+
+
+def _simplejson_props(json_path: str, out_dir: str) -> dict[str, str]:
+    """The simplejson.pull example, pointed at local files."""
+    avro_schema = {
+        "namespace": "example.avro", "type": "record", "name": "User",
+        "fields": [
+            {"name": "name", "type": "string"},
+            {"name": "favorite_number", "type": "int"},
+            {"name": "favorite_color", "type": "string"},
+        ],
+    }
+    return {
+        "job.name": "GobblinDemo",
+        "source.class": "org.apache.gobblin.example.simplejson.SimpleJsonSource",
+        "converter.classes": "org.apache.gobblin.example.simplejson.SimpleJsonConverter,"
+        "org.apache.gobblin.converter.filter.AvroFilterConverter",
+        "converter.filter.field": "favorite_color",
+        "converter.filter.value": "green",
+        "source.filebased.files.to.pull": json_path,
+        "source.schema": json.dumps(avro_schema),
+        "qualitychecker.row.policies": "org.apache.gobblin.policies.schema.SchemaRowCheckPolicy",
+        "qualitychecker.row.policy.types": "OPTIONAL",
+        "data.publisher.type": "org.apache.gobblin.publisher.BaseDataPublisher",
+        "data.publisher.final.dir": out_dir,
+        "writer.output.format": "PARQUET",
+    }
+
+
+def test_simplejson_pull_job_runs(spark, tmp_path, json_source_dir):
+    out = str(tmp_path / "out")
+    result = S.run_job(spark, _simplejson_props(json_source_dir, out))
+    assert result.rows_written == 2  # filter keeps the green rows
+    got = spark.read.parquet(out)
+    assert sorted(r["name"] for r in got.collect()) == ["ada", "eve"]
+
+
+def test_pull_file_roundtrip(spark, tmp_path, json_source_dir):
+    """The same job as an actual .pull FILE, exercising load_job_file."""
+    out = str(tmp_path / "out2")
+    props = _simplejson_props(json_source_dir, out)
+    pull = tmp_path / "demo.pull"
+    pull.write_text(
+        "\n".join(f"{k}={v}" for k, v in props.items())
+    )
+    result = S.run_job(spark, str(pull))
+    assert result.rows_written == 2
+
+
+def test_time_partitioned_writer_layout(spark, tmp_path, sf_dir):
+    """TimeBasedWriterPartitioner + TimePartitionedDataPublisher produce
+    the year/month/day hive layout from a record timestamp."""
+    events_src = str(tmp_path / "events_parquet")
+    from incubator_gobblin_spark.session import load_table
+
+    load_table(spark, sf_dir, "events").limit(200).write.parquet(events_src)
+    out = str(tmp_path / "daily")
+    props = {
+        "job.name": "PartitionedWrite",
+        "source.class": "org.apache.gobblin.source.FileBasedSource",
+        "source.filebased.data.directory": events_src,
+        "writer.partitioner.class": "org.apache.gobblin.writer.partitioner.TimeBasedAvroWriterPartitioner",
+        "writer.partition.columns": "ts",
+        "writer.partition.pattern": "yyyy/MM/dd",
+        "data.publisher.type": "org.apache.gobblin.publisher.TimePartitionedDataPublisher",
+        "data.publisher.final.dir": out,
+        "writer.output.format": "PARQUET",
+    }
+    result = S.run_job(spark, props)
+    assert result.rows_written == 200
+    # hive-style partition dirs exist and Spark reads them back partitioned
+    years = [d for d in os.listdir(out) if d.startswith("year=")]
+    assert years
+    got = spark.read.parquet(out)
+    assert got.count() == 200
+    assert {"year", "month", "day"} <= set(got.columns)
+
+
+def test_date_partitioned_source_with_min_watermark(spark, tmp_path):
+    """DatePartitionedJsonFileSource scans the monthly layout above the
+    min watermark (low-exclusive, the reference's contract)."""
+    root = tmp_path / "ds" / "monthly"
+    for month, payload in [("2015/01", 1), ("2015/02", 2), ("2015/03", 3)]:
+        d = root / month
+        d.mkdir(parents=True)
+        (d / "part.json").write_text(json.dumps({"v": payload}))
+    props = {
+        "job.name": "DateRead",
+        "source.class": "org.apache.gobblin.source.DatePartitionedJsonFileSource",
+        "source.filebased.data.directory": str(tmp_path / "ds"),
+        "date.partitioned.source.partition.prefix": "monthly",
+        "date.partitioned.source.partition.pattern": "yyyy/MM",
+        "date.partitioned.source.min.watermark.value": "2015/01",
+        "data.publisher.final.dir": str(tmp_path / "dout"),
+        "writer.output.format": "JSON",
+    }
+    result = S.run_job(spark, props)
+    assert result.rows_written == 2  # 2015/02 and 2015/03 (low-exclusive)
+
+
+def test_unsupported_classes_fail_loudly(spark):
+    with pytest.raises(S.SpecError, match="unsupported source.class"):
+        S.compile_source({"source.class": "com.example.MysterySource"})
+    with pytest.raises(S.SpecError, match="unsupported converter"):
+        S.compile_job(
+            spark,
+            {
+                "job.name": "x",
+                "source.class": "SimpleJsonSource",
+                "source.filebased.files.to.pull": "/tmp/x.json",
+                "converter.classes": "com.example.WeirdConverter",
+                "data.publisher.final.dir": "/tmp/out",
+            },
+        )
+
+
+def test_row_count_range_task_policy_aborts(spark, tmp_path, json_source_dir):
+    """RowCountRangePolicy outside the allowed deviation aborts the
+    publish (staging cleaned, final dir absent)."""
+    from incubator_gobblin_spark.operators.quality import TaskPolicyError
+
+    out = str(tmp_path / "never")
+    props = _simplejson_props(json_source_dir, out)
+    props.update(
+        {
+            "qualitychecker.task.policies": "org.apache.gobblin.policies.count.RowCountRangePolicy",
+            "qualitychecker.task.policy.types": "FAIL",
+            "qualitychecker.rows.expected": "100",
+            "qualitychecker.row.count.range": "0.1",
+        }
+    )
+    with pytest.raises(TaskPolicyError):
+        S.run_job(spark, props)
+    assert not os.path.exists(os.path.join(out, "_staging")) or not os.listdir(
+        os.path.join(out, "_staging")
+    )
