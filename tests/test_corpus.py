@@ -101,3 +101,68 @@ def test_no_python_in_corpus_plans(docs, spark):
     ]:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_corpus_ops_match_bruteforce_python(spark, seed):
+    """Randomized cross-check: on corpora drawn from a tiny vocabulary
+    (forcing heavy n-gram collisions), the Spark operators must equal a
+    brute-force Python implementation exactly."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(seed)
+    vocab = ["a", "b", "c", "dd", "ee"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def toks(t):
+        return [x for x in t.strip().split() if x]
+
+    def grams(t, n):
+        tk = toks(t)
+        return [" ".join(tk[i:i + n]) for i in range(len(tk) - n + 1)]
+
+    # repetition_stats
+    got = {
+        r["doc_id"]: r
+        for r in corpus.repetition_stats(df, "doc_id", "text", n=2).collect()
+    }
+    for i, t in docs:
+        tk, bg = toks(t), grams(t, 2)
+        assert got[i]["n_tokens"] == len(tk)
+        assert got[i]["n_distinct_tokens"] == len(set(tk))
+        assert got[i]["top_ngram_count"] == (max(Counter(bg).values()) if bg else 0)
+
+    # hot_ngrams (distinct-per-doc doc frequency)
+    exp_df = Counter()
+    for _, t in docs:
+        for g in set(grams(t, 2)):
+            exp_df[g] += 1
+    got_hot = {
+        r["gram"]: r["n_docs"]
+        for r in corpus.hot_ngrams(df, "doc_id", "text", n=2, min_docs=2).collect()
+    }
+    assert got_hot == {g: c for g, c in exp_df.items() if c >= 2}
+
+    # decontaminate against a benchmark slice
+    bench_ids = {i for i, _ in docs if i % 5 == 0}
+    bench_grams = set()
+    for i, t in docs:
+        if i in bench_ids:
+            bench_grams.update(grams(t, 2))
+    expected = {
+        i: len(set(grams(t, 2)) & bench_grams)
+        for i, t in docs
+        if i not in bench_ids and set(grams(t, 2)) & bench_grams
+    }
+    train = df.filter(~F.col("doc_id").isin(list(bench_ids)))
+    bench = df.filter(F.col("doc_id").isin(list(bench_ids)))
+    got_dec = {
+        r["doc_id"]: r["n_shared_ngrams"]
+        for r in corpus.decontaminate(train, bench, n=2).collect()
+    }
+    assert got_dec == expected
