@@ -448,3 +448,93 @@ def run_job(
     dict — the EmbeddedGobblin one-shot entry point."""
     props = load_job_file(spec) if isinstance(spec, str) else spec
     return compile_job(spark, props).run()
+
+
+# ---------------------------------------------------------------------------
+# lifecycle job specs (retention / compaction vocabularies)
+# ---------------------------------------------------------------------------
+
+def run_retention_job(spark: SparkSession, spec: str | dict[str, str]):
+    """Run a retention job from the reference's ``gobblin.retention.*``
+    vocabulary (ConfigurableCleanableDataset.java:68-70 +
+    FsCleanableHelper.SIMULATE_KEY):
+
+    - ``gobblin.retention.dataset.dir`` (engine key): root holding one
+      subdirectory per dataset;
+    - ``gobblin.retention.version.finder.class``: DateTime / GlobModTime
+      / UnixTimestamp / Watermark dataset-version finders;
+    - ``gobblin.retention.retention.policy.class``: NewestK
+      (``versions.retained``) or TimeBased (``minutes.retained``, with
+      ``gobblin.retention.spark.cutoff`` as the deterministic-cutoff
+      engine override);
+    - ``gobblin.retention.simulate``: dry-run (lists, deletes nothing).
+    """
+    from datetime import datetime, timedelta
+
+    from incubator_gobblin_spark.jobs import retention as ret
+
+    props = load_job_file(spec) if isinstance(spec, str) else spec
+    pfx = "gobblin.retention."
+    root = props[pfx + "dataset.dir"]
+
+    finder = _simple(
+        props.get(pfx + "version.finder.class", "DateTimeDatasetVersionFinder")
+    )
+    if finder == "DateTimeDatasetVersionFinder":
+        versions = ret.find_versions_datetime(spark, root)
+    elif finder == "GlobModTimeDatasetVersionFinder":
+        versions = ret.find_versions_glob_modtime(
+            spark, root, props.get(pfx + "version.glob.pattern", "*")
+        )
+    elif finder == "UnixTimestampVersionFinder":
+        versions = ret.find_versions_unix_timestamp(spark, root)
+    elif finder == "WatermarkDatasetVersionFinder":
+        versions = ret.find_versions_watermark(spark, root)
+    else:
+        raise SpecError(f"unsupported version finder: {finder}")
+
+    simulate = props.get(pfx + "simulate", "false").lower() == "true"
+    policy = _simple(
+        props.get(pfx + "retention.policy.class", "NewestKRetentionPolicy")
+    )
+    if policy in ("NewestKRetentionPolicy", "NewestKSelectionPolicy"):
+        k = int(props.get(pfx + "versions.retained", "2"))
+        return ret.apply_newest_k(versions, k, dry_run=simulate)
+    if policy == "TimeBasedRetentionPolicy":
+        cutoff_raw = props.get(pfx + "spark.cutoff")
+        if cutoff_raw:
+            cutoff = datetime.fromisoformat(cutoff_raw)
+        else:
+            cutoff = datetime.now() - timedelta(
+                minutes=float(props[pfx + "minutes.retained"])
+            )
+        return ret.apply_older_than(versions, cutoff, dry_run=simulate)
+    raise SpecError(f"unsupported retention policy: {policy}")
+
+
+def run_compaction_job(spark: SparkSession, spec: str | dict[str, str]):
+    """Run a compaction job from the reference's ``compaction.*``
+    vocabulary (MRCompactor.java:116-126): ``input.dir``/``input.subdir``
+    -> ``dest.dir``/``dest.subdir``; dedup keys/delta come from the
+    engine keys ``compaction.spark.keys`` / ``compaction.spark.delta``
+    (the reference infers them from the Avro primarykey doc — parquet
+    schemas carry no such annotation, so the spec states them)."""
+    from incubator_gobblin_spark.jobs import compaction as comp
+
+    props = load_job_file(spec) if isinstance(spec, str) else spec
+    input_dir = props["compaction.input.dir"]
+    input_sub = props.get("compaction.input.subdir", "hourly")
+    dest_dir = props.get("compaction.dest.dir", input_dir)
+    dest_sub = props.get("compaction.dest.subdir", "daily")
+    keys = _csv_list(props, "compaction.spark.keys") or None
+    delta = _csv_list(props, "compaction.spark.delta")
+    tie = _csv_list(props, "compaction.spark.tie.breakers")
+    return comp.compact(
+        spark,
+        os.path.join(input_dir, input_sub),
+        os.path.join(dest_dir, dest_sub),
+        keys=keys,
+        delta=delta,
+        tie_breakers=tie,
+        fmt=props.get("writer.output.format", "PARQUET").lower(),
+    )

@@ -177,3 +177,51 @@ def test_row_count_range_task_policy_aborts(spark, tmp_path, json_source_dir):
     assert not os.path.exists(os.path.join(out, "_staging")) or not os.listdir(
         os.path.join(out, "_staging")
     )
+
+
+def test_retention_job_spec_newest_k(spark, tmp_path):
+    """gobblin.retention.* vocabulary: NewestK over a datetime version
+    tree, simulate mode lists but deletes nothing."""
+    root = tmp_path / "datasets"
+    for ds in ("tableA", "tableB"):
+        for day in ("2024/01/01", "2024/01/02", "2024/01/03"):
+            (root / ds / day).mkdir(parents=True)
+            (root / ds / day / "part.txt").write_text("x")
+    res = S.run_retention_job(
+        spark,
+        {
+            "gobblin.retention.dataset.dir": str(root),
+            "gobblin.retention.version.finder.class":
+                "org.apache.gobblin.data.management.retention.version.finder.DateTimeDatasetVersionFinder",
+            "gobblin.retention.retention.policy.class":
+                "org.apache.gobblin.data.management.retention.policy.NewestKRetentionPolicy",
+            "gobblin.retention.versions.retained": "2",
+            "gobblin.retention.simulate": "true",
+        },
+    )
+    # oldest version of each dataset is deletable; nothing removed
+    assert sorted(res.deleted) == [
+        str(root / "tableA" / "2024/01/01"),
+        str(root / "tableB" / "2024/01/01"),
+    ]
+    assert res.dry_run and os.path.isdir(root / "tableA" / "2024/01/01")
+
+
+def test_compaction_job_spec(spark, tmp_path):
+    """compaction.* vocabulary: hourly -> daily dedup compaction."""
+    src_dir = tmp_path / "in" / "hourly"
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    df.write.parquet(str(src_dir))
+    res = S.run_compaction_job(
+        spark,
+        {
+            "compaction.input.dir": str(tmp_path / "in"),
+            "compaction.dest.dir": str(tmp_path / "out"),
+            "compaction.spark.keys": "k,v",
+        },
+    )
+    assert res.output_rows == 3
+    got = spark.read.parquet(str(tmp_path / "out" / "daily"))
+    assert got.count() == 3
