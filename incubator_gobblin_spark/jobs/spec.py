@@ -538,3 +538,51 @@ def run_compaction_job(spark: SparkSession, spec: str | dict[str, str]):
         tie_breakers=tie,
         fmt=props.get("writer.output.format", "PARQUET").lower(),
     )
+
+
+def run_copy_job(spark: SparkSession, spec: str | dict[str, str]):
+    """Run a distcp replication job from the reference's distcp template
+    vocabulary (gobblin-example distcp.conf: ``from`` / ``to``, the
+    template expanding to CopySource + RecursiveCopyableDataset): maps
+    onto the engine's incremental manifest-diff copy."""
+    from incubator_gobblin_spark.jobs import copy as cp
+
+    props = load_job_file(spec) if isinstance(spec, str) else spec
+    src_root = props.get("from") or props.get("gobblin.copy.from")
+    dst_root = props.get("to") or props.get("gobblin.copy.to")
+    if not src_root or not dst_root:
+        raise SpecError("copy job needs 'from' and 'to'")
+    return cp.copy_dataset(spark, src_root, dst_root)
+
+
+def run_hive_conversion_job(spark: SparkSession, spec: str | dict[str, str]):
+    """Run the Hive Avro→ORC conversion job family
+    (hive-avro-to-orc.pull: HiveSource + HiveAvroToOrcConverter +
+    HiveConvertPublisher): every catalog table matching
+    ``hive.dataset.table.pattern`` in ``hive.dataset.database`` is
+    materialized as a flattened ORC table (staged, atomically swapped).
+    The destination name takes the reference's ``_orc`` suffix
+    convention; override per-table naming with
+    ``hive.dataset.spark.dest.suffix``."""
+    import fnmatch
+
+    from incubator_gobblin_spark.jobs import hive_materialize as hm
+
+    props = load_job_file(spec) if isinstance(spec, str) else spec
+    database = props.get("hive.dataset.database", "default")
+    pattern = props["hive.dataset.table.pattern"]
+    suffix = props.get("hive.dataset.spark.dest.suffix", "_orc")
+    cls = _simple(props.get("source.class", "HiveSource"))
+    if cls != "HiveSource":
+        raise SpecError(f"hive conversion expects HiveSource, got {cls}")
+    results = {}
+    tables = [r.name for r in spark.catalog.listTables(database)]
+    for t in fnmatch.filter(tables, pattern):
+        src_df = spark.table(f"{database}.{t}")
+        dest = f"{database}.{t}{suffix}"
+        results[t] = hm.convert_to_orc(spark, src_df, dest)
+    if not results:
+        raise SpecError(
+            f"no tables in {database} match {pattern!r} — nothing to convert"
+        )
+    return results

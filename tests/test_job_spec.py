@@ -225,3 +225,51 @@ def test_compaction_job_spec(spark, tmp_path):
     assert res.output_rows == 3
     got = spark.read.parquet(str(tmp_path / "out" / "daily"))
     assert got.count() == 3
+
+
+def test_copy_job_spec(spark, tmp_path):
+    """distcp.conf vocabulary (from/to) runs the incremental copy."""
+    src = tmp_path / "copySource"
+    (src / "sub").mkdir(parents=True)
+    (src / "a.txt").write_text("alpha")
+    (src / "sub" / "b.txt").write_text("beta")
+    dst = tmp_path / "copyTarget"
+    res = S.run_copy_job(spark, {"from": str(src), "to": str(dst)})
+    assert res.files_copied == 2
+    assert (dst / "sub" / "b.txt").read_text() == "beta"
+    # second run: nothing changed, nothing copied
+    res2 = S.run_copy_job(spark, {"from": str(src), "to": str(dst)})
+    assert res2.files_copied == 0
+
+
+def test_hive_conversion_job_spec(spark, tmp_path):
+    """hive-avro-to-orc.pull vocabulary: pattern-matched tables convert
+    to flattened ORC tables with the _orc suffix."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS spec_db")
+    df = spark.createDataFrame(
+        [(1, ("x", 10)), (2, ("y", 20))],
+        "id long, nested struct<tag:string, val:long>",
+    )
+    df.write.mode("overwrite").saveAsTable("spec_db.t1_avro")
+    try:
+        results = S.run_hive_conversion_job(
+            spark,
+            {
+                "job.name": "GobblinHiveAvroToOrcConversion",
+                "hive.dataset.database": "spec_db",
+                "hive.dataset.table.pattern": "t*_avro",
+                "source.class":
+                    "org.apache.gobblin.data.management.convertion.hive.HiveSource",
+                "converter.classes":
+                    "org.apache.gobblin.data.management.convertion.hive.HiveAvroToOrcConverter",
+            },
+        )
+        assert set(results) == {"t1_avro"}
+        got = spark.table("spec_db.t1_avro_orc")
+        assert got.count() == 2
+        # flattened: nested struct became top-level columns
+        assert "nested" not in got.columns
+    finally:
+        spark.sql("DROP TABLE IF EXISTS spec_db.t1_avro_orc")
+        spark.sql("DROP TABLE IF EXISTS spec_db.t1_avro")
+        spark.sql("DROP DATABASE IF EXISTS spec_db")
