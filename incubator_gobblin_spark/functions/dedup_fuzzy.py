@@ -234,17 +234,35 @@ def jaccard_pairs(
     threshold: float,
     shingle_n: int = 3,
     candidates: DataFrame | None = None,
+    partition_by: str | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs (or all pairs when
     ``candidates`` is None — only for small/test inputs; at scale always
-    pass LSH candidates). Returns (id_l, id_r, jaccard) above threshold."""
-    sh = df.select(
-        F.col(id_col).alias("_jid"), shingles(F.col(text_col), shingle_n).alias("_sh")
-    )
+    pass LSH candidates). Returns (id_l, id_r, jaccard) above threshold.
+
+    ``partition_by`` restricts pairing to rows sharing a key (e.g. only
+    dedup within one language): the all-pairs fallback then becomes an
+    equi-join on the key instead of a cross join — pair count drops from
+    O(n²) to Σ O(n_k²) per key group."""
+    if candidates is not None:
+        partition_by = None  # candidate list already fixes the pairing
+    cols = [F.col(id_col).alias("_jid"), shingles(F.col(text_col), shingle_n).alias("_sh")]
+    if partition_by is not None:
+        cols.append(F.col(partition_by).alias("_pk"))
+    sh = df.select(*cols)
     if candidates is None:
-        l = sh.select(F.col("_jid").alias("id_l"), F.col("_sh").alias("_sh_l"))
-        r = sh.select(F.col("_jid").alias("id_r"), F.col("_sh").alias("_sh_r"))
-        cand = l.crossJoin(r).filter(F.col("id_l") < F.col("id_r"))
+        l = sh.select(
+            F.col("_jid").alias("id_l"), F.col("_sh").alias("_sh_l"),
+            *([F.col("_pk")] if partition_by is not None else []),
+        )
+        r = sh.select(
+            F.col("_jid").alias("id_r"), F.col("_sh").alias("_sh_r"),
+            *([F.col("_pk")] if partition_by is not None else []),
+        )
+        if partition_by is not None:
+            cand = l.join(r, "_pk").filter(F.col("id_l") < F.col("id_r"))
+        else:
+            cand = l.crossJoin(r).filter(F.col("id_l") < F.col("id_r"))
     else:
         cand = (
             candidates.join(

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from incubator_gobblin_spark.functions import corpus, dedup_fuzzy, similarity, text
+from incubator_gobblin_spark.functions import corpus, dedup_fuzzy, graph, similarity, text
 from incubator_gobblin_spark.operators import converters as C
 from incubator_gobblin_spark.operators import dedup, joins, retention
 from incubator_gobblin_spark.operators.watermark import WatermarkInterval
@@ -2331,6 +2331,78 @@ def q79_skew_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject top-k — no global sort of the key space."""
     events = load_table(spark, sf_dir, "events")
     return joins.skew_report(events, ["user_id"], top=10)
+
+
+_JACCARD_SAMPLE_CTE = """
+    sub AS (
+        SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+        FROM documents WHERE doc_id % 10 = 0
+    ), pairs AS (
+        SELECT l.doc_id AS id_l, r.doc_id AS id_r
+        FROM sub l JOIN sub r ON l.doc_id < r.doc_id AND l.lang = r.lang
+        WHERE len(list_intersect(l.toks, r.toks)) /
+              (len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks)))
+              >= 0.5
+    ), edges AS (
+        SELECT id_l AS a, id_r AS b FROM pairs
+        UNION SELECT id_r, id_l FROM pairs
+    ), reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        WHERE e.b <> r.a
+    )
+"""
+
+
+def _jaccard_sample_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language jaccard near-dup pairs over a deterministic sample
+    (5 languages -> a genuinely multi-cluster duplicate graph)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return dedup_fuzzy.jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", threshold=0.5, shingle_n=1,
+        partition_by="lang",
+    )
+
+
+@register(
+    "q80_dedup_clusters",
+    f"""
+    WITH RECURSIVE {_JACCARD_SAMPLE_CTE}
+    SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a
+    """,
+)
+def q80_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components (pointer-
+    jumping label propagation, O(log d) rounds) over the verified
+    jaccard near-dup pairs of q30. Oracle = DuckDB recursive-CTE
+    transitive closure on the identical pair list."""
+    return graph.connected_components(
+        _jaccard_sample_pairs(spark, sf_dir), src="id_l", dst="id_r"
+    )
+
+
+@register(
+    "q81_fuzzy_dedup_keep",
+    f"""
+    WITH RECURSIVE {_JACCARD_SAMPLE_CTE}
+    SELECT d.doc_id, d.n_chars
+    FROM documents d
+    WHERE d.doc_id % 10 = 0
+      AND d.doc_id NOT IN (
+        SELECT a FROM reach GROUP BY a HAVING least(a, min(b)) <> a)
+    """,
+)
+def q81_fuzzy_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy dedup decision: candidate pairs -> transitive
+    clusters -> keep the canonical (min-id) doc per cluster, singletons
+    untouched. The loser list is tiny next to the corpus, so the final
+    anti-join broadcasts."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    kept = graph.dedup_by_pairs(
+        docs, _jaccard_sample_pairs(spark, sf_dir), "doc_id"
+    )
+    return kept.select("doc_id", "n_chars")
 
 
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
