@@ -105,6 +105,15 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
             # integer `div` (not `/`): float division of an int64
             # nanosecond value loses low bits above 2^53.
             df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    # Normalize TIMESTAMP_NTZ -> TIMESTAMP: parquet written without
+    # isAdjustedToUTC is inferred as ntz by Spark 4; the engine's lake
+    # semantics (and the DuckDB oracle) are timezone-free instants under
+    # a UTC session, where the cast is value-identity. Keeping ONE
+    # timestamp type across sources means every downstream watermark /
+    # window / partition expression sees a stable schema.
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     target = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     if (
         rows is not None
