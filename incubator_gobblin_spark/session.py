@@ -50,6 +50,11 @@ def get_spark(
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.parquet.aggregatePushdown": "true",
+        # Lake timestamps are timezone-free instants under the UTC
+        # session: surface parquet TIMESTAMP(isAdjustedToUTC=false) as
+        # TIMESTAMP (ltz) at the scan so date/watermark filters stay
+        # pushable (a post-scan ntz->ltz cast would block pushdown).
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
         "spark.ui.enabled": os.environ.get("SPARK_GRAFT_UI", "false"),
     }
     if extra_conf:

@@ -21,15 +21,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+_NTZ_CONF = "spark.sql.parquet.inferTimestampNTZ.enabled"
 
 # Fan-out is pointless for dimension-sized tables: the repartition
 # shuffle stage would cost more than single-task processing saves.
 _FAN_OUT_MIN_ROWS = 1000
 
+# Fan out only WIDE rows (document text, embedding vectors — payloads
+# whose downstream per-row compute dwarfs one extra shuffle). Narrow
+# rows are relational columns feeding codegen'd aggs/joins: there the
+# scan is already the cheap part and a full-table round-robin shuffle
+# costs more than single-task scanning saves, at every scale.
+_FAN_OUT_MIN_ROW_BYTES = 128
+
 
 def _parquet_footer(path: str):
-    """(nanos-timestamp columns, total rows, total row groups) from
-    parquet footers only — no data read, driver-side, O(files)."""
+    """(nanos-timestamp columns, total rows, total row groups, avg row
+    bytes) from parquet footers only — no data read, driver-side,
+    O(files)."""
     try:
         import pyarrow.dataset as ds
         import pyarrow as pa
@@ -42,13 +51,18 @@ def _parquet_footer(path: str):
         ]
         rows = 0
         row_groups = 0
+        total_bytes = 0
         for frag in dataset.get_fragments():
             md = frag.metadata
             rows += md.num_rows
             row_groups += md.num_row_groups
-        return ns_cols, rows, row_groups
+            total_bytes += sum(
+                md.row_group(i).total_byte_size for i in range(md.num_row_groups)
+            )
+        avg_row_bytes = (total_bytes / rows) if rows else 0.0
+        return ns_cols, rows, row_groups, avg_row_bytes
     except Exception:  # pragma: no cover - pyarrow always present in-container
-        return [], None, None
+        return [], None, None, None
 
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -83,16 +97,29 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     are fanned out (see :func:`fan_out`); dimension-sized tables are
     left alone so broadcast-join sides stay shuffle-free.
     """
-    ns_cols, rows, row_groups = _parquet_footer(path)
-    if not ns_cols:
-        df = spark.read.parquet(path)
-    else:
-        prev = spark.conf.get(_NANOS_CONF, "false")
-        spark.conf.set(_NANOS_CONF, "true")
-        try:
+    ns_cols, rows, row_groups, avg_row_bytes = _parquet_footer(path)
+    # TIMESTAMP without isAdjustedToUTC must surface as TIMESTAMP (ltz),
+    # not TIMESTAMP_NTZ: the engine's lake semantics (and the DuckDB
+    # oracle) are timezone-free instants under a UTC session, where the
+    # two are value-identical. Steering the SCAN's inference (instead of
+    # casting after the read) keeps filters on those columns pushable
+    # into the parquet reader — a post-scan cast wraps the column and
+    # silently turns every watermark/date predicate into a full scan.
+    prev_ntz = spark.conf.get(_NTZ_CONF, "true")
+    spark.conf.set(_NTZ_CONF, "false")
+    try:
+        if not ns_cols:
             df = spark.read.parquet(path)
-        finally:
-            spark.conf.set(_NANOS_CONF, prev)
+        else:
+            prev = spark.conf.get(_NANOS_CONF, "false")
+            spark.conf.set(_NANOS_CONF, "true")
+            try:
+                df = spark.read.parquet(path)
+            finally:
+                spark.conf.set(_NANOS_CONF, prev)
+    finally:
+        spark.conf.set(_NTZ_CONF, prev_ntz)
+    if ns_cols:
         dtypes = dict(df.dtypes)
         for c in ns_cols:
             # Only columns the legacy conf actually surfaced as raw int64
@@ -105,12 +132,8 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
             # integer `div` (not `/`): float division of an int64
             # nanosecond value loses low bits above 2^53.
             df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
-    # Normalize TIMESTAMP_NTZ -> TIMESTAMP: parquet written without
-    # isAdjustedToUTC is inferred as ntz by Spark 4; the engine's lake
-    # semantics (and the DuckDB oracle) are timezone-free instants under
-    # a UTC session, where the cast is value-identity. Keeping ONE
-    # timestamp type across sources means every downstream watermark /
-    # window / partition expression sees a stable schema.
+    # Safety net for ntz that scan steering can't reach (nested struct
+    # fields); top-level columns are already ltz via _NTZ_CONF above.
     for c, t in df.dtypes:
         if t == "timestamp_ntz":
             df = df.withColumn(c, F.col(c).cast("timestamp"))
@@ -120,6 +143,8 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
         and rows >= _FAN_OUT_MIN_ROWS
         and row_groups is not None
         and row_groups < target
+        and avg_row_bytes is not None
+        and avg_row_bytes >= _FAN_OUT_MIN_ROW_BYTES
     ):
         df = fan_out(df, target)
     return df
