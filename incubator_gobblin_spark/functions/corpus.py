@@ -343,3 +343,130 @@ def sample_stratified(
             else (F.col(strata_col) == stratum) & (key_hex < F.lit(threshold))
         )
     return df.filter(cond)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    key: str,
+    salt_parts: int | None = None,
+) -> DataFrame:
+    """Keep at most ``k`` rows per group, selected in deterministic
+    md5-hex order of ``key`` (a uniform, engine-independent shuffle of
+    each group — the C4/RefinedWeb "cap documents per domain" curation
+    step; the reference's nearest analogue is NewestKSelectionPolicy,
+    gobblin-data-management/.../policy/NewestKSelectionPolicy.java:42,
+    with hash order standing in for version order).
+
+    Scale: the plain path is one shuffle on ``group_col`` + a ranking
+    window. A boilerplate-heavy crawl makes single domains hold
+    millions of rows, so ``salt_parts=s`` switches to two-phase top-k:
+    phase 1 ranks within (group, xxhash64(key) mod s) — the hot group's
+    rows split across s cells, each capped at k — and phase 2 ranks the
+    surviving <= k*s rows per group. Because the order key is a pure
+    function of ``key``, both phases agree with the one-shot window
+    bit-for-bit; the hot group never lands in one task with its full
+    row set."""
+    order = [F.md5(F.col(key).cast("string")).asc(), F.col(key).asc()]
+    if salt_parts:
+        cell = F.pmod(F.xxhash64(F.col(key)), F.lit(salt_parts))
+        w1 = Window.partitionBy(F.col(group_col), cell).orderBy(*order)
+        df = (
+            df.withColumn("_rn1", F.row_number().over(w1))
+            .filter(F.col("_rn1") <= k)
+            .drop("_rn1")
+        )
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def assign_split(
+    df: DataFrame,
+    key: str,
+    splits: dict[str, float],
+    out: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the first 8 hex chars of
+    ``md5(cast(key as string))`` land in consecutive ranges of the
+    32-bit hex space sized by each split's fraction (fractions must sum
+    to <= 1; any remainder maps to NULL, i.e. "held out"). A pure
+    projection — no shuffle, no state, and membership is a function of
+    the key alone, so re-runs, engine swaps, and incremental arrivals
+    never move a row between splits (the property that keeps eval sets
+    uncontaminated as the corpus grows)."""
+    total = sum(splits.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
+    key_hex = F.substring(F.md5(F.col(key).cast("string")), 1, 8)
+    expr = F.lit(None).cast("string")
+    cum = 0.0
+    bounds: list[tuple[str, str]] = []
+    for name, frac in splits.items():  # insertion order = range order
+        cum += frac
+        bounds.append((name, format(min(int(cum * 16**8), 16**8 - 1), "08x")))
+    for name, hi in reversed(bounds):
+        expr = F.when(key_hex < F.lit(hi), F.lit(name)).otherwise(expr)
+    return df.withColumn(out, expr)
+
+
+def pack_chunks(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stream_col: str | None = None,
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: documents are laid end-to-end
+    in deterministic (stream, id) order and cut into fixed
+    ``budget``-token training sequences; emits one row per
+    (bin, document) with the document-relative token span
+    [tok_from, tok_to) that bin consumes. Every bin is exactly
+    ``budget`` tokens except the final one per stream — the classic
+    GPT-style packing layout.
+
+    Scale: the running token offset is a window cumsum partitioned by
+    ``stream_col`` — each stream is an independent shard packed in
+    parallel, which is how large pipelines shard packing (a single
+    global stream would serialize the cumsum; don't do that at 100 TB
+    — shard first, pack shards). Everything is integer Column
+    arithmetic: no UDF, one shuffle on the stream key, and bins spanned
+    by a document expand via ``sequence()`` bounded by
+    ceil(doc_tokens/budget) — a document can only span as many bins as
+    it has budget-fuls of tokens."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    ntok = F.size(_toks(text_col))
+    stream = F.col(stream_col) if stream_col else F.lit("")
+    w = (
+        Window.partitionBy(stream)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    laid = (
+        df.withColumn("_n", ntok.cast("long"))
+        .filter(F.col("_n") > 0)
+        .withColumn("_end", F.sum("_n").over(w))
+        .withColumn("_start", F.col("_end") - F.col("_n"))
+    )
+    b = F.lit(int(budget)).cast("long")
+    bins = F.sequence(
+        F.expr(f"_start div {int(budget)}"), F.expr(f"(_end - 1) div {int(budget)}")
+    )
+    out = (
+        laid.withColumn("bin", F.explode(bins))
+        .withColumn("_bs", F.greatest(F.col("bin") * b, F.col("_start")))
+        .withColumn("_be", F.least((F.col("bin") + F.lit(1).cast("long")) * b, F.col("_end")))
+        .select(
+            *([F.col(stream_col).alias("stream")] if stream_col else []),
+            F.col("bin"),
+            F.col(id_col),
+            (F.col("_bs") - F.col("_start")).alias("tok_from"),
+            (F.col("_be") - F.col("_start")).alias("tok_to"),
+        )
+    )
+    return out

@@ -2405,6 +2405,95 @@ def q81_fuzzy_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "n_chars")
 
 
+@register(
+    "q82_cap_per_source",
+    """
+    SELECT doc_id, source, lang FROM (
+      SELECT doc_id, source, lang,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def q82_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (corpus.cap_per_group): keep <= 20 docs
+    per source in deterministic md5(doc_id) order — the C4-style
+    per-domain curation cap. Runs the two-phase (salted) top-k path,
+    which must agree bit-for-bit with the oracle's one-shot window."""
+    docs = load_table(spark, sf_dir, "documents")
+    capped = corpus.cap_per_group(docs, "source", 20, key="doc_id", salt_parts=8)
+    return capped.select("doc_id", "source", "lang")
+
+
+@register(
+    "q83_split_assignment",
+    """
+    SELECT split, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM (
+      SELECT CASE
+        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'train'
+        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333333' THEN 'val'
+        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'ffffffff' THEN 'test'
+        END AS split, n_chars
+      FROM documents
+    ) GROUP BY split
+    """,
+)
+def q83_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (corpus.assign_split):
+    consecutive md5-hex ranges sized 90/5/5 — membership is a pure
+    function of the key, so incremental arrivals never migrate between
+    splits. Aggregated per split for a compact oracle row set."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = corpus.assign_split(
+        docs, key="doc_id", splits={"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    return split.groupBy("split").agg(
+        F.count("*").alias("docs"), F.sum("n_chars").alias("chars")
+    )
+
+
+@register(
+    "q84_pack_sequences",
+    r"""
+    WITH laid AS (
+      SELECT lang, doc_id,
+             sum(n) OVER (PARTITION BY lang ORDER BY doc_id ASC
+                          ROWS UNBOUNDED PRECEDING) AS e,
+             sum(n) OVER (PARTITION BY lang ORDER BY doc_id ASC
+                          ROWS UNBOUNDED PRECEDING) - n AS s
+      FROM (
+        SELECT lang, doc_id,
+               len(list_filter(string_split_regex(trim(text), '\s+'),
+                               x -> x != '')) AS n
+        FROM documents
+      ) WHERE n > 0
+    )
+    SELECT lang AS stream, bin, doc_id,
+           greatest(bin * 512, s) - s AS tok_from,
+           least((bin + 1) * 512, e) - s AS tok_to
+    FROM (
+      SELECT lang, doc_id, s, e,
+             unnest(range(CAST(s // 512 AS BIGINT),
+                          CAST((e - 1) // 512 + 1 AS BIGINT))) AS bin
+      FROM laid
+    )
+    """,
+)
+def q84_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (corpus.pack_chunks): documents laid end-to-end
+    per language stream and cut into 512-token training bins; one row
+    per (bin, doc) with the doc-relative token span. Window cumsum per
+    stream + integer bin expansion — no UDF, one shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.pack_chunks(
+        docs, budget=512, id_col="doc_id", text_col="text", stream_col="lang"
+    )
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the multi-way broadcast star join + aggregation."""
     return q03_revenue_by_nation(spark, sf_dir)

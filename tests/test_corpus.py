@@ -166,3 +166,77 @@ def test_corpus_ops_match_bruteforce_python(spark, seed):
         for r in corpus.decontaminate(train, bench, n=2).collect()
     }
     assert got_dec == expected
+
+
+def test_cap_per_group_two_phase_matches_one_shot(spark):
+    # hot group: 200 rows in one source, 5 in another
+    rows = [(i, "hot" if i < 200 else "cold") for i in range(205)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    plain = corpus.cap_per_group(df, "source", 7, key="doc_id")
+    salted = corpus.cap_per_group(df, "source", 7, key="doc_id", salt_parts=4)
+    assert sorted(r["doc_id"] for r in plain.collect()) == sorted(
+        r["doc_id"] for r in salted.collect()
+    )
+    counts = {
+        r["source"]: r["n"]
+        for r in salted.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"hot": 7, "cold": 5}
+
+
+def test_assign_split_partitions_and_is_stable(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    out = corpus.assign_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(got) == 500
+    # full coverage at fractions summing to 1 (modulo the 1/2^32 top sliver)
+    assert set(got.values()) <= {"train", "val", "test"}
+    # membership is a pure function of the key: a disjoint later batch
+    # assigns the overlap identically
+    again = corpus.assign_split(
+        df.filter(F.col("doc_id") < 100), "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    for r in again.collect():
+        assert got[r["doc_id"]] == r["split"]
+    with pytest.raises(ValueError):
+        corpus.assign_split(df, "doc_id", {"a": 0.9, "b": 0.2})
+
+
+def test_pack_chunks_covers_every_token_exactly_once(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "t " * 300, "en"),   # 300 tokens
+            (2, "t " * 400, "en"),   # spans bins with budget 512
+            (3, "t " * 1200, "en"),  # longer than 2 budgets
+            (4, "", "en"),           # empty: dropped
+            (5, "t " * 10, "de"),    # separate stream
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = corpus.pack_chunks(
+        df, budget=512, id_col="doc_id", text_col="text", stream_col="lang"
+    ).collect()
+    # spans within a doc tile [0, n_tok) with no gaps or overlaps
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["bin"], r["tok_from"], r["tok_to"]))
+    assert 4 not in by_doc
+    expected_tokens = {1: 300, 2: 400, 3: 1200, 5: 10}
+    for doc, spans in by_doc.items():
+        spans.sort()
+        assert spans[0][1] == 0
+        assert spans[-1][2] == expected_tokens[doc]
+        for (_, _, e0), (_, s1, _) in zip(spans, spans[1:]):
+            assert e0 == s1
+    # every bin holds exactly `budget` tokens except the last per stream
+    by_bin = {}
+    for r in out:
+        key = (r["stream"], r["bin"])
+        by_bin[key] = by_bin.get(key, 0) + (r["tok_to"] - r["tok_from"])
+    for (stream, b), n in by_bin.items():
+        last = max(bb for (s2, bb) in by_bin if s2 == stream)
+        assert n == 512 or b == last
+    # en stream: 1900 tokens -> bins 0..3; de: 10 tokens -> bin 0
+    assert by_bin[("en", 3)] == 1900 - 3 * 512
+    assert by_bin[("de", 0)] == 10
