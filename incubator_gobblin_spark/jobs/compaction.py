@@ -55,7 +55,11 @@ def compact(
     primarykey-annotated fields exist); ``delta`` non-empty -> argmax
     dedup. ``target_file_rows`` drives the small-file rewrite.
     """
-    df = spark.read.format(resolve_format(fmt)).load(input_path)
+    # layout-preserving read: a partitioned compaction rewrite must
+    # reproduce partition values byte-for-byte (see purge.py)
+    from incubator_gobblin_spark.sources.files import read_layout_preserving
+
+    df = read_layout_preserving(spark, input_path, fmt)
     input_rows = df.count()
 
     if delta:

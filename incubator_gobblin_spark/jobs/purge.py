@@ -27,6 +27,7 @@ from incubator_gobblin_spark.formats.avro_ocf import resolve_format
 
 from incubator_gobblin_spark.operators.joins import purge_anti_join
 from incubator_gobblin_spark.sinks.files import FileSink, TableType, new_run_id
+from incubator_gobblin_spark.sources.files import read_layout_preserving
 
 
 @dataclass
@@ -54,7 +55,10 @@ def purge(
     a partition-pruning pre-pass), so an id set touching 1% of
     partitions rewrites 1% of the data.
     """
-    df = spark.read.format(resolve_format(fmt)).load(data_path)
+    # layout-preserving read: the rewrite must reproduce partition
+    # values byte-for-byte (day=08 inferred as int 8 would publish a
+    # duplicate day=8 dir next to the original)
+    df = read_layout_preserving(spark, data_path, fmt)
     on_cols = [on] if isinstance(on, str) else list(on)
 
     if only_affected_partitions and partition_by:

@@ -93,3 +93,39 @@ def dedup_counts(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     verification (InputRecordCountHelper-style audits,
     gobblin-compaction .../verify/InputRecordCountHelper.java)."""
     return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("dup_count"))
+
+
+def scd2_history(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current: str = "is_current",
+) -> DataFrame:
+    """Temporal (SCD type-2) history: each record of a key becomes a
+    validity interval [valid_from, valid_to) closed by the next record's
+    timestamp; the latest record per key is open-ended (valid_to NULL,
+    is_current true).
+
+    This is the interval form of the compaction delta-merge family
+    (gobblin-compaction .../mapreduce/RecordKeyDedupReducerBase.java:35):
+    where dedup_argmax keeps only the winning record, scd2_history keeps
+    every version queryable by time — the lake-side "as of" table that
+    pairs with joins.asof_join on the read side.
+
+    Scale: one shuffle on the key columns; lead() is computed inside the
+    same window partition with no second exchange. Ties on ``ts_col``
+    are ordered by the remaining columns for determinism."""
+    from pyspark.sql.window import Window
+
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in df.columns if c not in keys and c != ts_col
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    nxt = F.lead(F.col(ts_col)).over(w)
+    return (
+        df.withColumn(valid_from, F.col(ts_col))
+        .withColumn(valid_to, nxt)
+        .withColumn(current, nxt.isNull())
+    )

@@ -2494,6 +2494,66 @@ def q84_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q85_scd2_intervals",
+    """
+    SELECT user_id, event_type, event_id, ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, event_type
+                 ORDER BY ts ASC, event_id ASC, value ASC, props ASC)
+    """,
+)
+def q85_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal SCD2 history (dedup.scd2_history): every record becomes
+    a validity interval closed by the key's next record; latest is
+    open-ended. One shuffle on the key; interval form of the
+    compaction delta-merge family, pairing with asof_join reads."""
+    ev = load_table(spark, sf_dir, "events")
+    hist = dedup.scd2_history(ev, keys=["user_id", "event_type"], ts_col="ts")
+    return hist.select(
+        "user_id", "event_type", "event_id", "valid_from", "valid_to", "is_current"
+    )
+
+
+@register(
+    "q86_profile_columns",
+    """
+    SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           count(DISTINCT o_custkey) AS n_distinct,
+           CAST(min(o_custkey) AS VARCHAR) AS min_value,
+           CAST(max(o_custkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*),
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT o_orderstatus),
+           CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*),
+           CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT o_orderpriority),
+           CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+    FROM orders
+    """,
+)
+def q86_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column drift profile (quality.profile_columns): rows / nulls /
+    exact distincts / min / max for three orders columns in ONE
+    aggregation pass (multi-count-distinct plans through an Expand;
+    the approx_count_distinct variant drops the Expand at full scale)."""
+    orders = load_table(spark, sf_dir, "orders")
+    from incubator_gobblin_spark.operators.quality import profile_columns
+
+    prof = profile_columns(
+        orders, ["o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+    return prof.withColumnRenamed("column", "col_name")
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the multi-way broadcast star join + aggregation."""
     return q03_revenue_by_nation(spark, sf_dir)

@@ -241,3 +241,23 @@ def read_date_partitioned(
     if high is not None:
         df = df.filter(F.col(partition_col) <= F.lit(high))
     return df
+
+
+def read_layout_preserving(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Read a hive-partitioned dataset for a read-modify-WRITE job
+    (purge, compaction, retention rewrite) with partition-column type
+    inference OFF, so partition values survive the round trip
+    byte-for-byte. With inference on, ``day=08`` comes back as int 8
+    and rewrites as ``day=8`` — a NEW directory alongside the old one,
+    silently duplicating every rewritten partition. Analytics reads
+    keep inference (typed partition predicates prune better); only the
+    rewrite path needs byte-fidelity."""
+    from incubator_gobblin_spark.formats.avro_ocf import resolve_format
+
+    conf = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(conf, "true")
+    spark.conf.set(conf, "false")
+    try:
+        return spark.read.format(resolve_format(fmt)).load(path)
+    finally:
+        spark.conf.set(conf, prev)

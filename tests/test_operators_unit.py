@@ -503,3 +503,53 @@ def test_kmeans_fit_recovers_blob_centers(spark):
         cid = r["cluster_id"]
         assert blob_of_cluster.setdefault(cid, blob) == blob
     assert len(blob_of_cluster) == 3
+
+
+def test_scd2_history_intervals_and_current_flag(spark):
+    from incubator_gobblin_spark.operators.dedup import scd2_history
+
+    df = spark.createDataFrame(
+        [
+            ("k1", 10, "a"),
+            ("k1", 20, "b"),
+            ("k1", 30, "c"),
+            ("k2", 15, "x"),
+        ],
+        "k string, ts long, v string",
+    )
+    rows = {
+        (r["k"], r["ts"]): r
+        for r in scd2_history(df, keys=["k"], ts_col="ts").collect()
+    }
+    assert rows[("k1", 10)]["valid_to"] == 20
+    assert rows[("k1", 20)]["valid_to"] == 30
+    assert rows[("k1", 30)]["valid_to"] is None
+    assert rows[("k1", 30)]["is_current"]
+    assert rows[("k2", 15)]["is_current"]
+    assert not rows[("k1", 10)]["is_current"]
+    # every key has exactly one current version
+    cur = [r for r in rows.values() if r["is_current"]]
+    assert len(cur) == 2
+
+
+def test_profile_columns_exact_and_approx_paths(spark):
+    from incubator_gobblin_spark.operators.quality import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "b")],
+        "x long, s string",
+    )
+    prof = {r["column"]: r for r in profile_columns(df).collect()}
+    assert prof["x"]["n_rows"] == 4
+    assert prof["x"]["n_nulls"] == 1
+    assert prof["x"]["n_distinct"] == 2
+    assert prof["x"]["min_value"] == "1" and prof["x"]["max_value"] == "2"
+    assert prof["s"]["n_nulls"] == 1
+    assert prof["s"]["n_distinct"] == 2
+    # approx path keeps the same shape (values within HLL tolerance)
+    approx = {
+        r["column"]: r
+        for r in profile_columns(df, exact_distinct=False).collect()
+    }
+    assert set(approx) == {"x", "s"}
+    assert approx["x"]["n_rows"] == 4
