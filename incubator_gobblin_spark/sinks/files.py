@@ -144,10 +144,22 @@ class FileSink:
     def manifest_pointer(self) -> str:
         return os.path.join(self.path, "_CURRENT")
 
-    def current_manifest(self) -> dict | None:
-        """Resolve the committed snapshot (readers start here)."""
+    def current_manifest(self, run_id: str | None = None) -> dict | None:
+        """Resolve the committed snapshot (readers start here). With
+        ``run_id``, resolve that historical snapshot instead — every
+        commit's manifest is immutable under ``_manifests/``, so any
+        previously committed state stays readable (time travel) until
+        its data runs are vacuumed."""
         import json
 
+        if run_id is not None:
+            mpath = os.path.join(self.path, "_manifests", f"{run_id}.json")
+            if not os.path.exists(mpath):
+                raise FileNotFoundError(
+                    f"no committed manifest for run {run_id} under {self.path}"
+                )
+            with open(mpath) as fh:
+                return json.load(fh)
         ptr = self.manifest_pointer()
         if not os.path.exists(ptr):
             return None
@@ -155,6 +167,18 @@ class FileSink:
             manifest_rel = fh.read().strip()
         with open(os.path.join(self.path, manifest_rel)) as fh:
             return json.load(fh)
+
+    def manifest_history(self) -> list[str]:
+        """Committed run ids, newest first, by walking the parent chain
+        from the current pointer (only COMMITTED snapshots appear —
+        an abandoned manifest file that never won the pointer swap is
+        not in any chain)."""
+        chain: list[str] = []
+        m = self.current_manifest()
+        while m is not None:
+            chain.append(m["run_id"])
+            m = self.current_manifest(m["parent"]) if m["parent"] else None
+        return chain
 
     def _publish_manifest(self, run_id: str) -> list[str]:
         """Manifest commit: data files move ONCE into an immutable
@@ -235,13 +259,16 @@ class FileSink:
         os.replace(ptr_tmp, self.manifest_pointer())
         return [os.path.join(self.path, e["file"]) for e in entries]
 
-    def read_committed(self, spark) -> DataFrame:
+    def read_committed(self, spark, as_of_run: str | None = None) -> DataFrame:
         """Read the committed snapshot through the manifest — the only
         correct read path in manifest mode (directory listings see
-        uncommitted run dirs; the manifest never does)."""
+        uncommitted run dirs; the manifest never does). ``as_of_run``
+        reads a historical committed snapshot (time travel) — data runs
+        are immutable, so old manifests resolve to exactly the files
+        that snapshot published."""
         from incubator_gobblin_spark.formats.avro_ocf import resolve_format as _rf
 
-        manifest = self.current_manifest()
+        manifest = self.current_manifest(as_of_run)
         if manifest is None:
             raise FileNotFoundError(f"no committed manifest under {self.path}")
         files = [os.path.join(self.path, e["file"]) for e in manifest["entries"]]

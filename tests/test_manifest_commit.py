@@ -115,3 +115,29 @@ def test_uncommitted_run_dirs_invisible_to_readers(spark, sf_dir, tmp_path):
     assert sink.read_committed(spark).count() == 5
     files = {e["file"] for e in sink.current_manifest()["entries"]}
     assert all("/good/" in f or f.startswith("_data/good") for f in files)
+
+
+def test_time_travel_reads_historical_snapshot(spark, sf_dir, tmp_path):
+    from incubator_gobblin_spark.session import load_table
+    from incubator_gobblin_spark.sinks.files import FileSink, TableType, new_run_id
+
+    sink = FileSink(
+        path=str(tmp_path / "tt"),
+        table_type=TableType.APPEND_ONLY,
+        commit_mode="manifest",
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    r1, r2 = new_run_id(), new_run_id()
+    sink.write_staging(nation.limit(5), r1)
+    sink.publish(r1)
+    sink.write_staging(nation.limit(9), r2)
+    sink.publish(r2)
+
+    assert sink.manifest_history() == [r2, r1]
+    assert sink.read_committed(spark).count() == 14
+    # time travel: the first snapshot is still exactly 5 rows
+    assert sink.read_committed(spark, as_of_run=r1).count() == 5
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        sink.read_committed(spark, as_of_run="nonexistent-run")
