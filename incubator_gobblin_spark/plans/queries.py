@@ -2554,6 +2554,44 @@ def q86_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prof.withColumnRenamed("column", "col_name")
 
 
+@register(
+    "q87_orc_scan_agg",
+    """
+    SELECT p_brand, p_type,
+           count(*) AS n,
+           CAST(sum(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM part
+    GROUP BY p_brand, p_type
+    """,
+)
+def q87_orc_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC lake scan (GobblinBaseOrcWriter.java:53 output format): the
+    part table is materialized ONCE as ORC through the self-tuning
+    stripe options (orc_tuned_options — stripe geometry sized from a
+    bounded row-width sample), then scanned via Spark's vectorized ORC
+    reader and aggregated. Oracle runs the same aggregation over the
+    parquet copy, proving the ORC write+scan is value-faithful end to
+    end — the same gate q56 gives the avro path."""
+    import os
+
+    from incubator_gobblin_spark.sinks.files import orc_tuned_options
+
+    cache = os.path.join(
+        "/tmp/gobblin_orc_cache", os.path.basename(sf_dir.rstrip("/")), "part"
+    )
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        part = load_table(spark, sf_dir, "part")
+        writer = part.write.mode("overwrite").format("orc")
+        for k, v in orc_tuned_options(part).items():
+            writer = writer.option(k, v)
+        writer.save(cache)
+    part_orc = spark.read.orc(cache)
+    return part_orc.groupBy("p_brand", "p_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum("p_retailprice").alias("sum_price"),
+    )
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the multi-way broadcast star join + aggregation."""
     return q03_revenue_by_nation(spark, sf_dir)
