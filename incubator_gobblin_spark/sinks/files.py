@@ -177,7 +177,12 @@ class FileSink:
         m = self.current_manifest()
         while m is not None:
             chain.append(m["run_id"])
-            m = self.current_manifest(m["parent"]) if m["parent"] else None
+            if not m["parent"]:
+                break
+            try:
+                m = self.current_manifest(m["parent"])
+            except FileNotFoundError:  # parent vacuumed away
+                break
         return chain
 
     def _publish_manifest(self, run_id: str) -> list[str]:
@@ -218,12 +223,17 @@ class FileSink:
             for f_ in files:
                 if f_.startswith(("_", ".")):
                     continue
-                new_entries.append(
-                    {
-                        "file": os.path.relpath(os.path.join(base, f_), self.path),
-                        "partition": rel_part if rel_part != "." else "",
-                    }
-                )
+                fpath = os.path.join(base, f_)
+                entry = {
+                    "file": os.path.relpath(fpath, self.path),
+                    "partition": rel_part if rel_part != "." else "",
+                }
+                # per-file column stats at WRITE time (parquet footers are
+                # local here; at read time they'd be one object-store GET
+                # per file) -> manifest-level file skipping, Iceberg-style
+                if self.fmt == "parquet":
+                    entry.update(_file_stats(fpath))
+                new_entries.append(entry)
 
         parent = self.current_manifest()
         if self.table_type == TableType.SNAPSHOT_ONLY or parent is None:
@@ -259,21 +269,47 @@ class FileSink:
         os.replace(ptr_tmp, self.manifest_pointer())
         return [os.path.join(self.path, e["file"]) for e in entries]
 
-    def read_committed(self, spark, as_of_run: str | None = None) -> DataFrame:
+    def read_committed(
+        self,
+        spark,
+        as_of_run: str | None = None,
+        filters: list[tuple] | None = None,
+    ) -> DataFrame:
         """Read the committed snapshot through the manifest — the only
         correct read path in manifest mode (directory listings see
         uncommitted run dirs; the manifest never does). ``as_of_run``
         reads a historical committed snapshot (time travel) — data runs
         are immutable, so old manifests resolve to exactly the files
-        that snapshot published."""
+        that snapshot published.
+
+        ``filters`` — simple predicates ``(col, op, value)`` with op in
+        {=, <, <=, >, >=} — prune FILES against the per-file min/max
+        stats the manifest captured at publish (and partition values for
+        partition columns) BEFORE Spark ever lists them: at object-store
+        scale the win is skipping the GETs entirely, not just row
+        groups. The same predicates are then applied as real Spark
+        filters, so results are exact whether or not a file could be
+        pruned (stats are an optimization, never semantics)."""
         from incubator_gobblin_spark.formats.avro_ocf import resolve_format as _rf
 
         manifest = self.current_manifest(as_of_run)
         if manifest is None:
             raise FileNotFoundError(f"no committed manifest under {self.path}")
-        files = [os.path.join(self.path, e["file"]) for e in manifest["entries"]]
+        entries = manifest["entries"]
+        if filters:
+            entries = [
+                e
+                for e in entries
+                if _entry_matches(e, filters, manifest.get("partition_by") or [])
+            ]
+        if not entries:
+            empty = self.read_committed(spark, as_of_run)
+            return _apply_filters(empty, filters).limit(0)
+        files = [os.path.join(self.path, e["file"]) for e in entries]
         if not self.partition_by:
-            return spark.read.format(_rf(self.fmt)).load(files)
+            return _apply_filters(
+                spark.read.format(_rf(self.fmt)).load(files), filters
+            )
         # partition columns resolve against a per-run basePath (the
         # run-id path segment is not a key=value dir); one read per
         # live run dir, unioned by name. Live-run count is bounded —
@@ -292,7 +328,79 @@ class FileSink:
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
-        return df
+        return _apply_filters(df, filters)
+
+    def pruned_file_count(
+        self, filters: list[tuple], as_of_run: str | None = None
+    ) -> tuple[int, int]:
+        """(files kept, files total) for a predicate set — the file-
+        skipping accounting an operator dashboard (or a test) reads."""
+        manifest = self.current_manifest(as_of_run)
+        entries = manifest["entries"]
+        part_by = manifest.get("partition_by") or []
+        kept = [e for e in entries if _entry_matches(e, filters, part_by)]
+        return len(kept), len(entries)
+
+    def compact_runs(self, spark, run_id: str | None = None) -> str:
+        """Rewrite the CURRENT snapshot as one fresh run and commit a
+        manifest that references only it — the manifest-lake form of the
+        compaction job (small files from many append runs collapse; read
+        fan-out returns to one basePath). Old snapshots stay readable
+        (their manifests and run dirs are untouched) until ``vacuum``.
+
+        The rewrite reads layout-preserving (partition values must
+        survive byte-for-byte — see sources.read_layout_preserving) and
+        the commit reuses the normal atomic pointer swap; a crash
+        mid-compaction leaves the previous snapshot current."""
+        import dataclasses
+
+        rid = run_id or new_run_id()
+        conf = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        prev = spark.conf.get(conf, "true")
+        spark.conf.set(conf, "false")
+        try:
+            df = self.read_committed(spark)
+        finally:
+            spark.conf.set(conf, prev)
+        self.write_staging(df, rid)
+        snap = dataclasses.replace(self, table_type=TableType.SNAPSHOT_ONLY)
+        snap.publish(rid)
+        return rid
+
+    def vacuum(self, keep_last: int = 2) -> dict:
+        """Delete data runs and manifests no longer referenced by the
+        newest ``keep_last`` committed snapshots. This is the ONLY
+        destructive operation in manifest mode — everything else only
+        adds immutable files — so retention of time travel is exactly
+        ``keep_last`` snapshots deep. Returns counts of what was
+        removed."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1 (the current snapshot)")
+        history = self.manifest_history()
+        keep_ids = set(history[:keep_last])
+        live_runs: set[str] = set()
+        data_root = os.path.join(self.path, "_data")
+        for rid in keep_ids:
+            for e in self.current_manifest(rid)["entries"]:
+                rel = os.path.relpath(
+                    os.path.join(self.path, e["file"]), data_root
+                )
+                live_runs.add(rel.split(os.sep, 1)[0])
+        removed_runs = 0
+        if os.path.isdir(data_root):
+            for rid in sorted(os.listdir(data_root)):
+                if rid not in live_runs:
+                    _rm(os.path.join(data_root, rid))
+                    removed_runs += 1
+        removed_manifests = 0
+        mdir = os.path.join(self.path, "_manifests")
+        if os.path.isdir(mdir):
+            for mf in sorted(os.listdir(mdir)):
+                rid = mf[: -len(".json")] if mf.endswith(".json") else mf
+                if rid not in keep_ids:
+                    _rm(os.path.join(mdir, mf))
+                    removed_manifests += 1
+        return {"runs_deleted": removed_runs, "manifests_deleted": removed_manifests}
 
     def abort(self, run_id: str) -> None:
         """Drop staging output (failed task policies — data never
@@ -308,6 +416,122 @@ class FileSink:
         err_path = os.path.join(self.path, "_errors", run_id)
         errors.write.mode("overwrite").format(resolve_format(self.fmt)).save(err_path)
         return err_path
+
+
+def _file_stats(fpath: str) -> dict:
+    """Per-file row count + min/max per scalar column from the parquet
+    footer (no data read). Values are JSON-serializable: numbers and
+    strings as-is, timestamps/dates as ISO strings (ISO ordering ==
+    chronological ordering, so string comparison prunes correctly);
+    columns with other types or absent stats are simply skipped — a
+    missing stat can only cost a read, never correctness."""
+    try:
+        import datetime
+
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(fpath).metadata
+        mins: dict = {}
+        maxs: dict = {}
+        for rg_i in range(md.num_row_groups):
+            rg = md.row_group(rg_i)
+            for c_i in range(rg.num_columns):
+                col = rg.column(c_i)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                name = col.path_in_schema
+                if "." in name:  # nested: skip
+                    continue
+                lo, hi = st.min, st.max
+                if isinstance(lo, (datetime.datetime, datetime.date)):
+                    lo, hi = lo.isoformat(sep=" "), hi.isoformat(sep=" ")
+                if isinstance(lo, bytes):
+                    try:
+                        lo, hi = lo.decode(), hi.decode()
+                    except UnicodeDecodeError:
+                        continue
+                if not isinstance(lo, (int, float, str, bool)):
+                    continue
+                mins[name] = lo if name not in mins else min(mins[name], lo)
+                maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+        return {
+            "rows": md.num_rows,
+            "stats": {c: [mins[c], maxs[c]] for c in mins},
+        }
+    except Exception:  # stats are best-effort; absence never breaks reads
+        return {}
+
+
+_OPS = {
+    "=": lambda lo, hi, v: lo <= v <= hi,
+    "<": lambda lo, hi, v: lo < v,
+    "<=": lambda lo, hi, v: lo <= v,
+    ">": lambda lo, hi, v: hi > v,
+    ">=": lambda lo, hi, v: hi >= v,
+}
+
+
+def _entry_matches(entry: dict, filters: list[tuple], partition_by: list[str]) -> bool:
+    """Can this file possibly contain a row satisfying ALL predicates?
+    Unknown/incomparable -> True (never prune on doubt)."""
+    part_vals: dict[str, str] = {}
+    for seg in (entry.get("partition") or "").split("/"):
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            part_vals[k] = v
+    stats = entry.get("stats") or {}
+    for col, op, val in filters:
+        if op not in _OPS:
+            continue
+        if col in part_vals:
+            # partition value: a point range [pv, pv]. Compare in the
+            # FILTER value's domain (numeric if numeric — "08" == 8 must
+            # not prune); non-equality ops only when numeric (dir-name
+            # lexicographic order is not Spark's typed order).
+            pv_raw = part_vals[col]
+            if isinstance(val, (int, float)) and not isinstance(val, bool):
+                try:
+                    pv = float(pv_raw)
+                except ValueError:
+                    continue
+                if not _OPS[op](pv, pv, float(val)):
+                    return False
+            elif isinstance(val, str) and op == "=":
+                if pv_raw != val:
+                    return False
+            continue
+        if col not in stats:
+            continue
+        lo, hi = stats[col]
+        if lo is None or hi is None:
+            continue
+        num_stat = isinstance(lo, (int, float)) and not isinstance(lo, bool)
+        num_val = isinstance(val, (int, float)) and not isinstance(val, bool)
+        if num_stat != num_val:
+            continue  # incomparable types: keep the file
+        try:
+            if not _OPS[op](lo, hi, val):
+                return False
+        except TypeError:
+            continue
+    return True
+
+
+def _apply_filters(df: DataFrame, filters: list[tuple] | None) -> DataFrame:
+    """Predicates as real Spark filters (pruning is optimization-only)."""
+    if not filters:
+        return df
+    spark_ops = {
+        "=": lambda c, v: c == v,
+        "<": lambda c, v: c < v,
+        "<=": lambda c, v: c <= v,
+        ">": lambda c, v: c > v,
+        ">=": lambda c, v: c >= v,
+    }
+    for col, op, val in filters:
+        df = df.filter(spark_ops[op](F.col(col), F.lit(val)))
+    return df
 
 
 def _leaf_outputs(root: str, depth: int) -> list[str]:

@@ -141,3 +141,99 @@ def test_time_travel_reads_historical_snapshot(spark, sf_dir, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         sink.read_committed(spark, as_of_run="nonexistent-run")
+
+
+def test_file_skipping_prunes_by_stats_and_stays_exact(spark, sf_dir, tmp_path):
+    """Two runs with disjoint key ranges: a range predicate must prune
+    the non-matching run's files at the manifest level AND return
+    exactly the rows a full-scan filter would."""
+    ev = load_table(spark, sf_dir, "events")
+    lo = ev.filter(F.col("event_id") < 500).coalesce(1)
+    hi = ev.filter(F.col("event_id") >= 500).coalesce(1)
+    sink = _sink(tmp_path / "t")
+    sink.write_staging(lo, "run_lo")
+    sink.publish("run_lo")
+    sink.write_staging(hi, "run_hi")
+    sink.publish("run_hi")
+
+    m = sink.current_manifest()
+    assert all("stats" in e and "event_id" in e["stats"] for e in m["entries"])
+
+    filters = [("event_id", ">=", 700)]
+    kept, total = sink.pruned_file_count(filters)
+    assert kept < total  # run_lo's file skipped without being opened
+    got = sink.read_committed(spark, filters=filters)
+    expected = ev.filter(F.col("event_id") >= 700)
+    assert got.count() == expected.count()
+    # equality on a string column prunes too, exactly
+    one = sink.read_committed(spark, filters=[("event_type", "=", "click")])
+    assert one.count() == ev.filter(F.col("event_type") == "click").count()
+
+
+def test_compact_runs_collapses_read_fanout(spark, sf_dir, tmp_path):
+    region = load_table(spark, sf_dir, "region")
+    sink = _sink(tmp_path / "t")
+    for i in range(3):
+        sink.write_staging(region, f"run{i}")
+        sink.publish(f"run{i}")
+    assert sink.read_committed(spark).count() == 15
+
+    cid = sink.compact_runs(spark)
+    m = sink.current_manifest()
+    assert m["run_id"] == cid
+    runs = {e["file"].split("/")[1] for e in m["entries"]}
+    assert runs == {cid}  # one run referenced after compaction
+    assert sink.read_committed(spark).count() == 15
+    # pre-compaction snapshot still time-travels
+    assert sink.read_committed(spark, as_of_run="run1").count() == 10
+
+
+def test_vacuum_drops_unreferenced_runs_only(spark, sf_dir, tmp_path):
+    region = load_table(spark, sf_dir, "region")
+    sink = _sink(tmp_path / "t")
+    for i in range(3):
+        sink.write_staging(region, f"run{i}")
+        sink.publish(f"run{i}")
+    cid = sink.compact_runs(spark)
+
+    res = sink.vacuum(keep_last=1)
+    assert res["runs_deleted"] == 3  # run0/1/2 data dirs gone
+    assert res["manifests_deleted"] == 3
+    assert os.listdir(os.path.join(str(tmp_path / "t"), "_data")) == [cid]
+    # current snapshot unaffected; vacuumed history unreadable
+    assert sink.read_committed(spark).count() == 15
+    assert sink.manifest_history() == [cid]
+    with pytest.raises(FileNotFoundError):
+        sink.read_committed(spark, as_of_run="run1")
+
+
+def test_compact_runs_partitioned_preserves_layout(spark, sf_dir, tmp_path):
+    """Compacting a day-partitioned manifest lake must reproduce
+    partition VALUES byte-for-byte (day=08 stays day=08) so later
+    SNAPSHOT_APPEND runs keep matching the same partition keys."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "dd")
+    )
+    sink = _sink(
+        tmp_path / "t", table_type=TableType.SNAPSHOT_APPEND, partition_by=["day"]
+    )
+    d1 = ev.filter(F.col("day") == "08")
+    d2 = ev.filter(F.col("day") == "09")
+    sink.write_staging(d1, "r1")
+    sink.publish("r1")
+    sink.write_staging(d2, "r2")
+    sink.publish("r2")
+    total = d1.count() + d2.count()
+
+    cid = sink.compact_runs(spark)
+    m = sink.current_manifest()
+    assert {e["partition"] for e in m["entries"]} == {"day=08", "day=09"}
+    got = sink.read_committed(spark)
+    assert got.count() == total
+
+    # a post-compaction rewrite of day=08 still swaps ONE partition
+    sink.write_staging(d1.limit(3), "r3")
+    sink.publish("r3")
+    got = sink.read_committed(spark)
+    assert got.filter(F.col("day") == "08").count() == 3
+    assert got.filter(F.col("day") == "09").count() == d2.count()
