@@ -58,6 +58,27 @@ def _dsum(col, scale: int = 6):
     return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
 
 
+def _cache_dir(kind: str, sf_dir: str, table: str) -> str:
+    """Materialized-format cache dir keyed by the SOURCE parquet's
+    identity (mtime+size). The driver regenerates testdata between
+    rounds; an unkeyed /tmp cache would silently serve the OLD table to
+    the format queries and fail the correctness gate against the new
+    oracle. The fingerprint makes every cache self-invalidating."""
+    import os
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{int(st.st_mtime)}-{st.st_size}"
+    except OSError:
+        fp = "nosrc"
+    return os.path.join(
+        f"/tmp/gobblin_{kind}_cache",
+        os.path.basename(sf_dir.rstrip("/")),
+        f"{table}-{fp}",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scan / filter / project / aggregate core (QueryBasedExtractor +
 # compaction-style aggregation surface)
@@ -1477,9 +1498,7 @@ def q56_avro_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from incubator_gobblin_spark.formats.avro_ocf import read_avro, write_avro
 
-    cache = os.path.join(
-        "/tmp/gobblin_avro_cache", os.path.basename(sf_dir.rstrip("/")), "orders"
-    )
+    cache = _cache_dir("avro", sf_dir, "orders")
     # _SUCCESS gates the cache: an aborted write leaves a dir without it
     if not os.path.exists(os.path.join(cache, "_SUCCESS")):
         write_avro(load_table(spark, sf_dir, "orders"), cache)
@@ -1508,9 +1527,7 @@ def q57_orc_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-faithful end to end."""
     import os
 
-    cache = os.path.join(
-        "/tmp/gobblin_orc_cache", os.path.basename(sf_dir.rstrip("/")), "lineitem"
-    )
+    cache = _cache_dir("orc", sf_dir, "lineitem")
     # _SUCCESS gates the cache: an aborted write leaves a dir without it
     if not os.path.exists(os.path.join(cache, "_SUCCESS")):
         load_table(spark, sf_dir, "lineitem").write.mode("overwrite").option(
@@ -2576,9 +2593,7 @@ def q87_orc_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from incubator_gobblin_spark.sinks.files import orc_tuned_options
 
-    cache = os.path.join(
-        "/tmp/gobblin_orc_cache", os.path.basename(sf_dir.rstrip("/")), "part"
-    )
+    cache = _cache_dir("orc", sf_dir, "part")
     if not os.path.exists(os.path.join(cache, "_SUCCESS")):
         part = load_table(spark, sf_dir, "part")
         writer = part.write.mode("overwrite").format("orc")
@@ -2589,6 +2604,45 @@ def q87_orc_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part_orc.groupBy("p_brand", "p_type").agg(
         F.count(F.lit(1)).alias("n"),
         _dsum("p_retailprice").alias("sum_price"),
+    )
+
+
+@register(
+    "q88_manifest_snapshot_agg",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE event_id >= 2000
+    GROUP BY event_type
+    """,
+)
+def q88_manifest_snapshot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-lake read path end to end: events published ONCE as two
+    append runs with disjoint event_id ranges into a manifest-committed
+    lake (per-file stats captured at publish), then read through
+    read_committed with a range predicate — the manifest prunes the
+    low run's files before Spark lists them, the predicate re-applies
+    exactly, and the aggregation must match the oracle's full-scan
+    filter over the parquet source."""
+    import os
+
+    from incubator_gobblin_spark.sinks.files import FileSink, TableType
+
+    cache = _cache_dir("manifest", sf_dir, "events")
+    sink = FileSink(
+        path=cache, table_type=TableType.APPEND_ONLY, commit_mode="manifest"
+    )
+    if sink.current_manifest() is None or len(sink.manifest_history()) < 2:
+        ev = load_table(spark, sf_dir, "events")
+        sink.write_staging(ev.filter(F.col("event_id") < 2000), "run_lo")
+        sink.publish("run_lo")
+        sink.write_staging(ev.filter(F.col("event_id") >= 2000), "run_hi")
+        sink.publish("run_hi")
+    snap = sink.read_committed(spark, filters=[("event_id", ">=", 2000)])
+    return snap.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), _dsum("value").alias("sum_value")
     )
 
 
