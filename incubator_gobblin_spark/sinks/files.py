@@ -236,14 +236,29 @@ class FileSink:
                 new_entries.append(entry)
 
         parent = self.current_manifest()
+        # Same-run republish (a retried batch whose previous attempt
+        # already won the pointer swap) must be IDEMPOTENT: drop the
+        # prior attempt's contribution from the parent before composing,
+        # and splice the parent link past the superseded manifest node —
+        # otherwise a retry double-appends its files and manifest_history
+        # would cycle on itself.
+        run_prefix = os.path.join("_data", run_id) + os.sep
+        parent_run = parent["run_id"] if parent else None
+        parent_entries = (
+            [e for e in parent["entries"] if not e["file"].startswith(run_prefix)]
+            if parent
+            else []
+        )
+        if parent_run == run_id:
+            parent_run = parent["parent"]
         if self.table_type == TableType.SNAPSHOT_ONLY or parent is None:
             entries = new_entries
         elif self.table_type == TableType.APPEND_ONLY:
-            entries = parent["entries"] + new_entries
+            entries = parent_entries + new_entries
         else:  # SNAPSHOT_APPEND: replace touched leaf partitions
             touched = {e["partition"] for e in new_entries}
             entries = [
-                e for e in parent["entries"] if e["partition"] not in touched
+                e for e in parent_entries if e["partition"] not in touched
             ] + new_entries
 
         manifest = {
@@ -251,7 +266,7 @@ class FileSink:
             "table_type": self.table_type.value,
             "fmt": self.fmt,
             "partition_by": self.partition_by,
-            "parent": parent["run_id"] if parent else None,
+            "parent": parent_run,
             "entries": entries,
         }
         mdir = os.path.join(self.path, "_manifests")

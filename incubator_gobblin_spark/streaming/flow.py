@@ -134,6 +134,43 @@ class StreamPipeline:
             writer = writer.trigger(processingTime=f"{trigger_secs} seconds")
         return writer.start()
 
+    def to_manifest(
+        self,
+        sink,
+        checkpoint: str,
+        trigger_secs: int | None = 60,
+        once: bool = False,
+    ) -> StreamingQuery:
+        """Exactly-once streaming publish into a manifest lake
+        (``FileSink(commit_mode="manifest")``) — the object-store-safe
+        streaming sink. Spark's native streaming file sink keeps its own
+        ``_spark_metadata`` log that nothing else can read through; this
+        sink commits each micro-batch through the SAME manifest the
+        batch side uses, so batch readers, time travel, file skipping,
+        compaction, and vacuum all compose with streaming output.
+
+        Exactly-once: the run id is the epoch id. A batch retried after
+        a crash re-publishes the same ``epoch-N`` run — manifest publish
+        with an existing run_id rebuilds that run's entries instead of
+        appending twice, and the pointer swap is atomic, so readers see
+        each epoch exactly once regardless of retries."""
+
+        def _process(batch_df: DataFrame, epoch_id: int) -> None:
+            rid = f"epoch-{epoch_id:012d}"
+            sink.write_staging(batch_df, rid)
+            sink.publish(rid)
+
+        writer = (
+            self.dataframe()
+            .writeStream.foreachBatch(_process)
+            .option("checkpointLocation", checkpoint)
+        )
+        if once:
+            writer = writer.trigger(availableNow=True)
+        elif trigger_secs:
+            writer = writer.trigger(processingTime=f"{trigger_secs} seconds")
+        return writer.start()
+
     def to_branches(
         self,
         branches: Sequence[StreamBranch],

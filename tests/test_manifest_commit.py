@@ -237,3 +237,59 @@ def test_compact_runs_partitioned_preserves_layout(spark, sf_dir, tmp_path):
     got = sink.read_committed(spark)
     assert got.filter(F.col("day") == "08").count() == 3
     assert got.filter(F.col("day") == "09").count() == d2.count()
+
+
+def test_republish_same_run_is_idempotent(spark, sf_dir, tmp_path):
+    """A retried publish of an ALREADY-COMMITTED run (crash after the
+    pointer swap, before the caller's checkpoint) must not double its
+    files or corrupt the parent chain — the exactly-once contract
+    streaming epochs rely on."""
+    region = load_table(spark, sf_dir, "region")
+    sink = _sink(tmp_path / "t")
+    sink.write_staging(region, "run1")
+    sink.publish("run1")
+    sink.write_staging(region, "run2")
+    sink.publish("run2")
+    assert sink.read_committed(spark).count() == 10
+
+    # retry run2 wholesale (staging rebuilt, publish re-executed)
+    sink.write_staging(region, "run2")
+    sink.publish("run2")
+    assert sink.read_committed(spark).count() == 10  # not 15
+    assert sink.manifest_history() == ["run2", "run1"]
+
+
+def test_streaming_to_manifest_exactly_once(spark, sf_dir, tmp_path):
+    """Micro-batches commit through the SAME manifest the batch side
+    uses: batch readers/time-travel/pruning compose with streaming
+    output, and a re-run of the stream from the same checkpoint adds
+    nothing."""
+    import shutil
+
+    from incubator_gobblin_spark.streaming.flow import StreamPipeline
+
+    src_dir = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    lake = str(tmp_path / "lake")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    events.coalesce(1).write.mode("overwrite").parquet(src_dir)
+    n = events.count()
+
+    sink = FileSink(path=lake, table_type=TableType.APPEND_ONLY, commit_mode="manifest")
+    pipe = StreamPipeline(spark, "s").source_files(
+        src_dir, fmt="parquet", schema=events.schema
+    )
+    q = pipe.to_manifest(sink, checkpoint=ckpt, once=True)
+    q.awaitTermination(120)
+    assert sink.read_committed(spark).count() == n
+    first_history = sink.manifest_history()
+
+    # restart from the same checkpoint: no new data -> no new commits
+    q2 = StreamPipeline(spark, "s").source_files(
+        src_dir, fmt="parquet", schema=events.schema
+    ).to_manifest(sink, checkpoint=ckpt, once=True)
+    q2.awaitTermination(120)
+    assert sink.read_committed(spark).count() == n
+    assert sink.manifest_history() == first_history
