@@ -470,3 +470,127 @@ def pack_chunks(
         )
     )
     return out
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """C4-style cross-document line deduplication: any non-empty line
+    that appears (trimmed-exact) in >= ``min_docs`` DISTINCT documents
+    is boilerplate (navbars, cookie banners, license headers) and is
+    removed from EVERY document; line order is otherwise preserved.
+    Returns (id, n_lines, n_removed, text_deduped).
+
+    Scale: two shuffles — one counting distinct docs per line (map-side
+    partial agg collapses per-doc repeats first), one rebuilding
+    documents. The hot-line set joins back by line equality: it is the
+    duplicated subset only, never the full line corpus; at 100 TB
+    substitute xxhash64(line) for the join key to cut shuffle bytes
+    (kept as strings here for engine-portable oracle checks)."""
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    )
+    hot = (
+        lines.filter(F.trim("_line") != "")
+        .groupBy("_line")
+        .agg(F.count_distinct("_id").alias("_docs"))
+        .filter(F.col("_docs") >= min_docs)
+        .select("_line")
+    )
+    kept = lines.join(hot, on="_line", how="left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("text_deduped"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("_id"),
+        (F.size(F.split(F.col(text_col), "\n"))).alias("n_lines"),
+    )
+    # left join: a document whose every line was hot vanishes from
+    # `rebuilt` but must stay in the output as an emptied document
+    return (
+        totals.join(rebuilt, on="_id", how="left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce(F.col("_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce(F.col("text_deduped"), F.lit("")).alias("text_deduped"),
+        )
+    )
+
+
+def trigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_chars: int = 1000,
+) -> DataFrame:
+    """Character-trigram language-model score (the CCNet/fastText-era
+    quality-filter shape): the corpus itself is the model — P(tri) =
+    corpus_count(tri) / corpus_total — and each document scores the
+    mean log-probability of its trigrams (higher = more typical of the
+    corpus; gibberish and boilerplate-of-another-language score low).
+    Returns (id, n_trigrams, sum_logp) — mean = sum_logp / n_trigrams;
+    the sum is emitted rather than the mean because the decimal sum is
+    exact across engines while a final double division is not.
+
+    Scale: trigram explosion is a pure-Column projection off the scan
+    (bounded by ``max_chars`` per doc); the model is ONE count shuffle
+    on the trigram; scoring re-joins docs to model trigram-keyed (the
+    model is corpus-wide but its size is bounded by the alphabet³, not
+    the corpus — it broadcasts). Per-term log values round to 6 dp
+    before an order-independent decimal sum so engines agree exactly."""
+    tris = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(
+                        F.length(F.substring(F.lower(F.col(text_col)), 1, max_chars))
+                        - F.lit(2),
+                        F.lit(0),
+                    ),
+                ),
+                lambda i: F.substring(
+                    F.lower(F.col(text_col)), 1, max_chars
+                ).substr(i, F.lit(3)),
+            )
+        ).alias("_tri"),
+    )
+    model = tris.groupBy("_tri").agg(F.count(F.lit(1)).alias("_c"))
+    # corpus total rides a broadcast one-row aggregate of the model —
+    # no separate driver-side action, no second pass over the trigrams
+    total = model.agg(F.sum("_c").cast("double").alias("_total"))
+    scored = (
+        tris.join(F.broadcast(model), on="_tri")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "_lp",
+            F.round(F.log(F.col("_c") / F.col("_total")), 6).cast(
+                "decimal(18,6)"
+            ),
+        )
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            # the exact decimal SUM, not the average: a final double
+            # division can land on a .5e-6 rounding boundary and flip
+            # the last digit between engines; the sum is exact by
+            # construction (6-dp decimals, magnitude far below 2^53)
+            F.sum("_lp").cast("double").alias("sum_logp"),
+        )
+    )
+    return scored.select(F.col("_id").alias(id_col), "n_trigrams", "sum_logp")

@@ -2646,6 +2646,74 @@ def q88_manifest_snapshot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q89_dedup_lines",
+    r"""
+    WITH lines AS (
+      SELECT doc_id,
+             u.z[1] AS line,
+             CAST(u.z[2] AS BIGINT) AS pos
+      FROM (
+        SELECT doc_id,
+               list_zip(string_split(text, chr(10)),
+                        range(1, len(string_split(text, chr(10))) + 1)) AS zs
+        FROM documents
+      ), unnest(zs) AS u(z)
+    ), hot AS (
+      SELECT line FROM lines WHERE trim(line) != ''
+      GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+    ), kept AS (
+      SELECT * FROM lines WHERE line NOT IN (SELECT line FROM hot)
+    ), rebuilt AS (
+      SELECT doc_id, count(*) AS kept_n,
+             string_agg(line, chr(10) ORDER BY pos) AS text_deduped
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           len(string_split(d.text, chr(10))) AS n_lines,
+           len(string_split(d.text, chr(10))) - COALESCE(r.kept_n, 0) AS n_removed,
+           COALESCE(r.text_deduped, '') AS text_deduped
+    FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def q89_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document line dedup (corpus.dedup_lines): any
+    non-empty line appearing in >= 2 distinct documents is boilerplate,
+    removed from every document with order preserved. Two shuffles:
+    distinct-doc counts per line, then the document rebuild."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.dedup_lines(docs, id_col="doc_id", text_col="text", min_docs=2)
+
+
+@register(
+    "q90_trigram_logprob",
+    """
+    WITH tris AS (
+      SELECT doc_id, substr(t, i, 3) AS tri
+      FROM (
+        SELECT doc_id, lower(substr(text, 1, 1000)) AS t FROM documents
+      ), unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)
+    ), model AS (
+      SELECT tri, count(*) AS c FROM tris GROUP BY tri
+    ), total AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM model)
+    SELECT doc_id,
+           count(*) AS n_trigrams,
+           CAST(sum(CAST(round(ln(c / total), 6) AS DECIMAL(18,6)))
+                AS DOUBLE) AS sum_logp
+    FROM tris JOIN model USING (tri) CROSS JOIN total
+    GROUP BY doc_id
+    """,
+)
+def q90_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram LM quality score (corpus.trigram_logprob, the
+    CCNet-era filter shape): the corpus is the model, each doc scores
+    its mean trigram log-probability. Model = one count shuffle; corpus
+    total = broadcast one-row aggregate; per-term logs round to 6 dp
+    before an order-independent decimal sum."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.trigram_logprob(docs, id_col="doc_id", text_col="text")
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the multi-way broadcast star join + aggregation."""
     return q03_revenue_by_nation(spark, sf_dir)

@@ -240,3 +240,47 @@ def test_pack_chunks_covers_every_token_exactly_once(spark):
     # en stream: 1900 tokens -> bins 0..3; de: 10 tokens -> bin 0
     assert by_bin[("en", 3)] == 1900 - 3 * 512
     assert by_bin[("de", 0)] == 10
+
+
+def test_dedup_lines_removes_cross_doc_boilerplate(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "COOKIE BANNER\nunique one\nFOOTER"),
+            (2, "COOKIE BANNER\nunique two\nFOOTER"),
+            (3, "all original\nnothing shared"),
+            (4, "COOKIE BANNER\nFOOTER"),  # everything removed
+            (5, ""),                        # single empty line survives
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in corpus.dedup_lines(df, min_docs=2).collect()}
+    assert got[1]["text_deduped"] == "unique one"
+    assert got[1]["n_removed"] == 2
+    assert got[2]["text_deduped"] == "unique two"
+    assert got[3]["text_deduped"] == "all original\nnothing shared"
+    assert got[3]["n_removed"] == 0
+    assert got[4]["text_deduped"] == ""
+    assert got[4]["n_removed"] == 2
+    # empty lines are never counted as boilerplate
+    assert got[5]["text_deduped"] == ""
+    assert got[5]["n_removed"] == 0
+
+
+def test_dedup_lines_preserves_order(spark):
+    df = spark.createDataFrame(
+        [(1, "z last\nDUP\na first"), (2, "DUP\nother")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in corpus.dedup_lines(df, min_docs=2).collect()}
+    assert got[1]["text_deduped"] == "z last\na first"  # original order, not sorted
+
+
+def test_trigram_logprob_scores_typical_above_gibberish(spark):
+    rows = [(i, "the cat sat on the mat") for i in range(9)] + [(9, "zqxjkvzqxj")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in corpus.trigram_logprob(df).collect()}
+    mean = lambda r: r["sum_logp"] / r["n_trigrams"]
+    # the repeated sentence's trigrams dominate the corpus model;
+    # the gibberish doc's trigrams are rare -> lower mean log-prob
+    assert mean(got[0]) > mean(got[9])
+    assert got[0]["n_trigrams"] == len("the cat sat on the mat") - 2
