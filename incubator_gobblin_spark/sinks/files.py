@@ -63,6 +63,14 @@ class FileSink:
     # object-store-safe mode (S3/GCS renames are copy+delete, not
     # atomic; a single small-object PUT is).
     commit_mode: str = "rename"
+    # Stats clustering: range-partition + sort rows by these columns
+    # before writing, so each output file covers a NARROW, mostly
+    # disjoint value range. File-level min/max stats (captured into the
+    # manifest) then prune hard on those columns — unsorted writes give
+    # every file ~the full value range and stats prune nothing. The
+    # cheap half of Z-ordering: perfect for one dominant filter column
+    # (an id, a timestamp), no curve math.
+    cluster_by: list[str] = field(default_factory=list)
 
     def staging_dir(self, run_id: str) -> str:
         return os.path.join(self.path, "_staging", run_id)
@@ -72,6 +80,14 @@ class FileSink:
         the same run_id must not double its data — the reference's
         staging-cleanup-on-retry, FsDataWriter)."""
         staging = self.staging_dir(run_id)
+        if self.cluster_by:
+            # repartitionByRange gives files DISJOINT ranges across
+            # tasks (a plain local sort would leave every task holding
+            # the full range); the within-partition sort tightens each
+            # file's min/max further under maxRecordsPerFile splits.
+            df = df.repartitionByRange(*self.cluster_by).sortWithinPartitions(
+                *self.cluster_by
+            )
         writer = df.write.mode("overwrite").format(resolve_format(self.fmt))
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)

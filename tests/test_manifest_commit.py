@@ -293,3 +293,35 @@ def test_streaming_to_manifest_exactly_once(spark, sf_dir, tmp_path):
     q2.awaitTermination(120)
     assert sink.read_committed(spark).count() == n
     assert sink.manifest_history() == first_history
+
+
+def test_cluster_by_makes_stats_prune_hard(spark, sf_dir, tmp_path):
+    """Stats clustering is what makes file skipping bite: the same data
+    written unsorted prunes (almost) nothing for a point/range filter,
+    written cluster_by'd prunes most files."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+
+    plain = _sink(tmp_path / "plain", max_records_per_file=200)
+    # deterministic scramble: without it the source's incidental
+    # event_id order would cluster the "unsorted" control too
+    plain.write_staging(ev.repartition(1).sortWithinPartitions("value"), "r")
+    plain.publish("r")
+
+    clustered = FileSink(
+        path=str(tmp_path / "clust"),
+        commit_mode="manifest",
+        cluster_by=["event_id"],
+        max_records_per_file=200,
+    )
+    clustered.write_staging(ev.repartition(1), "r")
+    clustered.publish("r")
+
+    filters = [("event_id", ">=", 900)]
+    kept_p, total_p = plain.pruned_file_count(filters)
+    kept_c, total_c = clustered.pruned_file_count(filters)
+    assert total_c > 1  # range partitioning actually produced multiple files
+    assert kept_c < kept_p or (kept_p == total_p and kept_c <= total_c // 2)
+    assert kept_c <= max(1, total_c // 4)  # most files skipped
+    # exactness unchanged
+    got = clustered.read_committed(spark, filters=filters)
+    assert got.count() == ev.filter(F.col("event_id") >= 900).count()
