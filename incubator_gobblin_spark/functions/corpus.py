@@ -548,26 +548,28 @@ def trigram_logprob(
 
     Scale: trigram explosion is a pure-Column projection off the scan
     (bounded by ``max_chars`` per doc); the model is ONE count shuffle
-    on the trigram; scoring re-joins docs to model trigram-keyed (the
-    model is corpus-wide but its size is bounded by the alphabet³, not
-    the corpus — it broadcasts). Per-term log values round to 6 dp
-    before an order-independent decimal sum so engines agree exactly."""
+    on the trigram. Scoring re-joins docs to the model on the trigram
+    key WITHOUT a broadcast hint: distinct-trigram cardinality is only
+    alphabet-bounded for ASCII — a multilingual (CJK) corpus reaches
+    tens of millions of distinct trigrams, far past broadcast size, so
+    the join must stay a shuffle join (Catalyst/AQE may still choose to
+    broadcast a genuinely small model at runtime). Docs shorter than 3
+    chars produce ZERO trigrams (guarded explode — a bare
+    ``sequence(1, len-2)`` DESCENDS for len<3, fabricating entries) and
+    are absent from the output, matching the SQL oracle's empty
+    ``range``. Per-term log values round to 6 dp before an
+    order-independent decimal sum so engines agree exactly."""
+    clipped = F.lower(F.substring(F.col(text_col), 1, max_chars))
     tris = df.select(
         F.col(id_col).alias("_id"),
         F.explode(
-            F.transform(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(
-                        F.length(F.substring(F.lower(F.col(text_col)), 1, max_chars))
-                        - F.lit(2),
-                        F.lit(0),
-                    ),
+            F.when(
+                F.length(clipped) >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(clipped) - F.lit(2)),
+                    lambda i: clipped.substr(i, F.lit(3)),
                 ),
-                lambda i: F.substring(
-                    F.lower(F.col(text_col)), 1, max_chars
-                ).substr(i, F.lit(3)),
-            )
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("_tri"),
     )
     model = tris.groupBy("_tri").agg(F.count(F.lit(1)).alias("_c"))
@@ -575,7 +577,7 @@ def trigram_logprob(
     # no separate driver-side action, no second pass over the trigrams
     total = model.agg(F.sum("_c").cast("double").alias("_total"))
     scored = (
-        tris.join(F.broadcast(model), on="_tri")
+        tris.join(model, on="_tri")
         .crossJoin(F.broadcast(total))
         .withColumn(
             "_lp",

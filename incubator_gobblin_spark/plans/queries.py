@@ -44,12 +44,45 @@ def register(name: str, oracle: str | None):
     return deco
 
 
+# The driver's correctness artifact has recorded exactly the first 50
+# registry entries for two rounds running, so iteration order decides
+# which queries ever touch the hard gate.  q01-q50 are all driver-proven
+# (CORRECTNESS_r02: 47 green / 3 no-oracle); q51-q90 were verified only
+# by the local DuckDB parity suite (tests/test_oracle_parity.py, which
+# still covers ALL oracle-backed queries regardless of this ordering).
+# Rotate the unproven surface into the checked window: ten round-1
+# anchors keep the core families visible, then q51-q90.
+_DRIVER_ANCHORS = [
+    "q01_pricing_summary",      # scan + agg flagship
+    "q03_revenue_by_nation",    # broadcast-dim star join
+    "q05_purge_anti_join",      # GDPR purge (HivePurgerQueryTemplate)
+    "q07_dedup_exact_fingerprint",
+    "q14_sessionize",           # event-time sessions
+    "q24_time_partition",       # TimeBasedWriterPartitioner math
+    "q25_watermark_increment",  # incremental-cursor semantics
+    "q27_quality_counts",       # row policies
+    "q36_window_functions",
+    "q47_compaction_audit",
+]
+
+
+def _ordered_names() -> list[str]:
+    rotated = _DRIVER_ANCHORS + [
+        n for n in _REGISTRY if n >= "q51" and n not in _DRIVER_ANCHORS
+    ]
+    return rotated + [n for n in _REGISTRY if n not in rotated]
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+    return {name: _REGISTRY[name][0] for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+    return {
+        name: _REGISTRY[name][1]
+        for name in _ordered_names()
+        if _REGISTRY[name][1] is not None
+    }
 
 
 def _dsum(col, scale: int = 6):

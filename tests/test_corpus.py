@@ -284,3 +284,37 @@ def test_trigram_logprob_scores_typical_above_gibberish(spark):
     # the gibberish doc's trigrams are rare -> lower mean log-prob
     assert mean(got[0]) > mean(got[9])
     assert got[0]["n_trigrams"] == len("the cat sat on the mat") - 2
+
+
+def test_trigram_logprob_short_docs_emit_zero_trigrams(spark):
+    # a bare sequence(1, len-2) DESCENDS for len<3 (sequence(1,0) ==
+    # [1,0]), fabricating two bogus trigrams per short doc and skewing
+    # the shared model; the guarded explode must drop such docs, and
+    # their absence must not perturb the counts of real docs
+    rows = [(0, ""), (1, "ab"), (2, "abc"), (3, "abcd")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in corpus.trigram_logprob(df).collect()}
+    assert 0 not in got and 1 not in got
+    assert got[2]["n_trigrams"] == 1
+    assert got[3]["n_trigrams"] == 2
+
+
+def test_trigram_logprob_multiscript_model_not_hint_broadcast(spark):
+    # on a multilingual corpus the distinct-trigram model is unbounded
+    # (CJK reaches tens of millions of keys at 100 TB) — the doc-model
+    # join must carry NO broadcast hint; the only sanctioned hint is the
+    # one-row corpus total. AQE may still broadcast a small model at
+    # runtime from observed size, which is the correct behavior.
+    rows = [
+        (0, "你好世界这是中文测试语料"),
+        (1, "日本語のテキストです"),
+        (2, "plain ascii text"),
+        (3, "mixed 中文 and ascii"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = corpus.trigram_logprob(df)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[0]["n_trigrams"] == len("你好世界这是中文测试语料") - 2
+    assert got[2]["n_trigrams"] == len("plain ascii text") - 2
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert plan.count("ResolvedHint") <= 1
