@@ -405,12 +405,21 @@ def assign_split(
     key_hex = F.substring(F.md5(F.col(key).cast("string")), 1, 8)
     expr = F.lit(None).cast("string")
     cum = 0.0
-    bounds: list[tuple[str, str]] = []
-    for name, frac in splits.items():  # insertion order = range order
+    bounds: list[tuple[str, str | None]] = []
+    names = list(splits.items())
+    for i, (name, frac) in enumerate(names):  # insertion order = range order
         cum += frac
-        bounds.append((name, format(min(int(cum * 16**8), 16**8 - 1), "08x")))
+        # when fractions sum to 1.0 the final range must be UNBOUNDED:
+        # a capped 'ffffffff' with strict '<' silently maps keys whose
+        # md5 prefix is exactly ffffffff (~2^-32 of rows) to NULL,
+        # dropping them from every split
+        if i == len(names) - 1 and cum >= 1.0 - 1e-9:
+            bounds.append((name, None))
+        else:
+            bounds.append((name, format(min(int(cum * 16**8), 16**8 - 1), "08x")))
     for name, hi in reversed(bounds):
-        expr = F.when(key_hex < F.lit(hi), F.lit(name)).otherwise(expr)
+        branch = F.lit(name) if hi is None else F.when(key_hex < F.lit(hi), F.lit(name)).otherwise(expr)
+        expr = branch
     return df.withColumn(out, expr)
 
 

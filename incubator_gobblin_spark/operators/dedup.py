@@ -25,6 +25,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import MapType
 from pyspark.sql.window import Window
 
 
@@ -102,6 +103,7 @@ def scd2_history(
     valid_from: str = "valid_from",
     valid_to: str = "valid_to",
     current: str = "is_current",
+    tiebreakers: Sequence[str] | None = None,
 ) -> DataFrame:
     """Temporal (SCD type-2) history: each record of a key becomes a
     validity interval [valid_from, valid_to) closed by the next record's
@@ -116,12 +118,22 @@ def scd2_history(
 
     Scale: one shuffle on the key columns; lead() is computed inside the
     same window partition with no second exchange. Ties on ``ts_col``
-    are ordered by the remaining columns for determinism."""
+    are broken by ``tiebreakers`` when given; the default orders by the
+    remaining ORDERABLE columns only — a map-typed payload column would
+    make orderBy raise, and sorting wide payloads is wasted work when
+    the caller knows a narrow discriminator (pass e.g. ["op_seq"])."""
     from pyspark.sql.window import Window
 
-    order = [F.col(ts_col).asc()] + [
-        F.col(c).asc() for c in df.columns if c not in keys and c != ts_col
-    ]
+    if tiebreakers is None:
+        unorderable = (MapType,)
+        tiebreakers = [
+            f.name
+            for f in df.schema.fields
+            if f.name not in keys
+            and f.name != ts_col
+            and not isinstance(f.dataType, unorderable)
+        ]
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreakers]
     w = Window.partitionBy(*keys).orderBy(*order)
     nxt = F.lead(F.col(ts_col)).over(w)
     return (

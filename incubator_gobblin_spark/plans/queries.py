@@ -2486,7 +2486,7 @@ def q82_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CASE
         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'train'
         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333333' THEN 'val'
-        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'ffffffff' THEN 'test'
+        ELSE 'test'
         END AS split, n_chars
       FROM documents
     ) GROUP BY split

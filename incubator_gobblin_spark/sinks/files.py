@@ -464,15 +464,28 @@ def _file_stats(fpath: str) -> dict:
         md = pq.ParquetFile(fpath).metadata
         mins: dict = {}
         maxs: dict = {}
+        # a column's file-level range is trustworthy only if EVERY row
+        # group that may hold non-null values contributed min/max; a
+        # group with values but no stats (stats disabled, or strings
+        # past the writer's statistics-size cap) would understate the
+        # range and make _entry_matches wrongly prune a matching file
+        poisoned: set = set()
         for rg_i in range(md.num_row_groups):
             rg = md.row_group(rg_i)
             for c_i in range(rg.num_columns):
                 col = rg.column(c_i)
-                st = col.statistics
-                if st is None or not st.has_min_max:
-                    continue
                 name = col.path_in_schema
                 if "." in name:  # nested: skip
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    provably_all_null = (
+                        st is not None
+                        and st.has_null_count
+                        and st.null_count == rg.num_rows
+                    )
+                    if rg.num_rows > 0 and not provably_all_null:
+                        poisoned.add(name)
                     continue
                 lo, hi = st.min, st.max
                 if isinstance(lo, (datetime.datetime, datetime.date)):
@@ -481,14 +494,16 @@ def _file_stats(fpath: str) -> dict:
                     try:
                         lo, hi = lo.decode(), hi.decode()
                     except UnicodeDecodeError:
+                        poisoned.add(name)
                         continue
                 if not isinstance(lo, (int, float, str, bool)):
+                    poisoned.add(name)
                     continue
                 mins[name] = lo if name not in mins else min(mins[name], lo)
                 maxs[name] = hi if name not in maxs else max(maxs[name], hi)
         return {
             "rows": md.num_rows,
-            "stats": {c: [mins[c], maxs[c]] for c in mins},
+            "stats": {c: [mins[c], maxs[c]] for c in mins if c not in poisoned},
         }
     except Exception:  # stats are best-effort; absence never breaks reads
         return {}

@@ -201,6 +201,17 @@ def test_assign_split_partitions_and_is_stable(spark):
         assert got[r["doc_id"]] == r["split"]
     with pytest.raises(ValueError):
         corpus.assign_split(df, "doc_id", {"a": 0.9, "b": 0.2})
+    # fractions summing to 1.0: the last split's branch must be
+    # UNCONDITIONAL — a capped "key_hex < 'ffffffff'" comparison drops
+    # keys whose md5 prefix is exactly ffffffff out of every split.
+    # No NULL may appear, and the edge bound must not be in the plan.
+    full = out._jdf.queryExecution().analyzed().toString()
+    assert "ffffffff" not in full
+    assert out.filter(F.col("split").isNull()).count() == 0
+    # fractions summing to < 1.0 keep the bounded final range (the
+    # remainder is intentionally held out as NULL)
+    part = corpus.assign_split(df, "doc_id", {"a": 0.25})
+    assert "40000000" in part._jdf.queryExecution().analyzed().toString()
 
 
 def test_pack_chunks_covers_every_token_exactly_once(spark):

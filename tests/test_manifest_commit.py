@@ -325,3 +325,64 @@ def test_cluster_by_makes_stats_prune_hard(spark, sf_dir, tmp_path):
     # exactness unchanged
     got = clustered.read_committed(spark, filters=filters)
     assert got.count() == ev.filter(F.col("event_id") >= 900).count()
+
+
+def test_file_stats_poisons_columns_with_partial_row_group_stats(monkeypatch):
+    """A row group holding non-null values but exposing no min/max
+    (stats disabled, or strings past the writer's statistics-size cap)
+    must drop the column from the file's recorded range entirely —
+    merging only the stats-bearing groups understates the range and
+    makes _entry_matches wrongly prune a file that contains matches."""
+    from incubator_gobblin_spark.sinks import files as files_mod
+
+    class St:
+        def __init__(self, has_mm, mn=None, mx=None, null_count=None):
+            self.has_min_max = has_mm
+            self.min, self.max = mn, mx
+            self.has_null_count = null_count is not None
+            self.null_count = null_count
+
+    class Col:
+        def __init__(self, name, st):
+            self.path_in_schema, self.statistics = name, st
+
+    class RG:
+        def __init__(self, nrows, cols):
+            self.num_rows, self._c = nrows, cols
+            self.num_columns = len(cols)
+
+        def column(self, i):
+            return self._c[i]
+
+    class MD:
+        def __init__(self, rgs):
+            self._r = rgs
+            self.num_row_groups = len(rgs)
+            self.num_rows = sum(r.num_rows for r in rgs)
+
+        def row_group(self, i):
+            return self._r[i]
+
+    md = MD(
+        [
+            RG(10, [Col("k", St(True, 1, 5)), Col("v", St(True, "a", "c")),
+                    Col("n", St(True, 7, 9))]),
+            # v: values present, NO stats -> poisoned;
+            # n: provably all-null -> safe to keep rg1's range
+            RG(10, [Col("k", St(True, 3, 8)), Col("v", None),
+                    Col("n", St(False, null_count=10))]),
+        ]
+    )
+
+    class PF:
+        def __init__(self, path):
+            self.metadata = md
+
+    import pyarrow.parquet as pq
+
+    monkeypatch.setattr(pq, "ParquetFile", PF)
+    got = files_mod._file_stats("/nonexistent.parquet")
+    assert got["rows"] == 20
+    assert got["stats"]["k"] == [1, 8]  # merged across both groups
+    assert "v" not in got["stats"]  # partial stats -> no range recorded
+    assert got["stats"]["n"] == [7, 9]  # all-null group contributes nothing

@@ -532,6 +532,34 @@ def test_scd2_history_intervals_and_current_flag(spark):
     assert len(cur) == 2
 
 
+def test_scd2_history_map_payload_and_explicit_tiebreakers(spark):
+    # an unorderable payload column (map) must not break the window
+    # sort: the default tiebreaker list skips it, and an explicit
+    # narrow tiebreaker takes precedence over wide payload ordering
+    from incubator_gobblin_spark.operators.dedup import scd2_history
+
+    df = spark.createDataFrame(
+        [
+            ("k1", 10, 2, {"a": "1"}),
+            ("k1", 10, 1, {"b": "2"}),
+            ("k1", 20, 3, {"c": "3"}),
+        ],
+        "k string, ts long, seq int, attrs map<string,string>",
+    )
+    rows = scd2_history(df, keys=["k"], ts_col="ts").collect()
+    assert len(rows) == 3  # default order skips the map column, no raise
+    got = {
+        (r["seq"]): r
+        for r in scd2_history(
+            df, keys=["k"], ts_col="ts", tiebreakers=["seq"]
+        ).collect()
+    }
+    # ts tie broken by seq: seq=1 closes at the tied ts (10), seq=2 at 20
+    assert got[1]["valid_to"] == 10
+    assert got[2]["valid_to"] == 20
+    assert got[3]["valid_to"] is None
+
+
 def test_profile_columns_exact_and_approx_paths(spark):
     from incubator_gobblin_spark.operators.quality import profile_columns
 
