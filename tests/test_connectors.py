@@ -351,3 +351,83 @@ def test_orc_tuned_options_scale_with_row_width(spark):
         sink.publish("r1")
         back = spark.read.orc(os.path.join(d))
         assert back.count() == 500
+
+
+# ------------------------------------------------- live JDBC (SQL gateway)
+
+
+def test_read_jdbc_live_pushdown(spark, sf_dir):
+    """The actual spark.read.jdbc path against a LIVE SQL server: the
+    in-process Thrift gateway (sql_gateway.py) serves the catalog over
+    the bundled hive-jdbc driver, and the scan must show the engine's
+    filter pushed into the remote query (JdbcExtractor.java:161's
+    predicate pushdown, executed for real — the round-2 gap)."""
+    from incubator_gobblin_spark.sources import sql_gateway as G
+
+    port = G.start_sql_gateway(spark)
+    G.register_shared_table(spark, "nation_jdbc", f"{sf_dir}/nation.parquet")
+    df = J.read_jdbc(
+        spark,
+        G.gateway_url(port),
+        "nation_jdbc",
+        properties={"driver": G.HIVE_DRIVER},
+    )
+    out = df.filter(F.col("n_regionkey") == 1).select("n_nationkey", "n_name")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "JDBCRelation" in plan
+    assert "PushedFilters" in plan and "EqualTo(n_regionkey,1)" in plan
+    expected = sorted(
+        (r["n_nationkey"], r["n_name"])
+        for r in load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") == 1)
+        .select("n_nationkey", "n_name")
+        .collect()
+    )
+    assert sorted((r["n_nationkey"], r["n_name"]) for r in out.collect()) == expected
+
+
+def test_read_jdbc_live_partitioned_ranges(spark, sf_dir):
+    """Watermark-interval partitioned extract over the live gateway: each
+    partition predicate becomes one real concurrent JDBC range query
+    (Partitioner.getPartitionList:167 -> spark.read.jdbc(predicates)),
+    tiling (low, high] with no gap, overlap, or row loss."""
+    from incubator_gobblin_spark.sources import sql_gateway as G
+
+    port = G.start_sql_gateway(spark)
+    G.register_shared_table(spark, "nation_jdbc2", f"{sf_dir}/nation.parquet")
+    # loopback scheduling hazard, NOT a scale property: each outer JDBC
+    # task blocks on an inner query running in the SAME local scheduler,
+    # so outer parallelism must stay below total cores (local[4] here).
+    # Against an external server every core can scan concurrently.
+    interval = WatermarkInterval("n_nationkey", -1, 24)
+    df = J.read_jdbc(
+        spark,
+        G.gateway_url(port),
+        "nation_jdbc2",
+        interval=interval,
+        num_partitions=2,
+        properties={"driver": G.HIVE_DRIVER},
+    )
+    assert df.rdd.getNumPartitions() == 2
+    total = load_table(spark, sf_dir, "nation").count()
+    assert df.count() == total
+    assert df.select("n_nationkey").distinct().count() == total
+
+
+# ------------------------------------------------------- Kafka constraint
+
+
+def test_kafka_wiring_gap_is_the_connector_jar(spark):
+    """read_kafka_batch's spark.read call (KafkaExtractor.java:59
+    analogue) needs the spark-sql-kafka connector jar plus a broker;
+    this container ships neither (no kafka jar under pyspark/jars, no
+    package installs allowed). The probe pins the precise constraint:
+    the DataSource LOOKUP fails before any connection attempt — offset
+    planning/serde above it stay fully tested."""
+    with pytest.raises(Exception, match="(?i)kafka"):
+        (
+            spark.read.format("kafka")
+            .option("kafka.bootstrap.servers", "127.0.0.1:9")
+            .option("subscribe", "probe")
+            .load()
+        )
