@@ -160,12 +160,21 @@ class FileSink:
     def manifest_pointer(self) -> str:
         return os.path.join(self.path, "_CURRENT")
 
-    def current_manifest(self, run_id: str | None = None) -> dict | None:
+    def current_manifest(
+        self, run_id: str | None = None, materialize: bool = True
+    ) -> dict | None:
         """Resolve the committed snapshot (readers start here). With
         ``run_id``, resolve that historical snapshot instead — every
         commit's manifest is immutable under ``_manifests/``, so any
         previously committed state stays readable (time travel) until
-        its data runs are vacuumed."""
+        its data runs are vacuumed.
+
+        Format v2 manifests are a LIST of per-partition entry groups
+        (see :meth:`_publish_manifest`); ``materialize=True`` (the
+        default, and the public contract) loads every group so the
+        returned dict carries the flat ``entries`` list. Internal
+        group-pruning readers pass ``materialize=False`` to avoid
+        touching groups a partition predicate already excluded."""
         import json
 
         if run_id is not None:
@@ -175,14 +184,26 @@ class FileSink:
                     f"no committed manifest for run {run_id} under {self.path}"
                 )
             with open(mpath) as fh:
-                return json.load(fh)
-        ptr = self.manifest_pointer()
-        if not os.path.exists(ptr):
-            return None
-        with open(ptr) as fh:
-            manifest_rel = fh.read().strip()
-        with open(os.path.join(self.path, manifest_rel)) as fh:
-            return json.load(fh)
+                m = json.load(fh)
+        else:
+            ptr = self.manifest_pointer()
+            if not os.path.exists(ptr):
+                return None
+            with open(ptr) as fh:
+                manifest_rel = fh.read().strip()
+            with open(os.path.join(self.path, manifest_rel)) as fh:
+                m = json.load(fh)
+        if materialize and "entries" not in m:
+            m["entries"] = [
+                e for g in m.get("groups", []) for e in self._load_group(g)
+            ]
+        return m
+
+    def _load_group(self, group: dict) -> list[dict]:
+        import json
+
+        with open(os.path.join(self.path, group["file"])) as fh:
+            return json.load(fh)["entries"]
 
     def manifest_history(self) -> list[str]:
         """Committed run ids, newest first, by walking the parent chain
@@ -215,6 +236,18 @@ class FileSink:
         - APPEND_ONLY: parent manifest files + this run's;
         - SNAPSHOT_APPEND: parent files whose leaf partition is NOT
           touched by this run + this run's files.
+
+        Format v2 (manifest list): the manifest holds GROUP references —
+        one immutable per-partition entry file under
+        ``_manifests/groups/`` — not inline entries. Untouched
+        partitions re-reference the parent's group files verbatim, so a
+        commit writes O(touched partitions) bytes while the live set may
+        span millions of files (the Iceberg manifest-list shape; a flat
+        inline manifest would be a multi-GB rewrite per commit at
+        100 TB). Group rows carry partition values + unioned column
+        stats, letting readers prune partitions without fetching their
+        group files. v1 manifests remain readable; the first commit over
+        a v1 parent migrates its entries into carried groups.
         """
         import json
 
@@ -251,7 +284,7 @@ class FileSink:
                     entry.update(_file_stats(fpath))
                 new_entries.append(entry)
 
-        parent = self.current_manifest()
+        parent = self.current_manifest(materialize=False)
         # Same-run republish (a retried batch whose previous attempt
         # already won the pointer swap) must be IDEMPOTENT: drop the
         # prior attempt's contribution from the parent before composing,
@@ -260,30 +293,45 @@ class FileSink:
         # would cycle on itself.
         run_prefix = os.path.join("_data", run_id) + os.sep
         parent_run = parent["run_id"] if parent else None
-        parent_entries = (
-            [e for e in parent["entries"] if not e["file"].startswith(run_prefix)]
-            if parent
-            else []
-        )
         if parent_run == run_id:
             parent_run = parent["parent"]
+
+        # Parent's live state as GROUP references. A v2 parent hands its
+        # group list over directly (groups written by a prior attempt of
+        # THIS run hold only that attempt's files — drop them, the exact
+        # analogue of the v1 entry-prefix filter). A v1 parent (inline
+        # entries) is migrated once: its surviving entries regroup into
+        # carried group files tagged run=None so no later retry can
+        # mistake them for a single run's contribution.
+        if parent is None:
+            parent_groups: list[dict] = []
+        elif "groups" in parent:
+            parent_groups = [g for g in parent["groups"] if g.get("run") != run_id]
+        else:
+            carried = [
+                e for e in parent["entries"] if not e["file"].startswith(run_prefix)
+            ]
+            parent_groups = self._write_groups(carried, run_id, run_tag=None)
+
+        new_groups = self._write_groups(new_entries, run_id, run_tag=run_id)
         if self.table_type == TableType.SNAPSHOT_ONLY or parent is None:
-            entries = new_entries
+            groups = new_groups
         elif self.table_type == TableType.APPEND_ONLY:
-            entries = parent_entries + new_entries
+            groups = parent_groups + new_groups
         else:  # SNAPSHOT_APPEND: replace touched leaf partitions
-            touched = {e["partition"] for e in new_entries}
-            entries = [
-                e for e in parent_entries if e["partition"] not in touched
-            ] + new_entries
+            touched = {g["partition"] for g in new_groups}
+            groups = [
+                g for g in parent_groups if g["partition"] not in touched
+            ] + new_groups
 
         manifest = {
             "run_id": run_id,
+            "format_version": 2,
             "table_type": self.table_type.value,
             "fmt": self.fmt,
             "partition_by": self.partition_by,
             "parent": parent_run,
-            "entries": entries,
+            "groups": groups,
         }
         mdir = os.path.join(self.path, "_manifests")
         os.makedirs(mdir, exist_ok=True)
@@ -298,7 +346,51 @@ class FileSink:
         with open(ptr_tmp, "w") as fh:
             fh.write(mrel)
         os.replace(ptr_tmp, self.manifest_pointer())
-        return [os.path.join(self.path, e["file"]) for e in entries]
+        # THIS run's published files (the full live set is reachable via
+        # current_manifest(); re-reading every carried group here would
+        # put an O(live files) read back on the commit path)
+        return [os.path.join(self.path, e["file"]) for e in new_entries]
+
+    def _write_groups(
+        self, entries: list[dict], run_id: str, run_tag: str | None
+    ) -> list[dict]:
+        """Write one immutable group file per leaf partition under
+        ``_manifests/groups/`` and return the list rows referencing
+        them. Each row carries the partition value plus the UNION of its
+        files' column stats (a column appears only if every file in the
+        group recorded it), so readers prune whole groups — partitions
+        first, then stat ranges — before fetching a single group file.
+        Deterministic names (<run>-<sha1(partition)>) make same-run
+        retries overwrite rather than accumulate."""
+        import hashlib
+        import json
+
+        by_part: dict[str, list[dict]] = {}
+        for e in entries:
+            by_part.setdefault(e.get("partition", ""), []).append(e)
+        gdir = os.path.join(self.path, "_manifests", "groups")
+        os.makedirs(gdir, exist_ok=True)
+        out: list[dict] = []
+        for part, part_entries in sorted(by_part.items()):
+            sha = hashlib.sha1(part.encode()).hexdigest()[:12]
+            tag = run_tag if run_tag is not None else f"carried-{run_id}"
+            grel = os.path.join("_manifests", "groups", f"{tag}-{sha}.json")
+            gtmp = os.path.join(self.path, grel + ".tmp")
+            with open(gtmp, "w") as fh:
+                json.dump({"entries": part_entries}, fh)
+            os.replace(gtmp, os.path.join(self.path, grel))
+            group: dict = {
+                "file": grel,
+                "partition": part,
+                "run": run_tag,
+                "n": len(part_entries),
+                "rows": sum(e.get("rows", 0) for e in part_entries),
+            }
+            stats = _union_stats([e.get("stats") or {} for e in part_entries])
+            if stats:
+                group["stats"] = stats
+            out.append(group)
+        return out
 
     def read_committed(
         self,
@@ -323,16 +415,24 @@ class FileSink:
         pruned (stats are an optimization, never semantics)."""
         from incubator_gobblin_spark.formats.avro_ocf import resolve_format as _rf
 
-        manifest = self.current_manifest(as_of_run)
+        manifest = self.current_manifest(as_of_run, materialize=False)
         if manifest is None:
             raise FileNotFoundError(f"no committed manifest under {self.path}")
-        entries = manifest["entries"]
+        part_by = manifest.get("partition_by") or []
+        if "groups" in manifest:
+            groups = manifest["groups"]
+            if filters:
+                # group rows carry partition value + unioned stats in the
+                # SAME shape as file entries, so the predicate prunes
+                # whole partitions before a single group file is fetched
+                # — at object-store scale the commit log read is
+                # O(groups matching), not O(live files)
+                groups = [g for g in groups if _entry_matches(g, filters, part_by)]
+            entries = [e for g in groups for e in self._load_group(g)]
+        else:
+            entries = manifest["entries"]
         if filters:
-            entries = [
-                e
-                for e in entries
-                if _entry_matches(e, filters, manifest.get("partition_by") or [])
-            ]
+            entries = [e for e in entries if _entry_matches(e, filters, part_by)]
         if not entries:
             empty = self.read_committed(spark, as_of_run)
             return _apply_filters(empty, filters).limit(0)
@@ -365,12 +465,26 @@ class FileSink:
         self, filters: list[tuple], as_of_run: str | None = None
     ) -> tuple[int, int]:
         """(files kept, files total) for a predicate set — the file-
-        skipping accounting an operator dashboard (or a test) reads."""
-        manifest = self.current_manifest(as_of_run)
-        entries = manifest["entries"]
+        skipping accounting an operator dashboard (or a test) reads.
+        Group-pruned groups contribute their counted size without their
+        group file ever being read."""
+        manifest = self.current_manifest(as_of_run, materialize=False)
         part_by = manifest.get("partition_by") or []
-        kept = [e for e in entries if _entry_matches(e, filters, part_by)]
-        return len(kept), len(entries)
+        if "groups" not in manifest:
+            entries = manifest["entries"]
+            kept = [e for e in entries if _entry_matches(e, filters, part_by)]
+            return len(kept), len(entries)
+        total = sum(g["n"] for g in manifest["groups"])
+        kept_n = 0
+        for g in manifest["groups"]:
+            if not _entry_matches(g, filters, part_by):
+                continue
+            kept_n += sum(
+                1
+                for e in self._load_group(g)
+                if _entry_matches(e, filters, part_by)
+            )
+        return kept_n, total
 
     def compact_runs(self, spark, run_id: str | None = None) -> str:
         """Rewrite the CURRENT snapshot as one fresh run and commit a
@@ -410,9 +524,15 @@ class FileSink:
         history = self.manifest_history()
         keep_ids = set(history[:keep_last])
         live_runs: set[str] = set()
+        live_groups: set[str] = set()
         data_root = os.path.join(self.path, "_data")
         for rid in keep_ids:
-            for e in self.current_manifest(rid)["entries"]:
+            m = self.current_manifest(rid, materialize=False)
+            for g in m.get("groups", []):
+                live_groups.add(os.path.basename(g["file"]))
+            for e in m.get("entries") or (
+                [x for g in m.get("groups", []) for x in self._load_group(g)]
+            ):
                 rel = os.path.relpath(
                     os.path.join(self.path, e["file"]), data_root
                 )
@@ -427,11 +547,24 @@ class FileSink:
         mdir = os.path.join(self.path, "_manifests")
         if os.path.isdir(mdir):
             for mf in sorted(os.listdir(mdir)):
+                if mf == "groups":
+                    continue
                 rid = mf[: -len(".json")] if mf.endswith(".json") else mf
                 if rid not in keep_ids:
                     _rm(os.path.join(mdir, mf))
                     removed_manifests += 1
-        return {"runs_deleted": removed_runs, "manifests_deleted": removed_manifests}
+        removed_groups = 0
+        gdir = os.path.join(mdir, "groups")
+        if os.path.isdir(gdir):
+            for gf in sorted(os.listdir(gdir)):
+                if gf not in live_groups:
+                    _rm(os.path.join(gdir, gf))
+                    removed_groups += 1
+        return {
+            "runs_deleted": removed_runs,
+            "manifests_deleted": removed_manifests,
+            "groups_deleted": removed_groups,
+        }
 
     def abort(self, run_id: str) -> None:
         """Drop staging output (failed task policies — data never
@@ -447,6 +580,27 @@ class FileSink:
         err_path = os.path.join(self.path, "_errors", run_id)
         errors.write.mode("overwrite").format(resolve_format(self.fmt)).save(err_path)
         return err_path
+
+
+def _union_stats(per_file: list[dict]) -> dict:
+    """Group-level [min, max] per column = union of the member files'
+    ranges. A column qualifies only if EVERY file recorded it — if one
+    file has no range for the column, a group-level range would
+    understate that file's data and wrongly prune the whole group."""
+    if not per_file:
+        return {}
+    cols = set(per_file[0])
+    for st in per_file[1:]:
+        cols &= set(st)
+    out = {}
+    for c in cols:
+        los = [st[c][0] for st in per_file]
+        his = [st[c][1] for st in per_file]
+        try:
+            out[c] = [min(los), max(his)]
+        except TypeError:  # mixed incomparable types: skip, never guess
+            continue
+    return out
 
 
 def _file_stats(fpath: str) -> dict:

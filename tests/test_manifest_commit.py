@@ -386,3 +386,85 @@ def test_file_stats_poisons_columns_with_partial_row_group_stats(monkeypatch):
     assert got["stats"]["k"] == [1, 8]  # merged across both groups
     assert "v" not in got["stats"]  # partial stats -> no range recorded
     assert got["stats"]["n"] == [7, 9]  # all-null group contributes nothing
+
+
+def _tree_bytes(root):
+    return sum(
+        os.path.getsize(os.path.join(d, f))
+        for d, _, fs in os.walk(root)
+        for f in fs
+    )
+
+
+def test_manifest_scale_soak_commit_cost_is_touched_partitions(
+    spark, tmp_path
+):
+    """100x-scale rehearsal for the manifest lake: ~10k live files over
+    many append runs and partitions, then one commit touching a SINGLE
+    partition. The commit must write O(touched partitions) metadata —
+    one new group file plus the manifest list — never a rewrite of the
+    whole live-file inventory (the v1 flat-manifest failure mode at
+    100 TB: a multi-GB JSON read+write per commit). Then compaction +
+    vacuum bound the group/run count and reads stay exact throughout."""
+    sink = FileSink(
+        path=str(tmp_path / "lake"),
+        commit_mode="manifest",
+        partition_by=["p"],
+        table_type=TableType.APPEND_ONLY,
+        max_records_per_file=1,
+    )
+    n_runs, n_parts, rows_per_part = 20, 10, 50
+    df = spark.range(n_parts * rows_per_part).select(
+        (F.col("id") % n_parts).cast("string").alias("p"),
+        F.col("id").alias("v"),
+    )
+    for i in range(n_runs):
+        sink.write_staging(df.withColumn("v", F.col("v") + i * 100000), f"run{i:03d}")
+        sink.publish(f"run{i:03d}")
+
+    m = sink.current_manifest(materialize=False)
+    total_files = sum(g["n"] for g in m["groups"])
+    assert total_files == n_runs * n_parts * rows_per_part  # 10_000 live files
+
+    # ---- the measured property: one-partition commit is O(1) metadata
+    gdir = tmp_path / "lake" / "_manifests" / "groups"
+    before = set(os.listdir(gdir))
+    one = spark.createDataFrame([("3", 999999)], "p string, v long")
+    sink.write_staging(one, "touch_one")
+    sink.publish("touch_one")
+    new_group_files = set(os.listdir(gdir)) - before
+    assert len(new_group_files) == 1  # exactly the touched partition
+    commit_bytes = sum(
+        os.path.getsize(gdir / f) for f in new_group_files
+    ) + os.path.getsize(
+        tmp_path / "lake" / "_manifests" / "touch_one.json"
+    )
+    inventory_bytes = _tree_bytes(gdir)
+    assert commit_bytes < inventory_bytes / 50  # list+1 group << inventory
+
+    # group-pruned reads: a one-partition predicate must not fetch other
+    # partitions' group files, and stays exact
+    kept, total = sink.pruned_file_count([("p", "=", "3")])
+    assert total == total_files + 1
+    assert kept == n_runs * rows_per_part + 1
+    got = sink.read_committed(spark, filters=[("p", "=", "3")])
+    assert got.count() == n_runs * rows_per_part + 1
+
+    # ---- compaction collapses 10k files; vacuum reclaims; reads exact
+    expected_total = df.count() * n_runs + 1
+    assert sink.read_committed(spark).count() == expected_total
+    rid = sink.compact_runs(spark)
+    assert sink.read_committed(spark).count() == expected_total
+    stats = sink.vacuum(keep_last=1)
+    assert stats["runs_deleted"] >= n_runs  # old append runs reclaimed
+    assert stats["groups_deleted"] > 0
+    live_groups = sink.current_manifest(materialize=False)["groups"]
+    assert len(live_groups) == n_parts  # one compacted group per partition
+    assert sink.read_committed(spark).count() == expected_total
+    # time travel to the kept snapshot still resolves
+    assert sink.manifest_history() == [rid]
+    # per-partition read after compaction remains exact
+    assert (
+        sink.read_committed(spark, filters=[("p", "=", "3")]).count()
+        == n_runs * rows_per_part + 1
+    )
