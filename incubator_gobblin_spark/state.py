@@ -92,3 +92,149 @@ class StateStore:
         finally:
             if os.path.exists(tmp):  # pragma: no cover
                 os.unlink(tmp)
+
+
+def _state_doc(state: TableState) -> str:
+    return json.dumps(
+        {
+            "high_watermark": _to_jsonable(state.high_watermark),
+            "last_run_id": state.last_run_id,
+            "extra": {k: _to_jsonable(v) for k, v in state.extra.items()},
+        },
+        sort_keys=True,
+    )
+
+
+def _state_from_doc(doc: str) -> TableState:
+    d = json.loads(doc)
+    return TableState(
+        high_watermark=_from_jsonable(d.get("high_watermark")),
+        last_run_id=d.get("last_run_id"),
+        extra={k: _from_jsonable(v) for k, v in d.get("extra", {}).items()},
+    )
+
+
+class DbStateStore:
+    """Database-backed state store — the MysqlDatasetStateStore analogue
+    (gobblin-runtime .../MysqlDatasetStateStore.java over the generic
+    gobblin-metastore .../MysqlStateStore.java table) on stdlib sqlite3.
+
+    What a DB adds over the JSON-file store: SERIALIZED CONCURRENT
+    COMMITS. Two schedulers (or a retried driver racing its zombie
+    predecessor) both finishing a run of the same table must not
+    last-write-wins each other's watermark back in time. Every row
+    carries a monotonically increasing ``version``; writers either
+
+    - :meth:`commit_cas` against the version they read (optimistic
+      concurrency — the reference's conditional upsert), or
+    - :meth:`advance_watermark`, which takes the database write lock
+      (``BEGIN IMMEDIATE``) and advances only if the new watermark is
+      strictly greater — the monotonicity rule that makes incremental
+      ingestion safe under at-least-once job scheduling.
+
+    sqlite serializes writers across threads AND processes via file
+    locking, so the semantics hold for local concurrent schedulers; on
+    a real MySQL/Postgres the same statements run unchanged (the SQL is
+    deliberately vanilla). Scale: state rows are O(tables), not O(data)
+    — nothing here is on the data path.
+    """
+
+    _DDL = (
+        "CREATE TABLE IF NOT EXISTS table_state ("
+        " tbl TEXT PRIMARY KEY,"
+        " doc TEXT NOT NULL,"
+        " version INTEGER NOT NULL)"
+    )
+
+    def __init__(self, db_path: str):
+        self.db_path = db_path
+        parent = os.path.dirname(os.path.abspath(db_path))
+        os.makedirs(parent, exist_ok=True)
+        with self._conn() as con:
+            con.execute(self._DDL)
+
+    def _conn(self):
+        import sqlite3
+
+        con = sqlite3.connect(self.db_path, timeout=30.0)
+        con.isolation_level = None  # explicit transactions only
+        return con
+
+    def get(self, table: str) -> TableState:
+        return self.get_versioned(table)[0]
+
+    def get_versioned(self, table: str) -> tuple[TableState, int]:
+        """State plus its row version (version 0 = absent row): the
+        token :meth:`commit_cas` checks against."""
+        with self._conn() as con:
+            row = con.execute(
+                "SELECT doc, version FROM table_state WHERE tbl = ?", (table,)
+            ).fetchone()
+        if row is None:
+            return TableState(), 0
+        return _state_from_doc(row[0]), row[1]
+
+    def commit(self, table: str, state: TableState) -> None:
+        """Unconditional upsert (single-writer deployments)."""
+        with self._conn() as con:
+            con.execute("BEGIN IMMEDIATE")
+            con.execute(
+                "INSERT INTO table_state (tbl, doc, version) VALUES (?, ?, 1) "
+                "ON CONFLICT(tbl) DO UPDATE SET doc = excluded.doc, "
+                "version = table_state.version + 1",
+                (table, _state_doc(state)),
+            )
+            con.execute("COMMIT")
+
+    def commit_cas(self, table: str, state: TableState, expected_version: int) -> bool:
+        """Compare-and-swap on the version read via
+        :meth:`get_versioned`; False = a concurrent writer won and the
+        caller must re-read and re-plan (NOT blindly retry the write —
+        its planned watermark range may now overlap the winner's)."""
+        with self._conn() as con:
+            con.execute("BEGIN IMMEDIATE")
+            if expected_version == 0:
+                cur = con.execute(
+                    "INSERT INTO table_state (tbl, doc, version) "
+                    "VALUES (?, ?, 1) ON CONFLICT(tbl) DO NOTHING",
+                    (table, _state_doc(state)),
+                )
+            else:
+                cur = con.execute(
+                    "UPDATE table_state SET doc = ?, version = version + 1 "
+                    "WHERE tbl = ? AND version = ?",
+                    (_state_doc(state), table, expected_version),
+                )
+            ok = cur.rowcount == 1
+            con.execute("COMMIT")
+        return ok
+
+    def advance_watermark(self, table: str, new_hwm: Any, run_id: str | None = None) -> bool:
+        """Atomically advance the committed high watermark, refusing any
+        move that is not strictly forward (the zombie-writer guard).
+        Returns whether the advance happened. Extra state is preserved."""
+        with self._conn() as con:
+            con.execute("BEGIN IMMEDIATE")  # the write lock: no TOCTOU
+            row = con.execute(
+                "SELECT doc, version FROM table_state WHERE tbl = ?", (table,)
+            ).fetchone()
+            state = _state_from_doc(row[0]) if row else TableState()
+            cur_hwm = state.high_watermark
+            if cur_hwm is not None and not (new_hwm > cur_hwm):
+                con.execute("COMMIT")
+                return False
+            state.high_watermark = new_hwm
+            state.last_run_id = run_id
+            if row:
+                con.execute(
+                    "UPDATE table_state SET doc = ?, version = version + 1 "
+                    "WHERE tbl = ?",
+                    (_state_doc(state), table),
+                )
+            else:
+                con.execute(
+                    "INSERT INTO table_state (tbl, doc, version) VALUES (?, ?, 1)",
+                    (table, _state_doc(state)),
+                )
+            con.execute("COMMIT")
+        return True

@@ -84,3 +84,80 @@ def test_nanos_parquet_roundtrip(spark, sf_dir):
     assert dict(events.dtypes)["ts"] == "timestamp"
     lo = events.select(F.min("ts")).first()[0]
     assert lo.year == 2024
+
+
+# ------------------------------------------------ DB state store (CAS)
+
+
+def test_db_state_store_roundtrip_and_versions(tmp_path):
+    from incubator_gobblin_spark.state import DbStateStore
+
+    st = DbStateStore(str(tmp_path / "state.db"))
+    s0, v0 = st.get_versioned("orders")
+    assert v0 == 0 and s0.high_watermark is None
+    st.commit("orders", TableState(high_watermark=100, last_run_id="r1"))
+    s1, v1 = st.get_versioned("orders")
+    assert (s1.high_watermark, s1.last_run_id, v1) == (100, "r1", 1)
+    # datetime watermarks survive the JSON round trip typed
+    ts = datetime(2026, 8, 14, 12, 0, 0)
+    st.commit("events", TableState(high_watermark=ts, extra={"lo": ts}))
+    s2 = st.get("events")
+    assert s2.high_watermark == ts and s2.extra["lo"] == ts
+
+
+def test_db_state_store_cas_rejects_stale_writer(tmp_path):
+    from incubator_gobblin_spark.state import DbStateStore
+
+    st = DbStateStore(str(tmp_path / "state.db"))
+    st.commit("t", TableState(high_watermark=10))
+    _, v = st.get_versioned("t")
+    # two writers read the same version; exactly one CAS wins
+    assert st.commit_cas("t", TableState(high_watermark=20), v)
+    assert not st.commit_cas("t", TableState(high_watermark=15), v)
+    assert st.get("t").high_watermark == 20
+    # version-0 CAS (create) races: second create loses
+    assert st.commit_cas("new", TableState(high_watermark=1), 0)
+    assert not st.commit_cas("new", TableState(high_watermark=2), 0)
+
+
+def test_db_state_store_watermark_advance_is_monotonic(tmp_path):
+    from incubator_gobblin_spark.state import DbStateStore
+
+    st = DbStateStore(str(tmp_path / "state.db"))
+    assert st.advance_watermark("t", 50, "r1")
+    assert not st.advance_watermark("t", 40, "zombie")  # backwards: refused
+    assert not st.advance_watermark("t", 50, "dup")  # equal: refused
+    assert st.advance_watermark("t", 60, "r2")
+    s = st.get("t")
+    assert (s.high_watermark, s.last_run_id) == (60, "r2")
+
+
+def test_db_state_store_concurrent_advances_serialize(tmp_path):
+    """N threads race advance_watermark with distinct targets; the BEGIN
+    IMMEDIATE write lock must serialize them so the final watermark is
+    the maximum and never regresses mid-race (the MysqlDatasetStateStore
+    property the JSON-file store cannot give)."""
+    import random
+    import threading
+
+    from incubator_gobblin_spark.state import DbStateStore
+
+    st = DbStateStore(str(tmp_path / "state.db"))
+    targets = list(range(1, 33))
+    random.Random(7).shuffle(targets)
+    results = {}
+
+    def worker(v):
+        results[v] = st.advance_watermark("t", v, f"run{v}")
+
+    threads = [threading.Thread(target=worker, args=(v,)) for v in targets]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert st.get("t").high_watermark == 32
+    assert results[32] is True  # the max always lands
+    # winners' watermarks were strictly increasing: replaying only the
+    # successful advances in commit order reconstructs a sorted chain
+    wins = sorted(v for v, ok in results.items() if ok)
+    assert wins[-1] == 32 and len(wins) >= 1
