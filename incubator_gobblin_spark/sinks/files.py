@@ -222,7 +222,9 @@ class FileSink:
                 break
         return chain
 
-    def _publish_manifest(self, run_id: str) -> list[str]:
+    def _publish_manifest(
+        self, run_id: str, removed_files: set[str] | None = None
+    ) -> list[str]:
         """Manifest commit: data files move ONCE into an immutable
         ``_data/<run_id>/`` dir (never rewritten, so the non-atomicity
         of the move is invisible — nothing reads uncommitted run dirs),
@@ -311,10 +313,43 @@ class FileSink:
             carried = [
                 e for e in parent["entries"] if not e["file"].startswith(run_prefix)
             ]
+            if removed_files:
+                carried = [e for e in carried if e["file"] not in removed_files]
             parent_groups = self._write_groups(carried, run_id, run_tag=None)
 
+        # merge/CDC commit: drop the entries this run rewrote (their
+        # surviving rows were copied into the new run — copy-on-write).
+        # Only groups actually holding a removed file are rewritten; the
+        # rest re-reference the parent's group files verbatim, keeping
+        # the commit O(touched groups). Each rewritten group is salted
+        # with its source group's file name: an append lake legitimately
+        # holds MANY groups for the same partition value (one per run),
+        # and unsalted carried names would collide and silently drop
+        # entries.
+        if removed_files and parent is not None and "groups" in parent:
+            pruned: list[dict] = []
+            for g in parent_groups:
+                ents = self._load_group(g)
+                survivors = [e for e in ents if e["file"] not in removed_files]
+                if len(survivors) == len(ents):
+                    pruned.append(g)
+                elif survivors:
+                    pruned.extend(
+                        self._write_groups(
+                            survivors,
+                            run_id,
+                            run_tag=None,
+                            salt=os.path.basename(g["file"]),
+                        )
+                    )
+            parent_groups = pruned
+
         new_groups = self._write_groups(new_entries, run_id, run_tag=run_id)
-        if self.table_type == TableType.SNAPSHOT_ONLY or parent is None:
+        if removed_files is not None:
+            # merge composition: parent minus rewritten files, plus the
+            # merged run — independent of table_type
+            groups = parent_groups + new_groups
+        elif self.table_type == TableType.SNAPSHOT_ONLY or parent is None:
             groups = new_groups
         elif self.table_type == TableType.APPEND_ONLY:
             groups = parent_groups + new_groups
@@ -352,7 +387,11 @@ class FileSink:
         return [os.path.join(self.path, e["file"]) for e in new_entries]
 
     def _write_groups(
-        self, entries: list[dict], run_id: str, run_tag: str | None
+        self,
+        entries: list[dict],
+        run_id: str,
+        run_tag: str | None,
+        salt: str = "",
     ) -> list[dict]:
         """Write one immutable group file per leaf partition under
         ``_manifests/groups/`` and return the list rows referencing
@@ -372,7 +411,7 @@ class FileSink:
         os.makedirs(gdir, exist_ok=True)
         out: list[dict] = []
         for part, part_entries in sorted(by_part.items()):
-            sha = hashlib.sha1(part.encode()).hexdigest()[:12]
+            sha = hashlib.sha1(f"{part}|{salt}".encode()).hexdigest()[:12]
             tag = run_tag if run_tag is not None else f"carried-{run_id}"
             grel = os.path.join("_manifests", "groups", f"{tag}-{sha}.json")
             gtmp = os.path.join(self.path, grel + ".tmp")
@@ -436,15 +475,19 @@ class FileSink:
         if not entries:
             empty = self.read_committed(spark, as_of_run)
             return _apply_filters(empty, filters).limit(0)
+        return _apply_filters(self._read_entries(spark, entries), filters)
+
+    def _read_entries(self, spark, entries: list[dict]) -> DataFrame:
+        """Scan exactly these manifest entries' files. Partition columns
+        resolve against a per-run basePath (the run-id path segment is
+        not a key=value dir); one read per live run dir, unioned by
+        name. Live-run count is bounded — compaction rewrites old runs
+        into one."""
+        from incubator_gobblin_spark.formats.avro_ocf import resolve_format as _rf
+
         files = [os.path.join(self.path, e["file"]) for e in entries]
         if not self.partition_by:
-            return _apply_filters(
-                spark.read.format(_rf(self.fmt)).load(files), filters
-            )
-        # partition columns resolve against a per-run basePath (the
-        # run-id path segment is not a key=value dir); one read per
-        # live run dir, unioned by name. Live-run count is bounded —
-        # compaction rewrites old runs into one.
+            return spark.read.format(_rf(self.fmt)).load(files)
         by_run: dict[str, list[str]] = {}
         data_root = os.path.join(self.path, "_data")
         for f_ in files:
@@ -459,7 +502,7 @@ class FileSink:
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
-        return _apply_filters(df, filters)
+        return df
 
     def pruned_file_count(
         self, filters: list[tuple], as_of_run: str | None = None
@@ -485,6 +528,103 @@ class FileSink:
                 if _entry_matches(e, filters, part_by)
             )
         return kept_n, total
+
+    def merge_into(
+        self,
+        spark,
+        source: DataFrame,
+        on: list[str],
+        run_id: str | None = None,
+        op_col: str | None = None,
+        delete_value: str = "delete",
+    ) -> str:
+        """Copy-on-write MERGE (the CDC-apply the reference runs as a
+        compaction delta-merge job, gobblin-compaction
+        .../mapreduce/MRCompactor + delta dedup — here as a first-class
+        lake commit): source rows matching a target row on ``on``
+        REPLACE it, unmatched source rows INSERT, and (with ``op_col``)
+        rows whose op equals ``delete_value`` DELETE their match.
+        Source must be key-unique on ``on`` (pre-compact CDC streams
+        with ``dedup.dedup_argmax`` first).
+
+        Scale shape: only files that can contain a matching key are
+        touched. Candidates are pruned driver-side against manifest
+        min/max stats with the source's key range (no data read), then
+        the exact touched set is found by a key semi-join over just the
+        candidate files; every untouched file — and its manifest group —
+        is carried into the new snapshot by reference. The commit writes
+        one new run (survivor rows + upserts) and O(touched groups)
+        metadata; a crash before the pointer swap leaves the parent
+        snapshot current (same guarantee as every manifest commit).
+        """
+        if self.commit_mode != "manifest":
+            raise ValueError("merge_into requires commit_mode='manifest'")
+        rid = run_id or new_run_id()
+        on = list(on)
+        upserts = source
+        if op_col is not None:
+            upserts = source.filter(F.col(op_col) != delete_value).drop(op_col)
+        manifest = self.current_manifest(materialize=False)
+        if manifest is None:  # first commit: plain publish of upserts
+            self.write_staging(upserts, rid)
+            self._publish_manifest(rid)
+            return rid
+
+        src_keys = source.select(*on).distinct()
+        # driver-side stats pruning: [min, max] per key column (a 1-row
+        # collect) — a SUPERSET of files that can match; correctness
+        # never depends on it
+        bounds = src_keys.agg(
+            *[F.min(k).alias(f"lo_{k}") for k in on],
+            *[F.max(k).alias(f"hi_{k}") for k in on],
+        ).collect()[0]
+        filters = []
+        for k in on:
+            lo, hi = bounds[f"lo_{k}"], bounds[f"hi_{k}"]
+            if lo is not None and hi is not None:
+                filters.extend([(k, ">=", lo), (k, "<=", hi)])
+        part_by = manifest.get("partition_by") or []
+        if "groups" in manifest:
+            cand_entries = [
+                e
+                for g in manifest["groups"]
+                if _entry_matches(g, filters, part_by)
+                for e in self._load_group(g)
+                if _entry_matches(e, filters, part_by)
+            ]
+        else:
+            cand_entries = [
+                e
+                for e in manifest["entries"]
+                if _entry_matches(e, filters, part_by)
+            ]
+
+        touched: set[str] = set()
+        if cand_entries:
+            tagged = self._read_entries(spark, cand_entries).withColumn(
+                "__file", F.input_file_name()
+            )
+            # exact membership check over candidates only; the collect
+            # is bounded by file COUNT (metadata scale, like the
+            # manifest itself), never row count
+            hits = (
+                tagged.join(src_keys, on=on, how="left_semi")
+                .select("__file")
+                .distinct()
+                .collect()
+            )
+            touched = {_uri_to_rel(r["__file"], self.path) for r in hits}
+
+        touched_entries = [e for e in cand_entries if e["file"] in touched]
+        if touched_entries:
+            tdf = self._read_entries(spark, touched_entries)
+            kept = tdf.join(src_keys, on=on, how="left_anti")
+            new_data = kept.unionByName(upserts.select(*tdf.columns))
+        else:
+            new_data = upserts
+        self.write_staging(new_data, rid)
+        self._publish_manifest(rid, removed_files=touched)
+        return rid
 
     def compact_runs(self, spark, run_id: str | None = None) -> str:
         """Rewrite the CURRENT snapshot as one fresh run and commit a
@@ -580,6 +720,16 @@ class FileSink:
         err_path = os.path.join(self.path, "_errors", run_id)
         errors.write.mode("overwrite").format(resolve_format(self.fmt)).save(err_path)
         return err_path
+
+
+def _uri_to_rel(uri: str, root: str) -> str:
+    """Map ``input_file_name()``'s URI back to a manifest-relative path
+    (``file:/a/b%20c`` -> ``<rel under root>``)."""
+    from urllib.parse import unquote, urlparse
+
+    p = urlparse(uri)
+    path = unquote(p.path) if p.scheme else unquote(uri)
+    return os.path.relpath(path, root)
 
 
 def _union_stats(per_file: list[dict]) -> dict:

@@ -468,3 +468,113 @@ def test_manifest_scale_soak_commit_cost_is_touched_partitions(
         sink.read_committed(spark, filters=[("p", "=", "3")]).count()
         == n_runs * rows_per_part + 1
     )
+
+
+def test_merge_into_upsert_insert_delete(spark, sf_dir, tmp_path):
+    """Copy-on-write MERGE: matched keys replaced, new keys inserted,
+    op='delete' keys dropped — and every file that cannot contain a
+    source key is carried into the new snapshot by reference, never
+    rewritten."""
+    orders = load_table(spark, sf_dir, "orders")
+    sink = _sink(
+        tmp_path / "lake",
+        cluster_by=["o_orderkey"],
+        max_records_per_file=200,
+    )
+    sink.write_staging(orders, "base")
+    sink.publish("base")
+    n0 = orders.count()
+    before_files = {e["file"] for e in sink.current_manifest()["entries"]}
+    assert len(before_files) > 3  # multiple files so carry-by-reference shows
+
+    keys = [r.o_orderkey for r in orders.orderBy("o_orderkey").limit(12).collect()]
+    upd_keys, del_keys = keys[:5], keys[5:10]
+    max_key = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    src = (
+        orders.filter(F.col("o_orderkey").isin(upd_keys))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+        .withColumn("op", F.lit("upsert"))
+        .unionByName(
+            orders.filter(F.col("o_orderkey").isin(del_keys)).withColumn(
+                "op", F.lit("delete")
+            )
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey").isin(keys[10:12]))
+            .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+            .withColumn("op", F.lit("upsert"))
+        )
+    )
+    sink.merge_into(spark, src, on=["o_orderkey"], run_id="m1", op_col="op")
+
+    got = sink.read_committed(spark)
+    assert got.count() == n0 - len(del_keys) + 2
+    assert got.filter(F.col("o_orderkey").isin(del_keys)).count() == 0
+    assert got.filter(F.col("o_orderkey") > 10_000_000).count() == 2
+    base_prices = {
+        r.o_orderkey: r.o_totalprice
+        for r in orders.filter(F.col("o_orderkey").isin(upd_keys)).collect()
+    }
+    for r in got.filter(F.col("o_orderkey").isin(upd_keys)).collect():
+        assert abs(r.o_totalprice - (base_prices[r.o_orderkey] + 1000.0)) < 1e-6
+
+    # copy-on-write accounting: the clustered layout localizes the 12
+    # source keys to a few files; everything else is carried verbatim
+    after_files = {e["file"] for e in sink.current_manifest()["entries"]}
+    carried = before_files & after_files
+    rewritten = before_files - after_files
+    assert carried, "untouched files must be referenced, not rewritten"
+    assert len(rewritten) < len(before_files)
+    # time travel: the pre-merge snapshot is untouched
+    old = sink.read_committed(spark, as_of_run="base")
+    assert old.count() == n0
+    assert old.filter(F.col("o_orderkey").isin(del_keys)).count() == len(del_keys)
+
+
+def test_merge_into_partitioned_touches_one_partition(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    days = [r.day for r in ev.select("day").distinct().orderBy("day").limit(2).collect()]
+    sink = _sink(tmp_path / "lake", partition_by=["day"])
+    sink.write_staging(ev.filter(F.col("day").isin(days)), "base")
+    sink.publish("base")
+
+    one_day = ev.filter(F.col("day") == days[0]).limit(5)
+    src = one_day.withColumn("value", F.col("value") * 0 + 42.0)
+    sink.merge_into(spark, src, on=["event_id"], run_id="m1")
+
+    got = sink.read_committed(spark)
+    assert got.filter(F.col("value") == 42.0).count() >= 5
+    # the untouched day's groups are referenced verbatim from the parent
+    day1_groups_before = {
+        g["file"]
+        for g in sink.current_manifest("base", materialize=False)["groups"]
+        if f"day={days[1]}" in g["partition"]
+    }
+    day1_groups_after = {
+        g["file"]
+        for g in sink.current_manifest(materialize=False)["groups"]
+        if f"day={days[1]}" in g["partition"]
+    }
+    assert day1_groups_before == day1_groups_after
+
+
+def test_merge_into_same_run_retry_idempotent(spark, sf_dir, tmp_path):
+    region = load_table(spark, sf_dir, "region")
+    sink = _sink(tmp_path / "lake")
+    sink.write_staging(region, "base")
+    sink.publish("base")
+    src = region.limit(2).withColumn("r_name", F.lit("MERGED"))
+    sink.merge_into(spark, src, on=["r_regionkey"], run_id="m1")
+    first = sorted(
+        (r.r_regionkey, r.r_name) for r in sink.read_committed(spark).collect()
+    )
+    # crashed-after-commit retry replays the same merge run id
+    sink.merge_into(spark, src, on=["r_regionkey"], run_id="m1")
+    second = sorted(
+        (r.r_regionkey, r.r_name) for r in sink.read_committed(spark).collect()
+    )
+    assert first == second
+    assert sum(1 for _, name in second if name == "MERGED") == 2
+    assert len(second) == region.count()
