@@ -471,11 +471,15 @@ def pack_chunks(
         .withColumn("_bs", F.greatest(F.col("bin") * b, F.col("_start")))
         .withColumn("_be", F.least((F.col("bin") + F.lit(1).cast("long")) * b, F.col("_end")))
         .select(
-            *([F.col(stream_col).alias("stream")] if stream_col else []),
-            F.col("bin"),
+            *(
+                [F.col(stream_col).cast("string").alias("stream")]
+                if stream_col
+                else []
+            ),
+            F.col("bin").cast("long").alias("bin"),
             F.col(id_col),
-            (F.col("_bs") - F.col("_start")).alias("tok_from"),
-            (F.col("_be") - F.col("_start")).alias("tok_to"),
+            (F.col("_bs") - F.col("_start")).cast("long").alias("tok_from"),
+            (F.col("_be") - F.col("_start")).cast("long").alias("tok_to"),
         )
     )
     return out

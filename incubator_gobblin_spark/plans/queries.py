@@ -2510,21 +2510,24 @@ def q83_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q84_pack_sequences",
     r"""
     WITH laid AS (
-      SELECT lang, doc_id,
-             sum(n) OVER (PARTITION BY lang ORDER BY doc_id ASC
-                          ROWS UNBOUNDED PRECEDING) AS e,
-             sum(n) OVER (PARTITION BY lang ORDER BY doc_id ASC
-                          ROWS UNBOUNDED PRECEDING) - n AS s
+      SELECT lang, doc_id, n,
+             CAST(sum(n) OVER (PARTITION BY lang ORDER BY doc_id ASC
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e,
+             CAST(sum(n) OVER (PARTITION BY lang ORDER BY doc_id ASC
+                               ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS s
       FROM (
+        -- token count = number of maximal \S+ runs: identical to
+        -- filter(split(trim(text),'\s+'), x -> x != '') but immune to
+        -- engine-version differences in regex-split edge semantics
         SELECT lang, doc_id,
-               len(list_filter(string_split_regex(trim(text), '\s+'),
-                               x -> x != '')) AS n
+               CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n
         FROM documents
       ) WHERE n > 0
     )
-    SELECT lang AS stream, bin, doc_id,
-           greatest(bin * 512, s) - s AS tok_from,
-           least((bin + 1) * 512, e) - s AS tok_to
+    SELECT CAST(lang AS VARCHAR) AS stream,
+           CAST(bin AS BIGINT) AS bin, doc_id,
+           CAST(greatest(bin * 512, s) - s AS BIGINT) AS tok_from,
+           CAST(least((bin + 1) * 512, e) - s AS BIGINT) AS tok_to
     FROM (
       SELECT lang, doc_id, s, e,
              unnest(range(CAST(s // 512 AS BIGINT),

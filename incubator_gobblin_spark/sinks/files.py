@@ -48,6 +48,19 @@ class TableType(Enum):
     APPEND_ONLY = "append_only"        # append
 
 
+#: sentinel: "CAS against whatever the pointer is right now" (capture at
+#: compose time inside _publish_manifest) vs an explicit expected value
+_PTR_ANY = object()
+
+
+class ManifestConflictError(RuntimeError):
+    """Another committer swapped the manifest pointer between this
+    commit's snapshot read and its pointer swap. The commit was NOT
+    applied and no state was lost — re-read the current snapshot,
+    recompute, and retry (the same contract as a CAS/optimistic-lock
+    failure in the DB state store)."""
+
+
 @dataclass
 class FileSink:
     """Declarative file sink; ``write`` stages, ``publish`` commits."""
@@ -160,6 +173,67 @@ class FileSink:
     def manifest_pointer(self) -> str:
         return os.path.join(self.path, "_CURRENT")
 
+    def _read_pointer(self) -> str | None:
+        """Current pointer value (the manifest-relative path it names),
+        or None before the first commit. Committers capture this at
+        snapshot-read time and CAS against it at swap time."""
+        ptr = self.manifest_pointer()
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as fh:
+            return fh.read().strip()
+
+    def _load_manifest_rel(self, manifest_rel: str | None) -> dict | None:
+        import json
+
+        if manifest_rel is None:
+            return None
+        with open(os.path.join(self.path, manifest_rel)) as fh:
+            return json.load(fh)
+
+    def _swap_pointer(self, mrel: str, run_id: str, expected_ptr) -> None:
+        """THE commit: one atomic pointer swap, made CONDITIONAL on the
+        parent this commit composed against (compare-and-swap). Without
+        the check, two committers that both read parent P silently
+        last-writer-win — the loser's files vanish from the live
+        snapshot (lost update). On a POSIX fs the check+swap pair is
+        serialized with an flock; on an object store the same contract
+        is a conditional PUT (If-Match). ``expected_ptr`` is the pointer
+        value at snapshot-read time (None = expected no pointer), except
+        the sentinel ``_PTR_ANY`` which skips the check (explicitly
+        unsafe callers only)."""
+        ptr_tmp = self.manifest_pointer() + f".{run_id}.tmp"
+        with open(ptr_tmp, "w") as fh:
+            fh.write(mrel)
+        lock_path = os.path.join(self.path, "_manifests", ".ptrlock")
+        with open(lock_path, "w") as lock_fh:
+            try:
+                import fcntl
+
+                fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            except ImportError:  # non-POSIX: best-effort, no flock
+                pass
+            try:
+                if expected_ptr is not _PTR_ANY:
+                    now = self._read_pointer()
+                    # a retry of THIS run re-swapping to its own manifest
+                    # is idempotent, not a conflict
+                    if now != expected_ptr and now != mrel:
+                        os.remove(ptr_tmp)
+                        raise ManifestConflictError(
+                            f"manifest pointer moved: expected "
+                            f"{expected_ptr!r}, found {now!r} — recompute "
+                            f"against the current snapshot and retry"
+                        )
+                os.replace(ptr_tmp, self.manifest_pointer())
+            finally:
+                try:
+                    import fcntl
+
+                    fcntl.flock(lock_fh, fcntl.LOCK_UN)
+                except ImportError:
+                    pass
+
     def current_manifest(
         self, run_id: str | None = None, materialize: bool = True
     ) -> dict | None:
@@ -211,19 +285,23 @@ class FileSink:
         an abandoned manifest file that never won the pointer swap is
         not in any chain)."""
         chain: list[str] = []
-        m = self.current_manifest()
+        m = self.current_manifest(materialize=False)
         while m is not None:
             chain.append(m["run_id"])
             if not m["parent"]:
                 break
             try:
-                m = self.current_manifest(m["parent"])
+                m = self.current_manifest(m["parent"], materialize=False)
             except FileNotFoundError:  # parent vacuumed away
                 break
         return chain
 
     def _publish_manifest(
-        self, run_id: str, removed_files: set[str] | None = None
+        self,
+        run_id: str,
+        removed_files: set[str] | None = None,
+        candidate_groups: set[str] | None = None,
+        expected_ptr=_PTR_ANY,
     ) -> list[str]:
         """Manifest commit: data files move ONCE into an immutable
         ``_data/<run_id>/`` dir (never rewritten, so the non-atomicity
@@ -253,9 +331,31 @@ class FileSink:
         """
         import json
 
+        # Snapshot the pointer ONCE and compose strictly against it; the
+        # swap at the end is conditional on this exact value (CAS). A
+        # concurrent commit that lands in between makes this commit fail
+        # with ManifestConflictError instead of silently erasing it.
+        if expected_ptr is _PTR_ANY:
+            expected_ptr = self._read_pointer()
+        parent = self._load_manifest_rel(expected_ptr)
+
         staging = self.staging_dir(run_id)
         data_dir = os.path.join(self.path, "_data", run_id)
         if os.path.isdir(staging):
+            if (
+                removed_files is not None
+                and parent is not None
+                and parent["run_id"] == run_id
+            ):
+                # a merge commit for a rid the live manifest already
+                # references would _rm a run dir whose UNTOUCHED files
+                # the snapshot still points at — data loss. merge_into
+                # detects committed rids upstream and no-ops; reaching
+                # here means that check was bypassed.
+                raise ValueError(
+                    f"merge run {run_id!r} is already committed; a merge "
+                    "retry must be an idempotent no-op, not a republish"
+                )
             os.makedirs(os.path.dirname(data_dir), exist_ok=True)
             _rm(data_dir)  # same-run retry: immutable run dir, rebuild
             os.replace(staging, data_dir)
@@ -286,7 +386,6 @@ class FileSink:
                     entry.update(_file_stats(fpath))
                 new_entries.append(entry)
 
-        parent = self.current_manifest(materialize=False)
         # Same-run republish (a retried batch whose previous attempt
         # already won the pointer swap) must be IDEMPOTENT: drop the
         # prior attempt's contribution from the parent before composing,
@@ -327,8 +426,16 @@ class FileSink:
         # and unsalted carried names would collide and silently drop
         # entries.
         if removed_files and parent is not None and "groups" in parent:
+            # O(touched groups), not O(live groups): only groups the
+            # merge's stats pruning marked as candidates can hold a
+            # removed file — every other group passes through WITHOUT a
+            # metadata read (candidate_groups=None keeps the exhaustive
+            # scan for callers that can't prove a candidate set).
             pruned: list[dict] = []
             for g in parent_groups:
+                if candidate_groups is not None and g["file"] not in candidate_groups:
+                    pruned.append(g)
+                    continue
                 ents = self._load_group(g)
                 survivors = [e for e in ents if e["file"] not in removed_files]
                 if len(survivors) == len(ents):
@@ -376,11 +483,9 @@ class FileSink:
             json.dump(manifest, fh)
         os.replace(mtmp, os.path.join(self.path, mrel))
 
-        # THE commit: one atomic pointer swap (object stores: one PUT)
-        ptr_tmp = self.manifest_pointer() + f".{run_id}.tmp"
-        with open(ptr_tmp, "w") as fh:
-            fh.write(mrel)
-        os.replace(ptr_tmp, self.manifest_pointer())
+        # THE commit: one atomic, CONDITIONAL pointer swap (object
+        # stores: one conditional PUT) — see _swap_pointer
+        self._swap_pointer(mrel, run_id, expected_ptr)
         # THIS run's published files (the full live set is reachable via
         # current_manifest(); re-reading every carried group here would
         # put an O(live files) read back on the commit path)
@@ -561,13 +666,32 @@ class FileSink:
             raise ValueError("merge_into requires commit_mode='manifest'")
         rid = run_id or new_run_id()
         on = list(on)
+        # Crashed-AFTER-commit retry: if this rid already won a pointer
+        # swap, the merge is fully applied — replaying it must be an
+        # idempotent NO-OP. Recomputing against the current snapshot
+        # (which now contains rid itself) would mark only the files
+        # holding source keys as touched and then republish rid from
+        # that partial staging, deleting every untouched file of the
+        # committed run (data loss). Crashed-BEFORE-commit retries fall
+        # through: the pointer still names the parent, so the merge
+        # recomputes against the same snapshot and converges.
+        if rid in self.manifest_history():
+            self.abort(rid)  # drop any stale partial staging
+            return rid
         upserts = source
         if op_col is not None:
-            upserts = source.filter(F.col(op_col) != delete_value).drop(op_col)
-        manifest = self.current_manifest(materialize=False)
+            # null-safe: a NULL/absent op means upsert (CDC streams that
+            # only stamp deletes); a bare != would evaluate to NULL and
+            # silently DROP the row while its key still anti-joins the
+            # target row away
+            upserts = source.filter(
+                (F.col(op_col) != delete_value) | F.col(op_col).isNull()
+            ).drop(op_col)
+        ptr0 = self._read_pointer()
+        manifest = self._load_manifest_rel(ptr0)
         if manifest is None:  # first commit: plain publish of upserts
             self.write_staging(upserts, rid)
-            self._publish_manifest(rid)
+            self._publish_manifest(rid, expected_ptr=ptr0)
             return rid
 
         src_keys = source.select(*on).distinct()
@@ -584,14 +708,18 @@ class FileSink:
             if lo is not None and hi is not None:
                 filters.extend([(k, ">=", lo), (k, "<=", hi)])
         part_by = manifest.get("partition_by") or []
+        cand_groups: set[str] = set()
         if "groups" in manifest:
-            cand_entries = [
-                e
-                for g in manifest["groups"]
-                if _entry_matches(g, filters, part_by)
-                for e in self._load_group(g)
-                if _entry_matches(e, filters, part_by)
-            ]
+            cand_entries = []
+            for g in manifest["groups"]:
+                if not _entry_matches(g, filters, part_by):
+                    continue
+                cand_groups.add(g["file"])
+                cand_entries.extend(
+                    e
+                    for e in self._load_group(g)
+                    if _entry_matches(e, filters, part_by)
+                )
         else:
             cand_entries = [
                 e
@@ -614,6 +742,17 @@ class FileSink:
                 .collect()
             )
             touched = {_uri_to_rel(r["__file"], self.path) for r in hits}
+            # every touched URI must map back onto a known candidate
+            # entry; a silent mismatch (symlinked/relative roots) would
+            # keep old rows AND append upserts = duplicate keys
+            known = {e["file"] for e in cand_entries}
+            unmapped = touched - known
+            if unmapped:
+                raise RuntimeError(
+                    "merge_into: input_file_name() URIs did not resolve "
+                    f"to manifest entries: {sorted(unmapped)[:3]} — sink "
+                    "path must be a real absolute path"
+                )
 
         touched_entries = [e for e in cand_entries if e["file"] in touched]
         if touched_entries:
@@ -623,7 +762,12 @@ class FileSink:
         else:
             new_data = upserts
         self.write_staging(new_data, rid)
-        self._publish_manifest(rid, removed_files=touched)
+        self._publish_manifest(
+            rid,
+            removed_files=touched,
+            candidate_groups=cand_groups if "groups" in manifest else None,
+            expected_ptr=ptr0,
+        )
         return rid
 
     def compact_runs(self, spark, run_id: str | None = None) -> str:
@@ -687,7 +831,7 @@ class FileSink:
         mdir = os.path.join(self.path, "_manifests")
         if os.path.isdir(mdir):
             for mf in sorted(os.listdir(mdir)):
-                if mf == "groups":
+                if mf == "groups" or mf.startswith("."):
                     continue
                 rid = mf[: -len(".json")] if mf.endswith(".json") else mf
                 if rid not in keep_ids:
@@ -724,12 +868,15 @@ class FileSink:
 
 def _uri_to_rel(uri: str, root: str) -> str:
     """Map ``input_file_name()``'s URI back to a manifest-relative path
-    (``file:/a/b%20c`` -> ``<rel under root>``)."""
+    (``file:/a/b%20c`` -> ``<rel under root>``). Both sides are realpath-
+    normalized: a relative or symlinked sink path (/tmp -> /private/tmp)
+    would otherwise never match manifest entries, silently emptying the
+    touched set."""
     from urllib.parse import unquote, urlparse
 
     p = urlparse(uri)
     path = unquote(p.path) if p.scheme else unquote(uri)
-    return os.path.relpath(path, root)
+    return os.path.relpath(os.path.realpath(path), os.path.realpath(root))
 
 
 def _union_stats(per_file: list[dict]) -> dict:

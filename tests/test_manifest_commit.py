@@ -578,3 +578,170 @@ def test_merge_into_same_run_retry_idempotent(spark, sf_dir, tmp_path):
     assert first == second
     assert sum(1 for _, name in second if name == "MERGED") == 2
     assert len(second) == region.count()
+
+
+def test_merge_into_multifile_run_retry_keeps_untouched_files(
+    spark, sf_dir, tmp_path
+):
+    """The round-3 data-loss scenario: a committed merge run spanning
+    MULTIPLE files, replayed with the same run_id. The retry must be an
+    idempotent no-op — recomputing it against the current snapshot would
+    mark only the key-holding files of run m1 as touched and republish
+    m1 from that partial staging, deleting every untouched m1 file."""
+    orders = load_table(spark, sf_dir, "orders")
+    sink = _sink(
+        tmp_path / "lake", cluster_by=["o_orderkey"], max_records_per_file=200
+    )
+    sink.write_staging(orders, "base")
+    sink.publish("base")
+    n0 = orders.count()
+
+    # merge that rewrites MANY files (wide key range) -> _data/m1 is
+    # multi-file; a replay's source keys localize to a subset of them
+    keys = [
+        r.o_orderkey
+        for r in orders.orderBy("o_orderkey").limit(3).collect()
+    ]
+    src = orders.filter(F.col("o_orderkey").isin(keys)).withColumn(
+        "o_orderpriority", F.lit("RETRYCHECK")
+    )
+    sink.merge_into(spark, src, on=["o_orderkey"], run_id="m1")
+    m1_files = {
+        e["file"]
+        for e in sink.current_manifest()["entries"]
+        if e["file"].startswith("_data/m1/")
+    }
+    total_after_first = sink.read_committed(spark).count()
+    assert total_after_first == n0
+
+    # crashed-after-commit replay of the SAME rid
+    sink.merge_into(spark, src, on=["o_orderkey"], run_id="m1")
+    assert sink.read_committed(spark).count() == n0
+    m1_files_after = {
+        e["file"]
+        for e in sink.current_manifest()["entries"]
+        if e["file"].startswith("_data/m1/")
+    }
+    assert m1_files == m1_files_after  # run dir untouched, bit for bit
+    got = sink.read_committed(spark)
+    assert got.filter(F.col("o_orderpriority") == "RETRYCHECK").count() == len(
+        keys
+    )
+
+
+def test_merge_into_crash_before_commit_replay_converges(
+    spark, sf_dir, tmp_path
+):
+    """Crash BETWEEN staging write and pointer swap: the parent snapshot
+    stays current, and replaying the merge recomputes against that same
+    parent and commits exactly once."""
+    region = load_table(spark, sf_dir, "region")
+    sink = _sink(tmp_path / "lake")
+    sink.write_staging(region, "base")
+    sink.publish("base")
+
+    src = region.limit(2).withColumn("r_name", F.lit("MERGED"))
+    # simulate the crash: stage the merge output but never publish
+    upserts_keys = [r.r_regionkey for r in src.select("r_regionkey").collect()]
+    kept = region.filter(~F.col("r_regionkey").isin(upserts_keys))
+    sink.write_staging(kept.unionByName(src), "m1")
+    # parent snapshot still current and intact
+    assert sink.current_manifest()["run_id"] == "base"
+    assert sink.read_committed(spark).count() == 5
+
+    sink.merge_into(spark, src, on=["r_regionkey"], run_id="m1")
+    got = sorted(
+        (r.r_regionkey, r.r_name) for r in sink.read_committed(spark).collect()
+    )
+    assert len(got) == 5
+    assert sum(1 for _, name in got if name == "MERGED") == 2
+    assert sink.manifest_history() == ["m1", "base"]
+
+
+def test_merge_into_null_op_means_upsert(spark, sf_dir, tmp_path):
+    """A NULL op column means upsert, not delete: a bare != comparison
+    evaluates to NULL and would silently drop the row from upserts while
+    its key still anti-joins the matched target row away."""
+    region = load_table(spark, sf_dir, "region")
+    sink = _sink(tmp_path / "lake")
+    sink.write_staging(region, "base")
+    sink.publish("base")
+
+    src = (
+        region.limit(2)
+        .withColumn("r_name", F.lit("NULLOP"))
+        .withColumn("op", F.lit(None).cast("string"))
+        .unionByName(
+            region.orderBy(F.col("r_regionkey").desc())
+            .limit(1)
+            .withColumn("op", F.lit("delete"))
+        )
+    )
+    sink.merge_into(spark, src, on=["r_regionkey"], run_id="m1", op_col="op")
+    got = sink.read_committed(spark)
+    assert got.count() == 4  # 5 - 1 deleted; null-op rows upserted
+    assert got.filter(F.col("r_name") == "NULLOP").count() == 2
+
+
+def test_concurrent_commit_conflict_detected(spark, sf_dir, tmp_path):
+    """Two committers composing against the same parent: the first swap
+    wins, the second gets a retryable ManifestConflictError instead of
+    silently erasing the winner (lost update)."""
+    from incubator_gobblin_spark.sinks.files import ManifestConflictError
+
+    region = load_table(spark, sf_dir, "region")
+    sink = _sink(tmp_path / "t")
+    sink.write_staging(region, "base")
+    sink.publish("base")
+
+    # both stage before either commits
+    sink.write_staging(region.limit(2), "c1")
+    sink.write_staging(region.limit(3), "c2")
+    ptr0 = sink._read_pointer()
+    sink._publish_manifest("c1", expected_ptr=ptr0)
+    with pytest.raises(ManifestConflictError):
+        sink._publish_manifest("c2", expected_ptr=ptr0)
+    # winner's commit intact; loser absent; retry with a fresh read works
+    assert sink.read_committed(spark).count() == 5 + 2
+    assert sink.manifest_history() == ["c1", "base"]
+    sink.write_staging(region.limit(3), "c2")
+    sink._publish_manifest("c2")  # recomposed against current pointer
+    assert sink.read_committed(spark).count() == 5 + 2 + 3
+    assert sink.manifest_history() == ["c2", "c1", "base"]
+
+
+def test_merge_commit_reads_only_candidate_groups(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The merge commit path must stay O(touched groups): partitions the
+    stats pruning excluded pass through the manifest rebuild WITHOUT a
+    group-file read. Buckets are contiguous event_id ranges so the
+    per-group key stats are DISJOINT — a 3-key source localizes to one
+    bucket, and every other bucket's group must never be loaded."""
+    ev = load_table(spark, sf_dir, "events")
+    hi = ev.agg(F.max("event_id")).collect()[0][0]
+    ev = ev.withColumn(
+        "bucket", F.least(F.lit(3), (F.col("event_id") * 4 / (hi + 1)).cast("int"))
+    )
+    sink = _sink(tmp_path / "lake", partition_by=["bucket"])
+    sink.write_staging(ev, "base")
+    sink.publish("base")
+
+    src = (
+        ev.orderBy("event_id").limit(3).withColumn("value", F.lit(99.0))
+    )
+    reads: list[str] = []
+    orig = FileSink._load_group
+
+    def counting_load(self, group):
+        reads.append(group.get("partition", ""))
+        return orig(self, group)
+
+    monkeypatch.setattr(FileSink, "_load_group", counting_load)
+    sink.merge_into(spark, src, on=["event_id"], run_id="m1")
+    monkeypatch.undo()
+    # planning AND commit may only ever read bucket-0 groups; the old
+    # commit path read EVERY live group (O(all groups) metadata)
+    off_bucket = [p for p in reads if p != "bucket=0"]
+    assert not off_bucket, f"non-candidate groups read: {off_bucket}"
+    assert sink.read_committed(spark).filter(F.col("value") == 99.0).count() == 3
