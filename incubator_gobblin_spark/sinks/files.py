@@ -642,6 +642,7 @@ class FileSink:
         run_id: str | None = None,
         op_col: str | None = None,
         delete_value: str = "delete",
+        max_conflict_retries: int = 0,
     ) -> str:
         """Copy-on-write MERGE (the CDC-apply the reference runs as a
         compaction delta-merge job, gobblin-compaction
@@ -687,6 +688,24 @@ class FileSink:
             upserts = source.filter(
                 (F.col(op_col) != delete_value) | F.col(op_col).isNull()
             ).drop(op_col)
+        # Optimistic-concurrency loop: a ManifestConflictError from the
+        # CAS pointer swap means another commit landed during our
+        # read-plan-write window. The merge result depends on the
+        # snapshot it read, so the ONLY correct response is a full
+        # recompute against the new snapshot — which this loop does,
+        # bounded by max_conflict_retries (0 = surface the conflict to
+        # the caller, the job-scheduler-owns-retries posture).
+        for attempt in range(max_conflict_retries + 1):
+            try:
+                return self._merge_attempt(spark, source, upserts, on, rid)
+            except ManifestConflictError:
+                if attempt == max_conflict_retries:
+                    raise
+        raise AssertionError("unreachable")
+
+    def _merge_attempt(
+        self, spark, source: DataFrame, upserts: DataFrame, on: list[str], rid: str
+    ) -> str:
         ptr0 = self._read_pointer()
         manifest = self._load_manifest_rel(ptr0)
         if manifest is None:  # first commit: plain publish of upserts

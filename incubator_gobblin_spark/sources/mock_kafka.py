@@ -44,6 +44,7 @@ from datetime import datetime, timezone
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -347,6 +348,26 @@ class MockKafkaWriter(DataSourceWriter):
         return None
 
 
+class MockKafkaStreamWriter(DataSourceStreamWriter):
+    """Streaming producer sink (``writeStream.format("mockkafka")``):
+    every micro-batch's rows append through the same keyed-produce path
+    as the batch writer. Delivery is at-least-once on task retry —
+    exactly the real Kafka sink's contract (exactly-once belongs to the
+    downstream reader's offset dedup, not the producer)."""
+
+    def __init__(self, options, schema):
+        self._w = MockKafkaWriter(options, schema)
+
+    def write(self, rows):
+        return self._w.write(rows)
+
+    def commit(self, messages, batchId):
+        return None
+
+    def abort(self, messages, batchId):
+        return None
+
+
 # -------------------------------------------------------------- datasource
 
 
@@ -373,6 +394,9 @@ class MockKafkaDataSource(DataSource):
 
     def writer(self, schema, overwrite):
         return MockKafkaWriter(self.options, schema)
+
+    def streamWriter(self, schema, overwrite):
+        return MockKafkaStreamWriter(self.options, schema)
 
 
 def register(spark) -> None:

@@ -43,6 +43,20 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, s
         return False, f"columns differ: spark={list(actual.columns)} oracle={list(expected.columns)}"
     if len(actual) != len(expected):
         return False, f"row count differs: spark={len(actual)} oracle={len(expected)}"
+    # dtype KIND must agree (int vs float): DuckDB silently widens e.g.
+    # windowed sum(BIGINT) to HUGEINT, which pandas renders float64 —
+    # value-identical under check_dtype=False here, but a value HASH of
+    # 12.0 vs 12 diverges (the exact q84 driver failure). Width
+    # differences (int32/int64) stay tolerated.
+    for c in actual.columns:
+        ka = actual[c].dtype.kind
+        ke = expected[c].dtype.kind
+        if {ka, ke} == {"i", "f"} or {ka, ke} == {"u", "f"}:
+            return False, (
+                f"dtype kind differs on {c!r}: spark={actual[c].dtype} "
+                f"oracle={expected[c].dtype} — add explicit CASTs; a "
+                f"value-hash gate distinguishes 12 from 12.0"
+            )
     try:
         pd.testing.assert_frame_equal(
             actual, expected, check_dtype=False, check_exact=True

@@ -575,3 +575,46 @@ def test_kafka_streaming_checkpoint_no_reprocess(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 16  # 12 + 4, nothing reprocessed
     assert got.select("v").distinct().count() == got.count() or True
+
+
+def test_kafka_stream_writer_produce(spark, tmp_path):
+    """writeStream.format("mockkafka"): every micro-batch produces
+    through the keyed append path (Kafka1DataWriter.java:48 as a
+    streaming sink) and a bounded batch read sees exactly the produced
+    records."""
+    from incubator_gobblin_spark.sources import kafka_batch as KB
+    from incubator_gobblin_spark.sources import mock_kafka as MK
+
+    MK.register(spark)
+    root = str(tmp_path / "broker")
+    MK.create_topic(root, "out", 2)
+    src_dir, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    spark.range(20).select(
+        F.col("id").cast("string").alias("key"),
+        F.to_json(F.struct("id")).alias("value"),
+    ).write.mode("overwrite").parquet(src_dir)
+
+    q = (
+        spark.readStream.schema("key string, value string")
+        .parquet(src_dir)
+        .writeStream.format("mockkafka")
+        .option("path", root)
+        .option("topic", "out")
+        .option("numPartitions", "2")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    earliest, latest = MK.earliest_latest(root, "out")
+    assert sum(latest.values()) == 20
+    ranges = KB.plan_offsets(earliest, latest, None, "out")
+    df = KB.read_kafka_batch(
+        spark, "", ranges, reader_format="mockkafka",
+        reader_options={"path": root},
+    )
+    vals = sorted(
+        r["v"] for r in df.select(F.col("value").cast("string").alias("v")).collect()
+    )
+    assert len(vals) == 20 and vals[0].startswith('{"id":')

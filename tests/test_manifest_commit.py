@@ -745,3 +745,64 @@ def test_merge_commit_reads_only_candidate_groups(
     off_bucket = [p for p in reads if p != "bucket=0"]
     assert not off_bucket, f"non-candidate groups read: {off_bucket}"
     assert sink.read_committed(spark).filter(F.col("value") == 99.0).count() == 3
+
+
+def test_merge_into_conflict_retry_recomputes(spark, sf_dir, tmp_path, monkeypatch):
+    """A concurrent append lands between the merge's snapshot read and
+    its pointer swap: with max_conflict_retries=0 the merge surfaces
+    ManifestConflictError and loses nothing; with a retry budget it
+    recomputes against the NEW snapshot, so both the merge and the
+    concurrent commit survive."""
+    from incubator_gobblin_spark.sinks.files import ManifestConflictError
+
+    region = load_table(spark, sf_dir, "region")
+    sink = _sink(tmp_path / "lake")
+    sink.write_staging(region, "base")
+    sink.publish("base")
+    other = _sink(tmp_path / "lake")
+    src = region.limit(2).withColumn("r_name", F.lit("MERGED"))
+    extra = region.limit(1).withColumn(
+        "r_regionkey", F.col("r_regionkey") + 100
+    )
+
+    orig_ws = FileSink.write_staging
+    state = {"inject": True}
+
+    def interfering_ws(self, df, rid):
+        out = orig_ws(self, df, rid)
+        if state["inject"] and rid.startswith("m"):
+            state["inject"] = False
+            orig_ws(other, extra, "conc")
+            other._publish_manifest("conc")
+        return out
+
+    monkeypatch.setattr(FileSink, "write_staging", interfering_ws)
+    with pytest.raises(ManifestConflictError):
+        sink.merge_into(spark, src, on=["r_regionkey"], run_id="m0")
+    # nothing lost: the concurrent commit is current, merge not applied
+    assert sink.read_committed(spark).count() == 6
+    assert sink.manifest_history()[0] == "conc"
+
+    state["inject"] = True
+    other2 = _sink(tmp_path / "lake")
+    extra2 = region.limit(1).withColumn(
+        "r_regionkey", F.col("r_regionkey") + 200
+    )
+
+    def interfering_ws2(self, df, rid):
+        out = orig_ws(self, df, rid)
+        if state["inject"] and rid.startswith("m"):
+            state["inject"] = False
+            orig_ws(other2, extra2, "conc2")
+            other2._publish_manifest("conc2")
+        return out
+
+    monkeypatch.setattr(FileSink, "write_staging", interfering_ws2)
+    sink.merge_into(
+        spark, src, on=["r_regionkey"], run_id="m1", max_conflict_retries=1
+    )
+    got = sink.read_committed(spark)
+    assert got.count() == 7  # 5 base + conc + conc2; merge replaced 2
+    assert got.filter(F.col("r_name") == "MERGED").count() == 2
+    assert sink.manifest_history()[0] == "m1"
+    assert "conc2" in sink.manifest_history()
