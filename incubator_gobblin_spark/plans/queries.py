@@ -68,6 +68,7 @@ _R03_PROVEN_ANCHORS = {
 }
 _WINDOW_HEAD = [
     "q84_pack_sequences",        # r03's only hash-FAIL; must re-land green
+    "q91_kafka_roundtrip_agg",   # NEW r4: Kafka surface under a hard oracle
     "q31_minhash_candidates",    # rows-only + its invariant q63
     "q32_simhash_neardups",      # rows-only + its invariant q64
     "q34_ann_lsh_topk",          # rows-only + its invariant q69
@@ -2765,6 +2766,76 @@ def q90_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     before an order-independent decimal sum."""
     docs = load_table(spark, sf_dir, "documents")
     return corpus.trigram_logprob(docs, id_col="doc_id", text_col="text")
+
+
+@register(
+    "q91_kafka_roundtrip_agg",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q91_kafka_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kafka ingestion surface under a HARD oracle: documents are
+    produced ONCE into the file-backed broker (mock_kafka, keyed by
+    doc_id over 4 partitions), the bounded batch path plans offset
+    ranges and reads them back (KafkaSource.getWorkunits:190 ->
+    KafkaExtractor.java:59), the JSON payloads decode through from_json,
+    and the aggregate must equal a direct scan of the parquet source —
+    proving produce, offset planning, partitioned bounded read, and
+    payload decode lose and duplicate nothing. The broker build is
+    cached keyed by the source parquet's identity; a partial/stale
+    broker (offset sum != row count) is rebuilt from scratch."""
+    import os
+    import shutil
+
+    from incubator_gobblin_spark.sources import kafka_batch as KB
+    from incubator_gobblin_spark.sources import mock_kafka as MK
+
+    MK.register(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    root = _cache_dir("mockkafka", sf_dir, "documents")
+    topic = "documents"
+    expected = docs.count()
+    try:
+        _, latest = MK.earliest_latest(root, topic)
+        have = sum(latest.values())
+    except FileNotFoundError:
+        have = -1
+    if have != expected:
+        shutil.rmtree(os.path.join(root, topic), ignore_errors=True)
+        MK.create_topic(root, topic, 4)
+        (
+            docs.select(
+                F.col("doc_id").cast("string").alias("key"),
+                F.to_json(
+                    F.struct("doc_id", "lang", "n_chars")
+                ).alias("value"),
+            )
+            .write.format("mockkafka")
+            .mode("append")
+            .option("path", root)
+            .option("topic", topic)
+            .option("numPartitions", "4")
+            .save()
+        )
+    earliest, latest = MK.earliest_latest(root, topic)
+    ranges = KB.plan_offsets(earliest, latest, None, topic)
+    payload = KB.read_kafka_batch(
+        spark,
+        "",
+        ranges,
+        value_schema="doc_id BIGINT, lang STRING, n_chars BIGINT",
+        reader_format="mockkafka",
+        reader_options={"path": root},
+    )
+    return payload.select("value.*").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
 
 
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

@@ -399,5 +399,35 @@ class MockKafkaDataSource(DataSource):
         return MockKafkaStreamWriter(self.options, schema)
 
 
+def _ship_package(spark) -> None:
+    """Make ``incubator_gobblin_spark`` importable on executor Python
+    workers. The DataSource class is cloudpickled BY REFERENCE, so the
+    worker re-imports this module — which fails whenever the driver's
+    cwd isn't the repo root (and on any real cluster where the package
+    isn't installed). Shipping a zip via addPyFile is the standard
+    deployment for a pure-Python package; done once per session."""
+    if getattr(spark, "_igs_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    import incubator_gobblin_spark as pkg
+
+    pkgdir = os.path.dirname(os.path.abspath(pkg.__file__))
+    root = os.path.dirname(pkgdir)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"igs_pkg_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, _, files in os.walk(pkgdir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    z.write(full, os.path.relpath(full, root))
+    spark.sparkContext.addPyFile(zpath)
+    spark._igs_pkg_shipped = True
+
+
 def register(spark) -> None:
+    _ship_package(spark)
     spark.dataSource.register(MockKafkaDataSource)

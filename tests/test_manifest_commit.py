@@ -806,3 +806,71 @@ def test_merge_into_conflict_retry_recomputes(spark, sf_dir, tmp_path, monkeypat
     assert got.filter(F.col("r_name") == "MERGED").count() == 2
     assert sink.manifest_history()[0] == "m1"
     assert "conc2" in sink.manifest_history()
+
+
+def test_merge_into_randomized_model_check(spark, sf_dir, tmp_path):
+    """Model-based check of the MERGE contract: a seeded sequence of
+    mixed CDC batches (updates, inserts, deletes, null ops) applies to
+    BOTH the manifest lake and an in-memory dict model; after every
+    commit the committed snapshot must equal the model exactly. Multi-
+    file layout (cluster_by + maxRecordsPerFile) keeps the touched-set
+    pruning honest."""
+    import random
+
+    rng = random.Random(42)
+    rows = [(i, float(i) * 10.0) for i in range(400)]
+    df = spark.createDataFrame(rows, "k BIGINT, v DOUBLE")
+    sink = _sink(
+        tmp_path / "lake", cluster_by=["k"], max_records_per_file=50
+    )
+    sink.write_staging(df, "base")
+    sink.publish("base")
+    model = dict(rows)
+
+    next_key = 400
+    for round_no in range(4):
+        batch = []
+        # updates on existing keys
+        for k in rng.sample(sorted(model), 25):
+            batch.append((k, rng.random() * 1000.0, "upsert"))
+        # brand-new inserts (some with NULL op = upsert)
+        for _ in range(10):
+            batch.append(
+                (next_key, float(next_key), rng.choice(["upsert", None]))
+            )
+            next_key += 1
+        # deletes (only existing keys; deleting absent keys is also
+        # legal — exercise one per round)
+        for k in rng.sample(sorted(model), 8):
+            batch.append((k, 0.0, "delete"))
+        batch.append((10_000 + round_no, 0.0, "delete"))  # absent key
+
+        # apply to the model (last-wins within a batch is NOT allowed:
+        # merge requires key-unique sources, so dedupe first)
+        seen = {}
+        for k, v, op in batch:
+            seen[k] = (v, op)
+        src = spark.createDataFrame(
+            [(k, v, op) for k, (v, op) in seen.items()],
+            "k BIGINT, v DOUBLE, op STRING",
+        )
+        for k, (v, op) in seen.items():
+            if op == "delete":
+                model.pop(k, None)
+            else:
+                model[k] = v
+        sink.merge_into(
+            spark, src, on=["k"], run_id=f"m{round_no}", op_col="op"
+        )
+        got = {
+            r.k: r.v for r in sink.read_committed(spark).collect()
+        }
+        assert len(got) == len(model), (
+            f"round {round_no}: {len(got)} rows vs model {len(model)}"
+        )
+        diffs = {
+            k
+            for k in set(got) | set(model)
+            if abs(got.get(k, -1) - model.get(k, -1)) > 1e-9
+        }
+        assert not diffs, f"round {round_no}: mismatched keys {sorted(diffs)[:5]}"
