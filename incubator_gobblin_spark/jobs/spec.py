@@ -586,3 +586,45 @@ def run_hive_conversion_job(spark: SparkSession, spec: str | dict[str, str]):
             f"no tables in {database} match {pattern!r} — nothing to convert"
         )
     return results
+
+
+def run_merge_job(spark: SparkSession, spec: str | dict[str, str]):
+    """Run a CDC-apply (MERGE) job against a manifest lake — the job-spec
+    face of ``FileSink.merge_into`` (the reference runs this shape as a
+    compaction delta-merge, MRCompactor + dedup; here the lake commit is
+    first-class). Vocabulary:
+
+    - ``merge.target.dir`` — the manifest-committed lake root
+    - ``merge.source.dir`` | ``merge.source.format`` — the CDC batch
+      (defaults to parquet)
+    - ``merge.keys`` — comma-separated match keys (required)
+    - ``merge.op.column`` / ``merge.delete.value`` — optional op column
+      (rows whose op equals the delete value delete their match; NULL op
+      means upsert)
+    - ``merge.conflict.retries`` — optimistic-concurrency recompute
+      budget on pointer conflicts (default 2: the scheduler-run job
+      retries in-process rather than failing the whole run)
+    - ``merge.run.id`` — idempotency token; a re-submitted job with the
+      same id is a no-op once committed
+    """
+    from incubator_gobblin_spark.formats.avro_ocf import resolve_format
+    from incubator_gobblin_spark.sinks.files import FileSink
+
+    props = load_job_file(spec) if isinstance(spec, str) else spec
+    target = props["merge.target.dir"]
+    source_dir = props["merge.source.dir"]
+    keys = _csv_list(props, "merge.keys")
+    if not keys:
+        raise SpecError("merge job needs 'merge.keys'")
+    fmt = props.get("merge.source.format", "parquet").lower()
+    src = spark.read.format(resolve_format(fmt)).load(source_dir)
+    sink = FileSink(path=target, commit_mode="manifest")
+    return sink.merge_into(
+        spark,
+        src,
+        on=keys,
+        run_id=props.get("merge.run.id"),
+        op_col=props.get("merge.op.column"),
+        delete_value=props.get("merge.delete.value", "delete"),
+        max_conflict_retries=int(props.get("merge.conflict.retries", "2")),
+    )

@@ -273,3 +273,43 @@ def test_hive_conversion_job_spec(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS spec_db.t1_avro_orc")
         spark.sql("DROP TABLE IF EXISTS spec_db.t1_avro")
         spark.sql("DROP DATABASE IF EXISTS spec_db")
+
+
+def test_merge_job_spec(spark, tmp_path):
+    """merge.* vocabulary applies a CDC batch as a copy-on-write MERGE
+    against the manifest lake; resubmitting the same run id is a
+    no-op."""
+    from pyspark.sql import functions as F
+
+    from incubator_gobblin_spark.sinks.files import FileSink
+
+    lake = str(tmp_path / "lake")
+    sink = FileSink(path=lake, commit_mode="manifest")
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k BIGINT, v DOUBLE"
+    )
+    sink.write_staging(base, "base")
+    sink.publish("base")
+
+    cdc_dir = str(tmp_path / "cdc")
+    spark.createDataFrame(
+        [(1, 100.0, "upsert"), (2, 200.0, None), (3, 0.0, "delete")],
+        "k BIGINT, v DOUBLE, op STRING",
+    ).write.parquet(cdc_dir)
+
+    spec = {
+        "merge.target.dir": lake,
+        "merge.source.dir": cdc_dir,
+        "merge.keys": "k",
+        "merge.op.column": "op",
+        "merge.run.id": "cdc1",
+    }
+    rid = S.run_merge_job(spark, spec)
+    assert rid == "cdc1"
+    got = {r.k: r.v for r in sink.read_committed(spark).collect()}
+    assert len(got) == 9 and 3 not in got
+    assert got[1] == 100.0 and got[2] == 200.0  # NULL op upserted
+
+    # resubmitted job: idempotent no-op
+    assert S.run_merge_job(spark, spec) == "cdc1"
+    assert {r.k: r.v for r in sink.read_committed(spark).collect()} == got
