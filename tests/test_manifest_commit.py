@@ -874,3 +874,41 @@ def test_merge_into_randomized_model_check(spark, sf_dir, tmp_path):
             if abs(got.get(k, -1) - model.get(k, -1)) > 1e-9
         }
         assert not diffs, f"round {round_no}: mismatched keys {sorted(diffs)[:5]}"
+
+
+def test_lake_lifecycle_merge_compact_vacuum(spark, sf_dir, tmp_path):
+    """Full lake lifecycle in one flow: append base -> CDC merge ->
+    compaction -> vacuum. After each step the visible snapshot is
+    value-correct; after vacuum only the compacted run's files remain on
+    disk and pre-compaction history is gone (exactly keep_last deep)."""
+    nation = load_table(spark, sf_dir, "nation")
+    sink = _sink(tmp_path / "lake", cluster_by=["n_nationkey"])
+    sink.write_staging(nation, "base")
+    sink.publish("base")
+
+    src = (
+        nation.filter(F.col("n_nationkey") < 3)
+        .withColumn("n_name", F.lit("MERGED"))
+        .withColumn("op", F.lit("upsert"))
+        .unionByName(
+            nation.filter(F.col("n_nationkey") == 24).withColumn(
+                "op", F.lit("delete")
+            )
+        )
+    )
+    sink.merge_into(spark, src, on=["n_nationkey"], run_id="m1", op_col="op")
+    assert sink.read_committed(spark).count() == 24
+    cid = sink.compact_runs(spark)
+    got = sink.read_committed(spark)
+    assert got.count() == 24
+    assert got.filter(F.col("n_name") == "MERGED").count() == 3
+    assert got.filter(F.col("n_nationkey") == 24).count() == 0
+
+    stats = sink.vacuum(keep_last=1)
+    assert stats["runs_deleted"] >= 1
+    data_runs = sorted(os.listdir(os.path.join(str(tmp_path / "lake"), "_data")))
+    assert data_runs == [cid]
+    after = sink.read_committed(spark)
+    assert after.count() == 24
+    assert after.filter(F.col("n_name") == "MERGED").count() == 3
+    assert sink.manifest_history() == [cid]
