@@ -80,6 +80,54 @@ class StreamPipeline:
         self._source = _read
         return self
 
+    def source_kafka(
+        self,
+        topic: str,
+        bootstrap_servers: str | None = None,
+        fmt: str = "kafka",
+        options: dict[str, str] | None = None,
+        value_schema=None,
+        starting_offsets: str = "earliest",
+    ) -> "StreamPipeline":
+        """Kafka streaming source (KafkaStreamingExtractor analogue:
+        gobblin-modules/gobblin-kafka-common/.../KafkaStreamingExtractor
+        .java:137 — per-partition checkpointable watermarks become the
+        streaming checkpoint's offset log). ``fmt="kafka"`` targets the
+        real connector on a cluster; ``fmt="mockkafka"`` targets the
+        file-backed broker (register it via ``mock_kafka.register``
+        first) with the identical schema and offset semantics. With
+        ``value_schema`` the JSON payload parses into a ``value``
+        struct column."""
+
+        def _read(spark: SparkSession) -> DataFrame:
+            reader = (
+                spark.readStream.format(fmt)
+                .option("subscribe", topic)
+                .option("startingOffsets", starting_offsets)
+            )
+            if fmt == "kafka":
+                reader = reader.option(
+                    "kafka.bootstrap.servers", bootstrap_servers
+                )
+            for k, v in (options or {}).items():
+                reader = reader.option(k, v)
+            df = reader.load()
+            if value_schema is not None:
+                df = df.select(
+                    "key",
+                    "topic",
+                    "partition",
+                    "offset",
+                    "timestamp",
+                    F.from_json(
+                        F.col("value").cast("string"), value_schema
+                    ).alias("value"),
+                )
+            return df
+
+        self._source = _read
+        return self
+
     def convert(self, *transforms: Transform) -> "StreamPipeline":
         self._transforms.extend(transforms)
         return self

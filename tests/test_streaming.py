@@ -300,3 +300,55 @@ def test_stream_stream_interval_join(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted((r["uid"], r["rval"]) for r in spark.read.parquet(out).collect())
     assert got == [(1, "r-in"), (2, "r2-in")]
+
+
+def test_stream_pipeline_kafka_source_exactly_once(spark, tmp_path):
+    """The KafkaStreamingExtractor path through the ENGINE pipeline:
+    StreamPipeline.source_kafka over the file-backed broker -> convert
+    -> exactly-once file sink. A restart after new produces ingests
+    only the delta (checkpointed per-partition offsets)."""
+    from pyspark.sql import functions as F
+
+    from incubator_gobblin_spark.sources import mock_kafka as MK
+
+    MK.register(spark)
+    root = str(tmp_path / "broker")
+    MK.create_topic(root, "t1", 2)
+
+    def produce(n, prefix):
+        (
+            spark.range(n)
+            .select(
+                F.concat(F.lit(prefix), F.col("id")).cast("string").alias("key"),
+                F.to_json(F.struct("id")).alias("value"),
+            )
+            .write.format("mockkafka")
+            .mode("append")
+            .option("path", root)
+            .option("topic", "t1")
+            .option("numPartitions", "2")
+            .save()
+        )
+
+    produce(15, "a")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            StreamPipeline(spark, "kafka-ingest")
+            .source_kafka("t1", fmt="mockkafka",
+                          options={"path": root},
+                          value_schema="id BIGINT")
+            .convert(lambda df: df.select(
+                "partition", "offset", F.col("value.id").alias("id")))
+            .to_files(out, ckpt, once=True)
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(out).count() == 15
+    produce(6, "b")
+    run_once()
+    got = spark.read.parquet(out)
+    assert got.count() == 21  # 15 + 6, no reprocess
+    assert got.select("partition", "offset").distinct().count() == 21
