@@ -110,12 +110,37 @@ def partition_end_offset(root: str, topic: str, partition: int) -> int:
         return sum(1 for _ in fh)
 
 
+def partition_earliest_offset(root: str, topic: str, partition: int) -> int:
+    """earliest retained offset (0 until retention expires records)."""
+    marker = os.path.join(_part_dir(root, topic, partition), "earliest")
+    if not os.path.exists(marker):
+        return 0
+    with open(marker) as fh:
+        return int(fh.read().strip() or 0)
+
+
+def expire_before(root: str, topic: str, partition: int, offset: int) -> None:
+    """Retention expiry (broker admin analogue): records below
+    ``offset`` fall out of the retained window — earliest advances,
+    reads below it return nothing, and a committed consumer offset
+    below it triggers the planner's OffsetResetPolicy
+    (KafkaSource's topic.move.to.earliest/latest semantics). Offsets
+    stay dense and immutable; only the retained window moves."""
+    cur = partition_earliest_offset(root, topic, partition)
+    if offset <= cur:
+        return
+    marker = os.path.join(_part_dir(root, topic, partition), "earliest")
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(offset))
+    os.replace(tmp, marker)
+
+
 def earliest_latest(root: str, topic: str) -> tuple[dict[int, int], dict[int, int]]:
     """Broker metadata for work planning — feed straight into
-    ``kafka_batch.plan_offsets`` (earliest is always 0: no retention
-    expiry in the mock; tests exercise expiry by passing shifted dicts)."""
+    ``kafka_batch.plan_offsets``."""
     parts = topic_partitions(root, topic)
-    return {p: 0 for p in parts}, {
+    return {p: partition_earliest_offset(root, topic, p) for p in parts}, {
         p: partition_end_offset(root, topic, p) for p in parts
     }
 
@@ -154,7 +179,10 @@ def append_records(
 
 def _read_range(root: str, topic: str, partition: int, start: int, end: int):
     """Yield Kafka-schema tuples for offsets [start, end) of one
-    partition — the KafkaExtractor bounded pull."""
+    partition — the KafkaExtractor bounded pull. Expired offsets
+    (below the retained window's earliest) yield nothing, like a broker
+    whose segments were deleted."""
+    start = max(start, partition_earliest_offset(root, topic, partition))
     path = _log_path(root, topic, partition)
     if not os.path.exists(path) or start >= end:
         return
@@ -177,23 +205,29 @@ def _read_range(root: str, topic: str, partition: int, start: int, end: int):
             )
 
 
-def _parse_offsets(option: str | None, topic: str, bounds: dict[int, int], default: str) -> dict[int, int]:
+def _parse_offsets(
+    option: str | None,
+    topic: str,
+    earliest: dict[int, int],
+    latest: dict[int, int],
+    default: str,
+) -> dict[int, int]:
     """Resolve a startingOffsets/endingOffsets option — ``earliest``,
     ``latest``, or the per-partition JSON {"topic": {"0": 5}} the real
     connector accepts (-1 = latest, -2 = earliest)."""
     opt = (option or default).strip()
     if opt == "earliest":
-        return {p: 0 for p in bounds}
+        return dict(earliest)
     if opt == "latest":
-        return dict(bounds)
+        return dict(latest)
     spec = json.loads(opt)
     out: dict[int, int] = {}
-    for p, hi in bounds.items():
+    for p, hi in latest.items():
         v = spec.get(topic, {}).get(str(p))
         if v is None or v == -1:
             out[p] = hi
         elif v == -2:
-            out[p] = 0
+            out[p] = earliest.get(p, 0)
         else:
             out[p] = int(v)
     return out
@@ -219,12 +253,18 @@ class MockKafkaBatchReader(DataSourceReader):
     def __init__(self, options):
         self.root = options["path"]
         self.topic = options["subscribe"]
-        _, latest = earliest_latest(self.root, self.topic)
+        if "," in self.topic:
+            raise ValueError(
+                "mockkafka reads one topic per load; union multiple loads"
+            )
+        earliest, latest = earliest_latest(self.root, self.topic)
         self.starts = _parse_offsets(
-            options.get("startingoffsets"), self.topic, latest, "earliest"
+            options.get("startingoffsets"), self.topic, earliest, latest,
+            "earliest",
         )
         self.ends = _parse_offsets(
-            options.get("endingoffsets"), self.topic, latest, "latest"
+            options.get("endingoffsets"), self.topic, earliest, latest,
+            "latest",
         )
 
     def partitions(self):
@@ -254,10 +294,10 @@ class MockKafkaStreamReader(SimpleDataSourceStreamReader):
         self.start_opt = options.get("startingoffsets")
 
     def initialOffset(self) -> dict:
-        _, latest = earliest_latest(self.root, self.topic)
+        earliest, latest = earliest_latest(self.root, self.topic)
         if self.start_opt == "latest":
             return {str(p): latest[p] for p in latest}
-        return {str(p): 0 for p in latest}
+        return {str(p): earliest[p] for p in earliest}
 
     def read(self, start: dict):
         _, latest = earliest_latest(self.root, self.topic)

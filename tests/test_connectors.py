@@ -618,3 +618,53 @@ def test_kafka_stream_writer_produce(spark, tmp_path):
         r["v"] for r in df.select(F.col("value").cast("string").alias("v")).collect()
     )
     assert len(vals) == 20 and vals[0].startswith('{"id":')
+
+
+def test_kafka_retention_expiry_reset_policies(spark, tmp_path):
+    """Records expire out of the retained window (broker retention):
+    a committed consumer offset below earliest must trip the planner's
+    OffsetResetPolicy — FAIL raises, EARLIEST re-reads from the oldest
+    retained record, LATEST skips the gap — and the bounded read
+    honors the retained window (KafkaSource's
+    topic.move.to.earliest/latest.offset semantics, executed against
+    real broker state instead of synthetic dicts)."""
+    from incubator_gobblin_spark.sources import kafka_batch as KB
+    from incubator_gobblin_spark.sources import mock_kafka as MK
+    from incubator_gobblin_spark.sources.kafka_batch import OffsetResetPolicy
+
+    MK.register(spark)
+    root = str(tmp_path / "broker")
+    MK.create_topic(root, "t", 1)
+    rows = [(None, f"v{i}".encode(), 1000 + i) for i in range(10)]
+    MK.append_records(root, "t", 0, rows)
+    MK.expire_before(root, "t", 0, 4)
+
+    earliest, latest = MK.earliest_latest(root, "t")
+    assert earliest == {0: 4} and latest == {0: 10}
+
+    committed = {0: 2}  # consumer fell behind the retention window
+    with pytest.raises(ValueError, match="expired"):
+        KB.plan_offsets(earliest, latest, committed, "t",
+                        reset=OffsetResetPolicy.FAIL)
+    r_early = KB.plan_offsets(earliest, latest, committed, "t",
+                              reset=OffsetResetPolicy.EARLIEST)
+    df = KB.read_kafka_batch(spark, "", r_early, reader_format="mockkafka",
+                             reader_options={"path": root})
+    vals = sorted(r["v"] for r in df.select(
+        F.col("value").cast("string").alias("v")).collect())
+    assert vals == [f"v{i}" for i in range(4, 10)]
+    r_late = KB.plan_offsets(earliest, latest, committed, "t",
+                             reset=OffsetResetPolicy.LATEST)
+    df2 = KB.read_kafka_batch(spark, "", r_late, reader_format="mockkafka",
+                              reader_options={"path": root})
+    assert df2.count() == 0  # skipped to latest: the gap is lost, loudly planned
+
+    # an "earliest" unbounded read also honors the retained window
+    full = (
+        spark.read.format("mockkafka")
+        .option("path", root)
+        .option("subscribe", "t")
+        .load()
+    )
+    assert full.count() == 6
+    assert full.agg(F.min("offset")).collect()[0][0] == 4
