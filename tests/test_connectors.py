@@ -668,3 +668,64 @@ def test_kafka_retention_expiry_reset_policies(spark, tmp_path):
     )
     assert full.count() == 6
     assert full.agg(F.min("offset")).collect()[0][0] == 4
+
+
+def test_kafka_ingest_exactly_once_loop(spark, tmp_path):
+    """The reference's core loop as one function: plan from the state
+    store's committed watermark, bounded read, manifest publish,
+    watermark advance — incremental across runs, no-op when drained,
+    and exactly-once under a crash between publish and watermark
+    commit (replay plans identical ranges, derives the same run id,
+    and the manifest republish converges)."""
+    from incubator_gobblin_spark.jobs.kafka_ingest import ingest_kafka_batch
+    from incubator_gobblin_spark.sinks.files import FileSink
+    from incubator_gobblin_spark.sources import mock_kafka as MK
+    from incubator_gobblin_spark.state import StateStore
+
+    MK.register(spark)
+    root = str(tmp_path / "broker")
+    MK.create_topic(root, "events", 3)
+    _mk_produce(spark, root, 30)
+    sink = FileSink(path=str(tmp_path / "lake"), commit_mode="manifest")
+    store = StateStore(str(tmp_path / "state"))
+    kw = dict(reader_format="mockkafka", reader_options={"path": root})
+
+    r1 = ingest_kafka_batch(spark, "events", sink, store, **kw)
+    assert r1["published"] and r1["records_planned"] == 30
+    assert sink.read_committed(spark).count() == 30
+    # drained: no-op, nothing published
+    r2 = ingest_kafka_batch(spark, "events", sink, store, **kw)
+    assert not r2["published"] and r2["records_planned"] == 0
+
+    # incremental: only the delta
+    _mk_produce(spark, root, 7, prefix="z")
+    r3 = ingest_kafka_batch(spark, "events", sink, store, **kw)
+    assert r3["records_planned"] == 7
+    assert sink.read_committed(spark).count() == 37
+
+    # crash between publish and watermark commit -> replay converges
+    _mk_produce(spark, root, 5, prefix="c")
+    orig_commit = StateStore.commit
+    boom = {"armed": True}
+
+    def crashing_commit(self, table, state):
+        if boom["armed"]:
+            boom["armed"] = False
+            raise OSError("simulated crash before watermark commit")
+        return orig_commit(self, table, state)
+
+    StateStore.commit = crashing_commit
+    try:
+        with pytest.raises(OSError, match="simulated crash"):
+            ingest_kafka_batch(spark, "events", sink, store, **kw)
+        # published but watermark NOT advanced; replay re-reads the SAME
+        # ranges under the SAME run id and converges without duplicates
+        r4 = ingest_kafka_batch(spark, "events", sink, store, **kw)
+    finally:
+        StateStore.commit = orig_commit
+    assert r4["published"] and r4["records_planned"] == 5
+    got = sink.read_committed(spark)
+    assert got.count() == 42  # 37 + 5, exactly once
+    assert got.select("partition", "offset").distinct().count() == 42
+    # drained again
+    assert not ingest_kafka_batch(spark, "events", sink, store, **kw)["published"]
