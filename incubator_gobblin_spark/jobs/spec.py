@@ -628,3 +628,67 @@ def run_merge_job(spark: SparkSession, spec: str | dict[str, str]):
         delete_value=props.get("merge.delete.value", "delete"),
         max_conflict_retries=int(props.get("merge.conflict.retries", "2")),
     )
+
+
+def run_kafka_ingest_job(spark: SparkSession, spec: str | dict[str, str]):
+    """Run an incremental Kafka ingestion job from the reference's
+    kafka vocabulary (KafkaSource.java:87 TOPIC_WHITELIST,
+    ConfigurationKeys.java:866 kafka.brokers; reset semantics of
+    topics.move.to.latest.offset / bootstrap.with.offset):
+
+    - ``topic.whitelist`` — the topic (one per job, like one dataset)
+    - ``kafka.brokers`` — bootstrap servers for the real connector
+    - ``kafka.spark.reader.format`` — ``kafka`` (default) or
+      ``mockkafka`` (file-backed broker; registers the DataSource)
+    - ``kafka.spark.reader.option.<k>`` — passthrough reader options
+      (mock path: ``kafka.spark.reader.option.path``)
+    - ``kafka.spark.offset.reset`` — fail | earliest | latest
+    - ``kafka.spark.value.schema`` — optional DDL schema to parse JSON
+      payloads
+    - ``writer.output.dir`` — manifest-lake root;
+      ``state.store.dir`` — state-store root
+
+    Delivery is exactly-once via the deterministic-run-id + manifest
+    republish mechanics of :mod:`jobs.kafka_ingest`.
+    """
+    from incubator_gobblin_spark.jobs.kafka_ingest import ingest_kafka_batch
+    from incubator_gobblin_spark.sinks.files import FileSink
+    from incubator_gobblin_spark.sources.kafka_batch import OffsetResetPolicy
+    from incubator_gobblin_spark.state import StateStore
+
+    props = load_job_file(spec) if isinstance(spec, str) else spec
+    topic = props["topic.whitelist"]
+    if "," in topic or "*" in topic:
+        raise SpecError(
+            "engine ingests one literal topic per job "
+            "(run one job per topic; no pattern whitelists)"
+        )
+    fmt = props.get("kafka.spark.reader.format", "kafka")
+    opt_prefix = "kafka.spark.reader.option."
+    reader_options = {
+        k[len(opt_prefix):]: v
+        for k, v in props.items()
+        if k.startswith(opt_prefix)
+    }
+    if fmt == "mockkafka":
+        from incubator_gobblin_spark.sources import mock_kafka as MK
+
+        MK.register(spark)
+    sink = FileSink(
+        path=props["writer.output.dir"], commit_mode="manifest"
+    )
+    store = StateStore(props["state.store.dir"])
+    reset = OffsetResetPolicy(
+        props.get("kafka.spark.offset.reset", "fail")
+    )
+    return ingest_kafka_batch(
+        spark,
+        topic,
+        sink,
+        store,
+        bootstrap_servers=props.get("kafka.brokers", ""),
+        reader_format=fmt,
+        reader_options=reader_options or None,
+        reset=reset,
+        value_schema=props.get("kafka.spark.value.schema"),
+    )

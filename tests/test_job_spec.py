@@ -313,3 +313,44 @@ def test_merge_job_spec(spark, tmp_path):
     # resubmitted job: idempotent no-op
     assert S.run_merge_job(spark, spec) == "cdc1"
     assert {r.k: r.v for r in sink.read_committed(spark).collect()} == got
+
+
+def test_kafka_ingest_job_spec(spark, tmp_path):
+    """kafka.* vocabulary drives the exactly-once ingestion loop; a
+    second submission with nothing new is a no-op."""
+    from pyspark.sql import functions as F
+
+    from incubator_gobblin_spark.sinks.files import FileSink
+    from incubator_gobblin_spark.sources import mock_kafka as MK
+
+    MK.register(spark)
+    root = str(tmp_path / "broker")
+    MK.create_topic(root, "clicks", 2)
+    (
+        spark.range(12)
+        .select(
+            F.col("id").cast("string").alias("key"),
+            F.to_json(F.struct("id")).alias("value"),
+        )
+        .write.format("mockkafka")
+        .mode("append")
+        .option("path", root)
+        .option("topic", "clicks")
+        .option("numPartitions", "2")
+        .save()
+    )
+    spec = {
+        "topic.whitelist": "clicks",
+        "kafka.spark.reader.format": "mockkafka",
+        "kafka.spark.reader.option.path": root,
+        "kafka.spark.value.schema": "id BIGINT",
+        "writer.output.dir": str(tmp_path / "lake"),
+        "state.store.dir": str(tmp_path / "state"),
+    }
+    res = S.run_kafka_ingest_job(spark, spec)
+    assert res["published"] and res["records_planned"] == 12
+    sink = FileSink(path=str(tmp_path / "lake"), commit_mode="manifest")
+    got = sink.read_committed(spark)
+    assert got.count() == 12
+    assert got.select(F.col("value.id")).distinct().count() == 12
+    assert not S.run_kafka_ingest_job(spark, spec)["published"]
