@@ -609,3 +609,42 @@ def trigram_logprob(
         )
     )
     return scored.select(F.col("_id").alias(id_col), "n_trigrams", "sum_logp")
+
+
+def quality_classifier_units(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hashed-linear-model document quality scoring — the fasttext-style
+    classifier gate of modern training-data pipelines (a logistic
+    model over hashed bag-of-words features), as a pure Column
+    projection.
+
+    Each token's feature weight is derived from its hash: the first
+    byte of ``md5(token)`` minus 128, an integer in [-128, 127] — a
+    deterministic random-projection weight vector both engines compute
+    identically (a production deployment substitutes TRAINED weights by
+    broadcast-joining a (bucket, weight) table on the same hash; the
+    plan shape is unchanged). The document score is the integer SUM of
+    token weights — integer end to end, so no float accumulation-order
+    hazard exists for the oracle gate — and ``keep`` is the
+    positive-score decision.
+
+    Scale: no shuffle and no UDF — tokenize, transform, aggregate are
+    all Column expressions pipelined into whatever follows; at 100 TB
+    this runs at scan speed and the classifier gate composes with
+    quality.check_rows like any other row policy."""
+    toks = _toks(text_col)
+    unit = lambda t: (  # noqa: E731
+        F.conv(F.substring(F.md5(t), 1, 2), 16, 10).cast("long") - 128
+    )
+    score = F.aggregate(
+        F.transform(toks, unit), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    out = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        score.alias("score_units"),
+    ).filter(F.col("n_tokens") > 0)
+    return out.withColumn("keep", F.col("score_units") > 0)

@@ -69,6 +69,7 @@ _R03_PROVEN_ANCHORS = {
 _WINDOW_HEAD = [
     "q84_pack_sequences",        # r03's only hash-FAIL; must re-land green
     "q91_kafka_roundtrip_agg",   # NEW r4: Kafka surface under a hard oracle
+    "q92_quality_classifier",    # NEW r4: hashed-linear quality gate
     "q31_minhash_candidates",    # rows-only + its invariant q63
     "q32_simhash_neardups",      # rows-only + its invariant q64
     "q34_ann_lsh_topk",          # rows-only + its invariant q69
@@ -2836,6 +2837,36 @@ def q91_kafka_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("chars"),
     )
+
+
+@register(
+    "q92_quality_classifier",
+    r"""
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(list_sum(list_transform(
+                 toks,
+                 t -> ('0x' || substr(md5(t), 1, 2))::BIGINT - 128
+               )) AS BIGINT) AS score_units,
+           list_sum(list_transform(
+                 toks,
+                 t -> ('0x' || substr(md5(t), 1, 2))::BIGINT - 128
+               )) > 0 AS keep
+    FROM (
+      SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+      FROM documents
+    )
+    WHERE len(toks) > 0
+    """,
+)
+def q92_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality classifier
+    (corpus.quality_classifier_units): fasttext-shaped doc scoring as a
+    pure integer Column projection — md5-derived per-token weights
+    summed per document, keep = positive score. No shuffle, no UDF;
+    trained weights swap in by broadcast join on the same hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.quality_classifier_units(docs)
 
 
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
