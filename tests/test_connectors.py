@@ -729,3 +729,31 @@ def test_kafka_ingest_exactly_once_loop(spark, tmp_path):
     assert got.select("partition", "offset").distinct().count() == 42
     # drained again
     assert not ingest_kafka_batch(spark, "events", sink, store, **kw)["published"]
+
+
+def test_mock_kafka_offset_option_forms(tmp_path):
+    """The startingOffsets/endingOffsets grammar of the real connector:
+    earliest/latest keywords and per-partition JSON with -1 (latest) and
+    -2 (earliest), resolved against the retained window."""
+    from incubator_gobblin_spark.sources.mock_kafka import (
+        _parse_offsets,
+        append_records,
+        create_topic,
+        earliest_latest,
+        expire_before,
+    )
+
+    root = str(tmp_path / "b")
+    create_topic(root, "t", 2)
+    append_records(root, "t", 0, [(None, b"x", 1)] * 8)
+    append_records(root, "t", 1, [(None, b"y", 1)] * 3)
+    expire_before(root, "t", 0, 2)
+    earliest, latest = earliest_latest(root, "t")
+    assert earliest == {0: 2, 1: 0} and latest == {0: 8, 1: 3}
+
+    assert _parse_offsets("earliest", "t", earliest, latest, "x") == earliest
+    assert _parse_offsets("latest", "t", earliest, latest, "x") == latest
+    spec = '{"t": {"0": 5, "1": -2}}'
+    assert _parse_offsets(spec, "t", earliest, latest, "x") == {0: 5, 1: 0}
+    spec2 = '{"t": {"0": -1}}'
+    assert _parse_offsets(spec2, "t", earliest, latest, "x") == {0: 8, 1: 3}

@@ -912,3 +912,47 @@ def test_lake_lifecycle_merge_compact_vacuum(spark, sf_dir, tmp_path):
     assert after.count() == 24
     assert after.filter(F.col("n_name") == "MERGED").count() == 3
     assert sink.manifest_history() == [cid]
+
+
+def test_merge_into_threaded_contention_all_applied(spark, sf_dir, tmp_path):
+    """Four writers merging DISJOINT key ranges into one lake
+    concurrently, each with a conflict-retry budget: the flock-CAS
+    pointer must serialize them so every merge lands (no lost update)
+    and every row carries exactly one writer's stamp."""
+    import threading
+
+    df = spark.createDataFrame(
+        [(i, "base") for i in range(200)], "k BIGINT, tag STRING"
+    )
+    sink = _sink(tmp_path / "lake")
+    sink.write_staging(df, "base")
+    sink.publish("base")
+
+    errs: list[Exception] = []
+
+    def worker(w: int):
+        try:
+            src = spark.createDataFrame(
+                [(i, f"w{w}") for i in range(w * 50, (w + 1) * 50)],
+                "k BIGINT, tag STRING",
+            )
+            FileSink(path=str(tmp_path / "lake"), commit_mode="manifest").merge_into(
+                spark, src, on=["k"], run_id=f"merge-w{w}",
+                max_conflict_retries=16,
+            )
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(w,)) for w in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    got = sink.read_committed(spark)
+    assert got.count() == 200
+    tags = {r.tag for r in got.select("tag").distinct().collect()}
+    assert tags == {"w0", "w1", "w2", "w3"}
+    # every writer's commit is in the final history chain
+    hist = set(sink.manifest_history())
+    assert {f"merge-w{w}" for w in range(4)} <= hist
