@@ -779,7 +779,15 @@ class FileSink:
             kept = tdf.join(src_keys, on=on, how="left_anti")
             new_data = kept.unionByName(upserts.select(*tdf.columns))
         else:
-            new_data = upserts
+            # no file holds a matching key (pure inserts): still project
+            # the source onto the TARGET schema — CDC sources routinely
+            # carry extra columns (sequence numbers, op metadata), and
+            # an unprojected insert would silently widen the table and
+            # break the cross-run unionByName read
+            target_cols = self._target_columns(spark, manifest)
+            new_data = (
+                upserts.select(*target_cols) if target_cols else upserts
+            )
         self.write_staging(new_data, rid)
         self._publish_manifest(
             rid,
@@ -788,6 +796,20 @@ class FileSink:
             expected_ptr=ptr0,
         )
         return rid
+
+    def _target_columns(self, spark, manifest: dict) -> list[str] | None:
+        """Column names of the live table, from ONE live file's footer
+        (metadata read, no data). None for an empty table."""
+        if "groups" in manifest:
+            for g in manifest["groups"]:
+                ents = self._load_group(g)
+                if ents:
+                    return self._read_entries(spark, ents[:1]).columns
+            return None
+        ents = manifest.get("entries") or []
+        if not ents:
+            return None
+        return self._read_entries(spark, ents[:1]).columns
 
     def compact_runs(self, spark, run_id: str | None = None) -> str:
         """Rewrite the CURRENT snapshot as one fresh run and commit a

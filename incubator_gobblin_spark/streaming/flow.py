@@ -219,6 +219,65 @@ class StreamPipeline:
             writer = writer.trigger(processingTime=f"{trigger_secs} seconds")
         return writer.start()
 
+    def to_merge(
+        self,
+        sink,
+        on: Sequence[str],
+        checkpoint: str,
+        op_col: str | None = None,
+        delete_value: str = "delete",
+        order_col: str | None = None,
+        trigger_secs: int | None = 60,
+        once: bool = False,
+        max_conflict_retries: int = 4,
+    ) -> StreamingQuery:
+        """Streaming CDC apply: every micro-batch merges into the
+        manifest lake as a copy-on-write MERGE (upsert/insert/delete on
+        ``on``) — the streaming face of ``FileSink.merge_into``, i.e.
+        continuous Delta-style upserts with the reference's delta-merge
+        semantics (compaction dedup applied online instead of as a
+        nightly MR job).
+
+        ``order_col`` compacts WITHIN each micro-batch first (keep the
+        highest-order event per key — a CDC stream can carry several
+        events for one key per trigger, and merge requires key-unique
+        sources); Kafka sources pass ``offset``.
+
+        Exactly-once: the run id is the epoch id, and a replayed epoch
+        whose merge already committed is an idempotent no-op (the
+        committed-rid check in merge_into), so crash/retry never
+        double-applies. Conflicts with concurrent batch committers
+        recompute under ``max_conflict_retries``."""
+        on = list(on)
+
+        def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+            src = batch_df
+            if order_col is not None:
+                from incubator_gobblin_spark.operators.dedup import dedup_argmax
+
+                src = dedup_argmax(src, keys=on, delta=[order_col])
+            if not src.isEmpty():
+                sink.merge_into(
+                    src.sparkSession,
+                    src,
+                    on=on,
+                    run_id=f"epoch-{epoch_id:012d}",
+                    op_col=op_col,
+                    delete_value=delete_value,
+                    max_conflict_retries=max_conflict_retries,
+                )
+
+        writer = (
+            self.dataframe()
+            .writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", checkpoint)
+        )
+        if once:
+            writer = writer.trigger(availableNow=True)
+        elif trigger_secs:
+            writer = writer.trigger(processingTime=f"{trigger_secs} seconds")
+        return writer.start()
+
     def to_branches(
         self,
         branches: Sequence[StreamBranch],

@@ -956,3 +956,26 @@ def test_merge_into_threaded_contention_all_applied(spark, sf_dir, tmp_path):
     # every writer's commit is in the final history chain
     hist = set(sink.manifest_history())
     assert {f"merge-w{w}" for w in range(4)} <= hist
+
+
+def test_merge_into_pure_insert_projects_to_target_schema(
+    spark, sf_dir, tmp_path
+):
+    """A merge whose keys match NO live file (pure insert) must still
+    project the source onto the target schema — CDC sources carry
+    sequence/metadata columns that would otherwise silently widen the
+    table and break the cross-run union read."""
+    sink = _sink(tmp_path / "lake")
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(5)], "k BIGINT, v DOUBLE"
+    )
+    sink.write_staging(base, "base")
+    sink.publish("base")
+
+    src = spark.createDataFrame(
+        [(100, 1.0, 7), (101, 2.0, 8)], "k BIGINT, v DOUBLE, seq BIGINT"
+    )
+    sink.merge_into(spark, src, on=["k"], run_id="m1")
+    got = sink.read_committed(spark)
+    assert sorted(got.columns) == ["k", "v"]
+    assert got.count() == 7

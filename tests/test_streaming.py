@@ -352,3 +352,73 @@ def test_stream_pipeline_kafka_source_exactly_once(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 21  # 15 + 6, no reprocess
     assert got.select("partition", "offset").distinct().count() == 21
+
+
+def test_stream_pipeline_to_merge_cdc_apply(spark, tmp_path):
+    """Streaming CDC apply into the manifest lake: micro-batches of
+    upsert/delete events merge per epoch (in-batch compaction keeps the
+    latest event per key); a restarted stream replaying a committed
+    epoch is a no-op, and final lake state equals the last event per
+    key."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from incubator_gobblin_spark.sinks.files import FileSink
+
+    lake = str(tmp_path / "lake")
+    sink = FileSink(path=lake, commit_mode="manifest")
+    base = spark.createDataFrame(
+        [(i, float(i), 0) for i in range(20)], "k BIGINT, v DOUBLE, seq BIGINT"
+    ).drop("seq")
+    sink.write_staging(base, "base")
+    sink.publish("base")
+
+    cdc_dir = str(tmp_path / "cdc")
+    os.makedirs(cdc_dir)
+    ckpt = str(tmp_path / "ckpt")
+    # batch 1: two events for key 1 (older then newer), delete key 2,
+    # insert key 100
+    spark.createDataFrame(
+        [
+            (1, 111.0, 1, "upsert"),
+            (1, 222.0, 2, "upsert"),
+            (2, 0.0, 3, "delete"),
+            (100, 100.0, 4, "upsert"),
+        ],
+        "k BIGINT, v DOUBLE, seq BIGINT, op STRING",
+    ).coalesce(1).write.mode("append").parquet(cdc_dir)
+
+    def run_once():
+        q = (
+            StreamPipeline(spark, "cdc")
+            .source_files(
+                cdc_dir, "parquet",
+                "k BIGINT, v DOUBLE, seq BIGINT, op STRING",
+            )
+            .to_merge(
+                sink, on=["k"], checkpoint=ckpt, op_col="op",
+                order_col="seq", once=True,
+            )
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = {r.k: r.v for r in sink.read_committed(spark).drop("seq").collect()}
+    assert len(got) == 20  # 20 - 1 deleted + 1 inserted
+    assert got[1] == 222.0 and 2 not in got and got[100] == 100.0
+
+    # restart with no new data: no-op (offsets checkpointed)
+    run_once()
+    assert {
+        r.k: r.v for r in sink.read_committed(spark).drop("seq").collect()
+    } == got
+
+    # batch 2 arrives; only it is applied
+    spark.createDataFrame(
+        [(3, 333.0, 5, "upsert")],
+        "k BIGINT, v DOUBLE, seq BIGINT, op STRING",
+    ).coalesce(1).write.mode("append").parquet(cdc_dir)
+    run_once()
+    got2 = {r.k: r.v for r in sink.read_committed(spark).drop("seq").collect()}
+    assert got2[3] == 333.0 and len(got2) == 20
