@@ -422,3 +422,68 @@ def test_stream_pipeline_to_merge_cdc_apply(spark, tmp_path):
     run_once()
     got2 = {r.k: r.v for r in sink.read_committed(spark).drop("seq").collect()}
     assert got2[3] == 333.0 and len(got2) == 20
+
+
+def test_kafka_cdc_stream_to_lake_merge(spark, tmp_path):
+    """The full streaming CDC path: keyed events produced to the broker
+    -> source_kafka -> decode -> to_merge into the manifest lake with
+    offset-ordered in-batch compaction. Restart ingests only new
+    events; lake state equals last-event-per-key."""
+    from pyspark.sql import functions as F
+
+    from incubator_gobblin_spark.sinks.files import FileSink
+    from incubator_gobblin_spark.sources import mock_kafka as MK
+
+    MK.register(spark)
+    root = str(tmp_path / "broker")
+    MK.create_topic(root, "cdc", 2)
+    lake = str(tmp_path / "lake")
+    sink = FileSink(path=lake, commit_mode="manifest")
+    sink.write_staging(
+        spark.createDataFrame(
+            [(i, "base", None) for i in range(10)],
+            "k BIGINT, payload STRING, op STRING",
+        ).drop("op"),
+        "base",
+    )
+    sink.publish("base")
+    ckpt = str(tmp_path / "ckpt")
+
+    def produce(events):
+        spark.createDataFrame(
+            events, "key STRING, value STRING"
+        ).write.format("mockkafka").mode("append").option("path", root).option(
+            "topic", "cdc"
+        ).option("numPartitions", "2").save()
+
+    def run_once():
+        q = (
+            StreamPipeline(spark, "cdc-merge")
+            .source_kafka(
+                "cdc", fmt="mockkafka", options={"path": root},
+                value_schema="k BIGINT, payload STRING, op STRING",
+            )
+            .convert(lambda df: df.select("offset", "value.*"))
+            .to_merge(
+                sink, on=["k"], checkpoint=ckpt, op_col="op",
+                order_col="offset", once=True,
+            )
+        )
+        q.awaitTermination(120)
+
+    produce([
+        ("1", '{"k":1,"payload":"old","op":"upsert"}'),
+        ("1", '{"k":1,"payload":"new","op":"upsert"}'),
+        ("3", '{"k":3,"payload":"x","op":"delete"}'),
+        ("42", '{"k":42,"payload":"ins","op":"upsert"}'),
+    ])
+    run_once()
+    got = {r.k: r.payload for r in sink.read_committed(spark).collect()}
+    assert len(got) == 10  # 10 - 1 delete + 1 insert
+    assert got[1] == "new" and 3 not in got and got[42] == "ins"
+
+    run_once()  # nothing new: no-op
+    produce([("5", '{"k":5,"payload":"v2","op":"upsert"}')])
+    run_once()
+    got2 = {r.k: r.payload for r in sink.read_committed(spark).collect()}
+    assert got2[5] == "v2" and len(got2) == 10
