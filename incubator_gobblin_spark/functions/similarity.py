@@ -540,3 +540,55 @@ def ivf_topk(
         .filter(F.col("_rn") <= k)
         .select("query_id", "neighbor_id", "sim")
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster embeddings by
+    nearest centroid, keep ONE representative per semantic cluster (the
+    vector closest to its centroid; id breaks ties), mark the rest as
+    semantic duplicates. The corpus-curation step that removes
+    near-meaning-identical documents exact/MinHash dedup cannot see.
+
+    Returns (id, cluster_id, keep) for every input row.
+
+    Scale: assignment is a literal-centroid projection (no shuffle, no
+    UDF — same shape as ivf_assign); the representative choice is one
+    window over cluster_id, i.e. one shuffle whose partition sizes are
+    the cluster sizes — pick k so clusters stay executor-sized (the
+    SemDeDup recipe itself: many small k-means clusters). Distances are
+    sqrt + round(6) so external engines reproduce ties bit-for-bit."""
+    dists = [
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.array(*[F.lit(x) for x in c]),
+                        lambda a, b: (a.cast("double") - b)
+                        * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            6,
+        )
+        for c in centroids
+    ]
+    darr = F.array(*dists)
+    mind = F.array_min(darr)
+    cluster = (F.array_position(darr, mind) - 1).cast("int")
+    assigned = vectors.select(
+        F.col(id_col), cluster.alias("cluster_id"), mind.alias("_d")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("_d").asc(), F.col(id_col).asc()
+    )
+    return assigned.withColumn(
+        "keep", F.row_number().over(w) == 1
+    ).select(id_col, "cluster_id", "keep")

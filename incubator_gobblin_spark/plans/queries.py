@@ -70,6 +70,7 @@ _WINDOW_HEAD = [
     "q84_pack_sequences",        # r03's only hash-FAIL; must re-land green
     "q91_kafka_roundtrip_agg",   # NEW r4: Kafka surface under a hard oracle
     "q92_quality_classifier",    # NEW r4: hashed-linear quality gate
+    "q93_semantic_dedup",        # NEW r4: SemDeDup keep-one-per-cluster
     "q31_minhash_candidates",    # rows-only + its invariant q63
     "q32_simhash_neardups",      # rows-only + its invariant q64
     "q34_ann_lsh_topk",          # rows-only + its invariant q69
@@ -2867,6 +2868,45 @@ def q92_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained weights swap in by broadcast join on the same hash."""
     docs = load_table(spark, sf_dir, "documents")
     return corpus.quality_classifier_units(docs)
+
+
+@register(
+    "q93_semantic_dedup",
+    """
+    WITH cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                   FROM embeddings WHERE vec_id < 8),
+    assigned AS (
+        SELECT vec_id, cid,
+               round(list_distance(embedding::DOUBLE[], cv), 6) AS d,
+               row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY round(list_distance(embedding::DOUBLE[], cv), 6),
+                            cid
+               ) AS rn
+        FROM embeddings CROSS JOIN cents
+    )
+    SELECT vec_id, CAST(cid AS INT) AS cluster_id,
+           (row_number() OVER (
+               PARTITION BY cid ORDER BY d ASC, vec_id ASC)) = 1 AS keep
+    FROM assigned WHERE rn = 1
+    """,
+)
+def q93_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (similarity.semantic_dedup):
+    cluster embeddings by nearest centroid (literal-centroid
+    projection, as q55) and keep one representative per semantic
+    cluster — the curation pass that removes near-meaning-identical
+    documents exact and MinHash dedup cannot see. One shuffle (the
+    per-cluster window)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    cents = [[float(x) for x in r["embedding"]] for r in cent_rows]
+    return similarity.semantic_dedup(emb, cents)
 
 
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
