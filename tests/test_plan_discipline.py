@@ -237,3 +237,23 @@ def test_bm25_query_terms_fold_into_scan_filter(spark, sf_dir):
     plan = _plan(res)
     assert "array_contains" in plan or "ARRAY_CONTAINS" in plan.upper()
     assert "EvalPython" not in plan
+
+
+def test_quality_classifier_is_shuffle_free_projection(spark, sf_dir):
+    """q92 must stay a pure projection: classifier scoring at 100 TB
+    runs at scan speed — zero exchanges, zero Python."""
+    plan = _plan(Q.queries()["q92_quality_classifier"](spark, sf_dir))
+    assert "Exchange" not in plan
+    for node in _PY_NODES:
+        assert node not in plan
+
+
+def test_semantic_dedup_single_shuffle(spark, sf_dir):
+    """q93's only exchange is the per-cluster representative window;
+    centroid assignment must stay a literal projection (no join, no
+    second shuffle, no Python)."""
+    plan = _plan(Q.queries()["q93_semantic_dedup"](spark, sf_dir))
+    assert plan.count("Exchange") <= 2  # hash partition + AQE read, one shuffle
+    assert "Join" not in plan
+    for node in _PY_NODES:
+        assert node not in plan
