@@ -648,3 +648,48 @@ def quality_classifier_units(
         score.alias("score_units"),
     ).filter(F.col("n_tokens") > 0)
     return out.withColumn("keep", F.col("score_units") > 0)
+
+
+def materialize_mixture(
+    df: DataFrame,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    stream_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic training-mixture materialization: each document is
+    repeated according to its stream's sampling weight — floor(w) whole
+    copies plus one more when the document's hash fraction falls below
+    frac(w) (so a weight of 1.5 doubles a deterministic half of the
+    stream; 0.5 keeps a deterministic half once). The epoch-mixing step
+    of LLM data pipelines (domain up/down-sampling), with membership a
+    pure function of the id — rebuilds, engine swaps, and incremental
+    arrivals reproduce the exact same mixture.
+
+    Emits one row per copy with ``copy_n`` (1-based) so downstream
+    packing can interleave copies deterministically.
+
+    Scale: a pure projection + explode — no shuffle, no UDF; the hash
+    fraction is md5-based like assign_split, so mixture and split
+    assignment stay consistent across engines. Weights are a plan
+    literal (O(streams) CASE arms — streams are languages/domains, not
+    ids)."""
+    if any(w < 0 for w in weights.values()) or default_weight < 0:
+        raise ValueError("mixture weights must be non-negative")
+    w = F.lit(float(default_weight))
+    for name, wt in sorted(weights.items()):
+        w = F.when(F.col(stream_col) == name, F.lit(float(wt))).otherwise(w)
+    base = F.floor(w).cast("long")
+    # hash fraction in [0, 1): first 8 md5 hex chars / 2^32 — both exact
+    # in doubles, so the comparison is engine-stable
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    copies = base + (u < (w - F.floor(w))).cast("long")
+    out = df.withColumn("_copies", copies).filter(F.col("_copies") > 0)
+    return out.withColumn(
+        "copy_n", F.explode(F.sequence(F.lit(1).cast("long"), F.col("_copies")))
+    ).drop("_copies")

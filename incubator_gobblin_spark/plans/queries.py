@@ -71,6 +71,7 @@ _WINDOW_HEAD = [
     "q91_kafka_roundtrip_agg",   # NEW r4: Kafka surface under a hard oracle
     "q92_quality_classifier",    # NEW r4: hashed-linear quality gate
     "q93_semantic_dedup",        # NEW r4: SemDeDup keep-one-per-cluster
+    "q94_mixture_materialize",   # NEW r4: deterministic epoch mixing
     "q31_minhash_candidates",    # rows-only + its invariant q63
     "q32_simhash_neardups",      # rows-only + its invariant q64
     "q34_ann_lsh_topk",          # rows-only + its invariant q69
@@ -2907,6 +2908,40 @@ def q93_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = [[float(x) for x in r["embedding"]] for r in cent_rows]
     return similarity.semantic_dedup(emb, cents)
+
+
+@register(
+    "q94_mixture_materialize",
+    """
+    SELECT doc_id, lang, u.copy_n
+    FROM (
+      SELECT doc_id, lang,
+             CAST(floor(w) AS BIGINT) +
+             (CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        ::BIGINT / 4294967296.0 < w - floor(w)
+                   THEN 1 ELSE 0 END) AS copies
+      FROM (
+        SELECT doc_id, lang,
+               CASE WHEN lang = 'en' THEN 2.5
+                    WHEN lang = 'zh' THEN 1.0
+                    ELSE 0.5 END AS w
+        FROM documents
+      )
+    ), unnest(range(1, copies + 1)) AS u(copy_n)
+    """,
+)
+def q94_mixture_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mixture materialization
+    (corpus.materialize_mixture): per-language sampling weights repeat
+    or thin documents — en 2.5x, zh 1.0x, rest 0.5x — with the
+    fractional copy decided by the doc's md5 hash fraction, so the
+    mixture is a pure function of the id. Projection + explode; no
+    shuffle, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = corpus.materialize_mixture(
+        docs, weights={"en": 2.5, "zh": 1.0}, default_weight=0.5
+    )
+    return mixed.select("doc_id", "lang", "copy_n")
 
 
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
