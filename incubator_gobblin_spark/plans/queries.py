@@ -56,6 +56,9 @@ def register(name: str, oracle: str | None):
 # regardless of this ordering.
 _R03_PROVEN_ANCHORS = {
     # round-1 anchors re-proven in CORRECTNESS_r03 — safe to rotate out
+    # (q01 stays exercised every round through the driver's entry()
+    # smoke check and the bench headline)
+    "q01_pricing_summary",
     "q03_revenue_by_nation",
     "q05_purge_anti_join",
     "q07_dedup_exact_fingerprint",
