@@ -329,3 +329,84 @@ def test_trigram_logprob_multiscript_model_not_hint_broadcast(spark):
     assert got[2]["n_trigrams"] == len("plain ascii text") - 2
     plan = out._jdf.queryExecution().analyzed().toString()
     assert plan.count("ResolvedHint") <= 1
+
+
+def test_materialize_mixture_invariants(spark):
+    """Integer weights give exactly w copies; fractional weights split
+    the stream deterministically; copy_n is dense 1..copies; repeated
+    runs are bit-identical."""
+    from incubator_gobblin_spark.functions import corpus
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(200)],
+        "doc_id BIGINT, lang STRING",
+    )
+    mixed = corpus.materialize_mixture(
+        df, weights={"a": 2.0, "b": 0.5}, stream_col="lang"
+    )
+    rows = mixed.groupBy("doc_id", "lang").count().collect()
+    for r in rows:
+        if r.lang == "a":
+            assert r["count"] == 2  # integer weight: exact copies
+        else:
+            assert r["count"] == 1  # fractional: kept docs appear once
+    n_b = sum(1 for r in rows if r.lang == "b")
+    assert 0 < n_b < 100  # ~half of stream b kept, deterministically
+    again = corpus.materialize_mixture(
+        df, weights={"a": 2.0, "b": 0.5}, stream_col="lang"
+    )
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, mixed.collect())
+    )
+    # copy_n density
+    dense = mixed.filter(F.col("lang") == "a").groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("copy_n")).alias("c")
+    )
+    assert all(r.c == [1, 2] for r in dense.collect())
+
+
+def test_quality_classifier_matches_python_reference(spark):
+    """Engine scores equal a per-token Python recomputation."""
+    import hashlib
+
+    from incubator_gobblin_spark.functions import corpus
+
+    docs = [(1, "alpha beta gamma"), (2, "  one  "), (3, "x y z w")]
+    df = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+    got = {
+        r.doc_id: (r.n_tokens, r.score_units, r.keep)
+        for r in corpus.quality_classifier_units(df).collect()
+    }
+
+    def unit(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:2], 16) - 128
+
+    for doc_id, text in docs:
+        toks = text.split()
+        expected = sum(unit(t) for t in toks)
+        assert got[doc_id] == (len(toks), expected, expected > 0)
+
+
+def test_semantic_dedup_one_keeper_per_cluster(spark):
+    """Exactly one keep per non-empty cluster, and the keeper is the
+    centroid-nearest member (id tie-break)."""
+    import math
+
+    from incubator_gobblin_spark.functions import similarity
+
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+    vecs = [
+        (1, [0.1, 0.0]), (2, [0.2, 0.0]), (3, [9.9, 10.0]),
+        (4, [10.0, 10.1]), (5, [0.1, 0.0]),  # exact tie with 1 -> id wins
+    ]
+    df = spark.createDataFrame(vecs, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    out = similarity.semantic_dedup(df, cents).collect()
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    assert set(by_cluster) == {0, 1}
+    for cid, rows in by_cluster.items():
+        keepers = [r.vec_id for r in rows if r.keep]
+        assert len(keepers) == 1
+    assert [r.vec_id for r in out if r.cluster_id == 0 and r.keep] == [1]
+    assert [r.vec_id for r in out if r.cluster_id == 1 and r.keep] == [3]
