@@ -979,3 +979,84 @@ def test_merge_into_pure_insert_projects_to_target_schema(
     got = sink.read_committed(spark)
     assert sorted(got.columns) == ["k", "v"]
     assert got.count() == 7
+
+
+def test_lake_random_walk_model_check(spark, sf_dir, tmp_path):
+    """Model-based random walk over the WHOLE lake lifecycle: a seeded
+    sequence of appends, CDC merges, compactions, and vacuums applies
+    to both the lake and an in-memory model; after every step the
+    committed snapshot equals the model exactly, and recorded model
+    history stays time-travelable until vacuumed."""
+    import random
+
+    rng = random.Random(7)
+    sink = _sink(tmp_path / "lake", cluster_by=["k"], max_records_per_file=40)
+    model: dict[int, float] = {}
+    history: list[tuple[str, dict[int, float]]] = []
+    next_key = 0
+
+    def fresh_rows(n):
+        nonlocal next_key
+        rows = [(next_key + i, rng.random() * 100) for i in range(n)]
+        next_key += n
+        return rows
+
+    # base append so every op has something to chew on
+    rows = fresh_rows(120)
+    df = spark.createDataFrame(rows, "k BIGINT, v DOUBLE")
+    sink.write_staging(df, "base")
+    sink.publish("base")
+    model.update(dict(rows))
+    history.append(("base", dict(model)))
+
+    for step in range(10):
+        op = rng.choice(["append", "merge", "merge", "compact", "vacuum"])
+        rid = f"s{step}"
+        if op == "append":
+            rows = fresh_rows(rng.randint(10, 60))
+            sink.write_staging(
+                spark.createDataFrame(rows, "k BIGINT, v DOUBLE"), rid
+            )
+            sink.publish(rid)
+            model.update(dict(rows))
+            history.append((rid, dict(model)))
+        elif op == "merge":
+            ups = {
+                k: rng.random() * 1000
+                for k in rng.sample(sorted(model), min(15, len(model)))
+            }
+            ins = dict(fresh_rows(5))
+            dels = rng.sample(sorted(set(model) - set(ups)), 4)
+            batch = (
+                [(k, v, "upsert") for k, v in ups.items()]
+                + [(k, v, None) for k, v in ins.items()]
+                + [(k, 0.0, "delete") for k in dels]
+            )
+            src = spark.createDataFrame(batch, "k BIGINT, v DOUBLE, op STRING")
+            sink.merge_into(spark, src, on=["k"], run_id=rid, op_col="op")
+            model.update(ups)
+            model.update(ins)
+            for k in dels:
+                model.pop(k)
+            history.append((rid, dict(model)))
+        elif op == "compact":
+            cid = sink.compact_runs(spark, run_id=rid)
+            history.append((cid, dict(model)))
+        else:
+            sink.vacuum(keep_last=2)
+            kept = set(sink.manifest_history())
+            history[:] = [(r, m) for r, m in history if r in kept]
+
+        got = {r.k: r.v for r in sink.read_committed(spark).collect()}
+        assert got.keys() == model.keys(), f"step {step} {op}: key set drift"
+        assert all(abs(got[k] - model[k]) < 1e-9 for k in model), (
+            f"step {step} {op}: value drift"
+        )
+        # a recorded historical snapshot still reads exactly
+        if len(history) > 1:
+            rid_h, snap = history[rng.randrange(len(history))]
+            old = {
+                r.k: r.v
+                for r in sink.read_committed(spark, as_of_run=rid_h).collect()
+            }
+            assert old.keys() == snap.keys(), f"time travel drift at {rid_h}"
