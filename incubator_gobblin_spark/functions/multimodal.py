@@ -6,12 +6,16 @@ resize / frame-sample run as Arrow-batched ``mapInPandas`` stages so the
 bytes never round-trip through Python row-at-a-time, and partition sizing
 is controlled by ``spark.sql.files.maxPartitionBytes`` on the read side.
 
-The actual codec calls are STUBBED (this container has no image/audio
-libraries): ``_decode_image_bytes`` raises NotImplementedError unless
-``fake=True``, in which case a deterministic fake (derived from the
-payload hash) stands in so the Spark-side plumbing — schema, batching,
-UDF signatures — is fully real and testable. Swap the stub for
-PIL/torchaudio/ffmpeg calls in a real deployment; nothing else changes.
+Codec status: formats whose containers need no external library decode
+FOR REAL — uncompressed BMP images (:func:`decode_bmp`, struct + numpy
+over the pixel array) and PCM WAV audio (:func:`decode_wav`, stdlib
+``wave``) — through the same Arrow-batched stages. Compressed formats
+(JPEG/PNG/MP4) are STUBBED: ``_decode_image_bytes`` raises
+NotImplementedError unless ``fake=True``, in which case a deterministic
+fake (derived from the payload hash) stands in so the Spark-side
+plumbing — schema, batching, UDF signatures — is fully real and
+testable. Swap the stub for PIL/torchaudio/ffmpeg calls in a real
+deployment; nothing else changes.
 """
 
 from __future__ import annotations
@@ -128,6 +132,103 @@ def binary_stats(
 
     out_schema = f"_id {dict(df.dtypes)[id_col]}, n_bytes long, payload_md5 string"
     return df.mapInPandas(_op, schema=out_schema).withColumnRenamed("_id", id_col)
+
+
+BMP_DECODE_SCHEMA = (
+    "path string, width int, height int, bpp int, mean_lum double"
+)
+WAV_DECODE_SCHEMA = (
+    "path string, sample_rate int, n_channels int, n_samples bigint, "
+    "rms double"
+)
+
+
+def _parse_bmp(b: bytes) -> tuple[int, int, int, float]:
+    """REAL decode of an uncompressed (BI_RGB) 24/32-bit BMP: header
+    fields via struct, pixel array via one numpy view (row padding
+    stripped), mean byte luminance as the summary feature."""
+    import struct
+
+    import numpy as np
+
+    if bytes(b[:2]) != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", b, 10)[0]
+    width = struct.unpack_from("<i", b, 18)[0]
+    height_raw = struct.unpack_from("<i", b, 22)[0]
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    comp = struct.unpack_from("<I", b, 30)[0]
+    if comp != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            "only uncompressed 24/32-bit BMP decodes without codec libs"
+        )
+    height = abs(height_raw)
+    row_bytes = (width * bpp // 8 + 3) & ~3
+    px = np.frombuffer(
+        bytes(b), dtype=np.uint8, count=row_bytes * height, offset=off
+    ).reshape(height, row_bytes)[:, : width * bpp // 8]
+    return width, height, bpp, float(px.mean()) if px.size else 0.0
+
+
+def decode_bmp(df: DataFrame, payload_col: str = "content") -> DataFrame:
+    """Real image decode for the library-free format: BMP payloads ->
+    (width, height, bpp, mean luminance), Arrow batch at a time. The
+    NON-stubbed proof of the decode stage contract."""
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_parse_bmp(b) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"],
+                    "width": [r[0] for r in rows],
+                    "height": [r[1] for r in rows],
+                    "bpp": [r[2] for r in rows],
+                    "mean_lum": [r[3] for r in rows],
+                }
+            )
+
+    return df.mapInPandas(_op, schema=BMP_DECODE_SCHEMA)
+
+
+def _parse_wav(b: bytes) -> tuple[int, int, int, float]:
+    """REAL decode of PCM16 WAV via the stdlib wave reader: sample
+    rate, channels, frame count, and signal RMS."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(bytes(b))) as wf:
+        sr = wf.getframerate()
+        ch = wf.getnchannels()
+        n = wf.getnframes()
+        if wf.getsampwidth() != 2:
+            raise NotImplementedError("PCM16 WAV only")
+        raw = wf.readframes(n)
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    rms = float(np.sqrt((x * x).mean())) if x.size else 0.0
+    return sr, ch, n, rms
+
+
+def decode_wav(df: DataFrame, payload_col: str = "content") -> DataFrame:
+    """Real audio decode (PCM WAV) -> (sample_rate, channels, frames,
+    RMS), Arrow batch at a time."""
+
+    def _op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_parse_wav(b) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"],
+                    "sample_rate": [r[0] for r in rows],
+                    "n_channels": [r[1] for r in rows],
+                    "n_samples": [r[2] for r in rows],
+                    "rms": [r[3] for r in rows],
+                }
+            )
+
+    return df.mapInPandas(_op, schema=WAV_DECODE_SCHEMA)
 
 
 def sample_frames(df: DataFrame, every_n: int = 10,

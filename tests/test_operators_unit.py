@@ -581,3 +581,74 @@ def test_profile_columns_exact_and_approx_paths(spark):
     }
     assert set(approx) == {"x", "s"}
     assert approx["x"]["n_rows"] == 4
+
+
+def _make_bmp(width, height, pixel_value):
+    """Minimal uncompressed 24-bit BMP with constant pixel bytes."""
+    import struct
+
+    row = width * 3
+    pad = (-row) % 4
+    img = (bytes([pixel_value]) * row + b"\x00" * pad) * height
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(img), 0, 0, off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(img), 2835, 2835, 0, 0
+    )
+    return header + dib + img
+
+
+def _make_wav(sample_rate, samples):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    return buf.getvalue()
+
+
+def test_multimodal_real_bmp_decode(spark, tmp_path):
+    """The decode stage runs FOR REAL on the library-free image format:
+    synthesized uncompressed BMPs flow through read_binary_dir ->
+    mapInPandas decode and come back with exact dimensions and
+    luminance."""
+    d = tmp_path / "imgs"
+    d.mkdir()
+    (d / "a.bmp").write_bytes(_make_bmp(5, 3, 100))
+    (d / "b.bmp").write_bytes(_make_bmp(2, 2, 200))
+    df = multimodal.read_binary_dir(spark, str(d), glob="*.bmp")
+    got = {
+        r.path.split("/")[-1]: r
+        for r in multimodal.decode_bmp(df).collect()
+    }
+    a, b = got["a.bmp"], got["b.bmp"]
+    assert (a.width, a.height, a.bpp) == (5, 3, 24)
+    assert abs(a.mean_lum - 100.0) < 1e-9  # constant-pixel image
+    assert (b.width, b.height, b.bpp) == (2, 2, 24)
+    assert abs(b.mean_lum - 200.0) < 1e-9
+
+
+def test_multimodal_real_wav_decode(spark, tmp_path):
+    """PCM WAV decodes through the stdlib reader inside the Arrow
+    stage: exact rate/channel/frame metadata and RMS."""
+    import math
+
+    d = tmp_path / "audio"
+    d.mkdir()
+    (d / "tone.wav").write_bytes(_make_wav(8000, [1000, -1000] * 50))
+    (d / "quiet.wav").write_bytes(_make_wav(16000, [0] * 10))
+    df = multimodal.read_binary_dir(spark, str(d), glob="*.wav")
+    got = {
+        r.path.split("/")[-1]: r
+        for r in multimodal.decode_wav(df).collect()
+    }
+    t = got["tone.wav"]
+    assert (t.sample_rate, t.n_channels, t.n_samples) == (8000, 1, 100)
+    assert abs(t.rms - 1000.0) < 1e-9  # square wave: RMS == amplitude
+    q = got["quiet.wav"]
+    assert (q.sample_rate, q.n_samples, q.rms) == (16000, 10, 0.0)
