@@ -2947,6 +2947,77 @@ def q94_mixture_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixed.select("doc_id", "lang", "copy_n")
 
 
+@register(
+    "q95_multimodal_decode_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(1 + n_chars % 16 AS INT) AS width,
+           CAST(1 + doc_id % 8 AS INT) AS height,
+           24 AS bpp,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_lum
+    FROM documents
+    """,
+)
+def q95_multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL multimodal decode stage under a hard oracle: every
+    document synthesizes an uncompressed BMP payload whose dimensions
+    and constant pixel value are pure functions of its columns
+    (width = 1 + n_chars % 16, height = 1 + doc_id % 8, pixel =
+    doc_id % 256), the bytes run through the Arrow-batched
+    ``decode_bmp`` stage (struct header parse + numpy pixel array with
+    padding stripped), and the decoded values must reproduce the
+    SQL-computed expectations exactly — an encode→decode roundtrip
+    proof that the decode stage really decodes, not a plumbing stub."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from incubator_gobblin_spark.functions import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def _encode(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        import struct as _struct
+
+        def make_bmp(width: int, height: int, pixel: int) -> bytes:
+            row = width * 3
+            pad = (-row) % 4
+            img = (bytes([pixel]) * row + b"\x00" * pad) * height
+            off = 14 + 40
+            header = _struct.pack("<2sIHHI", b"BM", off + len(img), 0, 0, off)
+            dib = _struct.pack(
+                "<IiiHHIIiiII",
+                40, width, height, 1, 24, 0, len(img), 2835, 2835, 0, 0,
+            )
+            return header + dib + img
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "path": pdf["doc_id"].astype(str),
+                    "content": [
+                        make_bmp(
+                            1 + int(n) % 16, 1 + int(d) % 8, int(d) % 256
+                        )
+                        for d, n in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    encoded = docs.mapInPandas(
+        _encode, schema="doc_id bigint, path string, content binary"
+    )
+    decoded = MM.decode_bmp(encoded)
+    return decoded.select(
+        F.col("path").cast("long").alias("doc_id"),
+        "width",
+        "height",
+        "bpp",
+        "mean_lum",
+    )
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the multi-way broadcast star join + aggregation."""
     return q03_revenue_by_nation(spark, sf_dir)
