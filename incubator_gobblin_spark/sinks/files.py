@@ -706,6 +706,11 @@ class FileSink:
     def _merge_attempt(
         self, spark, source: DataFrame, upserts: DataFrame, on: list[str], rid: str
     ) -> str:
+        if source.isEmpty():
+            # an empty CDC batch is a semantic no-op: without this guard
+            # the empty key bounds would match EVERY candidate group
+            # (O(live) metadata reads) and commit an empty run
+            return rid
         ptr0 = self._read_pointer()
         manifest = self._load_manifest_rel(ptr0)
         if manifest is None:  # first commit: plain publish of upserts

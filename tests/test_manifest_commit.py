@@ -1060,3 +1060,28 @@ def test_lake_random_walk_model_check(spark, sf_dir, tmp_path):
                 for r in sink.read_committed(spark, as_of_run=rid_h).collect()
             }
             assert old.keys() == snap.keys(), f"time travel drift at {rid_h}"
+
+
+def test_merge_into_empty_source_is_noop(spark, sf_dir, tmp_path, monkeypatch):
+    """An empty CDC batch must not commit anything — and must not read
+    a single manifest group (the empty key bounds would otherwise match
+    every candidate)."""
+    region = load_table(spark, sf_dir, "region")
+    sink = _sink(tmp_path / "lake")
+    sink.write_staging(region, "base")
+    sink.publish("base")
+
+    reads = []
+    orig = FileSink._load_group
+    monkeypatch.setattr(
+        FileSink,
+        "_load_group",
+        lambda self, g: (reads.append(g["file"]), orig(self, g))[1],
+    )
+    empty = region.limit(0).withColumn("op", F.lit("upsert"))
+    rid = sink.merge_into(spark, empty, on=["r_regionkey"], run_id="m1", op_col="op")
+    monkeypatch.undo()
+    assert rid == "m1"
+    assert sink.manifest_history() == ["base"]  # nothing committed
+    assert reads == []  # no group metadata touched
+    assert sink.read_committed(spark).count() == 5
