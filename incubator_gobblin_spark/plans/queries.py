@@ -51,7 +51,8 @@ def register(name: str, oracle: str | None):
 # rows-only queries with their oracle-checked coverage invariants, then
 # the q02-q50 bulk whose last driver-green rows date from round 2 —
 # so every registered query has a green row at most one round old.
-# q51-q90 (all driver-green in r03) rotate out; the local parity suite
+# q51-q90 (all driver-green in r03) and q50 (r02-green, displaced by the
+# new q95) rotate out; the local parity suite
 # (tests/test_oracle_parity.py) still covers ALL oracle-backed queries
 # regardless of this ordering.
 _R03_PROVEN_ANCHORS = {
@@ -75,6 +76,7 @@ _WINDOW_HEAD = [
     "q92_quality_classifier",    # NEW r4: hashed-linear quality gate
     "q93_semantic_dedup",        # NEW r4: SemDeDup keep-one-per-cluster
     "q94_mixture_materialize",   # NEW r4: deterministic epoch mixing
+    "q95_multimodal_decode_roundtrip",  # NEW r4: real BMP decode roundtrip
     "q31_minhash_candidates",    # rows-only + its invariant q63
     "q32_simhash_neardups",      # rows-only + its invariant q64
     "q34_ann_lsh_topk",          # rows-only + its invariant q69

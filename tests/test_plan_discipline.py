@@ -81,7 +81,13 @@ PYTHON_BY_NECESSITY = {
 # Multimodal plumbing is DEFINED as an Arrow mapInPandas stage (binary
 # codecs are Python-library territory); its query is exempt with a
 # different expected node than the pandas-UDF projections above.
-MAP_IN_PANDAS_BY_DESIGN = {"q78_multimodal_binary_stats"}
+MAP_IN_PANDAS_BY_DESIGN = {
+    "q78_multimodal_binary_stats",
+    # encode→decode_bmp roundtrip: both stages are the engine's Arrow
+    # mapInPandas multimodal contract (binary codecs are Python-library
+    # territory by definition)
+    "q95_multimodal_decode_roundtrip",
+}
 
 _PY_NODES = ("EvalPython", "MapInPandas", "FlatMapGroupsInPandas")
 
