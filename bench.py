@@ -44,6 +44,9 @@ HEADLINE = [
     "q88_manifest_snapshot_agg",  # manifest-lake pruned read + agg
     "q89_dedup_lines",         # C4-style line dedup
     "q91_kafka_roundtrip_agg",  # Kafka bounded read + payload decode
+    # second-wave round-4 additions
+    "q96_dsir_weights",        # DSIR hashed-model data selection
+    "q99_pq_topk",             # PQ ADC scan (shuffle-free top-k)
 ]
 
 

@@ -693,3 +693,114 @@ def materialize_mixture(
     return out.withColumn(
         "copy_n", F.explode(F.sequence(F.lit(1).cast("long"), F.col("_copies")))
     ).drop("_copies")
+
+
+def dsir_logratio(
+    df: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023): score every raw document by how much
+    more likely its hashed bag-of-words is under the TARGET distribution
+    (the in-domain subset selected by the ``target`` boolean Column)
+    than under the RAW corpus distribution. Selection then keeps the
+    top-weight documents — the importance-resampling step that tilts a
+    web-scale crawl toward a curated domain without training a model.
+
+    Features are hashed unigrams: bucket = first 16 bits of md5(token)
+    mod ``n_buckets`` — deterministic across engines, so the oracle
+    recomputes the identical model. Both distributions use add-one
+    smoothing over the bucket space; the per-token log-ratio rounds to
+    6 dp and sums through an exact decimal, giving an
+    accumulation-order-free ``sum_logratio`` (mean = sum / n_tokens).
+
+    Scale: the model is ONE count shuffle that collapses to at most
+    ``n_buckets`` rows (map-side combine reduces each task's output to
+    n_buckets partials regardless of corpus size); totals ride a
+    broadcast one-row aggregate; scoring re-joins tokens to the
+    n_buckets-row model by broadcast — so the only per-document shuffle
+    is the final groupBy(id). Raw and target counts come out of the
+    SAME aggregation pass (target is a count-if), not two corpus scans."""
+    if n_buckets < 2 or n_buckets > 65536:
+        raise ValueError("n_buckets must be in [2, 65536]")
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        target.cast("boolean").alias("_tgt"),
+        F.explode(_toks(text_col)).alias("_t"),
+    ).withColumn(
+        "_b",
+        F.conv(F.substring(F.md5(F.col("_t")), 1, 4), 16, 10).cast("long")
+        % F.lit(n_buckets),
+    )
+    model = toks.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_raw_c"),
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("_tgt_c"),
+    )
+    totals = model.agg(
+        F.sum("_raw_c").cast("double").alias("_raw_t"),
+        F.sum("_tgt_c").cast("double").alias("_tgt_t"),
+    )
+    nb = F.lit(float(n_buckets))
+    lr = F.round(
+        F.log((F.col("_tgt_c") + 1) / (F.col("_tgt_t") + nb))
+        - F.log((F.col("_raw_c") + 1) / (F.col("_raw_t") + nb)),
+        6,
+    ).cast("decimal(18,6)")
+    scored = (
+        toks.join(F.broadcast(model), on="_b")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(lr).cast("double").alias("sum_logratio"),
+        )
+    )
+    return scored.select(F.col("_id").alias(id_col), "n_tokens", "sum_logratio")
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+    max_chars: int = 1000,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: score documents with the
+    corpus trigram LM (:func:`trigram_logprob`) and split each language
+    into head / middle / tail terciles by mean log-probability — the
+    published CCNet pipeline keeps head+middle and drops (or
+    down-weights) the tail. Deterministic: terciles come from an
+    explicit rank ordered by (mean desc, id) — never ntile over an
+    unspecified tie order — so engines agree on every boundary row.
+
+    Scale: trigram_logprob's shuffles plus one id-join to recover the
+    group column and one per-group window. The window partitions by
+    language — bounded cardinality, and each partition sorts only its
+    own documents."""
+    scored = trigram_logprob(df, id_col=id_col, text_col=text_col, max_chars=max_chars)
+    with_grp = scored.join(
+        df.select(F.col(id_col), F.col(group_col)), on=id_col
+    ).withColumn(
+        "_mean", F.col("sum_logp") / F.col("n_trigrams")
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(group_col).orderBy(F.desc("_mean"), F.col(id_col))
+    ranked = with_grp.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(W.partitionBy(group_col))
+    )
+    bucket = (
+        F.when(F.col("_rn") * 3 <= F.col("_n"), F.lit("head"))
+        .when(F.col("_rn") * 3 <= F.col("_n") * 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return ranked.select(
+        F.col(id_col),
+        F.col(group_col),
+        "n_trigrams",
+        "sum_logp",
+        bucket.alias("ppl_bucket"),
+    )

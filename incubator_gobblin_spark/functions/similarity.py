@@ -592,3 +592,125 @@ def semantic_dedup(
     return assigned.withColumn(
         "keep", F.row_number().over(w) == 1
     ).select(id_col, "cluster_id", "keep")
+
+
+def _sub_l2(vec: Column, start: int, centroid: list[float]) -> Column:
+    """Rounded L2 distance between a vector SLICE (1-based ``start``,
+    ``len(centroid)`` wide) and a literal sub-centroid — the shared
+    determinism contract with the SQL oracle (round 6, as ivf_topk)."""
+    sub = F.slice(vec, start, len(centroid))
+    return F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    sub,
+                    F.array(*[F.lit(x) for x in centroid]),
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        6,
+    )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): split each
+    vector into ``m = len(codebooks)`` contiguous subspaces and store,
+    per subspace, the index of the nearest sub-centroid — compressing a
+    dim×float64 vector to m small codes. Returns (id, codes array<int>).
+
+    Determinism: sub-distances round to 6 dp, argmin ties go to the
+    lowest centroid index (array_position finds the FIRST minimum).
+
+    Scale: a pure Column projection against literal codebooks — no
+    shuffle, no join, no UDF; encoding 100 TB of embeddings is a
+    scan-speed map, and the 8-byte-ish codes (not the raw vectors) are
+    what downstream ADC scans shuffle or cache."""
+    m = len(codebooks)
+    if m == 0:
+        raise ValueError("codebooks must be non-empty")
+    sub_dim = len(codebooks[0][0])
+    codes = []
+    for j, book in enumerate(codebooks):
+        d = F.array(*[_sub_l2(F.col(vec_col), j * sub_dim + 1, c) for c in book])
+        codes.append((F.array_position(d, F.array_min(d)) - 1).cast("int"))
+    return vectors.select(F.col(id_col), F.array(*codes).alias("codes"))
+
+
+def pq_topk(
+    vectors: DataFrame,
+    query: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: approximate the query→vector
+    squared L2 distance as the sum over subspaces of the (squared)
+    distance from the query's sub-vector to the vector's ASSIGNED
+    sub-centroid — the ADC table scan of a PQ index. Returns
+    (neighbor_id, approx_dist), the k smallest with ties on id.
+
+    Determinism contract (mirrored by the SQL oracle): per-subspace
+    distances round to 6 dp before squaring, squared terms round to
+    6 dp again, and the final sum runs through an exact decimal — so
+    both engines produce bit-identical approx_dist.
+
+    Scale: the distance lookup table is m×k literals folded into the
+    projection (a real deployment broadcasts it; either way no join
+    touches the corpus), encoding+ADC is one scan-speed projection, and
+    the only "shuffle" is TakeOrdered's O(k) per-partition heads — the
+    same plan at 500 rows and 100 TB. Compose with ``ivf_assign``
+    partition pruning for IVFPQ: probe cells first, ADC inside them."""
+    m = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    if len(query) != m * sub_dim:
+        raise ValueError("query dimension does not match codebooks")
+    terms = []
+    for j, book in enumerate(codebooks):
+        d = F.array(
+            *[_sub_l2(F.col(vec_col), j * sub_dim + 1, c) for c in book]
+        )
+        code = F.array_position(d, F.array_min(d)).cast("int")  # 1-based
+        # the ADC lookup row for subspace j: squared rounded distance
+        # from the query's sub-vector to each centroid (plan literal)
+        qsub = query[j * sub_dim : (j + 1) * sub_dim]
+        # HALF_UP at 6 dp, matching F.round / DuckDB round — Python's
+        # built-in round() is banker's rounding and can disagree on
+        # exact .5e-7 boundaries
+        from decimal import ROUND_HALF_UP, Decimal
+
+        r6 = lambda x: float(  # noqa: E731
+            Decimal(repr(x)).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
+        )
+        lut = [
+            r6(
+                r6(math.sqrt(sum((a - b) * (a - b) for a, b in zip(qsub, c))))
+                ** 2
+            )
+            for c in book
+        ]
+        terms.append(
+            F.element_at(F.array(*[F.lit(x) for x in lut]), code).cast(
+                "decimal(18,6)"
+            )
+        )
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    out = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        total.cast("double").alias("approx_dist"),
+    )
+    if exclude_id is not None:
+        out = out.filter(F.col("neighbor_id") != exclude_id)
+    return out.orderBy(F.col("approx_dist").asc(), F.col("neighbor_id").asc()).limit(k)

@@ -51,8 +51,10 @@ def register(name: str, oracle: str | None):
 # rows-only queries with their oracle-checked coverage invariants, then
 # the q02-q50 bulk whose last driver-green rows date from round 2 —
 # so every registered query has a green row at most one round old.
-# q51-q90 (all driver-green in r03) and q50 (r02-green, displaced by the
-# new q95) rotate out; the local parity suite
+# q51-q90 (all driver-green in r03) rotate out, as do q45/q46/q48/q49/
+# q50 (r02-green, displaced by the brand-new q95-q99 — a new operator
+# with NO driver row outranks a simple one with a two-round-old green
+# row); the local parity suite
 # (tests/test_oracle_parity.py) still covers ALL oracle-backed queries
 # regardless of this ordering.
 _R03_PROVEN_ANCHORS = {
@@ -77,6 +79,10 @@ _WINDOW_HEAD = [
     "q93_semantic_dedup",        # NEW r4: SemDeDup keep-one-per-cluster
     "q94_mixture_materialize",   # NEW r4: deterministic epoch mixing
     "q95_multimodal_decode_roundtrip",  # NEW r4: real BMP decode roundtrip
+    "q96_dsir_weights",          # NEW r4: DSIR importance resampling
+    "q97_perplexity_buckets",    # NEW r4: CCNet head/middle/tail split
+    "q98_lake_changes",          # NEW r4: manifest-lake change data feed
+    "q99_pq_topk",               # NEW r4: product-quantization ADC topk
     "q31_minhash_candidates",    # rows-only + its invariant q63
     "q32_simhash_neardups",      # rows-only + its invariant q64
     "q34_ann_lsh_topk",          # rows-only + its invariant q69
@@ -3018,6 +3024,215 @@ def q95_multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
         "bpp",
         "mean_lum",
     )
+
+
+@register(
+    "q96_dsir_weights",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang = 'en' AS tgt,
+             ('0x' || substr(md5(t), 1, 4))::BIGINT % 256 AS b
+      FROM (SELECT doc_id, lang, unnest(regexp_extract_all(text, '\S+')) AS t
+            FROM documents)
+    ), model AS (
+      SELECT b, count(*) AS raw_c,
+             sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tgt_c
+      FROM toks GROUP BY b
+    ), tot AS (
+      SELECT CAST(sum(raw_c) AS DOUBLE) AS raw_t,
+             CAST(sum(tgt_c) AS DOUBLE) AS tgt_t FROM model
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           CAST(sum(CAST(round(ln((tgt_c + 1) / (tgt_t + 256))
+                             - ln((raw_c + 1) / (raw_t + 256)), 6)
+                    AS DECIMAL(18,6))) AS DOUBLE) AS sum_logratio
+    FROM toks JOIN model USING (b) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def q96_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (corpus.dsir_logratio): hashed-unigram
+    log-likelihood ratio of the target domain (lang='en') vs the raw
+    corpus, per document — the importance-resampling data-selection
+    step (Xie et al. 2023). Model = ONE count shuffle collapsing to 256
+    bucket rows; scoring = broadcast join + one doc aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.dsir_logratio(docs, F.col("lang") == "en")
+
+
+@register(
+    "q97_perplexity_buckets",
+    """
+    WITH tris AS (
+      SELECT doc_id, substr(t, i, 3) AS tri
+      FROM (SELECT doc_id, lower(substr(text, 1, 1000)) AS t FROM documents),
+           unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)
+    ), model AS (SELECT tri, count(*) AS c FROM tris GROUP BY tri),
+    total AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM model),
+    scored AS (
+      SELECT doc_id, count(*) AS n_trigrams,
+             CAST(sum(CAST(round(ln(c / total), 6) AS DECIMAL(18,6)))
+                  AS DOUBLE) AS sum_logp
+      FROM tris JOIN model USING (tri) CROSS JOIN total
+      GROUP BY doc_id
+    ), ranked AS (
+      SELECT s.doc_id, d.lang, s.n_trigrams, s.sum_logp,
+             row_number() OVER (PARTITION BY d.lang
+                 ORDER BY s.sum_logp / s.n_trigrams DESC, s.doc_id) AS rn,
+             count(*) OVER (PARTITION BY d.lang) AS n
+      FROM scored s JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, lang, n_trigrams, sum_logp,
+           CASE WHEN rn * 3 <= n THEN 'head'
+                WHEN rn * 3 <= n * 2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM ranked
+    """,
+)
+def q97_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity bucketing (corpus.perplexity_buckets): trigram
+    LM score -> per-language head/middle/tail terciles with explicit
+    deterministic tie-breaks — the published CCNet keep-head+middle
+    quality split, composed from the engine's own trigram model."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.perplexity_buckets(docs)
+
+
+@register(
+    "q98_lake_changes",
+    """
+    WITH base AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+    upd AS (SELECT * FROM base
+            WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0),
+    del AS (SELECT * FROM base WHERE o_orderkey % 11 = 0),
+    ins AS (SELECT * FROM orders
+            WHERE o_orderkey % 3 = 1 AND o_orderkey % 5 = 0)
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           'upd:' || CAST(o_orderkey AS VARCHAR) AS o_orderpriority,
+           'insert' AS _change_type
+    FROM upd
+    UNION ALL
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE), o_orderpriority, 'delete'
+    FROM upd
+    UNION ALL
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE), o_orderpriority, 'delete'
+    FROM del
+    UNION ALL
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE), o_orderpriority, 'insert'
+    FROM ins
+    """,
+)
+def q98_lake_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed over the manifest lake (FileSink.read_changes):
+    a base snapshot of orders takes a CDC merge (updates, deletes,
+    inserts), and the CDF between the two commits must be EXACTLY the
+    delete+insert pairs of the updates, the deletes, and the inserts —
+    rewritten-but-identical survivor rows cancel. The file diff is
+    driver-side manifest metadata; only rewritten files are read."""
+    import shutil
+
+    from incubator_gobblin_spark.sinks.files import FileSink, TableType
+
+    cache = _cache_dir("lakecdf", sf_dir, "orders")
+    sink = FileSink(
+        path=cache, table_type=TableType.APPEND_ONLY, commit_mode="manifest"
+    )
+    done = (
+        sink.current_manifest() is not None
+        and "cdc1" in sink.manifest_history()
+    )
+    if not done:
+        shutil.rmtree(cache, ignore_errors=True)
+        sink = FileSink(
+            path=cache, table_type=TableType.APPEND_ONLY, commit_mode="manifest"
+        )
+        orders = load_table(spark, sf_dir, "orders")
+        k = F.col("o_orderkey")
+        sink.write_staging(orders.filter(k % 3 == 0).repartition(4), "base")
+        sink.publish("base")
+        cdc_touch = orders.filter(
+            (k % 3 == 0) & ((k % 7 == 0) | (k % 11 == 0))
+        ).withColumn(
+            "o_orderpriority",
+            F.when(
+                k % 11 != 0, F.concat(F.lit("upd:"), k.cast("string"))
+            ).otherwise(F.col("o_orderpriority")),
+        ).withColumn(
+            "op", F.when(k % 11 == 0, F.lit("delete")).otherwise(F.lit(None))
+        )
+        ins = orders.filter((k % 3 == 1) & (k % 5 == 0)).withColumn(
+            "op", F.lit(None).cast("string")
+        )
+        sink.merge_into(
+            spark,
+            cdc_touch.unionByName(ins),
+            on=["o_orderkey"],
+            run_id="cdc1",
+            op_col="op",
+        )
+    changes = sink.read_changes(spark, "base")
+    return changes.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "o_orderpriority",
+        "_change_type",
+    )
+
+
+@register(
+    "q99_pq_topk",
+    """
+    WITH j AS (SELECT unnest(range(0, 8)) AS j),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+              FROM embeddings WHERE vec_id < 8),
+    csub AS (SELECT c.cid, j.j, list_slice(c.cv, j.j*8+1, j.j*8+8) AS csv
+             FROM cents c, j),
+    qsub AS (SELECT j.j, list_slice(q.qv, j.j*8+1, j.j*8+8) AS qsv FROM q, j),
+    coded AS (
+      SELECT e.vec_id, c.j, c.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id, c.j
+               ORDER BY round(list_distance(
+                   list_slice(e.embedding::DOUBLE[], c.j*8+1, c.j*8+8),
+                   c.csv), 6),
+                 c.cid) AS rn
+      FROM embeddings e, csub c
+    ),
+    terms AS (
+      SELECT co.vec_id,
+             round(round(list_distance(qs.qsv, cs.csv), 6) ^ 2, 6) AS t
+      FROM coded co
+      JOIN csub cs ON cs.j = co.j AND cs.cid = co.cid
+      JOIN qsub qs ON qs.j = co.j
+      WHERE co.rn = 1
+    )
+    SELECT vec_id AS neighbor_id,
+           CAST(sum(CAST(t AS DECIMAL(18,6))) AS DOUBLE) AS approx_dist
+    FROM terms WHERE vec_id <> 0
+    GROUP BY vec_id
+    ORDER BY approx_dist ASC, neighbor_id ASC
+    LIMIT 20
+    """,
+)
+def q99_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (similarity.pq_topk, Jégou et al.
+    2011): 64-dim embeddings split into 8x8 subspaces, codebooks from
+    the first 8 vectors' sub-slices (deterministic, as q93's
+    centroids), query = vec_id 0. Codes and the distance lookup table
+    are plan literals — the whole ADC scan is a shuffle-free projection
+    + TakeOrdered."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    cents = [[float(x) for x in r["embedding"]] for r in rows]
+    codebooks = [[c[j * 8 : (j + 1) * 8] for c in cents] for j in range(8)]
+    query = cents[0]
+    return similarity.pq_topk(emb, query, codebooks, k=20, exclude_id=0)
 
 
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

@@ -634,6 +634,63 @@ class FileSink:
             )
         return kept_n, total
 
+    def read_changes(
+        self, spark, from_run: str, to_run: str | None = None
+    ) -> DataFrame:
+        """Change-data-feed between two committed snapshots: the
+        row-level inserts and deletes that turn ``from_run``'s snapshot
+        into ``to_run``'s (default: the current one), tagged with a
+        ``_change_type`` column in {insert, delete}. An update surfaces
+        as its delete+insert pair — the copy-on-write lake stores no
+        row lineage, exactly like change-data-feed readers over
+        rewrite-based table formats. Downstream incremental consumers
+        (index maintenance, replication, cache invalidation) read the
+        delta instead of re-scanning the snapshot.
+
+        Scale shape: the manifest diff is pure driver-side metadata —
+        files present in both snapshots are carried by reference across
+        commits (append runs untouched by a merge, compaction aside),
+        so they are never listed, read, or shuffled. Only the files
+        the interval actually rewrote are scanned, and the
+        ``exceptAll`` that cancels rewritten-but-identical survivor
+        rows shuffles just those files' rows. A merge that touched 3
+        files of a million-file lake costs a 6-file read, independent
+        of table size. (``compact_runs`` rewrites every file by design;
+        a CDF across a compaction boundary degrades to a full diff —
+        consume changes before compacting, as with any rewrite-based
+        CDF.)"""
+        old_m = self.current_manifest(from_run)
+        new_m = (
+            self.current_manifest(to_run)
+            if to_run is not None
+            else self.current_manifest()
+        )
+        if new_m is None:
+            raise FileNotFoundError(f"no committed manifest under {self.path}")
+        old_files = {e["file"] for e in old_m["entries"]}
+        new_files = {e["file"] for e in new_m["entries"]}
+        added = [e for e in new_m["entries"] if e["file"] not in old_files]
+        removed = [e for e in old_m["entries"] if e["file"] not in new_files]
+        ct = "_change_type"
+        if not added and not removed:
+            return (
+                self.read_committed(spark, as_of_run=from_run)
+                .limit(0)
+                .withColumn(ct, F.lit("").cast("string"))
+            )
+        added_df = self._read_entries(spark, added) if added else None
+        removed_df = self._read_entries(spark, removed) if removed else None
+        if added_df is not None and removed_df is not None:
+            removed_df = removed_df.select(added_df.columns)
+            inserts = added_df.exceptAll(removed_df)
+            deletes = removed_df.exceptAll(added_df)
+            return inserts.withColumn(ct, F.lit("insert")).unionByName(
+                deletes.withColumn(ct, F.lit("delete"))
+            )
+        if added_df is not None:
+            return added_df.withColumn(ct, F.lit("insert"))
+        return removed_df.withColumn(ct, F.lit("delete"))
+
     def merge_into(
         self,
         spark,

@@ -410,3 +410,75 @@ def test_semantic_dedup_one_keeper_per_cluster(spark):
         assert len(keepers) == 1
     assert [r.vec_id for r in out if r.cluster_id == 0 and r.keep] == [1]
     assert [r.vec_id for r in out if r.cluster_id == 1 and r.keep] == [3]
+
+
+def test_dsir_weights_tilt_toward_target_vocab(spark):
+    """Documents sharing the target domain's vocabulary must score a
+    higher mean log-ratio than documents of off-domain vocabulary, and
+    n_tokens must count exactly the whitespace tokens."""
+    rows = (
+        [(i, "law court judge statute ruling", "en") for i in range(5)]
+        + [(10 + i, "pizza recipe cheese oven dough", "de") for i in range(5)]
+        + [(100, "law court judge", "de"), (101, "pizza cheese oven", "en")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r.doc_id: r
+        for r in corpus.dsir_logratio(df, F.col("lang") == "en").collect()
+    }
+    assert out[100].n_tokens == 3 and out[101].n_tokens == 3
+    # doc 100 uses en-dominant vocab, doc 101 de-dominant vocab
+    m100 = out[100].sum_logratio / out[100].n_tokens
+    m101 = out[101].sum_logratio / out[101].n_tokens
+    assert m100 > m101
+
+
+def test_dsir_partitioning_invariant(spark):
+    df = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3} shared", "en" if i % 2 else "de")
+         for i in range(40)],
+        "doc_id long, text string, lang string",
+    )
+    a = sorted(
+        (r.doc_id, r.n_tokens, r.sum_logratio)
+        for r in corpus.dsir_logratio(df, F.col("lang") == "en").collect()
+    )
+    b = sorted(
+        (r.doc_id, r.n_tokens, r.sum_logratio)
+        for r in corpus.dsir_logratio(
+            df.repartition(7), F.col("lang") == "en"
+        ).collect()
+    )
+    assert a == b
+
+
+def test_perplexity_buckets_terciles_and_ordering(spark):
+    """Per language: bucket sizes differ by at most 1, and every head
+    doc's mean log-prob >= every middle doc's >= every tail doc's."""
+    import random
+
+    rng = random.Random(7)
+    words = ["the", "cat", "sat", "mat", "dog", "ran", "far", "qqq", "zzz"]
+    rows = [
+        (i, " ".join(rng.choices(words, k=20)), "en" if i % 2 else "fr")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = corpus.perplexity_buckets(df).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        sizes = {
+            b: sum(1 for r in rs if r.ppl_bucket == b)
+            for b in ("head", "middle", "tail")
+        }
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (lang, sizes)
+        means = {
+            b: [r.sum_logp / r.n_trigrams for r in rs if r.ppl_bucket == b]
+            for b in ("head", "middle", "tail")
+        }
+        if means["head"] and means["middle"]:
+            assert min(means["head"]) >= max(means["middle"]) - 1e-9
+        if means["middle"] and means["tail"]:
+            assert min(means["middle"]) >= max(means["tail"]) - 1e-9

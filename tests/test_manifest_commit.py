@@ -1085,3 +1085,102 @@ def test_merge_into_empty_source_is_noop(spark, sf_dir, tmp_path, monkeypatch):
     assert sink.manifest_history() == ["base"]  # nothing committed
     assert reads == []  # no group metadata touched
     assert sink.read_committed(spark).count() == 5
+
+
+def test_read_changes_update_delete_insert_pairs(spark, tmp_path):
+    """CDF between two commits: an update surfaces as its delete+insert
+    pair, a delete as one delete row, an insert as one insert row —
+    and rewritten-but-identical survivor rows cancel entirely."""
+    sink = _sink(tmp_path / "lake", table_type=TableType.APPEND_ONLY)
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k INT, v STRING"
+    )
+    sink.write_staging(base.repartition(3), "r1")
+    sink.publish("r1")
+    cdc = spark.createDataFrame(
+        [(3, "v3-new", None), (99, "v99", None), (5, None, "delete")],
+        "k INT, v STRING, op STRING",
+    )
+    sink.merge_into(spark, cdc, on=["k"], run_id="m1", op_col="op")
+
+    ch = {
+        (r.k, r.v, r._change_type)
+        for r in sink.read_changes(spark, "r1").collect()
+    }
+    assert ch == {
+        (3, "v3", "delete"),
+        (3, "v3-new", "insert"),
+        (5, "v5", "delete"),
+        (99, "v99", "insert"),
+    }
+
+
+def test_read_changes_same_snapshot_is_empty(spark, tmp_path):
+    sink = _sink(tmp_path / "lake", table_type=TableType.APPEND_ONLY)
+    df = spark.createDataFrame([(1, "a")], "k INT, v STRING")
+    sink.write_staging(df, "r1")
+    sink.publish("r1")
+    out = sink.read_changes(spark, "r1", "r1")
+    assert out.count() == 0
+    assert "_change_type" in out.columns
+
+
+def test_read_changes_append_interval_is_pure_inserts(spark, tmp_path):
+    """An append-only interval diffs to exactly the appended rows, and
+    the carried base files are never read: the manifest diff excludes
+    them driver-side (the O(changed files) contract)."""
+    sink = _sink(tmp_path / "lake", table_type=TableType.APPEND_ONLY)
+    sink.write_staging(
+        spark.createDataFrame([(i, "base") for i in range(50)], "k INT, v STRING"),
+        "r1",
+    )
+    sink.publish("r1")
+    sink.write_staging(
+        spark.createDataFrame([(100 + i, "new") for i in range(5)], "k INT, v STRING"),
+        "r2",
+    )
+    sink.publish("r2")
+    ch = sink.read_changes(spark, "r1")
+    rows = ch.collect()
+    assert len(rows) == 5
+    assert all(r._change_type == "insert" and r.v == "new" for r in rows)
+    # file-level accounting: the diff's scan lists ONLY r2's files
+    scanned = ch.inputFiles()
+    assert scanned and all("_data/r2" in f for f in scanned)
+
+
+def test_read_changes_across_merge_reads_only_rewritten_files(
+    spark, sf_dir, tmp_path
+):
+    """A narrow merge into a multi-file lake: the CDF scans the
+    rewritten files plus the merge run — carried files stay out of the
+    plan entirely."""
+    orders = load_table(spark, sf_dir, "orders")
+    sink = _sink(
+        tmp_path / "lake", cluster_by=["o_orderkey"], max_records_per_file=200
+    )
+    sink.write_staging(orders, "base")
+    sink.publish("base")
+    before = {e["file"] for e in sink.current_manifest()["entries"]}
+    keys = [r.o_orderkey for r in orders.orderBy("o_orderkey").limit(3).collect()]
+    src = (
+        orders.filter(F.col("o_orderkey").isin(keys))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+        .withColumn("op", F.lit("upsert"))
+    )
+    sink.merge_into(spark, src, on=["o_orderkey"], run_id="m1", op_col="op")
+    after = {e["file"] for e in sink.current_manifest()["entries"]}
+    carried = before & after
+    assert carried, "clustered narrow merge must carry most files"
+
+    ch = sink.read_changes(spark, "base")
+    got = {
+        (r.o_orderkey, r._change_type)
+        for r in ch.select("o_orderkey", "_change_type").collect()
+    }
+    assert got == {(k, "insert") for k in keys} | {(k, "delete") for k in keys}
+    scanned = ch.inputFiles()
+    for f in carried:
+        assert not any(f in s for s in scanned), (
+            f"carried file {f} must not be scanned by CDF"
+        )

@@ -652,3 +652,39 @@ def test_multimodal_real_wav_decode(spark, tmp_path):
     assert abs(t.rms - 1000.0) < 1e-9  # square wave: RMS == amplitude
     q = got["quiet.wav"]
     assert (q.sample_rate, q.n_samples, q.rms) == (16000, 10, 0.0)
+
+
+def test_pq_encode_and_topk_invariants(spark):
+    """PQ: codes land in [0, k); an exact duplicate of the query vector
+    gets approx_dist equal to the query's own quantization residual —
+    the minimum possible — and ranks first; top-k is deterministic
+    under repartitioning."""
+    import random
+
+    rng = random.Random(11)
+    dim, m, sub = 16, 4, 4
+    vecs = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(60)
+    ]
+    # vec 50 = exact copy of vec 0 (the query)
+    vecs[50] = (50, list(vecs[0][1]))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cents = [v for _, v in vecs[:8]]
+    books = [[c[j * sub : (j + 1) * sub] for c in cents] for j in range(m)]
+
+    codes = {r.vec_id: r.codes for r in similarity.pq_encode(df, books).collect()}
+    assert all(0 <= c < 8 for cs in codes.values() for c in cs)
+    assert codes[50] == codes[0]  # identical vectors encode identically
+
+    top = similarity.pq_topk(
+        df, list(vecs[0][1]), books, k=5, exclude_id=0
+    ).collect()
+    assert top[0].neighbor_id == 50
+    # vec 0 is centroid 0 of every book: its copy's residual is 0
+    assert top[0].approx_dist == 0.0
+    again = similarity.pq_topk(
+        df.repartition(5), list(vecs[0][1]), books, k=5, exclude_id=0
+    ).collect()
+    assert [(r.neighbor_id, r.approx_dist) for r in top] == [
+        (r.neighbor_id, r.approx_dist) for r in again
+    ]

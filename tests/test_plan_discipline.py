@@ -263,3 +263,22 @@ def test_semantic_dedup_single_shuffle(spark, sf_dir):
     assert "Join" not in plan
     for node in _PY_NODES:
         assert node not in plan
+
+
+def test_pq_topk_is_shuffle_free_takeordered(spark, sf_dir):
+    """q99: PQ codes + the ADC lookup are plan literals, so the whole
+    scan is a projection and the global top-k is TakeOrderedAndProject
+    — zero Exchange at any scale."""
+    plan = _plan(Q.queries()["q99_pq_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_dsir_model_join_is_broadcast(spark, sf_dir):
+    """q96: the 256-bucket model must re-join tokens by BROADCAST —
+    the token stream (the 100 TB side) never shuffles for the join;
+    only the bounded bucket aggregations and the final doc groupBy
+    exchange."""
+    plan = _plan(Q.queries()["q96_dsir_weights"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
