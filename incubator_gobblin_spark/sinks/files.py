@@ -84,6 +84,15 @@ class FileSink:
     # cheap half of Z-ordering: perfect for one dominant filter column
     # (an id, a timestamp), no curve math.
     cluster_by: list[str] = field(default_factory=list)
+    # Bloom-filter file skipping: per-file blooms over these columns
+    # (int/string equality keys), computed by a DISTRIBUTED job at
+    # write time and packed into the manifest entry. Min/max stats
+    # cannot prune point lookups on hash-distributed keys (every file
+    # spans ~the full range); a bloom prunes them near-perfectly. Size
+    # ``bloom_bits`` to ~10x the expected DISTINCT keys per file —
+    # an undersized bloom saturates and stops pruning, never lies.
+    bloom_cols: list[str] = field(default_factory=list)
+    bloom_bits: int = 8192
 
     def staging_dir(self, run_id: str) -> str:
         return os.path.join(self.path, "_staging", run_id)
@@ -109,7 +118,67 @@ class FileSink:
         for k, v in self.options.items():
             writer = writer.option(k, v)
         writer.save(staging)
+        if self.bloom_cols:
+            self._write_bloom_sidecar(df.sparkSession, staging)
         return staging
+
+    def _write_bloom_sidecar(self, spark, staging: str) -> None:
+        """Build per-file blooms for ``bloom_cols`` over the staged
+        output and store them in a ``_blooms.json`` sidecar that
+        publish folds into the manifest entries.
+
+        Scale shape: one distributed aggregation per bloom column —
+        4 md5-derived bit positions per row, OR-combined per (file,
+        64-bit word) with map-side partial bit_or, so the collect is
+        at most files x bits/64 longs, independent of row count. The
+        hash is md5 of the value's canonical string on BOTH sides
+        (Spark builds, the driver probes with hashlib), so no
+        engine-specific hash needs reimplementing."""
+        import base64
+        import json
+
+        from incubator_gobblin_spark.formats.avro_ocf import resolve_format as _rf
+
+        src = spark.read.format(_rf(self.fmt)).load(staging)
+        bits = self.bloom_bits
+        files: dict[str, dict[str, dict[int, int]]] = {}
+        for c in self.bloom_cols:
+            if c not in src.columns:
+                continue
+            h = F.md5(F.col(c).cast("string"))
+            pos = F.array(
+                *[
+                    F.conv(F.substring(h, 1 + 8 * j, 8), 16, 10).cast("long")
+                    % F.lit(bits)
+                    for j in range(4)
+                ]
+            )
+            rows = (
+                src.select(F.input_file_name().alias("_f"), F.explode(pos).alias("_p"))
+                .filter(F.col("_p").isNotNull())
+                .select(
+                    "_f",
+                    (F.col("_p") / 64).cast("long").alias("_w"),
+                    F.expr(
+                        "shiftleft(CAST(1 AS BIGINT), CAST(_p % 64 AS INT))"
+                    ).alias("_m"),
+                )
+                .groupBy("_f", "_w")
+                .agg(F.bit_or("_m").alias("_v"))
+                .collect()
+            )
+            for r in rows:
+                rel = _uri_to_rel(r._f, staging)
+                files.setdefault(rel, {}).setdefault(c, {})[int(r._w)] = int(r._v)
+        packed = {
+            rel: {
+                c: base64.b64encode(_bloom_pack(words, bits)).decode()
+                for c, words in cols.items()
+            }
+            for rel, cols in files.items()
+        }
+        with open(os.path.join(staging, "_blooms.json"), "w") as fh:
+            json.dump({"bits": bits, "files": packed}, fh)
 
     def publish(self, run_id: str) -> list[str]:
         """Commit staged output (BaseDataPublisher.movePath:496
@@ -363,6 +432,11 @@ class FileSink:
             raise FileNotFoundError(f"no staging or data dir for run {run_id}")
 
         depth = len(self.partition_by)
+        blooms = None
+        bloom_sidecar = os.path.join(data_dir, "_blooms.json")
+        if os.path.exists(bloom_sidecar):
+            with open(bloom_sidecar) as fh:
+                blooms = json.load(fh)
         new_entries: list[dict] = []
         for leaf in _leaf_outputs(data_dir, depth):
             rel_part = os.path.relpath(leaf, data_dir) if depth else ""
@@ -384,6 +458,10 @@ class FileSink:
                 # per file) -> manifest-level file skipping, Iceberg-style
                 if self.fmt == "parquet":
                     entry.update(_file_stats(fpath))
+                if blooms:
+                    b = blooms["files"].get(os.path.relpath(fpath, data_dir))
+                    if b:
+                        entry["bloom"] = {"bits": blooms["bits"], "cols": b}
                 new_entries.append(entry)
 
         # Same-run republish (a retried batch whose previous attempt
@@ -691,6 +769,56 @@ class FileSink:
             return added_df.withColumn(ct, F.lit("insert"))
         return removed_df.withColumn(ct, F.lit("delete"))
 
+    def read_incremental(self, spark, state_store, table: str):
+        """Watermark-driven incremental consumption of the lake — the
+        reference's QueryBasedSource low/high-watermark loop
+        (gobblin-core .../extractor/extract/QueryBasedSource.java) with
+        the COMMIT as the watermark: the state store remembers the last
+        consumed run id, this returns the row-level changes since it
+        (via :meth:`read_changes`), and the caller advances the
+        watermark AFTER its downstream publish succeeds. Returns
+        ``(changes_df, commit)`` — calling ``commit()`` records the
+        consumed-through run; crashing before it replays the SAME delta
+        next time (at-least-once here, exactly-once end-to-end when the
+        downstream write is idempotent, the same contract as every
+        watermark source in the engine).
+
+        First call (no watermark) returns the full snapshot as inserts.
+        A watermark whose manifest was vacuumed raises — the consumer
+        must re-baseline, silently diffing against a wrong base would
+        fabricate deltas."""
+        cur = self.current_manifest(materialize=False)
+        if cur is None:
+            raise FileNotFoundError(f"no committed manifest under {self.path}")
+        to_run = cur["run_id"]
+        st = state_store.get(table)
+        from_run = st.high_watermark
+
+        def commit() -> None:
+            new_st = state_store.get(table)
+            new_st.high_watermark = to_run
+            new_st.last_run_id = to_run
+            state_store.commit(table, new_st)
+
+        if from_run is None:
+            df = self.read_committed(spark).withColumn(
+                "_change_type", F.lit("insert")
+            )
+            return df, commit
+        if from_run == to_run:
+            empty = (
+                self.read_committed(spark)
+                .limit(0)
+                .withColumn("_change_type", F.lit("").cast("string"))
+            )
+            return empty, commit
+        if from_run not in self.manifest_history():
+            raise ValueError(
+                f"consumed-through run {from_run!r} is no longer in the "
+                "manifest history (vacuumed?) — re-baseline the consumer"
+            )
+        return self.read_changes(spark, from_run, to_run), commit
+
     def merge_into(
         self,
         spark,
@@ -760,6 +888,61 @@ class FileSink:
                     raise
         raise AssertionError("unreachable")
 
+    def _bloom_refine_candidates(
+        self, entries: list[dict], src_keys: DataFrame, on: list[str]
+    ) -> list[dict]:
+        """Drop candidate files whose bloom provably contains NONE of
+        the source's key values — the point-lookup refinement range
+        stats cannot give on hash-distributed keys (every file spans
+        ~the whole range, so min/max keeps everything). Bounded: the
+        key set is collected only when small (<=2000 distinct values);
+        larger CDC batches skip refinement and fall back to the
+        range-pruned superset. A file without a bloom is always kept —
+        pruning is an optimization, never semantics."""
+        import base64
+
+        cap = 2000
+        refinable = [
+            c
+            for c in on
+            if any(c in (e.get("bloom") or {}).get("cols", {}) for e in entries)
+        ]
+        if not refinable:
+            return entries
+        pos_by_col: dict[str, dict[int, list[list[int]]]] = {}
+        bits_seen = {e["bloom"]["bits"] for e in entries if e.get("bloom")}
+        for c in refinable:
+            vals = [r[0] for r in src_keys.select(c).distinct().limit(cap + 1).collect()]
+            if len(vals) > cap or any(
+                v is None or isinstance(v, bool) or not isinstance(v, (int, str))
+                for v in vals
+            ):
+                continue
+            pos_by_col[c] = {
+                b: [_bloom_probe_positions(v, b) for v in vals] for b in bits_seen
+            }
+        if not pos_by_col:
+            return entries
+        kept = []
+        for e in entries:
+            b = e.get("bloom")
+            keep = True
+            if b:
+                for c, by_bits in pos_by_col.items():
+                    enc = b.get("cols", {}).get(c)
+                    if enc is None:
+                        continue
+                    data = base64.b64decode(enc)
+                    if not any(
+                        all((data[p // 8] >> (p % 8)) & 1 for p in pos)
+                        for pos in by_bits[b["bits"]]
+                    ):
+                        keep = False
+                        break
+            if keep:
+                kept.append(e)
+        return kept
+
     def _merge_attempt(
         self, spark, source: DataFrame, upserts: DataFrame, on: list[str], rid: str
     ) -> str:
@@ -807,6 +990,7 @@ class FileSink:
                 for e in manifest["entries"]
                 if _entry_matches(e, filters, part_by)
             ]
+        cand_entries = self._bloom_refine_candidates(cand_entries, src_keys, on)
 
         touched: set[str] = set()
         if cand_entries:
@@ -1063,6 +1247,38 @@ def _file_stats(fpath: str) -> dict:
         return {}
 
 
+def _bloom_pack(words: dict[int, int], bits: int) -> bytes:
+    """Pack sparse 64-bit OR-words into a bits/8-byte little-endian
+    array: word w's bit i is absolute position w*64+i, i.e. byte
+    w*8 + i//8, bit i%8 — matching _bloom_maybe_contains' probe."""
+    buf = bytearray(bits // 8)
+    for w, word in words.items():
+        word &= 0xFFFFFFFFFFFFFFFF  # JVM longs are signed
+        buf[w * 8 : w * 8 + 8] = word.to_bytes(8, "little")
+    return bytes(buf)
+
+
+def _bloom_probe_positions(val, bits: int) -> list[int]:
+    """The 4 bit positions of a value: md5 of its canonical string
+    (str(int) == Spark's CAST(x AS STRING); strings verbatim), split
+    into four 32-bit slices mod bits — the exact expression
+    _write_bloom_sidecar builds JVM-side."""
+    import hashlib
+
+    h = hashlib.md5(str(val).encode()).hexdigest()
+    return [int(h[8 * j : 8 * j + 8], 16) % bits for j in range(4)]
+
+
+def _bloom_maybe_contains(bits: int, b64: str, val) -> bool:
+    import base64
+
+    data = base64.b64decode(b64)
+    for pos in _bloom_probe_positions(val, bits):
+        if not (data[pos // 8] >> (pos % 8)) & 1:
+            return False
+    return True
+
+
 _OPS = {
     "=": lambda lo, hi, v: lo <= v <= hi,
     "<": lambda lo, hi, v: lo < v,
@@ -1101,6 +1317,16 @@ def _entry_matches(entry: dict, filters: list[tuple], partition_by: list[str]) -
                 if pv_raw != val:
                     return False
             continue
+        bloom = entry.get("bloom")
+        if (
+            op == "="
+            and bloom
+            and col in bloom.get("cols", {})
+            and isinstance(val, (int, str))
+            and not isinstance(val, bool)
+        ):
+            if not _bloom_maybe_contains(bloom["bits"], bloom["cols"][col], val):
+                return False
         if col not in stats:
             continue
         lo, hi = stats[col]

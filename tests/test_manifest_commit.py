@@ -1184,3 +1184,183 @@ def test_read_changes_across_merge_reads_only_rewritten_files(
         assert not any(f in s for s in scanned), (
             f"carried file {f} must not be scanned by CDF"
         )
+
+
+def test_bloom_point_lookup_prunes_hash_distributed_keys(spark, tmp_path):
+    """Random (hash-distributed) keys give every file ~the full min/max
+    range — stats prune nothing — but the per-file bloom prunes a point
+    lookup to the one file holding the key, and an absent key to zero
+    files. Results stay exact either way."""
+    import random
+
+    sink = _sink(
+        tmp_path / "lake",
+        table_type=TableType.APPEND_ONLY,
+        bloom_cols=["k"],
+        bloom_bits=8192,
+        max_records_per_file=100,
+    )
+    keys = random.Random(3).sample(range(10**9), 800)
+    df = spark.createDataFrame([(k, f"v{k}") for k in keys], "k LONG, v STRING")
+    sink.write_staging(df.repartition(8), "r1")
+    sink.publish("r1")
+    ents = sink.current_manifest()["entries"]
+    assert len(ents) >= 8 and all("bloom" in e for e in ents)
+
+    target = keys[42]
+    kept, total = sink.pruned_file_count([("k", "=", target)])
+    assert kept <= 2, f"bloom should prune a point lookup, kept {kept}/{total}"
+    rows = sink.read_committed(spark, filters=[("k", "=", target)]).collect()
+    assert len(rows) == 1 and rows[0].v == f"v{target}"
+    # absent key (not in any file): everything prunes w.h.p.
+    kept2, _ = sink.pruned_file_count([("k", "=", 123456789012)])
+    assert kept2 <= 2
+
+
+def test_bloom_never_false_negative(spark, tmp_path):
+    """EVERY stored key must be found through the bloom-pruned read —
+    a bloom can only over-approximate."""
+    sink = _sink(
+        tmp_path / "lake",
+        table_type=TableType.APPEND_ONLY,
+        bloom_cols=["k", "name"],
+        bloom_bits=4096,
+        max_records_per_file=50,
+    )
+    rows = [(i * 7919 % 1000003, f"n{i}") for i in range(300)]
+    df = spark.createDataFrame(rows, "k LONG, name STRING")
+    sink.write_staging(df.repartition(6), "r1")
+    sink.publish("r1")
+    for k, name in rows[::29]:
+        got = sink.read_committed(spark, filters=[("k", "=", k)]).collect()
+        assert any(r.name == name for r in got), f"key {k} lost by bloom pruning"
+        got2 = sink.read_committed(spark, filters=[("name", "=", name)]).collect()
+        assert any(r.k == k for r in got2), f"string key {name} lost"
+
+
+def test_bloom_saturated_filter_never_lies(spark, tmp_path):
+    """An undersized bloom (64 bits for 500 keys) saturates: pruning
+    degrades to nothing, correctness is untouched."""
+    sink = _sink(
+        tmp_path / "lake",
+        table_type=TableType.APPEND_ONLY,
+        bloom_cols=["k"],
+        bloom_bits=64,
+    )
+    df = spark.createDataFrame([(i,) for i in range(500)], "k LONG")
+    sink.write_staging(df, "r1")
+    sink.publish("r1")
+    got = sink.read_committed(spark, filters=[("k", "=", 123)]).collect()
+    assert [r.k for r in got] == [123]
+
+
+def test_bloom_refines_merge_candidates(spark, tmp_path):
+    """_bloom_refine_candidates: keeps files whose bloom may hold a
+    source key, keeps bloom-less files unconditionally, and skips
+    refinement entirely when the key set exceeds the collect cap."""
+    import random
+
+    sink = _sink(
+        tmp_path / "lake",
+        table_type=TableType.APPEND_ONLY,
+        bloom_cols=["k"],
+        bloom_bits=8192,
+        max_records_per_file=100,
+    )
+    keys = random.Random(9).sample(range(10**9), 600)
+    df = spark.createDataFrame([(k, "x") for k in keys], "k LONG, v STRING")
+    sink.write_staging(df.repartition(6), "r1")
+    sink.publish("r1")
+    entries = sink.current_manifest()["entries"]
+
+    src = spark.createDataFrame([(keys[0],), (keys[1],)], "k LONG")
+    refined = sink._bloom_refine_candidates(entries, src, ["k"])
+    assert 1 <= len(refined) <= 3  # only files that may hold the 2 keys
+    # a bloom-less entry survives refinement
+    bare = {"file": "x", "partition": ""}
+    refined2 = sink._bloom_refine_candidates(entries + [bare], src, ["k"])
+    assert bare in refined2
+    # over-cap key sets skip refinement (superset returned unchanged)
+    big = spark.range(0, 3000).select(F.col("id").alias("k"))
+    assert sink._bloom_refine_candidates(entries, big, ["k"]) == entries
+
+
+def test_bloom_survives_merge_rewrite(spark, tmp_path):
+    """The merge's rewritten run regenerates blooms (staging goes
+    through write_staging), so pruning keeps working after CDC."""
+    import random
+
+    sink = _sink(
+        tmp_path / "lake",
+        table_type=TableType.APPEND_ONLY,
+        bloom_cols=["k"],
+        bloom_bits=8192,
+        max_records_per_file=100,
+    )
+    keys = random.Random(5).sample(range(10**9), 400)
+    df = spark.createDataFrame([(k, "base") for k in keys], "k LONG, v STRING")
+    sink.write_staging(df.repartition(4), "r1")
+    sink.publish("r1")
+    cdc = spark.createDataFrame(
+        [(keys[7], "upd", None)], "k LONG, v STRING, op STRING"
+    )
+    sink.merge_into(spark, cdc, on=["k"], run_id="m1", op_col="op")
+    ents = sink.current_manifest()["entries"]
+    assert all("bloom" in e for e in ents)
+    rows = sink.read_committed(spark, filters=[("k", "=", keys[7])]).collect()
+    assert len(rows) == 1 and rows[0].v == "upd"
+    kept, total = sink.pruned_file_count([("k", "=", keys[7])])
+    assert kept <= 2
+
+
+def test_read_incremental_watermark_loop(spark, tmp_path):
+    """The lake as an incremental SOURCE: first read = full snapshot as
+    inserts; after commit, only the delta since the consumed run; crash
+    before commit replays the same delta; consumed-up-to-date reads
+    empty; a vacuumed watermark raises instead of fabricating deltas."""
+    from incubator_gobblin_spark.state import StateStore
+
+    sink = _sink(tmp_path / "lake", table_type=TableType.APPEND_ONLY)
+    store = StateStore(str(tmp_path / "state"))
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(6)], "k INT, v STRING"
+    )
+    sink.write_staging(base, "r1")
+    sink.publish("r1")
+
+    df, commit = sink.read_incremental(spark, store, "t")
+    rows = df.collect()
+    assert len(rows) == 6 and all(r._change_type == "insert" for r in rows)
+    commit()
+
+    # consumed up to date: empty delta
+    df2, commit2 = sink.read_incremental(spark, store, "t")
+    assert df2.count() == 0
+    commit2()
+
+    cdc = spark.createDataFrame(
+        [(2, "v2-new", None), (9, "v9", None), (4, None, "delete")],
+        "k INT, v STRING, op STRING",
+    )
+    sink.merge_into(spark, cdc, on=["k"], run_id="m1", op_col="op")
+
+    # crash-before-commit: the delta replays identically
+    for _ in range(2):
+        d, c = sink.read_incremental(spark, store, "t")
+        got = {(r.k, r.v, r._change_type) for r in d.collect()}
+        assert got == {
+            (2, "v2", "delete"),
+            (2, "v2-new", "insert"),
+            (4, "v4", "delete"),
+            (9, "v9", "insert"),
+        }
+    c()
+    d3, _ = sink.read_incremental(spark, store, "t")
+    assert d3.count() == 0
+
+    # vacuumed watermark must raise, not diff against a wrong base
+    st = store.get("t")
+    st.high_watermark = "gone-run"
+    store.commit("t", st)
+    with pytest.raises(ValueError, match="re-baseline"):
+        sink.read_incremental(spark, store, "t")
