@@ -597,22 +597,93 @@ def semantic_dedup(
 def _sub_l2(vec: Column, start: int, centroid: list[float]) -> Column:
     """Rounded L2 distance between a vector SLICE (1-based ``start``,
     ``len(centroid)`` wide) and a literal sub-centroid — the shared
-    determinism contract with the SQL oracle (round 6, as ivf_topk)."""
-    sub = F.slice(vec, start, len(centroid))
-    return F.round(
-        F.sqrt(
-            F.aggregate(
-                F.zip_with(
-                    sub,
-                    F.array(*[F.lit(x) for x in centroid]),
-                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+    determinism contract with the SQL oracle (round 6, as ivf_topk).
+
+    Unrolled element_at arithmetic (whole-stage codegen; lambdas never
+    are). The unrolled sum accumulates left-to-right like a lambda
+    fold ((0.0+t1)==t1 exactly in IEEE), so both PQ formulations are
+    bit-identical."""
+    terms = [
+        (F.element_at(vec, start + i).cast("double") - F.lit(x))
+        for i, x in enumerate(centroid)
+    ]
+    ssq = terms[0] * terms[0]
+    for t in terms[1:]:
+        ssq = ssq + t * t
+    return F.round(F.sqrt(ssq), 6)
+
+
+def _pq_argmin(
+    vec_col: str,
+    j: int,
+    sub_dim: int,
+    book: list[list[float]],
+    lut: list[float] | None,
+    unroll: bool,
+) -> Column:
+    """Per-subspace nearest-centroid as ONE array_min over
+    (dist, cid[, lut_term]) structs — struct ordering breaks ties on
+    the lower centroid index, and every distance expression appears
+    exactly once in the plan.
+
+    Two formulations with IDENTICAL results (same IEEE accumulation
+    order, same rounding):
+    - ``unroll=False`` (default): ``transform`` over a LITERAL array of
+      centroid structs — the codebook is ONE literal node, the distance
+      is one lambda body, so the expression tree is tiny and Catalyst
+      plans it in milliseconds. The lambda runs on the interpreted
+      evaluator (~10x slower per row than codegen) — right up to
+      ~10^8-row scans where driver plan time dominates.
+    - ``unroll=True``: fully unrolled element_at arithmetic — a large
+      tree Catalyst takes seconds to plan, but the scan is whole-stage
+      codegen. Right for the petabyte ADC/encode pass, where plan time
+      is constant and per-row throughput is everything.
+    """
+    sv = F.slice(F.col(vec_col), j * sub_dim + 1, sub_dim)
+    if unroll:
+        structs = []
+        for ci, c in enumerate(book):
+            fields = [
+                _sub_l2(F.col(vec_col), j * sub_dim + 1, c).alias("d"),
+                F.lit(ci).cast("int").alias("c"),
+            ]
+            if lut is not None:
+                fields.append(F.lit(lut[ci]).alias("t"))
+            structs.append(F.struct(*fields))
+        return F.array_min(F.array(*structs))
+    book_lit = F.array(
+        *[
+            F.struct(
+                F.lit(ci).cast("int").alias("c"),
+                F.lit(lut[ci] if lut is not None else 0.0).alias("t"),
+                F.array(*[F.lit(x) for x in c]).alias("v"),
             )
-        ),
-        6,
+            for ci, c in enumerate(book)
+        ]
     )
+
+    def _score(s: Column) -> Column:
+        d = F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        sv,
+                        s["v"],
+                        lambda a, b: (a.cast("double") - b)
+                        * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            6,
+        )
+        fields = [d.alias("d"), s["c"].alias("c")]
+        if lut is not None:
+            fields.append(s["t"].alias("t"))
+        return F.struct(*fields)
+
+    return F.array_min(F.transform(book_lit, _score))
 
 
 def pq_encode(
@@ -620,6 +691,7 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    unroll: bool = False,
 ) -> DataFrame:
     """Product-quantization encoding (Jégou et al., "Product
     Quantization for Nearest Neighbor Search", TPAMI 2011): split each
@@ -628,20 +700,21 @@ def pq_encode(
     dim×float64 vector to m small codes. Returns (id, codes array<int>).
 
     Determinism: sub-distances round to 6 dp, argmin ties go to the
-    lowest centroid index (array_position finds the FIRST minimum).
+    lowest centroid index. ``unroll`` picks the plan/throughput
+    trade-off (see :func:`_pq_argmin`); results are identical.
 
     Scale: a pure Column projection against literal codebooks — no
-    shuffle, no join, no UDF; encoding 100 TB of embeddings is a
-    scan-speed map, and the 8-byte-ish codes (not the raw vectors) are
-    what downstream ADC scans shuffle or cache."""
+    shuffle, no join, no UDF; encode the corpus ONCE with
+    ``unroll=True`` (the index build, where codegen throughput pays)
+    and downstream ADC scans consume the m-byte codes, not vectors."""
     m = len(codebooks)
     if m == 0:
         raise ValueError("codebooks must be non-empty")
     sub_dim = len(codebooks[0][0])
-    codes = []
-    for j, book in enumerate(codebooks):
-        d = F.array(*[_sub_l2(F.col(vec_col), j * sub_dim + 1, c) for c in book])
-        codes.append((F.array_position(d, F.array_min(d)) - 1).cast("int"))
+    codes = [
+        _pq_argmin(vec_col, j, sub_dim, book, None, unroll)["c"]
+        for j, book in enumerate(codebooks)
+    ]
     return vectors.select(F.col(id_col), F.array(*codes).alias("codes"))
 
 
@@ -653,6 +726,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_id: int | None = None,
+    unroll: bool = False,
 ) -> DataFrame:
     """PQ asymmetric-distance top-k: approximate the query→vector
     squared L2 distance as the sum over subspaces of the (squared)
@@ -662,8 +736,11 @@ def pq_topk(
 
     Determinism contract (mirrored by the SQL oracle): per-subspace
     distances round to 6 dp before squaring, squared terms round to
-    6 dp again, and the final sum runs through an exact decimal — so
-    both engines produce bit-identical approx_dist.
+    6 dp again (HALF_UP on both sides — Python's banker's round would
+    disagree with SQL on .5e-7 boundaries), and the final sum runs
+    through an exact decimal — so both engines produce bit-identical
+    approx_dist. ``unroll`` picks the plan/throughput trade-off (see
+    :func:`_pq_argmin`); results are identical either way.
 
     Scale: the distance lookup table is m×k literals folded into the
     projection (a real deployment broadcasts it; either way no join
@@ -671,27 +748,21 @@ def pq_topk(
     the only "shuffle" is TakeOrdered's O(k) per-partition heads — the
     same plan at 500 rows and 100 TB. Compose with ``ivf_assign``
     partition pruning for IVFPQ: probe cells first, ADC inside them."""
+    from decimal import ROUND_HALF_UP, Decimal
+
     m = len(codebooks)
     sub_dim = len(codebooks[0][0])
     if len(query) != m * sub_dim:
         raise ValueError("query dimension does not match codebooks")
-    terms = []
-    for j, book in enumerate(codebooks):
-        d = F.array(
-            *[_sub_l2(F.col(vec_col), j * sub_dim + 1, c) for c in book]
-        )
-        code = F.array_position(d, F.array_min(d)).cast("int")  # 1-based
-        # the ADC lookup row for subspace j: squared rounded distance
-        # from the query's sub-vector to each centroid (plan literal)
-        qsub = query[j * sub_dim : (j + 1) * sub_dim]
-        # HALF_UP at 6 dp, matching F.round / DuckDB round — Python's
-        # built-in round() is banker's rounding and can disagree on
-        # exact .5e-7 boundaries
-        from decimal import ROUND_HALF_UP, Decimal
 
-        r6 = lambda x: float(  # noqa: E731
+    def r6(x: float) -> float:
+        return float(
             Decimal(repr(x)).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
         )
+
+    terms = []
+    for j, book in enumerate(codebooks):
+        qsub = query[j * sub_dim : (j + 1) * sub_dim]
         lut = [
             r6(
                 r6(math.sqrt(sum((a - b) * (a - b) for a, b in zip(qsub, c))))
@@ -700,7 +771,7 @@ def pq_topk(
             for c in book
         ]
         terms.append(
-            F.element_at(F.array(*[F.lit(x) for x in lut]), code).cast(
+            _pq_argmin(vec_col, j, sub_dim, book, lut, unroll)["t"].cast(
                 "decimal(18,6)"
             )
         )

@@ -38,6 +38,7 @@ from enum import Enum
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
 
 from incubator_gobblin_spark.formats.avro_ocf import resolve_format
 
@@ -93,6 +94,14 @@ class FileSink:
     # an undersized bloom saturates and stops pruning, never lies.
     bloom_cols: list[str] = field(default_factory=list)
     bloom_bits: int = 8192
+    # Z-order clustering: interleave the bits of 2+ NUMERIC columns
+    # into one sort key, so every file covers a narrow range in EVERY
+    # listed column — the multi-dimensional half of what cluster_by
+    # does for one. Lexicographic (a, b) range-partitioning prunes b
+    # only within one a-value; the Z-curve prunes both at ~sqrt rates.
+    # Pruning itself needs no new machinery: the existing per-file
+    # min/max stats tighten on all listed columns.
+    zorder_by: list[str] = field(default_factory=list)
 
     def staging_dir(self, run_id: str) -> str:
         return os.path.join(self.path, "_staging", run_id)
@@ -102,7 +111,9 @@ class FileSink:
         the same run_id must not double its data — the reference's
         staging-cleanup-on-retry, FsDataWriter)."""
         staging = self.staging_dir(run_id)
-        if self.cluster_by:
+        if self.zorder_by:
+            df = self._zorder(df)
+        elif self.cluster_by:
             # repartitionByRange gives files DISJOINT ranges across
             # tasks (a plain local sort would leave every task holding
             # the full range); the within-partition sort tightens each
@@ -121,6 +132,66 @@ class FileSink:
         if self.bloom_cols:
             self._write_bloom_sidecar(df.sparkSession, staging)
         return staging
+
+    def _zorder(self, df: DataFrame) -> DataFrame:
+        """Range-partition + sort by the Morton (Z-curve) value of
+        ``zorder_by``: each column is linearly bucketed into 16 bits
+        between its observed min/max (one 1-row aggregate), the bits
+        interleave into one long, and the existing cluster_by machinery
+        (repartitionByRange + sortWithinPartitions) lays files along
+        the curve. The interleave is a write-time-only codegen'd
+        bit expression; readers never see the key.
+
+        Linear bucketing is the simple curve — heavily skewed columns
+        cluster less evenly than rank-based bucketing would, but
+        pruning correctness never depends on it (stats are exact per
+        file)."""
+        cols = self.zorder_by
+        if len(cols) < 2:
+            raise ValueError("zorder_by needs >= 2 columns (use cluster_by for 1)")
+        for c in cols:
+            if not isinstance(df.schema[c].dataType, NumericType):
+                raise ValueError(f"zorder_by column {c!r} must be numeric")
+        bounds = df.agg(
+            *[F.min(c).cast("double").alias(f"lo_{c}") for c in cols],
+            *[F.max(c).cast("double").alias(f"hi_{c}") for c in cols],
+        ).collect()[0]
+        n = len(cols)
+        bits = 16
+        parts = []
+        for ci, c in enumerate(cols):
+            lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
+            if lo is None or hi is None or hi <= lo:
+                bucket = F.lit(0).cast("long")
+            else:
+                span = hi - lo
+                bucket = F.least(
+                    F.lit((1 << bits) - 1),
+                    F.greatest(
+                        F.lit(0),
+                        (
+                            (F.col(c).cast("double") - F.lit(lo))
+                            / F.lit(span)
+                            * F.lit(float((1 << bits) - 1))
+                        ).cast("long"),
+                    ),
+                )
+            parts.append(
+                (bucket, ci)
+            )
+        # interleave: bit i of column ci lands at position i*n + ci
+        zval = F.lit(0).cast("long")
+        for bucket, ci in parts:
+            for i in range(bits):
+                zval = zval + F.shiftleft(
+                    F.shiftright(bucket, i).bitwiseAND(F.lit(1)), i * n + ci
+                )
+        return (
+            df.withColumn("_zval", zval)
+            .repartitionByRange("_zval")
+            .sortWithinPartitions("_zval")
+            .drop("_zval")
+        )
 
     def _write_bloom_sidecar(self, spark, staging: str) -> None:
         """Build per-file blooms for ``bloom_cols`` over the staged

@@ -1364,3 +1364,56 @@ def test_read_incremental_watermark_loop(spark, tmp_path):
     store.commit("t", st)
     with pytest.raises(ValueError, match="re-baseline"):
         sink.read_incremental(spark, store, "t")
+
+
+def test_zorder_prunes_every_listed_dimension(spark, tmp_path):
+    """Z-ordered files cover narrow ranges in EVERY listed column:
+    a y-only predicate prunes files (lexicographic (x, y) clustering
+    cannot prune y at all), x-only still prunes, and results stay
+    exact. Also: zorder_by rejects <2 columns and non-numeric ones."""
+    import random
+
+    rng = random.Random(1)
+    rows = [(rng.randint(0, 9999), rng.randint(0, 9999), i) for i in range(20000)]
+    df = spark.createDataFrame(rows, "x LONG, y LONG, payload LONG")
+
+    def build(**kw):
+        sink = _sink(
+            tmp_path / kw_name(kw),
+            table_type=TableType.APPEND_ONLY,
+            max_records_per_file=1500,
+            **kw,
+        )
+        sink.write_staging(df, "r1")
+        sink.publish("r1")
+        return sink
+
+    def kw_name(kw):
+        return "-".join(sorted(kw))
+
+    z = build(zorder_by=["x", "y"])
+    lex = build(cluster_by=["x", "y"])
+    total = len(z.current_manifest()["entries"])
+
+    y_pred = [("y", ">=", 5000), ("y", "<", 5300)]
+    zy, _ = z.pruned_file_count(y_pred)
+    ly, _ = lex.pruned_file_count(y_pred)
+    assert zy < total, "z-order must prune a y-only predicate"
+    assert zy < ly, "z-order must beat lexicographic on the minor column"
+    x_pred = [("x", ">=", 5000), ("x", "<", 5300)]
+    zx, _ = z.pruned_file_count(x_pred)
+    assert zx < total, "z-order must still prune the major column"
+
+    both = x_pred + y_pred
+    got = z.read_committed(spark, filters=both).count()
+    exp = df.filter(
+        (F.col("x") >= 5000) & (F.col("x") < 5300)
+        & (F.col("y") >= 5000) & (F.col("y") < 5300)
+    ).count()
+    assert got == exp
+
+    with pytest.raises(ValueError, match=">= 2 columns"):
+        _sink(tmp_path / "bad1", zorder_by=["x"]).write_staging(df, "r")
+    s2 = spark.createDataFrame([(1, "a")], "x LONG, s STRING")
+    with pytest.raises(ValueError, match="must be numeric"):
+        _sink(tmp_path / "bad2", zorder_by=["x", "s"]).write_staging(s2, "r")

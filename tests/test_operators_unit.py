@@ -688,3 +688,16 @@ def test_pq_encode_and_topk_invariants(spark):
     assert [(r.neighbor_id, r.approx_dist) for r in top] == [
         (r.neighbor_id, r.approx_dist) for r in again
     ]
+    # the codegen'd unrolled formulation is bit-identical to the
+    # compact transform default (same IEEE accumulation order)
+    unrolled = similarity.pq_topk(
+        df, list(vecs[0][1]), books, k=5, exclude_id=0, unroll=True
+    ).collect()
+    assert [(r.neighbor_id, r.approx_dist) for r in top] == [
+        (r.neighbor_id, r.approx_dist) for r in unrolled
+    ]
+    codes_unrolled = {
+        r.vec_id: r.codes
+        for r in similarity.pq_encode(df, books, unroll=True).collect()
+    }
+    assert codes == codes_unrolled
