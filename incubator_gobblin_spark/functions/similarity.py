@@ -785,3 +785,58 @@ def pq_topk(
     if exclude_id is not None:
         out = out.filter(F.col("neighbor_id") != exclude_id)
     return out.orderBy(F.col("approx_dist").asc(), F.col("neighbor_id").asc()).limit(k)
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    query: list[float],
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+    unroll: bool = False,
+) -> DataFrame:
+    """IVF+PQ composed (the IVFADC index of Jégou et al. 2011): probe
+    the query's ``n_probe`` nearest coarse cells, then run the PQ ADC
+    top-k over just those cells' vectors. Returns (neighbor_id,
+    approx_dist) — identical to :func:`pq_topk` restricted to the
+    probed cells (tested as an invariant).
+
+    The probe is driver-side arithmetic on the literal centroids (same
+    round-6 contract as the cell assignment, so probe and assignment
+    can never disagree on a boundary); the cell filter is the same
+    literal-centroid argmin projection as ``ivf_assign``. At lake
+    scale, write the corpus partitioned by its coarse cell
+    (``ivf_assign`` + partitionBy) and the filter becomes partition
+    pruning — the ADC scan touches n_probe partitions of the corpus,
+    never the rest."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
+        )
+
+    dim = len(centroids[0])
+    if len(query) != dim:
+        raise ValueError("query dimension does not match coarse centroids")
+    dists = sorted(
+        (r6(math.sqrt(sum((a - b) * (a - b) for a, b in zip(query, c)))), ci)
+        for ci, c in enumerate(centroids)
+    )
+    probed = [ci for _, ci in dists[:n_probe]]
+    cell = _pq_argmin(vec_col, 0, dim, centroids, None, unroll)["c"]
+    cand = vectors.filter(cell.isin(probed))
+    return pq_topk(
+        cand,
+        query,
+        codebooks,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        exclude_id=exclude_id,
+        unroll=unroll,
+    )

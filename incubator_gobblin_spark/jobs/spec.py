@@ -404,12 +404,31 @@ def compile_sink(props: dict[str, str]) -> tuple[FileSink, list]:
         raise SpecError(f"unsupported data.publisher.type: {publisher}")
 
     commit_mode = props.get("data.publisher.spark.commit.mode", "rename")
+    # layout/pruning vocabulary (manifest-lake write optimizations):
+    # writer.cluster.columns -> range clustering (1-D stats pruning),
+    # writer.zorder.columns -> Morton clustering (n-D stats pruning),
+    # writer.bloom.columns [+ writer.bloom.bits] -> per-file blooms
+    cluster_by = _csv_list(props, "writer.cluster.columns")
+    zorder_by = _csv_list(props, "writer.zorder.columns")
+    if cluster_by and zorder_by:
+        raise SpecError(
+            "writer.cluster.columns and writer.zorder.columns are exclusive"
+        )
+    bloom_cols = _csv_list(props, "writer.bloom.columns")
+    try:
+        bloom_bits = int(props.get("writer.bloom.bits", "8192"))
+    except ValueError as exc:
+        raise SpecError("writer.bloom.bits must be an integer") from exc
     sink = FileSink(
         path=final_dir,
         fmt=fmt,
         table_type=table_type,
         partition_by=partition_by,
         commit_mode=commit_mode,
+        cluster_by=cluster_by,
+        zorder_by=zorder_by,
+        bloom_cols=bloom_cols,
+        bloom_bits=bloom_bits,
     )
     return sink, pre_transforms
 

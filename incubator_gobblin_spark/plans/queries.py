@@ -3241,6 +3241,72 @@ def q99_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(emb, query, codebooks, k=20, exclude_id=0)
 
 
+@register(
+    "q100_ivfpq_topk",
+    """
+    WITH j AS (SELECT unnest(range(0, 8)) AS j),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+              FROM embeddings WHERE vec_id < 8),
+    probe AS (
+      SELECT cid FROM (
+        SELECT c.cid, round(list_distance(c.cv, q.qv), 6) AS d
+        FROM cents c, q)
+      ORDER BY d, cid LIMIT 2
+    ),
+    assigned AS (
+      SELECT vec_id FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_distance(e.embedding::DOUBLE[], c.cv), 6),
+                   c.cid) AS rn
+        FROM embeddings e, cents c)
+      WHERE rn = 1 AND cid IN (SELECT cid FROM probe)
+    ),
+    csub AS (SELECT c.cid, j.j, list_slice(c.cv, j.j*8+1, j.j*8+8) AS csv
+             FROM cents c, j),
+    qsub AS (SELECT j.j, list_slice(q.qv, j.j*8+1, j.j*8+8) AS qsv FROM q, j),
+    coded AS (
+      SELECT e.vec_id, c.j, c.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id, c.j
+               ORDER BY round(list_distance(
+                   list_slice(e.embedding::DOUBLE[], c.j*8+1, c.j*8+8),
+                   c.csv), 6),
+                 c.cid) AS rn
+      FROM embeddings e JOIN assigned USING (vec_id), csub c
+    ),
+    terms AS (
+      SELECT co.vec_id,
+             round(round(list_distance(qs.qsv, cs.csv), 6) ^ 2, 6) AS t
+      FROM coded co
+      JOIN csub cs ON cs.j = co.j AND cs.cid = co.cid
+      JOIN qsub qs ON qs.j = co.j
+      WHERE co.rn = 1
+    )
+    SELECT vec_id AS neighbor_id,
+           CAST(sum(CAST(t AS DECIMAL(18,6))) AS DOUBLE) AS approx_dist
+    FROM terms WHERE vec_id <> 0
+    GROUP BY vec_id
+    ORDER BY approx_dist ASC, neighbor_id ASC
+    LIMIT 20
+    """,
+)
+def q100_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ / IVFADC end-to-end (similarity.ivfpq_topk): probe the 2
+    nearest coarse cells of the query, PQ-ADC re-rank inside them. The
+    cell filter is a literal-centroid projection — partition-prunable
+    when the lake is laid out by cell — and the oracle replicates probe
+    (round-6, cid ties), assignment, and ADC exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _first8_centroids(spark, sf_dir)
+    codebooks = [[c[j * 8 : (j + 1) * 8] for c in cents] for j in range(8)]
+    return similarity.ivfpq_topk(
+        emb, cents[0], cents, codebooks, k=20, n_probe=2, exclude_id=0
+    )
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the multi-way broadcast star join + aggregation."""
     return q03_revenue_by_nation(spark, sf_dir)

@@ -102,6 +102,16 @@ class FileSink:
     # Pruning itself needs no new machinery: the existing per-file
     # min/max stats tighten on all listed columns.
     zorder_by: list[str] = field(default_factory=list)
+    # Schema evolution (copy-on-write column ADD): with True, a merge
+    # whose source carries NEW columns widens the table — only the new
+    # run's files store the column; readers null-fill it for older
+    # runs' files (the Delta/Iceberg add-column semantics, no rewrite).
+    # Source columns ABSENT from the target read back as null for the
+    # merged rows (destructive upsert — partial-update CDC is not what
+    # MERGE does; pre-join the old row if you need to preserve fields).
+    # Default False: unknown source columns are dropped, reads demand
+    # identical run schemas — evolution stays a deliberate choice.
+    schema_evolution: bool = False
 
     def staging_dir(self, run_id: str) -> str:
         return os.path.join(self.path, "_staging", run_id)
@@ -741,7 +751,12 @@ class FileSink:
 
         files = [os.path.join(self.path, e["file"]) for e in entries]
         if not self.partition_by:
-            return spark.read.format(_rf(self.fmt)).load(files)
+            reader = spark.read.format(_rf(self.fmt))
+            if self.schema_evolution and self.fmt == "parquet":
+                # footer-merge so an evolved (widened) run's new column
+                # survives schema inference; absent files null-fill
+                reader = reader.option("mergeSchema", "true")
+            return reader.load(files)
         by_run: dict[str, list[str]] = {}
         data_root = os.path.join(self.path, "_data")
         for f_ in files:
@@ -755,7 +770,7 @@ class FileSink:
         ]
         df = parts[0]
         for p in parts[1:]:
-            df = df.unionByName(p)
+            df = df.unionByName(p, allowMissingColumns=self.schema_evolution)
         return df
 
     def pruned_file_count(
@@ -830,6 +845,20 @@ class FileSink:
         added_df = self._read_entries(spark, added) if added else None
         removed_df = self._read_entries(spark, removed) if removed else None
         if added_df is not None and removed_df is not None:
+            if self.schema_evolution and set(added_df.columns) != set(
+                removed_df.columns
+            ):
+                # an evolved interval: null-fill each side to the union
+                # schema so the diff compares rows the way readers see
+                # them (old rows have null in the added column)
+                for c, t in added_df.dtypes:
+                    if c not in removed_df.columns:
+                        removed_df = removed_df.withColumn(
+                            c, F.lit(None).cast(t)
+                        )
+                for c, t in removed_df.dtypes:
+                    if c not in added_df.columns:
+                        added_df = added_df.withColumn(c, F.lit(None).cast(t))
             removed_df = removed_df.select(added_df.columns)
             inserts = added_df.exceptAll(removed_df)
             deletes = removed_df.exceptAll(added_df)
@@ -1094,7 +1123,13 @@ class FileSink:
         if touched_entries:
             tdf = self._read_entries(spark, touched_entries)
             kept = tdf.join(src_keys, on=on, how="left_anti")
-            new_data = kept.unionByName(upserts.select(*tdf.columns))
+            if self.schema_evolution:
+                # column ADD: survivors null-fill the source's new
+                # columns; only this run's files store them (readers
+                # null-fill the carried runs — no rewrite)
+                new_data = kept.unionByName(upserts, allowMissingColumns=True)
+            else:
+                new_data = kept.unionByName(upserts.select(*tdf.columns))
         else:
             # no file holds a matching key (pure inserts): still project
             # the source onto the TARGET schema — CDC sources routinely
@@ -1102,9 +1137,10 @@ class FileSink:
             # an unprojected insert would silently widen the table and
             # break the cross-run unionByName read
             target_cols = self._target_columns(spark, manifest)
-            new_data = (
-                upserts.select(*target_cols) if target_cols else upserts
-            )
+            if self.schema_evolution or not target_cols:
+                new_data = upserts  # widened reads null-fill either side
+            else:
+                new_data = upserts.select(*target_cols)
         self.write_staging(new_data, rid)
         self._publish_manifest(
             rid,

@@ -354,3 +354,37 @@ def test_kafka_ingest_job_spec(spark, tmp_path):
     assert got.count() == 12
     assert got.select(F.col("value.id")).distinct().count() == 12
     assert not S.run_kafka_ingest_job(spark, spec)["published"]
+
+
+def test_writer_layout_vocabulary_compiles_sink(spark, tmp_path):
+    """writer.cluster/zorder/bloom keys reach the FileSink; exclusive
+    cluster+zorder and non-integer bloom.bits fail loudly."""
+    base = {
+        "writer.output.dir": str(tmp_path / "lake"),
+        "data.publisher.spark.commit.mode": "manifest",
+    }
+    sink, _ = S.compile_sink({**base, "writer.zorder.columns": "x,y",
+                              "writer.bloom.columns": "k",
+                              "writer.bloom.bits": "4096"})
+    assert sink.zorder_by == ["x", "y"]
+    assert sink.bloom_cols == ["k"] and sink.bloom_bits == 4096
+    sink2, _ = S.compile_sink({**base, "writer.cluster.columns": "k"})
+    assert sink2.cluster_by == ["k"]
+    with pytest.raises(S.SpecError, match="exclusive"):
+        S.compile_sink({**base, "writer.cluster.columns": "a",
+                        "writer.zorder.columns": "a,b"})
+    with pytest.raises(S.SpecError, match="integer"):
+        S.compile_sink({**base, "writer.bloom.bits": "lots"})
+
+    # end to end: a bloom'd manifest job spec writes blooms into the
+    # manifest and the lake prunes a point lookup
+    import random
+
+    keys = random.Random(4).sample(range(10**9), 300)
+    df = spark.createDataFrame([(k,) for k in keys], "k LONG")
+    sink3, _ = S.compile_sink({**base, "writer.bloom.columns": "k"})
+    sink3.write_staging(df.repartition(4), "r1")
+    sink3.publish("r1")
+    assert all("bloom" in e for e in sink3.current_manifest()["entries"])
+    kept, total = sink3.pruned_file_count([("k", "=", keys[0])])
+    assert kept <= 2 and total >= 4

@@ -1417,3 +1417,47 @@ def test_zorder_prunes_every_listed_dimension(spark, tmp_path):
     s2 = spark.createDataFrame([(1, "a")], "x LONG, s STRING")
     with pytest.raises(ValueError, match="must be numeric"):
         _sink(tmp_path / "bad2", zorder_by=["x", "s"]).write_staging(s2, "r")
+
+
+def test_merge_schema_evolution_adds_column(spark, tmp_path):
+    """schema_evolution=True: a merge whose source carries a NEW column
+    widens the table copy-on-write — old runs' rows read back null in
+    the new column, survivors and upserts carry it, and the CDF across
+    the evolved interval null-fills consistently. Default sinks still
+    DROP unknown source columns (evolution is a deliberate choice)."""
+    sink = _sink(
+        tmp_path / "lake",
+        table_type=TableType.APPEND_ONLY,
+        schema_evolution=True,
+    )
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(6)], "k INT, v STRING"
+    )
+    sink.write_staging(base.repartition(2), "r1")
+    sink.publish("r1")
+    cdc = spark.createDataFrame(
+        [(2, "v2-new", "eu", None), (9, "v9", "us", None)],
+        "k INT, v STRING, region STRING, op STRING",
+    )
+    sink.merge_into(spark, cdc, on=["k"], run_id="m1", op_col="op")
+
+    snap = sink.read_committed(spark)
+    assert "region" in snap.columns
+    rows = {r.k: (r.v, r.region) for r in snap.collect()}
+    assert rows[2] == ("v2-new", "eu") and rows[9] == ("v9", "us")
+    assert rows[0] == ("v0", None)  # untouched old rows null-fill
+    assert len(rows) == 7
+
+    ch = {(r.k, r.region, r._change_type)
+          for r in sink.read_changes(spark, "r1").collect()}
+    assert (2, "eu", "insert") in ch and (2, None, "delete") in ch
+    assert (9, "us", "insert") in ch
+
+    # default sink: the unknown column is dropped, not evolved
+    strict = _sink(tmp_path / "lake2", table_type=TableType.APPEND_ONLY)
+    strict.write_staging(base, "r1")
+    strict.publish("r1")
+    strict.merge_into(spark, cdc, on=["k"], run_id="m1", op_col="op")
+    got = strict.read_committed(spark)
+    assert "region" not in got.columns
+    assert got.count() == 7

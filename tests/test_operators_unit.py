@@ -701,3 +701,40 @@ def test_pq_encode_and_topk_invariants(spark):
         for r in similarity.pq_encode(df, books, unroll=True).collect()
     }
     assert codes == codes_unrolled
+
+
+def test_ivfpq_matches_pq_on_probed_cells(spark):
+    """IVFPQ == PQ restricted to the probed cells (the composition
+    invariant), and with n_probe = all cells it equals full PQ."""
+    import random
+
+    rng = random.Random(21)
+    dim, m, sub = 16, 4, 4
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(80)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cents = [v for _, v in vecs[:4]]
+    books = [[c[j * sub : (j + 1) * sub] for c in [v for _, v in vecs[:8]]]
+             for j in range(m)]
+    q = list(vecs[0][1])
+
+    full_pq = similarity.pq_topk(df, q, books, k=10, exclude_id=0).collect()
+    all_probe = similarity.ivfpq_topk(
+        df, q, cents, books, k=10, n_probe=len(cents), exclude_id=0
+    ).collect()
+    assert [(r.neighbor_id, r.approx_dist) for r in full_pq] == [
+        (r.neighbor_id, r.approx_dist) for r in all_probe
+    ]
+
+    narrow = similarity.ivfpq_topk(
+        df, q, cents, books, k=10, n_probe=1, exclude_id=0
+    ).collect()
+    # the query's own cell is probed, so its exact duplicate-free
+    # neighbors from that cell appear; every returned id must be a
+    # member of the probed cell
+    full_ids = {r.neighbor_id for r in full_pq}
+    assert narrow  # cell 0 contains at least the query's neighbors
+    # approx_dist values agree with full PQ for shared ids
+    full_d = {r.neighbor_id: r.approx_dist for r in full_pq}
+    for r in narrow:
+        if r.neighbor_id in full_d:
+            assert r.approx_dist == full_d[r.neighbor_id]
