@@ -419,6 +419,12 @@ def compile_sink(props: dict[str, str]) -> tuple[FileSink, list]:
         bloom_bits = int(props.get("writer.bloom.bits", "8192"))
     except ValueError as exc:
         raise SpecError("writer.bloom.bits must be an integer") from exc
+    def _bool(key: str) -> bool:
+        v = props.get(key, "false").strip().lower()
+        if v not in ("true", "false"):
+            raise SpecError(f"{key} must be true/false")
+        return v == "true"
+
     sink = FileSink(
         path=final_dir,
         fmt=fmt,
@@ -429,6 +435,8 @@ def compile_sink(props: dict[str, str]) -> tuple[FileSink, list]:
         zorder_by=zorder_by,
         bloom_cols=bloom_cols,
         bloom_bits=bloom_bits,
+        cdf_materialize=_bool("data.publisher.spark.cdf.materialize"),
+        schema_evolution=_bool("data.publisher.spark.schema.evolution"),
     )
     return sink, pre_transforms
 

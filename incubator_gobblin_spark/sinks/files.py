@@ -112,6 +112,14 @@ class FileSink:
     # Default False: unknown source columns are dropped, reads demand
     # identical run schemas — evolution stays a deliberate choice.
     schema_evolution: bool = False
+    # Materialized change-data-feed: each merge commit also writes its
+    # EXACT row-level changes (delete rows = replaced/deleted matches,
+    # insert rows = upserts) into ``_data/<rid>/_changes/`` — the
+    # Delta-CDF design. Costs one extra write over just the touched
+    # rows; buys consumers (read_changes fast path, the ``lakecdf``
+    # streaming source) change rows with NO diff computation and no
+    # rewritten-survivor noise.
+    cdf_materialize: bool = False
 
     def staging_dir(self, run_id: str) -> str:
         return os.path.join(self.path, "_staging", run_id)
@@ -831,6 +839,13 @@ class FileSink:
         )
         if new_m is None:
             raise FileNotFoundError(f"no committed manifest under {self.path}")
+        # fast path: a single materialized commit serves its exact
+        # change rows with ZERO diff computation (and none of the
+        # rewritten-survivor reads the exceptAll path pays)
+        if new_m.get("parent") == from_run:
+            cpath = os.path.join(self.path, "_data", new_m["run_id"], "_changes")
+            if os.path.isdir(cpath):
+                return spark.read.parquet(cpath)
         old_files = {e["file"] for e in old_m["entries"]}
         new_files = {e["file"] for e in new_m["entries"]}
         added = [e for e in new_m["entries"] if e["file"] not in old_files]
@@ -1120,9 +1135,12 @@ class FileSink:
                 )
 
         touched_entries = [e for e in cand_entries if e["file"] in touched]
+        deletes_df = None
         if touched_entries:
             tdf = self._read_entries(spark, touched_entries)
             kept = tdf.join(src_keys, on=on, how="left_anti")
+            if self.cdf_materialize:
+                deletes_df = tdf.join(src_keys, on=on, how="left_semi")
             if self.schema_evolution:
                 # column ADD: survivors null-fill the source's new
                 # columns; only this run's files store them (readers
@@ -1142,6 +1160,25 @@ class FileSink:
             else:
                 new_data = upserts.select(*target_cols)
         self.write_staging(new_data, rid)
+        if self.cdf_materialize:
+            # exact row-level changes of THIS commit, written as a
+            # "_"-prefixed sidecar dataset inside the staged run (it
+            # moves with the run at publish and is invisible to data
+            # readers/publish units): deletes = the matched old rows,
+            # inserts = the upserts. No diff job ever recomputes this.
+            ct = F.lit("delete")
+            ins = new_data.join(src_keys, on=on, how="left_semi").withColumn(
+                "_change_type", F.lit("insert")
+            )
+            changes = ins
+            if deletes_df is not None:
+                dels = deletes_df.withColumn("_change_type", ct)
+                changes = ins.unionByName(
+                    dels, allowMissingColumns=self.schema_evolution
+                )
+            changes.write.mode("overwrite").parquet(
+                os.path.join(self.staging_dir(rid), "_changes")
+            )
         self._publish_manifest(
             rid,
             removed_files=touched,
@@ -1476,7 +1513,13 @@ def _leaf_outputs(root: str, depth: int) -> list[str]:
     that this run never touched. For an unpartitioned write (depth 0)
     the units are the data files at the top level."""
     if depth == 0:
-        return [os.path.join(root, e) for e in os.listdir(root)]
+        # "_"-prefixed entries are committer metadata (_SUCCESS) or
+        # sidecar datasets (_changes) — never publish units
+        return [
+            os.path.join(root, e)
+            for e in os.listdir(root)
+            if not e.startswith(("_", "."))
+        ]
     dirs = [root]
     for _ in range(depth):
         nxt = []

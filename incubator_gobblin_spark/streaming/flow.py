@@ -80,6 +80,31 @@ class StreamPipeline:
         self._source = _read
         return self
 
+    def source_lake_cdf(
+        self, lake_path: str, starting_position: str = "earliest"
+    ) -> "StreamPipeline":
+        """Tail a manifest lake's commit log as a change stream
+        (``sources/lake_cdf.py``): rows are the lake's row-level
+        changes tagged ``_change_type``, offsets are consumed run ids
+        in the streaming checkpoint. The streaming side of
+        ``FileSink.read_incremental`` — compose with ``to_merge`` to
+        replicate one lake into another, or with any sink to maintain
+        a downstream index incrementally."""
+
+        def _read(spark: SparkSession) -> DataFrame:
+            from incubator_gobblin_spark.sources import lake_cdf
+
+            lake_cdf.register(spark)
+            return (
+                spark.readStream.format("lakecdf")
+                .option("path", lake_path)
+                .option("startingposition", starting_position)
+                .load()
+            )
+
+        self._source = _read
+        return self
+
     def source_kafka(
         self,
         topic: str,

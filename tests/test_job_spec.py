@@ -388,3 +388,16 @@ def test_writer_layout_vocabulary_compiles_sink(spark, tmp_path):
     assert all("bloom" in e for e in sink3.current_manifest()["entries"])
     kept, total = sink3.pruned_file_count([("k", "=", keys[0])])
     assert kept <= 2 and total >= 4
+
+
+def test_cdf_and_evolution_spec_keys(spark, tmp_path):
+    base = {
+        "writer.output.dir": str(tmp_path / "lake"),
+        "data.publisher.spark.commit.mode": "manifest",
+        "data.publisher.spark.cdf.materialize": "true",
+        "data.publisher.spark.schema.evolution": "true",
+    }
+    sink, _ = S.compile_sink(base)
+    assert sink.cdf_materialize and sink.schema_evolution
+    with pytest.raises(S.SpecError, match="true/false"):
+        S.compile_sink({**base, "data.publisher.spark.cdf.materialize": "yes"})

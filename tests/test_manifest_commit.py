@@ -1461,3 +1461,46 @@ def test_merge_schema_evolution_adds_column(spark, tmp_path):
     got = strict.read_committed(spark)
     assert "region" not in got.columns
     assert got.count() == 7
+
+
+def test_cdf_materialize_serves_read_changes_without_diff(spark, tmp_path):
+    """cdf_materialize=True: a single-commit interval is served from
+    the _changes sidecar (scanned files prove it) with rows identical
+    to the diff path, and the sidecar never leaks into the snapshot."""
+    sink = _sink(
+        tmp_path / "lake",
+        table_type=TableType.APPEND_ONLY,
+        cdf_materialize=True,
+    )
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(8)], "k INT, v STRING"
+    )
+    sink.write_staging(base.repartition(2), "r1")
+    sink.publish("r1")
+    cdc = spark.createDataFrame(
+        [(3, "v3-new", None), (77, "v77", None), (5, None, "delete")],
+        "k INT, v STRING, op STRING",
+    )
+    sink.merge_into(spark, cdc, on=["k"], run_id="m1", op_col="op")
+
+    ch = sink.read_changes(spark, "r1")
+    assert all("_changes" in f for f in ch.inputFiles())
+    got = {(r.k, r.v, r._change_type) for r in ch.collect()}
+    assert got == {
+        (3, "v3", "delete"),
+        (3, "v3-new", "insert"),
+        (5, "v5", "delete"),
+        (77, "v77", "insert"),
+    }
+    # snapshot readers never see the sidecar
+    snap = sink.read_committed(spark)
+    assert not any("_changes" in f for f in snap.inputFiles())
+    assert snap.count() == 8
+    # multi-commit intervals still work (diff path composes)
+    cdc2 = spark.createDataFrame([(0, "z", None)], "k INT, v STRING, op STRING")
+    sink.merge_into(spark, cdc2, on=["k"], run_id="m2", op_col="op")
+    multi = {
+        (r.k, r.v, r._change_type)
+        for r in sink.read_changes(spark, "r1").collect()
+    }
+    assert multi == got | {(0, "v0", "delete"), (0, "z", "insert")}

@@ -487,3 +487,178 @@ def test_kafka_cdc_stream_to_lake_merge(spark, tmp_path):
     run_once()
     got2 = {r.k: r.payload for r in sink.read_committed(spark).collect()}
     assert got2[5] == "v2" and len(got2) == 10
+
+
+def test_lakecdf_streaming_source_tails_commits(spark, tmp_path):
+    """readStream.format("lakecdf") tails the manifest commit log:
+    batch 1 delivers history-from-the-beginning (base inserts + the
+    merge's exact materialized changes), a restart from the checkpoint
+    delivers ONLY the commits that landed in between (no reprocess),
+    and an up-to-date restart delivers nothing."""
+    from incubator_gobblin_spark.sinks.files import FileSink, TableType
+    from incubator_gobblin_spark.sources import lake_cdf
+
+    lake = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    sink = FileSink(
+        path=lake,
+        table_type=TableType.APPEND_ONLY,
+        commit_mode="manifest",
+        cdf_materialize=True,
+    )
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(6)], "k INT, v STRING"
+    )
+    sink.write_staging(base.repartition(2), "r1")
+    sink.publish("r1")
+    cdc = spark.createDataFrame(
+        [(2, "v2-new", None), (9, "v9", None), (4, None, "delete")],
+        "k INT, v STRING, op STRING",
+    )
+    sink.merge_into(spark, cdc, on=["k"], run_id="m1", op_col="op")
+
+    lake_cdf.register(spark)
+
+    def run_once():
+        q = (
+            spark.readStream.format("lakecdf")
+            .option("path", lake)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = {
+        (r.k, r.v, r._change_type) for r in spark.read.parquet(out).collect()
+    }
+    expected = {(i, f"v{i}", "insert") for i in range(6)} | {
+        (2, "v2", "delete"),
+        (2, "v2-new", "insert"),
+        (4, "v4", "delete"),
+        (9, "v9", "insert"),
+    }
+    assert got == expected
+
+    # a commit between restarts: only ITS changes arrive
+    cdc2 = spark.createDataFrame([(0, "v0-x", None)], "k INT, v STRING, op STRING")
+    sink.merge_into(spark, cdc2, on=["k"], run_id="m2", op_col="op")
+    run_once()
+    got2 = {
+        (r.k, r.v, r._change_type) for r in spark.read.parquet(out).collect()
+    }
+    assert got2 - got == {(0, "v0", "delete"), (0, "v0-x", "insert")}
+
+    # up-to-date restart: no new rows
+    run_once()
+    assert (
+        len(spark.read.parquet(out).collect()) == len(got2)
+    ), "an up-to-date restart must deliver nothing"
+
+
+def test_lakecdf_streams_append_commits_without_materialization(spark, tmp_path):
+    """Append commits need no _changes sidecar: their new files stream
+    as inserts directly from the manifest diff."""
+    from incubator_gobblin_spark.sinks.files import FileSink, TableType
+    from incubator_gobblin_spark.sources import lake_cdf
+
+    lake = str(tmp_path / "lake")
+    sink = FileSink(
+        path=lake, table_type=TableType.APPEND_ONLY, commit_mode="manifest"
+    )
+    sink.write_staging(
+        spark.createDataFrame([(1, "a")], "k INT, v STRING"), "r1"
+    )
+    sink.publish("r1")
+    sink.write_staging(
+        spark.createDataFrame([(2, "b")], "k INT, v STRING"), "r2"
+    )
+    sink.publish("r2")
+
+    lake_cdf.register(spark)
+    q = (
+        spark.readStream.format("lakecdf")
+        .option("path", lake)
+        .load()
+        .writeStream.format("memory")
+        .queryName("cdf_append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r.k, r.v, r._change_type)
+        for r in spark.sql("SELECT * FROM cdf_append").collect()
+    }
+    assert rows == {(1, "a", "insert"), (2, "b", "insert")}
+
+
+def test_lake_replication_via_cdf_stream(spark, tmp_path):
+    """Continuous lake replication: source lake A's CDF stream feeds a
+    streaming MERGE into lake B — after each availableNow pass, B's
+    snapshot equals A's. Updates ride as delete+insert pairs; a
+    synthetic seq (insert > delete) lets the in-batch compaction keep
+    the insert for updated keys."""
+    from incubator_gobblin_spark.sinks.files import FileSink, TableType
+
+    a = FileSink(
+        path=str(tmp_path / "lakeA"),
+        table_type=TableType.APPEND_ONLY,
+        commit_mode="manifest",
+        cdf_materialize=True,
+    )
+    b = FileSink(path=str(tmp_path / "lakeB"), commit_mode="manifest")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k INT, v STRING"
+    )
+    a.write_staging(base.repartition(2), "r1")
+    a.publish("r1")
+
+    def replicate():
+        q = (
+            StreamPipeline(spark, "repl")
+            .source_lake_cdf(str(tmp_path / "lakeA"))
+            .convert(
+                lambda df: df.withColumn(
+                    "seq",
+                    F.when(F.col("_change_type") == "insert", 1).otherwise(0),
+                ).withColumn(
+                    "op",
+                    F.when(
+                        F.col("_change_type") == "delete", "delete"
+                    ).otherwise(None),
+                ).drop("_change_type")
+            )
+            .to_merge(
+                b, on=["k"], checkpoint=ckpt, op_col="op",
+                order_col="seq", once=True,
+            )
+        )
+        q.awaitTermination(120)
+
+    def snapshots_equal():
+        sa = {(r.k, r.v) for r in a.read_committed(spark).collect()}
+        sb = {(r.k, r.v) for r in b.read_committed(spark).select("k", "v").collect()}
+        return sa == sb
+
+    replicate()
+    assert snapshots_equal()
+
+    cdc = spark.createDataFrame(
+        [(3, "v3-new", None), (42, "v42", None), (7, None, "delete")],
+        "k INT, v STRING, op STRING",
+    )
+    a.merge_into(spark, cdc, on=["k"], run_id="m1", op_col="op")
+    replicate()
+    assert snapshots_equal()
+    # replaying with nothing new is a no-op
+    replicate()
+    assert snapshots_equal()
