@@ -804,3 +804,86 @@ def perplexity_buckets(
         "sum_logp",
         bucket.alias("ppl_bucket"),
     )
+
+
+def c4_rules(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The C4 cleaning heuristics (Raffel et al. 2020, "Exploring the
+    Limits of Transfer Learning", §2.2) as one pure-Column pass:
+    sentence count, the fraction of lines that are keepable (>= 5
+    words AND terminal punctuation — C4 drops the rest), and the
+    page-level contamination flags (lorem ipsum, curly brace).
+    ``keep`` is the page decision: >= 3 sentences and neither flag.
+
+    Scale: projection only — no shuffle, no UDF; composes with
+    quality.check_rows as a row policy at scan speed."""
+    t = F.col(text_col)
+    low = F.lower(t)
+    lines = F.split(t, r"\n")
+    line_ok = lambda ln: (  # noqa: E731
+        F.size(F.filter(F.split(F.trim(ln), r"\s+"), lambda w: w != "")) >= 5
+    ) & ln.rlike(r'[.!?"]\s*$')
+    kept = F.size(F.filter(lines, line_ok))
+    n_sent = F.regexp_count(t, F.lit(r"[.!?]"))
+    out = df.select(
+        F.col(id_col),
+        n_sent.cast("long").alias("n_sentences"),
+        F.round(kept.cast("double") / F.size(lines), 6).alias("frac_lines_kept"),
+        low.contains("lorem ipsum").alias("has_lorem"),
+        t.contains("{").alias("has_brace"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("n_sentences") >= 3)
+        & ~F.col("has_lorem")
+        & ~F.col("has_brace"),
+    )
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+) -> DataFrame:
+    """The Gopher/MassiveText document-quality rules (Rae et al. 2021,
+    appendix A1.1) as one pure-Column pass: word count bounds, mean
+    word length bounds, symbol-to-word ratio (# and ellipsis), and the
+    fraction of words containing at least one alphabetic character.
+    ``keep`` ANDs the thresholds (defaults are the paper's).
+
+    Determinism: the ratios divide exact integer counts in doubles —
+    no accumulation order exists — then round to 6 dp so both engines
+    hash identically.
+
+    Scale: projection only; at 100 TB this is scan-speed row policy
+    material, like c4_rules."""
+    toks = _toks(text_col)
+    n_words = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    n_symbols = F.regexp_count(F.col(text_col), F.lit(r"#|\.\.\.")).cast("long")
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]"))).cast("long")
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(sum_len.cast("double") / n_words, 6).alias("mean_word_len"),
+        F.round(n_symbols.cast("double") / n_words, 6).alias("symbol_ratio"),
+        F.round(n_alpha.cast("double") / n_words, 6).alias("alpha_frac"),
+    ).filter(F.col("n_words") > 0)
+    return out.withColumn(
+        "keep",
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("alpha_frac") >= min_alpha_frac),
+    )

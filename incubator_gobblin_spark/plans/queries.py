@@ -3307,6 +3307,67 @@ def q100_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q101_c4_rules",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT)
+               AS n_sentences,
+           round(CAST(len(list_filter(string_split(text, chr(10)),
+                     ln -> len(list_filter(string_split_regex(trim(ln), '\s+'),
+                               w -> w != '')) >= 5
+                           AND regexp_matches(ln, '[.!?"]\s*$')))
+                 AS DOUBLE) / len(string_split(text, chr(10))), 6)
+               AS frac_lines_kept,
+           contains(lower(text), 'lorem ipsum') AS has_lorem,
+           contains(text, '{') AS has_brace,
+           len(regexp_extract_all(text, '[.!?]')) >= 3
+             AND NOT contains(lower(text), 'lorem ipsum')
+             AND NOT contains(text, '{') AS keep
+    FROM documents
+    """,
+)
+def q101_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning heuristics (corpus.c4_rules, Raffel et al. 2020):
+    sentence counts, keepable-line fraction, lorem-ipsum/brace flags,
+    page keep decision — one shuffle-free Column pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.c4_rules(docs)
+
+
+@register(
+    "q102_gopher_rules",
+    r"""
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           round(CAST(list_sum(list_transform(toks, w -> len(w)))
+                      AS DOUBLE) / len(toks), 6) AS mean_word_len,
+           round(CAST(len(regexp_extract_all(text, '#|\.\.\.'))
+                      AS DOUBLE) / len(toks), 6) AS symbol_ratio,
+           round(CAST(len(list_filter(toks,
+                          w -> regexp_matches(w, '[A-Za-z]')))
+                      AS DOUBLE) / len(toks), 6) AS alpha_frac,
+           len(toks) BETWEEN 50 AND 100000
+             AND round(CAST(list_sum(list_transform(toks, w -> len(w)))
+                            AS DOUBLE) / len(toks), 6) BETWEEN 3.0 AND 10.0
+             AND round(CAST(len(regexp_extract_all(text, '#|\.\.\.'))
+                            AS DOUBLE) / len(toks), 6) <= 0.1
+             AND round(CAST(len(list_filter(toks,
+                            w -> regexp_matches(w, '[A-Za-z]')))
+                            AS DOUBLE) / len(toks), 6) >= 0.8 AS keep
+    FROM (SELECT doc_id, text, regexp_extract_all(text, '\S+') AS toks
+          FROM documents)
+    WHERE len(toks) > 0
+    """,
+)
+def q102_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText quality rules (corpus.gopher_rules, Rae et
+    al. 2021 A1.1): word-count bounds, mean word length, symbol ratio,
+    alphabetic-word fraction, keep decision — shuffle-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.gopher_rules(docs)
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the multi-way broadcast star join + aggregation."""
     return q03_revenue_by_nation(spark, sf_dir)

@@ -1223,6 +1223,16 @@ class FileSink:
         finally:
             spark.conf.set(conf, prev)
         self.write_staging(df, rid)
+        if self.cdf_materialize:
+            # compaction rewrites every FILE but changes zero ROWS: an
+            # empty _changes sidecar records exactly that, so the CDF
+            # fast path and the lakecdf stream see a no-op instead of a
+            # whole-table delete+insert storm from the file diff
+            df.limit(0).withColumn(
+                "_change_type", F.lit("").cast("string")
+            ).write.mode("overwrite").parquet(
+                os.path.join(self.staging_dir(rid), "_changes")
+            )
         snap = dataclasses.replace(self, table_type=TableType.SNAPSHOT_ONLY)
         snap.publish(rid)
         return rid

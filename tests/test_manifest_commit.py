@@ -1504,3 +1504,26 @@ def test_cdf_materialize_serves_read_changes_without_diff(spark, tmp_path):
         for r in sink.read_changes(spark, "r1").collect()
     }
     assert multi == got | {(0, "v0", "delete"), (0, "z", "insert")}
+
+
+def test_compaction_is_cdf_noop_when_materialized(spark, tmp_path):
+    """Compaction rewrites every file but changes no rows: with
+    cdf_materialize the empty _changes sidecar makes read_changes
+    across the compaction return ZERO rows (without it, the file diff
+    degrades to the documented full delete+insert storm)."""
+    sink = _sink(
+        tmp_path / "lake",
+        table_type=TableType.APPEND_ONLY,
+        cdf_materialize=True,
+    )
+    for i in range(3):
+        sink.write_staging(
+            spark.createDataFrame([(i, f"v{i}")], "k INT, v STRING"), f"r{i}"
+        )
+        sink.publish(f"r{i}")
+    cid = sink.compact_runs(spark)
+    ch = sink.read_changes(spark, "r2")
+    assert ch.count() == 0
+    assert "_change_type" in ch.columns
+    assert sink.read_committed(spark).count() == 3
+    assert sink.current_manifest()["run_id"] == cid
