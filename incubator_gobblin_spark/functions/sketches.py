@@ -1,0 +1,157 @@
+"""Sketch / sampling operators for corpus-scale statistics.
+
+At 100 TB, exact distinct counts and exact quantiles are shuffle-heavy
+(count-distinct expands rows; exact medians need a global sort), while
+their sketched counterparts are single-pass partial aggregations whose
+state is O(registers) per group. These operators expose Spark's
+built-in sketches (HyperLogLog++ via ``approx_count_distinct``,
+Greenwald-Khanna via ``percentile_approx``) together with the error
+invariant that makes them oracle-checkable: the sketch estimate is
+compared against the exact value computed in the same job, and the
+query emits the exact value plus a boolean "within tolerance" flag the
+DuckDB oracle reproduces as a constant — any estimator regression
+flips the flag and fails the hash gate.
+
+``weighted_sample`` is deterministic priority sampling (Duffield,
+Lund & Thorup, "Priority sampling for estimation of arbitrary subset
+sums", JACM 2007): each row draws priority ``w / u`` with ``u`` a
+uniform hash of its key, and the global top-k priorities form the
+sample. Because ``u`` derives from md5 of the key — not a seeded RNG —
+the sample is a pure function of the data: identical across engines,
+partitionings, and re-runs, the same property the stratified sampler
+(`corpus.sample_stratified`) and split assigner (`corpus.assign_split`)
+rely on. Every arithmetic step (integer-valued double, multiply,
+divide) is IEEE-754 correctly rounded, so priorities are bit-identical
+in any engine and the selected set is reproducible in ANSI SQL.
+
+Reference parity: Gobblin samples rows only uniformly
+(``RowLevelPolicy`` sampling and ``sample_mod`` style converters,
+gobblin-core/.../converter/filter/*); weighted and sketched variants
+are part of the training-data-pipeline surface this engine adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "priority_key",
+    "weighted_sample",
+    "approx_distinct_report",
+    "approx_quantile_check",
+]
+
+_HEX32 = 4294967296.0  # 2^32 as an exact double
+
+
+def priority_key(key_col: str, weight_col: str) -> Column:
+    """Priority ``w / u`` with ``u = (v + 1) / 2^32`` and ``v`` the
+    first 8 md5-hex chars of the key as an integer — i.e.
+    ``w * 2^32 / (v + 1)``. ``v`` is an exact integer below 2^32, so
+    the multiply and divide are single correctly-rounded IEEE ops:
+    any engine computes the identical double."""
+    v = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+    return (
+        F.col(weight_col).cast("double")
+        * F.lit(_HEX32)
+        / (v.cast("double") + F.lit(1.0))
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sample of ``k`` rows: the top-k rows by
+    priority ``w/u`` (ties broken by key). Inclusion probability is
+    proportional-ish to weight (exactly the priority-sampling design,
+    whose subset-sum estimator is unbiased); a row with weight 0 or
+    NULL is never selected ahead of any positively-weighted row.
+
+    Scale shape: ``orderBy(...).limit(k)`` compiles to TakeOrdered —
+    each partition keeps its local top-k and the driver merges
+    ``k * partitions`` candidates; no global sort shuffle. The
+    priority column is dropped so results carry only input values
+    (cross-engine hash-stable)."""
+    pri = priority_key(key_col, weight_col)
+    return (
+        df.withColumn("_pri", pri)
+        .orderBy(F.desc("_pri"), F.col(key_col))
+        .limit(k)
+        .drop("_pri")
+    )
+
+
+def approx_distinct_report(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    rsd: float = 0.02,
+    tol: float = 0.10,
+) -> DataFrame:
+    """Per-group HyperLogLog++ distinct count vs the exact count,
+    emitted as (group, n_exact, within_tol). ``within_tol`` is 1 iff
+    the sketch's relative error is <= ``tol`` (default 5x the
+    requested ``rsd`` — a deterministic property of the fixed input,
+    not a per-run coin flip: HLL is seedless, so the estimate is a
+    pure function of the value set).
+
+    Scale shape: one grouped aggregation; the HLL state is
+    O((1.04/rsd)^2) registers per group with map-side partial merge.
+    The exact count rides the same shuffle (Spark plans
+    count-distinct + other aggs via expand) — at true 100 TB scale
+    callers drop ``n_exact`` and keep only the sketch; the exact side
+    here is what makes the invariant checkable."""
+    agg = df.groupBy(group_col).agg(
+        F.count_distinct(F.col(value_col)).alias("n_exact"),
+        F.approx_count_distinct(value_col, rsd).alias("_n_approx"),
+    )
+    within = (
+        F.abs(F.col("_n_approx") - F.col("n_exact"))
+        <= F.col("n_exact") * F.lit(float(tol))
+    )
+    return agg.select(
+        group_col,
+        "n_exact",
+        within.cast("long").alias("within_tol"),
+    )
+
+
+def approx_quantile_check(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    q: float = 0.5,
+    accuracy: int = 100,
+) -> DataFrame:
+    """Per-group Greenwald-Khanna approximate quantile, verified by
+    rank: the sketch's q-quantile must be an element whose exact rank
+    is within ``n/accuracy + 1`` of ``q*n`` (the GK guarantee).
+    Emits (group, n, within_tol); the rank itself is recomputed
+    exactly with a second pass, so the flag is a hard check on the
+    sketch, not a tautology.
+
+    Scale shape: pass 1 is a grouped sketch aggregation (GK state is
+    O(accuracy * log n) per group); the per-group quantiles are a
+    groups-sized frame, broadcast back for the rank count in pass 2 —
+    two shuffles on the same key, no sort, no expansion."""
+    quant = df.groupBy(group_col).agg(
+        F.percentile_approx(value_col, q, accuracy).alias("_qv")
+    )
+    joined = df.join(F.broadcast(quant), group_col)
+    ranked = joined.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col(value_col) <= F.col("_qv")).cast("long")).alias("_rank"),
+    )
+    within = (
+        F.abs(F.col("_rank").cast("double") - F.lit(float(q)) * F.col("n"))
+        <= F.col("n").cast("double") / F.lit(float(accuracy)) + F.lit(1.0)
+    )
+    return ranked.select(
+        group_col,
+        "n",
+        within.cast("long").alias("within_tol"),
+    )

@@ -24,7 +24,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from incubator_gobblin_spark.functions import corpus, dedup_fuzzy, graph, similarity, text
+from incubator_gobblin_spark.functions import (
+    corpus,
+    dedup_fuzzy,
+    graph,
+    similarity,
+    sketches,
+    text,
+)
 from incubator_gobblin_spark.operators import converters as C
 from incubator_gobblin_spark.operators import dedup, joins, retention
 from incubator_gobblin_spark.operators.watermark import WatermarkInterval
@@ -3366,6 +3373,74 @@ def q102_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     alphabetic-word fraction, keep decision — shuffle-free."""
     docs = load_table(spark, sf_dir, "documents")
     return corpus.gopher_rules(docs)
+
+
+@register(
+    "q103_weighted_sample",
+    """
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             CAST(n_chars AS DOUBLE) * 4294967296.0 /
+               (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                     AS BIGINT) + 1.0) AS pri
+      FROM documents)
+    ORDER BY pri DESC, doc_id LIMIT 100
+    """,
+)
+def q103_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (sketches.weighted_sample,
+    priority sampling — Duffield/Lund/Thorup JACM 2007): top-100 docs
+    by priority n_chars/u with u an md5 hash of doc_id. Every
+    arithmetic step is a single correctly-rounded IEEE op, so the
+    DuckDB oracle reproduces the identical sample set. TakeOrdered
+    plan — per-partition top-k, no global sort shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return sketches.weighted_sample(docs, "doc_id", "n_chars", k=100)
+
+
+@register(
+    "q104_approx_distinct",
+    """
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_exact,
+           CAST(1 AS BIGINT) AS within_tol
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q104_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct customers per order priority with its
+    error invariant (sketches.approx_distinct_report): the sketch
+    estimate must land within 10% of the exact count (HLL is seedless
+    — the estimate is a pure function of the value set, so the flag is
+    deterministic, and the oracle pins it at 1). At 100 TB the exact
+    side drops away and the O(registers)-state sketch remains."""
+    orders = load_table(spark, sf_dir, "orders")
+    return sketches.approx_distinct_report(
+        orders, "o_orderpriority", "o_custkey", rsd=0.02, tol=0.10
+    )
+
+
+@register(
+    "q105_approx_median_rank",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n,
+           CAST(1 AS BIGINT) AS within_tol
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q105_approx_median_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate median of o_totalprice per order
+    priority, verified by exact rank (sketches.approx_quantile_check):
+    the sketch's element must sit within n/accuracy + 1 ranks of the
+    true median — recomputed exactly in a second pass, so the oracle's
+    constant flag is a hard check on the sketch, not a tautology."""
+    orders = load_table(spark, sf_dir, "orders")
+    return sketches.approx_quantile_check(
+        orders, "o_orderpriority", "o_totalprice", q=0.5, accuracy=100
+    )
 
 
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

@@ -324,7 +324,9 @@ class MockKafkaStreamReader(SimpleDataSourceStreamReader):
 
 
 class _ProduceCommit(WriterCommitMessage):
-    pass
+    def __init__(self, spool: str, task_part: int):
+        self.spool = spool
+        self.task_part = task_part
 
 
 class MockKafkaWriter(DataSourceWriter):
@@ -332,7 +334,17 @@ class MockKafkaWriter(DataSourceWriter):
     value (binary/string) and optionally key / partition / topic; keyed
     rows hash to a stable partition (same key -> same partition, the
     Kafka ordering guarantee), unkeyed rows land on partition 0 of the
-    task (sticky batching)."""
+    task (sticky batching).
+
+    Offset assignment is two-phase: each task SPOOLS its records (in
+    row order) and the driver's ``commit`` replays spools in task-
+    partition order — so broker offsets follow the DataFrame's row
+    order, the per-partition send-order guarantee a single Kafka
+    producer gives. Without the spool, concurrent task appends race
+    for offsets and two same-key records can commit in either order
+    (a real flake: CDC keep-latest then resurrects the older value).
+    Spools unapplied on abort also make batch produce effectively
+    idempotent — the ``enable.idempotence`` producer contract."""
 
     def __init__(self, options, schema):
         self.root = options["path"]
@@ -342,8 +354,13 @@ class MockKafkaWriter(DataSourceWriter):
 
     def write(self, rows):
         import time as _time
+        import uuid
 
-        create_topic(self.root, self.topic, self.n_parts) if self.topic else None
+        from pyspark import TaskContext
+
+        if self.topic:
+            create_topic(self.root, self.topic, self.n_parts)
+        # per-(topic,partition) buckets, row order preserved in each
         buckets: dict[tuple[str, int], list] = {}
         for row in rows:
             rec = dict(zip(self.fields, row))
@@ -375,25 +392,73 @@ class MockKafkaWriter(DataSourceWriter):
             else:
                 ts_ms = int(ts)
             buckets.setdefault((topic, int(part)), []).append((key, value, ts_ms))
-        for (topic, part), recs in sorted(buckets.items()):
-            append_records(self.root, topic, part, recs)
-        return _ProduceCommit()
+        ctx = TaskContext.get()
+        task_part = ctx.partitionId() if ctx is not None else 0
+        spool_dir = os.path.join(self.root, "_spool")
+        os.makedirs(spool_dir, exist_ok=True)
+        spool = os.path.join(spool_dir, f"{uuid.uuid4().hex}.json")
+        payload = [
+            [
+                topic,
+                part,
+                [
+                    [
+                        base64.b64encode(k).decode() if k is not None else None,
+                        base64.b64encode(v).decode(),
+                        t,
+                    ]
+                    for k, v, t in recs
+                ],
+            ]
+            for (topic, part), recs in sorted(buckets.items())
+        ]
+        with open(spool, "w") as fh:
+            json.dump(payload, fh)
+        return _ProduceCommit(spool, task_part)
 
     def commit(self, messages):
+        # replay spools in task order: offsets are dense, deterministic,
+        # and follow the DataFrame's row order within each partition
+        for msg in sorted(
+            (m for m in messages if m is not None),
+            key=lambda m: (m.task_part, m.spool),
+        ):
+            if not os.path.exists(msg.spool):
+                continue  # speculative duplicate already applied
+            with open(msg.spool) as fh:
+                payload = json.load(fh)
+            for topic, part, recs in payload:
+                append_records(
+                    self.root,
+                    topic,
+                    int(part),
+                    [
+                        (
+                            base64.b64decode(k) if k is not None else None,
+                            base64.b64decode(v),
+                            int(t),
+                        )
+                        for k, v, t in recs
+                    ],
+                )
+            os.remove(msg.spool)
         return None
 
     def abort(self, messages):
-        # appends are not retracted: the mock is at-least-once on task
-        # retry, the same delivery contract as a real Kafka producer
+        for msg in messages or []:
+            if msg is not None and os.path.exists(msg.spool):
+                os.remove(msg.spool)
         return None
 
 
 class MockKafkaStreamWriter(DataSourceStreamWriter):
     """Streaming producer sink (``writeStream.format("mockkafka")``):
-    every micro-batch's rows append through the same keyed-produce path
-    as the batch writer. Delivery is at-least-once on task retry —
-    exactly the real Kafka sink's contract (exactly-once belongs to the
-    downstream reader's offset dedup, not the producer)."""
+    every micro-batch's rows spool through the same keyed-produce path
+    as the batch writer and append at epoch commit in task order. A
+    replayed epoch re-appends (at-least-once across restarts — the real
+    Kafka sink's contract; exactly-once belongs to the downstream
+    reader's offset dedup, not the producer), but within one epoch
+    offsets are deterministic and follow row order."""
 
     def __init__(self, options, schema):
         self._w = MockKafkaWriter(options, schema)
@@ -402,10 +467,10 @@ class MockKafkaStreamWriter(DataSourceStreamWriter):
         return self._w.write(rows)
 
     def commit(self, messages, batchId):
-        return None
+        return self._w.commit(messages)
 
     def abort(self, messages, batchId):
-        return None
+        return self._w.abort(messages)
 
 
 # -------------------------------------------------------------- datasource

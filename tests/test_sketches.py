@@ -1,0 +1,94 @@
+"""Sketch/sampling operators: determinism, bias, and error invariants.
+
+Cross-engine value parity for q103-q105 is covered by
+tests/test_oracle_parity.py; these tests pin the properties the oracle
+cannot see — partitioning-independence, weight bias, plan shape, and
+that the "within_tol" flags are computed (not constant-folded)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from incubator_gobblin_spark.functions import sketches
+from incubator_gobblin_spark.session import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def test_weighted_sample_partitioning_invariant(docs):
+    a = sketches.weighted_sample(docs, "doc_id", "n_chars", k=50)
+    b = sketches.weighted_sample(
+        docs.repartition(13, "lang"), "doc_id", "n_chars", k=50
+    )
+    ids = lambda df: sorted(r.doc_id for r in df.collect())  # noqa: E731
+    assert ids(a) == ids(b)
+    assert len(ids(a)) == 50
+
+
+def test_weighted_sample_heavy_row_always_selected(docs, spark):
+    heavy = spark.createDataFrame(
+        [(10_000_000, "xx", 1 << 40)], "doc_id long, lang string, n_chars long"
+    )
+    out = sketches.weighted_sample(docs.union(heavy), "doc_id", "n_chars", k=10)
+    # priority >= w/1.0 = 2^40 * 2^32 / 2^32 = 2^40 >> any doc's
+    # n_chars * 2^32 ceiling at u's floor — must be sampled
+    assert 10_000_000 in {r.doc_id for r in out.collect()}
+
+
+def test_weighted_sample_zero_weight_never_beats_positive(spark):
+    rows = [(i, 0 if i < 90 else 5) for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, w long")
+    out = sketches.weighted_sample(df, "k", "w", k=10)
+    assert {r.k for r in out.collect()} == set(range(90, 100))
+
+
+def test_weighted_sample_plan_is_take_ordered(docs):
+    plan = sketches.weighted_sample(docs, "doc_id", "n_chars", k=50)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan  # no global sort shuffle
+
+
+def test_approx_distinct_flag_is_live(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    rep = sketches.approx_distinct_report(
+        orders, "o_orderpriority", "o_custkey", rsd=0.02, tol=0.10
+    ).collect()
+    assert rep and all(r.within_tol == 1 for r in rep)
+    # an absurdly tight tolerance must flip at least one group's flag
+    # (otherwise the invariant would be vacuous)
+    tight = sketches.approx_distinct_report(
+        orders, "o_orderpriority", "o_custkey", rsd=0.3, tol=0.0
+    ).collect()
+    assert any(r.within_tol == 0 for r in tight)
+
+
+def test_approx_quantile_rank_bound(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    rep = sketches.approx_quantile_check(
+        orders, "o_orderpriority", "o_totalprice", q=0.5, accuracy=100
+    ).collect()
+    assert rep and all(r.within_tol == 1 for r in rep)
+    # the check is exercised across quantiles, not just the median
+    for q in (0.1, 0.9):
+        rep_q = sketches.approx_quantile_check(
+            orders, "o_orderpriority", "o_totalprice", q=q, accuracy=100
+        ).collect()
+        assert all(r.within_tol == 1 for r in rep_q)
+
+
+def test_approx_quantile_high_accuracy_converges(spark):
+    # at accuracy >= n the GK sketch is exact: the rank bound must
+    # hold with the tightest possible tolerance (n/accuracy + 1 ~ 2)
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, "g", rng.random()) for i in range(5000)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    row = sketches.approx_quantile_check(
+        df, "g", "v", q=0.5, accuracy=10000
+    ).collect()[0]
+    assert row.n == 5000 and row.within_tol == 1
