@@ -864,6 +864,29 @@ def gopher_rules(
 
     Scale: projection only; at 100 TB this is scan-speed row policy
     material, like c4_rules."""
+    n_words, mean_word_len, symbol_ratio, alpha_frac = _gopher_stats(text_col)
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_frac"),
+    ).filter(F.col("n_words") > 0)
+    return out.withColumn(
+        "keep",
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("alpha_frac") >= min_alpha_frac),
+    )
+
+
+def _gopher_stats(text_col: str) -> tuple[Column, Column, Column, Column]:
+    """(n_words, mean_word_len, symbol_ratio, alpha_frac) Columns for
+    the Gopher rules. Ratios are guarded with ``when(n_words > 0, ..)``
+    — conditional branches evaluate lazily per row, so an empty
+    document yields NULL instead of an ANSI divide-by-zero error
+    (identical values for every non-empty doc)."""
     toks = _toks(text_col)
     n_words = F.size(toks).cast("long")
     sum_len = F.aggregate(
@@ -873,17 +896,33 @@ def gopher_rules(
     )
     n_symbols = F.regexp_count(F.col(text_col), F.lit(r"#|\.\.\.")).cast("long")
     n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]"))).cast("long")
-    out = df.select(
-        F.col(id_col),
-        n_words.alias("n_words"),
-        F.round(sum_len.cast("double") / n_words, 6).alias("mean_word_len"),
-        F.round(n_symbols.cast("double") / n_words, 6).alias("symbol_ratio"),
-        F.round(n_alpha.cast("double") / n_words, 6).alias("alpha_frac"),
-    ).filter(F.col("n_words") > 0)
-    return out.withColumn(
-        "keep",
-        F.col("n_words").between(min_words, max_words)
-        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
-        & (F.col("symbol_ratio") <= max_symbol_ratio)
-        & (F.col("alpha_frac") >= min_alpha_frac),
+
+    def ratio(num: Column) -> Column:
+        return F.round(
+            F.when(n_words > 0, num.cast("double") / n_words), 6
+        )
+
+    return n_words, ratio(sum_len), ratio(n_symbols), ratio(n_alpha)
+
+
+def gopher_keep(
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+) -> Column:
+    """The :func:`gopher_rules` keep decision as a bare filter Column —
+    for pipelines that drop rejects inline (scan-speed projection
+    filter, no self-join back to the full rows). NULL-safe: an empty
+    document's ratios are NULL, the conjunction is non-true, and the
+    row is filtered."""
+    n_words, mean_word_len, symbol_ratio, alpha_frac = _gopher_stats(text_col)
+    return (
+        n_words.between(min_words, max_words)
+        & mean_word_len.between(min_mean_word_len, max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (alpha_frac >= min_alpha_frac)
     )

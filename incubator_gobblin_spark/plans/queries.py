@@ -3443,6 +3443,87 @@ def q105_approx_median_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q106_curation_pipeline",
+    r"""
+    WITH base AS (
+      SELECT doc_id, text, source, n_chars,
+             regexp_extract_all(text, '\S+') AS tk
+      FROM documents WHERE doc_id % 97 <> 0
+    ),
+    kept AS (
+      SELECT doc_id, text, source, n_chars FROM base
+      WHERE len(tk) > 0
+        AND len(tk) BETWEEN 50 AND 100000
+        AND round(CAST(list_sum(list_transform(tk, w -> len(w)))
+                  AS DOUBLE) / len(tk), 6) BETWEEN 3.0 AND 10.0
+        AND round(CAST(len(regexp_extract_all(text, '#|\.\.\.'))
+                  AS DOUBLE) / len(tk), 6) <= 0.1
+        AND round(CAST(len(list_filter(tk, w -> regexp_matches(w, '[A-Za-z]')))
+                  AS DOUBLE) / len(tk), 6) >= 0.8
+    ),
+    deduped AS (
+      SELECT doc_id, text, source, n_chars FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+            ORDER BY doc_id) AS rn
+        FROM kept) WHERE rn = 1
+    ),
+    tg AS (
+      SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+              FOR i IN range(1, len(t) - 1)])) AS gram
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\s+'),
+                               x -> x != '') AS t
+            FROM deduped)
+    ),
+    bg AS (
+      SELECT DISTINCT unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+              FOR i IN range(1, len(t) - 1)])) AS gram
+      FROM (SELECT list_filter(string_split_regex(trim(text), '\s+'),
+                               x -> x != '') AS t
+            FROM documents WHERE doc_id % 97 = 0)
+    ),
+    clean AS (
+      SELECT * FROM deduped
+      WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM tg JOIN bg USING (gram))
+    ),
+    split_assigned AS (
+      SELECT *, CASE
+         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'train'
+         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'f3333333' THEN 'val'
+         ELSE 'test' END AS split
+      FROM clean
+    ),
+    capped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn2
+        FROM split_assigned) WHERE rn2 <= 50
+    )
+    SELECT split, source, count(*) AS docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM capped GROUP BY split, source
+    """,
+)
+def q106_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The five-stage curation chain end-to-end (jobs/curate.py):
+    Gopher quality gate -> exact fingerprint dedup -> trigram
+    benchmark decontamination -> md5-range split assignment ->
+    salted per-source cap, summarized per (split, source). Each stage
+    is individually oracle-proven (q102/q07/q70/q83/q82); this row
+    proves the COMPOSITION — one Catalyst plan, no materialization
+    between stages."""
+    from incubator_gobblin_spark.jobs import curate as curate_job
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    curated = curate_job.curate(train, bench)
+    return curate_job.curation_report(curated)
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the multi-way broadcast star join + aggregation."""
     return q03_revenue_by_nation(spark, sf_dir)
