@@ -719,3 +719,74 @@ def run_kafka_ingest_job(spark: SparkSession, spec: str | dict[str, str]):
         reset=reset,
         value_schema=props.get("kafka.spark.value.schema"),
     )
+
+
+def run_curation_job(spark: SparkSession, spec: str | dict[str, str]):
+    """Run the five-stage corpus-curation chain (:mod:`jobs.curate`)
+    from a ``.pull``-style spec — the job-spec face of the reference's
+    converter + row-policy chain (Converter.java:40,
+    RowLevelPolicy.java:33), compiled to ONE DataFrame plan.
+    Vocabulary:
+
+    - ``curate.input.dir`` / ``curate.input.format`` — the candidate
+      corpus (default parquet)
+    - ``curate.bench.dir`` — the held-out eval corpus, OR
+      ``curate.bench.predicate`` — a SQL predicate selecting eval rows
+      out of the input (matching rows become the benchmark and are
+      EXCLUDED from the candidates)
+    - ``curate.id.column`` / ``curate.text.column`` /
+      ``curate.source.column`` — defaults doc_id / text / source
+    - ``curate.splits`` — ``train:0.9,val:0.05,test:0.05`` (default)
+    - ``curate.cap.per.source`` — per-source doc cap (default 50)
+    - ``curate.decontam.ngram`` — overlap n-gram size (default 3)
+    - ``curate.salt.parts`` — hot-source salting (default 8)
+    - ``writer.output.dir`` — optional; when set, the curated rows are
+      staged and atomically published partitioned by split
+
+    Returns the curated DataFrame either way."""
+    from incubator_gobblin_spark.formats.avro_ocf import resolve_format
+    from incubator_gobblin_spark.jobs.curate import curate
+    from incubator_gobblin_spark.sinks.files import FileSink, new_run_id
+
+    props = load_job_file(spec) if isinstance(spec, str) else spec
+    if "curate.bench.dir" not in props and "curate.bench.predicate" not in props:
+        raise SpecError(
+            "curation job needs 'curate.bench.dir' or "
+            "'curate.bench.predicate' (decontamination has no eval set)"
+        )
+    fmt = props.get("curate.input.format", "parquet").lower()
+    docs = spark.read.format(resolve_format(fmt)).load(props["curate.input.dir"])
+    if "curate.bench.dir" in props:
+        bench = spark.read.format(resolve_format(fmt)).load(
+            props["curate.bench.dir"]
+        )
+    else:
+        pred = props["curate.bench.predicate"]
+        bench = docs.filter(pred)
+        docs = docs.filter(f"NOT ({pred})")
+    splits: dict[str, float] = {}
+    for part in props.get(
+        "curate.splits", "train:0.9,val:0.05,test:0.05"
+    ).split(","):
+        name, _, frac = part.strip().partition(":")
+        if not frac:
+            raise SpecError(f"bad curate.splits entry: {part!r}")
+        splits[name] = float(frac)
+    curated = curate(
+        docs,
+        bench,
+        id_col=props.get("curate.id.column", "doc_id"),
+        text_col=props.get("curate.text.column", "text"),
+        source_col=props.get("curate.source.column", "source"),
+        splits=splits,
+        cap_per_source=int(props.get("curate.cap.per.source", "50")),
+        decontam_n=int(props.get("curate.decontam.ngram", "3")),
+        salt_parts=int(props.get("curate.salt.parts", "8")),
+    )
+    out_dir = props.get("writer.output.dir")
+    if out_dir:
+        sink = FileSink(path=out_dir, partition_by=["split"])
+        rid = new_run_id()
+        sink.write_staging(curated, rid)
+        sink.publish(rid)
+    return curated

@@ -401,3 +401,44 @@ def test_cdf_and_evolution_spec_keys(spark, tmp_path):
     assert sink.cdf_materialize and sink.schema_evolution
     with pytest.raises(S.SpecError, match="true/false"):
         S.compile_sink({**base, "data.publisher.spark.cdf.materialize": "yes"})
+
+
+def test_curation_job_spec(spark, tmp_path, sf_dir):
+    """curate.* vocabulary runs the five-stage curation chain and
+    publishes split-partitioned output; results equal a direct
+    jobs.curate call on the same split of the corpus."""
+    from pyspark.sql import functions as F
+
+    from incubator_gobblin_spark.jobs import curate as curate_job
+    from incubator_gobblin_spark.session import load_table
+
+    out_dir = str(tmp_path / "curated")
+    spec = {
+        "curate.input.dir": f"{sf_dir}/documents.parquet",
+        "curate.bench.predicate": "doc_id % 97 = 0",
+        "curate.cap.per.source": "20",
+        "writer.output.dir": out_dir,
+    }
+    res = S.run_curation_job(spark, spec)
+    docs = load_table(spark, sf_dir, "documents")
+    want = curate_job.curate(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        cap_per_source=20,
+    )
+    ids = lambda df: sorted(  # noqa: E731
+        (r.doc_id, r.split) for r in df.select("doc_id", "split").collect()
+    )
+    assert ids(res) == ids(want) and len(ids(res)) > 0
+    published = spark.read.option("basePath", out_dir).parquet(out_dir)
+    assert ids(published) == ids(res)
+    import os
+
+    assert any(d.startswith("split=") for d in os.listdir(out_dir))
+
+
+def test_curation_job_spec_requires_bench(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(S.SpecError):
+        S.run_curation_job(spark, {"curate.input.dir": "/nonexistent"})
