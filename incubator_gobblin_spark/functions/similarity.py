@@ -628,12 +628,13 @@ def _pq_argmin(
 
     Two formulations with IDENTICAL results (same IEEE accumulation
     order, same rounding):
-    - ``unroll=False`` (default): ``transform`` over a LITERAL array of
-      centroid structs — the codebook is ONE literal node, the distance
-      is one lambda body, so the expression tree is tiny and Catalyst
-      plans it in milliseconds. The lambda runs on the interpreted
-      evaluator (~10x slower per row than codegen) — right up to
-      ~10^8-row scans where driver plan time dominates.
+    - ``unroll=False`` (default): indexed ``transform`` over the
+      codebook as ONE nested-array literal — a single py4j call, where
+      the naive per-centroid ``F.lit`` construction spent 1.5-2s of
+      DRIVER time on py4j round-trips per query build. Tiny expression
+      tree, milliseconds to build and plan; the lambda runs on the
+      interpreted evaluator (~10x slower per row than codegen) — right
+      up to ~10^8-row scans where driver plan/build time dominates.
     - ``unroll=True``: fully unrolled element_at arithmetic — a large
       tree Catalyst takes seconds to plan, but the scan is whole-stage
       codegen. Right for the petabyte ADC/encode pass, where plan time
@@ -651,24 +652,15 @@ def _pq_argmin(
                 fields.append(F.lit(lut[ci]).alias("t"))
             structs.append(F.struct(*fields))
         return F.array_min(F.array(*structs))
-    book_lit = F.array(
-        *[
-            F.struct(
-                F.lit(ci).cast("int").alias("c"),
-                F.lit(lut[ci] if lut is not None else 0.0).alias("t"),
-                F.array(*[F.lit(x) for x in c]).alias("v"),
-            )
-            for ci, c in enumerate(book)
-        ]
-    )
+    book_arr = F.lit([[float(x) for x in c] for c in book])
 
-    def _score(s: Column) -> Column:
+    def _score(v: Column, i: Column) -> Column:
         d = F.round(
             F.sqrt(
                 F.aggregate(
                     F.zip_with(
                         sv,
-                        s["v"],
+                        v,
                         lambda a, b: (a.cast("double") - b)
                         * (a.cast("double") - b),
                     ),
@@ -678,12 +670,19 @@ def _pq_argmin(
             ),
             6,
         )
-        fields = [d.alias("d"), s["c"].alias("c")]
-        if lut is not None:
-            fields.append(s["t"].alias("t"))
-        return F.struct(*fields)
+        # struct ordering (d, c): ties on distance break to the lower
+        # centroid index, exactly like the unrolled path
+        return F.struct(d.alias("d"), i.cast("int").alias("c"))
 
-    return F.array_min(F.transform(book_lit, _score))
+    best = F.array_min(F.transform(book_arr, _score))
+    if lut is None:
+        return best
+    lut_arr = F.lit([float(x) for x in lut])
+    return F.struct(
+        best["d"].alias("d"),
+        best["c"].alias("c"),
+        F.element_at(lut_arr, best["c"] + 1).alias("t"),
+    )
 
 
 def pq_encode(
