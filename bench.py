@@ -47,6 +47,8 @@ HEADLINE = [
     # second-wave round-4 additions
     "q96_dsir_weights",        # DSIR hashed-model data selection
     "q99_pq_topk",             # PQ ADC scan (shuffle-free top-k)
+    # third/fourth-wave round-4 additions
+    "q106_curation_pipeline",  # five-stage curation chain end-to-end
 ]
 
 
