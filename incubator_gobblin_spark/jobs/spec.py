@@ -633,6 +633,10 @@ def run_merge_job(spark: SparkSession, spec: str | dict[str, str]):
       retries in-process rather than failing the whole run)
     - ``merge.run.id`` — idempotency token; a re-submitted job with the
       same id is a no-op once committed
+    - ``merge.matched`` — ``replace`` (default) or ``ignore`` (WHEN
+      MATCHED THEN DO NOTHING: insert-if-absent, first writer wins —
+      the incremental-dedup ingestion mode; incompatible with
+      ``merge.op.column``)
     """
     from incubator_gobblin_spark.formats.avro_ocf import resolve_format
     from incubator_gobblin_spark.sinks.files import FileSink
@@ -654,6 +658,7 @@ def run_merge_job(spark: SparkSession, spec: str | dict[str, str]):
         op_col=props.get("merge.op.column"),
         delete_value=props.get("merge.delete.value", "delete"),
         max_conflict_retries=int(props.get("merge.conflict.retries", "2")),
+        matched=props.get("merge.matched", "replace"),
     )
 
 

@@ -943,6 +943,7 @@ class FileSink:
         op_col: str | None = None,
         delete_value: str = "delete",
         max_conflict_retries: int = 0,
+        matched: str = "replace",
     ) -> str:
         """Copy-on-write MERGE (the CDC-apply the reference runs as a
         compaction delta-merge job, gobblin-compaction
@@ -952,6 +953,17 @@ class FileSink:
         rows whose op equals ``delete_value`` DELETE their match.
         Source must be key-unique on ``on`` (pre-compact CDC streams
         with ``dedup.dedup_argmax`` first).
+
+        ``matched="ignore"`` flips the matched clause to WHEN MATCHED
+        THEN DO NOTHING: the first writer of a key wins and later
+        arrivals of the same key are dropped — insert-if-absent, the
+        MERGE mode incremental exact-dedup ingestion needs (a document
+        whose fingerprint is already in the lake must NOT replace the
+        kept copy). No target file is ever rewritten in this mode: the
+        commit is a pure append of the genuinely-new keys, so it costs
+        one candidate-files key scan plus an append — target rows never
+        move. Incompatible with ``op_col`` (ignoring matches and
+        deleting them contradict).
 
         Scale shape: only files that can contain a matching key are
         touched. Candidates are pruned driver-side against manifest
@@ -965,6 +977,13 @@ class FileSink:
         """
         if self.commit_mode != "manifest":
             raise ValueError("merge_into requires commit_mode='manifest'")
+        if matched not in ("replace", "ignore"):
+            raise ValueError(f"matched must be 'replace' or 'ignore', got {matched!r}")
+        if matched == "ignore" and op_col is not None:
+            raise ValueError(
+                "matched='ignore' cannot combine with op_col deletes: "
+                "ignoring a match and deleting it contradict"
+            )
         rid = run_id or new_run_id()
         on = list(on)
         # Crashed-AFTER-commit retry: if this rid already won a pointer
@@ -997,7 +1016,9 @@ class FileSink:
         # the caller, the job-scheduler-owns-retries posture).
         for attempt in range(max_conflict_retries + 1):
             try:
-                return self._merge_attempt(spark, source, upserts, on, rid)
+                return self._merge_attempt(
+                    spark, source, upserts, on, rid, matched=matched
+                )
             except ManifestConflictError:
                 if attempt == max_conflict_retries:
                     raise
@@ -1059,7 +1080,13 @@ class FileSink:
         return kept
 
     def _merge_attempt(
-        self, spark, source: DataFrame, upserts: DataFrame, on: list[str], rid: str
+        self,
+        spark,
+        source: DataFrame,
+        upserts: DataFrame,
+        on: list[str],
+        rid: str,
+        matched: str = "replace",
     ) -> str:
         if source.isEmpty():
             # an empty CDC batch is a semantic no-op: without this guard
@@ -1106,6 +1133,35 @@ class FileSink:
                 if _entry_matches(e, filters, part_by)
             ]
         cand_entries = self._bloom_refine_candidates(cand_entries, src_keys, on)
+
+        if matched == "ignore":
+            # insert-if-absent: drop source rows whose key exists in any
+            # candidate file; target files are never rewritten, so the
+            # commit is a pure append (removed_files empty) and existing
+            # rows keep their files, stats, and blooms untouched
+            inserts = upserts
+            if cand_entries:
+                existing = self._read_entries(spark, cand_entries).select(*on)
+                inserts = upserts.join(existing, on=on, how="left_anti")
+            target_cols = self._target_columns(spark, manifest)
+            if not (self.schema_evolution or not target_cols):
+                inserts = inserts.select(*target_cols)
+            if inserts.isEmpty():
+                return rid  # every key already present: semantic no-op
+            self.write_staging(inserts, rid)
+            if self.cdf_materialize:
+                inserts.withColumn(
+                    "_change_type", F.lit("insert")
+                ).write.mode("overwrite").parquet(
+                    os.path.join(self.staging_dir(rid), "_changes")
+                )
+            self._publish_manifest(
+                rid,
+                removed_files=set(),
+                candidate_groups=set() if "groups" in manifest else None,
+                expected_ptr=ptr0,
+            )
+            return rid
 
         touched: set[str] = set()
         if cand_entries:

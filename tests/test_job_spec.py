@@ -442,3 +442,30 @@ def test_curation_job_spec_requires_bench(spark):
 
     with _pytest.raises(S.SpecError):
         S.run_curation_job(spark, {"curate.input.dir": "/nonexistent"})
+
+
+def test_merge_job_spec_matched_ignore(spark, tmp_path):
+    """merge.matched=ignore makes the spec-driven MERGE insert-if-absent."""
+    from incubator_gobblin_spark.sinks.files import FileSink
+
+    lake = str(tmp_path / "lake")
+    sink = FileSink(path=lake, commit_mode="manifest")
+    sink.write_staging(
+        spark.createDataFrame([(1, "keep")], "k BIGINT, v STRING"), "base"
+    )
+    sink.publish("base")
+    cdc = str(tmp_path / "cdc")
+    spark.createDataFrame(
+        [(1, "clobber"), (2, "new")], "k BIGINT, v STRING"
+    ).write.parquet(cdc)
+    S.run_merge_job(
+        spark,
+        {
+            "merge.target.dir": lake,
+            "merge.source.dir": cdc,
+            "merge.keys": "k",
+            "merge.matched": "ignore",
+        },
+    )
+    got = {r.k: r.v for r in sink.read_committed(spark).collect()}
+    assert got == {1: "keep", 2: "new"}

@@ -1527,3 +1527,72 @@ def test_compaction_is_cdf_noop_when_materialized(spark, tmp_path):
     assert "_change_type" in ch.columns
     assert sink.read_committed(spark).count() == 3
     assert sink.current_manifest()["run_id"] == cid
+
+
+def test_merge_into_matched_ignore_insert_if_absent(spark, tmp_path):
+    """matched='ignore' is WHEN MATCHED THEN DO NOTHING: the first
+    writer of a key wins, later same-key rows are dropped, new keys
+    append — and NO target file is ever rewritten (pure append
+    commit)."""
+    sink = _sink(tmp_path / "lake")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(5)], "k BIGINT, payload STRING"
+    )
+    sink.write_staging(base, "base")
+    sink.publish("base")
+    before_files = {e["file"] for e in sink.current_manifest()["entries"]}
+
+    src = spark.createDataFrame(
+        [(3, "CLOBBER"), (9, "new")], "k BIGINT, payload STRING"
+    )
+    rid = sink.merge_into(spark, src, on=["k"], run_id="m1", matched="ignore")
+    assert rid == "m1"
+    got = {r.k: r.payload for r in sink.read_committed(spark).collect()}
+    assert got[3] == "v3"  # existing key untouched, not clobbered
+    assert got[9] == "new" and len(got) == 6
+    after = {e["file"] for e in sink.current_manifest()["entries"]}
+    # every base file carried by reference; exactly the insert appended
+    assert before_files <= after
+    new_files = after - before_files
+    assert all(f.startswith(os.path.join("_data", "m1")) for f in new_files)
+
+    # replay of the committed rid: idempotent no-op
+    assert sink.merge_into(spark, src, on=["k"], run_id="m1", matched="ignore") == "m1"
+    assert {r.k: r.payload for r in sink.read_committed(spark).collect()} == got
+
+    # all-duplicate batch: semantic no-op, no new commit
+    history_before = list(sink.manifest_history())
+    sink.merge_into(spark, src, on=["k"], run_id="m2", matched="ignore")
+    assert list(sink.manifest_history()) == history_before
+
+
+def test_merge_into_matched_ignore_validation(spark, tmp_path):
+    sink = _sink(tmp_path / "lake")
+    df = spark.createDataFrame([(1, "a", "upsert")], "k BIGINT, v STRING, op STRING")
+    with pytest.raises(ValueError, match="op_col"):
+        sink.merge_into(spark, df, on=["k"], op_col="op", matched="ignore")
+    with pytest.raises(ValueError, match="matched"):
+        sink.merge_into(spark, df.drop("op"), on=["k"], matched="bogus")
+
+
+def test_merge_into_matched_ignore_incremental_dedup(spark, tmp_path):
+    """The incremental exact-dedup ingestion pattern: batches keyed by
+    content fingerprint merge with matched='ignore'; across any batch
+    arrival order the lake keeps the FIRST copy of each fingerprint and
+    equals the batch dedup of the full corpus."""
+    from incubator_gobblin_spark.functions import text
+
+    sink = _sink(tmp_path / "lake")
+    b1 = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "hello world")],
+        "doc_id BIGINT, text STRING",
+    )
+    b2 = spark.createDataFrame(
+        [(3, "Hello   World"), (4, "something else")],  # 3 dups 2 (normalized)
+        "doc_id BIGINT, text STRING",
+    )
+    for i, b in enumerate((b1, b2)):
+        keyed = b.withColumn("fp", text.fingerprint("text"))
+        sink.merge_into(spark, keyed, on=["fp"], run_id=f"b{i}", matched="ignore")
+    got = {r.doc_id for r in sink.read_committed(spark).collect()}
+    assert got == {1, 2, 4}  # doc 3's fingerprint matched doc 2: ignored
