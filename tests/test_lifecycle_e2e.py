@@ -135,3 +135,48 @@ def test_full_lifecycle(spark, sf_dir, tmp_path):
         .exceptAll(final.select(*src_cols))
         .count() == 0
     )
+
+
+def test_incremental_curation_into_lake(spark, sf_dir, tmp_path):
+    """Incremental curation: each arriving batch runs the curation
+    chain, then lands in the lake keyed by content fingerprint with
+    matched='ignore' — so cross-batch duplicate texts keep their FIRST
+    lake copy and replays are no-ops. The lake ends with zero duplicate
+    fingerprints even though the batches never saw each other."""
+    from incubator_gobblin_spark.functions import text
+    from incubator_gobblin_spark.jobs import curate as curate_job
+    from incubator_gobblin_spark.sinks.files import FileSink
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    cand = docs.filter(F.col("doc_id") % 97 != 0)
+    # batch 2 re-delivers half of batch 1's docs under NEW ids (late
+    # duplicate crawl) plus genuinely new docs
+    b1 = cand.filter(F.col("doc_id") % 2 == 0)
+    redelivered = b1.filter(F.col("doc_id") % 4 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    b2 = cand.filter(F.col("doc_id") % 2 == 1).unionByName(redelivered)
+
+    lake = FileSink(path=str(tmp_path / "lake"), commit_mode="manifest")
+    for i, batch in enumerate((b1, b2)):
+        curated = curate_job.curate(batch, bench).withColumn(
+            "fp", text.fingerprint("text")
+        )
+        lake.merge_into(spark, curated, on=["fp"], run_id=f"b{i}", matched="ignore")
+
+    out = lake.read_committed(spark)
+    dup_fps = (
+        out.groupBy("fp").count().filter(F.col("count") > 1).count()
+    )
+    assert dup_fps == 0
+    # every redelivered duplicate kept its ORIGINAL (batch-1) id
+    assert out.filter(F.col("doc_id") >= 1_000_000).count() == 0
+    assert out.count() > 0
+
+    # replaying batch 2 (same run id) changes nothing
+    curated2 = curate_job.curate(b2, bench).withColumn(
+        "fp", text.fingerprint("text")
+    )
+    lake.merge_into(spark, curated2, on=["fp"], run_id="b1", matched="ignore")
+    assert lake.read_committed(spark).count() == out.count()
