@@ -58,8 +58,8 @@ def register(name: str, oracle: str | None):
 # rows-only queries with their oracle-checked coverage invariants, then
 # the q02-q50 bulk whose last driver-green rows date from round 2 —
 # so every registered query has a green row at most one round old.
-# q51-q90 (all driver-green in r03) rotate out, as do q45/q46/q48/q49/
-# q50 (r02-green, displaced by the brand-new q95-q99 — a new operator
+# q51-q90 (all driver-green in r03) rotate out, as does the q38-q50
+# tail (r02-green, displaced by the brand-new q95-q106 — a new operator
 # with NO driver row outranks a simple one with a two-round-old green
 # row); the local parity suite
 # (tests/test_oracle_parity.py) still covers ALL oracle-backed queries
