@@ -747,6 +747,11 @@ def run_curation_job(spark: SparkSession, spec: str | dict[str, str]):
     - ``curate.salt.parts`` — hot-source salting (default 8)
     - ``writer.output.dir`` — optional; when set, the curated rows are
       staged and atomically published partitioned by split
+    - ``curate.lake.dir`` — optional INCREMENTAL mode (wins over
+      writer.output.dir): the batch lands in a manifest lake keyed by
+      content fingerprint via an insert-only MERGE, so cross-batch
+      duplicates keep their first lake copy and a re-submitted
+      ``curate.run.id`` is a no-op
 
     Returns the curated DataFrame either way."""
     from incubator_gobblin_spark.formats.avro_ocf import resolve_format
@@ -788,6 +793,26 @@ def run_curation_job(spark: SparkSession, spec: str | dict[str, str]):
         decontam_n=int(props.get("curate.decontam.ngram", "3")),
         salt_parts=int(props.get("curate.salt.parts", "8")),
     )
+    lake_dir = props.get("curate.lake.dir")
+    if lake_dir:
+        # incremental mode: the curated batch lands in a manifest lake
+        # keyed by content fingerprint with an insert-only MERGE —
+        # cross-batch duplicate texts keep their first lake copy and a
+        # re-submitted run id is a no-op (exactly-once per batch)
+        from incubator_gobblin_spark.functions import text as _text
+
+        text_col = props.get("curate.text.column", "text")
+        keyed = curated.withColumn("fp", _text.fingerprint(text_col))
+        lake = FileSink(path=lake_dir, commit_mode="manifest")
+        lake.merge_into(
+            spark,
+            keyed,
+            on=["fp"],
+            run_id=props.get("curate.run.id"),
+            matched="ignore",
+            max_conflict_retries=int(props.get("merge.conflict.retries", "2")),
+        )
+        return curated
     out_dir = props.get("writer.output.dir")
     if out_dir:
         sink = FileSink(path=out_dir, partition_by=["split"])

@@ -469,3 +469,27 @@ def test_merge_job_spec_matched_ignore(spark, tmp_path):
     )
     got = {r.k: r.v for r in sink.read_committed(spark).collect()}
     assert got == {1: "keep", 2: "new"}
+
+
+def test_curation_job_spec_incremental_lake(spark, tmp_path, sf_dir):
+    """curate.lake.dir switches the spec job to incremental mode:
+    fingerprint-keyed insert-only merges, replay no-op."""
+    from incubator_gobblin_spark.sinks.files import FileSink
+
+    lake = str(tmp_path / "lake")
+    spec = {
+        "curate.input.dir": f"{sf_dir}/documents.parquet",
+        "curate.bench.predicate": "doc_id % 97 = 0",
+        "curate.lake.dir": lake,
+        "curate.run.id": "batch1",
+    }
+    S.run_curation_job(spark, spec)
+    sink = FileSink(path=lake, commit_mode="manifest")
+    n1 = sink.read_committed(spark).count()
+    assert n1 > 0
+    # replay the same batch id: no-op; then a "new" batch whose docs
+    # are all duplicates: nothing appended
+    S.run_curation_job(spark, spec)
+    assert sink.read_committed(spark).count() == n1
+    S.run_curation_job(spark, {**spec, "curate.run.id": "batch2"})
+    assert sink.read_committed(spark).count() == n1
