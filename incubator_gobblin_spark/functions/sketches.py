@@ -77,11 +77,16 @@ def weighted_sample(
     priority column is dropped so results carry only input values
     (cross-engine hash-stable)."""
     pri = priority_key(key_col, weight_col)
+    # the temp priority column must not shadow (and then silently drop)
+    # a caller column of the same name
+    pcol = "_pri"
+    while pcol in df.columns:
+        pcol += "_"
     return (
-        df.withColumn("_pri", pri)
-        .orderBy(F.desc("_pri"), F.col(key_col))
+        df.withColumn(pcol, pri)
+        .orderBy(F.desc(pcol), F.col(key_col))
         .limit(k)
-        .drop("_pri")
+        .drop(pcol)
     )
 
 
@@ -142,8 +147,11 @@ def approx_quantile_check(
         F.percentile_approx(value_col, q, accuracy).alias("_qv")
     )
     joined = df.join(F.broadcast(quant), group_col)
+    # n counts NON-NULL values only: percentile_approx and the rank sum
+    # both skip NULLs, so counting all rows would inflate the q*n target
+    # on null-bearing columns and falsely flip within_tol
     ranked = joined.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("n"),
+        F.count(F.col(value_col)).alias("n"),
         F.sum((F.col(value_col) <= F.col("_qv")).cast("long")).alias("_rank"),
     )
     within = (

@@ -772,8 +772,11 @@ def run_curation_job(spark: SparkSession, spec: str | dict[str, str]):
         )
     else:
         pred = props["curate.bench.predicate"]
-        bench = docs.filter(pred)
-        docs = docs.filter(f"NOT ({pred})")
+        # null-safe split: a row whose predicate evaluates to NULL is a
+        # candidate (not benchmark) — a plain NOT(pred) would drop it
+        # from BOTH sides and the row would silently disappear
+        bench = docs.filter(f"coalesce(({pred}), false)")
+        docs = docs.filter(f"NOT coalesce(({pred}), false)")
     splits: dict[str, float] = {}
     for part in props.get(
         "curate.splits", "train:0.9,val:0.05,test:0.05"

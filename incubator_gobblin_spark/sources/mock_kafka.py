@@ -347,10 +347,18 @@ class MockKafkaWriter(DataSourceWriter):
     idempotent — the ``enable.idempotence`` producer contract."""
 
     def __init__(self, options, schema):
+        import uuid
+
         self.root = options["path"]
         self.topic = options.get("topic")
         self.n_parts = int(options.get("numpartitions", "1"))
         self.fields = [f.name for f in schema.fields]
+        # one uid per write JOB (constructed on the driver, pickled to
+        # every task): spool names derive from (job_uid, task partition)
+        # so two attempts of the same task — speculation, retry after a
+        # post-spool crash — converge on ONE spool file instead of two
+        # uuid spools that would both be applied at commit
+        self.job_uid = uuid.uuid4().hex
 
     def write(self, rows):
         import time as _time
@@ -396,7 +404,11 @@ class MockKafkaWriter(DataSourceWriter):
         task_part = ctx.partitionId() if ctx is not None else 0
         spool_dir = os.path.join(self.root, "_spool")
         os.makedirs(spool_dir, exist_ok=True)
-        spool = os.path.join(spool_dir, f"{uuid.uuid4().hex}.json")
+        # deterministic per (job, task-partition): duplicate attempts
+        # overwrite (atomically, identical content — the task's row set
+        # is deterministic) rather than accumulate
+        spool = os.path.join(spool_dir, f"{self.job_uid}-{task_part}.json")
+        tmp = os.path.join(spool_dir, f".{self.job_uid}-{task_part}.{uuid.uuid4().hex}.tmp")
         payload = [
             [
                 topic,
@@ -412,9 +424,24 @@ class MockKafkaWriter(DataSourceWriter):
             ]
             for (topic, part), recs in sorted(buckets.items())
         ]
-        with open(spool, "w") as fh:
+        with open(tmp, "w") as fh:
             json.dump(payload, fh)
+        os.replace(tmp, spool)
         return _ProduceCommit(spool, task_part)
+
+    def _sweep_job_spools(self):
+        """Remove every spool this job wrote, referenced or not: an
+        attempt that died after json.dump but before returning its
+        commit message would otherwise leak its file forever (neither
+        commit nor abort ever sees a message naming it)."""
+        import glob
+
+        spool_dir = os.path.join(self.root, "_spool")
+        for path in glob.glob(os.path.join(spool_dir, f"*{self.job_uid}*")):
+            try:
+                os.remove(path)
+            except OSError:
+                pass
 
     def commit(self, messages):
         # replay spools in task order: offsets are dense, deterministic,
@@ -442,12 +469,14 @@ class MockKafkaWriter(DataSourceWriter):
                     ],
                 )
             os.remove(msg.spool)
+        self._sweep_job_spools()
         return None
 
     def abort(self, messages):
         for msg in messages or []:
             if msg is not None and os.path.exists(msg.spool):
                 os.remove(msg.spool)
+        self._sweep_job_spools()
         return None
 
 
