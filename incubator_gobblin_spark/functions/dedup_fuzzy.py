@@ -45,11 +45,35 @@ def _hash_coeffs(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     ]
 
 
-def base_hashes(shingle_col: Column) -> Column:
-    """One 31-bit base hash per shingle (xxhash64 reduced mod p)."""
-    return F.transform(
-        shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P))
-    )
+def _shingle_hash(col: Column, hash_mode: str) -> Column:
+    """One 31-bit base hash per shingle string.
+
+    ``xxhash64`` (default): JVM codegen, the throughput path.
+    ``md5``: first 15 hex chars (60 bits) of md5 as an integer, mod p —
+    byte-identical in any engine with an md5 function, so the DuckDB
+    oracle can replicate the full signature -> band -> bucket pipeline
+    value-for-value (the same determinism idiom as priority sampling's
+    ``sketches.priority_key``). Both are uniform enough for LSH; md5
+    costs ~2 murmur rounds more per shingle.
+    """
+    if hash_mode == "md5":
+        return F.pmod(
+            F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long"),
+            F.lit(_MERSENNE_P),
+        )
+    return F.pmod(F.xxhash64(col), F.lit(_MERSENNE_P))
+
+
+def _band_hash(col: Column, hash_mode: str) -> Column:
+    """Bucket key over a band's concatenated signature values: xxhash64
+    (8-byte shuffle key) by default, the md5 hex digest (16-byte,
+    engine-reproducible) in md5 mode."""
+    return F.md5(col) if hash_mode == "md5" else F.xxhash64(col)
+
+
+def base_hashes(shingle_col: Column, hash_mode: str = "xxhash64") -> Column:
+    """One 31-bit base hash per shingle (reduced mod p)."""
+    return F.transform(shingle_col, lambda s: _shingle_hash(s, hash_mode))
 
 
 def minhash_signature(
@@ -90,6 +114,7 @@ def minhash_candidate_pairs(
     shingle_n: int = 3,
     seed: int = 42,
     max_bucket_size: int = 512,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """LSH-banded candidate pairs: (id_l, id_r) with id_l < id_r.
 
@@ -129,7 +154,7 @@ def minhash_candidate_pairs(
         # the banding stage then excludes
         "_id",
         F.when(
-            F.col("_s").isNotNull(), F.pmod(F.xxhash64("_s"), F.lit(_MERSENNE_P))
+            F.col("_s").isNotNull(), _shingle_hash(F.col("_s"), hash_mode)
         ).alias("_h"),
     )
     sig = exploded.groupBy("_id").agg(
@@ -153,14 +178,15 @@ def minhash_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.xxhash64(
+                        _band_hash(
                             F.concat_ws(
                                 ",",
                                 *[
                                     F.col(f"_m{b * rows_per_band + i}")
                                     for i in range(rows_per_band)
                                 ],
-                            )
+                            ),
+                            hash_mode,
                         ).alias("band_hash"),
                     )
                     for b in range(bands)
@@ -332,10 +358,19 @@ def simhash_near_dups(
     max_hamming: int = 3,
     prefix_bits: int = 16,
     max_bucket_size: int = 512,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by simhash: bucket on ``prefix_bits``-bit prefix
     (cheap LSH: near-identical docs share the prefix with high
     probability), then exact hamming filter within buckets.
+
+    ``hash_mode="md5"`` swaps the per-token xxhash64 for 64 bits read
+    out of the md5 hex digest (bit ``i`` = bit ``i%4`` of hex digit
+    ``i//4``) and carries the signature as two unsigned 32-bit halves —
+    every step replicable in ANSI SQL, so the whole pipeline goes under
+    the DuckDB value oracle (q32). Throughput default stays xxhash64.
+    md5 mode requires ``prefix_bits <= 32`` (the bucket prefix is taken
+    from the high half).
 
     The per-bit votes are computed as 64 codegen'd ``sum`` aggregates
     over exploded token rows (see minhash_candidate_pairs for why this
@@ -348,36 +383,92 @@ def simhash_near_dups(
     are dropped rather than pair-expanded (observe metric
     ``simhash_dropped_buckets``).
     """
-    exploded = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode_outer(tokens(F.col(text_col))).alias("_t"),
-    ).select(
-        # xxhash64 maps null to the seed, not null — keep null-text docs
-        # vote-less (sum of no rows -> null -> coalesce 0 -> simhash 0,
-        # matching the fold form). Empty-string tokens (split("") yields
-        # [""]) are vote-less too, so ""-text docs count as token-less.
-        "_id",
-        F.when(
-            F.col("_t").isNotNull() & (F.col("_t") != ""), F.xxhash64("_t")
-        ).alias("_h"),
-    )
-    votes = exploded.groupBy("_id").agg(
-        *[
-            F.coalesce(
-                F.sum(
-                    F.when(F.col("_h").isNull(), None)
-                    .when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1)
-                    .otherwise(-1)
-                ),
-                F.lit(0),
-            ).alias(f"_v{i}")
-            for i in range(64)
-        ],
-        F.count("_h").alias("_nt"),
-    )
+    if hash_mode == "md5" and prefix_bits > 32:
+        raise ValueError("simhash md5 mode supports prefix_bits <= 32")
+    token_ok = F.col("_t").isNotNull() & (F.col("_t") != "")
+    if hash_mode == "md5":
+        # 16 hex digits = 64 bits; stage the digit VALUES (ints 0..15)
+        # once per token so each of the 64 vote aggregates reads a bit
+        # out of a precomputed int instead of re-running conv
+        exploded = df.select(
+            F.col(id_col).alias("_id"),
+            F.explode_outer(tokens(F.col(text_col))).alias("_t"),
+        ).select(
+            "_id",
+            *[
+                F.when(
+                    token_ok,
+                    F.conv(F.substring(F.md5("_t"), j + 1, 1), 16, 10).cast("int"),
+                ).alias(f"_d{j}")
+                for j in range(16)
+            ],
+        )
+
+        def _bit(i: int) -> Column:
+            return F.shiftright(F.col(f"_d{i // 4}"), i % 4).bitwiseAND(F.lit(1))
+
+        votes = exploded.groupBy("_id").agg(
+            *[
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col(f"_d{i // 4}").isNull(), None)
+                        .when(_bit(i) == 1, 1)
+                        .otherwise(-1)
+                    ),
+                    F.lit(0),
+                ).alias(f"_v{i}")
+                for i in range(64)
+            ],
+            F.count("_d0").alias("_nt"),
+        )
+    else:
+        exploded = df.select(
+            F.col(id_col).alias("_id"),
+            F.explode_outer(tokens(F.col(text_col))).alias("_t"),
+        ).select(
+            # xxhash64 maps null to the seed, not null — keep null-text docs
+            # vote-less (sum of no rows -> null -> coalesce 0 -> simhash 0,
+            # matching the fold form). Empty-string tokens (split("") yields
+            # [""]) are vote-less too, so ""-text docs count as token-less.
+            "_id",
+            F.when(token_ok, F.xxhash64("_t")).alias("_h"),
+        )
+        votes = exploded.groupBy("_id").agg(
+            *[
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("_h").isNull(), None)
+                        .when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                        .otherwise(-1)
+                    ),
+                    F.lit(0),
+                ).alias(f"_v{i}")
+                for i in range(64)
+            ],
+            F.count("_h").alias("_nt"),
+        )
     # sentinel exclusion: token-less docs all hash to simhash 0 and would
     # flood one prefix bucket; empty docs belong to exact dedup
     votes = votes.filter(F.col("_nt") > 0)
+    if hash_mode == "md5":
+        # signature as two unsigned 32-bit halves: no sign bit to dodge,
+        # and both halves (and their xor/bit_count) are plain nonnegative
+        # BIGINT arithmetic in any SQL engine
+        hi = F.lit(0).cast("long")
+        lo = F.lit(0).cast("long")
+        for i in range(64):
+            bit = F.when(F.col(f"_v{i}") > 0, F.lit(1 << (i % 32)).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            if i >= 32:
+                hi = hi.bitwiseOR(bit)
+            else:
+                lo = lo.bitwiseOR(bit)
+        h = votes.select("_id", hi.alias("_shhi"), lo.alias("_shlo"))
+        bucketed = h.withColumn(
+            "_bucket", F.shiftright(F.col("_shhi"), 32 - prefix_bits)
+        )
+        return _simhash_pairs_split(bucketed, max_hamming, max_bucket_size)
     sh = F.lit(0).cast("long")
     for i in range(64):
         # bit 63 is the sign bit of a signed long
@@ -417,6 +508,53 @@ def simhash_near_dups(
                         x["_id"].alias("id_l"),
                         y["_id"].alias("id_r"),
                         hamming_distance(x["_sh"], y["_sh"]).alias("hamming"),
+                    ),
+                ),
+            )
+        )
+    )
+    return (
+        members.select(pair.alias("_p"))
+        .select("_p.id_l", "_p.id_r", "_p.hamming")
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def _simhash_pairs_split(
+    bucketed: DataFrame, max_hamming: int, max_bucket_size: int
+) -> DataFrame:
+    """Bucket expansion for the split-signature (md5-mode) simhash:
+    same one-shuffle groupBy + in-bucket pair machinery as the 64-bit
+    path, hamming summed over the two 32-bit halves."""
+    members = (
+        bucketed.groupBy("_bucket")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_id"), F.col("_shhi"), F.col("_shlo")))
+            ).alias("_ms")
+        )
+        .filter(F.size("_ms") > 1)
+        .observe(
+            "simhash_dropped_buckets_md5",
+            F.sum(
+                F.when(F.size("_ms") > max_bucket_size, 1).otherwise(0)
+            ).alias("dropped_buckets"),
+        )
+        .filter(F.size("_ms") <= max_bucket_size)
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("_ms"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("_ms"), i + 2, F.size(F.col("_ms")) - i - 1),
+                    lambda y: F.struct(
+                        x["_id"].alias("id_l"),
+                        y["_id"].alias("id_r"),
+                        (
+                            hamming_distance(x["_shhi"], y["_shhi"])
+                            + hamming_distance(x["_shlo"], y["_shlo"])
+                        ).alias("hamming"),
                     ),
                 ),
             )

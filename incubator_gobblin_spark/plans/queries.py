@@ -922,27 +922,130 @@ def q30_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Fuzzy dedup + similarity search (scale-path operators; the LSH stages are
-# engine-specific so only exact stages carry SQL oracles)
+# Fuzzy dedup + similarity search. The registered variants run in
+# hash_mode="md5" — every hash step (shingle hash, band digest, simhash
+# bits) is an md5 derivation both engines compute bit-identically, so the
+# full signature -> band -> bucket -> pair pipeline sits under the DuckDB
+# value oracle. Production throughput default stays xxhash64 (same
+# machinery, one flag; the q63/q64 invariants keep covering that mode).
 # ---------------------------------------------------------------------------
 
-@register("q31_minhash_candidates", None)
+
+def _hexint15(expr: str) -> str:
+    """DuckDB: first 15 md5-hex chars of ``expr`` as a 60-bit BIGINT —
+    the oracle-side twin of dedup_fuzzy._shingle_hash(md5 mode), which
+    uses Spark's conv(substring(md5(x),1,15),16,10)."""
+    return (
+        "list_reduce([strpos('0123456789abcdef', d)-1 "
+        f"for d in regexp_split_to_array(substr(md5({expr}),1,15), '')], "
+        "(a,b) -> a*16+b)"
+    )
+
+
+def _minhash_oracle(num_hashes: int, bands: int, seed: int = 42) -> str:
+    from incubator_gobblin_spark.functions.dedup_fuzzy import (
+        _MERSENNE_P,
+        _hash_coeffs,
+    )
+
+    coeffs = _hash_coeffs(num_hashes, seed)
+    rpb = num_hashes // bands
+    mins = ",\n             ".join(
+        f"min((h*{a} + {b}) % {_MERSENNE_P}) AS m{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    bandrows = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {b} AS band_id, md5(concat_ws(',', {cols})) AS band_hash FROM sig".format(
+            b=b, cols=", ".join(f"m{b * rpb + i}" for i in range(rpb))
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS tk FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(tk[i:i+1], ' ') AS s
+      FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks)
+    ),
+    base AS (SELECT doc_id, {_hexint15('s')} % {_MERSENNE_P} AS h FROM sh),
+    sig AS (SELECT doc_id, {mins} FROM base GROUP BY doc_id),
+    banded AS ({bandrows}),
+    sized AS (
+      SELECT doc_id, band_id, band_hash,
+             count(*) OVER (PARTITION BY band_id, band_hash) AS bsz
+      FROM banded
+    )
+    SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r
+    FROM sized l JOIN sized r
+      ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+     AND l.doc_id < r.doc_id
+    WHERE l.bsz <= 512
+    """
+
+
+@register("q31_minhash_candidates", _minhash_oracle(num_hashes=32, bands=8))
 def q31_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs (shingle->minhash->band->
-    bucket-join). Not SQL-expressible (hash family) — rows-only check."""
+    bucket-join), md5 hash mode: the oracle replays the identical
+    2-gram shingle -> 60-bit md5 base hash -> 32-way affine min-hash ->
+    per-band md5 bucket digest -> bounded-bucket pair expansion in SQL."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup_fuzzy.minhash_candidate_pairs(
-        docs, id_col="doc_id", text_col="text", num_hashes=32, bands=8, shingle_n=2
+        docs, id_col="doc_id", text_col="text", num_hashes=32, bands=8,
+        shingle_n=2, hash_mode="md5",
     )
 
 
-@register("q32_simhash_neardups", None)
+def _simhash_oracle(max_hamming: int, prefix_bits: int) -> str:
+    digits = ", ".join(
+        f"strpos('0123456789abcdef', substr(h,{j + 1},1))-1 AS d{j}"
+        for j in range(16)
+    )
+    vote_sums = ",\n             ".join(
+        f"sum(CASE WHEN ((d{i // 4} >> {i % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(64)
+    )
+    hi = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << (i - 32)} ELSE 0 END)" for i in range(32, 64)
+    )
+    lo = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t FROM documents
+    ),
+    hx AS (SELECT doc_id, md5(t) AS h FROM toks WHERE t != ''),
+    dg AS (SELECT doc_id, {digits} FROM hx),
+    votes AS (SELECT doc_id, {vote_sums} FROM dg GROUP BY doc_id),
+    sig AS (SELECT doc_id, CAST({hi} AS BIGINT) AS shhi, CAST({lo} AS BIGINT) AS shlo FROM votes),
+    sized AS (
+      SELECT doc_id, shhi, shlo, shhi >> {32 - prefix_bits} AS bucket,
+             count(*) OVER (PARTITION BY (shhi >> {32 - prefix_bits})) AS bsz
+      FROM sig
+    )
+    SELECT id_l, id_r, hamming FROM (
+      SELECT l.doc_id AS id_l, r.doc_id AS id_r,
+             CAST(bit_count(xor(l.shhi, r.shhi)) + bit_count(xor(l.shlo, r.shlo)) AS BIGINT) AS hamming
+      FROM sized l JOIN sized r ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+      WHERE l.bsz <= 512
+    ) WHERE hamming <= {max_hamming}
+    """
+
+
+@register("q32_simhash_neardups", _simhash_oracle(max_hamming=12, prefix_bits=8))
 def q32_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (prefix-bucket LSH + hamming filter)."""
+    """SimHash near-dup pairs (prefix-bucket LSH + hamming filter), md5
+    hash mode: 64 signature bits read out of each token's md5 hex
+    digest, signature carried as two unsigned 32-bit halves — the
+    oracle recomputes votes, signs, prefix buckets and hamming in SQL."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup_fuzzy.simhash_near_dups(
-        docs, id_col="doc_id", text_col="text", max_hamming=12, prefix_bits=8
+    out = dedup_fuzzy.simhash_near_dups(
+        docs, id_col="doc_id", text_col="text", max_hamming=12, prefix_bits=8,
+        hash_mode="md5",
     )
+    return out.select("id_l", "id_r", F.col("hamming").cast("long").alias("hamming"))
 
 
 @register(
@@ -973,10 +1076,62 @@ def q33_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q34_ann_lsh_topk", None)
+def _planes_cte(dim: int, num_bits: int, seed: int = 42) -> str:
+    """The SRP hyperplanes as a DuckDB VALUES clause. The planes are a
+    pure function of (dim, num_bits, seed) — the SAME Python floats the
+    engine ships to its Arrow matmul UDF — and repr() round-trips
+    doubles exactly, so both engines project onto bit-identical plane
+    vectors. (Sign ties — a projection within float ulp of 0 — could
+    still bucket differently across summation orders; astronomically
+    unlikely on real-valued embeddings and tolerated by the contract.)"""
+    from incubator_gobblin_spark.functions.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, num_bits, seed)
+    rows = ",\n      ".join(
+        f"({i}, [{', '.join(repr(x) for x in p)}]::DOUBLE[])"
+        for i, p in enumerate(planes)
+    )
+    return f"(VALUES\n      {rows}) t(p, pv)"
+
+
+def _lsh_topk_oracle(num_bits: int, bands: int, k: int) -> str:
+    bpb = num_bits // bands
+    return f"""
+    WITH planes AS (SELECT * FROM {_planes_cte(64, num_bits)}),
+    b AS (
+      SELECT e.vec_id, p.p // {bpb} AS band_id,
+             sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.pv) >= 0
+                 THEN 1 << (p.p % {bpb}) ELSE 0 END) AS band_key
+      FROM embeddings e, planes p GROUP BY e.vec_id, band_id
+    ),
+    bq AS (SELECT * FROM b WHERE vec_id < 8),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, v.vec_id AS neighbor_id
+      FROM bq q JOIN b v ON q.band_id = v.band_id AND q.band_key = v.band_key
+      WHERE v.vec_id <> q.vec_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(list_cosine_similarity(qe.embedding::DOUBLE[],
+                                          ve.embedding::DOUBLE[]), 6) AS sim
+      FROM cand c
+      JOIN embeddings qe ON qe.vec_id = c.query_id
+      JOIN embeddings ve ON ve.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, sim FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= {k}
+    """
+
+
+@register("q34_ann_lsh_topk", _lsh_topk_oracle(num_bits=16, bands=8, k=5))
 def q34_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN: signed-random-projection LSH candidates + exact
-    re-rank (the 100 TB path; recall < 1 by design — rows-only check)."""
+    re-rank (the 100 TB path; recall < 1 by design). The oracle replays
+    the identical plane projections (literal hyperplanes), band keys,
+    candidate join and top-k re-rank in SQL."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 8)
     return similarity.lsh_topk(
@@ -1441,10 +1596,49 @@ def q51_embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_pairs(emb, threshold=0.35)
 
 
-@register("q52_embedding_neardup_lsh", None)
+def _neardup_lsh_oracle(num_bits: int, bands: int, threshold: float) -> str:
+    bpb = num_bits // bands
+    return f"""
+    WITH planes AS (SELECT * FROM {_planes_cte(64, num_bits)}),
+    v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+      WHERE sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0
+    ),
+    b AS (
+      SELECT v.vec_id, p.p // {bpb} AS band_id,
+             sum(CASE WHEN list_dot_product(v.ev, p.pv) >= 0
+                 THEN 1 << (p.p % {bpb}) ELSE 0 END) AS band_key
+      FROM v, planes p GROUP BY v.vec_id, band_id
+    ),
+    sized AS (
+      SELECT vec_id, band_id, band_key,
+             count(*) OVER (PARTITION BY band_id, band_key) AS bsz
+      FROM b
+    )
+    SELECT DISTINCT id_l, id_r, sim FROM (
+      SELECT l.vec_id AS id_l, r.vec_id AS id_r,
+             round(list_dot_product(le.ev, re.ev)
+                   * (1.0/sqrt(list_dot_product(le.ev, le.ev)))
+                   * (1.0/sqrt(list_dot_product(re.ev, re.ev))), 6) AS sim
+      FROM sized l
+      JOIN sized r ON l.band_id = r.band_id AND l.band_key = r.band_key
+                  AND l.vec_id < r.vec_id
+      JOIN v le ON le.vec_id = l.vec_id
+      JOIN v re ON re.vec_id = r.vec_id
+      WHERE l.bsz BETWEEN 2 AND 512
+    ) WHERE sim >= {threshold}
+    """
+
+
+@register(
+    "q52_embedding_neardup_lsh",
+    _neardup_lsh_oracle(num_bits=64, bands=8, threshold=0.35),
+)
 def q52_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup via SRP-LSH buckets + exact re-rank —
-    the corpus-scale path (recall < 1 by design; rows-only check)."""
+    the corpus-scale path (recall < 1 by design). The oracle replays the
+    plane projections (literal hyperplanes), bounded buckets, in-bucket
+    pair expansion and the dot*inv_l*inv_r re-rank in SQL."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.cosine_near_dup_pairs(
         emb, dim=64, threshold=0.35, num_bits=64, bands=8
