@@ -101,14 +101,28 @@ def copy_dataset(
     files = sum(c[0] for c in counts)
     nbytes = sum(c[1] for c in counts)
 
-    # atomic-per-file promote staging -> final
+    # atomic-per-file promote staging -> final. The rename fan-out runs
+    # on a thread pool (the ParallelRunner.java:82 pattern, same as
+    # FileSink.publish): replicating millions of files must not
+    # serialize the commit behind one driver thread — renames are
+    # metadata ops, so threads (not executors) are the right unit and
+    # on object stores each rename is a round-trip worth overlapping.
+    promote: list[str] = []
     for dirpath, _dirs, fs in os.walk(staging_root):
         for f in fs:
-            src = os.path.join(dirpath, f)
-            rel = os.path.relpath(src, staging_root)
-            dst = os.path.join(dst_root, rel)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            os.replace(src, dst)
+            promote.append(
+                os.path.relpath(os.path.join(dirpath, f), staging_root)
+            )
+
+    def _promote(rel: str) -> None:
+        dst = os.path.join(dst_root, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.replace(os.path.join(staging_root, rel), dst)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        list(pool.map(_promote, promote))
     import shutil as _sh
 
     _sh.rmtree(staging_root, ignore_errors=True)

@@ -100,10 +100,127 @@ def _convert_field(entry: dict) -> T.StructField:
     return T.StructField(name, spark_type, nullable, metadata=meta or None)
 
 
-def to_struct_type(json_schema: list[dict]) -> T.StructType:
+class SchemaRecursionError(ValueError):
+    """A schema references one of its ancestor records (Avro allows
+    this; Spark StructTypes cannot be recursive). Carries the paths of
+    the offending fields."""
+
+    def __init__(self, paths: list[str]):
+        self.paths = paths
+        super().__init__(
+            "recursive schema: field(s) "
+            + ", ".join(paths)
+            + " reference an ancestor record. Spark schemas cannot be "
+            "recursive — pass on_recursion='prune' (or pre-process with "
+            "schema.eliminate_recursion) to cut the cycle by dropping "
+            "these fields, the AvroRecursionEliminatingConverter rule."
+        )
+
+
+def eliminate_recursion(
+    json_schema: list[dict],
+) -> tuple[list[dict], list[str]]:
+    """Cut recursive type references out of a JSON-intermediate schema.
+
+    Reference: AvroRecursionEliminatingConverter.java:42 — Avro permits
+    a record field to reference an enclosing record by name (linked
+    lists, trees); Spark's StructType is strictly finite, so the
+    reference's rule is applied at ingest: any field whose type refers
+    to an ancestor record (by registered name, or by Python object
+    identity for self-referential specs) is REMOVED, and the pruned
+    field paths are returned for audit. One level of each structure is
+    kept — the cut happens at the first re-entry.
+
+    Returns (sanitized schema copy, pruned field paths). Non-recursive
+    named reuse (a reference to a record that is NOT an ancestor) is
+    left untouched and will fail type conversion as before — resolving
+    a full named-type registry is out of scope; recursion is the case
+    that otherwise fails opaquely (RecursionError deep in the lattice).
+    """
+    pruned: list[str] = []
+
+    def _walk_type(dt: Any, anc_names: tuple, anc_ids: tuple, path: str):
+        """Sanitized copy of a dataType spec, or None if the type
+        irreducibly re-enters an ancestor record."""
+        if isinstance(dt, str):
+            return None if dt in anc_names else dt
+        if id(dt) in anc_ids:
+            return None
+        if isinstance(dt, list):  # union: drop recursive members
+            members = []
+            for m in dt:
+                w = _walk_type(m, anc_names, anc_ids, path)
+                if w is not None:
+                    members.append(w)
+            non_null = [m for m in members if m != "null"]
+            return members if non_null else None
+        if isinstance(dt, dict):
+            kind = dt.get("type")
+            anc_ids = anc_ids + (id(dt),)
+            if isinstance(kind, str) and kind in anc_names:
+                return None
+            if kind == "array":
+                items = _walk_type(dt["items"], anc_names, anc_ids, path)
+                if items is None:
+                    return None
+                return {**dt, "items": items}
+            if kind == "map":
+                values = _walk_type(dt["values"], anc_names, anc_ids, path)
+                if values is None:
+                    return None
+                return {**dt, "values": values}
+            if kind in ("record", "struct"):
+                name = dt.get("name")
+                if name:
+                    anc_names = anc_names + (name,)
+                key = "fields" if "fields" in dt else "values"
+                fields = []
+                for f in dt.get(key, []):
+                    w = _walk_field(f, anc_names, anc_ids, path)
+                    if w is not None:
+                        fields.append(w)
+                return {**dt, key: fields}
+            if isinstance(kind, (list, dict)):
+                inner = _walk_type(kind, anc_names, anc_ids, path)
+                if inner is None:
+                    return None
+                return {**dt, "type": inner}
+            return dt
+        return dt
+
+    def _walk_field(entry: dict, anc_names: tuple, anc_ids: tuple, prefix: str):
+        name = entry.get("columnName", entry.get("name"))
+        path = f"{prefix}.{name}" if prefix else str(name)
+        key = "dataType" if "dataType" in entry else "type"
+        w = _walk_type(entry.get(key), anc_names, anc_ids, path)
+        if w is None:
+            pruned.append(path)
+            return None
+        return {**entry, key: w}
+
+    out = []
+    for e in json_schema:
+        w = _walk_field(e, (), (), "")
+        if w is not None:
+            out.append(w)
+    return out, pruned
+
+
+def to_struct_type(
+    json_schema: list[dict], on_recursion: str = "error"
+) -> T.StructType:
     """JSON-intermediate schema (list of {columnName, dataType}) ->
-    StructType."""
-    return T.StructType([_convert_field(e) for e in json_schema])
+    StructType.
+
+    ``on_recursion``: "error" (default) raises :class:`SchemaRecursionError`
+    naming the offending field paths when the schema is recursive —
+    instead of the opaque RecursionError the raw lattice would hit;
+    "prune" applies :func:`eliminate_recursion` and converts the
+    sanitized schema."""
+    sanitized, pruned = eliminate_recursion(json_schema)
+    if pruned and on_recursion != "prune":
+        raise SchemaRecursionError(pruned)
+    return T.StructType([_convert_field(e) for e in sanitized])
 
 
 def from_struct_type(schema: T.StructType) -> list[dict]:

@@ -198,6 +198,31 @@ def test_copy_incremental(spark, tmp_path):
     assert (dst / "a.txt").read_text() == "alpha-v2"
 
 
+def test_copy_many_files_promote(spark, tmp_path):
+    """The staging->final promote fans out on a thread pool: a copy of
+    thousands of small files across many directories must land complete
+    and correct (the content check is the real assertion; wall-time
+    scaling is the design property documented in copy_dataset)."""
+    src = tmp_path / "src"
+    dst = tmp_path / "dst"
+    n_dirs, per_dir = 40, 50  # 2000 files
+    for d in range(n_dirs):
+        sub = src / f"d{d:03d}"
+        sub.mkdir(parents=True)
+        for i in range(per_dir):
+            (sub / f"f{i:03d}.txt").write_text(f"{d}:{i}")
+    r = copy.copy_dataset(spark, str(src), str(dst))
+    assert r.files_copied == n_dirs * per_dir
+    # no staging remnants, every file promoted with its content
+    assert not (dst / "_staging_copy").exists()
+    assert (dst / "d000" / "f000.txt").read_text() == "0:0"
+    assert (dst / "d039" / "f049.txt").read_text() == "39:49"
+    n_found = sum(len(fs) for _, _, fs in __import__("os").walk(dst))
+    assert n_found == n_dirs * per_dir
+    # idempotent second run copies nothing
+    assert copy.copy_dataset(spark, str(src), str(dst)).files_copied == 0
+
+
 def test_flow_dag_ordering_and_skip():
     from incubator_gobblin_spark.plans.flow import (
         FlowNode,

@@ -110,3 +110,70 @@ def test_schema_drives_json_parse(spark):
     ).withColumn("parsed", F.from_json("payload", st))
     row = df.select("parsed.k", "parsed.tags").first()
     assert row["k"] == 5 and row["tags"] == ["a", "b"]
+
+
+def test_recursive_schema_named_reference_pruned():
+    """An Avro-style linked list: Node.next references the enclosing
+    record by name. The sanitizer cuts at the re-entry (the
+    AvroRecursionEliminatingConverter rule) and reports the path."""
+    node = {
+        "columnName": "head",
+        "dataType": {
+            "type": "record",
+            "name": "Node",
+            "fields": [
+                {"columnName": "value", "dataType": "long"},
+                {"columnName": "next", "dataType": "Node"},
+            ],
+        },
+    }
+    clean, pruned = S.eliminate_recursion([node])
+    assert pruned == ["head.next"]
+    st = S.to_struct_type(clean)
+    assert st["head"].dataType == T.StructType(
+        [T.StructField("value", T.LongType(), False)]
+    )
+    # default mode raises the documented error, naming the path
+    try:
+        S.to_struct_type([node])
+        raise AssertionError("expected SchemaRecursionError")
+    except S.SchemaRecursionError as e:
+        assert "head.next" in str(e)
+    # prune mode converts in one call
+    st2 = S.to_struct_type([node], on_recursion="prune")
+    assert st2 == st
+
+
+def test_recursive_schema_object_cycle_and_union():
+    """A self-referential Python spec (object cycle) and a union whose
+    recursive member must drop while the scalar member survives."""
+    rec = {"type": "record", "name": "Tree", "fields": []}
+    rec["fields"] = [
+        {"columnName": "label", "dataType": "string"},
+        {"columnName": "kids", "dataType": {"type": "array", "items": rec}},
+        {"columnName": "alt", "dataType": ["null", "long", "Tree"]},
+    ]
+    clean, pruned = S.eliminate_recursion([{"columnName": "root", "dataType": rec}])
+    assert pruned == ["root.kids"]
+    st = S.to_struct_type(clean)
+    root = st["root"].dataType
+    assert [f.name for f in root.fields] == ["label", "alt"]
+    # the union kept null+long -> nullable LongType
+    assert root["alt"].dataType == T.LongType()
+
+
+def test_non_recursive_schema_untouched():
+    spec = [
+        {"columnName": "a", "dataType": "long"},
+        {
+            "columnName": "b",
+            "dataType": {
+                "type": "record",
+                "name": "Inner",
+                "fields": [{"columnName": "x", "dataType": "string"}],
+            },
+        },
+    ]
+    clean, pruned = S.eliminate_recursion(spec)
+    assert pruned == []
+    assert S.to_struct_type(clean) == S.to_struct_type(spec)
