@@ -53,63 +53,79 @@ def register(name: str, oracle: str | None):
 
 # The driver's correctness artifact records exactly the first 50
 # registry entries each round, so iteration order decides which queries
-# touch the hard gate. Round-4 rotation: q84 first (the one red r03 row,
-# re-landed with a version-stable oracle), then the hash-family
-# rows-only queries with their oracle-checked coverage invariants, then
-# the q02-q50 bulk whose last driver-green rows date from round 2 —
-# so every registered query has a green row at most one round old.
-# q51-q90 (all driver-green in r03) rotate out, as does the q38-q50
-# tail (r02-green, displaced by the brand-new q95-q106 — a new operator
-# with NO driver row outranks a simple one with a two-round-old green
-# row); the local parity suite
-# (tests/test_oracle_parity.py) still covers ALL oracle-backed queries
-# regardless of this ordering.
-_R03_PROVEN_ANCHORS = {
-    # round-1 anchors re-proven in CORRECTNESS_r03 — safe to rotate out
-    # (q01 stays exercised every round through the driver's entry()
-    # smoke check and the bench headline)
-    "q01_pricing_summary",
-    "q03_revenue_by_nation",
-    "q05_purge_anti_join",
-    "q07_dedup_exact_fingerprint",
-    "q14_sessionize",
-    "q24_time_partition",
-    "q25_watermark_increment",
-    "q27_quality_counts",
-    "q36_window_functions",
-    "q47_compaction_audit",
-}
+# touch the hard gate. Round-5 rotation (every query's latest driver row
+# by round: r04 = q02-q37 bulk + q84/q91-q106 + the LSH four as
+# rows-only; r03 = q51-q90 + the ten r01 anchors; r02 = q38-q50):
+# 1. q107 (brand new — no driver row at all),
+# 2. the LSH family q31/q32/q34/q52 — newly oracle-backed this round,
+#    so their first-ever HASH rows land here (their r04 rows were
+#    rows-only by design),
+# 3. the q38-q50 block, whose last green rows date from r02,
+# 4. the r03-proven non-anchor block q53-q90 (33 of 34; q51's machinery
+#    is also covered by the now-hash-checked q52 and by q33).
+# Left out: the ten r01 anchors (exercised every round through entry()
+# + the bench headline), q51, and the r04-green set — all at most two
+# rounds old at r06, when they rotate back in. The local parity suite
+# (tests/test_oracle_parity.py) still proves ALL oracle-backed queries
+# on every pytest run regardless of this ordering.
 _WINDOW_HEAD = [
-    "q84_pack_sequences",        # r03's only hash-FAIL; must re-land green
-    "q91_kafka_roundtrip_agg",   # NEW r4: Kafka surface under a hard oracle
-    "q92_quality_classifier",    # NEW r4: hashed-linear quality gate
-    "q93_semantic_dedup",        # NEW r4: SemDeDup keep-one-per-cluster
-    "q94_mixture_materialize",   # NEW r4: deterministic epoch mixing
-    "q95_multimodal_decode_roundtrip",  # NEW r4: real BMP decode roundtrip
-    "q96_dsir_weights",          # NEW r4: DSIR importance resampling
-    "q97_perplexity_buckets",    # NEW r4: CCNet head/middle/tail split
-    "q98_lake_changes",          # NEW r4: manifest-lake change data feed
-    "q99_pq_topk",               # NEW r4: product-quantization ADC topk
-    "q31_minhash_candidates",    # rows-only + its invariant q63
-    "q32_simhash_neardups",      # rows-only + its invariant q64
-    "q34_ann_lsh_topk",          # rows-only + its invariant q69
-    "q52_embedding_neardup_lsh",  # rows-only + its invariant q68
-    "q63_minhash_covers_exact_dups",
-    "q64_simhash_covers_exact_dups",
-    "q68_srplsh_covers_identical",
-    "q69_lsh_topk_self_retrieval",
+    "q107_rest_ingest_agg",      # NEW r5: REST extraction under the oracle
+    "q31_minhash_candidates",    # newly hash-checkable (md5 hash mode)
+    "q32_simhash_neardups",      # newly hash-checkable (md5 hash mode)
+    "q34_ann_lsh_topk",          # newly hash-checkable (literal planes)
+    "q52_embedding_neardup_lsh",  # newly hash-checkable (literal planes)
+    # r02-green block (stalest driver rows)
+    "q38_scalar_functions",
+    "q39_count_distinct",
+    "q40_having",
+    "q41_case_bucketing",
+    "q42_full_outer_join",
+    "q43_cross_join",
+    "q44_shuffle_join",
+    "q45_from_json_struct",
+    "q46_union_all",
+    "q48_oldest_k",
+    "q49_text_quality",
+    "q50_knn_l2",
+    # r03-green non-anchor block
+    "q53_asof_join",
+    "q54_range_join",
+    "q55_ivf_assign",
+    "q56_avro_scan_agg",
+    "q57_orc_scan_agg",
+    "q58_envelope_decode_agg",
+    "q59_scalar_subquery_above_avg",
+    "q60_time_partition_tree_rollup",
+    "q61_rest_entry_projection",
+    "q62_winnow_fingerprints",
+    "q65_chunk_documents",
+    "q66_pii_redaction",
+    "q67_ivf_topk",
+    "q70_decontamination",
+    "q71_repetition_stats",
+    "q72_hot_ngrams",
+    "q73_tfidf_top_terms",
+    "q74_stratified_sample",
+    "q75_bm25_search",
+    "q76_group_quantiles",
+    "q77_stats_moments",
+    "q78_multimodal_binary_stats",
+    "q79_skew_hot_keys",
+    "q80_dedup_clusters",
+    "q81_fuzzy_dedup_keep",
+    "q82_cap_per_source",
+    "q83_split_assignment",
+    "q85_scd2_intervals",
+    "q86_profile_columns",
+    "q87_orc_scan_agg",
+    "q88_manifest_snapshot_agg",
+    "q89_dedup_lines",
+    "q90_trigram_logprob",
 ]
 
 
 def _ordered_names() -> list[str]:
-    rotated = _WINDOW_HEAD + [
-        n
-        for n in sorted(_REGISTRY)
-        if n <= "q50_zz"
-        and n not in _WINDOW_HEAD
-        and n not in _R03_PROVEN_ANCHORS
-    ]
-    return rotated + [n for n in _REGISTRY if n not in rotated]
+    return _WINDOW_HEAD + [n for n in sorted(_REGISTRY) if n not in _WINDOW_HEAD]
 
 
 def queries() -> dict[str, QueryFn]:
@@ -3716,6 +3732,53 @@ def q106_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     curated = curate_job.curate(train, bench)
     return curate_job.curation_report(curated)
+
+
+@register(
+    "q107_rest_ingest_agg",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE ts > TIMESTAMP '2024-01-01 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-31 00:00:00'
+    GROUP BY event_type
+    """,
+)
+def q107_rest_ingest_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REST-API extraction end-to-end (sources/rest_api.py — the
+    RestApiExtractor analogue): the driver plans 4 watermark workunits,
+    each executor task pages JSON out of the file-backed endpoint
+    double under a token-bucket rate limit, from_json types the
+    records, then a plain aggregation — against the oracle's direct
+    parquet scan with the same low-exclusive/high-inclusive interval."""
+    from datetime import datetime as _dt
+
+    from incubator_gobblin_spark.sources import rest_api as R
+
+    src = R.RestApiSource(
+        resource="events",
+        schema="event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+        wm_column="ts",
+        page_size=5000,
+        rate_per_sec=1000.0,
+    )
+    ep = R.FileBackedRestEndpoint(
+        {"events": f"{sf_dir}/events.parquet"}, order_by="event_id"
+    )
+    df = R.read_rest(
+        spark,
+        src,
+        ep,
+        WatermarkInterval("ts", _dt(2024, 1, 1), _dt(2024, 1, 31)),
+        num_partitions=4,
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _dsum("value", 2).alias("total_value"),
+    )
 
 
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

@@ -87,6 +87,11 @@ MAP_IN_PANDAS_BY_DESIGN = {
     # mapInPandas multimodal contract (binary codecs are Python-library
     # territory by definition)
     "q95_multimodal_decode_roundtrip",
+    # REST extraction: the paged HTTP fetch loop is connector I/O, not
+    # row transformation — Python by definition (requests against an
+    # endpoint), Arrow-batched by contract; everything after from_json
+    # is plain Catalyst
+    "q107_rest_ingest_agg",
 }
 
 _PY_NODES = ("EvalPython", "MapInPandas", "FlatMapGroupsInPandas")
