@@ -615,7 +615,7 @@ def run_hive_conversion_job(spark: SparkSession, spec: str | dict[str, str]):
     return results
 
 
-def run_merge_job(spark: SparkSession, spec: str | dict[str, str]):
+def run_merge_job(spark: SparkSession, spec: str | dict[str, str], reporter=None):
     """Run a CDC-apply (MERGE) job against a manifest lake — the job-spec
     face of ``FileSink.merge_into`` (the reference runs this shape as a
     compaction delta-merge, MRCompactor + dedup; here the lake commit is
@@ -637,6 +637,9 @@ def run_merge_job(spark: SparkSession, spec: str | dict[str, str]):
       MATCHED THEN DO NOTHING: insert-if-absent, first writer wins —
       the incremental-dedup ingestion mode; incompatible with
       ``merge.op.column``)
+    - ``merge.metrics.file`` — optional JSON-lines metrics path; the
+      run emits one ``merge_run`` event (run id, duration, status).
+      A reporter object passed as ``reporter=`` takes precedence.
     """
     from incubator_gobblin_spark.formats.avro_ocf import resolve_format
     from incubator_gobblin_spark.sinks.files import FileSink
@@ -650,16 +653,48 @@ def run_merge_job(spark: SparkSession, spec: str | dict[str, str]):
     fmt = props.get("merge.source.format", "parquet").lower()
     src = spark.read.format(resolve_format(fmt)).load(source_dir)
     sink = FileSink(path=target, commit_mode="manifest")
-    return sink.merge_into(
-        spark,
-        src,
-        on=keys,
-        run_id=props.get("merge.run.id"),
-        op_col=props.get("merge.op.column"),
-        delete_value=props.get("merge.delete.value", "delete"),
-        max_conflict_retries=int(props.get("merge.conflict.retries", "2")),
-        matched=props.get("merge.matched", "replace"),
-    )
+    if reporter is None and props.get("merge.metrics.file"):
+        from incubator_gobblin_spark.metrics import FileMetricsReporter
+
+        reporter = FileMetricsReporter(props["merge.metrics.file"])
+    import time as _time
+
+    t0 = _time.perf_counter()
+    try:
+        rid = sink.merge_into(
+            spark,
+            src,
+            on=keys,
+            run_id=props.get("merge.run.id"),
+            op_col=props.get("merge.op.column"),
+            delete_value=props.get("merge.delete.value", "delete"),
+            max_conflict_retries=int(props.get("merge.conflict.retries", "2")),
+            matched=props.get("merge.matched", "replace"),
+        )
+    except Exception as e:
+        if reporter is not None:
+            reporter.emit(
+                {
+                    "event": "merge_run",
+                    "status": "failed",
+                    "target": target,
+                    "duration_sec": round(_time.perf_counter() - t0, 6),
+                    "error": repr(e),
+                }
+            )
+        raise
+    if reporter is not None:
+        reporter.emit(
+            {
+                "event": "merge_run",
+                "status": "committed",
+                "target": target,
+                "run_id": rid,
+                "keys": ",".join(keys),
+                "duration_sec": round(_time.perf_counter() - t0, 6),
+            }
+        )
+    return rid
 
 
 def run_kafka_ingest_job(spark: SparkSession, spec: str | dict[str, str]):

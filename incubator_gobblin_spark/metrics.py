@@ -89,3 +89,88 @@ class FileMetricsReporter:
             return []
         with open(self.path) as fh:
             return [json.loads(line) for line in fh if line.strip()]
+
+
+class ConsoleMetricsReporter:
+    """OutputStreamReporter-to-stdout analogue (the reference's default
+    console emitter): each event renders as one ``key=value`` line —
+    human-readable in driver logs, still machine-greppable."""
+
+    def __init__(self, stream=None) -> None:
+        import sys
+
+        self.stream = stream or sys.stdout
+
+    def emit(self, event: dict) -> None:
+        flat = flatten_event(event)
+        body = " ".join(f"{k}={v}" for k, v in sorted(flat.items()))
+        self.stream.write(f"[metrics] {body}\n")
+
+    def emit_context(self, ctx: MetricsContext) -> None:
+        self.emit(ctx.snapshot())
+
+
+class AggregatingMetricsReporter:
+    """In-memory rollup reporter — the offline analogue of the Graphite /
+    InfluxDB emitters (gobblin-metrics-graphite GraphiteReporter,
+    gobblin-metrics-influxdb InfluxDBReporter): every event flattens
+    into dotted metric keys; numeric values accumulate as (count, sum,
+    last) so a scraper sees both totals and the latest gauge. Feed it
+    alongside a FileMetricsReporter via CompositeMetricsReporter."""
+
+    def __init__(self) -> None:
+        self.stats: dict[str, dict] = {}
+        self.events: int = 0
+
+    def emit(self, event: dict) -> None:
+        self.events += 1
+        for key, val in flatten_event(event).items():
+            if not isinstance(val, (int, float)) or isinstance(val, bool):
+                continue
+            s = self.stats.setdefault(key, {"count": 0, "sum": 0.0, "last": None})
+            s["count"] += 1
+            s["sum"] += float(val)
+            s["last"] = float(val)
+
+    def emit_context(self, ctx: MetricsContext) -> None:
+        self.emit(ctx.snapshot())
+
+    def totals(self) -> dict[str, float]:
+        return {k: s["sum"] for k, s in self.stats.items()}
+
+    def last(self) -> dict[str, float]:
+        return {k: s["last"] for k, s in self.stats.items()}
+
+
+class CompositeMetricsReporter:
+    """Fan one emission out to several reporters (the reference attaches
+    multiple reporters to one MetricContext the same way)."""
+
+    def __init__(self, *reporters) -> None:
+        self.reporters = list(reporters)
+
+    def emit(self, event: dict) -> None:
+        for r in self.reporters:
+            r.emit(event)
+
+    def emit_context(self, ctx: MetricsContext) -> None:
+        for r in self.reporters:
+            r.emit_context(ctx)
+
+
+def flatten_event(event: dict, prefix: str = "") -> dict:
+    """Flatten a nested event into dotted keys — Graphite's metric-path
+    convention. Tag dicts flatten too (tags.table=lineitem); context
+    names prefix everything under them."""
+    out: dict = {}
+    name = event.get("context") if not prefix else None
+    base = f"{name}." if name else prefix
+    for k, v in event.items():
+        if k == "context":
+            continue
+        key = f"{base}{k}"
+        if isinstance(v, dict):
+            out.update(flatten_event(v, prefix=f"{key}."))
+        else:
+            out[key] = v
+    return out

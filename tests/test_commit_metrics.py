@@ -233,3 +233,81 @@ def test_ann_broadcast_guard(spark, sf_dir):
     # under the cap everything still works
     q = emb.filter(F.col("vec_id") < 3)
     assert S.cosine_topk(emb, q, k=2, max_broadcast_rows=10).count() == 6
+
+
+def test_console_and_aggregating_reporters(spark, sf_dir, tmp_path):
+    """A pipeline run fans out to console + file + aggregating
+    reporters via CompositeMetricsReporter; the aggregator flattens
+    events to dotted Graphite-style keys with (sum, last) rollups."""
+    import io
+
+    from incubator_gobblin_spark.metrics import (
+        AggregatingMetricsReporter,
+        CompositeMetricsReporter,
+        ConsoleMetricsReporter,
+    )
+
+    buf = io.StringIO()
+    agg = AggregatingMetricsReporter()
+    filerep = FileMetricsReporter(str(tmp_path / "events.jsonl"))
+    rep = CompositeMetricsReporter(ConsoleMetricsReporter(buf), filerep, agg)
+    out = str(tmp_path / "out")
+    (
+        Pipeline(spark, "composite_metrics")
+        .source(lambda s: load_table(s, sf_dir, "region"))
+        .sink(FileSink(path=out))
+        .metrics(rep)
+        .run()
+    )
+    # console: one rendered line with key=value pairs
+    line = buf.getvalue()
+    assert "[metrics]" in line and "rows_written=5" in line
+    # file: the same event as JSON
+    assert filerep.read()[0]["rows_written"] == 5
+    # aggregator: dotted rollup with totals
+    assert agg.events == 1
+    assert agg.totals()["rows_written"] == 5
+    assert agg.last()["duration_sec"] > 0
+
+    # a second run accumulates
+    (
+        Pipeline(spark, "composite_metrics_2")
+        .source(lambda s: load_table(s, sf_dir, "region"))
+        .sink(FileSink(path=str(tmp_path / "out2")))
+        .metrics(rep)
+        .run()
+    )
+    assert agg.events == 2 and agg.totals()["rows_written"] == 10
+
+
+def test_merge_job_emits_metrics(spark, sf_dir, tmp_path):
+    """run_merge_job emits a merge_run event (run id, duration, status)
+    through the spec-configured metrics file."""
+    from incubator_gobblin_spark.jobs.spec import run_merge_job
+
+    lake = str(tmp_path / "lake")
+    base = load_table(spark, sf_dir, "region")
+    sink = FileSink(path=lake, commit_mode="manifest")
+    sink.write_staging(base, "base")
+    sink.publish("base")
+    src_dir = str(tmp_path / "cdc")
+    base.limit(2).withColumn(
+        "r_comment", F.lit("updated")
+    ).write.parquet(src_dir)
+    metrics_file = str(tmp_path / "merge_events.jsonl")
+    rid = run_merge_job(
+        spark,
+        {
+            "merge.target.dir": lake,
+            "merge.source.dir": src_dir,
+            "merge.keys": "r_regionkey",
+            "merge.run.id": "m1",
+            "merge.metrics.file": metrics_file,
+        },
+    )
+    events = FileMetricsReporter(metrics_file).read()
+    assert len(events) == 1
+    e = events[0]
+    assert e["event"] == "merge_run" and e["status"] == "committed"
+    assert e["run_id"] == rid and e["duration_sec"] > 0
+    assert e["keys"] == "r_regionkey"
