@@ -49,6 +49,8 @@ HEADLINE = [
     "q99_pq_topk",             # PQ ADC scan (shuffle-free top-k)
     # third/fourth-wave round-4 additions
     "q106_curation_pipeline",  # five-stage curation chain end-to-end
+    # round-5 additions
+    "q107_rest_ingest_agg",    # REST paged fetch -> from_json -> agg
 ]
 
 
@@ -165,6 +167,37 @@ def main() -> None:
     cold["op_merge_into"], steady["op_merge_into"] = bench_merge_into(
         spark, sf_dir
     )
+
+    # optional sf1 soak section: if the 10x dataset exists (generated
+    # once by tools/make_sf1.py — deterministic scale-up of sf0.1), the
+    # five most expensive corpus/vector queries re-run against it and
+    # report per-query linearity vs the same-session sf0.1 steady time.
+    # Near-linear ratios (~10x data -> <=~10x time) are the scale
+    # evidence; a superlinear ratio flags a shuffle/expansion hazard.
+    sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1_soak")
+    soak = {}
+    if os.path.isdir(os.path.join(sf1_dir, "documents.parquet")):
+        SOAK = [
+            "q01_pricing_summary",      # 6M-row scan + hash agg baseline
+            "q31_minhash_candidates",   # LSH dedup at 50k docs
+            "q52_embedding_neardup_lsh",  # SRP-LSH at 20k vectors
+            "q96_dsir_weights",         # hashed-model scoring at 50k docs
+            "q99_pq_topk",              # PQ ADC scan at 20k vectors
+            "q106_curation_pipeline",   # five-stage chain at 50k docs
+        ]
+        for name in SOAK:
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                registry[name](spark, sf1_dir).count()
+                runs.append(time.perf_counter() - t0)
+            t = round(min(runs), 3)
+            soak[name] = {
+                "sec": t,
+                "ratio_vs_sf0.1": (
+                    round(t / steady[name], 2) if steady.get(name) else None
+                ),
+            }
 
     total = round(sum(steady.values()), 3)
     out = {

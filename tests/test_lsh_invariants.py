@@ -65,15 +65,18 @@ def _with_planted_dups(docs, n=25):
 
 def test_q31_candidates_superset_of_exact_dups(spark, docs):
     corpus, planted = _with_planted_dups(docs)
-    # q31's exact parameters over the planted corpus
-    cand = dedup_fuzzy.minhash_candidate_pairs(
-        corpus, id_col="doc_id", text_col="text",
-        num_hashes=32, bands=8, shingle_n=2,
-    )
     n_exact = planted.count()
     assert n_exact > 0
-    missing = planted.join(cand, ["id_l", "id_r"], "left_anti").count()
-    assert missing == 0, f"{missing}/{n_exact} exact-dup pairs not candidates"
+    # q31's exact parameters over the planted corpus — in BOTH hash
+    # modes (md5 is what q31 registers; xxhash64 is the throughput
+    # default): identical text must collide in every band either way
+    for mode in ("md5", "xxhash64"):
+        cand = dedup_fuzzy.minhash_candidate_pairs(
+            corpus, id_col="doc_id", text_col="text",
+            num_hashes=32, bands=8, shingle_n=2, hash_mode=mode,
+        )
+        missing = planted.join(cand, ["id_l", "id_r"], "left_anti").count()
+        assert missing == 0, f"[{mode}] {missing}/{n_exact} dup pairs missed"
 
 
 def test_q32_simhash_identical_pairs_and_hamming_exact(spark, sf_dir, docs):
@@ -88,19 +91,39 @@ def test_q32_simhash_identical_pairs_and_hamming_exact(spark, sf_dir, docs):
 
     out = ALL["q32_simhash_neardups"](spark, sf_dir)
 
-    # every reported hamming is correct under independent recomputation
-    # (the single-expression fold form, a different code path than the
-    # grouped-vote form the query uses)
-    sh = docs.select(
-        "doc_id", dedup_fuzzy.simhash(F.col("text")).alias("_sh")
-    )
-    recheck = (
-        out.join(sh.select(F.col("doc_id").alias("id_l"), F.col("_sh").alias("_l")), "id_l")
-        .join(sh.select(F.col("doc_id").alias("id_r"), F.col("_sh").alias("_r")), "id_r")
-        .withColumn("_h2", dedup_fuzzy.hamming_distance(F.col("_l"), F.col("_r")))
-    )
-    bad = recheck.filter(F.col("hamming") != F.col("_h2")).count()
-    assert bad == 0
+    # every reported hamming is correct under independent recomputation.
+    # q32 runs in md5 hash mode (its signatures ARE the md5-bit votes),
+    # so the independent path is plain Python over hashlib — an entirely
+    # different implementation of the same definition (the DuckDB oracle
+    # is a third).
+    import hashlib
+    import re as _re
+
+    def py_simhash(text: str) -> tuple[int, int]:
+        votes = [0] * 64
+        for t in _re.split(r"\s+", text):
+            if t == "":
+                continue
+            hx = hashlib.md5(t.encode()).hexdigest()[:16]
+            for i in range(64):
+                bit = (int(hx[i // 4], 16) >> (i % 4)) & 1
+                votes[i] += 1 if bit else -1
+        hi = sum((1 << (i - 32)) for i in range(32, 64) if votes[i] > 0)
+        lo = sum((1 << i) for i in range(32) if votes[i] > 0)
+        return hi, lo
+
+    pairs = out.collect()
+    involved = {r["id_l"] for r in pairs} | {r["id_r"] for r in pairs}
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.filter(F.col("doc_id").isin(list(involved))).collect()
+    }
+    sigs = {i: py_simhash(t) for i, t in texts.items()}
+    for r in pairs:
+        hl, ll = sigs[r["id_l"]]
+        hr, lr = sigs[r["id_r"]]
+        h2 = bin(hl ^ hr).count("1") + bin(ll ^ lr).count("1")
+        assert r["hamming"] == h2, (r["id_l"], r["id_r"], r["hamming"], h2)
 
 
 def test_q34_lsh_topk_recall_and_exact_sims(spark, sf_dir, emb):
