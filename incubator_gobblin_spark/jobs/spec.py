@@ -437,6 +437,7 @@ def compile_sink(props: dict[str, str]) -> tuple[FileSink, list]:
         bloom_bits=bloom_bits,
         cdf_materialize=_bool("data.publisher.spark.cdf.materialize"),
         schema_evolution=_bool("data.publisher.spark.schema.evolution"),
+        symlink_manifest=_bool("data.publisher.spark.symlink.manifest"),
     )
     return sink, pre_transforms
 
@@ -759,6 +760,114 @@ def run_kafka_ingest_job(spark: SparkSession, spec: str | dict[str, str]):
         reset=reset,
         value_schema=props.get("kafka.spark.value.schema"),
     )
+
+
+def run_rest_ingest_job(
+    spark: SparkSession, spec: str | dict[str, str], endpoint=None
+):
+    """Run an incremental REST-API ingestion job — the job-spec face of
+    :mod:`sources.rest_api` (the RestApiSource/Extractor family;
+    watermark keys reuse the reference's querybased vocabulary,
+    ConfigurationKeys.java EXTRACT_DELTA_FIELDS_KEY /
+    SOURCE_MAX_NUMBER_OF_PARTITIONS):
+
+    - ``rest.source.resource`` — the API resource (one per job)
+    - ``rest.source.schema`` — DDL schema for the decoded records
+    - ``extract.delta.fields`` — the watermark column
+    - ``source.max.number.of.partitions`` — workunit fan-out (default 4)
+    - ``rest.source.page.size`` / ``rest.source.rate.per.sec`` /
+      ``rest.source.max.retries`` — paging + per-task throttle + retry
+    - ``rest.source.order.by`` — deterministic paging order column
+    - ``rest.endpoint.file.<resource>`` — file-backed endpoint double
+      path (offline runs); a real deployment passes ``endpoint=``
+    - ``writer.output.dir`` — manifest-lake root; ``state.store.dir`` —
+      state-store root
+
+    Delivery is the engine's standard exactly-once: interval-derived
+    run id + manifest republish (crash replay is a no-op)."""
+    from incubator_gobblin_spark.sinks.files import FileSink
+    from incubator_gobblin_spark.sources import rest_api as R
+    from incubator_gobblin_spark.state import StateStore
+
+    props = load_job_file(spec) if isinstance(spec, str) else spec
+    resource = props["rest.source.resource"]
+    if "rest.source.schema" not in props:
+        raise SpecError("rest ingest job needs 'rest.source.schema'")
+    if "extract.delta.fields" not in props:
+        raise SpecError(
+            "rest ingest job needs 'extract.delta.fields' (the watermark column)"
+        )
+    source = R.RestApiSource(
+        resource=resource,
+        schema=props["rest.source.schema"],
+        wm_column=props["extract.delta.fields"],
+        page_size=int(props.get("rest.source.page.size", "1000")),
+        rate_per_sec=float(props.get("rest.source.rate.per.sec", "50")),
+        max_retries=int(props.get("rest.source.max.retries", "3")),
+    )
+    if endpoint is None:
+        file_key = f"rest.endpoint.file.{resource}"
+        if file_key not in props:
+            raise SpecError(
+                f"no endpoint: pass endpoint= or set '{file_key}' "
+                "(file-backed double)"
+            )
+        endpoint = R.FileBackedRestEndpoint(
+            {resource: props[file_key]},
+            order_by=props.get("rest.source.order.by"),
+        )
+    sink = FileSink(path=props["writer.output.dir"], commit_mode="manifest")
+    store = StateStore(props["state.store.dir"])
+    return R.ingest_rest_incremental(
+        spark,
+        source,
+        endpoint,
+        sink,
+        store,
+        num_partitions=int(props.get("source.max.number.of.partitions", "4")),
+    )
+
+
+def run_egress_job(
+    spark: SparkSession, spec: str | dict[str, str], transport=None
+):
+    """Run a bulk egress job — the job-spec face of
+    :mod:`sinks.egress` (the AsyncHttpWriter/Eventhub/Couchbase/ES
+    writer family). Vocabulary:
+
+    - ``egress.input.dir`` / ``egress.input.format`` — the dataset to
+      send (default parquet)
+    - ``egress.batch.size`` / ``egress.max.in.flight`` /
+      ``egress.rate.per.sec`` / ``egress.max.retries`` — the writer's
+      batching, async window, throttle and retry budget
+    - ``egress.endpoint.dir`` — file-backed bulk endpoint double
+      (offline runs); a real deployment passes ``transport=``
+
+    Returns the EgressResult (records/batches/retries)."""
+    from incubator_gobblin_spark.formats.avro_ocf import resolve_format
+    from incubator_gobblin_spark.sinks.egress import (
+        EgressConfig,
+        FileBackedBulkEndpoint,
+        write_egress,
+    )
+
+    props = load_job_file(spec) if isinstance(spec, str) else spec
+    fmt = props.get("egress.input.format", "parquet").lower()
+    df = spark.read.format(resolve_format(fmt)).load(props["egress.input.dir"])
+    if transport is None:
+        if "egress.endpoint.dir" not in props:
+            raise SpecError(
+                "no transport: pass transport= or set 'egress.endpoint.dir'"
+            )
+        transport = FileBackedBulkEndpoint(props["egress.endpoint.dir"])
+    rate = props.get("egress.rate.per.sec")
+    cfg = EgressConfig(
+        batch_size=int(props.get("egress.batch.size", "200")),
+        max_in_flight=int(props.get("egress.max.in.flight", "4")),
+        rate_per_sec=float(rate) if rate else None,
+        max_retries=int(props.get("egress.max.retries", "3")),
+    )
+    return write_egress(df, transport, cfg)
 
 
 def run_curation_job(spark: SparkSession, spec: str | dict[str, str]):

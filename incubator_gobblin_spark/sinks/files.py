@@ -120,6 +120,13 @@ class FileSink:
     # streaming source) change rows with NO diff computation and no
     # rewritten-survivor noise.
     cdf_materialize: bool = False
+    # External interop: with True, every manifest commit (publish /
+    # merge / compact) also refreshes ``_symlink_format_manifest/`` —
+    # the Hive SymlinkTextInputFormat layout external engines
+    # (Trino/Athena/Presto, or any file-list reader) consume. See
+    # :meth:`export_symlink_manifest`. Costs one tiny text write per
+    # commit.
+    symlink_manifest: bool = False
 
     def staging_dir(self, run_id: str) -> str:
         return os.path.join(self.path, "_staging", run_id)
@@ -391,6 +398,11 @@ class FileSink:
                     fcntl.flock(lock_fh, fcntl.LOCK_UN)
                 except ImportError:
                     pass
+        if self.symlink_manifest:
+            # refresh the external-engine view of the NEW snapshot;
+            # outside the lock (the export only reads the committed
+            # pointer, and a concurrent re-export is idempotent)
+            self.export_symlink_manifest()
 
     def current_manifest(
         self, run_id: str | None = None, materialize: bool = True
@@ -805,6 +817,57 @@ class FileSink:
                 if _entry_matches(e, filters, part_by)
             )
         return kept_n, total
+
+    def export_symlink_manifest(
+        self, as_of_run: str | None = None, out_dir: str | None = None
+    ) -> str:
+        """Export the committed snapshot as a SymlinkTextInputFormat
+        manifest — the publicly documented lake-interop convention
+        (Hive's SymlinkTextInputFormat contract; Delta Lake's
+        ``GENERATE symlink_format_manifest`` emits the same layout for
+        Presto/Trino/Athena): plain-text file(s) listing the absolute
+        data-file paths of the snapshot, under
+        ``<lake>/_symlink_format_manifest/``. Any engine that can read
+        a file list — Trino/Athena via the input format, or anything
+        scriptable (DuckDB ``read_parquet([list])``) — then sees
+        EXACTLY the committed files: never an uncommitted run dir,
+        never a dead (merged-away) file, no knowledge of this engine's
+        manifest JSON required.
+
+        Partitioned lakes write one manifest per partition directory
+        (``.../<k=v>/manifest`` — the Hive convention, so external
+        partition registration maps 1:1). The export is a SNAPSHOT of
+        ``as_of_run`` (default current); re-export after each commit.
+        Returns the manifest root directory."""
+        manifest = self.current_manifest(as_of_run, materialize=False)
+        if manifest is None:
+            raise FileNotFoundError(f"no committed manifest under {self.path}")
+        if "groups" in manifest:
+            entries = [
+                e for g in manifest["groups"] for e in self._load_group(g)
+            ]
+        else:
+            entries = manifest["entries"]
+        root = out_dir or os.path.join(self.path, "_symlink_format_manifest")
+        by_part: dict[str, list[str]] = {}
+        for e in entries:
+            by_part.setdefault(e.get("partition") or "", []).append(
+                os.path.abspath(os.path.join(self.path, e["file"]))
+            )
+        import shutil as _sh
+
+        tmp = f"{root}.tmp-{os.getpid()}"
+        if os.path.exists(tmp):
+            _sh.rmtree(tmp)
+        for part, files in sorted(by_part.items()):
+            d = os.path.join(tmp, part) if part else tmp
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, "manifest"), "w") as fh:
+                fh.write("\n".join(sorted(files)) + "\n")
+        if os.path.exists(root):
+            _sh.rmtree(root)
+        os.replace(tmp, root)
+        return root
 
     def read_changes(
         self, spark, from_run: str, to_run: str | None = None

@@ -493,3 +493,85 @@ def test_curation_job_spec_incremental_lake(spark, tmp_path, sf_dir):
     assert sink.read_committed(spark).count() == n1
     S.run_curation_job(spark, {**spec, "curate.run.id": "batch2"})
     assert sink.read_committed(spark).count() == n1
+
+
+def test_rest_ingest_job_spec(spark, tmp_path, sf_dir):
+    """The REST vocabulary compiles and the incremental loop runs
+    end-to-end through the file-backed endpoint double: snapshot run,
+    growth delta, drained no-op."""
+    import duckdb
+
+    from incubator_gobblin_spark.jobs.spec import run_rest_ingest_job
+    from incubator_gobblin_spark.sinks.files import FileSink
+
+    api = str(tmp_path / "api.parquet")
+    duckdb.sql(
+        f"COPY (SELECT event_id, ts, event_type, value FROM "
+        f"'{sf_dir}/events.parquet' WHERE ts <= TIMESTAMP '2024-01-10') "
+        f"TO '{api}' (FORMAT PARQUET)"
+    )
+    props = {
+        "rest.source.resource": "events",
+        "rest.source.schema": (
+            "event_id long, ts timestamp, event_type string, value double"
+        ),
+        "extract.delta.fields": "ts",
+        "rest.source.order.by": "event_id",
+        "rest.source.page.size": "5000",
+        "rest.source.rate.per.sec": "10000",
+        "source.max.number.of.partitions": "2",
+        f"rest.endpoint.file.events": api,
+        "writer.output.dir": str(tmp_path / "lake"),
+        "state.store.dir": str(tmp_path / "state"),
+    }
+    r1 = run_rest_ingest_job(spark, props)
+    assert r1["published"]
+    sink = FileSink(path=props["writer.output.dir"], commit_mode="manifest")
+    n1 = sink.read_committed(spark).count()
+    assert n1 == duckdb.sql(f"SELECT count(*) FROM '{api}'").fetchone()[0]
+
+    duckdb.sql(
+        f"COPY (SELECT event_id, ts, event_type, value FROM "
+        f"'{sf_dir}/events.parquet') TO '{api}' (FORMAT PARQUET)"
+    )
+    r2 = run_rest_ingest_job(spark, props)
+    assert r2["published"] and r2["low"] is not None
+    total = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+    assert sink.read_committed(spark).count() == total
+
+    r3 = run_rest_ingest_job(spark, props)
+    assert not r3["published"]
+
+
+def test_rest_ingest_job_spec_validation(spark):
+    import pytest as _pytest
+
+    from incubator_gobblin_spark.jobs.spec import SpecError, run_rest_ingest_job
+
+    with _pytest.raises((SpecError, KeyError)):
+        run_rest_ingest_job(spark, {"rest.source.resource": "x"})
+
+
+def test_egress_job_spec(spark, tmp_path, sf_dir):
+    from incubator_gobblin_spark.jobs.spec import run_egress_job
+    from incubator_gobblin_spark.sinks.egress import FileBackedBulkEndpoint
+
+    from incubator_gobblin_spark.session import load_table as _lt
+
+    src_dir = str(tmp_path / "src")
+    _lt(spark, sf_dir, "region").write.parquet(src_dir)
+    ep_dir = str(tmp_path / "ep")
+    res = run_egress_job(
+        spark,
+        {
+            "egress.input.dir": src_dir,
+            "egress.batch.size": "2",
+            "egress.max.retries": "2",
+            "egress.endpoint.dir": ep_dir,
+        },
+    )
+    assert res.records_sent == 5 and res.batches_sent == 3
+    got = FileBackedBulkEndpoint(ep_dir).delivered()
+    assert {r["r_regionkey"] for r in got} == {0, 1, 2, 3, 4}
