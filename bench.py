@@ -210,6 +210,9 @@ def main() -> None:
         "methodology": "untimed warmup; 2 timed runs/query: run1=cold, min=steady; value=sum(steady)",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if soak:
+        out["sf1"] = soak
+        out["sf1_dir"] = sf1_dir
 
     # round-over-round delta against the latest BENCH_r{N}.json present
     here = os.path.dirname(os.path.abspath(__file__))

@@ -142,3 +142,91 @@ def test_schema_roundtrip_fixpoint(json_schema):
     st1 = to_struct_type(json_schema)
     st2 = to_struct_type(from_struct_type(st1))
     assert st1 == st2
+
+
+# ------------------------------------------------ REST workunit tiling
+
+
+@given(
+    lo=st.integers(min_value=-(10**9), max_value=10**9),
+    span=st.integers(min_value=1, max_value=10**9),
+    n=st.integers(min_value=1, max_value=32),
+)
+@settings(max_examples=200, deadline=None)
+def test_rest_split_units_tile_exactly(lo, span, n):
+    """_split_units partitions an integer watermark range into
+    consecutive half-open (lo, hi] chunks: strictly increasing,
+    gap-free, covering exactly (lo, hi] — the same tiling contract as
+    partition_predicates, for the REST workunit planner."""
+    from incubator_gobblin_spark.sources.rest_api import _split_units
+
+    hi = lo + span
+    units = _split_units(WatermarkInterval("ts", lo, hi), n)
+    assert 1 <= len(units) <= n
+    prev = lo
+    for u_lo, u_hi in units:
+        assert int(u_lo) == prev
+        assert int(u_hi) > int(u_lo)
+        prev = int(u_hi)
+    assert prev == hi
+
+
+@given(
+    start=st.datetimes(
+        min_value=__import__("datetime").datetime(1990, 1, 1),
+        max_value=__import__("datetime").datetime(2100, 1, 1),
+    ),
+    span_sec=st.integers(min_value=1, max_value=10**9),
+    n=st.integers(min_value=1, max_value=32),
+)
+@settings(max_examples=200, deadline=None)
+def test_rest_split_units_timestamps_tile(start, span_sec, n):
+    from datetime import timedelta
+
+    from incubator_gobblin_spark.sources.rest_api import _split_units
+
+    hi = start + timedelta(seconds=span_sec)
+    units = _split_units(WatermarkInterval("ts", start, hi), n)
+    assert 1 <= len(units) <= n
+    prev = start.isoformat()
+    for u_lo, u_hi in units:
+        assert u_lo == prev
+        assert u_hi > u_lo
+        prev = u_hi
+    assert prev == hi.isoformat()
+
+
+# -------------------------------------------- md5 hash-mode primitives
+
+
+@given(st.text(min_size=0, max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_md5_shingle_hash_oracle_formula_agrees(s):
+    """The engine's md5-mode base hash (conv of the first 15 md5 hex
+    chars, mod p) and the oracle's list_reduce hex fold are the SAME
+    function — proven here in pure Python for arbitrary unicode
+    shingles (the cross-engine contract the q31 oracle rides on)."""
+    import hashlib
+
+    from incubator_gobblin_spark.functions.dedup_fuzzy import _MERSENNE_P
+
+    hx = hashlib.md5(s.encode("utf-8")).hexdigest()[:15]
+    spark_side = int(hx, 16) % _MERSENNE_P  # conv(substring(md5,1,15),16,10) % p
+    duck_side = 0
+    for d in hx:
+        duck_side = duck_side * 16 + "0123456789abcdef".index(d)
+    assert spark_side == duck_side % _MERSENNE_P
+
+
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 31) - 2), min_size=0, max_size=50))
+@settings(max_examples=200, deadline=None)
+def test_simhash_split_halves_reconstruct(votes_bits):
+    """The md5-mode (hi, lo) split signature is a bijection of the
+    64-bit signature: reconstructing hi*2^32 + lo from per-bit votes
+    equals building the 64-bit int directly."""
+    votes = [(1 if (i < len(votes_bits) and votes_bits[i] % 2) else -1) for i in range(64)]
+    hi = sum((1 << (i - 32)) for i in range(32, 64) if votes[i] > 0)
+    lo = sum((1 << i) for i in range(32) if votes[i] > 0)
+    direct = sum((1 << i) for i in range(64) if votes[i] > 0)
+    assert hi * (1 << 32) + lo == direct
+    assert 0 <= hi < (1 << 32) and 0 <= lo < (1 << 32)
