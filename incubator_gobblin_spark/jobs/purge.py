@@ -89,3 +89,24 @@ def purge(
         rows_purged=rows_before - rows_after,
         published_paths=published,
     )
+
+
+def verify_purge(
+    spark: SparkSession,
+    data_path: str,
+    ids: DataFrame,
+    on: Sequence[str] | str,
+    fmt: str = "parquet",
+) -> int:
+    """Post-purge validation pass — the compliance-validation job shape
+    (gobblin-compliance runs validation SEPARATELY from the purger, so
+    the check never trusts the purging job's own bookkeeping): re-scan
+    the published dataset and count rows still matching the purge-id
+    set. MUST return 0 after a successful purge; a nonzero count names
+    surviving keys for the audit trail.
+
+    Scale shape: one broadcast semi-join over the dataset — the id set
+    is the small side by definition, the fact side never shuffles."""
+    df = spark.read.format(resolve_format(fmt)).load(data_path)
+    key = [on] if isinstance(on, str) else list(on)
+    return df.join(F.broadcast(ids), on=key, how="left_semi").count()

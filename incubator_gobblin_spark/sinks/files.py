@@ -818,6 +818,65 @@ class FileSink:
             )
         return kept_n, total
 
+    def rollback_to(self, target_run_id: str, run_id: str | None = None) -> str:
+        """Restore a previous committed snapshot as a NEW commit — the
+        compliance-restore / Delta-RESTORE shape (gobblin-compliance's
+        restore job recovers a dataset version retained by the
+        retention policy; here the retained versions ARE the manifest
+        history). The new manifest re-references the target snapshot's
+        group files verbatim — no data copied or rewritten (runs are
+        immutable) — and commits through the same CAS pointer swap as
+        any write, so concurrent committers conflict instead of being
+        silently erased. History stays LINEAR: the rollback's parent is
+        the commit being rolled back, so the bad commits remain
+        time-travelable until vacuum reclaims them, and the restore
+        window is exactly vacuum retention (a vacuumed target raises
+        with the missing files named)."""
+        import json
+
+        expected_ptr = self._read_pointer()
+        if expected_ptr is None:
+            raise FileNotFoundError(f"nothing committed under {self.path}")
+        target = self.current_manifest(target_run_id, materialize=False)
+        cur = self._load_manifest_rel(expected_ptr)
+        rid = run_id or f"rollback-{new_run_id()}"
+        entries = target.get("entries") or [
+            e for g in target.get("groups", []) for e in self._load_group(g)
+        ]
+        missing = [
+            e["file"]
+            for e in entries
+            if not os.path.exists(os.path.join(self.path, e["file"]))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore {target_run_id}: {len(missing)} data "
+                f"file(s) already vacuumed (e.g. {missing[0]}) — restores "
+                "reach back at most vacuum retention"
+            )
+        if "groups" in target:
+            groups = target["groups"]
+        else:  # v1 target: migrate its entries into carried groups
+            groups = self._write_groups(entries, rid, run_tag=None)
+        manifest = {
+            "run_id": rid,
+            "format_version": 2,
+            "table_type": target.get("table_type", self.table_type.value),
+            "fmt": target.get("fmt", self.fmt),
+            "partition_by": target.get("partition_by", self.partition_by),
+            "parent": cur["run_id"] if cur else None,
+            "groups": groups,
+        }
+        mdir = os.path.join(self.path, "_manifests")
+        os.makedirs(mdir, exist_ok=True)
+        mrel = os.path.join("_manifests", f"{rid}.json")
+        mtmp = os.path.join(self.path, mrel + ".tmp")
+        with open(mtmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(mtmp, os.path.join(self.path, mrel))
+        self._swap_pointer(mrel, rid, expected_ptr)
+        return rid
+
     def export_symlink_manifest(
         self, as_of_run: str | None = None, out_dir: str | None = None
     ) -> str:
