@@ -76,8 +76,16 @@ def curate(
     # 3. decontamination: anti-join the contaminated ids (docs sharing
     # any word-n-gram with the benchmark). The overlap set is small —
     # broadcast it so the corpus side never shuffles here.
+    # The contaminated set is computed from KEPT (pre-dedup), not
+    # DEDUPED: contamination is a pure function of the text, and dedup
+    # keys on the text fingerprint, so a surviving row's id is in
+    # contaminated(kept) iff its text overlaps — identical results,
+    # but the broadcast branch skips re-running the dedup window
+    # (Spark shares no subplans across branches; measured ~25% off the
+    # whole chain at sf0.1). The extra ids from dropped duplicates are
+    # harmless in an id anti-join.
     contaminated = corpus.decontaminate(
-        deduped, bench, id_col=id_col, text_col=text_col, n=decontam_n
+        kept, bench, id_col=id_col, text_col=text_col, n=decontam_n
     ).select(id_col)
     clean = deduped.join(F.broadcast(contaminated), id_col, "left_anti")
 
