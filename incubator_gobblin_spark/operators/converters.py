@@ -292,6 +292,39 @@ def to_rest_entry(
     return _t
 
 
+def to_couchbase_entry(
+    key_cols: Sequence[str] | str,
+    content_fields: Sequence[str] | None = None,
+    key_separator: str = "::",
+    key_out: str = "key",
+    content_out: str = "content",
+) -> Transform:
+    """Record -> keyed JSON document: the document id rendered from one
+    or more key columns plus the serialized record body — the shape a
+    key/value bulk API (Couchbase, any doc store) ingests, fed straight
+    into ``sinks.egress.write_egress`` (the endpoint then upserts by
+    key, which is what turns the writer's at-least-once into effective
+    exactly-once).
+
+    Mirrors AnyToCouchbaseJsonConverter / AvroToCouchbaseTupleConverter
+    (gobblin-modules/gobblin-couchbase .../converter/
+    AnyToCouchbaseJsonConverter.java:35, the key-field + JSON-content
+    tuple contract). Key rendering is ``concat_ws`` (JVM-side);
+    multi-column keys join on ``key_separator``."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+    def _t(df: DataFrame) -> DataFrame:
+        body = [F.col(c) for c in (content_fields or df.columns)]
+        return df.select(
+            F.concat_ws(
+                key_separator, *[F.col(k).cast("string") for k in keys]
+            ).alias(key_out),
+            F.to_json(F.struct(*body)).alias(content_out),
+        )
+
+    return _t
+
+
 def cast_columns(casts: dict[str, str]) -> Transform:
     """Cast columns by name -> Spark type string. Covers the family of
     trivial cast converters (ObjectToStringConverter,

@@ -967,3 +967,36 @@ def test_egress_retry_budget_exhausted_fails(spark, tmp_path):
         write_egress(
             df, ep, EgressConfig(batch_size=50, max_retries=1, backoff_sec=0.01)
         )
+
+
+def test_couchbase_entry_through_egress(spark, sf_dir, tmp_path):
+    """AnyToCouchbaseJson analogue: record -> (key, content-json) tuple
+    chained into the bulk egress writer — the full Couchbase write path
+    (keyed upserts make the at-least-once writer effectively
+    exactly-once at the receiver)."""
+    import json as _json
+
+    from incubator_gobblin_spark.operators.converters import to_couchbase_entry
+    from incubator_gobblin_spark.sinks.egress import (
+        EgressConfig,
+        FileBackedBulkEndpoint,
+        write_egress,
+    )
+
+    region = load_table(spark, sf_dir, "region")
+    conv = to_couchbase_entry(
+        ["r_regionkey"], content_fields=["r_name"], key_separator="::",
+    )
+    entries = conv(region)
+    assert entries.columns == ["key", "content"]
+    ep = FileBackedBulkEndpoint(str(tmp_path / "ep"))
+    res = write_egress(entries, ep, EgressConfig(batch_size=2))
+    assert res.records_sent == 5
+    got = {r["key"]: _json.loads(r["content"]) for r in ep.delivered()}
+    assert set(got) == {"0", "1", "2", "3", "4"}
+    assert got["0"]["r_name"]
+
+    # multi-column keys join on the separator
+    multi = to_couchbase_entry(["r_regionkey", "r_name"])(region)
+    keys = {r["key"] for r in multi.collect()}
+    assert all("::" in k for k in keys)
