@@ -69,6 +69,15 @@ class RestApiSource:
     rate_per_sec: float = 50.0  # per task; cluster rate = this x tasks
     max_retries: int = 3
     retry_backoff_sec: float = 0.05
+    # "cursor" (default): each request passes after=<last order-key>,
+    # the keyset-pagination every serious API exposes (Salesforce
+    # queryMore, link-header cursors) — O(page) server work per
+    # request. "offset": OFFSET/LIMIT paging for APIs that only offer
+    # it — the server re-scans O(offset) rows per page, so a deep
+    # resource costs O(n^2/page) server work; keep pages large there.
+    # Cursor mode requires order_by to be a unique, totally-ordered
+    # column (an id); duplicates at a page boundary would be skipped.
+    paging: str = "cursor"
 
 
 class FileBackedRestEndpoint:
@@ -112,14 +121,20 @@ class FileBackedRestEndpoint:
             conds.append(f"{wm} > {_lit(params['low'])}")
         if wm and params.get("high") is not None:
             conds.append(f"{wm} <= {_lit(params['high'])}")
-        where = f"WHERE {' AND '.join(conds)}" if conds else ""
         order = params.get("order_by") or self.order_by
         if not order:
             raise ValueError("paged fetch requires a deterministic order_by")
-        sql = (
-            f"SELECT * FROM '{path}' {where} ORDER BY {order} "
-            f"LIMIT {int(params['limit'])} OFFSET {int(params['offset'])}"
-        )
+        if params.get("after") is not None:
+            # keyset pagination: O(page) work per request — the server
+            # seeks past the cursor instead of re-scanning the offset
+            conds.append(f"{order} > {_lit(params['after'])}")
+            page_clause = f"LIMIT {int(params['limit'])}"
+        else:
+            page_clause = (
+                f"LIMIT {int(params['limit'])} OFFSET {int(params.get('offset', 0))}"
+            )
+        where = f"WHERE {' AND '.join(conds)}" if conds else ""
+        sql = f"SELECT * FROM '{path}' {where} ORDER BY {order} {page_clause}"
         df = duckdb.sql(sql).df()
         records = []
         for rec in df.to_dict(orient="records"):
@@ -153,7 +168,7 @@ class FlakyEndpoint:
     _seen: dict = field(default_factory=dict)
 
     def fetch(self, resource: str, params: dict[str, Any]) -> dict[str, Any]:
-        key = (resource, params.get("low"), params.get("offset"))
+        key = (resource, params.get("low"), params.get("offset"), params.get("after"))
         n = self._seen.get(key, 0)
         self._seen[key] = n + 1
         if n < self.fail_first:
@@ -228,6 +243,9 @@ def read_rest(
     max_retries = int(source.max_retries)
     backoff = float(source.retry_backoff_sec)
     order = order_by or wm_column
+    paging = source.paging
+    if paging not in ("cursor", "offset"):
+        raise ValueError(f"unknown paging mode: {paging!r}")
 
     def fetch(batches) -> Iterator:
         import pandas as pd
@@ -238,22 +256,24 @@ def read_rest(
         for pdf in batches:
             for lo, hi in zip(pdf["lo"], pdf["hi"]):
                 offset = 0
+                after = None
                 while True:
                     bucket.acquire(1.0)
+                    params = {
+                        "wm_column": wm_column,
+                        "low": lo,
+                        "high": hi,
+                        "limit": page_size,
+                        "order_by": order,
+                    }
+                    if paging == "cursor" and after is not None:
+                        params["after"] = after
+                    elif paging == "offset":
+                        params["offset"] = offset
                     attempt = 0
                     while True:
                         try:
-                            page = endpoint.fetch(
-                                resource,
-                                {
-                                    "wm_column": wm_column,
-                                    "low": lo,
-                                    "high": hi,
-                                    "offset": offset,
-                                    "limit": page_size,
-                                    "order_by": order,
-                                },
-                            )
+                            page = endpoint.fetch(resource, params)
                             break
                         except Exception:
                             attempt += 1
@@ -265,6 +285,7 @@ def read_rest(
                         yield pd.DataFrame(
                             {"json": [json.dumps(r, default=str) for r in recs]}
                         )
+                        after = recs[-1].get(order)
                     if len(recs) < page_size:
                         break
                     offset += len(recs)

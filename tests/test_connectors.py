@@ -1000,3 +1000,29 @@ def test_couchbase_entry_through_egress(spark, sf_dir, tmp_path):
     multi = to_couchbase_entry(["r_regionkey", "r_name"])(region)
     keys = {r["key"] for r in multi.collect()}
     assert all("::" in k for k in keys)
+
+
+def test_rest_cursor_equals_offset_paging(spark, sf_dir):
+    """Cursor (keyset) and offset paging fetch the identical record
+    set; cursor is the default because offset paging costs the server
+    O(offset) re-scan per page."""
+    from incubator_gobblin_spark.sources import rest_api as R
+
+    ep = R.FileBackedRestEndpoint(
+        {"events": f"{sf_dir}/events.parquet"}, order_by="event_id"
+    )
+    iv = WatermarkInterval("ts", datetime(2024, 1, 1), datetime(2024, 1, 31))
+    outs = {}
+    for mode in ("cursor", "offset"):
+        src = R.RestApiSource(
+            resource="events",
+            schema="event_id long, event_type string",
+            wm_column="ts", page_size=300, rate_per_sec=10_000.0,
+            paging=mode,
+        )
+        outs[mode] = {
+            r["event_id"]
+            for r in R.read_rest(spark, src, ep, iv, num_partitions=3)
+            .select("event_id").collect()
+        }
+    assert outs["cursor"] == outs["offset"] and len(outs["cursor"]) > 0
