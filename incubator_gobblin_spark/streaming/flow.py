@@ -303,6 +303,40 @@ class StreamPipeline:
             writer = writer.trigger(processingTime=f"{trigger_secs} seconds")
         return writer.start()
 
+    def to_egress(
+        self,
+        transport,
+        config=None,
+        checkpoint: str | None = None,
+        trigger_secs: int | None = 60,
+        once: bool = False,
+    ) -> StreamingQuery:
+        """Streaming bulk egress: every micro-batch drains through
+        :func:`sinks.egress.write_egress` (batched, bounded in-flight,
+        token-bucketed, retried) — the streaming face of the reference's
+        async writers (AsyncHttpWriter on a stream = this).
+
+        Delivery is AT-LEAST-ONCE across restarts: foreachBatch replays
+        an uncommitted epoch in full, so a crash mid-epoch re-sends that
+        epoch's batches. Idempotent receivers (keyed upserts — pair with
+        ``converters.to_couchbase_entry``) turn that into effective
+        exactly-once; pure-append receivers must dedup on a record key
+        downstream. Same contract as the batch writer, same knobs."""
+
+        def _send(batch_df: DataFrame, epoch_id: int) -> None:
+            from incubator_gobblin_spark.sinks.egress import write_egress
+
+            write_egress(batch_df, transport, config)
+
+        writer = self.dataframe().writeStream.foreachBatch(_send)
+        if checkpoint:
+            writer = writer.option("checkpointLocation", checkpoint)
+        if once:
+            writer = writer.trigger(availableNow=True)
+        elif trigger_secs:
+            writer = writer.trigger(processingTime=f"{trigger_secs} seconds")
+        return writer.start()
+
     def to_branches(
         self,
         branches: Sequence[StreamBranch],

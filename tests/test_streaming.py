@@ -662,3 +662,38 @@ def test_lake_replication_via_cdf_stream(spark, tmp_path):
     # replaying with nothing new is a no-op
     replicate()
     assert snapshots_equal()
+
+
+def test_stream_to_egress_delivers_batches(spark, tmp_path, events_dir):
+    """Streaming bulk egress: micro-batches drain through write_egress
+    into the bulk-endpoint double; a checkpointed restart with no new
+    data re-sends nothing (no duplicate delivery without a replayed
+    epoch)."""
+    from incubator_gobblin_spark.sinks.egress import (
+        EgressConfig,
+        FileBackedBulkEndpoint,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    ep = FileBackedBulkEndpoint(str(tmp_path / "ep"))
+    schema = _events_schema(spark, events_dir)
+    q = (
+        StreamPipeline(spark, "egress")
+        .source_files(events_dir, "parquet", schema, max_files_per_trigger=2)
+        .to_egress(ep, EgressConfig(batch_size=100), checkpoint=ckpt, once=True)
+    )
+    q.awaitTermination(120)
+    want = spark.read.parquet(events_dir).count()
+    got = ep.delivered()
+    assert len(got) == want
+    ids = {r["event_id"] for r in got}
+    assert len(ids) == want
+
+    # restart on the same checkpoint, no new data -> nothing re-sent
+    q2 = (
+        StreamPipeline(spark, "egress")
+        .source_files(events_dir, "parquet", schema, max_files_per_trigger=2)
+        .to_egress(ep, EgressConfig(batch_size=100), checkpoint=ckpt, once=True)
+    )
+    q2.awaitTermination(120)
+    assert len(ep.delivered()) == want
