@@ -176,6 +176,18 @@ def main() -> None:
     # evidence; a superlinear ratio flags a shuffle/expansion hazard.
     sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1_soak")
     soak = {}
+    if not os.path.isdir(os.path.join(sf1_dir, "documents.parquet")):
+        # regenerate on a fresh machine (~40s once; deterministic scale-up
+        # of sf0.1 — see tools/make_sf1.py). SPARK_GRAFT_SF1_DIR=skip
+        # disables the soak entirely.
+        if sf1_dir != "skip":
+            try:
+                sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+                from make_sf1 import generate as _gen_sf1
+
+                _gen_sf1(spark, sf1_dir)
+            except Exception:
+                pass  # soak is optional; the headline bench must not fail
     if os.path.isdir(os.path.join(sf1_dir, "documents.parquet")):
         SOAK = [
             "q01_pricing_summary",      # 6M-row scan + hash agg baseline

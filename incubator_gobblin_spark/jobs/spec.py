@@ -762,6 +762,28 @@ def run_kafka_ingest_job(spark: SparkSession, spec: str | dict[str, str]):
     )
 
 
+def run_rollback_job(spark: SparkSession, spec: str | dict[str, str]) -> str:
+    """Run a compliance-restore job: roll a manifest lake back to a
+    prior committed snapshot (the gobblin-compliance restore-job shape;
+    see ``FileSink.rollback_to`` for semantics). Vocabulary:
+
+    - ``rollback.target.dir`` — the manifest-committed lake root
+    - ``rollback.to.run`` — the committed run id to restore
+    - ``rollback.run.id`` — optional id for the restore commit
+
+    Returns the restore commit's run id."""
+    from incubator_gobblin_spark.sinks.files import FileSink
+
+    props = load_job_file(spec) if isinstance(spec, str) else spec
+    for k in ("rollback.target.dir", "rollback.to.run"):
+        if k not in props:
+            raise SpecError(f"rollback job needs '{k}'")
+    sink = FileSink(path=props["rollback.target.dir"], commit_mode="manifest")
+    return sink.rollback_to(
+        props["rollback.to.run"], run_id=props.get("rollback.run.id")
+    )
+
+
 def run_rest_ingest_job(
     spark: SparkSession, spec: str | dict[str, str], endpoint=None
 ):

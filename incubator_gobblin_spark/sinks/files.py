@@ -918,6 +918,9 @@ class FileSink:
         tmp = f"{root}.tmp-{os.getpid()}"
         if os.path.exists(tmp):
             _sh.rmtree(tmp)
+        os.makedirs(tmp, exist_ok=True)  # empty snapshot -> empty manifest
+        if not by_part:
+            open(os.path.join(tmp, "manifest"), "w").close()
         for part, files in sorted(by_part.items()):
             d = os.path.join(tmp, part) if part else tmp
             os.makedirs(d, exist_ok=True)

@@ -575,3 +575,28 @@ def test_egress_job_spec(spark, tmp_path, sf_dir):
     assert res.records_sent == 5 and res.batches_sent == 3
     got = FileBackedBulkEndpoint(ep_dir).delivered()
     assert {r["r_regionkey"] for r in got} == {0, 1, 2, 3, 4}
+
+
+def test_rollback_job_spec(spark, tmp_path, sf_dir):
+    from incubator_gobblin_spark.jobs.spec import run_rollback_job
+    from incubator_gobblin_spark.session import load_table as _lt
+    from incubator_gobblin_spark.sinks.files import FileSink
+
+    lake = str(tmp_path / "lake")
+    sink = FileSink(path=lake, commit_mode="manifest")
+    region = _lt(spark, sf_dir, "region")
+    sink.write_staging(region, "v1")
+    sink.publish("v1")
+    sink.merge_into(
+        spark,
+        region.limit(2).withColumn("r_name", F.lit("BAD")),
+        on=["r_regionkey"],
+        run_id="bad",
+    )
+    rid = run_rollback_job(
+        spark, {"rollback.target.dir": lake, "rollback.to.run": "v1"}
+    )
+    assert rid == sink.manifest_history()[0]
+    assert (
+        sink.read_committed(spark).filter(F.col("r_name") == "BAD").count() == 0
+    )

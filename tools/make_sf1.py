@@ -15,7 +15,9 @@ original's duplicate/near-dup structure instead of multiplying it:
 - lineitem: plain id shift (aggregation queries don't self-join).
 
 Usage: python tools/make_sf1.py [out_dir]   (default /tmp/sf1_soak)
-Idempotent: skips tables whose parquet already exists.
+Idempotent: skips tables whose parquet already exists. bench.py calls
+``generate(spark, out)`` directly when the soak dataset is absent, so
+the per-round sf1 section regenerates itself on a fresh machine.
 """
 
 from __future__ import annotations
@@ -25,27 +27,30 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
-from pyspark.sql import functions as F  # noqa: E402
-
-from incubator_gobblin_spark.session import get_spark, load_table  # noqa: E402
-
 SRC = "/root/testdata/sf0.1"
 COPIES = 10
 ID_OFFSET = 10_000_000
 
 
-def main() -> None:
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_soak"
+def generate(spark, out: str, src: str = SRC) -> None:
+    """Write the scaled tables under ``out`` (idempotent per table)."""
+    from pyspark.sql import functions as F
+
+    from incubator_gobblin_spark.session import load_table
+
     os.makedirs(out, exist_ok=True)
-    spark = get_spark(
-        app_name="make-sf1", master="local[32]", shuffle_partitions=32
-    )
 
     def done(t: str) -> bool:
         return os.path.exists(os.path.join(out, f"{t}.parquet"))
 
+    def union_all(parts):
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return u
+
     if not done("documents"):
-        docs = load_table(spark, SRC, "documents")
+        docs = load_table(spark, src, "documents")
         parts = []
         for k in range(COPIES):
             text = (
@@ -62,16 +67,12 @@ def main() -> None:
                     F.length(text).cast("long").alias("n_chars"),
                 )
             )
-        u = parts[0]
-        for p in parts[1:]:
-            u = u.unionByName(p)
-        u.repartition(32).write.mode("overwrite").parquet(
+        union_all(parts).repartition(32).write.mode("overwrite").parquet(
             os.path.join(out, "documents.parquet")
         )
-        print("documents:", u.count())
 
     if not done("embeddings"):
-        emb = load_table(spark, SRC, "embeddings")
+        emb = load_table(spark, src, "embeddings")
         parts = []
         for k in range(COPIES):
             vec = (
@@ -88,28 +89,29 @@ def main() -> None:
                     "label",
                 )
             )
-        u = parts[0]
-        for p in parts[1:]:
-            u = u.unionByName(p)
-        u.repartition(8).write.mode("overwrite").parquet(
+        union_all(parts).repartition(8).write.mode("overwrite").parquet(
             os.path.join(out, "embeddings.parquet")
         )
-        print("embeddings:", u.count())
 
     if not done("lineitem"):
-        li = load_table(spark, SRC, "lineitem")
+        li = load_table(spark, src, "lineitem")
         parts = [
             li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * ID_OFFSET))
             for k in range(COPIES)
         ]
-        u = parts[0]
-        for p in parts[1:]:
-            u = u.unionByName(p)
-        u.repartition(64).write.mode("overwrite").parquet(
+        union_all(parts).repartition(64).write.mode("overwrite").parquet(
             os.path.join(out, "lineitem.parquet")
         )
-        print("lineitem:", u.count())
 
+
+def main() -> None:
+    from incubator_gobblin_spark.session import get_spark
+
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_soak"
+    spark = get_spark(
+        app_name="make-sf1", master="local[32]", shuffle_partitions=32
+    )
+    generate(spark, out)
     print("sf1 data ready at", out)
     spark.stop()
 
