@@ -852,7 +852,7 @@ def test_rest_incremental_watermark_loop(spark, sf_dir, tmp_path):
     sink = FileSink(path=str(tmp_path / "lake"), commit_mode="manifest")
     store = StateStore(str(tmp_path / "state"))
 
-    r1 = ingest = R.ingest_rest_incremental(spark, src, ep, sink, store)
+    r1 = R.ingest_rest_incremental(spark, src, ep, sink, store)
     assert r1["published"] and r1["low"] is None
     n1 = sink.read_committed(spark).count()
     want1 = duckdb.sql(
