@@ -926,3 +926,51 @@ def gopher_keep(
         & (symbol_ratio <= max_symbol_ratio)
         & (alpha_frac >= min_alpha_frac)
     )
+
+
+def temperature_weights(
+    df: DataFrame, group_col: str, alpha: float = 0.3
+) -> DataFrame:
+    """Temperature-based sampling weights over a grouping column — the
+    multilingual-mixture rule of XLM-R / mT5 (sample group ``g`` with
+    probability ``q_g ∝ p_g^alpha`` where ``p_g = n_g / N``): ``alpha``
+    < 1 up-samples the tail groups and flattens the head, ``alpha = 1``
+    is proportional, ``alpha = 0`` is uniform.
+
+    Output: (group, n_docs, sample_prob, multiplier) where
+    ``multiplier = sample_prob / p_g`` is the per-document
+    up/down-sampling factor — exactly the ``weights`` dict
+    :func:`materialize_mixture` consumes, so the two compose into
+    "compute the temperature mixture, then materialize it".
+
+    Scale shape: one count shuffle over the corpus; everything after
+    runs on the groups frame (driver-small by definition). Cross-engine
+    determinism: ``p`` is one exact division, ``pow`` is libm on
+    identical doubles, every chained value re-rounds to 6 decimals and
+    the normalizing sum runs through DECIMAL (order-independent) — the
+    same float discipline as the BM25/DSIR queries."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("_N"))
+    r = counts.crossJoin(F.broadcast(total)).select(
+        group_col,
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("_N").cast("double")).alias("_p"),
+        F.round(
+            F.pow(
+                F.col("n_docs").cast("double") / F.col("_N").cast("double"),
+                F.lit(float(alpha)),
+            ),
+            6,
+        ).alias("_q_raw"),
+    )
+    qsum = r.agg(
+        F.sum(F.col("_q_raw").cast("decimal(18,6)")).cast("double").alias("_qsum")
+    )
+    out = r.crossJoin(F.broadcast(qsum))
+    sample_prob = F.round(F.col("_q_raw") / F.col("_qsum"), 6)
+    return out.select(
+        group_col,
+        "n_docs",
+        sample_prob.alias("sample_prob"),
+        F.round(sample_prob / F.col("_p"), 6).alias("multiplier"),
+    )

@@ -70,6 +70,7 @@ def register(name: str, oracle: str | None):
 # on every pytest run regardless of this ordering.
 _WINDOW_HEAD = [
     "q107_rest_ingest_agg",      # NEW r5: REST extraction under the oracle
+    "q108_temperature_mixture",  # NEW r5: XLM-R/mT5 temperature sampling
     "q31_minhash_candidates",    # newly hash-checkable (md5 hash mode)
     "q32_simhash_neardups",      # newly hash-checkable (md5 hash mode)
     "q34_ann_lsh_topk",          # newly hash-checkable (literal planes)
@@ -120,7 +121,8 @@ _WINDOW_HEAD = [
     "q87_orc_scan_agg",
     "q88_manifest_snapshot_agg",
     "q89_dedup_lines",
-    "q90_trigram_logprob",
+    # q90 yields its slot to the brand-new q108 (q90 is r03-green and
+    # parity-covered; it rotates back at r06)
 ]
 
 
@@ -3779,6 +3781,32 @@ def q107_rest_ingest_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         _dsum("value", 2).alias("total_value"),
     )
+
+
+@register(
+    "q108_temperature_mixture",
+    """
+    WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+    t AS (SELECT sum(n_docs) AS N FROM c),
+    r AS (SELECT lang, n_docs,
+                 CAST(n_docs AS DOUBLE) / CAST(N AS DOUBLE) AS p,
+                 round(pow(CAST(n_docs AS DOUBLE) / CAST(N AS DOUBLE), 0.3), 6) AS q_raw
+          FROM c, t),
+    s AS (SELECT CAST(sum(CAST(q_raw AS DECIMAL(18,6))) AS DOUBLE) AS qsum FROM r)
+    SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+           round(q_raw / qsum, 6) AS sample_prob,
+           round(round(q_raw / qsum, 6) / p, 6) AS multiplier
+    FROM r, s
+    """,
+)
+def q108_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling weights per language (corpus.
+    temperature_weights — the XLM-R / mT5 alpha-mixture rule,
+    q_g ∝ p_g^0.3): one count shuffle, then pow/normalize on the
+    driver-small groups frame with the round(6)+DECIMAL float
+    discipline. ``multiplier`` feeds materialize_mixture (q94)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.temperature_weights(docs, group_col="lang", alpha=0.3)
 
 
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

@@ -288,6 +288,13 @@ def read_rest(
                         after = recs[-1].get(order)
                     if len(recs) < page_size:
                         break
+                    if paging == "cursor" and after is None:
+                        # a full page whose records lack the order key
+                        # would re-fetch page 1 forever
+                        raise ValueError(
+                            f"cursor paging needs {order!r} present in "
+                            "every record (endpoint omitted it)"
+                        )
                     offset += len(recs)
 
     raw = unit_df.mapInPandas(fetch, "json string")

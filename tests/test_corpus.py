@@ -482,3 +482,46 @@ def test_perplexity_buckets_terciles_and_ordering(spark):
             assert min(means["head"]) >= max(means["middle"]) - 1e-9
         if means["middle"] and means["tail"]:
             assert min(means["middle"]) >= max(means["tail"]) - 1e-9
+
+
+def test_temperature_weights_compose_into_mixture(spark, sf_dir):
+    """XLM-R/mT5 temperature sampling: alpha<1 up-samples tail
+    languages; the multipliers feed materialize_mixture and the
+    realized per-language copy counts land within the deterministic
+    floor/ceil bounds of multiplier * n_docs."""
+    from incubator_gobblin_spark.functions import corpus
+    from incubator_gobblin_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tw = corpus.temperature_weights(docs, group_col="lang", alpha=0.3)
+    rows = {r["lang"]: r for r in tw.collect()}
+    n = {k: r["n_docs"] for k, r in rows.items()}
+    # sampling probabilities sum to ~1 and flatten the distribution:
+    # the head language's sample_prob < its raw share, tails' > theirs
+    total = sum(n.values())
+    s = sum(r["sample_prob"] for r in rows.values())
+    assert abs(s - 1.0) < 1e-4
+    head = max(n, key=n.get)
+    tail = min(n, key=n.get)
+    assert rows[head]["sample_prob"] < n[head] / total
+    assert rows[tail]["sample_prob"] > n[tail] / total
+    assert rows[tail]["multiplier"] > 1.0 > rows[head]["multiplier"]
+
+    # alpha=1 is proportional: every multiplier == 1
+    flat = corpus.temperature_weights(docs, group_col="lang", alpha=1.0)
+    assert all(abs(r["multiplier"] - 1.0) < 1e-5 for r in flat.collect())
+
+    # composition: materialize the computed mixture; per-language copy
+    # counts obey the deterministic floor/ceil envelope of w * n
+    weights = {k: r["multiplier"] for k, r in rows.items()}
+    mixed = corpus.materialize_mixture(docs, weights, stream_col="lang")
+    got = {
+        r["lang"]: r["c"]
+        for r in mixed.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    import math
+
+    for lang, w in weights.items():
+        lo = math.floor(w) * n[lang]
+        hi = math.ceil(w) * n[lang]
+        assert lo <= got[lang] <= hi, (lang, w, got[lang], lo, hi)
