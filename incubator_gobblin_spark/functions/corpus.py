@@ -943,34 +943,44 @@ def temperature_weights(
     :func:`materialize_mixture` consumes, so the two compose into
     "compute the temperature mixture, then materialize it".
 
-    Scale shape: one count shuffle over the corpus; everything after
-    runs on the groups frame (driver-small by definition). Cross-engine
-    determinism: ``p`` is one exact division, ``pow`` is libm on
-    identical doubles, every chained value re-rounds to 6 decimals and
-    the normalizing sum runs through DECIMAL (order-independent) — the
+    Scale shape: ONE count shuffle over the corpus, then |groups| rows
+    collect to the driver for the pow/normalize math — the mixture IS
+    model state (the kmeans_fit precedent: k·dim floats to the driver
+    is legitimate; a pure-DataFrame formulation re-scanned the corpus
+    once per derived aggregate because Spark shares no subplans across
+    branches). Cross-engine determinism: ``p`` is one exact division,
+    ``pow`` is libm on identical doubles, every chained value
+    re-rounds to 6 decimals HALF_UP (Decimal quantize == Spark/DuckDB
+    round) and the normalizing sum is exact decimal arithmetic — the
     same float discipline as the BM25/DSIR queries."""
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
-    total = counts.agg(F.sum("n_docs").alias("_N"))
-    r = counts.crossJoin(F.broadcast(total)).select(
-        group_col,
-        "n_docs",
-        (F.col("n_docs").cast("double") / F.col("_N").cast("double")).alias("_p"),
-        F.round(
-            F.pow(
-                F.col("n_docs").cast("double") / F.col("_N").cast("double"),
-                F.lit(float(alpha)),
-            ),
-            6,
-        ).alias("_q_raw"),
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import math
+
+    def _r6(x: float) -> float:
+        # Spark's round(double, 6): BigDecimal.valueOf(x) (shortest
+        # repr) setScale(6, HALF_UP) — Decimal(repr(x)) replicates it
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
+
+    rows = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .collect()
     )
-    qsum = r.agg(
-        F.sum(F.col("_q_raw").cast("decimal(18,6)")).cast("double").alias("_qsum")
-    )
-    out = r.crossJoin(F.broadcast(qsum))
-    sample_prob = F.round(F.col("_q_raw") / F.col("_qsum"), 6)
-    return out.select(
-        group_col,
-        "n_docs",
-        sample_prob.alias("sample_prob"),
-        F.round(sample_prob / F.col("_p"), 6).alias("multiplier"),
+    total = sum(r["n_docs"] for r in rows)
+    stats = []
+    for r in rows:
+        p = r["n_docs"] / total
+        stats.append((r[group_col], int(r["n_docs"]), p, _r6(math.pow(p, alpha))))
+    qsum = float(sum(Decimal(repr(q)) for *_, q in stats))
+    out_rows = []
+    for g, n, p, q_raw in stats:
+        sample_prob = _r6(q_raw / qsum)
+        out_rows.append((g, n, sample_prob, _r6(sample_prob / p)))
+    gtype = df.schema[group_col].dataType.simpleString()
+    return df.sparkSession.createDataFrame(
+        out_rows,
+        f"{group_col} {gtype}, n_docs long, sample_prob double, multiplier double",
     )
