@@ -51,6 +51,7 @@ HEADLINE = [
     "q106_curation_pipeline",  # five-stage curation chain end-to-end
     # round-5 additions
     "q107_rest_ingest_agg",    # REST paged fetch -> from_json -> agg
+    "q109_duplicated_spans",   # exact-substring dedup (token windows)
 ]
 
 

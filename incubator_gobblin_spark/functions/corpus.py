@@ -544,6 +544,147 @@ def dedup_lines(
     )
 
 
+def _dup_span_cover(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int,
+    min_count: int,
+    hash_spans: bool,
+) -> DataFrame:
+    """(_id, _s, _pos): duplicated-window starts and the 1-based token
+    positions they cover. A window (run of ``window`` consecutive
+    tokens) is duplicated when its exact text occurs >= ``min_count``
+    times corpus-wide (including repeats inside one document — a doc
+    that repeats its own boilerplate dedups against itself, as in the
+    suffix-array formulation). One shuffle: the corpus-wide occurrence
+    count is a window function over the span key, so spans shuffle
+    once and are annotated in place instead of groupBy + join-back.
+    """
+    spans = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(_word_ngrams(F.col(text_col), window)).alias("_p0", "_span"),
+    ).select(
+        "_id",
+        (F.col("_p0") + 1).alias("_s"),
+        # hash_spans=True is the 100 TB path: the exchange carries an
+        # 8-byte key instead of ~window full tokens per row. Collision
+        # risk 2^-64-ish per pair; kept off by default so external
+        # engines can replicate the count key verbatim.
+        (F.xxhash64("_span") if hash_spans else F.col("_span")).alias("_k"),
+    )
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("_k"))
+    dup = spans.withColumn("_c", cnt).filter(F.col("_c") >= min_count)
+    return dup.select(
+        "_id",
+        "_s",
+        F.explode(
+            F.sequence(F.col("_s"), F.col("_s") + F.lit(window - 1))
+        ).alias("_pos"),
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    min_count: int = 2,
+    hash_spans: bool = False,
+) -> DataFrame:
+    """Exact-substring duplication statistics, the ExactSubstr shape of
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al. 2022) at whitespace-token granularity: every run of ``window``
+    consecutive tokens whose exact text occurs >= ``min_count`` times
+    corpus-wide marks its tokens as duplicated. Returns per document
+    (id, n_tokens, dup_windows, covered_tokens, covered_ratio) —
+    covered_tokens is the count of DISTINCT positions under any
+    duplicated window (overlapping windows don't double-count).
+
+    Scale: three linear shuffles — span-count annotation (on the span
+    key; pass ``hash_spans=True`` to shuffle 8-byte hashes instead of
+    span text), per-doc coverage aggregation, and the totals join.
+    Nothing is quadratic: a span duplicated m times contributes m rows,
+    not m^2 pairs.
+    """
+    cov = _dup_span_cover(df, id_col, text_col, window, min_count, hash_spans)
+    agg = cov.groupBy("_id").agg(
+        F.count_distinct("_s").alias("_dw"),
+        F.count_distinct("_pos").alias("_ct"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("_id"),
+        F.size(_toks(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    return totals.join(agg, on="_id", how="left").select(
+        F.col("_id").alias(id_col),
+        "n_tokens",
+        F.coalesce(F.col("_dw"), F.lit(0)).cast("long").alias("dup_windows"),
+        F.coalesce(F.col("_ct"), F.lit(0)).cast("long").alias("covered_tokens"),
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                F.coalesce(F.col("_ct"), F.lit(0))
+                / F.col("n_tokens").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("covered_ratio"),
+    )
+
+
+def trim_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    min_count: int = 2,
+    hash_spans: bool = False,
+) -> DataFrame:
+    """The removal step of exact-substring dedup (Lee et al. 2022):
+    every token covered by a duplicated ``window``-token run (see
+    :func:`duplicated_spans`) is dropped and the document is rebuilt
+    from the surviving tokens in order. Returns
+    (id, n_tokens, n_removed, text_trimmed); a document consisting
+    entirely of duplicated spans survives as an emptied row.
+
+    Whitespace is normalized to single spaces by the rebuild (the
+    token stream is the unit of dedup, not the raw bytes) — the same
+    contract as :func:`dedup_lines` at line granularity.
+    """
+    cov = (
+        _dup_span_cover(df, id_col, text_col, window, min_count, hash_spans)
+        .select("_id", "_pos")
+        .distinct()
+    )
+    tokpos = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(_toks(F.col(text_col))).alias("_p0", "_tok"),
+    ).select("_id", (F.col("_p0") + 1).alias("_pos"), "_tok")
+    kept = tokpos.join(cov, on=["_id", "_pos"], how="left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias("text_trimmed"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("_id"),
+        F.size(_toks(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    return totals.join(rebuilt, on="_id", how="left").select(
+        F.col("_id").alias(id_col),
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(F.col("text_trimmed"), F.lit("")).alias("text_trimmed"),
+    )
+
+
 def trigram_logprob(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -71,6 +71,8 @@ def register(name: str, oracle: str | None):
 _WINDOW_HEAD = [
     "q107_rest_ingest_agg",      # NEW r5: REST extraction under the oracle
     "q108_temperature_mixture",  # NEW r5: XLM-R/mT5 temperature sampling
+    "q109_duplicated_spans",     # NEW r5: exact-substring dup stats
+    "q110_trim_dup_spans",       # NEW r5: exact-substring removal
     "q31_minhash_candidates",    # newly hash-checkable (md5 hash mode)
     "q32_simhash_neardups",      # newly hash-checkable (md5 hash mode)
     "q34_ann_lsh_topk",          # newly hash-checkable (literal planes)
@@ -92,7 +94,10 @@ _WINDOW_HEAD = [
     "q53_asof_join",
     "q54_range_join",
     "q55_ivf_assign",
-    "q56_avro_scan_agg",
+    # q56 (avro scan) and q87 (self-tuning orc) yield their slots to the
+    # brand-new q109/q110: their format machinery stays proven in-window
+    # by q58 (avro-encoded envelope decode) and q57 (orc scan), plus
+    # test_avro and the local parity suite; both rotate back at r06.
     "q57_orc_scan_agg",
     "q58_envelope_decode_agg",
     "q59_scalar_subquery_above_avg",
@@ -118,7 +123,6 @@ _WINDOW_HEAD = [
     "q83_split_assignment",
     "q85_scd2_intervals",
     "q86_profile_columns",
-    "q87_orc_scan_agg",
     "q88_manifest_snapshot_agg",
     "q89_dedup_lines",
     # q90 yields its slot to the brand-new q108 (q90 is r03-green and
@@ -3807,6 +3811,97 @@ def q108_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline. ``multiplier`` feeds materialize_mixture (q94)."""
     docs = load_table(spark, sf_dir, "documents")
     return corpus.temperature_weights(docs, group_col="lang", alpha=0.3)
+
+
+_DUP_SPAN_CTE = r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS t
+      FROM documents
+    ), spans AS (
+      SELECT doc_id, i AS s, array_to_string(t[i:i+7], ' ') AS span
+      FROM toks, unnest(range(1, greatest(len(t) - 6, 1))) AS u(i)
+    ), cnt AS (
+      SELECT span, count(*) AS c FROM spans GROUP BY span
+    ), dup AS (
+      SELECT spans.doc_id, spans.s FROM spans JOIN cnt USING (span)
+      WHERE cnt.c >= 2
+    ), covp AS (
+      SELECT DISTINCT doc_id, p
+      FROM (SELECT doc_id, unnest(range(s, s + 8)) AS p FROM dup)
+    )
+"""
+
+
+@register(
+    "q109_duplicated_spans",
+    _DUP_SPAN_CTE
+    + """
+    , cov AS (
+      SELECT doc_id, count(DISTINCT s) AS dup_windows
+      FROM dup GROUP BY doc_id
+    ), cv AS (
+      SELECT doc_id, count(*) AS covered FROM covp GROUP BY doc_id
+    )
+    SELECT tk.doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(cov.dup_windows, 0) AS BIGINT) AS dup_windows,
+           CAST(COALESCE(cv.covered, 0) AS BIGINT) AS covered_tokens,
+           round(CASE WHEN len(t) > 0
+                 THEN COALESCE(cv.covered, 0) / CAST(len(t) AS DOUBLE)
+                 ELSE 0.0 END, 6) AS covered_ratio
+    FROM toks tk LEFT JOIN cov USING (doc_id) LEFT JOIN cv USING (doc_id)
+    """,
+)
+def q109_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication stats (corpus.duplicated_spans —
+    the ExactSubstr shape of Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better", at 8-token-window granularity):
+    a window whose exact text occurs >= 2 times corpus-wide marks its
+    tokens duplicated; per doc, the distinct duplicated windows and
+    distinct covered positions. Three linear shuffles — span-count
+    window annotation, per-doc coverage agg, totals join; at 100 TB
+    ``hash_spans=True`` shuffles 8-byte keys instead of span text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.duplicated_spans(
+        docs, id_col="doc_id", text_col="text", window=8, min_count=2
+    )
+
+
+@register(
+    "q110_trim_dup_spans",
+    _DUP_SPAN_CTE
+    + """
+    , tokpos AS (
+      SELECT doc_id, u.z[1] AS tok, CAST(u.z[2] AS BIGINT) AS p
+      FROM (SELECT doc_id, list_zip(t, range(1, len(t) + 1)) AS zs FROM toks),
+           unnest(zs) AS u(z)
+    ), kept AS (
+      SELECT tp.doc_id, tp.tok, tp.p FROM tokpos tp
+      WHERE NOT EXISTS (
+        SELECT 1 FROM covp WHERE covp.doc_id = tp.doc_id AND covp.p = tp.p
+      )
+    ), rebuilt AS (
+      SELECT doc_id, count(*) AS kept_n,
+             string_agg(tok, ' ' ORDER BY p) AS text_trimmed
+      FROM kept GROUP BY doc_id
+    )
+    SELECT tk.doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(t) - COALESCE(r.kept_n, 0) AS BIGINT) AS n_removed,
+           COALESCE(r.text_trimmed, '') AS text_trimmed
+    FROM toks tk LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def q110_trim_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal step of exact-substring dedup
+    (corpus.trim_duplicated_spans): tokens under any duplicated 8-token
+    window are dropped and each document is rebuilt from the surviving
+    tokens in order (whitespace normalized — the token stream is the
+    dedup unit). Fully-duplicated documents survive as emptied rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.trim_duplicated_spans(
+        docs, id_col="doc_id", text_col="text", window=8, min_count=2
+    )
 
 
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

@@ -525,3 +525,71 @@ def test_temperature_weights_compose_into_mixture(spark, sf_dir):
         lo = math.floor(w) * n[lang]
         hi = math.ceil(w) * n[lang]
         assert lo <= got[lang] <= hi, (lang, w, got[lang], lo, hi)
+
+
+def test_duplicated_spans_marks_cross_doc_runs(spark):
+    # window=3: docs 1 and 2 share the exact 5-token run "a b c d e"
+    # (three duplicated 3-windows each: abc, bcd, cde -> 5 covered
+    # positions); doc 3 is all-original; doc 4 repeats its OWN trigram
+    # twice -> within-doc duplication counts too.
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e unique1"),
+            (2, "prefix2 a b c d e"),
+            (3, "nothing shared here at all"),
+            (4, "x y z x y z"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in corpus.duplicated_spans(df, window=3, min_count=2).collect()
+    }
+    assert got[1]["dup_windows"] == 3 and got[1]["covered_tokens"] == 5
+    assert got[1]["n_tokens"] == 6
+    assert got[2]["dup_windows"] == 3 and got[2]["covered_tokens"] == 5
+    assert got[3]["dup_windows"] == 0 and got[3]["covered_tokens"] == 0
+    # doc 4: windows xyz@1, yzx@2, zxy@3, xyz@4 -> xyz occurs twice ->
+    # starts {1,4} cover positions 1..3 and 4..6 = all 6 tokens
+    assert got[4]["dup_windows"] == 2 and got[4]["covered_tokens"] == 6
+    assert got[4]["covered_ratio"] == 1.0
+    assert got[5]["n_tokens"] == 0 and got[5]["covered_ratio"] == 0.0
+
+
+def test_trim_duplicated_spans_rebuilds_in_order(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "keep1 a b c tail1"),
+            (2, "keep2 a b c tail2"),
+            (3, "a b c"),  # fully duplicated -> emptied
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in corpus.trim_duplicated_spans(df, window=3, min_count=2).collect()
+    }
+    assert got[1]["text_trimmed"] == "keep1 tail1"
+    assert got[1]["n_removed"] == 3
+    assert got[2]["text_trimmed"] == "keep2 tail2"
+    assert got[3]["text_trimmed"] == "" and got[3]["n_removed"] == 3
+
+
+def test_duplicated_spans_hash_mode_matches_strings(spark):
+    rows = [
+        (i, f"shared run of five tokens plus unique{i} trailer words here")
+        for i in range(6)
+    ] + [(10, "completely different body of text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(
+        corpus.duplicated_spans(df, window=4, min_count=2).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    b = sorted(
+        corpus.duplicated_spans(
+            df, window=4, min_count=2, hash_spans=True
+        ).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
