@@ -53,6 +53,7 @@ __all__ = [
     "FileBackedRestEndpoint",
     "FlakyEndpoint",
     "read_rest",
+    "read_rest_pk_chunked",
     "ingest_rest_incremental",
 ]
 
@@ -113,7 +114,14 @@ class FileBackedRestEndpoint:
                 int(s)
                 return s
             except ValueError:
+                pass
+            try:
+                datetime.fromisoformat(s)
                 return f"TIMESTAMP '{s}'"
+            except ValueError:
+                # string keys (Salesforce 18-char ids): ordinary varchar
+                escaped = s.replace("'", "''")
+                return f"'{escaped}'"
 
         conds = []
         wm = params.get("wm_column")
@@ -155,6 +163,22 @@ class FileBackedRestEndpoint:
             f"SELECT max({wm_column}) FROM '{self._rel(resource)}'"
         ).fetchone()[0]
         return val
+
+    def pk_bounds(self, resource: str, pk_column: str, chunk_size: int) -> list:
+        """Every ``chunk_size``-th primary-key value in key order — the
+        chunk boundaries Salesforce's "PK chunking" header makes the
+        server compute. Boundary k is the pk of row k*chunk_size, so
+        every (boundary, next-boundary] range holds exactly chunk_size
+        rows regardless of how sparse or skewed the key space is."""
+        import duckdb
+
+        rows = duckdb.sql(
+            f"SELECT {pk_column} FROM ("
+            f"  SELECT {pk_column}, row_number() OVER (ORDER BY {pk_column}) AS rn"
+            f"  FROM '{self._rel(resource)}')"
+            f" WHERE rn % {int(chunk_size)} = 0 ORDER BY {pk_column}"
+        ).fetchall()
+        return [r[0] for r in rows]
 
 
 @dataclass
@@ -229,20 +253,66 @@ def read_rest(
     # the fetch closure imports package modules (TokenBucket) on the
     # executor — ship the package zip once so workers can import it
     # regardless of the driver's cwd (same deployment as mock_kafka)
+    units = _split_units(interval, num_partitions)
+    return _read_units(
+        spark, source, endpoint, units, source.wm_column, order_by or source.wm_column
+    )
+
+
+def read_rest_pk_chunked(
+    spark: SparkSession,
+    source: RestApiSource,
+    endpoint: Any,
+    pk_column: str,
+    chunk_size: int = 100_000,
+) -> DataFrame:
+    """Salesforce-style PK-chunked fetch (SalesforceExtractor.java:94,
+    the ``Sforce-Enable-PKChunking`` planning shape): the endpoint
+    computes chunk boundaries — every ``chunk_size``-th primary key in
+    key order — and each (boundary, next-boundary] range becomes one
+    independent workunit fetched in parallel.
+
+    Use this instead of watermark tiling when the time column is
+    skewed (bulk backfills pile into one interval) or absent: equal
+    ROW-count chunks give equal task work by construction, the same
+    reason the reference reaches for PK chunking on large Salesforce
+    objects. The fetch machinery (paging, rate limit, retries) is
+    byte-identical to :func:`read_rest` — only the planner differs."""
+    bounds = endpoint.pk_bounds(source.resource, pk_column, int(chunk_size))
+    edges: list = [None, *[str(b) for b in bounds]]
+    if edges[-1] is not None:
+        edges.append(None)  # final open chunk catches keys past the last boundary
+    units = [(edges[i], edges[i + 1]) for i in range(len(edges) - 1)]
+    return _read_units(spark, source, endpoint, units, pk_column, pk_column)
+
+
+def _read_units(
+    spark: SparkSession,
+    source: RestApiSource,
+    endpoint: Any,
+    units: list[tuple[str | None, str | None]],
+    filter_column: str,
+    order: str,
+) -> DataFrame:
+    """Shared fetch core: one mapInPandas task per (lo, hi] workunit,
+    each paging the endpoint under a per-task TokenBucket with bounded
+    retries. ``filter_column`` is the half-open range predicate column
+    (the watermark for read_rest, the primary key for PK chunking)."""
+    # the fetch closure imports package modules (TokenBucket) on the
+    # executor — ship the package zip once so workers can import it
+    # regardless of the driver's cwd (same deployment as mock_kafka)
     from incubator_gobblin_spark.sources.mock_kafka import _ship_package
 
     _ship_package(spark)
-    units = _split_units(interval, num_partitions)
     unit_df = spark.createDataFrame(
         units, "lo string, hi string"
     ).repartition(len(units))
     resource = source.resource
-    wm_column = source.wm_column
+    wm_column = filter_column
     page_size = int(source.page_size)
     rate = float(source.rate_per_sec)
     max_retries = int(source.max_retries)
     backoff = float(source.retry_backoff_sec)
-    order = order_by or wm_column
     paging = source.paging
     if paging not in ("cursor", "offset"):
         raise ValueError(f"unknown paging mode: {paging!r}")

@@ -105,6 +105,44 @@ class StreamPipeline:
         self._source = _read
         return self
 
+    def source_rest(
+        self,
+        path: str,
+        resource: str,
+        wm_column: str,
+        ddl: str,
+        page_size: int = 1000,
+        num_partitions: int = 4,
+        starting_position: str = "earliest",
+        order_by: str | None = None,
+    ) -> "StreamPipeline":
+        """Tail a REST resource by watermark (``sources/rest_stream.py``
+        — the streaming side of the RestApiExtractor analogue): each
+        microbatch fetches the half-open (last-committed, source-max]
+        watermark interval across ``num_partitions`` paged workunits;
+        the consumed high watermark is the streaming checkpoint offset,
+        so restarts resume with no reprocess and no gap."""
+
+        def _read(spark: SparkSession) -> DataFrame:
+            from incubator_gobblin_spark.sources import rest_stream
+
+            rest_stream.register(spark)
+            return (
+                spark.readStream.format("reststream")
+                .option("path", path)
+                .option("resource", resource)
+                .option("wm", wm_column)
+                .option("ddl", ddl)
+                .option("pagesize", str(page_size))
+                .option("numpartitions", str(num_partitions))
+                .option("startingposition", starting_position)
+                .option("orderby", order_by or wm_column)
+                .load()
+            )
+
+        self._source = _read
+        return self
+
     def source_kafka(
         self,
         topic: str,

@@ -1066,3 +1066,62 @@ def test_rest_incremental_crash_replay_idempotent(spark, sf_dir, tmp_path):
     assert sink.read_committed(spark).count() == n  # no double-append
     # state is now committed; a third run is a drained no-op
     assert not R.ingest_rest_incremental(spark, src, ep, sink, store)["published"]
+
+
+def test_rest_pk_chunked_read_matches_full_scan(spark, sf_dir):
+    """PK chunking (SalesforceExtractor's Sforce-Enable-PKChunking
+    planning): equal row-count chunks by primary key, fetched in
+    parallel, reassemble the exact record set of a direct scan — and
+    the planner emits ceil(n/chunk) units regardless of key skew."""
+    from incubator_gobblin_spark.sources import rest_api as R
+
+    src = R.RestApiSource(
+        resource="events",
+        schema="event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+        wm_column="ts",
+        page_size=900,
+        rate_per_sec=10_000.0,
+    )
+    ep = R.FileBackedRestEndpoint(
+        {"events": f"{sf_dir}/events.parquet"}, order_by="event_id"
+    )
+    n = duckdb.sql(f"SELECT count(*) FROM '{sf_dir}/events.parquet'").fetchone()[0]
+    chunk = max(n // 5, 1)
+    bounds = ep.pk_bounds("events", "event_id", chunk)
+    assert len(bounds) == n // chunk  # one boundary per full chunk
+    df = R.read_rest_pk_chunked(spark, src, ep, "event_id", chunk_size=chunk)
+    got = {r["event_id"] for r in df.select("event_id").collect()}
+    want = {
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT event_id FROM '{sf_dir}/events.parquet'"
+        ).fetchall()
+    }
+    assert got == want and len(got) == n
+
+
+def test_rest_pk_chunked_string_keys(spark, tmp_path):
+    """String primary keys (Salesforce-style ids) chunk and fetch
+    correctly — range literals quote as varchar, order is key order."""
+    import pandas as pd
+
+    from incubator_gobblin_spark.sources import rest_api as R
+
+    path = str(tmp_path / "accounts.parquet")
+    pd.DataFrame(
+        {"sfid": [f"001{i:05d}XYZ" for i in range(97)],
+         "amount": list(range(97))}
+    ).to_parquet(path)
+    src = R.RestApiSource(
+        resource="accounts",
+        schema="sfid string, amount long",
+        wm_column="sfid",
+        page_size=10,
+        rate_per_sec=10_000.0,
+    )
+    ep = R.FileBackedRestEndpoint({"accounts": path}, order_by="sfid")
+    df = R.read_rest_pk_chunked(spark, src, ep, "sfid", chunk_size=25)
+    rows = df.collect()
+    assert len(rows) == 97
+    assert {r["sfid"] for r in rows} == {f"001{i:05d}XYZ" for i in range(97)}
