@@ -1069,6 +1069,70 @@ def gopher_keep(
     )
 
 
+def unimax_weights(
+    df: DataFrame,
+    group_col: str,
+    budget: float,
+    epoch_cap: float = 4.0,
+) -> DataFrame:
+    """UniMax sampling (Chung et al. 2023, "UniMax: Fairer and More
+    Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): allocate a total training budget of ``budget`` units
+    across groups as UNIFORMLY as possible subject to a per-group
+    repetition cap of ``epoch_cap`` epochs — the successor to
+    temperature sampling (:func:`temperature_weights`) that never
+    over-repeats a low-resource group no matter how hard it
+    up-samples.
+
+    Closed form: process groups ASCENDING by capacity
+    ``cap_g = epoch_cap * n_g``; each receives
+    ``alloc_g = min(cap_g, remaining / groups_left)`` — a group too
+    small to take its uniform share is capped and its leftover is
+    re-split among the rest. If the budget exceeds total capacity,
+    every group saturates at its cap and the surplus stays
+    unallocated (the paper's behavior: shrink the budget, don't
+    over-epoch).
+
+    Output: (group, n_docs, alloc, epochs); ``epochs = alloc / n_g``
+    is the per-document multiplier :func:`materialize_mixture`
+    consumes, so the two compose exactly like temperature_weights.
+
+    Scale shape: ONE count shuffle, then |groups| rows of model state
+    to the driver for the sequential allocation (the kmeans_fit /
+    temperature_weights precedent — the recurrence is inherently
+    sequential in the group dimension, which is tiny). Cross-engine
+    determinism: every chained value re-rounds to 6 decimals HALF_UP;
+    a recursive CTE replays the identical recurrence in SQL."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _r6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
+
+    rows = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .collect()
+    )
+    groups = sorted(
+        ((_r6(float(epoch_cap) * r["n_docs"]), r[group_col], int(r["n_docs"]))
+         for r in rows),
+    )
+    remaining = float(budget)
+    out_rows = []
+    for i, (cap, g, n) in enumerate(groups):
+        share = _r6(remaining / (len(groups) - i))
+        alloc = min(cap, share)
+        remaining = _r6(remaining - alloc)
+        out_rows.append((g, n, alloc, _r6(alloc / n)))
+    gtype = df.schema[group_col].dataType.simpleString()
+    return df.sparkSession.createDataFrame(
+        out_rows,
+        f"{group_col} {gtype}, n_docs long, alloc double, epochs double",
+    )
+
+
 def temperature_weights(
     df: DataFrame, group_col: str, alpha: float = 0.3
 ) -> DataFrame:

@@ -73,6 +73,7 @@ _WINDOW_HEAD = [
     "q108_temperature_mixture",  # NEW r5: XLM-R/mT5 temperature sampling
     "q109_duplicated_spans",     # NEW r5: exact-substring dup stats
     "q110_trim_dup_spans",       # NEW r5: exact-substring removal
+    "q111_unimax_mixture",       # NEW r5: UniMax epoch-capped budget
     "q31_minhash_candidates",    # newly hash-checkable (md5 hash mode)
     "q32_simhash_neardups",      # newly hash-checkable (md5 hash mode)
     "q34_ann_lsh_topk",          # newly hash-checkable (literal planes)
@@ -93,7 +94,8 @@ _WINDOW_HEAD = [
     # r03-green non-anchor block
     "q53_asof_join",
     "q54_range_join",
-    "q55_ivf_assign",
+    # q55 yields its slot to the brand-new q111: IVF assignment stays
+    # proven in-window by q67 (probe + assign + top-k); back at r06.
     # q56 (avro scan) and q87 (self-tuning orc) yield their slots to the
     # brand-new q109/q110: their format machinery stays proven in-window
     # by q58 (avro-encoded envelope decode) and q57 (orc scan), plus
@@ -3811,6 +3813,45 @@ def q108_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline. ``multiplier`` feeds materialize_mixture (q94)."""
     docs = load_table(spark, sf_dir, "documents")
     return corpus.temperature_weights(docs, group_col="lang", alpha=0.3)
+
+
+@register(
+    "q111_unimax_mixture",
+    """
+    WITH RECURSIVE c AS (
+      SELECT lang AS g, count(*) AS n FROM documents GROUP BY lang
+    ), s AS (
+      SELECT g, n, round(n * 2.0, 6) AS cap,
+             row_number() OVER (ORDER BY round(n * 2.0, 6), g) AS rn,
+             count(*) OVER () AS k
+      FROM c
+    ), a AS (
+      SELECT 0 AS rn, CAST(800 AS DOUBLE) AS remaining,
+             CAST(NULL AS VARCHAR) AS g, CAST(NULL AS BIGINT) AS n,
+             CAST(NULL AS DOUBLE) AS alloc
+      UNION ALL
+      SELECT s.rn,
+             round(a.remaining
+                   - least(s.cap, round(a.remaining / (s.k - s.rn + 1), 6)), 6),
+             s.g, s.n,
+             least(s.cap, round(a.remaining / (s.k - s.rn + 1), 6))
+      FROM a JOIN s ON s.rn = a.rn + 1
+    )
+    SELECT g AS lang, CAST(n AS BIGINT) AS n_docs, alloc,
+           round(alloc / n, 6) AS epochs
+    FROM a WHERE g IS NOT NULL
+    """,
+)
+def q111_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocation per language (corpus.unimax_weights —
+    Chung et al. 2023): budget 800 docs, epoch cap 2.0. The sequential
+    smallest-capacity-first recurrence runs on |groups| rows of driver
+    model state after ONE count shuffle; the oracle replays the exact
+    recurrence as a recursive CTE with the identical round(6) at every
+    chained step — small groups saturate at their cap and the leftover
+    re-splits uniformly among the rest."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.unimax_weights(docs, group_col="lang", budget=800, epoch_cap=2.0)
 
 
 _DUP_SPAN_CTE = r"""

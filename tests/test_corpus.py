@@ -593,3 +593,48 @@ def test_duplicated_spans_hash_mode_matches_strings(spark):
         key=lambda r: r["doc_id"],
     )
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_unimax_uniform_when_budget_fits(spark):
+    # plenty of capacity: every group gets budget/len(groups)
+    rows = [(i, "a" if i < 40 else "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = {
+        r["lang"]: r
+        for r in corpus.unimax_weights(
+            df, "lang", budget=60, epoch_cap=4.0
+        ).collect()
+    }
+    assert got["a"]["alloc"] == 30.0 and got["b"]["alloc"] == 30.0
+    assert got["a"]["epochs"] == 0.75  # 30/40
+    assert got["b"]["epochs"] == 0.5   # 30/60
+
+
+def test_unimax_caps_small_groups_and_redistributes(spark):
+    # tiny group caps at epoch_cap; its unused share flows to the rest
+    rows = [(i, "small" if i < 5 else "big") for i in range(105)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = {
+        r["lang"]: r
+        for r in corpus.unimax_weights(
+            df, "lang", budget=100, epoch_cap=2.0
+        ).collect()
+    }
+    assert got["small"]["alloc"] == 10.0   # capped: 2.0 * 5
+    assert got["small"]["epochs"] == 2.0
+    assert got["big"]["alloc"] == 90.0     # 100 - 10, within its cap of 200
+    assert got["big"]["epochs"] == 0.9
+
+
+def test_unimax_budget_exceeding_capacity_saturates(spark):
+    rows = [(i, "x" if i % 2 == 0 else "y") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = {
+        r["lang"]: r
+        for r in corpus.unimax_weights(
+            df, "lang", budget=10_000, epoch_cap=3.0
+        ).collect()
+    }
+    # every group saturates at epoch_cap; surplus stays unallocated
+    assert got["x"]["alloc"] == 30.0 and got["y"]["alloc"] == 30.0
+    assert got["x"]["epochs"] == 3.0 and got["y"]["epochs"] == 3.0

@@ -763,3 +763,51 @@ def test_reststream_source_tails_watermark(spark, tmp_path):
     # up-to-date restart: nothing new
     run_once()
     assert len(spark.read.parquet(out).collect()) == 16
+
+
+def test_reststream_to_manifest_lake_composition(spark, tmp_path):
+    """The new-source/exactly-once-sink composition: a REST resource
+    tails into a manifest lake via to_manifest (epoch-keyed publish);
+    a second run after source growth appends ONLY the delta, and the
+    lake's batch read surface sees every record exactly once."""
+    import pandas as pd
+
+    from incubator_gobblin_spark.sinks.files import FileSink, TableType
+    from incubator_gobblin_spark.streaming.flow import StreamPipeline
+
+    src_path = str(tmp_path / "orders.parquet")
+    lake = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_source(n):
+        pd.DataFrame(
+            {"oid": range(1, n + 1), "amount": [float(i) for i in range(1, n + 1)]}
+        ).to_parquet(src_path)
+
+    sink = FileSink(path=lake, table_type=TableType.APPEND_ONLY, commit_mode="manifest")
+
+    def run_once():
+        q = (
+            StreamPipeline(spark, "rest-ingest")
+            .source_rest(
+                src_path,
+                resource="orders",
+                wm_column="oid",
+                ddl="oid long, amount double",
+                page_size=4,
+                num_partitions=2,
+            )
+            .to_manifest(sink, checkpoint=ckpt, once=True)
+        )
+        q.awaitTermination(120)
+
+    write_source(7)
+    run_once()
+    got1 = {r["oid"] for r in sink.read_committed(spark).collect()}
+    assert got1 == set(range(1, 8))
+
+    write_source(12)
+    run_once()
+    rows = sink.read_committed(spark).collect()
+    assert {r["oid"] for r in rows} == set(range(1, 13))
+    assert len(rows) == 12  # exactly once: no replay of 1..7
