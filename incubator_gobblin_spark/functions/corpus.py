@@ -1069,6 +1069,72 @@ def gopher_keep(
     )
 
 
+def fit_linear_probe(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+) -> DataFrame:
+    """Closed-form linear-probe training — the classifier-TRAINING step
+    of quality-filter pipelines (the fastText/logreg-probe pattern:
+    fit a tiny linear model on cheap features, score the corpus with
+    it; :func:`quality_classifier_units` is the scoring half). Fits
+    ``y ~ b0 + b1*x1 + b2*x2`` by the normal equations, solved with
+    Cramer's rule on the driver.
+
+    Scale shape: the distributed work is ONE aggregation producing the
+    nine moment sums — map-side partial aggregation collapses the
+    corpus to one row per partition before a single-row exchange, so
+    training cost is a corpus scan regardless of size, and the solve
+    is O(1) driver math (model state, the kmeans_fit precedent).
+
+    Cross-engine determinism: each per-row product re-rounds to 6
+    decimals and sums as DECIMAL(38,6) (exact, order-independent);
+    the Cramer determinants are chained IEEE ops over identical
+    doubles with identical association on both engines, and the final
+    coefficients re-round to 6 decimals. Exactly two features: the
+    3x3 system is closed-form; wider probes belong to an iterative
+    fitter, not this operator.
+    """
+    if len(feature_cols) != 2:
+        raise ValueError("fit_linear_probe solves the 2-feature closed form")
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _r6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
+
+    x1, x2, y = F.col(feature_cols[0]), F.col(feature_cols[1]), F.col(label_col)
+
+    def dsum(c: Column) -> Column:
+        return F.sum(F.round(c, 6).cast("decimal(38,6)")).cast("double")
+
+    m = df.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(x1).alias("s1"),
+        dsum(x2).alias("s2"),
+        dsum(x1 * x1).alias("s11"),
+        dsum(x1 * x2).alias("s12"),
+        dsum(x2 * x2).alias("s22"),
+        dsum(y).alias("sy"),
+        dsum(x1 * y).alias("s1y"),
+        dsum(x2 * y).alias("s2y"),
+    ).first()
+    n, s1, s2 = float(m["n"]), float(m["s1"]), float(m["s2"])
+    s11, s12, s22 = float(m["s11"]), float(m["s12"]), float(m["s22"])
+    sy, s1y, s2y = float(m["sy"]), float(m["s1y"]), float(m["s2y"])
+    det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)
+    det0 = sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y)
+    det1 = n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2)
+    det2 = n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2)
+    if det == 0.0:
+        raise ValueError("degenerate design matrix (collinear features)")
+    return df.sparkSession.createDataFrame(
+        [(int(n), _r6(det0 / det), _r6(det1 / det), _r6(det2 / det))],
+        "n long, b0 double, b1 double, b2 double",
+    )
+
+
 def unimax_weights(
     df: DataFrame,
     group_col: str,

@@ -892,6 +892,83 @@ def run_egress_job(
     return write_egress(df, transport, cfg)
 
 
+def run_mixture_job(spark: SparkSession, spec: str | dict[str, str]):
+    """Run a training-mixture job: compute per-stream sampling weights
+    and materialize the up/down-sampled corpus — the job-spec face of
+    ``corpus.temperature_weights`` / ``corpus.unimax_weights`` /
+    ``corpus.materialize_mixture``. Vocabulary:
+
+    - ``mixture.input.dir`` / ``mixture.input.format`` — the corpus
+      (default parquet)
+    - ``mixture.stream.column`` / ``mixture.id.column`` — defaults
+      lang / doc_id
+    - ``mixture.mode`` — ``temperature`` (XLM-R/mT5 alpha rule),
+      ``unimax`` (epoch-capped uniform budget), or ``explicit``
+    - ``mixture.alpha`` — temperature alpha (default 0.3)
+    - ``mixture.budget`` / ``mixture.epoch.cap`` — UniMax budget
+      (required) and per-stream epoch cap (default 4.0)
+    - ``mixture.weights`` — ``en:0.5,de:2.0`` (explicit mode)
+    - ``mixture.output.dir`` — materialized mixture destination
+
+    Returns {"weights", "rows_in", "rows_out", "output"}; the output
+    carries ``copy_n`` so sequence packing can interleave copies."""
+    from incubator_gobblin_spark.formats.avro_ocf import resolve_format
+    from incubator_gobblin_spark.functions import corpus as corpus_fns
+
+    props = load_job_file(spec) if isinstance(spec, str) else spec
+    fmt = props.get("mixture.input.format", "parquet").lower()
+    df = spark.read.format(resolve_format(fmt)).load(props["mixture.input.dir"])
+    stream_col = props.get("mixture.stream.column", "lang")
+    id_col = props.get("mixture.id.column", "doc_id")
+    mode = props.get("mixture.mode", "temperature").lower()
+    if mode == "temperature":
+        wdf = corpus_fns.temperature_weights(
+            df, group_col=stream_col,
+            alpha=float(props.get("mixture.alpha", "0.3")),
+        )
+        weights = {r[stream_col]: r["multiplier"] for r in wdf.collect()}
+    elif mode == "unimax":
+        if "mixture.budget" not in props:
+            raise SpecError("unimax mode requires 'mixture.budget'")
+        wdf = corpus_fns.unimax_weights(
+            df, group_col=stream_col,
+            budget=float(props["mixture.budget"]),
+            epoch_cap=float(props.get("mixture.epoch.cap", "4.0")),
+        )
+        weights = {r[stream_col]: r["epochs"] for r in wdf.collect()}
+    elif mode == "explicit":
+        try:
+            weights = {
+                k.strip(): float(v)
+                for k, v in (
+                    part.split(":")
+                    for part in props["mixture.weights"].split(",")
+                )
+            }
+        except (KeyError, ValueError) as exc:
+            raise SpecError(
+                "explicit mode needs 'mixture.weights' like 'en:0.5,de:2.0'"
+            ) from exc
+    else:
+        raise SpecError(f"unsupported mixture.mode: {mode!r}")
+    mixed = corpus_fns.materialize_mixture(
+        df, weights, stream_col=stream_col, id_col=id_col
+    )
+    out_dir = props.get("mixture.output.dir")
+    rows_out = None
+    if out_dir:
+        mixed.write.mode("overwrite").parquet(out_dir)
+        rows_out = spark.read.parquet(out_dir).count()
+    else:
+        rows_out = mixed.count()
+    return {
+        "weights": weights,
+        "rows_in": df.count(),
+        "rows_out": rows_out,
+        "output": out_dir,
+    }
+
+
 def run_curation_job(spark: SparkSession, spec: str | dict[str, str]):
     """Run the five-stage corpus-curation chain (:mod:`jobs.curate`)
     from a ``.pull``-style spec — the job-spec face of the reference's

@@ -74,6 +74,7 @@ _WINDOW_HEAD = [
     "q109_duplicated_spans",     # NEW r5: exact-substring dup stats
     "q110_trim_dup_spans",       # NEW r5: exact-substring removal
     "q111_unimax_mixture",       # NEW r5: UniMax epoch-capped budget
+    "q112_linear_probe_fit",     # NEW r5: normal-equations training
     "q31_minhash_candidates",    # newly hash-checkable (md5 hash mode)
     "q32_simhash_neardups",      # newly hash-checkable (md5 hash mode)
     "q34_ann_lsh_topk",          # newly hash-checkable (literal planes)
@@ -104,7 +105,9 @@ _WINDOW_HEAD = [
     "q58_envelope_decode_agg",
     "q59_scalar_subquery_above_avg",
     "q60_time_partition_tree_rollup",
-    "q61_rest_entry_projection",
+    # q61 yields its slot to the brand-new q112: to_rest_entry is a
+    # pure named-struct projection, a plan shape dozens of in-window
+    # queries exercise; its REST surface is proven by q107. Back at r06.
     "q62_winnow_fingerprints",
     "q65_chunk_documents",
     "q66_pii_redaction",
@@ -3852,6 +3855,57 @@ def q111_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-splits uniformly among the rest."""
     docs = load_table(spark, sf_dir, "documents")
     return corpus.unimax_weights(docs, group_col="lang", budget=800, epoch_cap=2.0)
+
+
+@register(
+    "q112_linear_probe_fit",
+    """
+    WITH f AS (
+      SELECT CAST(length(text) AS DOUBLE) AS x1,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS x2,
+             len(list_filter(string_split(text, ' '),
+                 x -> lower(x) IN ('the','and','of','to','a','in','is','that','for','it')))
+               / greatest(len(string_split(text, ' ')), 1) AS y
+      FROM documents
+    ), m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(round(x1, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(round(x2, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+             CAST(sum(CAST(round(x1 * x1, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s11,
+             CAST(sum(CAST(round(x1 * x2, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s12,
+             CAST(sum(CAST(round(x2 * x2, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s22,
+             CAST(sum(CAST(round(y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(round(x1 * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s1y,
+             CAST(sum(CAST(round(x2 * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s2y
+      FROM f
+    ), d AS (
+      SELECT *,
+             n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2) AS det
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round((sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y)) / det, 6) AS b0,
+           round((n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2)) / det, 6) AS b1,
+           round((n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2)) / det, 6) AS b2
+    FROM d
+    """,
+)
+def q112_linear_probe_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier TRAINING under the oracle (corpus.fit_linear_probe):
+    fit stopword_density ~ b0 + b1*text_len + b2*n_tokens by normal
+    equations — nine round(6)+DECIMAL moment sums in ONE corpus-scan
+    aggregation, then a Cramer 3x3 solve on the driver; the oracle
+    replays the identical determinant arithmetic in SQL. The training
+    half of the q92 scoring path."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    f = docs.select(
+        F.length("text").cast("double").alias("x1"),
+        n_tok.cast("double").alias("x2"),
+        (text.stopword_count(F.col("text"), "en")
+         / F.greatest(n_tok, F.lit(1))).alias("y"),
+    )
+    return corpus.fit_linear_probe(f, ["x1", "x2"], "y")
 
 
 _DUP_SPAN_CTE = r"""

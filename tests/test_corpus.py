@@ -638,3 +638,25 @@ def test_unimax_budget_exceeding_capacity_saturates(spark):
     # every group saturates at epoch_cap; surplus stays unallocated
     assert got["x"]["alloc"] == 30.0 and got["y"]["alloc"] == 30.0
     assert got["x"]["epochs"] == 3.0 and got["y"]["epochs"] == 3.0
+
+
+def test_fit_linear_probe_recovers_exact_coefficients(spark):
+    # y = 2 + 3*x1 - 0.5*x2 exactly -> the closed form must recover it
+    rows = [
+        (float(x1), float(x2), 2.0 + 3.0 * x1 - 0.5 * x2)
+        for x1 in range(1, 7)
+        for x2 in range(1, 5)
+    ]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    got = corpus.fit_linear_probe(df, ["x1", "x2"], "y").first()
+    assert got["n"] == 24
+    assert got["b0"] == 2.0 and got["b1"] == 3.0 and got["b2"] == -0.5
+
+
+def test_fit_linear_probe_rejects_collinear_features(spark):
+    rows = [(float(i), 2.0 * i, float(i)) for i in range(1, 10)]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="degenerate|collinear"):
+        corpus.fit_linear_probe(df, ["x1", "x2"], "y")

@@ -600,3 +600,74 @@ def test_rollback_job_spec(spark, tmp_path, sf_dir):
     assert (
         sink.read_committed(spark).filter(F.col("r_name") == "BAD").count() == 0
     )
+
+
+def test_mixture_job_modes(spark, tmp_path):
+    """run_mixture_job: temperature and unimax modes compute weights
+    from the corpus; explicit mode parses them; every mode materializes
+    within the floor/ceil copy envelope per stream."""
+    import math
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "mixed")
+    rows = [(i, "en" if i < 80 else "de", f"text {i}") for i in range(100)]
+    spark.createDataFrame(rows, "doc_id long, lang string, text string").write.parquet(src)
+    n = {"en": 80, "de": 20}
+
+    # explicit: exact weights
+    res = S.run_mixture_job(
+        spark,
+        {
+            "mixture.input.dir": src,
+            "mixture.mode": "explicit",
+            "mixture.weights": "en:0.5, de:2.0",
+            "mixture.output.dir": out,
+        },
+    )
+    assert res["weights"] == {"en": 0.5, "de": 2.0}
+    assert res["rows_in"] == 100
+    by_lang = {
+        r["lang"]: r["c"]
+        for r in spark.read.parquet(out)
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert by_lang["de"] == 40  # integral weight: exact
+    assert 0 <= by_lang["en"] <= 80
+
+    # temperature: alpha=1 is proportional -> every multiplier 1.0
+    res_t = S.run_mixture_job(
+        spark,
+        {
+            "mixture.input.dir": src,
+            "mixture.mode": "temperature",
+            "mixture.alpha": "1.0",
+        },
+    )
+    assert all(abs(w - 1.0) < 1e-6 for w in res_t["weights"].values())
+    assert res_t["rows_out"] == 100
+
+    # unimax: budget within capacity splits uniformly (50/50)
+    res_u = S.run_mixture_job(
+        spark,
+        {
+            "mixture.input.dir": src,
+            "mixture.mode": "unimax",
+            "mixture.budget": "60",
+            "mixture.epoch.cap": "2.0",
+        },
+    )
+    assert res_u["weights"]["en"] == 0.375  # 30/80
+    assert res_u["weights"]["de"] == 1.5    # 30/20
+    lo = sum(math.floor(w) * n[g] for g, w in res_u["weights"].items())
+    hi = sum(math.ceil(w) * n[g] for g, w in res_u["weights"].items())
+    assert lo <= res_u["rows_out"] <= hi
+
+    # bad mode / missing budget are loud
+    with pytest.raises(S.SpecError, match="mixture.budget"):
+        S.run_mixture_job(
+            spark, {"mixture.input.dir": src, "mixture.mode": "unimax"}
+        )
+    with pytest.raises(S.SpecError, match="mixture.mode"):
+        S.run_mixture_job(
+            spark, {"mixture.input.dir": src, "mixture.mode": "nope"}
+        )

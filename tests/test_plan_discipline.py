@@ -287,3 +287,26 @@ def test_dsir_model_join_is_broadcast(spark, sf_dir):
     plan = _plan(Q.queries()["q96_dsir_weights"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_duplicated_spans_linear_shuffles_only(spark, sf_dir):
+    """q109: exact-substring dedup must stay linear — the span-count
+    annotation is a window over the span key (one exchange), coverage
+    aggregates per doc, totals join; NO cartesian/nested-loop anywhere
+    and no Python in the row path."""
+    plan = _plan(Q.queries()["q109_duplicated_spans"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_linear_probe_fit_is_single_aggregation(spark, sf_dir):
+    """q112: training is ONE hash aggregation over the corpus scan —
+    map-side partials collapse to a single-row exchange; the Cramer
+    solve is driver model state, so the distributed plan of the
+    RESULT is a 1-row local scan (no join, no residual shuffle)."""
+    df = Q.queries()["q112_linear_probe_fit"](spark, sf_dir)
+    plan = _plan(df)
+    # the returned frame is the solved model: pure local data
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+    assert "Exchange" not in plan
