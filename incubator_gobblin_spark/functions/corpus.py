@@ -1069,6 +1069,46 @@ def gopher_keep(
     )
 
 
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    num_shards: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic global shuffle + sharding — the training-order
+    step of LLM data pipelines: examples must arrive in a
+    pseudo-random order that is REPRODUCIBLE (rebuilds, engine swaps,
+    and resumed jobs replay byte-identical order). The shuffle key is
+    ``md5(seed:id)`` — a pure function of the id, the same
+    determinism idiom as :func:`assign_split` / `materialize_mixture`
+    — so no RNG state exists anywhere. Returns
+    (id, shard, pos): ``shard = key mod num_shards`` (uniform by the
+    hash), ``pos`` = rank of the key within its shard.
+
+    Scale: ONE shuffle. Each shard's rank is a window partitioned by
+    shard, so parallelism equals ``num_shards`` in the rank stage —
+    size num_shards to the writer parallelism you want (each shard is
+    one sequentially-consumed training file, so per-shard ordering IS
+    the contract; a global rank would serialize on one partition for
+    no downstream benefit)."""
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    shard = F.pmod(key, F.lit(int(num_shards))).cast("int")
+    w = Window.partitionBy("shard").orderBy(F.col("_key"), F.col(id_col))
+    return (
+        df.select(F.col(id_col), key.alias("_key"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "pos")
+    )
+
+
 def fit_linear_probe(
     df: DataFrame,
     feature_cols: list[str],

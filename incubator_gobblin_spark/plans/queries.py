@@ -75,6 +75,7 @@ _WINDOW_HEAD = [
     "q110_trim_dup_spans",       # NEW r5: exact-substring removal
     "q111_unimax_mixture",       # NEW r5: UniMax epoch-capped budget
     "q112_linear_probe_fit",     # NEW r5: normal-equations training
+    "q113_shuffle_shards",       # NEW r5: deterministic training order
     "q31_minhash_candidates",    # newly hash-checkable (md5 hash mode)
     "q32_simhash_neardups",      # newly hash-checkable (md5 hash mode)
     "q34_ann_lsh_topk",          # newly hash-checkable (literal planes)
@@ -86,7 +87,9 @@ _WINDOW_HEAD = [
     "q41_case_bucketing",
     "q42_full_outer_join",
     "q43_cross_join",
-    "q44_shuffle_join",
+    # q44 yields its slot to the brand-new q113: the sort-merge
+    # equi-join shape is exercised by a dozen in-window queries
+    # (q109/q110 totals joins, q54, q85...); back at r06.
     "q45_from_json_struct",
     "q46_union_all",
     "q48_oldest_k",
@@ -3855,6 +3858,33 @@ def q111_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-splits uniformly among the rest."""
     docs = load_table(spark, sf_dir, "documents")
     return corpus.unimax_weights(docs, group_col="lang", budget=800, epoch_cap=2.0)
+
+
+@register(
+    "q113_shuffle_shards",
+    """
+    WITH k AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS key
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(key % 8 AS INT) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY key % 8 ORDER BY key, doc_id
+           ) AS BIGINT) AS pos
+    FROM k
+    """,
+)
+def q113_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding (corpus.shuffle_shards):
+    training order as a pure function of the doc id — md5(seed:id)
+    keys, mod-8 shards, per-shard rank. One shuffle; reproducible
+    byte-identical order across rebuilds and engines (the oracle
+    replays the identical hash arithmetic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.shuffle_shards(docs, id_col="doc_id", num_shards=8, seed=42)
 
 
 @register(

@@ -660,3 +660,24 @@ def test_fit_linear_probe_rejects_collinear_features(spark):
 
     with _pytest.raises(ValueError, match="degenerate|collinear"):
         corpus.fit_linear_probe(df, ["x1", "x2"], "y")
+
+
+def test_shuffle_shards_reproducible_and_balanced(spark):
+    df = spark.createDataFrame(
+        [(i,) for i in range(400)], "doc_id long"
+    )
+    a = corpus.shuffle_shards(df, num_shards=4, seed=7).collect()
+    b = corpus.shuffle_shards(df, num_shards=4, seed=7).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) == {0, 1, 2, 3}
+    # hash-uniform: no shard holds more than half the corpus
+    assert max(len(v) for v in by_shard.values()) < 200
+    # pos is a dense 1..n rank inside each shard
+    for rows in by_shard.values():
+        assert sorted(r["pos"] for r in rows) == list(range(1, len(rows) + 1))
+    # a different seed produces a different order
+    c = corpus.shuffle_shards(df, num_shards=4, seed=8).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
