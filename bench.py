@@ -197,6 +197,7 @@ def main() -> None:
             "q96_dsir_weights",         # hashed-model scoring at 50k docs
             "q99_pq_topk",              # PQ ADC scan at 20k vectors
             "q106_curation_pipeline",   # five-stage chain at 50k docs
+            "q109_duplicated_spans",    # substring dedup at 50k docs
         ]
         for name in SOAK:
             runs = []

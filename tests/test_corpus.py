@@ -681,3 +681,34 @@ def test_shuffle_shards_reproducible_and_balanced(spark):
     # a different seed produces a different order
     c = corpus.shuffle_shards(df, num_shards=4, seed=8).collect()
     assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+
+
+def test_training_assembly_composes_end_to_end(spark):
+    """The full training-data assembly line: UniMax weights ->
+    materialize_mixture -> shuffle_shards -> pack_chunks. Every stage
+    is a pure function of ids, so running the chain twice yields the
+    identical artifact."""
+    rows = [
+        (i, "en" if i < 150 else "de", "tok " * 20)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    def assemble():
+        wdf = corpus.unimax_weights(df, "lang", budget=150, epoch_cap=2.0)
+        weights = {r["lang"]: r["epochs"] for r in wdf.collect()}
+        mixed = corpus.materialize_mixture(df, weights)
+        # copies of one doc need distinct shuffle identities
+        keyed = mixed.withColumn(
+            "mix_id",
+            F.concat_ws("#", F.col("doc_id").cast("string"), F.col("copy_n")),
+        )
+        sharded = corpus.shuffle_shards(keyed, id_col="mix_id", num_shards=4)
+        return sorted(map(tuple, sharded.collect()))
+
+    a = assemble()
+    b = assemble()
+    assert a == b and len(a) > 0
+    # de (50 docs, epochs 1.5) up-samples into (50, 100]; en caps below 150
+    n_mix = len(a)
+    assert 50 < n_mix <= 150 + 100

@@ -310,3 +310,12 @@ def test_linear_probe_fit_is_single_aggregation(spark, sf_dir):
     # the returned frame is the solved model: pure local data
     assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
     assert "Exchange" not in plan
+
+
+def test_shuffle_shards_is_one_exchange(spark, sf_dir):
+    """q113: deterministic shuffle+shard is ONE hash exchange on the
+    shard key (the per-shard rank window) — the md5 key is a pure
+    projection, so nothing else moves."""
+    plan = _plan(Q.queries()["q113_shuffle_shards"](spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan
