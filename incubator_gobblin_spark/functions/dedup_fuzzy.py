@@ -134,6 +134,34 @@ def minhash_candidate_pairs(
       degenerate for that cluster (boilerplate floods), and expanding
       its O(m²) pairs inside one row would OOM the executor.
     """
+    banded = minhash_band_keys(
+        df, id_col, text_col, num_hashes, bands, shingle_n, seed, hash_mode
+    ).withColumnRenamed(id_col, "_id")
+    # Candidate pairs via groupBy-bucket + in-bucket expansion rather
+    # than a self-join: a self-join would recompute the whole
+    # shingle->minhash pipeline on BOTH sides (Spark shares no subplans
+    # without an explicit persist) and shuffle twice. One groupBy = one
+    # shuffle, one signature computation.
+    return _bucket_pairs(banded, ["band_id", "band_hash"], "_id", max_bucket_size)
+
+
+def minhash_band_keys(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """(id, band_id, band_hash) LSH band keys per document — the
+    bucketable identity :func:`minhash_candidate_pairs` pairs on,
+    exposed so INCREMENTAL consumers (jobs/fuzzy_ingest.py) can
+    persist the keys as an index and bucket-join new batches against
+    committed documents without recomputing the corpus side.
+    Shingle-less documents are excluded (sentinel signature — exact
+    dedup owns empty docs), exactly as in the pair path."""
     rows_per_band = num_hashes // bands
     coeffs = _hash_coeffs(num_hashes, seed)
     # Signature via explode + groupBy rather than array higher-order
@@ -194,12 +222,7 @@ def minhash_candidate_pairs(
             )
         ).alias("band"),
     ).select("_id", "band.band_id", "band.band_hash")
-    # Candidate pairs via groupBy-bucket + in-bucket expansion rather
-    # than a self-join: a self-join would recompute the whole
-    # shingle->minhash pipeline on BOTH sides (Spark shares no subplans
-    # without an explicit persist) and shuffle twice. One groupBy = one
-    # shuffle, one signature computation.
-    return _bucket_pairs(banded, ["band_id", "band_hash"], "_id", max_bucket_size)
+    return banded.withColumnRenamed("_id", id_col)
 
 
 def _bucket_pairs(

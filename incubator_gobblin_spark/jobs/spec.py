@@ -892,6 +892,55 @@ def run_egress_job(
     return write_egress(df, transport, cfg)
 
 
+def run_fuzzy_ingest_job(spark: SparkSession, spec: str | dict[str, str]):
+    """Run one incremental near-dup admission round — the job-spec face
+    of :mod:`jobs.fuzzy_ingest`. Vocabulary:
+
+    - ``fuzzy.input.dir`` / ``fuzzy.input.format`` — the arriving batch
+    - ``fuzzy.corpus.dir`` / ``fuzzy.index.dir`` — the two manifest
+      lakes (corpus + LSH band-key index)
+    - ``fuzzy.id.column`` / ``fuzzy.text.column`` — defaults
+      doc_id / text
+    - ``fuzzy.jaccard.threshold`` (default 0.7), ``fuzzy.num.hashes``
+      (64), ``fuzzy.bands`` (16), ``fuzzy.shingle.n`` (3),
+      ``fuzzy.max.bucket.size`` (512)
+    - ``fuzzy.run.id`` — replay-idempotent run id (derive it from the
+      batch identity for exactly-once admission)
+
+    Returns the admission stats dict."""
+    from incubator_gobblin_spark.formats.avro_ocf import resolve_format
+    from incubator_gobblin_spark.jobs.fuzzy_ingest import ingest_batch_fuzzy
+    from incubator_gobblin_spark.sinks.files import FileSink, TableType
+
+    props = load_job_file(spec) if isinstance(spec, str) else spec
+    fmt = props.get("fuzzy.input.format", "parquet").lower()
+    batch = spark.read.format(resolve_format(fmt)).load(props["fuzzy.input.dir"])
+    corpus_sink = FileSink(
+        path=props["fuzzy.corpus.dir"],
+        table_type=TableType.APPEND_ONLY,
+        commit_mode="manifest",
+    )
+    index_sink = FileSink(
+        path=props["fuzzy.index.dir"],
+        table_type=TableType.APPEND_ONLY,
+        commit_mode="manifest",
+    )
+    return ingest_batch_fuzzy(
+        spark,
+        batch,
+        corpus_sink,
+        index_sink,
+        id_col=props.get("fuzzy.id.column", "doc_id"),
+        text_col=props.get("fuzzy.text.column", "text"),
+        num_hashes=int(props.get("fuzzy.num.hashes", "64")),
+        bands=int(props.get("fuzzy.bands", "16")),
+        shingle_n=int(props.get("fuzzy.shingle.n", "3")),
+        jaccard_threshold=float(props.get("fuzzy.jaccard.threshold", "0.7")),
+        max_bucket_size=int(props.get("fuzzy.max.bucket.size", "512")),
+        run_id=props.get("fuzzy.run.id"),
+    )
+
+
 def run_mixture_job(spark: SparkSession, spec: str | dict[str, str]):
     """Run a training-mixture job: compute per-stream sampling weights
     and materialize the up/down-sampled corpus — the job-spec face of

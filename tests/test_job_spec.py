@@ -671,3 +671,31 @@ def test_mixture_job_modes(spark, tmp_path):
         S.run_mixture_job(
             spark, {"mixture.input.dir": src, "mixture.mode": "nope"}
         )
+
+
+def test_fuzzy_ingest_job_spec(spark, tmp_path):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band "
+        "plays a long familiar tune about rivers and mountains"
+    )
+    b1 = str(tmp_path / "b1")
+    b2 = str(tmp_path / "b2")
+    spark.createDataFrame(
+        [(1, base), (2, "unrelated words " * 8)], "doc_id long, text string"
+    ).write.parquet(b1)
+    spark.createDataFrame(
+        [(3, base + " coda"), (4, "brand new material " * 8)],
+        "doc_id long, text string",
+    ).write.parquet(b2)
+    spec = {
+        "fuzzy.corpus.dir": str(tmp_path / "corpus"),
+        "fuzzy.index.dir": str(tmp_path / "index"),
+    }
+    r1 = S.run_fuzzy_ingest_job(
+        spark, {**spec, "fuzzy.input.dir": b1, "fuzzy.run.id": "b1"}
+    )
+    assert r1["admitted"] == 2
+    r2 = S.run_fuzzy_ingest_job(
+        spark, {**spec, "fuzzy.input.dir": b2, "fuzzy.run.id": "b2"}
+    )
+    assert r2["admitted"] == 1 and r2["dropped_vs_committed"] == 1

@@ -270,3 +270,136 @@ def test_flow_dag_ordering_and_skip():
         ])
     with _pytest.raises(ValueError, match="unknown"):
         compile_order([FlowNode("a", lambda: None, depends_on=["zzz"])])
+
+
+def _mk_fuzzy_sinks(tmp_path):
+    from incubator_gobblin_spark.sinks.files import FileSink, TableType
+
+    corpus = FileSink(
+        path=str(tmp_path / "corpus"),
+        table_type=TableType.APPEND_ONLY,
+        commit_mode="manifest",
+    )
+    index = FileSink(
+        path=str(tmp_path / "index"),
+        table_type=TableType.APPEND_ONLY,
+        commit_mode="manifest",
+    )
+    return corpus, index
+
+
+_BASE = (
+    "the quick brown fox jumps over the lazy dog while the band plays "
+    "a long familiar tune about rivers and mountains in the evening"
+)
+
+
+def test_fuzzy_ingest_admits_and_drops_across_batches(spark, tmp_path):
+    """Batch 1: a within-batch near-dup pair collapses to one admit.
+    Batch 2: a near-dup of a COMMITTED doc drops via the index join +
+    Jaccard verify; genuinely new docs admit; an unrelated doc that
+    merely shares no bucket admits untouched."""
+    from incubator_gobblin_spark.jobs.fuzzy_ingest import ingest_batch_fuzzy
+
+    corpus, index = _mk_fuzzy_sinks(tmp_path)
+    b1 = spark.createDataFrame(
+        [
+            (1, _BASE),
+            (2, _BASE + " extra"),        # near-dup of 1 (within batch)
+            (3, "completely different words " * 8),
+        ],
+        "doc_id long, text string",
+    )
+    r1 = ingest_batch_fuzzy(spark, b1, corpus, index, run_id="b1")
+    assert r1["admitted"] == 2 and r1["dropped_within"] == 1
+    got1 = {r["doc_id"] for r in corpus.read_committed(spark).collect()}
+    assert got1 == {1, 3}
+
+    b2 = spark.createDataFrame(
+        [
+            (10, _BASE + " trailing"),    # near-dup of committed doc 1
+            (11, "fresh content nobody has seen before " * 6),
+        ],
+        "doc_id long, text string",
+    )
+    r2 = ingest_batch_fuzzy(spark, b2, corpus, index, run_id="b2")
+    assert r2["dropped_vs_committed"] == 1 and r2["admitted"] == 1
+    got2 = {r["doc_id"] for r in corpus.read_committed(spark).collect()}
+    assert got2 == {1, 3, 11}
+    # the index carries keys for every committed doc and nothing else
+    idx_ids = {r["doc_id"] for r in index.read_committed(spark).collect()}
+    assert idx_ids == {1, 3, 11}
+
+
+def test_fuzzy_ingest_bucket_collision_alone_never_drops(spark, tmp_path):
+    """The Jaccard verify is load-bearing: force a tiny band count so
+    bucket collisions are likely, and check a low-similarity doc still
+    admits (LSH false positives must not lose data)."""
+    from incubator_gobblin_spark.jobs.fuzzy_ingest import ingest_batch_fuzzy
+
+    corpus, index = _mk_fuzzy_sinks(tmp_path)
+    b1 = spark.createDataFrame([(1, _BASE)], "doc_id long, text string")
+    ingest_batch_fuzzy(spark, b1, corpus, index, run_id="b1")
+    # shares SOME vocabulary (may collide in a band) but is far below
+    # the 0.7 Jaccard bar
+    b2 = spark.createDataFrame(
+        [(2, "the quick brown fox went somewhere else entirely today "
+             "and nothing else matches this sentence at all")],
+        "doc_id long, text string",
+    )
+    r2 = ingest_batch_fuzzy(spark, b2, corpus, index, run_id="b2")
+    assert r2["admitted"] == 1 and r2["dropped_vs_committed"] == 0
+
+
+def test_fuzzy_ingest_crash_replay_idempotent(spark, tmp_path):
+    """Crash between the corpus commit and the index commit: replaying
+    the SAME run id converges — no duplicate corpus rows, index catches
+    up, and admission decisions are unchanged (admission consults only
+    the index, which the crashed run never updated)."""
+    from incubator_gobblin_spark.jobs import fuzzy_ingest as FI
+
+    corpus, index = _mk_fuzzy_sinks(tmp_path)
+    b1 = spark.createDataFrame(
+        [(1, _BASE), (2, "something else entirely " * 6)],
+        "doc_id long, text string",
+    )
+    # simulate the crash: run the job body with an index sink whose
+    # publish dies on first call
+    class _CrashOnce:
+        def __init__(self, inner):
+            self.inner = inner
+            self.crashed = False
+
+        def __getattr__(self, name):
+            if name == "publish" and not self.crashed:
+                self.crashed = True
+
+                def _boom(rid):
+                    raise RuntimeError("injected crash before index commit")
+
+                return _boom
+            return getattr(self.inner, name)
+
+    crashy = _CrashOnce(index)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        FI.ingest_batch_fuzzy(spark, b1, corpus, crashy, run_id="b1")
+    # corpus committed, index did not
+    assert {r["doc_id"] for r in corpus.read_committed(spark).collect()} == {1, 2}
+    with _pytest.raises(FileNotFoundError):
+        index.read_committed(spark)
+
+    # replay with the same run id: converges, no duplicates
+    r = FI.ingest_batch_fuzzy(spark, b1, corpus, index, run_id="b1")
+    assert r["admitted"] == 2
+    rows = corpus.read_committed(spark).collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 2]  # no doubling
+    assert {r["doc_id"] for r in index.read_committed(spark).collect()} == {1, 2}
+
+    # and the next batch behaves normally
+    b2 = spark.createDataFrame(
+        [(3, _BASE + " coda")], "doc_id long, text string"
+    )
+    r2 = FI.ingest_batch_fuzzy(spark, b2, corpus, index, run_id="b2")
+    assert r2["dropped_vs_committed"] == 1 and r2["admitted"] == 0
