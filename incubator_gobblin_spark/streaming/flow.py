@@ -375,6 +375,58 @@ class StreamPipeline:
             writer = writer.trigger(processingTime=f"{trigger_secs} seconds")
         return writer.start()
 
+    def to_fuzzy_ingest(
+        self,
+        corpus_sink,
+        index_sink,
+        checkpoint: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        jaccard_threshold: float = 0.7,
+        trigger_secs: int | None = 60,
+        once: bool = False,
+        **fuzzy_kwargs,
+    ) -> StreamingQuery:
+        """Continuous near-dup-deduplicated ingestion: every micro-batch
+        runs one :func:`jobs.fuzzy_ingest.ingest_batch_fuzzy` admission
+        round against the corpus + LSH-index lakes — the streaming face
+        of incremental fuzzy dedup (documents near-duplicating anything
+        already committed, by any earlier epoch or earlier batch, are
+        dropped at the door).
+
+        Exactly-once admission: the run id is the epoch id, and the
+        job's corpus-first-then-index commit order makes a replayed
+        epoch converge (the admission decision reads only the index,
+        which a half-crashed epoch never updated)."""
+
+        def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
+            from incubator_gobblin_spark.jobs.fuzzy_ingest import (
+                ingest_batch_fuzzy,
+            )
+
+            ingest_batch_fuzzy(
+                batch_df.sparkSession,
+                batch_df,
+                corpus_sink,
+                index_sink,
+                id_col=id_col,
+                text_col=text_col,
+                jaccard_threshold=jaccard_threshold,
+                run_id=f"epoch-{epoch_id:012d}",
+                **fuzzy_kwargs,
+            )
+
+        writer = (
+            self.dataframe()
+            .writeStream.foreachBatch(_ingest)
+            .option("checkpointLocation", checkpoint)
+        )
+        if once:
+            writer = writer.trigger(availableNow=True)
+        elif trigger_secs:
+            writer = writer.trigger(processingTime=f"{trigger_secs} seconds")
+        return writer.start()
+
     def to_branches(
         self,
         branches: Sequence[StreamBranch],

@@ -811,3 +811,65 @@ def test_reststream_to_manifest_lake_composition(spark, tmp_path):
     rows = sink.read_committed(spark).collect()
     assert {r["oid"] for r in rows} == set(range(1, 13))
     assert len(rows) == 12  # exactly once: no replay of 1..7
+
+
+def test_stream_fuzzy_ingest_dedups_across_epochs(spark, tmp_path):
+    """Streaming near-dup admission: docs arriving in a LATER
+    micro-batch that near-duplicate docs committed by an EARLIER one
+    are dropped at the door; originals and fresh docs land exactly
+    once."""
+    import json
+
+    from incubator_gobblin_spark.sinks.files import FileSink, TableType
+    from incubator_gobblin_spark.streaming.flow import StreamPipeline
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band "
+        "plays a long familiar tune about rivers and mountains"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"doc_id": 1, "text": base},
+                {"doc_id": 2, "text": "totally different material " * 6},
+            ]
+        )
+    )
+    (src / "b2.json").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"doc_id": 10, "text": base + " coda"},   # near-dup of 1
+                {"doc_id": 11, "text": "fresh new words " * 7},
+            ]
+        )
+    )
+    corpus = FileSink(
+        path=str(tmp_path / "corpus"),
+        table_type=TableType.APPEND_ONLY,
+        commit_mode="manifest",
+    )
+    index = FileSink(
+        path=str(tmp_path / "index"),
+        table_type=TableType.APPEND_ONLY,
+        commit_mode="manifest",
+    )
+
+    def _read(s):
+        return (
+            s.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+
+    pipe = StreamPipeline(spark, "fuzzy-stream")
+    pipe.source(_read)
+    q = pipe.to_fuzzy_ingest(
+        corpus, index, checkpoint=str(tmp_path / "ckpt"), once=True
+    )
+    q.awaitTermination(180)
+    got = {r["doc_id"] for r in corpus.read_committed(spark).collect()}
+    assert got == {1, 2, 11}  # 10 dropped as a near-dup of committed 1
