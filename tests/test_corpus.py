@@ -712,3 +712,46 @@ def test_training_assembly_composes_end_to_end(spark):
     # de (50 docs, epochs 1.5) up-samples into (50, 100]; en caps below 150
     n_mix = len(a)
     assert 50 < n_mix <= 150 + 100
+
+
+def test_duplicated_spans_matches_bruteforce_on_random_corpus(spark):
+    """Seeded randomized cross-check: a tiny-alphabet corpus maximizes
+    accidental window collisions; a brute-force dict reference must
+    agree exactly with the distributed plan on every doc."""
+    import random
+
+    rng = random.Random(1234)
+    vocab = ["a", "b", "c", "d", "e"]
+    docs = {
+        i: [rng.choice(vocab) for _ in range(rng.randint(0, 12))]
+        for i in range(30)
+    }
+    W = 3
+    # brute force
+    counts = {}
+    for toks in docs.values():
+        for s in range(len(toks) - W + 1):
+            counts[" ".join(toks[s:s + W])] = (
+                counts.get(" ".join(toks[s:s + W]), 0) + 1
+            )
+    expect = {}
+    for i, toks in docs.items():
+        dup_starts = [
+            s
+            for s in range(len(toks) - W + 1)
+            if counts[" ".join(toks[s:s + W])] >= 2
+        ]
+        covered = set()
+        for s in dup_starts:
+            covered.update(range(s, s + W))
+        expect[i] = (len(toks), len(dup_starts), len(covered))
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in docs.items()],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_windows"], r["covered_tokens"])
+        for r in corpus.duplicated_spans(df, window=W, min_count=2).collect()
+    }
+    assert got == expect
