@@ -403,3 +403,36 @@ def test_fuzzy_ingest_crash_replay_idempotent(spark, tmp_path):
     )
     r2 = FI.ingest_batch_fuzzy(spark, b2, corpus, index, run_id="b2")
     assert r2["dropped_vs_committed"] == 1 and r2["admitted"] == 0
+
+
+def test_fuzzy_ingest_composes_with_lake_lifecycle(spark, tmp_path):
+    """After several admission rounds the index lake is many small
+    runs; compact_runs + vacuum must preserve the committed state AND
+    subsequent admission decisions (the index is an ordinary manifest
+    lake, so the whole lifecycle toolbox applies)."""
+    from incubator_gobblin_spark.jobs.fuzzy_ingest import ingest_batch_fuzzy
+
+    corpus, index = _mk_fuzzy_sinks(tmp_path)
+    for i, text in enumerate(
+        [_BASE, "second body of text " * 6, "third subject matter " * 6]
+    ):
+        b = spark.createDataFrame([(i, text)], "doc_id long, text string")
+        ingest_batch_fuzzy(spark, b, corpus, index, run_id=f"b{i}")
+    before = {
+        (r["doc_id"], r["band_id"], r["band_hash"])
+        for r in index.read_committed(spark).collect()
+    }
+    index.compact_runs(spark, run_id="compact1")
+    index.vacuum(keep_last=1)
+    after = {
+        (r["doc_id"], r["band_id"], r["band_hash"])
+        for r in index.read_committed(spark).collect()
+    }
+    assert after == before
+
+    # admission still drops near-dups of docs committed BEFORE compaction
+    b = spark.createDataFrame(
+        [(99, _BASE + " postfix")], "doc_id long, text string"
+    )
+    r = ingest_batch_fuzzy(spark, b, corpus, index, run_id="b99")
+    assert r["dropped_vs_committed"] == 1 and r["admitted"] == 0
