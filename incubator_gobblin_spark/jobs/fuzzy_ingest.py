@@ -29,8 +29,10 @@ size):
    above ``max_bucket_size`` are dropped, not expanded), the batch's
    keys equi-join them, and each (new doc, committed partner)
    candidate verifies shingle-Jaccard against the partner text —
-   fetched by a key semi-join on the corpus, so only partner rows are
-   read (manifest stats/bloom skipping applies);
+   fetched by a key semi-join over the corpus scan, so only partner
+   rows survive into the verify (when the partner set is driver-small,
+   swap the semi-join for an ``isin`` point-lookup to engage the
+   lake's bloom/min-max file skipping and avoid the scan entirely);
 4. commit: survivors append to the corpus lake, their band keys to
    the index lake, both under run ids derived from ``run_id`` —
    CORPUS FIRST, then index. A crash between the two replays
@@ -79,7 +81,13 @@ def ingest_batch_fuzzy(
     Both sinks must be manifest-mode ``FileSink``s; the index lake's
     schema is (id, band_id, band_hash). ``jaccard_threshold`` guards
     against LSH false positives: bucket collision alone never drops a
-    document."""
+    document.
+
+    Admission rounds are SINGLE-WRITER (the streaming sink's foreachBatch
+    serialization, or one batch job at a time): two rounds racing would
+    each consult an index missing the other's keys and could both admit
+    mutual near-dups — the CAS pointer swap protects the lakes'
+    integrity, not the admission decision."""
     from incubator_gobblin_spark.sinks.files import new_run_id
 
     for sink, name in ((corpus_sink, "corpus"), (index_sink, "index")):
