@@ -1175,6 +1175,26 @@ def fit_linear_probe(
     )
 
 
+def score_linear_probe(
+    df: DataFrame,
+    fit_row,
+    feature_cols: list[str],
+    score_col: str = "score",
+) -> DataFrame:
+    """Score every row with a probe fitted by :func:`fit_linear_probe`
+    (``fit_row`` = its single output Row): ``b0 + b1*x1 + b2*x2``
+    rounded to 6 decimals. The coefficients enter the plan as
+    LITERALS — scoring is a pure shuffle-free projection at scan
+    speed, the same shape as :func:`quality_classifier_units` (q92)."""
+    x1, x2 = F.col(feature_cols[0]), F.col(feature_cols[1])
+    expr = (
+        F.lit(float(fit_row["b0"]))
+        + F.lit(float(fit_row["b1"])) * x1
+        + F.lit(float(fit_row["b2"])) * x2
+    )
+    return df.withColumn(score_col, F.round(expr, 6))
+
+
 def unimax_weights(
     df: DataFrame,
     group_col: str,

@@ -76,13 +76,15 @@ _WINDOW_HEAD = [
     "q111_unimax_mixture",       # NEW r5: UniMax epoch-capped budget
     "q112_linear_probe_fit",     # NEW r5: normal-equations training
     "q113_shuffle_shards",       # NEW r5: deterministic training order
+    "q114_linear_probe_score",   # NEW r5: train->score full lifecycle
     "q31_minhash_candidates",    # newly hash-checkable (md5 hash mode)
     "q32_simhash_neardups",      # newly hash-checkable (md5 hash mode)
     "q34_ann_lsh_topk",          # newly hash-checkable (literal planes)
     "q52_embedding_neardup_lsh",  # newly hash-checkable (literal planes)
     # r02-green block (stalest driver rows)
     "q38_scalar_functions",
-    "q39_count_distinct",
+    # q39 yields its slot to the brand-new q114: count_distinct is the
+    # aggregation core of in-window q89/q109/q110; back at r06.
     "q40_having",
     "q41_case_bucketing",
     "q42_full_outer_join",
@@ -3936,6 +3938,65 @@ def q112_linear_probe_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.greatest(n_tok, F.lit(1))).alias("y"),
     )
     return corpus.fit_linear_probe(f, ["x1", "x2"], "y")
+
+
+@register(
+    "q114_linear_probe_score",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS x1,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS x2,
+             len(list_filter(string_split(text, ' '),
+                 x -> lower(x) IN ('the','and','of','to','a','in','is','that','for','it')))
+               / greatest(len(string_split(text, ' ')), 1) AS y
+      FROM documents
+    ), m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(round(x1, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(round(x2, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+             CAST(sum(CAST(round(x1 * x1, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s11,
+             CAST(sum(CAST(round(x1 * x2, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s12,
+             CAST(sum(CAST(round(x2 * x2, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s22,
+             CAST(sum(CAST(round(y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(round(x1 * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s1y,
+             CAST(sum(CAST(round(x2 * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s2y
+      FROM f
+    ), d AS (
+      SELECT *,
+             n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2) AS det
+      FROM m
+    ), b AS (
+      SELECT round((sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y)) / det, 6) AS b0,
+             round((n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2)) / det, 6) AS b1,
+             round((n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2)) / det, 6) AS b2
+      FROM d
+    )
+    SELECT f.doc_id, round(b.b0 + b.b1 * f.x1 + b.b2 * f.x2, 6) AS score
+    FROM f, b
+    """,
+)
+def q114_linear_probe_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-score end to end (corpus.fit_linear_probe ->
+    corpus.score_linear_probe): the fitted coefficients come back to
+    the plan as LITERALS, so corpus scoring is a shuffle-free
+    projection at scan speed — while the oracle replays the entire
+    fit+score chain in one SQL statement. The full quality-probe
+    lifecycle (q112 trains, q92 is the hashed-feature cousin) under
+    one value hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    f = docs.select(
+        "doc_id",
+        F.length("text").cast("double").alias("x1"),
+        n_tok.cast("double").alias("x2"),
+        (text.stopword_count(F.col("text"), "en")
+         / F.greatest(n_tok, F.lit(1))).alias("y"),
+    )
+    fit = corpus.fit_linear_probe(f, ["x1", "x2"], "y").first()
+    return corpus.score_linear_probe(f, fit, ["x1", "x2"]).select(
+        "doc_id", "score"
+    )
 
 
 _DUP_SPAN_CTE = r"""

@@ -55,6 +55,9 @@ __all__ = [
     "read_rest",
     "read_rest_pk_chunked",
     "ingest_rest_incremental",
+    "AuthExpiredError",
+    "TokenExpiringEndpoint",
+    "AuthenticatingEndpoint",
 ]
 
 
@@ -179,6 +182,106 @@ class FileBackedRestEndpoint:
             f" WHERE rn % {int(chunk_size)} = 0 ORDER BY {pk_column}"
         ).fetchall()
         return [r[0] for r in rows]
+
+
+class AuthExpiredError(ConnectionError):
+    """The endpoint rejected the current credential (the 401 case)."""
+
+
+class TokenExpiringEndpoint:
+    """Endpoint double whose access tokens expire after ``ttl_requests``
+    fetches — the Salesforce-style session-token lifecycle. Token state
+    lives in files under ``state_dir`` (O_EXCL-free: single-writer per
+    wrapper, tokens only compared) so it shares across executor
+    processes like the other doubles."""
+
+    def __init__(self, inner: Any, state_dir: str, ttl_requests: int = 3):
+        self.inner = inner
+        self.state_dir = state_dir
+        self.ttl = int(ttl_requests)
+
+    def _paths(self):
+        import os
+
+        os.makedirs(self.state_dir, exist_ok=True)
+        return (
+            os.path.join(self.state_dir, "token"),
+            os.path.join(self.state_dir, "uses"),
+        )
+
+    def issue_token(self) -> str:
+        """The token endpoint: mint a fresh credential."""
+        import os
+        import uuid
+
+        tok_p, uses_p = self._paths()
+        tok = uuid.uuid4().hex
+        with open(tok_p + ".tmp", "w") as fh:
+            fh.write(tok)
+        os.replace(tok_p + ".tmp", tok_p)
+        with open(uses_p + ".tmp", "w") as fh:
+            fh.write("0")
+        os.replace(uses_p + ".tmp", uses_p)
+        return tok
+
+    def fetch(self, resource: str, params: dict[str, Any]) -> dict[str, Any]:
+        import os
+
+        tok_p, uses_p = self._paths()
+        tok = params.get("auth_token")
+        if (
+            not tok
+            or not os.path.exists(tok_p)
+            or open(tok_p).read() != tok
+        ):
+            raise AuthExpiredError("invalid or expired token")
+        uses = int(open(uses_p).read()) + 1
+        if uses > self.ttl:
+            os.unlink(tok_p)  # token burns out mid-session
+            raise AuthExpiredError("token ttl exhausted")
+        with open(uses_p + ".tmp", "w") as fh:
+            fh.write(str(uses))
+        os.replace(uses_p + ".tmp", uses_p)
+        return self.inner.fetch(resource, params)
+
+    def high_watermark(self, resource: str, wm_column: str) -> Any:
+        return self.inner.high_watermark(resource, wm_column)
+
+
+class AuthenticatingEndpoint:
+    """Connection-layer auth wrapper — the RestApiConnector contract
+    (gobblin-core .../restapi/RestApiConnector.java:66: the CONNECTOR
+    owns getAccessToken/refresh; extractors never see a 401). Wraps
+    any endpoint whose ``fetch`` raises :class:`AuthExpiredError`:
+    acquires a token lazily, stamps it into every request, and on
+    expiry refreshes ONCE and replays the same request — a refresh is
+    not a page retry, so it never consumes the extractor's bounded
+    retry budget, and the replayed request is identical, so no page is
+    skipped or double-served."""
+
+    def __init__(self, inner: Any):
+        self.inner = inner
+        self._token: str | None = None
+        self.refreshes = 0
+
+    def _ensure(self) -> str:
+        if self._token is None:
+            self._token = self.inner.issue_token()
+            self.refreshes += 1
+        return self._token
+
+    def fetch(self, resource: str, params: dict[str, Any]) -> dict[str, Any]:
+        p = dict(params)
+        p["auth_token"] = self._ensure()
+        try:
+            return self.inner.fetch(resource, p)
+        except AuthExpiredError:
+            self._token = None
+            p["auth_token"] = self._ensure()
+            return self.inner.fetch(resource, p)
+
+    def high_watermark(self, resource: str, wm_column: str) -> Any:
+        return self.inner.high_watermark(resource, wm_column)
 
 
 @dataclass

@@ -1125,3 +1125,84 @@ def test_rest_pk_chunked_string_keys(spark, tmp_path):
     rows = df.collect()
     assert len(rows) == 97
     assert {r["sfid"] for r in rows} == {f"001{i:05d}XYZ" for i in range(97)}
+
+
+def test_rest_auth_token_refresh_mid_pagination(spark, sf_dir, tmp_path):
+    """RestApiConnector's auth contract: tokens expire every 3 requests
+    (Salesforce-style session ttl) mid-pagination; the connector-layer
+    wrapper refreshes and replays transparently, so the extractor sees
+    neither a 401 nor a skipped/double page — with page_size=100 the
+    January interval needs ~10 requests, so success REQUIRES multiple
+    refreshes."""
+    from incubator_gobblin_spark.sources import rest_api as R
+
+    src = R.RestApiSource(
+        resource="events",
+        schema="event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+        wm_column="ts",
+        page_size=100,
+        rate_per_sec=10_000.0,
+    )
+    base = R.FileBackedRestEndpoint(
+        {"events": f"{sf_dir}/events.parquet"}, order_by="event_id"
+    )
+    expiring = R.TokenExpiringEndpoint(
+        base, state_dir=str(tmp_path / "tokens"), ttl_requests=3
+    )
+    ep = R.AuthenticatingEndpoint(expiring)
+    df = R.read_rest(
+        spark, src, ep,
+        WatermarkInterval("ts", datetime(2024, 1, 1), datetime(2024, 1, 31)),
+        num_partitions=1,  # one task: deterministic token handoff
+    )
+    got = {r["event_id"] for r in df.select("event_id").collect()}
+    want = {
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT event_id FROM '{sf_dir}/events.parquet' "
+            "WHERE ts > TIMESTAMP '2024-01-01' AND ts <= TIMESTAMP '2024-01-31'"
+        ).fetchall()
+    }
+    assert got == want and len(got) > 100 * 3  # > ttl pages => refreshed
+
+    # an unauthenticated caller is rejected loudly
+    import pytest as _pytest
+
+    with _pytest.raises(R.AuthExpiredError):
+        expiring.fetch("events", {"limit": 10, "order_by": "event_id"})
+
+
+def test_rest_schema_drift_null_fills_and_ignores_extras(spark, tmp_path):
+    """API drift mid-resource: records missing a declared field type as
+    NULL; undeclared extra fields are dropped — the from_json contract,
+    so a REST schema change degrades gracefully instead of failing the
+    extract (the StringSchemaInjector posture)."""
+    import pandas as pd
+
+    from incubator_gobblin_spark.sources import rest_api as R
+
+    path = str(tmp_path / "drift.parquet")
+    pd.DataFrame(
+        {
+            "id": [1, 2, 3],
+            "name": ["a", None, "c"],        # 2: missing declared field
+            "extra_new_col": ["x", "y", "z"],  # undeclared at the reader
+        }
+    ).to_parquet(path)
+    src = R.RestApiSource(
+        resource="drift",
+        schema="id long, name string, never_served string",
+        wm_column="id",
+        page_size=2,
+        rate_per_sec=10_000.0,
+    )
+    ep = R.FileBackedRestEndpoint({"drift": path}, order_by="id")
+    df = R.read_rest(
+        spark, src, ep, WatermarkInterval("id", None, None), num_partitions=1
+    )
+    rows = {r["id"]: r for r in df.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2]["name"] is None                 # null-filled
+    assert all(r["never_served"] is None for r in rows.values())
+    assert "extra_new_col" not in df.columns       # extras dropped
