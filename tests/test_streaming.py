@@ -873,3 +873,63 @@ def test_stream_fuzzy_ingest_dedups_across_epochs(spark, tmp_path):
     q.awaitTermination(180)
     got = {r["doc_id"] for r in corpus.read_committed(spark).collect()}
     assert got == {1, 2, 11}  # 10 dropped as a near-dup of committed 1
+
+
+def test_reststream_to_fuzzy_ingest_composition(spark, tmp_path):
+    """REST stream -> near-dup-dedup'd corpus lake: documents arriving
+    through the paged REST source land in the corpus only if nothing
+    near-duplicating them was committed by an earlier run — the full
+    'continuously ingest an API into a clean training corpus' chain."""
+    import pandas as pd
+
+    from incubator_gobblin_spark.sinks.files import FileSink, TableType
+    from incubator_gobblin_spark.streaming.flow import StreamPipeline
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band "
+        "plays a long familiar tune about rivers and mountains"
+    )
+    src_path = str(tmp_path / "posts.parquet")
+    corpus = FileSink(
+        path=str(tmp_path / "corpus"),
+        table_type=TableType.APPEND_ONLY,
+        commit_mode="manifest",
+    )
+    index = FileSink(
+        path=str(tmp_path / "index"),
+        table_type=TableType.APPEND_ONLY,
+        commit_mode="manifest",
+    )
+
+    def run_once():
+        q = (
+            StreamPipeline(spark, "rest-fuzzy")
+            .source_rest(
+                src_path,
+                resource="posts",
+                wm_column="doc_id",
+                ddl="doc_id long, text string",
+                page_size=2,
+                num_partitions=1,
+            )
+            .to_fuzzy_ingest(
+                corpus, index, checkpoint=str(tmp_path / "ckpt"), once=True
+            )
+        )
+        q.awaitTermination(180)
+
+    pd.DataFrame(
+        {"doc_id": [1, 2], "text": [base, "some other subject " * 6]}
+    ).to_parquet(src_path)
+    run_once()
+    # the API gains rows: one near-dup of committed doc 1, one fresh
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [base, "some other subject " * 6,
+                     base + " tail", "genuinely new story " * 6],
+        }
+    ).to_parquet(src_path)
+    run_once()
+    got = {r["doc_id"] for r in corpus.read_committed(spark).collect()}
+    assert got == {1, 2, 4}  # 3 dropped as near-dup; 1/2 not reprocessed
