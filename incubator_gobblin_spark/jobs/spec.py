@@ -957,6 +957,10 @@ def run_mixture_job(spark: SparkSession, spec: str | dict[str, str]):
     - ``mixture.budget`` / ``mixture.epoch.cap`` — UniMax budget
       (required) and per-stream epoch cap (default 4.0)
     - ``mixture.weights`` — ``en:0.5,de:2.0`` (explicit mode)
+    - ``mixture.shards`` / ``mixture.seed`` — optionally append
+      (shard, pos): the deterministic training order of
+      ``corpus.shuffle_shards`` over the (id, copy_n) identity, so
+      repeated copies of one document shuffle independently
     - ``mixture.output.dir`` — materialized mixture destination
 
     Returns {"weights", "rows_in", "rows_out", "output"}; the output
@@ -1003,6 +1007,20 @@ def run_mixture_job(spark: SparkSession, spec: str | dict[str, str]):
     mixed = corpus_fns.materialize_mixture(
         df, weights, stream_col=stream_col, id_col=id_col
     )
+    if "mixture.shards" in props:
+        from pyspark.sql import functions as F
+
+        keyed = mixed.withColumn(
+            "_mix_id",
+            F.concat_ws("#", F.col(id_col).cast("string"), F.col("copy_n")),
+        )
+        order = corpus_fns.shuffle_shards(
+            keyed,
+            id_col="_mix_id",
+            num_shards=int(props["mixture.shards"]),
+            seed=int(props.get("mixture.seed", "42")),
+        )
+        mixed = keyed.join(order, on="_mix_id").drop("_mix_id")
     out_dir = props.get("mixture.output.dir")
     rows_out = None
     if out_dir:

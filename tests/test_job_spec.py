@@ -699,3 +699,32 @@ def test_fuzzy_ingest_job_spec(spark, tmp_path):
         spark, {**spec, "fuzzy.input.dir": b2, "fuzzy.run.id": "b2"}
     )
     assert r2["admitted"] == 1 and r2["dropped_vs_committed"] == 1
+
+
+def test_mixture_job_with_shards(spark, tmp_path):
+    src = str(tmp_path / "docs2")
+    out = str(tmp_path / "mixed2")
+    rows = [(i, "en", f"text {i}") for i in range(60)]
+    spark.createDataFrame(rows, "doc_id long, lang string, text string").write.parquet(src)
+    res = S.run_mixture_job(
+        spark,
+        {
+            "mixture.input.dir": src,
+            "mixture.mode": "explicit",
+            "mixture.weights": "en:2.0",
+            "mixture.shards": "4",
+            "mixture.output.dir": out,
+        },
+    )
+    got = spark.read.parquet(out)
+    assert res["rows_out"] == 120  # integral weight doubles every doc
+    assert set(got.columns) >= {"doc_id", "copy_n", "shard", "pos"}
+    rows = got.select("shard", "pos").collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))  # dense rank
+    # the two copies of one doc shuffle independently (different keys)
+    c = got.filter(F.col("doc_id") == 0).select("shard", "pos").collect()
+    assert len(c) == 2 and len({(r["shard"], r["pos"]) for r in c}) == 2
