@@ -1200,6 +1200,7 @@ def unimax_weights(
     group_col: str,
     budget: float,
     epoch_cap: float = 4.0,
+    size_col: str | None = None,
 ) -> DataFrame:
     """UniMax sampling (Chung et al. 2023, "UniMax: Fairer and More
     Effective Language Sampling for Large-Scale Multilingual
@@ -1223,6 +1224,10 @@ def unimax_weights(
     is the per-document multiplier :func:`materialize_mixture`
     consumes, so the two compose exactly like temperature_weights.
 
+    ``size_col`` switches the unit from documents to a per-row SUM
+    (token budgeting: budget and caps are then token counts — the
+    paper's actual formulation).
+
     Scale shape: ONE count shuffle, then |groups| rows of model state
     to the driver for the sequential allocation (the kmeans_fit /
     temperature_weights precedent — the recurrence is inherently
@@ -1236,11 +1241,12 @@ def unimax_weights(
             Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
         )
 
-    rows = (
-        df.groupBy(group_col)
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .collect()
+    mass = (
+        F.sum(F.col(size_col)).alias("n_docs")
+        if size_col
+        else F.count(F.lit(1)).alias("n_docs")
     )
+    rows = df.groupBy(group_col).agg(mass).collect()
     groups = sorted(
         ((_r6(float(epoch_cap) * r["n_docs"]), r[group_col], int(r["n_docs"]))
          for r in rows),
@@ -1260,13 +1266,18 @@ def unimax_weights(
 
 
 def temperature_weights(
-    df: DataFrame, group_col: str, alpha: float = 0.3
+    df: DataFrame, group_col: str, alpha: float = 0.3,
+    size_col: str | None = None,
 ) -> DataFrame:
     """Temperature-based sampling weights over a grouping column — the
     multilingual-mixture rule of XLM-R / mT5 (sample group ``g`` with
     probability ``q_g ∝ p_g^alpha`` where ``p_g = n_g / N``): ``alpha``
     < 1 up-samples the tail groups and flattens the head, ``alpha = 1``
     is proportional, ``alpha = 0`` is uniform.
+
+    ``size_col`` switches the group mass from document COUNT to a SUM
+    (pass a token-count column to budget tokens, the unit real
+    mixtures budget — p_g is then the group's token share).
 
     Output: (group, n_docs, sample_prob, multiplier) where
     ``multiplier = sample_prob / p_g`` is the per-document
@@ -1295,11 +1306,12 @@ def temperature_weights(
             Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
         )
 
-    rows = (
-        df.groupBy(group_col)
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .collect()
+    mass = (
+        F.sum(F.col(size_col)).alias("n_docs")
+        if size_col
+        else F.count(F.lit(1)).alias("n_docs")
     )
+    rows = df.groupBy(group_col).agg(mass).collect()
     total = sum(r["n_docs"] for r in rows)
     stats = []
     for r in rows:

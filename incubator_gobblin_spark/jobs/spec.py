@@ -956,6 +956,8 @@ def run_mixture_job(spark: SparkSession, spec: str | dict[str, str]):
     - ``mixture.alpha`` — temperature alpha (default 0.3)
     - ``mixture.budget`` / ``mixture.epoch.cap`` — UniMax budget
       (required) and per-stream epoch cap (default 4.0)
+    - ``mixture.size.column`` — budget TOKENS instead of documents:
+      group mass becomes sum(column) for temperature and unimax
     - ``mixture.weights`` — ``en:0.5,de:2.0`` (explicit mode)
     - ``mixture.shards`` / ``mixture.seed`` — optionally append
       (shard, pos): the deterministic training order of
@@ -974,10 +976,12 @@ def run_mixture_job(spark: SparkSession, spec: str | dict[str, str]):
     stream_col = props.get("mixture.stream.column", "lang")
     id_col = props.get("mixture.id.column", "doc_id")
     mode = props.get("mixture.mode", "temperature").lower()
+    size_col = props.get("mixture.size.column")
     if mode == "temperature":
         wdf = corpus_fns.temperature_weights(
             df, group_col=stream_col,
             alpha=float(props.get("mixture.alpha", "0.3")),
+            size_col=size_col,
         )
         weights = {r[stream_col]: r["multiplier"] for r in wdf.collect()}
     elif mode == "unimax":
@@ -987,6 +991,7 @@ def run_mixture_job(spark: SparkSession, spec: str | dict[str, str]):
             df, group_col=stream_col,
             budget=float(props["mixture.budget"]),
             epoch_cap=float(props.get("mixture.epoch.cap", "4.0")),
+            size_col=size_col,
         )
         weights = {r[stream_col]: r["epochs"] for r in wdf.collect()}
     elif mode == "explicit":

@@ -755,3 +755,34 @@ def test_duplicated_spans_matches_bruteforce_on_random_corpus(spark):
         for r in corpus.duplicated_spans(df, window=W, min_count=2).collect()
     }
     assert got == expect
+
+
+def test_mixture_weights_token_budgeting(spark):
+    """size_col switches both weighting rules from document counts to
+    token budgets — the unit real mixtures allocate."""
+    # lang a: 2 docs x 100 tokens; lang b: 8 docs x 25 tokens -> equal
+    # token mass, very different doc counts
+    rows = [(i, "a", 100) for i in range(2)] + [
+        (10 + i, "b", 25) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tok long")
+
+    t = {
+        r["lang"]: r
+        for r in corpus.temperature_weights(
+            df, "lang", alpha=0.5, size_col="n_tok"
+        ).collect()
+    }
+    # equal token mass -> p=0.5 each -> equal sample_prob
+    assert t["a"]["n_docs"] == 200 and t["b"]["n_docs"] == 200
+    assert t["a"]["sample_prob"] == t["b"]["sample_prob"] == 0.5
+
+    u = {
+        r["lang"]: r
+        for r in corpus.unimax_weights(
+            df, "lang", budget=300, epoch_cap=1.0, size_col="n_tok"
+        ).collect()
+    }
+    # caps are 200 tokens each; budget 300 splits 150/150 (within caps)
+    assert u["a"]["alloc"] == 150.0 and u["b"]["alloc"] == 150.0
+    assert u["a"]["epochs"] == 0.75
