@@ -106,8 +106,13 @@ class FileBackedRestEndpoint:
 
     def fetch(self, resource: str, params: dict[str, Any]) -> dict[str, Any]:
         """One page: params = {wm_column?, low?, high?, offset, limit,
-        order_by}. Returns {"records": [dict, ...]} with JSON-safe
-        values (timestamps as ISO strings)."""
+        order_by}. Returns {"records_json": [str, ...], "next_after":
+        last order-key} — raw JSON bodies plus a next-page cursor, the
+        shape a real REST API serves (link-header / queryMore cursors);
+        the extractor passes the JSON through untouched instead of the
+        old parse-to-dict/re-serialize round trip. Endpoints may
+        alternatively return {"records": [dict, ...]} (the v1 contract,
+        still accepted by every consumer)."""
         import duckdb
 
         path = self._rel(resource)
@@ -145,17 +150,17 @@ class FileBackedRestEndpoint:
                 f"LIMIT {int(params['limit'])} OFFSET {int(params.get('offset', 0))}"
             )
         where = f"WHERE {' AND '.join(conds)}" if conds else ""
-        sql = f"SELECT * FROM '{path}' {where} ORDER BY {order} {page_clause}"
-        df = duckdb.sql(sql).df()
-        records = []
-        for rec in df.to_dict(orient="records"):
-            records.append(
-                {
-                    k: (v.isoformat() if hasattr(v, "isoformat") else v)
-                    for k, v in rec.items()
-                }
-            )
-        return {"records": records}
+        sql = (
+            f"SELECT to_json(t) FROM (SELECT * FROM '{path}' {where} "
+            f"ORDER BY {order} {page_clause}) t"
+        )
+        records = [r[0] for r in duckdb.sql(sql).fetchall()]
+        next_after = None
+        if records:
+            import json as _json
+
+            next_after = _json.loads(records[-1]).get(order)
+        return {"records_json": records, "next_after": next_after}
 
     def high_watermark(self, resource: str, wm_column: str) -> Any:
         """Current max watermark at the source (the API-side query a
@@ -453,12 +458,23 @@ def _read_units(
                             if attempt > max_retries:
                                 raise
                             time.sleep(backoff * attempt)
-                    recs = page["records"]
-                    if recs:
-                        yield pd.DataFrame(
-                            {"json": [json.dumps(r, default=str) for r in recs]}
-                        )
-                        after = recs[-1].get(order)
+                    if "records_json" in page:
+                        # raw JSON pass-through (the v2 contract): no
+                        # parse/re-serialize — bodies flow straight to
+                        # from_json, the cursor comes pre-extracted
+                        recs = page["records_json"]
+                        if recs:
+                            yield pd.DataFrame({"json": recs})
+                            after = page.get("next_after")
+                            if after is None:
+                                after = json.loads(recs[-1]).get(order)
+                    else:
+                        recs = page["records"]
+                        if recs:
+                            yield pd.DataFrame(
+                                {"json": [json.dumps(r, default=str) for r in recs]}
+                            )
+                            after = recs[-1].get(order)
                     if len(recs) < page_size:
                         break
                     if paging == "cursor" and after is None:

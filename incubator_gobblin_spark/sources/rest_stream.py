@@ -145,7 +145,13 @@ class RestStreamReader(DataSourceStreamReader):
             }
             if after is not None:
                 params["after"] = after
-            recs = endpoint.fetch(self.resource, params)["records"]
+            import json as _json
+
+            page = endpoint.fetch(self.resource, params)
+            if "records_json" in page:
+                recs = [_json.loads(s) for s in page["records_json"]]
+            else:
+                recs = page["records"]
             for r in recs:
                 yield tuple(conv(r.get(name)) for name, conv in fields)
             if recs:
