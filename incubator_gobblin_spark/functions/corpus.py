@@ -685,6 +685,78 @@ def trim_duplicated_spans(
     )
 
 
+def trim_contaminated_spans(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """Span-level benchmark decontamination: instead of DROPPING every
+    training document that overlaps the eval set (:func:`decontaminate`
+    + filter — which throws away a whole book over one quoted test
+    question), remove only the contaminated spans. A training token is
+    contaminated when some ``window``-token run containing it appears
+    verbatim anywhere in the benchmark; contaminated tokens are cut and
+    the document is rebuilt from the survivors in order (whitespace
+    normalized — same contract as :func:`trim_duplicated_spans`).
+    Returns (id, n_tokens, n_removed, text_clean).
+
+    Scale shape: the benchmark's DISTINCT window set is broadcast (an
+    eval corpus is small by definition — the :func:`decontaminate`
+    posture), so the 100 TB training side never shuffles to discover
+    contamination; the only exchanges are the per-doc rebuild and the
+    totals join, both on the doc id.
+    """
+    spans = train.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(_word_ngrams(F.col(text_col), window)).alias("_p0", "_span"),
+    ).select("_id", (F.col("_p0") + 1).alias("_s"), "_span")
+    bspans = (
+        bench.select(
+            F.explode(_word_ngrams(F.col(text_col), window)).alias("_span")
+        )
+        .distinct()
+    )
+    cov = (
+        spans.join(F.broadcast(bspans), on="_span")
+        .select(
+            "_id",
+            F.explode(
+                F.sequence(F.col("_s"), F.col("_s") + F.lit(window - 1))
+            ).alias("_pos"),
+        )
+        .distinct()
+    )
+    tokpos = train.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(_toks(F.col(text_col))).alias("_p0", "_tok"),
+    ).select("_id", (F.col("_p0") + 1).alias("_pos"), "_tok")
+    kept = tokpos.join(cov, on=["_id", "_pos"], how="left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    totals = train.select(
+        F.col(id_col).alias("_id"),
+        F.size(_toks(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    return totals.join(rebuilt, on="_id", how="left").select(
+        F.col("_id").alias(id_col),
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+    )
+
+
 def trigram_logprob(
     df: DataFrame,
     id_col: str = "doc_id",

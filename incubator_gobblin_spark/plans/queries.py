@@ -77,6 +77,7 @@ _WINDOW_HEAD = [
     "q112_linear_probe_fit",     # NEW r5: normal-equations training
     "q113_shuffle_shards",       # NEW r5: deterministic training order
     "q114_linear_probe_score",   # NEW r5: train->score full lifecycle
+    "q115_trim_contaminated",    # NEW r5: span-level decontamination
     "q31_minhash_candidates",    # newly hash-checkable (md5 hash mode)
     "q32_simhash_neardups",      # newly hash-checkable (md5 hash mode)
     "q34_ann_lsh_topk",          # newly hash-checkable (literal planes)
@@ -85,7 +86,10 @@ _WINDOW_HEAD = [
     "q38_scalar_functions",
     # q39 yields its slot to the brand-new q114: count_distinct is the
     # aggregation core of in-window q89/q109/q110; back at r06.
-    "q40_having",
+    # q40 yields its slot to the brand-new q115: HAVING is a
+    # post-aggregation filter, the exact shape of in-window q72's
+    # min_docs gate; back at r06.
+
     "q41_case_bucketing",
     "q42_full_outer_join",
     "q43_cross_join",
@@ -4087,6 +4091,63 @@ def q110_trim_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return corpus.trim_duplicated_spans(
         docs, id_col="doc_id", text_col="text", window=8, min_count=2
+    )
+
+
+@register(
+    "q115_trim_contaminated",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS t
+      FROM documents
+    ), spans AS (
+      SELECT doc_id, i AS s, array_to_string(t[i:i+3], ' ') AS span
+      FROM toks, unnest(range(1, greatest(len(t) - 2, 1))) AS u(i)
+    ), bspan AS (
+      SELECT DISTINCT span FROM spans WHERE doc_id % 11 = 0
+    ), covp AS (
+      SELECT DISTINCT doc_id, p
+      FROM (
+        SELECT s.doc_id, unnest(range(s.s, s.s + 4)) AS p
+        FROM spans s JOIN bspan USING (span)
+        WHERE s.doc_id % 11 <> 0
+      )
+    ), tokpos AS (
+      SELECT doc_id, u.z[1] AS tok, CAST(u.z[2] AS BIGINT) AS p
+      FROM (SELECT doc_id, list_zip(t, range(1, len(t) + 1)) AS zs
+            FROM toks WHERE doc_id % 11 <> 0),
+           unnest(zs) AS u(z)
+    ), kept AS (
+      SELECT tp.doc_id, tp.tok, tp.p FROM tokpos tp
+      WHERE NOT EXISTS (
+        SELECT 1 FROM covp WHERE covp.doc_id = tp.doc_id AND covp.p = tp.p
+      )
+    ), rebuilt AS (
+      SELECT doc_id, count(*) AS kept_n,
+             string_agg(tok, ' ' ORDER BY p) AS text_clean
+      FROM kept GROUP BY doc_id
+    )
+    SELECT tk.doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(t) - COALESCE(r.kept_n, 0) AS BIGINT) AS n_removed,
+           COALESCE(r.text_clean, '') AS text_clean
+    FROM toks tk LEFT JOIN rebuilt r USING (doc_id)
+    WHERE tk.doc_id % 11 <> 0
+    """,
+)
+def q115_trim_contaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark decontamination
+    (corpus.trim_contaminated_spans): tokens under any 4-token run that
+    appears verbatim in the benchmark split (doc_id % 11 == 0) are cut
+    and the training documents rebuild from the survivors — removing
+    the contamination, not the book. The benchmark's distinct window
+    set BROADCASTS (the q70 decontaminate posture), so the training
+    side never shuffles to discover contamination."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 11 != 0)
+    bench = docs.filter(F.col("doc_id") % 11 == 0)
+    return corpus.trim_contaminated_spans(
+        train, bench, id_col="doc_id", text_col="text", window=4
     )
 
 

@@ -786,3 +786,32 @@ def test_mixture_weights_token_budgeting(spark):
     # caps are 200 tokens each; budget 300 splits 150/150 (within caps)
     assert u["a"]["alloc"] == 150.0 and u["b"]["alloc"] == 150.0
     assert u["a"]["epochs"] == 0.75
+
+
+def test_trim_contaminated_spans_cuts_benchmark_overlap(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "intro words then the secret eval answer here plus tail"),
+            (2, "nothing from the benchmark at all in this document"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "question: the secret eval answer here")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in corpus.trim_contaminated_spans(
+            train, bench, window=4
+        ).collect()
+    }
+    # doc 1: bench 4-grams "the secret eval answer" + "secret eval answer
+    # here" cover tokens 4..8 ("the secret eval answer here") -> removed
+    assert got[1]["n_removed"] == 5
+    assert got[1]["text_clean"] == "intro words then plus tail"
+    assert got[2]["n_removed"] == 0
+    assert (
+        got[2]["text_clean"]
+        == "nothing from the benchmark at all in this document"
+    )

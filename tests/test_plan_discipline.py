@@ -319,3 +319,12 @@ def test_shuffle_shards_is_one_exchange(spark, sf_dir):
     plan = _plan(Q.queries()["q113_shuffle_shards"](spark, sf_dir))
     assert plan.count("Exchange") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_trim_contaminated_broadcasts_benchmark_spans(spark, sf_dir):
+    """q115: the benchmark window set must BROADCAST — the training
+    side never shuffles to discover contamination (the q70 posture);
+    the only exchanges are the doc-id rebuild and totals join."""
+    plan = _plan(Q.queries()["q115_trim_contaminated"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
