@@ -52,6 +52,7 @@ HEADLINE = [
     # round-5 additions
     "q107_rest_ingest_agg",    # REST paged fetch -> from_json -> agg
     "q109_duplicated_spans",   # exact-substring dedup (token windows)
+    "q115_trim_contaminated",  # span-level decontamination + rebuild
 ]
 
 
