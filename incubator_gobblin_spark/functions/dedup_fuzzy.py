@@ -588,3 +588,64 @@ def _simhash_pairs_split(
         .select("_p.id_l", "_p.id_r", "_p.hamming")
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def lsh_audit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 2,
+    seed: int = 42,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Recall/precision audit of the MinHash-LSH candidate generator
+    against exact n-gram Jaccard ground truth, on an audit sample:
+    one row — (n_truth, n_candidates, n_hit, precision, recall).
+
+    ``n_truth`` counts pairs whose exact Jaccard (same shingling) meets
+    ``threshold``; ``n_candidates`` counts LSH candidate pairs at the
+    given banding; ``n_hit`` their intersection. This is the standing
+    health check a production dedup pipeline runs on a sample each
+    batch: a banding-parameter regression (or a hash change) moves
+    recall, and the number quantifies what the band/row trade-off is
+    actually delivering on THIS corpus rather than on the S-curve's
+    idealized uniform similarity.
+
+    Scale: ground truth needs exact pairwise Jaccard, so the input must
+    be a bounded audit sample (the all-pairs guard inside
+    :func:`jaccard_pairs` applies — pass a deterministic slice like
+    ``doc_id % K = 0``, the same sampling idiom as q30). Both legs and
+    the join are computed in ONE Catalyst plan; the three counts are
+    single-row aggregates combined by cross join (driver-free).
+
+    Precision/recall are single IEEE divisions of exact integers,
+    round(6) — engine-portable like every ratio in this library."""
+    truth = jaccard_pairs(
+        df, id_col=id_col, text_col=text_col, threshold=threshold,
+        shingle_n=shingle_n,
+    )
+    cand = minhash_candidate_pairs(
+        df, id_col=id_col, text_col=text_col, num_hashes=num_hashes,
+        bands=bands, shingle_n=shingle_n, seed=seed, hash_mode=hash_mode,
+    )
+    hits = truth.join(cand, ["id_l", "id_r"])
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nh = hits.agg(F.count(F.lit(1)).alias("n_hit"))
+    ratio = lambda num, den: F.round(  # noqa: E731
+        F.when(F.col(den) > 0, F.col(num) / F.col(den)).otherwise(F.lit(0.0)), 6
+    )
+    return (
+        nt.crossJoin(nc)
+        .crossJoin(nh)
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hit",
+            ratio("n_hit", "n_candidates").alias("precision"),
+            ratio("n_hit", "n_truth").alias("recall"),
+        )
+    )

@@ -839,3 +839,56 @@ def ivfpq_topk(
         exclude_id=exclude_id,
         unroll=unroll,
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_broadcast_rows: int = 100_000,
+) -> DataFrame:
+    """Embedding-level eval-set decontamination: score every corpus
+    vector by its maximum cosine similarity to ANY benchmark vector and
+    flag those at or above ``threshold`` — the semantic complement of
+    n-gram decontamination (``corpus.decontaminate``), catching
+    paraphrased eval leakage that token overlap misses.
+
+    Returns (id, max_bench_sim, contaminated) for every corpus row
+    whose norm is positive (zero vectors carry no direction to match);
+    callers drop the flagged rows or route them to review.
+
+    Scale shape: the benchmark side is small by definition and is
+    broadcast (guarded, like :func:`cosine_topk` — an oversized "bench"
+    silently becomes an all-pairs scan); the corpus side is NEVER
+    shuffled at pair grain — the per-vector max collapses map-side
+    (partial aggregation) so the one exchange carries |corpus| rows,
+    not |corpus| x |bench|. Norms are staged once per side before the
+    join. Similarities are round(6) so the threshold decision is
+    engine-portable (same contract as cosine_pairs)."""
+    _assert_broadcast_sized(
+        bench, max_broadcast_rows, "semantic_decontaminate", "lsh_topk candidates"
+    )
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_cv"),
+        norm(F.col(vec_col)).alias("_nc"),
+    ).filter(F.col("_nc") > 0)
+    b = bench.select(
+        F.col(vec_col).alias("_bv"), norm(F.col(vec_col)).alias("_nb")
+    ).filter(F.col("_nb") > 0)
+    sim = F.round(
+        dot(F.col("_cv"), F.col("_bv")) / (F.col("_nc") * F.col("_nb")), 6
+    )
+    return (
+        c.join(F.broadcast(b), on=F.lit(True), how="inner")
+        .select(F.col(id_col), sim.alias("_s"))
+        .groupBy(id_col)
+        .agg(F.max("_s").alias("max_bench_sim"))
+        .select(
+            id_col,
+            "max_bench_sim",
+            (F.col("max_bench_sim") >= threshold).cast("long").alias("contaminated"),
+        )
+    )

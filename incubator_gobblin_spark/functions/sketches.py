@@ -163,3 +163,105 @@ def approx_quantile_check(
         "n",
         within.cast("long").alias("within_tol"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005): frequency estimation
+# and heavy hitters in O(depth * width) state, independent of corpus
+# size. Spark ships a CountMinSketch aggregate, but its binary blob
+# can't be point-queried from SQL — so the sketch is built openly as a
+# (depth x width) count table with md5-derived bucket hashes, which
+# makes every cell and every point estimate a pure integer function of
+# the data that ANSI SQL reproduces bit-for-bit (same determinism idiom
+# as the minhash md5 mode and priority sampling above).
+# ---------------------------------------------------------------------------
+
+
+def _cms_bucket(item: Column, row: int, width: int) -> Column:
+    """Hash row ``row``'s bucket for ``item``: first 8 md5-hex chars of
+    ``"{row}:{item}"`` as an unsigned int, mod width. 32-bit values
+    never overflow BIGINT arithmetic (ANSI-safe)."""
+    hx = F.substring(F.md5(F.concat(F.lit(f"{row}:"), item)), 1, 8)
+    return (F.conv(hx, 16, 10).cast("long") % width).alias(f"_b{row}")
+
+
+def cms_sketch(
+    df: DataFrame, item_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Build a count-min sketch over ``item_col`` occurrences: one row
+    per non-empty (hash_row, bucket) cell with its collision-summed
+    count — at most ``depth * width`` rows regardless of input size.
+
+    Scale shape: a single groupBy shuffle whose key space is bounded by
+    the sketch dimensions, so the map-side partial aggregation collapses
+    every partition to <= depth*width rows before the exchange; the
+    sketch itself is always broadcast-sized by construction."""
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("hash_row"),
+                        _cms_bucket(F.col(item_col), r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("_c")
+    )
+    return cells.groupBy(
+        F.col("_c.hash_row").alias("hash_row"), F.col("_c.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cell_count"))
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    k: int = 20,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Top-``k`` items by count-min point estimate, with the exact count
+    alongside: (item, est, exact). The CMS guarantee ``est >= exact``
+    holds for every row by construction (each cell sums the item's own
+    occurrences plus non-negative collisions), so the gap column is a
+    direct read on collision error at the chosen (depth, width).
+
+    Scale shape: the sketch build is one bounded shuffle (see
+    :func:`cms_sketch`); the distinct-item frame is one map-side-combined
+    count shuffle; point estimates come from a broadcast hash join of
+    the <= depth*width-cell sketch (never a shuffle of the item frame);
+    the final top-k is TakeOrdered (per-partition heaps, no global
+    sort). Ties broken by item for cross-engine determinism."""
+    sketch = cms_sketch(df, item_col, depth=depth, width=width)
+    exact = df.groupBy(F.col(item_col).alias("item")).agg(
+        F.count(F.lit(1)).alias("exact")
+    )
+    probes = exact.select(
+        "item",
+        "exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("hash_row"),
+                        _cms_bucket(F.col("item"), r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("_p"),
+    ).select(
+        "item", "exact", F.col("_p.hash_row").alias("hash_row"),
+        F.col("_p.bucket").alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["hash_row", "bucket"])
+        .groupBy("item", "exact")
+        .agg(F.min("cell_count").alias("est"))
+    )
+    return (
+        est.orderBy(F.col("est").desc(), F.col("item").asc())
+        .limit(k)
+        .select("item", "est", F.col("exact").cast("long").alias("exact"))
+    )

@@ -27,6 +27,7 @@ from pyspark.sql.window import Window
 from incubator_gobblin_spark.functions import (
     corpus,
     dedup_fuzzy,
+    events as events_fn,
     graph,
     similarity,
     sketches,
@@ -78,6 +79,11 @@ _WINDOW_HEAD = [
     "q113_shuffle_shards",       # NEW r5: deterministic training order
     "q114_linear_probe_score",   # NEW r5: train->score full lifecycle
     "q115_trim_contaminated",    # NEW r5: span-level decontamination
+    "q116_semantic_decontaminate",  # NEW r5: embedding-level eval leakage
+    "q117_lsh_dedup_audit",      # NEW r5: LSH recall/precision health check
+    "q118_cms_heavy_hitters",    # NEW r5: count-min sketch frequency
+    "q119_funnel_steps",         # NEW r5: ordered event funnel
+    "q120_cohort_retention",     # NEW r5: cohort retention matrix
     "q31_minhash_candidates",    # newly hash-checkable (md5 hash mode)
     "q32_simhash_neardups",      # newly hash-checkable (md5 hash mode)
     "q34_ann_lsh_topk",          # newly hash-checkable (literal planes)
@@ -90,17 +96,22 @@ _WINDOW_HEAD = [
     # post-aggregation filter, the exact shape of in-window q72's
     # min_docs gate; back at r06.
 
-    "q41_case_bucketing",
+    # q41 yields its slot to the brand-new q120: CASE bucketing is the
+    # flag core of in-window q49's quality scoring; back at r06.
     "q42_full_outer_join",
-    "q43_cross_join",
+    # q43 yields its slot to the brand-new q116: the bounded cross-join
+    # shape is exactly q116/q117's audit pairing; back at r06.
     # q44 yields its slot to the brand-new q113: the sort-merge
     # equi-join shape is exercised by a dozen in-window queries
     # (q109/q110 totals joins, q54, q85...); back at r06.
-    "q45_from_json_struct",
-    "q46_union_all",
+    # q45 yields its slot to the brand-new q117: from_json struct decode
+    # is the heart of in-window q107's REST extraction; back at r06.
+    # q46 yields its slot to the brand-new q119, whose per-step output
+    # IS a union-all; back at r06.
     "q48_oldest_k",
     "q49_text_quality",
-    "q50_knn_l2",
+    # q50 yields its slot to the brand-new q118: L2 top-k is in-window
+    # q67's probed superset; back at r06.
     # r03-green non-anchor block
     "q53_asof_join",
     "q54_range_join",
@@ -4148,6 +4159,220 @@ def q115_trim_contaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 11 == 0)
     return corpus.trim_contaminated_spans(
         train, bench, id_col="doc_id", text_col="text", window=4
+    )
+
+
+@register(
+    "q116_semantic_decontaminate",
+    """
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+      WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+    ),
+    bench AS (SELECT ev FROM v WHERE vec_id % 16 = 0),
+    corpus AS (SELECT vec_id, ev FROM v WHERE vec_id % 16 <> 0)
+    SELECT vec_id, max_bench_sim,
+           CAST(max_bench_sim >= 0.35 AS BIGINT) AS contaminated
+    FROM (
+      SELECT c.vec_id,
+             max(round(list_cosine_similarity(c.ev, b.ev), 6)) AS max_bench_sim
+      FROM corpus c CROSS JOIN bench b GROUP BY c.vec_id
+    )
+    """,
+)
+def q116_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level eval-set decontamination
+    (similarity.semantic_decontaminate): every corpus vector scored by
+    its max cosine against the benchmark split (vec_id % 16 == 0) and
+    flagged at sim >= 0.35 — the semantic complement of q70/q115's
+    token-window decontamination, catching paraphrased leakage. Bench
+    broadcasts; the corpus-side max collapses map-side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_decontaminate(
+        emb.filter(F.col("vec_id") % 16 != 0),
+        emb.filter(F.col("vec_id") % 16 == 0),
+        threshold=0.35,
+    )
+
+
+def _lsh_audit_oracle(threshold: float, num_hashes: int, bands: int) -> str:
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(tk[i:i+1], ' ') AS s
+      FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks)
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    ov AS (
+      SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT id_l, id_r FROM ov
+      JOIN sz l ON l.doc_id = ov.id_l JOIN sz r ON r.doc_id = ov.id_r
+      WHERE round(ov.i * 1.0 / (l.n + r.n - ov.i), 6) >= {threshold}
+    ),
+    cand AS (SELECT id_l, id_r FROM ({_minhash_oracle(num_hashes, bands)}) _c),
+    hit AS (SELECT id_l, id_r FROM truth JOIN cand USING (id_l, id_r))
+    SELECT (SELECT count(*) FROM truth) AS n_truth,
+           (SELECT count(*) FROM cand) AS n_candidates,
+           (SELECT count(*) FROM hit) AS n_hit,
+           round(CASE WHEN (SELECT count(*) FROM cand) > 0
+                 THEN (SELECT count(*) FROM hit) * 1.0 / (SELECT count(*) FROM cand)
+                 ELSE 0 END, 6) AS precision,
+           round(CASE WHEN (SELECT count(*) FROM truth) > 0
+                 THEN (SELECT count(*) FROM hit) * 1.0 / (SELECT count(*) FROM truth)
+                 ELSE 0 END, 6) AS recall
+    """
+
+
+@register(
+    "q117_lsh_dedup_audit",
+    _lsh_audit_oracle(threshold=0.5, num_hashes=32, bands=8),
+)
+def q117_lsh_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision audit of the MinHash-LSH candidate generator
+    (dedup_fuzzy.lsh_audit) against exact 2-gram Jaccard ground truth
+    at threshold 0.5 — the standing per-batch health check that a
+    banding change or hash regression moves a measured number instead
+    of silently eroding dedup quality. Same corpus, shingling and
+    banding as q31, so the candidate leg of the oracle is the
+    already-proven q31 SQL composed as a CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_fuzzy.lsh_audit(
+        docs, id_col="doc_id", text_col="text", threshold=0.5,
+        num_hashes=32, bands=8, shingle_n=2, hash_mode="md5",
+    )
+
+
+def _cms_oracle(depth: int, width: int, k: int) -> str:
+    def bucket(row: int, item: str) -> str:
+        return (
+            f"CAST('0x' || substr(md5('{row}:' || {item}), 1, 8) AS BIGINT) % {width}"
+        )
+
+    cells = "\n      UNION ALL\n      ".join(
+        f"SELECT {r} AS hash_row, {bucket(r, 't')} AS bucket FROM tt"
+        for r in range(depth)
+    )
+    probes = "\n      UNION ALL\n      ".join(
+        f"SELECT item, exact, {r} AS hash_row, {bucket(r, 'item')} AS bucket FROM exact"
+        for r in range(depth)
+    )
+    return rf"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(text, '\s+')) AS t FROM documents
+    ),
+    tt AS (SELECT t FROM toks WHERE t != ''),
+    cells AS (
+      {cells}
+    ),
+    sketch AS (
+      SELECT hash_row, bucket, count(*) AS cell_count
+      FROM cells GROUP BY hash_row, bucket
+    ),
+    exact AS (SELECT t AS item, count(*) AS exact FROM tt GROUP BY t),
+    probes AS (
+      {probes}
+    ),
+    est AS (
+      SELECT p.item, p.exact, min(s.cell_count) AS est
+      FROM probes p JOIN sketch s USING (hash_row, bucket)
+      GROUP BY p.item, p.exact
+    )
+    SELECT item, CAST(est AS BIGINT) AS est, CAST(exact AS BIGINT) AS exact
+    FROM est ORDER BY est DESC, item ASC LIMIT {k}
+    """
+
+
+@register("q118_cms_heavy_hitters", _cms_oracle(depth=4, width=256, k=20))
+def q118_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (sketches.cms_heavy_hitters):
+    top-20 tokens by CMS point estimate with the exact count alongside,
+    the est-exact gap reading out collision error at (depth 4, width
+    256). The sketch is built openly as md5-bucketed count cells so the
+    oracle replays every cell and every min-probe value-for-value —
+    rounding out the sketch family (q103 priority sample, q104 HLL,
+    q105 GK) with the frequency-estimation member."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.tokens("text")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    return sketches.cms_heavy_hitters(toks, "tok", k=20, depth=4, width=256)
+
+
+@register(
+    "q119_funnel_steps",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t
+        AND e.ts <= s1.t + INTERVAL 259200 SECOND
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        AND e.ts <= s2.t + INTERVAL 259200 SECOND
+      GROUP BY e.user_id
+    )
+    SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+           (SELECT count(*) FROM s1) AS n_users
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'click', (SELECT count(*) FROM s2)
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'purchase', (SELECT count(*) FROM s3)
+    """,
+)
+def q119_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion (events.funnel): users completing
+    view -> click -> purchase with first-match semantics and a 3-day
+    step window. Every stage is an equi-join + min-agg on the user key
+    (one reused partitioning, frames shrink down the funnel) — the
+    warehouse-side question Gobblin's event ingestion feeds, answered
+    as a first-class operator."""
+    ev = load_table(spark, sf_dir, "events")
+    return events_fn.funnel(
+        ev, ["view", "click", "purchase"], within_seconds=259200
+    )
+
+
+@register(
+    "q120_cohort_retention",
+    """
+    WITH first AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS bucket_offset
+      FROM events e JOIN first f USING (user_id)
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(bucket_offset AS BIGINT) AS bucket_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM act GROUP BY act.cohort_day, bucket_offset
+    """,
+)
+def q120_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (events.cohort_retention): users bucketed
+    by first-seen day, counted once per later active day offset —
+    the retention curve per cohort. One min-agg plus one distinct, both
+    on the user key; integer day arithmetic only."""
+    ev = load_table(spark, sf_dir, "events")
+    out = events_fn.cohort_retention(ev, bucket_days=1)
+    return out.select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "bucket_offset",
+        F.col("n_users").cast("long").alias("n_users"),
     )
 
 

@@ -185,3 +185,70 @@ def test_q31_q32_q52_report_no_pairs_below_their_filters(spark, sf_dir):
         df = ALL[name](spark, sf_dir)
         assert df.filter(F.col("id_l") >= F.col("id_r")).count() == 0, name
         assert df.count() == df.select("id_l", "id_r").distinct().count(), name
+
+
+def test_semantic_decontaminate_flags_planted_leak(spark):
+    """A corpus vector identical to a bench vector must be flagged
+    (sim 1.0); an orthogonal one must not; zero vectors are excluded."""
+    rows = [
+        (0, [1.0, 0.0, 0.0]),   # bench (id % 16 == 0 convention not used here)
+        (1, [1.0, 0.0, 0.0]),   # exact leak of bench vector
+        (2, [0.0, 1.0, 0.0]),   # orthogonal
+        (3, [0.0, 0.0, 0.0]),   # zero vector -> excluded
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.semantic_decontaminate(
+        df.filter(F.col("vec_id") > 0), df.filter(F.col("vec_id") == 0),
+        threshold=0.9,
+    ).toPandas().set_index("vec_id")
+    assert out.loc[1, "contaminated"] == 1 and out.loc[1, "max_bench_sim"] == 1.0
+    assert out.loc[2, "contaminated"] == 0
+    assert 3 not in out.index
+
+
+def test_semantic_decontaminate_bench_guard(spark):
+    """An oversized 'bench' side must raise, not silently become an
+    all-pairs scan."""
+    big = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="broadcast side"):
+        similarity.semantic_decontaminate(
+            big, big, threshold=0.5, max_broadcast_rows=10
+        )
+
+
+def test_lsh_audit_perfect_on_exact_dups(spark):
+    """On a corpus whose only similar pairs are exact duplicates the
+    audit must report recall 1.0 (LSH always buckets identical
+    signatures together) and counts consistent with the pairing."""
+    texts = [
+        "alpha beta gamma delta epsilon zeta", "one two three four five six",
+        "seven eight nine ten eleven twelve", "red green blue yellow pink teal",
+    ]
+    rows = [(i, texts[i % 4] if i < 8 else f"unique text number {i} with words {i*7}")
+            for i in range(16)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup_fuzzy.lsh_audit(
+        df, id_col="doc_id", text_col="text", threshold=0.9,
+        num_hashes=32, bands=8, shingle_n=2, hash_mode="md5",
+    ).toPandas().iloc[0]
+    assert out["n_truth"] == 4  # 4 duplicated texts x C(2,2)
+    assert out["recall"] == 1.0
+    assert out["n_hit"] == 4
+    assert out["n_candidates"] >= out["n_hit"]
+    assert 0 < out["precision"] <= 1.0
+
+
+def test_lsh_audit_both_hash_modes_agree_on_truth(spark, sf_dir):
+    """Truth and recall are hash-mode-independent on the sf sample for
+    identical banding (both modes bucket exact dups perfectly); the
+    candidate count may differ, precision stays a valid ratio."""
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    a = dedup_fuzzy.lsh_audit(docs, "doc_id", "text", 0.9,
+                              hash_mode="md5").toPandas().iloc[0]
+    b = dedup_fuzzy.lsh_audit(docs, "doc_id", "text", 0.9,
+                              hash_mode="xxhash64").toPandas().iloc[0]
+    assert a["n_truth"] == b["n_truth"]
+    assert a["recall"] == 1.0 == b["recall"]

@@ -92,3 +92,53 @@ def test_approx_quantile_high_accuracy_converges(spark):
         df, "g", "v", q=0.5, accuracy=10000
     ).collect()[0]
     assert row.n == 5000 and row.within_tol == 1
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_estimate_never_underestimates(spark):
+    """The CMS guarantee est >= exact must hold for EVERY item, even at
+    a deliberately tiny width where collisions are guaranteed."""
+    rows = [(f"tok{i % 37}",) for i in range(500)] + [("heavy",)] * 200
+    df = spark.createDataFrame(rows, ["item"])
+    out = sketches.cms_heavy_hitters(df, "item", k=100, depth=3, width=4)
+    pdf = out.toPandas()
+    assert (pdf["est"] >= pdf["exact"]).all()
+    assert pdf.iloc[0]["item"] == "heavy" or pdf.iloc[0]["est"] >= 200
+
+
+def test_cms_exact_at_generous_width(spark):
+    """With width >> distinct items every row of every hash function is
+    collision-free with high probability at depth 4 — the min over
+    depth rows then equals the exact count for all items."""
+    rows = [(f"t{i % 10}",) for i in range(300)]
+    df = spark.createDataFrame(rows, ["item"])
+    pdf = sketches.cms_heavy_hitters(df, "item", k=10, depth=4, width=4096).toPandas()
+    assert (pdf["est"] == pdf["exact"]).all()
+    assert int(pdf["exact"].sum()) == 300
+
+
+def test_cms_sketch_bounded_cells(spark):
+    """The sketch never exceeds depth*width rows no matter the input."""
+    rows = [(f"u{i}",) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["item"])
+    sk = sketches.cms_sketch(df, "item", depth=4, width=8)
+    assert sk.count() <= 4 * 8
+    # every occurrence lands in exactly one bucket per hash row
+    total = sk.groupBy("hash_row").agg(F.sum("cell_count").alias("s")).toPandas()
+    assert set(total["s"]) == {2000}
+
+
+def test_cms_partitioning_invariant(spark):
+    """CMS cells are pure functions of the data — repartitioning the
+    input must not move a single estimate."""
+    rows = [(f"tok{i % 13}",) for i in range(400)]
+    a = spark.createDataFrame(rows, ["item"])
+    one = sketches.cms_heavy_hitters(a, "item", k=13, depth=4, width=64).toPandas()
+    two = sketches.cms_heavy_hitters(
+        a.repartition(7), "item", k=13, depth=4, width=64
+    ).toPandas()
+    assert one.to_dict("records") == two.to_dict("records")
