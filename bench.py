@@ -53,6 +53,8 @@ HEADLINE = [
     "q107_rest_ingest_agg",    # REST paged fetch -> from_json -> agg
     "q109_duplicated_spans",   # exact-substring dedup (token windows)
     "q115_trim_contaminated",  # span-level decontamination + rebuild
+    "q116_semantic_decontaminate",  # embedding-level eval leakage gate
+    "q118_cms_heavy_hitters",  # count-min sketch build + probe + top-k
 ]
 
 
@@ -199,6 +201,7 @@ def main() -> None:
             "q99_pq_topk",              # PQ ADC scan at 20k vectors
             "q106_curation_pipeline",   # five-stage chain at 50k docs
             "q109_duplicated_spans",    # substring dedup at 50k docs
+            "q116_semantic_decontaminate",  # bench-vs-corpus sims at 20k vecs
         ]
         for name in SOAK:
             runs = []
