@@ -139,3 +139,97 @@ def seen_keys_filter(
         df.groupBy(*key_cols)
         .applyInPandasWithState(update, out_schema, state_schema, "update", timeout)
     )
+
+
+def funnel_tracker(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_seconds: int | None = None,
+    timeout: str = GroupStateTimeout.NoTimeout,
+) -> DataFrame:
+    """Streaming funnel progression: per-user advancement through an
+    ordered step list, carried across micro-batches — the live face of
+    ``functions.events.funnel`` with the same first-match semantics
+    (step k anchors on the user's FIRST qualifying event strictly after
+    step k-1, optionally within ``within_seconds`` of it).
+
+    Emits one row per step ADVANCEMENT — (user, step_idx, step, ts) —
+    as it happens, so a conversion dashboard sees each user cross each
+    stage in near-real-time instead of recomputing the batch funnel.
+
+    Ordering contract: rows are processed in event-time order within
+    each micro-batch; across batches the anchor only moves forward, so
+    an event arriving in a later batch with a timestamp BEFORE the
+    recorded anchor cannot retroactively advance the funnel (use the
+    batch operator for reprocessing-grade answers). State per user is
+    two scalars (step index + anchor micros); pass a timeout to age out
+    abandoned funnels.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel_tracker needs at least 2 steps")
+    from pyspark.sql.types import TimestampType
+
+    out_schema = StructType(
+        [
+            StructField("user", StringType()),
+            StructField("step_idx", LongType()),
+            StructField("step", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("idx", LongType()), StructField("anchor_us", LongType())]
+    )
+    step_list = list(steps)
+    window_us = None if within_seconds is None else int(within_seconds) * 1_000_000
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        idx, anchor_us = state.get if state.exists else (0, 0)
+        adv_idx: list[int] = []
+        adv_ts: list[pd.Timestamp] = []
+        for pdf in pdfs:
+            if idx >= len(step_list):
+                break
+            sub = pdf[[ts_col, type_col]].sort_values(ts_col, kind="stable")
+            for ts, etype in zip(sub[ts_col], sub[type_col]):
+                if idx >= len(step_list):
+                    break
+                if etype != step_list[idx]:
+                    continue
+                t_us = int(pd.Timestamp(ts).value // 1_000)
+                if idx > 0:
+                    if t_us <= anchor_us:
+                        continue
+                    if window_us is not None and t_us > anchor_us + window_us:
+                        continue
+                anchor_us = t_us
+                idx += 1
+                adv_idx.append(idx)
+                adv_ts.append(pd.Timestamp(ts))
+        state.update((idx, anchor_us))
+        if timeout == GroupStateTimeout.ProcessingTimeTimeout:
+            state.setTimeoutDuration(24 * 3600 * 1000)
+        if adv_idx:
+            yield pd.DataFrame(
+                {
+                    "user": [str(key[0])] * len(adv_idx),
+                    "step_idx": adv_idx,
+                    "step": [step_list[i - 1] for i in adv_idx],
+                    "ts": adv_ts,
+                }
+            )
+
+    return (
+        df.groupBy(user_col)
+        .applyInPandasWithState(update, out_schema, state_schema, "update", timeout)
+    )

@@ -933,3 +933,63 @@ def test_reststream_to_fuzzy_ingest_composition(spark, tmp_path):
     run_once()
     got = {r["doc_id"] for r in corpus.read_committed(spark).collect()}
     assert got == {1, 2, 4}  # 3 dropped as near-dup; 1/2 not reprocessed
+
+
+def test_stateful_funnel_tracker_across_batches(spark, tmp_path):
+    """Streaming funnel: per-user step progress must carry across
+    micro-batches with first-match anchoring and the step window
+    enforced against the carried anchor."""
+    import json
+    from incubator_gobblin_spark.streaming.stateful import funnel_tracker
+
+    src = tmp_path / "funnel_src"
+    src.mkdir()
+    # batch 1: u1 views (t=0) and clicks (t=10); u2 clicks before viewing
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"user_id": 1, "ts": "2024-01-01T00:00:00", "event_type": "view"},
+                {"user_id": 1, "ts": "2024-01-01T00:00:10", "event_type": "click"},
+                {"user_id": 2, "ts": "2024-01-01T00:00:00", "event_type": "click"},
+                {"user_id": 2, "ts": "2024-01-01T00:00:05", "event_type": "view"},
+            ]
+        )
+    )
+    # batch 2: u1 purchases in-window; u2 clicks in-window of its view;
+    # u3 appears and only views; a stale pre-anchor click for u1 is a no-op
+    (src / "b2.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"user_id": 1, "ts": "2024-01-01T00:00:50", "event_type": "purchase"},
+                {"user_id": 1, "ts": "2024-01-01T00:00:05", "event_type": "click"},
+                {"user_id": 2, "ts": "2024-01-01T00:00:30", "event_type": "click"},
+                {"user_id": 3, "ts": "2024-01-01T00:01:00", "event_type": "view"},
+            ]
+        )
+    )
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = funnel_tracker(
+        stream, ["view", "click", "purchase"], within_seconds=60
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "funnel_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM funnel_sink ORDER BY user, step_idx").collect()
+    got = [(r["user"], r["step_idx"], r["step"]) for r in rows]
+    assert got == [
+        ("1", 1, "view"), ("1", 2, "click"), ("1", 3, "purchase"),
+        ("2", 1, "view"), ("2", 2, "click"),
+        ("3", 1, "view"),
+    ]
