@@ -1399,3 +1399,144 @@ def temperature_weights(
         out_rows,
         f"{group_col} {gtype}, n_docs long, sample_prob double, multiplier double",
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (Sennrich et al. 2016, "Neural Machine
+# Translation of Rare Words with Subword Units"): the corpus-side half
+# of tokenizer construction — adjacent-symbol-pair counting over the
+# word-frequency table, and the greedy merge loop that turns the top
+# pair into a new symbol. The model (the ordered merge list) is
+# driver-side state like the k-means centroids; every counting pass is
+# a bounded-key shuffle over the DISTINCT-word table, never the corpus.
+# ---------------------------------------------------------------------------
+
+
+def word_freqs(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, freq) over whitespace tokens — the compressed training
+    input every BPE iteration runs on. |distinct words| << |tokens|, so
+    all downstream passes touch the small frame."""
+    toks = df.select(
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    return toks.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
+    """Top-``k`` adjacent character pairs by frequency-weighted count —
+    BPE's first merge-selection pass as one declarative plan:
+    (pair, n), ordered (n desc, pair asc).
+
+    Adjacent char pairs are 2-char substrings, so the pass never
+    materializes per-char arrays: one projection expands each DISTINCT
+    word into its length-1 pair list, one bounded-key shuffle sums
+    freq per pair (symbol-pair space is tiny vs corpus), and the top-k
+    is TakeOrdered."""
+    wf = word_freqs(df, text_col)
+    # substring(word, i, 2) via expr: the SQL lambda variable indexes
+    # the word directly, so no per-char array ever materializes
+    pairs = wf.filter(F.length("word") >= 2).select(
+        "freq",
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(k)
+        .select("pair", F.col("n").cast("long").alias("n"))
+    )
+
+
+def _merge_symbols(syms: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right application of one merge rule to a symbol
+    array: every adjacent (left, right) becomes the fused symbol, via a
+    single JVM-side aggregate fold (overlaps resolve left-first, the
+    standard BPE behavior: merging 'a a' in [a,a,a] yields [aa, a])."""
+    fused = left + right
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(fused))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    df: DataFrame, text_col: str, num_merges: int
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merge rules from the corpus. Returns the
+    ordered merge list — the tokenizer model.
+
+    Each iteration: count adjacent symbol pairs over the cached
+    word-frequency table (one bounded-key shuffle), pull ONLY the
+    argmax pair to the driver (count desc, pair lexicographic — fully
+    deterministic), and fold the merge into the symbol arrays with a
+    pure-Column aggregate. Driver traffic is one (pair, count) row per
+    iteration — the k-means model-state pattern; the corpus itself is
+    read once into the distinct-word frame."""
+    wf = word_freqs(df, text_col).withColumn(
+        "syms",
+        F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+    )
+    wf = wf.cache()
+    merges: list[tuple[str, str]] = []
+    try:
+        for _ in range(num_merges):
+            top = (
+                wf.select(
+                    "freq",
+                    F.explode(
+                        F.zip_with(
+                            F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                            F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                            lambda a, b: F.struct(
+                                a.alias("l"), b.alias("r")
+                            ),
+                        )
+                    ).alias("p"),
+                )
+                .groupBy("p.l", "p.r")
+                .agg(F.sum("freq").alias("n"))
+                .orderBy(F.col("n").desc(), F.col("l").asc(), F.col("r").asc())
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["n"] is None:
+                break
+            left, right = top[0]["l"], top[0]["r"]
+            merges.append((left, right))
+            new = wf.withColumn("syms", _merge_symbols(F.col("syms"), left, right))
+            new = new.cache()
+            new.count()  # materialize before dropping the parent cache
+            wf.unpersist()
+            wf = new
+    finally:
+        wf.unpersist()
+    return merges
+
+
+def bpe_segment(
+    df: DataFrame, text_col: str, merges: list[tuple[str, str]], out_col: str = "bpe_tokens"
+) -> DataFrame:
+    """Apply an ordered merge list to segment text into BPE tokens
+    (array<string> of subwords per document, whitespace words segmented
+    independently). Pure-Column: per word, chars -> fold each merge in
+    order — no UDF, no shuffle; the merge list ships as plan literals
+    like the PQ codebooks."""
+    word_syms = F.expr(
+        "transform(filter(split(" + text_col + ", '\\\\s+'), w -> w != ''), "
+        "w -> transform(sequence(1, length(w)), i -> substring(w, i, 1)))"
+    )
+    col = word_syms
+    for left, right in merges:
+        col = F.transform(col, lambda syms: _merge_symbols(syms, left, right))
+    return df.withColumn(out_col, F.flatten(col))

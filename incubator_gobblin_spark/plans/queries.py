@@ -84,6 +84,7 @@ _WINDOW_HEAD = [
     "q118_cms_heavy_hitters",    # NEW r5: count-min sketch frequency
     "q119_funnel_steps",         # NEW r5: ordered event funnel
     "q120_cohort_retention",     # NEW r5: cohort retention matrix
+    "q121_bpe_pair_counts",      # NEW r5: BPE merge-selection pass
     "q31_minhash_candidates",    # newly hash-checkable (md5 hash mode)
     "q32_simhash_neardups",      # newly hash-checkable (md5 hash mode)
     "q34_ann_lsh_topk",          # newly hash-checkable (literal planes)
@@ -123,7 +124,8 @@ _WINDOW_HEAD = [
     # test_avro and the local parity suite; both rotate back at r06.
     "q57_orc_scan_agg",
     "q58_envelope_decode_agg",
-    "q59_scalar_subquery_above_avg",
+    # q59 yields its slot to the brand-new q121: the scalar-count
+    # subquery shape is in-window q117's summary leg; back at r06.
     "q60_time_partition_tree_rollup",
     # q61 yields its slot to the brand-new q112: to_rest_entry is a
     # pure named-struct projection, a plan shape dozens of in-window
@@ -4374,6 +4376,36 @@ def q120_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket_offset",
         F.col("n_users").cast("long").alias("n_users"),
     )
+
+
+@register(
+    "q121_bpe_pair_counts",
+    r"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents
+    ),
+    wf AS (SELECT w, count(*) AS freq FROM toks WHERE w != '' GROUP BY w),
+    pairs AS (
+      SELECT substr(w, i, 2) AS pair, freq
+      FROM wf, unnest(range(1, length(w))) AS u(i)
+      WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+    FROM pairs GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20
+    """,
+)
+def q121_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, merge-selection pass
+    (corpus.bpe_pair_counts): top-20 adjacent character pairs by
+    frequency-weighted count over the distinct-word table — the
+    counting half of Sennrich et al. 2016 subword learning as one
+    declarative plan (pairs are 2-char substrings, so no per-char
+    array materializes; the shuffle key space is the symbol-pair
+    alphabet, not the corpus). The full greedy merge loop
+    (corpus.bpe_train / bpe_segment) is exercised in test_corpus —
+    its per-iteration counting pass is exactly this query."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.bpe_pair_counts(docs, "text", k=20)
 
 
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

@@ -815,3 +815,59 @@ def test_trim_contaminated_spans_cuts_benchmark_overlap(spark):
         got[2]["text_clean"]
         == "nothing from the benchmark at all in this document"
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_train_toy_corpus(spark):
+    """The Sennrich toy corpus: merge order is fully determined by the
+    frequency-weighted pair counts with (count desc, pair lex) ties."""
+    from incubator_gobblin_spark.functions import corpus as C
+
+    df = spark.createDataFrame(
+        [(0, "low low low lower lower newest newest newest widest")],
+        "id long, text string",
+    )
+    merges = C.bpe_train(df, "text", 4)
+    # counts: lo=5, ow=5, we=5, es=4, st=4 ... -> lo, then low, then es, est
+    assert merges == [("l", "o"), ("lo", "w"), ("e", "s"), ("es", "t")]
+
+
+def test_bpe_segment_applies_merges_in_order(spark):
+    from incubator_gobblin_spark.functions import corpus as C
+
+    df = spark.createDataFrame([(0, "low lower newest")], "id long, text string")
+    merges = [("l", "o"), ("lo", "w"), ("e", "s"), ("es", "t"), ("e", "w"), ("ew", "est")]
+    out = C.bpe_segment(df, "text", merges).select("bpe_tokens").collect()[0][0]
+    assert list(out) == ["low", "low", "e", "r", "n", "ewest"]
+
+
+def test_bpe_merge_overlap_resolves_left_first(spark):
+    """Greedy left-to-right: merging (a,a) in 'aaa' yields [aa, a]."""
+    from incubator_gobblin_spark.functions import corpus as C
+
+    df = spark.createDataFrame([(0, "aaa")], "id long, text string")
+    out = C.bpe_segment(df, "text", [("a", "a")]).select("bpe_tokens").collect()[0][0]
+    assert list(out) == ["aa", "a"]
+
+
+def test_bpe_train_stops_when_no_pairs_left(spark):
+    from incubator_gobblin_spark.functions import corpus as C
+
+    df = spark.createDataFrame([(0, "ab ab")], "id long, text string")
+    merges = C.bpe_train(df, "text", 10)
+    assert merges == [("a", "b")]  # after 'ab' fuses, no adjacent pairs remain
+
+
+def test_bpe_pair_counts_weighted_by_word_freq(spark):
+    from incubator_gobblin_spark.functions import corpus as C
+
+    df = spark.createDataFrame(
+        [(0, "ab ab ab"), (1, "bc")], "id long, text string"
+    )
+    pdf = C.bpe_pair_counts(df, "text", k=10).toPandas()
+    got = dict(zip(pdf["pair"], pdf["n"]))
+    assert got == {"ab": 3, "bc": 1}
