@@ -328,3 +328,37 @@ def test_trim_contaminated_broadcasts_benchmark_spans(spark, sf_dir):
     plan = _plan(Q.queries()["q115_trim_contaminated"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_semantic_decontaminate_broadcasts_bench_single_exchange(spark, sf_dir):
+    """q116: the benchmark embedding side must BROADCAST and the
+    per-vector max must collapse map-side — exactly ONE regular
+    exchange (the corpus-keyed final aggregation), never a shuffle of
+    corpus x bench pair rows."""
+    plan = _plan(Q.queries()["q116_semantic_decontaminate"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    import re
+
+    regular_exchanges = re.findall(r"Exchange hashpartitioning", plan)
+    assert len(regular_exchanges) == 1, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_cms_sketch_probe_join_is_broadcast(spark, sf_dir):
+    """q118: point estimates must come from broadcasting the bounded
+    depth*width sketch, never from shuffling the item frame against
+    it; the top-k must be TakeOrdered (no global sort)."""
+    plan = _plan(Q.queries()["q118_cms_heavy_hitters"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bpe_pair_counts_bounded_key_aggregation(spark, sf_dir):
+    """q121: the pair-count pass aggregates on the bounded symbol-pair
+    key space with map-side partials and finishes with TakeOrdered —
+    no sort shuffle, no Python, no expansion joins."""
+    plan = _plan(Q.queries()["q121_bpe_pair_counts"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
