@@ -52,13 +52,25 @@ def curate(
     cap_per_source: int = 50,
     decontam_n: int = 3,
     salt_parts: int | None = 8,
+    doc_embeddings: DataFrame | None = None,
+    bench_embeddings: DataFrame | None = None,
+    semantic_threshold: float = 0.95,
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """Run the five-stage curation chain over ``docs`` (the training
     candidates) against ``bench`` (the held-out eval corpus). Returns
     the curated rows — all input columns plus ``split``. Every stage
     is deterministic (hash-derived ordering and ranges only), so the
     output set is a pure function of the input tables: identical
-    across engines, partitionings, and re-runs."""
+    across engines, partitionings, and re-runs.
+
+    Optional stage 3b — semantic decontamination: pass
+    ``doc_embeddings`` (``id_col`` + ``vec_col``, one row per
+    candidate doc) and ``bench_embeddings`` to ALSO drop docs whose
+    embedding max-cosine against any benchmark embedding reaches
+    ``semantic_threshold`` — catching paraphrased eval leakage the
+    n-gram stage can't see (similarity.semantic_decontaminate; same
+    broadcast-bench / map-side-max shape as q116)."""
     splits = splits or {"train": 0.90, "val": 0.05, "test": 0.05}
 
     # 1. quality gate: inline projection filter, no self-join
@@ -88,6 +100,31 @@ def curate(
         kept, bench, id_col=id_col, text_col=text_col, n=decontam_n
     ).select(id_col)
     clean = deduped.join(F.broadcast(contaminated), id_col, "left_anti")
+
+    # 3b (optional). semantic decontamination: ids whose embedding
+    # sits within semantic_threshold cosine of ANY bench embedding are
+    # anti-joined out. The flagged set is benchmark-neighborhood-sized,
+    # so it broadcasts like the n-gram overlap set above.
+    if (doc_embeddings is None) != (bench_embeddings is None):
+        raise ValueError(
+            "semantic decontamination needs BOTH doc_embeddings and "
+            "bench_embeddings (or neither)"
+        )
+    if doc_embeddings is not None and bench_embeddings is not None:
+        from incubator_gobblin_spark.functions import similarity
+
+        sem_ids = (
+            similarity.semantic_decontaminate(
+                doc_embeddings,
+                bench_embeddings,
+                threshold=semantic_threshold,
+                id_col=id_col,
+                vec_col=vec_col,
+            )
+            .filter(F.col("contaminated") == 1)
+            .select(id_col)
+        )
+        clean = clean.join(F.broadcast(sem_ids), id_col, "left_anti")
 
     # 4. deterministic split assignment (md5-range membership)
     with_split = corpus.assign_split(clean, id_col, splits)

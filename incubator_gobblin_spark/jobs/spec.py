@@ -1059,6 +1059,15 @@ def run_curation_job(spark: SparkSession, spec: str | dict[str, str]):
     - ``curate.splits`` — ``train:0.9,val:0.05,test:0.05`` (default)
     - ``curate.cap.per.source`` — per-source doc cap (default 50)
     - ``curate.decontam.ngram`` — overlap n-gram size (default 3)
+    - ``curate.semantic.embeddings.dir`` — optional stage 3b: a table
+      of (id, vector) rows for the candidate docs; with it set,
+      ``curate.semantic.bench.dir`` (bench-side vectors; default: the
+      embeddings of ids matched by ``curate.bench.predicate`` is NOT
+      inferred — the dir is required), ``curate.semantic.threshold``
+      (default 0.95) and ``curate.semantic.vector.column`` (default
+      ``embedding``) drop candidates whose max cosine against any
+      benchmark vector reaches the threshold (paraphrase-proof
+      decontamination, q116's operator)
     - ``curate.salt.parts`` — hot-source salting (default 8)
     - ``writer.output.dir`` — optional; when set, the curated rows are
       staged and atomically published partitioned by split
@@ -1100,6 +1109,19 @@ def run_curation_job(spark: SparkSession, spec: str | dict[str, str]):
         if not frac:
             raise SpecError(f"bad curate.splits entry: {part!r}")
         splits[name] = float(frac)
+    doc_emb = bench_emb = None
+    if "curate.semantic.embeddings.dir" in props:
+        if "curate.semantic.bench.dir" not in props:
+            raise SpecError(
+                "curate.semantic.embeddings.dir needs "
+                "'curate.semantic.bench.dir' (the benchmark-side vectors)"
+            )
+        doc_emb = spark.read.format(resolve_format(fmt)).load(
+            props["curate.semantic.embeddings.dir"]
+        )
+        bench_emb = spark.read.format(resolve_format(fmt)).load(
+            props["curate.semantic.bench.dir"]
+        )
     curated = curate(
         docs,
         bench,
@@ -1110,6 +1132,10 @@ def run_curation_job(spark: SparkSession, spec: str | dict[str, str]):
         cap_per_source=int(props.get("curate.cap.per.source", "50")),
         decontam_n=int(props.get("curate.decontam.ngram", "3")),
         salt_parts=int(props.get("curate.salt.parts", "8")),
+        doc_embeddings=doc_emb,
+        bench_embeddings=bench_emb,
+        semantic_threshold=float(props.get("curate.semantic.threshold", "0.95")),
+        vec_col=props.get("curate.semantic.vector.column", "embedding"),
     )
     lake_dir = props.get("curate.lake.dir")
     if lake_dir:

@@ -72,3 +72,46 @@ def test_curate_deterministic_under_repartition(spark, sf_dir, curated):
         (r.doc_id, r.split) for r in df.select("doc_id", "split").collect()
     )
     assert ids(again) == ids(curated)
+
+
+def test_curate_semantic_stage_drops_embedding_leaks(spark, sf_dir):
+    """Optional stage 3b: a candidate whose embedding sits at cosine 1.0
+    to a bench embedding must be dropped; an orthogonal one survives;
+    the default (no embeddings) path is untouched."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    base = curate_job.curate(train, bench)
+    base_ids = {r["doc_id"] for r in base.select("doc_id").collect()}
+    assert base_ids, "need survivors to plant a leak"
+    leak_id = min(base_ids)
+    other_id = max(base_ids)
+    doc_emb = spark.createDataFrame(
+        [(leak_id, [1.0, 0.0]), (other_id, [0.0, 1.0])],
+        "doc_id long, embedding array<double>",
+    )
+    bench_emb = spark.createDataFrame(
+        [(10**9, [2.0, 0.0])], "doc_id long, embedding array<double>"
+    )
+    out = curate_job.curate(
+        train, bench, doc_embeddings=doc_emb, bench_embeddings=bench_emb,
+        semantic_threshold=0.99,
+    )
+    out_ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert leak_id not in out_ids
+    assert other_id in out_ids
+    # docs without an embedding row are untouched
+    assert out_ids == base_ids - {leak_id}
+
+
+def test_curate_semantic_stage_requires_both_sides(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    emb = spark.createDataFrame(
+        [(1, [1.0])], "doc_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="BOTH"):
+        curate_job.curate(
+            docs.filter(F.col("doc_id") % 97 != 0),
+            docs.filter(F.col("doc_id") % 97 == 0),
+            doc_embeddings=emb,
+        )

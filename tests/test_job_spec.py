@@ -728,3 +728,52 @@ def test_mixture_job_with_shards(spark, tmp_path):
     # the two copies of one doc shuffle independently (different keys)
     c = got.filter(F.col("doc_id") == 0).select("shard", "pos").collect()
     assert len(c) == 2 and len({(r["shard"], r["pos"]) for r in c}) == 2
+
+
+def test_curation_job_spec_semantic_stage(spark, tmp_path, sf_dir):
+    """curate.semantic.* vocabulary: planted embedding leak is dropped
+    by the spec-driven run; missing bench dir is a SpecError."""
+    from pyspark.sql import functions as F
+
+    from incubator_gobblin_spark.jobs import curate as curate_job
+    from incubator_gobblin_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = curate_job.curate(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+    )
+    base_ids = {r["doc_id"] for r in base.select("doc_id").collect()}
+    leak_id = min(base_ids)
+    emb_dir = str(tmp_path / "emb")
+    bench_dir = str(tmp_path / "bench_emb")
+    spark.createDataFrame(
+        [(leak_id, [1.0, 0.0])], "doc_id long, embedding array<double>"
+    ).write.parquet(emb_dir)
+    spark.createDataFrame(
+        [(10**9, [3.0, 0.0])], "doc_id long, embedding array<double>"
+    ).write.parquet(bench_dir)
+    res = S.run_curation_job(
+        spark,
+        {
+            "curate.input.dir": f"{sf_dir}/documents.parquet",
+            "curate.bench.predicate": "doc_id % 97 = 0",
+            "curate.semantic.embeddings.dir": emb_dir,
+            "curate.semantic.bench.dir": bench_dir,
+            "curate.semantic.threshold": "0.99",
+        },
+    )
+    got = {r["doc_id"] for r in res.select("doc_id").collect()}
+    assert got == base_ids - {leak_id}
+
+    import pytest as _pytest
+
+    with _pytest.raises(S.SpecError, match="semantic.bench.dir"):
+        S.run_curation_job(
+            spark,
+            {
+                "curate.input.dir": f"{sf_dir}/documents.parquet",
+                "curate.bench.predicate": "doc_id % 97 = 0",
+                "curate.semantic.embeddings.dir": emb_dir,
+            },
+        )
