@@ -55,6 +55,7 @@ HEADLINE = [
     "q115_trim_contaminated",  # span-level decontamination + rebuild
     "q116_semantic_decontaminate",  # embedding-level eval leakage gate
     "q118_cms_heavy_hitters",  # count-min sketch build + probe + top-k
+    "q121_bpe_pair_counts",    # BPE merge-selection pair counting
 ]
 
 
@@ -202,6 +203,8 @@ def main() -> None:
             "q106_curation_pipeline",   # five-stage chain at 50k docs
             "q109_duplicated_spans",    # substring dedup at 50k docs
             "q116_semantic_decontaminate",  # bench-vs-corpus sims at 20k vecs
+            "q118_cms_heavy_hitters",   # CMS build+probe at ~5M tokens
+            "q121_bpe_pair_counts",     # BPE pair counting at ~5M tokens
         ]
         for name in SOAK:
             runs = []

@@ -600,6 +600,7 @@ def lsh_audit(
     shingle_n: int = 2,
     seed: int = 42,
     hash_mode: str = "xxhash64",
+    max_sample_rows: int = 100_000,
 ) -> DataFrame:
     """Recall/precision audit of the MinHash-LSH candidate generator
     against exact n-gram Jaccard ground truth, on an audit sample:
@@ -614,15 +615,25 @@ def lsh_audit(
     actually delivering on THIS corpus rather than on the S-curve's
     idealized uniform similarity.
 
-    Scale: ground truth needs exact pairwise Jaccard, so the input must
-    be a bounded audit sample (the all-pairs guard inside
-    :func:`jaccard_pairs` applies — pass a deterministic slice like
-    ``doc_id % K = 0``, the same sampling idiom as q30). Both legs and
-    the join are computed in ONE Catalyst plan; the three counts are
-    single-row aggregates combined by cross join (driver-free).
+    Scale: ground truth needs exact pairwise Jaccard, so the input MUST
+    be a bounded audit sample — enforced by ``max_sample_rows`` (a
+    ``limit(max+1).count()`` probe, never a full scan): an oversized
+    input raises and points at a deterministic slice like
+    ``doc_id % K = 0`` (the q30 sampling idiom) instead of silently
+    shipping an O(n²) cross product. Both legs and the join are
+    computed in ONE Catalyst plan; the three counts are single-row
+    aggregates combined by cross join (driver-free).
 
     Precision/recall are single IEEE divisions of exact integers,
     round(6) — engine-portable like every ratio in this library."""
+    n = df.limit(max_sample_rows + 1).count()
+    if n > max_sample_rows:
+        raise ValueError(
+            f"lsh_audit: input exceeds {max_sample_rows} rows; the exact-"
+            "Jaccard ground truth is all-pairs — audit a deterministic "
+            "sample (e.g. filter(id % K == 0)) or raise max_sample_rows "
+            "explicitly"
+        )
     truth = jaccard_pairs(
         df, id_col=id_col, text_col=text_col, threshold=threshold,
         shingle_n=shingle_n,

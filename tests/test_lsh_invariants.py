@@ -252,3 +252,13 @@ def test_lsh_audit_both_hash_modes_agree_on_truth(spark, sf_dir):
                               hash_mode="xxhash64").toPandas().iloc[0]
     assert a["n_truth"] == b["n_truth"]
     assert a["recall"] == 1.0 == b["recall"]
+
+
+def test_lsh_audit_sample_size_guard(spark):
+    big = spark.range(30).select(
+        F.col("id").alias("doc_id"), F.lit("some text here").alias("text")
+    )
+    with pytest.raises(ValueError, match="max_sample_rows"):
+        dedup_fuzzy.lsh_audit(
+            big, "doc_id", "text", 0.5, max_sample_rows=10
+        )

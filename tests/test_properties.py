@@ -230,3 +230,63 @@ def test_simhash_split_halves_reconstruct(votes_bits):
     direct = sum((1 << i) for i in range(64) if votes[i] > 0)
     assert hi * (1 << 32) + lo == direct
     assert 0 <= hi < (1 << 32) and 0 <= lo < (1 << 32)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=2, max_value=16),
+)
+def test_cms_never_underestimates_property(items, width):
+    """CMS one-sided error: est >= exact for every item, any width."""
+    from incubator_gobblin_spark.functions import sketches
+    from incubator_gobblin_spark.session import get_spark
+
+    spark = get_spark(app_name="props", master="local[2]", shuffle_partitions=2)
+    df = spark.createDataFrame([(i,) for i in items], "item string")
+    pdf = sketches.cms_heavy_hitters(
+        df, "item", k=len(items), depth=3, width=width
+    ).toPandas()
+    assert (pdf["est"] >= pdf["exact"]).all()
+    assert int(pdf["exact"].sum()) == len(items)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),      # user
+            st.integers(min_value=0, max_value=1000),   # ts offset sec
+            st.sampled_from(["view", "click", "purchase", "error"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_funnel_counts_monotone_property(rows):
+    """Down any ordered funnel, per-step user counts never increase."""
+    import datetime as dt
+
+    from incubator_gobblin_spark.functions import events as events_fn
+    from incubator_gobblin_spark.session import get_spark
+
+    spark = get_spark(app_name="props", master="local[2]", shuffle_partitions=2)
+    df = spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), u, t, 0.0, "")
+            for i, (u, s, t) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = (
+        events_fn.funnel(df, ["view", "click", "purchase"], within_seconds=600)
+        .toPandas()
+        .sort_values("step_idx")
+    )
+    ns = list(out["n_users"])
+    assert all(a >= b for a, b in zip(ns, ns[1:]))
