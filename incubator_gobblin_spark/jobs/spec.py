@@ -1041,6 +1041,91 @@ def run_mixture_job(spark: SparkSession, spec: str | dict[str, str]):
     }
 
 
+def run_audit_job(
+    spark: SparkSession, spec: str | dict[str, str]
+) -> dict[str, "DataFrame"]:
+    """Run a corpus-health audit: column drift profile, hot-key skew
+    report, and (optionally) the MinHash-LSH dedup recall/precision
+    audit over a bounded sample — the scheduled observability job a
+    production dedup/curation pipeline runs next to its data jobs (the
+    task-level-policy idea — TaskLevelPolicy.java:29 gates a run on
+    counts; this reports the full drift/skew/dedup-quality picture).
+    Vocabulary:
+
+    - ``audit.input.dir`` / ``audit.input.format`` — the table to audit
+    - ``audit.profile.columns`` — csv of columns (default: all)
+    - ``audit.profile.exact`` — exact distinct counts (default true;
+      false = HLL, no Expand, for interactive full-scale runs)
+    - ``audit.skew.keys`` — csv of join/agg key columns; when set, the
+      report adds the top hot keys with corpus fractions
+    - ``audit.skew.top`` — hot keys per report (default 10)
+    - ``audit.lsh.sample.predicate`` — SQL predicate selecting the
+      bounded audit sample (e.g. ``doc_id % 50 = 0``); enables the
+      dedup-quality leg
+    - ``audit.id.column`` / ``audit.text.column`` — defaults
+      doc_id / text
+    - ``audit.lsh.threshold`` / ``audit.lsh.num.hashes`` /
+      ``audit.lsh.bands`` — defaults 0.5 / 32 / 8
+    - ``writer.output.dir`` — optional: each report is staged and
+      atomically published under ``<dir>/<report>/``
+
+    Returns ``{report_name: DataFrame}`` with keys among
+    ``profile``, ``skew``, ``lsh_audit``."""
+    from incubator_gobblin_spark.formats.avro_ocf import resolve_format
+    from incubator_gobblin_spark.functions.dedup_fuzzy import lsh_audit
+    from incubator_gobblin_spark.operators.joins import skew_report
+    from incubator_gobblin_spark.operators.quality import profile_columns
+
+    props = load_job_file(spec) if isinstance(spec, str) else spec
+    if "audit.input.dir" not in props:
+        raise SpecError("audit job needs 'audit.input.dir'")
+    fmt = props.get("audit.input.format", "parquet").lower()
+    df = spark.read.format(resolve_format(fmt)).load(props["audit.input.dir"])
+
+    reports: dict[str, DataFrame] = {}
+    prof_cols = [
+        c.strip()
+        for c in props.get("audit.profile.columns", "").split(",")
+        if c.strip()
+    ] or None
+    reports["profile"] = profile_columns(
+        df,
+        cols=prof_cols,
+        exact_distinct=props.get("audit.profile.exact", "true").lower()
+        == "true",
+    )
+    skew_keys = [
+        c.strip() for c in props.get("audit.skew.keys", "").split(",") if c.strip()
+    ]
+    if skew_keys:
+        reports["skew"] = skew_report(
+            df, skew_keys, top=int(props.get("audit.skew.top", "10"))
+        )
+    if "audit.lsh.sample.predicate" in props:
+        pred = props["audit.lsh.sample.predicate"]
+        sample = df.filter(f"coalesce(({pred}), false)")
+        reports["lsh_audit"] = lsh_audit(
+            sample,
+            id_col=props.get("audit.id.column", "doc_id"),
+            text_col=props.get("audit.text.column", "text"),
+            threshold=float(props.get("audit.lsh.threshold", "0.5")),
+            num_hashes=int(props.get("audit.lsh.num.hashes", "32")),
+            bands=int(props.get("audit.lsh.bands", "8")),
+        )
+    out_dir = props.get("writer.output.dir")
+    if out_dir:
+        import os as _os
+
+        from incubator_gobblin_spark.sinks.files import FileSink, new_run_id
+
+        for name, rep in reports.items():
+            sink = FileSink(path=_os.path.join(out_dir, name))
+            rid = new_run_id()
+            sink.write_staging(rep, rid)
+            sink.publish(rid)
+    return reports
+
+
 def run_curation_job(spark: SparkSession, spec: str | dict[str, str]):
     """Run the five-stage corpus-curation chain (:mod:`jobs.curate`)
     from a ``.pull``-style spec — the job-spec face of the reference's

@@ -777,3 +777,43 @@ def test_curation_job_spec_semantic_stage(spark, tmp_path, sf_dir):
                 "curate.semantic.embeddings.dir": emb_dir,
             },
         )
+
+
+def test_audit_job_spec(spark, tmp_path, sf_dir):
+    """audit.* vocabulary: profile + skew + LSH dedup audit from one
+    spec, each report published atomically."""
+    import os
+
+    out_dir = str(tmp_path / "audit_out")
+    reports = S.run_audit_job(
+        spark,
+        {
+            "audit.input.dir": f"{sf_dir}/documents.parquet",
+            "audit.profile.columns": "doc_id,lang,source",
+            "audit.skew.keys": "source",
+            "audit.skew.top": "5",
+            "audit.lsh.sample.predicate": "doc_id % 5 = 0",
+            "writer.output.dir": out_dir,
+        },
+    )
+    assert set(reports) == {"profile", "skew", "lsh_audit"}
+    prof = reports["profile"].toPandas()
+    assert set(prof["column"]) == {"doc_id", "lang", "source"}
+    skew = reports["skew"].toPandas()
+    assert len(skew) <= 5 and (skew["frac"] <= 1.0).all()
+    audit = reports["lsh_audit"].toPandas().iloc[0]
+    assert audit["n_truth"] >= 0 and 0 <= audit["recall"] <= 1
+    for name in reports:
+        pub = spark.read.parquet(os.path.join(out_dir, name))
+        assert pub.count() == reports[name].count()
+
+
+def test_audit_job_spec_minimal_and_errors(spark, sf_dir):
+    reports = S.run_audit_job(
+        spark, {"audit.input.dir": f"{sf_dir}/documents.parquet"}
+    )
+    assert set(reports) == {"profile"}  # skew/lsh legs are opt-in
+    import pytest as _pytest
+
+    with _pytest.raises(S.SpecError, match="audit.input.dir"):
+        S.run_audit_job(spark, {})
