@@ -186,17 +186,26 @@ def _cms_bucket(item: Column, row: int, width: int) -> Column:
 
 
 def cms_sketch(
-    df: DataFrame, item_col: str, depth: int = 4, width: int = 256
+    df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Build a count-min sketch over ``item_col`` occurrences: one row
     per non-empty (hash_row, bucket) cell with its collision-summed
     count — at most ``depth * width`` rows regardless of input size.
+    With ``weight_col``, each row contributes that many occurrences
+    (the pre-aggregated (item, count) form — bit-identical cells to
+    feeding the raw occurrences).
 
     Scale shape: a single groupBy shuffle whose key space is bounded by
     the sketch dimensions, so the map-side partial aggregation collapses
     every partition to <= depth*width rows before the exchange; the
     sketch itself is always broadcast-sized by construction."""
+    w = F.col(weight_col) if weight_col else F.lit(1)
     cells = df.select(
+        w.cast("long").alias("_w"),
         F.explode(
             F.array(
                 *[
@@ -207,11 +216,11 @@ def cms_sketch(
                     for r in range(depth)
                 ]
             )
-        ).alias("_c")
+        ).alias("_c"),
     )
     return cells.groupBy(
         F.col("_c.hash_row").alias("hash_row"), F.col("_c.bucket").alias("bucket")
-    ).agg(F.count(F.lit(1)).alias("cell_count"))
+    ).agg(F.sum("_w").alias("cell_count"))
 
 
 def cms_heavy_hitters(
@@ -227,15 +236,19 @@ def cms_heavy_hitters(
     occurrences plus non-negative collisions), so the gap column is a
     direct read on collision error at the chosen (depth, width).
 
-    Scale shape: the sketch build is one bounded shuffle (see
-    :func:`cms_sketch`); the distinct-item frame is one map-side-combined
-    count shuffle; point estimates come from a broadcast hash join of
+    Scale shape: the distinct-item frame is one map-side-combined count
+    shuffle, and the sketch builds FROM it in weighted form
+    (:func:`cms_sketch` with ``weight_col`` — bit-identical cells, but
+    the depth-way expansion runs over |distinct items| instead of
+    |occurrences|); point estimates come from a broadcast hash join of
     the <= depth*width-cell sketch (never a shuffle of the item frame);
     the final top-k is TakeOrdered (per-partition heaps, no global
     sort). Ties broken by item for cross-engine determinism."""
-    sketch = cms_sketch(df, item_col, depth=depth, width=width)
     exact = df.groupBy(F.col(item_col).alias("item")).agg(
         F.count(F.lit(1)).alias("exact")
+    )
+    sketch = cms_sketch(
+        exact, "item", depth=depth, width=width, weight_col="exact"
     )
     probes = exact.select(
         "item",
