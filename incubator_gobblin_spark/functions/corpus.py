@@ -1525,13 +1525,31 @@ def bpe_train(
 
 
 def bpe_segment(
-    df: DataFrame, text_col: str, merges: list[tuple[str, str]], out_col: str = "bpe_tokens"
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    out_col: str = "bpe_tokens",
+    max_plan_merges: int = 512,
 ) -> DataFrame:
     """Apply an ordered merge list to segment text into BPE tokens
     (array<string> of subwords per document, whitespace words segmented
     independently). Pure-Column: per word, chars -> fold each merge in
     order — no UDF, no shuffle; the merge list ships as plan literals
-    like the PQ codebooks."""
+    like the PQ codebooks.
+
+    The plan grows one nested fold PER MERGE, so this formulation is
+    for small exploratory vocabularies (the merge lists bpe_train
+    produces at its driver-loop cost ceiling). A production tokenizer
+    vocabulary (30k+ merges) belongs in an Arrow-batched mapInPandas
+    with a real trie tokenizer, not a 30k-deep Catalyst expression —
+    guarded loudly rather than compiling a plan that stalls the
+    optimizer."""
+    if len(merges) > max_plan_merges:
+        raise ValueError(
+            f"bpe_segment: {len(merges)} merges exceeds the literal-plan "
+            f"bound ({max_plan_merges}); apply large vocabularies with an "
+            "Arrow-batched tokenizer UDF instead of a per-merge Column fold"
+        )
     word_syms = F.expr(
         "transform(filter(split(" + text_col + ", '\\\\s+'), w -> w != ''), "
         "w -> transform(sequence(1, length(w)), i -> substring(w, i, 1)))"

@@ -1,10 +1,13 @@
 """Event-stream analytics: ordered funnels and cohort retention.
 
-Gobblin's event tables (tracking ingestion, `gobblin-metrics`' event
-stream) stop at ingest; the downstream questions every event pipeline
-exists to answer — "how many users completed the flow?", "how long do
-cohorts stay active?" — are aggregations the reference delegates to the
-warehouse. Here they are first-class DataFrame operators, shaped for
+Gobblin's event tables stop at ingest (the reference MODELS events —
+gobblin-metrics-libs/gobblin-metrics-base/src/main/avro/
+GobblinTrackingEvent.avsc: namespace/name/timestamp/metadata — and
+ships them, e.g. gobblin-core-base/.../converter/filter/
+GobblinTrackingEventFlattenFilterConverter.java:43); the downstream
+questions every event pipeline exists to answer — "how many users
+completed the flow?", "how long do cohorts stay active?" — are
+aggregations the reference delegates to the warehouse. Here they are first-class DataFrame operators, shaped for
 scale: every stage is an equi-join or groupBy on the user key, so all
 shuffles share one partitioning (Catalyst reuses the exchange), and no
 stage expands rows beyond the per-step event subsets.

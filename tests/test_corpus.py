@@ -871,3 +871,12 @@ def test_bpe_pair_counts_weighted_by_word_freq(spark):
     pdf = C.bpe_pair_counts(df, "text", k=10).toPandas()
     got = dict(zip(pdf["pair"], pdf["n"]))
     assert got == {"ab": 3, "bc": 1}
+
+
+def test_bpe_segment_plan_size_guard(spark):
+    from incubator_gobblin_spark.functions import corpus as C
+
+    df = spark.createDataFrame([(0, "ab")], "id long, text string")
+    merges = [(f"x{i}", f"y{i}") for i in range(600)]
+    with pytest.raises(ValueError, match="literal-plan bound"):
+        C.bpe_segment(df, "text", merges)
