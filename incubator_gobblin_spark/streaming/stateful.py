@@ -149,6 +149,7 @@ def funnel_tracker(
     type_col: str = "event_type",
     within_seconds: int | None = None,
     timeout: str = GroupStateTimeout.NoTimeout,
+    output_mode: str = "update",
 ) -> DataFrame:
     """Streaming funnel progression: per-user advancement through an
     ordered step list, carried across micro-batches — the live face of
@@ -166,7 +167,9 @@ def funnel_tracker(
     recorded anchor cannot retroactively advance the funnel (use the
     batch operator for reprocessing-grade answers). State per user is
     two scalars (step index + anchor micros); pass a timeout to age out
-    abandoned funnels.
+    abandoned funnels. Advancement rows are emitted exactly once, so
+    they are append-shaped: pass ``output_mode="append"`` for
+    append-only sinks (files), leave ``"update"`` for update sinks.
     """
     if len(steps) < 2:
         raise ValueError("funnel_tracker needs at least 2 steps")
@@ -231,5 +234,5 @@ def funnel_tracker(
 
     return (
         df.groupBy(user_col)
-        .applyInPandasWithState(update, out_schema, state_schema, "update", timeout)
+        .applyInPandasWithState(update, out_schema, state_schema, output_mode, timeout)
     )

@@ -993,3 +993,79 @@ def test_stateful_funnel_tracker_across_batches(spark, tmp_path):
         ("2", 1, "view"), ("2", 2, "click"),
         ("3", 1, "view"),
     ]
+
+
+def test_reststream_funnel_composition(spark, tmp_path):
+    """Composition: the streaming REST source feeds the stateful funnel
+    tracker; a restart from the checkpoint ingests ONLY the delta and
+    the carried per-user state lets run-2 events complete funnels that
+    STARTED in run 1."""
+    import pandas as pd
+
+    from incubator_gobblin_spark.streaming.flow import StreamPipeline
+    from incubator_gobblin_spark.streaming.stateful import funnel_tracker
+
+    src_path = str(tmp_path / "events_api.parquet")
+    ckpt = str(tmp_path / "funnel_rest_ckpt")
+    out = str(tmp_path / "funnel_rest_out")
+
+    def write_source(rows):
+        pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": pd.to_datetime([r[1] for r in rows]),
+                "user_id": [r[2] for r in rows],
+                "event_type": [r[3] for r in rows],
+            }
+        ).to_parquet(src_path)
+
+    batch1 = [
+        (1, "2024-01-01T00:00:00", 1, "view"),
+        (2, "2024-01-01T00:00:10", 1, "click"),
+        (3, "2024-01-01T00:00:20", 2, "view"),
+    ]
+    write_source(batch1)
+
+    def run_once():
+        df = (
+            StreamPipeline(spark)
+            .source_rest(
+                src_path,
+                resource="events",
+                wm_column="event_id",
+                ddl="event_id long, ts timestamp, user_id long, event_type string",
+                page_size=2,
+                num_partitions=1,
+            )
+            ._source(spark)
+        )
+        q = (
+            funnel_tracker(
+                df, ["view", "click", "purchase"], within_seconds=120,
+                output_mode="append",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got1 = {(r["user"], r["step_idx"]) for r in spark.read.parquet(out).collect()}
+    assert got1 == {("1", 1), ("1", 2), ("2", 1)}
+
+    # delta lands at the API between runs: u1 purchases (completing a
+    # funnel STARTED in run 1 — needs carried state), u2 clicks
+    write_source(
+        batch1
+        + [
+            (4, "2024-01-01T00:01:00", 1, "purchase"),
+            (5, "2024-01-01T00:01:10", 2, "click"),
+        ]
+    )
+    run_once()
+    got2 = {(r["user"], r["step_idx"]) for r in spark.read.parquet(out).collect()}
+    assert got2 == got1 | {("1", 3), ("2", 2)}
