@@ -199,10 +199,16 @@ def cms_sketch(
     (the pre-aggregated (item, count) form — bit-identical cells to
     feeding the raw occurrences).
 
+    NULL items are excluded explicitly (a NULL carries no identity to
+    count; without the filter it would vanish SILENTLY — its md5 bucket
+    is NULL and every probe join drops it — so the exclusion is made
+    loud and contractual here instead).
+
     Scale shape: a single groupBy shuffle whose key space is bounded by
     the sketch dimensions, so the map-side partial aggregation collapses
     every partition to <= depth*width rows before the exchange; the
     sketch itself is always broadcast-sized by construction."""
+    df = df.filter(F.col(item_col).isNotNull())
     w = F.col(weight_col) if weight_col else F.lit(1)
     cells = df.select(
         w.cast("long").alias("_w"),
@@ -243,9 +249,12 @@ def cms_heavy_hitters(
     |occurrences|); point estimates come from a broadcast hash join of
     the <= depth*width-cell sketch (never a shuffle of the item frame);
     the final top-k is TakeOrdered (per-partition heaps, no global
-    sort). Ties broken by item for cross-engine determinism."""
-    exact = df.groupBy(F.col(item_col).alias("item")).agg(
-        F.count(F.lit(1)).alias("exact")
+    sort). Ties broken by item for cross-engine determinism. NULL items
+    are excluded (same contract as :func:`cms_sketch`)."""
+    exact = (
+        df.filter(F.col(item_col).isNotNull())
+        .groupBy(F.col(item_col).alias("item"))
+        .agg(F.count(F.lit(1)).alias("exact"))
     )
     sketch = cms_sketch(
         exact, "item", depth=depth, width=width, weight_col="exact"

@@ -142,3 +142,17 @@ def test_cms_partitioning_invariant(spark):
         a.repartition(7), "item", k=13, depth=4, width=64
     ).toPandas()
     assert one.to_dict("records") == two.to_dict("records")
+
+
+def test_cms_null_items_excluded_loudly(spark):
+    """NULL items are contractually excluded (they would otherwise
+    vanish silently through a NULL-bucket join): totals count only
+    non-null occurrences and no NULL row appears in the report."""
+    rows = [("a",), ("a",), (None,), ("b",), (None,)]
+    df = spark.createDataFrame(rows, "item string")
+    pdf = sketches.cms_heavy_hitters(df, "item", k=10, depth=3, width=64).toPandas()
+    assert pdf["item"].notna().all()
+    assert int(pdf["exact"].sum()) == 3
+    sk = sketches.cms_sketch(df, "item", depth=3, width=64)
+    total = sk.groupBy("hash_row").agg(F.sum("cell_count").alias("s")).toPandas()
+    assert set(total["s"]) == {3}
