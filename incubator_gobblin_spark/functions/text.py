@@ -236,3 +236,52 @@ def ngrams(col: Column | str, n: int = 3) -> Column:
     return F.when(k <= 0, F.array()).otherwise(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     )
+
+
+def char_entropy(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_chars: int = 1000,
+):
+    """Per-document Shannon character entropy (bits/char) — the cheap
+    garbled-input detector: natural language sits ~3.5–4.5 bits/char,
+    base64/binary junk pushes toward 6, single-character spam toward 0.
+    A standing pretraining-quality signal next to the ratio heuristics
+    (quality_score) and the LM scores (corpus.trigram_logprob).
+
+    Returns (id, n_scored, entropy_bits) over the first ``max_chars``
+    lowercased characters. Determinism follows the q90 log discipline:
+    each per-character term -(c/n)·log2(c/n) is round(6)-ed and summed
+    as DECIMAL (order-independent), so any engine reproduces the value.
+
+    Scale shape: chars explode to (doc, char) rows — the same linear
+    expansion as trigram scoring — then two same-key shuffles (char
+    counts per doc, decimal sum per doc); ``max_chars`` bounds the
+    expansion per row exactly like q90's scoring prefix."""
+    from pyspark.sql import functions as F  # local: keep module head slim
+
+    t = F.lower(F.substring(F.col(text_col), 1, max_chars))
+    chars = df.select(
+        F.col(id_col),
+        F.length(t).alias("_n"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(lower(substring({text_col}, 1, {max_chars}))), 1)), "
+                f"i -> substring(lower(substring({text_col}, 1, {max_chars})), i, 1))"
+            )
+        ).alias("_ch"),
+    ).filter(F.col("_n") > 0)
+    counts = chars.groupBy(id_col, "_n", "_ch").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    # -(c/n) * ln(c/n) / ln(2), each factor one IEEE op, rounded at 6dp
+    p = F.col("_c") / F.col("_n")
+    term = F.round(-(p * F.log(p)) / F.lit(0.6931471805599453), 6)
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.max("_n").cast("long").alias("n_scored"),
+            F.sum(term.cast("decimal(18,6)")).cast("double").alias("entropy_bits"),
+        )
+    )

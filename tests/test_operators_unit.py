@@ -738,3 +738,24 @@ def test_ivfpq_matches_pq_on_probed_cells(spark):
     for r in narrow:
         if r.neighbor_id in full_d:
             assert r.approx_dist == full_d[r.neighbor_id]
+
+
+def test_char_entropy_separates_junk_from_text(spark):
+    """Entropy ordering: repeated-char spam << natural text << uniform
+    random-ish alphabet soup; empty docs are excluded (nothing scored)."""
+    import string
+
+    from incubator_gobblin_spark.functions import text as T
+
+    rows = [
+        (1, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),
+        (2, "the quick brown fox jumps over the lazy dog and runs away"),
+        (3, string.ascii_lowercase + string.digits + ".,;:!?-+*/"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = T.char_entropy(df).toPandas().set_index("doc_id")
+    assert 4 not in out.index
+    assert out.loc[1, "entropy_bits"] == 0.0
+    assert out.loc[1, "entropy_bits"] < out.loc[2, "entropy_bits"] < out.loc[3, "entropy_bits"]
+    assert 3.0 < out.loc[2, "entropy_bits"] < 4.6
