@@ -880,3 +880,39 @@ def test_bpe_segment_plan_size_guard(spark):
     merges = [(f"x{i}", f"y{i}") for i in range(600)]
     with pytest.raises(ValueError, match="literal-plan bound"):
         C.bpe_segment(df, "text", merges)
+
+
+def test_curate_to_tokenizer_pipeline_composes(spark, sf_dir):
+    """This round's additions compose into the tokenizer-training leg
+    of the assembly line: curate survivors -> entropy gate -> bpe_train
+    on the gated corpus -> bpe_segment -> per-doc token counts feed
+    pack_chunks. Deterministic end to end: two runs, identical packs."""
+    from incubator_gobblin_spark.functions import text as T
+    from incubator_gobblin_spark.jobs import curate as curate_job
+    from incubator_gobblin_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+
+    def run():
+        survivors = curate_job.curate(train, bench)
+        gated = survivors.join(
+            T.char_entropy(survivors).filter(
+                (F.col("entropy_bits") >= 2.0) & (F.col("entropy_bits") <= 5.5)
+            ).select("doc_id"),
+            "doc_id",
+        )
+        merges = corpus.bpe_train(gated.limit(50), "text", 4)
+        seg = corpus.bpe_segment(gated, "text", merges).select(
+            "doc_id", F.concat_ws(" ", "bpe_tokens").alias("bpe_text")
+        )
+        packed = corpus.pack_chunks(
+            seg, budget=512, id_col="doc_id", text_col="bpe_text"
+        )
+        return merges, sorted(map(tuple, packed.collect()))
+
+    m1, p1 = run()
+    m2, p2 = run()
+    assert m1 == m2 and len(m1) == 4
+    assert p1 == p2 and len(p1) > 0
