@@ -931,6 +931,134 @@ class FileSink:
         os.replace(tmp, root)
         return root
 
+    def export_delta_log(self, as_of_run: str | None = None) -> str:
+        """Export the committed snapshot as a Delta Lake transaction
+        log (``_delta_log/``), the other publicly documented interop
+        surface next to :meth:`export_symlink_manifest`: the Delta log
+        is plain JSON-lines (delta-io PROTOCOL.md), so any Delta reader
+        (Spark+delta jars, delta-rs, DuckDB's delta extension) pointed
+        at the lake root sees EXACTLY the committed files — with
+        partition values, sizes, and schema — no knowledge of this
+        engine's manifest JSON required.
+
+        Each call appends ONE Delta version: version 0 carries
+        protocol + metaData + an ``add`` per live file; later exports
+        diff against the replayed log and emit only ``remove``/``add``
+        actions (a no-change export writes nothing). Re-exporting after
+        every commit keeps the Delta view current; the export is a
+        READ-ONLY projection of the manifest — this engine never reads
+        the Delta log back.
+
+        Offline caveat (stated for honesty): no Delta reader exists in
+        this environment, so conformance is pinned structurally
+        (replay-equals-snapshot, spec-required fields, partition
+        encoding) rather than by a foreign engine end-to-end."""
+        import json
+        import time as _time
+        import uuid as _uuid
+        from urllib.parse import quote, unquote
+
+        if self.fmt != "parquet":
+            raise ValueError("export_delta_log requires a parquet lake")
+        manifest = self.current_manifest(as_of_run, materialize=False)
+        if manifest is None:
+            raise FileNotFoundError(f"no committed manifest under {self.path}")
+        if "groups" in manifest:
+            entries = [
+                e for g in manifest["groups"] for e in self._load_group(g)
+            ]
+        else:
+            entries = manifest["entries"]
+
+        log_dir = os.path.join(self.path, "_delta_log")
+        os.makedirs(log_dir, exist_ok=True)
+        prev = sorted(
+            f for f in os.listdir(log_dir)
+            if f.endswith(".json") and f.split(".")[0].isdigit()
+        )
+        live: dict[str, dict] = {}
+        for pf in prev:
+            with open(os.path.join(log_dir, pf)) as fh:
+                for line in fh:
+                    act = json.loads(line)
+                    if "add" in act:
+                        live[act["add"]["path"]] = act["add"]
+                    elif "remove" in act:
+                        live.pop(act["remove"]["path"], None)
+        version = len(prev)
+
+        adds: dict[str, dict] = {}
+        for e in sorted(entries, key=lambda x: x["file"]):
+            rel = e["file"].replace(os.sep, "/")
+            fp = os.path.join(self.path, e["file"])
+            pvals: dict[str, str] = {}
+            if e.get("partition"):
+                for seg in e["partition"].replace(os.sep, "/").split("/"):
+                    k, _, v = seg.partition("=")
+                    pvals[k] = unquote(v)
+            adds[quote(rel)] = {
+                "path": quote(rel),
+                "partitionValues": pvals,
+                "size": os.path.getsize(fp),
+                "modificationTime": int(os.path.getmtime(fp) * 1000),
+                "dataChange": True,
+            }
+
+        removed = sorted(p for p in live if p not in adds)
+        added = sorted(p for p in adds if p not in live)
+        if version > 0 and not removed and not added:
+            return log_dir  # snapshot unchanged: no empty Delta commit
+
+        ts = int(_time.time() * 1000)
+        actions: list[dict] = [
+            {"commitInfo": {"timestamp": ts, "operation": "WRITE",
+                            "engineInfo": "incubator-gobblin-spark manifest export"}}
+        ]
+        if version == 0:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
+            sample = next(iter(adds.values()), None)
+            schema = (
+                _delta_schema_string(
+                    os.path.join(self.path, unquote(sample["path"]))
+                )
+                if sample
+                else json.dumps({"type": "struct", "fields": []})
+            )
+            actions.append(
+                {
+                    "metaData": {
+                        # deterministic table id: re-exports of the same
+                        # lake identify as the same Delta table
+                        "id": str(
+                            _uuid.uuid5(
+                                _uuid.NAMESPACE_URL, os.path.abspath(self.path)
+                            )
+                        ),
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": schema,
+                        "partitionColumns": list(self.partition_by),
+                        "configuration": {},
+                        "createdTime": ts,
+                    }
+                }
+            )
+        for p in removed:
+            actions.append(
+                {"remove": {"path": p, "deletionTimestamp": ts,
+                            "dataChange": True}}
+            )
+        for p in added:
+            actions.append({"add": adds[p]})
+
+        fname = os.path.join(log_dir, f"{version:020d}.json")
+        tmp_f = f"{fname}.tmp-{os.getpid()}"
+        with open(tmp_f, "w") as fh:
+            fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+        os.replace(tmp_f, fname)
+        return log_dir
+
     def read_changes(
         self, spark, from_run: str, to_run: str | None = None
     ) -> DataFrame:
@@ -1847,3 +1975,77 @@ def orc_tuned_options(
         "orc.compress": compression.upper(),
         "orc.rows.between.memory.checks": str(max(1, rows_per_stripe // 16)),
     }
+
+
+def _delta_schema_string(parquet_file: str) -> str:
+    """Spark-StructType-JSON schema string for a Delta ``metaData``
+    action, derived from one committed parquet file's footer (no Spark
+    session needed at export time). Covers the scalar/array/struct
+    types this lake writes; an unmapped physical type raises loudly
+    rather than emitting a schema a Delta reader would misparse."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def spark_type(t: pa.DataType):
+        if pa.types.is_boolean(t):
+            return "boolean"
+        if pa.types.is_int8(t):
+            return "byte"
+        if pa.types.is_int16(t):
+            return "short"
+        if pa.types.is_int32(t):
+            return "integer"
+        if pa.types.is_int64(t):
+            return "long"
+        if pa.types.is_float32(t):
+            return "float"
+        if pa.types.is_float64(t):
+            return "double"
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return "string"
+        if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            return "binary"
+        if pa.types.is_date(t):
+            return "date"
+        if pa.types.is_timestamp(t):
+            return "timestamp"
+        if pa.types.is_decimal(t):
+            return f"decimal({t.precision},{t.scale})"
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            return {
+                "type": "array",
+                "elementType": spark_type(t.value_type),
+                "containsNull": True,
+            }
+        if pa.types.is_struct(t):
+            return {
+                "type": "struct",
+                "fields": [
+                    {
+                        "name": t.field(i).name,
+                        "type": spark_type(t.field(i).type),
+                        "nullable": True,
+                        "metadata": {},
+                    }
+                    for i in range(t.num_fields)
+                ],
+            }
+        raise ValueError(f"export_delta_log: unmapped parquet type {t}")
+
+    schema = pq.ParquetFile(parquet_file).schema_arrow
+    return json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": f.name,
+                    "type": spark_type(f.type),
+                    "nullable": True,
+                    "metadata": {},
+                }
+                for f in schema
+            ],
+        }
+    )

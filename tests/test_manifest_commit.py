@@ -1794,3 +1794,100 @@ def test_purge_then_verify_and_restore(spark, sf_dir, tmp_path):
     # a tautology)
     other = spark.createDataFrame([(2,)], "c_custkey long")
     assert P.verify_purge(spark, data, other, on="c_custkey") == 1
+
+
+# ---------------------------------------------------------------------------
+# Delta-log export (structural conformance; no Delta reader offline)
+# ---------------------------------------------------------------------------
+
+
+def _replay_delta(log_dir):
+    import json
+
+    live, meta, proto = {}, None, None
+    for f in sorted(os.listdir(log_dir)):
+        if not f.endswith(".json"):
+            continue
+        for line in open(os.path.join(log_dir, f)):
+            act = json.loads(line)
+            if "add" in act:
+                live[act["add"]["path"]] = act["add"]
+            elif "remove" in act:
+                live.pop(act["remove"]["path"], None)
+            elif "metaData" in act:
+                meta = act["metaData"]
+            elif "protocol" in act:
+                proto = act["protocol"]
+    return live, meta, proto
+
+
+def test_delta_export_snapshot_replays_to_committed_files(spark, sf_dir, tmp_path):
+    """Version 0: protocol + metaData + adds; replaying the log yields
+    exactly the committed file set with true on-disk sizes, and the
+    schemaString parses as a Spark StructType that matches the data."""
+    import json
+    from urllib.parse import unquote
+
+    from pyspark.sql.types import StructType
+
+    df = load_table(spark, sf_dir, "region")
+    sink = _sink(tmp_path / "dl")
+    sink.write_staging(df, "r1")
+    sink.publish("r1")
+    log_dir = sink.export_delta_log()
+    live, meta, proto = _replay_delta(log_dir)
+    committed = {e["file"] for e in sink.current_manifest()["entries"]}
+    assert {unquote(p) for p in live} == committed
+    for p, add in live.items():
+        fp = os.path.join(str(tmp_path / "dl"), unquote(p))
+        assert add["size"] == os.path.getsize(fp)
+        assert add["dataChange"] is True and add["partitionValues"] == {}
+    assert proto == {"minReaderVersion": 1, "minWriterVersion": 2}
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    assert set(schema.fieldNames()) == set(df.columns)
+    assert meta["format"] == {"provider": "parquet", "options": {}}
+
+
+def test_delta_export_incremental_versions(spark, sf_dir, tmp_path):
+    """A second commit exports as version 1 with only the delta
+    actions; an unchanged re-export writes NOTHING; replay tracks the
+    manifest across a MERGE's file rewrites (removes + adds)."""
+    df = load_table(spark, sf_dir, "region")
+    sink = _sink(tmp_path / "dl2")
+    sink.write_staging(df, "r1")
+    sink.publish("r1")
+    sink.export_delta_log()
+    n0 = len(os.listdir(os.path.join(str(tmp_path / "dl2"), "_delta_log")))
+    sink.export_delta_log()  # no change -> no new version
+    log_dir = os.path.join(str(tmp_path / "dl2"), "_delta_log")
+    assert len(os.listdir(log_dir)) == n0
+
+    upd = df.withColumn("r_comment", F.lit("changed"))
+    sink.merge_into(spark, upd, on=["r_regionkey"], run_id="m1")
+    sink.export_delta_log()
+    files = sorted(f for f in os.listdir(log_dir) if f.endswith(".json"))
+    assert files == ["00000000000000000000.json", "00000000000000000001.json"]
+    import json
+    from urllib.parse import unquote
+
+    v1 = [json.loads(l) for l in open(os.path.join(log_dir, files[1]))]
+    assert any("remove" in a for a in v1) and any("add" in a for a in v1)
+    assert not any("protocol" in a or "metaData" in a for a in v1)
+    live, _, _ = _replay_delta(log_dir)
+    committed = {e["file"] for e in sink.current_manifest()["entries"]}
+    assert {unquote(p) for p in live} == committed
+
+
+def test_delta_export_partition_values(spark, sf_dir, tmp_path):
+    """Partitioned lakes carry Hive-decoded partitionValues on every
+    add, and metaData declares the partition columns."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    sink = _sink(tmp_path / "dl3", partition_by=["lang"])
+    sink.write_staging(docs, "r1")
+    sink.publish("r1")
+    log_dir = sink.export_delta_log()
+    live, meta, _ = _replay_delta(log_dir)
+    assert meta["partitionColumns"] == ["lang"]
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    seen = {add["partitionValues"]["lang"] for add in live.values()}
+    assert seen == langs
