@@ -438,6 +438,7 @@ def compile_sink(props: dict[str, str]) -> tuple[FileSink, list]:
         cdf_materialize=_bool("data.publisher.spark.cdf.materialize"),
         schema_evolution=_bool("data.publisher.spark.schema.evolution"),
         symlink_manifest=_bool("data.publisher.spark.symlink.manifest"),
+        delta_log=_bool("data.publisher.spark.delta.log"),
     )
     return sink, pre_transforms
 

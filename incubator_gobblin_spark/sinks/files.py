@@ -127,6 +127,11 @@ class FileSink:
     # :meth:`export_symlink_manifest`. Costs one tiny text write per
     # commit.
     symlink_manifest: bool = False
+    # With True, every manifest commit also appends the snapshot delta
+    # to ``_delta_log/`` (the Delta Lake transaction-log projection —
+    # see :meth:`export_delta_log`), so Delta readers track the lake
+    # commit-for-commit. One small JSON write per commit.
+    delta_log: bool = False
 
     def staging_dir(self, run_id: str) -> str:
         return os.path.join(self.path, "_staging", run_id)
@@ -403,6 +408,10 @@ class FileSink:
             # outside the lock (the export only reads the committed
             # pointer, and a concurrent re-export is idempotent)
             self.export_symlink_manifest()
+        if self.delta_log:
+            # same discipline: reads only the committed pointer, and a
+            # no-change re-export appends nothing
+            self.export_delta_log()
 
     def current_manifest(
         self, run_id: str | None = None, materialize: bool = True

@@ -1891,3 +1891,24 @@ def test_delta_export_partition_values(spark, sf_dir, tmp_path):
     langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
     seen = {add["partitionValues"]["lang"] for add in live.values()}
     assert seen == langs
+
+
+def test_delta_log_flag_tracks_every_commit(spark, sf_dir, tmp_path):
+    """delta_log=True: publish and merge each leave a Delta version
+    whose replay equals the live snapshot, with no manual export."""
+    from urllib.parse import unquote
+
+    df = load_table(spark, sf_dir, "region")
+    sink = _sink(tmp_path / "dl4", delta_log=True)
+    sink.write_staging(df, "r1")
+    sink.publish("r1")
+    log_dir = os.path.join(str(tmp_path / "dl4"), "_delta_log")
+    assert len([f for f in os.listdir(log_dir) if f.endswith(".json")]) == 1
+    sink.merge_into(
+        spark, df.withColumn("r_comment", F.lit("x")), on=["r_regionkey"],
+        run_id="m1",
+    )
+    assert len([f for f in os.listdir(log_dir) if f.endswith(".json")]) == 2
+    live, _, _ = _replay_delta(log_dir)
+    committed = {e["file"] for e in sink.current_manifest()["entries"]}
+    assert {unquote(p) for p in live} == committed
