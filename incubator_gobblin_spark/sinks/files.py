@@ -1030,7 +1030,11 @@ class FileSink:
             sample = next(iter(adds.values()), None)
             schema = (
                 _delta_schema_string(
-                    os.path.join(self.path, unquote(sample["path"]))
+                    os.path.join(self.path, unquote(sample["path"])),
+                    partition_cols=list(self.partition_by),
+                    partition_values=[
+                        a["partitionValues"] for a in adds.values()
+                    ],
                 )
                 if sample
                 else json.dumps({"type": "struct", "fields": []})
@@ -1986,12 +1990,22 @@ def orc_tuned_options(
     }
 
 
-def _delta_schema_string(parquet_file: str) -> str:
+def _delta_schema_string(
+    parquet_file: str,
+    partition_cols: list[str] | None = None,
+    partition_values: list[dict] | None = None,
+) -> str:
     """Spark-StructType-JSON schema string for a Delta ``metaData``
     action, derived from one committed parquet file's footer (no Spark
     session needed at export time). Covers the scalar/array/struct
     types this lake writes; an unmapped physical type raises loudly
-    rather than emitting a schema a Delta reader would misparse."""
+    rather than emitting a schema a Delta reader would misparse.
+
+    Hive-partitioned data files don't store the partition columns, so
+    those are appended from the manifest's partition values with the
+    only type evidence the path encoding keeps: all-integer values
+    export as ``long``, anything else as ``string`` (the same
+    inference Spark's own partition discovery applies before casting)."""
     import json
 
     import pyarrow as pa
@@ -2044,17 +2058,31 @@ def _delta_schema_string(parquet_file: str) -> str:
         raise ValueError(f"export_delta_log: unmapped parquet type {t}")
 
     schema = pq.ParquetFile(parquet_file).schema_arrow
-    return json.dumps(
+    fields = [
         {
-            "type": "struct",
-            "fields": [
-                {
-                    "name": f.name,
-                    "type": spark_type(f.type),
-                    "nullable": True,
-                    "metadata": {},
-                }
-                for f in schema
-            ],
+            "name": f.name,
+            "type": spark_type(f.type),
+            "nullable": True,
+            "metadata": {},
         }
-    )
+        for f in schema
+    ]
+    present = {f["name"] for f in fields}
+    for c in partition_cols or []:
+        if c in present:
+            continue
+        vals = [
+            pv.get(c) for pv in (partition_values or []) if pv.get(c) is not None
+        ]
+        all_int = bool(vals) and all(
+            v.lstrip("-").isdigit() for v in vals
+        )
+        fields.append(
+            {
+                "name": c,
+                "type": "long" if all_int else "string",
+                "nullable": True,
+                "metadata": {},
+            }
+        )
+    return json.dumps({"type": "struct", "fields": fields})

@@ -1,0 +1,151 @@
+"""Read an external Delta Lake table snapshot (no Delta jars needed).
+
+The Delta transaction log is publicly documented JSON-lines
+(delta-io PROTOCOL.md): versioned ``_delta_log/NNN.json`` files of
+add/remove/metaData actions, optionally compacted into parquet
+checkpoint files referenced by ``_last_checkpoint``. Replaying it needs
+nothing but a JSON parser — and checkpoints are parquet, which Spark
+reads natively — so a Delta table written by any engine is readable
+here without delta-spark on the classpath: replay the log driver-side
+(pure metadata), read exactly the live data files, and re-inject the
+partition values the files don't carry.
+
+This is the import half of the interop surface; the export half is
+``FileSink.export_delta_log`` (and the ``delta_log=True`` publisher
+flag). Offline caveat, stated plainly: no foreign Delta writer exists
+in this environment, so the round-trip tests pin this reader against
+this engine's own spec-conformant export plus hand-written
+spec-example logs, not against delta-spark output.
+
+Reference parity: the reference reads external tables through
+HiveSource / the copy-source family (gobblin-data-management
+``.../copy/hive/HiveDataset.java:84``) — registered locations, no
+table-format log awareness. A log-replaying reader is part of this
+engine's lake surface instead.
+
+Scale shape: the replay is O(log actions) driver-side JSON — the same
+discipline as the manifest lake's own commit-chain walk — and the data
+read lists only live files (never a directory scan, so vacuumed or
+uncommitted files are invisible). Checkpoint parquet, when present,
+bounds the JSON tail to the versions after it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from urllib.parse import unquote
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def _log_versions(log_dir: str) -> list[int]:
+    out = []
+    for f in os.listdir(log_dir):
+        stem, _, ext = f.partition(".")
+        if ext == "json" and stem.isdigit():
+            out.append(int(stem))
+    return sorted(out)
+
+
+def _replay_state(
+    spark: SparkSession, log_dir: str, version: int | None
+) -> tuple[dict[str, dict], dict]:
+    """Replay the log up to ``version`` (inclusive; default latest).
+    Returns (live adds by path, metaData). Starts from the newest
+    parquet checkpoint at or below the target version when one is
+    advertised by ``_last_checkpoint``."""
+    versions = _log_versions(log_dir)
+    if not versions:
+        raise FileNotFoundError(f"no Delta commits under {log_dir}")
+    target = versions[-1] if version is None else version
+    if target not in versions:
+        raise FileNotFoundError(
+            f"Delta version {target} not present (have {versions[0]}..{versions[-1]})"
+        )
+
+    live: dict[str, dict] = {}
+    meta: dict = {}
+    start = 0
+    lc_path = os.path.join(log_dir, "_last_checkpoint")
+    if os.path.exists(lc_path):
+        with open(lc_path) as fh:
+            lc = json.load(fh)
+        cp_v = int(lc["version"])
+        if cp_v <= target:
+            cp_file = os.path.join(log_dir, f"{cp_v:020d}.checkpoint.parquet")
+            for row in spark.read.parquet(cp_file).collect():
+                d = row.asDict(recursive=True)
+                if d.get("add"):
+                    a = {k: v for k, v in d["add"].items() if v is not None}
+                    live[a["path"]] = a
+                if d.get("metaData"):
+                    meta = {
+                        k: v for k, v in d["metaData"].items() if v is not None
+                    }
+            start = cp_v + 1
+
+    for v in versions:
+        if v < start or v > target:
+            continue
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                act = json.loads(line)
+                if "add" in act:
+                    live[act["add"]["path"]] = act["add"]
+                elif "remove" in act:
+                    live.pop(act["remove"]["path"], None)
+                elif "metaData" in act:
+                    meta = act["metaData"]
+    if not meta:
+        raise ValueError(f"Delta log under {log_dir} carries no metaData action")
+    return live, meta
+
+
+def read_delta(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a Delta table's committed snapshot (optionally a historical
+    ``version`` — Delta time travel) as a DataFrame.
+
+    Partition columns are restored from each file's ``partitionValues``
+    (Delta data files don't store them), cast to the types declared by
+    the log's ``schemaString``, and the result carries the table's full
+    declared column set in schema order. An empty snapshot returns an
+    empty frame with the declared schema."""
+    log_dir = os.path.join(path, "_delta_log")
+    live, meta = _replay_state(spark, log_dir, version)
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = list(meta.get("partitionColumns") or [])
+    data_schema = StructType(
+        [f for f in schema.fields if f.name not in part_cols]
+    )
+
+    if not live:
+        return spark.createDataFrame([], schema)
+
+    # group files by identical partition values: one read per group,
+    # partition columns injected as typed literals
+    groups: dict[tuple, list[str]] = {}
+    for a in live.values():
+        pv = a.get("partitionValues") or {}
+        key = tuple(pv.get(c) for c in part_cols)
+        groups.setdefault(key, []).append(
+            os.path.join(path, unquote(a["path"]))
+        )
+    types = {f.name: f.dataType for f in schema.fields}
+    out: DataFrame | None = None
+    for key, files in sorted(groups.items()):
+        df = spark.read.schema(data_schema).parquet(*sorted(files))
+        for c, v in zip(part_cols, key):
+            lit = (
+                F.lit(None) if v is None else F.lit(v)
+            ).cast(types[c])
+            df = df.withColumn(c, lit)
+        df = df.select(*[f.name for f in schema.fields])
+        out = df if out is None else out.unionAll(df)
+    return out
