@@ -86,12 +86,15 @@ _WINDOW_HEAD = [
     "q120_cohort_retention",     # NEW r5: cohort retention matrix
     "q121_bpe_pair_counts",      # NEW r5: BPE merge-selection pass
     "q122_char_entropy",         # NEW r5: garbled-input entropy signal
+    "q123_delta_roundtrip_agg",  # NEW r5: Delta export+import round trip
     "q31_minhash_candidates",    # newly hash-checkable (md5 hash mode)
     "q32_simhash_neardups",      # newly hash-checkable (md5 hash mode)
     "q34_ann_lsh_topk",          # newly hash-checkable (literal planes)
     "q52_embedding_neardup_lsh",  # newly hash-checkable (literal planes)
     # r02-green block (stalest driver rows)
-    "q38_scalar_functions",
+    # q38 yields its slot to the brand-new q123: its scalar-function
+    # surface is exercised by virtually every in-window query (q49's
+    # ratios, q62's hashes, q115's string ops); back at r06.
     # q39 yields its slot to the brand-new q114: count_distinct is the
     # aggregation core of in-window q89/q109/q110; back at r06.
     # q40 yields its slot to the brand-new q115: HAVING is a
@@ -4439,6 +4442,51 @@ def q122_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     two same-key shuffles)."""
     docs = load_table(spark, sf_dir, "documents")
     return text.char_entropy(docs, id_col="doc_id", text_col="text")
+
+
+@register(
+    "q123_delta_roundtrip_agg",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q123_delta_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-interop surface under the HARD oracle (the q88/q91
+    pattern): documents published ONCE into a lang-partitioned manifest
+    lake with the ``delta_log`` publisher flag, then read back
+    EXCLUSIVELY through the exported Delta transaction log
+    (sources.delta_import.read_delta — log replay, live-file listing,
+    typed partition restore from partitionValues) and aggregated; the
+    result must match the oracle's direct parquet scan value-for-value.
+    Export + import + the Hive-partition round trip all sit inside the
+    hash gate."""
+    import os as _os
+
+    from incubator_gobblin_spark.sinks.files import FileSink
+    from incubator_gobblin_spark.sources.delta_import import read_delta
+
+    cache = _cache_dir("deltalake", sf_dir, "documents")
+    sink = FileSink(
+        path=cache, commit_mode="manifest", partition_by=["lang"],
+        delta_log=True,
+    )
+    if sink.current_manifest() is None or not _os.path.isdir(
+        _os.path.join(cache, "_delta_log")
+    ):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "n_chars"
+        )
+        sink.write_staging(docs, "run1")
+        sink.publish("run1")
+    df = read_delta(spark, cache)
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
 
 
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
