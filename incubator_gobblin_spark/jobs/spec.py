@@ -189,6 +189,26 @@ def compile_source(
             spark, root, fmt=fmt, partition_pattern=pattern, low=low_date
         )
 
+    if cls == "DeltaSource" or props.get("source.spark.format") == "delta":
+        # external Delta table read via transaction-log replay (no Delta
+        # jars): sources/delta_import.read_delta; optional time travel
+        # with source.delta.version
+        directory = props.get("source.filebased.data.directory")
+        if not directory:
+            raise SpecError(
+                "delta source needs source.filebased.data.directory "
+                "(the Delta table root)"
+            )
+        ver = props.get("source.delta.version")
+        version = int(ver) if ver is not None else None
+
+        def _read_delta(spark):
+            from incubator_gobblin_spark.sources.delta_import import read_delta
+
+            return read_delta(spark, directory, version=version)
+
+        return _read_delta
+
     if cls == "FileBasedSource" or props.get("source.spark.format"):
         fmt = props.get("source.spark.format", "parquet")
         paths = _source_paths(props)

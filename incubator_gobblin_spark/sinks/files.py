@@ -940,7 +940,11 @@ class FileSink:
         os.replace(tmp, root)
         return root
 
-    def export_delta_log(self, as_of_run: str | None = None) -> str:
+    def export_delta_log(
+        self,
+        as_of_run: str | None = None,
+        checkpoint_interval: int | None = None,
+    ) -> str:
         """Export the committed snapshot as a Delta Lake transaction
         log (``_delta_log/``), the other publicly documented interop
         surface next to :meth:`export_symlink_manifest`: the Delta log
@@ -1070,6 +1074,34 @@ class FileSink:
         with open(tmp_f, "w") as fh:
             fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
         os.replace(tmp_f, fname)
+
+        # Opt-in checkpointing: every `checkpoint_interval` versions,
+        # compact the full live state into NNN.checkpoint.parquet +
+        # _last_checkpoint so log replay is O(tail), not O(history).
+        # Off by default: the JSON chain stays complete from version 0
+        # either way, and a reader that trusts _last_checkpoint then
+        # needs this checkpoint schema too — opting in is a statement
+        # that your readers (read_delta here, or a real Delta engine)
+        # consume checkpoints.
+        if (
+            checkpoint_interval
+            and version > 0
+            and version % checkpoint_interval == 0
+        ):
+            meta = None
+            proto = {"minReaderVersion": 1, "minWriterVersion": 2}
+            for pf in sorted(os.listdir(log_dir)):
+                if pf.endswith(".json") and pf.split(".")[0].isdigit():
+                    with open(os.path.join(log_dir, pf)) as fh:
+                        for line in fh:
+                            act = json.loads(line)
+                            if "metaData" in act:
+                                meta = act["metaData"]
+                            elif "protocol" in act:
+                                proto = act["protocol"]
+            _write_delta_checkpoint(
+                log_dir, version, list(adds.values()), meta, proto
+            )
         return log_dir
 
     def read_changes(
@@ -2086,3 +2118,86 @@ def _delta_schema_string(
             }
         )
     return json.dumps({"type": "struct", "fields": fields})
+
+
+def _write_delta_checkpoint(
+    log_dir: str, version: int, adds: list[dict], meta: dict | None, proto: dict
+) -> None:
+    """Write a Delta checkpoint parquet (one row per action: protocol,
+    metaData, every live add) + the ``_last_checkpoint`` pointer —
+    pyarrow-direct, no Spark session at export time. Schema follows the
+    checkpoint-files section of delta-io PROTOCOL.md (nullable action
+    structs; partitionValues/options/configuration as string maps)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    smap = pa.map_(pa.string(), pa.string())
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", smap),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string()), ("options", smap)])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", smap),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    proto_t = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    )
+
+    rows_proto = [proto] + [None] * (1 + len(adds))
+    meta_row = (
+        {
+            "id": meta.get("id") if meta else None,
+            "format": (meta or {}).get("format", {"provider": "parquet", "options": {}}),
+            "schemaString": (meta or {}).get("schemaString"),
+            "partitionColumns": (meta or {}).get("partitionColumns", []),
+            "configuration": list(((meta or {}).get("configuration") or {}).items()),
+            "createdTime": (meta or {}).get("createdTime"),
+        }
+        if meta
+        else None
+    )
+    if meta_row and meta_row["format"]:
+        meta_row["format"] = {
+            "provider": meta_row["format"].get("provider"),
+            "options": list((meta_row["format"].get("options") or {}).items()),
+        }
+    rows_meta = [None, meta_row] + [None] * len(adds)
+    rows_add = [None, None] + [
+        {
+            "path": a["path"],
+            "partitionValues": list((a.get("partitionValues") or {}).items()),
+            "size": a.get("size"),
+            "modificationTime": a.get("modificationTime"),
+            "dataChange": bool(a.get("dataChange", True)),
+        }
+        for a in adds
+    ]
+    table = pa.table(
+        {
+            "protocol": pa.array(rows_proto, type=proto_t),
+            "metaData": pa.array(rows_meta, type=meta_t),
+            "add": pa.array(rows_add, type=add_t),
+        }
+    )
+    cp = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+    tmp = f"{cp}.tmp-{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, cp)
+    lc_tmp = os.path.join(log_dir, f"_last_checkpoint.tmp-{os.getpid()}")
+    with open(lc_tmp, "w") as fh:
+        json.dump({"version": version, "size": len(adds) + 2}, fh)
+    os.replace(lc_tmp, os.path.join(log_dir, "_last_checkpoint"))

@@ -817,3 +817,44 @@ def test_audit_job_spec_minimal_and_errors(spark, sf_dir):
 
     with _pytest.raises(S.SpecError, match="audit.input.dir"):
         S.run_audit_job(spark, {})
+
+
+def test_delta_source_spec(spark, tmp_path, sf_dir):
+    """source.spark.format=delta reads an external Delta table through
+    log replay inside a full pipeline spec, with version time travel."""
+    from incubator_gobblin_spark.sinks.files import FileSink
+
+    root = str(tmp_path / "delta_tbl")
+    sink = FileSink(path=root, commit_mode="manifest", delta_log=True)
+    df = spark.range(5).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    sink.write_staging(df, "r1")
+    sink.publish("r1")
+    sink.merge_into(
+        spark, df.withColumn("v", F.col("v") + 100), on=["k"], run_id="m1"
+    )
+
+    out = str(tmp_path / "delta_out")
+    res = S.run_job(
+        spark,
+        {
+            "source.class": "DeltaSource",
+            "source.filebased.data.directory": root,
+            "writer.output.format": "parquet",
+            "writer.output.dir": out,
+        },
+    )
+    got = spark.read.parquet(out)
+    assert sorted(map(tuple, got.collect())) == [
+        (i, i * 2 + 100) for i in range(5)
+    ]
+
+    reader = S.compile_source(
+        {
+            "source.class": "DeltaSource",
+            "source.filebased.data.directory": root,
+            "source.delta.version": "0",
+        }
+    )
+    assert sorted(map(tuple, reader(spark).collect())) == [
+        (i, i * 2) for i in range(5)
+    ]

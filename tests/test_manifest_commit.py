@@ -2001,3 +2001,44 @@ def test_read_delta_handwritten_spec_example(spark, tmp_path):
     assert sorted(
         map(tuple, read_delta(spark, str(root), version=0).collect())
     ) == [(1, "a b"), (2, "y"), (3, "z")]
+
+
+def test_delta_checkpoint_write_and_replay(spark, sf_dir, tmp_path):
+    """Opt-in checkpointing: at the interval the exporter compacts the
+    live state into NNN.checkpoint.parquet + _last_checkpoint, and
+    read_delta resolves THROUGH the checkpoint (start = tail replay)
+    to the same snapshot as pure-JSON replay."""
+    import json
+
+    from incubator_gobblin_spark.sources.delta_import import read_delta
+
+    df = load_table(spark, sf_dir, "region")
+    root = str(tmp_path / "dlcp")
+    sink = _sink(root, table_type=TableType.APPEND_ONLY)
+    log_dir = os.path.join(root, "_delta_log")
+    for i, lo in enumerate((0, 2, 4)):
+        part = df.filter(
+            (F.col("r_regionkey") >= lo) & (F.col("r_regionkey") < lo + 2)
+        )
+        sink.write_staging(part, f"r{i}")
+        sink.publish(f"r{i}")
+        sink.export_delta_log(checkpoint_interval=2)
+    assert os.path.exists(os.path.join(log_dir, "_last_checkpoint"))
+    lc = json.load(open(os.path.join(log_dir, "_last_checkpoint")))
+    assert lc["version"] == 2
+    assert os.path.exists(
+        os.path.join(log_dir, "00000000000000000002.checkpoint.parquet")
+    )
+
+    got = read_delta(spark, root)
+    want = sink.read_committed(spark)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # a fourth commit lands as JSON tail past the checkpoint
+    sink.write_staging(df.filter(F.col("r_regionkey") >= 6), "r3")
+    sink.publish("r3")
+    sink.export_delta_log(checkpoint_interval=2)
+    got2 = read_delta(spark, root)
+    assert sorted(map(tuple, got2.collect())) == sorted(
+        map(tuple, sink.read_committed(spark).collect())
+    )
