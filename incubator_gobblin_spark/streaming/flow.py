@@ -80,6 +80,37 @@ class StreamPipeline:
         self._source = _read
         return self
 
+    def source_delta(
+        self,
+        table_path: str,
+        starting_position: str = "earliest",
+        ignore_deletes: bool = False,
+        ignore_changes: bool = False,
+    ) -> "StreamPipeline":
+        """Tail an EXTERNAL Delta table's transaction log as an
+        append stream (``sources/delta_stream.py``): offsets are Delta
+        versions in the streaming checkpoint, partition columns are
+        restored from partitionValues. Mirrors delta-spark's streaming
+        contract: non-append versions fail unless ``ignore_deletes`` /
+        ``ignore_changes``. For exact row-level changes over THIS
+        engine's lakes use :meth:`source_lake_cdf`."""
+
+        def _read(spark: SparkSession) -> DataFrame:
+            from incubator_gobblin_spark.sources import delta_stream
+
+            delta_stream.register(spark)
+            return (
+                spark.readStream.format("deltastream")
+                .option("path", table_path)
+                .option("startingposition", starting_position)
+                .option("ignoredeletes", str(ignore_deletes).lower())
+                .option("ignorechanges", str(ignore_changes).lower())
+                .load()
+            )
+
+        self._source = _read
+        return self
+
     def source_lake_cdf(
         self, lake_path: str, starting_position: str = "earliest"
     ) -> "StreamPipeline":

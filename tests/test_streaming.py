@@ -1069,3 +1069,102 @@ def test_reststream_funnel_composition(spark, tmp_path):
     run_once()
     got2 = {(r["user"], r["step_idx"]) for r in spark.read.parquet(out).collect()}
     assert got2 == got1 | {("1", 3), ("2", 2)}
+
+
+def test_deltastream_tails_external_delta_table(spark, tmp_path):
+    """The deltastream source tails a Delta log by version: batch 1
+    delivers the committed snapshot, a restart from the checkpoint
+    delivers ONLY newly added versions; a rewrite version fails loudly
+    unless ignore_changes; partition columns come back typed."""
+    from incubator_gobblin_spark.sinks.files import FileSink, TableType
+    from incubator_gobblin_spark.streaming.flow import StreamPipeline
+
+    root = str(tmp_path / "ext_delta_stream")
+    sink = FileSink(
+        path=root, commit_mode="manifest", table_type=TableType.APPEND_ONLY,
+        partition_by=["lang"], delta_log=True,
+    )
+    b1 = spark.createDataFrame(
+        [(1, "en", 10), (2, "de", 20)], "doc_id long, lang string, n long"
+    )
+    sink.write_staging(b1, "r1")
+    sink.publish("r1")
+
+    out = str(tmp_path / "ds_out")
+    ckpt = str(tmp_path / "ds_ckpt")
+
+    def run_once():
+        df = StreamPipeline(spark).source_delta(root)._source(spark)
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def rows():
+        # partition columns are appended at the end of the exported
+        # schema; select explicitly for a stable comparison
+        return sorted(
+            map(
+                tuple,
+                spark.read.parquet(out).select("doc_id", "lang", "n").collect(),
+            )
+        )
+
+    run_once()
+    got = spark.read.parquet(out)
+    assert rows() == [(1, "en", 10), (2, "de", 20)]
+    assert dict(got.dtypes)["lang"] == "string"
+
+    b2 = spark.createDataFrame([(3, "en", 30)], "doc_id long, lang string, n long")
+    sink.write_staging(b2, "r2")
+    sink.publish("r2")
+    run_once()
+    assert rows() == [(1, "en", 10), (2, "de", 20), (3, "en", 30)]
+    run_once()  # up to date: no new rows
+    assert spark.read.parquet(out).count() == 3
+
+
+def test_deltastream_rejects_rewrites_unless_opted_in(spark, tmp_path):
+    from incubator_gobblin_spark.sinks.files import FileSink
+    from incubator_gobblin_spark.streaming.flow import StreamPipeline
+
+    root = str(tmp_path / "ext_delta_rw")
+    sink = FileSink(path=root, commit_mode="manifest", delta_log=True)
+    df = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    sink.write_staging(df, "r1")
+    sink.publish("r1")
+    sink.merge_into(
+        spark, df.withColumn("v", F.col("v") + 1), on=["k"], run_id="m1"
+    )
+
+    def run(ignore_changes):
+        out = str(
+            tmp_path / f"rw_out_{ignore_changes}"
+        )
+        q = (
+            StreamPipeline(spark)
+            .source_delta(root, ignore_changes=ignore_changes)
+            ._source(spark)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option(
+                "checkpointLocation", str(tmp_path / f"rw_ckpt_{ignore_changes}")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    import pyspark.errors
+
+    with pytest.raises(Exception, match="not append-only"):
+        run(False)
+    got = run(True)  # rewrites stream as inserts (documented duplicates)
+    assert sorted(map(tuple, got.collect())) == [
+        (1, 10), (1, 11), (2, 20), (2, 21)
+    ]
