@@ -2042,3 +2042,42 @@ def test_delta_checkpoint_write_and_replay(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, got2.collect())) == sorted(
         map(tuple, sink.read_committed(spark).collect())
     )
+
+
+def test_delta_export_tracks_rollback_and_compaction(spark, sf_dir, tmp_path):
+    """The Delta view follows EVERY commit kind: a rollback_to restore
+    exports as removes of the rolled-back files (replay = restored
+    snapshot), and a compact_runs full rewrite exports as a
+    remove-all/add-all version — replay still equals the live manifest."""
+    from urllib.parse import unquote
+
+    from incubator_gobblin_spark.sources.delta_import import read_delta
+
+    df = load_table(spark, sf_dir, "region")
+    root = str(tmp_path / "dlrb")
+    sink = _sink(root, table_type=TableType.APPEND_ONLY, delta_log=True)
+    sink.write_staging(df.filter(F.col("r_regionkey") < 3), "r1")
+    sink.publish("r1")
+    sink.write_staging(df.filter(F.col("r_regionkey") >= 3), "r2")
+    sink.publish("r2")
+    log_dir = os.path.join(root, "_delta_log")
+
+    sink.rollback_to("r1")
+    sink.export_delta_log()
+    live, _, _ = _replay_delta(log_dir)
+    committed = {e["file"] for e in sink.current_manifest()["entries"]}
+    assert {unquote(p) for p in live} == committed
+    got = read_delta(spark, root)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, df.filter(F.col("r_regionkey") < 3).collect())
+    )
+
+    rid = sink.compact_runs(spark)
+    sink.export_delta_log()
+    live2, _, _ = _replay_delta(log_dir)
+    committed2 = {e["file"] for e in sink.current_manifest()["entries"]}
+    assert {unquote(p) for p in live2} == committed2
+    assert all(f"_data/{rid}/" in unquote(p) for p in live2)
+    assert sorted(map(tuple, read_delta(spark, root).collect())) == sorted(
+        map(tuple, df.filter(F.col("r_regionkey") < 3).collect())
+    )
