@@ -107,7 +107,10 @@ def _replay_state(
 
 
 def read_delta(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    union_threshold: int = 16,
 ) -> DataFrame:
     """Read a Delta table's committed snapshot (optionally a historical
     ``version`` — Delta time travel) as a DataFrame.
@@ -116,7 +119,19 @@ def read_delta(
     (Delta data files don't store them), cast to the types declared by
     the log's ``schemaString``, and the result carries the table's full
     declared column set in schema order. An empty snapshot returns an
-    empty frame with the declared schema."""
+    empty frame with the declared schema.
+
+    Scale shape: up to ``union_threshold`` distinct partition values,
+    each group is one read with its values injected as typed literals
+    (the plan stays a flat union). Past that, a thousand-partition
+    table would otherwise compile a thousand-way union — so the read
+    becomes ONE scan of all live files plus a broadcast join keyed on
+    the shortest ``input_file_name()`` path suffix that uniquely
+    identifies every live file (basename alone collides across Hive
+    partition dirs — one Spark task writes the same part name into
+    many dirs — so the key adaptively widens to ``<dir>/<name>``
+    etc.). A log whose paths defeat unique suffixing falls back to the
+    union plan, trading plan size for correctness."""
     log_dir = os.path.join(path, "_delta_log")
     live, meta = _replay_state(spark, log_dir, version)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
@@ -128,8 +143,7 @@ def read_delta(
     if not live:
         return spark.createDataFrame([], schema)
 
-    # group files by identical partition values: one read per group,
-    # partition columns injected as typed literals
+    # group files by identical partition values
     groups: dict[tuple, list[str]] = {}
     for a in live.values():
         pv = a.get("partitionValues") or {}
@@ -138,6 +152,41 @@ def read_delta(
             os.path.join(path, unquote(a["path"]))
         )
     types = {f.name: f.dataType for f in schema.fields}
+    ordered = [f.name for f in schema.fields]
+
+    def _suffix(p: str, n: int) -> str | None:
+        comps = p.replace(os.sep, "/").split("/")
+        return "/".join(comps[-n:]) if len(comps) >= n else None
+
+    suffix_n = None
+    if part_cols and len(groups) > union_threshold:
+        flat = [(key, f) for key, fs in groups.items() for f in fs]
+        for n in range(1, len(part_cols) + 2):
+            keys = [_suffix(f, n) for _, f in flat]
+            if None not in keys and len(set(keys)) == len(keys):
+                suffix_n = n
+                break
+    if suffix_n is not None:
+        all_files = sorted(f for fs in groups.values() for f in fs)
+        mapping = [(_suffix(f, suffix_n), *key) for key, f in flat]
+        map_df = spark.createDataFrame(
+            mapping, ", ".join(["_file string"] + [f"{c} string" for c in part_cols])
+        ).select(
+            "_file",
+            *[F.col(c).cast(types[c]).alias(c) for c in part_cols],
+        )
+        file_key = F.expr(
+            "url_decode(concat_ws('/', slice(split(input_file_name(), '/'), "
+            f"-{suffix_n}, {suffix_n})))"
+        )
+        df = (
+            spark.read.schema(data_schema)
+            .parquet(*all_files)
+            .withColumn("_file", file_key)
+            .join(F.broadcast(map_df), "_file")
+        )
+        return df.select(*ordered)
+
     out: DataFrame | None = None
     for key, files in sorted(groups.items()):
         df = spark.read.schema(data_schema).parquet(*sorted(files))
@@ -146,6 +195,6 @@ def read_delta(
                 F.lit(None) if v is None else F.lit(v)
             ).cast(types[c])
             df = df.withColumn(c, lit)
-        df = df.select(*[f.name for f in schema.fields])
+        df = df.select(*ordered)
         out = df if out is None else out.unionAll(df)
     return out

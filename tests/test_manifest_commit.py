@@ -2081,3 +2081,27 @@ def test_delta_export_tracks_rollback_and_compaction(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, read_delta(spark, root).collect())) == sorted(
         map(tuple, df.filter(F.col("r_regionkey") < 3).collect())
     )
+
+
+def test_read_delta_many_partitions_single_scan_path(spark, tmp_path):
+    """Past the union threshold the read becomes one scan + broadcast
+    filename join; both plans return identical rows with typed
+    partition columns."""
+    from incubator_gobblin_spark.sources.delta_import import read_delta
+
+    root = str(tmp_path / "dlmany")
+    sink = _sink(root, partition_by=["g"], delta_log=True)
+    df = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") % 20).alias("g")
+    )
+    sink.write_staging(df, "r1")
+    sink.publish("r1")
+
+    fast = read_delta(spark, root)  # 20 groups > default threshold 16
+    slow = read_delta(spark, root, union_threshold=1000)  # forced union plan
+    a = sorted(map(tuple, fast.select("k", "g").collect()))
+    b = sorted(map(tuple, slow.select("k", "g").collect()))
+    assert a == b == [(i, i % 20) for i in range(200)]
+    assert dict(fast.dtypes)["g"] == "bigint"  # typed partition restore
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "Union" not in plan
