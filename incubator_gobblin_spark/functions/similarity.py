@@ -857,7 +857,11 @@ def semantic_decontaminate(
 
     Returns (id, max_bench_sim, contaminated) for every corpus row
     whose norm is positive (zero vectors carry no direction to match);
-    callers drop the flagged rows or route them to review.
+    callers drop the flagged rows or route them to review. An EMPTY
+    benchmark side (no rows, or all zero-vectors) yields every corpus
+    row with a NULL max_bench_sim and contaminated = 0 — nothing to
+    leak against means nothing is contaminated, and the per-row
+    contract holds so join-based consumers never lose the corpus.
 
     Scale shape: the benchmark side is small by definition and is
     broadcast (guarded, like :func:`cosine_topk` — an oversized "bench"
@@ -882,13 +886,15 @@ def semantic_decontaminate(
         dot(F.col("_cv"), F.col("_bv")) / (F.col("_nc") * F.col("_nb")), 6
     )
     return (
-        c.join(F.broadcast(b), on=F.lit(True), how="inner")
+        c.join(F.broadcast(b), on=F.lit(True), how="left")
         .select(F.col(id_col), sim.alias("_s"))
         .groupBy(id_col)
         .agg(F.max("_s").alias("max_bench_sim"))
         .select(
             id_col,
             "max_bench_sim",
-            (F.col("max_bench_sim") >= threshold).cast("long").alias("contaminated"),
+            F.coalesce(
+                (F.col("max_bench_sim") >= threshold).cast("long"), F.lit(0)
+            ).alias("contaminated"),
         )
     )

@@ -459,6 +459,11 @@ def compile_sink(props: dict[str, str]) -> tuple[FileSink, list]:
         schema_evolution=_bool("data.publisher.spark.schema.evolution"),
         symlink_manifest=_bool("data.publisher.spark.symlink.manifest"),
         delta_log=_bool("data.publisher.spark.delta.log"),
+        delta_log_checkpoint_interval=(
+            int(props["data.publisher.spark.delta.checkpoint.interval"])
+            if "data.publisher.spark.delta.checkpoint.interval" in props
+            else None
+        ),
     )
     return sink, pre_transforms
 
@@ -1170,8 +1175,10 @@ def run_curation_job(spark: SparkSession, spec: str | dict[str, str]):
       ``curate.semantic.bench.dir`` (bench-side vectors; default: the
       embeddings of ids matched by ``curate.bench.predicate`` is NOT
       inferred — the dir is required), ``curate.semantic.threshold``
-      (default 0.95) and ``curate.semantic.vector.column`` (default
-      ``embedding``) drop candidates whose max cosine against any
+      (default 0.95), ``curate.semantic.vector.column`` (default
+      ``embedding``) and ``curate.semantic.format`` (default parquet —
+      embedding tables are usually parquet even when the doc corpus is
+      json/csv) drop candidates whose max cosine against any
       benchmark vector reaches the threshold (paraphrase-proof
       decontamination, q116's operator)
     - ``curate.salt.parts`` — hot-source salting (default 8)
@@ -1222,10 +1229,13 @@ def run_curation_job(spark: SparkSession, spec: str | dict[str, str]):
                 "curate.semantic.embeddings.dir needs "
                 "'curate.semantic.bench.dir' (the benchmark-side vectors)"
             )
-        doc_emb = spark.read.format(resolve_format(fmt)).load(
+        emb_fmt = resolve_format(
+            props.get("curate.semantic.format", "parquet").lower()
+        )
+        doc_emb = spark.read.format(emb_fmt).load(
             props["curate.semantic.embeddings.dir"]
         )
-        bench_emb = spark.read.format(resolve_format(fmt)).load(
+        bench_emb = spark.read.format(emb_fmt).load(
             props["curate.semantic.bench.dir"]
         )
     curated = curate(

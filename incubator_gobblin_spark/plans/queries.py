@@ -4474,14 +4474,17 @@ def q123_delta_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         path=cache, commit_mode="manifest", partition_by=["lang"],
         delta_log=True,
     )
-    if sink.current_manifest() is None or not _os.path.isdir(
-        _os.path.join(cache, "_delta_log")
-    ):
+    if sink.current_manifest() is None:
         docs = load_table(spark, sf_dir, "documents").select(
             "doc_id", "lang", "source", "n_chars"
         )
         sink.write_staging(docs, "run1")
         sink.publish("run1")
+    elif not _os.path.isdir(_os.path.join(cache, "_delta_log")):
+        # lake committed but the export is missing (crash between the
+        # two, or a cleaned log): repair by re-exporting — NEVER by
+        # re-publishing, which would append the table a second time
+        sink.export_delta_log()
     df = read_delta(spark, cache)
     return df.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -130,8 +130,12 @@ class FileSink:
     # With True, every manifest commit also appends the snapshot delta
     # to ``_delta_log/`` (the Delta Lake transaction-log projection —
     # see :meth:`export_delta_log`), so Delta readers track the lake
-    # commit-for-commit. One small JSON write per commit.
+    # commit-for-commit. One small JSON write per commit; set
+    # ``delta_log_checkpoint_interval`` to also compact the live state
+    # into a parquet checkpoint every N versions, keeping each export's
+    # log replay O(tail) on long-lived lakes.
     delta_log: bool = False
+    delta_log_checkpoint_interval: int | None = None
 
     def staging_dir(self, run_id: str) -> str:
         return os.path.join(self.path, "_staging", run_id)
@@ -411,7 +415,9 @@ class FileSink:
         if self.delta_log:
             # same discipline: reads only the committed pointer, and a
             # no-change re-export appends nothing
-            self.export_delta_log()
+            self.export_delta_log(
+                checkpoint_interval=self.delta_log_checkpoint_interval
+            )
 
     def current_manifest(
         self, run_id: str | None = None, materialize: bool = True
@@ -983,22 +989,25 @@ class FileSink:
         else:
             entries = manifest["entries"]
 
+        from incubator_gobblin_spark.sources.delta_import import (
+            _log_versions,
+            _replay_state,
+        )
+
         log_dir = os.path.join(self.path, "_delta_log")
         os.makedirs(log_dir, exist_ok=True)
-        prev = sorted(
-            f for f in os.listdir(log_dir)
-            if f.endswith(".json") and f.split(".")[0].isdigit()
-        )
+        prev_versions = _log_versions(log_dir)
         live: dict[str, dict] = {}
-        for pf in prev:
-            with open(os.path.join(log_dir, pf)) as fh:
-                for line in fh:
-                    act = json.loads(line)
-                    if "add" in act:
-                        live[act["add"]["path"]] = act["add"]
-                    elif "remove" in act:
-                        live.pop(act["remove"]["path"], None)
-        version = len(prev)
+        prev_meta: dict | None = None
+        prev_proto: dict = {"minReaderVersion": 1, "minWriterVersion": 2}
+        if prev_versions:
+            # the shared replay starts from the newest checkpoint when
+            # one exists, so per-commit export cost is O(tail) on
+            # checkpointed lakes, not O(history)
+            live, prev_meta, p = _replay_state(log_dir, None)
+            if p:
+                prev_proto = p
+        version = len(prev_versions)
 
         adds: dict[str, dict] = {}
         for e in sorted(entries, key=lambda x: x["file"]):
@@ -1088,19 +1097,13 @@ class FileSink:
             and version > 0
             and version % checkpoint_interval == 0
         ):
-            meta = None
-            proto = {"minReaderVersion": 1, "minWriterVersion": 2}
-            for pf in sorted(os.listdir(log_dir)):
-                if pf.endswith(".json") and pf.split(".")[0].isdigit():
-                    with open(os.path.join(log_dir, pf)) as fh:
-                        for line in fh:
-                            act = json.loads(line)
-                            if "metaData" in act:
-                                meta = act["metaData"]
-                            elif "protocol" in act:
-                                proto = act["protocol"]
+            # prev_meta/prev_proto came out of the same replay that
+            # produced `live`; version 0's metaData is in `actions`
+            meta = prev_meta or next(
+                (a["metaData"] for a in actions if "metaData" in a), None
+            )
             _write_delta_checkpoint(
-                log_dir, version, list(adds.values()), meta, proto
+                log_dir, version, list(adds.values()), meta, prev_proto
             )
         return log_dir
 

@@ -50,13 +50,56 @@ def _log_versions(log_dir: str) -> list[int]:
     return sorted(out)
 
 
+def _checkpoint_files(log_dir: str, cp_v: int, parts: int | None) -> list[str]:
+    """Checkpoint parquet file(s) for version ``cp_v`` — the single-file
+    form or, with ``parts`` advertised in ``_last_checkpoint``, the
+    multi-part form (PROTOCOL.md: {v}.checkpoint.{i}.{n}.parquet)."""
+    if parts:
+        return [
+            os.path.join(
+                log_dir, f"{cp_v:020d}.checkpoint.{i:010d}.{parts:010d}.parquet"
+            )
+            for i in range(1, parts + 1)
+        ]
+    return [os.path.join(log_dir, f"{cp_v:020d}.checkpoint.parquet")]
+
+
+def _pa_to_plain(v):
+    """pyarrow .to_pylist() values -> plain JSON-shaped python (map
+    columns arrive as lists of (key, value) tuples)."""
+    if isinstance(v, list) and v and isinstance(v[0], tuple) and len(v[0]) == 2:
+        return {k: x for k, x in v}
+    if isinstance(v, list) and v == []:
+        return v
+    if isinstance(v, dict):
+        return {k: _pa_to_plain(x) for k, x in v.items() if x is not None}
+    return v
+
+
+def _checkpoint_actions(log_dir: str, cp_v: int, parts: int | None):
+    """Yield the action dicts of a checkpoint — pyarrow-direct, so the
+    replay needs no Spark session (usable from DataSource.schema and
+    from the exporter)."""
+    import pyarrow.parquet as pq
+
+    for f in _checkpoint_files(log_dir, cp_v, parts):
+        table = pq.read_table(f)
+        cols = {name: table.column(name).to_pylist() for name in table.column_names}
+        for i in range(table.num_rows):
+            for kind in ("protocol", "metaData", "add", "remove"):
+                if kind in cols and cols[kind][i] is not None:
+                    yield {kind: _pa_to_plain(cols[kind][i])}
+
+
 def _replay_state(
-    spark: SparkSession, log_dir: str, version: int | None
-) -> tuple[dict[str, dict], dict]:
+    log_dir: str, version: int | None
+) -> tuple[dict[str, dict], dict, dict]:
     """Replay the log up to ``version`` (inclusive; default latest).
-    Returns (live adds by path, metaData). Starts from the newest
-    parquet checkpoint at or below the target version when one is
-    advertised by ``_last_checkpoint``."""
+    Returns (live adds by path, metaData, protocol). Starts from the
+    newest checkpoint at or below the target version when one is
+    advertised by ``_last_checkpoint`` (single- or multi-part), so the
+    JSON replay is O(tail). Pure driver-side metadata: JSON + pyarrow,
+    no Spark session required."""
     versions = _log_versions(log_dir)
     if not versions:
         raise FileNotFoundError(f"no Delta commits under {log_dir}")
@@ -68,6 +111,7 @@ def _replay_state(
 
     live: dict[str, dict] = {}
     meta: dict = {}
+    proto: dict = {}
     start = 0
     lc_path = os.path.join(log_dir, "_last_checkpoint")
     if os.path.exists(lc_path):
@@ -75,16 +119,13 @@ def _replay_state(
             lc = json.load(fh)
         cp_v = int(lc["version"])
         if cp_v <= target:
-            cp_file = os.path.join(log_dir, f"{cp_v:020d}.checkpoint.parquet")
-            for row in spark.read.parquet(cp_file).collect():
-                d = row.asDict(recursive=True)
-                if d.get("add"):
-                    a = {k: v for k, v in d["add"].items() if v is not None}
-                    live[a["path"]] = a
-                if d.get("metaData"):
-                    meta = {
-                        k: v for k, v in d["metaData"].items() if v is not None
-                    }
+            for act in _checkpoint_actions(log_dir, cp_v, lc.get("parts")):
+                if "add" in act:
+                    live[act["add"]["path"]] = act["add"]
+                elif "metaData" in act:
+                    meta = act["metaData"]
+                elif "protocol" in act:
+                    proto = act["protocol"]
             start = cp_v + 1
 
     for v in versions:
@@ -101,9 +142,11 @@ def _replay_state(
                     live.pop(act["remove"]["path"], None)
                 elif "metaData" in act:
                     meta = act["metaData"]
+                elif "protocol" in act:
+                    proto = act["protocol"]
     if not meta:
         raise ValueError(f"Delta log under {log_dir} carries no metaData action")
-    return live, meta
+    return live, meta, proto
 
 
 def read_delta(
@@ -133,7 +176,7 @@ def read_delta(
     etc.). A log whose paths defeat unique suffixing falls back to the
     union plan, trading plan size for correctness."""
     log_dir = os.path.join(path, "_delta_log")
-    live, meta = _replay_state(spark, log_dir, version)
+    live, meta, _ = _replay_state(log_dir, version)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
     data_schema = StructType(
@@ -175,9 +218,12 @@ def read_delta(
             "_file",
             *[F.col(c).cast(types[c]).alias(c) for c in part_cols],
         )
+        # java URLDecoder turns a literal '+' into a space — protect it
+        # first so paths like g=a+b keep their rows (a literal '%2B' in
+        # a RAW path is the one remaining ambiguity, pathological)
         file_key = F.expr(
-            "url_decode(concat_ws('/', slice(split(input_file_name(), '/'), "
-            f"-{suffix_n}, {suffix_n})))"
+            "url_decode(replace(concat_ws('/', slice(split(input_file_name(), '/'), "
+            f"-{suffix_n}, {suffix_n})), '+', '%2B'))"
         )
         df = (
             spark.read.schema(data_schema)
@@ -188,7 +234,11 @@ def read_delta(
         return df.select(*ordered)
 
     out: DataFrame | None = None
-    for key, files in sorted(groups.items()):
+    # null partition values are legal adds ("partitionValues": {"c": null});
+    # sort with a None-safe key so the plan order stays deterministic
+    for key, files in sorted(
+        groups.items(), key=lambda kv: tuple((v is None, v or "") for v in kv[0])
+    ):
         df = spark.read.schema(data_schema).parquet(*sorted(files))
         for c, v in zip(part_cols, key):
             lit = (

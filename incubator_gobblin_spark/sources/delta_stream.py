@@ -39,14 +39,11 @@ from pyspark.sql.datasource import (
 
 
 def _versions(log_dir: str) -> list[int]:
-    out = []
     if not os.path.isdir(log_dir):
-        return out
-    for f in os.listdir(log_dir):
-        stem, _, ext = f.partition(".")
-        if ext == "json" and stem.isdigit():
-            out.append(int(stem))
-    return sorted(out)
+        return []
+    from incubator_gobblin_spark.sources.delta_import import _log_versions
+
+    return _log_versions(log_dir)
 
 
 def _actions(log_dir: str, version: int) -> list[dict]:
@@ -55,18 +52,17 @@ def _actions(log_dir: str, version: int) -> list[dict]:
 
 
 def table_schema(path: str):
-    """The table's declared schema as a StructType, from the newest
-    metaData action in the log (driver-side JSON only)."""
+    """The table's declared schema as a StructType. Shares the batch
+    reader's log replay (delta_import._replay_state — pyarrow-direct,
+    no Spark session), so a table whose metaData lives only in a
+    parquet checkpoint (delta-spark cleans up old JSON versions) still
+    resolves."""
     from pyspark.sql.types import StructType
 
+    from incubator_gobblin_spark.sources.delta_import import _replay_state
+
     log_dir = os.path.join(path, "_delta_log")
-    meta = None
-    for v in _versions(log_dir):
-        for act in _actions(log_dir, v):
-            if "metaData" in act:
-                meta = act["metaData"]
-    if meta is None:
-        raise FileNotFoundError(f"no Delta metaData under {log_dir}")
+    _, meta, _ = _replay_state(log_dir, None)
     return (
         StructType.fromJson(json.loads(meta["schemaString"])),
         list(meta.get("partitionColumns") or []),
@@ -136,6 +132,20 @@ class DeltaStreamReader(DataSourceStreamReader):
             return float(v)
         if ddl_type == "string":
             return v
+        if ddl_type == "boolean":
+            return v.lower() == "true"
+        if ddl_type == "date":
+            import datetime
+
+            return datetime.date.fromisoformat(v)
+        if ddl_type.startswith("timestamp"):
+            import datetime
+
+            return datetime.datetime.fromisoformat(v)
+        if ddl_type.startswith("decimal"):
+            from decimal import Decimal
+
+            return Decimal(v)
         raise ValueError(
             f"deltastream: unsupported partition column type {ddl_type}"
         )

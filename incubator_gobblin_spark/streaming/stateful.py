@@ -200,10 +200,19 @@ def funnel_tracker(
         idx, anchor_us = state.get if state.exists else (0, 0)
         adv_idx: list[int] = []
         adv_ts: list[pd.Timestamp] = []
-        for pdf in pdfs:
-            if idx >= len(step_list):
-                break
-            sub = pdf[[ts_col, type_col]].sort_values(ts_col, kind="stable")
+        # the key's batch rows arrive as MULTIPLE Arrow chunks (split at
+        # arrow.maxRecordsPerBatch); event-time order must hold across
+        # the whole micro-batch, so concatenate before the single sort —
+        # chunk-local sorting would let a later chunk's earlier event
+        # silently miss its in-window successor in an earlier chunk
+        chunks = [pdf[[ts_col, type_col]] for pdf in pdfs]
+        batch = (
+            chunks[0]
+            if len(chunks) == 1
+            else pd.concat(chunks, ignore_index=True)
+        )
+        if idx < len(step_list):
+            sub = batch.sort_values(ts_col, kind="stable")
             for ts, etype in zip(sub[ts_col], sub[type_col]):
                 if idx >= len(step_list):
                     break

@@ -858,3 +858,47 @@ def test_delta_source_spec(spark, tmp_path, sf_dir):
     assert sorted(map(tuple, reader(spark).collect())) == [
         (i, i * 2) for i in range(5)
     ]
+
+
+def test_curation_semantic_format_independent_of_corpus_format(
+    spark, tmp_path, sf_dir
+):
+    """json document corpus + parquet embedding tables — the natural
+    mixed shape; curate.semantic.format governs the embedding reads."""
+    from pyspark.sql import functions as F
+
+    from incubator_gobblin_spark.session import load_table
+
+    docs_dir = str(tmp_path / "docs_json")
+    load_table(spark, sf_dir, "documents").write.json(docs_dir)
+    emb_dir = str(tmp_path / "emb_pq")
+    bench_dir = str(tmp_path / "bench_pq")
+    base = S.run_curation_job(
+        spark,
+        {
+            "curate.input.dir": docs_dir,
+            "curate.input.format": "json",
+            "curate.bench.predicate": "doc_id % 97 = 0",
+        },
+    )
+    base_ids = {r["doc_id"] for r in base.select("doc_id").collect()}
+    leak = min(base_ids)
+    spark.createDataFrame(
+        [(leak, [1.0, 0.0])], "doc_id long, embedding array<double>"
+    ).write.parquet(emb_dir)
+    spark.createDataFrame(
+        [(10**9, [2.0, 0.0])], "doc_id long, embedding array<double>"
+    ).write.parquet(bench_dir)
+    res = S.run_curation_job(
+        spark,
+        {
+            "curate.input.dir": docs_dir,
+            "curate.input.format": "json",
+            "curate.bench.predicate": "doc_id % 97 = 0",
+            "curate.semantic.embeddings.dir": emb_dir,
+            "curate.semantic.bench.dir": bench_dir,
+            "curate.semantic.threshold": "0.99",
+        },
+    )
+    got = {r["doc_id"] for r in res.select("doc_id").collect()}
+    assert got == base_ids - {leak}

@@ -262,3 +262,25 @@ def test_lsh_audit_sample_size_guard(spark):
         dedup_fuzzy.lsh_audit(
             big, "doc_id", "text", 0.5, max_sample_rows=10
         )
+
+
+def test_semantic_decontaminate_empty_bench_keeps_corpus(spark):
+    """An empty (or all-zero) benchmark side must yield EVERY corpus
+    row with contaminated=0 and NULL max_bench_sim — not an empty
+    frame that a join-based consumer would interpret as 'drop all'."""
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    empty = corpus.filter(F.col("vec_id") < 0)
+    out = similarity.semantic_decontaminate(corpus, empty, threshold=0.5).toPandas()
+    assert sorted(out["vec_id"]) == [1, 2]
+    assert (out["contaminated"] == 0).all()
+    assert out["max_bench_sim"].isna().all()
+
+    zero_bench = spark.createDataFrame(
+        [(9, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    out2 = similarity.semantic_decontaminate(
+        corpus, zero_bench, threshold=0.5
+    ).toPandas()
+    assert sorted(out2["vec_id"]) == [1, 2] and (out2["contaminated"] == 0).all()

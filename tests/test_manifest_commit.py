@@ -2105,3 +2105,137 @@ def test_read_delta_many_partitions_single_scan_path(spark, tmp_path):
     assert dict(fast.dtypes)["g"] == "bigint"  # typed partition restore
     plan = fast._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "Union" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Review-finding regressions (Delta surface)
+# ---------------------------------------------------------------------------
+
+
+def test_read_delta_null_partition_values(spark, tmp_path):
+    """Adds with null partitionValues are legal; the union path must
+    sort its group keys None-safely and inject a NULL partition col."""
+    import json
+
+    from incubator_gobblin_spark.sources.delta_import import read_delta
+
+    root = tmp_path / "dlnull"
+    (root / "_delta_log").mkdir(parents=True)
+    spark.createDataFrame([(1,)], "k long").coalesce(1).write.parquet(
+        str(root / "a")
+    )
+    spark.createDataFrame([(2,)], "k long").coalesce(1).write.parquet(
+        str(root / "b")
+    )
+
+    def pf(d):
+        return [f for f in os.listdir(root / d) if f.endswith(".parquet")][0]
+
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "g", "type": "string", "nullable": True, "metadata": {}},
+        ],
+    }
+    acts = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "t", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": json.dumps(schema),
+                      "partitionColumns": ["g"], "configuration": {}}},
+        {"add": {"path": f"a/{pf('a')}", "partitionValues": {"g": "x"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": f"b/{pf('b')}", "partitionValues": {"g": None},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(root / "_delta_log" / f"{0:020d}.json", "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in acts) + "\n")
+    got = sorted(
+        map(tuple, read_delta(spark, str(root)).select("k", "g").collect())
+    )
+    assert got == [(1, "x"), (2, None)]
+
+
+def test_read_delta_plus_in_partition_value_fast_path(spark, sf_dir, tmp_path):
+    """A literal '+' in a partition value must survive the single-scan
+    path's filename join (java URLDecoder would eat it as a space)."""
+    from incubator_gobblin_spark.sources.delta_import import read_delta
+
+    root = str(tmp_path / "dlplus")
+    sink = _sink(root, partition_by=["g"], delta_log=True)
+    df = spark.createDataFrame(
+        [(1, "a+b"), (2, "c d"), (3, "plain")], "k long, g string"
+    )
+    sink.write_staging(df, "r1")
+    sink.publish("r1")
+    got = read_delta(spark, root, union_threshold=0)  # force the fast path
+    assert sorted(map(tuple, got.select("k", "g").collect())) == [
+        (1, "a+b"), (2, "c d"), (3, "plain")
+    ]
+
+
+def test_read_delta_multipart_checkpoint_and_schema_from_checkpoint(
+    spark, sf_dir, tmp_path
+):
+    """PROTOCOL.md multi-part checkpoints resolve (parts field in
+    _last_checkpoint), and a log whose JSON tail lost its metaData
+    (delta-spark log cleanup) still yields the schema from the
+    checkpoint — both for read_delta and the streaming table_schema."""
+    import json
+
+    from incubator_gobblin_spark.sources.delta_import import read_delta
+    from incubator_gobblin_spark.sources.delta_stream import table_schema
+
+    df = load_table(spark, sf_dir, "region")
+    root = str(tmp_path / "dlmp")
+    sink = _sink(root, table_type=TableType.APPEND_ONLY)
+    sink.write_staging(df.filter(F.col("r_regionkey") < 3), "r1")
+    sink.publish("r1")
+    sink.export_delta_log()
+    sink.write_staging(df.filter(F.col("r_regionkey") >= 3), "r2")
+    sink.publish("r2")
+    sink.export_delta_log(checkpoint_interval=1)  # checkpoint at v1
+    log_dir = os.path.join(root, "_delta_log")
+
+    # split the single-part checkpoint into two PROTOCOL-named parts
+    import pyarrow.parquet as pq
+
+    cp = os.path.join(log_dir, f"{1:020d}.checkpoint.parquet")
+    t = pq.read_table(cp)
+    os.remove(cp)
+    pq.write_table(
+        t.slice(0, 3),
+        os.path.join(log_dir, f"{1:020d}.checkpoint.{1:010d}.{2:010d}.parquet"),
+    )
+    pq.write_table(
+        t.slice(3),
+        os.path.join(log_dir, f"{1:020d}.checkpoint.{2:010d}.{2:010d}.parquet"),
+    )
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 1, "size": t.num_rows, "parts": 2}, fh)
+    # simulate delta-spark log cleanup: the pre-checkpoint JSON (which
+    # held protocol+metaData) is gone
+    os.remove(os.path.join(log_dir, f"{0:020d}.json"))
+
+    got = read_delta(spark, root)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, df.collect()))
+    schema, parts = table_schema(root)
+    assert set(schema.fieldNames()) == set(df.columns) and parts == []
+
+
+def test_q123_repairs_missing_export_without_republish(spark):
+    """The q123 cache guard must repair a missing _delta_log by
+    re-exporting, never by re-publishing (which would double the
+    table)."""
+    import shutil
+
+    from incubator_gobblin_spark.plans import queries as Q
+
+    sf_dir = "/root/testdata/sf0.001"
+    first = Q._REGISTRY["q123_delta_roundtrip_agg"][0](spark, sf_dir).toPandas()
+    cache = Q._cache_dir("deltalake", sf_dir, "documents")
+    shutil.rmtree(os.path.join(cache, "_delta_log"))
+    second = Q._REGISTRY["q123_delta_roundtrip_agg"][0](spark, sf_dir).toPandas()
+    a = first.sort_values("lang").reset_index(drop=True)
+    b = second.sort_values("lang").reset_index(drop=True)
+    assert a.equals(b)

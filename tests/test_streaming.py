@@ -1213,3 +1213,104 @@ def test_delta_to_lake_continuous_replication(spark, tmp_path):
     assert sorted(map(tuple, tgt.read_committed(spark).collect())) == [
         (1, "a"), (2, "b2"), (3, "c")
     ]
+
+
+def test_deltastream_date_partitioned_table(spark, tmp_path):
+    """A date-partitioned Delta table (the most common layout) streams
+    with the partition column restored as a real DateType."""
+    import datetime
+    import json
+
+    root = tmp_path / "dldate"
+    (root / "_delta_log").mkdir(parents=True)
+    spark.createDataFrame([(1,)], "k long").coalesce(1).write.parquet(
+        str(root / "dt=2024-01-01")
+    )
+    import os as _os
+
+    pf = [
+        f for f in _os.listdir(root / "dt=2024-01-01") if f.endswith(".parquet")
+    ][0]
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "dt", "type": "date", "nullable": True, "metadata": {}},
+        ],
+    }
+    acts = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "t", "format": {"provider": "parquet", "options": {}},
+                      "schemaString": json.dumps(schema),
+                      "partitionColumns": ["dt"], "configuration": {}}},
+        {"add": {"path": f"dt=2024-01-01/{pf}",
+                 "partitionValues": {"dt": "2024-01-01"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(root / "_delta_log" / f"{0:020d}.json", "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in acts) + "\n")
+
+    from incubator_gobblin_spark.streaming.flow import StreamPipeline
+
+    out = str(tmp_path / "dldate_out")
+    q = (
+        StreamPipeline(spark)
+        .source_delta(str(root))
+        ._source(spark)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "dldate_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert dict(got.dtypes)["dt"] == "date"
+    assert [tuple(r) for r in got.collect()] == [
+        (1, datetime.date(2024, 1, 1))
+    ]
+
+
+def test_funnel_tracker_orders_across_arrow_chunks(spark, tmp_path):
+    """Event-time ordering must hold across Arrow chunk boundaries: with
+    maxRecordsPerBatch=2 the click (later rows, earlier time) and the
+    view land in different chunks, and the funnel must still advance."""
+    import json
+
+    src = tmp_path / "chunk_src"
+    src.mkdir()
+    # rows ordered so the EARLIEST event sits LAST (chunk 2): a
+    # chunk-local walk would process click@20..30 first, skip them
+    # (step 0 wants view), then see view@10 and stall at step 1
+    rows = [
+        {"user_id": 1, "ts": "2024-01-01T00:00:20", "event_type": "click"},
+        {"user_id": 1, "ts": "2024-01-01T00:00:25", "event_type": "click"},
+        {"user_id": 1, "ts": "2024-01-01T00:00:30", "event_type": "click"},
+        {"user_id": 1, "ts": "2024-01-01T00:00:10", "event_type": "view"},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    from incubator_gobblin_spark.streaming.stateful import funnel_tracker
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, event_type string"
+        ).json(str(src))
+        q = (
+            funnel_tracker(stream, ["view", "click"], within_seconds=60)
+            .writeStream.format("memory")
+            .queryName("chunk_funnel_sink")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "chunk_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = sorted(
+        (r["step_idx"], r["step"])
+        for r in spark.sql("SELECT * FROM chunk_funnel_sink").collect()
+    )
+    assert got == [(1, "view"), (2, "click")]
