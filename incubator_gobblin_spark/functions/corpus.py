@@ -1320,12 +1320,18 @@ def unimax_weights(
     )
     rows = df.groupBy(group_col).agg(mass).collect()
     groups = sorted(
-        ((_r6(float(epoch_cap) * r["n_docs"]), r[group_col], int(r["n_docs"]))
+        ((_r6(float(epoch_cap) * (r["n_docs"] or 0)), r[group_col],
+          int(r["n_docs"] or 0))
          for r in rows),
     )
     remaining = float(budget)
     out_rows = []
     for i, (cap, g, n) in enumerate(groups):
+        # a zero-mass group (NULL/zero size sum) can absorb no budget:
+        # alloc and epochs are 0, not a division error
+        if n == 0:
+            out_rows.append((g, 0, 0.0, 0.0))
+            continue
         share = _r6(remaining / (len(groups) - i))
         alloc = min(cap, share)
         remaining = _r6(remaining - alloc)
@@ -1384,14 +1390,24 @@ def temperature_weights(
         else F.count(F.lit(1)).alias("n_docs")
     )
     rows = df.groupBy(group_col).agg(mass).collect()
-    total = sum(r["n_docs"] for r in rows)
+    total = sum((r["n_docs"] or 0) for r in rows)
     stats = []
     for r in rows:
-        p = r["n_docs"] / total
-        stats.append((r[group_col], int(r["n_docs"]), p, _r6(math.pow(p, alpha))))
+        n_g = r["n_docs"] or 0
+        p = n_g / total if total else 0.0
+        # pow(0, 0) == 1 would hand a zero-mass group full weight at
+        # alpha=0; zero mass means zero weight regardless of alpha
+        q = _r6(math.pow(p, alpha)) if p > 0 else 0.0
+        stats.append((r[group_col], int(n_g), p, q))
     qsum = float(sum(Decimal(repr(q)) for *_, q in stats))
     out_rows = []
     for g, n, p, q_raw in stats:
+        # a zero-mass group (all docs size 0 under size_col) carries no
+        # sampling weight and no defined multiplier — emit zeros rather
+        # than dividing the whole mixture job into a ZeroDivisionError
+        if p == 0 or qsum == 0:
+            out_rows.append((g, n, 0.0, 0.0))
+            continue
         sample_prob = _r6(q_raw / qsum)
         out_rows.append((g, n, sample_prob, _r6(sample_prob / p)))
     gtype = df.schema[group_col].dataType.simpleString()

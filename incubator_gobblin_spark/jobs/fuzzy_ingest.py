@@ -96,13 +96,21 @@ def ingest_batch_fuzzy(
     rid = run_id or new_run_id()
 
     n_in = batch.count()
+    # the band keys feed THREE consumers (within-batch pairing, the
+    # cross-batch index join, the admitted-keys write) and several
+    # count() actions — cache them once instead of re-running the
+    # shingle->minhash pipeline per consumer
     keys = dedup_fuzzy.minhash_band_keys(
         batch, id_col, text_col, num_hashes, bands, shingle_n, seed
-    )
+    ).cache()
 
-    # -- within-batch: keep the smallest id of every candidate pair
-    pairs = dedup_fuzzy.minhash_candidate_pairs(
-        batch, id_col, text_col, num_hashes, bands, shingle_n, seed,
+    # -- within-batch: keep the smallest id of every candidate pair.
+    # Pair directly off the cached keys (minhash_candidate_pairs would
+    # re-derive the identical band keys from the raw text)
+    pairs = dedup_fuzzy._bucket_pairs(
+        keys.withColumnRenamed(id_col, "_id"),
+        ["band_id", "band_hash"],
+        "_id",
         max_bucket_size,
     )
     sh = _shingle_set(text_col, shingle_n)
@@ -121,7 +129,8 @@ def ingest_batch_fuzzy(
     # id_l < id_r by construction: dropping every id_r keeps exactly
     # the smallest id of each verified pair group
     within_drops = verified.select(F.col("id_r").alias(id_col)).distinct()
-    kept = batch.join(within_drops, on=id_col, how="left_anti")
+    kept_within = batch.join(within_drops, on=id_col, how="left_anti").cache()
+    kept = kept_within
     n_within = within_drops.count()
 
     # -- cross-batch: bucket-join the committed index, verify Jaccard
@@ -180,6 +189,8 @@ def ingest_batch_fuzzy(
         )
         index_sink.write_staging(admitted_keys, rid)
         index_sink.publish(rid)
+    keys.unpersist()
+    kept_within.unpersist()
     return {
         "admitted": n_admit,
         "dropped_within": n_within,

@@ -873,6 +873,7 @@ def run_rest_ingest_job(
         sink,
         store,
         num_partitions=int(props.get("source.max.number.of.partitions", "4")),
+        order_by=props.get("rest.source.order.by"),
     )
 
 

@@ -79,6 +79,12 @@ def write_egress(
     at-least-once contract the reference's RetryWriter + async writers
     compose to). The callable must be picklable (ships to executors).
     """
+    # the partition closure imports package modules (TokenBucket) on the
+    # executor — ship the package zip so workers resolve the import
+    # regardless of the driver's cwd (the rest_api/mock_kafka deployment)
+    from incubator_gobblin_spark.sources.mock_kafka import _ship_package
+
+    _ship_package(df.sparkSession)
     cfg = config or EgressConfig()
     batch_size = int(cfg.batch_size)
     max_in_flight = max(1, int(cfg.max_in_flight))

@@ -928,22 +928,37 @@ class FileSink:
             by_part.setdefault(e.get("partition") or "", []).append(
                 os.path.abspath(os.path.join(self.path, e["file"]))
             )
-        import shutil as _sh
+        # Refresh IN PLACE with per-file atomic replaces, then prune
+        # stale entries — never a whole-directory rmtree+rename swap: a
+        # directory swap races concurrent exporters (the commit CAS
+        # explicitly allows concurrent committers) into ENOTEMPTY
+        # failures AFTER the data commit succeeded, and leaves external
+        # readers a window with NO manifest at all. With per-file
+        # replaces the root always exists, every manifest file a reader
+        # opens is complete, and two exporters interleave at file
+        # granularity (last writer per file wins).
+        import contextlib
 
-        tmp = f"{root}.tmp-{os.getpid()}"
-        if os.path.exists(tmp):
-            _sh.rmtree(tmp)
-        os.makedirs(tmp, exist_ok=True)  # empty snapshot -> empty manifest
-        if not by_part:
-            open(os.path.join(tmp, "manifest"), "w").close()
-        for part, files in sorted(by_part.items()):
-            d = os.path.join(tmp, part) if part else tmp
+        os.makedirs(root, exist_ok=True)
+        wanted: set[str] = set()
+        items = sorted(by_part.items()) or [("", [])]
+        for part, files in items:
+            d = os.path.join(root, part) if part else root
             os.makedirs(d, exist_ok=True)
-            with open(os.path.join(d, "manifest"), "w") as fh:
-                fh.write("\n".join(sorted(files)) + "\n")
-        if os.path.exists(root):
-            _sh.rmtree(root)
-        os.replace(tmp, root)
+            tmp_f = os.path.join(d, f".manifest.tmp-{os.getpid()}")
+            with open(tmp_f, "w") as fh:
+                fh.write("\n".join(sorted(files)) + ("\n" if files else ""))
+            os.replace(tmp_f, os.path.join(d, "manifest"))
+            wanted.add(os.path.relpath(os.path.join(d, "manifest"), root))
+        for dirpath, _dirnames, filenames in os.walk(root, topdown=False):
+            for f_ in filenames:
+                rel = os.path.relpath(os.path.join(dirpath, f_), root)
+                if f_ == "manifest" and rel not in wanted:
+                    with contextlib.suppress(OSError):
+                        os.remove(os.path.join(dirpath, f_))
+            if dirpath != root and not os.listdir(dirpath):
+                with contextlib.suppress(OSError):
+                    os.rmdir(dirpath)
         return root
 
     def export_delta_log(

@@ -362,9 +362,15 @@ def read_rest(
     # executor — ship the package zip once so workers can import it
     # regardless of the driver's cwd (same deployment as mock_kafka)
     units = _split_units(interval, num_partitions)
-    return _read_units(
-        spark, source, endpoint, units, source.wm_column, order_by or source.wm_column
-    )
+    # effective paging order: explicit caller choice, else the
+    # endpoint's own declared order (rest.source.order.by reaches the
+    # fetch THROUGH this — params['order_by'] always wins inside
+    # endpoint.fetch), else the watermark column. Cursor mode needs the
+    # order key unique — ties AT a page boundary under a non-unique
+    # watermark would be skipped; pass order_by (or paging='offset')
+    # for tie-heavy watermarks.
+    order = order_by or getattr(endpoint, "order_by", None) or source.wm_column
+    return _read_units(spark, source, endpoint, units, source.wm_column, order)
 
 
 def read_rest_pk_chunked(
@@ -387,9 +393,10 @@ def read_rest_pk_chunked(
     objects. The fetch machinery (paging, rate limit, retries) is
     byte-identical to :func:`read_rest` — only the planner differs."""
     bounds = endpoint.pk_bounds(source.resource, pk_column, int(chunk_size))
-    edges: list = [None, *[str(b) for b in bounds]]
-    if edges[-1] is not None:
-        edges.append(None)  # final open chunk catches keys past the last boundary
+    # a resource smaller than chunk_size yields no boundaries — the
+    # edge list still produces ONE open (None, None] chunk covering the
+    # whole table, never zero workunits
+    edges: list = [None, *[str(b) for b in bounds], None]
     units = [(edges[i], edges[i + 1]) for i in range(len(edges) - 1)]
     return _read_units(spark, source, endpoint, units, pk_column, pk_column)
 
@@ -412,6 +419,14 @@ def _read_units(
     from incubator_gobblin_spark.sources.mock_kafka import _ship_package
 
     _ship_package(spark)
+    if not units:
+        # an empty interval (low == high tiles to nothing) reads as an
+        # empty typed frame, not a repartition(0) crash
+        return (
+            spark.createDataFrame([], "json string")
+            .select(F.from_json(F.col("json"), source.schema).alias("r"))
+            .select("r.*")
+        )
     unit_df = spark.createDataFrame(
         units, "lo string, hi string"
     ).repartition(len(units))
@@ -502,14 +517,20 @@ def ingest_rest_incremental(
     table: str | None = None,
     num_partitions: int = 4,
     transform: Callable[[DataFrame], DataFrame] | None = None,
+    order_by: str | None = None,
 ) -> dict[str, Any]:
     """One incremental run of the QueryBasedSource watermark loop over a
     REST endpoint: low = committed state, high = the endpoint's current
     max watermark; publish to a manifest-mode sink under a run id
-    derived from the interval (idempotent replay: a crash after publish
-    but before state commit re-runs the SAME interval into the SAME run
-    id, which the manifest sink deduplicates); then commit the new high
-    watermark. Mirrors jobs/kafka_ingest.ingest_kafka_batch."""
+    derived from the LOW watermark; then commit the new high watermark.
+    Mirrors jobs/kafka_ingest.ingest_kafka_batch.
+
+    Idempotent replay: keying the run id on (table, low) — NOT the
+    interval — makes a crash between publish and state commit converge
+    even when the source GREW in between: the replay re-queries a
+    higher high and re-publishes (low, high'] under the SAME run id,
+    which the manifest sink's same-run republish supersedes (drops the
+    partial attempt's files) instead of double-appending the overlap."""
     from incubator_gobblin_spark.state import TableState
 
     if getattr(sink, "commit_mode", None) != "manifest":
@@ -528,14 +549,13 @@ def ingest_rest_incremental(
         endpoint,
         WatermarkInterval(source.wm_column, low, high),
         num_partitions=num_partitions,
+        order_by=order_by,
     )
     if transform is not None:
         df = transform(df)
     import hashlib
 
-    run_id = "rest-" + hashlib.md5(
-        f"{table}|{low}|{high}".encode()
-    ).hexdigest()[:16]
+    run_id = "rest-" + hashlib.md5(f"{table}|{low}".encode()).hexdigest()[:16]
     sink.write_staging(df, run_id)
     sink.publish(run_id)
     store.commit(

@@ -1206,3 +1206,128 @@ def test_rest_schema_drift_null_fills_and_ignores_extras(spark, tmp_path):
     assert rows[2]["name"] is None                 # null-filled
     assert all(r["never_served"] is None for r in rows.values())
     assert "extra_new_col" not in df.columns       # extras dropped
+
+
+def test_rest_pk_chunked_small_table_single_open_chunk(spark, sf_dir):
+    """A resource smaller than chunk_size plans ONE open (None, None]
+    unit and returns every row — not zero workunits / repartition(0)."""
+    from incubator_gobblin_spark.sources import rest_api as R
+
+    src = R.RestApiSource(
+        resource="region",
+        schema="r_regionkey long, r_name string, r_comment string",
+        wm_column="r_regionkey",
+        page_size=3,
+        rate_per_sec=10_000.0,
+    )
+    ep = R.FileBackedRestEndpoint(
+        {"region": f"{sf_dir}/region.parquet"}, order_by="r_regionkey"
+    )
+    df = R.read_rest_pk_chunked(spark, src, ep, "r_regionkey", chunk_size=100_000)
+    assert df.count() == 5 and df.select("r_regionkey").distinct().count() == 5
+
+
+def test_rest_empty_interval_reads_empty_typed_frame(spark, sf_dir):
+    """low == high tiles to zero workunits: the read is an empty frame
+    with the declared schema, not a repartition(0) crash."""
+    from incubator_gobblin_spark.operators.watermark import WatermarkInterval
+    from incubator_gobblin_spark.sources import rest_api as R
+
+    src = R.RestApiSource(
+        resource="region",
+        schema="r_regionkey long, r_name string, r_comment string",
+        wm_column="r_regionkey",
+        page_size=3,
+        rate_per_sec=10_000.0,
+    )
+    ep = R.FileBackedRestEndpoint(
+        {"region": f"{sf_dir}/region.parquet"}, order_by="r_regionkey"
+    )
+    df = R.read_rest(
+        spark, src, ep, WatermarkInterval("r_regionkey", 3, 3), num_partitions=4
+    )
+    assert df.count() == 0
+    assert df.columns == ["r_regionkey", "r_name", "r_comment"]
+
+
+def test_rest_endpoint_order_by_reaches_fetch(spark, sf_dir):
+    """With no explicit order_by, read_rest pages by the ENDPOINT's
+    declared order (rest.source.order.by's carrier) — a unique key —
+    rather than silently falling back to a possibly-tied watermark."""
+    from incubator_gobblin_spark.operators.watermark import WatermarkInterval
+    from incubator_gobblin_spark.sources import rest_api as R
+
+    src = R.RestApiSource(
+        resource="events",
+        schema="event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+        wm_column="user_id",  # heavily tied column
+        page_size=7,          # forces many page boundaries
+        rate_per_sec=10_000.0,
+    )
+    ep = R.FileBackedRestEndpoint(
+        {"events": f"{sf_dir}/events.parquet"}, order_by="event_id"
+    )
+    lo, hi = 1, 5
+    df = R.read_rest(
+        spark, src, ep, WatermarkInterval("user_id", lo, hi), num_partitions=2
+    )
+    want = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/events.parquet' "
+        f"WHERE user_id > {lo} AND user_id <= {hi}"
+    ).fetchone()[0]
+    # cursor-paging on the tied user_id column would lose boundary ties;
+    # the endpoint's unique event_id order keeps every row
+    assert df.count() == want
+
+
+def test_rest_incremental_replay_with_grown_source(spark, sf_dir, tmp_path):
+    """Crash between publish and state commit, THEN the source grows:
+    the replay must supersede the partial publish under the same run id
+    (keyed on the low watermark), never double-append the overlap."""
+    import pandas as pd
+
+    from incubator_gobblin_spark.sinks.files import FileSink
+    from incubator_gobblin_spark.sources import rest_api as R
+    from incubator_gobblin_spark.state import StateStore
+
+    src_path = str(tmp_path / "grow.parquet")
+
+    def write(n):
+        pd.DataFrame({"id": range(1, n + 1), "v": [i * 10 for i in range(1, n + 1)]}).to_parquet(src_path)
+
+    write(6)
+    source = R.RestApiSource(
+        resource="grow", schema="id long, v long", wm_column="id",
+        page_size=4, rate_per_sec=10_000.0,
+    )
+    ep = R.FileBackedRestEndpoint({"grow": src_path}, order_by="id")
+    sink = FileSink(path=str(tmp_path / "lake"), commit_mode="manifest")
+    store = StateStore(str(tmp_path / "state"))
+
+    class CrashingStore:
+        """Publishes succeed; the state commit crashes once."""
+
+        def __init__(self, inner):
+            self.inner = inner
+            self.crashed = False
+
+        def get(self, table):
+            return self.inner.get(table)
+
+        def commit(self, table, st):
+            if not self.crashed:
+                self.crashed = True
+                raise RuntimeError("injected crash before state commit")
+            return self.inner.commit(table, st)
+
+    crashing = CrashingStore(store)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected"):
+        R.ingest_rest_incremental(spark, source, ep, sink, crashing)
+    write(9)  # the source GROWS between crash and replay
+    out = R.ingest_rest_incremental(spark, source, ep, sink, crashing)
+    assert out["published"] is True
+    got = sorted(r["id"] for r in sink.read_committed(spark).collect())
+    assert got == list(range(1, 10))  # no duplicated overlap rows

@@ -916,3 +916,22 @@ def test_curate_to_tokenizer_pipeline_composes(spark, sf_dir):
     m2, p2 = run()
     assert m1 == m2 and len(m1) == 4
     assert p1 == p2 and len(p1) > 0
+
+
+def test_mixture_weights_zero_mass_groups(spark):
+    """A group whose size_col sums to zero gets weight/epochs 0 — not a
+    ZeroDivisionError that kills the mixture job."""
+    df = spark.createDataFrame(
+        [(1, "en", 100), (2, "en", 50), (3, "xx", 0), (4, "xx", 0)],
+        "doc_id long, lang string, n_tok long",
+    )
+    tw = corpus.temperature_weights(df, "lang", alpha=0.5, size_col="n_tok")
+    got = {r["lang"]: (r["sample_prob"], r["multiplier"]) for r in tw.collect()}
+    assert got["xx"] == (0.0, 0.0)
+    assert got["en"][0] == 1.0  # the only positive-mass group takes all
+
+    uw = corpus.unimax_weights(df, "lang", budget=100, epoch_cap=2.0,
+                               size_col="n_tok")
+    gu = {r["lang"]: (r["alloc"], r["epochs"]) for r in uw.collect()}
+    assert gu["xx"] == (0.0, 0.0)
+    assert gu["en"][1] > 0
