@@ -935,3 +935,57 @@ def test_mixture_weights_zero_mass_groups(spark):
     gu = {r["lang"]: (r["alloc"], r["epochs"]) for r in uw.collect()}
     assert gu["xx"] == (0.0, 0.0)
     assert gu["en"][1] > 0
+
+
+@pytest.mark.parametrize("seed", [7, 11, 13])
+def test_bpe_train_matches_bruteforce_python(spark, seed):
+    """Randomized cross-check: on tiny-alphabet corpora (forcing heavy
+    pair collisions and ties) the distributed trainer must produce the
+    EXACT merge sequence of a reference pure-Python BPE with the same
+    tie rule (count desc, then left/right lexicographic)."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(seed)
+    vocab = ["ab", "aab", "bba", "abab", "ba"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 8))))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # reference implementation: word-freq dict, greedy left-first merges
+    freqs = Counter(w for _, t in docs for w in t.split() if w)
+    words = {w: list(w) for w in freqs}
+
+    def ref_merges(k):
+        out = []
+        for _ in range(k):
+            pc = Counter()
+            for w, syms in words.items():
+                for a, b in zip(syms, syms[1:]):
+                    pc[(a, b)] += freqs[w]
+            if not pc:
+                break
+            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            out.append(best)
+            fused = best[0] + best[1]
+            for w, syms in words.items():
+                merged, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == best[0]
+                        and syms[i + 1] == best[1]
+                    ):
+                        merged.append(fused)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                words[w] = merged
+        return out
+
+    want = ref_merges(6)
+    got = corpus.bpe_train(df, "text", 6)
+    assert got == want
