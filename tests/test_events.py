@@ -108,3 +108,86 @@ def test_funnel_shuffles_share_user_key(spark):
 
     for part in re.findall(r"hashpartitioning\(([^,)]+)", plan):
         assert part.startswith("user_id"), plan
+
+
+@pytest.mark.parametrize("seed", [3, 17, 29])
+def test_funnel_matches_bruteforce_python(spark, seed):
+    """Randomized cross-check: dense random event sets with heavy ties
+    and interleavings must produce exactly the reference funnel counts
+    (first-match anchoring, strict after, inclusive window)."""
+    import random
+
+    rng = random.Random(seed)
+    steps = ["view", "click", "purchase"]
+    types = steps + ["error"]
+    rows = [
+        (rng.randint(0, 120), rng.randint(1, 6), rng.choice(types))
+        for _ in range(80)
+    ]
+    window = 30
+
+    def brute():
+        by_user = {}
+        for s, u, t in rows:
+            by_user.setdefault(u, []).append((s, t))
+        counts = [0] * len(steps)
+        for evs in by_user.values():
+            evs.sort()
+            anchor, idx = None, 0
+            for s, t in evs:
+                if idx >= len(steps):
+                    break
+                if t != steps[idx]:
+                    continue
+                if idx > 0 and (s <= anchor or s > anchor + window):
+                    continue
+                anchor = s
+                idx += 1
+                counts[idx - 1] += 1
+        return counts
+
+    df = _ev(spark, rows)
+    got = (
+        events_fn.funnel(df, steps, within_seconds=window)
+        .toPandas()
+        .sort_values("step_idx")["n_users"]
+        .tolist()
+    )
+    assert got == brute()
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_cohort_retention_matches_bruteforce_python(spark, seed):
+    import datetime as dt
+    import random
+
+    rng = random.Random(seed)
+    day = 86400
+    rows = [
+        (rng.randint(0, 20) * day + rng.randint(0, day - 1), rng.randint(1, 8), "view")
+        for _ in range(60)
+    ]
+
+    def brute():
+        first = {}
+        for s, u, _ in rows:
+            d = s // day
+            first[u] = min(first.get(u, d), d)
+        out = {}
+        seen = set()
+        for s, u, _ in rows:
+            off = s // day - first[u]
+            key = (first[u], off)
+            if (u, off) not in seen:
+                seen.add((u, off))
+                out[key] = out.get(key, 0) + 1
+        return out
+
+    got = {
+        (
+            (r.cohort_day - dt.date(2024, 1, 1)).days,
+            int(r.bucket_offset),
+        ): int(r.n_users)
+        for r in events_fn.cohort_retention(_ev(spark, rows)).toPandas().itertuples()
+    }
+    assert got == brute()
