@@ -458,6 +458,65 @@ class StreamPipeline:
             writer = writer.trigger(processingTime=f"{trigger_secs} seconds")
         return writer.start()
 
+    def to_curate(
+        self,
+        bench: DataFrame,
+        lake_sink,
+        checkpoint: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        trigger_secs: int | None = 60,
+        once: bool = False,
+        **curate_kwargs,
+    ) -> StreamingQuery:
+        """Continuous corpus curation: every micro-batch runs the full
+        curation chain (:func:`jobs.curate.curate` — quality gate,
+        exact dedup, n-gram [+ optional semantic] decontamination,
+        split assignment, per-source cap) and lands the survivors in a
+        manifest lake keyed by content fingerprint via an insert-only
+        MERGE — the streaming face of ``run_curation_job``'s
+        incremental mode.
+
+        Cross-batch semantics, stated honestly: DEDUP is global (a text
+        fingerprint already in the lake keeps its first copy — the
+        insert-only MERGE drops re-arrivals, any epoch, any batch) and
+        splits are global (pure functions of the id), but the
+        PER-SOURCE CAP and the within-batch dedup window apply per
+        micro-batch — a capped source admits up to ``cap_per_source``
+        docs per trigger, not per lifetime (use the batch job over the
+        lake for a global re-cap). Exactly-once: the run id is the
+        epoch id; a replayed epoch's merge is an idempotent no-op."""
+        if getattr(lake_sink, "commit_mode", None) != "manifest":
+            raise ValueError("to_curate requires a manifest-mode lake sink")
+
+        def _curate(batch_df: DataFrame, epoch_id: int) -> None:
+            from incubator_gobblin_spark.functions import text as _text
+            from incubator_gobblin_spark.jobs.curate import curate
+
+            curated = curate(
+                batch_df, bench, id_col=id_col, text_col=text_col,
+                **curate_kwargs,
+            )
+            keyed = curated.withColumn("fp", _text.fingerprint(text_col))
+            lake_sink.merge_into(
+                batch_df.sparkSession,
+                keyed,
+                on=["fp"],
+                run_id=f"epoch-{epoch_id:012d}",
+                matched="ignore",
+            )
+
+        writer = (
+            self.dataframe()
+            .writeStream.foreachBatch(_curate)
+            .option("checkpointLocation", checkpoint)
+        )
+        if once:
+            writer = writer.trigger(availableNow=True)
+        elif trigger_secs:
+            writer = writer.trigger(processingTime=f"{trigger_secs} seconds")
+        return writer.start()
+
     def to_branches(
         self,
         branches: Sequence[StreamBranch],

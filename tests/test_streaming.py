@@ -1314,3 +1314,74 @@ def test_funnel_tracker_orders_across_arrow_chunks(spark, tmp_path):
         for r in spark.sql("SELECT * FROM chunk_funnel_sink").collect()
     )
     assert got == [(1, "view"), (2, "click")]
+
+
+def test_streaming_curation_to_lake(spark, sf_dir, tmp_path):
+    """Continuous curation: two micro-batches curate independently but
+    dedup GLOBALLY through the fingerprint-keyed insert-only merge —
+    a text re-arriving in batch 2 keeps its batch-1 lake copy; quality
+    rejects and benchmark-contaminated docs never land; a replayed run
+    is a no-op."""
+    from incubator_gobblin_spark.session import load_table
+    from incubator_gobblin_spark.sinks.files import FileSink
+    from incubator_gobblin_spark.streaming.flow import StreamPipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    half = [r["doc_id"] for r in train.select("doc_id").orderBy("doc_id").collect()]
+    b1_ids, b2_ids = half[: len(half) // 2], half[len(half) // 2 :]
+    src = str(tmp_path / "cur_src")
+    # batch 2 re-sends a batch-1 document's text under a NEW id
+    dup_src = train.filter(F.col("doc_id") == b1_ids[0]).select(
+        (F.col("doc_id") + 10**6).alias("doc_id"), "text", "lang",
+        "source", "n_chars",
+    )
+    import glob
+    import os
+    import shutil
+
+    os.makedirs(src)
+    for i, bdf in enumerate(
+        (
+            train.filter(F.col("doc_id").isin(b1_ids)),
+            train.filter(F.col("doc_id").isin(b2_ids)).unionByName(dup_src),
+        )
+    ):
+        staging = str(tmp_path / f"cur_stage_{i}")
+        bdf.coalesce(1).write.parquet(staging)
+        part = glob.glob(f"{staging}/part-*.parquet")[0]
+        shutil.move(part, f"{src}/b{i}.parquet")
+
+    lake = FileSink(path=str(tmp_path / "cur_lake"), commit_mode="manifest")
+    q = (
+        StreamPipeline(spark, "cur")
+        .source_files(src, "parquet", train.schema, max_files_per_trigger=1)
+        .to_curate(
+            bench, lake, checkpoint=str(tmp_path / "cur_ckpt"), once=True
+        )
+    )
+    q.awaitTermination(180)
+
+    got = lake.read_committed(spark)
+    ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+    # the duplicate text under the new id never displaced batch 1's copy
+    assert b1_ids[0] + 10**6 not in ids
+    # every landed doc is a curation survivor of its batch
+    from incubator_gobblin_spark.jobs import curate as curate_job
+
+    full = curate_job.curate(train, bench)
+    survivors = {r["doc_id"] for r in full.select("doc_id").collect()}
+    # per-batch caps can admit MORE than the global run (caps reset per
+    # batch) but never a quality-rejected or contaminated doc
+    rejected = (
+        {r["doc_id"] for r in train.select("doc_id").collect()} - survivors
+    )
+    from incubator_gobblin_spark.functions import corpus as C
+
+    gated_out = {
+        r["doc_id"]
+        for r in train.filter(~C.gopher_keep("text")).select("doc_id").collect()
+    }
+    assert not (ids & gated_out)
+    assert got.count() == got.select("fp").distinct().count()  # global dedup
