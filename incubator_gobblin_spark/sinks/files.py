@@ -163,7 +163,10 @@ class FileSink:
         for k, v in self.options.items():
             writer = writer.option(k, v)
         writer.save(staging)
-        if self.bloom_cols:
+        if self.bloom_cols and self.commit_mode == "manifest":
+            # only manifest publish folds the sidecar into entries; in
+            # rename mode the extra full-scan aggregation would build a
+            # sidecar that publish simply deletes with the staging dir
             self._write_bloom_sidecar(df.sparkSession, staging)
         return staging
 
@@ -191,7 +194,12 @@ class FileSink:
             *[F.max(c).cast("double").alias(f"hi_{c}") for c in cols],
         ).collect()[0]
         n = len(cols)
-        bits = 16
+        # per-column bits shrink so every interleaved position i*n+ci
+        # stays BELOW bit 63: position 63 is the long's sign bit (the
+        # top curve bit would sort inverted) and positions >= 64 wrap
+        # under Spark's shiftleft (count taken mod 64), silently adding
+        # into unrelated low bits and corrupting the curve
+        bits = min(16, 63 // n)
         parts = []
         for ci, c in enumerate(cols):
             lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
@@ -245,7 +253,11 @@ class FileSink:
         from incubator_gobblin_spark.formats.avro_ocf import resolve_format as _rf
 
         src = spark.read.format(_rf(self.fmt)).load(staging)
-        bits = self.bloom_bits
+        # word-align the filter size: positions reach bits-1 but the
+        # packed buffer holds whole 64-bit words — a non-multiple-of-64
+        # bloom_bits would leave probes past the buffer (data-dependent
+        # IndexError at read time)
+        bits = ((int(self.bloom_bits) + 63) // 64) * 64
         files: dict[str, dict[str, dict[int, int]]] = {}
         for c in self.bloom_cols:
             if c not in src.columns:
@@ -772,8 +784,25 @@ class FileSink:
         if filters:
             entries = [e for e in entries if _entry_matches(e, filters, part_by)]
         if not entries:
-            empty = self.read_committed(spark, as_of_run)
-            return _apply_filters(empty, filters).limit(0)
+            # schema for the empty result comes from ONE representative
+            # entry — never a recursive full read (which at object-store
+            # scale would make a fully-pruned point query COST more than
+            # an unpruned one, and on a genuinely empty snapshot would
+            # recurse forever)
+            all_entries = (
+                [e for g in manifest.get("groups", []) for e in self._load_group(g)]
+                if "groups" in manifest
+                else manifest["entries"]
+            )
+            if not all_entries:
+                # a merge can legitimately delete every row: the committed
+                # snapshot holds zero files and therefore no schema
+                raise FileNotFoundError(
+                    f"snapshot under {self.path} is empty (zero data files) — "
+                    "no schema available to build a typed empty frame"
+                )
+            empty = self._read_entries(spark, all_entries[:1]).limit(0)
+            return _apply_filters(empty, filters)
         return _apply_filters(self._read_entries(spark, entries), filters)
 
     def _read_entries(self, spark, entries: list[dict]) -> DataFrame:
@@ -816,6 +845,8 @@ class FileSink:
         Group-pruned groups contribute their counted size without their
         group file ever being read."""
         manifest = self.current_manifest(as_of_run, materialize=False)
+        if manifest is None:
+            raise FileNotFoundError(f"no committed manifest under {self.path}")
         part_by = manifest.get("partition_by") or []
         if "groups" not in manifest:
             entries = manifest["entries"]
@@ -934,31 +965,58 @@ class FileSink:
         # explicitly allows concurrent committers) into ENOTEMPTY
         # failures AFTER the data commit succeeded, and leaves external
         # readers a window with NO manifest at all. With per-file
-        # replaces the root always exists, every manifest file a reader
-        # opens is complete, and two exporters interleave at file
-        # granularity (last writer per file wins).
+        # replaces the root always exists and every manifest file a
+        # reader opens is complete. Exporters SERIALIZE on a lock (the
+        # ptrlock discipline): without it, exporter A's prune could
+        # delete a partition manifest a concurrent exporter B just
+        # wrote for a NEWER snapshot. Stale ``.manifest.tmp-*`` files
+        # from crashed exporters are swept here too — under the lock no
+        # live exporter's tmp can be in flight.
         import contextlib
 
         os.makedirs(root, exist_ok=True)
-        wanted: set[str] = set()
-        items = sorted(by_part.items()) or [("", [])]
-        for part, files in items:
-            d = os.path.join(root, part) if part else root
-            os.makedirs(d, exist_ok=True)
-            tmp_f = os.path.join(d, f".manifest.tmp-{os.getpid()}")
-            with open(tmp_f, "w") as fh:
-                fh.write("\n".join(sorted(files)) + ("\n" if files else ""))
-            os.replace(tmp_f, os.path.join(d, "manifest"))
-            wanted.add(os.path.relpath(os.path.join(d, "manifest"), root))
-        for dirpath, _dirnames, filenames in os.walk(root, topdown=False):
-            for f_ in filenames:
-                rel = os.path.relpath(os.path.join(dirpath, f_), root)
-                if f_ == "manifest" and rel not in wanted:
-                    with contextlib.suppress(OSError):
-                        os.remove(os.path.join(dirpath, f_))
-            if dirpath != root and not os.listdir(dirpath):
-                with contextlib.suppress(OSError):
-                    os.rmdir(dirpath)
+        # sibling lock file: the export root stays exactly the layout
+        # external engines expect (no dot-files inside)
+        lock_path = f"{root}.exportlock"
+        with open(lock_path, "w") as lock_fh:
+            with contextlib.suppress(ImportError):
+                import fcntl
+
+                fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            try:
+                wanted: set[str] = set()
+                items = sorted(by_part.items()) or [("", [])]
+                for part, files in items:
+                    d = os.path.join(root, part) if part else root
+                    os.makedirs(d, exist_ok=True)
+                    tmp_f = os.path.join(d, f".manifest.tmp-{os.getpid()}")
+                    with open(tmp_f, "w") as fh:
+                        fh.write(
+                            "\n".join(sorted(files)) + ("\n" if files else "")
+                        )
+                    os.replace(tmp_f, os.path.join(d, "manifest"))
+                    wanted.add(
+                        os.path.relpath(os.path.join(d, "manifest"), root)
+                    )
+                for dirpath, _dirnames, filenames in os.walk(
+                    root, topdown=False
+                ):
+                    for f_ in filenames:
+                        full = os.path.join(dirpath, f_)
+                        rel = os.path.relpath(full, root)
+                        stale_manifest = f_ == "manifest" and rel not in wanted
+                        crashed_tmp = f_.startswith(".manifest.tmp-")
+                        if stale_manifest or crashed_tmp:
+                            with contextlib.suppress(OSError):
+                                os.remove(full)
+                    if dirpath != root and not os.listdir(dirpath):
+                        with contextlib.suppress(OSError):
+                            os.rmdir(dirpath)
+            finally:
+                with contextlib.suppress(ImportError):
+                    import fcntl
+
+                    fcntl.flock(lock_fh, fcntl.LOCK_UN)
         return root
 
     def export_delta_log(
@@ -1323,22 +1381,34 @@ class FileSink:
             upserts = source.filter(
                 (F.col(op_col) != delete_value) | F.col(op_col).isNull()
             ).drop(op_col)
-        # Optimistic-concurrency loop: a ManifestConflictError from the
-        # CAS pointer swap means another commit landed during our
-        # read-plan-write window. The merge result depends on the
-        # snapshot it read, so the ONLY correct response is a full
-        # recompute against the new snapshot — which this loop does,
-        # bounded by max_conflict_retries (0 = surface the conflict to
-        # the caller, the job-scheduler-owns-retries posture).
-        for attempt in range(max_conflict_retries + 1):
-            try:
-                return self._merge_attempt(
-                    spark, source, upserts, on, rid, matched=matched
-                )
-            except ManifestConflictError:
-                if attempt == max_conflict_retries:
-                    raise
-        raise AssertionError("unreachable")
+        # The merge evaluates the source lineage several times
+        # (emptiness probe, key bounds, touched-file semi-join, the
+        # staged write — plus the CDF sidecar, plus every conflict
+        # retry): persist the parent frame once so an expensive
+        # upstream plan (a multi-join CDC extraction) is computed once,
+        # not 4-6x (upserts is a cheap filter over it in op_col mode,
+        # and IS it otherwise).
+        source.persist()
+        try:
+            # Optimistic-concurrency loop: a ManifestConflictError from
+            # the CAS pointer swap means another commit landed during
+            # our read-plan-write window. The merge result depends on
+            # the snapshot it read, so the ONLY correct response is a
+            # full recompute against the new snapshot — which this loop
+            # does, bounded by max_conflict_retries (0 = surface the
+            # conflict to the caller, the job-scheduler-owns-retries
+            # posture).
+            for attempt in range(max_conflict_retries + 1):
+                try:
+                    return self._merge_attempt(
+                        spark, source, upserts, on, rid, matched=matched
+                    )
+                except ManifestConflictError:
+                    if attempt == max_conflict_retries:
+                        raise
+            raise AssertionError("unreachable")
+        finally:
+            source.unpersist()
 
     def _bloom_refine_candidates(
         self, entries: list[dict], src_keys: DataFrame, on: list[str]
@@ -1582,11 +1652,17 @@ class FileSink:
 
         The rewrite reads layout-preserving (partition values must
         survive byte-for-byte — see sources.read_layout_preserving) and
-        the commit reuses the normal atomic pointer swap; a crash
-        mid-compaction leaves the previous snapshot current."""
+        the commit reuses the normal atomic pointer swap — CONDITIONED
+        on the exact pointer the rewrite read (the merge path's CAS
+        discipline): a commit landing between the snapshot read and the
+        publish makes compaction fail with ManifestConflictError
+        instead of silently erasing that commit's rows with a rewrite
+        of the older snapshot. A crash mid-compaction leaves the
+        previous snapshot current."""
         import dataclasses
 
         rid = run_id or new_run_id()
+        ptr0 = self._read_pointer()
         conf = "spark.sql.sources.partitionColumnTypeInference.enabled"
         prev = spark.conf.get(conf, "true")
         spark.conf.set(conf, "false")
@@ -1606,18 +1682,35 @@ class FileSink:
                 os.path.join(self.staging_dir(rid), "_changes")
             )
         snap = dataclasses.replace(self, table_type=TableType.SNAPSHOT_ONLY)
-        snap.publish(rid)
+        snap._publish_manifest(rid, expected_ptr=ptr0)
         return rid
 
-    def vacuum(self, keep_last: int = 2) -> dict:
+    def vacuum(self, keep_last: int = 2, grace_seconds: int = 3600) -> dict:
         """Delete data runs and manifests no longer referenced by the
         newest ``keep_last`` committed snapshots. This is the ONLY
         destructive operation in manifest mode — everything else only
         adds immutable files — so retention of time travel is exactly
         ``keep_last`` snapshots deep. Returns counts of what was
-        removed."""
+        removed.
+
+        ``grace_seconds`` protects IN-FLIGHT committers (the Delta
+        VACUUM retention-window idea): a run dir younger than the grace
+        window may belong to a concurrent publish that has moved its
+        staging into ``_data/`` but not yet won the pointer swap —
+        deleting it would yank data out from under a commit about to
+        succeed. Unreferenced-but-young runs (and their manifests) are
+        skipped and collected by a later vacuum."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1 (the current snapshot)")
+        import time as _time
+
+        now = _time.time()
+
+        def _young(p: str) -> bool:
+            try:
+                return now - os.path.getmtime(p) < grace_seconds
+            except OSError:
+                return True  # vanished/unstattable: leave it alone
         history = self.manifest_history()
         keep_ids = set(history[:keep_last])
         live_runs: set[str] = set()
@@ -1637,8 +1730,9 @@ class FileSink:
         removed_runs = 0
         if os.path.isdir(data_root):
             for rid in sorted(os.listdir(data_root)):
-                if rid not in live_runs:
-                    _rm(os.path.join(data_root, rid))
+                p = os.path.join(data_root, rid)
+                if rid not in live_runs and not _young(p):
+                    _rm(p)
                     removed_runs += 1
         removed_manifests = 0
         mdir = os.path.join(self.path, "_manifests")
@@ -1647,15 +1741,17 @@ class FileSink:
                 if mf == "groups" or mf.startswith("."):
                     continue
                 rid = mf[: -len(".json")] if mf.endswith(".json") else mf
-                if rid not in keep_ids:
-                    _rm(os.path.join(mdir, mf))
+                p = os.path.join(mdir, mf)
+                if rid not in keep_ids and not _young(p):
+                    _rm(p)
                     removed_manifests += 1
         removed_groups = 0
         gdir = os.path.join(mdir, "groups")
         if os.path.isdir(gdir):
             for gf in sorted(os.listdir(gdir)):
-                if gf not in live_groups:
-                    _rm(os.path.join(gdir, gf))
+                p = os.path.join(gdir, gf)
+                if gf not in live_groups and not _young(p):
+                    _rm(p)
                     removed_groups += 1
         return {
             "runs_deleted": removed_runs,

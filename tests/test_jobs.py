@@ -423,7 +423,7 @@ def test_fuzzy_ingest_composes_with_lake_lifecycle(spark, tmp_path):
         for r in index.read_committed(spark).collect()
     }
     index.compact_runs(spark, run_id="compact1")
-    index.vacuum(keep_last=1)
+    index.vacuum(keep_last=1, grace_seconds=0)
     after = {
         (r["doc_id"], r["band_id"], r["band_hash"])
         for r in index.read_committed(spark).collect()

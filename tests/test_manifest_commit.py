@@ -196,7 +196,7 @@ def test_vacuum_drops_unreferenced_runs_only(spark, sf_dir, tmp_path):
         sink.publish(f"run{i}")
     cid = sink.compact_runs(spark)
 
-    res = sink.vacuum(keep_last=1)
+    res = sink.vacuum(keep_last=1, grace_seconds=0)
     assert res["runs_deleted"] == 3  # run0/1/2 data dirs gone
     assert res["manifests_deleted"] == 3
     assert os.listdir(os.path.join(str(tmp_path / "t"), "_data")) == [cid]
@@ -455,7 +455,7 @@ def test_manifest_scale_soak_commit_cost_is_touched_partitions(
     assert sink.read_committed(spark).count() == expected_total
     rid = sink.compact_runs(spark)
     assert sink.read_committed(spark).count() == expected_total
-    stats = sink.vacuum(keep_last=1)
+    stats = sink.vacuum(keep_last=1, grace_seconds=0)
     assert stats["runs_deleted"] >= n_runs  # old append runs reclaimed
     assert stats["groups_deleted"] > 0
     live_groups = sink.current_manifest(materialize=False)["groups"]
@@ -904,7 +904,7 @@ def test_lake_lifecycle_merge_compact_vacuum(spark, sf_dir, tmp_path):
     assert got.filter(F.col("n_name") == "MERGED").count() == 3
     assert got.filter(F.col("n_nationkey") == 24).count() == 0
 
-    stats = sink.vacuum(keep_last=1)
+    stats = sink.vacuum(keep_last=1, grace_seconds=0)
     assert stats["runs_deleted"] >= 1
     data_runs = sorted(os.listdir(os.path.join(str(tmp_path / "lake"), "_data")))
     assert data_runs == [cid]
@@ -1043,7 +1043,7 @@ def test_lake_random_walk_model_check(spark, sf_dir, tmp_path):
             cid = sink.compact_runs(spark, run_id=rid)
             history.append((cid, dict(model)))
         else:
-            sink.vacuum(keep_last=2)
+            sink.vacuum(keep_last=2, grace_seconds=0)
             kept = set(sink.manifest_history())
             history[:] = [(r, m) for r, m in history if r in kept]
 
@@ -1770,7 +1770,7 @@ def test_rollback_restores_snapshot_linearly(spark, sf_dir, tmp_path):
         on=["r_regionkey"],
         run_id="newer",
     )
-    sink.vacuum(keep_last=1)
+    sink.vacuum(keep_last=1, grace_seconds=0)
     with _pytest.raises(FileNotFoundError):
         sink.rollback_to("bad")
 
@@ -2239,3 +2239,151 @@ def test_q123_repairs_missing_export_without_republish(spark):
     a = first.sort_values("lang").reset_index(drop=True)
     b = second.sort_values("lang").reset_index(drop=True)
     assert a.equals(b)
+
+
+# ---------------------------------------------------------------------------
+# Lake-core review-finding regressions
+# ---------------------------------------------------------------------------
+
+
+def test_compact_runs_cas_rejects_concurrent_commit(spark, sf_dir, tmp_path, monkeypatch):
+    """A commit landing between compaction's snapshot read and its
+    publish must fail the compaction with ManifestConflictError — never
+    be silently erased by the rewrite of the older snapshot."""
+    from incubator_gobblin_spark.sinks.files import ManifestConflictError
+
+    df = load_table(spark, sf_dir, "region")
+    sink = _sink(tmp_path / "ccas", table_type=TableType.APPEND_ONLY)
+    sink.write_staging(df.filter(F.col("r_regionkey") < 3), "r1")
+    sink.publish("r1")
+
+    other = _sink(tmp_path / "ccas", table_type=TableType.APPEND_ONLY)
+    orig = FileSink.write_staging
+    hijacked = {"done": False}
+
+    def hijack(self, d, rid):
+        out = orig(self, d, rid)
+        if not hijacked["done"] and rid.startswith("compact"):
+            hijacked["done"] = True
+            # a concurrent append commits while compaction is staging
+            orig(other, df.filter(F.col("r_regionkey") >= 3), "r2")
+            other.publish("r2")
+        return out
+
+    monkeypatch.setattr(FileSink, "write_staging", hijack)
+    with pytest.raises(ManifestConflictError):
+        sink.compact_runs(spark, run_id="compact-x")
+    # the concurrent commit's rows are alive and well
+    assert sink.read_committed(spark).count() == df.count()
+
+
+def test_vacuum_grace_window_protects_inflight_runs(spark, sf_dir, tmp_path):
+    """An unreferenced-but-YOUNG run dir (a concurrent publish that
+    moved staging but hasn't swapped the pointer yet) survives vacuum;
+    grace_seconds=0 restores the old eager behavior."""
+    df = load_table(spark, sf_dir, "region")
+    sink = _sink(tmp_path / "vgrace")
+    sink.write_staging(df, "r1")
+    sink.publish("r1")
+    inflight = os.path.join(str(tmp_path / "vgrace"), "_data", "inflight-run")
+    os.makedirs(inflight)
+    open(os.path.join(inflight, "part-0.parquet"), "w").close()
+
+    stats = sink.vacuum(keep_last=1)  # default grace: young dir survives
+    assert stats["runs_deleted"] == 0
+    assert os.path.isdir(inflight)
+    stats = sink.vacuum(keep_last=1, grace_seconds=0)
+    assert not os.path.isdir(inflight)
+
+
+def test_read_committed_empty_snapshot_raises_cleanly(spark, tmp_path):
+    """A snapshot with ZERO data files (a publish whose run produced no
+    part files — possible when an engine writes nothing for an empty
+    frame) reads as a clean FileNotFoundError, never a RecursionError.
+    A delete-all merge whose files are empty-but-present still reads as
+    a typed empty frame."""
+    sink = _sink(tmp_path / "empty")
+    os.makedirs(sink.staging_dir("r0"))  # zero part files staged
+    sink.publish("r0")
+    with pytest.raises(FileNotFoundError, match="empty"):
+        sink.read_committed(spark)
+
+    sink2 = _sink(tmp_path / "empty2")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    sink2.write_staging(df, "r1")
+    sink2.publish("r1")
+    dels = df.withColumn("op", F.lit("delete"))
+    sink2.merge_into(spark, dels, on=["k"], run_id="m1", op_col="op")
+    out = sink2.read_committed(spark)
+    assert out.count() == 0
+    assert set(out.columns) == {"k", "v"}
+
+
+def test_zorder_many_columns_stays_in_long_range(spark, tmp_path):
+    """5 z-order columns shrink per-column bits so no interleaved bit
+    reaches the sign bit or wraps past 63 — rows round-trip exactly and
+    pruning on a minor column still prunes."""
+    sink = _sink(
+        tmp_path / "z5",
+        zorder_by=["a", "b", "c", "d", "e"],
+        max_records_per_file=50,
+    )
+    df = spark.range(400).select(
+        *[
+            ((F.col("id") * (i + 3)) % 97).alias(c)
+            for i, c in enumerate(["a", "b", "c", "d", "e"])
+        ]
+    )
+    sink.write_staging(df, "r1")
+    sink.publish("r1")
+    got = sink.read_committed(spark)
+    assert got.count() == 400
+    kept, total = sink.pruned_file_count([("e", ">=", 90)])
+    assert kept < total  # the minor column still prunes under 12-bit buckets
+
+
+def test_bloom_bits_word_aligned(spark, tmp_path):
+    """A bloom_bits that isn't a multiple of 64 must not produce
+    out-of-buffer probes: the filter is built word-aligned and point
+    reads stay exact."""
+    sink = _sink(tmp_path / "bb", bloom_cols=["k"], bloom_bits=1230)
+    df = spark.range(500).select(F.col("id").alias("k"))
+    sink.write_staging(df, "r1")
+    sink.publish("r1")
+    for probe in (0, 123, 499, 10**9):
+        got = sink.read_committed(spark, filters=[("k", "=", probe)]).collect()
+        assert {r["k"] for r in got} == ({probe} if probe < 500 else set())
+
+
+def test_symlink_export_sweeps_crashed_tmp_files(spark, sf_dir, tmp_path):
+    """A crashed exporter's .manifest.tmp-* leftovers are swept by the
+    next export instead of accumulating forever."""
+    df = load_table(spark, sf_dir, "region")
+    sink = _sink(tmp_path / "sym", symlink_manifest=True)
+    sink.write_staging(df, "r1")
+    sink.publish("r1")
+    root = os.path.join(str(tmp_path / "sym"), "_symlink_format_manifest")
+    stale = os.path.join(root, ".manifest.tmp-99999")
+    open(stale, "w").close()
+    sink.export_symlink_manifest()
+    assert not os.path.exists(stale)
+    assert os.path.exists(os.path.join(root, "manifest"))
+
+
+def test_pruned_file_count_empty_lake_raises(tmp_path):
+    sink = _sink(tmp_path / "nofiles")
+    with pytest.raises(FileNotFoundError):
+        sink.pruned_file_count([("k", "=", 1)])
+
+
+def test_rename_mode_skips_bloom_sidecar(spark, tmp_path):
+    """bloom_cols with commit_mode='rename' must not pay the sidecar
+    aggregation: rename publish can never use it."""
+    from incubator_gobblin_spark.sinks.files import FileSink
+
+    sink = FileSink(
+        path=str(tmp_path / "ren"), commit_mode="rename", bloom_cols=["k"]
+    )
+    df = spark.range(10).select(F.col("id").alias("k"))
+    staging = sink.write_staging(df, "r1")
+    assert not os.path.exists(os.path.join(staging, "_blooms.json"))
