@@ -143,3 +143,31 @@ def curation_report(curated: DataFrame, source_col: str = "source") -> DataFrame
         F.count(F.lit(1)).alias("docs"),
         F.sum("n_chars").cast("long").alias("chars"),
     )
+
+
+def land_curated(
+    spark,
+    lake_sink,
+    curated: DataFrame,
+    text_col: str = "text",
+    run_id: str | None = None,
+    max_conflict_retries: int = 4,
+) -> str | None:
+    """Land curated rows in a manifest lake keyed by content
+    fingerprint via an insert-only MERGE — the ONE place the
+    incremental-curation landing contract lives (the batch job's
+    ``curate.lake.dir`` mode and the streaming ``to_curate`` sink both
+    call this, so the merge keys/mode/retry posture cannot drift):
+    cross-batch duplicate texts keep their first lake copy, a
+    re-submitted run id is a no-op, and a concurrent lake commit
+    (compaction, a batch re-cap job) triggers a bounded recompute
+    instead of killing the caller."""
+    keyed = curated.withColumn("fp", text.fingerprint(text_col))
+    return lake_sink.merge_into(
+        spark,
+        keyed,
+        on=["fp"],
+        run_id=run_id,
+        matched="ignore",
+        max_conflict_retries=max_conflict_retries,
+    )

@@ -1256,21 +1256,20 @@ def run_curation_job(spark: SparkSession, spec: str | dict[str, str]):
     )
     lake_dir = props.get("curate.lake.dir")
     if lake_dir:
-        # incremental mode: the curated batch lands in a manifest lake
-        # keyed by content fingerprint with an insert-only MERGE —
-        # cross-batch duplicate texts keep their first lake copy and a
-        # re-submitted run id is a no-op (exactly-once per batch)
-        from incubator_gobblin_spark.functions import text as _text
+        # incremental mode: the curated batch lands through the shared
+        # landing contract (jobs.curate.land_curated — fp-keyed
+        # insert-only MERGE): cross-batch duplicate texts keep their
+        # first lake copy and a re-submitted run id is a no-op
+        # (exactly-once per batch)
+        from incubator_gobblin_spark.jobs.curate import land_curated
 
-        text_col = props.get("curate.text.column", "text")
-        keyed = curated.withColumn("fp", _text.fingerprint(text_col))
         lake = FileSink(path=lake_dir, commit_mode="manifest")
-        lake.merge_into(
+        land_curated(
             spark,
-            keyed,
-            on=["fp"],
+            lake,
+            curated,
+            text_col=props.get("curate.text.column", "text"),
             run_id=props.get("curate.run.id"),
-            matched="ignore",
             max_conflict_retries=int(props.get("merge.conflict.retries", "2")),
         )
         return curated

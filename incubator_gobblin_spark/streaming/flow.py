@@ -467,15 +467,16 @@ class StreamPipeline:
         text_col: str = "text",
         trigger_secs: int | None = 60,
         once: bool = False,
+        max_conflict_retries: int = 4,
         **curate_kwargs,
     ) -> StreamingQuery:
         """Continuous corpus curation: every micro-batch runs the full
         curation chain (:func:`jobs.curate.curate` — quality gate,
         exact dedup, n-gram [+ optional semantic] decontamination,
-        split assignment, per-source cap) and lands the survivors in a
-        manifest lake keyed by content fingerprint via an insert-only
-        MERGE — the streaming face of ``run_curation_job``'s
-        incremental mode.
+        split assignment, per-source cap) and lands the survivors
+        through :func:`jobs.curate.land_curated` (the fingerprint-keyed
+        insert-only MERGE — the SAME landing contract as
+        ``run_curation_job``'s incremental mode).
 
         Cross-batch semantics, stated honestly: DEDUP is global (a text
         fingerprint already in the lake keeps its first copy — the
@@ -484,26 +485,49 @@ class StreamPipeline:
         PER-SOURCE CAP and the within-batch dedup window apply per
         micro-batch — a capped source admits up to ``cap_per_source``
         docs per trigger, not per lifetime (use the batch job over the
-        lake for a global re-cap). Exactly-once: the run id is the
-        epoch id; a replayed epoch's merge is an idempotent no-op."""
+        lake for a global re-cap). Exactly-once: run ids derive from
+        the CHECKPOINT's persistent query id plus the epoch, so a
+        replayed epoch of this query is an idempotent no-op while a
+        DIFFERENT query (or a reset checkpoint) landing in the same
+        lake never collides with this one's epoch numbers. Concurrent
+        lake commits (compaction, a batch re-cap) recompute under
+        ``max_conflict_retries`` instead of killing the stream. The
+        benchmark frame is persisted for the query's lifetime — its
+        n-gram set would otherwise rebuild every trigger."""
         if getattr(lake_sink, "commit_mode", None) != "manifest":
             raise ValueError("to_curate requires a manifest-mode lake sink")
+        bench.persist()
+
+        def _query_token(spark) -> str:
+            # the streaming query id lives in <ckpt>/metadata and is
+            # STABLE across restarts of the same checkpoint (and fresh
+            # for a reset one) — exactly the scoping exactly-once needs
+            import hashlib
+            import json as _json
+            import os as _os
+
+            meta = _os.path.join(checkpoint, "metadata")
+            try:
+                with open(meta) as fh:
+                    qid = _json.load(fh)["id"]
+            except OSError:
+                qid = checkpoint
+            return hashlib.md5(str(qid).encode()).hexdigest()[:10]
 
         def _curate(batch_df: DataFrame, epoch_id: int) -> None:
-            from incubator_gobblin_spark.functions import text as _text
-            from incubator_gobblin_spark.jobs.curate import curate
+            from incubator_gobblin_spark.jobs.curate import curate, land_curated
 
             curated = curate(
                 batch_df, bench, id_col=id_col, text_col=text_col,
                 **curate_kwargs,
             )
-            keyed = curated.withColumn("fp", _text.fingerprint(text_col))
-            lake_sink.merge_into(
+            land_curated(
                 batch_df.sparkSession,
-                keyed,
-                on=["fp"],
-                run_id=f"epoch-{epoch_id:012d}",
-                matched="ignore",
+                lake_sink,
+                curated,
+                text_col=text_col,
+                run_id=f"epoch-{_query_token(batch_df.sparkSession)}-{epoch_id:012d}",
+                max_conflict_retries=max_conflict_retries,
             )
 
         writer = (

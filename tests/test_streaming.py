@@ -1385,3 +1385,51 @@ def test_streaming_curation_to_lake(spark, sf_dir, tmp_path):
     }
     assert not (ids & gated_out)
     assert got.count() == got.select("fp").distinct().count()  # global dedup
+
+
+def test_two_curation_streams_share_one_lake_without_run_id_collision(
+    spark, sf_dir, tmp_path
+):
+    """Two to_curate queries (separate checkpoints) landing in ONE lake
+    both start at epoch 0 — their run ids must not collide, or the
+    second stream's batches would be silently dropped as 'already
+    committed' replays."""
+    from incubator_gobblin_spark.session import load_table
+    from incubator_gobblin_spark.sinks.files import FileSink
+    from incubator_gobblin_spark.streaming.flow import StreamPipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    ids = [r["doc_id"] for r in train.select("doc_id").orderBy("doc_id").collect()]
+    half = len(ids) // 2
+    lake = FileSink(path=str(tmp_path / "shared_lake"), commit_mode="manifest")
+
+    import glob
+    import os
+    import shutil
+
+    def run_stream(name, id_subset):
+        src = str(tmp_path / f"src_{name}")
+        os.makedirs(src)
+        staging = str(tmp_path / f"stage_{name}")
+        train.filter(F.col("doc_id").isin(id_subset)).coalesce(1).write.parquet(
+            staging
+        )
+        shutil.move(glob.glob(f"{staging}/part-*.parquet")[0], f"{src}/b.parquet")
+        q = (
+            StreamPipeline(spark, name)
+            .source_files(src, "parquet", train.schema)
+            .to_curate(
+                bench, lake, checkpoint=str(tmp_path / f"ckpt_{name}"), once=True
+            )
+        )
+        q.awaitTermination(180)
+
+    run_stream("s1", ids[:half])
+    n1 = lake.read_committed(spark).count()
+    assert n1 > 0
+    run_stream("s2", ids[half:])  # also epoch 0, different checkpoint
+    n2 = lake.read_committed(spark).count()
+    assert n2 > n1  # the second stream's batch actually landed
+    assert len(lake.manifest_history()) == 2
