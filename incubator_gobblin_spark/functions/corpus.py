@@ -1319,10 +1319,16 @@ def unimax_weights(
         else F.count(F.lit(1)).alias("n_docs")
     )
     rows = df.groupBy(group_col).agg(mass).collect()
+    # None-safe sort key: a NULL group is a legal grouping value
+    # (temperature_weights handles it; the two mixture operators must
+    # not diverge on the same input), and sorted() would otherwise
+    # raise comparing None with str. NULL orders first, matching the
+    # NULLS FIRST default of the oracle's ORDER BY.
     groups = sorted(
         ((_r6(float(epoch_cap) * (r["n_docs"] or 0)), r[group_col],
           int(r["n_docs"] or 0))
          for r in rows),
+        key=lambda t: (t[0], t[1] is not None, t[1] if t[1] is not None else "", t[2]),
     )
     remaining = float(budget)
     out_rows = []

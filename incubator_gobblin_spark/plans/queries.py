@@ -54,112 +54,76 @@ def register(name: str, oracle: str | None):
 
 # The driver's correctness artifact records exactly the first 50
 # registry entries each round, so iteration order decides which queries
-# touch the hard gate. Round-5 rotation (every query's latest driver row
-# by round: r04 = q02-q37 bulk + q84/q91-q106 + the LSH four as
-# rows-only; r03 = q51-q90 + the ten r01 anchors; r02 = q38-q50):
-# 1. q107 (brand new — no driver row at all),
-# 2. the LSH family q31/q32/q34/q52 — newly oracle-backed this round,
-#    so their first-ever HASH rows land here (their r04 rows were
-#    rows-only by design),
-# 3. the q38-q50 block, whose last green rows date from r02,
-# 4. the r03-proven non-anchor block q53-q90 (33 of 34; q51's machinery
-#    is also covered by the now-hash-checked q52 and by q33).
-# Left out: the ten r01 anchors (exercised every round through entry()
-# + the bench headline), q51, and the r04-green set — all at most two
-# rounds old at r06, when they rotate back in. The local parity suite
-# (tests/test_oracle_parity.py) still proves ALL oracle-backed queries
-# on every pytest run regardless of this ordering.
+# touch the hard gate. Round-6 rotation closes the verification debt
+# VERDICT r5 ranked #1 (latest driver-green row by round going into r6:
+# r02 = q38-q50 stragglers; r03 = the ten r01 anchors + q51/q55/q56/
+# q59/q61/q86/q87/q90; r04 = q02-q37 bulk + q63/q64/q68/q69/q84 +
+# q91-q106; r05 = everything else):
+# 1. brand-new r6 queries (first driver rows ever),
+# 2. the whole r02-stale block q38-q50 (last green FOUR rounds ago),
+# 3. the whole r03-stale block: the ten r01 anchors (q01 q03 q05 q07
+#    q14 q24 q25 q27 q36 q47) + q51 q55 q56 q59 q61 q86 q87 q90,
+# 4. the r04-era set that fits: the LSH coverage properties
+#    q63/q64/q68/q69, q84, and the q91-q106 subsystem wave.
+# Left out (rotate at r07, then at most 3 rounds old): the q02-q37
+# relational bulk — every one a basic plan shape (filter/project,
+# star join, window, set op, explode, pivot...) that a dozen in-window
+# queries exercise structurally — and the r05-green set (1 round old).
+# The local parity suite (tests/test_oracle_parity.py) still proves ALL
+# oracle-backed queries on every pytest run regardless of this ordering.
 _WINDOW_HEAD = [
-    "q107_rest_ingest_agg",      # NEW r5: REST extraction under the oracle
-    "q108_temperature_mixture",  # NEW r5: XLM-R/mT5 temperature sampling
-    "q109_duplicated_spans",     # NEW r5: exact-substring dup stats
-    "q110_trim_dup_spans",       # NEW r5: exact-substring removal
-    "q111_unimax_mixture",       # NEW r5: UniMax epoch-capped budget
-    "q112_linear_probe_fit",     # NEW r5: normal-equations training
-    "q113_shuffle_shards",       # NEW r5: deterministic training order
-    "q114_linear_probe_score",   # NEW r5: train->score full lifecycle
-    "q115_trim_contaminated",    # NEW r5: span-level decontamination
-    "q116_semantic_decontaminate",  # NEW r5: embedding-level eval leakage
-    "q117_lsh_dedup_audit",      # NEW r5: LSH recall/precision health check
-    "q118_cms_heavy_hitters",    # NEW r5: count-min sketch frequency
-    "q119_funnel_steps",         # NEW r5: ordered event funnel
-    "q120_cohort_retention",     # NEW r5: cohort retention matrix
-    "q121_bpe_pair_counts",      # NEW r5: BPE merge-selection pass
-    "q122_char_entropy",         # NEW r5: garbled-input entropy signal
-    "q123_delta_roundtrip_agg",  # NEW r5: Delta export+import round trip
-    "q31_minhash_candidates",    # newly hash-checkable (md5 hash mode)
-    "q32_simhash_neardups",      # newly hash-checkable (md5 hash mode)
-    "q34_ann_lsh_topk",          # newly hash-checkable (literal planes)
-    "q52_embedding_neardup_lsh",  # newly hash-checkable (literal planes)
-    # r02-green block (stalest driver rows)
-    # q38 yields its slot to the brand-new q123: its scalar-function
-    # surface is exercised by virtually every in-window query (q49's
-    # ratios, q62's hashes, q115's string ops); back at r06.
-    # q39 yields its slot to the brand-new q114: count_distinct is the
-    # aggregation core of in-window q89/q109/q110; back at r06.
-    # q40 yields its slot to the brand-new q115: HAVING is a
-    # post-aggregation filter, the exact shape of in-window q72's
-    # min_docs gate; back at r06.
-
-    # q41 yields its slot to the brand-new q120: CASE bucketing is the
-    # flag core of in-window q49's quality scoring; back at r06.
-    "q42_full_outer_join",
-    # q43 yields its slot to the brand-new q116: the bounded cross-join
-    # shape is exactly q116/q117's audit pairing; back at r06.
-    # q44 yields its slot to the brand-new q113: the sort-merge
-    # equi-join shape is exercised by a dozen in-window queries
-    # (q109/q110 totals joins, q54, q85...); back at r06.
-    # q45 yields its slot to the brand-new q117: from_json struct decode
-    # is the heart of in-window q107's REST extraction; back at r06.
-    # q46 yields its slot to the brand-new q119, whose per-step output
-    # IS a union-all; back at r06.
-    "q48_oldest_k",
-    "q49_text_quality",
-    # q50 yields its slot to the brand-new q118: L2 top-k is in-window
-    # q67's probed superset; back at r06.
-    # r03-green non-anchor block
-    "q53_asof_join",
-    "q54_range_join",
-    # q55 yields its slot to the brand-new q111: IVF assignment stays
-    # proven in-window by q67 (probe + assign + top-k); back at r06.
-    # q56 (avro scan) and q87 (self-tuning orc) yield their slots to the
-    # brand-new q109/q110: their format machinery stays proven in-window
-    # by q58 (avro-encoded envelope decode) and q57 (orc scan), plus
-    # test_avro and the local parity suite; both rotate back at r06.
-    "q57_orc_scan_agg",
-    "q58_envelope_decode_agg",
-    # q59 yields its slot to the brand-new q121: the scalar-count
-    # subquery shape is in-window q117's summary leg; back at r06.
-    "q60_time_partition_tree_rollup",
-    # q61 yields its slot to the brand-new q112: to_rest_entry is a
-    # pure named-struct projection, a plan shape dozens of in-window
-    # queries exercise; its REST surface is proven by q107. Back at r06.
-    "q62_winnow_fingerprints",
-    "q65_chunk_documents",
-    "q66_pii_redaction",
-    "q67_ivf_topk",
-    "q70_decontamination",
-    "q71_repetition_stats",
-    "q72_hot_ngrams",
-    "q73_tfidf_top_terms",
-    "q74_stratified_sample",
-    "q75_bm25_search",
-    "q76_group_quantiles",
-    "q77_stats_moments",
-    "q78_multimodal_binary_stats",
-    "q79_skew_hot_keys",
-    "q80_dedup_clusters",
-    "q81_fuzzy_dedup_keep",
-    "q82_cap_per_source",
-    "q83_split_assignment",
-    "q85_scd2_intervals",
-    # q86 yields its slot to the brand-new q122: the one-pass multi-agg
-    # profile is driven end-to-end by the audit job in test_job_spec
-    # and stays under the local parity suite; back at r06.
-    "q88_manifest_snapshot_agg",
-    "q89_dedup_lines",
-    # q90 yields its slot to the brand-new q108 (q90 is r03-green and
-    # parity-covered; it rotates back at r06)
+    # --- r02-stale block (driver rows from r02 — the oldest debt) ---
+    "q38_scalar_functions",
+    "q39_count_distinct",
+    "q40_having",
+    "q41_case_bucketing",
+    "q43_cross_join",
+    "q44_shuffle_join",
+    "q45_from_json_struct",
+    "q46_union_all",
+    "q50_knn_l2",
+    # --- r03-stale block: the ten r01 anchors... ---
+    "q01_pricing_summary",
+    "q03_revenue_by_nation",
+    "q05_purge_anti_join",
+    "q07_dedup_exact_fingerprint",
+    "q14_sessionize",
+    "q24_time_partition",
+    "q25_watermark_increment",
+    "q27_quality_counts",
+    "q36_window_functions",
+    "q47_compaction_audit",
+    # --- ...and the r03 leftovers ---
+    "q51_embedding_neardup_exact",
+    "q55_ivf_assign",
+    "q56_avro_scan_agg",
+    "q59_scalar_subquery_above_avg",
+    "q61_rest_entry_projection",
+    "q86_profile_columns",
+    "q87_orc_scan_agg",
+    "q90_trigram_logprob",
+    # --- r04-era set (2 rounds old; LSH coverage props + q91+ wave) ---
+    "q63_minhash_covers_exact_dups",
+    "q64_simhash_covers_exact_dups",
+    "q68_srplsh_covers_identical",
+    "q69_lsh_topk_self_retrieval",
+    "q84_pack_sequences",
+    "q91_kafka_roundtrip_agg",
+    "q92_quality_classifier",
+    "q93_semantic_dedup",
+    "q94_mixture_materialize",
+    "q95_multimodal_decode_roundtrip",
+    "q96_dsir_weights",
+    "q97_perplexity_buckets",
+    "q98_lake_changes",
+    "q99_pq_topk",
+    "q100_ivfpq_topk",
+    "q101_c4_rules",
+    "q102_gopher_rules",
+    "q103_weighted_sample",
+    "q104_approx_distinct",
+    "q105_approx_median_rank",
+    "q106_curation_pipeline",
 ]
 
 

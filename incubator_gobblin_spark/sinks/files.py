@@ -1069,18 +1069,6 @@ class FileSink:
 
         log_dir = os.path.join(self.path, "_delta_log")
         os.makedirs(log_dir, exist_ok=True)
-        prev_versions = _log_versions(log_dir)
-        live: dict[str, dict] = {}
-        prev_meta: dict | None = None
-        prev_proto: dict = {"minReaderVersion": 1, "minWriterVersion": 2}
-        if prev_versions:
-            # the shared replay starts from the newest checkpoint when
-            # one exists, so per-commit export cost is O(tail) on
-            # checkpointed lakes, not O(history)
-            live, prev_meta, p = _replay_state(log_dir, None)
-            if p:
-                prev_proto = p
-        version = len(prev_versions)
 
         adds: dict[str, dict] = {}
         for e in sorted(entries, key=lambda x: x["file"]):
@@ -1099,86 +1087,145 @@ class FileSink:
                 "dataChange": True,
             }
 
-        removed = sorted(p for p in live if p not in adds)
-        added = sorted(p for p in adds if p not in live)
-        if version > 0 and not removed and not added:
-            return log_dir  # snapshot unchanged: no empty Delta commit
-
-        ts = int(_time.time() * 1000)
-        actions: list[dict] = [
-            {"commitInfo": {"timestamp": ts, "operation": "WRITE",
-                            "engineInfo": "incubator-gobblin-spark manifest export"}}
-        ]
-        if version == 0:
-            actions.append(
-                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-            )
-            sample = next(iter(adds.values()), None)
-            schema = (
-                _delta_schema_string(
-                    os.path.join(self.path, unquote(sample["path"])),
-                    partition_cols=list(self.partition_by),
-                    partition_values=[
-                        a["partitionValues"] for a in adds.values()
-                    ],
+        # Exporter serialization (delta-io PROTOCOL.md: commit files
+        # MUST be created put-if-absent). The commit CAS explicitly
+        # allows concurrent committers, and publish triggers the export
+        # outside any lock — so two exporters can both replay to the
+        # same `version`. Each attempt replays the log, diffs, writes a
+        # tmp file, and PUBLISHES it with os.link(tmp, NNN.json): on
+        # POSIX, link fails with EEXIST if the name is taken and the
+        # target otherwise appears atomically complete (no partial-read
+        # window, unlike writing through an O_EXCL fd). A loser
+        # re-replays — now seeing the winner's commit — and recomputes
+        # its diff at the next version, so no commit is ever silently
+        # shadowed by a stale-replay diff.
+        for attempt in range(64):
+            prev_versions = _log_versions(log_dir)
+            live: dict[str, dict] = {}
+            prev_tombs: dict[str, dict] = {}
+            prev_meta: dict | None = None
+            prev_proto: dict = {"minReaderVersion": 1, "minWriterVersion": 2}
+            if prev_versions:
+                # the shared replay starts from the newest checkpoint
+                # when one exists, so per-commit export cost is O(tail)
+                # on checkpointed lakes, not O(history)
+                live, prev_meta, p, prev_tombs = _replay_state(
+                    log_dir, None, collect_removes=True
                 )
-                if sample
-                else json.dumps({"type": "struct", "fields": []})
-            )
-            actions.append(
-                {
-                    "metaData": {
-                        # deterministic table id: re-exports of the same
-                        # lake identify as the same Delta table
-                        "id": str(
-                            _uuid.uuid5(
-                                _uuid.NAMESPACE_URL, os.path.abspath(self.path)
-                            )
-                        ),
-                        "format": {"provider": "parquet", "options": {}},
-                        "schemaString": schema,
-                        "partitionColumns": list(self.partition_by),
-                        "configuration": {},
-                        "createdTime": ts,
+                if p:
+                    prev_proto = p
+            version = len(prev_versions)
+
+            removed = sorted(p for p in live if p not in adds)
+            added = sorted(p for p in adds if p not in live)
+            if version > 0 and not removed and not added:
+                return log_dir  # snapshot unchanged: no empty commit
+
+            ts = int(_time.time() * 1000)
+            actions: list[dict] = [
+                {"commitInfo": {"timestamp": ts, "operation": "WRITE",
+                                "engineInfo": "incubator-gobblin-spark manifest export"}}
+            ]
+            if version == 0:
+                actions.append(
+                    {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+                )
+                sample = next(iter(adds.values()), None)
+                schema = (
+                    _delta_schema_string(
+                        os.path.join(self.path, unquote(sample["path"])),
+                        partition_cols=list(self.partition_by),
+                        partition_values=[
+                            a["partitionValues"] for a in adds.values()
+                        ],
+                    )
+                    if sample
+                    else json.dumps({"type": "struct", "fields": []})
+                )
+                actions.append(
+                    {
+                        "metaData": {
+                            # deterministic table id: re-exports of the same
+                            # lake identify as the same Delta table
+                            "id": str(
+                                _uuid.uuid5(
+                                    _uuid.NAMESPACE_URL, os.path.abspath(self.path)
+                                )
+                            ),
+                            "format": {"provider": "parquet", "options": {}},
+                            "schemaString": schema,
+                            "partitionColumns": list(self.partition_by),
+                            "configuration": {},
+                            "createdTime": ts,
+                        }
                     }
+                )
+            for p in removed:
+                actions.append(
+                    {"remove": {"path": p, "deletionTimestamp": ts,
+                                "dataChange": True}}
+                )
+            for p in added:
+                actions.append({"add": adds[p]})
+
+            fname = os.path.join(log_dir, f"{version:020d}.json")
+            tmp_f = f"{fname}.tmp-{os.getpid()}-{attempt}"
+            with open(tmp_f, "w") as fh:
+                fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+            try:
+                os.link(tmp_f, fname)  # put-if-absent publish
+            except FileExistsError:
+                os.remove(tmp_f)
+                continue  # lost the race: re-replay, diff at next version
+            os.remove(tmp_f)
+
+            # Opt-in checkpointing: every `checkpoint_interval` versions,
+            # compact the full live state into NNN.checkpoint.parquet +
+            # _last_checkpoint so log replay is O(tail), not O(history).
+            # Off by default: the JSON chain stays complete from version 0
+            # either way, and a reader that trusts _last_checkpoint then
+            # needs this checkpoint schema too — opting in is a statement
+            # that your readers (read_delta here, or a real Delta engine)
+            # consume checkpoints.
+            if (
+                checkpoint_interval
+                and version > 0
+                and version % checkpoint_interval == 0
+            ):
+                # prev_meta/prev_proto came out of the same replay that
+                # produced `live`; version 0's metaData is in `actions`.
+                # Tombstones = the replayed ones still standing (a path
+                # re-added now clears its tombstone) + this version's
+                # removes — PROTOCOL.md expects checkpoints to carry
+                # un-expired remove tombstones so a reader trusting
+                # _last_checkpoint keeps vacuum-safety metadata. Expiry
+                # is the vacuum's concern; the export carries them all.
+                meta = prev_meta or next(
+                    (a["metaData"] for a in actions if "metaData" in a), None
+                )
+                tombs = {
+                    p: r for p, r in prev_tombs.items() if p not in adds
                 }
-            )
-        for p in removed:
-            actions.append(
-                {"remove": {"path": p, "deletionTimestamp": ts,
-                            "dataChange": True}}
-            )
-        for p in added:
-            actions.append({"add": adds[p]})
-
-        fname = os.path.join(log_dir, f"{version:020d}.json")
-        tmp_f = f"{fname}.tmp-{os.getpid()}"
-        with open(tmp_f, "w") as fh:
-            fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
-        os.replace(tmp_f, fname)
-
-        # Opt-in checkpointing: every `checkpoint_interval` versions,
-        # compact the full live state into NNN.checkpoint.parquet +
-        # _last_checkpoint so log replay is O(tail), not O(history).
-        # Off by default: the JSON chain stays complete from version 0
-        # either way, and a reader that trusts _last_checkpoint then
-        # needs this checkpoint schema too — opting in is a statement
-        # that your readers (read_delta here, or a real Delta engine)
-        # consume checkpoints.
-        if (
-            checkpoint_interval
-            and version > 0
-            and version % checkpoint_interval == 0
-        ):
-            # prev_meta/prev_proto came out of the same replay that
-            # produced `live`; version 0's metaData is in `actions`
-            meta = prev_meta or next(
-                (a["metaData"] for a in actions if "metaData" in a), None
-            )
-            _write_delta_checkpoint(
-                log_dir, version, list(adds.values()), meta, prev_proto
-            )
-        return log_dir
+                for p in removed:
+                    tombs[p] = {
+                        "path": p,
+                        "deletionTimestamp": ts,
+                        "dataChange": True,
+                    }
+                _write_delta_checkpoint(
+                    log_dir,
+                    version,
+                    list(adds.values()),
+                    meta,
+                    prev_proto,
+                    removes=sorted(tombs.values(), key=lambda r: r["path"]),
+                )
+            return log_dir
+        raise RuntimeError(
+            f"export_delta_log: lost the commit-file race 64 times under "
+            f"{log_dir} — a runaway concurrent exporter is appending "
+            f"versions faster than this one can replay"
+        )
 
     def read_changes(
         self, spark, from_run: str, to_run: str | None = None
@@ -1387,8 +1434,13 @@ class FileSink:
         # retry): persist the parent frame once so an expensive
         # upstream plan (a multi-join CDC extraction) is computed once,
         # not 4-6x (upserts is a cheap filter over it in op_col mode,
-        # and IS it otherwise).
-        source.persist()
+        # and IS it otherwise). Only manage a cache THIS call created —
+        # unpersisting a caller-persisted frame would silently drop the
+        # caller's cache out from under its own later reuse.
+        lvl = source.storageLevel
+        caller_cached = lvl.useMemory or lvl.useDisk
+        if not caller_cached:
+            source.persist()
         try:
             # Optimistic-concurrency loop: a ManifestConflictError from
             # the CAS pointer swap means another commit landed during
@@ -1408,7 +1460,8 @@ class FileSink:
                         raise
             raise AssertionError("unreachable")
         finally:
-            source.unpersist()
+            if not caller_cached:
+                source.unpersist()
 
     def _bloom_refine_candidates(
         self, entries: list[dict], src_keys: DataFrame, on: list[str]
@@ -2235,13 +2288,22 @@ def _delta_schema_string(
 
 
 def _write_delta_checkpoint(
-    log_dir: str, version: int, adds: list[dict], meta: dict | None, proto: dict
+    log_dir: str,
+    version: int,
+    adds: list[dict],
+    meta: dict | None,
+    proto: dict,
+    removes: list[dict] | None = None,
 ) -> None:
     """Write a Delta checkpoint parquet (one row per action: protocol,
-    metaData, every live add) + the ``_last_checkpoint`` pointer —
-    pyarrow-direct, no Spark session at export time. Schema follows the
-    checkpoint-files section of delta-io PROTOCOL.md (nullable action
-    structs; partitionValues/options/configuration as string maps)."""
+    metaData, every live add, every un-expired remove tombstone) + the
+    ``_last_checkpoint`` pointer — pyarrow-direct, no Spark session at
+    export time. Schema follows the checkpoint-files section of
+    delta-io PROTOCOL.md (nullable action structs; partitionValues/
+    options/configuration as string maps). Tombstones matter to foreign
+    engines that trust ``_last_checkpoint``: without them a reader
+    loses vacuum-safety visibility even though live-state replay stays
+    correct."""
     import json
 
     import pyarrow as pa
@@ -2271,7 +2333,15 @@ def _write_delta_checkpoint(
         [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
     )
 
-    rows_proto = [proto] + [None] * (1 + len(adds))
+    removes = removes or []
+    remove_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("deletionTimestamp", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+    rows_proto = [proto] + [None] * (1 + len(adds) + len(removes))
     meta_row = (
         {
             "id": meta.get("id") if meta else None,
@@ -2289,7 +2359,7 @@ def _write_delta_checkpoint(
             "provider": meta_row["format"].get("provider"),
             "options": list((meta_row["format"].get("options") or {}).items()),
         }
-    rows_meta = [None, meta_row] + [None] * len(adds)
+    rows_meta = [None, meta_row] + [None] * (len(adds) + len(removes))
     rows_add = [None, None] + [
         {
             "path": a["path"],
@@ -2299,12 +2369,21 @@ def _write_delta_checkpoint(
             "dataChange": bool(a.get("dataChange", True)),
         }
         for a in adds
+    ] + [None] * len(removes)
+    rows_remove = [None] * (2 + len(adds)) + [
+        {
+            "path": r["path"],
+            "deletionTimestamp": r.get("deletionTimestamp"),
+            "dataChange": bool(r.get("dataChange", True)),
+        }
+        for r in removes
     ]
     table = pa.table(
         {
             "protocol": pa.array(rows_proto, type=proto_t),
             "metaData": pa.array(rows_meta, type=meta_t),
             "add": pa.array(rows_add, type=add_t),
+            "remove": pa.array(rows_remove, type=remove_t),
         }
     )
     cp = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
@@ -2313,5 +2392,7 @@ def _write_delta_checkpoint(
     os.replace(tmp, cp)
     lc_tmp = os.path.join(log_dir, f"_last_checkpoint.tmp-{os.getpid()}")
     with open(lc_tmp, "w") as fh:
-        json.dump({"version": version, "size": len(adds) + 2}, fh)
+        json.dump(
+            {"version": version, "size": len(adds) + len(removes) + 2}, fh
+        )
     os.replace(lc_tmp, os.path.join(log_dir, "_last_checkpoint"))

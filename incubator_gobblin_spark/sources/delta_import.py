@@ -92,14 +92,18 @@ def _checkpoint_actions(log_dir: str, cp_v: int, parts: int | None):
 
 
 def _replay_state(
-    log_dir: str, version: int | None
-) -> tuple[dict[str, dict], dict, dict]:
+    log_dir: str, version: int | None, *, collect_removes: bool = False
+):
     """Replay the log up to ``version`` (inclusive; default latest).
-    Returns (live adds by path, metaData, protocol). Starts from the
-    newest checkpoint at or below the target version when one is
-    advertised by ``_last_checkpoint`` (single- or multi-part), so the
-    JSON replay is O(tail). Pure driver-side metadata: JSON + pyarrow,
-    no Spark session required."""
+    Returns (live adds by path, metaData, protocol) — or, with
+    ``collect_removes``, a 4-tuple whose last element is the remove
+    tombstones by path still standing at the target version (a later
+    re-add of the same path clears its tombstone; PROTOCOL.md
+    checkpoint state carries these so readers keep vacuum-safety
+    metadata). Starts from the newest checkpoint at or below the target
+    version when one is advertised by ``_last_checkpoint`` (single- or
+    multi-part), so the JSON replay is O(tail). Pure driver-side
+    metadata: JSON + pyarrow, no Spark session required."""
     versions = _log_versions(log_dir)
     if not versions:
         raise FileNotFoundError(f"no Delta commits under {log_dir}")
@@ -110,6 +114,7 @@ def _replay_state(
         )
 
     live: dict[str, dict] = {}
+    removes: dict[str, dict] = {}
     meta: dict = {}
     proto: dict = {}
     start = 0
@@ -122,6 +127,8 @@ def _replay_state(
             for act in _checkpoint_actions(log_dir, cp_v, lc.get("parts")):
                 if "add" in act:
                     live[act["add"]["path"]] = act["add"]
+                elif "remove" in act:
+                    removes[act["remove"]["path"]] = act["remove"]
                 elif "metaData" in act:
                     meta = act["metaData"]
                 elif "protocol" in act:
@@ -138,14 +145,18 @@ def _replay_state(
                 act = json.loads(line)
                 if "add" in act:
                     live[act["add"]["path"]] = act["add"]
+                    removes.pop(act["add"]["path"], None)
                 elif "remove" in act:
                     live.pop(act["remove"]["path"], None)
+                    removes[act["remove"]["path"]] = act["remove"]
                 elif "metaData" in act:
                     meta = act["metaData"]
                 elif "protocol" in act:
                     proto = act["protocol"]
     if not meta:
         raise ValueError(f"Delta log under {log_dir} carries no metaData action")
+    if collect_removes:
+        return live, meta, proto, removes
     return live, meta, proto
 
 

@@ -989,3 +989,24 @@ def test_bpe_train_matches_bruteforce_python(spark, seed):
     want = ref_merges(6)
     got = corpus.bpe_train(df, "text", 6)
     assert got == want
+
+
+def test_unimax_null_group_matches_temperature_tolerance(spark):
+    """A NULL group value is legal input to BOTH mixture operators:
+    unimax_weights must not raise sorting (cap, group, n) tuples with a
+    None group (temperature_weights already handles NULLs — the two
+    must not diverge on the same frame)."""
+    rows = [(i, None if i < 10 else "en") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = {
+        r["lang"]: r
+        for r in corpus.unimax_weights(
+            df, "lang", budget=40, epoch_cap=4.0
+        ).collect()
+    }
+    assert set(got) == {None, "en"}
+    assert got[None]["n_docs"] == 10 and got["en"]["n_docs"] == 40
+    assert got[None]["alloc"] + got["en"]["alloc"] == 40.0
+    # temperature side accepts the same frame (non-divergence contract)
+    tw = corpus.temperature_weights(df, "lang", alpha=0.5).collect()
+    assert {r["lang"] for r in tw} == {None, "en"}

@@ -2387,3 +2387,138 @@ def test_rename_mode_skips_bloom_sidecar(spark, tmp_path):
     df = spark.range(10).select(F.col("id").alias("k"))
     staging = sink.write_staging(df, "r1")
     assert not os.path.exists(os.path.join(staging, "_blooms.json"))
+
+
+def test_delta_export_commit_file_race_recomputes_at_next_version(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """PROTOCOL.md put-if-absent: when a competing exporter lands the
+    same version number between our replay and our publish, the link
+    fails with EEXIST and the exporter re-replays — now seeing the
+    winner's commit — and lands its diff at the NEXT version. Neither
+    commit is shadowed."""
+    import json
+
+    from incubator_gobblin_spark.sources import delta_import as DI
+    from incubator_gobblin_spark.sources.delta_import import read_delta
+
+    df = load_table(spark, sf_dir, "region")
+    root = str(tmp_path / "dlrace")
+    sink = _sink(root, table_type=TableType.APPEND_ONLY)
+    sink.write_staging(df.filter(F.col("r_regionkey") < 3), "r1")
+    sink.publish("r1")
+    log_dir = sink.export_delta_log()  # v0
+
+    sink.write_staging(df.filter(F.col("r_regionkey") >= 3), "r2")
+    sink.publish("r2")
+
+    real_log_versions = DI._log_versions
+    injected = {"done": False}
+
+    def racing_log_versions(d):
+        out = real_log_versions(d)
+        if not injected["done"]:
+            injected["done"] = True
+            # a competing exporter wins version len(out) right after
+            # our replay listed the log
+            v = os.path.join(d, f"{len(out):020d}.json")
+            with open(v, "w") as fh:
+                fh.write(json.dumps({"commitInfo": {
+                    "timestamp": 0, "operation": "WRITE",
+                    "engineInfo": "competing exporter"}}) + "\n")
+        return out
+
+    monkeypatch.setattr(DI, "_log_versions", racing_log_versions)
+    sink.export_delta_log()
+    monkeypatch.undo()
+
+    versions = real_log_versions(log_dir)
+    assert versions == [0, 1, 2]  # v1 = the competitor, v2 = our retry
+    competitor = open(os.path.join(log_dir, f"{1:020d}.json")).read()
+    assert "competing exporter" in competitor  # winner never overwritten
+    got = read_delta(spark, root)
+    want = sink.read_committed(spark)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_delta_checkpoint_carries_remove_tombstones(spark, sf_dir, tmp_path):
+    """A checkpoint must carry the un-expired remove tombstones from
+    the replayed state (PROTOCOL.md checkpoint-files): a foreign engine
+    that trusts _last_checkpoint keeps vacuum-safety visibility. A
+    later re-add of the same path clears its tombstone."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from incubator_gobblin_spark.sources.delta_import import read_delta
+
+    df = load_table(spark, sf_dir, "region")
+    root = str(tmp_path / "dltomb")
+    sink = _sink(root, table_type=TableType.SNAPSHOT_ONLY)
+    sink.write_staging(df.filter(F.col("r_regionkey") < 2), "r1")
+    sink.publish("r1")
+    sink.export_delta_log()  # v0: adds only
+    v0_adds = set(_replay_delta(os.path.join(root, "_delta_log"))[0])
+
+    sink.write_staging(df.filter(F.col("r_regionkey") >= 2), "r2")
+    sink.publish("r2")  # snapshot replace: r1's files become removes
+    log_dir = sink.export_delta_log(checkpoint_interval=1)  # checkpoint @ v1
+
+    cp = os.path.join(log_dir, "00000000000000000001.checkpoint.parquet")
+    assert os.path.exists(cp)
+    table = pq.read_table(cp)
+    assert "remove" in table.column_names
+    removes = [r for r in table.column("remove").to_pylist() if r is not None]
+    assert {r["path"] for r in removes} == v0_adds
+    assert all(
+        r["deletionTimestamp"] is not None and r["dataChange"] is True
+        for r in removes
+    )
+    adds = [a for a in table.column("add").to_pylist() if a is not None]
+    lc = json.load(open(os.path.join(log_dir, "_last_checkpoint")))
+    assert lc["size"] == len(adds) + len(removes) + 2
+
+    # replay THROUGH the checkpoint still equals the committed snapshot
+    got = read_delta(spark, root)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, sink.read_committed(spark).collect())
+    )
+
+    # a third snapshot re-adding v0's rows clears their tombstones in
+    # the next checkpoint (state carries no stale remove for a live add)
+    sink.write_staging(df, "r3")
+    sink.publish("r3")
+    sink.export_delta_log(checkpoint_interval=1)  # checkpoint @ v2
+    cp2 = os.path.join(log_dir, "00000000000000000002.checkpoint.parquet")
+    t2 = pq.read_table(cp2)
+    live2 = {
+        a["path"] for a in t2.column("add").to_pylist() if a is not None
+    }
+    tombs2 = {
+        r["path"] for r in t2.column("remove").to_pylist() if r is not None
+    }
+    assert not (live2 & tombs2)
+
+
+def test_merge_into_respects_caller_persisted_source(spark, sf_dir, tmp_path):
+    """merge_into only manages a cache it created: a caller-persisted
+    source frame stays persisted after the merge (the caller owns its
+    own reuse), while an unpersisted source is left unpersisted."""
+    df = load_table(spark, sf_dir, "region")
+    sink = _sink(tmp_path / "mcache")
+    sink.write_staging(df, "base")
+    sink.publish("base")
+
+    src = df.limit(2).withColumn("r_comment", F.lit("caller-cached"))
+    src.persist()
+    try:
+        sink.merge_into(spark, src, on=["r_regionkey"], run_id="m1")
+        assert src.storageLevel.useMemory  # caller's cache untouched
+    finally:
+        src.unpersist()
+
+    src2 = df.limit(1).withColumn("r_comment", F.lit("engine-managed"))
+    sink.merge_into(spark, src2, on=["r_regionkey"], run_id="m2")
+    assert not (src2.storageLevel.useMemory or src2.storageLevel.useDisk)
