@@ -385,6 +385,28 @@ def read_header(data: bytes) -> tuple[dict, str, bytes, int]:
     return schema, codec, sync, r.pos
 
 
+def read_meta(data: bytes) -> dict[str, bytes]:
+    """Parse an OCF header's full metadata map (every key, not just
+    avro.schema/avro.codec) — Iceberg manifests carry spec-required
+    application keys ("schema", "partition-spec", ...) there."""
+    if data[:4] != MAGIC:
+        raise ValueError("not an avro object container file (bad magic)")
+    r = _Reader(data)
+    r.pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        n = r.read_long()
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            r.read_long()
+        for _ in range(n):
+            k = r.read_bytes().decode("utf-8")
+            meta[k] = r.read_bytes()
+    return meta
+
+
 def decode_ocf(data: bytes, decoder: Callable[[_Reader], Any] | None = None) -> tuple[dict, list]:
     """Decode a whole container file from bytes → (schema, records)."""
     schema, codec, sync, pos = read_header(data)
@@ -414,9 +436,12 @@ def encode_ocf(
     records,
     codec: str = "deflate",
     block_records: int = 4096,
+    extra_meta: dict[str, bytes] | None = None,
 ) -> bytes:
     """Encode records into container-file bytes (AvroHdfsDataWriter's
-    deflate-codec default, AvroHdfsDataWriter.java:51)."""
+    deflate-codec default, AvroHdfsDataWriter.java:51). ``extra_meta``
+    adds application metadata to the header map (the Iceberg manifest
+    spec requires keys like "schema"/"partition-spec" there)."""
     sync = os.urandom(16)
     out = io.BytesIO()
     out.write(MAGIC)
@@ -424,6 +449,7 @@ def encode_ocf(
     meta = {
         "avro.schema": json.dumps(schema).encode("utf-8"),
         "avro.codec": codec.encode("utf-8"),
+        **(extra_meta or {}),
     }
     _write_long(head, len(meta))
     for k, v in meta.items():

@@ -848,6 +848,11 @@ def semantic_decontaminate(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_broadcast_rows: int = 100_000,
+    prefilter: bool = False,
+    dim: int | None = None,
+    num_bits: int = 64,
+    bands: int = 16,
+    seed: int = 42,
 ) -> DataFrame:
     """Embedding-level eval-set decontamination: score every corpus
     vector by its maximum cosine similarity to ANY benchmark vector and
@@ -870,7 +875,32 @@ def semantic_decontaminate(
     (partial aggregation) so the one exchange carries |corpus| rows,
     not |corpus| x |bench|. Norms are staged once per side before the
     join. Similarities are round(6) so the threshold decision is
-    engine-portable (same contract as cosine_pairs)."""
+    engine-portable (same contract as cosine_pairs).
+
+    ``prefilter=True`` (requires ``dim``) inserts an SRP-LSH candidate
+    pass before the exact max-cosine — the ``cosine_near_dup_pairs``
+    banding machinery: corpus rows sharing NO signature band with any
+    benchmark vector skip the exact phase entirely and come back with a
+    NULL ``max_bench_sim`` and ``contaminated = 0``. Exact mode stays
+    the default; the prefiltered decision has recall < 1 by design
+    (raise ``bands`` to recover — :func:`semantic_prefilter_audit`
+    measures it on real data before you trust it).
+
+    Prefilter scale posture, measured honestly: the FLOP saving is
+    (1 - candidate_fraction) x |corpus| x |bench| x dim, but a row is a
+    candidate if ANY bench vector shares ANY band, so row-level pruning
+    needs per-pair band selectivity well below 1/|bench|. That holds in
+    the regime this operator is built for at scale — high thresholds
+    (near-verbatim paraphrase leakage), small benchmarks, and
+    high-dimensional real embeddings whose off-target cosines
+    concentrate near 0 (sigma ~ 1/sqrt(dim)) — and does NOT hold for
+    low thresholds over low-dim noisy vectors, where the candidate
+    fraction approaches 1 and exact mode is simply better. Run the
+    audit; enable on evidence. Plan shape with the prefilter: the
+    banding matmul is a pure projection (zero shuffle), the bench band
+    keys broadcast into a semi-join, candidate dedup is one
+    candidates-only shuffle, and the fill join back to the full corpus
+    id set is the single corpus-grain exchange."""
     _assert_broadcast_sized(
         bench, max_broadcast_rows, "semantic_decontaminate", "lsh_topk candidates"
     )
@@ -885,11 +915,57 @@ def semantic_decontaminate(
     sim = F.round(
         dot(F.col("_cv"), F.col("_bv")) / (F.col("_nc") * F.col("_nb")), 6
     )
-    return (
-        c.join(F.broadcast(b), on=F.lit(True), how="left")
+    if not prefilter:
+        return (
+            c.join(F.broadcast(b), on=F.lit(True), how="left")
+            .select(F.col(id_col), sim.alias("_s"))
+            .groupBy(id_col)
+            .agg(F.max("_s").alias("max_bench_sim"))
+            .select(
+                id_col,
+                "max_bench_sim",
+                F.coalesce(
+                    (F.col("max_bench_sim") >= threshold).cast("long"),
+                    F.lit(0),
+                ).alias("contaminated"),
+            )
+        )
+
+    if dim is None:
+        raise ValueError("semantic_decontaminate: prefilter requires dim")
+    planes = _hyperplanes(dim, num_bits, seed)
+    band_udf = _srp_band_keys(planes, bands)
+    bkeys = (
+        bench.filter(norm(F.col(vec_col)) > 0)
+        .select(
+            F.posexplode(band_udf(F.col(vec_col))).alias(
+                "band_id", "band_key"
+            )
+        )
+        .distinct()
+    )
+    cand = (
+        c.select(
+            id_col,
+            "_cv",
+            "_nc",
+            F.posexplode(band_udf(F.col("_cv"))).alias(
+                "band_id", "band_key"
+            ),
+        )
+        .join(F.broadcast(bkeys), ["band_id", "band_key"], "leftsemi")
+        .groupBy(id_col)
+        .agg(F.first("_cv").alias("_cv"), F.first("_nc").alias("_nc"))
+    )
+    scored = (
+        cand.join(F.broadcast(b), on=F.lit(True), how="left")
         .select(F.col(id_col), sim.alias("_s"))
         .groupBy(id_col)
         .agg(F.max("_s").alias("max_bench_sim"))
+    )
+    return (
+        c.select(id_col)
+        .join(scored, id_col, "left")
         .select(
             id_col,
             "max_bench_sim",
@@ -897,4 +973,61 @@ def semantic_decontaminate(
                 (F.col("max_bench_sim") >= threshold).cast("long"), F.lit(0)
             ).alias("contaminated"),
         )
+    )
+
+
+def semantic_prefilter_audit(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_bits: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    max_broadcast_rows: int = 100_000,
+) -> DataFrame:
+    """Health check for the SRP prefilter (the ``lsh_audit`` pattern):
+    run BOTH decontamination modes on the same split and report one row
+    — corpus size, candidate count, contaminated counts per mode,
+    decision recall (LSH flags / exact flags; precision is 1.0 by
+    construction since every candidate is scored exactly), and the
+    candidate fraction (the FLOP-saving knob: the prefiltered exact
+    phase's cost scales with it). Run this at a representative scale
+    BEFORE enabling the prefilter on a production decontamination pass;
+    enable only on evidence (recall at target, candidate fraction
+    meaningfully below 1)."""
+    exact = semantic_decontaminate(
+        corpus, bench, threshold, id_col, vec_col, max_broadcast_rows
+    )
+    lsh = semantic_decontaminate(
+        corpus, bench, threshold, id_col, vec_col, max_broadcast_rows,
+        prefilter=True, dim=dim, num_bits=num_bits, bands=bands, seed=seed,
+    )
+    joined = exact.alias("e").join(lsh.alias("l"), on=id_col, how="inner")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_corpus"),
+        F.sum(
+            F.col("l.max_bench_sim").isNotNull().cast("long")
+        ).alias("n_candidates"),
+        F.sum("e.contaminated").alias("n_contaminated_exact"),
+        F.sum("l.contaminated").alias("n_contaminated_lsh"),
+    ).select(
+        "n_corpus",
+        "n_candidates",
+        "n_contaminated_exact",
+        "n_contaminated_lsh",
+        F.when(
+            F.col("n_contaminated_exact") > 0,
+            F.round(
+                F.col("n_contaminated_lsh") / F.col("n_contaminated_exact"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("recall"),
+        F.round(F.col("n_candidates") / F.col("n_corpus"), 6).alias(
+            "candidate_fraction"
+        ),
     )

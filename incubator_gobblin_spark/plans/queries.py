@@ -72,6 +72,8 @@ def register(name: str, oracle: str | None):
 # The local parity suite (tests/test_oracle_parity.py) still proves ALL
 # oracle-backed queries on every pytest run regardless of this ordering.
 _WINDOW_HEAD = [
+    # --- brand-new r6 queries (first driver rows ever) ---
+    "q124_iceberg_roundtrip_agg",
     # --- r02-stale block (driver rows from r02 — the oldest debt) ---
     "q38_scalar_functions",
     "q39_count_distinct",
@@ -4451,6 +4453,56 @@ def q123_delta_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         sink.export_delta_log()
     df = read_delta(spark, cache)
     return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+
+
+@register(
+    "q124_iceberg_roundtrip_agg",
+    """
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q124_iceberg_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-interop surface under the HARD oracle (the q123 Delta
+    pattern): documents published ONCE into a source-partitioned
+    manifest lake with the ``iceberg_metadata`` publisher flag
+    (GobblinMCEWriter analogue, gobblin-iceberg
+    ``.../writer/GobblinMCEWriter.java:81``), then read back
+    EXCLUSIVELY through the exported Iceberg metadata
+    (sources.iceberg_import.read_iceberg — vN.metadata.json, Avro
+    manifest-list + manifest replay, typed identity-partition restore)
+    and aggregated; the result must match the oracle's direct parquet
+    scan value-for-value. Export + import + the partition round trip
+    all sit inside the hash gate."""
+    import os as _os
+
+    from incubator_gobblin_spark.sinks.files import FileSink
+    from incubator_gobblin_spark.sources.iceberg_import import read_iceberg
+
+    cache = _cache_dir("iceberg", sf_dir, "documents")
+    sink = FileSink(
+        path=cache, commit_mode="manifest", partition_by=["source"],
+        iceberg_metadata=True,
+    )
+    if sink.current_manifest() is None:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "n_chars"
+        )
+        sink.write_staging(docs, "run1")
+        sink.publish("run1")
+    elif not _os.path.isdir(_os.path.join(cache, "metadata")):
+        # lake committed but the export is missing (crash between the
+        # two, or a cleaned metadata dir): repair by re-exporting —
+        # NEVER by re-publishing, which would append a second copy
+        sink.export_iceberg()
+    df = read_iceberg(spark, cache)
+    return df.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("chars"),
     )

@@ -136,6 +136,11 @@ class FileSink:
     # log replay O(tail) on long-lived lakes.
     delta_log: bool = False
     delta_log_checkpoint_interval: int | None = None
+    # With True, every manifest commit also appends an Iceberg snapshot
+    # under ``metadata/`` (format-version 2 table metadata + Avro
+    # manifest list/manifests — see :meth:`export_iceberg`), the
+    # GobblinMCEWriter analogue. Driver-side metadata only.
+    iceberg_metadata: bool = False
 
     def staging_dir(self, run_id: str) -> str:
         return os.path.join(self.path, "_staging", run_id)
@@ -430,6 +435,9 @@ class FileSink:
             self.export_delta_log(
                 checkpoint_interval=self.delta_log_checkpoint_interval
             )
+        if self.iceberg_metadata:
+            # same discipline again (fingerprint-gated no-change skip)
+            self.export_iceberg()
 
     def current_manifest(
         self, run_id: str | None = None, materialize: bool = True
@@ -1018,6 +1026,18 @@ class FileSink:
 
                     fcntl.flock(lock_fh, fcntl.LOCK_UN)
         return root
+
+    def export_iceberg(self, as_of_run: str | None = None) -> str:
+        """Export the committed snapshot as Apache Iceberg table
+        metadata (``metadata/`` with vN.metadata.json + Avro manifest
+        list/manifests) — the GobblinMCEWriter analogue
+        (gobblin-iceberg ``.../writer/GobblinMCEWriter.java:81``). See
+        :mod:`incubator_gobblin_spark.sinks.iceberg_export`."""
+        from incubator_gobblin_spark.sinks.iceberg_export import (
+            export_iceberg,
+        )
+
+        return export_iceberg(self, as_of_run)
 
     def export_delta_log(
         self,

@@ -190,9 +190,6 @@ def read_delta(
     live, meta, _ = _replay_state(log_dir, version)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
-    data_schema = StructType(
-        [f for f in schema.fields if f.name not in part_cols]
-    )
 
     if not live:
         return spark.createDataFrame([], schema)
@@ -205,6 +202,27 @@ def read_delta(
         groups.setdefault(key, []).append(
             os.path.join(path, unquote(a["path"]))
         )
+    return assemble_snapshot(spark, groups, schema, part_cols, union_threshold)
+
+
+def assemble_snapshot(
+    spark: SparkSession,
+    groups: dict[tuple, list[str]],
+    schema: StructType,
+    part_cols: list[str],
+    union_threshold: int = 16,
+) -> DataFrame:
+    """Assemble a table-format snapshot read from grouped live files:
+    ``groups`` maps a tuple of partition-value strings (one per
+    ``part_cols`` entry, None for null) to that group's absolute data
+    file paths. Shared by the Delta and Iceberg importers — both
+    formats strip partition columns from data files and carry the
+    values in metadata, so the restore mechanics (typed literals per
+    group under the union threshold, single scan + broadcast
+    suffix-key join past it) are identical."""
+    data_schema = StructType(
+        [f for f in schema.fields if f.name not in part_cols]
+    )
     types = {f.name: f.dataType for f in schema.fields}
     ordered = [f.name for f in schema.fields]
 

@@ -1,0 +1,409 @@
+"""Iceberg metadata export/import: structural spec conformance + round
+trips (no Iceberg engine offline — the export_delta_log discipline:
+replay-equals-snapshot, spec-required fields, hand-authored example)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_gobblin_spark.formats.avro_ocf import decode_ocf
+from incubator_gobblin_spark.session import load_table
+from incubator_gobblin_spark.sinks.files import FileSink, TableType
+from incubator_gobblin_spark.sources.iceberg_import import (
+    current_metadata,
+    read_iceberg,
+    snapshot_files,
+)
+
+
+def _sink(path, **kw):
+    return FileSink(path=str(path), commit_mode="manifest", **kw)
+
+
+def _avro_rows(path):
+    from incubator_gobblin_spark.formats.avro_ocf import read_meta
+
+    with open(path, "rb") as fh:
+        data = fh.read()
+    _, rows = decode_ocf(data)
+    return read_meta(data), rows
+
+
+def test_iceberg_export_round_trip_unpartitioned(spark, sf_dir, tmp_path):
+    df = load_table(spark, sf_dir, "region")
+    root = str(tmp_path / "t1")
+    sink = _sink(root)
+    sink.write_staging(df, "r1")
+    sink.publish("r1")
+    meta_dir = sink.export_iceberg()
+
+    assert os.path.exists(os.path.join(meta_dir, "version-hint.text"))
+    got = read_iceberg(spark, root)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+
+
+def test_iceberg_metadata_spec_required_fields(spark, sf_dir, tmp_path):
+    """v2 table metadata, manifest list, and manifest rows carry the
+    spec's required fields with the spec's field-ids."""
+    df = load_table(spark, sf_dir, "nation")
+    root = str(tmp_path / "t2")
+    sink = _sink(root)
+    sink.write_staging(df, "r1")
+    sink.publish("r1")
+    meta_dir = sink.export_iceberg()
+
+    md = current_metadata(root)
+    for key in (
+        "format-version", "table-uuid", "location", "last-sequence-number",
+        "last-updated-ms", "last-column-id", "current-schema-id", "schemas",
+        "default-spec-id", "partition-specs", "current-snapshot-id",
+        "snapshots", "last-partition-id", "sort-orders",
+        "default-sort-order-id",
+    ):
+        assert key in md, key
+    assert md["format-version"] == 2
+    schema = md["schemas"][0]
+    assert schema["type"] == "struct"
+    ids = [f["id"] for f in schema["fields"]]
+    assert ids == sorted(set(ids))  # unique, assigned
+    assert md["last-column-id"] >= max(ids)
+
+    snap = md["snapshots"][-1]
+    assert snap["snapshot-id"] == md["current-snapshot-id"]
+    assert snap["summary"]["operation"] in (
+        "append", "overwrite", "replace", "delete"
+    )
+    header, mlist = _avro_rows(snap["manifest-list"])
+    # header carries the writer schema with the spec's field-ids
+    hschema = json.loads(header["avro.schema"])
+    fid = {f["name"]: f.get("field-id") for f in hschema["fields"]}
+    assert fid["manifest_path"] == 500 and fid["manifest_length"] == 501
+    assert fid["added_snapshot_id"] == 503 and fid["sequence_number"] == 515
+    mf = mlist[0]
+    assert mf["content"] == 0 and mf["partition_spec_id"] == 0
+    assert mf["added_files_count"] == len(
+        sink.current_manifest()["entries"]
+    )
+
+    mheader, entries = _avro_rows(mf["manifest_path"])
+    # manifest header metadata: spec-required keys
+    for key in ("schema", "partition-spec", "partition-spec-id",
+                "format-version", "content"):
+        assert key in mheader, key
+    assert mheader["format-version"] == b"2"
+    assert mheader["content"] == b"data"
+    eschema = json.loads(mheader["avro.schema"])
+    efid = {f["name"]: f.get("field-id") for f in eschema["fields"]}
+    assert efid["status"] == 0 and efid["data_file"] == 2
+    for e in entries:
+        assert e["status"] == 1
+        d = e["data_file"]
+        assert d["content"] == 0 and d["file_format"] == "PARQUET"
+        assert d["record_count"] > 0
+        assert d["file_size_in_bytes"] == os.path.getsize(d["file_path"])
+
+
+def test_iceberg_partitioned_round_trip_and_time_travel(
+    spark, sf_dir, tmp_path
+):
+    """lang-partitioned lake: identity partition values restore typed;
+    snapshot 1 stays readable after a second commit (time travel), and
+    the iceberg_metadata publisher flag exports per commit."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    root = str(tmp_path / "t3")
+    sink = _sink(
+        root,
+        partition_by=["lang"],
+        table_type=TableType.APPEND_ONLY,
+        iceberg_metadata=True,
+    )
+    first = docs.filter(F.col("doc_id") < 300)
+    sink.write_staging(first, "r1")
+    sink.publish("r1")
+    sink.write_staging(docs.filter(F.col("doc_id") >= 300), "r2")
+    sink.publish("r2")
+
+    got = read_iceberg(spark, root).select(*docs.columns)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, docs.collect())
+    )
+    tt = read_iceberg(spark, root, snapshot_id=1).select(*docs.columns)
+    assert sorted(map(tuple, tt.collect())) == sorted(
+        map(tuple, first.collect())
+    )
+    md = current_metadata(root)
+    assert [s["snapshot-id"] for s in md["snapshots"]] == [1, 2]
+    assert md["snapshots"][1]["parent-snapshot-id"] == 1
+    # partition spec: identity transform on lang with spec field ids
+    spec = md["partition-specs"][0]
+    assert spec["fields"][0]["transform"] == "identity"
+    assert spec["fields"][0]["field-id"] == 1000
+    src_id = spec["fields"][0]["source-id"]
+    assert (
+        next(f for f in md["schemas"][0]["fields"] if f["id"] == src_id)[
+            "name"
+        ]
+        == "lang"
+    )
+
+
+def test_iceberg_many_partitions_suffix_join_path(spark, sf_dir, tmp_path):
+    """>union_threshold distinct partition values exercise the single
+    scan + broadcast suffix-key join (shared assemble_snapshot path)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    ).withColumn("b", F.concat(F.lit("p"), (F.col("doc_id") % 23)))
+    root = str(tmp_path / "t4")
+    sink = _sink(root, partition_by=["b"])
+    sink.write_staging(docs, "r1")
+    sink.publish("r1")
+    sink.export_iceberg()
+    got = read_iceberg(spark, root, union_threshold=4).select(*docs.columns)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, docs.collect())
+    )
+
+
+def test_iceberg_no_change_export_writes_nothing(spark, sf_dir, tmp_path):
+    df = load_table(spark, sf_dir, "region")
+    root = str(tmp_path / "t5")
+    sink = _sink(root)
+    sink.write_staging(df, "r1")
+    sink.publish("r1")
+    meta_dir = sink.export_iceberg()
+    before = sorted(os.listdir(meta_dir))
+    sink.export_iceberg()
+    assert sorted(os.listdir(meta_dir)) == before
+
+
+def test_iceberg_export_metadata_version_race(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Put-if-absent vN.metadata.json: a competing exporter landing the
+    same version between read and publish forces a re-read; the winner
+    is never overwritten."""
+    from incubator_gobblin_spark.sinks import iceberg_export as IE
+
+    df = load_table(spark, sf_dir, "region")
+    root = str(tmp_path / "t6")
+    sink = _sink(root, table_type=TableType.APPEND_ONLY)
+    sink.write_staging(df.filter(F.col("r_regionkey") < 3), "r1")
+    sink.publish("r1")
+    sink.export_iceberg()
+    sink.write_staging(df.filter(F.col("r_regionkey") >= 3), "r2")
+    sink.publish("r2")
+
+    real = IE._metadata_versions
+    state = {"done": False}
+
+    def racing(meta_dir):
+        out = real(meta_dir)
+        if not state["done"]:
+            state["done"] = True
+            # competitor wins v(latest+1) with a DIFFERENT fingerprint
+            # (else our exporter would skip as no-change)
+            with open(
+                os.path.join(meta_dir, f"v{out[-1]}.metadata.json")
+            ) as fh:
+                prev = json.load(fh)
+            prev["snapshots"][-1]["summary"][
+                "engine.state-fingerprint"
+            ] = "competitor"
+            prev["competitor"] = True
+            with open(
+                os.path.join(meta_dir, f"v{out[-1] + 1}.metadata.json"), "w"
+            ) as fh:
+                json.dump(prev, fh)
+        return out
+
+    monkeypatch.setattr(IE, "_metadata_versions", racing)
+    sink.export_iceberg()
+    monkeypatch.undo()
+
+    meta_dir = os.path.join(root, "metadata")
+    versions = real(meta_dir)
+    assert versions == [1, 2, 3]
+    v2 = json.load(open(os.path.join(meta_dir, "v2.metadata.json")))
+    assert v2.get("competitor") is True  # winner never overwritten
+    got = read_iceberg(spark, root)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, sink.read_committed(spark).collect())
+    )
+
+
+def test_iceberg_hand_authored_spec_example_parses(spark, tmp_path):
+    """A minimal spec-example table authored BY HAND (not by the
+    exporter): one parquet data file, metadata JSON + manifest list +
+    manifest written field-by-field from the public spec — the reader
+    must consume it. Pins reader independence from exporter quirks."""
+    from incubator_gobblin_spark.formats.avro_ocf import encode_ocf
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        _MANIFEST_LIST_AVRO,
+        _manifest_entry_avro,
+    )
+
+    root = str(tmp_path / "hand")
+    os.makedirs(os.path.join(root, "data"))
+    meta_dir = os.path.join(root, "metadata")
+    os.makedirs(meta_dir)
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "id long, name string"
+    )
+    df.toPandas().to_parquet(os.path.join(root, "data", "f1.parquet"))
+    data_file = os.path.join(root, "data", "f1.parquet")
+
+    entry_schema = _manifest_entry_avro(
+        {"type": "record", "name": "r102", "fields": []}
+    )
+    manifest = os.path.join(meta_dir, "hand-m0.avro")
+    with open(manifest, "wb") as fh:
+        fh.write(
+            encode_ocf(
+                entry_schema,
+                [
+                    {
+                        "status": 1,
+                        "snapshot_id": 99,
+                        "sequence_number": 1,
+                        "file_sequence_number": 1,
+                        "data_file": {
+                            "content": 0,
+                            "file_path": data_file,
+                            "file_format": "PARQUET",
+                            "partition": {},
+                            "record_count": 2,
+                            "file_size_in_bytes": os.path.getsize(data_file),
+                        },
+                    }
+                ],
+                codec="null",
+                extra_meta={
+                    "schema": b"{}",
+                    "partition-spec": b"[]",
+                    "partition-spec-id": b"0",
+                    "format-version": b"2",
+                    "content": b"data",
+                },
+            )
+        )
+    mlist = os.path.join(meta_dir, "snap-99-1-hand.avro")
+    with open(mlist, "wb") as fh:
+        fh.write(
+            encode_ocf(
+                _MANIFEST_LIST_AVRO,
+                [
+                    {
+                        "manifest_path": manifest,
+                        "manifest_length": os.path.getsize(manifest),
+                        "partition_spec_id": 0,
+                        "content": 0,
+                        "sequence_number": 1,
+                        "min_sequence_number": 1,
+                        "added_snapshot_id": 99,
+                        "added_files_count": 1,
+                        "existing_files_count": 0,
+                        "deleted_files_count": 0,
+                        "added_rows_count": 2,
+                        "existing_rows_count": 0,
+                        "deleted_rows_count": 0,
+                    }
+                ],
+                codec="null",
+                extra_meta={"format-version": b"2"},
+            )
+        )
+    metadata = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-000000000000",
+        "location": root,
+        "last-sequence-number": 1,
+        "last-updated-ms": 0,
+        "last-column-id": 2,
+        "current-schema-id": 0,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "id", "required": False, "type": "long"},
+                    {
+                        "id": 2,
+                        "name": "name",
+                        "required": False,
+                        "type": "string",
+                    },
+                ],
+            }
+        ],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {},
+        "current-snapshot-id": 99,
+        "snapshots": [
+            {
+                "snapshot-id": 99,
+                "sequence-number": 1,
+                "timestamp-ms": 0,
+                "summary": {"operation": "append"},
+                "manifest-list": mlist,
+                "schema-id": 0,
+            }
+        ],
+        "snapshot-log": [],
+        "metadata-log": [],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(metadata, fh)
+    # no version-hint on purpose: discovery must fall back to listing
+    got = read_iceberg(spark, root)
+    assert sorted(map(tuple, got.collect())) == [(1, "alpha"), (2, "beta")]
+    md = current_metadata(root)
+    assert [f["path"] for f in snapshot_files(md, root)] == [data_file]
+
+
+def test_iceberg_non_identity_transform_raises(spark, tmp_path):
+    root = str(tmp_path / "bad")
+    meta_dir = os.path.join(root, "metadata")
+    os.makedirs(meta_dir)
+    metadata = {
+        "format-version": 2,
+        "current-schema-id": 0,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "ts", "required": False, "type": "long"}
+                ],
+            }
+        ],
+        "default-spec-id": 0,
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {
+                        "name": "ts_day",
+                        "transform": "day",
+                        "source-id": 1,
+                        "field-id": 1000,
+                    }
+                ],
+            }
+        ],
+        "current-snapshot-id": 1,
+        "snapshots": [],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(metadata, fh)
+    with pytest.raises(ValueError, match="non-identity"):
+        read_iceberg(spark, root)
