@@ -76,6 +76,10 @@ PYTHON_BY_NECESSITY = {
     # the coverage-invariant queries drive the SAME SRP machinery
     "q68_srplsh_covers_identical",
     "q69_lsh_topk_self_retrieval",
+    # the SRP prefilter for semantic decontamination and its audit
+    # drive the same banding matmul (similarity._srp_band_keys)
+    "q125_semantic_decontam_lsh",
+    "q126_semantic_prefilter_audit",
 }
 
 # Multimodal plumbing is DEFINED as an Arrow mapInPandas stage (binary
