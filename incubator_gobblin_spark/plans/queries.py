@@ -54,78 +54,77 @@ def register(name: str, oracle: str | None):
 
 # The driver's correctness artifact records exactly the first 50
 # registry entries each round, so iteration order decides which queries
-# touch the hard gate. Round-6 rotation closes the verification debt
-# VERDICT r5 ranked #1 (latest driver-green row by round going into r6:
-# r02 = q38-q50 stragglers; r03 = the ten r01 anchors + q51/q55/q56/
-# q59/q61/q86/q87/q90; r04 = q02-q37 bulk + q63/q64/q68/q69/q84 +
-# q91-q106; r05 = everything else):
-# 1. brand-new r6 queries (first driver rows ever),
-# 2. the whole r02-stale block q38-q50 (last green FOUR rounds ago),
-# 3. the whole r03-stale block: the ten r01 anchors (q01 q03 q05 q07
-#    q14 q24 q25 q27 q36 q47) + q51 q55 q56 q59 q61 q86 q87 q90,
-# 4. the r04-era set that fits: the LSH coverage properties
-#    q63/q64/q68/q69, q84, and the q91-q106 subsystem wave.
-# Left out (rotate at r07, then at most 3 rounds old): the q02-q37
-# relational bulk — every one a basic plan shape (filter/project,
-# star join, window, set op, explode, pivot...) that a dozen in-window
-# queries exercise structurally — and the r05-green set (1 round old).
+# touch the hard gate. Round-7 rotation (staleness going into r7:
+# r04 = the 24-query relational/text bulk left out of the r06 window;
+# r05 = the 50-query set incl. the whole q107-q123 r5-new wave;
+# r06 = everything the r06 window re-proved):
+# 1. brand-new r7 queries q125/q126 (first driver rows ever),
+# 2. the ENTIRE r04-stale block (24 queries, at the ~2-round policy
+#    edge — VERDICT r6 ask #2 names them all),
+# 3. 24 of the 50 r05-green queries, prioritizing the q107-q123 wave
+#    (each has exactly ONE driver row ever) plus the unique-machinery
+#    singletons q42 full-outer, q48 oldest-k, q49 text-quality,
+#    q52 SRP pair-LSH, q53 as-of, q54 range join, q57 ORC scan.
+# Left out (rotate at r08, then at most 3 rounds old): the remaining
+# 26 r05-green queries (q31/q32/q34 hash-family, q58/q60/q62/q65-q67,
+# q70-q83, q85, q88, q89) and the whole r06-green set (1 round old).
 # The local parity suite (tests/test_oracle_parity.py) still proves ALL
 # oracle-backed queries on every pytest run regardless of this ordering.
 _WINDOW_HEAD = [
-    # --- brand-new r6 queries (first driver rows ever) ---
-    "q124_iceberg_roundtrip_agg",
-    # --- r02-stale block (driver rows from r02 — the oldest debt) ---
-    "q38_scalar_functions",
-    "q39_count_distinct",
-    "q40_having",
-    "q41_case_bucketing",
-    "q43_cross_join",
-    "q44_shuffle_join",
-    "q45_from_json_struct",
-    "q46_union_all",
-    "q50_knn_l2",
-    # --- r03-stale block: the ten r01 anchors... ---
-    "q01_pricing_summary",
-    "q03_revenue_by_nation",
-    "q05_purge_anti_join",
-    "q07_dedup_exact_fingerprint",
-    "q14_sessionize",
-    "q24_time_partition",
-    "q25_watermark_increment",
-    "q27_quality_counts",
-    "q36_window_functions",
-    "q47_compaction_audit",
-    # --- ...and the r03 leftovers ---
-    "q51_embedding_neardup_exact",
-    "q55_ivf_assign",
-    "q56_avro_scan_agg",
-    "q59_scalar_subquery_above_avg",
-    "q61_rest_entry_projection",
-    "q86_profile_columns",
-    "q87_orc_scan_agg",
-    "q90_trigram_logprob",
-    # --- r04-era set (2 rounds old; LSH coverage props + q91+ wave) ---
-    "q63_minhash_covers_exact_dups",
-    "q64_simhash_covers_exact_dups",
-    "q68_srplsh_covers_identical",
-    "q69_lsh_topk_self_retrieval",
-    "q84_pack_sequences",
-    "q91_kafka_roundtrip_agg",
-    "q92_quality_classifier",
-    "q93_semantic_dedup",
-    "q94_mixture_materialize",
-    "q95_multimodal_decode_roundtrip",
-    "q96_dsir_weights",
-    "q97_perplexity_buckets",
-    "q98_lake_changes",
-    "q99_pq_topk",
-    "q100_ivfpq_topk",
-    "q101_c4_rules",
-    "q102_gopher_rules",
-    "q103_weighted_sample",
-    "q104_approx_distinct",
-    "q105_approx_median_rank",
-    "q106_curation_pipeline",
+    # --- brand-new r7 queries (first driver rows ever) ---
+    "q125_semantic_decontam_lsh",
+    "q126_semantic_prefilter_audit",
+    # --- r04-stale block (last driver-green r04 — the policy edge) ---
+    "q04_segment_rollup",
+    "q06_semi_join",
+    "q08_dedup_argmax",
+    "q09_topk_per_group",
+    "q10_newest_k_deletable",
+    "q11_time_retention",
+    "q12_select_between",
+    "q13_running_total",
+    "q15_rollup",
+    "q16_cube",
+    "q17_grouping_sets",
+    "q18_union",
+    "q19_intersect",
+    "q20_except",
+    "q21_explode_tokens",
+    "q22_regex_filter",
+    "q23_json_extract",
+    "q26_sample_mod",
+    "q28_text_stats",
+    "q29_lang_guess",
+    "q30_token_jaccard",
+    "q33_ann_cosine_topk",
+    "q35_pivot_events",
+    "q37_moving_sum",
+    # --- r05-green: the whole r5-new wave (one driver row each) ---
+    "q107_rest_ingest_agg",
+    "q108_temperature_mixture",
+    "q109_duplicated_spans",
+    "q110_trim_dup_spans",
+    "q111_unimax_mixture",
+    "q112_linear_probe_fit",
+    "q113_shuffle_shards",
+    "q114_linear_probe_score",
+    "q115_trim_contaminated",
+    "q116_semantic_decontaminate",
+    "q117_lsh_dedup_audit",
+    "q118_cms_heavy_hitters",
+    "q119_funnel_steps",
+    "q120_cohort_retention",
+    "q121_bpe_pair_counts",
+    "q122_char_entropy",
+    "q123_delta_roundtrip_agg",
+    # --- r05-green unique-machinery singletons ---
+    "q42_full_outer_join",
+    "q48_oldest_k",
+    "q49_text_quality",
+    "q52_embedding_neardup_lsh",
+    "q53_asof_join",
+    "q54_range_join",
+    "q57_orc_scan_agg",
 ]
 
 
@@ -4505,6 +4504,119 @@ def q124_iceberg_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("chars"),
+    )
+
+
+def _decontam_lsh_ctes(threshold: float, num_bits: int, bands: int) -> str:
+    """Shared CTE block for the SRP-prefiltered decontamination oracles
+    (q125/q126): the q116 bench/corpus split, literal-hyperplane band
+    keys (the q34/q52 replay pattern), the bench-key semi-join candidate
+    set, and the exact re-score of candidates only."""
+    bpb = num_bits // bands
+    return f"""
+    WITH planes AS (SELECT * FROM {_planes_cte(64, num_bits)}),
+    v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+      WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+    ),
+    bench AS (SELECT vec_id, ev FROM v WHERE vec_id % 16 = 0),
+    corpus AS (SELECT vec_id, ev FROM v WHERE vec_id % 16 <> 0),
+    bkeys AS (
+      SELECT DISTINCT band_id, band_key FROM (
+        SELECT b.vec_id, p.p // {bpb} AS band_id,
+               sum(CASE WHEN list_dot_product(b.ev, p.pv) >= 0
+                   THEN 1 << (p.p % {bpb}) ELSE 0 END) AS band_key
+        FROM bench b, planes p GROUP BY b.vec_id, band_id
+      )
+    ),
+    ckeys AS (
+      SELECT c.vec_id, p.p // {bpb} AS band_id,
+             sum(CASE WHEN list_dot_product(c.ev, p.pv) >= 0
+                 THEN 1 << (p.p % {bpb}) ELSE 0 END) AS band_key
+      FROM corpus c, planes p GROUP BY c.vec_id, band_id
+    ),
+    cand AS (
+      SELECT DISTINCT k.vec_id FROM ckeys k
+      JOIN bkeys ON k.band_id = bkeys.band_id AND k.band_key = bkeys.band_key
+    ),
+    scored AS (
+      SELECT c.vec_id,
+             max(round(list_cosine_similarity(c.ev, b.ev), 6)) AS max_bench_sim
+      FROM corpus c CROSS JOIN bench b
+      WHERE c.vec_id IN (SELECT vec_id FROM cand)
+      GROUP BY c.vec_id
+    ),
+    lsh AS (
+      SELECT corpus.vec_id, scored.max_bench_sim,
+             COALESCE(CAST(scored.max_bench_sim >= {threshold} AS BIGINT), 0)
+               AS contaminated
+      FROM corpus LEFT JOIN scored ON corpus.vec_id = scored.vec_id
+    )
+    """
+
+
+@register(
+    "q125_semantic_decontam_lsh",
+    _decontam_lsh_ctes(threshold=0.35, num_bits=64, bands=16)
+    + "SELECT vec_id, max_bench_sim, contaminated FROM lsh",
+)
+def q125_semantic_decontam_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q116's decontamination with the SRP-LSH prefilter enabled
+    (similarity.semantic_decontaminate prefilter=True): corpus rows
+    sharing NO signature band with any benchmark vector skip the exact
+    cosine phase and come back NULL/0. Recall < 1 by design — q126
+    measures it. The oracle replays the literal hyperplanes, band keys,
+    bench-key semi-join and candidates-only exact re-score in SQL, so
+    the PRUNING DECISIONS themselves sit under the hash gate, not just
+    the surviving scores."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_decontaminate(
+        emb.filter(F.col("vec_id") % 16 != 0),
+        emb.filter(F.col("vec_id") % 16 == 0),
+        threshold=0.35,
+        prefilter=True,
+        dim=64,
+    )
+
+
+@register(
+    "q126_semantic_prefilter_audit",
+    _decontam_lsh_ctes(threshold=0.35, num_bits=64, bands=16)
+    + """,
+    exact AS (
+      SELECT c.vec_id,
+             max(round(list_cosine_similarity(c.ev, b.ev), 6)) AS ms
+      FROM corpus c CROSS JOIN bench b GROUP BY c.vec_id
+    )
+    SELECT n_corpus, n_candidates, n_contaminated_exact, n_contaminated_lsh,
+           CAST(CASE WHEN n_contaminated_exact > 0
+                THEN round(n_contaminated_lsh * 1.0 / n_contaminated_exact, 6)
+                ELSE 1.0 END AS DOUBLE) AS recall,
+           round(n_candidates * 1.0 / n_corpus, 6) AS candidate_fraction
+    FROM (
+      SELECT count(*) AS n_corpus,
+             CAST(sum(CASE WHEN l.max_bench_sim IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_candidates,
+             CAST(sum(CASE WHEN e.ms >= 0.35 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_contaminated_exact,
+             CAST(sum(l.contaminated) AS BIGINT) AS n_contaminated_lsh
+      FROM exact e JOIN lsh l ON e.vec_id = l.vec_id
+    )
+    """,
+)
+def q126_semantic_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The prefilter health check (similarity.semantic_prefilter_audit):
+    run exact AND prefiltered decontamination on the same split, report
+    one row — corpus size, candidate count, contaminated counts per
+    mode, decision recall and candidate fraction (the FLOP-saving knob).
+    The operating rule the docstring pins: enable the prefilter on a
+    production pass only on THIS evidence."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_prefilter_audit(
+        emb.filter(F.col("vec_id") % 16 != 0),
+        emb.filter(F.col("vec_id") % 16 == 0),
+        threshold=0.35,
+        dim=64,
     )
 
 

@@ -284,3 +284,74 @@ def test_semantic_decontaminate_empty_bench_keeps_corpus(spark):
         corpus, zero_bench, threshold=0.5
     ).toPandas()
     assert sorted(out2["vec_id"]) == [1, 2] and (out2["contaminated"] == 0).all()
+
+
+def test_prefilter_decontaminate_flags_planted_leaks(spark, emb):
+    """q125 invariant: with the prefilter ON, EXACT copies of bench
+    vectors planted into the corpus must still be flagged with
+    sim 1.0 — an identical vector shares every SRP band with its bench
+    twin, so banding can never prune a verbatim leak."""
+    bench = emb.filter(F.col("vec_id") % 16 == 0)
+    planted = bench.limit(10).select(
+        (F.col("vec_id") + F.lit(_PLANT_OFFSET)).alias("vec_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") % 16 != 0).select(
+        "vec_id", "embedding"
+    ).unionByName(planted)
+    out = similarity.semantic_decontaminate(
+        corpus, bench, threshold=0.999, prefilter=True, dim=64
+    )
+    flagged = out.filter(F.col("vec_id") >= _PLANT_OFFSET).toPandas()
+    assert len(flagged) == 10
+    assert (flagged["contaminated"] == 1).all()
+    assert (flagged["max_bench_sim"] == 1.0).all()
+
+
+def test_prefilter_decontaminate_subset_and_zero_vectors(spark):
+    """Prefilter flags must be a SUBSET of exact flags on the same
+    split (precision 1.0 by construction — every candidate is scored
+    exactly), non-candidates come back NULL/0 rather than dropped, and
+    zero vectors are excluded just like exact mode."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(64)]
+    rows.append((64, [0.0] * 8))  # zero vector -> excluded
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    corpus = df.filter(F.col("vec_id") % 4 != 0)
+    bench = df.filter(F.col("vec_id") % 4 == 0)
+    exact = similarity.semantic_decontaminate(
+        corpus, bench, threshold=0.6
+    ).toPandas().set_index("vec_id")
+    lsh = similarity.semantic_decontaminate(
+        corpus, bench, threshold=0.6, prefilter=True, dim=8,
+        num_bits=16, bands=4,
+    ).toPandas().set_index("vec_id")
+    assert sorted(lsh.index) == sorted(exact.index)  # same per-row contract
+    assert 64 not in lsh.index
+    for vid in lsh.index:
+        if lsh.loc[vid, "contaminated"] == 1:
+            assert exact.loc[vid, "contaminated"] == 1, vid
+            assert lsh.loc[vid, "max_bench_sim"] == exact.loc[vid, "max_bench_sim"]
+
+
+def test_prefilter_audit_recall_and_candidate_fraction(spark, emb):
+    """q126 invariant on the real corpus: the audit's recall must clear
+    a measured floor at the q125 operating point, candidate_fraction
+    must be a valid (0, 1] ratio consistent with n_candidates/n_corpus,
+    and counts must be internally consistent (lsh <= exact <= corpus,
+    lsh flags <= candidates)."""
+    out = similarity.semantic_prefilter_audit(
+        emb.filter(F.col("vec_id") % 16 != 0),
+        emb.filter(F.col("vec_id") % 16 == 0),
+        threshold=0.35, dim=64,
+    ).toPandas().iloc[0]
+    assert out["n_contaminated_lsh"] <= out["n_contaminated_exact"] <= out["n_corpus"]
+    assert out["n_contaminated_lsh"] <= out["n_candidates"] <= out["n_corpus"]
+    assert 0 < out["candidate_fraction"] <= 1.0
+    assert abs(
+        out["candidate_fraction"] - round(out["n_candidates"] / out["n_corpus"], 6)
+    ) < 1e-9
+    # measured 1.0 on the test corpus at 64 bits x 16 bands; floor with
+    # slack — a banding/signature regression drops this to near zero
+    assert out["recall"] >= 0.9
