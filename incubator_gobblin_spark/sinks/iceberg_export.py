@@ -341,13 +341,25 @@ def export_iceberg(sink, as_of_run: str | None = None) -> str:
         ).encode()
     ).hexdigest()
 
-    schema, last_column_id, part_types = _iceberg_schema(
-        files[0]["path"], part_cols, [f["partition"] for f in files]
-    ) if files else (
-        {"type": "struct", "schema-id": 0, "fields": []},
-        0,
-        {},
-    )
+    if files:
+        schema, last_column_id, part_types = _iceberg_schema(
+            files[0]["path"], part_cols, [f["partition"] for f in files]
+        )
+    else:
+        # empty committed manifest (e.g. after a full purge): no footer
+        # to infer from, but the spec fields and partition struct still
+        # need typed columns — default each partition column to string
+        # so an empty snapshot exports instead of raising KeyError
+        schema = {
+            "type": "struct",
+            "schema-id": 0,
+            "fields": [
+                {"id": i + 1, "name": c, "required": False, "type": "string"}
+                for i, c in enumerate(part_cols)
+            ],
+        }
+        last_column_id = len(part_cols)
+        part_types = {c: "string" for c in part_cols}
     field_id = {f["name"]: f["id"] for f in schema["fields"]}
     spec = {
         "spec-id": 0,
@@ -399,7 +411,9 @@ def export_iceberg(sink, as_of_run: str | None = None) -> str:
                 "file_sequence_number": seq,
                 "data_file": {
                     "content": 0,  # DATA
-                    "file_path": f["path"],
+                    # file:// URI per the Iceberg spec (foreign engines
+                    # resolve URIs, not bare POSIX paths)
+                    "file_path": "file://" + f["path"],
                     "file_format": "PARQUET",
                     "partition": {
                         c: _typed_partition_value(
@@ -439,7 +453,7 @@ def export_iceberg(sink, as_of_run: str | None = None) -> str:
             _MANIFEST_LIST_AVRO,
             [
                 {
-                    "manifest_path": manifest_path,
+                    "manifest_path": "file://" + manifest_path,
                     "manifest_length": len(manifest_bytes),
                     "partition_spec_id": 0,
                     "content": 0,
@@ -471,7 +485,7 @@ def export_iceberg(sink, as_of_run: str | None = None) -> str:
                 "operation": "overwrite",
                 "engine.state-fingerprint": fingerprint,
             },
-            "manifest-list": snap_path,
+            "manifest-list": "file://" + snap_path,
             "schema-id": 0,
         }
         if snapshots:
@@ -507,7 +521,29 @@ def export_iceberg(sink, as_of_run: str | None = None) -> str:
             os.link(tmp, meta_path)  # put-if-absent publish
         except FileExistsError:
             os.remove(tmp)
-            continue  # lost the race: re-read, retry at next version
+            # Lost the race: unlink this attempt's Avro files or they
+            # orphan in metadata/ forever (including when the retry then
+            # hits the fingerprint no-change skip). EXCEPT when the
+            # winner published the same (sid, fingerprint) state — the
+            # deterministic commit uuid then makes our names the
+            # winner's names, and deleting them would break the
+            # winner's snapshot; keep exactly those.
+            try:
+                with open(meta_path) as fh:
+                    winner = json.load(fh)
+                referenced = {
+                    os.path.basename(s["manifest-list"])
+                    for s in winner.get("snapshots", [])
+                }
+            except (OSError, ValueError, KeyError):
+                referenced = {snap_name}  # unreadable: keep, never break
+            if snap_name not in referenced:
+                for orphan in (manifest_path, snap_path):
+                    try:
+                        os.remove(orphan)
+                    except OSError:
+                        pass
+            continue  # re-read, retry at next version
         os.remove(tmp)
 
         # version-hint is a HINT (HadoopCatalog semantics): last writer

@@ -86,31 +86,55 @@ def _spark_type(t) -> T.DataType:
     return prim[t]
 
 
+def _local_path(p: str) -> str:
+    """Resolve a metadata-carried location to a local filesystem path.
+    The exporter emits ``file://`` URIs per the Iceberg spec; older
+    exports (and foreign writers) may carry plain paths — accept both."""
+    if p.startswith("file://"):
+        from urllib.parse import unquote, urlparse
+
+        return unquote(urlparse(p).path)
+    return p
+
+
 def current_metadata(path: str) -> dict:
-    """Load the table's latest ``vN.metadata.json`` — via
-    ``version-hint.text`` when present (HadoopCatalog layout), else the
-    highest version on disk (StaticTable-style discovery)."""
+    """Load the table's latest ``vN.metadata.json``. The hint in
+    ``version-hint.text`` (HadoopCatalog layout) is only a STARTING
+    point: the exporter writes it last-writer-wins AFTER the os.link
+    CAS, so a slow exporter of an older version can overwrite a newer
+    hint. Like ``HadoopTableOperations.findVersion``
+    (iceberg-core ``hadoop/HadoopTableOperations.java``), take the
+    highest version actually present — max(hint probe, dir listing) —
+    never the hinted version directly."""
     meta_dir = os.path.join(path, "metadata")
-    hint = os.path.join(meta_dir, "version-hint.text")
-    if os.path.exists(hint):
-        with open(hint) as fh:
-            v = int(fh.read().strip())
-        cand = os.path.join(meta_dir, f"v{v}.metadata.json")
-        if os.path.exists(cand):
-            with open(cand) as fh:
-                return json.load(fh)
-    versions = sorted(
+    versions = [
         int(f[1 : -len(".metadata.json")])
         for f in os.listdir(meta_dir)
         if f.startswith("v")
         and f.endswith(".metadata.json")
         and f[1 : -len(".metadata.json")].isdigit()
-    )
-    if not versions:
+    ]
+    best = max(versions, default=0)
+    hint = os.path.join(meta_dir, "version-hint.text")
+    if os.path.exists(hint):
+        try:
+            with open(hint) as fh:
+                v = int(fh.read().strip())
+        except ValueError:
+            v = 0
+        # probe forward from the hint: catches versions published
+        # between the listing above and now (the findVersion behavior)
+        v = max(v, best)
+        while os.path.exists(
+            os.path.join(meta_dir, f"v{v + 1}.metadata.json")
+        ):
+            v += 1
+        best = max(best, v)
+    if best <= 0 or not os.path.exists(
+        os.path.join(meta_dir, f"v{best}.metadata.json")
+    ):
         raise FileNotFoundError(f"no Iceberg metadata under {meta_dir}")
-    with open(
-        os.path.join(meta_dir, f"v{versions[-1]}.metadata.json")
-    ) as fh:
+    with open(os.path.join(meta_dir, f"v{best}.metadata.json")) as fh:
         return json.load(fh)
 
 
@@ -142,14 +166,14 @@ def snapshot_files(
             f"Iceberg snapshot {sid} not present "
             f"(have {[s['snapshot-id'] for s in metadata.get('snapshots', [])]})"
         )
-    mlist = snap["manifest-list"]
+    mlist = _local_path(snap["manifest-list"])
     if not os.path.isabs(mlist):
         mlist = os.path.join(table_path, mlist)
     out: list[dict] = []
     for mf in _decode_avro_rows(mlist):
         if mf.get("content", 0) != 0:
             continue  # delete manifests (v2 row-level deletes) unsupported
-        mpath = mf["manifest_path"]
+        mpath = _local_path(mf["manifest_path"])
         if not os.path.isabs(mpath):
             mpath = os.path.join(table_path, mpath)
         for entry in _decode_avro_rows(mpath):
@@ -162,7 +186,7 @@ def snapshot_files(
                 )
             out.append(
                 {
-                    "path": df_["file_path"],
+                    "path": _local_path(df_["file_path"]),
                     "partition": df_.get("partition") or {},
                 }
             )

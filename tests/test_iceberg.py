@@ -12,6 +12,7 @@ from incubator_gobblin_spark.formats.avro_ocf import decode_ocf
 from incubator_gobblin_spark.session import load_table
 from incubator_gobblin_spark.sinks.files import FileSink, TableType
 from incubator_gobblin_spark.sources.iceberg_import import (
+    _local_path,
     current_metadata,
     read_iceberg,
     snapshot_files,
@@ -77,7 +78,7 @@ def test_iceberg_metadata_spec_required_fields(spark, sf_dir, tmp_path):
     assert snap["summary"]["operation"] in (
         "append", "overwrite", "replace", "delete"
     )
-    header, mlist = _avro_rows(snap["manifest-list"])
+    header, mlist = _avro_rows(_local_path(snap["manifest-list"]))
     # header carries the writer schema with the spec's field-ids
     hschema = json.loads(header["avro.schema"])
     fid = {f["name"]: f.get("field-id") for f in hschema["fields"]}
@@ -89,7 +90,7 @@ def test_iceberg_metadata_spec_required_fields(spark, sf_dir, tmp_path):
         sink.current_manifest()["entries"]
     )
 
-    mheader, entries = _avro_rows(mf["manifest_path"])
+    mheader, entries = _avro_rows(_local_path(mf["manifest_path"]))
     # manifest header metadata: spec-required keys
     for key in ("schema", "partition-spec", "partition-spec-id",
                 "format-version", "content"):
@@ -104,7 +105,9 @@ def test_iceberg_metadata_spec_required_fields(spark, sf_dir, tmp_path):
         d = e["data_file"]
         assert d["content"] == 0 and d["file_format"] == "PARQUET"
         assert d["record_count"] > 0
-        assert d["file_size_in_bytes"] == os.path.getsize(d["file_path"])
+        assert d["file_size_in_bytes"] == os.path.getsize(
+            _local_path(d["file_path"])
+        )
 
 
 def test_iceberg_partitioned_round_trip_and_time_travel(
@@ -407,3 +410,183 @@ def test_iceberg_non_identity_transform_raises(spark, tmp_path):
         json.dump(metadata, fh)
     with pytest.raises(ValueError, match="non-identity"):
         read_iceberg(spark, root)
+
+
+def test_iceberg_paths_are_file_uris(spark, sf_dir, tmp_path):
+    """The spec prescribes URIs: data file_path, manifest_path, and the
+    snapshot's manifest-list must all be file:// URIs so foreign engines
+    can resolve them — and the importer must still round-trip them."""
+    df = load_table(spark, sf_dir, "region")
+    root = str(tmp_path / "uri")
+    sink = _sink(root)
+    sink.write_staging(df, "r1")
+    sink.publish("r1")
+    meta_dir = sink.export_iceberg()
+
+    meta = current_metadata(root)
+    snap = meta["snapshots"][-1]
+    assert snap["manifest-list"].startswith("file:///")
+    _, mf_rows = _avro_rows(snap["manifest-list"][len("file://"):])
+    assert mf_rows and all(
+        r["manifest_path"].startswith("file:///") for r in mf_rows
+    )
+    _, entries = _avro_rows(mf_rows[0]["manifest_path"][len("file://"):])
+    assert entries and all(
+        e["data_file"]["file_path"].startswith("file:///") for e in entries
+    )
+    got = read_iceberg(spark, root)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_iceberg_stale_version_hint_ignored(spark, sf_dir, tmp_path):
+    """version-hint.text is written last-writer-wins AFTER the metadata
+    CAS, so a slow exporter can regress it; current_metadata must probe
+    past the hint (HadoopTableOperations.findVersion) and serve the
+    HIGHEST version, never the hinted one."""
+    df = load_table(spark, sf_dir, "region")
+    root = str(tmp_path / "hint")
+    sink = _sink(root, table_type=TableType.APPEND_ONLY)
+    sink.write_staging(df.filter(F.col("r_regionkey") < 2), "r1")
+    sink.publish("r1")
+    sink.export_iceberg()
+    sink.write_staging(df.filter(F.col("r_regionkey") >= 2), "r2")
+    sink.publish("r2")
+    meta_dir = sink.export_iceberg()
+
+    # regress the hint to v1 (the lost-writer overwrite)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    meta = current_metadata(root)
+    assert len(meta["snapshots"]) == 2  # served v2, not the hinted v1
+    got = read_iceberg(spark, root)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_iceberg_empty_partitioned_manifest_exports(spark, tmp_path):
+    """A committed EMPTY manifest on a partitioned lake (e.g. after a
+    full purge) must export an empty snapshot — partition columns
+    default to string — not raise KeyError building the spec."""
+    root = str(tmp_path / "empty")
+    sink = _sink(root, partition_by=["source"])
+    empty = spark.createDataFrame(
+        [], "doc_id long, source string, n_chars long"
+    )
+    sink.write_staging(empty, "r1")
+    sink.publish("r1")
+    meta_dir = sink.export_iceberg()
+
+    meta = current_metadata(root)
+    spec = meta["partition-specs"][0]
+    assert [f["name"] for f in spec["fields"]] == ["source"]
+    assert snapshot_files(meta, root) == []
+    got = read_iceberg(spark, root)
+    assert got.count() == 0
+    assert "source" in got.columns
+
+
+def test_iceberg_lost_race_leaves_no_orphan_avro(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Every Avro file under metadata/ must be referenced by some
+    metadata version after a lost put-if-absent race — the loser's
+    attempt files are unlinked (or reused by the retry), never orphaned."""
+    from incubator_gobblin_spark.sinks import iceberg_export as IE
+
+    df = load_table(spark, sf_dir, "region")
+    root = str(tmp_path / "orphan")
+    sink = _sink(root, table_type=TableType.APPEND_ONLY)
+    sink.write_staging(df.filter(F.col("r_regionkey") < 3), "r1")
+    sink.publish("r1")
+    sink.export_iceberg()
+    sink.write_staging(df.filter(F.col("r_regionkey") >= 3), "r2")
+    sink.publish("r2")
+
+    real = IE._metadata_versions
+    state = {"done": False}
+
+    def racing(meta_dir):
+        out = real(meta_dir)
+        if not state["done"]:
+            state["done"] = True
+            with open(
+                os.path.join(meta_dir, f"v{out[-1]}.metadata.json")
+            ) as fh:
+                prev = json.load(fh)
+            prev["snapshots"][-1]["summary"][
+                "engine.state-fingerprint"
+            ] = "competitor"
+            with open(
+                os.path.join(meta_dir, f"v{out[-1] + 1}.metadata.json"), "w"
+            ) as fh:
+                json.dump(prev, fh)
+        return out
+
+    monkeypatch.setattr(IE, "_metadata_versions", racing)
+    meta_dir = sink.export_iceberg()
+    monkeypatch.undo()
+
+    referenced = set()
+    for f in os.listdir(meta_dir):
+        if f.startswith("v") and f.endswith(".metadata.json"):
+            with open(os.path.join(meta_dir, f)) as fh:
+                m = json.load(fh)
+            for s in m.get("snapshots", []):
+                ml = s["manifest-list"]
+                ml = ml[len("file://"):] if ml.startswith("file://") else ml
+                referenced.add(os.path.basename(ml))
+                if os.path.exists(ml):
+                    _, rows = _avro_rows(ml)
+                    for r in rows:
+                        mp = r["manifest_path"]
+                        mp = (
+                            mp[len("file://"):]
+                            if mp.startswith("file://")
+                            else mp
+                        )
+                        referenced.add(os.path.basename(mp))
+    on_disk = {f for f in os.listdir(meta_dir) if f.endswith(".avro")}
+    assert on_disk <= referenced, on_disk - referenced
+
+
+def test_iceberg_same_state_race_keeps_winner_files(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """When the race winner published the SAME (sid, fingerprint) state,
+    the deterministic commit uuid makes the loser's attempt files the
+    winner's files — the loser must keep them (deleting would break the
+    winner's snapshot) and skip as no-change on retry."""
+    from incubator_gobblin_spark.sinks import iceberg_export as IE
+
+    df = load_table(spark, sf_dir, "region")
+    root = str(tmp_path / "same")
+    sink = _sink(root, table_type=TableType.APPEND_ONLY)
+    sink.write_staging(df, "r1")
+    sink.publish("r1")
+
+    real = IE._metadata_versions
+    state = {"done": False}
+
+    def racing(meta_dir):
+        out = real(meta_dir)
+        if not state["done"]:
+            state["done"] = True
+            # competitor = a parallel exporter of the SAME lake state:
+            # run the real export to land v1 while our caller is
+            # mid-attempt believing v1 is free
+            monkeypatch.setattr(IE, "_metadata_versions", real)
+            sink.export_iceberg()
+            monkeypatch.setattr(IE, "_metadata_versions", racing)
+        return out
+
+    monkeypatch.setattr(IE, "_metadata_versions", racing)
+    meta_dir = sink.export_iceberg()
+    monkeypatch.undo()
+
+    versions = real(meta_dir)
+    assert versions == [1]  # retry hit the no-change skip
+    meta = current_metadata(root)
+    ml = meta["snapshots"][-1]["manifest-list"]
+    ml = ml[len("file://"):] if ml.startswith("file://") else ml
+    assert os.path.exists(ml)  # winner's files intact
+    got = read_iceberg(spark, root)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, df.collect()))
