@@ -1,0 +1,293 @@
+"""Salesforce SOQL dialect over the generic REST family.
+
+The reference's second-biggest source family is Salesforce
+(gobblin-salesforce); the shared machinery — REST paging, token auth,
+watermark tiling, PK-chunked workunits, bounded retries — already lives
+in ``sources/rest_api.py``. What is Salesforce-SPECIFIC, replicated
+here:
+
+- the SOQL query strings the extractor builds
+  (``SalesforceExtractor.java`` — data :381-407, high watermark
+  :237-271, count :317-350, soft deletes :445-459 via
+  ``QueryResultIterator``) with the Salesforce literal formats
+  (:97-99 — SOQL date/datetime literals are UNQUOTED) and the
+  trailing-LIMIT splice discipline (``getLimitFromInputQuery:413``);
+- the ``/queryAll/?q=`` URL encoding (``getSoqlUrl:470``);
+- Bulk-API result-id chaining: a bulk job finishes as a list of
+  ``batchId:resultId`` pairs fetched one file at a time
+  (``parseBatchIdResultIdString:564``, ``ResultChainingIterator``,
+  and the PK-chunking variant ``getQueryResultIdsPkChunking:734``).
+  Here each (batch, result) pair becomes one Spark task — the
+  chaining iterator's sequential walk turned embarrassingly parallel,
+  which is the point of re-expressing it on Spark.
+
+SOQL differs from the JDBC dialects just enough that reusing
+``sources/jdbc.extract_sql`` would mis-render: no ``SELECT *``
+(explicit field lists only), unquoted datetime literals ending in
+``.000Z``, ``COUNT()`` not ``COUNT(*)``, and LIMIT is the only
+sampling clause."""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from datetime import date, datetime
+from typing import Any, Sequence
+from urllib.parse import quote
+
+from incubator_gobblin_spark.operators.watermark import (
+    WatermarkInterval,
+    WatermarkType,
+)
+from incubator_gobblin_spark.sources.jdbc import Predicate, add_predicate
+
+# SalesforceExtractor.java:97-99. SOQL temporal literals are bare
+# (quoting them is a SOQL syntax error), which is why the JDBC
+# renderer's TIMESTAMP '...' form cannot be reused.
+SALESFORCE_TIMESTAMP_FORMAT = "%Y-%m-%dT%H:%M:%S.000Z"
+SALESFORCE_DATE_FORMAT = "%Y-%m-%d"
+SALESFORCE_HOUR_FORMAT = "%H"
+
+_LIMIT_RE = re.compile(r"\s+limit\s+\d+\s*$", re.IGNORECASE)
+
+
+def soql_literal(value: Any, wm_type: WatermarkType) -> str:
+    """Render a watermark value as a SOQL literal
+    (getTimestampPredicateCondition:529 / getDatePredicateCondition:522
+    / getHourPredicateCondition:515 — formatted, never quoted)."""
+    if value is None:
+        raise ValueError("watermark value must not be None")
+    if wm_type is WatermarkType.SIMPLE:
+        return str(int(value))
+    if wm_type is WatermarkType.HOUR:
+        if isinstance(value, (datetime,)):
+            return value.strftime(SALESFORCE_HOUR_FORMAT)
+        return str(int(value))
+    if wm_type is WatermarkType.DATE:
+        if isinstance(value, (datetime, date)):
+            return value.strftime(SALESFORCE_DATE_FORMAT)
+        return str(value)
+    if isinstance(value, datetime):
+        return value.strftime(SALESFORCE_TIMESTAMP_FORMAT)
+    return str(value)
+
+
+def soql_watermark_predicates(
+    interval: WatermarkInterval,
+    wm_type: WatermarkType = WatermarkType.TIMESTAMP,
+) -> list[Predicate]:
+    """Low-exclusive / high-inclusive SOQL predicates — the JDBC
+    watermark discipline with Salesforce literal rendering."""
+    preds = []
+    if interval.low is not None:
+        preds.append(
+            Predicate(interval.column, ">", soql_literal(interval.low, wm_type))
+        )
+    if interval.high is not None:
+        preds.append(
+            Predicate(interval.column, "<=", soql_literal(interval.high, wm_type))
+        )
+    return preds
+
+
+def split_trailing_limit(query: str) -> tuple[str, str]:
+    """(query-without-limit, the trailing ``LIMIT n`` clause or ``""``)
+    — getLimitFromInputQuery:413: predicates must be spliced BEFORE a
+    user query's trailing LIMIT, then the LIMIT re-appended."""
+    m = _LIMIT_RE.search(query)
+    if not m:
+        return query, ""
+    return query[: m.start()], query[m.start() :].strip()
+
+
+def soql_extract(
+    entity: str,
+    columns: Sequence[str],
+    predicates: Sequence[Predicate] = (),
+    limit: int | None = None,
+    include_soft_deleted_only: bool = False,
+) -> str:
+    """The data-pull SOQL (getDataMetadata:381-407): explicit field
+    list (SOQL has no ``*``), predicate chain, optional soft-delete
+    restriction (``IsDeleted = true`` — the :404 dynamic-API branch),
+    trailing LIMIT last."""
+    if not columns:
+        raise ValueError("SOQL requires an explicit field list (no SELECT *)")
+    sql = f"SELECT {', '.join(columns)} FROM {entity}"
+    for p in predicates:
+        sql = add_predicate(sql, p.sql())
+    if include_soft_deleted_only:
+        sql = add_predicate(sql, "IsDeleted = true")
+    if limit is not None:
+        sql = f"{sql} LIMIT {int(limit)}"
+    return sql
+
+
+def soql_high_watermark(
+    entity: str,
+    watermark_column: str,
+    predicates: Sequence[Predicate] = (),
+    existing_where: str | None = None,
+) -> str:
+    """The high-watermark probe (getHighWatermarkMetadata:237-271):
+    project only the watermark, carry the user query's existing WHERE,
+    add the run predicates plus the ``!= null`` guard, take the newest
+    row."""
+    sql = f"SELECT {watermark_column} FROM {entity}"
+    if existing_where:
+        sql = f"{sql} {existing_where.strip()}"
+    sql, _ = split_trailing_limit(sql)
+    for p in predicates:
+        sql = add_predicate(sql, p.sql())
+    sql = add_predicate(sql, f"{watermark_column} != null")
+    return f"{sql} ORDER BY {watermark_column} desc LIMIT 1"
+
+
+def soql_count(
+    entity: str,
+    predicates: Sequence[Predicate] = (),
+    existing_where: str | None = None,
+    limit: str = "",
+) -> str:
+    """The row-count probe (getCountMetadata:317-350): ``COUNT()`` —
+    SOQL's bare form, not COUNT(*) — the existing WHERE, predicates,
+    and the user query's trailing LIMIT re-appended verbatim."""
+    sql = f"SELECT COUNT() FROM {entity}"
+    if existing_where:
+        sql = f"{sql} {existing_where.strip()}"
+    sql, _ = split_trailing_limit(sql)
+    for p in predicates:
+        sql = add_predicate(sql, p.sql())
+    return f"{sql}{limit}" if limit else sql
+
+
+def soql_url(query: str, api_version: str = "42.0") -> str:
+    """The REST path for a SOQL query (getSoqlUrl:470 —
+    ``/queryAll/?q=<url-encoded>``; queryAll, not query, so soft
+    deletes are visible to the IsDeleted predicates)."""
+    return f"/services/data/v{api_version}/queryAll/?q={quote(query, safe='')}"
+
+
+# ---------------------------------------------------------------------------
+# Bulk-API result-id chaining
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class BulkResultFile:
+    """One fetchable result file of a finished bulk job
+    (FileIdVO.java: jobId + batchId + resultId)."""
+
+    job_id: str
+    batch_id: str
+    result_id: str
+
+
+def parse_batch_result_ids(
+    job_id: str, batch_result_pairs: str
+) -> list[BulkResultFile]:
+    """``"batchId:resultId,batchId:resultId,..."`` → ordered file list
+    (parseBatchIdResultIdString:564 — the same wire format the
+    reference accepts for fetch-only replays of an existing bulk
+    job)."""
+    out = []
+    for pair in batch_result_pairs.split(","):
+        pair = pair.strip()
+        if not pair:
+            continue
+        batch_id, _, result_id = pair.partition(":")
+        if not batch_id or not result_id:
+            raise ValueError(f"malformed batchId:resultId pair: {pair!r}")
+        out.append(BulkResultFile(job_id, batch_id, result_id))
+    return out
+
+
+def read_bulk_results(
+    spark,
+    endpoint: Any,
+    files: list[BulkResultFile],
+    schema,
+    max_retries: int = 3,
+    retry_backoff_sec: float = 0.0,
+):
+    """Fetch every bulk result file as one DataFrame — the
+    ResultChainingIterator turned parallel: one Spark task per
+    (batch, result) file instead of a sequential driver-side walk
+    (each file is independent by construction; the reference chains
+    them only because its extractor is single-threaded).
+
+    ``endpoint.fetch_result(job_id, batch_id, result_id)`` returns the
+    file's records as a list of JSON strings (the file-backed double in
+    tests; a real deployment implements it with the Bulk-API GET —
+    ``/services/async/<ver>/job/<job>/batch/<batch>/result/<result>``).
+    Failed fetches retry ``max_retries`` times; a file is only yielded
+    once, so retries cannot duplicate records (the RestApiConnector
+    retry contract)."""
+    from pyspark.sql import functions as F
+
+    from incubator_gobblin_spark.sources.mock_kafka import _ship_package
+
+    _ship_package(spark)
+    if not files:
+        return (
+            spark.createDataFrame([], "json string")
+            .select(F.from_json(F.col("json"), schema).alias("r"))
+            .select("r.*")
+        )
+    rows = [(f.job_id, f.batch_id, f.result_id) for f in files]
+    unit_df = spark.createDataFrame(
+        rows, "job_id string, batch_id string, result_id string"
+    ).repartition(len(rows))
+
+    def fetch(batches):
+        import time as _time
+
+        import pandas as pd
+
+        for pdf in batches:
+            for job_id, batch_id, result_id in pdf.itertuples(index=False):
+                attempt = 0
+                while True:
+                    try:
+                        recs = endpoint.fetch_result(job_id, batch_id, result_id)
+                        break
+                    except ConnectionError:
+                        attempt += 1
+                        if attempt > max_retries:
+                            raise
+                        _time.sleep(retry_backoff_sec * attempt)
+                if recs:
+                    yield pd.DataFrame({"json": list(recs)})
+
+    raw = unit_df.mapInPandas(fetch, "json string")
+    return raw.select(
+        F.from_json(F.col("json"), schema).alias("r")
+    ).select("r.*")
+
+
+class FileBackedBulkEndpoint:
+    """Bulk-API double for jar-free containers (the mock_kafka /
+    FileBackedRestEndpoint discipline): result files precomputed per
+    (batch, result), optionally failing the first fetch of a chosen
+    file to exercise the retry path. Lives in the package (not the test
+    module) so executor-side unpickling can import it."""
+
+    def __init__(self, results, fail_once_on=None):
+        self.results = results  # (batch_id, result_id) -> [json, ...]
+        self.fail_once_on = fail_once_on
+
+    def fetch_result(self, job_id, batch_id, result_id):
+        import os
+        import tempfile
+
+        key = (batch_id, result_id)
+        if self.fail_once_on == key:
+            # one-shot failure marker, file-based so the retry (possibly
+            # in another task attempt) observes that it already fired
+            marker = os.path.join(
+                tempfile.gettempdir(), f"soql-fail-{batch_id}-{result_id}"
+            )
+            if not os.path.exists(marker):
+                open(marker, "w").close()
+                raise ConnectionError("transient bulk fetch failure")
+        return self.results[key]

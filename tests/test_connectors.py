@@ -1331,3 +1331,171 @@ def test_rest_incremental_replay_with_grown_source(spark, sf_dir, tmp_path):
     assert out["published"] is True
     got = sorted(r["id"] for r in sink.read_committed(spark).collect())
     assert got == list(range(1, 10))  # no duplicated overlap rows
+
+
+# ---------------------------------------------------------------------------
+# SOQL dialect (SalesforceExtractor string-building cases)
+# ---------------------------------------------------------------------------
+
+
+def test_soql_extract_predicates_and_limit_order():
+    """getDataMetadata:381-407: field list (no SELECT *), predicate
+    chain, trailing LIMIT spliced LAST."""
+    from datetime import datetime
+
+    from incubator_gobblin_spark.operators.watermark import (
+        WatermarkInterval,
+        WatermarkType,
+    )
+    from incubator_gobblin_spark.sources import soql as S
+
+    preds = S.soql_watermark_predicates(
+        WatermarkInterval(
+            "SystemModstamp",
+            datetime(2024, 1, 2, 3, 4, 5),
+            datetime(2024, 2, 3, 4, 5, 6),
+        ),
+        WatermarkType.TIMESTAMP,
+    )
+    q = S.soql_extract("Account", ["Id", "Name"], preds, limit=500)
+    assert q == (
+        "SELECT Id, Name FROM Account"
+        " WHERE (SystemModstamp > 2024-01-02T03:04:05.000Z)"
+        " AND (SystemModstamp <= 2024-02-03T04:05:06.000Z)"
+        " LIMIT 500"
+    )
+    with pytest.raises(ValueError, match="explicit field list"):
+        S.soql_extract("Account", [], preds)
+
+
+def test_soql_literals_are_unquoted_salesforce_formats():
+    """SalesforceExtractor.java:97-99 + :515-529: timestamp renders
+    yyyy-MM-dd'T'HH:mm:ss.000Z, date yyyy-MM-dd, hour HH — all bare
+    (quoting a SOQL datetime literal is a syntax error)."""
+    from datetime import date, datetime
+
+    from incubator_gobblin_spark.operators.watermark import WatermarkType
+    from incubator_gobblin_spark.sources import soql as S
+
+    ts = datetime(2023, 12, 31, 23, 59, 58)
+    assert S.soql_literal(ts, WatermarkType.TIMESTAMP) == "2023-12-31T23:59:58.000Z"
+    assert S.soql_literal(ts, WatermarkType.DATE) == "2023-12-31"
+    assert S.soql_literal(ts, WatermarkType.HOUR) == "23"
+    assert S.soql_literal(date(2023, 1, 2), WatermarkType.DATE) == "2023-01-02"
+    assert S.soql_literal(42, WatermarkType.SIMPLE) == "42"
+    assert "'" not in S.soql_literal(ts, WatermarkType.TIMESTAMP)
+
+
+def test_soql_high_watermark_query_shape():
+    """getHighWatermarkMetadata:237-271: existing WHERE carried, run
+    predicates added, != null guard, ORDER BY wm desc LIMIT 1 — and an
+    existing trailing LIMIT is stripped before the splice."""
+    from incubator_gobblin_spark.sources import soql as S
+    from incubator_gobblin_spark.sources.jdbc import Predicate
+
+    q = S.soql_high_watermark(
+        "Opportunity",
+        "SystemModstamp",
+        [Predicate("SystemModstamp", ">", "2024-01-01T00:00:00.000Z")],
+        existing_where="WHERE StageName = 'Closed Won' LIMIT 10",
+    )
+    assert q == (
+        "SELECT SystemModstamp FROM Opportunity"
+        " WHERE StageName = 'Closed Won'"
+        " AND (SystemModstamp > 2024-01-01T00:00:00.000Z)"
+        " AND (SystemModstamp != null)"
+        " ORDER BY SystemModstamp desc LIMIT 1"
+    )
+
+
+def test_soql_count_uses_bare_count_and_reappends_limit():
+    """getCountMetadata:317-350: COUNT() (SOQL's form, not COUNT(*)),
+    predicates spliced, the user query's LIMIT re-appended verbatim."""
+    from incubator_gobblin_spark.sources import soql as S
+    from incubator_gobblin_spark.sources.jdbc import Predicate
+
+    q = S.soql_count(
+        "Account",
+        [Predicate("Id", ">", "001000000000000")],
+        existing_where="WHERE Industry = 'Tech'",
+        limit=" LIMIT 1000",
+    )
+    assert q == (
+        "SELECT COUNT() FROM Account WHERE Industry = 'Tech'"
+        " AND (Id > 001000000000000) LIMIT 1000"
+    )
+    assert "COUNT(*)" not in q
+
+
+def test_soql_soft_delete_and_url_encoding():
+    """The :404 dynamic-API branch adds IsDeleted = true; getSoqlUrl:470
+    targets /queryAll/ (soft deletes visible) with the query
+    URL-encoded."""
+    from incubator_gobblin_spark.sources import soql as S
+
+    q = S.soql_extract(
+        "Contact", ["Id"], [], include_soft_deleted_only=True
+    )
+    assert q == "SELECT Id FROM Contact WHERE (IsDeleted = true)"
+    url = S.soql_url("SELECT Id FROM A WHERE X > 1", api_version="42.0")
+    assert url.startswith("/services/data/v42.0/queryAll/?q=")
+    assert "SELECT%20Id%20FROM%20A%20WHERE%20X%20%3E%201" in url
+
+
+def test_soql_split_trailing_limit():
+    """getLimitFromInputQuery:413: only a TRAILING limit is split;
+    column names containing 'limit' are untouched."""
+    from incubator_gobblin_spark.sources import soql as S
+
+    assert S.split_trailing_limit("SELECT a FROM t LIMIT 50") == (
+        "SELECT a FROM t",
+        "LIMIT 50",
+    )
+    assert S.split_trailing_limit("SELECT a FROM t limit 7") == (
+        "SELECT a FROM t",
+        "limit 7",
+    )
+    q = "SELECT rate_limit FROM t"
+    assert S.split_trailing_limit(q) == (q, "")
+
+
+def test_soql_parse_batch_result_ids():
+    """parseBatchIdResultIdString:564: the batchId:resultId,... wire
+    format, order preserved, malformed pairs rejected."""
+    from incubator_gobblin_spark.sources import soql as S
+
+    files = S.parse_batch_result_ids("750x0", "b1:r1, b2:r2,b3:r3")
+    assert [(f.job_id, f.batch_id, f.result_id) for f in files] == [
+        ("750x0", "b1", "r1"),
+        ("750x0", "b2", "r2"),
+        ("750x0", "b3", "r3"),
+    ]
+    with pytest.raises(ValueError, match="malformed"):
+        S.parse_batch_result_ids("750x0", "b1r1")
+
+
+def test_soql_bulk_result_chaining_reads_all_files(spark):
+    """read_bulk_results: every (batch, result) file lands exactly once,
+    as one Spark task each (the ResultChainingIterator walk made
+    parallel), surviving one transient fetch failure."""
+    import glob
+    import json as _json
+    import os
+    import tempfile
+
+    from incubator_gobblin_spark.sources import soql as S
+
+    for m in glob.glob(os.path.join(tempfile.gettempdir(), "soql-fail-*")):
+        os.remove(m)
+    results = {
+        ("b1", "r1"): [_json.dumps({"Id": i}) for i in range(5)],
+        ("b2", "r2"): [_json.dumps({"Id": i}) for i in range(5, 8)],
+        ("b3", "r3"): [],  # an empty result file is legal
+    }
+    files = S.parse_batch_result_ids("750x0", "b1:r1,b2:r2,b3:r3")
+    ep = S.FileBackedBulkEndpoint(results, fail_once_on=("b2", "r2"))
+    df = S.read_bulk_results(spark, ep, files, "Id long")
+    assert sorted(r["Id"] for r in df.collect()) == list(range(8))
+
+    empty = S.read_bulk_results(spark, ep, [], "Id long")
+    assert empty.count() == 0 and empty.columns == ["Id"]
