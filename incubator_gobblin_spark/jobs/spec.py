@@ -497,10 +497,23 @@ def compile_job(
 
 def run_job(
     spark: SparkSession, spec: str | dict[str, str]
-) -> RunResult:
+) -> RunResult | None:
     """Run a job from a ``.pull`` file path or a pre-parsed properties
-    dict — the EmbeddedGobblin one-shot entry point."""
+    dict — the EmbeddedGobblin one-shot entry point.
+
+    ``job.schedule`` / ``job.runonce`` / ``job.disabled`` are honored
+    with the JobScheduler contract (JobScheduler.java:360-407, :518):
+    a disabled job is skipped (returns None, the reference's log-and-
+    return at :366-370); a scheduled job executes exactly ONE trigger
+    occurrence — the recurring loop is delegated to the deployment's
+    orchestrator, which computes trigger times from the same spec via
+    :func:`incubator_gobblin_spark.jobs.schedule.compile_schedule`
+    (``.cron.next_fire_time``)."""
+    from incubator_gobblin_spark.jobs.schedule import compile_schedule
+
     props = load_job_file(spec) if isinstance(spec, str) else spec
+    if compile_schedule(props).disabled:
+        return None
     return compile_job(spark, props).run()
 
 

@@ -902,3 +902,111 @@ def test_curation_semantic_format_independent_of_corpus_format(
     )
     got = {r["doc_id"] for r in res.select("doc_id").collect()}
     assert got == base_ids - {leak}
+
+
+# ---------------------------------------------------------------------------
+# job.schedule vocabulary (JobScheduler.java:41, :360-407, :518)
+# ---------------------------------------------------------------------------
+
+
+def test_job_schedule_quartz_parse_and_next_fire_time():
+    """The reference's shipped example ``job.schedule=0 0/2 * * * ?``
+    (every 2 minutes) parses, and next_fire_time matches Quartz's
+    trigger arithmetic."""
+    from datetime import datetime
+
+    from incubator_gobblin_spark.jobs.schedule import parse_quartz_cron
+
+    cron = parse_quartz_cron("0 0/2 * * * ?")
+    assert cron.next_fire_time(
+        datetime(2024, 3, 1, 10, 1, 30)
+    ) == datetime(2024, 3, 1, 10, 2, 0)
+    # strictly after: a fire time AT 'after' rolls to the next slot
+    assert cron.next_fire_time(
+        datetime(2024, 3, 1, 10, 2, 0)
+    ) == datetime(2024, 3, 1, 10, 4, 0)
+    # hour rollover
+    assert cron.next_fire_time(
+        datetime(2024, 3, 1, 23, 59, 0)
+    ) == datetime(2024, 3, 2, 0, 0, 0)
+
+
+def test_job_schedule_quartz_field_semantics():
+    """Quartz specifics: seconds field, SUN=1 day-of-week numbering,
+    names, ranges, day-of-month vs day-of-week restriction."""
+    from datetime import datetime
+
+    from incubator_gobblin_spark.jobs.schedule import parse_quartz_cron
+
+    # 06:30:15 every MON (Quartz MON=2)
+    cron = parse_quartz_cron("15 30 6 ? * MON")
+    nxt = cron.next_fire_time(datetime(2024, 3, 1, 0, 0, 0))  # a Friday
+    assert nxt == datetime(2024, 3, 4, 6, 30, 15)  # next Monday
+    assert nxt.weekday() == 0
+
+    # first day of JAN and JUL, midnight
+    cron = parse_quartz_cron("0 0 0 1 JAN,JUL ?")
+    assert cron.next_fire_time(
+        datetime(2024, 2, 1, 0, 0, 0)
+    ) == datetime(2024, 7, 1, 0, 0, 0)
+
+    # numeric dow: 1 = SUN
+    cron = parse_quartz_cron("0 0 12 ? * 1")
+    assert cron.next_fire_time(datetime(2024, 3, 1, 0, 0, 0)).weekday() == 6
+
+
+def test_job_schedule_rejects_unsupported_forms():
+    import pytest as _pytest
+
+    from incubator_gobblin_spark.jobs.schedule import parse_quartz_cron
+
+    with _pytest.raises(ValueError, match="6/7-field"):
+        parse_quartz_cron("*/5 * * * *")  # POSIX 5-field
+    with _pytest.raises(ValueError, match="L/W/#"):
+        parse_quartz_cron("0 0 0 L * ?")
+    with _pytest.raises(ValueError, match="year field"):
+        parse_quartz_cron("0 0 0 1 1 ? 2024")
+
+
+def test_job_schedule_compile_contract():
+    """compile_schedule: no job.schedule -> one-time (the :518
+    runonce defaulting); job.disabled honored; the cron is exposed for
+    the delegated orchestrator."""
+    from incubator_gobblin_spark.jobs.schedule import compile_schedule
+
+    s = compile_schedule({"job.name": "j"})
+    assert s.cron is None and s.run_once and not s.disabled
+
+    s = compile_schedule({"job.schedule": "0 0 4 * * ?"})
+    assert s.cron is not None and not s.run_once
+    assert 4 in s.cron.hours
+
+    s = compile_schedule({"job.schedule": "0 0 4 * * ?", "job.disabled": "true"})
+    assert s.disabled
+
+
+def test_job_spec_with_schedule_key_compiles_and_disabled_skips(spark, tmp_path):
+    """A .pull spec carrying job.schedule compiles and runs one trigger
+    occurrence; the same spec with job.disabled=true is skipped
+    (returns None, writes nothing)."""
+    import os
+
+    from incubator_gobblin_spark.jobs import spec as SP
+
+    src = str(tmp_path / "src")
+    spark.range(5).selectExpr("id", "id * 2 AS v").coalesce(1).write.json(src)
+    props = {
+        "job.name": "scheduled-json-copy",
+        "job.schedule": "0 0 4 * * ?",
+        "source.class": "SimpleJsonSource",
+        "source.filebased.data.directory": src,
+        "writer.output.format": "parquet",
+        "data.publisher.final.dir": str(tmp_path / "out"),
+    }
+    out = SP.run_job(spark, props)
+    assert out is not None and out.rows_written == 5
+
+    props2 = dict(props, **{"job.disabled": "true",
+                            "data.publisher.final.dir": str(tmp_path / "out2")})
+    assert SP.run_job(spark, props2) is None
+    assert not os.path.exists(str(tmp_path / "out2"))
