@@ -1027,17 +1027,22 @@ class FileSink:
                     fcntl.flock(lock_fh, fcntl.LOCK_UN)
         return root
 
-    def export_iceberg(self, as_of_run: str | None = None) -> str:
+    def export_iceberg(
+        self, as_of_run: str | None = None, mode: str = "auto"
+    ) -> str:
         """Export the committed snapshot as Apache Iceberg table
         metadata (``metadata/`` with vN.metadata.json + Avro manifest
         list/manifests) — the GobblinMCEWriter analogue
-        (gobblin-iceberg ``.../writer/GobblinMCEWriter.java:81``). See
+        (gobblin-iceberg ``.../writer/GobblinMCEWriter.java:81``).
+        ``mode="auto"`` appends incrementally after the first export;
+        ``mode="full"`` forces a self-contained snapshot (metadata
+        compaction). See
         :mod:`incubator_gobblin_spark.sinks.iceberg_export`."""
         from incubator_gobblin_spark.sinks.iceberg_export import (
             export_iceberg,
         )
 
-        return export_iceberg(self, as_of_run)
+        return export_iceberg(self, as_of_run, mode=mode)
 
     def export_delta_log(
         self,

@@ -29,11 +29,15 @@ writes nothing (detected via a state fingerprint in the snapshot
 summary); metadata versions are published put-if-absent (``os.link``)
 so concurrent exporters — legal, because the lake's commit CAS allows
 concurrent committers — serialize by losing the race and re-reading.
-Every snapshot is self-contained: one fresh manifest listing ALL live
-files as ADDED (operation "overwrite"), which is spec-valid and keeps
-the export a pure, stateless projection of the manifest — at the cost
-of rewriting one metadata Avro per export (driver-side metadata,
-O(files), no data read or Spark job).
+The FIRST snapshot is self-contained (one manifest, all live files
+ADDED, operation "overwrite"); subsequent exports append INCREMENTALLY
+(the Delta exporter's diff economics): previous manifests carry by
+reference in the new manifest list, one new manifest holds only the
+added files, and manifests containing removed files are rewritten with
+those entries DELETED (survivors EXISTING, lineage kept). Per-export
+cost is O(added + entries of touched manifests) driver-side metadata —
+no data read, no Spark job; ``mode="full"`` forces a self-contained
+snapshot to compact the manifest chain.
 
 Offline caveat (stated for honesty): no Iceberg engine exists in this
 environment, so conformance is pinned structurally — replay-equals-
@@ -287,9 +291,55 @@ def _typed_partition_value(v, iceberg_type: str):
     return int(v) if iceberg_type == "long" else str(v)
 
 
-def export_iceberg(sink, as_of_run: str | None = None) -> str:
+def _decode_manifest_list(snap: dict, location: str) -> list[dict]:
+    """Previous snapshot's manifest-list rows (local paths resolved)."""
+    from incubator_gobblin_spark.sources.iceberg_import import (
+        _decode_avro_rows,
+        _local_path,
+    )
+
+    mlist = _local_path(snap["manifest-list"])
+    if not os.path.isabs(mlist):
+        mlist = os.path.join(location, mlist)
+    return _decode_avro_rows(mlist)
+
+
+def _decode_manifest(row: dict, location: str) -> list[dict]:
+    from incubator_gobblin_spark.sources.iceberg_import import (
+        _decode_avro_rows,
+        _local_path,
+    )
+
+    mpath = _local_path(row["manifest_path"])
+    if not os.path.isabs(mpath):
+        mpath = os.path.join(location, mpath)
+    return _decode_avro_rows(mpath)
+
+
+def export_iceberg(sink, as_of_run: str | None = None, mode: str = "auto") -> str:
     """Append one Iceberg snapshot reflecting ``sink``'s committed
-    manifest (see module docstring). Returns the ``metadata/`` dir."""
+    manifest (see module docstring). Returns the ``metadata/`` dir.
+
+    ``mode`` controls the snapshot's manifest shape:
+
+    - ``"auto"`` (default): the first export writes a full snapshot
+      (one manifest, all live files ADDED); subsequent exports are
+      INCREMENTAL — previous manifests are carried by reference in the
+      new manifest list, a new manifest holds only files added since
+      the last export, and manifests containing removed files are
+      rewritten with those entries marked DELETED (survivors EXISTING,
+      original sequence numbers kept). Export cost per call is
+      O(added + entries of touched manifests), the append-economics the
+      Delta exporter's version diff already has, and snapshot N's
+      manifest list grows one manifest per append instead of
+      re-adding the world.
+    - ``"full"``: force a self-contained snapshot (all live files
+      re-added in one fresh manifest) — metadata compaction: the next
+      incremental chain restarts from it. Also the automatic fallback
+      when the current partition-type inference disagrees with the
+      previous export's schema (mixed partition types across carried
+      manifests would make typed restore ambiguous).
+    """
     from urllib.parse import unquote
 
     from incubator_gobblin_spark.formats.avro_ocf import encode_ocf
@@ -390,7 +440,14 @@ def export_iceberg(sink, as_of_run: str | None = None) -> str:
         if snapshots and snapshots[-1]["summary"].get(
             "engine.state-fingerprint"
         ) == fingerprint:
-            return meta_dir  # snapshot unchanged: no empty commit
+            # snapshot unchanged: no empty commit — but an explicit
+            # mode="full" is a compaction request, honored unless the
+            # chain is already one self-contained manifest
+            if mode != "full" or (
+                len(_decode_manifest_list(snapshots[-1], location)) == 1
+                and snapshots[-1]["summary"].get("operation") == "overwrite"
+            ):
+                return meta_dir
 
         version = (versions[-1] if versions else 0) + 1
         sid = len(snapshots) + 1  # deterministic, monotonic snapshot id
@@ -400,74 +457,186 @@ def export_iceberg(sink, as_of_run: str | None = None) -> str:
             uuid.uuid5(uuid.NAMESPACE_URL, f"{location}#{sid}#{fingerprint}")
         )
 
-        # --- manifest file (all live files ADDED in this snapshot) ---
+        # --- manifests (full: one manifest, all live files ADDED;
+        # incremental: carry prev manifests, add/rewrite the diff) ---
         part_struct = _partition_struct_avro(part_cols, part_types)
         entry_schema = _manifest_entry_avro(part_struct)
-        manifest_rows = [
-            {
-                "status": 1,  # ADDED
-                "snapshot_id": sid,
-                "sequence_number": seq,
-                "file_sequence_number": seq,
-                "data_file": {
-                    "content": 0,  # DATA
-                    # file:// URI per the Iceberg spec (foreign engines
-                    # resolve URIs, not bare POSIX paths)
-                    "file_path": "file://" + f["path"],
-                    "file_format": "PARQUET",
-                    "partition": {
-                        c: _typed_partition_value(
-                            f["partition"].get(c), part_types[c]
-                        )
-                        for c in part_cols
-                    },
-                    "record_count": f["rows"],
-                    "file_size_in_bytes": f["size"],
-                },
+        manifest_meta = {
+            "schema": json.dumps(schema).encode(),
+            "partition-spec": json.dumps(spec["fields"]).encode(),
+            "partition-spec-id": b"0",
+            "format-version": b"2",
+            "content": b"data",
+        }
+        incremental = mode != "full" and prev is not None and bool(snapshots)
+        if incremental:
+            # partition-type gate: inference drift (long <-> string)
+            # across carried manifests would make typed restore
+            # ambiguous — fall back to a full self-contained snapshot
+            prev_schema = next(
+                (
+                    s
+                    for s in prev.get("schemas", [])
+                    if s["schema-id"] == prev.get("current-schema-id", 0)
+                ),
+                None,
+            )
+            prev_types = {
+                f["name"]: f["type"]
+                for f in (prev_schema or {}).get("fields", [])
             }
-            for f in files
-        ]
-        manifest_name = f"{commit_uuid}-m0.avro"
-        manifest_path = os.path.join(meta_dir, manifest_name)
-        manifest_bytes = encode_ocf(
-            entry_schema,
-            manifest_rows,
-            codec="null",
-            extra_meta={
-                "schema": json.dumps(schema).encode(),
-                "partition-spec": json.dumps(spec["fields"]).encode(),
-                "partition-spec-id": b"0",
-                "format-version": b"2",
-                "content": b"data",
-            },
-        )
-        tmp = f"{manifest_path}.tmp-{os.getpid()}-{attempt}"
-        with open(tmp, "wb") as fh:
-            fh.write(manifest_bytes)
-        os.replace(tmp, manifest_path)
+            if any(prev_types.get(c) != part_types[c] for c in part_cols):
+                incremental = False
+
+        m_idx = 0
+        written_files: list[str] = []  # this attempt's Avro publishes
+
+        def _write_manifest(rows: list[dict]) -> tuple[str, int]:
+            nonlocal m_idx
+            path = os.path.join(meta_dir, f"{commit_uuid}-m{m_idx}.avro")
+            m_idx += 1
+            data = encode_ocf(
+                entry_schema, rows, codec="null", extra_meta=manifest_meta
+            )
+            tmpp = f"{path}.tmp-{os.getpid()}-{attempt}"
+            with open(tmpp, "wb") as fh:
+                fh.write(data)
+            os.replace(tmpp, path)
+            written_files.append(path)
+            return path, len(data)
+
+        def _data_file(f: dict) -> dict:
+            return {
+                "content": 0,  # DATA
+                # file:// URI per the Iceberg spec (foreign engines
+                # resolve URIs, not bare POSIX paths)
+                "file_path": "file://" + f["path"],
+                "file_format": "PARQUET",
+                "partition": {
+                    c: _typed_partition_value(
+                        f["partition"].get(c), part_types[c]
+                    )
+                    for c in part_cols
+                },
+                "record_count": f["rows"],
+                "file_size_in_bytes": f["size"],
+            }
+
+        list_rows: list[dict] = []
+        removed_count = 0
+        added = files
+        if incremental:
+            from incubator_gobblin_spark.sources.iceberg_import import (
+                _local_path,
+            )
+
+            cur_by_path = {f["path"] for f in files}
+            seen_prev: set[str] = set()
+            for row in _decode_manifest_list(snapshots[-1], location):
+                if row.get("content", 0) != 0:
+                    continue
+                live = [
+                    e
+                    for e in _decode_manifest(row, location)
+                    if e["status"] != 2
+                ]
+                if not live:
+                    continue  # fully-deleted manifest: drop from the chain
+                by_path = [
+                    (_local_path(e["data_file"]["file_path"]), e)
+                    for e in live
+                ]
+                seen_prev.update(p for p, _ in by_path)
+                gone = [e for p, e in by_path if p not in cur_by_path]
+                if not gone:
+                    list_rows.append(dict(row))  # carry by reference
+                    continue
+                # rewrite: survivors EXISTING (original lineage kept),
+                # removed DELETED by THIS snapshot
+                removed_count += len(gone)
+                survivors = [e for p, e in by_path if p in cur_by_path]
+                rewritten = [
+                    {
+                        "status": 0,  # EXISTING
+                        "snapshot_id": e.get("snapshot_id"),
+                        "sequence_number": e.get("sequence_number"),
+                        "file_sequence_number": e.get("file_sequence_number"),
+                        "data_file": e["data_file"],
+                    }
+                    for e in survivors
+                ] + [
+                    {
+                        "status": 2,  # DELETED
+                        "snapshot_id": sid,
+                        "sequence_number": e.get("sequence_number"),
+                        "file_sequence_number": e.get("file_sequence_number"),
+                        "data_file": e["data_file"],
+                    }
+                    for e in gone
+                ]
+                mp, mlen = _write_manifest(rewritten)
+                list_rows.append(
+                    {
+                        "manifest_path": "file://" + mp,
+                        "manifest_length": mlen,
+                        "partition_spec_id": 0,
+                        "content": 0,
+                        "sequence_number": seq,
+                        "min_sequence_number": row.get(
+                            "min_sequence_number", 0
+                        ),
+                        "added_snapshot_id": sid,
+                        "added_files_count": 0,
+                        "existing_files_count": len(survivors),
+                        "deleted_files_count": len(gone),
+                        "added_rows_count": 0,
+                        "existing_rows_count": sum(
+                            e["data_file"]["record_count"] for e in survivors
+                        ),
+                        "deleted_rows_count": sum(
+                            e["data_file"]["record_count"] for e in gone
+                        ),
+                    }
+                )
+            added = [f for f in files if f["path"] not in seen_prev]
+
+        if added or not list_rows:
+            mp, mlen = _write_manifest(
+                [
+                    {
+                        "status": 1,  # ADDED
+                        "snapshot_id": sid,
+                        "sequence_number": seq,
+                        "file_sequence_number": seq,
+                        "data_file": _data_file(f),
+                    }
+                    for f in added
+                ]
+            )
+            list_rows.append(
+                {
+                    "manifest_path": "file://" + mp,
+                    "manifest_length": mlen,
+                    "partition_spec_id": 0,
+                    "content": 0,
+                    "sequence_number": seq,
+                    "min_sequence_number": seq,
+                    "added_snapshot_id": sid,
+                    "added_files_count": len(added),
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                    "added_rows_count": sum(f["rows"] for f in added),
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                }
+            )
 
         # --- manifest list ---
         snap_name = f"snap-{sid}-1-{commit_uuid}.avro"
         snap_path = os.path.join(meta_dir, snap_name)
         list_bytes = encode_ocf(
             _MANIFEST_LIST_AVRO,
-            [
-                {
-                    "manifest_path": "file://" + manifest_path,
-                    "manifest_length": len(manifest_bytes),
-                    "partition_spec_id": 0,
-                    "content": 0,
-                    "sequence_number": seq,
-                    "min_sequence_number": seq,
-                    "added_snapshot_id": sid,
-                    "added_files_count": len(files),
-                    "existing_files_count": 0,
-                    "deleted_files_count": 0,
-                    "added_rows_count": sum(f["rows"] for f in files),
-                    "existing_rows_count": 0,
-                    "deleted_rows_count": 0,
-                }
-            ],
+            list_rows,
             codec="null",
             extra_meta={"format-version": b"2"},
         )
@@ -475,14 +644,23 @@ def export_iceberg(sink, as_of_run: str | None = None) -> str:
         with open(tmp, "wb") as fh:
             fh.write(list_bytes)
         os.replace(tmp, snap_path)
+        written_files.append(snap_path)
 
         # --- table metadata ---
+        if not incremental:
+            op = "overwrite"  # self-contained re-add of the world
+        elif removed_count == 0:
+            op = "append"
+        elif not added:
+            op = "delete"
+        else:
+            op = "overwrite"
         snapshot = {
             "snapshot-id": sid,
             "sequence-number": seq,
             "timestamp-ms": ts,
             "summary": {
-                "operation": "overwrite",
+                "operation": op,
                 "engine.state-fingerprint": fingerprint,
             },
             "manifest-list": "file://" + snap_path,
@@ -538,7 +716,7 @@ def export_iceberg(sink, as_of_run: str | None = None) -> str:
             except (OSError, ValueError, KeyError):
                 referenced = {snap_name}  # unreadable: keep, never break
             if snap_name not in referenced:
-                for orphan in (manifest_path, snap_path):
+                for orphan in written_files:
                     try:
                         os.remove(orphan)
                     except OSError:

@@ -590,3 +590,103 @@ def test_iceberg_same_state_race_keeps_winner_files(
     assert os.path.exists(ml)  # winner's files intact
     got = read_iceberg(spark, root)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, df.collect()))
+
+
+def _snap_manifest_rows(meta, location):
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        _decode_manifest_list,
+    )
+
+    return _decode_manifest_list(meta["snapshots"][-1], location)
+
+
+def test_iceberg_incremental_append_carries_manifests(spark, sf_dir, tmp_path):
+    """Multi-commit export history: snapshot N's manifest list carries
+    N manifests (prev by reference + one new with only the added
+    files), operations are append, and every snapshot round-trips."""
+    df = load_table(spark, sf_dir, "region")
+    root = str(tmp_path / "inc")
+    sink = _sink(root, table_type=TableType.APPEND_ONLY)
+    prev_manifest_paths = []
+    for i in range(3):
+        sink.write_staging(df.filter(F.col("r_regionkey") % 3 == i), f"r{i}")
+        sink.publish(f"r{i}")
+        sink.export_iceberg()
+        meta = current_metadata(root)
+        rows = _snap_manifest_rows(meta, root)
+        assert len(rows) == i + 1  # one manifest appended per export
+        if i > 0:
+            assert meta["snapshots"][-1]["summary"]["operation"] == "append"
+            # previous manifests carried BY REFERENCE (same paths)
+            assert [r["manifest_path"] for r in rows[:-1]] == prev_manifest_paths
+            # the new manifest holds ONLY the delta
+            new = rows[-1]
+            assert new["added_files_count"] > 0
+            assert new["existing_files_count"] == 0
+        prev_manifest_paths = [r["manifest_path"] for r in rows]
+        got = read_iceberg(spark, root)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, sink.read_committed(spark).collect())
+        )
+
+
+def test_iceberg_incremental_delete_rewrites_touched_manifest(
+    spark, sf_dir, tmp_path
+):
+    """Removing files rewrites ONLY the manifests that contained them
+    (removed entries DELETED, survivors EXISTING with original
+    lineage); untouched manifests still carry by reference; the reader
+    sees exactly the committed survivors."""
+    df = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    root = str(tmp_path / "incdel")
+    # snapshot-replace + partitioned so the purge removes a subset
+    sink = _sink(
+        root, partition_by=["n_regionkey"],
+        table_type=TableType.SNAPSHOT_ONLY,
+    )
+    sink.write_staging(df, "r1")
+    sink.publish("r1")
+    sink.export_iceberg()
+    # second commit replaces the table WITHOUT region 0 (a purge)
+    survivors = df.filter(F.col("n_regionkey") != 0)
+    sink.write_staging(survivors, "r2")
+    sink.publish("r2")
+    sink.export_iceberg()
+
+    meta = current_metadata(root)
+    snap = meta["snapshots"][-1]
+    assert snap["summary"]["operation"] in ("delete", "overwrite")
+    rows = _snap_manifest_rows(meta, root)
+    deleted = sum(r["deleted_files_count"] for r in rows)
+    assert deleted > 0
+    got = read_iceberg(spark, root)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, survivors.collect())
+    )
+    # time travel: the FIRST snapshot still reads the full table
+    first = meta["snapshots"][0]["snapshot-id"]
+    old = read_iceberg(spark, root, snapshot_id=first)
+    assert old.count() == df.count()
+
+
+def test_iceberg_full_mode_compacts_manifest_chain(spark, sf_dir, tmp_path):
+    """mode='full' restarts the chain: one self-contained manifest, all
+    live files re-added, and the next incremental builds on it."""
+    df = load_table(spark, sf_dir, "region")
+    root = str(tmp_path / "compact")
+    sink = _sink(root, table_type=TableType.APPEND_ONLY)
+    for i in range(2):
+        sink.write_staging(df.filter(F.col("r_regionkey") % 2 == i), f"r{i}")
+        sink.publish(f"r{i}")
+        sink.export_iceberg()
+    meta = current_metadata(root)
+    assert len(_snap_manifest_rows(meta, root)) == 2
+    sink.export_iceberg(mode="full")
+    meta = current_metadata(root)
+    rows = _snap_manifest_rows(meta, root)
+    assert len(rows) == 1  # compacted
+    assert meta["snapshots"][-1]["summary"]["operation"] == "overwrite"
+    got = read_iceberg(spark, root)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, df.collect()))
