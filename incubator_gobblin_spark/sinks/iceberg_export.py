@@ -530,7 +530,18 @@ def export_iceberg(sink, as_of_run: str | None = None, mode: str = "auto") -> st
                 _local_path,
             )
 
-            cur_by_path = {f["path"] for f in files}
+            cur_by_path = {f["path"]: f for f in files}
+
+            def _unchanged(p: str, e: dict) -> bool:
+                # same path AND same size: a path rewritten in place
+                # (not a lake operation, but cheap to defend) must not
+                # carry stale record counts — treat as remove + add
+                f = cur_by_path.get(p)
+                return (
+                    f is not None
+                    and f["size"] == e["data_file"]["file_size_in_bytes"]
+                )
+
             seen_prev: set[str] = set()
             for row in _decode_manifest_list(snapshots[-1], location):
                 if row.get("content", 0) != 0:
@@ -546,15 +557,15 @@ def export_iceberg(sink, as_of_run: str | None = None, mode: str = "auto") -> st
                     (_local_path(e["data_file"]["file_path"]), e)
                     for e in live
                 ]
-                seen_prev.update(p for p, _ in by_path)
-                gone = [e for p, e in by_path if p not in cur_by_path]
+                seen_prev.update(p for p, e in by_path if _unchanged(p, e))
+                gone = [e for p, e in by_path if not _unchanged(p, e)]
                 if not gone:
                     list_rows.append(dict(row))  # carry by reference
                     continue
                 # rewrite: survivors EXISTING (original lineage kept),
                 # removed DELETED by THIS snapshot
                 removed_count += len(gone)
-                survivors = [e for p, e in by_path if p in cur_by_path]
+                survivors = [e for p, e in by_path if _unchanged(p, e)]
                 rewritten = [
                     {
                         "status": 0,  # EXISTING

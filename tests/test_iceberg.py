@@ -690,3 +690,48 @@ def test_iceberg_full_mode_compacts_manifest_chain(spark, sf_dir, tmp_path):
     assert meta["snapshots"][-1]["summary"]["operation"] == "overwrite"
     got = read_iceberg(spark, root)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_iceberg_incremental_in_place_rewrite_not_carried_stale(
+    spark, sf_dir, tmp_path
+):
+    """A data file rewritten IN PLACE (same path, different size — not
+    a lake operation, but defended) must be re-added with fresh
+    metadata, never carried with stale sizes."""
+    import pyarrow.parquet as pq
+
+    df = load_table(spark, sf_dir, "region")
+    root = str(tmp_path / "inplace")
+    sink = _sink(root, table_type=TableType.APPEND_ONLY)
+    sink.write_staging(df, "r1")
+    sink.publish("r1")
+    sink.export_iceberg()
+
+    # out-of-band in-place rewrite of one committed file: the size
+    # changes, the path does not
+    target = os.path.join(root, sink.current_manifest()["entries"][0]["file"])
+    tbl = pq.read_table(target)
+    pq.write_table(tbl.slice(0, max(1, tbl.num_rows - 1)), target)
+    new_size = os.path.getsize(target)
+
+    sink.export_iceberg()  # fingerprint differs (size) -> new snapshot
+    meta = current_metadata(root)
+    assert meta["snapshots"][-1]["summary"]["operation"] == "overwrite"
+
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        _decode_manifest,
+        _decode_manifest_list,
+    )
+
+    sizes = {}
+    for row in _decode_manifest_list(meta["snapshots"][-1], root):
+        for e in _decode_manifest(row, root):
+            if e["status"] == 2:
+                continue
+            sizes[_local_path(e["data_file"]["file_path"])] = e[
+                "data_file"
+            ]["file_size_in_bytes"]
+    assert sizes[target] == new_size
+    # every live entry's size is on-disk truth, none stale
+    for p_, sz in sizes.items():
+        assert os.path.getsize(p_) == sz
