@@ -1725,8 +1725,9 @@ def bpe_segment(
     if len(merges) > max_plan_merges:
         raise ValueError(
             f"bpe_segment: {len(merges)} merges exceeds the literal-plan "
-            f"bound ({max_plan_merges}); apply large vocabularies with an "
-            "Arrow-batched tokenizer UDF instead of a per-merge Column fold"
+            f"bound ({max_plan_merges}); apply large vocabularies with "
+            "bpe_segment_arrow (the Arrow-batched merge-rank tokenizer) "
+            "instead of a per-merge Column fold"
         )
     word_syms = F.expr(
         "transform(filter(split(" + text_col + ", '\\\\s+'), w -> w != ''), "
@@ -1736,3 +1737,85 @@ def bpe_segment(
     for left, right in merges:
         col = F.transform(col, lambda syms: _merge_symbols(syms, left, right))
     return df.withColumn(out_col, F.flatten(col))
+
+
+def bpe_segment_arrow(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """:func:`bpe_segment` for production vocabularies (30k+ merges),
+    where a per-merge Column fold would compile a Catalyst expression
+    thousands of nodes deep.
+
+    Same contract, different engine: an Arrow-batched pandas UDF
+    carrying the merge list by value, applying merges with the standard
+    rank-priority algorithm — repeatedly fuse the LOWEST-RANK adjacent
+    pair present in the word (ties broken leftmost), exactly the
+    sequence the ordered fold produces, in O(word_len * merges_applied)
+    per word with an O(1) rank lookup instead of O(len(merges)) passes.
+    Words are memoized per batch (Zipf makes the hit rate high), the
+    stage is a pure projection (ZERO shuffle, embarrassingly parallel),
+    and ``tests/test_corpus.py`` pins token-level equality with the
+    literal-plan fold on the same merge lists.
+
+    Rank-priority == ordered-fold proof sketch: the fold applies merge
+    r0 everywhere, then r1 everywhere it still matches, etc.; picking
+    the lowest-rank pair present first never creates an opportunity for
+    a LOWER rank to match where it could not before (a fused symbol
+    only participates in higher-rank merges — ranks are learned in
+    creation order), so both walks fuse the same sites. This is the
+    published BPE inference algorithm (Sennrich et al. 2016; the
+    pair-priority-queue variant in huggingface/tokenizers)."""
+    rank = {pair: i for i, pair in enumerate(merges)}
+
+    @F.pandas_udf("array<string>")
+    def segment(texts):  # pd.Series[str] -> pd.Series[list[str]]
+        import pandas as pd
+
+        cache: dict[str, list[str]] = {}
+
+        def word_tokens(w: str) -> list[str]:
+            hit = cache.get(w)
+            if hit is not None:
+                return hit
+            syms = list(w)
+            while len(syms) > 1:
+                best = None
+                best_rank = None
+                for i in range(len(syms) - 1):
+                    r = rank.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best, best_rank = i, r
+                if best is None:
+                    break
+                l, r_ = merges[best_rank]
+                # fuse EVERY (l, r_) site left-to-right — one merge rule
+                # applies greedily across the word, like the fold
+                out: list[str] = []
+                j = 0
+                while j < len(syms):
+                    if (
+                        j + 1 < len(syms)
+                        and syms[j] == l
+                        and syms[j + 1] == r_
+                    ):
+                        out.append(l + r_)
+                        j += 2
+                    else:
+                        out.append(syms[j])
+                        j += 1
+                syms = out
+            cache[w] = syms
+            return syms
+
+        def doc_tokens(t: str) -> list[str]:
+            toks: list[str] = []
+            for w in (t or "").split():
+                toks.extend(word_tokens(w))
+            return toks
+
+        return pd.Series([doc_tokens(t) for t in texts])
+
+    return df.withColumn(out_col, segment(F.col(text_col)))

@@ -1082,3 +1082,50 @@ def test_unimax_null_group_matches_temperature_tolerance(spark):
     # temperature side accepts the same frame (non-divergence contract)
     tw = corpus.temperature_weights(df, "lang", alpha=0.5).collect()
     assert {r["lang"] for r in tw} == {None, "en"}
+
+
+def test_bpe_segment_arrow_equals_literal_fold(spark, sf_dir):
+    """The Arrow-batched tokenizer must produce token-for-token the
+    same segmentation as the literal-plan Column fold on the same
+    merge list — real corpus text plus the overlap edge cases."""
+    from incubator_gobblin_spark.functions import corpus as C
+    from incubator_gobblin_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    merges = C.bpe_train(docs, "text", 24)
+    fold = C.bpe_segment(docs, "text", merges).select("doc_id", "bpe_tokens")
+    arrow = C.bpe_segment_arrow(docs, "text", merges).select(
+        "doc_id", "bpe_tokens"
+    )
+    f = {r["doc_id"]: list(r["bpe_tokens"]) for r in fold.collect()}
+    a = {r["doc_id"]: list(r["bpe_tokens"]) for r in arrow.collect()}
+    assert f == a
+
+    edge = spark.createDataFrame(
+        [(0, "aaa aaaa low lower newest"), (1, ""), (2, "aa")],
+        "doc_id long, text string",
+    )
+    em = [("a", "a"), ("aa", "a"), ("l", "o"), ("lo", "w"), ("e", "s")]
+    f2 = {r["doc_id"]: list(r["bpe_tokens"])
+          for r in C.bpe_segment(edge, "text", em).collect()}
+    a2 = {r["doc_id"]: list(r["bpe_tokens"])
+          for r in C.bpe_segment_arrow(edge, "text", em).collect()}
+    assert f2 == a2
+    # "aaa": (a,a) greedy-left -> [aa,a], then (aa,a) -> [aaa];
+    # "aaaa": (a,a) -> [aa,aa], (aa,a) finds no adjacent (aa,a) pair
+    assert a2[0][:3] == ["aaa", "aa", "aa"]
+    assert a2[1] == []
+
+
+def test_bpe_segment_arrow_handles_large_vocab(spark):
+    """Past the literal-plan bound the fold refuses and the Arrow
+    tokenizer is the documented path — and it actually runs with a
+    600-merge vocabulary."""
+    from incubator_gobblin_spark.functions import corpus as C
+
+    df = spark.createDataFrame([(0, "ab ab xy")], "doc_id long, text string")
+    merges = [("a", "b")] + [(f"x{i}", f"y{i}") for i in range(599)]
+    with pytest.raises(ValueError, match="bpe_segment_arrow"):
+        C.bpe_segment(df, "text", merges)
+    out = C.bpe_segment_arrow(df, "text", merges).collect()[0]["bpe_tokens"]
+    assert list(out) == ["ab", "ab", "x", "y"]
