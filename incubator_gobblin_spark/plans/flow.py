@@ -89,3 +89,170 @@ def run_flow(nodes: Sequence[FlowNode]) -> FlowResult:
             errors[name] = e
             status[name] = NodeStatus.FAILED
     return FlowResult(status=status, results=results, errors=errors)
+
+
+# ---------------------------------------------------------------------------
+# Multi-hop path finding (the FlowGraph compiler's front half)
+# ---------------------------------------------------------------------------
+
+#: wildcard descriptor value (the reference's DatasetDescriptor "any")
+ANY = "any"
+
+
+def descriptor_contains(general: Mapping[str, str], specific: Mapping[str, str]) -> bool:
+    """``general`` accepts ``specific`` (DatasetDescriptor.contains
+    semantics): every non-wildcard property of ``general`` must be
+    matched exactly; properties absent from ``specific`` count as
+    wildcards and only match a wildcard."""
+    return all(
+        v == ANY or specific.get(k, ANY) == v for k, v in general.items()
+    )
+
+
+def _specialize_output(
+    current: Mapping[str, str], output: Mapping[str, str]
+) -> dict[str, str]:
+    """The edge's concrete output descriptor for THIS traversal
+    (AbstractPathFinder.makeOutputDescriptorSpecific): wildcard output
+    properties inherit the concrete value flowing in; declared
+    transformations override."""
+    out = dict(current)
+    out.update({k: v for k, v in output.items() if v != ANY})
+    return out
+
+
+@dataclass(frozen=True)
+class FlowEdge:
+    """One hop of the flow multigraph (flowgraph/FlowEdge.java): a job
+    template moving/transforming a dataset from ``src`` node to
+    ``dest`` node, accepting ``input_descriptor`` and emitting
+    ``output_descriptor`` (wildcards allowed in both). Multiple edges
+    may connect the same node pair."""
+
+    edge_id: str
+    src: str
+    dest: str
+    input_descriptor: Mapping[str, str]
+    output_descriptor: Mapping[str, str]
+    active: bool = True
+
+
+@dataclass(frozen=True, eq=False)
+class FlowEdgeContext:
+    """An edge visited WITH the descriptor state of that visitation —
+    the BFS visited-set key (BFSPathFinder class doc: a multigraph walk
+    must key on (edge, descriptors), not on vertices, to terminate).
+    Identity is (edge_id, descriptors) — edges themselves carry
+    unhashable descriptor mappings."""
+
+    edge: FlowEdge
+    input_descriptor: tuple[tuple[str, str], ...]
+    output_descriptor: tuple[tuple[str, str], ...]
+
+    def _key(self) -> tuple:
+        return (self.edge.edge_id, self.input_descriptor, self.output_descriptor)
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, FlowEdgeContext) and self._key() == other._key()
+        )
+
+    def __hash__(self) -> int:
+        return hash(self._key())
+
+
+def _freeze(d: Mapping[str, str]) -> tuple[tuple[str, str], ...]:
+    return tuple(sorted(d.items()))
+
+
+def find_path(
+    edges: Sequence[FlowEdge],
+    src: str,
+    dest: str,
+    src_descriptor: Mapping[str, str],
+    dest_descriptor: Mapping[str, str],
+    inactive_nodes: set[str] | None = None,
+) -> list[FlowEdgeContext] | None:
+    """Shortest multi-hop path from ``src`` to ``dest`` whose flowing
+    dataset descriptor ends compatible with ``dest_descriptor`` —
+    BFSPathFinder.findPathUnicast re-expressed:
+
+    - the graph is a MULTIGRAPH (parallel edges legal); the visited map
+      keys on (edge, descriptor) contexts, which guarantees termination
+      on cyclic graphs;
+    - at each expansion, edges whose output already satisfies the
+      destination descriptor go to the FRONT of the queue
+      (getNextEdges' prioritizedEdgeList) so transformations happen as
+      close to the source as possible;
+    - inactive nodes/edges are skipped; an inactive src or dest returns
+      None (no path), matching the reference's base condition 1;
+    - src == dest with a compatible descriptor returns [] (base
+      condition 2).
+
+    Returns the edge-context path, or None when unreachable."""
+    inactive = inactive_nodes or set()
+    if src in inactive or dest in inactive:
+        return None
+    if src == dest and descriptor_contains(dest_descriptor, src_descriptor):
+        return []
+    by_src: dict[str, list[FlowEdge]] = {}
+    for e in edges:
+        by_src.setdefault(e.src, []).append(e)
+
+    def next_edges(node: str, current: Mapping[str, str]) -> list[FlowEdgeContext]:
+        prioritized: list[FlowEdgeContext] = []
+        for e in by_src.get(node, []):
+            if not e.active or e.dest in inactive:
+                continue
+            if not descriptor_contains(e.input_descriptor, current):
+                continue
+            out = _specialize_output(current, e.output_descriptor)
+            ctx = FlowEdgeContext(e, _freeze(current), _freeze(out))
+            if descriptor_contains(dest_descriptor, out):
+                prioritized.insert(0, ctx)
+            else:
+                prioritized.append(ctx)
+        return prioritized
+
+    from collections import deque
+
+    parent: dict[FlowEdgeContext, FlowEdgeContext | None] = {}
+    queue: deque[FlowEdgeContext] = deque()
+    for ctx in next_edges(src, dict(src_descriptor)):
+        parent[ctx] = None
+        queue.append(ctx)
+    while queue:
+        ctx = queue.popleft()
+        out = dict(ctx.output_descriptor)
+        if ctx.edge.dest == dest and descriptor_contains(dest_descriptor, out):
+            path = [ctx]
+            while parent[path[0]] is not None:
+                path.insert(0, parent[path[0]])
+            return path
+        for child in next_edges(ctx.edge.dest, out):
+            if child not in parent:
+                parent[child] = ctx
+                queue.append(child)
+    return None
+
+
+def flow_from_path(
+    path: Sequence[FlowEdgeContext],
+    make_job: Callable[[FlowEdgeContext], Callable[[], Any]],
+) -> list[FlowNode]:
+    """Compile a found path into the linear FlowNode chain
+    :func:`run_flow` executes (MultiHopFlowCompiler's back half: one
+    JobSpec per edge, each depending on the previous hop)."""
+    nodes: list[FlowNode] = []
+    prev: str | None = None
+    for ctx in path:
+        name = f"{ctx.edge.edge_id}:{ctx.edge.src}->{ctx.edge.dest}"
+        nodes.append(
+            FlowNode(
+                name=name,
+                run=make_job(ctx),
+                depends_on=[prev] if prev else [],
+            )
+        )
+        prev = name
+    return nodes

@@ -436,3 +436,104 @@ def test_fuzzy_ingest_composes_with_lake_lifecycle(spark, tmp_path):
     )
     r = ingest_batch_fuzzy(spark, b, corpus, index, run_id="b99")
     assert r["dropped_vs_committed"] == 1 and r["admitted"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Multi-hop path finding (BFSPathFinder.java:54 behaviors)
+# ---------------------------------------------------------------------------
+
+
+def _edges():
+    from incubator_gobblin_spark.plans.flow import ANY, FlowEdge
+
+    return [
+        # src -> hdfs1: avro passthrough
+        FlowEdge("e1", "src", "hdfs1", {"format": ANY}, {"format": ANY}),
+        # hdfs1 -> hdfs2: avro->orc conversion
+        FlowEdge("e2", "hdfs1", "hdfs2", {"format": "avro"}, {"format": "orc"}),
+        # hdfs1 -> hdfs2: passthrough (parallel edge: multigraph)
+        FlowEdge("e3", "hdfs1", "hdfs2", {"format": ANY}, {"format": ANY}),
+        # hdfs2 -> dest: passthrough
+        FlowEdge("e4", "hdfs2", "dest", {"format": ANY}, {"format": ANY}),
+        # a cycle back to src — termination must not depend on acyclicity
+        FlowEdge("e5", "hdfs2", "src", {"format": ANY}, {"format": ANY}),
+    ]
+
+
+def test_find_path_shortest_with_transformation_near_source():
+    """avro at src -> orc at dest: BFS finds the 3-hop path and places
+    the avro->orc conversion at the FIRST opportunity (the reference's
+    prioritizedEdgeList: transformations closest to the source)."""
+    from incubator_gobblin_spark.plans.flow import find_path
+
+    path = find_path(
+        _edges(), "src", "dest", {"format": "avro"}, {"format": "orc"}
+    )
+    assert path is not None
+    assert [c.edge.edge_id for c in path] == ["e1", "e2", "e4"]
+    # descriptor state threads through the hops
+    assert dict(path[0].output_descriptor)["format"] == "avro"
+    assert dict(path[1].output_descriptor)["format"] == "orc"
+    assert dict(path[2].output_descriptor)["format"] == "orc"
+
+
+def test_find_path_base_conditions_and_unreachable():
+    from incubator_gobblin_spark.plans.flow import ANY, FlowEdge, find_path
+
+    edges = _edges()
+    # already at target with a compatible descriptor: empty path
+    assert find_path(edges, "src", "src", {"format": "avro"}, {"format": ANY}) == []
+    # inactive destination: no path (base condition 1)
+    assert find_path(
+        edges, "src", "dest", {"format": "avro"}, {"format": ANY},
+        inactive_nodes={"dest"},
+    ) is None
+    # no edge chain produces parquet: unreachable
+    assert find_path(
+        edges, "src", "dest", {"format": "avro"}, {"format": "parquet"}
+    ) is None
+    # inactive EDGE is skipped: with e4 inactive dest is unreachable
+    edges2 = [
+        FlowEdge("e4x", e.src, e.dest, e.input_descriptor,
+                 e.output_descriptor, active=False)
+        if e.edge_id == "e4" else e
+        for e in edges
+    ]
+    assert find_path(
+        edges2, "src", "dest", {"format": "avro"}, {"format": ANY}
+    ) is None
+
+
+def test_find_path_respects_edge_input_descriptors():
+    """An edge whose input descriptor rejects the flowing dataset is
+    not taken: json input cannot ride the avro-only conversion, so the
+    passthrough parallel edge carries it (multigraph behavior)."""
+    from incubator_gobblin_spark.plans.flow import ANY, find_path
+
+    path = find_path(
+        _edges(), "src", "dest", {"format": "json"}, {"format": ANY}
+    )
+    assert path is not None
+    assert [c.edge.edge_id for c in path] == ["e1", "e3", "e4"]
+
+
+def test_flow_from_path_runs_hops_in_order():
+    """The found path compiles into the linear FlowNode chain run_flow
+    executes, one job per edge, ordered."""
+    from incubator_gobblin_spark.plans.flow import (
+        ANY,
+        find_path,
+        flow_from_path,
+        run_flow,
+    )
+
+    path = find_path(
+        _edges(), "src", "dest", {"format": "avro"}, {"format": "orc"}
+    )
+    ran = []
+    nodes = flow_from_path(
+        path, lambda ctx: (lambda: ran.append(ctx.edge.edge_id))
+    )
+    result = run_flow(nodes)
+    assert result.succeeded
+    assert ran == ["e1", "e2", "e4"]
