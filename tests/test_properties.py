@@ -290,3 +290,122 @@ def test_funnel_counts_monotone_property(rows):
     )
     ns = list(out["n_users"])
     assert all(a >= b for a, b in zip(ns, ns[1:]))
+
+
+# ---------------------------------------------------------------------------
+# Batched-BPE selection: equality with the sequential reference, proven
+# over RANDOM corpora (driver-side — the selection rule is pure Python;
+# Spark only supplies the pair counts, replicated exactly here)
+# ---------------------------------------------------------------------------
+
+
+def _py_pair_counts(wf):
+    from collections import Counter
+
+    c = Counter()
+    for syms, f in wf.values():
+        for i in range(len(syms) - 1):
+            c[(syms[i], syms[i + 1])] += f
+    return c
+
+
+def _py_apply_merge(syms, l, r):
+    out = []
+    for s in syms:
+        if out and out[-1] == l and s == r:
+            out[-1] = l + r
+        else:
+            out.append(s)
+    return tuple(out)
+
+
+def _py_bpe(words, num_merges, batched):
+    """Pure-Python replica of both trainer loops: pair counts +
+    greedy-left merge application are shared; batched mode routes
+    selection through the ENGINE's _select_exact_batch."""
+    from incubator_gobblin_spark.functions.corpus import _select_exact_batch
+
+    wf = {}
+    for w in words:
+        syms, f = wf.get(w, (tuple(w), 0))
+        wf[w] = (syms, f + 1)
+    merges = []
+    while len(merges) < num_merges:
+        c = _py_pair_counts(wf)
+        if not c:
+            break
+        ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        rows = [(l, r, n) for (l, r), n in ranked]
+        if batched:
+            sel = _select_exact_batch(
+                rows, truncated=False, quota=num_merges - len(merges)
+            )
+            if not sel:
+                sel = [rows[0][:2]]
+        else:
+            sel = [rows[0][:2]]
+        for l, r in sel:
+            merges.append((l, r))
+            wf = {w: (_py_apply_merge(s, l, r), f) for w, (s, f) in wf.items()}
+    return merges
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=8),
+        min_size=1,
+        max_size=40,
+    ),
+    num_merges=st.integers(min_value=1, max_value=12),
+)
+@settings(max_examples=200, deadline=None)
+def test_bpe_exact_batch_equals_sequential_property(words, num_merges):
+    """For ANY corpus, the batched selection must reproduce the
+    sequential merge list exactly — the conflict/dominance/collision
+    stopping rules are sufficient conditions, falsified here if any is
+    too weak. Tiny alphabet maximizes pair collisions, fused-symbol
+    collisions, and count ties (the adversarial regime)."""
+    assert _py_bpe(words, num_merges, batched=True) == _py_bpe(
+        words, num_merges, batched=False
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quartz cron: next_fire_time is the MINIMAL matching instant after t
+# ---------------------------------------------------------------------------
+
+
+@given(
+    minute=st.one_of(
+        st.just("*"),
+        st.integers(0, 59).map(str),
+        st.tuples(st.integers(0, 20), st.integers(1, 15)).map(
+            lambda t: f"{t[0]}/{t[1]}"
+        ),
+    ),
+    hour=st.one_of(st.just("*"), st.integers(0, 23).map(str)),
+    dow=st.one_of(st.just("?"), st.integers(1, 7).map(str)),
+    start_min=st.integers(0, 60 * 24 * 14),
+)
+@settings(max_examples=120, deadline=None)
+def test_quartz_next_fire_time_is_minimal_match(minute, hour, dow, start_min):
+    """next_fire_time(t) must (a) be strictly after t, (b) match the
+    expression, and (c) have NO matching instant between t and it —
+    checked by brute-force minute scan (second field pinned to 0 so the
+    scan grain equals the match grain)."""
+    from datetime import datetime, timedelta
+
+    from incubator_gobblin_spark.jobs.schedule import parse_quartz_cron
+
+    cron = parse_quartz_cron(f"0 {minute} {hour} ? * {dow}")
+    after = datetime(2024, 3, 1) + timedelta(minutes=start_min)
+    nxt = cron.next_fire_time(after)
+    assert nxt > after
+    assert cron.matches(nxt)
+    probe = (after + timedelta(minutes=1)).replace(second=0, microsecond=0)
+    # don't scan further than a week — guard the property's own runtime
+    scanned = 0
+    while probe < nxt and scanned < 7 * 24 * 60:
+        assert not cron.matches(probe), (probe, nxt)
+        probe += timedelta(minutes=1)
+        scanned += 1
