@@ -366,3 +366,21 @@ def test_bpe_pair_counts_bounded_key_aggregation(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_prefilter_decontam_shuffle_budget(spark, sf_dir):
+    """q125's plan budget: the SRP banding is a pure Arrow projection,
+    the bench band keys and bench vectors BROADCAST, and at most three
+    key shuffles exist (candidate dedup, per-candidate max, the final
+    corpus-grain fill join) — a fourth exchange means the banding or
+    the bench side started shuffling corpus-scale data."""
+    plan = _plan(Q.queries()["q125_semantic_decontam_lsh"](spark, sf_dir))
+    shuffles = sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+        or "Exchange rangepartitioning" in line
+    )
+    assert shuffles <= 3, f"{shuffles} shuffle exchanges (budget 3)"
+    assert "BroadcastExchange" in plan  # bench side never shuffles
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
