@@ -1104,13 +1104,22 @@ class FileSink:
                 for seg in e["partition"].replace(os.sep, "/").split("/"):
                     k, _, v = seg.partition("=")
                     pvals[k] = unquote(v)
-            adds[quote(rel)] = {
+            add = {
                 "path": quote(rel),
                 "partitionValues": pvals,
                 "size": os.path.getsize(fp),
                 "modificationTime": int(os.path.getmtime(fp) * 1000),
                 "dataChange": True,
             }
+            # Per-file statistics (PROTOCOL.md "Per-file Statistics"):
+            # numRecords + min/maxValues from the stats the manifest
+            # captured at publish — this is what lets a foreign Delta
+            # reader FILE-SKIP on the exported table. Best-effort: an
+            # entry without stats just exports without the field.
+            stats = _delta_file_stats(e)
+            if stats is not None:
+                add["stats"] = stats
+            adds[quote(rel)] = add
 
         # Exporter serialization (delta-io PROTOCOL.md: commit files
         # MUST be created put-if-absent). The commit CAS explicitly
@@ -2312,6 +2321,34 @@ def _delta_schema_string(
     return json.dumps({"type": "struct", "fields": fields})
 
 
+def _delta_file_stats(entry: dict) -> str | None:
+    """One manifest entry's Delta ``add.stats`` JSON string
+    (PROTOCOL.md Per-file Statistics: numRecords, minValues,
+    maxValues). Timestamp-shaped strings are re-separated with 'T'
+    (the manifest stores ISO with a space; Delta readers parse the
+    'T' form). Returns None when the entry carries no row count —
+    stats are an optimization, never a requirement."""
+    import json as _json
+    import re as _re
+
+    rows = entry.get("rows")
+    if rows is None:
+        return None
+    out: dict = {"numRecords": int(rows)}
+    stats = entry.get("stats") or {}
+    if stats:
+        ts_shape = _re.compile(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}")
+
+        def _norm(v):
+            if isinstance(v, str) and ts_shape.match(v):
+                return v.replace(" ", "T", 1)
+            return v
+
+        out["minValues"] = {c: _norm(v[0]) for c, v in stats.items()}
+        out["maxValues"] = {c: _norm(v[1]) for c, v in stats.items()}
+    return _json.dumps(out)
+
+
 def _write_delta_checkpoint(
     log_dir: str,
     version: int,
@@ -2342,6 +2379,7 @@ def _write_delta_checkpoint(
             ("size", pa.int64()),
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
         ]
     )
     meta_t = pa.struct(
@@ -2392,6 +2430,7 @@ def _write_delta_checkpoint(
             "size": a.get("size"),
             "modificationTime": a.get("modificationTime"),
             "dataChange": bool(a.get("dataChange", True)),
+            "stats": a.get("stats"),
         }
         for a in adds
     ] + [None] * len(removes)

@@ -247,11 +247,84 @@ def _manifest_entry_avro(partition_struct: dict) -> dict:
                             "type": "long",
                             "field-id": 104,
                         },
+                        {
+                            "name": "lower_bounds",
+                            "field-id": 125,
+                            "default": None,
+                            "type": ["null", _bounds_map_avro("k126_v127", 126, 127)],
+                        },
+                        {
+                            "name": "upper_bounds",
+                            "field-id": 128,
+                            "default": None,
+                            "type": ["null", _bounds_map_avro("k129_v130", 129, 130)],
+                        },
                     ],
                 },
             },
         ],
     }
+
+
+def _bounds_map_avro(name: str, key_id: int, value_id: int) -> dict:
+    """Iceberg's non-string-key map encoding in Avro manifests: an
+    array of key/value records with ``logicalType: map`` (spec Appendix
+    A) — Avro maps proper only allow string keys, bounds key on the
+    column's FIELD ID."""
+    return {
+        "type": "array",
+        "logicalType": "map",
+        "items": {
+            "type": "record",
+            "name": name,
+            "fields": [
+                {"name": "key", "type": "int", "field-id": key_id},
+                {"name": "value", "type": "bytes", "field-id": value_id},
+            ],
+        },
+    }
+
+
+def _encode_bound(value, iceberg_type: str) -> bytes | None:
+    """Single-value binary serialization (spec Appendix D): the bytes a
+    foreign engine compares row-group bounds against. None for types or
+    values this exporter does not serialize — a missing bound only
+    costs the reader a scan, never correctness."""
+    import struct as _struct
+    from datetime import date as _date
+    from datetime import datetime as _datetime
+    from datetime import timezone as _timezone
+
+    try:
+        if iceberg_type == "long":
+            return _struct.pack("<q", int(value))
+        if iceberg_type == "int":
+            return _struct.pack("<i", int(value))
+        if iceberg_type == "double":
+            return _struct.pack("<d", float(value))
+        if iceberg_type == "float":
+            return _struct.pack("<f", float(value))
+        if iceberg_type == "string":
+            return str(value).encode("utf-8")
+        if iceberg_type in ("timestamp", "timestamptz"):
+            if isinstance(value, str):
+                value = _datetime.fromisoformat(value.replace("T", " "))
+            if isinstance(value, _datetime):
+                if value.tzinfo is None:
+                    value = value.replace(tzinfo=_timezone.utc)
+                return _struct.pack("<q", int(value.timestamp() * 1_000_000))
+            return None
+        if iceberg_type == "date":
+            if isinstance(value, str):
+                value = _date.fromisoformat(value[:10])
+            if isinstance(value, _date):
+                return _struct.pack("<i", (value - _date(1970, 1, 1)).days)
+            return None
+        if iceberg_type == "boolean":
+            return b"\x01" if value else b"\x00"
+    except (ValueError, TypeError, OverflowError):
+        return None
+    return None
 
 
 _MANIFEST_LIST_AVRO = {
@@ -380,6 +453,7 @@ def export_iceberg(sink, as_of_run: str | None = None, mode: str = "auto") -> st
                 "partition": pvals,
                 "rows": int(rows),
                 "size": os.path.getsize(fp),
+                "stats": e.get("stats") or {},
             }
         )
 
@@ -505,7 +579,28 @@ def export_iceberg(sink, as_of_run: str | None = None, mode: str = "auto") -> st
             written_files.append(path)
             return path, len(data)
 
+        col_info = {f["name"]: (f["id"], f["type"]) for f in schema["fields"]}
+
+        def _bounds(f: dict) -> tuple[list | None, list | None]:
+            """lower/upper bounds as field-id keyed k/v lists from the
+            manifest's per-file column stats — the metadata a foreign
+            Iceberg reader file-skips on. Best-effort per column."""
+            lo_out, hi_out = [], []
+            for c, pair in sorted((f.get("stats") or {}).items()):
+                info = col_info.get(c)
+                if info is None or not isinstance(info[1], str):
+                    continue  # nested/unknown column: skip
+                fid, typ = info
+                lo = _encode_bound(pair[0], typ)
+                hi = _encode_bound(pair[1], typ)
+                if lo is None or hi is None:
+                    continue
+                lo_out.append({"key": fid, "value": lo})
+                hi_out.append({"key": fid, "value": hi})
+            return (lo_out or None, hi_out or None)
+
         def _data_file(f: dict) -> dict:
+            lo, hi = _bounds(f)
             return {
                 "content": 0,  # DATA
                 # file:// URI per the Iceberg spec (foreign engines
@@ -520,6 +615,8 @@ def export_iceberg(sink, as_of_run: str | None = None, mode: str = "auto") -> st
                 },
                 "record_count": f["rows"],
                 "file_size_in_bytes": f["size"],
+                "lower_bounds": lo,
+                "upper_bounds": hi,
             }
 
         list_rows: list[dict] = []

@@ -2522,3 +2522,61 @@ def test_merge_into_respects_caller_persisted_source(spark, sf_dir, tmp_path):
     src2 = df.limit(1).withColumn("r_comment", F.lit("engine-managed"))
     sink.merge_into(spark, src2, on=["r_regionkey"], run_id="m2")
     assert not (src2.storageLevel.useMemory or src2.storageLevel.useDisk)
+
+
+def test_delta_export_carries_per_file_stats(spark, sf_dir, tmp_path):
+    """add.stats (PROTOCOL.md Per-file Statistics): numRecords equals
+    the file's true row count and minValues/maxValues match the parquet
+    footer truth — the metadata a foreign Delta reader file-skips on.
+    Timestamp stats use the 'T' separator form."""
+    import json
+    from urllib.parse import unquote
+
+    import pyarrow.parquet as pq
+
+    docs = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    root = str(tmp_path / "dlstats")
+    sink = _sink(root)
+    sink.write_staging(docs, "r1")
+    sink.publish("r1")
+    log_dir = sink.export_delta_log(checkpoint_interval=None)
+    live, _, _ = _replay_delta(log_dir)
+    assert live
+    for p, add in live.items():
+        st = json.loads(add["stats"])
+        fp = os.path.join(root, unquote(p))
+        md = pq.ParquetFile(fp).metadata
+        assert st["numRecords"] == md.num_rows
+        assert st["minValues"]["event_id"] <= st["maxValues"]["event_id"]
+        # timestamp stats must be 'T'-separated ISO (parseable by
+        # foreign readers), never the space form the manifest stores
+        if "ts" in st["minValues"]:
+            assert "T" in st["minValues"]["ts"]
+            assert " " not in st["minValues"]["ts"].split(".")[0]
+
+
+def test_delta_checkpoint_carries_stats_column(spark, sf_dir, tmp_path):
+    """The checkpoint parquet's add struct includes the stats string, so
+    a reader trusting _last_checkpoint keeps file-skipping metadata."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    df = load_table(spark, sf_dir, "region")
+    sink = _sink(tmp_path / "dlcp", table_type=TableType.APPEND_ONLY)
+    for i in range(3):
+        sink.write_staging(df.filter(F.col("r_regionkey") % 3 == i), f"r{i}")
+        sink.publish(f"r{i}")
+        sink.export_delta_log(checkpoint_interval=2)
+    cp = [f for f in os.listdir(os.path.join(str(tmp_path / "dlcp"), "_delta_log"))
+          if f.endswith(".checkpoint.parquet")]
+    assert cp
+    tbl = pq.read_table(
+        os.path.join(str(tmp_path / "dlcp"), "_delta_log", cp[0])
+    )
+    adds = [a for a in tbl.column("add").to_pylist() if a is not None]
+    assert adds and all(
+        a["stats"] and json.loads(a["stats"])["numRecords"] > 0 for a in adds
+    )
