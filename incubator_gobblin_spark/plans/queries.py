@@ -74,6 +74,7 @@ _WINDOW_HEAD = [
     # --- brand-new r7 queries (first driver rows ever) ---
     "q125_semantic_decontam_lsh",
     "q126_semantic_prefilter_audit",
+    "q127_iceberg_incremental_agg",
     # --- r04-stale block (last driver-green r04 — the policy edge) ---
     "q04_segment_rollup",
     "q06_semi_join",
@@ -117,14 +118,15 @@ _WINDOW_HEAD = [
     "q121_bpe_pair_counts",
     "q122_char_entropy",
     "q123_delta_roundtrip_agg",
-    # --- r05-green unique-machinery singletons ---
+    # --- r05-green unique-machinery singletons (q57 displaced for
+    # q127: its ORC scan machinery is redundantly proven by the
+    # r06-green q87_orc_tuned + test_connectors; rotates back r08) ---
     "q42_full_outer_join",
     "q48_oldest_k",
     "q49_text_quality",
     "q52_embedding_neardup_lsh",
     "q53_asof_join",
     "q54_range_join",
-    "q57_orc_scan_agg",
 ]
 
 
@@ -4617,6 +4619,61 @@ def q126_semantic_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         emb.filter(F.col("vec_id") % 16 == 0),
         threshold=0.35,
         dim=64,
+    )
+
+
+@register(
+    "q127_iceberg_incremental_agg",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q127_iceberg_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL Iceberg export path under the HARD oracle: the
+    documents table published in TWO commits (doc_id parity split) into
+    an append-only source-partitioned lake with the ``iceberg_metadata``
+    flag, so the second publish's auto-export appends a delta snapshot
+    (carried manifests + adds-only manifest) instead of re-adding the
+    world; the read goes EXCLUSIVELY through the exported metadata and
+    must match the oracle's direct scan value-for-value. q124 proves
+    the full-snapshot path; this proves the manifest-chain one."""
+    import os as _os
+
+    from incubator_gobblin_spark.sinks.files import FileSink, TableType
+    from incubator_gobblin_spark.sources.iceberg_import import read_iceberg
+
+    cache = _cache_dir("iceberg_inc", sf_dir, "documents")
+    sink = FileSink(
+        path=cache, commit_mode="manifest", partition_by=["source"],
+        iceberg_metadata=True, table_type=TableType.APPEND_ONLY,
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+    def _committed(run: str) -> bool:
+        try:
+            return sink.current_manifest(run, materialize=False) is not None
+        except FileNotFoundError:
+            return False
+
+    for run, pred in (
+        ("run1", F.col("doc_id") % 2 == 0),
+        ("run2", F.col("doc_id") % 2 == 1),
+    ):
+        if not _committed(run):
+            sink.write_staging(docs.filter(pred), run)
+            sink.publish(run)  # auto-exports one Iceberg snapshot each
+    if not _os.path.isdir(_os.path.join(cache, "metadata")):
+        sink.export_iceberg()  # repair, never re-publish
+    df = read_iceberg(spark, cache)
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
     )
 
 
