@@ -1911,6 +1911,8 @@ def _file_stats(fpath: str) -> dict:
         md = pq.ParquetFile(fpath).metadata
         mins: dict = {}
         maxs: dict = {}
+        nulls: dict = {}
+        null_poisoned: set = set()
         # a column's file-level range is trustworthy only if EVERY row
         # group that may hold non-null values contributed min/max; a
         # group with values but no stats (stats disabled, or strings
@@ -1925,6 +1927,12 @@ def _file_stats(fpath: str) -> dict:
                 if "." in name:  # nested: skip
                     continue
                 st = col.statistics
+                # null counts are a separate (weaker) channel: a column
+                # qualifies only if EVERY row group reports one
+                if st is not None and st.has_null_count:
+                    nulls[name] = nulls.get(name, 0) + int(st.null_count)
+                else:
+                    null_poisoned.add(name)
                 if st is None or not st.has_min_max:
                     provably_all_null = (
                         st is not None
@@ -1948,10 +1956,14 @@ def _file_stats(fpath: str) -> dict:
                     continue
                 mins[name] = lo if name not in mins else min(mins[name], lo)
                 maxs[name] = hi if name not in maxs else max(maxs[name], hi)
-        return {
+        out = {
             "rows": md.num_rows,
             "stats": {c: [mins[c], maxs[c]] for c in mins if c not in poisoned},
         }
+        nn = {c: n for c, n in nulls.items() if c not in null_poisoned}
+        if nn:
+            out["nulls"] = nn
+        return out
     except Exception:  # stats are best-effort; absence never breaks reads
         return {}
 
@@ -2346,6 +2358,9 @@ def _delta_file_stats(entry: dict) -> str | None:
 
         out["minValues"] = {c: _norm(v[0]) for c, v in stats.items()}
         out["maxValues"] = {c: _norm(v[1]) for c, v in stats.items()}
+    nulls = entry.get("nulls") or {}
+    if nulls:
+        out["nullCount"] = {c: int(n) for c, n in nulls.items()}
     return _json.dumps(out)
 
 

@@ -248,6 +248,12 @@ def _manifest_entry_avro(partition_struct: dict) -> dict:
                             "field-id": 104,
                         },
                         {
+                            "name": "null_value_counts",
+                            "field-id": 110,
+                            "default": None,
+                            "type": ["null", _counts_map_avro("k121_v122", 121, 122)],
+                        },
+                        {
                             "name": "lower_bounds",
                             "field-id": 125,
                             "default": None,
@@ -280,6 +286,23 @@ def _bounds_map_avro(name: str, key_id: int, value_id: int) -> dict:
             "fields": [
                 {"name": "key", "type": "int", "field-id": key_id},
                 {"name": "value", "type": "bytes", "field-id": value_id},
+            ],
+        },
+    }
+
+
+def _counts_map_avro(name: str, key_id: int, value_id: int) -> dict:
+    """Field-id keyed long-valued map (value_counts/null_value_counts
+    shape) in the array-of-kv-records encoding."""
+    return {
+        "type": "array",
+        "logicalType": "map",
+        "items": {
+            "type": "record",
+            "name": name,
+            "fields": [
+                {"name": "key", "type": "int", "field-id": key_id},
+                {"name": "value", "type": "long", "field-id": value_id},
             ],
         },
     }
@@ -454,6 +477,7 @@ def export_iceberg(sink, as_of_run: str | None = None, mode: str = "auto") -> st
                 "rows": int(rows),
                 "size": os.path.getsize(fp),
                 "stats": e.get("stats") or {},
+                "nulls": e.get("nulls") or {},
             }
         )
 
@@ -599,6 +623,14 @@ def export_iceberg(sink, as_of_run: str | None = None, mode: str = "auto") -> st
                 hi_out.append({"key": fid, "value": hi})
             return (lo_out or None, hi_out or None)
 
+        def _null_counts(f: dict) -> list | None:
+            out = [
+                {"key": col_info[c][0], "value": int(n)}
+                for c, n in sorted((f.get("nulls") or {}).items())
+                if c in col_info
+            ]
+            return out or None
+
         def _data_file(f: dict) -> dict:
             lo, hi = _bounds(f)
             return {
@@ -615,6 +647,7 @@ def export_iceberg(sink, as_of_run: str | None = None, mode: str = "auto") -> st
                 },
                 "record_count": f["rows"],
                 "file_size_in_bytes": f["size"],
+                "null_value_counts": _null_counts(f),
                 "lower_bounds": lo,
                 "upper_bounds": hi,
             }

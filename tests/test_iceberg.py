@@ -777,6 +777,8 @@ def test_iceberg_export_carries_column_bounds(spark, sf_dir, tmp_path):
         lo = {kv["key"]: kv["value"] for kv in (d["lower_bounds"] or [])}
         hi = {kv["key"]: kv["value"] for kv in (d["upper_bounds"] or [])}
         assert lo and hi
+        nvc = {kv["key"]: kv["value"] for kv in (d["null_value_counts"] or [])}
+        assert nvc.get(fid["n_nationkey"]) == 0  # footer-true null counts
         tbl = pq.read_table(_local_path(d["file_path"]))
         keys = tbl.column("n_nationkey").to_pylist()
         names = tbl.column("n_name").to_pylist()

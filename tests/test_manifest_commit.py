@@ -2550,6 +2550,8 @@ def test_delta_export_carries_per_file_stats(spark, sf_dir, tmp_path):
         md = pq.ParquetFile(fp).metadata
         assert st["numRecords"] == md.num_rows
         assert st["minValues"]["event_id"] <= st["maxValues"]["event_id"]
+        # nullCount from the footer truth (IS NULL pruning metadata)
+        assert st["nullCount"]["event_id"] == 0
         # timestamp stats must be 'T'-separated ISO (parseable by
         # foreign readers), never the space form the manifest stores
         if "ts" in st["minValues"]:
