@@ -188,8 +188,101 @@ def snapshot_files(
                 {
                     "path": _local_path(df_["file_path"]),
                     "partition": df_.get("partition") or {},
+                    "lower_bounds": {
+                        kv["key"]: kv["value"]
+                        for kv in (df_.get("lower_bounds") or [])
+                    },
+                    "upper_bounds": {
+                        kv["key"]: kv["value"]
+                        for kv in (df_.get("upper_bounds") or [])
+                    },
                 }
             )
+    return out
+
+
+def _decode_bound(raw: bytes, iceberg_type: str):
+    """Appendix-D single-value deserialization for the comparable
+    subset; None when the type is not handled (no pruning, never a
+    wrong one)."""
+    import struct as _struct
+
+    try:
+        if iceberg_type == "long":
+            return _struct.unpack("<q", raw)[0]
+        if iceberg_type == "int":
+            return _struct.unpack("<i", raw)[0]
+        if iceberg_type == "double":
+            return _struct.unpack("<d", raw)[0]
+        if iceberg_type == "float":
+            return _struct.unpack("<f", raw)[0]
+        if iceberg_type == "string":
+            return raw.decode("utf-8")
+    except Exception:
+        return None
+    return None
+
+
+def prune_files(
+    files: list[dict],
+    filters: list[tuple],
+    schema_fields: list[dict],
+    part_cols: list[str],
+) -> list[dict]:
+    """Metadata-level file skipping for an imported table — the reason
+    the export carries bounds at all. ``filters`` is a list of
+    ``(column, op, value)`` with op in =, <, <=, >, >= combined with
+    AND; a file survives unless its partition value (exact) or its
+    column bounds (conservative) PROVE no row can match. Unknown
+    columns, missing bounds, or unhandled types keep the file — pruning
+    may only ever cost a read it skipped.
+
+    Scale: O(files) driver-side metadata, zero data I/O — at foreign-
+    table scale this is the difference between handing Spark a million-
+    path listing and the dozen files a point query touches."""
+    by_name = {f["name"]: f for f in schema_fields}
+
+    def may_match(f: dict, col: str, op: str, val) -> bool:
+        if col in part_cols:
+            pv = f["partition"].get(col)
+            if pv is None:
+                return True  # null partition: only = can exclude, keep
+            try:
+                pv = type(val)(pv)
+            except (TypeError, ValueError):
+                return True
+            return {
+                "=": pv == val,
+                "<": pv < val,
+                "<=": pv <= val,
+                ">": pv > val,
+                ">=": pv >= val,
+            }.get(op, True)
+        fld = by_name.get(col)
+        if fld is None or not isinstance(fld["type"], str):
+            return True
+        lo_raw = f.get("lower_bounds", {}).get(fld["id"])
+        hi_raw = f.get("upper_bounds", {}).get(fld["id"])
+        if lo_raw is None or hi_raw is None:
+            return True
+        lo = _decode_bound(lo_raw, fld["type"])
+        hi = _decode_bound(hi_raw, fld["type"])
+        if lo is None or hi is None:
+            return True
+        try:
+            return {
+                "=": lo <= val <= hi,
+                "<": lo < val,
+                "<=": lo <= val,
+                ">": hi > val,
+                ">=": hi >= val,
+            }.get(op, True)
+        except TypeError:
+            return True  # incomparable literal: keep
+
+    out = files
+    for col, op, val in filters:
+        out = [f for f in out if may_match(f, col, op, val)]
     return out
 
 
@@ -198,6 +291,7 @@ def read_iceberg(
     path: str,
     snapshot_id: int | None = None,
     union_threshold: int = 16,
+    filters: list[tuple] | None = None,
 ) -> DataFrame:
     """Read an Iceberg table's committed snapshot (optionally a
     historical ``snapshot_id`` — Iceberg time travel) as a DataFrame.
@@ -240,6 +334,13 @@ def read_iceberg(
     part_cols = [field_name[f["source-id"]] for f in spec["fields"]]
 
     files = snapshot_files(metadata, path, snapshot_id)
+    if filters:
+        # metadata-level file skipping on partition values + exported
+        # column bounds (see prune_files) — conservative, then the same
+        # filters MUST still be applied row-level by the caller
+        files = prune_files(
+            files, filters, schema_json["fields"], part_cols
+        )
     if not files:
         return spark.createDataFrame([], schema)
     groups: dict[tuple, list[str]] = {}

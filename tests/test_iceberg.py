@@ -786,3 +786,57 @@ def test_iceberg_export_carries_column_bounds(spark, sf_dir, tmp_path):
         assert struct.unpack(unpack_fmt, hi[fid["n_nationkey"]])[0] == max(keys)
         assert lo[fid["n_name"]].decode() == min(names)
         assert hi[fid["n_name"]].decode() == max(names)
+
+
+def test_iceberg_filters_prune_files_and_stay_correct(spark, sf_dir, tmp_path):
+    """Metadata-level file skipping on an imported table: a partition
+    equality and a bounds range each provably reduce the file list, and
+    reading with filters + the row-level filter equals the unpruned
+    read with the same filter (pruning is conservative, never lossy)."""
+    from incubator_gobblin_spark.sources.iceberg_import import (
+        prune_files,
+        snapshot_files,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    root = str(tmp_path / "prune")
+    sink = _sink(root, partition_by=["source"])
+    sink.write_staging(docs, "r1")
+    sink.publish("r1")
+    sink.export_iceberg()
+
+    meta = current_metadata(root)
+    fields = meta["schemas"][0]["fields"]
+    all_files = snapshot_files(meta, root)
+    assert len(all_files) > 1
+
+    one_source = docs.select("source").first()["source"]
+    part_pruned = prune_files(
+        all_files, [("source", "=", one_source)], fields, ["source"]
+    )
+    assert 0 < len(part_pruned) < len(all_files)
+
+    # bounds pruning on doc_id: a range above the global max keeps 0
+    empty = prune_files(
+        all_files, [("doc_id", ">", 10**12)], fields, ["source"]
+    )
+    assert empty == []
+    lo_cut = docs.agg(F.expr("percentile(doc_id, 0.9)")).first()[0]
+    range_pruned = prune_files(
+        all_files, [("doc_id", ">", int(lo_cut))], fields, ["source"]
+    )
+    assert len(range_pruned) <= len(all_files)
+
+    # correctness: pruned read + row filter == full read + row filter
+    flt = [("source", "=", one_source), ("doc_id", ">", int(lo_cut))]
+    pruned_df = read_iceberg(spark, root, filters=flt).filter(
+        (F.col("source") == one_source) & (F.col("doc_id") > int(lo_cut))
+    )
+    full_df = read_iceberg(spark, root).filter(
+        (F.col("source") == one_source) & (F.col("doc_id") > int(lo_cut))
+    )
+    assert sorted(map(tuple, pruned_df.collect())) == sorted(
+        map(tuple, full_df.collect())
+    )
