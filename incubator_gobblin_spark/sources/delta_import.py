@@ -160,11 +160,60 @@ def _replay_state(
     return live, meta, proto
 
 
+def prune_adds(
+    live: dict, filters: list[tuple], part_cols: list[str]
+) -> dict:
+    """Metadata-level file skipping over replayed add actions — the
+    read-side of the exporter's ``add.stats``: partitionValues prune
+    exactly, per-file minValues/maxValues prune conservatively
+    (``(col, op, val)`` with op in =, <, <=, >, >=, AND-combined).
+    Files without stats, unknown columns, or incomparable literals
+    survive — pruning may only cost a read it skipped. O(adds)
+    driver-side, zero data I/O."""
+    import json as _json
+
+    def may_match(a: dict, col: str, op: str, val) -> bool:
+        cmp = {
+            "=": lambda lo, hi: lo <= val <= hi,
+            "<": lambda lo, hi: lo < val,
+            "<=": lambda lo, hi: lo <= val,
+            ">": lambda lo, hi: hi > val,
+            ">=": lambda lo, hi: hi >= val,
+        }.get(op)
+        if cmp is None:
+            return True
+        if col in part_cols:
+            pv = (a.get("partitionValues") or {}).get(col)
+            if pv is None:
+                return True
+            try:
+                pv = type(val)(pv)
+            except (TypeError, ValueError):
+                return True
+            return cmp(pv, pv)
+        st = a.get("stats")
+        if not st:
+            return True
+        try:
+            st = _json.loads(st) if isinstance(st, str) else st
+            lo = st["minValues"][col]
+            hi = st["maxValues"][col]
+            return cmp(lo, hi)
+        except (KeyError, TypeError, ValueError):
+            return True
+
+    out = live
+    for col, op, val in filters:
+        out = {p: a for p, a in out.items() if may_match(a, col, op, val)}
+    return out
+
+
 def read_delta(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     union_threshold: int = 16,
+    filters: list[tuple] | None = None,
 ) -> DataFrame:
     """Read a Delta table's committed snapshot (optionally a historical
     ``version`` — Delta time travel) as a DataFrame.
@@ -191,6 +240,10 @@ def read_delta(
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
 
+    if filters:
+        # conservative metadata-level skipping (see prune_adds);
+        # callers still apply the same filters row-level
+        live = prune_adds(live, filters, part_cols)
     if not live:
         return spark.createDataFrame([], schema)
 

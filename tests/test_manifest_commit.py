@@ -2582,3 +2582,44 @@ def test_delta_checkpoint_carries_stats_column(spark, sf_dir, tmp_path):
     assert adds and all(
         a["stats"] and json.loads(a["stats"])["numRecords"] > 0 for a in adds
     )
+
+
+def test_read_delta_filters_prune_files_and_stay_correct(
+    spark, sf_dir, tmp_path
+):
+    """Metadata-level file skipping over the exported Delta log:
+    partition equality and a stats range provably shrink the live set;
+    pruned read + row filter equals unpruned read + row filter."""
+    from incubator_gobblin_spark.sources.delta_import import (
+        _replay_state,
+        prune_adds,
+        read_delta,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    root = str(tmp_path / "dprune")
+    sink = _sink(root, partition_by=["source"])
+    sink.write_staging(docs, "r1")
+    sink.publish("r1")
+    log_dir = sink.export_delta_log()
+
+    live, meta, _ = _replay_state(log_dir, None)
+    assert len(live) > 1
+    one_source = docs.select("source").first()["source"]
+    part_pruned = prune_adds(live, [("source", "=", one_source)], ["source"])
+    assert 0 < len(part_pruned) < len(live)
+    assert prune_adds(live, [("doc_id", ">", 10**12)], ["source"]) == {}
+
+    cut = int(docs.agg(F.expr("percentile(doc_id, 0.9)")).first()[0])
+    flt = [("source", "=", one_source), ("doc_id", ">", cut)]
+    pruned_df = read_delta(spark, root, filters=flt).filter(
+        (F.col("source") == one_source) & (F.col("doc_id") > cut)
+    )
+    full_df = read_delta(spark, root).filter(
+        (F.col("source") == one_source) & (F.col("doc_id") > cut)
+    )
+    assert sorted(map(tuple, pruned_df.collect())) == sorted(
+        map(tuple, full_df.collect())
+    )
