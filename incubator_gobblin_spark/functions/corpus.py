@@ -1587,10 +1587,16 @@ def _select_exact_batch(
         if l == r:
             blocked_left.add(l)
             blocked_right.add(r)
-        cur_bound = max(
-            cur_bound,
-            min(n, max(by_right.get(l, floor), by_left.get(r, floor))),
-        )
+        # Truncated tables weaken two guarantees, both absorbed by the
+        # floor: unseen neighbor pairs have count <= floor, AND the
+        # fused string may collide with a symbol whose pairs all rank
+        # below the cutoff (invisible to syms_seen) — such a boosted
+        # pair's old count is also <= floor, so the reachable maximum
+        # is new-sites bound + floor, never just the new-sites bound.
+        bound = min(n, max(by_right.get(l, floor), by_left.get(r, floor)))
+        if truncated:
+            bound += floor
+        cur_bound = max(cur_bound, bound)
     return sel
 
 

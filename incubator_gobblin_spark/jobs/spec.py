@@ -508,11 +508,13 @@ def run_job(
     occurrence — the recurring loop is delegated to the deployment's
     orchestrator, which computes trigger times from the same spec via
     :func:`incubator_gobblin_spark.jobs.schedule.compile_schedule`
-    (``.cron.next_fire_time``)."""
-    from incubator_gobblin_spark.jobs.schedule import compile_schedule
-
+    (``.cron.next_fire_time``). The cron expression is deliberately NOT
+    parsed here: run_job never consults it, and a calendar form this
+    engine's parser rejects (Quartz L/W/#) must not stop a job that ran
+    fine before the key was honored — the spec compiler never rejects a
+    reference ``.pull`` file."""
     props = load_job_file(spec) if isinstance(spec, str) else spec
-    if compile_schedule(props).disabled:
+    if props.get("job.disabled", "false").lower() == "true":
         return None
     return compile_job(spark, props).run()
 

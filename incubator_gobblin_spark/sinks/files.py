@@ -1096,6 +1096,25 @@ class FileSink:
         os.makedirs(log_dir, exist_ok=True)
 
         adds: dict[str, dict] = {}
+        # timestamp-typed columns from one committed footer: the
+        # normalization set for _delta_file_stats (typed, not guessed)
+        ts_cols: set[str] = set()
+        if entries:
+            try:
+                import pyarrow.parquet as _pq
+
+                sch = _pq.read_schema(
+                    os.path.join(self.path, entries[0]["file"])
+                )
+                import pyarrow as _pa
+
+                ts_cols = {
+                    n
+                    for n in sch.names
+                    if _pa.types.is_timestamp(sch.field(n).type)
+                }
+            except Exception:
+                ts_cols = set()
         for e in sorted(entries, key=lambda x: x["file"]):
             rel = e["file"].replace(os.sep, "/")
             fp = os.path.join(self.path, e["file"])
@@ -1116,7 +1135,7 @@ class FileSink:
             # captured at publish — this is what lets a foreign Delta
             # reader FILE-SKIP on the exported table. Best-effort: an
             # entry without stats just exports without the field.
-            stats = _delta_file_stats(e)
+            stats = _delta_file_stats(e, ts_cols)
             if stats is not None:
                 add["stats"] = stats
             adds[quote(rel)] = add
@@ -1943,8 +1962,14 @@ def _file_stats(fpath: str) -> dict:
                         poisoned.add(name)
                     continue
                 lo, hi = st.min, st.max
-                if isinstance(lo, (datetime.datetime, datetime.date)):
+                if isinstance(lo, datetime.datetime):
                     lo, hi = lo.isoformat(sep=" "), hi.isoformat(sep=" ")
+                elif isinstance(lo, datetime.date):
+                    # date.isoformat() takes no sep argument — the old
+                    # shared branch raised TypeError here and the
+                    # best-effort except silently dropped the WHOLE
+                    # file's stats for any date-bearing table
+                    lo, hi = lo.isoformat(), hi.isoformat()
                 if isinstance(lo, bytes):
                     try:
                         lo, hi = lo.decode(), hi.decode()
@@ -2333,15 +2358,17 @@ def _delta_schema_string(
     return json.dumps({"type": "struct", "fields": fields})
 
 
-def _delta_file_stats(entry: dict) -> str | None:
+def _delta_file_stats(entry: dict, ts_cols: set[str]) -> str | None:
     """One manifest entry's Delta ``add.stats`` JSON string
     (PROTOCOL.md Per-file Statistics: numRecords, minValues,
-    maxValues). Timestamp-shaped strings are re-separated with 'T'
-    (the manifest stores ISO with a space; Delta readers parse the
-    'T' form). Returns None when the entry carries no row count —
-    stats are an optimization, never a requirement."""
+    maxValues). Values of TIMESTAMP-typed columns (``ts_cols``, from
+    the table schema — never guessed from the value's shape, which
+    would corrupt string columns that merely look like timestamps and
+    desynchronize exported bounds from space-form filter literals) are
+    re-separated with 'T' (the manifest stores ISO with a space; Delta
+    readers parse the 'T' form). Returns None when the entry carries no
+    row count — stats are an optimization, never a requirement."""
     import json as _json
-    import re as _re
 
     rows = entry.get("rows")
     if rows is None:
@@ -2349,15 +2376,14 @@ def _delta_file_stats(entry: dict) -> str | None:
     out: dict = {"numRecords": int(rows)}
     stats = entry.get("stats") or {}
     if stats:
-        ts_shape = _re.compile(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}")
 
-        def _norm(v):
-            if isinstance(v, str) and ts_shape.match(v):
+        def _norm(c, v):
+            if c in ts_cols and isinstance(v, str):
                 return v.replace(" ", "T", 1)
             return v
 
-        out["minValues"] = {c: _norm(v[0]) for c, v in stats.items()}
-        out["maxValues"] = {c: _norm(v[1]) for c, v in stats.items()}
+        out["minValues"] = {c: _norm(c, v[0]) for c, v in stats.items()}
+        out["maxValues"] = {c: _norm(c, v[1]) for c, v in stats.items()}
     nulls = entry.get("nulls") or {}
     if nulls:
         out["nullCount"] = {c: int(n) for c, n in nulls.items()}

@@ -35,9 +35,10 @@ ADDED, operation "overwrite"); subsequent exports append INCREMENTALLY
 reference in the new manifest list, one new manifest holds only the
 added files, and manifests containing removed files are rewritten with
 those entries DELETED (survivors EXISTING, lineage kept). Per-export
-cost is O(added + entries of touched manifests) driver-side metadata —
-no data read, no Spark job; ``mode="full"`` forces a self-contained
-snapshot to compact the manifest chain.
+metadata WRITES are O(added + entries of touched manifests) and the
+diff READ is O(live entries) — all driver-side metadata, no data read,
+no Spark job; ``mode="full"`` forces a self-contained snapshot to
+compact the manifest chain.
 
 Offline caveat (stated for honesty): no Iceberg engine exists in this
 environment, so conformance is pinned structurally — replay-equals-
@@ -424,11 +425,12 @@ def export_iceberg(sink, as_of_run: str | None = None, mode: str = "auto") -> st
       new manifest list, a new manifest holds only files added since
       the last export, and manifests containing removed files are
       rewritten with those entries marked DELETED (survivors EXISTING,
-      original sequence numbers kept). Export cost per call is
-      O(added + entries of touched manifests), the append-economics the
-      Delta exporter's version diff already has, and snapshot N's
-      manifest list grows one manifest per append instead of
-      re-adding the world.
+      original sequence numbers kept). Metadata WRITES per call are
+      O(added + entries of touched manifests) — history and write
+      amplification stop growing by a full re-add per export; the
+      metadata READ (diffing the lake manifest against the previous
+      snapshot's decoded manifests) stays O(live entries), the same
+      floor the lake-side entry materialization already sets.
     - ``"full"``: force a self-contained snapshot (all live files
       re-added in one fresh manifest) — metadata compaction: the next
       incremental chain restarts from it. Also the automatic fallback

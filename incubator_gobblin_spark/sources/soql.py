@@ -151,14 +151,18 @@ def soql_count(
 ) -> str:
     """The row-count probe (getCountMetadata:317-350): ``COUNT()`` —
     SOQL's bare form, not COUNT(*) — the existing WHERE, predicates,
-    and the user query's trailing LIMIT re-appended verbatim."""
+    and the user query's trailing LIMIT re-appended last. Composes with
+    :func:`split_trailing_limit` (which returns the clause stripped):
+    the separator space is added here, so either form of ``limit`` —
+    stripped or not — yields well-formed SOQL."""
     sql = f"SELECT COUNT() FROM {entity}"
     if existing_where:
         sql = f"{sql} {existing_where.strip()}"
     sql, _ = split_trailing_limit(sql)
     for p in predicates:
         sql = add_predicate(sql, p.sql())
-    return f"{sql}{limit}" if limit else sql
+    limit = (limit or "").strip()
+    return f"{sql} {limit}" if limit else sql
 
 
 def soql_url(query: str, api_version: str = "42.0") -> str:

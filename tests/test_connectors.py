@@ -1418,7 +1418,7 @@ def test_soql_count_uses_bare_count_and_reappends_limit():
         "Account",
         [Predicate("Id", ">", "001000000000000")],
         existing_where="WHERE Industry = 'Tech'",
-        limit=" LIMIT 1000",
+        limit="LIMIT 1000",  # stripped, as split_trailing_limit returns
     )
     assert q == (
         "SELECT COUNT() FROM Account WHERE Industry = 'Tech'"

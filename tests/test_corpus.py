@@ -1129,3 +1129,21 @@ def test_bpe_segment_arrow_handles_large_vocab(spark):
         C.bpe_segment(df, "text", merges)
     out = C.bpe_segment_arrow(df, "text", merges).collect()[0]["bpe_tokens"]
     assert list(out) == ["ab", "ab", "x", "y"]
+
+
+def test_bpe_select_exact_batch_truncated_floor_guard():
+    """With a TRUNCATED pair table, a fused symbol can collide with a
+    below-cutoff symbol invisibly, and unseen old pairs hold up to the
+    floor — the dominance bound must absorb the floor, so a candidate
+    at floor+epsilon is NOT provable and ends the batch."""
+    from incubator_gobblin_spark.functions.corpus import _select_exact_batch
+
+    rows = [("a", "b", 100), ("c", "d", 52), ("e", "f", 50)]
+    # truncated: floor = 50; after ('a','b') the reachable max of a
+    # boosted/created pair is <= 0-neighbors(50 floor) + 50 = 100, so
+    # ('c','d')=52 cannot be proven to be the sequential next pick
+    assert _select_exact_batch(rows, truncated=True, quota=10) == [("a", "b")]
+    # the SAME table untruncated proves ('c','d') fine
+    assert _select_exact_batch(rows, truncated=False, quota=10) == [
+        ("a", "b"), ("c", "d"), ("e", "f")
+    ]

@@ -1010,3 +1010,28 @@ def test_job_spec_with_schedule_key_compiles_and_disabled_skips(spark, tmp_path)
                             "data.publisher.final.dir": str(tmp_path / "out2")})
     assert SP.run_job(spark, props2) is None
     assert not os.path.exists(str(tmp_path / "out2"))
+
+
+def test_run_job_does_not_reject_calendar_cron_forms(spark, tmp_path):
+    """A valid Quartz calendar form (L/W/#) this engine's parser
+    declines must not stop run_job — it never consults the cron
+    (compile_schedule stays the strict orchestrator-facing parser)."""
+    import pytest as _pytest
+
+    from incubator_gobblin_spark.jobs import spec as SP
+    from incubator_gobblin_spark.jobs.schedule import compile_schedule
+
+    src = str(tmp_path / "src")
+    spark.range(3).selectExpr("id", "id * 2 AS v").coalesce(1).write.json(src)
+    props = {
+        "job.name": "last-day-job",
+        "job.schedule": "0 0 12 L * ?",  # last day of month: Quartz-valid
+        "source.class": "SimpleJsonSource",
+        "source.filebased.data.directory": src,
+        "writer.output.format": "parquet",
+        "data.publisher.final.dir": str(tmp_path / "out"),
+    }
+    out = SP.run_job(spark, props)
+    assert out is not None and out.rows_written == 3
+    with _pytest.raises(ValueError, match="L/W/#"):
+        compile_schedule(props)  # the strict parser still declines
