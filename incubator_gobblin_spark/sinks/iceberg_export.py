@@ -550,7 +550,17 @@ def export_iceberg(sink, as_of_run: str | None = None, mode: str = "auto") -> st
                 return meta_dir
 
         version = (versions[-1] if versions else 0) + 1
-        sid = len(snapshots) + 1  # deterministic, monotonic snapshot id
+        # deterministic, monotonic snapshot id — monotonic against BOTH
+        # the live snapshot ids and the last sequence number, so ids
+        # and sequence numbers never regress after expire_iceberg_
+        # snapshots prunes the history (len(snapshots)+1 would)
+        sid = (
+            max(
+                max((s["snapshot-id"] for s in snapshots), default=0),
+                int(prev.get("last-sequence-number", 0)) if prev else 0,
+            )
+            + 1
+        )
         seq = sid
         ts = int(time.time() * 1000)
         commit_uuid = str(
@@ -878,4 +888,122 @@ def export_iceberg(sink, as_of_run: str | None = None, mode: str = "auto") -> st
         f"export_iceberg: lost the metadata-version race 64 times under "
         f"{meta_dir} — a runaway concurrent exporter is appending "
         f"versions faster than this one can re-read"
+    )
+
+
+def expire_iceberg_snapshots(
+    sink_or_path, keep_last: int = 1
+) -> str:
+    """Prune Iceberg snapshot history — the ExpireSnapshots maintenance
+    op (iceberg-core ``RemoveSnapshots``): keep the newest ``keep_last``
+    snapshots, publish a metadata version without the expired ones, and
+    unlink manifest-list/manifest Avro files referenced ONLY by expired
+    snapshots. Without this, the incremental exporter's history grows
+    one snapshot + one manifest per export forever.
+
+    Scope boundary, stated plainly: DATA files are never touched — the
+    manifest lake's own ``vacuum`` owns data-file lifetime (an expired
+    Iceberg snapshot's files may still be live lake state or covered by
+    lake time travel). This prunes the METADATA chain only.
+
+    Published with the exporter's put-if-absent discipline (os.link on
+    vN+1); a lost race re-reads and retries, so expiration composes
+    with concurrent exports."""
+    path = sink_or_path if isinstance(sink_or_path, str) else sink_or_path.path
+    location = os.path.abspath(path)
+    meta_dir = os.path.join(location, "metadata")
+    if keep_last < 1:
+        raise ValueError("expire_iceberg_snapshots: keep_last must be >= 1")
+
+    from incubator_gobblin_spark.sources.iceberg_import import _local_path
+
+    def _referenced(snaps: list[dict]) -> set[str]:
+        out: set[str] = set()
+        for s in snaps:
+            ml = _local_path(s["manifest-list"])
+            if not os.path.isabs(ml):
+                ml = os.path.join(location, ml)
+            out.add(ml)
+            if os.path.exists(ml):
+                for row in _decode_avro_rows_at(ml):
+                    mp = _local_path(row["manifest_path"])
+                    if not os.path.isabs(mp):
+                        mp = os.path.join(location, mp)
+                    out.add(mp)
+        return out
+
+    def _decode_avro_rows_at(p: str) -> list[dict]:
+        from incubator_gobblin_spark.sources.iceberg_import import (
+            _decode_avro_rows,
+        )
+
+        return _decode_avro_rows(p)
+
+    for attempt in range(64):
+        versions = _metadata_versions(meta_dir)
+        if not versions:
+            raise FileNotFoundError(f"no Iceberg metadata under {meta_dir}")
+        with open(
+            os.path.join(meta_dir, f"v{versions[-1]}.metadata.json")
+        ) as fh:
+            prev = json.load(fh)
+        snapshots = list(prev.get("snapshots", []))
+        if len(snapshots) <= keep_last:
+            return meta_dir  # nothing to expire
+        kept = snapshots[-keep_last:]
+        expired = snapshots[:-keep_last]
+        # the current snapshot is always in the kept tail (monotonic ids)
+        kept_ids = {s["snapshot-id"] for s in kept}
+        assert prev.get("current-snapshot-id") in kept_ids
+
+        metadata = dict(prev)
+        metadata["snapshots"] = kept
+        # the oldest kept snapshot's parent is gone
+        metadata["snapshots"] = [
+            (
+                {k: v for k, v in s.items() if k != "parent-snapshot-id"}
+                if s["snapshot-id"] == kept[0]["snapshot-id"]
+                else s
+            )
+            for s in kept
+        ]
+        metadata["snapshot-log"] = [
+            e
+            for e in prev.get("snapshot-log", [])
+            if e.get("snapshot-id") in kept_ids
+        ]
+        metadata["last-updated-ms"] = int(time.time() * 1000)
+
+        version = versions[-1] + 1
+        meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
+        tmp = f"{meta_path}.tmp-{os.getpid()}-{attempt}"
+        with open(tmp, "w") as fh:
+            json.dump(metadata, fh, indent=1)
+        try:
+            os.link(tmp, meta_path)
+        except FileExistsError:
+            os.remove(tmp)
+            continue  # lost to a concurrent export: re-read, retry
+        os.remove(tmp)
+
+        hint_tmp = os.path.join(meta_dir, f".hint.tmp-{os.getpid()}")
+        with open(hint_tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+
+        # physical cleanup AFTER the publish: files referenced only by
+        # expired snapshots (set difference, so a manifest carried into
+        # a kept snapshot's list survives)
+        drop = _referenced(expired) - _referenced(kept)
+        for p in drop:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+        # old metadata versions still reference dropped files; Iceberg
+        # keeps them (metadata-log) — readers use the newest version
+        return meta_dir
+    raise RuntimeError(
+        f"expire_iceberg_snapshots: lost the metadata-version race 64 "
+        f"times under {meta_dir}"
     )

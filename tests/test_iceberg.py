@@ -840,3 +840,60 @@ def test_iceberg_filters_prune_files_and_stay_correct(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, pruned_df.collect())) == sorted(
         map(tuple, full_df.collect())
     )
+
+
+def test_iceberg_expire_snapshots_prunes_history_and_orphans(
+    spark, sf_dir, tmp_path
+):
+    """ExpireSnapshots parity: keep_last=1 leaves one snapshot, the
+    current state still round-trips, time travel to an expired snapshot
+    raises, and Avro files referenced only by expired snapshots are
+    unlinked while carried manifests survive."""
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        expire_iceberg_snapshots,
+    )
+
+    df = load_table(spark, sf_dir, "region")
+    root = str(tmp_path / "expire")
+    sink = _sink(root, table_type=TableType.APPEND_ONLY)
+    for i in range(3):
+        sink.write_staging(df.filter(F.col("r_regionkey") % 3 == i), f"r{i}")
+        sink.publish(f"r{i}")
+        sink.export_iceberg()
+    meta_dir = os.path.join(root, "metadata")
+    avro_before = {f for f in os.listdir(meta_dir) if f.endswith(".avro")}
+
+    expire_iceberg_snapshots(sink, keep_last=1)
+    meta = current_metadata(root)
+    assert len(meta["snapshots"]) == 1
+    assert "parent-snapshot-id" not in meta["snapshots"][0]
+    got = read_iceberg(spark, root)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, df.collect()))
+    with pytest.raises(FileNotFoundError):
+        read_iceberg(spark, root, snapshot_id=1)
+
+    avro_after = {f for f in os.listdir(meta_dir) if f.endswith(".avro")}
+    assert avro_after < avro_before  # expired-only files unlinked
+    # everything the kept snapshot references still exists (carried
+    # manifests from snapshot 1/2 survive the cleanup)
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        _decode_manifest_list,
+    )
+
+    for row in _decode_manifest_list(meta["snapshots"][-1], root):
+        assert os.path.exists(_local_path(row["manifest_path"]))
+
+    # idempotent / nothing-to-expire fast path
+    expire_iceberg_snapshots(sink, keep_last=1)
+    assert len(current_metadata(root)["snapshots"]) == 1
+    # and a subsequent export keeps working on the pruned chain
+    sink.write_staging(df.limit(1).withColumn("r_regionkey",
+                                              F.col("r_regionkey") + 100), "r9")
+    sink.publish("r9")
+    sink.export_iceberg()
+    after = current_metadata(root)
+    assert len(after["snapshots"]) == 2
+    # ids and sequence numbers stay monotonic across the pruned history
+    ids = [s["snapshot-id"] for s in after["snapshots"]]
+    assert ids == sorted(ids) and ids[-1] > ids[0]
+    assert after["last-sequence-number"] >= ids[-1] - 1
