@@ -1167,7 +1167,11 @@ class FileSink:
                 )
                 if p:
                     prev_proto = p
-            version = len(prev_versions)
+            # next version = newest + 1, NOT len(): after expire_delta_
+            # log prunes pre-checkpoint commits the list is no longer
+            # dense from 0, and len() would collide with a live version
+            # and spin the put-if-absent loop to exhaustion
+            version = (prev_versions[-1] + 1) if prev_versions else 0
 
             removed = sorted(p for p in live if p not in adds)
             added = sorted(p for p in adds if p not in live)
@@ -1279,6 +1283,45 @@ class FileSink:
             f"{log_dir} — a runaway concurrent exporter is appending "
             f"versions faster than this one can replay"
         )
+
+    def expire_delta_log(self) -> int:
+        """Delta log retention (the delta.logRetentionDuration cleanup,
+        PROTOCOL.md checkpoint semantics): delete commit JSONs and
+        checkpoints STRICTLY OLDER than the newest checkpoint — a
+        reader trusting ``_last_checkpoint`` replays checkpoint + tail
+        and never touches them. The checkpoint's own commit JSON is
+        kept so the version list is never empty. Time travel to pruned
+        versions raises the standard version-not-present error; that is
+        the retention trade every Delta deployment makes. Returns the
+        number of files removed. No-op (0) until a checkpoint exists —
+        the full JSON chain is the only replay source before that."""
+        import json as _json
+
+        log_dir = os.path.join(self.path, "_delta_log")
+        lc_path = os.path.join(log_dir, "_last_checkpoint")
+        if not os.path.exists(lc_path):
+            return 0
+        with open(lc_path) as fh:
+            cp_v = int(_json.load(fh)["version"])
+        removed = 0
+        for f in os.listdir(log_dir):
+            v: int | None = None
+            if f.endswith(".json") and f[:-5].isdigit():
+                v = int(f[:-5])
+                if v >= cp_v:
+                    continue
+            elif ".checkpoint" in f and f.split(".")[0].isdigit():
+                v = int(f.split(".")[0])
+                if v >= cp_v:
+                    continue
+            if v is None:
+                continue
+            try:
+                os.remove(os.path.join(log_dir, f))
+                removed += 1
+            except OSError:
+                pass
+        return removed
 
     def read_changes(
         self, spark, from_run: str, to_run: str | None = None

@@ -2623,3 +2623,58 @@ def test_read_delta_filters_prune_files_and_stay_correct(
     assert sorted(map(tuple, pruned_df.collect())) == sorted(
         map(tuple, full_df.collect())
     )
+
+
+def test_delta_log_expiration_and_post_cleanup_exports(spark, sf_dir, tmp_path):
+    """expire_delta_log deletes pre-checkpoint commits/checkpoints;
+    replay from _last_checkpoint + tail still equals the committed
+    state; time travel to pruned versions raises; and a FURTHER export
+    allocates newest+1 (a sparse version list must not collide the
+    put-if-absent loop)."""
+    import pytest as _pytest
+
+    from incubator_gobblin_spark.sources.delta_import import (
+        _log_versions,
+        read_delta,
+    )
+
+    df = load_table(spark, sf_dir, "region")
+    root = str(tmp_path / "dexp")
+    sink = _sink(root, table_type=TableType.APPEND_ONLY)
+    for i in range(4):
+        sink.write_staging(df.filter(F.col("r_regionkey") % 4 == i), f"r{i}")
+        sink.publish(f"r{i}")
+        sink.export_delta_log(checkpoint_interval=2)
+    log_dir = os.path.join(root, "_delta_log")
+    # checkpoints exist at v2 (and _last_checkpoint points at the newest)
+    before = sorted(_log_versions(log_dir))
+    assert before == [0, 1, 2, 3]
+
+    n = sink.expire_delta_log()
+    assert n > 0
+    after = sorted(_log_versions(log_dir))
+    assert after[0] == 2  # pre-checkpoint commits gone, checkpoint kept
+    got = read_delta(spark, root)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, sink.read_committed(spark).collect())
+    )
+    with _pytest.raises(FileNotFoundError, match="not present"):
+        read_delta(spark, root, version=0)
+
+    # export after expiration: version allocates newest+1, no collision
+    sink.write_staging(
+        df.limit(1).withColumn("r_regionkey", F.col("r_regionkey") + 50), "r9"
+    )
+    sink.publish("r9")
+    sink.export_delta_log()
+    assert sorted(_log_versions(log_dir))[-1] == 4
+    got2 = read_delta(spark, root)
+    assert got2.count() == sink.read_committed(spark).count()
+
+    # no checkpoint -> no-op
+    root2 = str(tmp_path / "dexp2")
+    s2 = _sink(root2)
+    s2.write_staging(df, "r1")
+    s2.publish("r1")
+    s2.export_delta_log()
+    assert s2.expire_delta_log() == 0
