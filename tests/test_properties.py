@@ -409,3 +409,90 @@ def test_quartz_next_fire_time_is_minimal_match(minute, hour, dow, start_min):
         assert not cron.matches(probe), (probe, nxt)
         probe += timedelta(minutes=1)
         scanned += 1
+
+
+# ---------------------------------------------------------------------------
+# Import-path pruning: NEVER drops a file that contains a matching row
+# (conservativeness is the entire correctness contract of file skipping)
+# ---------------------------------------------------------------------------
+
+
+_OPS = ["=", "<", "<=", ">", ">="]
+
+
+def _matches(op, row, val):
+    return {
+        "=": row == val,
+        "<": row < val,
+        "<=": row <= val,
+        ">": row > val,
+        ">=": row >= val,
+    }[op]
+
+
+@given(
+    files=st.lists(
+        st.lists(st.integers(-50, 50), min_size=1, max_size=8),
+        min_size=1,
+        max_size=8,
+    ),
+    op=st.sampled_from(_OPS),
+    val=st.integers(-55, 55),
+    with_stats=st.booleans(),
+)
+@settings(max_examples=300, deadline=None)
+def test_delta_prune_adds_is_conservative(files, op, val, with_stats):
+    """For ANY per-file row sets and ANY single filter: every file
+    holding at least one matching row SURVIVES prune_adds (files
+    without stats always survive)."""
+    import json
+
+    from incubator_gobblin_spark.sources.delta_import import prune_adds
+
+    live = {}
+    for i, rows in enumerate(files):
+        add = {"path": f"f{i}", "partitionValues": {}}
+        if with_stats:
+            add["stats"] = json.dumps(
+                {
+                    "numRecords": len(rows),
+                    "minValues": {"c": min(rows)},
+                    "maxValues": {"c": max(rows)},
+                }
+            )
+        live[f"f{i}"] = add
+    kept = prune_adds(live, [("c", op, val)], [])
+    for i, rows in enumerate(files):
+        if any(_matches(op, r, val) for r in rows):
+            assert f"f{i}" in kept, (rows, op, val)
+
+
+@given(
+    files=st.lists(
+        st.lists(st.integers(-50, 50), min_size=1, max_size=8),
+        min_size=1,
+        max_size=8,
+    ),
+    op=st.sampled_from(_OPS),
+    val=st.integers(-55, 55),
+)
+@settings(max_examples=300, deadline=None)
+def test_iceberg_prune_files_is_conservative(files, op, val):
+    """Same contract over the binary Appendix-D bounds encoding."""
+    from incubator_gobblin_spark.sinks.iceberg_export import _encode_bound
+    from incubator_gobblin_spark.sources.iceberg_import import prune_files
+
+    fields = [{"name": "c", "id": 1, "type": "long"}]
+    flist = [
+        {
+            "path": f"f{i}",
+            "partition": {},
+            "lower_bounds": {1: _encode_bound(min(rows), "long")},
+            "upper_bounds": {1: _encode_bound(max(rows), "long")},
+        }
+        for i, rows in enumerate(files)
+    ]
+    kept = {f["path"] for f in prune_files(flist, [("c", op, val)], fields, [])}
+    for i, rows in enumerate(files):
+        if any(_matches(op, r, val) for r in rows):
+            assert f"f{i}" in kept, (rows, op, val)
