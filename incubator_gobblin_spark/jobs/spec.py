@@ -581,6 +581,40 @@ def run_retention_job(spark: SparkSession, spec: str | dict[str, str]):
     raise SpecError(f"unsupported retention policy: {policy}")
 
 
+def run_metadata_retention_job(spec: str | dict[str, str]) -> dict:
+    """Prune EXPORT METADATA history from a ``.pull`` spec — the
+    companion of ``run_retention_job`` (which owns data files): the
+    Iceberg ExpireSnapshots / Delta logRetention maintenance passes a
+    deployment schedules alongside vacuum. Vocabulary
+    (``gobblin.retention.metadata.*`` — engine keys; the reference has
+    no Iceberg/Delta export to retain):
+
+    - ``gobblin.retention.metadata.table.dir``: the lake root;
+    - ``gobblin.retention.metadata.iceberg.keep.snapshots``: keep the
+      newest N Iceberg snapshots (expire_iceberg_snapshots);
+    - ``gobblin.retention.metadata.delta.expire``: ``true`` deletes
+      pre-checkpoint Delta commits (FileSink.expire_delta_log).
+
+    Returns a summary dict; keys absent from the spec run nothing (an
+    explicit opt-in per surface, like ``simulate`` elsewhere)."""
+    props = load_job_file(spec) if isinstance(spec, str) else spec
+    pfx = "gobblin.retention.metadata."
+    root = props[pfx + "table.dir"]
+    out: dict = {"table": root}
+    keep = props.get(pfx + "iceberg.keep.snapshots")
+    if keep is not None:
+        from incubator_gobblin_spark.sinks.iceberg_export import (
+            expire_iceberg_snapshots,
+        )
+
+        expire_iceberg_snapshots(root, keep_last=int(keep))
+        out["iceberg_kept"] = int(keep)
+    if props.get(pfx + "delta.expire", "false").lower() == "true":
+        sink = FileSink(path=root, commit_mode="manifest")
+        out["delta_removed"] = sink.expire_delta_log()
+    return out
+
+
 def run_compaction_job(spark: SparkSession, spec: str | dict[str, str]):
     """Run a compaction job from the reference's ``compaction.*``
     vocabulary (MRCompactor.java:116-126): ``input.dir``/``input.subdir``

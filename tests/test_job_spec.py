@@ -1035,3 +1035,41 @@ def test_run_job_does_not_reject_calendar_cron_forms(spark, tmp_path):
     assert out is not None and out.rows_written == 3
     with _pytest.raises(ValueError, match="L/W/#"):
         compile_schedule(props)  # the strict parser still declines
+
+
+def test_metadata_retention_job_vocabulary(spark, sf_dir, tmp_path):
+    """gobblin.retention.metadata.*: one spec prunes Iceberg snapshot
+    history to keep-last-N and expires pre-checkpoint Delta commits;
+    both surfaces stay readable afterwards."""
+    from incubator_gobblin_spark.jobs import spec as SP
+    from incubator_gobblin_spark.session import load_table
+    from incubator_gobblin_spark.sinks.files import FileSink, TableType
+    from incubator_gobblin_spark.sources.delta_import import read_delta
+    from incubator_gobblin_spark.sources.iceberg_import import (
+        current_metadata,
+        read_iceberg,
+    )
+
+    df = load_table(spark, sf_dir, "region")
+    root = str(tmp_path / "meta-ret")
+    sink = FileSink(
+        path=root, commit_mode="manifest", table_type=TableType.APPEND_ONLY
+    )
+    for i in range(3):
+        sink.write_staging(df.filter(F.col("r_regionkey") % 3 == i), f"r{i}")
+        sink.publish(f"r{i}")
+        sink.export_iceberg()
+        sink.export_delta_log(checkpoint_interval=1)
+
+    out = SP.run_metadata_retention_job(
+        {
+            "gobblin.retention.metadata.table.dir": root,
+            "gobblin.retention.metadata.iceberg.keep.snapshots": "1",
+            "gobblin.retention.metadata.delta.expire": "true",
+        }
+    )
+    assert out["iceberg_kept"] == 1 and out["delta_removed"] > 0
+    assert len(current_metadata(root)["snapshots"]) == 1
+    committed = sorted(map(tuple, sink.read_committed(spark).collect()))
+    assert sorted(map(tuple, read_iceberg(spark, root).collect())) == committed
+    assert sorted(map(tuple, read_delta(spark, root).collect())) == committed
