@@ -1305,6 +1305,8 @@ class FileSink:
             cp_v = int(_json.load(fh)["version"])
         removed = 0
         for f in os.listdir(log_dir):
+            if ".tmp-" in f:
+                continue  # a concurrent exporter's in-flight write
             v: int | None = None
             if f.endswith(".json") and f[:-5].isdigit():
                 v = int(f[:-5])
@@ -2538,9 +2540,20 @@ def _write_delta_checkpoint(
     tmp = f"{cp}.tmp-{os.getpid()}"
     pq.write_table(table, tmp)
     os.replace(tmp, cp)
+    lc_path = os.path.join(log_dir, "_last_checkpoint")
+    # never REGRESS the pointer: a slow exporter finishing an older
+    # checkpoint after a newer one landed (or after expire_delta_log
+    # deleted its pre-checkpoint files) must not point readers at a
+    # checkpoint that may no longer exist
+    try:
+        with open(lc_path) as fh:
+            if int(json.load(fh).get("version", -1)) >= version:
+                return
+    except (OSError, ValueError):
+        pass
     lc_tmp = os.path.join(log_dir, f"_last_checkpoint.tmp-{os.getpid()}")
     with open(lc_tmp, "w") as fh:
         json.dump(
             {"version": version, "size": len(adds) + len(removes) + 2}, fh
         )
-    os.replace(lc_tmp, os.path.join(log_dir, "_last_checkpoint"))
+    os.replace(lc_tmp, lc_path)

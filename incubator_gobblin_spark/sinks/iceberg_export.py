@@ -925,19 +925,12 @@ def expire_iceberg_snapshots(
                 ml = os.path.join(location, ml)
             out.add(ml)
             if os.path.exists(ml):
-                for row in _decode_avro_rows_at(ml):
+                for row in _decode_manifest_list(s, location):
                     mp = _local_path(row["manifest_path"])
                     if not os.path.isabs(mp):
                         mp = os.path.join(location, mp)
                     out.add(mp)
         return out
-
-    def _decode_avro_rows_at(p: str) -> list[dict]:
-        from incubator_gobblin_spark.sources.iceberg_import import (
-            _decode_avro_rows,
-        )
-
-        return _decode_avro_rows(p)
 
     for attempt in range(64):
         versions = _metadata_versions(meta_dir)
@@ -952,12 +945,20 @@ def expire_iceberg_snapshots(
             return meta_dir  # nothing to expire
         kept = snapshots[-keep_last:]
         expired = snapshots[:-keep_last]
-        # the current snapshot is always in the kept tail (monotonic ids)
         kept_ids = {s["snapshot-id"] for s in kept}
-        assert prev.get("current-snapshot-id") in kept_ids
+        # this exporter always points current at the newest snapshot,
+        # but a foreign or rolled-back table may not — REFUSE rather
+        # than expire the snapshot readers are on (iceberg-core
+        # RemoveSnapshots never removes the current snapshot)
+        if prev.get("current-snapshot-id") not in kept_ids:
+            raise ValueError(
+                "expire_iceberg_snapshots: keep_last="
+                f"{keep_last} would expire the CURRENT snapshot "
+                f"{prev.get('current-snapshot-id')} (a rollback points "
+                "current at an older snapshot); raise keep_last"
+            )
 
         metadata = dict(prev)
-        metadata["snapshots"] = kept
         # the oldest kept snapshot's parent is gone
         metadata["snapshots"] = [
             (

@@ -97,8 +97,22 @@ class DeltaStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["version"]), int(end["version"])
+        vs = _versions(self.log_dir)
+        # Log-truncation guard (what real delta-spark raises as
+        # VersionNotFoundException): expire_delta_log deletes
+        # pre-checkpoint commit JSONs, and a stream whose offset
+        # predates the surviving chain would otherwise SILENTLY skip
+        # those versions' rows — fail loudly instead; the stream must
+        # reprocess from a fresh checkpoint or a supported offset.
+        if vs and lo + 1 < vs[0] and any(lo < v <= hi for v in vs):
+            raise ValueError(
+                f"deltastream: versions ({lo}, {vs[0]}) were removed by "
+                "log retention; the stream's checkpointed offset "
+                "predates the surviving Delta log — restart from a "
+                "fresh checkpoint"
+            )
         parts: list[_AddedFile] = []
-        for v in _versions(self.log_dir):
+        for v in vs:
             if v <= lo or v > hi:
                 continue
             acts = _actions(self.log_dir, v)

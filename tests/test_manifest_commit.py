@@ -2678,3 +2678,90 @@ def test_delta_log_expiration_and_post_cleanup_exports(spark, sf_dir, tmp_path):
     s2.publish("r1")
     s2.export_delta_log()
     assert s2.expire_delta_log() == 0
+
+
+def test_delta_stream_fails_loudly_on_truncated_log(spark, sf_dir, tmp_path):
+    """After expire_delta_log, a stream whose offset predates the
+    surviving chain must RAISE (delta-spark's version-not-found
+    behavior), never silently skip the pruned versions' rows."""
+    import pytest as _pytest
+
+    from incubator_gobblin_spark.sources.delta_stream import (
+        DeltaStreamReader,
+        table_schema,
+    )
+
+    df = load_table(spark, sf_dir, "region")
+    root = str(tmp_path / "dstrunc")
+    sink = _sink(root, table_type=TableType.APPEND_ONLY)
+    for i in range(4):
+        sink.write_staging(df.filter(F.col("r_regionkey") % 4 == i), f"r{i}")
+        sink.publish(f"r{i}")
+        sink.export_delta_log(checkpoint_interval=2)
+    assert sink.expire_delta_log() > 0
+
+    schema, part_cols = table_schema(root)
+    reader = DeltaStreamReader({"path": root}, schema, part_cols)
+    with _pytest.raises(ValueError, match="log retention"):
+        reader.partitions({"version": -1}, {"version": 3})
+    # an offset inside the surviving chain still streams the tail
+    parts = reader.partitions({"version": 2}, {"version": 3})
+    assert parts and parts[0].path
+
+
+def test_iceberg_expire_refuses_to_drop_current_snapshot(
+    spark, sf_dir, tmp_path
+):
+    """A rolled-back table (current-snapshot-id older than the newest)
+    must make expiration REFUSE, never expire the snapshot readers are
+    on (iceberg-core RemoveSnapshots contract)."""
+    import pytest as _pytest
+
+    import json
+
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        _metadata_versions,
+        expire_iceberg_snapshots,
+    )
+
+    df = load_table(spark, sf_dir, "region")
+    root = str(tmp_path / "icb-roll")
+    sink = _sink(root, table_type=TableType.APPEND_ONLY)
+    for i in range(2):
+        sink.write_staging(df.filter(F.col("r_regionkey") % 2 == i), f"r{i}")
+        sink.publish(f"r{i}")
+        sink.export_iceberg()
+    meta_dir = os.path.join(root, "metadata")
+    v = _metadata_versions(meta_dir)[-1]
+    with open(os.path.join(meta_dir, f"v{v}.metadata.json")) as fh:
+        meta = json.load(fh)
+    meta["current-snapshot-id"] = meta["snapshots"][0]["snapshot-id"]
+    with open(os.path.join(meta_dir, f"v{v + 1}.metadata.json"), "w") as fh:
+        json.dump(meta, fh)  # simulate a foreign rollback
+    with _pytest.raises(ValueError, match="CURRENT snapshot"):
+        expire_iceberg_snapshots(sink, keep_last=1)
+
+
+def test_delta_last_checkpoint_never_regresses(spark, sf_dir, tmp_path):
+    """A slow exporter finishing an OLDER checkpoint after a newer one
+    landed must not point _last_checkpoint backwards (after expiration
+    the older checkpoint file may not even exist anymore)."""
+    import json as _json
+
+    from incubator_gobblin_spark.sinks.files import _write_delta_checkpoint
+
+    df = load_table(spark, sf_dir, "region")
+    root = str(tmp_path / "lcreg")
+    sink = _sink(root, table_type=TableType.APPEND_ONLY)
+    for i in range(4):
+        sink.write_staging(df.filter(F.col("r_regionkey") % 4 == i), f"r{i}")
+        sink.publish(f"r{i}")
+        sink.export_delta_log(checkpoint_interval=2)
+    log_dir = os.path.join(root, "_delta_log")
+    with open(os.path.join(log_dir, "_last_checkpoint")) as fh:
+        newest = int(_json.load(fh)["version"])
+    # the straggler: re-write an older checkpoint version
+    _write_delta_checkpoint(log_dir, newest - 2, [], None,
+                            {"minReaderVersion": 1, "minWriterVersion": 2})
+    with open(os.path.join(log_dir, "_last_checkpoint")) as fh:
+        assert int(_json.load(fh)["version"]) == newest  # not regressed
