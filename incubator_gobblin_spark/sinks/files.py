@@ -1048,6 +1048,7 @@ class FileSink:
         self,
         as_of_run: str | None = None,
         checkpoint_interval: int | None = None,
+        checkpoint_part_size: int | None = None,
     ) -> str:
         """Export the committed snapshot as a Delta Lake transaction
         log (``_delta_log/``), the other publicly documented interop
@@ -1276,6 +1277,7 @@ class FileSink:
                     meta,
                     prev_proto,
                     removes=sorted(tombs.values(), key=lambda r: r["path"]),
+                    part_size=checkpoint_part_size,
                 )
             return log_dir
         raise RuntimeError(
@@ -2442,6 +2444,7 @@ def _write_delta_checkpoint(
     meta: dict | None,
     proto: dict,
     removes: list[dict] | None = None,
+    part_size: int | None = None,
 ) -> None:
     """Write a Delta checkpoint parquet (one row per action: protocol,
     metaData, every live add, every un-expired remove tombstone) + the
@@ -2528,18 +2531,43 @@ def _write_delta_checkpoint(
         }
         for r in removes
     ]
-    table = pa.table(
-        {
-            "protocol": pa.array(rows_proto, type=proto_t),
-            "metaData": pa.array(rows_meta, type=meta_t),
-            "add": pa.array(rows_add, type=add_t),
-            "remove": pa.array(rows_remove, type=remove_t),
-        }
-    )
-    cp = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
-    tmp = f"{cp}.tmp-{os.getpid()}"
-    pq.write_table(table, tmp)
-    os.replace(tmp, cp)
+    total = len(rows_proto)
+
+    def _write_part(path: str, sl: slice) -> None:
+        table = pa.table(
+            {
+                "protocol": pa.array(rows_proto[sl], type=proto_t),
+                "metaData": pa.array(rows_meta[sl], type=meta_t),
+                "add": pa.array(rows_add[sl], type=add_t),
+                "remove": pa.array(rows_remove[sl], type=remove_t),
+            }
+        )
+        tmp = f"{path}.tmp-{os.getpid()}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+
+    parts_n = None
+    if part_size and total > part_size:
+        # multi-part checkpoint (PROTOCOL.md {v}.checkpoint.{i}.{n}
+        # .parquet, 1-indexed): at 100 TB a live set of millions of
+        # adds in ONE parquet serializes the write and the read —
+        # parts let both sides parallelize; the reader
+        # (_checkpoint_files) already consumes this form
+        parts_n = (total + part_size - 1) // part_size
+        for i in range(parts_n):
+            _write_part(
+                os.path.join(
+                    log_dir,
+                    f"{version:020d}.checkpoint."
+                    f"{i + 1:010d}.{parts_n:010d}.parquet",
+                ),
+                slice(i * part_size, (i + 1) * part_size),
+            )
+    else:
+        _write_part(
+            os.path.join(log_dir, f"{version:020d}.checkpoint.parquet"),
+            slice(None),
+        )
     lc_path = os.path.join(log_dir, "_last_checkpoint")
     # never REGRESS the pointer: a slow exporter finishing an older
     # checkpoint after a newer one landed (or after expire_delta_log
@@ -2553,7 +2581,8 @@ def _write_delta_checkpoint(
         pass
     lc_tmp = os.path.join(log_dir, f"_last_checkpoint.tmp-{os.getpid()}")
     with open(lc_tmp, "w") as fh:
-        json.dump(
-            {"version": version, "size": len(adds) + len(removes) + 2}, fh
-        )
+        lc: dict = {"version": version, "size": total}
+        if parts_n:
+            lc["parts"] = parts_n
+        json.dump(lc, fh)
     os.replace(lc_tmp, lc_path)

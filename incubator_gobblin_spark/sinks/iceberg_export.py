@@ -249,6 +249,12 @@ def _manifest_entry_avro(partition_struct: dict) -> dict:
                             "field-id": 104,
                         },
                         {
+                            "name": "value_counts",
+                            "field-id": 109,
+                            "default": None,
+                            "type": ["null", _counts_map_avro("k119_v120", 119, 120)],
+                        },
+                        {
                             "name": "null_value_counts",
                             "field-id": 110,
                             "default": None,
@@ -635,6 +641,17 @@ def export_iceberg(sink, as_of_run: str | None = None, mode: str = "auto") -> st
                 hi_out.append({"key": fid, "value": hi})
             return (lo_out or None, hi_out or None)
 
+        def _value_counts(f: dict) -> list | None:
+            # top-level scalar fields carry exactly one value (possibly
+            # null) per row, so value_counts = record_count for each —
+            # with null_value_counts this lets readers prove all-null
+            out = [
+                {"key": fid, "value": int(f["rows"])}
+                for name, (fid, typ) in sorted(col_info.items())
+                if isinstance(typ, str)
+            ]
+            return out or None
+
         def _null_counts(f: dict) -> list | None:
             out = [
                 {"key": col_info[c][0], "value": int(n)}
@@ -659,6 +676,7 @@ def export_iceberg(sink, as_of_run: str | None = None, mode: str = "auto") -> st
                 },
                 "record_count": f["rows"],
                 "file_size_in_bytes": f["size"],
+                "value_counts": _value_counts(f),
                 "null_value_counts": _null_counts(f),
                 "lower_bounds": lo,
                 "upper_bounds": hi,

@@ -779,6 +779,8 @@ def test_iceberg_export_carries_column_bounds(spark, sf_dir, tmp_path):
         assert lo and hi
         nvc = {kv["key"]: kv["value"] for kv in (d["null_value_counts"] or [])}
         assert nvc.get(fid["n_nationkey"]) == 0  # footer-true null counts
+        vc = {kv["key"]: kv["value"] for kv in (d["value_counts"] or [])}
+        assert vc.get(fid["n_nationkey"]) == d["record_count"]
         tbl = pq.read_table(_local_path(d["file_path"]))
         keys = tbl.column("n_nationkey").to_pylist()
         names = tbl.column("n_name").to_pylist()

@@ -2765,3 +2765,40 @@ def test_delta_last_checkpoint_never_regresses(spark, sf_dir, tmp_path):
                             {"minReaderVersion": 1, "minWriterVersion": 2})
     with open(os.path.join(log_dir, "_last_checkpoint")) as fh:
         assert int(_json.load(fh)["version"]) == newest  # not regressed
+
+
+def test_delta_multipart_checkpoint_roundtrip(spark, sf_dir, tmp_path):
+    """checkpoint_part_size splits the checkpoint into the spec's
+    {v}.checkpoint.{i}.{n}.parquet form; _last_checkpoint advertises
+    parts and the replay (which already consumed that form) equals the
+    committed state."""
+    import json as _json
+
+    from incubator_gobblin_spark.sources.delta_import import read_delta
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    root = str(tmp_path / "mpcp")
+    sink = _sink(root, partition_by=["source"],
+                 table_type=TableType.APPEND_ONLY)
+    sink.write_staging(docs.filter(F.col("doc_id") % 2 == 0), "r0")
+    sink.publish("r0")
+    sink.export_delta_log()
+    sink.write_staging(docs.filter(F.col("doc_id") % 2 == 1), "r1")
+    sink.publish("r1")
+    sink.export_delta_log(checkpoint_interval=1, checkpoint_part_size=3)
+
+    log_dir = os.path.join(root, "_delta_log")
+    with open(os.path.join(log_dir, "_last_checkpoint")) as fh:
+        lc = _json.load(fh)
+    assert lc.get("parts", 0) >= 2
+    part_files = [
+        f for f in os.listdir(log_dir)
+        if ".checkpoint." in f and f.endswith(".parquet")
+    ]
+    assert len(part_files) == lc["parts"]
+    got = read_delta(spark, root)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, sink.read_committed(spark).collect())
+    )
