@@ -1499,3 +1499,51 @@ def test_soql_bulk_result_chaining_reads_all_files(spark):
 
     empty = S.read_bulk_results(spark, ep, [], "Id long")
     assert empty.count() == 0 and empty.columns == ["Id"]
+
+
+def test_read_soql_end_to_end_watermark_tiling(spark):
+    """read_soql drives the builders through a paged /queryAll endpoint
+    end to end: the watermark interval tiles into workunits, each unit's
+    SOQL executes on the endpoint (unquoted datetime literals and all),
+    pages chain through nextRecordsUrl, and the union is exactly the
+    (low, high] slice — no dup, no gap, across unit boundaries."""
+    from datetime import datetime, timedelta
+
+    from incubator_gobblin_spark.operators.watermark import (
+        WatermarkInterval,
+        WatermarkType,
+    )
+    from incubator_gobblin_spark.sources import soql as S
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        {
+            "Id": f"00{i:03d}",
+            "Amount": i * 10,
+            "SystemModstamp": base + timedelta(hours=i),
+        }
+        for i in range(48)
+    ]
+    ep = S.FileBackedSoqlEndpoint({"Opportunity": rows}, page_size=5)
+    got = S.read_soql(
+        spark,
+        ep,
+        "Opportunity",
+        ["Id", "Amount", "SystemModstamp"],
+        "Id string, Amount long, SystemModstamp timestamp",
+        interval=WatermarkInterval(
+            "SystemModstamp", base + timedelta(hours=7), base + timedelta(hours=31)
+        ),
+        wm_type=WatermarkType.TIMESTAMP,
+        num_partitions=3,
+    )
+    ids = sorted(r["Id"] for r in got.collect())
+    # (hour 7, hour 31] — low exclusive, high inclusive
+    assert ids == [f"00{i:03d}" for i in range(8, 32)]
+    assert got.count() == 24  # paging (page_size 5) never dups a row
+
+    # open interval: the whole entity in one unit
+    full = S.read_soql(
+        spark, ep, "Opportunity", ["Id"], "Id string",
+    )
+    assert full.count() == 48
