@@ -113,7 +113,9 @@ class QuartzCron:
 
     def _day_matches(self, dt: datetime) -> bool:
         """Quartz day logic: with one of dom/dow at ``?``/``*``, the
-        other decides; with both restricted, Quartz fires on EITHER."""
+        other decides. Both-restricted is rejected by
+        parse_quartz_cron (as real Quartz does); the OR-union branch
+        below only serves hand-built QuartzCron instances."""
         dom_ok = dt.day in self.days_of_month
         dow_ok = ((dt.weekday() + 1) % 7 + 1) in self.days_of_week
         if self.dom_restricted and self.dow_restricted:
@@ -190,6 +192,17 @@ def parse_quartz_cron(expression: str) -> QuartzCron:
             f"{len(fields)} fields: {expression!r}"
         )
     sec, minute, hour, dom, month, dow = fields
+    if dom not in ("*", "?") and dow not in ("*", "?"):
+        # Real Quartz rejects specifying both day-of-month AND
+        # day-of-week (UnsupportedOperationException in CronExpression)
+        # rather than applying the classic-cron OR-union — silently
+        # computing union fire times the reference's scheduler would
+        # never produce is worse than refusing the spec.
+        raise ValueError(
+            "job.schedule: specifying both a day-of-month and a "
+            f"day-of-week is not supported by Quartz — use '?' for one "
+            f"of them: {expression!r}"
+        )
     return QuartzCron(
         expression=expression,
         seconds=_expand(sec, 0, 59, {}),

@@ -603,6 +603,19 @@ def export_iceberg(sink, as_of_run: str | None = None, mode: str = "auto") -> st
             }
             if any(prev_types.get(c) != part_types[c] for c in part_cols):
                 incremental = False
+            # data-schema gate: if the committed files' column set /
+            # order / types changed since the previous export,
+            # _iceberg_schema reassigns field ids while CARRIED
+            # manifests keep value_counts/null_counts/bounds keyed by
+            # the old ids — foreign readers would file-skip
+            # non-conservatively. Any drift in (id, name, type)
+            # forces a full self-contained snapshot, like the
+            # partition-type gate above.
+            if (
+                prev_schema is None
+                or prev_schema.get("fields", []) != schema["fields"]
+            ):
+                incremental = False
 
         m_idx = 0
         written_files: list[str] = []  # this attempt's Avro publishes

@@ -169,19 +169,51 @@ def prune_adds(
     (``(col, op, val)`` with op in =, <, <=, >, >=, AND-combined).
     Files without stats, unknown columns, or incomparable literals
     survive — pruning may only cost a read it skipped. O(adds)
-    driver-side, zero data I/O."""
-    import json as _json
+    driver-side, zero data I/O.
 
-    def may_match(a: dict, col: str, op: str, val) -> bool:
-        cmp = {
-            "=": lambda lo, hi: lo <= val <= hi,
-            "<": lambda lo, hi: lo < val,
-            "<=": lambda lo, hi: lo <= val,
-            ">": lambda lo, hi: hi > val,
-            ">=": lambda lo, hi: hi >= val,
-        }.get(op)
-        if cmp is None:
+    Timestamp literals: exported stats store TIMESTAMP columns
+    'T'-separated (_delta_file_stats re-separates the manifest's
+    space-form ISO), while the engine's filter convention is the
+    space form. Lexicographically ' ' < 'T', so a same-day
+    space-form literal would otherwise compare below every
+    'T'-form bound and prune non-conservatively. When the two
+    sides of a comparison carry ISO-datetime shapes with MIXED
+    separators, both are normalized to the 'T' form first — only
+    then, so genuine string columns are never rewritten."""
+    import json as _json
+    import re as _re
+
+    _iso = _re.compile(r"\d{4}-\d{2}-\d{2}[ T]\d{2}:")
+
+    def _ts_align(x, y):
+        """Return (x, y) with ISO separators unified iff both look
+        like ISO datetimes and their separators differ."""
+        if (
+            isinstance(x, str)
+            and isinstance(y, str)
+            and _iso.match(x)
+            and _iso.match(y)
+            and x[10] != y[10]
+        ):
+            return x.replace(" ", "T", 1), y.replace(" ", "T", 1)
+        return x, y
+
+    def may_match(a: dict, col: str, op: str, raw_val) -> bool:
+        def cmp_raw(op, lo, hi, val):
+            lo, val_l = _ts_align(lo, val)
+            hi, val_h = _ts_align(hi, val)
+            return {
+                "=": lambda: lo <= val_l and val_h <= hi,
+                "<": lambda: lo < val_l,
+                "<=": lambda: lo <= val_l,
+                ">": lambda: hi > val_h,
+                ">=": lambda: hi >= val_h,
+            }[op]()
+
+        val = raw_val
+        if op not in ("=", "<", "<=", ">", ">="):
             return True
+        cmp = lambda lo, hi: cmp_raw(op, lo, hi, val)  # noqa: E731
         if col in part_cols:
             pv = (a.get("partitionValues") or {}).get(col)
             if pv is None:

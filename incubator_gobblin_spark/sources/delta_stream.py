@@ -98,12 +98,36 @@ class DeltaStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["version"]), int(end["version"])
         vs = _versions(self.log_dir)
+        if lo == -1 and hi >= 0 and vs and vs[0] > 0:
+            # Fresh earliest-stream on a log-expired table: versions
+            # [0, vs[0]) were deleted by expire_delta_log, so version
+            # replay cannot start at the beginning. Real delta-spark
+            # serves the table snapshot as the initial batch instead —
+            # do the same: the checkpoint-backed live-file state as of
+            # ``hi`` becomes batch 0 (removes already applied), and
+            # later batches tail the surviving log from there. The
+            # truncation guard below stays for previously-CHECKPOINTED
+            # offsets, where skipping versions would lose rows.
+            from urllib.parse import unquote
+
+            from incubator_gobblin_spark.sources.delta_import import (
+                _replay_state,
+            )
+
+            live, _, _ = _replay_state(self.log_dir, hi)
+            return [
+                _AddedFile(
+                    os.path.join(self.root, unquote(p)),
+                    a.get("partitionValues") or {},
+                )
+                for p, a in sorted(live.items())
+            ] or [_AddedFile("", {})]
         # Log-truncation guard (what real delta-spark raises as
         # VersionNotFoundException): expire_delta_log deletes
-        # pre-checkpoint commit JSONs, and a stream whose offset
-        # predates the surviving chain would otherwise SILENTLY skip
-        # those versions' rows — fail loudly instead; the stream must
-        # reprocess from a fresh checkpoint or a supported offset.
+        # pre-checkpoint commit JSONs, and a stream whose CHECKPOINTED
+        # offset predates the surviving chain would otherwise SILENTLY
+        # skip those versions' rows — fail loudly instead; the stream
+        # must reprocess from a fresh checkpoint or a supported offset.
         if vs and lo + 1 < vs[0] and any(lo < v <= hi for v in vs):
             raise ValueError(
                 f"deltastream: versions ({lo}, {vs[0]}) were removed by "

@@ -692,6 +692,47 @@ def test_iceberg_full_mode_compacts_manifest_chain(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, df.collect()))
 
 
+def test_iceberg_incremental_schema_drift_forces_full(spark, sf_dir, tmp_path):
+    """Data-schema drift between exports (column added) must force a
+    FULL snapshot: carried manifests keep value/null counts and bounds
+    keyed by the PREVIOUS schema's field ids, so after _iceberg_schema
+    reassigns ids a carried manifest would let foreign readers
+    file-skip non-conservatively. Same gate shape as the
+    partition-type gate."""
+    df = load_table(spark, sf_dir, "region")
+    root = str(tmp_path / "incdrift")
+    sink = _sink(root, table_type=TableType.APPEND_ONLY)
+    for i in range(2):
+        sink.write_staging(df.filter(F.col("r_regionkey") % 2 == i), f"r{i}")
+        sink.publish(f"r{i}")
+        sink.export_iceberg()
+    assert len(_snap_manifest_rows(current_metadata(root), root)) == 2
+
+    # third commit adds a column; named to sort FIRST so the footer
+    # the exporter infers the schema from is the new-schema file ->
+    # the inferred (id, name, type) list shifts
+    sink.write_staging(
+        df.limit(2).withColumn("extra", F.lit(7).cast("long")), "a2"
+    )
+    sink.publish("a2")
+    sink.export_iceberg()
+    meta = current_metadata(root)
+    rows = _snap_manifest_rows(meta, root)
+    assert len(rows) == 1  # full self-contained snapshot, chain restarted
+    assert meta["snapshots"][-1]["summary"]["operation"] == "overwrite"
+    got = read_iceberg(spark, root)
+    assert got.count() == sink.read_committed(spark).count()
+    # and a further same-schema export goes back to incremental append
+    sink.write_staging(
+        df.limit(1).withColumn("extra", F.lit(8).cast("long")), "a3"
+    )
+    sink.publish("a3")
+    sink.export_iceberg()
+    meta = current_metadata(root)
+    assert len(_snap_manifest_rows(meta, root)) == 2
+    assert meta["snapshots"][-1]["summary"]["operation"] == "append"
+
+
 def test_iceberg_incremental_in_place_rewrite_not_carried_stale(
     spark, sf_dir, tmp_path
 ):

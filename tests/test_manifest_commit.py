@@ -2680,10 +2680,14 @@ def test_delta_log_expiration_and_post_cleanup_exports(spark, sf_dir, tmp_path):
     assert s2.expire_delta_log() == 0
 
 
-def test_delta_stream_fails_loudly_on_truncated_log(spark, sf_dir, tmp_path):
-    """After expire_delta_log, a stream whose offset predates the
-    surviving chain must RAISE (delta-spark's version-not-found
-    behavior), never silently skip the pruned versions' rows."""
+def test_delta_stream_truncated_log_semantics(spark, sf_dir, tmp_path):
+    """After expire_delta_log: a stream whose CHECKPOINTED offset
+    predates the surviving chain must RAISE (delta-spark's
+    version-not-found behavior), never silently skip the pruned
+    versions' rows — but a brand-new earliest stream (offset -1) is
+    served the checkpoint snapshot as its first batch, exactly how
+    real delta-spark starts a fresh stream from the current snapshot
+    on a retained table."""
     import pytest as _pytest
 
     from incubator_gobblin_spark.sources.delta_stream import (
@@ -2702,8 +2706,15 @@ def test_delta_stream_fails_loudly_on_truncated_log(spark, sf_dir, tmp_path):
 
     schema, part_cols = table_schema(root)
     reader = DeltaStreamReader({"path": root}, schema, part_cols)
+    # checkpointed offset 0 predates the surviving chain -> raise
     with _pytest.raises(ValueError, match="log retention"):
-        reader.partitions({"version": -1}, {"version": 3})
+        reader.partitions({"version": 0}, {"version": 3})
+    # fresh earliest stream -> the checkpoint snapshot IS batch 0:
+    # all live files, rows complete across every expired version
+    parts = reader.partitions({"version": -1}, {"version": 3})
+    assert parts and all(p.path and os.path.exists(p.path) for p in parts)
+    rows = sum(1 for p in parts for _ in reader.read(p))
+    assert rows == df.count()
     # an offset inside the surviving chain still streams the tail
     parts = reader.partitions({"version": 2}, {"version": 3})
     assert parts and parts[0].path

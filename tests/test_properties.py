@@ -469,6 +469,58 @@ def test_delta_prune_adds_is_conservative(files, op, val, with_stats):
 
 @given(
     files=st.lists(
+        st.lists(st.integers(0, 86399), min_size=1, max_size=8),
+        min_size=1,
+        max_size=8,
+    ),
+    op=st.sampled_from(_OPS),
+    val=st.integers(-5, 86405),
+    lit_sep=st.sampled_from([" ", "T"]),
+)
+@settings(max_examples=300, deadline=None)
+def test_delta_prune_adds_timestamp_separator_is_conservative(
+    files, op, val, lit_sep
+):
+    """Exported Delta stats store TIMESTAMP bounds 'T'-separated while
+    the engine's filter convention is the space form; ' ' < 'T'
+    lexicographically, so unnormalized comparison would prune a
+    same-day file non-conservatively. Property: for ANY same-day
+    second-offsets and EITHER literal separator, every file holding a
+    matching row survives."""
+    import datetime
+    import json
+
+    from incubator_gobblin_spark.sources.delta_import import prune_adds
+
+    day = datetime.datetime(2024, 1, 1)
+
+    def iso(secs: int, sep: str) -> str:
+        return (day + datetime.timedelta(seconds=secs)).isoformat(sep=sep)
+
+    live = {}
+    for i, rows in enumerate(files):
+        live[f"f{i}"] = {
+            "path": f"f{i}",
+            "partitionValues": {},
+            # stats as _delta_file_stats writes them: 'T'-separated
+            "stats": json.dumps(
+                {
+                    "numRecords": len(rows),
+                    "minValues": {"ts": iso(min(rows), "T")},
+                    "maxValues": {"ts": iso(max(rows), "T")},
+                }
+            ),
+        }
+    lit = iso(max(0, min(86399, val)), lit_sep)
+    kept = prune_adds(live, [("ts", op, lit)], [])
+    vnorm = max(0, min(86399, val))
+    for i, rows in enumerate(files):
+        if any(_matches(op, r, vnorm) for r in rows):
+            assert f"f{i}" in kept, (rows, op, lit)
+
+
+@given(
+    files=st.lists(
         st.lists(st.integers(-50, 50), min_size=1, max_size=8),
         min_size=1,
         max_size=8,
