@@ -54,79 +54,75 @@ def register(name: str, oracle: str | None):
 
 # The driver's correctness artifact records exactly the first 50
 # registry entries each round, so iteration order decides which queries
-# touch the hard gate. Round-7 rotation (staleness going into r7:
-# r04 = the 24-query relational/text bulk left out of the r06 window;
-# r05 = the 50-query set incl. the whole q107-q123 r5-new wave;
-# r06 = everything the r06 window re-proved):
-# 1. brand-new r7 queries q125/q126 (first driver rows ever),
-# 2. the ENTIRE r04-stale block (24 queries, at the ~2-round policy
-#    edge — VERDICT r6 ask #2 names them all),
-# 3. 24 of the 50 r05-green queries, prioritizing the q107-q123 wave
-#    (each has exactly ONE driver row ever) plus the unique-machinery
-#    singletons q42 full-outer, q48 oldest-k, q49 text-quality,
-#    q52 SRP pair-LSH, q53 as-of, q54 range join, q57 ORC scan.
-# Left out (rotate at r08, then at most 3 rounds old): the remaining
-# 26 r05-green queries (q31/q32/q34 hash-family, q58/q60/q62/q65-q67,
-# q70-q83, q85, q88, q89) and the whole r06-green set (1 round old).
+# touch the hard gate. Round-8 rotation (staleness going into r8:
+# r05 = the 27 queries VERDICT r7 ask #1 names — 3 rounds old at r08,
+# past the ~2-round policy; r06 = the 50-query r06 window, 2 rounds
+# old; r07 = last round's window, fresh):
+# 1. the brand-new r8 query q128 (first driver row ever),
+# 2. the ENTIRE r05-stale block (27 queries),
+# 3. 22 of the 50 r06-green queries, prioritizing the q90-q106 LLM-
+#    pipeline wave, interop round-trips (q124 iceberg, q91 kafka,
+#    q95 multimodal, q98 lake CDF), the LSH coverage invariants
+#    (q63/q64/q68/q69), and the r07-bench-blip suspects q96 (watch).
+# Left out (rotate at r09, then at most 3 rounds old): q105 + the
+# q01-q61 relational core re-proven r06, and the whole r07 window
+# (1 round old).
 # The local parity suite (tests/test_oracle_parity.py) still proves ALL
 # oracle-backed queries on every pytest run regardless of this ordering.
 _WINDOW_HEAD = [
-    # --- brand-new r7 queries (first driver rows ever) ---
-    "q125_semantic_decontam_lsh",
-    "q126_semantic_prefilter_audit",
-    "q127_iceberg_incremental_agg",
-    # --- r04-stale block (last driver-green r04 — the policy edge) ---
-    "q04_segment_rollup",
-    "q06_semi_join",
-    "q08_dedup_argmax",
-    "q09_topk_per_group",
-    "q10_newest_k_deletable",
-    "q11_time_retention",
-    "q12_select_between",
-    "q13_running_total",
-    "q15_rollup",
-    "q16_cube",
-    "q17_grouping_sets",
-    "q18_union",
-    "q19_intersect",
-    "q20_except",
-    "q21_explode_tokens",
-    "q22_regex_filter",
-    "q23_json_extract",
-    "q26_sample_mod",
-    "q28_text_stats",
-    "q29_lang_guess",
-    "q30_token_jaccard",
-    "q33_ann_cosine_topk",
-    "q35_pivot_events",
-    "q37_moving_sum",
-    # --- r05-green: the whole r5-new wave (one driver row each) ---
-    "q107_rest_ingest_agg",
-    "q108_temperature_mixture",
-    "q109_duplicated_spans",
-    "q110_trim_dup_spans",
-    "q111_unimax_mixture",
-    "q112_linear_probe_fit",
-    "q113_shuffle_shards",
-    "q114_linear_probe_score",
-    "q115_trim_contaminated",
-    "q116_semantic_decontaminate",
-    "q117_lsh_dedup_audit",
-    "q118_cms_heavy_hitters",
-    "q119_funnel_steps",
-    "q120_cohort_retention",
-    "q121_bpe_pair_counts",
-    "q122_char_entropy",
-    "q123_delta_roundtrip_agg",
-    # --- r05-green unique-machinery singletons (q57 displaced for
-    # q127: its ORC scan machinery is redundantly proven by the
-    # r06-green q87_orc_tuned + test_connectors; rotates back r08) ---
-    "q42_full_outer_join",
-    "q48_oldest_k",
-    "q49_text_quality",
-    "q52_embedding_neardup_lsh",
-    "q53_asof_join",
-    "q54_range_join",
+    # --- brand-new r8 query (first driver row ever) ---
+    "q128_iceberg_posdelete_agg",
+    # --- r05-stale block (last driver-green r05 — the policy edge) ---
+    "q31_minhash_candidates",
+    "q32_simhash_neardups",
+    "q34_ann_lsh_topk",
+    "q57_orc_scan_agg",
+    "q58_envelope_decode_agg",
+    "q60_time_partition_tree_rollup",
+    "q62_winnow_fingerprints",
+    "q65_chunk_documents",
+    "q66_pii_redaction",
+    "q67_ivf_topk",
+    "q70_decontamination",
+    "q71_repetition_stats",
+    "q72_hot_ngrams",
+    "q73_tfidf_top_terms",
+    "q74_stratified_sample",
+    "q75_bm25_search",
+    "q76_group_quantiles",
+    "q77_stats_moments",
+    "q78_multimodal_binary_stats",
+    "q79_skew_hot_keys",
+    "q80_dedup_clusters",
+    "q81_fuzzy_dedup_keep",
+    "q82_cap_per_source",
+    "q83_split_assignment",
+    "q85_scd2_intervals",
+    "q88_manifest_snapshot_agg",
+    "q89_dedup_lines",
+    # --- r06-green fill (2 rounds old; LLM wave + interop first) ---
+    "q124_iceberg_roundtrip_agg",
+    "q91_kafka_roundtrip_agg",
+    "q95_multimodal_decode_roundtrip",
+    "q98_lake_changes",
+    "q106_curation_pipeline",
+    "q96_dsir_weights",
+    "q90_trigram_logprob",
+    "q97_perplexity_buckets",
+    "q93_semantic_dedup",
+    "q99_pq_topk",
+    "q100_ivfpq_topk",
+    "q84_pack_sequences",
+    "q63_minhash_covers_exact_dups",
+    "q64_simhash_covers_exact_dups",
+    "q68_srplsh_covers_identical",
+    "q69_lsh_topk_self_retrieval",
+    "q92_quality_classifier",
+    "q94_mixture_materialize",
+    "q101_c4_rules",
+    "q102_gopher_rules",
+    "q103_weighted_sample",
+    "q104_approx_distinct",
 ]
 
 
@@ -4670,6 +4666,84 @@ def q127_iceberg_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             sink.publish(run)  # auto-exports one Iceberg snapshot each
     if not _os.path.isdir(_os.path.join(cache, "metadata")):
         sink.export_iceberg()  # repair, never re-publish
+    df = read_iceberg(spark, cache)
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+
+
+@register(
+    "q128_iceberg_posdelete_agg",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents
+    WHERE doc_id % 7 <> 0
+    GROUP BY lang
+    """,
+)
+def q128_iceberg_posdelete_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 POSITION deletes under the HARD oracle: the documents
+    table is exported as an Iceberg table, then a "foreign engine"
+    (``append_position_deletes`` — the same spec shape
+    Spark+Iceberg/Flink write, parquet of (file_path, pos) under a
+    content=1 delete manifest) row-level-deletes every doc_id % 7 == 0
+    row by its (file, row-position) coordinate. ``read_iceberg`` must
+    apply the tombstones — broadcast left-anti on the scan's
+    ``_metadata`` (file_path, row_index), no extra shuffle — and the
+    aggregate must match the oracle's direct predicate scan
+    value-for-value. Spec: iceberg.apache.org/spec §Position Delete
+    Files; reference analogue: gobblin-iceberg GobblinMCEWriter
+    metadata emission.
+
+    Scale shape: the delete set is the only broadcast side; the data
+    side stays one whole-stage-codegen scan. At 100 TB the tombstone
+    set per snapshot is metadata-scale (it lists row coordinates, not
+    rows), exactly what Iceberg's own readers broadcast per task."""
+    import os as _os
+
+    from incubator_gobblin_spark.sinks.files import FileSink, TableType
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        append_position_deletes,
+    )
+    from incubator_gobblin_spark.sources.iceberg_import import (
+        current_metadata,
+        read_iceberg,
+        snapshot_files,
+    )
+
+    cache = _cache_dir("iceberg_posdel", sf_dir, "documents")
+    sink = FileSink(
+        path=cache, commit_mode="manifest", table_type=TableType.APPEND_ONLY
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    try:
+        committed = sink.current_manifest("base", materialize=False) is not None
+    except FileNotFoundError:
+        committed = False
+    if not committed:
+        sink.write_staging(docs, "base")
+        sink.publish("base")
+    if not _os.path.isdir(_os.path.join(cache, "metadata")):
+        sink.export_iceberg()
+    files, dels = snapshot_files(
+        current_metadata(cache), cache, collect_deletes=True
+    )
+    if not dels:
+        # the "foreign" delete: coordinates of every doc_id%7==0 row
+        coords = (
+            spark.read.parquet(*[f["path"] for f in files])
+            .withColumn("_fp", F.col("_metadata.file_path"))
+            .withColumn("_pos", F.col("_metadata.row_index"))
+            .filter(F.col("doc_id") % 7 == 0)
+            .select("_fp", "_pos")
+            .collect()
+        )
+        append_position_deletes(cache, [(r._fp, r._pos) for r in coords])
     df = read_iceberg(spark, cache)
     return df.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -718,6 +718,13 @@ def export_iceberg(sink, as_of_run: str | None = None, mode: str = "auto") -> st
             seen_prev: set[str] = set()
             for row in _decode_manifest_list(snapshots[-1], location):
                 if row.get("content", 0) != 0:
+                    # delete manifest (content=1, e.g. a foreign
+                    # engine's position deletes appended to this
+                    # table): carry by reference — dropping it would
+                    # silently resurrect the deleted rows for foreign
+                    # readers; tombstones for files this commit
+                    # removes become no-ops
+                    list_rows.append(dict(row))
                     continue
                 live = [
                     e
@@ -920,6 +927,264 @@ def export_iceberg(sink, as_of_run: str | None = None, mode: str = "auto") -> st
         f"{meta_dir} — a runaway concurrent exporter is appending "
         f"versions faster than this one can re-read"
     )
+
+
+def append_position_deletes(
+    table_path: str, deletes: list[tuple[str, int]]
+) -> str:
+    """Append a v2 POSITION-delete snapshot to an exported Iceberg
+    table, exactly the way a foreign engine (Spark+Iceberg, Flink CDC,
+    Trino) row-level-deletes from it: one position-delete parquet of
+    (``file_path``, ``pos``) per the spec's §Position Delete Files, a
+    ``content=1`` delete manifest, and a new metadata version whose
+    snapshot carries the previous manifests by reference plus the
+    delete manifest.
+
+    This engine's OWN lake deletes stay copy-on-write (publish /
+    merge_into) — this writer exists so ``read_iceberg``'s delete
+    application and the interop tests can prove conformance against a
+    hand-authored spec-example table (reference analogue:
+    gobblin-iceberg's IcebergMetadataWriterTest building tables by
+    hand). ``deletes`` holds (data-file path, 0-based row position);
+    plain local paths are normalized to the manifest's file:// form.
+    Returns the metadata dir."""
+    from incubator_gobblin_spark.formats.avro_ocf import encode_ocf
+
+    location = os.path.abspath(table_path)
+    meta_dir = os.path.join(location, "metadata")
+    versions = _metadata_versions(meta_dir)
+    if not versions:
+        raise FileNotFoundError(f"no Iceberg metadata under {meta_dir}")
+    with open(
+        os.path.join(meta_dir, f"v{versions[-1]}.metadata.json")
+    ) as fh:
+        prev = json.load(fh)
+    snapshots = list(prev["snapshots"])
+    cur = next(
+        s
+        for s in snapshots
+        if s["snapshot-id"] == prev["current-snapshot-id"]
+    )
+    schema = next(
+        s
+        for s in prev["schemas"]
+        if s["schema-id"] == prev["current-schema-id"]
+    )
+    spec = next(
+        s
+        for s in prev["partition-specs"]
+        if s["spec-id"] == prev["default-spec-id"]
+    )
+    fname = {f["id"]: f["name"] for f in schema["fields"]}
+    ftype = {f["name"]: f["type"] for f in schema["fields"]}
+    part_cols = [fname[f["source-id"]] for f in spec["fields"]]
+    part_types = {c: ftype[c] for c in part_cols}
+    sid = (
+        max(
+            max((s["snapshot-id"] for s in snapshots), default=0),
+            int(prev.get("last-sequence-number", 0)),
+        )
+        + 1
+    )
+    seq = sid
+    ts = int(time.time() * 1000)
+
+    # --- the delete file itself (parquet of file_path, pos) ---
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    del_dir = os.path.join(location, "_deletes")
+    os.makedirs(del_dir, exist_ok=True)
+    dpath = os.path.join(del_dir, f"pos-delete-{sid}.parquet")
+    def _to_file_uri(p) -> str:
+        # accept plain paths, file:/x, file://x, file:///x (Spark's
+        # _metadata.file_path uses the single-slash form) — emit the
+        # manifest's canonical file://<abs> form
+        s = str(p)
+        if s.startswith("file:"):
+            s = "/" + s.split(":", 1)[1].lstrip("/")
+        return "file://" + os.path.abspath(s)
+
+    rows = sorted((_to_file_uri(p), int(pos)) for p, pos in deletes)
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": pa.array([r[0] for r in rows], pa.string()),
+                "pos": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        ),
+        dpath,
+    )
+
+    # --- content=1 delete manifest ---
+    part_struct = _partition_struct_avro(part_cols, part_types)
+    entry_schema = _manifest_entry_avro(part_struct)
+    manifest_meta = {
+        "schema": json.dumps(schema).encode(),
+        "partition-spec": json.dumps(spec["fields"]).encode(),
+        "partition-spec-id": b"0",
+        "format-version": b"2",
+        "content": b"deletes",
+    }
+    entry = {
+        "status": 1,  # ADDED
+        "snapshot_id": sid,
+        "sequence_number": seq,
+        "file_sequence_number": seq,
+        "data_file": {
+            "content": 1,  # POSITION_DELETES
+            "file_path": "file://" + dpath,
+            "file_format": "PARQUET",
+            "partition": {c: None for c in part_cols},
+            "record_count": len(rows),
+            "file_size_in_bytes": os.path.getsize(dpath),
+            "value_counts": None,
+            "null_value_counts": None,
+            "lower_bounds": None,
+            "upper_bounds": None,
+        },
+    }
+    mdata = encode_ocf(
+        entry_schema, [entry], codec="null", extra_meta=manifest_meta
+    )
+    mpath = os.path.join(meta_dir, f"del-{sid}-m0.avro")
+    with open(mpath, "wb") as fh:
+        fh.write(mdata)
+
+    # --- manifest list: previous manifests by reference + the delete ---
+    list_rows = [dict(r) for r in _decode_manifest_list(cur, location)] + [
+        {
+            "manifest_path": "file://" + mpath,
+            "manifest_length": len(mdata),
+            "partition_spec_id": 0,
+            "content": 1,  # DELETES
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": sid,
+            "added_files_count": 1,
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": len(rows),
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+    ]
+    snap_path = os.path.join(
+        meta_dir, f"snap-{sid}-1-{uuid.uuid5(uuid.NAMESPACE_URL, dpath)}.avro"
+    )
+    with open(snap_path, "wb") as fh:
+        fh.write(
+            encode_ocf(
+                _MANIFEST_LIST_AVRO,
+                list_rows,
+                codec="null",
+                extra_meta={"format-version": b"2"},
+            )
+        )
+
+    # --- new metadata version (operation=delete; the data-file state
+    # fingerprint is UNCHANGED, so a later export_iceberg no-ops
+    # instead of wiping the tombstones) ---
+    snapshot = {
+        "snapshot-id": sid,
+        "sequence-number": seq,
+        "timestamp-ms": ts,
+        "summary": {
+            "operation": "delete",
+            "engine.state-fingerprint": cur["summary"].get(
+                "engine.state-fingerprint", ""
+            ),
+        },
+        "manifest-list": "file://" + snap_path,
+        "schema-id": schema.get("schema-id", 0),
+        "parent-snapshot-id": cur["snapshot-id"],
+    }
+    metadata = dict(prev)
+    metadata["last-sequence-number"] = seq
+    metadata["last-updated-ms"] = ts
+    metadata["current-snapshot-id"] = sid
+    metadata["snapshots"] = snapshots + [snapshot]
+    metadata["snapshot-log"] = list(prev.get("snapshot-log", [])) + [
+        {"timestamp-ms": ts, "snapshot-id": sid}
+    ]
+    version = versions[-1] + 1
+    meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    tmp = f"{meta_path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(metadata, fh, indent=1)
+    os.link(tmp, meta_path)  # put-if-absent publish
+    os.remove(tmp)
+    hint_tmp = os.path.join(meta_dir, f".hint.tmp-{os.getpid()}")
+    with open(hint_tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+    return meta_dir
+
+
+def append_equality_deletes_stub(table_path: str) -> str:
+    """Author an EQUALITY-delete (content=2) manifest the way a foreign
+    CDC writer would — used only to prove read_iceberg fails loudly on
+    equality deletes rather than resurrecting rows. Writes an empty
+    delete parquet and a content=2 entry; see append_position_deletes
+    for the supported path."""
+    meta_dir = append_position_deletes(table_path, [])
+    # rewrite the just-written manifest's entry to content=2
+    versions = _metadata_versions(meta_dir)
+    with open(
+        os.path.join(meta_dir, f"v{versions[-1]}.metadata.json")
+    ) as fh:
+        meta = json.load(fh)
+    location = os.path.dirname(meta_dir)
+    cur = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    rows = _decode_manifest_list(cur, location)
+    target = next(r for r in rows if r.get("content", 0) == 1)
+    entries = _decode_manifest(target, location)
+    from incubator_gobblin_spark.formats.avro_ocf import encode_ocf
+
+    mlocal = target["manifest_path"]
+    if mlocal.startswith("file://"):
+        from incubator_gobblin_spark.sources.iceberg_import import _local_path
+
+        mlocal = _local_path(mlocal)
+    for e in entries:
+        e["data_file"]["content"] = 2  # EQUALITY_DELETES
+    schema = next(
+        s
+        for s in meta["schemas"]
+        if s["schema-id"] == meta["current-schema-id"]
+    )
+    spec = next(
+        s
+        for s in meta["partition-specs"]
+        if s["spec-id"] == meta["default-spec-id"]
+    )
+    fname = {f["id"]: f["name"] for f in schema["fields"]}
+    ftype = {f["name"]: f["type"] for f in schema["fields"]}
+    part_cols = [fname[f["source-id"]] for f in spec["fields"]]
+    part_types = {c: ftype[c] for c in part_cols}
+    entry_schema = _manifest_entry_avro(
+        _partition_struct_avro(part_cols, part_types)
+    )
+    with open(mlocal, "wb") as fh:
+        fh.write(
+            encode_ocf(
+                entry_schema,
+                entries,
+                codec="null",
+                extra_meta={
+                    "schema": json.dumps(schema).encode(),
+                    "partition-spec": json.dumps(spec["fields"]).encode(),
+                    "partition-spec-id": b"0",
+                    "format-version": b"2",
+                    "content": b"deletes",
+                },
+            )
+        )
+    return meta_dir
 
 
 def expire_iceberg_snapshots(

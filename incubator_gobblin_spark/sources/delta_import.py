@@ -296,6 +296,7 @@ def assemble_snapshot(
     schema: StructType,
     part_cols: list[str],
     union_threshold: int = 16,
+    with_positions: bool = False,
 ) -> DataFrame:
     """Assemble a table-format snapshot read from grouped live files:
     ``groups`` maps a tuple of partition-value strings (one per
@@ -304,12 +305,26 @@ def assemble_snapshot(
     formats strip partition columns from data files and carry the
     values in metadata, so the restore mechanics (typed literals per
     group under the union threshold, single scan + broadcast
-    suffix-key join past it) are identical."""
+    suffix-key join past it) are identical.
+
+    ``with_positions`` appends ``_file_path`` / ``_row_index`` columns
+    from Spark's hidden ``_metadata`` struct — the per-file row
+    coordinates Iceberg v2 position deletes address; they stay inside
+    the scan (no shuffle, no Python)."""
     data_schema = StructType(
         [f for f in schema.fields if f.name not in part_cols]
     )
     types = {f.name: f.dataType for f in schema.fields}
     ordered = [f.name for f in schema.fields]
+    if with_positions:
+        ordered = ordered + ["_file_path", "_row_index"]
+
+    def _with_pos(df: DataFrame) -> DataFrame:
+        if not with_positions:
+            return df
+        return df.withColumn(
+            "_file_path", F.col("_metadata.file_path")
+        ).withColumn("_row_index", F.col("_metadata.row_index"))
 
     def _suffix(p: str, n: int) -> str | None:
         comps = p.replace(os.sep, "/").split("/")
@@ -340,8 +355,7 @@ def assemble_snapshot(
             f"-{suffix_n}, {suffix_n})), '+', '%2B'))"
         )
         df = (
-            spark.read.schema(data_schema)
-            .parquet(*all_files)
+            _with_pos(spark.read.schema(data_schema).parquet(*all_files))
             .withColumn("_file", file_key)
             .join(F.broadcast(map_df), "_file")
         )
@@ -353,7 +367,7 @@ def assemble_snapshot(
     for key, files in sorted(
         groups.items(), key=lambda kv: tuple((v is None, v or "") for v in kv[0])
     ):
-        df = spark.read.schema(data_schema).parquet(*sorted(files))
+        df = _with_pos(spark.read.schema(data_schema).parquet(*sorted(files)))
         for c, v in zip(part_cols, key):
             lit = (
                 F.lit(None) if v is None else F.lit(v)

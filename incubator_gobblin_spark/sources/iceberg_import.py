@@ -34,6 +34,7 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.types import StructField, StructType
 
@@ -147,11 +148,23 @@ def _decode_avro_rows(path: str) -> list[dict]:
 
 
 def snapshot_files(
-    metadata: dict, table_path: str, snapshot_id: int | None = None
-) -> list[dict]:
+    metadata: dict,
+    table_path: str,
+    snapshot_id: int | None = None,
+    *,
+    collect_deletes: bool = False,
+) -> list[dict] | tuple[list[dict], list[str]]:
     """Live data files of a snapshot (default: current): replay the
     manifest list, then every manifest, keeping entries whose status is
-    not DELETED (2). Returns dicts of (path, partition values dict)."""
+    not DELETED (2). Returns dicts of (path, partition values dict).
+
+    v2 row-level deletes (spec §Delete Formats): delete manifests
+    (manifest-list ``content`` = 1) are decoded too. POSITION delete
+    files (``data_file.content`` = 1) are returned as the second
+    element when ``collect_deletes`` — read_iceberg anti-joins them
+    away. EQUALITY deletes (``content`` = 2) raise: silently ignoring
+    a foreign writer's deletes would resurrect deleted rows, and this
+    engine does not implement equality-delete application."""
     sid = (
         metadata.get("current-snapshot-id")
         if snapshot_id is None
@@ -170,9 +183,9 @@ def snapshot_files(
     if not os.path.isabs(mlist):
         mlist = os.path.join(table_path, mlist)
     out: list[dict] = []
+    delete_paths: list[str] = []
     for mf in _decode_avro_rows(mlist):
-        if mf.get("content", 0) != 0:
-            continue  # delete manifests (v2 row-level deletes) unsupported
+        is_delete_manifest = mf.get("content", 0) != 0
         mpath = _local_path(mf["manifest_path"])
         if not os.path.isabs(mpath):
             mpath = os.path.join(table_path, mpath)
@@ -184,6 +197,23 @@ def snapshot_files(
                 raise ValueError(
                     f"read_iceberg: non-parquet data file {df_['file_path']}"
                 )
+            content = df_.get("content", 1 if is_delete_manifest else 0)
+            if is_delete_manifest or content != 0:
+                if content == 2:
+                    raise ValueError(
+                        "read_iceberg: snapshot carries EQUALITY delete "
+                        f"file {df_['file_path']} (content=2) — equality-"
+                        "delete application is not implemented; refusing "
+                        "to read a table whose deletes would be silently "
+                        "ignored"
+                    )
+                if content != 1:
+                    raise ValueError(
+                        "read_iceberg: unknown delete-file content "
+                        f"{content} in {df_['file_path']}"
+                    )
+                delete_paths.append(_local_path(df_["file_path"]))
+                continue
             out.append(
                 {
                     "path": _local_path(df_["file_path"]),
@@ -198,6 +228,14 @@ def snapshot_files(
                     },
                 }
             )
+    if collect_deletes:
+        return out, delete_paths
+    if delete_paths:
+        raise ValueError(
+            f"snapshot carries {len(delete_paths)} position-delete "
+            "file(s); call with collect_deletes=True (read_iceberg does) "
+            "so they are applied instead of silently ignored"
+        )
     return out
 
 
@@ -301,7 +339,18 @@ def read_iceberg(
     schema, and the result carries the declared column set in schema
     order. Only identity transforms are supported — hidden-partitioning
     transforms (bucket/truncate/day...) carry derived values that do
-    not restore source columns; a non-identity spec raises."""
+    not restore source columns; a non-identity spec raises.
+
+    v2 row-level deletes: POSITION delete files written by a foreign
+    engine (spec §Position Delete Files — parquet of ``file_path``,
+    ``pos``) are applied with a broadcast left-anti join on the scan's
+    ``_metadata`` (file_path, row_index) coordinates. File paths are
+    unique and immutable in Iceberg, so a (path, pos) tombstone is
+    unambiguous without sequence-number ordering (sequence numbers
+    only disambiguate EQUALITY deletes, which raise — see
+    snapshot_files). Scale shape: the delete set is scanned once and
+    broadcast; the data side stays a single whole-stage-codegen scan
+    with no extra shuffle."""
     from incubator_gobblin_spark.sources.delta_import import assemble_snapshot
 
     metadata = current_metadata(path)
@@ -333,7 +382,9 @@ def read_iceberg(
     }
     part_cols = [field_name[f["source-id"]] for f in spec["fields"]]
 
-    files = snapshot_files(metadata, path, snapshot_id)
+    files, delete_paths = snapshot_files(
+        metadata, path, snapshot_id, collect_deletes=True
+    )
     if filters:
         # metadata-level file skipping on partition values + exported
         # column bounds (see prune_files) — conservative, then the same
@@ -357,4 +408,37 @@ def read_iceberg(
         if not os.path.isabs(fp):
             fp = os.path.join(path, fp)
         groups.setdefault(key, []).append(fp)
-    return assemble_snapshot(spark, groups, schema, part_cols, union_threshold)
+    if not delete_paths:
+        return assemble_snapshot(
+            spark, groups, schema, part_cols, union_threshold
+        )
+
+    # position deletes present: carry the scan's (file_path, row_index)
+    # coordinates through assembly, anti-join the tombstones, drop them
+    df = assemble_snapshot(
+        spark, groups, schema, part_cols, union_threshold,
+        with_positions=True,
+    )
+    # both sides normalize to a bare absolute path: the delete file
+    # stores the path "as declared in the manifest" (file:// URI from
+    # this exporter), _metadata.file_path is a file:/ URI from Spark
+    norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
+    dels = (
+        spark.read.parquet(
+            *[
+                p if os.path.isabs(p) else os.path.join(path, p)
+                for p in delete_paths
+            ]
+        )
+        .select(
+            norm(F.col("file_path")).alias("_del_path"),
+            F.col("pos").cast("long").alias("_del_pos"),
+        )
+    )
+    out = df.join(
+        F.broadcast(dels),
+        (norm(F.col("_file_path")) == F.col("_del_path"))
+        & (F.col("_row_index") == F.col("_del_pos")),
+        "left_anti",
+    )
+    return out.select(*[f.name for f in schema.fields])

@@ -940,3 +940,183 @@ def test_iceberg_expire_snapshots_prunes_history_and_orphans(
     ids = [s["snapshot-id"] for s in after["snapshots"]]
     assert ids == sorted(ids) and ids[-1] > ids[0]
     assert after["last-sequence-number"] >= ids[-1] - 1
+
+
+# ---------------------------------------------------------------------------
+# v2 row-level deletes (spec §Delete Formats) — read-side application
+# ---------------------------------------------------------------------------
+
+
+def _coords(spark, files, predicate):
+    df = (
+        spark.read.parquet(*files)
+        .withColumn("_fp", F.col("_metadata.file_path"))
+        .withColumn("_pos", F.col("_metadata.row_index"))
+    )
+    return [
+        (r._fp, r._pos) for r in df.filter(predicate).select("_fp", "_pos").collect()
+    ]
+
+
+def test_iceberg_position_deletes_are_applied(spark, sf_dir, tmp_path):
+    """A foreign engine position-deletes rows from our exported table;
+    read_iceberg must return exactly the survivors — per the spec, a
+    (file_path, pos) tombstone removes that row and nothing else."""
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        append_position_deletes,
+    )
+
+    df = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    root = str(tmp_path / "posdel")
+    sink = _sink(root, table_type=TableType.APPEND_ONLY)
+    sink.write_staging(df.filter(F.col("n_nationkey") < 12), "r0")
+    sink.publish("r0")
+    sink.write_staging(df.filter(F.col("n_nationkey") >= 12), "r1")
+    sink.publish("r1")
+    sink.export_iceberg()
+
+    meta = current_metadata(root)
+    files, dels = snapshot_files(meta, root, collect_deletes=True)
+    assert dels == []
+    coords = _coords(
+        spark, [f["path"] for f in files], F.col("n_nationkey") % 3 == 0
+    )
+    assert coords  # something to delete
+    append_position_deletes(root, coords)
+
+    got = read_iceberg(spark, root)
+    want = df.filter(F.col("n_nationkey") % 3 != 0)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # time travel to the pre-delete snapshot still reads everything
+    first_sid = current_metadata(root)["snapshots"][0]["snapshot-id"]
+    assert read_iceberg(spark, root, snapshot_id=first_sid).count() == df.count()
+    # a second delete snapshot stacks
+    files2, dels2 = snapshot_files(
+        current_metadata(root), root, collect_deletes=True
+    )
+    assert len(dels2) == 1
+    more = _coords(
+        spark, [f["path"] for f in files2], F.col("n_nationkey") == 1
+    )
+    append_position_deletes(root, more)
+    got2 = read_iceberg(spark, root)
+    want2 = want.filter(F.col("n_nationkey") != 1)
+    assert sorted(map(tuple, got2.collect())) == sorted(
+        map(tuple, want2.collect())
+    )
+
+
+def test_iceberg_position_deletes_on_partitioned_table(spark, sf_dir, tmp_path):
+    """Deletes apply under partition restore too (the suffix-join /
+    literal-group assembly carries _metadata through)."""
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        append_position_deletes,
+    )
+
+    df = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    root = str(tmp_path / "posdelpart")
+    sink = _sink(
+        root, partition_by=["n_regionkey"], table_type=TableType.APPEND_ONLY
+    )
+    sink.write_staging(df, "r0")
+    sink.publish("r0")
+    sink.export_iceberg()
+    meta = current_metadata(root)
+    files, _ = snapshot_files(meta, root, collect_deletes=True)
+    # partition columns are NOT in the data files; address rows by the
+    # data columns present
+    coords = _coords(
+        spark, [f["path"] for f in files], F.col("n_nationkey") >= 20
+    )
+    append_position_deletes(root, coords)
+    got = read_iceberg(spark, root)
+    want = df.filter(F.col("n_nationkey") < 20)
+    assert sorted(map(tuple, got.select(*df.columns).collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_iceberg_export_after_foreign_delete_carries_tombstones(
+    spark, sf_dir, tmp_path
+):
+    """An incremental export AFTER a foreign delete snapshot must carry
+    the delete manifest by reference (dropping it would resurrect the
+    deleted rows for foreign readers)."""
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        append_position_deletes,
+    )
+
+    df = load_table(spark, sf_dir, "region")
+    root = str(tmp_path / "posdelinc")
+    sink = _sink(root, table_type=TableType.APPEND_ONLY)
+    sink.write_staging(df.filter(F.col("r_regionkey") < 3), "r0")
+    sink.publish("r0")
+    sink.export_iceberg()
+    files, _ = snapshot_files(
+        current_metadata(root), root, collect_deletes=True
+    )
+    coords = _coords(
+        spark, [f["path"] for f in files], F.col("r_regionkey") == 0
+    )
+    append_position_deletes(root, coords)
+    # new data lands; incremental export
+    sink.write_staging(df.filter(F.col("r_regionkey") >= 3), "r1")
+    sink.publish("r1")
+    sink.export_iceberg()
+    got = read_iceberg(spark, root)
+    want = df.filter(F.col("r_regionkey") != 0)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_iceberg_equality_deletes_fail_loudly(spark, sf_dir, tmp_path):
+    """EQUALITY deletes (content=2) from a foreign CDC writer are not
+    implemented — reading a table that carries them must RAISE, never
+    silently resurrect the deleted rows."""
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        append_equality_deletes_stub,
+    )
+
+    df = load_table(spark, sf_dir, "region")
+    root = str(tmp_path / "eqdel")
+    sink = _sink(root, table_type=TableType.APPEND_ONLY)
+    sink.write_staging(df, "r0")
+    sink.publish("r0")
+    sink.export_iceberg()
+    append_equality_deletes_stub(root)
+    with pytest.raises(ValueError, match="EQUALITY delete"):
+        read_iceberg(spark, root)
+
+
+def test_iceberg_snapshot_files_refuses_silent_delete_ignore(
+    spark, sf_dir, tmp_path
+):
+    """snapshot_files WITHOUT collect_deletes must raise when the
+    snapshot carries position deletes — callers that predate delete
+    support would otherwise resurrect deleted rows silently."""
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        append_position_deletes,
+    )
+
+    df = load_table(spark, sf_dir, "region")
+    root = str(tmp_path / "posdelguard")
+    sink = _sink(root, table_type=TableType.APPEND_ONLY)
+    sink.write_staging(df, "r0")
+    sink.publish("r0")
+    sink.export_iceberg()
+    files, _ = snapshot_files(
+        current_metadata(root), root, collect_deletes=True
+    )
+    coords = _coords(
+        spark, [f["path"] for f in files], F.col("r_regionkey") == 0
+    )
+    append_position_deletes(root, coords)
+    with pytest.raises(ValueError, match="position-delete"):
+        snapshot_files(current_metadata(root), root)
