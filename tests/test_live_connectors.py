@@ -230,3 +230,119 @@ def test_live_jdbc_partition_predicates_tile_real_table(live_spark):
     assert got.rdd.getNumPartitions() == 4
     assert got.count() == 1000
     assert got.select("id").distinct().count() == 1000
+
+
+# ---------------------------------------------------------------------------
+# live_rest: the urllib clients against an EXTERNAL HTTP endpoint.
+# The offline suite (test_http_endpoint.py) already drives these same
+# classes over real sockets against an in-process server; these tests
+# re-run the contract against infrastructure the sandbox cannot host:
+#
+#     GOBBLIN_SPARK_LIVE_REST_BASE=https://host \
+#     GOBBLIN_SPARK_LIVE_REST_RESOURCE=events \
+#     GOBBLIN_SPARK_LIVE_REST_ORDER_BY=event_id \
+#         pytest tests/test_live_connectors.py -m live_rest
+#
+# (the endpoint must speak the documented /rest/<resource> protocol —
+# sources/http_endpoint.py's serve_endpoint is a reference server)
+#
+#     GOBBLIN_SPARK_LIVE_SOQL_BASE=https://instance.salesforce.com \
+#     GOBBLIN_SPARK_LIVE_SOQL_TOKEN=<bearer> \
+#     GOBBLIN_SPARK_LIVE_SOQL_ENTITY=Account \
+#         pytest tests/test_live_connectors.py -m live_rest
+# ---------------------------------------------------------------------------
+
+REST_BASE = os.environ.get("GOBBLIN_SPARK_LIVE_REST_BASE")
+SOQL_BASE = os.environ.get("GOBBLIN_SPARK_LIVE_SOQL_BASE")
+
+live_rest = pytest.mark.live_rest
+
+needs_rest = pytest.mark.skipif(
+    not REST_BASE,
+    reason="GOBBLIN_SPARK_LIVE_REST_BASE not set (live endpoint required)",
+)
+needs_soql = pytest.mark.skipif(
+    not SOQL_BASE,
+    reason="GOBBLIN_SPARK_LIVE_SOQL_BASE not set (live endpoint required)",
+)
+
+
+@live_rest
+@needs_rest
+def test_live_rest_fetch_contract(live_spark):
+    """One page + keyset continuation from the live endpoint honors the
+    fetch contract (records_json/records + next_after), and the page
+    feeds the SAME read path the offline suite proves."""
+    from incubator_gobblin_spark.sources.http_endpoint import HttpRestEndpoint
+
+    resource = os.environ.get("GOBBLIN_SPARK_LIVE_REST_RESOURCE", "events")
+    order_by = os.environ.get("GOBBLIN_SPARK_LIVE_REST_ORDER_BY", "event_id")
+    ep = HttpRestEndpoint(REST_BASE, order_by=order_by)
+    page = ep.fetch(resource, {"limit": 5, "order_by": order_by})
+    recs = page.get("records_json", page.get("records"))
+    assert isinstance(recs, list) and len(recs) <= 5
+    if len(recs) == 5:
+        cursor = page.get("next_after")
+        assert cursor is not None
+        page2 = ep.fetch(
+            resource, {"limit": 5, "order_by": order_by, "after": cursor}
+        )
+        recs2 = page2.get("records_json", page2.get("records"))
+        assert recs2 != recs  # the cursor advanced
+
+
+@live_rest
+@needs_rest
+def test_live_rest_read_rest_end_to_end(live_spark):
+    """read_rest against the live endpoint: high_watermark bounds the
+    interval, executor tasks page over the wire, row count > 0 and the
+    watermark column respects the half-open slice."""
+    from incubator_gobblin_spark.sources import rest_api as R
+    from incubator_gobblin_spark.sources.http_endpoint import HttpRestEndpoint
+
+    resource = os.environ.get("GOBBLIN_SPARK_LIVE_REST_RESOURCE", "events")
+    order_by = os.environ.get("GOBBLIN_SPARK_LIVE_REST_ORDER_BY", "event_id")
+    wm = os.environ.get("GOBBLIN_SPARK_LIVE_REST_WM_COLUMN", order_by)
+    schema = os.environ.get(
+        "GOBBLIN_SPARK_LIVE_REST_SCHEMA", f"{order_by} long"
+    )
+    ep = HttpRestEndpoint(REST_BASE, order_by=order_by)
+    high = ep.high_watermark(resource, wm)
+    assert high is not None
+    src = R.RestApiSource(
+        resource=resource, schema=schema, wm_column=wm,
+        page_size=500, rate_per_sec=50.0,
+    )
+    df = R.read_rest(
+        live_spark, src, ep,
+        WatermarkInterval(wm, None, high),
+        num_partitions=2,
+    )
+    assert df.count() > 0
+
+
+@live_rest
+@needs_soql
+def test_live_soql_query_pages_to_done(live_spark):
+    """queryAll + nextRecordsUrl chaining against a live Salesforce-
+    shaped endpoint: pages terminate at done=true and records carry
+    the selected fields."""
+    from incubator_gobblin_spark.sources.http_endpoint import HttpSoqlEndpoint
+
+    entity = os.environ.get("GOBBLIN_SPARK_LIVE_SOQL_ENTITY", "Account")
+    token = os.environ.get("GOBBLIN_SPARK_LIVE_SOQL_TOKEN")
+    headers = {"Authorization": f"Bearer {token}"} if token else {}
+    ep = HttpSoqlEndpoint(
+        SOQL_BASE,
+        api_version=os.environ.get(
+            "GOBBLIN_SPARK_LIVE_SOQL_VERSION", "v59.0"
+        ),
+        headers=headers,
+    )
+    resp = ep.query(f"SELECT Id FROM {entity} LIMIT 10")
+    assert "records" in resp and "done" in resp
+    pages = 1
+    while not resp.get("done", True) and pages < 50:
+        resp = ep.query_more(resp["nextRecordsUrl"])
+        pages += 1
+    assert resp.get("done", True)

@@ -1,0 +1,235 @@
+"""Foreign-engine conformance for the lake interop exports: when a
+REAL external reader is installed — pyiceberg for Iceberg metadata,
+delta-rs (``deltalake``) for the Delta log — read this engine's exports
+with it and value-compare against ``read_committed``. This is the check
+the structural pins (spec-example parses, own-importer round trips,
+DuckDB symlink reads) cannot give: a spec misread that is self-
+consistent across our writer and reader would still fail here.
+
+Reference analogue: gobblin-iceberg's IcebergMetadataWriterTest reads
+its own metadata back through iceberg-core.
+
+Activation (the libraries are absent in the offline container; every
+test SKIPS until they are installed):
+
+    pip install pyiceberg   && pytest tests/test_live_lake.py -m live_iceberg
+    pip install deltalake   && pytest tests/test_live_lake.py -m live_delta
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_gobblin_spark.session import load_table
+from incubator_gobblin_spark.sinks.files import FileSink, TableType
+
+try:
+    from pyiceberg.table import StaticTable  # type: ignore
+
+    HAVE_PYICEBERG = True
+except ImportError:
+    HAVE_PYICEBERG = False
+
+try:
+    from deltalake import DeltaTable  # type: ignore
+
+    HAVE_DELTARS = True
+except ImportError:
+    HAVE_DELTARS = False
+
+live_iceberg = pytest.mark.live_iceberg
+live_delta = pytest.mark.live_delta
+
+needs_pyiceberg = pytest.mark.skipif(
+    not HAVE_PYICEBERG, reason="pyiceberg not installed"
+)
+needs_deltars = pytest.mark.skipif(
+    not HAVE_DELTARS, reason="deltalake (delta-rs) not installed"
+)
+
+
+def _sink(path, **kw):
+    return FileSink(path=str(path), commit_mode="manifest", **kw)
+
+
+def _sorted_rows(pdf, cols):
+    return sorted(map(tuple, pdf[cols].itertuples(index=False, name=None)))
+
+
+def _spark_rows(df, cols):
+    return sorted(map(tuple, df.select(*cols).collect()))
+
+
+def _latest_metadata_path(root):
+    meta_dir = os.path.join(root, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        v = fh.read().strip()
+    return os.path.join(meta_dir, f"v{v}.metadata.json")
+
+
+@live_iceberg
+@needs_pyiceberg
+def test_pyiceberg_reads_full_snapshot(spark, sf_dir, tmp_path):
+    df = load_table(spark, sf_dir, "region")
+    root = str(tmp_path / "icb")
+    sink = _sink(root)
+    sink.write_staging(df, "r1")
+    sink.publish("r1")
+    sink.export_iceberg()
+    t = StaticTable.from_metadata(_latest_metadata_path(root))
+    pdf = t.scan().to_pandas()
+    cols = sorted(df.columns)
+    assert _sorted_rows(pdf, cols) == _spark_rows(
+        sink.read_committed(spark), cols
+    )
+
+
+@live_iceberg
+@needs_pyiceberg
+def test_pyiceberg_reads_incremental_chain(spark, sf_dir, tmp_path):
+    """The q127 shape: carried manifests + adds-only manifest across an
+    incremental chain must resolve for pyiceberg, not just our reader."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    root = str(tmp_path / "icb-inc")
+    sink = _sink(root, table_type=TableType.APPEND_ONLY)
+    for i, pred in enumerate(
+        (F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1)
+    ):
+        sink.write_staging(docs.filter(pred), f"r{i}")
+        sink.publish(f"r{i}")
+        sink.export_iceberg()
+    t = StaticTable.from_metadata(_latest_metadata_path(root))
+    pdf = t.scan().to_pandas()
+    cols = sorted(docs.columns)
+    assert _sorted_rows(pdf, cols) == _spark_rows(docs, cols)
+    # file-skipping metadata is readable too: a filtered scan stays exact
+    filtered = t.scan(row_filter="doc_id < 100").to_pandas()
+    assert _sorted_rows(filtered, cols) == _spark_rows(
+        docs.filter(F.col("doc_id") < 100), cols
+    )
+
+
+@live_iceberg
+@needs_pyiceberg
+def test_pyiceberg_reads_after_snapshot_expiry(spark, sf_dir, tmp_path):
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        expire_iceberg_snapshots,
+    )
+
+    df = load_table(spark, sf_dir, "region")
+    root = str(tmp_path / "icb-exp")
+    sink = _sink(root, table_type=TableType.APPEND_ONLY)
+    for i in range(3):
+        sink.write_staging(df.filter(F.col("r_regionkey") % 3 == i), f"r{i}")
+        sink.publish(f"r{i}")
+        sink.export_iceberg()
+    expire_iceberg_snapshots(sink, keep_last=1)
+    t = StaticTable.from_metadata(_latest_metadata_path(root))
+    cols = sorted(df.columns)
+    assert _sorted_rows(t.scan().to_pandas(), cols) == _spark_rows(df, cols)
+
+
+@live_iceberg
+@needs_pyiceberg
+def test_pyiceberg_reads_position_deletes(spark, sf_dir, tmp_path):
+    """A foreign reader must apply the delete snapshots this engine's
+    append_position_deletes writes — proving the delete manifest /
+    delete file shapes are spec-true, not merely self-consistent."""
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        append_position_deletes,
+    )
+    from incubator_gobblin_spark.sources.iceberg_import import (
+        current_metadata,
+        snapshot_files,
+    )
+
+    df = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    root = str(tmp_path / "icb-del")
+    sink = _sink(root, table_type=TableType.APPEND_ONLY)
+    sink.write_staging(df, "r0")
+    sink.publish("r0")
+    sink.export_iceberg()
+    files, _ = snapshot_files(
+        current_metadata(root), root, collect_deletes=True
+    )
+    coords = [
+        (r[0], r[1])
+        for r in spark.read.parquet(*[f["path"] for f in files])
+        .withColumn("_fp", F.col("_metadata.file_path"))
+        .withColumn("_pos", F.col("_metadata.row_index"))
+        .filter(F.col("n_nationkey") % 3 == 0)
+        .select("_fp", "_pos")
+        .collect()
+    ]
+    append_position_deletes(root, coords)
+    t = StaticTable.from_metadata(_latest_metadata_path(root))
+    pdf = t.scan().to_pandas()
+    cols = sorted(df.columns)
+    assert _sorted_rows(pdf, cols) == _spark_rows(
+        df.filter(F.col("n_nationkey") % 3 != 0), cols
+    )
+
+
+@live_delta
+@needs_deltars
+def test_deltars_reads_export_and_time_travel(spark, sf_dir, tmp_path):
+    df = load_table(spark, sf_dir, "region")
+    root = str(tmp_path / "dl")
+    sink = _sink(root, table_type=TableType.APPEND_ONLY)
+    for i in range(2):
+        sink.write_staging(df.filter(F.col("r_regionkey") % 2 == i), f"r{i}")
+        sink.publish(f"r{i}")
+        sink.export_delta_log()
+    dt = DeltaTable(root)
+    cols = sorted(df.columns)
+    assert _sorted_rows(dt.to_pandas(), cols) == _spark_rows(df, cols)
+    # time travel to version 0 sees only the first commit
+    dt0 = DeltaTable(root, version=0)
+    assert _sorted_rows(dt0.to_pandas(), cols) == _spark_rows(
+        df.filter(F.col("r_regionkey") % 2 == 0), cols
+    )
+
+
+@live_delta
+@needs_deltars
+def test_deltars_reads_checkpointed_and_expired_log(spark, sf_dir, tmp_path):
+    """After multi-part checkpointing + expire_delta_log, delta-rs must
+    resolve the table from the checkpoint (the surviving-chain read)."""
+    df = load_table(spark, sf_dir, "region")
+    root = str(tmp_path / "dl-exp")
+    sink = _sink(root, table_type=TableType.APPEND_ONLY)
+    for i in range(4):
+        sink.write_staging(df.filter(F.col("r_regionkey") % 4 == i), f"r{i}")
+        sink.publish(f"r{i}")
+        sink.export_delta_log(checkpoint_interval=2)
+    assert sink.expire_delta_log() > 0
+    dt = DeltaTable(root)
+    cols = sorted(df.columns)
+    assert _sorted_rows(dt.to_pandas(), cols) == _spark_rows(df, cols)
+
+
+@live_delta
+@needs_deltars
+def test_deltars_file_stats_prune_consistently(spark, sf_dir, tmp_path):
+    """The exported add.stats must be usable by delta-rs' pushdown —
+    a filtered read stays exact (non-conservative stats would drop
+    rows here)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = str(tmp_path / "dl-stats")
+    sink = _sink(root, cluster_by=["o_orderkey"], max_records_per_file=500)
+    sink.write_staging(orders, "base")
+    sink.publish("base")
+    sink.export_delta_log()
+    dt = DeltaTable(root)
+    got = dt.to_pyarrow_table(filters=[("o_orderkey", "<", 100)]).to_pandas()
+    cols = ["o_orderkey", "o_totalprice"]
+    assert _sorted_rows(got, cols) == _spark_rows(
+        orders.filter(F.col("o_orderkey") < 100), cols
+    )
