@@ -1600,6 +1600,48 @@ def _select_exact_batch(
     return sel
 
 
+def _bpe_train_local(
+    words: list[tuple[list[str], int]], num_merges: int
+) -> list[tuple[str, str]]:
+    """The Sennrich reference loop in plain Python over a collected
+    word-frequency table — the small-corpus degrade path of
+    :func:`bpe_train`. Same total order as the distributed trainer
+    (count desc, then (l, r) lexicographic asc) and the same greedy
+    left-to-right merge application as ``_merge_symbols``, so the
+    merge list is byte-identical by construction; the equality is
+    pinned by tests/test_corpus."""
+    merges: list[tuple[str, str]] = []
+    words = [(list(syms), int(f)) for syms, f in words]
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in words:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        best = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[0]
+        merges.append(best)
+        left, right = best
+        fused = left + right
+        for i, (syms, f) in enumerate(words):
+            if left not in syms:
+                continue
+            out: list[str] = []
+            j = 0
+            n = len(syms)
+            while j < n:
+                if j < n - 1 and syms[j] == left and syms[j + 1] == right:
+                    out.append(fused)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            words[i] = (out, f)
+    return merges
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str,
@@ -1607,6 +1649,7 @@ def bpe_train(
     max_batch: int = 16,
     top_m: int = 4096,
     checkpoint_every: int = 64,
+    driver_local_max_words: int = 65536,
 ) -> list[tuple[str, str]]:
     """Learn ``num_merges`` BPE merge rules from the corpus. Returns the
     ordered merge list — the tokenizer model, byte-identical to the
@@ -1633,8 +1676,26 @@ def bpe_train(
     ``max_batch=1`` degrades to sequential selection (still one job per
     merge instead of two). Reference behavior:
     gobblin has no tokenizer trainer — this operator exists for the
-    LLM-pipeline surface; the algorithm is the public Sennrich BPE."""
+    LLM-pipeline surface; the algorithm is the public Sennrich BPE.
+
+    Small-corpus auto-degrade: batching amortizes CLUSTER rounds, but a
+    tiny corpus pays the per-round fixed costs (top-m collect, folded
+    expression compilation) without needing the amortization — the
+    round machinery can cost more wall-time than it saves. When the
+    distinct-word table fits the driver (``driver_local_max_words``,
+    probed with a short-circuiting ``limit(n+1).count()``), the table
+    is collected ONCE and the reference loop runs in plain Python
+    (:func:`_bpe_train_local`) — 2 Spark jobs total, byte-identical
+    merges. Pass ``driver_local_max_words=0`` to force the distributed
+    path (the tests pinning round economics do)."""
     base = word_freqs(df, text_col).withColumn("syms", _char_syms_col())
+    if driver_local_max_words and num_merges > 0:
+        probe = base.limit(driver_local_max_words + 1).count()
+        if probe <= driver_local_max_words:
+            rows = base.select("word", "freq").collect()
+            return _bpe_train_local(
+                [(list(r["word"]), r["freq"]) for r in rows], num_merges
+            )
     cur = base.cache()
     pending: list[tuple[str, str]] = []
     merges: list[tuple[str, str]] = []

@@ -238,3 +238,75 @@ def compile_schedule(props: dict[str, str]) -> JobSchedule:
     )
     disabled = props.get("job.disabled", "false").lower() == "true"
     return JobSchedule(cron=cron, run_once=run_once, disabled=disabled)
+
+
+class ScheduleDriver:
+    """The in-process "run jobs when due" loop — JobScheduler's
+    scheduleJob/startGeneralJobExecutor semantics
+    (gobblin-runtime ``scheduler/JobScheduler.java:360-407``: a
+    registered spec gets a trigger from ``job.schedule``; ``:518``: a
+    spec without one is scheduled run-once; ``:366-370``: disabled
+    specs are never scheduled) with an INJECTED clock: no daemon, no
+    sleeps — ``tick(now)`` fires everything due in ``(last_tick,
+    now]``. The deployment's orchestrator (or a test) owns time and
+    calls ``tick``; each due job runs through the ``runner`` callable
+    (``run_job`` in production — one trigger occurrence per fire,
+    exactly the delegation contract above).
+
+    Misfire policy: a tick that jumps past several fire times fires
+    the job ONCE and reschedules from ``now`` (Quartz's default
+    fire-once-then-continue misfire instruction) — firing a backlog of
+    missed slots against a batch engine would just re-run the same
+    incremental extract N times.
+    """
+
+    def __init__(self, runner):
+        self.runner = runner
+        self._jobs: dict[str, dict] = {}
+
+    def register(
+        self, name: str, props: dict[str, str], now: datetime
+    ) -> JobSchedule:
+        """Compile and schedule one spec. Disabled specs register but
+        never fire; run-once specs (no ``job.schedule``, or
+        ``job.runonce=true``) fire on the FIRST tick after
+        registration; cron specs fire at ``next_fire_time``."""
+        sched = compile_schedule(props)
+        if sched.disabled:
+            nxt = None
+        elif sched.cron is None:
+            nxt = now  # run-once without a cron: due immediately
+        else:
+            nxt = sched.cron.next_fire_time(now)
+        self._jobs[name] = {
+            "props": dict(props),
+            "schedule": sched,
+            "next": nxt,
+            "fired": 0,
+        }
+        return sched
+
+    def unregister(self, name: str) -> None:
+        self._jobs.pop(name, None)
+
+    def next_fire(self, name: str) -> datetime | None:
+        return self._jobs[name]["next"]
+
+    def tick(self, now: datetime) -> list[str]:
+        """Run every job whose next fire time is <= ``now``; returns
+        the fired names (registration order). Run-once jobs fire once
+        and deschedule; cron jobs reschedule strictly after ``now``."""
+        fired: list[str] = []
+        for name, j in self._jobs.items():
+            nxt = j["next"]
+            if nxt is None or nxt > now:
+                continue
+            sched: JobSchedule = j["schedule"]
+            self.runner(name, j["props"])
+            j["fired"] += 1
+            fired.append(name)
+            if sched.run_once or sched.cron is None:
+                j["next"] = None  # descheduled after its single run
+            else:
+                j["next"] = sched.cron.next_fire_time(now)
+        return fired

@@ -848,10 +848,15 @@ def test_bpe_train_batched_equals_sequential_toy(spark):
         "id long, text string",
     )
     seq = C.bpe_train_sequential(df, "text", 10)
-    bat = C.bpe_train(df, "text", 10)
-    one = C.bpe_train(df, "text", 10, max_batch=1)
+    # driver_local_max_words=0 forces the DISTRIBUTED round machinery
+    # (the default would auto-degrade this tiny corpus to the local
+    # path, which test_bpe_train_local_path_equals_distributed pins)
+    bat = C.bpe_train(df, "text", 10, driver_local_max_words=0)
+    one = C.bpe_train(df, "text", 10, max_batch=1, driver_local_max_words=0)
+    loc = C.bpe_train(df, "text", 10)  # auto-degraded local path
     assert bat == seq
     assert one == seq
+    assert loc == seq
 
 
 def test_bpe_train_batched_equals_sequential_real_sample(spark, sf_dir):
@@ -864,8 +869,12 @@ def test_bpe_train_batched_equals_sequential_real_sample(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(200).cache()
     try:
         seq = C.bpe_train_sequential(docs, "text", 12)
-        bat = C.bpe_train(docs, "text", 12, checkpoint_every=4)
+        bat = C.bpe_train(
+            docs, "text", 12, checkpoint_every=4, driver_local_max_words=0
+        )
+        loc = C.bpe_train(docs, "text", 12)  # auto-degraded local path
         assert bat == seq
+        assert loc == seq
         assert len(bat) == 12
     finally:
         docs.unpersist()

@@ -1073,3 +1073,123 @@ def test_metadata_retention_job_vocabulary(spark, sf_dir, tmp_path):
     committed = sorted(map(tuple, sink.read_committed(spark).collect()))
     assert sorted(map(tuple, read_iceberg(spark, root).collect())) == committed
     assert sorted(map(tuple, read_delta(spark, root).collect())) == committed
+
+
+def test_schedule_driver_fires_when_due():
+    """ScheduleDriver.tick with an injected clock: cron specs fire at
+    next_fire_time and reschedule; nothing fires early
+    (JobScheduler.java:360-407 semantics, no daemon, no sleeps)."""
+    from datetime import datetime
+
+    from incubator_gobblin_spark.jobs.schedule import ScheduleDriver
+
+    ran = []
+    drv = ScheduleDriver(lambda name, props: ran.append(name))
+    t0 = datetime(2024, 3, 1, 0, 0, 0)
+    drv.register("j2min", {"job.schedule": "0 0/2 * * * ?"}, now=t0)
+    assert drv.next_fire("j2min") == datetime(2024, 3, 1, 0, 2, 0)
+
+    assert drv.tick(datetime(2024, 3, 1, 0, 1, 59)) == []  # not due
+    assert drv.tick(datetime(2024, 3, 1, 0, 2, 0)) == ["j2min"]
+    assert ran == ["j2min"]
+    # rescheduled strictly after the tick
+    assert drv.next_fire("j2min") == datetime(2024, 3, 1, 0, 4, 0)
+    # same instant again: nothing re-fires
+    assert drv.tick(datetime(2024, 3, 1, 0, 2, 0)) == []
+
+
+def test_schedule_driver_run_once_and_disabled():
+    """A spec without job.schedule is run-once (the :518 defaulting):
+    fires on the first tick, then descheduled. job.disabled never
+    fires (:366-370). job.runonce=true with a cron fires exactly once
+    at its first trigger."""
+    from datetime import datetime
+
+    from incubator_gobblin_spark.jobs.schedule import ScheduleDriver
+
+    ran = []
+    drv = ScheduleDriver(lambda name, props: ran.append(name))
+    t0 = datetime(2024, 3, 1, 12, 0, 0)
+    drv.register("once", {"job.name": "once"}, now=t0)
+    drv.register(
+        "off", {"job.schedule": "0 * * * * ?", "job.disabled": "true"}, now=t0
+    )
+    drv.register(
+        "cron-once",
+        {"job.schedule": "0 30 12 * * ?", "job.runonce": "true"},
+        now=t0,
+    )
+    assert drv.next_fire("off") is None
+
+    fired = drv.tick(datetime(2024, 3, 1, 12, 0, 1))
+    assert fired == ["once"]  # cron-once not due yet, off never
+    assert drv.next_fire("once") is None  # descheduled
+    fired = drv.tick(datetime(2024, 3, 1, 12, 30, 0))
+    assert fired == ["cron-once"]
+    assert drv.next_fire("cron-once") is None  # run-once honored
+    # long after: neither disabled nor exhausted jobs ever fire again
+    assert drv.tick(datetime(2024, 3, 2, 12, 30, 0)) == []
+    assert ran == ["once", "cron-once"]
+
+
+def test_schedule_driver_misfire_fires_once_then_continues():
+    """A clock jump past several fire times fires ONCE and reschedules
+    from now (Quartz's default misfire instruction) — a batch engine
+    must not replay a backlog of identical incremental extracts."""
+    from datetime import datetime
+
+    from incubator_gobblin_spark.jobs.schedule import ScheduleDriver
+
+    ran = []
+    drv = ScheduleDriver(lambda name, props: ran.append(name))
+    drv.register(
+        "j", {"job.schedule": "0 0/2 * * * ?"},
+        now=datetime(2024, 3, 1, 0, 0, 0),
+    )
+    # jump 61 minutes: ~30 slots missed -> exactly one fire
+    assert drv.tick(datetime(2024, 3, 1, 1, 1, 0)) == ["j"]
+    assert ran == ["j"]
+    assert drv.next_fire("j") == datetime(2024, 3, 1, 1, 2, 0)
+
+
+def test_schedule_driver_runs_real_job_spec(spark, tmp_path):
+    """The driver's runner can be run_job itself: a registered .pull
+    spec executes one trigger occurrence per fire (the delegation
+    contract's production wiring)."""
+    import json
+    from datetime import datetime
+
+    from incubator_gobblin_spark.jobs.schedule import ScheduleDriver
+    from incubator_gobblin_spark.jobs.spec import run_job
+
+    src = tmp_path / "in.json"
+    src.write_text(
+        "\n".join(json.dumps({"k": i, "s": f"v{i}"}) for i in range(6))
+    )
+    out = tmp_path / "out"
+    props = {
+        "job.name": "drv-copy",
+        "job.schedule": "0 0 4 * * ?",
+        "source.class": "org.apache.gobblin.example.simplejson.SimpleJsonSource",
+        "source.filebased.files.to.pull": str(src),
+        "source.schema": json.dumps(
+            {
+                "type": "record",
+                "name": "r",
+                "fields": [
+                    {"name": "k", "type": "int"},
+                    {"name": "s", "type": "string"},
+                ],
+            }
+        ),
+        "converter.classes":
+            "org.apache.gobblin.example.simplejson.SimpleJsonConverter",
+        "data.publisher.final.dir": str(out),
+        "writer.output.format": "PARQUET",
+    }
+    drv = ScheduleDriver(lambda name, p: run_job(spark, p))
+    drv.register("drv-copy", props, now=datetime(2024, 3, 1, 0, 0, 0))
+    fired = drv.tick(datetime(2024, 3, 1, 4, 0, 0))
+    assert fired == ["drv-copy"]
+    got = spark.read.parquet(str(out))
+    assert got.count() == 6
