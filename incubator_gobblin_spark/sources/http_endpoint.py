@@ -148,38 +148,40 @@ class HttpSoqlEndpoint:
     """Salesforce REST query surface over HTTP (SalesforceConnector's
     getQueryResultResponse shapes):
 
-    - ``query(soql)`` -> ``GET {base}/services/data/{ver}/queryAll?q=``
-      (``query_all=False`` uses ``/query`` — no soft-deleted rows)
+    - ``query(soql)`` -> GET of :func:`soql_url`'s path (the
+      getSoqlUrl:470 encoding — ``/services/data/v{ver}/queryAll/?q=``;
+      ``query_all=False`` uses ``/query/`` — no soft-deleted rows)
     - ``query_more(nextRecordsUrl)`` -> GET of the server-relative
       cursor path the previous page returned, verbatim
-    - ``fetch_result(job, batch, result)`` ->
-      ``GET {base}/services/async/{job}/batch/{batch}/result/{result}``
-      (Bulk API result chaining; returns the JSON array)
+    - ``fetch_result(job, batch, result)`` -> the Bulk API v1 result
+      path ``GET {base}/services/async/{ver}/job/{job}/batch/{batch}/
+      result/{result}`` (result chaining; returns the JSON array)
     """
 
     def __init__(
         self,
         base_url: str,
-        api_version: str = "v59.0",
+        api_version: str = "59.0",
         headers: dict[str, str] | None = None,
         timeout: float = 30.0,
         query_all: bool = True,
     ):
         self.base_url = base_url.rstrip("/")
-        self.api_version = api_version
+        # accept both "59.0" and "v59.0"
+        self.api_version = api_version.lstrip("v")
         self.headers = dict(headers or {})
         self.timeout = float(timeout)
         self.query_all = bool(query_all)
 
     def query(self, soql: str) -> dict:
-        from urllib.parse import quote
+        from incubator_gobblin_spark.sources.soql import soql_url
 
-        verb = "queryAll" if self.query_all else "query"
-        url = (
-            f"{self.base_url}/services/data/{self.api_version}/{verb}"
-            f"?q={quote(soql)}"
+        path = soql_url(soql, api_version=self.api_version)
+        if not self.query_all:
+            path = path.replace("/queryAll/", "/query/", 1)
+        return _get_json(
+            f"{self.base_url}{path}", self.headers, self.timeout
         )
-        return _get_json(url, self.headers, self.timeout)
 
     def query_more(self, next_records_url: str) -> dict:
         return _get_json(
@@ -190,8 +192,9 @@ class HttpSoqlEndpoint:
         from urllib.parse import quote
 
         url = (
-            f"{self.base_url}/services/async/{quote(str(job_id))}/batch/"
-            f"{quote(str(batch_id))}/result/{quote(str(result_id))}"
+            f"{self.base_url}/services/async/{self.api_version}/job/"
+            f"{quote(str(job_id))}/batch/{quote(str(batch_id))}/result/"
+            f"{quote(str(result_id))}"
         )
         return _get_json(url, self.headers, self.timeout)
 
@@ -342,9 +345,10 @@ def serve_endpoint(
                         with lock:
                             self._reply(soql.query_more(parts.path))
                 elif segs[0] == "services" and segs[1] == "async":
-                    # /services/async/<job>/batch/<b>/result/<r>
+                    # Bulk API v1 result path:
+                    # /services/async/<ver>/job/<j>/batch/<b>/result/<r>
                     self._reply(
-                        bulk.fetch_result(segs[2], segs[4], segs[6])
+                        bulk.fetch_result(segs[4], segs[6], segs[8])
                     )
                 else:
                     self._reply({"error": f"no route {parts.path}"}, 404)

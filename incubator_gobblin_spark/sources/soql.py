@@ -255,7 +255,11 @@ def read_bulk_results(
                     try:
                         recs = endpoint.fetch_result(job_id, batch_id, result_id)
                         break
-                    except ConnectionError:
+                    # OSError covers ConnectionError (the file-backed
+                    # double's transient signal) AND urllib's
+                    # HTTPError/URLError from the real HTTP endpoint —
+                    # a 503 must ride the same bounded retry
+                    except OSError:
                         attempt += 1
                         if attempt > max_retries:
                             raise
@@ -364,7 +368,10 @@ class FileBackedSoqlEndpoint:
         return self._page(self._run(soql), 0)
 
     def query_more(self, next_records_url: str) -> dict:
-        rows, pos = self._cursors.pop(next_records_url)
+        # cursors stay valid after a read — Salesforce nextRecordsUrl
+        # is re-fetchable (15-min server-side retention), and a client
+        # retrying a page lost to a network failure depends on that
+        rows, pos = self._cursors[next_records_url]
         return self._page(rows, pos)
 
 

@@ -210,7 +210,9 @@ def test_bulk_results_over_http(spark):
         ("b3", "r3"): [],
     }
     inner = S.FileBackedBulkEndpoint(results)
-    server, base = serve_endpoint(bulk=inner)
+    # fail_first_n: a 503 from the wire (urllib HTTPError) must ride
+    # the same bounded retry as the double's ConnectionError
+    server, base = serve_endpoint(bulk=inner, fail_first_n=1)
     try:
         files = S.parse_batch_result_ids("750x0", "b1:r1,b2:r2,b3:r3")
         df = S.read_bulk_results(
