@@ -56,6 +56,9 @@ HEADLINE = [
     "q116_semantic_decontaminate",  # embedding-level eval leakage gate
     "q118_cms_heavy_hitters",  # count-min sketch build + probe + top-k
     "q121_bpe_pair_counts",    # BPE merge-selection pair counting
+    # round-8 additions
+    "q128_iceberg_posdelete_agg",  # v2 position-delete anti-join read
+    "q129_rest_http_ingest_agg",   # REST paging over the real HTTP wire
 ]
 
 

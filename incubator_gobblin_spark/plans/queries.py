@@ -58,20 +58,21 @@ def register(name: str, oracle: str | None):
 # r05 = the 27 queries VERDICT r7 ask #1 names — 3 rounds old at r08,
 # past the ~2-round policy; r06 = the 50-query r06 window, 2 rounds
 # old; r07 = last round's window, fresh):
-# 1. the brand-new r8 query q128 (first driver row ever),
+# 1. the brand-new r8 queries q128/q129 (first driver rows ever),
 # 2. the ENTIRE r05-stale block (27 queries),
-# 3. 22 of the 50 r06-green queries, prioritizing the q90-q106 LLM-
+# 3. 21 of the 50 r06-green queries, prioritizing the q90-q106 LLM-
 #    pipeline wave, interop round-trips (q124 iceberg, q91 kafka,
 #    q95 multimodal, q98 lake CDF), the LSH coverage invariants
 #    (q63/q64/q68/q69), and the r07-bench-blip suspects q96 (watch).
-# Left out (rotate at r09, then at most 3 rounds old): q105 + the
+# Left out (rotate at r09, then at most 3 rounds old): q104/q105 + the
 # q01-q61 relational core re-proven r06, and the whole r07 window
 # (1 round old).
 # The local parity suite (tests/test_oracle_parity.py) still proves ALL
 # oracle-backed queries on every pytest run regardless of this ordering.
 _WINDOW_HEAD = [
-    # --- brand-new r8 query (first driver row ever) ---
+    # --- brand-new r8 queries (first driver rows ever) ---
     "q128_iceberg_posdelete_agg",
+    "q129_rest_http_ingest_agg",
     # --- r05-stale block (last driver-green r05 — the policy edge) ---
     "q31_minhash_candidates",
     "q32_simhash_neardups",
@@ -122,7 +123,8 @@ _WINDOW_HEAD = [
     "q101_c4_rules",
     "q102_gopher_rules",
     "q103_weighted_sample",
-    "q104_approx_distinct",
+    # (q104_approx_distinct displaced to r09 by q129 — the head holds
+    # exactly the driver's 50 slots)
 ]
 
 
@@ -4748,6 +4750,85 @@ def q128_iceberg_posdelete_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("chars"),
+    )
+
+
+_HTTP_DOUBLE_CACHE: dict = {}
+
+
+def _http_events_base(sf_dir: str) -> str:
+    """One in-process HTTP server per (process, sf_dir) serving the
+    events table through the documented REST protocol — the q129 wire.
+    Daemon-threaded; lives for the process so the LAZY DataFrame a
+    query returns can still fetch when the driver collects it."""
+    base = _HTTP_DOUBLE_CACHE.get(sf_dir)
+    if base is None:
+        from incubator_gobblin_spark.sources.http_endpoint import (
+            serve_endpoint,
+        )
+        from incubator_gobblin_spark.sources.rest_api import (
+            FileBackedRestEndpoint,
+        )
+
+        server, base = serve_endpoint(
+            rest=FileBackedRestEndpoint(
+                {"events": f"{sf_dir}/events.parquet"}, order_by="event_id"
+            )
+        )
+        _HTTP_DOUBLE_CACHE[sf_dir] = base
+        _HTTP_DOUBLE_CACHE[(sf_dir, "server")] = server  # keep alive
+    return base
+
+
+@register(
+    "q129_rest_http_ingest_agg",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE ts > TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <= TIMESTAMP '2024-02-10 00:00:00'
+    GROUP BY event_type
+    """,
+)
+def q129_rest_http_ingest_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q107's REST extraction with the REAL WIRE in the loop: the
+    endpoint is the stdlib urllib client (sources/http_endpoint.py —
+    the RestApiConnector.java:58 getConnection analogue) paging an
+    in-process HTTP server over genuine sockets; executor tasks issue
+    actual GETs per page under the token bucket, from_json types the
+    bodies, then the same aggregation — against the oracle's direct
+    parquet scan. Proves serialization of params/cursors/records
+    survives a real transport, not just the in-memory double.
+
+    Scale shape: identical to q107 (one fetch task per watermark
+    workunit, zero shuffle before the aggregate) — the wire changes
+    the transport, not the plan."""
+    from datetime import datetime as _dt
+
+    from incubator_gobblin_spark.sources import rest_api as R
+    from incubator_gobblin_spark.sources.http_endpoint import HttpRestEndpoint
+
+    src = R.RestApiSource(
+        resource="events",
+        schema="event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+        wm_column="ts",
+        page_size=5000,
+        rate_per_sec=1000.0,
+    )
+    ep = HttpRestEndpoint(_http_events_base(sf_dir), order_by="event_id")
+    df = R.read_rest(
+        spark,
+        src,
+        ep,
+        WatermarkInterval("ts", _dt(2024, 1, 10), _dt(2024, 2, 10)),
+        num_partitions=4,
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _dsum("value", 2).alias("total_value"),
     )
 
 

@@ -17,10 +17,8 @@ from pyspark.sql import SparkSession
 from incubator_gobblin_spark.plans import queries as Q
 
 DEFAULT = [
-    "q125_semantic_decontam_lsh",
-    "q126_semantic_prefilter_audit",
-    "q127_iceberg_incremental_agg",
-    "q121_bpe_pair_counts",
+    "q128_iceberg_posdelete_agg",
+    "q129_rest_http_ingest_agg",
 ]
 
 
