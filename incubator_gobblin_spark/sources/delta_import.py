@@ -240,6 +240,60 @@ def prune_adds(
     return out
 
 
+#: reader features this engine actually honors. Anything else in a
+#: v3 protocol's readerFeatures MUST make the read refuse — that is
+#: the Delta protocol's own contract (PROTOCOL.md Reader Requirements):
+#: a reader that ignores an unknown feature returns WRONG data (e.g.
+#: deletionVectors -> resurrected rows, columnMapping -> null columns).
+_SUPPORTED_READER_FEATURES = {"timestampNtz"}
+
+
+def check_reader_protocol(proto: dict, meta: dict, live: dict) -> None:
+    """Refuse tables this reader would silently misread — the loud-fail
+    discipline of the Iceberg equality-delete gate, applied to Delta's
+    protocol action (PROTOCOL.md: readers MUST check minReaderVersion /
+    readerFeatures before using the log).
+
+    - ``minReaderVersion`` > 3 (or 3 with an unsupported feature):
+      refuse by name;
+    - column mapping (``delta.columnMapping.mode`` id/name): physical
+      parquet columns are renamed — reading by logical name yields
+      all-null columns;
+    - any live ``add`` carrying a ``deletionVector``: rows marked
+      deleted would be resurrected."""
+    mrv = int((proto or {}).get("minReaderVersion", 1))
+    if mrv > 3:
+        raise ValueError(
+            f"read_delta: protocol minReaderVersion={mrv} is newer than "
+            "this reader understands — refusing to misread the table"
+        )
+    if mrv >= 3:
+        feats = set(proto.get("readerFeatures") or [])
+        unsupported = feats - _SUPPORTED_READER_FEATURES
+        if unsupported:
+            raise ValueError(
+                "read_delta: table requires reader features "
+                f"{sorted(unsupported)} this engine does not implement — "
+                "refusing to silently drop their semantics"
+            )
+    mode = ((meta or {}).get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode not in ("none", ""):
+        raise ValueError(
+            f"read_delta: delta.columnMapping.mode={mode!r} renames "
+            "physical parquet columns — unsupported, refusing to read "
+            "all-null logical columns"
+        )
+    for a in (live or {}).values():
+        if a.get("deletionVector"):
+            raise ValueError(
+                f"read_delta: add {a.get('path')!r} carries a deletion "
+                "vector — row-level deletes in DV format are not "
+                "implemented; refusing to resurrect deleted rows"
+            )
+
+
 def read_delta(
     spark: SparkSession,
     path: str,
@@ -268,7 +322,8 @@ def read_delta(
     etc.). A log whose paths defeat unique suffixing falls back to the
     union plan, trading plan size for correctness."""
     log_dir = os.path.join(path, "_delta_log")
-    live, meta, _ = _replay_state(log_dir, version)
+    live, meta, proto = _replay_state(log_dir, version)
+    check_reader_protocol(proto, meta, live)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
 

@@ -59,10 +59,14 @@ def table_schema(path: str):
     resolves."""
     from pyspark.sql.types import StructType
 
-    from incubator_gobblin_spark.sources.delta_import import _replay_state
+    from incubator_gobblin_spark.sources.delta_import import (
+        _replay_state,
+        check_reader_protocol,
+    )
 
     log_dir = os.path.join(path, "_delta_log")
-    _, meta, _ = _replay_state(log_dir, None)
+    live, meta, proto = _replay_state(log_dir, None)
+    check_reader_protocol(proto, meta, live)
     return (
         StructType.fromJson(json.loads(meta["schemaString"])),
         list(meta.get("partitionColumns") or []),
@@ -153,6 +157,13 @@ class DeltaStreamReader(DataSourceStreamReader):
             for a in adds:
                 from urllib.parse import unquote
 
+                if a["add"].get("deletionVector"):
+                    raise ValueError(
+                        f"deltastream: add {a['add'].get('path')!r} "
+                        "carries a deletion vector — DV row-level "
+                        "deletes are not implemented; refusing to "
+                        "stream resurrected rows"
+                    )
                 parts.append(
                     _AddedFile(
                         os.path.join(self.root, unquote(a["add"]["path"])),

@@ -337,9 +337,12 @@ def read_iceberg(
     Identity-partition values are restored from each data file's
     ``partition`` struct, cast to the types declared by the table
     schema, and the result carries the declared column set in schema
-    order. Only identity transforms are supported — hidden-partitioning
-    transforms (bucket/truncate/day...) carry derived values that do
-    not restore source columns; a non-identity spec raises.
+    order. Hidden-partitioning transforms (bucket/truncate/day...) are
+    ACCEPTED and simply not restored: per the spec their SOURCE columns
+    are stored in the data files (only identity-partition columns may
+    be omitted, the migrated-Hive case), so the scan reads them
+    directly — the derived partition values are just not usable for
+    metadata pruning here, costing at most a skipped skip.
 
     v2 row-level deletes: POSITION delete files written by a foreign
     engine (spec §Position Delete Files — parquet of ``file_path``,
@@ -372,15 +375,17 @@ def read_iceberg(
         for s in metadata["partition-specs"]
         if s["spec-id"] == metadata["default-spec-id"]
     )
-    bad = [f for f in spec["fields"] if f["transform"] != "identity"]
-    if bad:
-        raise ValueError(
-            f"read_iceberg: non-identity partition transforms {bad!r}"
-        )
     field_name = {
         f["id"]: f["name"] for f in schema_json["fields"]
     }
-    part_cols = [field_name[f["source-id"]] for f in spec["fields"]]
+    # restore only IDENTITY transforms; hidden-partitioning fields
+    # (bucket/truncate/day/...) keep their source columns inside the
+    # data files, so the scan serves them without restore
+    part_cols = [
+        field_name[f["source-id"]]
+        for f in spec["fields"]
+        if f["transform"] == "identity"
+    ]
 
     files, delete_paths = snapshot_files(
         metadata, path, snapshot_id, collect_deletes=True

@@ -2813,3 +2813,146 @@ def test_delta_multipart_checkpoint_roundtrip(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, sink.read_committed(spark).collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# Delta reader-protocol gate (PROTOCOL.md Reader Requirements) and
+# Iceberg hidden-partitioning acceptance
+# ---------------------------------------------------------------------------
+
+
+def _append_delta_commit(root, actions):
+    """Append one commit JSON the way a foreign writer would."""
+    import json
+
+    from incubator_gobblin_spark.sources.delta_import import _log_versions
+
+    log_dir = os.path.join(root, "_delta_log")
+    v = _log_versions(log_dir)[-1] + 1
+    with open(os.path.join(log_dir, f"{v:020d}.json"), "w") as fh:
+        for act in actions:
+            fh.write(json.dumps(act) + "\n")
+
+
+def _delta_table(spark, sf_dir, tmp_path, name):
+    df = load_table(spark, sf_dir, "region")
+    root = str(tmp_path / name)
+    sink = _sink(root, table_type=TableType.APPEND_ONLY)
+    sink.write_staging(df, "r0")
+    sink.publish("r0")
+    sink.export_delta_log()
+    return root, df
+
+
+def test_read_delta_refuses_unsupported_reader_features(
+    spark, sf_dir, tmp_path
+):
+    """A v3 protocol listing a feature this reader does not implement
+    (deletionVectors) must REFUSE the read — ignoring it would
+    resurrect deleted rows. A v3 protocol listing only supported
+    features (timestampNtz) still reads."""
+    import pytest as _pytest
+
+    from incubator_gobblin_spark.sources.delta_import import read_delta
+
+    root, df = _delta_table(spark, sf_dir, tmp_path, "dproto")
+    _append_delta_commit(
+        root,
+        [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                       "readerFeatures": ["deletionVectors"],
+                       "writerFeatures": ["deletionVectors"]}}],
+    )
+    with _pytest.raises(ValueError, match="deletionVectors"):
+        read_delta(spark, root)
+    # time travel BEFORE the upgrade still reads (protocol then was v1)
+    assert read_delta(spark, root, version=0).count() == df.count()
+
+    root2, df2 = _delta_table(spark, sf_dir, tmp_path, "dproto-ok")
+    _append_delta_commit(
+        root2,
+        [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                       "readerFeatures": ["timestampNtz"],
+                       "writerFeatures": ["timestampNtz"]}}],
+    )
+    assert read_delta(spark, root2).count() == df2.count()
+
+
+def test_read_delta_refuses_column_mapping_and_dv_adds(
+    spark, sf_dir, tmp_path
+):
+    """Column mapping renames physical parquet columns (logical-name
+    reads would be all-null); an add carrying a deletionVector marks
+    rows deleted. Both must fail loudly, batch AND stream."""
+    import json
+
+    import pytest as _pytest
+
+    from incubator_gobblin_spark.sources.delta_import import read_delta
+    from incubator_gobblin_spark.sources.delta_stream import table_schema
+
+    root, df = _delta_table(spark, sf_dir, tmp_path, "dcolmap")
+    meta = {
+        "id": "t", "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps(
+            {"type": "struct", "fields": [
+                {"name": "r_regionkey", "type": "long",
+                 "nullable": True, "metadata": {}}]}
+        ),
+        "partitionColumns": [], "configuration":
+            {"delta.columnMapping.mode": "name"}, "createdTime": 0,
+    }
+    _append_delta_commit(root, [{"metaData": meta}])
+    with _pytest.raises(ValueError, match="columnMapping"):
+        read_delta(spark, root)
+    with _pytest.raises(ValueError, match="columnMapping"):
+        table_schema(root)
+
+    root2, _ = _delta_table(spark, sf_dir, tmp_path, "ddv")
+    _append_delta_commit(
+        root2,
+        [{"add": {"path": "r0/fake.parquet", "partitionValues": {},
+                  "size": 1, "modificationTime": 0, "dataChange": True,
+                  "deletionVector": {"storageType": "u", "pathOrInlineDv":
+                                     "x", "offset": 1, "sizeInBytes": 40,
+                                     "cardinality": 3}}}],
+    )
+    with _pytest.raises(ValueError, match="deletion vector"):
+        read_delta(spark, root2)
+
+
+def test_read_iceberg_accepts_hidden_partitioning(spark, sf_dir, tmp_path):
+    """A foreign spec with a non-identity transform (bucket) must READ:
+    the source columns live in the data files; only the derived
+    partition values are unusable for pruning. (Previously raised.)"""
+    import json
+
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        _metadata_versions,
+    )
+    from incubator_gobblin_spark.sources.iceberg_import import read_iceberg
+
+    df = load_table(spark, sf_dir, "region")
+    root = str(tmp_path / "icb-bucket")
+    sink = _sink(root, table_type=TableType.APPEND_ONLY)
+    sink.write_staging(df, "r0")
+    sink.publish("r0")
+    sink.export_iceberg()
+    meta_dir = os.path.join(root, "metadata")
+    v = _metadata_versions(meta_dir)[-1]
+    with open(os.path.join(meta_dir, f"v{v}.metadata.json")) as fh:
+        meta = json.load(fh)
+    key_id = next(
+        f["id"]
+        for f in meta["schemas"][0]["fields"]
+        if f["name"] == "r_regionkey"
+    )
+    meta["partition-specs"][0]["fields"] = [
+        {"name": "rk_bucket", "transform": "bucket[4]",
+         "source-id": key_id, "field-id": 1000}
+    ]
+    with open(os.path.join(meta_dir, f"v{v + 1}.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    got = read_iceberg(spark, root)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, df.collect())
+    )
