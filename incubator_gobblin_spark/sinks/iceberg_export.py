@@ -272,6 +272,21 @@ def _manifest_entry_avro(partition_struct: dict) -> dict:
                             "default": None,
                             "type": ["null", _bounds_map_avro("k129_v130", 129, 130)],
                         },
+                        {
+                            # spec field 135 (elements 136): the schema
+                            # field ids an EQUALITY delete file keys on
+                            "name": "equality_ids",
+                            "field-id": 135,
+                            "default": None,
+                            "type": [
+                                "null",
+                                {
+                                    "type": "array",
+                                    "items": "int",
+                                    "element-id": 136,
+                                },
+                            ],
+                        },
                     ],
                 },
             },
@@ -1121,12 +1136,193 @@ def append_position_deletes(
     return meta_dir
 
 
+def append_equality_deletes(
+    table_path: str, rows: list[dict], equality_cols: list[str]
+) -> str:
+    """Append a v2 EQUALITY-delete snapshot the way a foreign CDC
+    writer (Flink upsert sink, Trino MERGE) would: a parquet file of
+    the ``equality_cols`` values, a content=2 delete manifest whose
+    entry carries the columns' schema field ids as ``equality_ids``
+    (spec §Equality Delete Files, field 135), and a new metadata
+    version. Every ``rows`` dict maps equality column -> value; a
+    row deletes ALL data rows equal on those columns whose data
+    sequence number is strictly less than this snapshot's. See
+    :func:`append_position_deletes` for the position variant and the
+    why-this-exists note."""
+    location = os.path.abspath(table_path)
+    meta_dir = os.path.join(location, "metadata")
+    versions = _metadata_versions(meta_dir)
+    if not versions:
+        raise FileNotFoundError(f"no Iceberg metadata under {meta_dir}")
+    with open(
+        os.path.join(meta_dir, f"v{versions[-1]}.metadata.json")
+    ) as fh:
+        prev = json.load(fh)
+    snapshots = list(prev["snapshots"])
+    cur = next(
+        s
+        for s in snapshots
+        if s["snapshot-id"] == prev["current-snapshot-id"]
+    )
+    schema = next(
+        s
+        for s in prev["schemas"]
+        if s["schema-id"] == prev["current-schema-id"]
+    )
+    spec = next(
+        s
+        for s in prev["partition-specs"]
+        if s["spec-id"] == prev["default-spec-id"]
+    )
+    by_name = {f["name"]: f for f in schema["fields"]}
+    missing = [c for c in equality_cols if c not in by_name]
+    if missing:
+        raise ValueError(f"equality columns not in schema: {missing}")
+    equality_ids = [by_name[c]["id"] for c in equality_cols]
+    fname = {f["id"]: f["name"] for f in schema["fields"]}
+    ftype = {f["name"]: f["type"] for f in schema["fields"]}
+    part_cols = [fname[f["source-id"]] for f in spec["fields"]]
+    part_types = {c: ftype[c] for c in part_cols}
+    sid = (
+        max(
+            max((s["snapshot-id"] for s in snapshots), default=0),
+            int(prev.get("last-sequence-number", 0)),
+        )
+        + 1
+    )
+    seq = sid
+    ts = int(time.time() * 1000)
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    del_dir = os.path.join(location, "_deletes")
+    os.makedirs(del_dir, exist_ok=True)
+    dpath = os.path.join(del_dir, f"eq-delete-{sid}.parquet")
+    _PA_OF = {
+        "long": pa.int64(),
+        "int": pa.int32(),
+        "double": pa.float64(),
+        "float": pa.float32(),
+        "string": pa.string(),
+        "boolean": pa.bool_(),
+    }
+    arrays = {}
+    for c in equality_cols:
+        t = by_name[c]["type"]
+        pat = _PA_OF.get(t) if isinstance(t, str) else None
+        vals = [r.get(c) for r in rows]
+        arrays[c] = pa.array(vals, pat) if pat else pa.array(vals)
+    pq.write_table(pa.table(arrays), dpath)
+
+    from incubator_gobblin_spark.formats.avro_ocf import encode_ocf
+
+    part_struct = _partition_struct_avro(part_cols, part_types)
+    entry_schema = _manifest_entry_avro(part_struct)
+    entry = {
+        "status": 1,
+        "snapshot_id": sid,
+        "sequence_number": seq,
+        "file_sequence_number": seq,
+        "data_file": {
+            "content": 2,  # EQUALITY_DELETES
+            "file_path": "file://" + dpath,
+            "file_format": "PARQUET",
+            "partition": {c: None for c in part_cols},
+            "record_count": len(rows),
+            "file_size_in_bytes": os.path.getsize(dpath),
+            "value_counts": None,
+            "null_value_counts": None,
+            "lower_bounds": None,
+            "upper_bounds": None,
+            "equality_ids": equality_ids,
+        },
+    }
+    mdata = encode_ocf(
+        entry_schema,
+        [entry],
+        codec="null",
+        extra_meta={
+            "schema": json.dumps(schema).encode(),
+            "partition-spec": json.dumps(spec["fields"]).encode(),
+            "partition-spec-id": b"0",
+            "format-version": b"2",
+            "content": b"deletes",
+        },
+    )
+    mpath = os.path.join(meta_dir, f"del-{sid}-m0.avro")
+    with open(mpath, "wb") as fh:
+        fh.write(mdata)
+    list_rows = [dict(r) for r in _decode_manifest_list(cur, location)] + [
+        {
+            "manifest_path": "file://" + mpath,
+            "manifest_length": len(mdata),
+            "partition_spec_id": 0,
+            "content": 1,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": sid,
+            "added_files_count": 1,
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": len(rows),
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+    ]
+    snap_path = os.path.join(
+        meta_dir, f"snap-{sid}-1-{uuid.uuid5(uuid.NAMESPACE_URL, dpath)}.avro"
+    )
+    with open(snap_path, "wb") as fh:
+        fh.write(
+            encode_ocf(
+                _MANIFEST_LIST_AVRO,
+                list_rows,
+                codec="null",
+                extra_meta={"format-version": b"2"},
+            )
+        )
+    snapshot = {
+        "snapshot-id": sid,
+        "sequence-number": seq,
+        "timestamp-ms": ts,
+        "summary": {
+            "operation": "delete",
+            "engine.state-fingerprint": cur["summary"].get(
+                "engine.state-fingerprint", ""
+            ),
+        },
+        "manifest-list": "file://" + snap_path,
+        "schema-id": schema.get("schema-id", 0),
+        "parent-snapshot-id": cur["snapshot-id"],
+    }
+    metadata = dict(prev)
+    metadata["last-sequence-number"] = seq
+    metadata["last-updated-ms"] = ts
+    metadata["current-snapshot-id"] = sid
+    metadata["snapshots"] = snapshots + [snapshot]
+    metadata["snapshot-log"] = list(prev.get("snapshot-log", [])) + [
+        {"timestamp-ms": ts, "snapshot-id": sid}
+    ]
+    version = versions[-1] + 1
+    meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    tmp = f"{meta_path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(metadata, fh, indent=1)
+    os.link(tmp, meta_path)
+    os.remove(tmp)
+    hint_tmp = os.path.join(meta_dir, f".hint.tmp-{os.getpid()}")
+    with open(hint_tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+    return meta_dir
+
+
 def append_equality_deletes_stub(table_path: str) -> str:
-    """Author an EQUALITY-delete (content=2) manifest the way a foreign
-    CDC writer would — used only to prove read_iceberg fails loudly on
-    equality deletes rather than resurrecting rows. Writes an empty
-    delete parquet and a content=2 entry; see append_position_deletes
-    for the supported path."""
+    """Author a MALFORMED equality-delete manifest: content=2 with NO
+    equality_ids — used only to prove read_iceberg fails loudly on a
+    delete it cannot apply rather than resurrecting rows. The real
+    writer is :func:`append_equality_deletes`."""
     meta_dir = append_position_deletes(table_path, [])
     # rewrite the just-written manifest's entry to content=2
     versions = _metadata_versions(meta_dir)

@@ -159,12 +159,16 @@ def snapshot_files(
     not DELETED (2). Returns dicts of (path, partition values dict).
 
     v2 row-level deletes (spec §Delete Formats): delete manifests
-    (manifest-list ``content`` = 1) are decoded too. POSITION delete
-    files (``data_file.content`` = 1) are returned as the second
-    element when ``collect_deletes`` — read_iceberg anti-joins them
-    away. EQUALITY deletes (``content`` = 2) raise: silently ignoring
-    a foreign writer's deletes would resurrect deleted rows, and this
-    engine does not implement equality-delete application."""
+    (manifest-list ``content`` = 1) are decoded too. With
+    ``collect_deletes`` the second element lists delete files as dicts
+    ``{path, content, seq, equality_ids}`` — POSITION deletes
+    (``content`` = 1) and EQUALITY deletes (``content`` = 2), which
+    read_iceberg applies; data file dicts carry their data sequence
+    number (``seq``, manifest-list inherited when the entry's is
+    null) because equality deletes only apply to data sequenced
+    STRICTLY BEFORE them. Unknown delete content raises, and without
+    ``collect_deletes`` any delete file raises — silently ignoring a
+    foreign writer's deletes would resurrect deleted rows."""
     sid = (
         metadata.get("current-snapshot-id")
         if snapshot_id is None
@@ -183,9 +187,10 @@ def snapshot_files(
     if not os.path.isabs(mlist):
         mlist = os.path.join(table_path, mlist)
     out: list[dict] = []
-    delete_paths: list[str] = []
+    deletes: list[dict] = []
     for mf in _decode_avro_rows(mlist):
         is_delete_manifest = mf.get("content", 0) != 0
+        mf_seq = int(mf.get("sequence_number") or 0)
         mpath = _local_path(mf["manifest_path"])
         if not os.path.isabs(mpath):
             mpath = os.path.join(table_path, mpath)
@@ -197,27 +202,37 @@ def snapshot_files(
                 raise ValueError(
                     f"read_iceberg: non-parquet data file {df_['file_path']}"
                 )
+            # v2 sequence inheritance: a null entry sequence number
+            # inherits the manifest-list row's (spec §Sequence Numbers)
+            seq = entry.get("sequence_number")
+            seq = mf_seq if seq is None else int(seq)
             content = df_.get("content", 1 if is_delete_manifest else 0)
             if is_delete_manifest or content != 0:
-                if content == 2:
-                    raise ValueError(
-                        "read_iceberg: snapshot carries EQUALITY delete "
-                        f"file {df_['file_path']} (content=2) — equality-"
-                        "delete application is not implemented; refusing "
-                        "to read a table whose deletes would be silently "
-                        "ignored"
-                    )
-                if content != 1:
+                if content not in (1, 2):
                     raise ValueError(
                         "read_iceberg: unknown delete-file content "
                         f"{content} in {df_['file_path']}"
                     )
-                delete_paths.append(_local_path(df_["file_path"]))
+                if content == 2 and not df_.get("equality_ids"):
+                    raise ValueError(
+                        "read_iceberg: equality delete file "
+                        f"{df_['file_path']} carries no equality_ids — "
+                        "cannot apply, refusing to ignore it"
+                    )
+                deletes.append(
+                    {
+                        "path": _local_path(df_["file_path"]),
+                        "content": content,
+                        "seq": seq,
+                        "equality_ids": list(df_.get("equality_ids") or []),
+                    }
+                )
                 continue
             out.append(
                 {
                     "path": _local_path(df_["file_path"]),
                     "partition": df_.get("partition") or {},
+                    "seq": seq,
                     "lower_bounds": {
                         kv["key"]: kv["value"]
                         for kv in (df_.get("lower_bounds") or [])
@@ -229,10 +244,10 @@ def snapshot_files(
                 }
             )
     if collect_deletes:
-        return out, delete_paths
-    if delete_paths:
+        return out, deletes
+    if deletes:
         raise ValueError(
-            f"snapshot carries {len(delete_paths)} position-delete "
+            f"snapshot carries {len(deletes)} row-level delete "
             "file(s); call with collect_deletes=True (read_iceberg does) "
             "so they are applied instead of silently ignored"
         )
@@ -344,16 +359,25 @@ def read_iceberg(
     directly — the derived partition values are just not usable for
     metadata pruning here, costing at most a skipped skip.
 
-    v2 row-level deletes: POSITION delete files written by a foreign
-    engine (spec §Position Delete Files — parquet of ``file_path``,
-    ``pos``) are applied with a broadcast left-anti join on the scan's
-    ``_metadata`` (file_path, row_index) coordinates. File paths are
-    unique and immutable in Iceberg, so a (path, pos) tombstone is
-    unambiguous without sequence-number ordering (sequence numbers
-    only disambiguate EQUALITY deletes, which raise — see
-    snapshot_files). Scale shape: the delete set is scanned once and
-    broadcast; the data side stays a single whole-stage-codegen scan
-    with no extra shuffle."""
+    v2 row-level deletes written by a foreign engine are applied:
+
+    - POSITION deletes (spec §Position Delete Files — parquet of
+      ``file_path``, ``pos``) anti-join the scan's ``_metadata``
+      (file_path, row_index) coordinates; file paths are unique and
+      immutable in Iceberg, so a (path, pos) tombstone is unambiguous
+      without sequence ordering.
+    - EQUALITY deletes (spec §Equality Delete Files — parquet of the
+      ``equality_ids`` columns) anti-join on those columns, restricted
+      to data rows whose data sequence number is STRICTLY LESS than
+      the delete file's (the spec's apply-to-older-data rule); the
+      row's data sequence comes from a broadcast file→seq map joined
+      on the same ``_metadata`` file path. Null semantics follow SQL
+      ``IS NOT DISTINCT FROM`` via null-safe equality.
+
+    Scale shape: every delete set is scanned once and broadcast (one
+    anti-join per equality_ids group + one for positions); the data
+    side stays a single whole-stage-codegen scan with no extra
+    shuffle."""
     from incubator_gobblin_spark.sources.delta_import import assemble_snapshot
 
     metadata = current_metadata(path)
@@ -387,7 +411,7 @@ def read_iceberg(
         if f["transform"] == "identity"
     ]
 
-    files, delete_paths = snapshot_files(
+    files, delete_files = snapshot_files(
         metadata, path, snapshot_id, collect_deletes=True
     )
     if filters:
@@ -413,13 +437,13 @@ def read_iceberg(
         if not os.path.isabs(fp):
             fp = os.path.join(path, fp)
         groups.setdefault(key, []).append(fp)
-    if not delete_paths:
+    if not delete_files:
         return assemble_snapshot(
             spark, groups, schema, part_cols, union_threshold
         )
 
-    # position deletes present: carry the scan's (file_path, row_index)
-    # coordinates through assembly, anti-join the tombstones, drop them
+    # row-level deletes present: carry the scan's (file_path,
+    # row_index) coordinates through assembly, anti-join the tombstones
     df = assemble_snapshot(
         spark, groups, schema, part_cols, union_threshold,
         with_positions=True,
@@ -428,22 +452,57 @@ def read_iceberg(
     # stores the path "as declared in the manifest" (file:// URI from
     # this exporter), _metadata.file_path is a file:/ URI from Spark
     norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
-    dels = (
-        spark.read.parquet(
-            *[
-                p if os.path.isabs(p) else os.path.join(path, p)
-                for p in delete_paths
-            ]
-        )
-        .select(
+
+    def _abs(p: str) -> str:
+        return p if os.path.isabs(p) else os.path.join(path, p)
+
+    pos_paths = [
+        _abs(d["path"]) for d in delete_files if d["content"] == 1
+    ]
+    if pos_paths:
+        dels = spark.read.parquet(*pos_paths).select(
             norm(F.col("file_path")).alias("_del_path"),
             F.col("pos").cast("long").alias("_del_pos"),
         )
-    )
-    out = df.join(
-        F.broadcast(dels),
-        (norm(F.col("_file_path")) == F.col("_del_path"))
-        & (F.col("_row_index") == F.col("_del_pos")),
-        "left_anti",
-    )
-    return out.select(*[f.name for f in schema.fields])
+        df = df.join(
+            F.broadcast(dels),
+            (norm(F.col("_file_path")) == F.col("_del_path"))
+            & (F.col("_row_index") == F.col("_del_pos")),
+            "left_anti",
+        )
+
+    eq_deletes = [d for d in delete_files if d["content"] == 2]
+    if eq_deletes:
+        # the row's DATA sequence number, from a broadcast file→seq map
+        # keyed on the normalized scan path (no shuffle, map is
+        # O(files) driver-side metadata)
+        seq_map = spark.createDataFrame(
+            [(os.path.abspath(_abs(f["path"])), int(f.get("seq") or 0))
+             for f in files],
+            "_seq_path string, _data_seq long",
+        )
+        df = df.withColumn("_norm_path", norm(F.col("_file_path"))).join(
+            F.broadcast(seq_map),
+            F.col("_norm_path") == F.col("_seq_path"),
+            "left",
+        )
+        field_name_all = {f["id"]: f["name"] for f in schema_json["fields"]}
+        by_ids: dict[tuple, list[dict]] = {}
+        for d in eq_deletes:
+            by_ids.setdefault(tuple(sorted(d["equality_ids"])), []).append(d)
+        for ids, dels_of_group in sorted(by_ids.items()):
+            cols = [field_name_all[i] for i in ids]
+            parts_df = None
+            for d in dels_of_group:
+                one = spark.read.parquet(_abs(d["path"])).select(
+                    *[F.col(c).alias(f"_eq_{c}") for c in cols]
+                ).withColumn("_del_seq", F.lit(int(d["seq"])))
+                parts_df = one if parts_df is None else parts_df.unionByName(one)
+            cond = F.col("_data_seq") < F.col("_del_seq")
+            for c in cols:
+                # null-safe equality: a null delete value matches a
+                # null row value (Iceberg equality semantics)
+                cond = cond & F.col(c).eqNullSafe(F.col(f"_eq_{c}"))
+            df = df.join(F.broadcast(parts_df), cond, "left_anti")
+
+    return df.select(*[f.name for f in schema.fields])

@@ -373,45 +373,6 @@ def test_iceberg_hand_authored_spec_example_parses(spark, tmp_path):
     assert [f["path"] for f in snapshot_files(md, root)] == [data_file]
 
 
-def test_iceberg_non_identity_transform_raises(spark, tmp_path):
-    root = str(tmp_path / "bad")
-    meta_dir = os.path.join(root, "metadata")
-    os.makedirs(meta_dir)
-    metadata = {
-        "format-version": 2,
-        "current-schema-id": 0,
-        "schemas": [
-            {
-                "type": "struct",
-                "schema-id": 0,
-                "fields": [
-                    {"id": 1, "name": "ts", "required": False, "type": "long"}
-                ],
-            }
-        ],
-        "default-spec-id": 0,
-        "partition-specs": [
-            {
-                "spec-id": 0,
-                "fields": [
-                    {
-                        "name": "ts_day",
-                        "transform": "day",
-                        "source-id": 1,
-                        "field-id": 1000,
-                    }
-                ],
-            }
-        ],
-        "current-snapshot-id": 1,
-        "snapshots": [],
-    }
-    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
-        json.dump(metadata, fh)
-    with pytest.raises(ValueError, match="non-identity"):
-        read_iceberg(spark, root)
-
-
 def test_iceberg_paths_are_file_uris(spark, sf_dir, tmp_path):
     """The spec prescribes URIs: data file_path, manifest_path, and the
     snapshot's manifest-list must all be file:// URIs so foreign engines
@@ -1076,22 +1037,81 @@ def test_iceberg_export_after_foreign_delete_carries_tombstones(
     )
 
 
-def test_iceberg_equality_deletes_fail_loudly(spark, sf_dir, tmp_path):
-    """EQUALITY deletes (content=2) from a foreign CDC writer are not
-    implemented — reading a table that carries them must RAISE, never
-    silently resurrect the deleted rows."""
+def test_iceberg_equality_deletes_applied(spark, sf_dir, tmp_path):
+    """EQUALITY deletes (content=2, spec §Equality Delete Files) from a
+    foreign CDC writer: rows equal on the equality_ids columns with a
+    data sequence number BEFORE the delete's disappear; data appended
+    AFTER the delete with the same key survives (the spec's
+    sequence-ordering rule — exactly how a Flink upsert re-inserts a
+    deleted key)."""
     from incubator_gobblin_spark.sinks.iceberg_export import (
-        append_equality_deletes_stub,
+        append_equality_deletes,
     )
 
-    df = load_table(spark, sf_dir, "region")
+    df = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
     root = str(tmp_path / "eqdel")
     sink = _sink(root, table_type=TableType.APPEND_ONLY)
     sink.write_staging(df, "r0")
     sink.publish("r0")
     sink.export_iceberg()
+    append_equality_deletes(
+        root,
+        [{"n_nationkey": 0}, {"n_nationkey": 7}, {"n_nationkey": 999}],
+        ["n_nationkey"],
+    )
+    got = read_iceberg(spark, root)
+    want = df.filter(~F.col("n_nationkey").isin(0, 7))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # re-insert one deleted key AFTER the delete: newer data survives
+    sink.write_staging(
+        df.filter(F.col("n_nationkey") == 7), "r1"
+    )
+    sink.publish("r1")
+    sink.export_iceberg()
+    got2 = read_iceberg(spark, root)
+    want2 = df.filter(F.col("n_nationkey") != 0)
+    assert sorted(map(tuple, got2.collect())) == sorted(
+        map(tuple, want2.collect())
+    )
+    # multi-column equality keys group into one anti-join
+    append_equality_deletes(
+        root,
+        [{"n_nationkey": 7, "n_regionkey": 3}],
+        ["n_nationkey", "n_regionkey"],
+    )
+    got3 = read_iceberg(spark, root)
+    want3 = want2.filter(
+        ~((F.col("n_nationkey") == 7) & (F.col("n_regionkey") == 3))
+    )
+    assert sorted(map(tuple, got3.collect())) == sorted(
+        map(tuple, want3.collect())
+    )
+    # time travel to the first snapshot still reads everything
+    first = current_metadata(root)["snapshots"][0]["snapshot-id"]
+    assert read_iceberg(spark, root, snapshot_id=first).count() == df.count()
+
+
+def test_iceberg_malformed_equality_delete_fails_loudly(
+    spark, sf_dir, tmp_path
+):
+    """A content=2 delete with NO equality_ids cannot be applied —
+    reading must RAISE, never silently resurrect the deleted rows."""
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        append_equality_deletes_stub,
+    )
+
+    df = load_table(spark, sf_dir, "region")
+    root = str(tmp_path / "eqdel-bad")
+    sink = _sink(root, table_type=TableType.APPEND_ONLY)
+    sink.write_staging(df, "r0")
+    sink.publish("r0")
+    sink.export_iceberg()
     append_equality_deletes_stub(root)
-    with pytest.raises(ValueError, match="EQUALITY delete"):
+    with pytest.raises(ValueError, match="equality_ids"):
         read_iceberg(spark, root)
 
 
@@ -1118,5 +1138,5 @@ def test_iceberg_snapshot_files_refuses_silent_delete_ignore(
         spark, [f["path"] for f in files], F.col("r_regionkey") == 0
     )
     append_position_deletes(root, coords)
-    with pytest.raises(ValueError, match="position-delete"):
+    with pytest.raises(ValueError, match="row-level delete"):
         snapshot_files(current_metadata(root), root)

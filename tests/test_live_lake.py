@@ -233,3 +233,32 @@ def test_deltars_file_stats_prune_consistently(spark, sf_dir, tmp_path):
     assert _sorted_rows(got, cols) == _spark_rows(
         orders.filter(F.col("o_orderkey") < 100), cols
     )
+
+
+@live_iceberg
+@needs_pyiceberg
+def test_pyiceberg_reads_equality_deletes(spark, sf_dir, tmp_path):
+    """A foreign reader must apply the equality-delete snapshots this
+    engine's append_equality_deletes writes (content=2 + equality_ids
+    field 135 + sequence ordering)."""
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        append_equality_deletes,
+    )
+
+    df = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    root = str(tmp_path / "icb-eqdel")
+    sink = _sink(root, table_type=TableType.APPEND_ONLY)
+    sink.write_staging(df, "r0")
+    sink.publish("r0")
+    sink.export_iceberg()
+    append_equality_deletes(root, [{"n_nationkey": 3}], ["n_nationkey"])
+    # re-insert after the delete: sequence ordering must preserve it
+    sink.write_staging(df.filter(F.col("n_nationkey") == 3), "r1")
+    sink.publish("r1")
+    sink.export_iceberg()
+    t = StaticTable.from_metadata(_latest_metadata_path(root))
+    pdf = t.scan().to_pandas()
+    cols = sorted(df.columns)
+    assert _sorted_rows(pdf, cols) == _spark_rows(df, cols)
