@@ -58,13 +58,13 @@ def register(name: str, oracle: str | None):
 # r05 = the 27 queries VERDICT r7 ask #1 names — 3 rounds old at r08,
 # past the ~2-round policy; r06 = the 50-query r06 window, 2 rounds
 # old; r07 = last round's window, fresh):
-# 1. the brand-new r8 queries q128/q129 (first driver rows ever),
+# 1. the brand-new r8 queries q128/q129/q130 (first driver rows ever),
 # 2. the ENTIRE r05-stale block (27 queries),
-# 3. 21 of the 50 r06-green queries, prioritizing the q90-q106 LLM-
+# 3. 20 of the 50 r06-green queries, prioritizing the q90-q106 LLM-
 #    pipeline wave, interop round-trips (q124 iceberg, q91 kafka,
 #    q95 multimodal, q98 lake CDF), the LSH coverage invariants
 #    (q63/q64/q68/q69), and the r07-bench-blip suspects q96 (watch).
-# Left out (rotate at r09, then at most 3 rounds old): q104/q105 + the
+# Left out (rotate at r09, then at most 3 rounds old): q103-q105 + the
 # q01-q61 relational core re-proven r06, and the whole r07 window
 # (1 round old).
 # The local parity suite (tests/test_oracle_parity.py) still proves ALL
@@ -73,6 +73,7 @@ _WINDOW_HEAD = [
     # --- brand-new r8 queries (first driver rows ever) ---
     "q128_iceberg_posdelete_agg",
     "q129_rest_http_ingest_agg",
+    "q130_iceberg_incremental_scan",
     # --- r05-stale block (last driver-green r05 — the policy edge) ---
     "q31_minhash_candidates",
     "q32_simhash_neardups",
@@ -122,9 +123,8 @@ _WINDOW_HEAD = [
     "q94_mixture_materialize",
     "q101_c4_rules",
     "q102_gopher_rules",
-    "q103_weighted_sample",
-    # (q104_approx_distinct displaced to r09 by q129 — the head holds
-    # exactly the driver's 50 slots)
+    # (q103_weighted_sample / q104_approx_distinct displaced to r09 by
+    # q129/q130 — the head holds exactly the driver's 50 slots)
 ]
 
 
@@ -4829,6 +4829,68 @@ def q129_rest_http_ingest_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         _dsum("value", 2).alias("total_value"),
+    )
+
+
+@register(
+    "q130_iceberg_incremental_scan",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents
+    WHERE doc_id % 3 <> 0
+    GROUP BY lang
+    """,
+)
+def q130_iceberg_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental APPEND scan over the exported Iceberg chain
+    (iceberg-core IncrementalAppendScan / Spark's start-snapshot-id):
+    the documents table lands in THREE commits (doc_id mod 3), and the
+    read consumes only what was appended AFTER the first snapshot —
+    commits 2 and 3 — through each range snapshot's ADDED manifest
+    entries, never re-reading snapshot 1's files. The aggregate must
+    match the oracle's direct doc_id%3<>0 scan value-for-value.
+
+    Scale shape: range replay is O(range manifests) driver-side
+    metadata; the data read scans exactly the delta files — the
+    tail-a-foreign-table consumption pattern at 100 TB, where
+    re-reading the world per poll is the thing this exists to avoid."""
+    import os as _os
+
+    from incubator_gobblin_spark.sinks.files import FileSink, TableType
+    from incubator_gobblin_spark.sources.iceberg_import import (
+        current_metadata,
+        read_iceberg_incremental,
+    )
+
+    cache = _cache_dir("iceberg_incscan", sf_dir, "documents")
+    sink = FileSink(
+        path=cache, commit_mode="manifest", table_type=TableType.APPEND_ONLY
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+    def _committed(run: str) -> bool:
+        try:
+            return sink.current_manifest(run, materialize=False) is not None
+        except FileNotFoundError:
+            return False
+
+    for i in range(3):
+        run = f"r{i}"
+        if not _committed(run):
+            sink.write_staging(docs.filter(F.col("doc_id") % 3 == i), run)
+            sink.publish(run)
+            sink.export_iceberg()
+    if not _os.path.isdir(_os.path.join(cache, "metadata")):
+        sink.export_iceberg()
+    first = current_metadata(cache)["snapshots"][0]["snapshot-id"]
+    df = read_iceberg_incremental(spark, cache, after_snapshot_id=first)
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
     )
 
 

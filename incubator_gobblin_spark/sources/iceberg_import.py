@@ -506,3 +506,121 @@ def read_iceberg(
             df = df.join(F.broadcast(parts_df), cond, "left_anti")
 
     return df.select(*[f.name for f in schema.fields])
+
+
+def read_iceberg_incremental(
+    spark: SparkSession,
+    path: str,
+    after_snapshot_id: int,
+    until_snapshot_id: int | None = None,
+    union_threshold: int = 16,
+) -> DataFrame:
+    """Rows APPENDED strictly after ``after_snapshot_id`` up to and
+    including ``until_snapshot_id`` (default: current) — Iceberg's
+    incremental append scan (iceberg-core IncrementalAppendScan;
+    Spark's ``option("start-snapshot-id", ...)``), the consumption
+    pattern of a downstream job tailing a foreign table without
+    re-reading the world.
+
+    Semantics mirror the upstream scan exactly: every snapshot in the
+    range must be ``operation=append`` — a delete/overwrite/replace in
+    the range raises, because its row-level effects cannot be
+    expressed as a pure append stream (the same error Iceberg throws).
+    Emitted files are each range snapshot's ADDED manifest entries
+    (status=1 stamped with that snapshot's id) — O(range manifests)
+    driver-side metadata, and the data read scans only the delta
+    files; partition restore shares assemble_snapshot."""
+    metadata = current_metadata(path)
+    snaps = metadata.get("snapshots", [])
+    by_id = {s["snapshot-id"]: s for s in snaps}
+    if after_snapshot_id not in by_id:
+        raise FileNotFoundError(
+            f"snapshot {after_snapshot_id} not present "
+            f"(have {[s['snapshot-id'] for s in snaps]})"
+        )
+    until = (
+        metadata["current-snapshot-id"]
+        if until_snapshot_id is None
+        else until_snapshot_id
+    )
+    if until not in by_id:
+        raise FileNotFoundError(f"snapshot {until} not present")
+    schema_json = next(
+        s
+        for s in metadata["schemas"]
+        if s["schema-id"] == metadata["current-schema-id"]
+    )
+    schema = StructType(
+        [
+            StructField(
+                f["name"], _spark_type(f["type"]), not f.get("required")
+            )
+            for f in schema_json["fields"]
+        ]
+    )
+    spec = next(
+        s
+        for s in metadata["partition-specs"]
+        if s["spec-id"] == metadata["default-spec-id"]
+    )
+    field_name = {f["id"]: f["name"] for f in schema_json["fields"]}
+    part_cols = [
+        field_name[f["source-id"]]
+        for f in spec["fields"]
+        if f["transform"] == "identity"
+    ]
+
+    # snapshot order: the metadata list is append-ordered; the range is
+    # (after, until] by position
+    order = [s["snapshot-id"] for s in snaps]
+    lo, hi = order.index(after_snapshot_id), order.index(until)
+    if hi < lo:
+        raise ValueError(
+            f"until_snapshot_id {until} precedes after_snapshot_id "
+            f"{after_snapshot_id}"
+        )
+    groups: dict[tuple, list[str]] = {}
+    for sid in order[lo + 1 : hi + 1]:
+        snap = by_id[sid]
+        op = snap.get("summary", {}).get("operation", "append")
+        if op != "append":
+            raise ValueError(
+                f"read_iceberg_incremental: snapshot {sid} is "
+                f"operation={op!r} — the range is not append-only; "
+                "re-read the full snapshot instead (the "
+                "IncrementalAppendScan restriction)"
+            )
+        mlist = _local_path(snap["manifest-list"])
+        if not os.path.isabs(mlist):
+            mlist = os.path.join(path, mlist)
+        for mf in _decode_avro_rows(mlist):
+            if mf.get("content", 0) != 0:
+                continue  # delete manifests guarded by the op check
+            if int(mf.get("added_snapshot_id") or -1) != sid:
+                continue  # carried by reference: not this snapshot's adds
+            mpath = _local_path(mf["manifest_path"])
+            if not os.path.isabs(mpath):
+                mpath = os.path.join(path, mpath)
+            for entry in _decode_avro_rows(mpath):
+                if entry["status"] != 1:  # ADDED only
+                    continue
+                if (
+                    entry.get("snapshot_id") is not None
+                    and int(entry["snapshot_id"]) != sid
+                ):
+                    continue
+                df_ = entry["data_file"]
+                pv = df_.get("partition") or {}
+                key = tuple(
+                    None if pv.get(c) is None else str(pv[c])
+                    for c in part_cols
+                )
+                fp = _local_path(df_["file_path"])
+                if not os.path.isabs(fp):
+                    fp = os.path.join(path, fp)
+                groups.setdefault(key, []).append(fp)
+    if not groups:
+        return spark.createDataFrame([], schema)
+    from incubator_gobblin_spark.sources.delta_import import assemble_snapshot
+
+    return assemble_snapshot(spark, groups, schema, part_cols, union_threshold)

@@ -1140,3 +1140,66 @@ def test_iceberg_snapshot_files_refuses_silent_delete_ignore(
     append_position_deletes(root, coords)
     with pytest.raises(ValueError, match="row-level delete"):
         snapshot_files(current_metadata(root), root)
+
+
+def test_iceberg_incremental_append_scan(spark, sf_dir, tmp_path):
+    """read_iceberg_incremental: (after, until] emits exactly the range
+    snapshots' ADDED rows; a non-append snapshot in range raises; an
+    empty range reads empty; carried manifests are never re-emitted."""
+    from incubator_gobblin_spark.sources.iceberg_import import (
+        read_iceberg_incremental,
+    )
+
+    df = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    root = str(tmp_path / "inc-scan")
+    sink = _sink(root, table_type=TableType.APPEND_ONLY)
+    for i in range(3):
+        sink.write_staging(df.filter(F.col("n_nationkey") % 3 == i), f"r{i}")
+        sink.publish(f"r{i}")
+        sink.export_iceberg()
+    snaps = [s["snapshot-id"] for s in current_metadata(root)["snapshots"]]
+    assert len(snaps) == 3
+
+    # after snapshot 1: commits 2 and 3 only
+    got = read_iceberg_incremental(spark, root, after_snapshot_id=snaps[0])
+    want = df.filter(F.col("n_nationkey") % 3 != 0)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # bounded range (snap1, snap2]
+    got2 = read_iceberg_incremental(
+        spark, root, after_snapshot_id=snaps[0], until_snapshot_id=snaps[1]
+    )
+    want2 = df.filter(F.col("n_nationkey") % 3 == 1)
+    assert sorted(map(tuple, got2.collect())) == sorted(
+        map(tuple, want2.collect())
+    )
+    # empty range
+    assert (
+        read_iceberg_incremental(
+            spark, root,
+            after_snapshot_id=snaps[2], until_snapshot_id=snaps[2],
+        ).count()
+        == 0
+    )
+    # a delete snapshot in range raises (IncrementalAppendScan rule)
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        append_position_deletes,
+    )
+
+    files, _ = snapshot_files(
+        current_metadata(root), root, collect_deletes=True
+    )
+    coords = _coords(
+        spark, [f["path"] for f in files], F.col("n_nationkey") == 1
+    )
+    append_position_deletes(root, coords)
+    with pytest.raises(ValueError, match="append-only"):
+        read_iceberg_incremental(spark, root, after_snapshot_id=snaps[0])
+    # but a range that stops BEFORE the delete still reads
+    got3 = read_iceberg_incremental(
+        spark, root, after_snapshot_id=snaps[0], until_snapshot_id=snaps[2]
+    )
+    assert got3.count() == want.count()

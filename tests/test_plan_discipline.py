@@ -96,6 +96,9 @@ MAP_IN_PANDAS_BY_DESIGN = {
     # endpoint), Arrow-batched by contract; everything after from_json
     # is plain Catalyst
     "q107_rest_ingest_agg",
+    # same contract over the REAL wire (urllib against the in-process
+    # HTTP server) — the transport changed, not the plan
+    "q129_rest_http_ingest_agg",
 }
 
 _PY_NODES = ("EvalPython", "MapInPandas", "FlatMapGroupsInPandas")
