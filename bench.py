@@ -60,6 +60,7 @@ HEADLINE = [
     "q128_iceberg_posdelete_agg",  # v2 position-delete anti-join read
     "q129_rest_http_ingest_agg",   # REST paging over the real HTTP wire
     "q130_iceberg_incremental_scan",  # incremental append scan (delta files only)
+    "q131_delta_dv_agg",           # deletion-vector decode + anti-join read
 ]
 
 

@@ -58,13 +58,13 @@ def register(name: str, oracle: str | None):
 # r05 = the 27 queries VERDICT r7 ask #1 names — 3 rounds old at r08,
 # past the ~2-round policy; r06 = the 50-query r06 window, 2 rounds
 # old; r07 = last round's window, fresh):
-# 1. the brand-new r8 queries q128/q129/q130 (first driver rows ever),
+# 1. the brand-new r8 queries q128-q131 (first driver rows ever),
 # 2. the ENTIRE r05-stale block (27 queries),
-# 3. 20 of the 50 r06-green queries, prioritizing the q90-q106 LLM-
+# 3. 19 of the 50 r06-green queries, prioritizing the q90-q106 LLM-
 #    pipeline wave, interop round-trips (q124 iceberg, q91 kafka,
 #    q95 multimodal, q98 lake CDF), the LSH coverage invariants
 #    (q63/q64/q68/q69), and the r07-bench-blip suspects q96 (watch).
-# Left out (rotate at r09, then at most 3 rounds old): q103-q105 + the
+# Left out (rotate at r09, then at most 3 rounds old): q102-q105 + the
 # q01-q61 relational core re-proven r06, and the whole r07 window
 # (1 round old).
 # The local parity suite (tests/test_oracle_parity.py) still proves ALL
@@ -74,6 +74,8 @@ _WINDOW_HEAD = [
     "q128_iceberg_posdelete_agg",
     "q129_rest_http_ingest_agg",
     "q130_iceberg_incremental_scan",
+    "q131_delta_dv_agg",
+    "q131_delta_dv_agg",
     # --- r05-stale block (last driver-green r05 — the policy edge) ---
     "q31_minhash_candidates",
     "q32_simhash_neardups",
@@ -121,10 +123,9 @@ _WINDOW_HEAD = [
     "q69_lsh_topk_self_retrieval",
     "q92_quality_classifier",
     "q94_mixture_materialize",
-    "q101_c4_rules",
-    "q102_gopher_rules",
-    # (q103_weighted_sample / q104_approx_distinct displaced to r09 by
-    # q129/q130 — the head holds exactly the driver's 50 slots)
+    # (q101_c4_rules / q102_gopher_rules / q103_weighted_sample /
+    # q104_approx_distinct displaced to r09 by q129-q131 — the head
+    # holds exactly the driver's 50 slots)
 ]
 
 
@@ -4888,6 +4889,109 @@ def q130_iceberg_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame
         sink.export_iceberg()
     first = current_metadata(cache)["snapshots"][0]["snapshot-id"]
     df = read_iceberg_incremental(spark, cache, after_snapshot_id=first)
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+
+
+@register(
+    "q131_delta_dv_agg",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents
+    WHERE doc_id % 7 <> 0
+    GROUP BY lang
+    """,
+)
+def q131_delta_dv_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta DELETION VECTORS under the hard oracle (PROTOCOL.md
+    §Deletion Vectors): the documents table is exported as a Delta
+    table, then a "foreign writer" row-level-deletes every
+    doc_id % 7 == 0 row by attaching roaring-bitmap DVs to the live
+    adds (formats/deletion_vectors.py — z85 UUID file storage, CRC
+    framing, portable RoaringBitmapArray) under a v3 protocol upgrade.
+    ``read_delta`` must decode the bitmaps EXECUTOR-side into (file,
+    row_index) tombstones and anti-join them off the scan's
+    ``_metadata`` coordinates; the aggregate matches the oracle's
+    direct predicate scan value-for-value — the Delta mirror of q128.
+
+    Scale shape: DV decode is one task per deletion vector (driver
+    holds O(#files) descriptors, never O(deleted rows)); the data side
+    stays one codegen scan + broadcast anti-join, no extra shuffle."""
+    import json as _json
+    import os as _os
+    from urllib.parse import unquote as _unquote
+
+    from incubator_gobblin_spark.formats.deletion_vectors import write_dv_file
+    from incubator_gobblin_spark.sinks.files import FileSink, TableType
+    from incubator_gobblin_spark.sources.delta_import import (
+        _log_versions,
+        _replay_state,
+        read_delta,
+    )
+
+    cache = _cache_dir("delta_dv", sf_dir, "documents")
+    sink = FileSink(
+        path=cache, commit_mode="manifest", table_type=TableType.APPEND_ONLY
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    try:
+        committed = sink.current_manifest("base", materialize=False) is not None
+    except FileNotFoundError:
+        committed = False
+    if not committed:
+        sink.write_staging(docs, "base")
+        sink.publish("base")
+    log_dir = _os.path.join(cache, "_delta_log")
+    if not _os.path.isdir(log_dir):
+        sink.export_delta_log()
+    live, _, _ = _replay_state(log_dir, None)
+    if not any(a.get("deletionVector") for a in live.values()):
+        # the foreign delete: per-file row positions of doc_id%7==0
+        coords = (
+            spark.read.parquet(
+                *[_os.path.join(cache, _unquote(p)) for p in live]
+            )
+            .withColumn("_fp", F.col("_metadata.file_path"))
+            .withColumn("_pos", F.col("_metadata.row_index"))
+            .filter(F.col("doc_id") % 7 == 0)
+            .select("_fp", "_pos")
+            .collect()
+        )
+        by_file: dict[str, list[int]] = {}
+        for r in coords:
+            p = "/" + r._fp.split(":", 1)[1].lstrip("/")
+            by_file.setdefault(_os.path.abspath(p), []).append(int(r._pos))
+        actions = [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+            }
+        ]
+        for rel, a in sorted(live.items()):
+            fp = _os.path.abspath(_os.path.join(cache, _unquote(rel)))
+            if fp not in by_file:
+                continue
+            dv = write_dv_file(cache, by_file[fp], storage="u")
+            actions.append(
+                {"remove": {"path": rel, "dataChange": True,
+                            "deletionTimestamp": 0}}
+            )
+            actions.append({"add": {**a, "deletionVector": dv}})
+        v = _log_versions(log_dir)[-1] + 1
+        with open(_os.path.join(log_dir, f"{v:020d}.json"), "w") as fh:
+            for act in actions:
+                fh.write(_json.dumps(act) + "\n")
+    df = read_delta(spark, cache)
     return df.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("chars"),

@@ -244,11 +244,16 @@ def prune_adds(
 #: v3 protocol's readerFeatures MUST make the read refuse — that is
 #: the Delta protocol's own contract (PROTOCOL.md Reader Requirements):
 #: a reader that ignores an unknown feature returns WRONG data (e.g.
-#: deletionVectors -> resurrected rows, columnMapping -> null columns).
-_SUPPORTED_READER_FEATURES = {"timestampNtz"}
+#: columnMapping -> null columns). deletionVectors is supported: the
+#: batch reader decodes the roaring bitmaps and anti-joins the marked
+#: rows (formats/deletion_vectors.py); the STREAM source still refuses
+#: DV adds — a DV commit is a rewrite, not an append.
+_SUPPORTED_READER_FEATURES = {"timestampNtz", "deletionVectors"}
 
 
-def check_reader_protocol(proto: dict, meta: dict, live: dict) -> None:
+def check_reader_protocol(
+    proto: dict, meta: dict, live: dict, *, allow_dv: bool = True
+) -> None:
     """Refuse tables this reader would silently misread — the loud-fail
     discipline of the Iceberg equality-delete gate, applied to Delta's
     protocol action (PROTOCOL.md: readers MUST check minReaderVersion /
@@ -259,8 +264,10 @@ def check_reader_protocol(proto: dict, meta: dict, live: dict) -> None:
     - column mapping (``delta.columnMapping.mode`` id/name): physical
       parquet columns are renamed — reading by logical name yields
       all-null columns;
-    - any live ``add`` carrying a ``deletionVector``: rows marked
-      deleted would be resurrected."""
+    - with ``allow_dv=False`` (the stream source, where a DV commit is
+      a rewrite, never an append): any live ``add`` carrying a
+      ``deletionVector`` — rows marked deleted would be resurrected.
+      The batch reader applies DVs instead (read_delta)."""
     mrv = int((proto or {}).get("minReaderVersion", 1))
     if mrv > 3:
         raise ValueError(
@@ -285,13 +292,14 @@ def check_reader_protocol(proto: dict, meta: dict, live: dict) -> None:
             "physical parquet columns — unsupported, refusing to read "
             "all-null logical columns"
         )
-    for a in (live or {}).values():
-        if a.get("deletionVector"):
-            raise ValueError(
-                f"read_delta: add {a.get('path')!r} carries a deletion "
-                "vector — row-level deletes in DV format are not "
-                "implemented; refusing to resurrect deleted rows"
-            )
+    if not allow_dv:
+        for a in (live or {}).values():
+            if a.get("deletionVector"):
+                raise ValueError(
+                    f"deltastream: add {a.get('path')!r} carries a "
+                    "deletion vector — a DV commit is a rewrite, not "
+                    "an append; refusing to stream resurrected rows"
+                )
 
 
 def read_delta(
@@ -336,13 +344,64 @@ def read_delta(
 
     # group files by identical partition values
     groups: dict[tuple, list[str]] = {}
+    dv_adds: list[tuple[str, str]] = []
     for a in live.values():
         pv = a.get("partitionValues") or {}
         key = tuple(pv.get(c) for c in part_cols)
-        groups.setdefault(key, []).append(
-            os.path.join(path, unquote(a["path"]))
+        fp = os.path.join(path, unquote(a["path"]))
+        groups.setdefault(key, []).append(fp)
+        if a.get("deletionVector"):
+            dv_adds.append((os.path.abspath(fp), json.dumps(a["deletionVector"])))
+    if not dv_adds:
+        return assemble_snapshot(
+            spark, groups, schema, part_cols, union_threshold
         )
-    return assemble_snapshot(spark, groups, schema, part_cols, union_threshold)
+
+    # deletion vectors present (PROTOCOL.md §Deletion Vectors): decode
+    # each add's roaring bitmap EXECUTOR-side (one task per DV — the
+    # driver never materializes O(deleted-rows) state) into (file,
+    # row_index) tombstones, then anti-join the scan's _metadata
+    # coordinates — the same shape as the Iceberg position-delete path.
+    from incubator_gobblin_spark.sources.mock_kafka import _ship_package
+
+    _ship_package(spark)
+    df = assemble_snapshot(
+        spark, groups, schema, part_cols, union_threshold,
+        with_positions=True,
+    )
+    table_root = os.path.abspath(path)
+    desc_df = spark.createDataFrame(
+        dv_adds, "_del_path string, _dv string"
+    ).repartition(len(dv_adds))
+
+    def expand(batches):
+        import json as _json
+
+        import pandas as pd
+
+        from incubator_gobblin_spark.formats.deletion_vectors import (
+            read_dv_positions,
+        )
+
+        for pdf in batches:
+            for p, dv in zip(pdf["_del_path"], pdf["_dv"]):
+                poss = read_dv_positions(table_root, _json.loads(dv))
+                if poss:
+                    yield pd.DataFrame(
+                        {"_del_path": p, "_del_pos": pd.Series(poss, dtype="int64")}
+                    )
+
+    tombs = desc_df.mapInPandas(expand, "_del_path string, _del_pos long")
+    out = df.join(
+        F.broadcast(tombs),
+        (
+            F.regexp_replace(F.col("_file_path"), "^file:/+", "/")
+            == F.col("_del_path")
+        )
+        & (F.col("_row_index") == F.col("_del_pos")),
+        "left_anti",
+    )
+    return out.select(*[f.name for f in schema.fields])
 
 
 def assemble_snapshot(

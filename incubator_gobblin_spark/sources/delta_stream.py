@@ -66,7 +66,10 @@ def table_schema(path: str):
 
     log_dir = os.path.join(path, "_delta_log")
     live, meta, proto = _replay_state(log_dir, None)
-    check_reader_protocol(proto, meta, live)
+    # allow_dv=False: a DV commit rewrites a file's row set in place —
+    # the stream cannot express that as appends, so it must refuse
+    # (real delta-spark streaming errors on DV tables the same way)
+    check_reader_protocol(proto, meta, live, allow_dv=False)
     return (
         StructType.fromJson(json.loads(meta["schemaString"])),
         list(meta.get("partitionColumns") or []),
@@ -119,6 +122,14 @@ class DeltaStreamReader(DataSourceStreamReader):
             )
 
             live, _, _ = _replay_state(self.log_dir, hi)
+            for a in live.values():
+                if a.get("deletionVector"):
+                    raise ValueError(
+                        "deltastream: snapshot file "
+                        f"{a.get('path')!r} carries a deletion vector "
+                        "— use the batch reader (read_delta applies "
+                        "DVs); the stream would resurrect deleted rows"
+                    )
             return [
                 _AddedFile(
                     os.path.join(self.root, unquote(p)),

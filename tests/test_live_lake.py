@@ -262,3 +262,57 @@ def test_pyiceberg_reads_equality_deletes(spark, sf_dir, tmp_path):
     pdf = t.scan().to_pandas()
     cols = sorted(df.columns)
     assert _sorted_rows(pdf, cols) == _spark_rows(df, cols)
+
+
+@live_delta
+@needs_deltars
+def test_deltars_reads_deletion_vector_table(spark, sf_dir, tmp_path):
+    """delta-rs must apply the deletion vectors this engine's DV writer
+    authors (z85 UUID storage, CRC framing, portable roaring bitmaps) —
+    proving the codec is spec-true, not merely self-consistent."""
+    from incubator_gobblin_spark.formats.deletion_vectors import write_dv_file
+    from incubator_gobblin_spark.sources.delta_import import (
+        _log_versions,
+        _replay_state,
+    )
+    import json
+    from urllib.parse import unquote
+
+    df = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    root = str(tmp_path / "dl-dv")
+    sink = _sink(root, table_type=TableType.APPEND_ONLY)
+    sink.write_staging(df, "r0")
+    sink.publish("r0")
+    sink.export_delta_log()
+    log_dir = os.path.join(root, "_delta_log")
+    live, _, _ = _replay_state(log_dir, None)
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}}
+    ]
+    for rel, a in sorted(live.items()):
+        fp = os.path.join(root, unquote(rel))
+        import pyarrow.parquet as pq
+
+        pdf = pq.read_table(fp).to_pandas()
+        positions = [
+            int(i) for i, v in enumerate(pdf["n_nationkey"]) if v % 3 == 0
+        ]
+        if not positions:
+            continue
+        dv = write_dv_file(root, positions, storage="u")
+        actions.append({"remove": {"path": rel, "dataChange": True,
+                                   "deletionTimestamp": 0}})
+        actions.append({"add": {**a, "deletionVector": dv}})
+    v = _log_versions(log_dir)[-1] + 1
+    with open(os.path.join(log_dir, f"{v:020d}.json"), "w") as fh:
+        for act in actions:
+            fh.write(json.dumps(act) + "\n")
+    dt = DeltaTable(root)
+    cols = sorted(df.columns)
+    assert _sorted_rows(dt.to_pandas(), cols) == _spark_rows(
+        df.filter(F.col("n_nationkey") % 3 != 0), cols
+    )

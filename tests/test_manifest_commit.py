@@ -2848,9 +2848,10 @@ def test_read_delta_refuses_unsupported_reader_features(
     spark, sf_dir, tmp_path
 ):
     """A v3 protocol listing a feature this reader does not implement
-    (deletionVectors) must REFUSE the read — ignoring it would
-    resurrect deleted rows. A v3 protocol listing only supported
-    features (timestampNtz) still reads."""
+    (v2Checkpoint — its checkpoint layout differs) must REFUSE the
+    read — ignoring it risks misreading the log. A v3 protocol listing
+    only supported features (timestampNtz, deletionVectors) still
+    reads."""
     import pytest as _pytest
 
     from incubator_gobblin_spark.sources.delta_import import read_delta
@@ -2859,10 +2860,10 @@ def test_read_delta_refuses_unsupported_reader_features(
     _append_delta_commit(
         root,
         [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                       "readerFeatures": ["deletionVectors"],
-                       "writerFeatures": ["deletionVectors"]}}],
+                       "readerFeatures": ["v2Checkpoint"],
+                       "writerFeatures": ["v2Checkpoint"]}}],
     )
-    with _pytest.raises(ValueError, match="deletionVectors"):
+    with _pytest.raises(ValueError, match="v2Checkpoint"):
         read_delta(spark, root)
     # time travel BEFORE the upgrade still reads (protocol then was v1)
     assert read_delta(spark, root, version=0).count() == df.count()
@@ -2907,17 +2908,148 @@ def test_read_delta_refuses_column_mapping_and_dv_adds(
     with _pytest.raises(ValueError, match="columnMapping"):
         table_schema(root)
 
-    root2, _ = _delta_table(spark, sf_dir, tmp_path, "ddv")
-    _append_delta_commit(
-        root2,
-        [{"add": {"path": "r0/fake.parquet", "partitionValues": {},
-                  "size": 1, "modificationTime": 0, "dataChange": True,
-                  "deletionVector": {"storageType": "u", "pathOrInlineDv":
-                                     "x", "offset": 1, "sizeInBytes": 40,
-                                     "cardinality": 3}}}],
-    )
+    # deletion vectors: the BATCH reader applies them (separate test);
+    # the STREAM must refuse — a DV commit is a rewrite, not an append
+    root2, _ = _delta_table(spark, sf_dir, tmp_path, "ddv-stream")
+    _attach_dv(spark, root2, lambda pdf: pdf["r_regionkey"] % 2 == 0)
     with _pytest.raises(ValueError, match="deletion vector"):
-        read_delta(spark, root2)
+        table_schema(root2)
+
+
+def _attach_dv(spark, root, pred, storage="u"):
+    """Foreign-writer simulation: replace each live add with one
+    carrying a deletionVector marking the rows matching ``pred``
+    (a pandas boolean function)."""
+    import json
+
+    from incubator_gobblin_spark.formats.deletion_vectors import (
+        write_dv_file,
+    )
+    from incubator_gobblin_spark.sources.delta_import import _replay_state
+
+    live, _, _ = _replay_state(os.path.join(root, "_delta_log"), None)
+    _append_delta_commit(
+        root,
+        [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                       "readerFeatures": ["deletionVectors"],
+                       "writerFeatures": ["deletionVectors"]}}],
+    )
+    actions = []
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from urllib.parse import unquote
+
+    for p, a in sorted(live.items()):
+        fp = os.path.join(root, unquote(p))
+        pdf = pq.read_table(fp).to_pandas()
+        mask = pred(pdf)
+        positions = [int(i) for i, m in enumerate(mask) if m]
+        if not positions:
+            continue
+        dv = write_dv_file(root, positions, storage=storage)
+        new_add = dict(a)
+        new_add["deletionVector"] = dv
+        actions.append({"remove": {"path": p, "dataChange": True,
+                                   "deletionTimestamp": 0}})
+        actions.append({"add": new_add})
+    _append_delta_commit(root, actions)
+
+
+def test_read_delta_applies_deletion_vectors(spark, sf_dir, tmp_path):
+    """A foreign writer's DV commit (roaring bitmap per file, u/i/p
+    storage) row-level-deletes without rewriting data files; read_delta
+    must return exactly the survivors, for every storage form, and
+    time travel to the pre-DV version still reads everything."""
+    from incubator_gobblin_spark.sources.delta_import import read_delta
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    for storage in ("u", "i", "p"):
+        root = str(tmp_path / f"dv-{storage}")
+        sink = _sink(
+            root,
+            table_type=TableType.APPEND_ONLY,
+            cluster_by=["o_orderkey"],
+            max_records_per_file=400,  # several files -> several DVs
+        )
+        sink.write_staging(orders, "r0")
+        sink.publish("r0")
+        sink.export_delta_log()
+        _attach_dv(
+            spark, root, lambda pdf: pdf["o_orderkey"] % 3 == 0,
+            storage=storage,
+        )
+        got = read_delta(spark, root)
+        want = orders.filter(F.col("o_orderkey") % 3 != 0)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), storage
+        # pre-DV time travel reads the full table
+        assert read_delta(spark, root, version=0).count() == orders.count()
+
+
+def test_deletion_vector_codec_round_trips_and_guards():
+    """Roaring64 array/bitset/cross-2^32 round trips; run-container
+    and 12347-cookie READ path; CRC corruption and cardinality
+    mismatch fail loudly; z85 is the ZeroMQ alphabet."""
+    import struct
+
+    import pytest as _pytest
+
+    from incubator_gobblin_spark.formats import deletion_vectors as DV
+
+    vals = sorted(
+        set(range(0, 9000, 3))
+        | set(range(100000, 106000))  # bitset container (>4096)
+        | {2**32 + 7, 2**32 + 2**16 + 1}  # second 32-bit bitmap
+    )
+    data = DV.serialize_roaring64(vals)
+    assert DV.deserialize_roaring64(data) == vals
+
+    # hand-built run-container bitmap (the 12347 cookie delta writers
+    # may emit) decodes
+    body = struct.pack("<i", DV.MAGIC) + struct.pack("<q", 1)
+    rb = (
+        struct.pack("<I", DV._COOKIE_RUN | ((1 - 1) << 16))
+        + bytes([0b1])
+        + struct.pack("<HH", 0, 9)
+        + struct.pack("<H", 2)
+        + struct.pack("<HH", 5, 3)
+        + struct.pack("<HH", 100, 5)
+    )
+    assert DV.deserialize_roaring64(body + rb) == list(range(5, 9)) + list(
+        range(100, 106)
+    )
+
+    assert DV.z85_decode(DV.z85_encode(bytes(range(16)))) == bytes(range(16))
+    with _pytest.raises(ValueError):
+        DV.z85_encode(b"abc")  # alignment
+
+    import tempfile
+
+    root = tempfile.mkdtemp()
+    for st in ("u", "i", "p"):
+        d = DV.write_dv_file(root, vals, storage=st)
+        assert d["cardinality"] == len(vals)
+        assert DV.read_dv_positions(root, d) == vals, st
+    # CRC corruption on the on-disk form fails loudly
+    d = DV.write_dv_file(root, [1, 2, 3], storage="u")
+    from incubator_gobblin_spark.formats.deletion_vectors import z85_decode
+    import uuid
+
+    u = uuid.UUID(bytes=z85_decode(d["pathOrInlineDv"]))
+    p = os.path.join(root, f"deletion_vector_{u}.bin")
+    blob = bytearray(open(p, "rb").read())
+    blob[-6] ^= 0xFF  # flip a bitmap byte, CRC now mismatches
+    open(p, "wb").write(bytes(blob))
+    with _pytest.raises(ValueError, match="CRC"):
+        DV.read_dv_positions(root, d)
+    # cardinality mismatch fails loudly
+    d2 = DV.write_dv_file(root, [1, 2, 3], storage="i")
+    d2["cardinality"] = 99
+    with _pytest.raises(ValueError, match="cardinality"):
+        DV.read_dv_positions(root, d2)
 
 
 def test_read_iceberg_accepts_hidden_partitioning(spark, sf_dir, tmp_path):
