@@ -1,0 +1,173 @@
+"""icebergstream: Structured-Streaming source tailing an Iceberg
+table's snapshot chain — the streaming face of
+read_iceberg_incremental and the Iceberg sibling of deltastream."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_gobblin_spark.session import load_table
+from incubator_gobblin_spark.sinks.files import FileSink, TableType
+from incubator_gobblin_spark.sources.iceberg_stream import (
+    IcebergStreamReader,
+    _table_schema,
+    register,
+)
+
+
+def _sink(path, **kw):
+    return FileSink(path=str(path), commit_mode="manifest", **kw)
+
+
+def _build_chain(spark, sf_dir, root, n=3):
+    df = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    sink = _sink(root, table_type=TableType.APPEND_ONLY)
+    for i in range(n):
+        sink.write_staging(df.filter(F.col("n_nationkey") % n == i), f"r{i}")
+        sink.publish(f"r{i}")
+        sink.export_iceberg()
+    return sink, df
+
+
+def test_iceberg_stream_end_to_end_and_restart(spark, sf_dir, tmp_path):
+    """readStream over the snapshot chain: batch 0 delivers the whole
+    current table, a new export delivers ONLY the delta, and a
+    restarted query resumes after the checkpointed snapshot (no
+    reprocess)."""
+    root = str(tmp_path / "icb-stream")
+    sink, df = _build_chain(spark, sf_dir, root, n=3)
+    register(spark)
+    out_dir = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+
+    def run_once():
+        q = (
+            spark.readStream.format("icebergstream")
+            .option("path", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = spark.read.parquet(out_dir)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+    # drained restart: no new snapshot -> no new rows
+    run_once()
+    assert spark.read.parquet(out_dir).count() == df.count()
+    # a fourth commit streams ONLY its delta
+    extra = df.limit(2).withColumn(
+        "n_nationkey", F.col("n_nationkey") + 1000
+    )
+    sink.write_staging(extra, "r3")
+    sink.publish("r3")
+    sink.export_iceberg()
+    run_once()
+    got = spark.read.parquet(out_dir)
+    assert got.count() == df.count() + 2
+    assert got.filter(F.col("n_nationkey") >= 1000).count() == 2
+
+
+def _reader(root):
+    schema, part_cols, part_types = _table_schema(root)
+    return IcebergStreamReader(
+        {"path": root}, schema, part_cols, part_types
+    )
+
+
+def test_iceberg_stream_guards(spark, sf_dir, tmp_path):
+    """Driver-level guard semantics: non-append snapshots mid-stream
+    raise; a fresh earliest stream on an EXPIRED chain serves the
+    first surviving (self-contained) snapshot as full state; a
+    checkpointed offset predating expired history raises; row-level
+    delete manifests refuse."""
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        append_position_deletes,
+        expire_iceberg_snapshots,
+    )
+    from incubator_gobblin_spark.sources.iceberg_import import (
+        current_metadata,
+        snapshot_files,
+    )
+
+    root = str(tmp_path / "icb-guard")
+    sink, df = _build_chain(spark, sf_dir, root, n=3)
+    reader = _reader(root)
+    snaps = current_metadata(root)["snapshots"]
+    seqs = [s["sequence-number"] for s in snaps]
+
+    # mid-stream full-mode compaction (operation=overwrite) raises
+    sink.export_iceberg(mode="full")
+    reader2 = _reader(root)
+    hi = reader2.latestOffset()["seq"]
+    with pytest.raises(ValueError, match="not an append"):
+        reader2.partitions({"seq": seqs[-1]}, {"seq": hi})
+    # ...but a FRESH stream serves the compacted chain as batch 0
+    parts = reader2.partitions({"seq": 0}, {"seq": hi})
+    rows = sum(1 for p in parts for _ in reader2.read(p))
+    assert rows == df.count()
+
+    # expiry: a fresh stream reads the surviving state; a checkpointed
+    # pre-expiry offset raises
+    expire_iceberg_snapshots(sink, keep_last=1)
+    reader3 = _reader(root)
+    hi3 = reader3.latestOffset()["seq"]
+    parts = reader3.partitions({"seq": 0}, {"seq": hi3})
+    rows = sum(1 for p in parts for _ in reader3.read(p))
+    assert rows == df.count()
+    with pytest.raises(ValueError, match="expired"):
+        reader3.partitions({"seq": 1}, {"seq": hi3})
+
+    # row-level delete manifests refuse
+    files, _ = snapshot_files(
+        current_metadata(root), root, collect_deletes=True
+    )
+    coords = [
+        (r[0], r[1])
+        for r in spark.read.parquet(*[f["path"] for f in files])
+        .withColumn("_fp", F.col("_metadata.file_path"))
+        .withColumn("_pos", F.col("_metadata.row_index"))
+        .filter(F.col("n_nationkey") == 1)
+        .select("_fp", "_pos")
+        .collect()
+    ]
+    append_position_deletes(root, coords)
+    reader4 = _reader(root)
+    with pytest.raises(ValueError, match="delete"):
+        reader4.partitions({"seq": 0}, {"seq": reader4.latestOffset()["seq"]})
+
+
+def test_iceberg_stream_partitioned_restore(spark, sf_dir, tmp_path):
+    """Identity partition values restore typed through the stream
+    (manifest partition struct -> column)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    ).limit(200)
+    root = str(tmp_path / "icb-part-stream")
+    sink = _sink(
+        root, partition_by=["lang"], table_type=TableType.APPEND_ONLY
+    )
+    sink.write_staging(docs, "r0")
+    sink.publish("r0")
+    sink.export_iceberg()
+    reader = _reader(root)
+    parts = reader.partitions(
+        {"seq": 0}, {"seq": reader.latestOffset()["seq"]}
+    )
+    rows = [t for p in parts for t in reader.read(p)]
+    # the stream's schema order = the exported Iceberg schema order
+    # (data columns first, partition columns appended)
+    order = [name for name, _ in reader.fields]
+    want = sorted(map(tuple, sink.read_committed(spark).select(
+        *order).collect()))
+    assert sorted(rows) == want
+    assert "lang" in order  # the partition column is restored
