@@ -75,7 +75,6 @@ _WINDOW_HEAD = [
     "q129_rest_http_ingest_agg",
     "q130_iceberg_incremental_scan",
     "q131_delta_dv_agg",
-    "q131_delta_dv_agg",
     # --- r05-stale block (last driver-green r05 — the policy edge) ---
     "q31_minhash_candidates",
     "q32_simhash_neardups",
@@ -123,9 +122,10 @@ _WINDOW_HEAD = [
     "q69_lsh_topk_self_retrieval",
     "q92_quality_classifier",
     "q94_mixture_materialize",
-    # (q101_c4_rules / q102_gopher_rules / q103_weighted_sample /
-    # q104_approx_distinct displaced to r09 by q129-q131 — the head
-    # holds exactly the driver's 50 slots)
+    "q101_c4_rules",
+    # (q102_gopher_rules / q103_weighted_sample / q104_approx_distinct
+    # displaced to r09 by q129-q131 — the head holds exactly the
+    # driver's 50 slots)
 ]
 
 

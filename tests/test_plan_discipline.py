@@ -99,6 +99,11 @@ MAP_IN_PANDAS_BY_DESIGN = {
     # same contract over the REAL wire (urllib against the in-process
     # HTTP server) — the transport changed, not the plan
     "q129_rest_http_ingest_agg",
+    # deletion-vector decode is a binary roaring-bitmap codec (Python-
+    # library territory, like the multimodal codecs): one Arrow
+    # mapInPandas task per DV builds the TOMBSTONE side only — the
+    # data row path stays whole-stage codegen + broadcast anti-join
+    "q131_delta_dv_agg",
 }
 
 _PY_NODES = ("EvalPython", "MapInPandas", "FlatMapGroupsInPandas")
