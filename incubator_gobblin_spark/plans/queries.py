@@ -58,13 +58,13 @@ def register(name: str, oracle: str | None):
 # r05 = the 27 queries VERDICT r7 ask #1 names — 3 rounds old at r08,
 # past the ~2-round policy; r06 = the 50-query r06 window, 2 rounds
 # old; r07 = last round's window, fresh):
-# 1. the brand-new r8 queries q128-q131 (first driver rows ever),
+# 1. the brand-new r8 queries q128-q132 (first driver rows ever),
 # 2. the ENTIRE r05-stale block (27 queries),
-# 3. 19 of the 50 r06-green queries, prioritizing the q90-q106 LLM-
+# 3. 18 of the 50 r06-green queries, prioritizing the q90-q106 LLM-
 #    pipeline wave, interop round-trips (q124 iceberg, q91 kafka,
 #    q95 multimodal, q98 lake CDF), the LSH coverage invariants
 #    (q63/q64/q68/q69), and the r07-bench-blip suspects q96 (watch).
-# Left out (rotate at r09, then at most 3 rounds old): q102-q105 + the
+# Left out (rotate at r09, then at most 3 rounds old): q101-q105 + the
 # q01-q61 relational core re-proven r06, and the whole r07 window
 # (1 round old).
 # The local parity suite (tests/test_oracle_parity.py) still proves ALL
@@ -75,6 +75,7 @@ _WINDOW_HEAD = [
     "q129_rest_http_ingest_agg",
     "q130_iceberg_incremental_scan",
     "q131_delta_dv_agg",
+    "q132_cluster_balanced_sample",
     # --- r05-stale block (last driver-green r05 — the policy edge) ---
     "q31_minhash_candidates",
     "q32_simhash_neardups",
@@ -122,10 +123,9 @@ _WINDOW_HEAD = [
     "q69_lsh_topk_self_retrieval",
     "q92_quality_classifier",
     "q94_mixture_materialize",
-    "q101_c4_rules",
-    # (q102_gopher_rules / q103_weighted_sample / q104_approx_distinct
-    # displaced to r09 by q129-q131 — the head holds exactly the
-    # driver's 50 slots)
+    # (q101_c4_rules / q102_gopher_rules / q103_weighted_sample /
+    # q104_approx_distinct displaced to r09 by q129-q132 — the head
+    # holds exactly the driver's 50 slots)
 ]
 
 
@@ -4995,6 +4995,87 @@ def q131_delta_dv_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("chars"),
+    )
+
+
+@register(
+    "q132_cluster_balanced_sample",
+    """
+    WITH cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                   FROM embeddings WHERE vec_id < 8),
+    assigned AS (
+        SELECT vec_id, cid,
+               row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY round(list_distance(embedding::DOUBLE[], cv), 6), cid
+               ) AS rn
+        FROM embeddings CROSS JOIN cents),
+    clustered AS (
+        SELECT vec_id, CAST(cid AS INT) AS cluster_id
+        FROM assigned WHERE rn = 1),
+    capped AS (
+        SELECT vec_id, cluster_id,
+               row_number() OVER (
+                   PARTITION BY cluster_id
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+               ) AS rk
+        FROM clustered)
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(min(vec_id) AS BIGINT) AS min_vec,
+           CAST(max(vec_id) AS BIGINT) AS max_vec
+    FROM capped WHERE rk <= 100
+    GROUP BY cluster_id
+    """,
+)
+def q132_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced corpus sampling — the topic-diversity curation
+    step (DoReMi / cluster-aware data selection shape): assign every
+    embedding to its nearest centroid (q55's IVF coarse quantization —
+    centroids as plan literals, assignment a pure shuffle-free
+    projection), then cap each cluster at 100 docs in deterministic
+    md5 order (corpus.cap_per_group, the salted two-phase top-k), so
+    no topic cluster dominates the training mix. Composition proof:
+    both stages are individually oracle-proven (q55, q82); this row
+    pins their COMPOSITION value-for-value against the oracle's
+    cross-join + double-window replay.
+
+    Scale shape: one exchange on cluster_id for the cap (hot clusters
+    split by salting), everything else stays in the scan projection —
+    at 100 TB the balanced-sample pass costs one shuffle of the
+    surviving ids, never an all-pairs distance matrix."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _first8_centroids(spark, sf_dir)
+    dists = [
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding"),
+                        F.array(*[F.lit(x) for x in c]),
+                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            6,
+        )
+        for c in cents
+    ]
+    cluster = (
+        F.array_position(F.array(*dists), F.array_min(F.array(*dists))) - 1
+    ).cast("int")
+    clustered = emb.withColumn("cluster_id", cluster).select(
+        "vec_id", "cluster_id"
+    )
+    capped = corpus.cap_per_group(
+        clustered, "cluster_id", 100, key="vec_id", salt_parts=4
+    )
+    return capped.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("vec_id").alias("min_vec"),
+        F.max("vec_id").alias("max_vec"),
     )
 
 
