@@ -548,3 +548,55 @@ def test_iceberg_prune_files_is_conservative(files, op, val):
     for i, rows in enumerate(files):
         if any(_matches(op, r, val) for r in rows):
             assert f"f{i}" in kept, (rows, op, val)
+
+
+@given(
+    vals=st.sets(
+        st.one_of(
+            st.integers(0, 200_000),
+            st.integers(2**32 - 100, 2**32 + 200_000),
+        ),
+        max_size=400,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_roaring64_serialization_round_trips(vals):
+    """For ANY 64-bit row-index set (spanning the 32-bit bitmap
+    boundary), serialize -> deserialize is the sorted identity — the
+    invariant the Delta deletion-vector reader rests on."""
+    from incubator_gobblin_spark.formats.deletion_vectors import (
+        deserialize_roaring64,
+        serialize_roaring64,
+    )
+
+    data = serialize_roaring64(vals)
+    assert deserialize_roaring64(data) == sorted(vals)
+
+
+@given(raw=st.binary(min_size=0, max_size=64).filter(lambda b: len(b) % 4 == 0))
+@settings(max_examples=200, deadline=None)
+def test_z85_round_trips(raw):
+    from incubator_gobblin_spark.formats.deletion_vectors import (
+        z85_decode,
+        z85_encode,
+    )
+
+    assert z85_decode(z85_encode(raw)) == raw
+
+
+@given(
+    vals=st.sets(st.integers(0, 100_000), min_size=1, max_size=200),
+    storage=st.sampled_from(["u", "i", "p"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_dv_descriptor_round_trips_every_storage(tmp_path_factory, vals, storage):
+    """write_dv_file -> read_dv_positions is the identity for every
+    storage form (file framing + CRC + z85 inline padding included)."""
+    from incubator_gobblin_spark.formats.deletion_vectors import (
+        read_dv_positions,
+        write_dv_file,
+    )
+
+    root = str(tmp_path_factory.mktemp("dv"))
+    d = write_dv_file(root, vals, storage=storage)
+    assert read_dv_positions(root, d) == sorted(vals)
