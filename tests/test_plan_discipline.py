@@ -392,3 +392,34 @@ def test_prefilter_decontam_shuffle_budget(spark, sf_dir):
     assert shuffles <= 3, f"{shuffles} shuffle exchanges (budget 3)"
     assert "BroadcastExchange" in plan  # bench side never shuffles
     assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+
+def test_lake_delete_reads_are_broadcast_antijoins(spark, sf_dir):
+    """q128 (Iceberg position deletes) and q131 (Delta deletion
+    vectors): the tombstone side must BROADCAST into a left-anti join —
+    a shuffled anti-join would move the corpus for a metadata-scale
+    delete set — and the aggregate keeps exactly one key shuffle."""
+    for name in ("q128_iceberg_posdelete_agg", "q131_delta_dv_agg"):
+        plan = _plan(Q.queries()[name](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, name
+        shuffles = sum(
+            1
+            for line in plan.splitlines()
+            if "Exchange hashpartitioning" in line
+            or "Exchange rangepartitioning" in line
+        )
+        assert shuffles <= 1, f"{name}: {shuffles} shuffles (budget 1)"
+
+
+def test_incremental_scan_is_plain_scan_plus_agg(spark, sf_dir):
+    """q130: the incremental append scan reads ONLY delta files — the
+    plan is a parquet scan + partial/final aggregate, one exchange, no
+    joins, no Python."""
+    plan = _plan(Q.queries()["q130_iceberg_incremental_scan"](spark, sf_dir))
+    assert "Join" not in plan
+    for node in _PY_NODES:
+        assert node not in plan
+    shuffles = sum(
+        1 for line in plan.splitlines() if "Exchange hashpartitioning" in line
+    )
+    assert shuffles <= 1
