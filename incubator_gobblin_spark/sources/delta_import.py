@@ -370,9 +370,12 @@ def read_delta(
         with_positions=True,
     )
     table_root = os.path.abspath(path)
+    # one decode task per DV up to a cap — a table with 100k DV'd files
+    # must not schedule 100k one-row tasks; past the cap each task
+    # decodes a batch of vectors sequentially
     desc_df = spark.createDataFrame(
         dv_adds, "_del_path string, _dv string"
-    ).repartition(len(dv_adds))
+    ).repartition(min(len(dv_adds), 64))
 
     def expand(batches):
         import json as _json
