@@ -285,3 +285,32 @@ def test_write_egress_http_retry_on_503(spark, sf_dir, tmp_path):
         }
     finally:
         server.shutdown()
+
+
+def test_http_fetch_accepts_bare_list_bodies(sf_dir):
+    """An endpoint replying with a bare JSON array (no envelope) is the
+    v1 records contract — HttpRestEndpoint must wrap it."""
+    import http.server
+    import json
+    import threading
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            body = json.dumps([{"id": 1}, {"id": 2}]).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        ep = HttpRestEndpoint(f"http://127.0.0.1:{srv.server_address[1]}")
+        page = ep.fetch("things", {"limit": 2})
+        assert page == {"records": [{"id": 1}, {"id": 2}]}
+    finally:
+        srv.shutdown()

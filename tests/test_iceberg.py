@@ -1203,3 +1203,29 @@ def test_iceberg_incremental_append_scan(spark, sf_dir, tmp_path):
         spark, root, after_snapshot_id=snaps[0], until_snapshot_id=snaps[2]
     )
     assert got3.count() == want.count()
+
+
+def test_iceberg_incremental_scan_argument_guards(spark, sf_dir, tmp_path):
+    """until preceding after raises; unknown snapshot ids raise."""
+    from incubator_gobblin_spark.sources.iceberg_import import (
+        read_iceberg_incremental,
+    )
+
+    df = load_table(spark, sf_dir, "region")
+    root = str(tmp_path / "inc-guards")
+    sink = _sink(root, table_type=TableType.APPEND_ONLY)
+    for i in range(2):
+        sink.write_staging(df.filter(F.col("r_regionkey") % 2 == i), f"r{i}")
+        sink.publish(f"r{i}")
+        sink.export_iceberg()
+    snaps = [s["snapshot-id"] for s in current_metadata(root)["snapshots"]]
+    with pytest.raises(ValueError, match="precedes"):
+        read_iceberg_incremental(
+            spark, root, after_snapshot_id=snaps[1], until_snapshot_id=snaps[0]
+        )
+    with pytest.raises(FileNotFoundError):
+        read_iceberg_incremental(spark, root, after_snapshot_id=999999)
+    with pytest.raises(FileNotFoundError):
+        read_iceberg_incremental(
+            spark, root, after_snapshot_id=snaps[0], until_snapshot_id=999999
+        )

@@ -3088,3 +3088,18 @@ def test_read_iceberg_accepts_hidden_partitioning(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, df.collect())
     )
+
+
+def test_read_delta_refuses_future_reader_version(spark, sf_dir, tmp_path):
+    """minReaderVersion beyond anything this reader knows refuses by
+    version number (the PROTOCOL.md forward-compat rule)."""
+    import pytest as _pytest
+
+    from incubator_gobblin_spark.sources.delta_import import read_delta
+
+    root, _ = _delta_table(spark, sf_dir, tmp_path, "dfuture")
+    _append_delta_commit(
+        root, [{"protocol": {"minReaderVersion": 4, "minWriterVersion": 9}}]
+    )
+    with _pytest.raises(ValueError, match="minReaderVersion=4"):
+        read_delta(spark, root)
