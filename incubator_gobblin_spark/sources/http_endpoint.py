@@ -253,6 +253,7 @@ def serve_endpoint(
     host: str = "127.0.0.1",
     fail_first_n: int = 0,
     auth_token: str | None = None,
+    port: int = 0,
 ):
     """Expose in-repo endpoint doubles over real HTTP.
 
@@ -372,7 +373,7 @@ def serve_endpoint(
             else:
                 self._reply({"error": f"no route {parts.path}"}, 404)
 
-    server = http.server.ThreadingHTTPServer((host, 0), Handler)
+    server = http.server.ThreadingHTTPServer((host, port), Handler)
     threading.Thread(target=server.serve_forever, daemon=True).start()
     base_url = f"http://{host}:{server.server_address[1]}"
     return server, base_url
