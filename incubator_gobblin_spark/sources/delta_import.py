@@ -38,7 +38,7 @@ from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 
 def _log_versions(log_dir: str) -> list[int]:
@@ -252,7 +252,12 @@ _SUPPORTED_READER_FEATURES = {"timestampNtz", "deletionVectors"}
 
 
 def check_reader_protocol(
-    proto: dict, meta: dict, live: dict, *, allow_dv: bool = True
+    proto: dict,
+    meta: dict,
+    live: dict,
+    *,
+    allow_dv: bool = True,
+    allow_column_mapping: bool = False,
 ) -> None:
     """Refuse tables this reader would silently misread — the loud-fail
     discipline of the Iceberg equality-delete gate, applied to Delta's
@@ -261,9 +266,12 @@ def check_reader_protocol(
 
     - ``minReaderVersion`` > 3 (or 3 with an unsupported feature):
       refuse by name;
-    - column mapping (``delta.columnMapping.mode`` id/name): physical
-      parquet columns are renamed — reading by logical name yields
-      all-null columns;
+    - column mapping: mode ``name`` is readable by the batch reader
+      (``allow_column_mapping=True`` — read_delta resolves physical
+      parquet names through the schema's
+      ``delta.columnMapping.physicalName`` metadata); mode ``id``
+      (match by parquet field id) and any mapping on the STREAM source
+      refuse — reading by logical name there yields all-null columns;
     - with ``allow_dv=False`` (the stream source, where a DV commit is
       a rewrite, never an append): any live ``add`` carrying a
       ``deletionVector`` — rows marked deleted would be resurrected.
@@ -276,7 +284,10 @@ def check_reader_protocol(
         )
     if mrv >= 3:
         feats = set(proto.get("readerFeatures") or [])
-        unsupported = feats - _SUPPORTED_READER_FEATURES
+        supported = set(_SUPPORTED_READER_FEATURES)
+        if allow_column_mapping:
+            supported.add("columnMapping")
+        unsupported = feats - supported
         if unsupported:
             raise ValueError(
                 "read_delta: table requires reader features "
@@ -286,11 +297,13 @@ def check_reader_protocol(
     mode = ((meta or {}).get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
     )
-    if mode not in ("none", ""):
+    if mode not in ("none", "") and not (
+        allow_column_mapping and mode == "name"
+    ):
         raise ValueError(
-            f"read_delta: delta.columnMapping.mode={mode!r} renames "
-            "physical parquet columns — unsupported, refusing to read "
-            "all-null logical columns"
+            f"delta.columnMapping.mode={mode!r} renames physical parquet "
+            "columns — unsupported here, refusing to read all-null "
+            "logical columns"
         )
     if not allow_dv:
         for a in (live or {}).values():
@@ -312,6 +325,13 @@ def read_delta(
     """Read a Delta table's committed snapshot (optionally a historical
     ``version`` — Delta time travel) as a DataFrame.
 
+    Column mapping mode ``name`` (the Databricks-era default for new
+    tables) is supported: the scan and partition restore run on the
+    PHYSICAL names from ``delta.columnMapping.physicalName`` and the
+    result renames to logical names; nested mappings and mode ``id``
+    refuse loudly (see check_reader_protocol). Deletion vectors are
+    decoded and anti-joined (PROTOCOL.md §Deletion Vectors).
+
     Partition columns are restored from each file's ``partitionValues``
     (Delta data files don't store them), cast to the types declared by
     the log's ``schemaString``, and the result carries the table's full
@@ -331,16 +351,83 @@ def read_delta(
     union plan, trading plan size for correctness."""
     log_dir = os.path.join(path, "_delta_log")
     live, meta, proto = _replay_state(log_dir, version)
-    check_reader_protocol(proto, meta, live)
-    schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    part_cols = list(meta.get("partitionColumns") or [])
+    check_reader_protocol(proto, meta, live, allow_column_mapping=True)
+    schema_json = json.loads(meta["schemaString"])
+    logical_schema = StructType.fromJson(schema_json)
+    logical_part_cols = list(meta.get("partitionColumns") or [])
+
+    # column mapping (PROTOCOL.md §Column Mapping, mode=name): parquet
+    # files and add.partitionValues carry PHYSICAL names from the
+    # schema's delta.columnMapping.physicalName metadata; the read
+    # resolves everything in physical space and renames to logical
+    # names last. Nested mappings (a renamed struct member) cannot be
+    # expressed as a top-level rename — refuse rather than misread.
+    phys_of = {f.name: f.name for f in logical_schema.fields}
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode == "name":
+        def _nested_mapped(t) -> bool:
+            if isinstance(t, dict):
+                if t.get("type") == "struct":
+                    for f in t.get("fields", []):
+                        md = f.get("metadata") or {}
+                        p = md.get("delta.columnMapping.physicalName")
+                        if (p and p != f.get("name")) or _nested_mapped(
+                            f.get("type")
+                        ):
+                            return True
+                    return False
+                if t.get("type") == "array":
+                    return _nested_mapped(t.get("elementType"))
+                if t.get("type") == "map":
+                    return _nested_mapped(t.get("keyType")) or _nested_mapped(
+                        t.get("valueType")
+                    )
+            return False
+
+        for f in schema_json.get("fields", []):
+            md = f.get("metadata") or {}
+            phys_of[f["name"]] = md.get(
+                "delta.columnMapping.physicalName", f["name"]
+            )
+            if _nested_mapped(f.get("type")):
+                raise ValueError(
+                    f"read_delta: column {f['name']!r} maps NESTED "
+                    "physical names — nested column mapping is not "
+                    "implemented; refusing to misread the struct"
+                )
+    # everything below runs in PHYSICAL name space
+    schema = StructType(
+        [
+            StructField(phys_of[f.name], f.dataType, f.nullable)
+            for f in logical_schema.fields
+        ]
+    )
+    part_cols = [phys_of[c] for c in logical_part_cols]
+
+    def _finish(df: DataFrame) -> DataFrame:
+        if all(phys_of[f.name] == f.name for f in logical_schema.fields):
+            return df
+        return df.select(
+            *[
+                F.col(phys_of[f.name]).alias(f.name)
+                for f in logical_schema.fields
+            ]
+        )
 
     if filters:
         # conservative metadata-level skipping (see prune_adds);
-        # callers still apply the same filters row-level
-        live = prune_adds(live, filters, part_cols)
+        # callers still apply the same filters row-level — filter
+        # columns arrive as LOGICAL names, stats/partitionValues are
+        # keyed physical
+        live = prune_adds(
+            live,
+            [(phys_of.get(c, c), op, v) for c, op, v in filters],
+            part_cols,
+        )
     if not live:
-        return spark.createDataFrame([], schema)
+        return spark.createDataFrame([], logical_schema)
 
     # group files by identical partition values
     groups: dict[tuple, list[str]] = {}
@@ -353,8 +440,10 @@ def read_delta(
         if a.get("deletionVector"):
             dv_adds.append((os.path.abspath(fp), json.dumps(a["deletionVector"])))
     if not dv_adds:
-        return assemble_snapshot(
-            spark, groups, schema, part_cols, union_threshold
+        return _finish(
+            assemble_snapshot(
+                spark, groups, schema, part_cols, union_threshold
+            )
         )
 
     # deletion vectors present (PROTOCOL.md §Deletion Vectors): decode
@@ -404,7 +493,7 @@ def read_delta(
         & (F.col("_row_index") == F.col("_del_pos")),
         "left_anti",
     )
-    return out.select(*[f.name for f in schema.fields])
+    return _finish(out.select(*[f.name for f in schema.fields]))
 
 
 def assemble_snapshot(

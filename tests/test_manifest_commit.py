@@ -2878,12 +2878,11 @@ def test_read_delta_refuses_unsupported_reader_features(
     assert read_delta(spark, root2).count() == df2.count()
 
 
-def test_read_delta_refuses_column_mapping_and_dv_adds(
-    spark, sf_dir, tmp_path
-):
-    """Column mapping renames physical parquet columns (logical-name
-    reads would be all-null); an add carrying a deletionVector marks
-    rows deleted. Both must fail loudly, batch AND stream."""
+def test_column_mapping_stream_and_id_mode_refuse(spark, sf_dir, tmp_path):
+    """Column mapping: the STREAM source refuses any mapping mode
+    (physical-name reads can't be renamed mid-stream), and mode=id
+    (match by parquet field id) refuses everywhere; an add carrying a
+    deletionVector refuses on the stream too."""
     import json
 
     import pytest as _pytest
@@ -2903,13 +2902,120 @@ def test_read_delta_refuses_column_mapping_and_dv_adds(
             {"delta.columnMapping.mode": "name"}, "createdTime": 0,
     }
     _append_delta_commit(root, [{"metaData": meta}])
-    with _pytest.raises(ValueError, match="columnMapping"):
-        read_delta(spark, root)
+    # stream: any mapping mode refuses
     with _pytest.raises(ValueError, match="columnMapping"):
         table_schema(root)
+    # batch: mode=name with identity physical names reads fine
+    assert read_delta(spark, root).count() == df.count()
+    # mode=id refuses everywhere
+    meta_id = dict(meta)
+    meta_id["configuration"] = {"delta.columnMapping.mode": "id"}
+    _append_delta_commit(root, [{"metaData": meta_id}])
+    with _pytest.raises(ValueError, match="columnMapping"):
+        read_delta(spark, root)
 
-    # deletion vectors: the BATCH reader applies them (separate test);
-    # the STREAM must refuse — a DV commit is a rewrite, not an append
+
+def test_read_delta_column_mapping_name_mode(spark, sf_dir, tmp_path):
+    """A foreign column-mapped table (mode=name — the Databricks-era
+    default): parquet files and partitionValues carry PHYSICAL
+    col-<uuid> names; read_delta must resolve through
+    delta.columnMapping.physicalName and return LOGICAL columns,
+    partition restore and metadata pruning included. Nested mappings
+    refuse loudly."""
+    import json
+
+    import pytest as _pytest
+
+    from incubator_gobblin_spark.sources.delta_import import read_delta
+
+    root = str(tmp_path / "colmap-real")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    df = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    # write the data the way a mapped writer would: physical names,
+    # hive-partitioned on the PHYSICAL partition column name
+    phys = {"n_nationkey": "col-aaa1", "n_name": "col-bbb2",
+            "n_regionkey": "col-ccc3"}
+    physical = df.select(
+        *[F.col(c).alias(p) for c, p in phys.items()]
+    )
+    data_dir = os.path.join(root, "data")
+    physical.write.partitionBy("col-ccc3").parquet(data_dir)
+    fields = [
+        {"name": c, "type": "long" if c != "n_name" else "string",
+         "nullable": True,
+         "metadata": {"delta.columnMapping.id": i + 1,
+                      "delta.columnMapping.physicalName": phys[c]}}
+        for i, c in enumerate(("n_nationkey", "n_name", "n_regionkey"))
+    ]
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "t", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(
+                {"type": "struct", "fields": fields}),
+            "partitionColumns": ["n_regionkey"],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "3"},
+            "createdTime": 0,
+        }},
+    ]
+    for dirpath, _, names in os.walk(data_dir):
+        for n in names:
+            if not n.endswith(".parquet"):
+                continue
+            fp = os.path.join(dirpath, n)
+            rel = os.path.relpath(fp, root)
+            rk = dirpath.split("col-ccc3=")[-1]
+            actions.append({"add": {
+                "path": rel.replace(os.sep, "/"),
+                "partitionValues": {"col-ccc3": rk},
+                "size": os.path.getsize(fp), "modificationTime": 0,
+                "dataChange": True,
+            }})
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for act in actions:
+            fh.write(json.dumps(act) + "\n")
+
+    got = read_delta(spark, root)
+    assert sorted(got.columns) == sorted(df.columns)  # LOGICAL names
+    assert sorted(map(tuple, got.select(*df.columns).collect())) == sorted(
+        map(tuple, df.collect())
+    )
+    # filters arrive logical; pruning maps them to physical stats keys
+    got_f = read_delta(spark, root, filters=[("n_regionkey", "=", 2)])
+    assert got_f.filter(F.col("n_regionkey") == 2).count() == df.filter(
+        F.col("n_regionkey") == 2
+    ).count()
+
+    # nested mapping refuses
+    nested_fields = [
+        {"name": "s", "nullable": True, "metadata":
+         {"delta.columnMapping.physicalName": "col-top"},
+         "type": {"type": "struct", "fields": [
+             {"name": "inner", "type": "long", "nullable": True,
+              "metadata": {"delta.columnMapping.physicalName": "col-in"}}]}},
+    ]
+    _append_delta_commit(root, [{"metaData": {
+        "id": "t", "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps(
+            {"type": "struct", "fields": nested_fields}),
+        "partitionColumns": [],
+        "configuration": {"delta.columnMapping.mode": "name"},
+        "createdTime": 0,
+    }}])
+    with _pytest.raises(ValueError, match="NESTED"):
+        read_delta(spark, root)
+
+
+def test_delta_stream_refuses_dv_tables(spark, sf_dir, tmp_path):
+    """Deletion vectors: the BATCH reader applies them (separate test);
+    the STREAM must refuse — a DV commit is a rewrite, not an append."""
+    import pytest as _pytest
+
+    from incubator_gobblin_spark.sources.delta_stream import table_schema
+
     root2, _ = _delta_table(spark, sf_dir, tmp_path, "ddv-stream")
     _attach_dv(spark, root2, lambda pdf: pdf["r_regionkey"] % 2 == 0)
     with _pytest.raises(ValueError, match="deletion vector"):
