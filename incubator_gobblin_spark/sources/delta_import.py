@@ -51,9 +51,12 @@ def _log_versions(log_dir: str) -> list[int]:
 
 
 def _checkpoint_files(log_dir: str, cp_v: int, parts: int | None) -> list[str]:
-    """Checkpoint parquet file(s) for version ``cp_v`` — the single-file
-    form or, with ``parts`` advertised in ``_last_checkpoint``, the
-    multi-part form (PROTOCOL.md: {v}.checkpoint.{i}.{n}.parquet)."""
+    """Checkpoint file(s) for version ``cp_v`` — the classic single-file
+    form, the multi-part form ({v}.checkpoint.{i}.{n}.parquet, ``parts``
+    advertised in ``_last_checkpoint``), or a V2 UUID-named checkpoint
+    ({v}.checkpoint.{uuid}.parquet/.json — PROTOCOL.md §V2 Checkpoint
+    Table Feature; racing writers may leave several, any one is
+    complete, take the lexicographically first)."""
     if parts:
         return [
             os.path.join(
@@ -61,7 +64,30 @@ def _checkpoint_files(log_dir: str, cp_v: int, parts: int | None) -> list[str]:
             )
             for i in range(1, parts + 1)
         ]
-    return [os.path.join(log_dir, f"{cp_v:020d}.checkpoint.parquet")]
+    classic = os.path.join(log_dir, f"{cp_v:020d}.checkpoint.parquet")
+    if os.path.exists(classic):
+        return [classic]
+    prefix = f"{cp_v:020d}.checkpoint."
+
+    def _uuid_named(f: str) -> bool:
+        stem = f[len(prefix):]
+        for ext in (".parquet", ".json"):
+            if stem.endswith(ext):
+                stem = stem[: -len(ext)]
+                break
+        else:
+            return False
+        # exclude the multi-part numeric form: its middle segments are
+        # all digits ({i}.{n}); a UUID segment is not
+        segs = [s for s in stem.split(".") if s]
+        return bool(segs) and not all(s.isdigit() for s in segs)
+
+    v2 = sorted(
+        f for f in os.listdir(log_dir) if f.startswith(prefix) and _uuid_named(f)
+    )
+    if v2:
+        return [os.path.join(log_dir, v2[0])]
+    return [classic]  # let the open() raise with the classic name
 
 
 def _pa_to_plain(v):
@@ -79,16 +105,42 @@ def _pa_to_plain(v):
 def _checkpoint_actions(log_dir: str, cp_v: int, parts: int | None):
     """Yield the action dicts of a checkpoint — pyarrow-direct, so the
     replay needs no Spark session (usable from DataSource.schema and
-    from the exporter)."""
-    import pyarrow.parquet as pq
+    from the exporter). V2 checkpoints (PROTOCOL.md §V2 Checkpoint
+    Table Feature) are handled transparently: UUID-named .parquet or
+    .json top files, ``sidecar`` actions followed into
+    ``_delta_log/_sidecars/`` (the add/remove actions live there),
+    ``checkpointMetadata`` rows skipped."""
 
-    for f in _checkpoint_files(log_dir, cp_v, parts):
+    def _file_actions(f: str):
+        if f.endswith(".json"):
+            with open(f) as fh:
+                for line in fh:
+                    if line.strip():
+                        yield json.loads(line)
+            return
+        import pyarrow.parquet as pq
+
         table = pq.read_table(f)
-        cols = {name: table.column(name).to_pylist() for name in table.column_names}
+        cols = {
+            name: table.column(name).to_pylist()
+            for name in table.column_names
+        }
         for i in range(table.num_rows):
-            for kind in ("protocol", "metaData", "add", "remove"):
+            for kind in ("protocol", "metaData", "add", "remove", "sidecar"):
                 if kind in cols and cols[kind][i] is not None:
                     yield {kind: _pa_to_plain(cols[kind][i])}
+
+    for f in _checkpoint_files(log_dir, cp_v, parts):
+        for act in _file_actions(f):
+            if "sidecar" in act:
+                sp = act["sidecar"]["path"]
+                if not os.path.isabs(sp):
+                    sp = os.path.join(log_dir, "_sidecars", sp)
+                yield from _file_actions(sp)
+            elif "checkpointMetadata" in act:
+                continue
+            else:
+                yield act
 
 
 def _replay_state(
@@ -247,8 +299,10 @@ def prune_adds(
 #: columnMapping -> null columns). deletionVectors is supported: the
 #: batch reader decodes the roaring bitmaps and anti-joins the marked
 #: rows (formats/deletion_vectors.py); the STREAM source still refuses
-#: DV adds — a DV commit is a rewrite, not an append.
-_SUPPORTED_READER_FEATURES = {"timestampNtz", "deletionVectors"}
+#: DV adds — a DV commit is a rewrite, not an append. v2Checkpoint is
+#: transport-level (UUID-named checkpoint + sidecars — _checkpoint_
+#: actions follows them), supported everywhere.
+_SUPPORTED_READER_FEATURES = {"timestampNtz", "deletionVectors", "v2Checkpoint"}
 
 
 def check_reader_protocol(

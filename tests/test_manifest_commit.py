@@ -2848,10 +2848,10 @@ def test_read_delta_refuses_unsupported_reader_features(
     spark, sf_dir, tmp_path
 ):
     """A v3 protocol listing a feature this reader does not implement
-    (v2Checkpoint — its checkpoint layout differs) must REFUSE the
+    (variantType — a shredded physical encoding) must REFUSE the
     read — ignoring it risks misreading the log. A v3 protocol listing
-    only supported features (timestampNtz, deletionVectors) still
-    reads."""
+    only supported features (timestampNtz, deletionVectors,
+    v2Checkpoint) still reads."""
     import pytest as _pytest
 
     from incubator_gobblin_spark.sources.delta_import import read_delta
@@ -2860,10 +2860,10 @@ def test_read_delta_refuses_unsupported_reader_features(
     _append_delta_commit(
         root,
         [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                       "readerFeatures": ["v2Checkpoint"],
-                       "writerFeatures": ["v2Checkpoint"]}}],
+                       "readerFeatures": ["variantType"],
+                       "writerFeatures": ["variantType"]}}],
     )
-    with _pytest.raises(ValueError, match="v2Checkpoint"):
+    with _pytest.raises(ValueError, match="variantType"):
         read_delta(spark, root)
     # time travel BEFORE the upgrade still reads (protocol then was v1)
     assert read_delta(spark, root, version=0).count() == df.count()
@@ -3209,3 +3209,101 @@ def test_read_delta_refuses_future_reader_version(spark, sf_dir, tmp_path):
     )
     with _pytest.raises(ValueError, match="minReaderVersion=4"):
         read_delta(spark, root)
+
+
+def _write_v2_checkpoint(log_dir, version, actions, sidecar=True):
+    """Author a V2 UUID-named checkpoint the way a feature-enabled
+    foreign writer would (PROTOCOL.md §V2 Checkpoint Table Feature):
+    protocol/metaData + checkpointMetadata in the top file; add/remove
+    actions inline or in a _sidecars/ parquet referenced by a sidecar
+    action. Updates _last_checkpoint."""
+    import json
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def _scrub(v):
+        # pyarrow cannot write EMPTY structs to parquet; drop empty
+        # dicts (the reader tolerates a missing partitionValues)
+        if isinstance(v, dict):
+            out = {k: _scrub(x) for k, x in v.items()
+                   if not (isinstance(x, dict) and not x)}
+            return out
+        return v
+
+    def _rows_to_table(rows):
+        # one struct column per action kind, null elsewhere (the
+        # checkpoint parquet shape)
+        rows = [_scrub(r) for r in rows]
+        kinds = sorted({k for r in rows for k in r})
+        data = {
+            k: [r.get(k) for r in rows] for k in kinds
+        }
+        return pa.Table.from_pydict(
+            {k: pa.array(v) for k, v in data.items()}
+        )
+
+    top_rows = [
+        {"checkpointMetadata": {"version": version}},
+        *[a for a in actions if "protocol" in a or "metaData" in a],
+    ]
+    data_rows = [a for a in actions if "add" in a or "remove" in a]
+    if sidecar:
+        sc_dir = os.path.join(log_dir, "_sidecars")
+        os.makedirs(sc_dir, exist_ok=True)
+        sc_name = f"{uuid.uuid4()}.parquet"
+        pq.write_table(_rows_to_table(data_rows), os.path.join(sc_dir, sc_name))
+        top_rows.append(
+            {"sidecar": {"path": sc_name, "sizeInBytes": 1,
+                         "modificationTime": 0}}
+        )
+    else:
+        top_rows.extend(data_rows)
+    cp_name = f"{version:020d}.checkpoint.{uuid.uuid4()}.parquet"
+    pq.write_table(_rows_to_table(top_rows), os.path.join(log_dir, cp_name))
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": version, "size": len(actions)}, fh)
+
+
+@pytest.mark.parametrize("sidecar", [True, False])
+def test_read_delta_v2_checkpoint(spark, sf_dir, tmp_path, sidecar):
+    """A foreign writer's V2 checkpoint (UUID-named, sidecar or inline
+    actions) replaces the pre-checkpoint JSON commits; read_delta and
+    the stream's schema resolution must replay state from it."""
+    from incubator_gobblin_spark.sources.delta_import import (
+        _log_versions,
+        _replay_state,
+        read_delta,
+    )
+    from incubator_gobblin_spark.sources.delta_stream import table_schema
+
+    root, df = _delta_table(
+        spark, sf_dir, tmp_path, f"dv2cp-{int(sidecar)}"
+    )
+    log_dir = os.path.join(root, "_delta_log")
+    live, meta, proto = _replay_state(log_dir, None)
+    v = _log_versions(log_dir)[-1]
+    proto = proto or {"minReaderVersion": 1, "minWriterVersion": 2}
+    proto = {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["v2Checkpoint"],
+        "writerFeatures": ["v2Checkpoint"],
+    }
+    actions = [{"protocol": proto}, {"metaData": meta}] + [
+        {"add": a} for a in live.values()
+    ]
+    _write_v2_checkpoint(log_dir, v, actions, sidecar=sidecar)
+    # drop the JSON commits the checkpoint covers: state must come
+    # from the v2 checkpoint alone (plus an empty tail commit so the
+    # log still advertises version v+1)
+    for ver in _log_versions(log_dir):
+        os.remove(os.path.join(log_dir, f"{ver:020d}.json"))
+    with open(os.path.join(log_dir, f"{v + 1:020d}.json"), "w") as fh:
+        fh.write("")
+    got = read_delta(spark, root)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+    schema, part_cols = table_schema(root)
+    assert sorted(f.name for f in schema.fields) == sorted(df.columns)
