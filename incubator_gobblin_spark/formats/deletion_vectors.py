@@ -124,8 +124,11 @@ def serialize_roaring64(positions) -> bytes:
                 for v in vals:
                     bits[v >> 3] |= 1 << (v & 7)
                 blobs.append(bytes(bits))
-        # offset header (mandatory without run containers)
-        off = 4 + 4 + 8 * len(keys) + 4 * len(keys)
+        # offset header (mandatory without run containers): containers
+        # start after cookie(4) + size(4) + descriptive header (4 bytes
+        # per container: key u16 + cardinality-1 u16) + the offset
+        # header itself (4 bytes per container) = 8 + 8*n.
+        off = 4 + 4 + 4 * len(keys) + 4 * len(keys)
         for blob in blobs:
             body += struct.pack("<I", off)
             off += len(blob)

@@ -632,6 +632,30 @@ def export_iceberg(sink, as_of_run: str | None = None, mode: str = "auto") -> st
             ):
                 incremental = False
 
+        # A full (non-incremental) export rebuilds the manifest list
+        # from engine state alone; only the incremental branch carries
+        # foreign delete manifests (content!=0) by reference. If the
+        # previous snapshot carries any — e.g. a foreign engine's
+        # position/equality deletes — a full rebuild would silently
+        # DROP them and resurrect the deleted rows for foreign readers
+        # of the new snapshot. Loud-fail instead, matching the
+        # equality-delete refusal discipline elsewhere.
+        if not incremental and prev is not None and snapshots:
+            n_foreign = sum(
+                1
+                for row in _decode_manifest_list(snapshots[-1], location)
+                if row.get("content", 0) != 0
+            )
+            if n_foreign:
+                raise ValueError(
+                    "export_iceberg: a full re-export would drop "
+                    f"{n_foreign} foreign delete manifest(s) carried by "
+                    "the previous snapshot, resurrecting their deleted "
+                    "rows for foreign readers — refusing. Export "
+                    "incrementally, or rewrite/compact the foreign "
+                    "deletes in the foreign engine first."
+                )
+
         m_idx = 0
         written_files: list[str] = []  # this attempt's Avro publishes
 
@@ -1014,10 +1038,16 @@ def append_position_deletes(
     def _to_file_uri(p) -> str:
         # accept plain paths, file:/x, file://x, file:///x (Spark's
         # _metadata.file_path uses the single-slash form) — emit the
-        # manifest's canonical file://<abs> form
+        # manifest's canonical file://<abs> form. Spark URIs are
+        # percent-encoded while manifest data-file paths are raw;
+        # decode, or a path with a space/'%' would never string-match
+        # the data entry for a foreign reader (unquote leaves '+'
+        # alone — a '+' in a URI path segment is a literal plus)
         s = str(p)
         if s.startswith("file:"):
-            s = "/" + s.split(":", 1)[1].lstrip("/")
+            from urllib.parse import unquote
+
+            s = unquote("/" + s.split(":", 1)[1].lstrip("/"))
         return "file://" + os.path.abspath(s)
 
     rows = sorted((_to_file_uri(p), int(pos)) for p, pos in deletes)

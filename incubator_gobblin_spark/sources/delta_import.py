@@ -41,6 +41,36 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
 
+#: Broadcasting row-level tombstones is only safe while the tombstone
+#: set is metadata-scale. Past this many deleted rows (summed from the
+#: descriptors' ``cardinality`` / the delete manifests' record counts —
+#: no extra job), the anti-join falls back to a shuffle join keyed on
+#: the same (path, pos) columns: identical result, bounded executor
+#: memory. A pathological table (billions of deleted rows, never
+#: vacuumed) must not OOM the broadcast.
+TOMBSTONE_BROADCAST_MAX_ROWS = 4_000_000
+
+
+def decoded_file_path(col):
+    """Normalize a URI-form path Column (``_metadata.file_path``, a
+    manifest-carried location) to a bare decoded absolute path.
+
+    Spark's ``_metadata.file_path`` is a percent-encoded ``file:`` URI
+    while the replayed log/manifest paths are decoded absolute paths —
+    comparing them raw silently matches NOTHING for any file or
+    partition-directory name containing an encodable char (space, '+',
+    '%'), resurrecting deleted rows. Decode first. Java's URLDecoder
+    maps '+' to space, but '+' in a URI path segment is a literal plus —
+    protect it first (same trick as assemble_snapshot's suffix key; a
+    literal '%2B' or other '%xx' sequence in a RAW unencoded path is
+    the one remaining ambiguity, pathological)."""
+    return F.regexp_replace(
+        F.url_decode(F.replace(col, F.lit("+"), F.lit("%2B"))),
+        "^file:/+",
+        "/",
+    )
+
+
 def _log_versions(log_dir: str) -> list[int]:
     out = []
     for f in os.listdir(log_dir):
@@ -486,6 +516,7 @@ def read_delta(
     # group files by identical partition values
     groups: dict[tuple, list[str]] = {}
     dv_adds: list[tuple[str, str]] = []
+    dv_cardinality = 0
     for a in live.values():
         pv = a.get("partitionValues") or {}
         key = tuple(pv.get(c) for c in part_cols)
@@ -493,6 +524,7 @@ def read_delta(
         groups.setdefault(key, []).append(fp)
         if a.get("deletionVector"):
             dv_adds.append((os.path.abspath(fp), json.dumps(a["deletionVector"])))
+            dv_cardinality += int(a["deletionVector"].get("cardinality") or 0)
     if not dv_adds:
         return _finish(
             assemble_snapshot(
@@ -538,12 +570,16 @@ def read_delta(
                     )
 
     tombs = desc_df.mapInPandas(expand, "_del_path string, _del_pos long")
-    out = df.join(
-        F.broadcast(tombs),
-        (
-            F.regexp_replace(F.col("_file_path"), "^file:/+", "/")
-            == F.col("_del_path")
-        )
+    # the scan's _metadata.file_path is a percent-encoded URI while
+    # _del_path is a decoded abspath — decode before comparing, or a
+    # path with a space/'+'/'%' silently resurrects its deleted rows
+    if dv_cardinality <= TOMBSTONE_BROADCAST_MAX_ROWS:
+        tombs = F.broadcast(tombs)
+    out = df.withColumn(
+        "_norm_path", decoded_file_path(F.col("_file_path"))
+    ).join(
+        tombs,
+        (F.col("_norm_path") == F.col("_del_path"))
         & (F.col("_row_index") == F.col("_del_pos")),
         "left_anti",
     )

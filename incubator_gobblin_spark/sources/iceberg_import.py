@@ -225,6 +225,9 @@ def snapshot_files(
                         "content": content,
                         "seq": seq,
                         "equality_ids": list(df_.get("equality_ids") or []),
+                        # manifests carry record counts — the broadcast
+                        # size guard reads them with zero extra I/O
+                        "record_count": int(df_.get("record_count") or 0),
                     }
                 )
                 continue
@@ -363,19 +366,27 @@ def read_iceberg(
 
     - POSITION deletes (spec §Position Delete Files — parquet of
       ``file_path``, ``pos``) anti-join the scan's ``_metadata``
-      (file_path, row_index) coordinates; file paths are unique and
-      immutable in Iceberg, so a (path, pos) tombstone is unambiguous
-      without sequence ordering.
+      (file_path, row_index) coordinates, restricted to data rows
+      whose data sequence number is <= the delete file's (the spec's
+      scan-planning rule — under Iceberg's unique-immutable-path
+      assumption the restriction is usually vacuous, but it makes the
+      read spec-exact if a path were ever re-added after removal).
     - EQUALITY deletes (spec §Equality Delete Files — parquet of the
       ``equality_ids`` columns) anti-join on those columns, restricted
       to data rows whose data sequence number is STRICTLY LESS than
-      the delete file's (the spec's apply-to-older-data rule); the
-      row's data sequence comes from a broadcast file→seq map joined
-      on the same ``_metadata`` file path. Null semantics follow SQL
-      ``IS NOT DISTINCT FROM`` via null-safe equality.
+      the delete file's (the spec's apply-to-older-data rule). Null
+      semantics follow SQL ``IS NOT DISTINCT FROM`` via null-safe
+      equality.
 
-    Scale shape: every delete set is scanned once and broadcast (one
-    anti-join per equality_ids group + one for positions); the data
+    Both kinds read the row's data sequence from one broadcast
+    file→seq map keyed on the DECODED absolute ``_metadata`` file path
+    (the scan path is a percent-encoded URI; manifest paths are not —
+    see ``delta_import.decoded_file_path``).
+
+    Scale shape: every delete set is scanned once and broadcast while
+    its manifest-declared record count stays under
+    ``delta_import.TOMBSTONE_BROADCAST_MAX_ROWS`` (shuffle-join
+    fallback past it — identical result, bounded memory); the data
     side stays a single whole-stage-codegen scan with no extra
     shuffle."""
     from incubator_gobblin_spark.sources.delta_import import assemble_snapshot
@@ -444,48 +455,75 @@ def read_iceberg(
 
     # row-level deletes present: carry the scan's (file_path,
     # row_index) coordinates through assembly, anti-join the tombstones
+    from incubator_gobblin_spark.sources.delta_import import (
+        TOMBSTONE_BROADCAST_MAX_ROWS,
+        decoded_file_path,
+    )
+
     df = assemble_snapshot(
         spark, groups, schema, part_cols, union_threshold,
         with_positions=True,
     )
-    # both sides normalize to a bare absolute path: the delete file
-    # stores the path "as declared in the manifest" (file:// URI from
-    # this exporter), _metadata.file_path is a file:/ URI from Spark
-    norm = lambda c: F.regexp_replace(c, "^file:/+", "/")  # noqa: E731
 
     def _abs(p: str) -> str:
         return p if os.path.isabs(p) else os.path.join(path, p)
 
-    pos_paths = [
-        _abs(d["path"]) for d in delete_files if d["content"] == 1
-    ]
-    if pos_paths:
-        dels = spark.read.parquet(*pos_paths).select(
-            norm(F.col("file_path")).alias("_del_path"),
-            F.col("pos").cast("long").alias("_del_pos"),
-        )
+    # Every comparison keys on the DECODED absolute path: the scan's
+    # _metadata.file_path is a percent-encoded URI while the replayed
+    # manifest paths (and the file_path column inside position-delete
+    # files) are decoded — a raw comparison silently misses any path
+    # containing a space/'+'/'%', resurrecting deleted rows (and
+    # nulling _data_seq so equality deletes never apply).
+    df = df.withColumn("_norm_path", decoded_file_path(F.col("_file_path")))
+
+    # The row's DATA sequence number, from a broadcast file→seq map
+    # keyed on the decoded scan path (no shuffle; the map is O(files)
+    # driver-side metadata). It gates BOTH delete kinds per the spec's
+    # sequence rules: position deletes apply to data sequenced <= the
+    # delete file, equality deletes STRICTLY < (spec §Scan Planning).
+    seq_map = spark.createDataFrame(
+        [(os.path.abspath(_abs(f["path"])), int(f.get("seq") or 0))
+         for f in files],
+        "_seq_path string, _data_seq long",
+    )
+    df = df.join(
+        F.broadcast(seq_map),
+        F.col("_norm_path") == F.col("_seq_path"),
+        "left",
+    )
+
+    def _bounded_broadcast(frame: DataFrame, rows: int) -> DataFrame:
+        # tombstone sets are metadata-scale in practice, but a
+        # pathological table must not OOM the broadcast — past the
+        # bound (known from manifest record counts, zero extra I/O)
+        # fall back to a shuffle join: identical result, bounded memory
+        return F.broadcast(frame) if rows <= TOMBSTONE_BROADCAST_MAX_ROWS else frame
+
+    pos_deletes = [d for d in delete_files if d["content"] == 1]
+    if pos_deletes:
+        dels = None
+        for d in pos_deletes:
+            one = (
+                spark.read.parquet(_abs(d["path"]))
+                .select(
+                    decoded_file_path(F.col("file_path")).alias("_del_path"),
+                    F.col("pos").cast("long").alias("_del_pos"),
+                )
+                .withColumn("_del_seq", F.lit(int(d["seq"])))
+            )
+            dels = one if dels is None else dels.unionByName(one)
         df = df.join(
-            F.broadcast(dels),
-            (norm(F.col("_file_path")) == F.col("_del_path"))
-            & (F.col("_row_index") == F.col("_del_pos")),
+            _bounded_broadcast(
+                dels, sum(d["record_count"] for d in pos_deletes)
+            ),
+            (F.col("_norm_path") == F.col("_del_path"))
+            & (F.col("_row_index") == F.col("_del_pos"))
+            & (F.col("_data_seq") <= F.col("_del_seq")),
             "left_anti",
         )
 
     eq_deletes = [d for d in delete_files if d["content"] == 2]
     if eq_deletes:
-        # the row's DATA sequence number, from a broadcast file→seq map
-        # keyed on the normalized scan path (no shuffle, map is
-        # O(files) driver-side metadata)
-        seq_map = spark.createDataFrame(
-            [(os.path.abspath(_abs(f["path"])), int(f.get("seq") or 0))
-             for f in files],
-            "_seq_path string, _data_seq long",
-        )
-        df = df.withColumn("_norm_path", norm(F.col("_file_path"))).join(
-            F.broadcast(seq_map),
-            F.col("_norm_path") == F.col("_seq_path"),
-            "left",
-        )
         field_name_all = {f["id"]: f["name"] for f in schema_json["fields"]}
         by_ids: dict[tuple, list[dict]] = {}
         for d in eq_deletes:
@@ -503,7 +541,14 @@ def read_iceberg(
                 # null-safe equality: a null delete value matches a
                 # null row value (Iceberg equality semantics)
                 cond = cond & F.col(c).eqNullSafe(F.col(f"_eq_{c}"))
-            df = df.join(F.broadcast(parts_df), cond, "left_anti")
+            df = df.join(
+                _bounded_broadcast(
+                    parts_df,
+                    sum(d["record_count"] for d in dels_of_group),
+                ),
+                cond,
+                "left_anti",
+            )
 
     return df.select(*[f.name for f in schema.fields])
 

@@ -1229,3 +1229,291 @@ def test_iceberg_incremental_scan_argument_guards(spark, sf_dir, tmp_path):
         read_iceberg_incremental(
             spark, root, after_snapshot_id=snaps[0], until_snapshot_id=999999
         )
+
+
+def test_iceberg_deletes_on_encoded_paths_and_shuffle_fallback(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A table root containing a space and a '+' percent-encodes in
+    the scan's _metadata.file_path while manifest/delete-file paths
+    stay raw — both delete kinds must key on the DECODED path or the
+    tombstones silently miss (position deletes resurrect rows;
+    equality deletes lose their _data_seq gate and never apply —
+    ADVICE r8). Also proves the broadcast size guard's shuffle-join
+    fallback is value-identical."""
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        append_equality_deletes,
+        append_position_deletes,
+    )
+    from incubator_gobblin_spark.sources import delta_import
+
+    df = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    root = str(tmp_path / "ice space+dir" / "t")
+    sink = _sink(root, table_type=TableType.APPEND_ONLY)
+    sink.write_staging(df, "r0")
+    sink.publish("r0")
+    sink.export_iceberg()
+    files, _ = snapshot_files(
+        current_metadata(root), root, collect_deletes=True
+    )
+    coords = _coords(
+        spark, [f["path"] for f in files], F.col("n_nationkey") % 4 == 0
+    )
+    assert coords
+    append_position_deletes(root, coords)
+    append_equality_deletes(root, [{"n_nationkey": 1}], ["n_nationkey"])
+    want = sorted(
+        map(
+            tuple,
+            df.filter(
+                (F.col("n_nationkey") % 4 != 0) & (F.col("n_nationkey") != 1)
+            ).collect(),
+        )
+    )
+    assert sorted(map(tuple, read_iceberg(spark, root).collect())) == want
+    # the delete parquet's file_path values must be the manifest's raw
+    # (decoded) form so foreign readers string-match them
+    import pyarrow.parquet as pq
+
+    dfiles = [
+        os.path.join(root, "_deletes", f)
+        for f in os.listdir(os.path.join(root, "_deletes"))
+        if f.startswith("pos-delete")
+    ]
+    for d in dfiles:
+        for p in pq.read_table(d).column("file_path").to_pylist():
+            assert "%" not in p, p
+    # forced-tiny threshold -> shuffle-join fallback; same rows
+    monkeypatch.setattr(delta_import, "TOMBSTONE_BROADCAST_MAX_ROWS", 0)
+    assert sorted(map(tuple, read_iceberg(spark, root).collect())) == want
+
+
+def test_iceberg_full_export_refuses_to_drop_foreign_deletes(
+    spark, sf_dir, tmp_path
+):
+    """A full (non-incremental) export rebuilds the manifest list from
+    engine state and cannot express a foreign engine's delete
+    manifests — it must refuse rather than silently resurrect the
+    deleted rows for foreign readers; the incremental path (which
+    carries them by reference) keeps working."""
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        append_position_deletes,
+    )
+
+    df = load_table(spark, sf_dir, "region")
+    root = str(tmp_path / "fullrefuse")
+    sink = _sink(root, table_type=TableType.APPEND_ONLY)
+    sink.write_staging(df.filter(F.col("r_regionkey") < 3), "r0")
+    sink.publish("r0")
+    sink.export_iceberg()
+    files, _ = snapshot_files(
+        current_metadata(root), root, collect_deletes=True
+    )
+    coords = _coords(
+        spark, [f["path"] for f in files], F.col("r_regionkey") == 0
+    )
+    append_position_deletes(root, coords)
+    sink.write_staging(df.filter(F.col("r_regionkey") >= 3), "r1")
+    sink.publish("r1")
+    with pytest.raises(ValueError, match="foreign delete"):
+        sink.export_iceberg(mode="full")
+    # incremental export still carries the tombstones by reference
+    sink.export_iceberg()
+    got = read_iceberg(spark, root)
+    want = df.filter(F.col("r_regionkey") != 0)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_iceberg_position_delete_sequence_gating(spark, tmp_path):
+    """Spec §Scan Planning: a position delete applies only to data
+    files whose data sequence number is <= the delete file's. A
+    tombstone OLDER than the data file (the path-readded-after-removal
+    case) must NOT delete the newer row; an equal-or-newer one must.
+    Hand-authored (data entry seq=5; stale delete seq=3, live delete
+    seq=6) because no writer here produces the stale shape."""
+    from incubator_gobblin_spark.formats.avro_ocf import encode_ocf
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        _MANIFEST_LIST_AVRO,
+        _manifest_entry_avro,
+    )
+
+    root = str(tmp_path / "seqgate")
+    os.makedirs(os.path.join(root, "data"))
+    meta_dir = os.path.join(root, "metadata")
+    os.makedirs(meta_dir)
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "id long, name string"
+    ).toPandas().to_parquet(os.path.join(root, "data", "f1.parquet"))
+    data_file = os.path.join(root, "data", "f1.parquet")
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def _pos_delete_file(name, positions):
+        p = os.path.join(root, "data", name)
+        pq.write_table(
+            pa.table(
+                {
+                    "file_path": pa.array(
+                        ["file://" + data_file] * len(positions), pa.string()
+                    ),
+                    "pos": pa.array(positions, pa.int64()),
+                }
+            ),
+            p,
+        )
+        return p
+
+    stale_del = _pos_delete_file("stale-del.parquet", [0])  # seq 3 < data 5
+    live_del = _pos_delete_file("live-del.parquet", [1])  # seq 6 >= data 5
+
+    entry_schema = _manifest_entry_avro(
+        {"type": "record", "name": "r102", "fields": []}
+    )
+
+    def _manifest(name, entry, content_meta):
+        p = os.path.join(meta_dir, name)
+        with open(p, "wb") as fh:
+            fh.write(
+                encode_ocf(
+                    entry_schema,
+                    [entry],
+                    codec="null",
+                    extra_meta={
+                        "schema": b"{}",
+                        "partition-spec": b"[]",
+                        "partition-spec-id": b"0",
+                        "format-version": b"2",
+                        "content": content_meta,
+                    },
+                )
+            )
+        return p
+
+    data_manifest = _manifest(
+        "gate-m0.avro",
+        {
+            "status": 1,
+            "snapshot_id": 99,
+            "sequence_number": 5,
+            "file_sequence_number": 5,
+            "data_file": {
+                "content": 0,
+                "file_path": data_file,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": 3,
+                "file_size_in_bytes": os.path.getsize(data_file),
+            },
+        },
+        b"data",
+    )
+
+    def _del_manifest(name, path, seq):
+        return _manifest(
+            name,
+            {
+                "status": 1,
+                "snapshot_id": 99,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 1,
+                    "file_path": path,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": 1,
+                    "file_size_in_bytes": os.path.getsize(path),
+                },
+            },
+            b"deletes",
+        )
+
+    stale_manifest = _del_manifest("gate-m1.avro", stale_del, 3)
+    live_manifest = _del_manifest("gate-m2.avro", live_del, 6)
+
+    def _list_row(mp, content, seq):
+        return {
+            "manifest_path": mp,
+            "manifest_length": os.path.getsize(mp),
+            "partition_spec_id": 0,
+            "content": content,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": 99,
+            "added_files_count": 1,
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": 3,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+
+    mlist = os.path.join(meta_dir, "snap-99-1-gate.avro")
+    with open(mlist, "wb") as fh:
+        fh.write(
+            encode_ocf(
+                _MANIFEST_LIST_AVRO,
+                [
+                    _list_row(data_manifest, 0, 5),
+                    _list_row(stale_manifest, 1, 3),
+                    _list_row(live_manifest, 1, 6),
+                ],
+                codec="null",
+                extra_meta={"format-version": b"2"},
+            )
+        )
+    metadata = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-000000000001",
+        "location": root,
+        "last-sequence-number": 6,
+        "last-updated-ms": 0,
+        "last-column-id": 2,
+        "current-schema-id": 0,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "id", "required": False, "type": "long"},
+                    {
+                        "id": 2,
+                        "name": "name",
+                        "required": False,
+                        "type": "string",
+                    },
+                ],
+            }
+        ],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {},
+        "current-snapshot-id": 99,
+        "snapshots": [
+            {
+                "snapshot-id": 99,
+                "sequence-number": 6,
+                "timestamp-ms": 0,
+                "summary": {"operation": "overwrite"},
+                "manifest-list": mlist,
+                "schema-id": 0,
+            }
+        ],
+        "snapshot-log": [],
+        "metadata-log": [],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(metadata, fh)
+
+    got = sorted(map(tuple, read_iceberg(spark, root).collect()))
+    # row 0 survives the STALE delete (data seq 5 > delete seq 3);
+    # row 1 falls to the live delete (5 <= 6); row 2 untouched
+    assert got == [(1, "alpha"), (3, "gamma")]

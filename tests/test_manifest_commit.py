@@ -3307,3 +3307,36 @@ def test_read_delta_v2_checkpoint(spark, sf_dir, tmp_path, sidecar):
     )
     schema, part_cols = table_schema(root)
     assert sorted(f.name for f in schema.fields) == sorted(df.columns)
+
+
+def test_read_delta_dv_on_encoded_paths_and_shuffle_fallback(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A table root containing a space and a '+' percent-encodes in the
+    scan's _metadata.file_path while the replayed log paths stay raw —
+    the DV anti-join must key on the DECODED path or every tombstone
+    silently misses and the deleted rows resurrect (ADVICE r8). Also
+    proves the broadcast size guard: with a forced-zero threshold the
+    shuffle-join fallback returns the identical survivor set."""
+    from incubator_gobblin_spark.sources import delta_import
+    from incubator_gobblin_spark.sources.delta_import import read_delta
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    root = str(tmp_path / "dv space+dir" / "t")
+    sink = _sink(
+        root, table_type=TableType.APPEND_ONLY, max_records_per_file=600
+    )
+    sink.write_staging(orders, "r0")
+    sink.publish("r0")
+    sink.export_delta_log()
+    _attach_dv(spark, root, lambda pdf: pdf["o_orderkey"] % 5 == 0)
+    want = sorted(
+        map(tuple, orders.filter(F.col("o_orderkey") % 5 != 0).collect())
+    )
+    assert want  # deletions actually happened
+    assert sorted(map(tuple, read_delta(spark, root).collect())) == want
+    # forced-tiny threshold -> no broadcast hint; same rows
+    monkeypatch.setattr(delta_import, "TOMBSTONE_BROADCAST_MAX_ROWS", 0)
+    assert sorted(map(tuple, read_delta(spark, root).collect())) == want

@@ -600,3 +600,57 @@ def test_dv_descriptor_round_trips_every_storage(tmp_path_factory, vals, storage
     root = str(tmp_path_factory.mktemp("dv"))
     d = write_dv_file(root, vals, storage=storage)
     assert read_dv_positions(root, d) == sorted(vals)
+
+
+@given(
+    vals=st.sets(
+        st.one_of(
+            st.integers(0, 20_000),
+            st.integers(60_000, 70_000),
+            st.integers(2**32, 2**32 + 9_000),
+        ),
+        min_size=1,
+        max_size=6000,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_roaring_offset_header_points_at_actual_containers(vals):
+    """The serialized offset header must point at each container's
+    ACTUAL byte position within its 32-bit bitmap (RoaringFormatSpec).
+    Our reader and delta-spark skip the offsets, but readers using the
+    offset index (Java ImmutableRoaringBitmap mapped views, CRoaring
+    frozen views) would misread DVs whose offsets are wrong — the r8
+    serializer counted the descriptive header at 8 bytes/container."""
+    import struct
+
+    from incubator_gobblin_spark.formats.deletion_vectors import (
+        _COOKIE_NO_RUN,
+        MAGIC,
+        serialize_roaring64,
+    )
+
+    data = serialize_roaring64(vals)
+    assert struct.unpack_from("<i", data, 0)[0] == MAGIC
+    (n_bitmaps,) = struct.unpack_from("<q", data, 4)
+    pos = 12
+    for _ in range(n_bitmaps):
+        bitmap_start = pos
+        (cookie,) = struct.unpack_from("<I", data, pos)
+        assert cookie == _COOKIE_NO_RUN
+        pos += 4
+        (size,) = struct.unpack_from("<i", data, pos)
+        pos += 4
+        cards = []
+        for _i in range(size):
+            _k, cm1 = struct.unpack_from("<HH", data, pos)
+            pos += 4
+            cards.append(cm1 + 1)
+        offsets = []
+        for _i in range(size):
+            (off,) = struct.unpack_from("<I", data, pos)
+            pos += 4
+            offsets.append(off)
+        # offsets are relative to the start of THIS bitmap's cookie
+        for card, off in zip(cards, offsets):
+            assert off == pos - bitmap_start
+            pos += 2 * card if card <= 4096 else 8192
