@@ -322,6 +322,149 @@ def prune_adds(
     return out
 
 
+# ---------------------------------------------------------------------------
+# column mapping (PROTOCOL.md §Column Mapping)
+# ---------------------------------------------------------------------------
+
+
+def _cm_phys(f: dict) -> str:
+    """A Delta schema field's physical parquet name (mode=name)."""
+    return (
+        (f.get("metadata") or {}).get("delta.columnMapping.physicalName")
+        or f["name"]
+    )
+
+
+def _cm_id(f: dict) -> int | None:
+    v = (f.get("metadata") or {}).get("delta.columnMapping.id")
+    return None if v is None else int(v)
+
+
+def _physicalize_type(t):
+    """Delta schema type JSON -> the same JSON with every struct field
+    (at every nesting level) renamed to its physical name — the READ
+    schema for columnMapping.mode=name, where parquet files store
+    physical names throughout."""
+    if isinstance(t, dict):
+        k = t.get("type")
+        if k == "struct":
+            return {
+                "type": "struct",
+                "fields": [
+                    {
+                        "name": _cm_phys(f),
+                        "type": _physicalize_type(f["type"]),
+                        "nullable": f.get("nullable", True),
+                        "metadata": {},
+                    }
+                    for f in t["fields"]
+                ],
+            }
+        if k == "array":
+            return {**t, "elementType": _physicalize_type(t["elementType"])}
+        if k == "map":
+            return {
+                **t,
+                "keyType": _physicalize_type(t["keyType"]),
+                "valueType": _physicalize_type(t["valueType"]),
+            }
+    return t
+
+
+def _fieldid_type(t):
+    """Delta schema type JSON -> the same JSON keeping LOGICAL names
+    but tagging every struct field with Spark's ``parquet.field.id``
+    metadata from ``delta.columnMapping.id`` — the READ schema for
+    columnMapping.mode=id, resolved by Spark's native parquet field-id
+    matching (``spark.sql.parquet.fieldId.read.enabled``; the files
+    carry ids per the protocol's writer requirements). A field without
+    an id refuses: matching it by name would silently misread."""
+    if isinstance(t, dict):
+        k = t.get("type")
+        if k == "struct":
+            out = []
+            for f in t["fields"]:
+                fid = _cm_id(f)
+                if fid is None:
+                    raise ValueError(
+                        "read_delta: delta.columnMapping.mode=id but "
+                        f"field {f['name']!r} carries no "
+                        "delta.columnMapping.id — refusing to match by "
+                        "name"
+                    )
+                out.append(
+                    {
+                        "name": f["name"],
+                        "type": _fieldid_type(f["type"]),
+                        "nullable": f.get("nullable", True),
+                        "metadata": {"parquet.field.id": fid},
+                    }
+                )
+            return {"type": "struct", "fields": out}
+        if k == "array":
+            return {**t, "elementType": _fieldid_type(t["elementType"])}
+        if k == "map":
+            return {
+                **t,
+                "keyType": _fieldid_type(t["keyType"]),
+                "valueType": _fieldid_type(t["valueType"]),
+            }
+    return t
+
+
+def _mapped_below(t) -> bool:
+    """True if any struct field at or below ``t`` is physically
+    renamed (drives the identity shortcut in _logical_expr)."""
+    if isinstance(t, dict):
+        k = t.get("type")
+        if k == "struct":
+            return any(
+                _cm_phys(f) != f["name"] or _mapped_below(f["type"])
+                for f in t["fields"]
+            )
+        if k == "array":
+            return _mapped_below(t["elementType"])
+        if k == "map":
+            return _mapped_below(t["keyType"]) or _mapped_below(
+                t["valueType"]
+            )
+    return False
+
+
+def _logical_expr(col, t):
+    """Rename a physically-named Column (mode=name read output) back to
+    its logical shape, recursing through struct/array/map. A null
+    struct stays null — F.struct alone would fabricate a non-null
+    struct of nulls."""
+    if not _mapped_below(t):
+        return col
+    k = t.get("type")
+    if k == "struct":
+        members = [
+            _logical_expr(col.getField(_cm_phys(f)), f["type"]).alias(
+                f["name"]
+            )
+            for f in t["fields"]
+        ]
+        return F.when(col.isNotNull(), F.struct(*members))
+    if k == "array":
+        return F.transform(
+            col, lambda x: _logical_expr(x, t["elementType"])
+        )
+    if k == "map":
+        m = col
+        if _mapped_below(t["keyType"]):
+            m = F.transform_keys(
+                m, lambda kk, vv: _logical_expr(kk, t["keyType"])
+            )
+        if _mapped_below(t["valueType"]):
+            m = F.transform_values(
+                m, lambda kk, vv: _logical_expr(vv, t["valueType"])
+            )
+        return m
+    return col
+
+
 #: reader features this engine actually honors. Anything else in a
 #: v3 protocol's readerFeatures MUST make the read refuse — that is
 #: the Delta protocol's own contract (PROTOCOL.md Reader Requirements):
@@ -350,12 +493,13 @@ def check_reader_protocol(
 
     - ``minReaderVersion`` > 3 (or 3 with an unsupported feature):
       refuse by name;
-    - column mapping: mode ``name`` is readable by the batch reader
-      (``allow_column_mapping=True`` — read_delta resolves physical
-      parquet names through the schema's
-      ``delta.columnMapping.physicalName`` metadata); mode ``id``
-      (match by parquet field id) and any mapping on the STREAM source
-      refuse — reading by logical name there yields all-null columns;
+    - column mapping: modes ``name`` and ``id`` are readable by the
+      batch reader (``allow_column_mapping=True`` — read_delta
+      resolves physical names through the schema's
+      ``delta.columnMapping.physicalName`` metadata recursively, and
+      mode=id through Spark's native parquet field-id matching); any
+      mapping on the STREAM source refuses — reading by logical name
+      there yields all-null columns;
     - with ``allow_dv=False`` (the stream source, where a DV commit is
       a rewrite, never an append): any live ``add`` carrying a
       ``deletionVector`` — rows marked deleted would be resurrected.
@@ -382,7 +526,7 @@ def check_reader_protocol(
         "delta.columnMapping.mode", "none"
     )
     if mode not in ("none", "") and not (
-        allow_column_mapping and mode == "name"
+        allow_column_mapping and mode in ("name", "id")
     ):
         raise ValueError(
             f"delta.columnMapping.mode={mode!r} renames physical parquet "
@@ -409,11 +553,17 @@ def read_delta(
     """Read a Delta table's committed snapshot (optionally a historical
     ``version`` — Delta time travel) as a DataFrame.
 
-    Column mapping mode ``name`` (the Databricks-era default for new
-    tables) is supported: the scan and partition restore run on the
-    PHYSICAL names from ``delta.columnMapping.physicalName`` and the
-    result renames to logical names; nested mappings and mode ``id``
-    refuse loudly (see check_reader_protocol). Deletion vectors are
+    Column mapping (PROTOCOL.md §Column Mapping) is supported in both
+    modes, nested fields included. Mode ``name``: the scan and
+    partition restore run on the PHYSICAL names from
+    ``delta.columnMapping.physicalName`` (applied recursively through
+    struct/array/map) and the result renames back to logical names.
+    Mode ``id``: the read schema keeps logical names and tags every
+    field with ``parquet.field.id`` from ``delta.columnMapping.id``,
+    letting Spark's native parquet field-id matching
+    (``spark.sql.parquet.fieldId.read.enabled``) resolve the physical
+    columns — no rename pass needed. The STREAM source still refuses
+    mapped tables (check_reader_protocol). Deletion vectors are
     decoded and anti-joined (PROTOCOL.md §Deletion Vectors).
 
     Partition columns are restored from each file's ``partitionValues``
@@ -440,65 +590,55 @@ def read_delta(
     logical_schema = StructType.fromJson(schema_json)
     logical_part_cols = list(meta.get("partitionColumns") or [])
 
-    # column mapping (PROTOCOL.md §Column Mapping, mode=name): parquet
-    # files and add.partitionValues carry PHYSICAL names from the
-    # schema's delta.columnMapping.physicalName metadata; the read
-    # resolves everything in physical space and renames to logical
-    # names last. Nested mappings (a renamed struct member) cannot be
-    # expressed as a top-level rename — refuse rather than misread.
-    phys_of = {f.name: f.name for f in logical_schema.fields}
+    # column mapping (PROTOCOL.md §Column Mapping): stats and
+    # add.partitionValues are keyed by PHYSICAL name in both modes;
+    # phys_of translates the top level for partition lookups and
+    # filter pushdown
     mode = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
     )
+    phys_of = {
+        f["name"]: (_cm_phys(f) if mode in ("name", "id") else f["name"])
+        for f in schema_json.get("fields", [])
+    }
     if mode == "name":
-        def _nested_mapped(t) -> bool:
-            if isinstance(t, dict):
-                if t.get("type") == "struct":
-                    for f in t.get("fields", []):
-                        md = f.get("metadata") or {}
-                        p = md.get("delta.columnMapping.physicalName")
-                        if (p and p != f.get("name")) or _nested_mapped(
-                            f.get("type")
-                        ):
-                            return True
-                    return False
-                if t.get("type") == "array":
-                    return _nested_mapped(t.get("elementType"))
-                if t.get("type") == "map":
-                    return _nested_mapped(t.get("keyType")) or _nested_mapped(
-                        t.get("valueType")
+        # read in PHYSICAL name space (recursively), rename back last
+        schema = StructType.fromJson(_physicalize_type(schema_json))
+        part_cols = [phys_of[c] for c in logical_part_cols]
+        pv_keys = part_cols
+
+        def _finish(df: DataFrame) -> DataFrame:
+            if not _mapped_below(schema_json):
+                return df
+            return df.select(
+                *[
+                    _logical_expr(F.col(_cm_phys(f)), f["type"]).alias(
+                        f["name"]
                     )
-            return False
-
-        for f in schema_json.get("fields", []):
-            md = f.get("metadata") or {}
-            phys_of[f["name"]] = md.get(
-                "delta.columnMapping.physicalName", f["name"]
+                    for f in schema_json["fields"]
+                ]
             )
-            if _nested_mapped(f.get("type")):
-                raise ValueError(
-                    f"read_delta: column {f['name']!r} maps NESTED "
-                    "physical names — nested column mapping is not "
-                    "implemented; refusing to misread the struct"
-                )
-    # everything below runs in PHYSICAL name space
-    schema = StructType(
-        [
-            StructField(phys_of[f.name], f.dataType, f.nullable)
-            for f in logical_schema.fields
-        ]
-    )
-    part_cols = [phys_of[c] for c in logical_part_cols]
 
-    def _finish(df: DataFrame) -> DataFrame:
-        if all(phys_of[f.name] == f.name for f in logical_schema.fields):
+    elif mode == "id":
+        # logical names throughout; Spark's parquet field-id matching
+        # (the files carry ids per the protocol's writer requirements)
+        # resolves the physical columns inside the scan
+        schema = StructType.fromJson(_fieldid_type(schema_json))
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        part_cols = list(logical_part_cols)
+        # partitionValues stay keyed by physical name even in id mode
+        pv_keys = [phys_of[c] for c in logical_part_cols]
+
+        def _finish(df: DataFrame) -> DataFrame:
             return df
-        return df.select(
-            *[
-                F.col(phys_of[f.name]).alias(f.name)
-                for f in logical_schema.fields
-            ]
-        )
+
+    else:
+        schema = logical_schema
+        part_cols = list(logical_part_cols)
+        pv_keys = part_cols
+
+        def _finish(df: DataFrame) -> DataFrame:
+            return df
 
     if filters:
         # conservative metadata-level skipping (see prune_adds);
@@ -519,7 +659,7 @@ def read_delta(
     dv_cardinality = 0
     for a in live.values():
         pv = a.get("partitionValues") or {}
-        key = tuple(pv.get(c) for c in part_cols)
+        key = tuple(pv.get(k) for k in pv_keys)
         fp = os.path.join(path, unquote(a["path"]))
         groups.setdefault(key, []).append(fp)
         if a.get("deletionVector"):

@@ -13,10 +13,17 @@ the batch loudly. ``option("ignoredeletes", "true")`` tolerates
 delete-only versions (their removes are skipped); ``option(
 "ignorechanges", "true")`` additionally tolerates rewrites, streaming
 the rewritten files' rows as fresh inserts (duplicates downstream, the
-same caveat Delta documents). Use the manifest lake's ``lakecdf``
-source for exact row-level change semantics — this source exists so an
-EXTERNAL Delta table (any writer) can feed the engine's streaming
-pipelines without Delta jars.
+same caveat Delta documents); ``option("skipchangecommits", "true")``
+(delta-spark's ``skipChangeCommits``) instead skips every non-append
+version ENTIRELY — zero duplicates, safe when rewrites preserve row
+content (this engine's own ``mode="full"`` compactions, OPTIMIZE),
+silently LOSSY for rewrites that change rows, exactly as delta-spark
+documents. It takes precedence over the ignore* options and also lets
+the stream open on tables whose live state carries deletion vectors
+(the DV commits are change commits — skipped). Use the manifest
+lake's ``lakecdf`` source for exact row-level change semantics — this
+source exists so an EXTERNAL Delta table (any writer) can feed the
+engine's streaming pipelines without Delta jars.
 
 Scale shape: version replay is driver-side JSON-lines metadata (the
 log tail only — files already consumed are never re-listed); every
@@ -51,7 +58,7 @@ def _actions(log_dir: str, version: int) -> list[dict]:
         return [json.loads(l) for l in fh if l.strip()]
 
 
-def table_schema(path: str):
+def table_schema(path: str, *, allow_dv: bool = False):
     """The table's declared schema as a StructType. Shares the batch
     reader's log replay (delta_import._replay_state — pyarrow-direct,
     no Spark session), so a table whose metaData lives only in a
@@ -68,8 +75,10 @@ def table_schema(path: str):
     live, meta, proto = _replay_state(log_dir, None)
     # allow_dv=False: a DV commit rewrites a file's row set in place —
     # the stream cannot express that as appends, so it must refuse
-    # (real delta-spark streaming errors on DV tables the same way)
-    check_reader_protocol(proto, meta, live, allow_dv=False)
+    # (real delta-spark streaming errors on DV tables the same way).
+    # skipChangeCommits flips it to True: DV commits are change
+    # commits, skipped wholesale by the reader.
+    check_reader_protocol(proto, meta, live, allow_dv=allow_dv)
     return (
         StructType.fromJson(json.loads(meta["schemaString"])),
         list(meta.get("partitionColumns") or []),
@@ -89,6 +98,9 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.start_opt = options.get("startingposition", "earliest").lower()
         self.ignore_deletes = options.get("ignoredeletes", "false") == "true"
         self.ignore_changes = options.get("ignorechanges", "false") == "true"
+        self.skip_change_commits = (
+            options.get("skipchangecommits", "false") == "true"
+        )
         self.fields = [(f.name, f.dataType.simpleString()) for f in schema.fields]
         self.part_cols = part_cols
 
@@ -157,6 +169,15 @@ class DeltaStreamReader(DataSourceStreamReader):
             acts = _actions(self.log_dir, v)
             removes = [a for a in acts if "remove" in a]
             adds = [a for a in acts if "add" in a]
+            if self.skip_change_commits and (
+                removes
+                or any(a["add"].get("deletionVector") for a in adds)
+            ):
+                # delta-spark skipChangeCommits: the whole non-append
+                # version is skipped — its adds are NOT served (their
+                # rows were already streamed if the rewrite preserved
+                # content, e.g. this engine's mode="full" compaction)
+                continue
             if removes and not self.ignore_changes:
                 if not (self.ignore_deletes and not adds):
                     raise ValueError(
@@ -245,12 +266,17 @@ class DeltaStreamDataSource(DataSource):
     def name(cls):
         return "deltastream"
 
+    def _allow_dv(self) -> bool:
+        return self.options.get("skipchangecommits", "false") == "true"
+
     def schema(self):
-        schema, _ = table_schema(self.options["path"])
+        schema, _ = table_schema(self.options["path"], allow_dv=self._allow_dv())
         return schema
 
     def streamReader(self, schema):
-        _, part_cols = table_schema(self.options["path"])
+        _, part_cols = table_schema(
+            self.options["path"], allow_dv=self._allow_dv()
+        )
         return DeltaStreamReader(self.options, schema, part_cols)
 
 

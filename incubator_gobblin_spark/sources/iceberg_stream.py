@@ -17,8 +17,13 @@ stream is append-only — a snapshot whose summary operation is not
 expressed as an append stream), EXCEPT the first surviving snapshot
 served to a fresh earliest-stream, which IS the initial table state
 (operation ``overwrite`` is how this exporter self-contains snapshot
-1 and how ``mode="full"`` compaction restarts a chain). Row-level
-delete manifests refuse for the same reason, and a checkpointed
+1 and how ``mode="full"`` compaction restarts a chain). ``option(
+"skipchangecommits", "true")`` (delta-spark's name; iceberg-spark
+spells it ``streaming-skip-overwrite-snapshots``) instead SKIPS
+non-append snapshots entirely — zero duplicates, safe when the
+rewrite preserves row content (this engine's ``mode="full"``
+compaction), silently LOSSY for rewrites that change rows. Row-level
+delete manifests refuse in served snapshots, and a checkpointed
 offset that predates the surviving chain (expiry dropped unconsumed
 snapshots) fails loudly rather than silently skipping rows.
 
@@ -87,6 +92,9 @@ class IcebergStreamReader(DataSourceStreamReader):
     def __init__(self, options, schema, part_cols, part_types):
         self.root = options["path"]
         self.start_opt = options.get("startingposition", "earliest").lower()
+        self.skip_change_commits = (
+            options.get("skipchangecommits", "false") == "true"
+        )
         self.fields = [
             (f.name, f.dataType.simpleString()) for f in schema.fields
         ]
@@ -155,6 +163,13 @@ class IcebergStreamReader(DataSourceStreamReader):
                 mlist = os.path.join(self.root, mlist)
             for mf in _decode_avro_rows(mlist):
                 if mf.get("content", 0) != 0:
+                    if self.skip_change_commits and not full_state:
+                        # the delete manifest belongs to a skipped
+                        # change snapshot and is carried by reference —
+                        # ignored like the snapshot itself (lossy for
+                        # genuine row deletes, per the option's
+                        # documented contract)
+                        continue
                     raise ValueError(
                         "icebergstream: snapshot carries row-level "
                         "delete manifests — deletes cannot stream as "
@@ -202,9 +217,19 @@ class IcebergStreamReader(DataSourceStreamReader):
         else:
             for snap in in_range:
                 if _op(snap) != "append":
+                    if self.skip_change_commits:
+                        # skip the rewrite snapshot ENTIRELY — its
+                        # files' rows were already streamed if the
+                        # rewrite preserved content (mode="full"
+                        # compaction); later appends carry its
+                        # manifests by reference, which _emit's
+                        # added_snapshot_id filter ignores
+                        continue
                     raise ValueError(
                         f"icebergstream: snapshot {snap['snapshot-id']} "
                         f"is operation={_op(snap)!r} — not an append; "
+                        "set skipChangeCommits to skip rewrite "
+                        "snapshots whose rows were already served, or "
                         "restart the stream from a fresh checkpoint "
                         "after the rewrite"
                     )

@@ -86,14 +86,18 @@ class StreamPipeline:
         starting_position: str = "earliest",
         ignore_deletes: bool = False,
         ignore_changes: bool = False,
+        skip_change_commits: bool = False,
     ) -> "StreamPipeline":
         """Tail an EXTERNAL Delta table's transaction log as an
         append stream (``sources/delta_stream.py``): offsets are Delta
         versions in the streaming checkpoint, partition columns are
         restored from partitionValues. Mirrors delta-spark's streaming
         contract: non-append versions fail unless ``ignore_deletes`` /
-        ``ignore_changes``. For exact row-level changes over THIS
-        engine's lakes use :meth:`source_lake_cdf`."""
+        ``ignore_changes``, or ``skip_change_commits`` skips them
+        entirely (zero duplicates; safe across content-preserving
+        compactions, lossy for genuine row changes). For exact
+        row-level changes over THIS engine's lakes use
+        :meth:`source_lake_cdf`."""
 
         def _read(spark: SparkSession) -> DataFrame:
             from incubator_gobblin_spark.sources import delta_stream
@@ -105,6 +109,9 @@ class StreamPipeline:
                 .option("startingposition", starting_position)
                 .option("ignoredeletes", str(ignore_deletes).lower())
                 .option("ignorechanges", str(ignore_changes).lower())
+                .option(
+                    "skipchangecommits", str(skip_change_commits).lower()
+                )
                 .load()
             )
 

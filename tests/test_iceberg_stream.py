@@ -171,3 +171,37 @@ def test_iceberg_stream_partitioned_restore(spark, sf_dir, tmp_path):
         *order).collect()))
     assert sorted(rows) == want
     assert "lang" in order  # the partition column is restored
+
+
+def test_iceberg_stream_skip_change_commits(spark, sf_dir, tmp_path):
+    """skipChangeCommits (iceberg-spark's
+    streaming-skip-overwrite-snapshots): a mid-stream mode='full'
+    compaction snapshot is skipped entirely — the stream stays alive
+    with ZERO duplicate rows and post-compaction appends still stream;
+    the default still loud-fails."""
+    root = str(tmp_path / "icb-skip")
+    sink, df = _build_chain(spark, sf_dir, root, n=3)
+    consumed = _reader(root).latestOffset()["seq"]  # drained here
+    sink.export_iceberg(mode="full")  # compaction rewrite snapshot
+    extra = df.limit(2).withColumn(
+        "n_nationkey", F.col("n_nationkey") + 1000
+    )
+    sink.write_staging(extra, "r3")
+    sink.publish("r3")
+    sink.export_iceberg()
+
+    schema, part_cols, part_types = _table_schema(root)
+    skip = IcebergStreamReader(
+        {"path": root, "skipchangecommits": "true"},
+        schema,
+        part_cols,
+        part_types,
+    )
+    hi = skip.latestOffset()["seq"]
+    parts = skip.partitions({"seq": consumed}, {"seq": hi})
+    rows = [r for p in parts for r in skip.read(p)]
+    assert len(rows) == 2  # ONLY the post-compaction append
+    assert all(r[0] >= 1000 for r in rows)
+    # default still refuses the rewrite snapshot
+    with pytest.raises(ValueError, match="not an append"):
+        _reader(root).partitions({"seq": consumed}, {"seq": hi})

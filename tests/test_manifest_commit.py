@@ -2878,11 +2878,13 @@ def test_read_delta_refuses_unsupported_reader_features(
     assert read_delta(spark, root2).count() == df2.count()
 
 
-def test_column_mapping_stream_and_id_mode_refuse(spark, sf_dir, tmp_path):
+def test_column_mapping_stream_refuses_and_id_needs_ids(
+    spark, sf_dir, tmp_path
+):
     """Column mapping: the STREAM source refuses any mapping mode
-    (physical-name reads can't be renamed mid-stream), and mode=id
-    (match by parquet field id) refuses everywhere; an add carrying a
-    deletionVector refuses on the stream too."""
+    (physical-name reads can't be renamed mid-stream); the batch
+    reader takes mode=name, and mode=id only when every field carries
+    a delta.columnMapping.id (matching by name would misread)."""
     import json
 
     import pytest as _pytest
@@ -2907,11 +2909,11 @@ def test_column_mapping_stream_and_id_mode_refuse(spark, sf_dir, tmp_path):
         table_schema(root)
     # batch: mode=name with identity physical names reads fine
     assert read_delta(spark, root).count() == df.count()
-    # mode=id refuses everywhere
+    # mode=id WITHOUT per-field ids refuses loudly (never name-match)
     meta_id = dict(meta)
     meta_id["configuration"] = {"delta.columnMapping.mode": "id"}
     _append_delta_commit(root, [{"metaData": meta_id}])
-    with _pytest.raises(ValueError, match="columnMapping"):
+    with _pytest.raises(ValueError, match="delta.columnMapping.id"):
         read_delta(spark, root)
 
 
@@ -2920,11 +2922,8 @@ def test_read_delta_column_mapping_name_mode(spark, sf_dir, tmp_path):
     default): parquet files and partitionValues carry PHYSICAL
     col-<uuid> names; read_delta must resolve through
     delta.columnMapping.physicalName and return LOGICAL columns,
-    partition restore and metadata pruning included. Nested mappings
-    refuse loudly."""
+    partition restore and metadata pruning included."""
     import json
-
-    import pytest as _pytest
 
     from incubator_gobblin_spark.sources.delta_import import read_delta
 
@@ -2989,24 +2988,202 @@ def test_read_delta_column_mapping_name_mode(spark, sf_dir, tmp_path):
         F.col("n_regionkey") == 2
     ).count()
 
-    # nested mapping refuses
-    nested_fields = [
-        {"name": "s", "nullable": True, "metadata":
-         {"delta.columnMapping.physicalName": "col-top"},
-         "type": {"type": "struct", "fields": [
-             {"name": "inner", "type": "long", "nullable": True,
-              "metadata": {"delta.columnMapping.physicalName": "col-in"}}]}},
+
+def test_read_delta_column_mapping_nested_name_mode(spark, tmp_path):
+    """Nested column mapping (mode=name): physical names recurse into
+    struct members, array elements, and map values; read_delta must
+    rebuild the logical shape exactly — with a NULL struct staying
+    null (a naive F.struct rename would fabricate a struct of
+    nulls)."""
+    import json
+
+    from incubator_gobblin_spark.sources.delta_import import read_delta
+
+    root = str(tmp_path / "colmap-nested")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    os.makedirs(os.path.join(root, "data"))
+    # the physical file, written the way a mapped writer would lay it
+    # out: renamed struct members at every level
+    physical = spark.createDataFrame(
+        [
+            (1, (10, "a"), [(1,), (2,)], {"k": (5,)}),
+            (2, None, [], {}),
+        ],
+        "id long, `col-top` struct<`col-in`: long, `col-nm`: string>, "
+        "`col-arr` array<struct<`col-e`: long>>, "
+        "`col-map` map<string, struct<`col-v`: long>>",
+    )
+    out_dir = os.path.join(root, "data", "w")
+    physical.coalesce(1).write.parquet(out_dir)
+    part = next(
+        f for f in os.listdir(out_dir)
+        if f.endswith(".parquet") and not f.startswith("_")
+    )
+    fp = os.path.join(root, "data", "f1.parquet")
+    os.rename(os.path.join(out_dir, part), fp)
+    struct_t = {
+        "type": "struct",
+        "fields": [
+            {"name": "inner", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": "col-in"}},
+            {"name": "nm", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": "col-nm"}},
+        ],
+    }
+    elem_t = {
+        "type": "struct",
+        "fields": [
+            {"name": "e", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": "col-e"}},
+        ],
+    }
+    val_t = {
+        "type": "struct",
+        "fields": [
+            {"name": "v", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": "col-v"}},
+        ],
+    }
+    fields = [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "s", "type": struct_t, "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "col-top"}},
+        {"name": "arr", "type": {"type": "array", "elementType": elem_t,
+                                 "containsNull": True},
+         "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "col-arr"}},
+        {"name": "m", "type": {"type": "map", "keyType": "string",
+                               "valueType": val_t,
+                               "valueContainsNull": True},
+         "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "col-map"}},
     ]
-    _append_delta_commit(root, [{"metaData": {
-        "id": "t", "format": {"provider": "parquet", "options": {}},
-        "schemaString": json.dumps(
-            {"type": "struct", "fields": nested_fields}),
-        "partitionColumns": [],
-        "configuration": {"delta.columnMapping.mode": "name"},
-        "createdTime": 0,
-    }}])
-    with _pytest.raises(ValueError, match="NESTED"):
-        read_delta(spark, root)
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "t", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(
+                {"type": "struct", "fields": fields}),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name"},
+            "createdTime": 0,
+        }},
+        {"add": {"path": "data/f1.parquet", "partitionValues": {},
+                 "size": os.path.getsize(fp), "modificationTime": 0,
+                 "dataChange": True}},
+    ]
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for act in actions:
+            fh.write(json.dumps(act) + "\n")
+
+    got = read_delta(spark, root)
+    assert got.columns == ["id", "s", "arr", "m"]
+    rows = {r.id: r for r in got.collect()}
+    assert rows[1].s.inner == 10 and rows[1].s.nm == "a"
+    assert [x.e for x in rows[1].arr] == [1, 2]
+    assert rows[1].m["k"].v == 5
+    assert rows[2].s is None  # null struct stays null
+    assert rows[2].arr == [] and rows[2].m == {}
+
+
+def test_read_delta_column_mapping_id_mode(spark, sf_dir, tmp_path):
+    """mode=id (PROTOCOL.md §Column Mapping): physical columns are
+    matched by parquet FIELD ID, never by name — physical names here
+    are deliberately unrelated AND reordered, so a name-based match
+    would misread or null every column. Resolved through Spark's
+    native field-id matching (parquet.field.id read schema metadata),
+    nested struct members included."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incubator_gobblin_spark.sources.delta_import import read_delta
+
+    root = str(tmp_path / "colmap-id")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    os.makedirs(os.path.join(root, "data"))
+    df = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    pdf = df.toPandas()
+    # physical file: scrambled names, swapped column ORDER, field ids,
+    # plus a nested struct whose member also resolves by id
+    schema = pa.schema(
+        [
+            pa.field("p2", pa.string(),
+                     metadata={b"PARQUET:field_id": b"2"}),
+            pa.field("p3", pa.int64(),
+                     metadata={b"PARQUET:field_id": b"3"}),
+            pa.field("p1", pa.int64(),
+                     metadata={b"PARQUET:field_id": b"1"}),
+            pa.field(
+                "p4",
+                pa.struct(
+                    [pa.field("p5", pa.int64(),
+                              metadata={b"PARQUET:field_id": b"5"})]
+                ),
+                metadata={b"PARQUET:field_id": b"4"},
+            ),
+        ]
+    )
+    table = pa.table(
+        {
+            "p2": pdf["n_name"],
+            "p3": pdf["n_regionkey"].astype("int64"),
+            "p1": pdf["n_nationkey"].astype("int64"),
+            "p4": [{"p5": int(v) * 10} for v in pdf["n_nationkey"]],
+        },
+        schema=schema,
+    )
+    fp = os.path.join(root, "data", "f1.parquet")
+    pq.write_table(table, fp)
+    fields = [
+        {"name": "n_nationkey", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "p1"}},
+        {"name": "n_name", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "p2"}},
+        {"name": "n_regionkey", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 3,
+                      "delta.columnMapping.physicalName": "p3"}},
+        {"name": "s", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 4,
+                      "delta.columnMapping.physicalName": "p4"},
+         "type": {"type": "struct", "fields": [
+             {"name": "tenx", "type": "long", "nullable": True,
+              "metadata": {"delta.columnMapping.id": 5,
+                           "delta.columnMapping.physicalName": "p5"}}]}},
+    ]
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "t", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(
+                {"type": "struct", "fields": fields}),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "id",
+                              "delta.columnMapping.maxColumnId": "5"},
+            "createdTime": 0,
+        }},
+        {"add": {"path": "data/f1.parquet", "partitionValues": {},
+                 "size": os.path.getsize(fp), "modificationTime": 0,
+                 "dataChange": True}},
+    ]
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for act in actions:
+            fh.write(json.dumps(act) + "\n")
+
+    got = read_delta(spark, root)
+    assert got.columns == ["n_nationkey", "n_name", "n_regionkey", "s"]
+    want = sorted(
+        (int(k), n, int(r), (int(k) * 10,))
+        for k, n, r in zip(
+            pdf["n_nationkey"], pdf["n_name"], pdf["n_regionkey"]
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == want
 
 
 def test_delta_stream_refuses_dv_tables(spark, sf_dir, tmp_path):
@@ -3020,6 +3197,10 @@ def test_delta_stream_refuses_dv_tables(spark, sf_dir, tmp_path):
     _attach_dv(spark, root2, lambda pdf: pdf["r_regionkey"] % 2 == 0)
     with _pytest.raises(ValueError, match="deletion vector"):
         table_schema(root2)
+    # skipChangeCommits lets the stream OPEN on a DV table — the DV
+    # commits are change commits and get skipped by the reader
+    schema, _ = table_schema(root2, allow_dv=True)
+    assert schema.fieldNames()
 
 
 def _attach_dv(spark, root, pred, storage="u"):

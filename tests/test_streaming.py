@@ -1433,3 +1433,56 @@ def test_two_curation_streams_share_one_lake_without_run_id_collision(
     n2 = lake.read_committed(spark).count()
     assert n2 > n1  # the second stream's batch actually landed
     assert len(lake.manifest_history()) == 2
+
+
+def test_deltastream_skip_change_commits(spark, tmp_path):
+    """skipChangeCommits (delta-spark's option): a rewrite version is
+    skipped ENTIRELY — the stream survives a content-rewriting commit
+    with ZERO duplicate rows and later appends still stream; contrast
+    ignoreChanges (streams rewrites as duplicate inserts) and the
+    default (fails loudly)."""
+    from incubator_gobblin_spark.sinks.files import FileSink
+    from incubator_gobblin_spark.streaming.flow import StreamPipeline
+
+    root = str(tmp_path / "ext_delta_skip")
+    sink = FileSink(path=root, commit_mode="manifest", delta_log=True)
+    df = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    sink.write_staging(df, "r1")
+    sink.publish("r1")
+
+    out = str(tmp_path / "skip_out")
+    ckpt = str(tmp_path / "skip_ckpt")
+
+    def run_once():
+        q = (
+            StreamPipeline(spark)
+            .source_delta(root, skip_change_commits=True)
+            ._source(spark)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == [
+        (1, 10),
+        (2, 20),
+    ]
+    # a rewrite (merge) lands, then an append: the rewrite version is
+    # skipped wholesale (its updated rows never stream — the option's
+    # documented lossy contract), the append streams exactly once
+    sink.merge_into(
+        spark, df.withColumn("v", F.col("v") + 1), on=["k"], run_id="m1"
+    )
+    b2 = spark.createDataFrame([(3, 30)], "k long, v long")
+    sink.write_staging(b2, "r2")
+    sink.publish("r2")
+    run_once()
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == [
+        (1, 10),
+        (2, 20),
+        (3, 30),
+    ]
