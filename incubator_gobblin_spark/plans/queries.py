@@ -54,78 +54,76 @@ def register(name: str, oracle: str | None):
 
 # The driver's correctness artifact records exactly the first 50
 # registry entries each round, so iteration order decides which queries
-# touch the hard gate. Round-8 rotation (staleness going into r8:
-# r05 = the 27 queries VERDICT r7 ask #1 names — 3 rounds old at r08,
-# past the ~2-round policy; r06 = the 50-query r06 window, 2 rounds
-# old; r07 = last round's window, fresh):
-# 1. the brand-new r8 queries q128-q132 (first driver rows ever),
-# 2. the ENTIRE r05-stale block (27 queries),
-# 3. 18 of the 50 r06-green queries, prioritizing the q90-q106 LLM-
-#    pipeline wave, interop round-trips (q124 iceberg, q91 kafka,
-#    q95 multimodal, q98 lake CDF), the LSH coverage invariants
-#    (q63/q64/q68/q69), and the r07-bench-blip suspects q96 (watch).
-# Left out (rotate at r09, then at most 3 rounds old): q101-q105 + the
-# q01-q61 relational core re-proven r06, and the whole r07 window
-# (1 round old).
-# The local parity suite (tests/test_oracle_parity.py) still proves ALL
-# oracle-backed queries on every pytest run regardless of this ordering.
+# touch the hard gate. Round-9 rotation (staleness going into r9:
+# r06 = the 32 queries VERDICT r8 ask #1 names — 3 rounds old at r09,
+# past the ~2-round policy, incl. q104 explicitly promised this head
+# when displaced at r08; r07 = last-but-one window, 2 rounds old;
+# r08 = last round's window, fresh):
+# 1. the brand-new r9 queries q133-q135 (first driver rows ever),
+# 2. the ENTIRE r06-stale block (32 queries — relational core
+#    q01-q61, similarity anchors q50/q51/q55, format scans q56/q87,
+#    quality/sketch wave q101-q105),
+# 3. 15 of the 50 r07-green queries, prioritizing the single-row
+#    newcomers q125-q127 and the r5 LLM-pipeline wave (the rest of
+#    the r07 window rotates at r10 with 15 free slots to spare).
+# After the r09 driver run no query's last driver row is older than
+# r07. The local parity suite (tests/test_oracle_parity.py) still
+# proves ALL oracle-backed queries on every pytest run regardless.
 _WINDOW_HEAD = [
-    # --- brand-new r8 queries (first driver rows ever) ---
-    "q128_iceberg_posdelete_agg",
-    "q129_rest_http_ingest_agg",
-    "q130_iceberg_incremental_scan",
-    "q131_delta_dv_agg",
-    "q132_cluster_balanced_sample",
-    # --- r05-stale block (last driver-green r05 — the policy edge) ---
-    "q31_minhash_candidates",
-    "q32_simhash_neardups",
-    "q34_ann_lsh_topk",
-    "q57_orc_scan_agg",
-    "q58_envelope_decode_agg",
-    "q60_time_partition_tree_rollup",
-    "q62_winnow_fingerprints",
-    "q65_chunk_documents",
-    "q66_pii_redaction",
-    "q67_ivf_topk",
-    "q70_decontamination",
-    "q71_repetition_stats",
-    "q72_hot_ngrams",
-    "q73_tfidf_top_terms",
-    "q74_stratified_sample",
-    "q75_bm25_search",
-    "q76_group_quantiles",
-    "q77_stats_moments",
-    "q78_multimodal_binary_stats",
-    "q79_skew_hot_keys",
-    "q80_dedup_clusters",
-    "q81_fuzzy_dedup_keep",
-    "q82_cap_per_source",
-    "q83_split_assignment",
-    "q85_scd2_intervals",
-    "q88_manifest_snapshot_agg",
-    "q89_dedup_lines",
-    # --- r06-green fill (2 rounds old; LLM wave + interop first) ---
-    "q124_iceberg_roundtrip_agg",
-    "q91_kafka_roundtrip_agg",
-    "q95_multimodal_decode_roundtrip",
-    "q98_lake_changes",
-    "q106_curation_pipeline",
-    "q96_dsir_weights",
-    "q90_trigram_logprob",
-    "q97_perplexity_buckets",
-    "q93_semantic_dedup",
-    "q99_pq_topk",
-    "q100_ivfpq_topk",
-    "q84_pack_sequences",
-    "q63_minhash_covers_exact_dups",
-    "q64_simhash_covers_exact_dups",
-    "q68_srplsh_covers_identical",
-    "q69_lsh_topk_self_retrieval",
-    "q92_quality_classifier",
-    "q94_mixture_materialize",
-    # (q101_c4_rules / q102_gopher_rules / q103_weighted_sample /
-    # q104_approx_distinct displaced to r09 by q129-q132 — the head
-    # holds exactly the driver's 50 slots)
+    # --- brand-new r9 queries (first driver rows ever) ---
+    "q133_delta_column_mapping_agg",
+    "q134_delta_time_travel_agg",
+    "q135_iceberg_time_travel_agg",
+    # --- r06-stale block (last driver-green r06 — the policy edge) ---
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q03_revenue_by_nation",
+    "q05_purge_anti_join",
+    "q07_dedup_exact_fingerprint",
+    "q14_sessionize",
+    "q24_time_partition",
+    "q25_watermark_increment",
+    "q27_quality_counts",
+    "q36_window_functions",
+    "q38_scalar_functions",
+    "q39_count_distinct",
+    "q40_having",
+    "q41_case_bucketing",
+    "q43_cross_join",
+    "q44_shuffle_join",
+    "q45_from_json_struct",
+    "q46_union_all",
+    "q47_compaction_audit",
+    "q50_knn_l2",
+    "q51_embedding_neardup_exact",
+    "q55_ivf_assign",
+    "q56_avro_scan_agg",
+    "q59_scalar_subquery_above_avg",
+    "q61_rest_entry_projection",
+    "q86_profile_columns",
+    "q87_orc_scan_agg",
+    "q101_c4_rules",
+    "q102_gopher_rules",
+    "q103_weighted_sample",
+    "q104_approx_distinct",
+    "q105_approx_median_rank",
+    # --- r07-green fill (2 rounds old; newest single-row queries and
+    # the r5 LLM wave first) ---
+    "q125_semantic_decontam_lsh",
+    "q126_semantic_prefilter_audit",
+    "q127_iceberg_incremental_agg",
+    "q107_rest_ingest_agg",
+    "q109_duplicated_spans",
+    "q113_shuffle_shards",
+    "q115_trim_contaminated",
+    "q116_semantic_decontaminate",
+    "q117_lsh_dedup_audit",
+    "q118_cms_heavy_hitters",
+    "q119_funnel_steps",
+    "q120_cohort_retention",
+    "q121_bpe_pair_counts",
+    "q122_char_entropy",
+    "q123_delta_roundtrip_agg",
 ]
 
 
@@ -5076,6 +5074,342 @@ def q132_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.min("vec_id").alias("min_vec"),
         F.max("vec_id").alias("max_vec"),
+    )
+
+
+@register(
+    "q133_delta_column_mapping_agg",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars,
+           CAST(sum(doc_id * 10) AS BIGINT) AS tenx_sum
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q133_delta_column_mapping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta COLUMN MAPPING mode=id under the hard oracle (PROTOCOL.md
+    §Column Mapping): a "foreign writer" authors the documents table as
+    a mapped Delta table — physical parquet columns named p1/p3/p4
+    (deliberately unrelated to the logical names and reordered), parquet
+    field ids written, a NESTED struct member (s.tenx = doc_id*10,
+    physical p5 inside p4), and the lang partition restored from
+    partitionValues keyed by its PHYSICAL name p2. ``read_delta`` must
+    resolve every column by FIELD ID through Spark's native
+    parquet-field-id matching — a name-based match would null every
+    column — and the per-lang aggregate (nested member included) must
+    match the oracle's direct scan value-for-value.
+
+    Scale shape: id resolution happens inside the parquet scan (no
+    rename pass, no Python); partition restore is the same typed-
+    literal union / suffix-join machinery every lake read uses."""
+    import json as _json
+    import os as _os
+
+    cache = _cache_dir("delta_colmap", sf_dir, "documents")
+    log_dir = _os.path.join(cache, "_delta_log")
+    if not _os.path.isdir(log_dir):
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        _os.makedirs(_os.path.join(cache, "data"), exist_ok=True)
+        _os.makedirs(log_dir, exist_ok=True)
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "lang", "n_chars")
+            .toPandas()
+        )
+        pa_schema = _pa.schema(
+            [
+                _pa.field(
+                    "p1", _pa.int64(), metadata={b"PARQUET:field_id": b"1"}
+                ),
+                _pa.field(
+                    "p3", _pa.int64(), metadata={b"PARQUET:field_id": b"3"}
+                ),
+                _pa.field(
+                    "p4",
+                    _pa.struct(
+                        [
+                            _pa.field(
+                                "p5",
+                                _pa.int64(),
+                                metadata={b"PARQUET:field_id": b"5"},
+                            )
+                        ]
+                    ),
+                    metadata={b"PARQUET:field_id": b"4"},
+                ),
+            ]
+        )
+        adds = []
+        for lang, grp in docs.groupby("lang", sort=True):
+            rel = f"data/part-{lang}.parquet"
+            fp = _os.path.join(cache, rel)
+            _pq.write_table(
+                _pa.table(
+                    {
+                        "p1": grp["doc_id"].astype("int64"),
+                        "p3": grp["n_chars"].astype("int64"),
+                        "p4": [
+                            {"p5": int(v) * 10} for v in grp["doc_id"]
+                        ],
+                    },
+                    schema=pa_schema,
+                ),
+                fp,
+            )
+            adds.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": {"p2": str(lang)},
+                        "size": _os.path.getsize(fp),
+                        "modificationTime": 0,
+                        "dataChange": True,
+                    }
+                }
+            )
+        fields = [
+            {"name": "doc_id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "p1"}},
+            {"name": "lang", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "p2"}},
+            {"name": "n_chars", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 3,
+                          "delta.columnMapping.physicalName": "p3"}},
+            {"name": "s", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 4,
+                          "delta.columnMapping.physicalName": "p4"},
+             "type": {"type": "struct", "fields": [
+                 {"name": "tenx", "type": "long", "nullable": True,
+                  "metadata": {"delta.columnMapping.id": 5,
+                               "delta.columnMapping.physicalName": "p5"}}]}},
+        ]
+        actions = [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": {
+                "id": "colmap-docs",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": _json.dumps(
+                    {"type": "struct", "fields": fields}
+                ),
+                "partitionColumns": ["lang"],
+                "configuration": {
+                    "delta.columnMapping.mode": "id",
+                    "delta.columnMapping.maxColumnId": "5",
+                },
+                "createdTime": 0,
+            }},
+        ] + adds
+        tmp = _os.path.join(log_dir, ".tmp-commit")
+        with open(tmp, "w") as fh:
+            for act in actions:
+                fh.write(_json.dumps(act) + "\n")
+        _os.replace(tmp, _os.path.join(log_dir, f"{0:020d}.json"))
+    from incubator_gobblin_spark.sources.delta_import import read_delta
+
+    df = read_delta(spark, cache)
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+        F.sum(F.col("s.tenx")).cast("long").alias("tenx_sum"),
+    )
+
+
+@register(
+    "q134_delta_time_travel_agg",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM (
+        SELECT lang, n_chars FROM documents
+        UNION ALL
+        SELECT lang, n_chars FROM documents WHERE doc_id % 10 = 0
+    )
+    GROUP BY lang
+    """,
+)
+def q134_delta_time_travel_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta TIME TRAVEL under the hard oracle: the table's history is
+    base (all documents) -> append (the doc_id%10==0 slice re-landed
+    with shifted ids) -> a deletion-vector commit removing every
+    doc_id%4==0 row. The query reads the MIDDLE version — after the
+    append, before the deletes — so a reader that ignored ``version``
+    and served the current snapshot (or mis-replayed tombstones at the
+    historical version) produces different counts. The aggregate must
+    match the oracle's reconstruction of that historical state
+    (documents UNION ALL its %10 slice) value-for-value.
+
+    Scale shape: time travel replays the log to a version bound —
+    O(log tail) driver-side metadata, same single-scan data read."""
+    import json as _json
+    import os as _os
+    from urllib.parse import unquote as _unquote
+
+    from incubator_gobblin_spark.formats.deletion_vectors import write_dv_file
+    from incubator_gobblin_spark.sinks.files import FileSink, TableType
+    from incubator_gobblin_spark.sources.delta_import import (
+        _log_versions,
+        _replay_state,
+        read_delta,
+    )
+
+    cache = _cache_dir("delta_tt", sf_dir, "documents")
+    sink = FileSink(
+        path=cache, commit_mode="manifest", table_type=TableType.APPEND_ONLY
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+    def _committed(run: str) -> bool:
+        try:
+            return sink.current_manifest(run, materialize=False) is not None
+        except FileNotFoundError:
+            return False
+
+    log_dir = _os.path.join(cache, "_delta_log")
+    if not _committed("base"):
+        sink.write_staging(docs, "base")
+        sink.publish("base")
+    if not _os.path.isdir(log_dir):
+        sink.export_delta_log()  # version with the full base state
+    if not _committed("r1"):
+        sink.write_staging(
+            docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(10_000_000)
+            ),
+            "r1",
+        )
+        sink.publish("r1")
+        sink.export_delta_log()  # the append version = travel target
+    travel_v = _log_versions(log_dir)[-1] if _log_versions(log_dir) else 0
+    live, _, _ = _replay_state(log_dir, None)
+    if not any(a.get("deletionVector") for a in live.values()):
+        # the later change: DVs removing every doc_id%4==0 row
+        coords = (
+            spark.read.parquet(
+                *[_os.path.join(cache, _unquote(p)) for p in live]
+            )
+            .withColumn("_fp", F.col("_metadata.file_path"))
+            .withColumn("_pos", F.col("_metadata.row_index"))
+            .filter(F.col("doc_id") % 4 == 0)
+            .select("_fp", "_pos")
+            .collect()
+        )
+        by_file: dict[str, list[int]] = {}
+        for r in coords:
+            p = "/" + r._fp.split(":", 1)[1].lstrip("/")
+            by_file.setdefault(_os.path.abspath(p), []).append(int(r._pos))
+        actions = [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["deletionVectors"],
+                          "writerFeatures": ["deletionVectors"]}}
+        ]
+        for rel, a in sorted(live.items()):
+            fp = _os.path.abspath(_os.path.join(cache, _unquote(rel)))
+            if fp not in by_file:
+                continue
+            dv = write_dv_file(cache, by_file[fp], storage="u")
+            actions.append(
+                {"remove": {"path": rel, "dataChange": True,
+                            "deletionTimestamp": 0}}
+            )
+            actions.append({"add": {**a, "deletionVector": dv}})
+        v = _log_versions(log_dir)[-1] + 1
+        with open(_os.path.join(log_dir, f"{v:020d}.json"), "w") as fh:
+            for act in actions:
+                fh.write(_json.dumps(act) + "\n")
+    else:
+        # fixture already complete: the travel target is the version
+        # just before the (single) DV commit at the log head
+        travel_v = _log_versions(log_dir)[-2]
+    df = read_delta(spark, cache, version=travel_v)
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+
+
+@register(
+    "q135_iceberg_time_travel_agg",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents
+    WHERE doc_id % 3 <> 2
+    GROUP BY lang
+    """,
+)
+def q135_iceberg_time_travel_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg TIME TRAVEL under the hard oracle: the chain is
+    snapshot 1 (doc_id%3==0) -> snapshot 2 (doc_id%3==1) -> a foreign
+    position-delete snapshot removing every doc_id%2==0 row. The query
+    reads SNAPSHOT 2 by id — after both appends, before the deletes —
+    so serving the current snapshot (or applying the later tombstones
+    at the historical read) produces different counts. The aggregate
+    must match the oracle's doc_id%3<>2 reconstruction value-for-value.
+
+    Scale shape: snapshot selection is one manifest-list replay —
+    O(snapshot manifests) driver-side metadata, single-scan data."""
+    import os as _os
+
+    from incubator_gobblin_spark.sinks.files import FileSink, TableType
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        append_position_deletes,
+    )
+    from incubator_gobblin_spark.sources.iceberg_import import (
+        current_metadata,
+        read_iceberg,
+        snapshot_files,
+    )
+
+    cache = _cache_dir("iceberg_tt", sf_dir, "documents")
+    sink = FileSink(
+        path=cache, commit_mode="manifest", table_type=TableType.APPEND_ONLY
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+    def _committed(run: str) -> bool:
+        try:
+            return sink.current_manifest(run, materialize=False) is not None
+        except FileNotFoundError:
+            return False
+
+    for i in range(2):
+        run = f"r{i}"
+        if not _committed(run):
+            sink.write_staging(docs.filter(F.col("doc_id") % 3 == i), run)
+            sink.publish(run)
+            sink.export_iceberg()
+    if not _os.path.isdir(_os.path.join(cache, "metadata")):
+        sink.export_iceberg()
+    meta = current_metadata(cache)
+    travel_sid = meta["snapshots"][1]["snapshot-id"]  # after both appends
+    _, dels = snapshot_files(meta, cache, collect_deletes=True)
+    if not dels:
+        files, _ = snapshot_files(meta, cache, collect_deletes=True)
+        coords = (
+            spark.read.parquet(*[f["path"] for f in files])
+            .withColumn("_fp", F.col("_metadata.file_path"))
+            .withColumn("_pos", F.col("_metadata.row_index"))
+            .filter(F.col("doc_id") % 2 == 0)
+            .select("_fp", "_pos")
+            .collect()
+        )
+        append_position_deletes(cache, [(r._fp, r._pos) for r in coords])
+    df = read_iceberg(spark, cache, snapshot_id=travel_sid)
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
     )
 
 
