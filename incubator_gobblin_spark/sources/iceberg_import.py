@@ -478,19 +478,31 @@ def read_iceberg(
 
     # The row's DATA sequence number, from a broadcast file→seq map
     # keyed on the decoded scan path (no shuffle; the map is O(files)
-    # driver-side metadata). It gates BOTH delete kinds per the spec's
+    # driver-side metadata). It gates both delete kinds per the spec's
     # sequence rules: position deletes apply to data sequenced <= the
     # delete file, equality deletes STRICTLY < (spec §Scan Planning).
-    seq_map = spark.createDataFrame(
-        [(os.path.abspath(_abs(f["path"])), int(f.get("seq") or 0))
-         for f in files],
-        "_seq_path string, _data_seq long",
-    )
-    df = df.join(
-        F.broadcast(seq_map),
-        F.col("_norm_path") == F.col("_seq_path"),
-        "left",
-    )
+    # The join is added LAZILY — only when some gate can actually bind
+    # (the manifests carry every seq, so vacuity is a driver-side
+    # min/max check) — keeping the common one-delete-snapshot read at
+    # one anti-join with no extra plan nodes.
+    data_seqs = [int(f.get("seq") or 0) for f in files]
+    seq_joined = False
+
+    def _with_seq(frame: DataFrame) -> DataFrame:
+        nonlocal seq_joined
+        if seq_joined:
+            return frame
+        seq_joined = True
+        seq_map = spark.createDataFrame(
+            [(os.path.abspath(_abs(f["path"])), int(f.get("seq") or 0))
+             for f in files],
+            "_seq_path string, _data_seq long",
+        )
+        return frame.join(
+            F.broadcast(seq_map),
+            F.col("_norm_path") == F.col("_seq_path"),
+            "left",
+        )
 
     def _bounded_broadcast(frame: DataFrame, rows: int) -> DataFrame:
         # tombstone sets are metadata-scale in practice, but a
@@ -512,18 +524,28 @@ def read_iceberg(
                 .withColumn("_del_seq", F.lit(int(d["seq"])))
             )
             dels = one if dels is None else dels.unionByName(one)
+        cond = (F.col("_norm_path") == F.col("_del_path")) & (
+            F.col("_row_index") == F.col("_del_pos")
+        )
+        # the <= gate only binds when some data file is NEWER than some
+        # delete file (a path re-added after removal); otherwise it is
+        # provably vacuous and the seq join is skipped
+        if max(data_seqs, default=0) > min(d["seq"] for d in pos_deletes):
+            df = _with_seq(df)
+            cond = cond & (F.col("_data_seq") <= F.col("_del_seq"))
         df = df.join(
             _bounded_broadcast(
                 dels, sum(d["record_count"] for d in pos_deletes)
             ),
-            (F.col("_norm_path") == F.col("_del_path"))
-            & (F.col("_row_index") == F.col("_del_pos"))
-            & (F.col("_data_seq") <= F.col("_del_seq")),
+            cond,
             "left_anti",
         )
 
     eq_deletes = [d for d in delete_files if d["content"] == 2]
     if eq_deletes:
+        # equality deletes always need the row's data sequence: the
+        # strictly-less rule is what lets a re-inserted key survive
+        df = _with_seq(df)
         field_name_all = {f["id"]: f["name"] for f in schema_json["fields"]}
         by_ids: dict[tuple, list[dict]] = {}
         for d in eq_deletes:
