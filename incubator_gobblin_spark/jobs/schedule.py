@@ -297,7 +297,12 @@ class ScheduleDriver:
         the fired names (registration order). Run-once jobs fire once
         and deschedule; cron jobs reschedule strictly after ``now``."""
         fired: list[str] = []
-        for name, j in self._jobs.items():
+        # snapshot: a runner may register/unregister jobs reentrantly
+        # (a job spec that schedules a follow-up) without blowing up
+        # this iteration; additions are picked up on the NEXT tick
+        for name, j in list(self._jobs.items()):
+            if self._jobs.get(name) is not j:
+                continue  # unregistered (or replaced) mid-tick
             nxt = j["next"]
             if nxt is None or nxt > now:
                 continue

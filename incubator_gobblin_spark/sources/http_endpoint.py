@@ -184,9 +184,15 @@ class HttpSoqlEndpoint:
         )
 
     def query_more(self, next_records_url: str) -> dict:
-        return _get_json(
-            f"{self.base_url}{next_records_url}", self.headers, self.timeout
+        # Salesforce documents nextRecordsUrl as server-relative, but
+        # some proxies hand back absolute URLs — accept both rather
+        # than producing "https://basehttps://..." garbage
+        url = (
+            next_records_url
+            if next_records_url.startswith(("http://", "https://"))
+            else f"{self.base_url}{next_records_url}"
         )
+        return _get_json(url, self.headers, self.timeout)
 
     def fetch_result(self, job_id: str, batch_id: str, result_id: str) -> list:
         from urllib.parse import quote

@@ -118,6 +118,39 @@ class StreamPipeline:
         self._source = _read
         return self
 
+    def source_iceberg(
+        self,
+        table_path: str,
+        starting_position: str = "earliest",
+        skip_change_commits: bool = False,
+    ) -> "StreamPipeline":
+        """Tail an EXTERNAL Iceberg table's snapshot chain as an append
+        stream (``sources/iceberg_stream.py``): offsets are snapshot
+        SEQUENCE NUMBERS in the streaming checkpoint (they survive
+        snapshot expiry), identity partition values restore from the
+        manifests. Mirrors iceberg-spark's streaming read: non-append
+        snapshots fail loudly unless ``skip_change_commits`` skips them
+        entirely (zero duplicates; safe across content-preserving
+        compactions like this engine's ``mode="full"`` exports, lossy
+        for genuine row rewrites)."""
+
+        def _read(spark: SparkSession) -> DataFrame:
+            from incubator_gobblin_spark.sources import iceberg_stream
+
+            iceberg_stream.register(spark)
+            return (
+                spark.readStream.format("icebergstream")
+                .option("path", table_path)
+                .option("startingposition", starting_position)
+                .option(
+                    "skipchangecommits", str(skip_change_commits).lower()
+                )
+                .load()
+            )
+
+        self._source = _read
+        return self
+
     def source_lake_cdf(
         self, lake_path: str, starting_position: str = "earliest"
     ) -> "StreamPipeline":

@@ -205,3 +205,45 @@ def test_iceberg_stream_skip_change_commits(spark, sf_dir, tmp_path):
     # default still refuses the rewrite snapshot
     with pytest.raises(ValueError, match="not an append"):
         _reader(root).partitions({"seq": consumed}, {"seq": hi})
+
+
+def test_iceberg_stream_pipeline_skip_survives_compaction(
+    spark, sf_dir, tmp_path
+):
+    """End-to-end through StreamPipeline.source_iceberg with
+    skip_change_commits: checkpointed availableNow runs consume the
+    chain, survive a mode='full' compaction between runs with zero
+    duplicates, and deliver only the post-compaction append."""
+    from incubator_gobblin_spark.streaming.flow import StreamPipeline
+
+    root = str(tmp_path / "icb-pipe-skip")
+    sink, df = _build_chain(spark, sf_dir, root, n=2)
+    out = str(tmp_path / "pipe-out")
+    cp = str(tmp_path / "pipe-cp")
+
+    def run_once():
+        q = (
+            StreamPipeline(spark)
+            .source_iceberg(root, skip_change_commits=True)
+            ._source(spark)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(out).count() == df.count()
+    sink.export_iceberg(mode="full")  # compaction between runs
+    extra = df.limit(3).withColumn(
+        "n_nationkey", F.col("n_nationkey") + 1000
+    )
+    sink.write_staging(extra, "r9")
+    sink.publish("r9")
+    sink.export_iceberg()
+    run_once()
+    got = spark.read.parquet(out)
+    assert got.count() == df.count() + 3  # zero duplicates
+    assert got.filter(F.col("n_nationkey") >= 1000).count() == 3
