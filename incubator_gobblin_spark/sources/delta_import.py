@@ -497,9 +497,12 @@ def check_reader_protocol(
       batch reader (``allow_column_mapping=True`` — read_delta
       resolves physical names through the schema's
       ``delta.columnMapping.physicalName`` metadata recursively, and
-      mode=id through Spark's native parquet field-id matching); any
-      mapping on the STREAM source refuses — reading by logical name
-      there yields all-null columns;
+      mode=id through Spark's native parquet field-id matching). The
+      STREAM source resolves TOP-LEVEL mappings through the same
+      physicalName metadata and refuses nested ones in its own
+      table_schema (a reader ignoring the mapping entirely would
+      return all-null logical columns — the misread this gate exists
+      to prevent);
     - with ``allow_dv=False`` (the stream source, where a DV commit is
       a rewrite, never an append): any live ``add`` carrying a
       ``deletionVector`` — rows marked deleted would be resurrected.
@@ -562,9 +565,10 @@ def read_delta(
     field with ``parquet.field.id`` from ``delta.columnMapping.id``,
     letting Spark's native parquet field-id matching
     (``spark.sql.parquet.fieldId.read.enabled``) resolve the physical
-    columns — no rename pass needed. The STREAM source still refuses
-    mapped tables (check_reader_protocol). Deletion vectors are
-    decoded and anti-joined (PROTOCOL.md §Deletion Vectors).
+    columns — no rename pass needed. The STREAM source handles
+    top-level mappings and refuses nested ones (see
+    delta_stream.table_schema). Deletion vectors are decoded and
+    anti-joined (PROTOCOL.md §Deletion Vectors).
 
     Partition columns are restored from each file's ``partitionValues``
     (Delta data files don't store them), cast to the types declared by
@@ -644,11 +648,13 @@ def read_delta(
         # conservative metadata-level skipping (see prune_adds);
         # callers still apply the same filters row-level — filter
         # columns arrive as LOGICAL names, stats/partitionValues are
-        # keyed physical
+        # keyed physical, so the partition-column list passed down must
+        # be the PHYSICAL key list (pv_keys) or id-mode partition
+        # pruning silently degrades to the stats path
         live = prune_adds(
             live,
             [(phys_of.get(c, c), op, v) for c, op, v in filters],
-            part_cols,
+            pv_keys,
         )
     if not live:
         return spark.createDataFrame([], logical_schema)

@@ -25,6 +25,11 @@ lake's ``lakecdf`` source for exact row-level change semantics — this
 source exists so an EXTERNAL Delta table (any writer) can feed the
 engine's streaming pipelines without Delta jars.
 
+Column mapping: top-level mapped tables stream (physical parquet names
+and physical partitionValues keys resolve through
+``delta.columnMapping.physicalName``; logical columns out); NESTED
+mappings refuse — use read_delta for those.
+
 Scale shape: version replay is driver-side JSON-lines metadata (the
 log tail only — files already consumed are never re-listed); every
 added data file is one executor-side pyarrow partition. Partition
@@ -59,14 +64,22 @@ def _actions(log_dir: str, version: int) -> list[dict]:
 
 
 def table_schema(path: str, *, allow_dv: bool = False):
-    """The table's declared schema as a StructType. Shares the batch
-    reader's log replay (delta_import._replay_state — pyarrow-direct,
-    no Spark session), so a table whose metaData lives only in a
-    parquet checkpoint (delta-spark cleans up old JSON versions) still
-    resolves."""
+    """The table's declared (LOGICAL) schema as a StructType. Shares
+    the batch reader's log replay (delta_import._replay_state —
+    pyarrow-direct, no Spark session), so a table whose metaData lives
+    only in a parquet checkpoint (delta-spark cleans up old JSON
+    versions) still resolves.
+
+    Column mapping: TOP-LEVEL mappings stream (the reader resolves
+    parquet columns through ``delta.columnMapping.physicalName`` —
+    conforming writers store physical names in both modes); a NESTED
+    mapping refuses, because pyarrow hands struct values back keyed by
+    their physical member names and the row would silently carry the
+    wrong shape — use read_delta (batch) for those."""
     from pyspark.sql.types import StructType
 
     from incubator_gobblin_spark.sources.delta_import import (
+        _mapped_below,
         _replay_state,
         check_reader_protocol,
     )
@@ -78,11 +91,46 @@ def table_schema(path: str, *, allow_dv: bool = False):
     # (real delta-spark streaming errors on DV tables the same way).
     # skipChangeCommits flips it to True: DV commits are change
     # commits, skipped wholesale by the reader.
-    check_reader_protocol(proto, meta, live, allow_dv=allow_dv)
+    check_reader_protocol(
+        proto, meta, live, allow_dv=allow_dv, allow_column_mapping=True
+    )
+    schema_json = json.loads(meta["schemaString"])
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode in ("name", "id"):
+        for f in schema_json.get("fields", []):
+            if _mapped_below(f.get("type")):
+                raise ValueError(
+                    f"deltastream: column {f['name']!r} maps NESTED "
+                    "physical names — the stream reads pyarrow structs "
+                    "by physical member name and would misshape the "
+                    "rows; use read_delta (batch) for nested-mapped "
+                    "tables"
+                )
     return (
-        StructType.fromJson(json.loads(meta["schemaString"])),
+        StructType.fromJson(schema_json),
         list(meta.get("partitionColumns") or []),
     )
+
+
+def column_phys_map(path: str) -> dict[str, str]:
+    """Top-level logical→physical column map for a mapped table
+    (identity when mapping is off) — what the stream reader uses to
+    pull parquet columns and partitionValues by their PHYSICAL keys."""
+    from incubator_gobblin_spark.sources.delta_import import (
+        _cm_phys,
+        _replay_state,
+    )
+
+    _, meta, _ = _replay_state(os.path.join(path, "_delta_log"), None)
+    schema_json = json.loads(meta["schemaString"])
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode not in ("name", "id"):
+        return {f["name"]: f["name"] for f in schema_json.get("fields", [])}
+    return {f["name"]: _cm_phys(f) for f in schema_json.get("fields", [])}
 
 
 class _AddedFile(InputPartition):
@@ -92,7 +140,9 @@ class _AddedFile(InputPartition):
 
 
 class DeltaStreamReader(DataSourceStreamReader):
-    def __init__(self, options, schema, part_cols: list[str]):
+    def __init__(
+        self, options, schema, part_cols: list[str], phys_of=None
+    ):
         self.root = options["path"]
         self.log_dir = os.path.join(self.root, "_delta_log")
         self.start_opt = options.get("startingposition", "earliest").lower()
@@ -103,6 +153,10 @@ class DeltaStreamReader(DataSourceStreamReader):
         )
         self.fields = [(f.name, f.dataType.simpleString()) for f in schema.fields]
         self.part_cols = part_cols
+        # logical -> physical column name (column mapping, top level
+        # only — table_schema refuses nested); parquet columns and
+        # partitionValues are keyed physical on mapped tables
+        self.phys_of = dict(phys_of or {})
 
     def initialOffset(self) -> dict:
         if self.start_opt == "latest":
@@ -240,12 +294,13 @@ class DeltaStreamReader(DataSourceStreamReader):
         n = table.num_rows
         cols = {}
         for name, ddl in self.fields:
+            src = self.phys_of.get(name, name)
             if name in self.part_cols:
                 cols[name] = [
-                    self._cast_part(ddl, part.partition_values.get(name))
+                    self._cast_part(ddl, part.partition_values.get(src))
                 ] * n
-            elif name in table.column_names:
-                cols[name] = table.column(name).to_pylist()
+            elif src in table.column_names:
+                cols[name] = table.column(src).to_pylist()
             else:
                 cols[name] = [None] * n
         for i in range(n):
@@ -277,7 +332,12 @@ class DeltaStreamDataSource(DataSource):
         _, part_cols = table_schema(
             self.options["path"], allow_dv=self._allow_dv()
         )
-        return DeltaStreamReader(self.options, schema, part_cols)
+        return DeltaStreamReader(
+            self.options,
+            schema,
+            part_cols,
+            phys_of=column_phys_map(self.options["path"]),
+        )
 
 
 def register(spark) -> None:

@@ -2878,13 +2878,15 @@ def test_read_delta_refuses_unsupported_reader_features(
     assert read_delta(spark, root2).count() == df2.count()
 
 
-def test_column_mapping_stream_refuses_and_id_needs_ids(
+def test_column_mapping_stream_nested_refuses_and_id_needs_ids(
     spark, sf_dir, tmp_path
 ):
-    """Column mapping: the STREAM source refuses any mapping mode
-    (physical-name reads can't be renamed mid-stream); the batch
-    reader takes mode=name, and mode=id only when every field carries
-    a delta.columnMapping.id (matching by name would misread)."""
+    """Column mapping guards: the STREAM source takes top-level
+    mappings but refuses NESTED ones (pyarrow hands structs back keyed
+    by physical member names — the row shape would silently be wrong);
+    the batch reader takes mode=name, and mode=id only when every
+    field carries a delta.columnMapping.id (matching by name would
+    misread)."""
     import json
 
     import pytest as _pytest
@@ -2904,9 +2906,24 @@ def test_column_mapping_stream_refuses_and_id_needs_ids(
             {"delta.columnMapping.mode": "name"}, "createdTime": 0,
     }
     _append_delta_commit(root, [{"metaData": meta}])
-    # stream: any mapping mode refuses
-    with _pytest.raises(ValueError, match="columnMapping"):
+    # stream: top-level mapping resolves (identity physical names here)
+    schema, _ = table_schema(root)
+    assert schema.fieldNames() == ["r_regionkey"]
+    # stream: NESTED mapping refuses
+    meta_nested = dict(meta)
+    meta_nested["schemaString"] = json.dumps(
+        {"type": "struct", "fields": [
+            {"name": "s", "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": "col-s"},
+             "type": {"type": "struct", "fields": [
+                 {"name": "inner", "type": "long", "nullable": True,
+                  "metadata": {
+                      "delta.columnMapping.physicalName": "col-in"}}]}}]}
+    )
+    _append_delta_commit(root, [{"metaData": meta_nested}])
+    with _pytest.raises(ValueError, match="NESTED"):
         table_schema(root)
+    _append_delta_commit(root, [{"metaData": meta}])  # restore
     # batch: mode=name with identity physical names reads fine
     assert read_delta(spark, root).count() == df.count()
     # mode=id WITHOUT per-field ids refuses loudly (never name-match)
@@ -2915,6 +2932,83 @@ def test_column_mapping_stream_refuses_and_id_needs_ids(
     _append_delta_commit(root, [{"metaData": meta_id}])
     with _pytest.raises(ValueError, match="delta.columnMapping.id"):
         read_delta(spark, root)
+
+
+def test_deltastream_column_mapped_table_streams_logical(spark, tmp_path):
+    """A top-level column-mapped Delta table STREAMS: physical
+    col-<uuid> parquet names and physical partitionValues keys come
+    back as logical typed columns — the delta-spark behavior for the
+    Databricks-era table default."""
+    import json
+
+    from incubator_gobblin_spark.sources.delta_stream import register
+
+    root = str(tmp_path / "colmap-stream")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    os.makedirs(os.path.join(root, "data"))
+    physical = spark.createDataFrame(
+        [(1, "en", 10), (2, "de", 20), (3, "en", 30)],
+        "`col-a` long, `col-b` string, `col-c` long",
+    )
+    out_dir = os.path.join(root, "data", "w")
+    physical.select("col-a", "col-c").coalesce(1).write.parquet(out_dir)
+    part = next(
+        f for f in os.listdir(out_dir)
+        if f.endswith(".parquet") and not f.startswith("_")
+    )
+    fp = os.path.join(root, "data", "f1.parquet")
+    os.rename(os.path.join(out_dir, part), fp)
+    fields = [
+        {"name": "doc_id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-a"}},
+        {"name": "lang", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-b"}},
+        {"name": "n", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 3,
+                      "delta.columnMapping.physicalName": "col-c"}},
+    ]
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "t", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(
+                {"type": "struct", "fields": fields}),
+            "partitionColumns": ["lang"],
+            "configuration": {"delta.columnMapping.mode": "name"},
+            "createdTime": 0,
+        }},
+        {"add": {"path": "data/f1.parquet",
+                 "partitionValues": {"col-b": "en"},
+                 "size": os.path.getsize(fp), "modificationTime": 0,
+                 "dataChange": True}},
+    ]
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for act in actions:
+            fh.write(json.dumps(act) + "\n")
+
+    register(spark)
+    out = str(tmp_path / "cm-out")
+    cp = str(tmp_path / "cm-cp")
+    q = (
+        spark.readStream.format("deltastream")
+        .option("path", root)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert sorted(got.columns) == ["doc_id", "lang", "n"]
+    assert sorted(map(tuple, got.select("doc_id", "lang", "n").collect())) == [
+        (1, "en", 10),
+        (2, "en", 20),
+        (3, "en", 30),
+    ]
 
 
 def test_read_delta_column_mapping_name_mode(spark, sf_dir, tmp_path):

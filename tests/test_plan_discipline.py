@@ -423,3 +423,42 @@ def test_incremental_scan_is_plain_scan_plus_agg(spark, sf_dir):
         1 for line in plan.splitlines() if "Exchange hashpartitioning" in line
     )
     assert shuffles <= 1
+
+
+def test_time_travel_reads_are_plain_scan_plus_agg(spark, sf_dir):
+    """q134/q135: a historical read BEFORE the delete commits must not
+    pay for them — no anti-join, no Python, one key shuffle for the
+    aggregate; tombstone application is a property of the version
+    read, not of the table."""
+    for name in (
+        "q134_delta_time_travel_agg",
+        "q135_iceberg_time_travel_agg",
+    ):
+        plan = _plan(Q.queries()[name](spark, sf_dir))
+        assert "LeftAnti" not in plan, name
+        for node in _PY_NODES:
+            assert node not in plan, name
+        shuffles = sum(
+            1
+            for line in plan.splitlines()
+            if "Exchange hashpartitioning" in line
+            or "Exchange rangepartitioning" in line
+        )
+        assert shuffles <= 1, f"{name}: {shuffles} shuffles (budget 1)"
+
+
+def test_column_mapped_read_resolves_in_scan(spark, sf_dir):
+    """q133 (mode=id): field-id resolution happens INSIDE the parquet
+    scan — no rename projection pass, no Python, no join beyond the
+    typed-literal partition restore, one key shuffle for the
+    aggregate."""
+    plan = _plan(Q.queries()["q133_delta_column_mapping_agg"](spark, sf_dir))
+    for node in _PY_NODES:
+        assert node not in plan
+    shuffles = sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+        or "Exchange rangepartitioning" in line
+    )
+    assert shuffles <= 1, f"{shuffles} shuffles (budget 1)"
