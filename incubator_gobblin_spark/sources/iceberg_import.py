@@ -87,6 +87,84 @@ def _spark_type(t) -> T.DataType:
     return prim[t]
 
 
+def _schema_with_field_ids(schema_json: dict) -> StructType:
+    """The Spark read schema for files that carry parquet field ids:
+    logical (current-schema) names with ``parquet.field.id`` metadata
+    from the Iceberg schema's field ids, recursively through struct
+    fields — Spark's native field-id matching then resolves columns
+    the way the Iceberg spec REQUIRES (by id, never by name), so a
+    column renamed after the file was written still reads its values
+    instead of nulls."""
+
+    def _typ(t):
+        if isinstance(t, dict) and t.get("type") == "struct":
+            return StructType([_fld(f) for f in t["fields"]])
+        if isinstance(t, dict) and t.get("type") == "list":
+            return T.ArrayType(
+                _typ(t["element"]), not t.get("element-required")
+            )
+        if isinstance(t, dict) and t.get("type") == "map":
+            return T.MapType(
+                _typ(t["key"]), _typ(t["value"]), not t.get("value-required")
+            )
+        return _spark_type(t)
+
+    def _fld(f):
+        return StructField(
+            f["name"],
+            _typ(f["type"]),
+            not f.get("required"),
+            metadata={"parquet.field.id": int(f["id"])},
+        )
+
+    return StructType([_fld(f) for f in schema_json["fields"]])
+
+
+def _split_groups_by_field_ids(
+    groups: dict[tuple, list[str]],
+) -> tuple[dict[tuple, list[str]], dict[tuple, list[str]]]:
+    """Split grouped live files into (with-field-ids, without): files
+    written by conformant Iceberg writers carry parquet field ids and
+    MUST be resolved by id (rename-safe); files without (this engine's
+    own exports — plain Spark parquet) resolve by name, the spec's
+    identity name-mapping. Footer sniff is driver-side pyarrow
+    ``read_schema`` — O(sampled files) metadata reads; a homogeneous
+    sample (the overwhelmingly common case: one writer per table)
+    short-circuits to classifying every file the same way, so steady
+    cost is 8 footer reads per read. A file misclassified as
+    id-carrying fails LOUDLY at scan (no silent nulls) because
+    ``ignoreMissing`` stays off."""
+    import pyarrow.parquet as pq
+
+    def _has_ids(fp: str) -> bool:
+        try:
+            sch = pq.read_schema(fp)
+        except Exception:
+            return False
+        return any(
+            (f.metadata or {}).get(b"PARQUET:field_id") is not None
+            for f in sch
+        )
+
+    all_files = [f for fs in groups.values() for f in fs]
+    sample = all_files[:8]
+    flags = {f: _has_ids(f) for f in sample}
+    rest = all_files[len(sample):]
+    if rest:
+        vals = set(flags.values())
+        if len(vals) == 1:
+            uniform = vals.pop()
+            flags.update({f: uniform for f in rest})
+        else:
+            flags.update({f: _has_ids(f) for f in rest})
+    with_ids: dict[tuple, list[str]] = {}
+    plain: dict[tuple, list[str]] = {}
+    for k, fs in groups.items():
+        for f in fs:
+            (with_ids if flags[f] else plain).setdefault(k, []).append(f)
+    return with_ids, plain
+
+
 def _local_path(p: str) -> str:
     """Resolve a metadata-carried location to a local filesystem path.
     The exporter emits ``file://`` URIs per the Iceberg spec; older
@@ -342,6 +420,49 @@ def prune_files(
     return out
 
 
+def _assemble_iceberg(
+    spark: SparkSession,
+    groups: dict[tuple, list[str]],
+    schema_json: dict,
+    schema: StructType,
+    part_cols: list[str],
+    union_threshold: int,
+    with_positions: bool = False,
+) -> DataFrame:
+    """assemble_snapshot with the spec's column-resolution rule: files
+    carrying parquet field ids resolve by ID (Spark field-id matching —
+    survives column renames), files without resolve by name (identity
+    name-mapping, this engine's own exports); the two classes read
+    separately and union."""
+    from incubator_gobblin_spark.sources.delta_import import assemble_snapshot
+
+    with_ids, plain = _split_groups_by_field_ids(groups)
+    parts: list[DataFrame] = []
+    if plain:
+        parts.append(
+            assemble_snapshot(
+                spark, plain, schema, part_cols, union_threshold,
+                with_positions,
+            )
+        )
+    if with_ids:
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        parts.append(
+            assemble_snapshot(
+                spark,
+                with_ids,
+                _schema_with_field_ids(schema_json),
+                part_cols,
+                union_threshold,
+                with_positions,
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 def read_iceberg(
     spark: SparkSession,
     path: str,
@@ -449,8 +570,8 @@ def read_iceberg(
             fp = os.path.join(path, fp)
         groups.setdefault(key, []).append(fp)
     if not delete_files:
-        return assemble_snapshot(
-            spark, groups, schema, part_cols, union_threshold
+        return _assemble_iceberg(
+            spark, groups, schema_json, schema, part_cols, union_threshold
         )
 
     # row-level deletes present: carry the scan's (file_path,
@@ -460,8 +581,8 @@ def read_iceberg(
         decoded_file_path,
     )
 
-    df = assemble_snapshot(
-        spark, groups, schema, part_cols, union_threshold,
+    df = _assemble_iceberg(
+        spark, groups, schema_json, schema, part_cols, union_threshold,
         with_positions=True,
     )
 
@@ -688,6 +809,6 @@ def read_iceberg_incremental(
                 groups.setdefault(key, []).append(fp)
     if not groups:
         return spark.createDataFrame([], schema)
-    from incubator_gobblin_spark.sources.delta_import import assemble_snapshot
-
-    return assemble_snapshot(spark, groups, schema, part_cols, union_threshold)
+    return _assemble_iceberg(
+        spark, groups, schema_json, schema, part_cols, union_threshold
+    )

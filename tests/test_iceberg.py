@@ -1517,3 +1517,160 @@ def test_iceberg_position_delete_sequence_gating(spark, tmp_path):
     # row 0 survives the STALE delete (data seq 5 > delete seq 3);
     # row 1 falls to the live delete (5 <= 6); row 2 untouched
     assert got == [(1, "alpha"), (3, "gamma")]
+
+
+def test_iceberg_renamed_column_resolves_by_field_id(spark, tmp_path):
+    """Iceberg resolves columns by FIELD ID, never by name (spec
+    §Schema Evolution): after a rename, data files still carry the OLD
+    parquet column name — a name-based read silently returns nulls.
+    Hand-authored mixed table: file A written by a conformant foreign
+    writer (field ids, pre-rename name), file B by this engine's own
+    exporter (no ids, current name). Both must read their values under
+    the CURRENT schema name."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incubator_gobblin_spark.formats.avro_ocf import encode_ocf
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        _MANIFEST_LIST_AVRO,
+        _manifest_entry_avro,
+    )
+
+    root = str(tmp_path / "rename")
+    os.makedirs(os.path.join(root, "data"))
+    meta_dir = os.path.join(root, "metadata")
+    os.makedirs(meta_dir)
+    # file A: foreign writer — field ids, column still named old_name
+    fa = os.path.join(root, "data", "fa.parquet")
+    pq.write_table(
+        pa.table(
+            {"k": pa.array([1, 2], pa.int64()),
+             "old_name": pa.array(["a", "b"], pa.string())},
+            schema=pa.schema(
+                [
+                    pa.field("k", pa.int64(),
+                             metadata={b"PARQUET:field_id": b"1"}),
+                    pa.field("old_name", pa.string(),
+                             metadata={b"PARQUET:field_id": b"2"}),
+                ]
+            ),
+        ),
+        fa,
+    )
+    # file B: this engine's exporter — no ids, current (renamed) name
+    fb = os.path.join(root, "data", "fb.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array([3], pa.int64()),
+                  "new_name": pa.array(["c"], pa.string())}),
+        fb,
+    )
+
+    entry_schema = _manifest_entry_avro(
+        {"type": "record", "name": "r102", "fields": []}
+    )
+    manifest = os.path.join(meta_dir, "ren-m0.avro")
+    with open(manifest, "wb") as fh:
+        fh.write(
+            encode_ocf(
+                entry_schema,
+                [
+                    {
+                        "status": 1,
+                        "snapshot_id": 7,
+                        "sequence_number": 1,
+                        "file_sequence_number": 1,
+                        "data_file": {
+                            "content": 0,
+                            "file_path": fp,
+                            "file_format": "PARQUET",
+                            "partition": {},
+                            "record_count": rc,
+                            "file_size_in_bytes": os.path.getsize(fp),
+                        },
+                    }
+                    for fp, rc in ((fa, 2), (fb, 1))
+                ],
+                codec="null",
+                extra_meta={
+                    "schema": b"{}",
+                    "partition-spec": b"[]",
+                    "partition-spec-id": b"0",
+                    "format-version": b"2",
+                    "content": b"data",
+                },
+            )
+        )
+    mlist = os.path.join(meta_dir, "snap-7-1-ren.avro")
+    with open(mlist, "wb") as fh:
+        fh.write(
+            encode_ocf(
+                _MANIFEST_LIST_AVRO,
+                [
+                    {
+                        "manifest_path": manifest,
+                        "manifest_length": os.path.getsize(manifest),
+                        "partition_spec_id": 0,
+                        "content": 0,
+                        "sequence_number": 1,
+                        "min_sequence_number": 1,
+                        "added_snapshot_id": 7,
+                        "added_files_count": 2,
+                        "existing_files_count": 0,
+                        "deleted_files_count": 0,
+                        "added_rows_count": 3,
+                        "existing_rows_count": 0,
+                        "deleted_rows_count": 0,
+                    }
+                ],
+                codec="null",
+                extra_meta={"format-version": b"2"},
+            )
+        )
+    metadata = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-000000000002",
+        "location": root,
+        "last-sequence-number": 1,
+        "last-updated-ms": 0,
+        "last-column-id": 2,
+        "current-schema-id": 0,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "k", "required": False,
+                     "type": "long"},
+                    # renamed: the files' old_name column, field id 2
+                    {"id": 2, "name": "new_name", "required": False,
+                     "type": "string"},
+                ],
+            }
+        ],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {},
+        "current-snapshot-id": 7,
+        "snapshots": [
+            {
+                "snapshot-id": 7,
+                "sequence-number": 1,
+                "timestamp-ms": 0,
+                "summary": {"operation": "append"},
+                "manifest-list": mlist,
+                "schema-id": 0,
+            }
+        ],
+        "snapshot-log": [],
+        "metadata-log": [],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(metadata, fh)
+
+    got = sorted(map(tuple, read_iceberg(spark, root).collect()))
+    # id-based resolution reads file A's values under the NEW name;
+    # name-based fallback reads file B's
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
