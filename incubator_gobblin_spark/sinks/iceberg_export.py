@@ -180,6 +180,48 @@ def _iceberg_schema(
     return schema, counter["id"], part_types
 
 
+def _name_mapping(schema: dict) -> list:
+    """The spec's name-mapping (iceberg spec §Name Mapping
+    Serialization) for this schema: JSON entries mapping column NAMES
+    to field IDS, recursively (list elements as ["element"], map
+    entries as ["key"]/["value"]). This engine's data files are plain
+    Spark parquet WITHOUT embedded field ids, and spec-conformant
+    readers resolve columns by id — without
+    ``schema.name-mapping.default`` they would fall back to
+    position-assigned ids, which MISALIGN on partitioned tables
+    (partition columns sit in the schema but not in the files). The
+    property makes our exports exactly readable by iceberg-java /
+    pyiceberg / Trino."""
+
+    def field_entry(f: dict) -> dict:
+        entry = {"field-id": f["id"], "names": [f["name"]]}
+        nested = type_fields(f["type"])
+        if nested:
+            entry["fields"] = nested
+        return entry
+
+    def type_fields(t) -> list | None:
+        if isinstance(t, dict):
+            if t["type"] == "struct":
+                return [field_entry(f) for f in t["fields"]]
+            if t["type"] == "list":
+                e = {"field-id": t["element-id"], "names": ["element"]}
+                nested = type_fields(t["element"])
+                if nested:
+                    e["fields"] = nested
+                return [e]
+            if t["type"] == "map":
+                k = {"field-id": t["key-id"], "names": ["key"]}
+                v = {"field-id": t["value-id"], "names": ["value"]}
+                nested = type_fields(t["value"])
+                if nested:
+                    v["fields"] = nested
+                return [k, v]
+        return None
+
+    return [field_entry(f) for f in schema["fields"]]
+
+
 def _partition_struct_avro(
     partition_cols: list[str], part_types: dict[str, str]
 ) -> dict:
@@ -914,7 +956,16 @@ def export_iceberg(sink, as_of_run: str | None = None, mode: str = "auto") -> st
             + len(part_cols),
             "default-sort-order-id": 0,
             "sort-orders": [{"order-id": 0, "fields": []}],
-            "properties": {"write.format.default": "parquet"},
+            "properties": {
+                "write.format.default": "parquet",
+                # our data files carry no embedded field ids; this is
+                # the spec's mechanism for id resolution by name (see
+                # _name_mapping — without it foreign readers position-
+                # assign ids and misalign on partitioned tables)
+                "schema.name-mapping.default": json.dumps(
+                    _name_mapping(schema)
+                ),
+            },
             "current-snapshot-id": sid,
             "snapshots": snapshots + [snapshot],
             "snapshot-log": (prev or {}).get("snapshot-log", [])

@@ -1674,3 +1674,138 @@ def test_iceberg_renamed_column_resolves_by_field_id(spark, tmp_path):
     # id-based resolution reads file A's values under the NEW name;
     # name-based fallback reads file B's
     assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_iceberg_export_writes_name_mapping(spark, sf_dir, tmp_path):
+    """Exports must carry schema.name-mapping.default (spec §Name
+    Mapping Serialization): our data files embed no parquet field ids,
+    and foreign readers resolving by id would otherwise position-assign
+    them — misaligned on partitioned tables where partition columns sit
+    in the schema but not in the files. Every schema field must map,
+    ids must match the schema's."""
+    import json as _json
+
+    df = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    root = str(tmp_path / "nmap")
+    sink = _sink(
+        root, partition_by=["n_regionkey"], table_type=TableType.APPEND_ONLY
+    )
+    sink.write_staging(df, "r0")
+    sink.publish("r0")
+    sink.export_iceberg()
+    meta = current_metadata(root)
+    raw = meta["properties"]["schema.name-mapping.default"]
+    mapping = _json.loads(raw)
+    schema = next(
+        s for s in meta["schemas"]
+        if s["schema-id"] == meta["current-schema-id"]
+    )
+    by_name = {e["names"][0]: e["field-id"] for e in mapping}
+    for f in schema["fields"]:
+        assert by_name[f["name"]] == f["id"], f["name"]
+    # the partition column is mapped too (present in schema, absent
+    # from the data files — exactly the misalignment case)
+    assert "n_regionkey" in by_name
+
+
+def test_iceberg_type_promotion_reads_widened(spark, tmp_path):
+    """Iceberg type promotion (spec §Schema Evolution: int->long,
+    float->double): files written under the NARROW type still read
+    under the promoted schema — pins the Spark parquet upcast this
+    reader relies on."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incubator_gobblin_spark.formats.avro_ocf import encode_ocf
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        _MANIFEST_LIST_AVRO,
+        _manifest_entry_avro,
+    )
+
+    root = str(tmp_path / "promo")
+    os.makedirs(os.path.join(root, "data"))
+    meta_dir = os.path.join(root, "metadata")
+    os.makedirs(meta_dir)
+    fp = os.path.join(root, "data", "f1.parquet")
+    pq.write_table(
+        pa.table(
+            {"k": pa.array([1, 2], pa.int32()),
+             "x": pa.array([1.5, 2.5], pa.float32())}
+        ),
+        fp,
+    )
+    entry_schema = _manifest_entry_avro(
+        {"type": "record", "name": "r102", "fields": []}
+    )
+    manifest = os.path.join(meta_dir, "promo-m0.avro")
+    with open(manifest, "wb") as fh:
+        fh.write(
+            encode_ocf(
+                entry_schema,
+                [{"status": 1, "snapshot_id": 5, "sequence_number": 1,
+                  "file_sequence_number": 1,
+                  "data_file": {"content": 0, "file_path": fp,
+                                "file_format": "PARQUET", "partition": {},
+                                "record_count": 2,
+                                "file_size_in_bytes": os.path.getsize(fp)}}],
+                codec="null",
+                extra_meta={"schema": b"{}", "partition-spec": b"[]",
+                            "partition-spec-id": b"0",
+                            "format-version": b"2", "content": b"data"},
+            )
+        )
+    mlist = os.path.join(meta_dir, "snap-5-1-promo.avro")
+    with open(mlist, "wb") as fh:
+        fh.write(
+            encode_ocf(
+                _MANIFEST_LIST_AVRO,
+                [{"manifest_path": manifest,
+                  "manifest_length": os.path.getsize(manifest),
+                  "partition_spec_id": 0, "content": 0,
+                  "sequence_number": 1, "min_sequence_number": 1,
+                  "added_snapshot_id": 5, "added_files_count": 1,
+                  "existing_files_count": 0, "deleted_files_count": 0,
+                  "added_rows_count": 2, "existing_rows_count": 0,
+                  "deleted_rows_count": 0}],
+                codec="null",
+                extra_meta={"format-version": b"2"},
+            )
+        )
+    metadata = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-000000000003",
+        "location": root,
+        "last-sequence-number": 1,
+        "last-updated-ms": 0,
+        "last-column-id": 2,
+        "current-schema-id": 0,
+        "schemas": [
+            {"type": "struct", "schema-id": 0, "fields": [
+                # promoted AFTER the file was written
+                {"id": 1, "name": "k", "required": False, "type": "long"},
+                {"id": 2, "name": "x", "required": False, "type": "double"},
+            ]}
+        ],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {},
+        "current-snapshot-id": 5,
+        "snapshots": [
+            {"snapshot-id": 5, "sequence-number": 1, "timestamp-ms": 0,
+             "summary": {"operation": "append"}, "manifest-list": mlist,
+             "schema-id": 0}
+        ],
+        "snapshot-log": [],
+        "metadata-log": [],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(metadata, fh)
+    got = sorted(map(tuple, read_iceberg(spark, root).collect()))
+    assert got == [(1, 1.5), (2, 2.5)]
+    types = dict(read_iceberg(spark, root).dtypes)
+    assert types == {"k": "bigint", "x": "double"}
