@@ -513,7 +513,27 @@ def read_iceberg(
     from incubator_gobblin_spark.sources.delta_import import assemble_snapshot
 
     metadata = current_metadata(path)
+    # time travel reads under the SNAPSHOT's schema (spec: a snapshot
+    # records its schema-id; reading an old snapshot with a newer
+    # schema would surface columns that did not exist then). Falls
+    # back to the current schema when the snapshot predates schema-id
+    # tracking or the id is no longer in the schemas list.
+    schema_id = metadata["current-schema-id"]
+    if snapshot_id is not None:
+        snap = next(
+            (
+                s
+                for s in metadata.get("snapshots", [])
+                if s["snapshot-id"] == snapshot_id
+            ),
+            None,
+        )
+        if snap is not None and snap.get("schema-id") is not None:
+            schema_id = snap["schema-id"]
     schema_json = next(
+        (s for s in metadata["schemas"] if s["schema-id"] == schema_id),
+        None,
+    ) or next(
         s
         for s in metadata["schemas"]
         if s["schema-id"] == metadata["current-schema-id"]

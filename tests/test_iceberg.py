@@ -1809,3 +1809,125 @@ def test_iceberg_type_promotion_reads_widened(spark, tmp_path):
     assert got == [(1, 1.5), (2, 2.5)]
     types = dict(read_iceberg(spark, root).dtypes)
     assert types == {"k": "bigint", "x": "double"}
+
+
+def test_iceberg_time_travel_uses_snapshot_schema(spark, tmp_path):
+    """A snapshot records its schema-id; time travel must read under
+    THAT schema (spec §Snapshots) — a column added later must not
+    appear when reading the older snapshot, while the current read
+    null-fills it for pre-evolution files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incubator_gobblin_spark.formats.avro_ocf import encode_ocf
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        _MANIFEST_LIST_AVRO,
+        _manifest_entry_avro,
+    )
+
+    root = str(tmp_path / "ttschema")
+    os.makedirs(os.path.join(root, "data"))
+    meta_dir = os.path.join(root, "metadata")
+    os.makedirs(meta_dir)
+    f1 = os.path.join(root, "data", "f1.parquet")
+    pq.write_table(pa.table({"k": pa.array([1, 2], pa.int64())}), f1)
+    f2 = os.path.join(root, "data", "f2.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array([3], pa.int64()),
+                  "x": pa.array(["c"], pa.string())}),
+        f2,
+    )
+    entry_schema = _manifest_entry_avro(
+        {"type": "record", "name": "r102", "fields": []}
+    )
+
+    def _manifest(name, fp, rc, sid, seq):
+        p = os.path.join(meta_dir, name)
+        with open(p, "wb") as fh:
+            fh.write(
+                encode_ocf(
+                    entry_schema,
+                    [{"status": 1, "snapshot_id": sid,
+                      "sequence_number": seq, "file_sequence_number": seq,
+                      "data_file": {"content": 0, "file_path": fp,
+                                    "file_format": "PARQUET",
+                                    "partition": {}, "record_count": rc,
+                                    "file_size_in_bytes":
+                                        os.path.getsize(fp)}}],
+                    codec="null",
+                    extra_meta={"schema": b"{}", "partition-spec": b"[]",
+                                "partition-spec-id": b"0",
+                                "format-version": b"2", "content": b"data"},
+                )
+            )
+        return p
+
+    m1 = _manifest("tt-m0.avro", f1, 2, 11, 1)
+    m2 = _manifest("tt-m1.avro", f2, 1, 12, 2)
+
+    def _lrow(mp, seq, sid):
+        return {"manifest_path": mp,
+                "manifest_length": os.path.getsize(mp),
+                "partition_spec_id": 0, "content": 0,
+                "sequence_number": seq, "min_sequence_number": seq,
+                "added_snapshot_id": sid, "added_files_count": 1,
+                "existing_files_count": 0, "deleted_files_count": 0,
+                "added_rows_count": 2, "existing_rows_count": 0,
+                "deleted_rows_count": 0}
+
+    ml1 = os.path.join(meta_dir, "snap-11-1-tt.avro")
+    with open(ml1, "wb") as fh:
+        fh.write(encode_ocf(_MANIFEST_LIST_AVRO, [_lrow(m1, 1, 11)],
+                            codec="null",
+                            extra_meta={"format-version": b"2"}))
+    ml2 = os.path.join(meta_dir, "snap-12-1-tt.avro")
+    with open(ml2, "wb") as fh:
+        fh.write(encode_ocf(_MANIFEST_LIST_AVRO,
+                            [_lrow(m1, 1, 11), _lrow(m2, 2, 12)],
+                            codec="null",
+                            extra_meta={"format-version": b"2"}))
+    metadata = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-000000000004",
+        "location": root,
+        "last-sequence-number": 2,
+        "last-updated-ms": 0,
+        "last-column-id": 2,
+        "current-schema-id": 1,
+        "schemas": [
+            {"type": "struct", "schema-id": 0, "fields": [
+                {"id": 1, "name": "k", "required": False, "type": "long"}]},
+            {"type": "struct", "schema-id": 1, "fields": [
+                {"id": 1, "name": "k", "required": False, "type": "long"},
+                {"id": 2, "name": "x", "required": False,
+                 "type": "string"}]},
+        ],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {},
+        "current-snapshot-id": 12,
+        "snapshots": [
+            {"snapshot-id": 11, "sequence-number": 1, "timestamp-ms": 0,
+             "summary": {"operation": "append"}, "manifest-list": ml1,
+             "schema-id": 0},
+            {"snapshot-id": 12, "sequence-number": 2, "timestamp-ms": 1,
+             "summary": {"operation": "append"}, "manifest-list": ml2,
+             "schema-id": 1},
+        ],
+        "snapshot-log": [],
+        "metadata-log": [],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(metadata, fh)
+
+    cur = read_iceberg(spark, root)
+    assert cur.columns == ["k", "x"]
+    assert sorted(map(tuple, cur.collect())) == [
+        (1, None), (2, None), (3, "c")
+    ]
+    old = read_iceberg(spark, root, snapshot_id=11)
+    assert old.columns == ["k"]  # the later column must NOT appear
+    assert sorted(map(tuple, old.collect())) == [(1,), (2,)]
