@@ -1218,7 +1218,10 @@ def append_position_deletes(
 
 
 def append_equality_deletes(
-    table_path: str, rows: list[dict], equality_cols: list[str]
+    table_path: str,
+    rows: list[dict],
+    equality_cols: list[str],
+    partition_scope: dict | None = None,
 ) -> str:
     """Append a v2 EQUALITY-delete snapshot the way a foreign CDC
     writer (Flink upsert sink, Trino MERGE) would: a parquet file of
@@ -1229,7 +1232,10 @@ def append_equality_deletes(
     row deletes ALL data rows equal on those columns whose data
     sequence number is strictly less than this snapshot's. See
     :func:`append_position_deletes` for the position variant and the
-    why-this-exists note."""
+    why-this-exists note. ``partition_scope`` (identity partition
+    column -> value) writes the delete file's manifest partition
+    struct, scoping it to ONE partition the way a partitioned-spec
+    foreign writer would — rows in other partitions must survive."""
     location = os.path.abspath(table_path)
     meta_dir = os.path.join(location, "metadata")
     versions = _metadata_versions(meta_dir)
@@ -1309,7 +1315,9 @@ def append_equality_deletes(
             "content": 2,  # EQUALITY_DELETES
             "file_path": "file://" + dpath,
             "file_format": "PARQUET",
-            "partition": {c: None for c in part_cols},
+            "partition": {
+                c: (partition_scope or {}).get(c) for c in part_cols
+            },
             "record_count": len(rows),
             "file_size_in_bytes": os.path.getsize(dpath),
             "value_counts": None,

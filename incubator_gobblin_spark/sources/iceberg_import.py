@@ -306,6 +306,10 @@ def snapshot_files(
                         # manifests carry record counts — the broadcast
                         # size guard reads them with zero extra I/O
                         "record_count": int(df_.get("record_count") or 0),
+                        # a delete file written under a partitioned
+                        # spec applies ONLY within its partition (spec
+                        # §Scan Planning); all-null = global
+                        "partition": dict(df_.get("partition") or {}),
                     }
                 )
                 continue
@@ -688,22 +692,62 @@ def read_iceberg(
         # strictly-less rule is what lets a re-inserted key survive
         df = _with_seq(df)
         field_name_all = {f["id"]: f["name"] for f in schema_json["fields"]}
+        # partition scope (spec §Scan Planning): a delete file written
+        # under a partitioned spec applies ONLY within its partition.
+        # Identity scopes become extra join conditions; a non-null
+        # scope on a non-identity (hidden-transform) field refuses —
+        # we cannot evaluate the transform, and applying the delete
+        # globally would over-delete matching rows in other partitions.
+        for d in eq_deletes:
+            bad = [
+                k
+                for k, v in d["partition"].items()
+                if v is not None and k not in part_cols
+            ]
+            if bad:
+                raise ValueError(
+                    f"read_iceberg: equality delete {d['path']} is "
+                    f"scoped to non-identity partition field(s) {bad} — "
+                    "cannot evaluate the transform; refusing to apply "
+                    "the delete globally (it would over-delete)"
+                )
         by_ids: dict[tuple, list[dict]] = {}
         for d in eq_deletes:
             by_ids.setdefault(tuple(sorted(d["equality_ids"])), []).append(d)
         for ids, dels_of_group in sorted(by_ids.items()):
             cols = [field_name_all[i] for i in ids]
+            scope_cols = sorted(
+                {
+                    k
+                    for d in dels_of_group
+                    for k, v in d["partition"].items()
+                    if v is not None
+                }
+            )
             parts_df = None
             for d in dels_of_group:
                 one = spark.read.parquet(_abs(d["path"])).select(
                     *[F.col(c).alias(f"_eq_{c}") for c in cols]
                 ).withColumn("_del_seq", F.lit(int(d["seq"])))
+                for sc in scope_cols:
+                    one = one.withColumn(
+                        f"_eq_part_{sc}", F.lit(d["partition"].get(sc))
+                    )
                 parts_df = one if parts_df is None else parts_df.unionByName(one)
             cond = F.col("_data_seq") < F.col("_del_seq")
             for c in cols:
                 # null-safe equality: a null delete value matches a
                 # null row value (Iceberg equality semantics)
                 cond = cond & F.col(c).eqNullSafe(F.col(f"_eq_{c}"))
+            for sc in scope_cols:
+                # null scope component = global for that column
+                cond = cond & (
+                    F.col(f"_eq_part_{sc}").isNull()
+                    | (
+                        F.col(sc).cast("string")
+                        == F.col(f"_eq_part_{sc}").cast("string")
+                    )
+                )
             df = df.join(
                 _bounded_broadcast(
                     parts_df,

@@ -1931,3 +1931,55 @@ def test_iceberg_time_travel_uses_snapshot_schema(spark, tmp_path):
     old = read_iceberg(spark, root, snapshot_id=11)
     assert old.columns == ["k"]  # the later column must NOT appear
     assert sorted(map(tuple, old.collect())) == [(1,), (2,)]
+
+
+def test_iceberg_equality_delete_partition_scope(spark, sf_dir, tmp_path):
+    """A delete file written under a partitioned spec applies ONLY
+    within its partition (spec §Scan Planning): an equality delete
+    scoped to n_regionkey=2 must leave matching keys in other
+    partitions alive; a global (all-null scope) delete still applies
+    everywhere."""
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        append_equality_deletes,
+    )
+
+    df = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    root = str(tmp_path / "eqscope")
+    sink = _sink(
+        root, partition_by=["n_regionkey"], table_type=TableType.APPEND_ONLY
+    )
+    sink.write_staging(df, "r0")
+    sink.publish("r0")
+    sink.export_iceberg()
+    # pick a key INSIDE the scope partition and one OUTSIDE it, from
+    # the data itself, so the scope provably deletes one and spares
+    # the other
+    r_of = {r.n_nationkey: r.n_regionkey for r in df.collect()}
+    k_in = min(r_of)
+    scope_region = int(r_of[k_in])
+    k_out = next(
+        k for k in sorted(r_of) if int(r_of[k]) != scope_region
+    )
+    append_equality_deletes(
+        root,
+        [{"n_nationkey": int(k_in)}, {"n_nationkey": int(k_out)}],
+        ["n_nationkey"],
+        partition_scope={"n_regionkey": scope_region},
+    )
+    got = read_iceberg(spark, root)
+    want = df.filter(F.col("n_nationkey") != k_in)  # k_out survives
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert got.filter(F.col("n_nationkey") == k_out).count() == 1
+    # a global delete stacked on top applies across partitions
+    append_equality_deletes(
+        root, [{"n_nationkey": int(k_out)}], ["n_nationkey"]
+    )
+    got2 = read_iceberg(spark, root)
+    want2 = want.filter(F.col("n_nationkey") != k_out)
+    assert sorted(map(tuple, got2.collect())) == sorted(
+        map(tuple, want2.collect())
+    )
