@@ -65,6 +65,8 @@ HEADLINE = [
     "q133_delta_column_mapping_agg",  # field-id mapped read (nested incl.)
     "q134_delta_time_travel_agg",     # historical-version log replay read
     "q135_iceberg_time_travel_agg",   # historical-snapshot manifest read
+    "q136_iceberg_rename_agg",        # rename-safe field-id resolution
+    "q137_iceberg_eqdelete_scope_agg",  # partition-scoped equality delete
 ]
 
 
