@@ -56,6 +56,18 @@ def _metadata(path: str) -> dict:
     return current_metadata(path)
 
 
+def _field_id_map(path: str) -> dict[str, int]:
+    """Top-level logical column name -> Iceberg field id (the spec's
+    resolution key: data files written before a rename carry the OLD
+    parquet name, so the stream reader matches by embedded field id
+    when the file has ids, by name otherwise)."""
+    md = _metadata(path)
+    schema_json = next(
+        s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
+    )
+    return {f["name"]: int(f["id"]) for f in schema_json["fields"]}
+
+
 def _table_schema(path: str):
     from pyspark.sql.types import StructField, StructType
 
@@ -100,6 +112,17 @@ class IcebergStreamReader(DataSourceStreamReader):
         ]
         self.part_cols = part_cols
         self.part_types = part_types
+        # logical name -> Iceberg field id, resolved driver-side and
+        # shipped with the (picklable) reader: executor tasks match
+        # parquet columns by embedded field id when the file carries
+        # ids — a column renamed after the file was written still
+        # streams its values instead of nulls (top level; nested
+        # members stream under the file's names, same caveat as the
+        # delta stream)
+        try:
+            self.field_ids = _field_id_map(self.root)
+        except Exception:
+            self.field_ids = {}
 
     def _snaps(self) -> list[dict]:
         try:
@@ -264,14 +287,26 @@ class IcebergStreamReader(DataSourceStreamReader):
 
         table = pq.read_table(part.path)
         n = table.num_rows
+        # field-id index of THIS file's columns (empty when the file
+        # carries no ids — this engine's own exports match by name)
+        by_id: dict[int, str] = {}
+        for f in table.schema:
+            m = (f.metadata or {}).get(b"PARQUET:field_id")
+            if m is not None:
+                try:
+                    by_id[int(m)] = f.name
+                except ValueError:
+                    pass
         cols = {}
         for name, ddl in self.fields:
+            fid = self.field_ids.get(name)
+            src = by_id.get(fid, name) if fid is not None else name
             if name in self.part_cols:
                 cols[name] = [
                     self._cast_part(ddl, part.partition_values.get(name))
                 ] * n
-            elif name in table.column_names:
-                cols[name] = table.column(name).to_pylist()
+            elif src in table.column_names:
+                cols[name] = table.column(src).to_pylist()
             else:
                 cols[name] = [None] * n
         for i in range(n):

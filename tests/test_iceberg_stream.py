@@ -247,3 +247,118 @@ def test_iceberg_stream_pipeline_skip_survives_compaction(
     got = spark.read.parquet(out)
     assert got.count() == df.count() + 3  # zero duplicates
     assert got.filter(F.col("n_nationkey") >= 1000).count() == 3
+
+
+def test_iceberg_stream_resolves_renamed_columns_by_field_id(
+    spark, tmp_path
+):
+    """Data files written before a rename carry the OLD parquet column
+    name; the stream must match by embedded field id (spec §Schema
+    Evolution) — a name-based read would stream nulls for the renamed
+    column."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incubator_gobblin_spark.formats.avro_ocf import encode_ocf
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        _MANIFEST_LIST_AVRO,
+        _manifest_entry_avro,
+    )
+
+    root = str(tmp_path / "sren")
+    os.makedirs(os.path.join(root, "data"))
+    meta_dir = os.path.join(root, "metadata")
+    os.makedirs(meta_dir)
+    fp = os.path.join(root, "data", "f1.parquet")
+    pq.write_table(
+        pa.table(
+            {"k": pa.array([1, 2], pa.int64()),
+             "old_name": pa.array(["a", "b"], pa.string())},
+            schema=pa.schema(
+                [
+                    pa.field("k", pa.int64(),
+                             metadata={b"PARQUET:field_id": b"1"}),
+                    pa.field("old_name", pa.string(),
+                             metadata={b"PARQUET:field_id": b"2"}),
+                ]
+            ),
+        ),
+        fp,
+    )
+    entry_schema = _manifest_entry_avro(
+        {"type": "record", "name": "r102", "fields": []}
+    )
+    manifest = os.path.join(meta_dir, "sren-m0.avro")
+    with open(manifest, "wb") as fh:
+        fh.write(
+            encode_ocf(
+                entry_schema,
+                [{"status": 1, "snapshot_id": 3, "sequence_number": 1,
+                  "file_sequence_number": 1,
+                  "data_file": {"content": 0, "file_path": fp,
+                                "file_format": "PARQUET", "partition": {},
+                                "record_count": 2,
+                                "file_size_in_bytes": os.path.getsize(fp)}}],
+                codec="null",
+                extra_meta={"schema": b"{}", "partition-spec": b"[]",
+                            "partition-spec-id": b"0",
+                            "format-version": b"2", "content": b"data"},
+            )
+        )
+    mlist = os.path.join(meta_dir, "snap-3-1-sren.avro")
+    with open(mlist, "wb") as fh:
+        fh.write(
+            encode_ocf(
+                _MANIFEST_LIST_AVRO,
+                [{"manifest_path": manifest,
+                  "manifest_length": os.path.getsize(manifest),
+                  "partition_spec_id": 0, "content": 0,
+                  "sequence_number": 1, "min_sequence_number": 1,
+                  "added_snapshot_id": 3, "added_files_count": 1,
+                  "existing_files_count": 0, "deleted_files_count": 0,
+                  "added_rows_count": 2, "existing_rows_count": 0,
+                  "deleted_rows_count": 0}],
+                codec="null",
+                extra_meta={"format-version": b"2"},
+            )
+        )
+    metadata = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-000000000005",
+        "location": root,
+        "last-sequence-number": 1,
+        "last-updated-ms": 0,
+        "last-column-id": 2,
+        "current-schema-id": 0,
+        "schemas": [
+            {"type": "struct", "schema-id": 0, "fields": [
+                {"id": 1, "name": "k", "required": False, "type": "long"},
+                {"id": 2, "name": "new_name", "required": False,
+                 "type": "string"},
+            ]}
+        ],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {},
+        "current-snapshot-id": 3,
+        "snapshots": [
+            {"snapshot-id": 3, "sequence-number": 1, "timestamp-ms": 0,
+             "summary": {"operation": "append"}, "manifest-list": mlist,
+             "schema-id": 0}
+        ],
+        "snapshot-log": [],
+        "metadata-log": [],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(metadata, fh)
+
+    reader = _reader(root)
+    hi = reader.latestOffset()["seq"]
+    parts = reader.partitions({"seq": 0}, {"seq": hi})
+    rows = sorted(r for p in parts for r in reader.read(p))
+    assert rows == [(1, "a"), (2, "b")]  # values, not nulls
