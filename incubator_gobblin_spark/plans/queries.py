@@ -5651,6 +5651,74 @@ def q137_iceberg_eqdelete_scope_agg(
     )
 
 
+@register(
+    "q138_delta_dv_delete_agg",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents
+    WHERE doc_id % 7 <> 3 AND doc_id % 11 <> 5
+    GROUP BY lang
+    """,
+)
+def q138_delta_dv_delete_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's OWN deletion-vector DELETE under the hard oracle
+    (PROTOCOL.md §Deletion Vectors, write side): the documents table is
+    exported as a lang-partitioned Delta table, then
+    ``delete_delta_rows`` commits TWO successive DV deletes —
+    doc_id%7==3, then doc_id%11==5 — so the second commit must union
+    positions into replacement vectors on every overlapping file
+    (replace-descriptor semantics), upgrade the protocol exactly once,
+    and keep partitionValues on every re-added file. ``read_delta``
+    then reconstructs the surviving rows; the aggregate must match the
+    oracle's double-predicate value-for-value.
+
+    Scale shape: each delete is one filtered scan + one exchange of
+    matched coordinates + executor-side bitmap writes; the read back is
+    the scan + broadcast DV anti-join q131 pinned. Both deletes match
+    rows at every sf, so the version-count fixture guards are total.
+    """
+    import os as _os
+
+    from incubator_gobblin_spark.sinks.delta_delete import delete_delta_rows
+    from incubator_gobblin_spark.sinks.files import FileSink, TableType
+    from incubator_gobblin_spark.sources.delta_import import (
+        _log_versions,
+        read_delta,
+    )
+
+    cache = _cache_dir("delta_dvdel", sf_dir, "documents")
+    sink = FileSink(
+        path=cache,
+        commit_mode="manifest",
+        table_type=TableType.APPEND_ONLY,
+        partition_by=["lang"],
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    try:
+        committed = sink.current_manifest("base", materialize=False) is not None
+    except FileNotFoundError:
+        committed = False
+    if not committed:
+        sink.write_staging(docs, "base")
+        sink.publish("base")
+    log_dir = _os.path.join(cache, "_delta_log")
+    if not _os.path.isdir(log_dir):
+        sink.export_delta_log()  # version 0: full base state
+    if _log_versions(log_dir)[-1] < 1:
+        delete_delta_rows(spark, cache, "doc_id % 7 = 3")
+    if _log_versions(log_dir)[-1] < 2:
+        delete_delta_rows(spark, cache, "doc_id % 11 = 5")
+    df = read_delta(spark, cache)
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the multi-way broadcast star join + aggregation."""
     return q03_revenue_by_nation(spark, sf_dir)

@@ -104,6 +104,11 @@ MAP_IN_PANDAS_BY_DESIGN = {
     # mapInPandas task per DV builds the TOMBSTONE side only — the
     # data row path stays whole-stage codegen + broadcast anti-join
     "q131_delta_dv_agg",
+    # same tombstone-decode contract reading back the engine's OWN
+    # delete_delta_rows commits (the DELETE fixture also builds its
+    # bitmaps in an Arrow applyInPandas stage — executor-side by
+    # design, the driver never holds O(deleted rows))
+    "q138_delta_dv_delete_agg",
 }
 
 _PY_NODES = ("EvalPython", "MapInPandas", "FlatMapGroupsInPandas")
