@@ -498,11 +498,11 @@ def check_reader_protocol(
       resolves physical names through the schema's
       ``delta.columnMapping.physicalName`` metadata recursively, and
       mode=id through Spark's native parquet field-id matching). The
-      STREAM source resolves TOP-LEVEL mappings through the same
-      physicalName metadata and refuses nested ones in its own
-      table_schema (a reader ignoring the mapping entirely would
-      return all-null logical columns — the misread this gate exists
-      to prevent);
+      STREAM source resolves top-level mappings through the same
+      physicalName metadata and reshapes NESTED values per row batch
+      (delta_stream._logicalize_value — a reader ignoring the mapping
+      entirely would return all-null logical columns, the misread this
+      gate exists to prevent);
     - with ``allow_dv=False`` (the stream source, where a DV commit is
       a rewrite, never an append): any live ``add`` carrying a
       ``deletionVector`` — rows marked deleted would be resurrected.
@@ -565,9 +565,9 @@ def read_delta(
     field with ``parquet.field.id`` from ``delta.columnMapping.id``,
     letting Spark's native parquet field-id matching
     (``spark.sql.parquet.fieldId.read.enabled``) resolve the physical
-    columns — no rename pass needed. The STREAM source handles
-    top-level mappings and refuses nested ones (see
-    delta_stream.table_schema). Deletion vectors are decoded and
+    columns — no rename pass needed. The STREAM source handles both,
+    reshaping nested values executor-side (see
+    delta_stream._logicalize_value). Deletion vectors are decoded and
     anti-joined (PROTOCOL.md §Deletion Vectors).
 
     Partition columns are restored from each file's ``partitionValues``

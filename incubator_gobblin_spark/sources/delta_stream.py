@@ -25,10 +25,11 @@ lake's ``lakecdf`` source for exact row-level change semantics — this
 source exists so an EXTERNAL Delta table (any writer) can feed the
 engine's streaming pipelines without Delta jars.
 
-Column mapping: top-level mapped tables stream (physical parquet names
-and physical partitionValues keys resolve through
-``delta.columnMapping.physicalName``; logical columns out); NESTED
-mappings refuse — use read_delta for those.
+Column mapping: mapped tables stream in both modes, nested fields
+included (physical parquet names and physical partitionValues keys
+resolve through ``delta.columnMapping.physicalName``; struct/array/map
+values are reshaped member-by-member to their logical names
+executor-side; logical columns out).
 
 Scale shape: version replay is driver-side JSON-lines metadata (the
 log tail only — files already consumed are never re-listed); every
@@ -70,16 +71,14 @@ def table_schema(path: str, *, allow_dv: bool = False):
     only in a parquet checkpoint (delta-spark cleans up old JSON
     versions) still resolves.
 
-    Column mapping: TOP-LEVEL mappings stream (the reader resolves
-    parquet columns through ``delta.columnMapping.physicalName`` —
-    conforming writers store physical names in both modes); a NESTED
-    mapping refuses, because pyarrow hands struct values back keyed by
-    their physical member names and the row would silently carry the
-    wrong shape — use read_delta (batch) for those."""
+    Column mapping: mapped tables stream in both modes, nested fields
+    included — the reader resolves parquet columns through
+    ``delta.columnMapping.physicalName`` (conforming writers store
+    physical names in both modes) and reshapes nested values to their
+    logical member names per row batch (:func:`_logicalize_value`)."""
     from pyspark.sql.types import StructType
 
     from incubator_gobblin_spark.sources.delta_import import (
-        _mapped_below,
         _replay_state,
         check_reader_protocol,
     )
@@ -95,23 +94,68 @@ def table_schema(path: str, *, allow_dv: bool = False):
         proto, meta, live, allow_dv=allow_dv, allow_column_mapping=True
     )
     schema_json = json.loads(meta["schemaString"])
-    mode = (meta.get("configuration") or {}).get(
-        "delta.columnMapping.mode", "none"
-    )
-    if mode in ("name", "id"):
-        for f in schema_json.get("fields", []):
-            if _mapped_below(f.get("type")):
-                raise ValueError(
-                    f"deltastream: column {f['name']!r} maps NESTED "
-                    "physical names — the stream reads pyarrow structs "
-                    "by physical member name and would misshape the "
-                    "rows; use read_delta (batch) for nested-mapped "
-                    "tables"
-                )
     return (
         StructType.fromJson(schema_json),
         list(meta.get("partitionColumns") or []),
     )
+
+
+def _phys_name(f: dict) -> str:
+    return (
+        (f.get("metadata") or {}).get("delta.columnMapping.physicalName")
+        or f["name"]
+    )
+
+
+def _logicalize_value(v, t):
+    """Reshape one pyarrow ``to_pylist`` value from PHYSICAL member
+    names (what column-mapped parquet files store at every nesting
+    level) to the LOGICAL shape the stream's declared schema promises:
+    struct dicts re-key member-by-member, arrays map elementwise, maps
+    convert to dicts with both sides reshaped. Pure data walk — runs
+    executor-side per row batch, ships with the package zip."""
+    if v is None or not isinstance(t, dict):
+        return v
+    k = t.get("type")
+    if k == "struct":
+        return {
+            f["name"]: _logicalize_value(v.get(_phys_name(f)), f["type"])
+            for f in t["fields"]
+        }
+    if k == "array":
+        return [_logicalize_value(x, t["elementType"]) for x in v]
+    if k == "map":
+        items = v.items() if isinstance(v, dict) else v
+        return {
+            _logicalize_value(mk, t["keyType"]): _logicalize_value(
+                mv, t["valueType"]
+            )
+            for mk, mv in items
+        }
+    return v
+
+
+def _nested_mapped_types(path: str) -> dict[str, dict]:
+    """Logical top-level column name -> its type JSON, for columns whose
+    NESTED members are physically renamed (the set read() must reshape;
+    empty when mapping is off or top-level-only)."""
+    from incubator_gobblin_spark.sources.delta_import import (
+        _mapped_below,
+        _replay_state,
+    )
+
+    _, meta, _ = _replay_state(os.path.join(path, "_delta_log"), None)
+    schema_json = json.loads(meta["schemaString"])
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode not in ("name", "id"):
+        return {}
+    return {
+        f["name"]: f["type"]
+        for f in schema_json.get("fields", [])
+        if _mapped_below(f.get("type"))
+    }
 
 
 def column_phys_map(path: str) -> dict[str, str]:
@@ -141,7 +185,8 @@ class _AddedFile(InputPartition):
 
 class DeltaStreamReader(DataSourceStreamReader):
     def __init__(
-        self, options, schema, part_cols: list[str], phys_of=None
+        self, options, schema, part_cols: list[str], phys_of=None,
+        nested_types=None,
     ):
         self.root = options["path"]
         self.log_dir = os.path.join(self.root, "_delta_log")
@@ -153,10 +198,14 @@ class DeltaStreamReader(DataSourceStreamReader):
         )
         self.fields = [(f.name, f.dataType.simpleString()) for f in schema.fields]
         self.part_cols = part_cols
-        # logical -> physical column name (column mapping, top level
-        # only — table_schema refuses nested); parquet columns and
-        # partitionValues are keyed physical on mapped tables
+        # logical -> physical column name (column mapping); parquet
+        # columns and partitionValues are keyed physical on mapped
+        # tables
         self.phys_of = dict(phys_of or {})
+        # logical column -> type JSON for columns whose NESTED members
+        # are physically renamed: read() reshapes those values with
+        # _logicalize_value (plain dicts, picklable with the reader)
+        self.nested_types = dict(nested_types or {})
 
     def initialOffset(self) -> dict:
         if self.start_opt == "latest":
@@ -300,7 +349,11 @@ class DeltaStreamReader(DataSourceStreamReader):
                     self._cast_part(ddl, part.partition_values.get(src))
                 ] * n
             elif src in table.column_names:
-                cols[name] = table.column(src).to_pylist()
+                vals = table.column(src).to_pylist()
+                tj = self.nested_types.get(name)
+                if tj is not None:
+                    vals = [_logicalize_value(x, tj) for x in vals]
+                cols[name] = vals
             else:
                 cols[name] = [None] * n
         for i in range(n):
@@ -337,6 +390,7 @@ class DeltaStreamDataSource(DataSource):
             schema,
             part_cols,
             phys_of=column_phys_map(self.options["path"]),
+            nested_types=_nested_mapped_types(self.options["path"]),
         )
 
 

@@ -2878,21 +2878,23 @@ def test_read_delta_refuses_unsupported_reader_features(
     assert read_delta(spark, root2).count() == df2.count()
 
 
-def test_column_mapping_stream_nested_refuses_and_id_needs_ids(
+def test_column_mapping_stream_nested_resolves_and_id_needs_ids(
     spark, sf_dir, tmp_path
 ):
-    """Column mapping guards: the STREAM source takes top-level
-    mappings but refuses NESTED ones (pyarrow hands structs back keyed
-    by physical member names — the row shape would silently be wrong);
-    the batch reader takes mode=name, and mode=id only when every
-    field carries a delta.columnMapping.id (matching by name would
-    misread)."""
+    """Column mapping guards: the STREAM source resolves both
+    top-level AND nested mappings (nested struct values reshape to
+    logical member names — _logicalize_value); the batch reader takes
+    mode=name, and mode=id only when every field carries a
+    delta.columnMapping.id (matching by name would misread)."""
     import json
 
     import pytest as _pytest
 
     from incubator_gobblin_spark.sources.delta_import import read_delta
-    from incubator_gobblin_spark.sources.delta_stream import table_schema
+    from incubator_gobblin_spark.sources.delta_stream import (
+        _logicalize_value,
+        table_schema,
+    )
 
     root, df = _delta_table(spark, sf_dir, tmp_path, "dcolmap")
     meta = {
@@ -2909,20 +2911,34 @@ def test_column_mapping_stream_nested_refuses_and_id_needs_ids(
     # stream: top-level mapping resolves (identity physical names here)
     schema, _ = table_schema(root)
     assert schema.fieldNames() == ["r_regionkey"]
-    # stream: NESTED mapping refuses
+    # stream: NESTED mapping resolves too — the declared schema stays
+    # logical and the value walk re-keys physical member names
+    nested_type = {"type": "struct", "fields": [
+        {"name": "inner", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "col-in"}},
+        {"name": "tags", "nullable": True, "metadata": {},
+         "type": {"type": "array", "containsNull": True,
+                  "elementType": {"type": "struct", "fields": [
+                      {"name": "t", "type": "string", "nullable": True,
+                       "metadata": {
+                           "delta.columnMapping.physicalName": "col-t"
+                       }}]}}}]}
     meta_nested = dict(meta)
     meta_nested["schemaString"] = json.dumps(
         {"type": "struct", "fields": [
             {"name": "s", "nullable": True,
              "metadata": {"delta.columnMapping.physicalName": "col-s"},
-             "type": {"type": "struct", "fields": [
-                 {"name": "inner", "type": "long", "nullable": True,
-                  "metadata": {
-                      "delta.columnMapping.physicalName": "col-in"}}]}}]}
+             "type": nested_type}]}
     )
     _append_delta_commit(root, [{"metaData": meta_nested}])
-    with _pytest.raises(ValueError, match="NESTED"):
-        table_schema(root)
+    schema2, _ = table_schema(root)
+    assert schema2.fieldNames() == ["s"]
+    assert schema2["s"].dataType["inner"].dataType.simpleString() == "bigint"
+    # the value walk: physical keys in, logical keys out; null stays null
+    assert _logicalize_value(
+        {"col-in": 7, "tags": [{"col-t": "x"}, None]}, nested_type
+    ) == {"inner": 7, "tags": [{"t": "x"}, None]}
+    assert _logicalize_value(None, nested_type) is None
     _append_delta_commit(root, [{"metaData": meta}])  # restore
     # batch: mode=name with identity physical names reads fine
     assert read_delta(spark, root).count() == df.count()
@@ -3009,6 +3025,88 @@ def test_deltastream_column_mapped_table_streams_logical(spark, tmp_path):
         (2, "en", 20),
         (3, "en", 30),
     ]
+
+
+def test_deltastream_nested_column_mapped_table_streams_logical(
+    spark, tmp_path
+):
+    """A NESTED column-mapped table STREAMS: struct values whose
+    parquet members carry physical col-<uuid> names come back reshaped
+    to the logical member names (the batch reader's _logical_expr
+    semantics, done as an executor-side value walk)."""
+    import json
+
+    from incubator_gobblin_spark.sources.delta_stream import register
+
+    root = str(tmp_path / "colmap-nested-stream")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    os.makedirs(os.path.join(root, "data"))
+    physical = spark.createDataFrame(
+        [(1, (10, "a")), (2, (20, "b")), (3, None)],
+        "`col-k` long, `col-s` struct<`col-in`: long, `col-t`: string>",
+    )
+    out_dir = os.path.join(root, "data", "w")
+    physical.coalesce(1).write.parquet(out_dir)
+    part = next(
+        f for f in os.listdir(out_dir)
+        if f.endswith(".parquet") and not f.startswith("_")
+    )
+    fp = os.path.join(root, "data", "f1.parquet")
+    os.rename(os.path.join(out_dir, part), fp)
+    fields = [
+        {"name": "k", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-k"}},
+        {"name": "s", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-s"},
+         "type": {"type": "struct", "fields": [
+             {"name": "inner", "type": "long", "nullable": True,
+              "metadata": {"delta.columnMapping.id": 3,
+                           "delta.columnMapping.physicalName": "col-in"}},
+             {"name": "tag", "type": "string", "nullable": True,
+              "metadata": {"delta.columnMapping.id": 4,
+                           "delta.columnMapping.physicalName": "col-t"}},
+         ]}},
+    ]
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "t", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(
+                {"type": "struct", "fields": fields}),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name"},
+            "createdTime": 0,
+        }},
+        {"add": {"path": "data/f1.parquet", "partitionValues": {},
+                 "size": os.path.getsize(fp), "modificationTime": 0,
+                 "dataChange": True}},
+    ]
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for act in actions:
+            fh.write(json.dumps(act) + "\n")
+
+    register(spark)
+    out = str(tmp_path / "cmn-out")
+    cp = str(tmp_path / "cmn-cp")
+    q = (
+        spark.readStream.format("deltastream")
+        .option("path", root)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert sorted(got.columns) == ["k", "s"]
+    rows = {r.k: r.s for r in got.collect()}
+    assert rows[1].inner == 10 and rows[1].tag == "a"
+    assert rows[2].inner == 20 and rows[2].tag == "b"
+    assert rows[3] is None  # null struct stays null, not struct-of-nulls
 
 
 def test_read_delta_column_mapping_name_mode(spark, sf_dir, tmp_path):
