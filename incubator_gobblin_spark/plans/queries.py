@@ -5719,6 +5719,105 @@ def q138_delta_dv_delete_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q139_iceberg_transform_scope_agg",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents
+    WHERE NOT (doc_id % 10 = 0 AND doc_id - doc_id % 100 = 300)
+    GROUP BY lang
+    """,
+)
+def q139_iceberg_transform_scope_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Equality-delete scope over a HIDDEN-PARTITIONING transform
+    under the hard oracle (spec §Scan Planning + §Partition
+    Transforms): the documents table's spec is truncate[100] over
+    doc_id (a foreign hidden-partitioned table — data files keep the
+    source column, the spec derives the partition), and a foreign CDC
+    writer equality-deletes every doc_id % 10 == 0 key SCOPED to the
+    truncation bucket 300. ``read_iceberg`` must evaluate the
+    transform on the source column JVM-side and delete those keys
+    only where trunc100(doc_id) == 300 — refusing (the old behavior)
+    serves nothing, applying globally over-deletes, and both
+    hash-mismatch the oracle's reconstruction. The bucket[N] variant
+    of the same path is pinned by the spec's published Murmur3
+    vectors in test_iceberg_transforms (DuckDB cannot express the
+    hash).
+
+    Scale shape: the scope adds one codegen expression to the
+    broadcast anti-join — no new shuffle, no Python."""
+    import json as _json
+    import os as _os
+
+    from incubator_gobblin_spark.sinks.files import FileSink, TableType
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        _metadata_versions,
+        append_equality_deletes,
+    )
+    from incubator_gobblin_spark.sources.iceberg_import import (
+        current_metadata,
+        read_iceberg,
+        snapshot_files,
+    )
+
+    cache = _cache_dir("iceberg_truncscope", sf_dir, "documents")
+    sink = FileSink(
+        path=cache, commit_mode="manifest", table_type=TableType.APPEND_ONLY
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    try:
+        committed = sink.current_manifest("base", materialize=False) is not None
+    except FileNotFoundError:
+        committed = False
+    if not committed:
+        sink.write_staging(docs, "base")
+        sink.publish("base")
+    meta_dir = _os.path.join(cache, "metadata")
+    if not _os.path.isdir(meta_dir):
+        sink.export_iceberg()
+    meta = current_metadata(cache)
+    _, dels = snapshot_files(meta, cache, collect_deletes=True)
+    if not dels:
+        key_id = next(
+            f["id"]
+            for f in meta["schemas"][0]["fields"]
+            if f["name"] == "doc_id"
+        )
+        v = _metadata_versions(meta_dir)[-1]
+        mpath = _os.path.join(meta_dir, f"v{v}.metadata.json")
+        with open(mpath) as fh:
+            mjson = _json.load(fh)
+        mjson["partition-specs"][0]["fields"] = [{
+            "name": "doc_trunc", "transform": "truncate[100]",
+            "source-id": key_id, "field-id": 1000,
+        }]
+        with open(mpath, "w") as fh:
+            _json.dump(mjson, fh)
+        keys = [
+            int(r.doc_id)
+            for r in docs.filter(F.col("doc_id") % 10 == 0)
+            .select("doc_id")
+            .collect()
+        ]
+        append_equality_deletes(
+            cache,
+            [{"doc_id": k} for k in sorted(keys)],
+            ["doc_id"],
+            partition_scope={"doc_trunc": 300},
+        )
+    df = read_iceberg(spark, cache)
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the multi-way broadcast star join + aggregation."""
     return q03_revenue_by_nation(spark, sf_dir)

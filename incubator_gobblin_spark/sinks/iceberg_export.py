@@ -228,7 +228,8 @@ def _partition_struct_avro(
     """Avro schema of the manifest's data_file.partition struct (r102):
     one nullable field per identity partition column, field-ids from
     the spec's partition range."""
-    avro_of = {"long": "long", "string": "string"}
+    avro_of = {"long": "long", "string": "string", "int": "int",
+               "double": "double", "float": "float", "boolean": "boolean"}
     return {
         "type": "record",
         "name": "r102",
@@ -1217,6 +1218,17 @@ def append_position_deletes(
     return meta_dir
 
 
+def _transform_result_type(transform: str, source_type: str | None) -> str:
+    """The Iceberg type a partition transform produces (spec
+    §Partition Transforms): bucket and the time transforms yield int,
+    identity/truncate keep the source type."""
+    if transform.startswith("bucket[") or transform in (
+        "year", "years", "month", "months", "day", "days", "hour", "hours"
+    ):
+        return "int"
+    return source_type or "string"
+
+
 def append_equality_deletes(
     table_path: str,
     rows: list[dict],
@@ -1232,10 +1244,11 @@ def append_equality_deletes(
     row deletes ALL data rows equal on those columns whose data
     sequence number is strictly less than this snapshot's. See
     :func:`append_position_deletes` for the position variant and the
-    why-this-exists note. ``partition_scope`` (identity partition
-    column -> value) writes the delete file's manifest partition
-    struct, scoping it to ONE partition the way a partitioned-spec
-    foreign writer would — rows in other partitions must survive."""
+    why-this-exists note. ``partition_scope`` (partition FIELD name ->
+    value; for non-identity fields the TRANSFORMED value, e.g. the
+    bucket number) writes the delete file's manifest partition struct,
+    scoping it to ONE partition the way a partitioned-spec foreign
+    writer would — rows in other partitions must survive."""
     location = os.path.abspath(table_path)
     meta_dir = os.path.join(location, "metadata")
     versions = _metadata_versions(meta_dir)
@@ -1268,8 +1281,21 @@ def append_equality_deletes(
     equality_ids = [by_name[c]["id"] for c in equality_cols]
     fname = {f["id"]: f["name"] for f in schema["fields"]}
     ftype = {f["name"]: f["type"] for f in schema["fields"]}
-    part_cols = [fname[f["source-id"]] for f in spec["fields"]]
-    part_types = {c: ftype[c] for c in part_cols}
+    # the delete manifest's partition struct is keyed by partition
+    # FIELD name (== source name for identity transforms) and typed by
+    # the TRANSFORM's result (bucket/time transforms produce int —
+    # spec §Partition Transforms); the caller supplies the transformed
+    # scope value for non-identity fields, as a foreign partitioned
+    # writer would
+    part_cols = [
+        f.get("name") or fname[f["source-id"]] for f in spec["fields"]
+    ]
+    part_types = {
+        (f.get("name") or fname[f["source-id"]]): _transform_result_type(
+            f["transform"], ftype.get(fname.get(f["source-id"]))
+        )
+        for f in spec["fields"]
+    }
     sid = (
         max(
             max((s["snapshot-id"] for s in snapshots), default=0),

@@ -308,8 +308,11 @@ def snapshot_files(
                         "record_count": int(df_.get("record_count") or 0),
                         # a delete file written under a partitioned
                         # spec applies ONLY within its partition (spec
-                        # §Scan Planning); all-null = global
+                        # §Scan Planning); all-null = global. The
+                        # manifest-list row's spec id resolves the
+                        # scope fields' transforms
                         "partition": dict(df_.get("partition") or {}),
+                        "spec_id": int(mf.get("partition_spec_id") or 0),
                     }
                 )
                 continue
@@ -692,29 +695,89 @@ def read_iceberg(
         # strictly-less rule is what lets a re-inserted key survive
         df = _with_seq(df)
         field_name_all = {f["id"]: f["name"] for f in schema_json["fields"]}
-        # partition scope (spec §Scan Planning): a delete file written
-        # under a partitioned spec applies ONLY within its partition.
-        # Identity scopes become extra join conditions; a non-null
-        # scope on a non-identity (hidden-transform) field refuses —
-        # we cannot evaluate the transform, and applying the delete
-        # globally would over-delete matching rows in other partitions.
-        for d in eq_deletes:
-            bad = [
-                k
-                for k, v in d["partition"].items()
-                if v is not None and k not in part_cols
-            ]
-            if bad:
+        field_type_all = {f["id"]: f["type"] for f in schema_json["fields"]}
+        specs_by_id = {
+            s["spec-id"]: s for s in metadata.get("partition-specs", [])
+        }
+
+        def _scope_expr(d: dict, sc: str):
+            """Row-side Column comparable to delete ``d``'s scope value
+            on partition field ``sc`` — resolved through the DELETE
+            FILE's own spec (spec §Scan Planning). Identity fields
+            compare the source column; transform fields (bucket/
+            truncate/year/month/day/hour) evaluate the transform
+            JVM-side (functions.iceberg_transforms). Returns
+            (expr, stringify). ValueError refuses the read — applying
+            the delete globally would over-delete."""
+            spec_d = specs_by_id.get(d.get("spec_id", 0))
+            pf = None
+            if spec_d:
+                pf = next(
+                    (
+                        f
+                        for f in spec_d["fields"]
+                        if (f.get("name") or field_name_all.get(f["source-id"]))
+                        == sc
+                    ),
+                    None,
+                )
+            if pf is None:
+                if sc in part_cols:
+                    # identity column of the current spec, restored by
+                    # the scan (the q137-pinned path)
+                    return F.col(sc).cast("string"), True
                 raise ValueError(
                     f"read_iceberg: equality delete {d['path']} is "
-                    f"scoped to non-identity partition field(s) {bad} — "
-                    "cannot evaluate the transform; refusing to apply "
+                    f"scoped to partition field {sc!r} not present in "
+                    f"its spec {d.get('spec_id')} — refusing to apply "
                     "the delete globally (it would over-delete)"
                 )
+            src = field_name_all.get(pf["source-id"])
+            ice_t = field_type_all.get(pf["source-id"])
+            if pf["transform"] == "identity" and src is not None:
+                return F.col(src).cast("string"), True
+            from incubator_gobblin_spark.functions.iceberg_transforms import (
+                transform_expr,
+            )
+
+            if src is None or not isinstance(ice_t, str):
+                raise ValueError(
+                    f"read_iceberg: equality delete {d['path']} scope "
+                    f"field {sc!r} has a nested or unresolvable source "
+                    "column — refusing to apply the delete globally "
+                    "(it would over-delete)"
+                )
+            try:
+                return transform_expr(pf["transform"], F.col(src), ice_t), False
+            except ValueError as e:
+                raise ValueError(
+                    f"read_iceberg: equality delete {d['path']} is "
+                    f"scoped to partition field {sc!r} "
+                    f"({pf['transform']} over {ice_t}) this engine "
+                    f"cannot evaluate ({e}) — refusing to apply the "
+                    "delete globally (it would over-delete)"
+                ) from e
+
+        def _plain_scope_value(v):
+            # Avro-decoded day/timestamp partition values may arrive as
+            # date/datetime objects; the transform results are epoch
+            # ints — normalize the literal side to match
+            import datetime as _dt
+
+            if isinstance(v, _dt.datetime):
+                return int(v.timestamp() * 1_000_000)
+            if isinstance(v, _dt.date):
+                return (v - _dt.date(1970, 1, 1)).days
+            return v
+
+        # group by (equality ids, spec id): scope transforms must be
+        # uniform within a group, and a table evolved across specs may
+        # carry same-named fields with different transforms
         by_ids: dict[tuple, list[dict]] = {}
         for d in eq_deletes:
-            by_ids.setdefault(tuple(sorted(d["equality_ids"])), []).append(d)
-        for ids, dels_of_group in sorted(by_ids.items()):
+            key = (tuple(sorted(d["equality_ids"])), d.get("spec_id", 0))
+            by_ids.setdefault(key, []).append(d)
+        for (ids, _spec_id), dels_of_group in sorted(by_ids.items()):
             cols = [field_name_all[i] for i in ids]
             scope_cols = sorted(
                 {
@@ -724,15 +787,19 @@ def read_iceberg(
                     if v is not None
                 }
             )
+            scope_exprs = {
+                sc: _scope_expr(dels_of_group[0], sc) for sc in scope_cols
+            }
             parts_df = None
             for d in dels_of_group:
                 one = spark.read.parquet(_abs(d["path"])).select(
                     *[F.col(c).alias(f"_eq_{c}") for c in cols]
                 ).withColumn("_del_seq", F.lit(int(d["seq"])))
                 for sc in scope_cols:
-                    one = one.withColumn(
-                        f"_eq_part_{sc}", F.lit(d["partition"].get(sc))
-                    )
+                    v = d["partition"].get(sc)
+                    if not scope_exprs[sc][1]:
+                        v = _plain_scope_value(v)
+                    one = one.withColumn(f"_eq_part_{sc}", F.lit(v))
                 parts_df = one if parts_df is None else parts_df.unionByName(one)
             cond = F.col("_data_seq") < F.col("_del_seq")
             for c in cols:
@@ -740,14 +807,13 @@ def read_iceberg(
                 # null row value (Iceberg equality semantics)
                 cond = cond & F.col(c).eqNullSafe(F.col(f"_eq_{c}"))
             for sc in scope_cols:
-                # null scope component = global for that column
-                cond = cond & (
-                    F.col(f"_eq_part_{sc}").isNull()
-                    | (
-                        F.col(sc).cast("string")
-                        == F.col(f"_eq_part_{sc}").cast("string")
-                    )
+                expr, stringify = scope_exprs[sc]
+                rhs = F.col(f"_eq_part_{sc}")
+                comp = (
+                    (expr == rhs.cast("string")) if stringify else (expr == rhs)
                 )
+                # null scope component = global for that column
+                cond = cond & (rhs.isNull() | comp)
             df = df.join(
                 _bounded_broadcast(
                     parts_df,

@@ -1983,3 +1983,147 @@ def test_iceberg_equality_delete_partition_scope(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, got2.collect())) == sorted(
         map(tuple, want2.collect())
     )
+
+
+def _retarget_spec(root, fields):
+    """Rewrite the table's default partition spec the way a foreign
+    writer with hidden partitioning would declare it (the data files
+    keep all source columns — only the spec JSON changes)."""
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        _metadata_versions,
+    )
+
+    meta_dir = os.path.join(root, "metadata")
+    v = _metadata_versions(meta_dir)[-1]
+    with open(os.path.join(meta_dir, f"v{v}.metadata.json")) as fh:
+        meta = json.load(fh)
+    meta["partition-specs"][0]["fields"] = fields
+    with open(os.path.join(meta_dir, f"v{v}.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+
+
+def test_iceberg_equality_delete_bucket_scope(spark, sf_dir, tmp_path):
+    """An equality delete scoped to a BUCKET partition (spec §Scan
+    Planning over a bucket[N] hidden-partition spec — the Flink CDC
+    upsert shape) applies only to rows whose bucket(key) equals the
+    scope value: the reader evaluates the spec's Murmur3 bucket
+    transform JVM-side instead of refusing or over-deleting."""
+    from incubator_gobblin_spark.functions.iceberg_transforms import (
+        bucket_py,
+    )
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        append_equality_deletes,
+    )
+
+    df = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    root = str(tmp_path / "eqbucket")
+    sink = _sink(root, table_type=TableType.APPEND_ONLY)
+    sink.write_staging(df, "r0")
+    sink.publish("r0")
+    sink.export_iceberg()
+    meta = current_metadata(root)
+    key_id = next(
+        f["id"]
+        for f in meta["schemas"][0]["fields"]
+        if f["name"] == "n_nationkey"
+    )
+    _retarget_spec(root, [{
+        "name": "key_bucket", "transform": "bucket[4]",
+        "source-id": key_id, "field-id": 1000,
+    }])
+    # two keys landing in DIFFERENT buckets; delete both, scoped to
+    # k_in's bucket only — k_out must survive
+    keys = sorted(r.n_nationkey for r in df.collect())
+    k_in = keys[0]
+    b_in = bucket_py(k_in, 4, "long")
+    k_out = next(k for k in keys if bucket_py(k, 4, "long") != b_in)
+    append_equality_deletes(
+        root,
+        [{"n_nationkey": int(k_in)}, {"n_nationkey": int(k_out)}],
+        ["n_nationkey"],
+        partition_scope={"key_bucket": b_in},
+    )
+    got = read_iceberg(spark, root)
+    want = df.filter(F.col("n_nationkey") != k_in)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert got.filter(F.col("n_nationkey") == k_out).count() == 1
+
+
+def test_iceberg_equality_delete_truncate_scope(spark, sf_dir, tmp_path):
+    """Same shape over truncate[10]: the delete applies only inside
+    the scope's truncation bucket."""
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        append_equality_deletes,
+    )
+
+    df = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    root = str(tmp_path / "eqtrunc")
+    sink = _sink(root, table_type=TableType.APPEND_ONLY)
+    sink.write_staging(df, "r0")
+    sink.publish("r0")
+    sink.export_iceberg()
+    meta = current_metadata(root)
+    key_id = next(
+        f["id"]
+        for f in meta["schemas"][0]["fields"]
+        if f["name"] == "n_nationkey"
+    )
+    _retarget_spec(root, [{
+        "name": "key_trunc", "transform": "truncate[10]",
+        "source-id": key_id, "field-id": 1000,
+    }])
+    keys = sorted(r.n_nationkey for r in df.collect())
+    k_in = keys[0]          # truncation bucket 0
+    k_out = next(k for k in keys if k // 10 != k_in // 10)
+    append_equality_deletes(
+        root,
+        [{"n_nationkey": int(k_in)}, {"n_nationkey": int(k_out)}],
+        ["n_nationkey"],
+        partition_scope={"key_trunc": int(k_in // 10) * 10},
+    )
+    got = read_iceberg(spark, root)
+    want = df.filter(F.col("n_nationkey") != k_in)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert got.filter(F.col("n_nationkey") == k_out).count() == 1
+
+
+def test_iceberg_equality_delete_unknown_transform_scope_refuses(
+    spark, sf_dir, tmp_path
+):
+    """A scope on a transform this engine cannot evaluate still
+    REFUSES (applying globally would over-delete) — the loud-fail
+    discipline is unchanged, only its perimeter moved."""
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        append_equality_deletes,
+    )
+
+    df = load_table(spark, sf_dir, "region")
+    root = str(tmp_path / "eqweird")
+    sink = _sink(root, table_type=TableType.APPEND_ONLY)
+    sink.write_staging(df, "r0")
+    sink.publish("r0")
+    sink.export_iceberg()
+    meta = current_metadata(root)
+    key_id = next(
+        f["id"]
+        for f in meta["schemas"][0]["fields"]
+        if f["name"] == "r_regionkey"
+    )
+    _retarget_spec(root, [{
+        "name": "key_z", "transform": "zorder[2]",
+        "source-id": key_id, "field-id": 1000,
+    }])
+    append_equality_deletes(
+        root, [{"r_regionkey": 0}], ["r_regionkey"],
+        partition_scope={"key_z": 7},
+    )
+    with pytest.raises(ValueError, match="over-delete"):
+        read_iceberg(spark, root).collect()
