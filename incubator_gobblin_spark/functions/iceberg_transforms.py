@@ -88,6 +88,71 @@ def bucket_py(value, n: int, ice_type: str) -> int | None:
     return (murmur3_32(data) & 0x7FFFFFFF) % n
 
 
+def transform_py(transform: str, value, ice_type: str):
+    """Driver-side transform evaluation over one plain-Python literal —
+    what metadata-level file PRUNING needs (a point filter on the
+    source column of a bucket/truncate spec prunes to the files whose
+    partition value equals the transformed literal). Mirrors
+    :func:`transform_expr`; ValueError for unevaluable combinations."""
+    import datetime as _dt
+
+    if value is None:
+        return None
+    if transform == "identity":
+        return value
+    if transform == "void":
+        return None
+    m = _BUCKET_RE.match(transform)
+    if m:
+        if ice_type == "date" and isinstance(value, _dt.date):
+            value = (value - _dt.date(1970, 1, 1)).days
+        elif ice_type in ("timestamp", "timestamptz") and isinstance(
+            value, _dt.datetime
+        ):
+            value = int(value.timestamp() * 1_000_000)
+        return bucket_py(value, int(m.group(1)), ice_type)
+    m = _TRUNCATE_RE.match(transform)
+    if m:
+        w = int(m.group(1))
+        if ice_type in ("int", "long"):
+            v = int(value)
+            return v - (((v % w) + w) % w)
+        if ice_type == "string":
+            return str(value)[:w]
+        raise ValueError(f"truncate unsupported for {ice_type!r}")
+    if transform in ("year", "years", "month", "months", "day", "days",
+                     "hour", "hours"):
+        if isinstance(value, str):
+            value = (
+                _dt.datetime.fromisoformat(value)
+                if "T" in value or " " in value or ":" in value
+                else _dt.date.fromisoformat(value)
+            )
+        if not isinstance(value, _dt.date):
+            raise ValueError(f"time transform needs a date, got {value!r}")
+        d = value.date() if isinstance(value, _dt.datetime) else value
+        if transform in ("year", "years"):
+            return d.year - 1970
+        if transform in ("month", "months"):
+            return (d.year - 1970) * 12 + d.month - 1
+        if transform in ("day", "days"):
+            return (d - _dt.date(1970, 1, 1)).days
+        if not isinstance(value, _dt.datetime):
+            raise ValueError("hour transform is invalid for date sources")
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=value.tzinfo)
+        return int((value - epoch).total_seconds()) // 3600
+    raise ValueError(f"unknown Iceberg partition transform {transform!r}")
+
+
+#: transforms that preserve source ordering — range filters on the
+#: source column translate to range filters on the partition value
+#: (spec §Partition Transforms: truncate and the time transforms are
+#: order-preserving; bucket is not)
+ORDER_PRESERVING = re.compile(
+    r"^(identity|truncate\[\d+\]|years?|months?|days?|hours?)$"
+)
+
+
 # ---------------------------------------------------------------------------
 # 32-bit modular arithmetic on BIGINT Columns
 # ---------------------------------------------------------------------------

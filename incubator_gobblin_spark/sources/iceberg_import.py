@@ -320,6 +320,7 @@ def snapshot_files(
                 {
                     "path": _local_path(df_["file_path"]),
                     "partition": df_.get("partition") or {},
+                    "spec_id": int(mf.get("partition_spec_id") or 0),
                     "seq": seq,
                     "lower_bounds": {
                         kv["key"]: kv["value"]
@@ -369,6 +370,7 @@ def prune_files(
     filters: list[tuple],
     schema_fields: list[dict],
     part_cols: list[str],
+    specs_by_id: dict[int, dict] | None = None,
 ) -> list[dict]:
     """Metadata-level file skipping for an imported table — the reason
     the export carries bounds at all. ``filters`` is a list of
@@ -378,12 +380,70 @@ def prune_files(
     columns, missing bounds, or unhandled types keep the file — pruning
     may only ever cost a read it skipped.
 
+    HIDDEN partitioning prunes too (spec §Partition Transforms — the
+    point of Iceberg's design: filters on the SOURCE column prune
+    transform partitions): with ``specs_by_id``, an equality filter on
+    a bucket/truncate source compares the transformed literal
+    (functions.iceberg_transforms.transform_py) against the file's
+    partition value, and range filters prune on the order-preserving
+    transforms (truncate, year/month/day/hour — not bucket).
+
     Scale: O(files) driver-side metadata, zero data I/O — at foreign-
     table scale this is the difference between handing Spark a million-
-    path listing and the dozen files a point query touches."""
+    path listing and the dozen files a point query touches. On a
+    1000-bucket foreign table a point lookup reads 1/1000th of the
+    files instead of all of them."""
+    from incubator_gobblin_spark.functions.iceberg_transforms import (
+        ORDER_PRESERVING,
+        transform_py,
+    )
+
     by_name = {f["name"]: f for f in schema_fields}
+    id2name = {f["id"]: f["name"] for f in schema_fields}
+
+    def transform_may_match(f: dict, col: str, op: str, val) -> bool:
+        """False only when some transform-partition value PROVES no
+        row of ``f`` can match ``col op val``."""
+        spec = (specs_by_id or {}).get(f.get("spec_id", 0))
+        if not spec:
+            return True
+        for pf in spec.get("fields", []):
+            if id2name.get(pf["source-id"]) != col:
+                continue
+            tf = pf["transform"]
+            if tf == "identity":
+                continue  # identity handled by the part_cols path
+            pv = f["partition"].get(pf.get("name") or col)
+            if pv is None:
+                continue
+            fld = by_name.get(col)
+            if fld is None or not isinstance(fld["type"], str):
+                continue
+            try:
+                tv = transform_py(tf, val, fld["type"])
+            except (ValueError, TypeError):
+                continue
+            if tv is None:
+                continue
+            try:
+                if op == "=":
+                    if pv != tv:
+                        return False
+                elif ORDER_PRESERVING.match(tf):
+                    # order-preserving: rows satisfying the range have
+                    # partition values on the same side of tv
+                    # (inclusive — the transform is many-to-one)
+                    if op in ("<", "<=") and pv > tv:
+                        return False
+                    if op in (">", ">=") and pv < tv:
+                        return False
+            except TypeError:
+                continue
+        return True
 
     def may_match(f: dict, col: str, op: str, val) -> bool:
+        if not transform_may_match(f, col, op, val):
+            return False
         if col in part_cols:
             pv = f["partition"].get(col)
             if pv is None:
@@ -575,10 +635,18 @@ def read_iceberg(
     )
     if filters:
         # metadata-level file skipping on partition values + exported
-        # column bounds (see prune_files) — conservative, then the same
-        # filters MUST still be applied row-level by the caller
+        # column bounds + HIDDEN-partition transforms (see prune_files)
+        # — conservative, then the same filters MUST still be applied
+        # row-level by the caller
         files = prune_files(
-            files, filters, schema_json["fields"], part_cols
+            files,
+            filters,
+            schema_json["fields"],
+            part_cols,
+            specs_by_id={
+                s["spec-id"]: s
+                for s in metadata.get("partition-specs", [])
+            },
         )
     if not files:
         return spark.createDataFrame([], schema)
