@@ -42,6 +42,40 @@ _M32 = 0x100000000  # 2^32
 # ---------------------------------------------------------------------------
 
 
+def epoch_micros(value) -> int:
+    """Timezone-independent epoch micros for a datetime literal.
+
+    Naive datetimes are treated as UTC — the engine pins the Spark
+    session TZ to UTC, but ``value.timestamp()`` would interpret a
+    naive datetime in the HOST's local zone, silently shifting bucket
+    and time-transform values on non-UTC drivers. Only tz-aware inputs
+    go through ``timestamp()`` (where the offset is explicit)."""
+    import datetime as _dt
+
+    if value.tzinfo is not None:
+        return int(value.timestamp() * 1_000_000)
+    return (value - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
+
+
+def epoch_norm(value):
+    """Normalize an Avro-logical-decoded partition literal to the epoch
+    ints :func:`transform_py` produces: ``datetime`` -> epoch micros
+    (tz-independent), ``date`` -> epoch days, everything else
+    unchanged. Metadata pruning and delete-scope matching compare
+    manifest partition values (decoded to date/datetime by the Avro
+    reader) against transform results (epoch ints); without this
+    normalization ``date != int`` is vacuously true and a matching
+    file would be silently pruned."""
+    import datetime as _dt
+
+    if isinstance(value, _dt.datetime):
+        return epoch_micros(value)
+    if isinstance(value, _dt.date):
+        return (value - _dt.date(1970, 1, 1)).days
+    return value
+
+
+
 def murmur3_32(data: bytes, seed: int = 0) -> int:
     """Murmur3 x86 32-bit (signed result) — the spec's bucket hash."""
     h = seed
@@ -109,7 +143,7 @@ def transform_py(transform: str, value, ice_type: str):
         elif ice_type in ("timestamp", "timestamptz") and isinstance(
             value, _dt.datetime
         ):
-            value = int(value.timestamp() * 1_000_000)
+            value = epoch_micros(value)
         return bucket_py(value, int(m.group(1)), ice_type)
     m = _TRUNCATE_RE.match(transform)
     if m:

@@ -55,6 +55,15 @@ def get_spark(
         # TIMESTAMP (ltz) at the scan so date/watermark filters stay
         # pushable (a post-scan ntz->ltz cast would block pushdown).
         "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+        # Field-id column resolution is an engine default: lake reads
+        # (Delta column-mapping mode=id, Iceberg id-carrying files)
+        # attach parquet.field.id metadata to their read schemas and
+        # need this on AT ACTION TIME (the conf is consulted when the
+        # lazy scan executes, so a set/restore around DataFrame
+        # construction would silently break deferred reads). It is
+        # inert for schemas without field-id metadata — plain reads
+        # are unaffected.
+        "spark.sql.parquet.fieldId.read.enabled": "true",
         "spark.ui.enabled": os.environ.get("SPARK_GRAFT_UI", "false"),
     }
     if extra_conf:
@@ -64,6 +73,21 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ensure_field_id_read(spark: SparkSession) -> None:
+    """Enable parquet field-id column resolution for lake scans.
+
+    ``get_spark`` already sets this as an engine default; this helper
+    covers CALLER-BUILT sessions, enabling the conf on first lake read
+    and leaving it on DELIBERATELY: the import functions return lazy
+    DataFrames and Spark consults the conf when the scan executes, so
+    a set/restore around DataFrame construction would silently break
+    every deferred read. The conf is inert for read schemas without
+    ``parquet.field.id`` metadata, so unrelated parquet reads are
+    unaffected (the engine only attaches field-id metadata to its own
+    lake scans)."""
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
 
 
 def table_path(sf_dir: str, name: str) -> str:

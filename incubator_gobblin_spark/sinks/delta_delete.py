@@ -269,7 +269,9 @@ def delete_delta_rows(
 
     elif mode == "id":
         schema = StructType.fromJson(_fieldid_type(schema_json))
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        from incubator_gobblin_spark.session import ensure_field_id_read
+
+        ensure_field_id_read(spark)
         part_cols = list(logical_part_cols)
         pv_keys = [phys_of[c] for c in logical_part_cols]
 

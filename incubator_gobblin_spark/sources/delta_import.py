@@ -628,7 +628,9 @@ def read_delta(
         # (the files carry ids per the protocol's writer requirements)
         # resolves the physical columns inside the scan
         schema = StructType.fromJson(_fieldid_type(schema_json))
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        from incubator_gobblin_spark.session import ensure_field_id_read
+
+        ensure_field_id_read(spark)
         part_cols = list(logical_part_cols)
         # partitionValues stay keyed by physical name even in id mode
         pv_keys = [phys_of[c] for c in logical_part_cols]

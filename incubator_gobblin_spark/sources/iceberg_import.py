@@ -128,12 +128,17 @@ def _split_groups_by_field_ids(
     MUST be resolved by id (rename-safe); files without (this engine's
     own exports — plain Spark parquet) resolve by name, the spec's
     identity name-mapping. Footer sniff is driver-side pyarrow
-    ``read_schema`` — O(sampled files) metadata reads; a homogeneous
-    sample (the overwhelmingly common case: one writer per table)
-    short-circuits to classifying every file the same way, so steady
-    cost is 8 footer reads per read. A file misclassified as
-    id-carrying fails LOUDLY at scan (no silent nulls) because
-    ``ignoreMissing`` stays off."""
+    ``read_schema`` — O(files) metadata reads, with one asymmetric
+    shortcut: when the first 8 files ALL carry ids, the rest are
+    classified id-carrying without sniffing, because that
+    misclassification direction fails LOUDLY at scan (a plain file
+    read under a field-id schema errors — ``ignoreMissing`` stays
+    off). The reverse direction is SILENT (an id-carrying file read
+    by name returns nulls for renamed columns), so a plain sample
+    never short-circuits: every remaining footer is sniffed. Footer
+    reads are metadata-only and driver-side — cheap even at
+    thousands of files, and the loud-direction shortcut keeps the
+    single-foreign-writer steady state at 8 reads."""
     import pyarrow.parquet as pq
 
     def _has_ids(fp: str) -> bool:
@@ -151,11 +156,14 @@ def _split_groups_by_field_ids(
     flags = {f: _has_ids(f) for f in sample}
     rest = all_files[len(sample):]
     if rest:
-        vals = set(flags.values())
-        if len(vals) == 1:
-            uniform = vals.pop()
-            flags.update({f: uniform for f in rest})
+        if flags and all(flags.values()):
+            # homogeneous WITH ids — the loud direction: a plain file
+            # misclassified here errors at scan rather than nulling
+            flags.update({f: True for f in rest})
         else:
+            # any id-less file in the sample: sniff everything — a
+            # later id-carrying file classified by name would read
+            # renamed columns as null SILENTLY
             flags.update({f: _has_ids(f) for f in rest})
     with_ids: dict[tuple, list[str]] = {}
     plain: dict[tuple, list[str]] = {}
@@ -395,6 +403,7 @@ def prune_files(
     files instead of all of them."""
     from incubator_gobblin_spark.functions.iceberg_transforms import (
         ORDER_PRESERVING,
+        epoch_norm,
         transform_py,
     )
 
@@ -424,6 +433,21 @@ def prune_files(
             except (ValueError, TypeError):
                 continue
             if tv is None:
+                continue
+            # Avro logical decoding yields date/datetime partition
+            # values while transform_py yields epoch ints; compare in
+            # epoch space, and if the types STILL disagree keep the
+            # file — "pruning may only ever cost a read it skipped"
+            pv = epoch_norm(pv)
+            if not (
+                type(pv) is type(tv)
+                or (
+                    isinstance(pv, (int, float))
+                    and not isinstance(pv, bool)
+                    and isinstance(tv, (int, float))
+                    and not isinstance(tv, bool)
+                )
+            ):
                 continue
             try:
                 if op == "=":
@@ -513,7 +537,9 @@ def _assemble_iceberg(
             )
         )
     if with_ids:
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        from incubator_gobblin_spark.session import ensure_field_id_read
+
+        ensure_field_id_read(spark)
         parts.append(
             assemble_snapshot(
                 spark,
@@ -830,13 +856,11 @@ def read_iceberg(
             # Avro-decoded day/timestamp partition values may arrive as
             # date/datetime objects; the transform results are epoch
             # ints — normalize the literal side to match
-            import datetime as _dt
+            from incubator_gobblin_spark.functions.iceberg_transforms import (
+                epoch_norm as _norm,
+            )
 
-            if isinstance(v, _dt.datetime):
-                return int(v.timestamp() * 1_000_000)
-            if isinstance(v, _dt.date):
-                return (v - _dt.date(1970, 1, 1)).days
-            return v
+            return _norm(v)
 
         # group by (equality ids, spec id): scope transforms must be
         # uniform within a group, and a table evolved across specs may

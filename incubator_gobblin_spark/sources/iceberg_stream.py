@@ -300,12 +300,21 @@ class IcebergStreamReader(DataSourceStreamReader):
         cols = {}
         for name, ddl in self.fields:
             fid = self.field_ids.get(name)
-            src = by_id.get(fid, name) if fid is not None else name
+            # Spec: id-carrying files resolve by id ONLY — after a
+            # rename-then-re-add (old "a" -> "b", new "a" added), a
+            # name fallback would misread the OLD column's values into
+            # the new column. A missing id in an id-carrying file
+            # yields null; name matching applies only to id-less files
+            # (identity name-mapping).
+            if by_id and fid is not None:
+                src = by_id.get(fid)
+            else:
+                src = name
             if name in self.part_cols:
                 cols[name] = [
                     self._cast_part(ddl, part.partition_values.get(name))
                 ] * n
-            elif src in table.column_names:
+            elif src is not None and src in table.column_names:
                 cols[name] = table.column(src).to_pylist()
             else:
                 cols[name] = [None] * n

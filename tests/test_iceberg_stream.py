@@ -362,3 +362,123 @@ def test_iceberg_stream_resolves_renamed_columns_by_field_id(
     parts = reader.partitions({"seq": 0}, {"seq": hi})
     rows = sorted(r for p in parts for r in reader.read(p))
     assert rows == [(1, "a"), (2, "b")]  # values, not nulls
+
+
+def test_iceberg_stream_id_files_never_fall_back_to_name(spark, tmp_path):
+    """ADVICE r9: id-carrying files must resolve by id ONLY. After a
+    rename-then-re-add (old column "a" -> "b", NEW column "a" added
+    with a fresh id), a name fallback for the missing id would stream
+    the OLD column's values into the new column; the spec requires a
+    missing field id in an id-carrying file to read null."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incubator_gobblin_spark.formats.avro_ocf import encode_ocf
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        _MANIFEST_LIST_AVRO,
+        _manifest_entry_avro,
+    )
+
+    root = str(tmp_path / "readd")
+    os.makedirs(os.path.join(root, "data"))
+    meta_dir = os.path.join(root, "metadata")
+    os.makedirs(meta_dir)
+    # file written BEFORE the rename: column "a" is field id 2
+    fp = os.path.join(root, "data", "f1.parquet")
+    pq.write_table(
+        pa.table(
+            {"k": pa.array([1, 2], pa.int64()),
+             "a": pa.array(["old1", "old2"], pa.string())},
+            schema=pa.schema(
+                [
+                    pa.field("k", pa.int64(),
+                             metadata={b"PARQUET:field_id": b"1"}),
+                    pa.field("a", pa.string(),
+                             metadata={b"PARQUET:field_id": b"2"}),
+                ]
+            ),
+        ),
+        fp,
+    )
+    entry_schema = _manifest_entry_avro(
+        {"type": "record", "name": "r102", "fields": []}
+    )
+    manifest = os.path.join(meta_dir, "readd-m0.avro")
+    with open(manifest, "wb") as fh:
+        fh.write(
+            encode_ocf(
+                entry_schema,
+                [{"status": 1, "snapshot_id": 3, "sequence_number": 1,
+                  "file_sequence_number": 1,
+                  "data_file": {"content": 0, "file_path": fp,
+                                "file_format": "PARQUET", "partition": {},
+                                "record_count": 2,
+                                "file_size_in_bytes": os.path.getsize(fp)}}],
+                codec="null",
+                extra_meta={"schema": b"{}", "partition-spec": b"[]",
+                            "partition-spec-id": b"0",
+                            "format-version": b"2", "content": b"data"},
+            )
+        )
+    mlist = os.path.join(meta_dir, "snap-3-1-readd.avro")
+    with open(mlist, "wb") as fh:
+        fh.write(
+            encode_ocf(
+                _MANIFEST_LIST_AVRO,
+                [{"manifest_path": manifest,
+                  "manifest_length": os.path.getsize(manifest),
+                  "partition_spec_id": 0, "content": 0,
+                  "sequence_number": 1, "min_sequence_number": 1,
+                  "added_snapshot_id": 3, "added_files_count": 1,
+                  "existing_files_count": 0, "deleted_files_count": 0,
+                  "added_rows_count": 2, "existing_rows_count": 0,
+                  "deleted_rows_count": 0}],
+                codec="null",
+                extra_meta={"format-version": b"2"},
+            )
+        )
+    metadata = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-000000000006",
+        "location": root,
+        "last-sequence-number": 1,
+        "last-updated-ms": 0,
+        "last-column-id": 3,
+        "current-schema-id": 0,
+        "schemas": [
+            {"type": "struct", "schema-id": 0, "fields": [
+                {"id": 1, "name": "k", "required": False, "type": "long"},
+                # id 2 renamed a -> b; id 3 is a NEW column reusing "a"
+                {"id": 2, "name": "b", "required": False,
+                 "type": "string"},
+                {"id": 3, "name": "a", "required": False,
+                 "type": "string"},
+            ]}
+        ],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {},
+        "current-snapshot-id": 3,
+        "snapshots": [
+            {"snapshot-id": 3, "sequence-number": 1, "timestamp-ms": 0,
+             "summary": {"operation": "append"}, "manifest-list": mlist,
+             "schema-id": 0}
+        ],
+        "snapshot-log": [],
+        "metadata-log": [],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(metadata, fh)
+
+    reader = _reader(root)
+    hi = reader.latestOffset()["seq"]
+    parts = reader.partitions({"seq": 0}, {"seq": hi})
+    rows = sorted(r for p in parts for r in reader.read(p))
+    # b streams the old values by id; the re-added "a" streams null —
+    # a name fallback would have put "old1"/"old2" in the a slot
+    assert rows == [(1, "old1", None), (2, "old2", None)]

@@ -159,3 +159,148 @@ def test_transform_expr_dispatch_and_refusals(spark):
         transform_expr("bucket[4]", F.col("v"), "decimal(9,2)")
     with pytest.raises(ValueError, match="invalid for date"):
         transform_expr("hour", F.col("v"), "date")
+
+
+def test_bucket_timestamp_naive_is_timezone_independent():
+    """A NAIVE datetime must bucket as UTC regardless of the host's
+    local timezone: ``value.timestamp()`` would interpret it in the
+    OS zone and shift the driver-side prune value off the spec's —
+    epoch_micros does the arithmetic timezone-free. Spec vector:
+    2017-11-16T22:31:08 = 1510871468000000 micros."""
+    import time
+
+    from incubator_gobblin_spark.functions.iceberg_transforms import (
+        epoch_micros,
+        transform_py,
+    )
+
+    naive = datetime.datetime(2017, 11, 16, 22, 31, 8)
+    assert epoch_micros(naive) == 1510871468000000
+    expected = bucket_py(1510871468000000, 16, "timestamp")
+    old_tz = os.environ.get("TZ")
+    try:
+        os.environ["TZ"] = "America/New_York"
+        time.tzset()
+        assert transform_py("bucket[16]", naive, "timestamp") == expected
+        assert epoch_micros(naive) == 1510871468000000
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()
+    # tz-aware inputs still honor their explicit offset
+    aware = datetime.datetime(
+        2017, 11, 16, 17, 31, 8,
+        tzinfo=datetime.timezone(datetime.timedelta(hours=-5)),
+    )
+    assert epoch_micros(aware) == 1510871468000000
+
+
+def test_epoch_norm_normalizes_avro_logical_values():
+    from incubator_gobblin_spark.functions.iceberg_transforms import (
+        epoch_norm,
+    )
+
+    assert epoch_norm(datetime.date(2017, 11, 16)) == 17486
+    assert (
+        epoch_norm(datetime.datetime(2017, 11, 16, 22, 31, 8))
+        == 1510871468000000
+    )
+    assert epoch_norm(42) == 42
+    assert epoch_norm("s") == "s"
+
+
+def test_prune_day_transform_compares_in_epoch_space():
+    """ADVICE r9 (high): manifests decoded through Avro logicalType
+    carry day-transform partition values as datetime.date while
+    transform_py yields epoch-day ints; date != int is vacuously true,
+    so a matching file was silently PRUNED. Normalized comparison must
+    keep the matching file and still prune the non-matching one."""
+    from incubator_gobblin_spark.sources.iceberg_import import prune_files
+
+    fields = [
+        {"id": 1, "name": "ts", "required": False, "type": "timestamp"}
+    ]
+    spec = {
+        "spec-id": 0,
+        "fields": [
+            {
+                "source-id": 1,
+                "field-id": 1000,
+                "name": "ts_day",
+                "transform": "day",
+            }
+        ],
+    }
+    f_match = {
+        "path": "match.parquet",
+        "partition": {"ts_day": datetime.date(2020, 1, 2)},
+        "spec_id": 0,
+    }
+    f_other = {
+        "path": "other.parquet",
+        "partition": {"ts_day": datetime.date(2020, 5, 9)},
+        "spec_id": 0,
+    }
+    kept = prune_files(
+        [f_match, f_other],
+        [("ts", "=", datetime.datetime(2020, 1, 2, 10, 30))],
+        fields,
+        [],
+        specs_by_id={0: spec},
+    )
+    assert [f["path"] for f in kept] == ["match.parquet"]
+    # order-preserving range on the same date-typed partition values
+    kept = prune_files(
+        [f_match, f_other],
+        [("ts", "<", datetime.datetime(2020, 2, 1))],
+        fields,
+        [],
+        specs_by_id={0: spec},
+    )
+    assert [f["path"] for f in kept] == ["match.parquet"]
+    # epoch-int partition values (foreign manifests without logical
+    # decoding) keep working identically
+    f_int = dict(f_match, partition={"ts_day": 18263})
+    kept = prune_files(
+        [f_int, f_other],
+        [("ts", "=", datetime.datetime(2020, 1, 2, 10, 30))],
+        fields,
+        [],
+        specs_by_id={0: spec},
+    )
+    assert [f["path"] for f in kept] == ["match.parquet"]
+
+
+def test_prune_transform_type_mismatch_is_conservative():
+    """A partition value whose type still disagrees with the transform
+    result AFTER epoch normalization must never prove a non-match —
+    pruning may only ever cost a read it skipped."""
+    from incubator_gobblin_spark.sources.iceberg_import import prune_files
+
+    fields = [{"id": 1, "name": "ts", "required": False, "type": "timestamp"}]
+    spec = {
+        "spec-id": 0,
+        "fields": [
+            {
+                "source-id": 1,
+                "field-id": 1000,
+                "name": "ts_day",
+                "transform": "day",
+            }
+        ],
+    }
+    f_weird = {
+        "path": "weird.parquet",
+        "partition": {"ts_day": "18263"},
+        "spec_id": 0,
+    }
+    kept = prune_files(
+        [f_weird],
+        [("ts", "=", datetime.datetime(2020, 1, 2))],
+        fields,
+        [],
+        specs_by_id={0: spec},
+    )
+    assert [f["path"] for f in kept] == ["weird.parquet"]
