@@ -73,60 +73,62 @@ def register(name: str, oracle: str | None):
 # r07. The local parity suite (tests/test_oracle_parity.py) still
 # proves ALL oracle-backed queries on every pytest run regardless.
 _WINDOW_HEAD = [
-    # --- brand-new r9 queries (first driver rows ever) ---
-    "q133_delta_column_mapping_agg",
-    "q134_delta_time_travel_agg",
-    "q135_iceberg_time_travel_agg",
-    "q136_iceberg_rename_agg",
-    "q137_iceberg_eqdelete_scope_agg",
-    # --- r06-stale block (last driver-green r06 — the policy edge) ---
-    "q01_pricing_summary",
-    "q02_filter_project",
-    "q03_revenue_by_nation",
-    "q05_purge_anti_join",
-    "q07_dedup_exact_fingerprint",
-    "q14_sessionize",
-    "q24_time_partition",
-    "q25_watermark_increment",
-    "q27_quality_counts",
-    "q36_window_functions",
-    "q38_scalar_functions",
-    "q39_count_distinct",
-    "q40_having",
-    "q41_case_bucketing",
-    "q43_cross_join",
-    "q44_shuffle_join",
-    "q45_from_json_struct",
-    "q46_union_all",
-    "q47_compaction_audit",
-    "q50_knn_l2",
-    "q51_embedding_neardup_exact",
-    "q55_ivf_assign",
-    "q56_avro_scan_agg",
-    "q59_scalar_subquery_above_avg",
-    "q61_rest_entry_projection",
-    "q86_profile_columns",
-    "q87_orc_scan_agg",
-    "q101_c4_rules",
-    "q102_gopher_rules",
-    "q103_weighted_sample",
-    "q104_approx_distinct",
-    "q105_approx_median_rank",
-    # --- r07-green fill (2 rounds old; newest single-row queries and
-    # the r5 LLM wave first) ---
-    "q125_semantic_decontam_lsh",
-    "q126_semantic_prefilter_audit",
-    "q127_iceberg_incremental_agg",
-    "q107_rest_ingest_agg",
-    "q109_duplicated_spans",
-    "q113_shuffle_shards",
-    "q116_semantic_decontaminate",
-    "q118_cms_heavy_hitters",
-    "q119_funnel_steps",
-    "q120_cohort_retention",
-    "q121_bpe_pair_counts",
-    "q122_char_entropy",
-    "q123_delta_roundtrip_agg",
+    # --- first driver rows ever (registered late r9) ---
+    "q138_delta_dv_delete_agg",
+    "q139_iceberg_transform_scope_agg",
+    # --- r07-stale block (last driver-green r07 — 3 rounds old at
+    # r10, past the ~2-round policy; ALL 37 take slots per VERDICT r9
+    # ask 1) ---
+    "q04_segment_rollup",
+    "q06_semi_join",
+    "q08_dedup_argmax",
+    "q09_topk_per_group",
+    "q10_newest_k_deletable",
+    "q11_time_retention",
+    "q12_select_between",
+    "q13_running_total",
+    "q15_rollup",
+    "q16_cube",
+    "q17_grouping_sets",
+    "q18_union",
+    "q19_intersect",
+    "q20_except",
+    "q21_explode_tokens",
+    "q22_regex_filter",
+    "q23_json_extract",
+    "q26_sample_mod",
+    "q28_text_stats",
+    "q29_lang_guess",
+    "q30_token_jaccard",
+    "q33_ann_cosine_topk",
+    "q35_pivot_events",
+    "q37_moving_sum",
+    "q42_full_outer_join",
+    "q48_oldest_k",
+    "q49_text_quality",
+    "q52_embedding_neardup_lsh",
+    "q53_asof_join",
+    "q54_range_join",
+    "q108_temperature_mixture",
+    "q110_trim_dup_spans",
+    "q111_unimax_mixture",
+    "q112_linear_probe_fit",
+    "q114_linear_probe_score",
+    "q115_trim_contaminated",
+    "q117_lsh_dedup_audit",
+    # --- r08-green fill (2 rounds old; the remaining 39 r08-green
+    # rotate at r11) ---
+    "q31_minhash_candidates",
+    "q32_simhash_neardups",
+    "q34_ann_lsh_topk",
+    "q57_orc_scan_agg",
+    "q58_envelope_decode_agg",
+    "q60_time_partition_tree_rollup",
+    "q62_winnow_fingerprints",
+    "q65_chunk_documents",
+    "q66_pii_redaction",
+    "q67_ivf_topk",
+    "q70_decontamination",
 ]
 
 
