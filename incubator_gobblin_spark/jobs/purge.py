@@ -91,6 +91,108 @@ def purge(
     )
 
 
+@dataclass
+class PurgeLakeResult:
+    table_format: str  # "delta" | "iceberg"
+    version: int
+    rows_purged: int
+    delete_files: int
+    files_removed: int
+
+
+def purge_lake(
+    spark: SparkSession,
+    table_path: str,
+    ids: DataFrame,
+    on: Sequence[str] | str,
+) -> PurgeLakeResult:
+    """GDPR purge on a LAKE table — committed as row-level delete
+    metadata (Delta deletion vectors / Iceberg position-delete files),
+    never a data-file rewrite.
+
+    The reference purges per Hive partition with INSERT OVERWRITE
+    (gobblin-compliance HivePurgerQueryTemplate.java:82-89 — a
+    MAPJOIN anti-join that rewrites the whole partition to drop a few
+    rows); on a lake table this engine commits tombstones instead:
+    the same broadcast-id matching, but the write is O(matched rows)
+    of bitmap/coordinate bytes and one metadata commit, not O(touched
+    partitions) of data. At 100 TB, purging one user's rows costs
+    kilobytes of metadata instead of re-writing terabytes.
+
+    Detects the table format from the path: a ``_delta_log`` dir means
+    Delta (``sinks.delta_delete.delete_delta_rows``), a ``metadata``
+    dir with ``v*.metadata.json`` means Iceberg
+    (``sinks.iceberg_delete.delete_iceberg_rows``). Plain
+    (non-lake-exported) datasets keep using :func:`purge` — the
+    partition-preserving rewrite. ``verify_purge_lake`` re-reads the
+    committed table through the lake read path for the separate
+    compliance-validation pass.
+    """
+    import os
+
+    on_cols = [on] if isinstance(on, str) else list(on)
+    if os.path.isdir(os.path.join(table_path, "_delta_log")):
+        from incubator_gobblin_spark.sinks.delta_delete import (
+            delete_delta_rows,
+        )
+
+        r = delete_delta_rows(spark, table_path, ids=ids, on=on_cols)
+        return PurgeLakeResult(
+            table_format="delta",
+            version=r["version"],
+            rows_purged=r["rows_deleted"],
+            delete_files=r["dv_files"],
+            files_removed=r["files_removed"],
+        )
+    meta_dir = os.path.join(table_path, "metadata")
+    if os.path.isdir(meta_dir) and any(
+        f.startswith("v") and f.endswith(".metadata.json")
+        for f in os.listdir(meta_dir)
+    ):
+        from incubator_gobblin_spark.sinks.iceberg_delete import (
+            delete_iceberg_rows,
+        )
+
+        r = delete_iceberg_rows(spark, table_path, ids=ids, on=on_cols)
+        return PurgeLakeResult(
+            table_format="iceberg",
+            version=r["version"],
+            rows_purged=r["rows_deleted"],
+            delete_files=r["delete_files"],
+            files_removed=0,
+        )
+    raise ValueError(
+        f"purge_lake: {table_path} carries neither a Delta log nor "
+        "Iceberg metadata — use purge() for plain datasets"
+    )
+
+
+def verify_purge_lake(
+    spark: SparkSession,
+    table_path: str,
+    ids: DataFrame,
+    on: Sequence[str] | str,
+) -> int:
+    """Compliance validation for :func:`purge_lake` — re-read the LAKE
+    table (tombstones applied) and count rows still matching the id
+    set; must be 0. Separate from the purge itself, like
+    gobblin-compliance's validation job."""
+    import os
+
+    key = [on] if isinstance(on, str) else list(on)
+    if os.path.isdir(os.path.join(table_path, "_delta_log")):
+        from incubator_gobblin_spark.sources.delta_import import read_delta
+
+        df = read_delta(spark, table_path)
+    else:
+        from incubator_gobblin_spark.sources.iceberg_import import (
+            read_iceberg,
+        )
+
+        df = read_iceberg(spark, table_path)
+    return df.join(F.broadcast(ids), on=key, how="left_semi").count()
+
+
 def verify_purge(
     spark: SparkSession,
     data_path: str,

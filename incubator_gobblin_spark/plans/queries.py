@@ -73,9 +73,11 @@ def register(name: str, oracle: str | None):
 # r07. The local parity suite (tests/test_oracle_parity.py) still
 # proves ALL oracle-backed queries on every pytest run regardless.
 _WINDOW_HEAD = [
-    # --- first driver rows ever (registered late r9) ---
+    # --- first driver rows ever (q138/q139 registered late r9; q140
+    # is new this round) ---
     "q138_delta_dv_delete_agg",
     "q139_iceberg_transform_scope_agg",
+    "q140_iceberg_pos_delete_agg",
     # --- r07-stale block (last driver-green r07 — 3 rounds old at
     # r10, past the ~2-round policy; ALL 37 take slots per VERDICT r9
     # ask 1) ---
@@ -128,7 +130,6 @@ _WINDOW_HEAD = [
     "q65_chunk_documents",
     "q66_pii_redaction",
     "q67_ivf_topk",
-    "q70_decontamination",
 ]
 
 
@@ -5813,6 +5814,81 @@ def q139_iceberg_transform_scope_agg(
             ["doc_id"],
             partition_scope={"doc_trunc": 300},
         )
+    df = read_iceberg(spark, cache)
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+
+
+@register(
+    "q140_iceberg_pos_delete_agg",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents
+    WHERE doc_id % 9 <> 4 AND doc_id % 13 <> 6
+    GROUP BY lang
+    """,
+)
+def q140_iceberg_pos_delete_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's OWN predicate-driven Iceberg DELETE under the hard
+    oracle (spec §Position Delete Files, write side —
+    sinks.iceberg_delete.delete_iceberg_rows): the documents table is
+    exported as a lang-partitioned Iceberg table, then TWO successive
+    row-level DELETEs commit position-delete snapshots — doc_id%9==4,
+    then doc_id%13==6 — so the second must scan with the first's
+    tombstones applied (no re-deleted coordinates; its
+    deleted-records summary counts only newly-dead rows) and its
+    manifest list must carry the first delete manifest by reference.
+    ``read_iceberg`` then applies both delete files; the aggregate
+    must match the oracle's double-predicate value-for-value.
+
+    Scale shape: each DELETE is one snapshot scan with the predicate
+    pushed into it + ONE exchange of matched coordinates hash-keyed on
+    file path (executors write the sorted delete parquet; the driver
+    sees only per-file footer counts and the commit JSON); the read
+    back is the scan + broadcast pos-delete anti-join q127/q128
+    pinned. Reference shape: HivePurgerQueryTemplate.java:82-89
+    rewrites whole partitions for the same job — this is the
+    tombstone-sized equivalent.
+    """
+    import os as _os
+
+    from incubator_gobblin_spark.sinks.files import FileSink, TableType
+    from incubator_gobblin_spark.sinks.iceberg_delete import (
+        delete_iceberg_rows,
+    )
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        _metadata_versions,
+    )
+    from incubator_gobblin_spark.sources.iceberg_import import read_iceberg
+
+    cache = _cache_dir("iceberg_rowdel", sf_dir, "documents")
+    sink = FileSink(
+        path=cache,
+        commit_mode="manifest",
+        table_type=TableType.APPEND_ONLY,
+        partition_by=["lang"],
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    try:
+        committed = sink.current_manifest("base", materialize=False) is not None
+    except FileNotFoundError:
+        committed = False
+    if not committed:
+        sink.write_staging(docs, "base")
+        sink.publish("base")
+    meta_dir = _os.path.join(cache, "metadata")
+    if not _os.path.isdir(meta_dir):
+        sink.export_iceberg()  # v1: full base state
+    if _metadata_versions(meta_dir)[-1] < 2:
+        delete_iceberg_rows(spark, cache, "doc_id % 9 = 4")
+    if _metadata_versions(meta_dir)[-1] < 3:
+        delete_iceberg_rows(spark, cache, "doc_id % 13 = 6")
     df = read_iceberg(spark, cache)
     return df.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -202,8 +202,10 @@ def _loosened_stats(add: dict) -> str | None:
 def delete_delta_rows(
     spark: SparkSession,
     path: str,
-    condition,
+    condition=None,
     *,
+    ids=None,
+    on=None,
     union_threshold: int = 16,
 ) -> dict:
     """DELETE FROM the Delta table at ``path`` WHERE ``condition`` —
@@ -220,12 +222,26 @@ def delete_delta_rows(
     whose every physical row is now deleted is removed outright, no
     vector written.
 
+    Purge form: pass ``ids`` (a DataFrame of keys) + ``on`` (the key
+    column names) INSTEAD of ``condition`` — matching rows are found by
+    a broadcast left-semi join (the GDPR-purge shape,
+    ``jobs.purge.purge_lake``; reference
+    HivePurgerQueryTemplate.java:82-89 is the same MAPJOIN with a
+    whole-partition rewrite where this commits bitmaps). Exactly one
+    of ``condition`` / ``ids`` must be given.
+
     Concurrency: the commit is the same put-if-absent ``os.link``
     publish as ``export_delta_log``. Losing the race re-replays — if
     the live state changed at all, the delete raises
     :class:`DeltaConcurrentModificationError` instead of committing
     positions computed against a stale snapshot.
     """
+    if (condition is None) == (ids is None):
+        raise ValueError(
+            "delete_delta_rows: pass exactly one of condition / ids"
+        )
+    if ids is not None and not on:
+        raise ValueError("delete_delta_rows: ids requires on=<key cols>")
     log_dir = os.path.join(path, "_delta_log")
     live, meta, proto = _replay_state(log_dir, None)
     check_reader_protocol(proto, meta, live, allow_column_mapping=True)
@@ -300,10 +316,17 @@ def delete_delta_rows(
         spark, groups, schema, part_cols, union_threshold,
         with_positions=True,
     )
-    cond = condition if isinstance(condition, Column) else F.expr(condition)
+    logical = _logicalize(df)
+    if ids is not None:
+        on_cols = [on] if isinstance(on, str) else list(on)
+        filtered = logical.join(F.broadcast(ids), on=on_cols, how="left_semi")
+    else:
+        cond = (
+            condition if isinstance(condition, Column) else F.expr(condition)
+        )
+        filtered = logical.filter(cond)
     matched = (
-        _logicalize(df)
-        .filter(cond)
+        filtered
         .select(
             decoded_file_path(F.col("_file_path")).alias("_path"),
             F.col("_row_index").alias("_pos"),

@@ -562,6 +562,7 @@ def read_iceberg(
     snapshot_id: int | None = None,
     union_threshold: int = 16,
     filters: list[tuple] | None = None,
+    _coords: bool = False,
 ) -> DataFrame:
     """Read an Iceberg table's committed snapshot (optionally a
     historical ``snapshot_id`` — Iceberg time travel) as a DataFrame.
@@ -596,6 +597,12 @@ def read_iceberg(
     file→seq map keyed on the DECODED absolute ``_metadata`` file path
     (the scan path is a percent-encoded URI; manifest paths are not —
     see ``delta_import.decoded_file_path``).
+
+    ``_coords=True`` (internal — sinks.iceberg_delete) additionally
+    returns the scan coordinates ``_norm_path`` (decoded absolute data
+    file path) and ``_row_index`` per surviving row, so a row-level
+    DELETE can turn matched rows into spec position-delete
+    coordinates without a second scan.
 
     Scale shape: every delete set is scanned once and broadcast while
     its manifest-declared record count stays under
@@ -675,7 +682,12 @@ def read_iceberg(
             },
         )
     if not files:
-        return spark.createDataFrame([], schema)
+        empty = spark.createDataFrame([], schema)
+        if _coords:
+            empty = empty.withColumn(
+                "_norm_path", F.lit(None).cast("string")
+            ).withColumn("_row_index", F.lit(None).cast("long"))
+        return empty
     groups: dict[tuple, list[str]] = {}
     for f in files:
         pv = f["partition"]
@@ -691,9 +703,21 @@ def read_iceberg(
             fp = os.path.join(path, fp)
         groups.setdefault(key, []).append(fp)
     if not delete_files:
-        return _assemble_iceberg(
-            spark, groups, schema_json, schema, part_cols, union_threshold
+        out = _assemble_iceberg(
+            spark, groups, schema_json, schema, part_cols, union_threshold,
+            with_positions=_coords,
         )
+        if _coords:
+            from incubator_gobblin_spark.sources.delta_import import (
+                decoded_file_path as _dfp,
+            )
+
+            out = out.select(
+                *[f.name for f in schema.fields],
+                _dfp(F.col("_file_path")).alias("_norm_path"),
+                "_row_index",
+            )
+        return out
 
     # row-level deletes present: carry the scan's (file_path,
     # row_index) coordinates through assembly, anti-join the tombstones
@@ -915,7 +939,10 @@ def read_iceberg(
                 "left_anti",
             )
 
-    return df.select(*[f.name for f in schema.fields])
+    keep = [f.name for f in schema.fields]
+    if _coords:
+        keep += ["_norm_path", "_row_index"]
+    return df.select(*keep)
 
 
 def read_iceberg_incremental(

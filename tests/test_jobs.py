@@ -1,8 +1,10 @@
 """Lifecycle jobs: compaction dedup, retention deletion, GDPR purge,
 dataset copy."""
 
+import os
 from datetime import datetime
 
+import pytest
 from pyspark.sql import functions as F
 
 from incubator_gobblin_spark.jobs import compaction, copy, purge, retention
@@ -537,3 +539,131 @@ def test_flow_from_path_runs_hops_in_order():
     result = run_flow(nodes)
     assert result.succeeded
     assert ran == ["e1", "e2", "e4"]
+
+
+def test_purge_lake_delta_commits_dv_not_rewrite(spark, sf_dir, tmp_path):
+    """GDPR purge onto a Delta-exported lake commits DELETION VECTORS:
+    the data file set is untouched (no rewrite), the new log version
+    re-adds touched files with DV descriptors, and the separate
+    compliance validation pass over read_delta counts zero survivors."""
+    import json as _json
+
+    from incubator_gobblin_spark.sinks.files import FileSink, TableType
+    from incubator_gobblin_spark.sources.delta_import import (
+        _log_versions,
+        read_delta,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    root = str(tmp_path / "pl_delta")
+    sink = FileSink(
+        path=root,
+        commit_mode="manifest",
+        table_type=TableType.APPEND_ONLY,
+        partition_by=["lang"],
+    )
+    sink.write_staging(docs, "r0")
+    sink.publish("r0")
+    sink.export_delta_log()
+    ids = docs.filter("doc_id % 17 = 2").select("doc_id")
+    n_ids = ids.count()
+
+    import glob as _glob
+
+    data_before = sorted(
+        p for p in _glob.glob(os.path.join(root, "**", "*.parquet"),
+                              recursive=True)
+        if "_delta_log" not in p
+    )
+    res = purge.purge_lake(spark, root, ids, on="doc_id")
+    assert res.table_format == "delta"
+    assert res.rows_purged == n_ids
+    assert res.delete_files + res.files_removed > 0
+    # NOT a rewrite: exactly the same physical data files afterward
+    data_after = sorted(
+        p for p in _glob.glob(os.path.join(root, "**", "*.parquet"),
+                              recursive=True)
+        if "_delta_log" not in p
+    )
+    assert data_after == data_before
+    # the commit is a DELETE carrying deletionVector adds
+    log_dir = os.path.join(root, "_delta_log")
+    head = _log_versions(log_dir)[-1]
+    with open(os.path.join(log_dir, f"{head:020d}.json")) as fh:
+        actions = [_json.loads(line) for line in fh if line.strip()]
+    assert any(
+        a.get("commitInfo", {}).get("operation") == "DELETE"
+        for a in actions
+    )
+    assert any("deletionVector" in (a.get("add") or {}) for a in actions)
+    assert purge.verify_purge_lake(spark, root, ids, on="doc_id") == 0
+    kept = read_delta(spark, root)
+    assert kept.count() == docs.count() - n_ids
+
+
+def test_purge_lake_iceberg_commits_delete_manifest(
+    spark, sf_dir, tmp_path
+):
+    """GDPR purge onto an Iceberg-exported lake commits a content=1
+    position-delete manifest: data files untouched, operation=delete
+    snapshot at the head, zero survivors via the lake read path."""
+    import glob as _glob
+
+    from incubator_gobblin_spark.sinks.files import FileSink, TableType
+    from incubator_gobblin_spark.sources.iceberg_import import (
+        current_metadata,
+        read_iceberg,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    root = str(tmp_path / "pl_ice")
+    sink = FileSink(
+        path=root,
+        commit_mode="manifest",
+        table_type=TableType.APPEND_ONLY,
+        partition_by=["lang"],
+    )
+    sink.write_staging(docs, "r0")
+    sink.publish("r0")
+    sink.export_iceberg()
+    ids = docs.filter("doc_id % 19 = 7").select("doc_id")
+    n_ids = ids.count()
+
+    data_before = sorted(
+        p for p in _glob.glob(os.path.join(root, "**", "*.parquet"),
+                              recursive=True)
+        if "_deletes" not in p
+    )
+    res = purge.purge_lake(spark, root, ids, on="doc_id")
+    assert res.table_format == "iceberg"
+    assert res.rows_purged == n_ids and res.delete_files >= 1
+    data_after = sorted(
+        p for p in _glob.glob(os.path.join(root, "**", "*.parquet"),
+                              recursive=True)
+        if "_deletes" not in p
+    )
+    assert data_after == data_before  # tombstones, not a rewrite
+    meta = current_metadata(root)
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    assert snap["summary"]["operation"] == "delete"
+    assert purge.verify_purge_lake(spark, root, ids, on="doc_id") == 0
+    kept = read_iceberg(spark, root)
+    assert kept.count() == docs.count() - n_ids
+
+
+def test_purge_lake_plain_dataset_refuses(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    root = str(tmp_path / "plain")
+    docs.write.parquet(root)
+    with pytest.raises(ValueError, match="neither a Delta log nor"):
+        purge.purge_lake(
+            spark, root, docs.select("doc_id"), on="doc_id"
+        )
