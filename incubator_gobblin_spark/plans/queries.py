@@ -78,6 +78,7 @@ _WINDOW_HEAD = [
     "q138_delta_dv_delete_agg",
     "q139_iceberg_transform_scope_agg",
     "q140_iceberg_pos_delete_agg",
+    "q141_iceberg_hidden_partition_agg",
     # --- r07-stale block (last driver-green r07 — 3 rounds old at
     # r10, past the ~2-round policy; ALL 37 take slots per VERDICT r9
     # ask 1) ---
@@ -128,7 +129,6 @@ _WINDOW_HEAD = [
     "q60_time_partition_tree_rollup",
     "q62_winnow_fingerprints",
     "q65_chunk_documents",
-    "q66_pii_redaction",
     "q67_ivf_topk",
 ]
 
@@ -5889,6 +5889,94 @@ def q140_iceberg_pos_delete_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         delete_iceberg_rows(spark, cache, "doc_id % 9 = 4")
     if _metadata_versions(meta_dir)[-1] < 3:
         delete_iceberg_rows(spark, cache, "doc_id % 13 = 6")
+    df = read_iceberg(spark, cache)
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+
+
+@register(
+    "q141_iceberg_hidden_partition_agg",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents
+    WHERE n_chars % 4 <> 1
+    GROUP BY lang
+    """,
+)
+def q141_iceberg_hidden_partition_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Transform-partitioned Iceberg EXPORT + engine row-level DELETE
+    under the hard oracle (spec §Partition Transforms, write side —
+    VERDICT r9 missing #3): the documents table is exported HIDDEN-
+    partitioned by truncate[100] over doc_id (the derived column is
+    the physical partition key, dropped from data files by
+    ``partitionBy`` while the SOURCE column stays — the spec's layout;
+    the authored spec field carries the transform, the source field
+    id, and the int result type), then ``delete_iceberg_rows``
+    tombstones n_chars%4==1 — the delete manifest's partition struct
+    must use the spec's transform field — and ``read_iceberg``
+    reconstructs the survivors value-for-value.
+
+    Scale shape: the export is metadata-only over the committed
+    manifest (no data read); the delete is one scan + one coordinate
+    exchange; the read back is scan + broadcast anti-join. The same
+    authored spec drives metadata pruning on the source column
+    (prune_files transform path, tested in test_iceberg) — a point
+    query on a 1000-bucket table reads 1/1000th of the files.
+    """
+    import os as _os
+
+    from incubator_gobblin_spark.functions.iceberg_transforms import (
+        transform_expr,
+    )
+    from incubator_gobblin_spark.sinks.files import FileSink, TableType
+    from incubator_gobblin_spark.sinks.iceberg_delete import (
+        delete_iceberg_rows,
+    )
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        _metadata_versions,
+    )
+    from incubator_gobblin_spark.sources.iceberg_import import read_iceberg
+
+    cache = _cache_dir("iceberg_hiddenpart", sf_dir, "documents")
+    sink = FileSink(
+        path=cache,
+        commit_mode="manifest",
+        table_type=TableType.APPEND_ONLY,
+        partition_by=["doc_id_trunc"],
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    try:
+        committed = sink.current_manifest("base", materialize=False) is not None
+    except FileNotFoundError:
+        committed = False
+    if not committed:
+        staged = docs.withColumn(
+            "doc_id_trunc",
+            transform_expr("truncate[100]", F.col("doc_id"), "long"),
+        )
+        sink.write_staging(staged, "base")
+        sink.publish("base")
+    meta_dir = _os.path.join(cache, "metadata")
+    if not _os.path.isdir(meta_dir):
+        sink.export_iceberg(
+            transform_spec=[
+                {
+                    "name": "doc_id_trunc",
+                    "transform": "truncate[100]",
+                    "source": "doc_id",
+                }
+            ]
+        )  # v1: full base state under the hidden spec
+    if _metadata_versions(meta_dir)[-1] < 2:
+        delete_iceberg_rows(spark, cache, "n_chars % 4 = 1")
     df = read_iceberg(spark, cache)
     return df.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),

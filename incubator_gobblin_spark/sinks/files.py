@@ -1028,7 +1028,10 @@ class FileSink:
         return root
 
     def export_iceberg(
-        self, as_of_run: str | None = None, mode: str = "auto"
+        self,
+        as_of_run: str | None = None,
+        mode: str = "auto",
+        transform_spec: list[dict] | None = None,
     ) -> str:
         """Export the committed snapshot as Apache Iceberg table
         metadata (``metadata/`` with vN.metadata.json + Avro manifest
@@ -1042,7 +1045,9 @@ class FileSink:
             export_iceberg,
         )
 
-        return export_iceberg(self, as_of_run, mode=mode)
+        return export_iceberg(
+            self, as_of_run, mode=mode, transform_spec=transform_spec
+        )
 
     def export_delta_log(
         self,

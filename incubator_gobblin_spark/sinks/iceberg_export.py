@@ -449,7 +449,7 @@ def _metadata_versions(meta_dir: str) -> list[int]:
 def _typed_partition_value(v, iceberg_type: str):
     if v is None:
         return None
-    return int(v) if iceberg_type == "long" else str(v)
+    return int(v) if iceberg_type in ("long", "int") else str(v)
 
 
 def _decode_manifest_list(snap: dict, location: str) -> list[dict]:
@@ -477,7 +477,12 @@ def _decode_manifest(row: dict, location: str) -> list[dict]:
     return _decode_avro_rows(mpath)
 
 
-def export_iceberg(sink, as_of_run: str | None = None, mode: str = "auto") -> str:
+def export_iceberg(
+    sink,
+    as_of_run: str | None = None,
+    mode: str = "auto",
+    transform_spec: list[dict] | None = None,
+) -> str:
     """Append one Iceberg snapshot reflecting ``sink``'s committed
     manifest (see module docstring). Returns the ``metadata/`` dir.
 
@@ -501,6 +506,24 @@ def export_iceberg(sink, as_of_run: str | None = None, mode: str = "auto") -> st
       when the current partition-type inference disagrees with the
       previous export's schema (mixed partition types across carried
       manifests would make typed restore ambiguous).
+
+    ``transform_spec`` declares HIDDEN partitioning (spec §Partition
+    Transforms): entries ``{"name", "transform", "source"}`` where
+    ``name`` is one of ``sink.partition_by``'s physical directory keys
+    — the caller derives that column with
+    ``functions.iceberg_transforms.transform_expr`` before
+    ``write_staging`` (Spark's ``partitionBy`` then drops the derived
+    column from the data files while keeping the SOURCE column, which
+    is exactly the spec's hidden-partition file layout) — ``transform``
+    is ``bucket[N]``/``truncate[W]``/``year``/``month``/``day``/
+    ``hour``, and ``source`` is the schema column it derives from. The
+    export writes the spec field under the transform with the
+    transform's result type, keeps the source column in the table
+    schema, and leaves the derived name OUT of it (it is metadata, not
+    data). ``partition_by`` entries not named in ``transform_spec``
+    stay identity-partitioned as before. Foreign scoped deletes and
+    this engine's own transform pruning (``prune_files``) then work
+    against the authored spec.
     """
     from urllib.parse import unquote
 
@@ -522,6 +545,22 @@ def export_iceberg(sink, as_of_run: str | None = None, mode: str = "auto") -> st
     meta_dir = os.path.join(location, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
     part_cols = list(sink.partition_by)
+    transforms_by_name: dict[str, dict] = {}
+    for t in transform_spec or []:
+        if t["name"] not in part_cols:
+            raise ValueError(
+                f"export_iceberg: transform_spec names {t['name']!r} "
+                "which is not a physical partition key of this sink — "
+                "derive the column with iceberg_transforms."
+                "transform_expr and include it in partition_by"
+            )
+        if t["transform"] == "identity":
+            raise ValueError(
+                "export_iceberg: identity entries are implicit — list "
+                "only transform-derived partition fields"
+            )
+        transforms_by_name[t["name"]] = t
+    identity_cols = [c for c in part_cols if c not in transforms_by_name]
 
     files: list[dict] = []
     for e in sorted(entries, key=lambda x: x["file"]):
@@ -557,7 +596,7 @@ def export_iceberg(sink, as_of_run: str | None = None, mode: str = "auto") -> st
 
     if files:
         schema, last_column_id, part_types = _iceberg_schema(
-            files[0]["path"], part_cols, [f["partition"] for f in files]
+            files[0]["path"], identity_cols, [f["partition"] for f in files]
         )
     else:
         # empty committed manifest (e.g. after a full purge): no footer
@@ -569,19 +608,41 @@ def export_iceberg(sink, as_of_run: str | None = None, mode: str = "auto") -> st
             "schema-id": 0,
             "fields": [
                 {"id": i + 1, "name": c, "required": False, "type": "string"}
-                for i, c in enumerate(part_cols)
+                for i, c in enumerate(identity_cols)
             ],
         }
-        last_column_id = len(part_cols)
-        part_types = {c: "string" for c in part_cols}
+        last_column_id = len(identity_cols)
+        part_types = {c: "string" for c in identity_cols}
     field_id = {f["name"]: f["id"] for f in schema["fields"]}
+    field_type = {f["name"]: f["type"] for f in schema["fields"]}
+    # transform-derived partition fields: source column stays in the
+    # schema, the spec field carries the transform + its result type
+    for name, t in transforms_by_name.items():
+        src = t["source"]
+        if src not in field_id:
+            raise ValueError(
+                f"export_iceberg: transform_spec source {src!r} for "
+                f"partition field {name!r} is not a column of the "
+                "committed data files"
+            )
+        src_t = field_type[src]
+        if not isinstance(src_t, str):
+            raise ValueError(
+                f"export_iceberg: transform source {src!r} is a "
+                "nested column — unsupported"
+            )
+        part_types[name] = _transform_result_type(t["transform"], src_t)
     spec = {
         "spec-id": 0,
         "fields": [
             {
                 "name": c,
-                "transform": "identity",
-                "source-id": field_id[c],
+                "transform": transforms_by_name.get(c, {}).get(
+                    "transform", "identity"
+                ),
+                "source-id": field_id[
+                    transforms_by_name.get(c, {}).get("source", c)
+                ],
                 "field-id": _INITIAL_PARTITION_FIELD_ID + i,
             }
             for i, c in enumerate(part_cols)
@@ -659,7 +720,22 @@ def export_iceberg(sink, as_of_run: str | None = None, mode: str = "auto") -> st
                 f["name"]: f["type"]
                 for f in (prev_schema or {}).get("fields", [])
             }
-            if any(prev_types.get(c) != part_types[c] for c in part_cols):
+            if any(
+                prev_types.get(c) != part_types[c] for c in identity_cols
+            ):
+                incremental = False
+            # transform fields are not schema columns; their result
+            # types are deterministic from the spec — a spec change
+            # (fields/transforms/sources) forces a full snapshot
+            prev_spec = next(
+                (
+                    sp
+                    for sp in prev.get("partition-specs", [])
+                    if sp["spec-id"] == prev.get("default-spec-id", 0)
+                ),
+                None,
+            )
+            if (prev_spec or {}).get("fields") != spec["fields"]:
                 incremental = False
             # data-schema gate: if the committed files' column set /
             # order / types changed since the previous export,
