@@ -150,7 +150,11 @@ def transform_py(transform: str, value, ice_type: str):
         w = int(m.group(1))
         if ice_type in ("int", "long"):
             v = int(value)
-            return v - (((v % w) + w) % w)
+            t = v - (((v % w) + w) % w)
+            lo = -(2**31) if ice_type == "int" else -(2**63)
+            if t < lo:  # iceberg-java wraps in two's complement
+                t += 2 * -lo
+            return t
         if ice_type == "string":
             return str(value)[:w]
         raise ValueError(f"truncate unsupported for {ice_type!r}")
@@ -328,10 +332,24 @@ def _floordiv(a: Column, b: int) -> Column:
 def truncate_col(col: Column, w: int, ice_type: str) -> Column:
     """``truncate[W]``: integers floor to a multiple of W (negative
     values included — spec: ``v - (((v % W) + W) % W)``), strings take
-    the first W characters (code points)."""
+    the first W characters (code points).
+
+    Min-long corner: for the W-1 values just above the signed-64
+    minimum the mathematical floor is below the long range;
+    iceberg-java's arithmetic silently WRAPS in two's complement, so
+    interop parity requires the same wrapped value here — a plain
+    subtraction would throw under Spark's ANSI mode instead. The wrap
+    branch rewrites v - m + 2^64 as (v - MIN) + (MAX - m + 1), every
+    intermediate in range; CASE WHEN evaluates only the taken branch,
+    so the rewrite never runs (and never overflows) for ordinary
+    values."""
     if ice_type in ("int", "long"):
-        out = col.cast("long") - (
-            ((col.cast("long") % F.lit(w)) + F.lit(w)) % F.lit(w)
+        v = col.cast("long")
+        m = ((v % F.lit(w)) + F.lit(w)) % F.lit(w)
+        lmin = F.lit(-(2**63))
+        lmax = F.lit(2**63 - 1)
+        out = F.when(v < lmin + m, (v - lmin) + (lmax - m) + F.lit(1)).otherwise(
+            v - m
         )
         return out.cast("int") if ice_type == "int" else out
     if ice_type == "string":

@@ -443,12 +443,20 @@ def delete_delta_rows(
     for attempt in range(8):
         versions = _log_versions(log_dir)
         if versions[-1] != current_v:
-            now_live, _, _ = _replay_state(log_dir, None)
-            if now_live != live:
+            # a racer got in: re-replay and compare ALL of (live files,
+            # metadata, protocol) — not just the file state. A
+            # metadata-only racer can change obligations this DELETE
+            # already validated against (enable appendOnly/CDF, add a
+            # writer feature we don't implement), and committing our
+            # protocol action computed from the OLD protocol would
+            # silently drop the racer's upgraded feature list.
+            now_live, now_meta, now_proto = _replay_state(log_dir, None)
+            if now_live != live or now_meta != meta or now_proto != proto:
                 raise DeltaConcurrentModificationError(
                     f"delete_delta_rows: {path} advanced from version "
-                    f"{current_v} to {versions[-1]} with state changes "
-                    "while this DELETE was computing — re-run it"
+                    f"{current_v} to {versions[-1]} with state, "
+                    "metadata, or protocol changes while this DELETE "
+                    "was computing — re-run it"
                 )
         version = versions[-1] + 1
         fname = os.path.join(log_dir, f"{version:020d}.json")

@@ -270,6 +270,7 @@ def delete_iceberg_rows(
                     f"{now.get('current-snapshot-id')} while this "
                     "DELETE was computing — re-run it"
                 )
+            _check_deletable(now)  # racer may have bumped format-version
             prev, current_v = now, versions[-1]
 
         snapshots = list(prev["snapshots"])

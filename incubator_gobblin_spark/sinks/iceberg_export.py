@@ -1189,13 +1189,15 @@ def append_position_deletes(
         dpath,
     )
 
-    # --- content=1 delete manifest ---
+    # --- content=1 delete manifest (attributed to the DEFAULT spec's
+    # actual id — hardcoding 0 would make a reader resolve the scope
+    # fields through the wrong spec on a spec-evolved table) ---
     part_struct = _partition_struct_avro(part_cols, part_types)
     entry_schema = _manifest_entry_avro(part_struct)
     manifest_meta = {
         "schema": json.dumps(schema).encode(),
         "partition-spec": json.dumps(spec["fields"]).encode(),
-        "partition-spec-id": b"0",
+        "partition-spec-id": str(spec["spec-id"]).encode(),
         "format-version": b"2",
         "content": b"deletes",
     }
@@ -1229,7 +1231,7 @@ def append_position_deletes(
         {
             "manifest_path": "file://" + mpath,
             "manifest_length": len(mdata),
-            "partition_spec_id": 0,
+            "partition_spec_id": spec["spec-id"],
             "content": 1,  # DELETES
             "sequence_number": seq,
             "min_sequence_number": seq,
@@ -1436,7 +1438,7 @@ def append_equality_deletes(
         extra_meta={
             "schema": json.dumps(schema).encode(),
             "partition-spec": json.dumps(spec["fields"]).encode(),
-            "partition-spec-id": b"0",
+            "partition-spec-id": str(spec["spec-id"]).encode(),
             "format-version": b"2",
             "content": b"deletes",
         },
@@ -1448,7 +1450,7 @@ def append_equality_deletes(
         {
             "manifest_path": "file://" + mpath,
             "manifest_length": len(mdata),
-            "partition_spec_id": 0,
+            "partition_spec_id": spec["spec-id"],
             "content": 1,
             "sequence_number": seq,
             "min_sequence_number": seq,

@@ -317,3 +317,44 @@ def test_dv_delete_conflict_raises_not_corrupts(
     head = _log_versions(log_dir)[-1]
     with open(os.path.join(log_dir, f"{head:020d}.json")) as fh:
         assert "DELETE" not in fh.read()
+
+
+def test_dv_delete_metadata_only_racer_raises(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """ADVICE-wave r10: a racer that changes ONLY metadata/protocol
+    (same live file set) must also abort the DELETE — its commit may
+    add obligations this DELETE validated against the OLD state
+    (appendOnly, CDF, new writer features), and our protocol action
+    computed from the old protocol would clobber the racer's feature
+    list."""
+    import incubator_gobblin_spark.sinks.delta_delete as dd
+
+    root = str(tmp_path / "dvmetarace")
+    nat = load_table(spark, sf_dir, "nation")
+    _export(spark, nat, root)
+    log_dir = os.path.join(root, "_delta_log")
+    real_link = os.link
+    fired = {}
+
+    def racing_link(src, dst):
+        if not fired.get("x") and dst.startswith(log_dir):
+            fired["x"] = True
+            _, meta, _ = _replay_state(log_dir, None)
+            meta = dict(meta)
+            meta["configuration"] = dict(
+                meta.get("configuration") or {},
+                **{"delta.appendOnly": "true"},
+            )
+            with open(dst, "w") as fh:
+                fh.write(json.dumps({"metaData": meta}) + "\n")
+            raise FileExistsError(dst)
+        return real_link(src, dst)
+
+    monkeypatch.setattr(dd.os, "link", racing_link)
+    with pytest.raises(DeltaConcurrentModificationError, match="advanced"):
+        delete_delta_rows(spark, root, "n_nationkey % 5 = 1")
+    # the racer's metadata commit is the head; no DELETE followed it
+    head = _log_versions(log_dir)[-1]
+    with open(os.path.join(log_dir, f"{head:020d}.json")) as fh:
+        assert "DELETE" not in fh.read()

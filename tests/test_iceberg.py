@@ -2584,3 +2584,118 @@ def test_iceberg_delete_on_transform_partitioned_table(
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, exp.collect())
     )
+
+
+def test_iceberg_eqdelete_scope_across_evolved_specs(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE-wave r10 on the (equality_ids, spec_id) grouping: a
+    table whose partition spec EVOLVED carries two equality deletes
+    with the SAME equality ids and the SAME scope field NAME but
+    DIFFERENT transforms (spec 0: truncate[100], spec 1: bucket[8]).
+    Each delete's scope must resolve through ITS OWN spec — merging
+    the groups (or attributing both to spec 0, the bug just fixed in
+    the fixture authors) would evaluate one delete's scope value under
+    the other's transform and over/under-delete."""
+    import json as _json
+
+    from incubator_gobblin_spark.functions.iceberg_transforms import (
+        bucket_py,
+        transform_py,
+    )
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        _metadata_versions,
+        append_equality_deletes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    root = str(tmp_path / "specs2")
+    sink = _sink(root, table_type=TableType.APPEND_ONLY)
+    sink.write_staging(docs, "r0")
+    sink.publish("r0")
+    sink.export_iceberg()
+    meta_dir = os.path.join(root, "metadata")
+
+    def _edit(fn):
+        v = _metadata_versions(meta_dir)[-1]
+        mp = os.path.join(meta_dir, f"v{v}.metadata.json")
+        with open(mp) as fh:
+            m = _json.load(fh)
+        fn(m)
+        with open(mp, "w") as fh:
+            _json.dump(m, fh)
+
+    key_id = None
+
+    def _install_specs(m):
+        nonlocal key_id
+        key_id = next(
+            f["id"]
+            for f in m["schemas"][0]["fields"]
+            if f["name"] == "doc_id"
+        )
+        m["partition-specs"] = [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {"name": "scope_f", "transform": "truncate[100]",
+                     "source-id": key_id, "field-id": 1000}
+                ],
+            },
+            {
+                "spec-id": 1,
+                "fields": [
+                    {"name": "scope_f", "transform": "bucket[8]",
+                     "source-id": key_id, "field-id": 1000}
+                ],
+            },
+        ]
+        m["default-spec-id"] = 0
+
+    _edit(_install_specs)
+    keys1 = sorted(
+        int(r.doc_id)
+        for r in docs.filter("doc_id % 10 = 0").select("doc_id").collect()
+    )
+    append_equality_deletes(
+        root,
+        [{"doc_id": k} for k in keys1],
+        ["doc_id"],
+        partition_scope={"scope_f": 300},  # trunc100(doc_id) == 300
+    )
+
+    def _flip_default(m):
+        m["default-spec-id"] = 1
+
+    _edit(_flip_default)
+    keys2 = sorted(
+        int(r.doc_id)
+        for r in docs.filter("doc_id % 10 = 7").select("doc_id").collect()
+    )
+    append_equality_deletes(
+        root,
+        [{"doc_id": k} for k in keys2],
+        ["doc_id"],
+        partition_scope={"scope_f": 3},  # bucket8(doc_id) == 3
+    )
+
+    surv = {
+        int(r.doc_id)
+        for r in read_iceberg(spark, root).select("doc_id").collect()
+    }
+    all_keys = {int(r.doc_id) for r in docs.select("doc_id").collect()}
+    expected_dead = {
+        k
+        for k in keys1
+        if transform_py("truncate[100]", k, "long") == 300
+    } | {k for k in keys2 if bucket_py(k, 8, "long") == 3}
+    assert surv == all_keys - expected_dead
+    assert expected_dead  # the fixture actually exercises both scopes
+    # and each scope killed something the OTHER transform would not
+    assert any(
+        transform_py("truncate[100]", k, "long") != 300
+        for k in keys2
+        if bucket_py(k, 8, "long") == 3
+    )

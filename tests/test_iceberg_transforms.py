@@ -304,3 +304,44 @@ def test_prune_transform_type_mismatch_is_conservative():
         specs_by_id={0: spec},
     )
     assert [f["path"] for f in kept] == ["weird.parquet"]
+
+
+def test_bucket_and_truncate_extreme_longs_ansi_safe(spark):
+    """ADVICE-wave r10: the 16/16-split modular multiplies must stay
+    ANSI-overflow-safe at the extremes of the signed-64 range (min
+    long has no positive counterpart; its byte pattern exercises every
+    high bit), and truncate[W] must floor correctly for negative
+    values at the edge. Cross-checked against the pure-Python
+    reference under ANSI mode."""
+    assert spark.conf.get("spark.sql.ansi.enabled", "true") != "false"
+    from incubator_gobblin_spark.functions.iceberg_transforms import (
+        transform_py,
+        truncate_col,
+    )
+
+    edges = [-(2**63), -(2**63) + 1, 2**63 - 1, 2**63 - 2, -1, 0, 1]
+    df = spark.createDataFrame([(v,) for v in edges], "v long")
+    got = {
+        r.v: r.b
+        for r in df.select(
+            "v", bucket_col(F.col("v"), 4099, "long").alias("b")
+        ).collect()
+    }
+    for v in edges:
+        assert got[v] == bucket_py(v, 4099, "long"), v
+    # truncate floors toward -inf except at the min-long corner, where
+    # the mathematical floor is below the long range and iceberg-java
+    # WRAPS in two's complement — both our forms must match that wrap
+    tg = {
+        r.v: r.t
+        for r in df.select(
+            "v", truncate_col(F.col("v"), 100, "long").alias("t")
+        ).collect()
+    }
+    for v in edges:
+        assert tg[v] == transform_py("truncate[100]", v, "long"), v
+        if v >= -(2**63) + 8:  # 100-aligned floor representable
+            assert tg[v] <= v and v - tg[v] < 100
+    # the wrap corner, pinned to Java's two's-complement value:
+    # -2^63 - ((-2^63 mod 100 + 100) mod 100) = -2^63 - 92, wrapped
+    assert tg[-(2**63)] == -(2**63) - 92 + 2**64

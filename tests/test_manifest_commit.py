@@ -3713,3 +3713,47 @@ def test_read_delta_dv_on_encoded_paths_and_shuffle_fallback(
     # forced-tiny threshold -> no broadcast hint; same rows
     monkeypatch.setattr(delta_import, "TOMBSTONE_BROADCAST_MAX_ROWS", 0)
     assert sorted(map(tuple, read_delta(spark, root).collect())) == want
+
+
+def test_logicalize_value_map_and_missing_member_edges():
+    """ADVICE-wave r10 on _logicalize_value: map values arrive from
+    pyarrow as dicts OR lists of (k, v) tuples — both reshape; a
+    member ADDED to the schema after a file was written is absent from
+    the physical dict and must surface as null (not KeyError); map
+    values that are themselves mapped structs re-key recursively."""
+    from incubator_gobblin_spark.sources.delta_stream import (
+        _logicalize_value,
+    )
+
+    inner = {
+        "type": "struct",
+        "fields": [
+            {"name": "a", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": "col-a"}},
+            # added after the file was written: no physical value
+            {"name": "late", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": "col-l"}},
+        ],
+    }
+    map_t = {
+        "type": "map",
+        "keyType": "string",
+        "valueType": inner,
+        "valueContainsNull": True,
+    }
+    # dict form
+    assert _logicalize_value({"k1": {"col-a": 5}}, map_t) == {
+        "k1": {"a": 5, "late": None}
+    }
+    # pyarrow list-of-tuples form
+    assert _logicalize_value([("k2", {"col-a": 6})], map_t) == {
+        "k2": {"a": 6, "late": None}
+    }
+    # null map value inside the map
+    assert _logicalize_value({"k3": None}, map_t) == {"k3": None}
+    # array of maps nests
+    arr_t = {"type": "array", "elementType": map_t, "containsNull": True}
+    assert _logicalize_value([{"k": {"col-a": 1}}, None], arr_t) == [
+        {"k": {"a": 1, "late": None}},
+        None,
+    ]
