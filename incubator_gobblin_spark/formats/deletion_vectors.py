@@ -206,31 +206,43 @@ def deserialize_roaring64(data: bytes) -> list[int]:
 # ---------------------------------------------------------------------------
 
 
-def read_dv_bytes(table_root: str, descriptor: dict) -> bytes:
-    """The serialized bitmap bytes of one descriptor (framing + CRC
-    verified for on-disk storage)."""
+def dv_file_path(table_root: str, descriptor: dict) -> str | None:
+    """Absolute path of the on-disk file a descriptor references, or
+    None for an inline ('i') vector. Shared by the reader and by
+    ``vacuum_delta`` (which must know which bitmap files the current
+    snapshot still references before deleting anything)."""
     st = descriptor.get("storageType")
-    size = int(descriptor["sizeInBytes"])
     if st == "i":
-        raw = z85_decode(descriptor["pathOrInlineDv"])
-        if len(raw) < size:
-            raise ValueError("inline deletion vector shorter than sizeInBytes")
-        return raw[:size]
+        return None
     if st == "u":
         tail = descriptor["pathOrInlineDv"]
         # optional random prefix before the 20-char z85 UUID
         prefix, enc = tail[:-20], tail[-20:]
         u = _uuid.UUID(bytes=z85_decode(enc))
         fname = f"deletion_vector_{u}.bin"
-        path = os.path.join(table_root, prefix, fname) if prefix else os.path.join(
-            table_root, fname
+        return (
+            os.path.join(table_root, prefix, fname)
+            if prefix
+            else os.path.join(table_root, fname)
         )
-    elif st == "p":
+    if st == "p":
         path = descriptor["pathOrInlineDv"]
         if path.startswith("file:"):
             path = "/" + path.split(":", 1)[1].lstrip("/")
-    else:
-        raise ValueError(f"unknown deletionVector storageType {st!r}")
+        return path
+    raise ValueError(f"unknown deletionVector storageType {st!r}")
+
+
+def read_dv_bytes(table_root: str, descriptor: dict) -> bytes:
+    """The serialized bitmap bytes of one descriptor (framing + CRC
+    verified for on-disk storage)."""
+    size = int(descriptor["sizeInBytes"])
+    if descriptor.get("storageType") == "i":
+        raw = z85_decode(descriptor["pathOrInlineDv"])
+        if len(raw) < size:
+            raise ValueError("inline deletion vector shorter than sizeInBytes")
+        return raw[:size]
+    path = dv_file_path(table_root, descriptor)
     with open(path, "rb") as fh:
         blob = fh.read()
     if not blob or blob[0] != 1:

@@ -1,0 +1,907 @@
+"""Delta table maintenance: standalone writer, OPTIMIZE, VACUUM.
+
+Three engine-facing operations on a plain Delta table (one whose
+``_delta_log`` is the source of truth — NOT a manifest-lake export,
+where the manifest owns file lifetime and ``FileSink.compact_runs`` /
+``FileSink.vacuum`` are the maintenance surface):
+
+- :func:`write_delta_table` — author a Delta table directly from a
+  DataFrame (create / append / overwrite), the minimal standalone
+  write path next to the manifest lake's ``export_delta_log``
+  projection. Files carry footer-derived per-file statistics so
+  foreign readers (and this engine's ``prune_adds``) can file-skip.
+- :func:`compact_delta_files` — the OPTIMIZE maintenance op
+  (delta-spark ``OptimizeTableCommand``): bin-pack small files and
+  ABSORB deletion vectors into clean rewrites, committed with
+  ``dataChange=false`` so streams and CDF readers skip it. This is
+  the missing third of the DV lifecycle — r9/r10 added the DV read
+  and the DV DELETE write; compaction is what makes a
+  delete-heavy table's scan cost converge back to O(live rows).
+- :func:`vacuum_delta` — the VACUUM maintenance op: physically
+  delete files no longer referenced by the CURRENT snapshot and
+  older than the retention window (tombstoned data files, superseded
+  deletion-vector bitmaps, crashed-writer orphans). Mirrors
+  delta-spark's retention-check guard: short retention needs an
+  explicit opt-in, because a concurrent reader of an old snapshot
+  may still be reading the files.
+
+Reference parity: the reference's compaction is an MR job per
+partition/topic (gobblin-compaction
+``.../mapreduce/MRCompactor.java``; selection policy in
+``CompactionSuiteBase``) and its retention cleaner deletes dataset
+versions past a policy window (gobblin-data-management
+``.../retention/dataset/CleanableDatasetBase.java``). These are the
+same two lifecycle ops re-expressed on the Delta protocol surface.
+
+Scale shape: compaction runs ONE Spark job per rewritable partition
+group (the reference's per-partition MR job shape) — each job is a
+scan of just that group's selected files, a deletion-vector anti-join
+(decoded executor-side), and a ``coalesce`` to the target file count;
+the driver holds per-file metadata only, never rows. Vacuum is a
+driver-side listing (file lifetime is metadata-scale — the same
+listing cost every Delta vacuum implementation pays) with no Spark
+job at all.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import time as _time
+import uuid as _uuid
+from urllib.parse import quote, unquote
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from incubator_gobblin_spark.sinks.delta_delete import (
+    DeltaConcurrentModificationError,
+)
+from incubator_gobblin_spark.sources.delta_import import (
+    _cm_phys,
+    _fieldid_type,
+    _log_versions,
+    _physicalize_type,
+    _replay_state,
+    check_reader_protocol,
+)
+
+#: writer features a value-preserving file rewrite cannot violate.
+#: rowTracking is NOT here: rewriting moves rows across files, and a
+#: conformant writer must then assign fresh baseRowIds — this engine
+#: does not, so it refuses.
+_COMPACT_SAFE_WRITER_FEATURES = {
+    "appendOnly",  # OPTIMIZE changes no data: dataChange=false is legal
+    "invariants",  # values unchanged, so invariants still hold
+    "checkConstraints",
+    "generatedColumns",
+    "identityColumns",
+    "changeDataFeed",  # dataChange=false commits need no _change_data
+    "columnMapping",
+    "deletionVectors",
+    "timestampNtz",
+    "v2Checkpoint",
+    "domainMetadata",
+    "icebergCompatV1",
+    "icebergCompatV2",
+}
+
+
+def _refuse_manifest_lake(path: str, op: str) -> None:
+    if os.path.isdir(os.path.join(path, "_manifests")):
+        raise ValueError(
+            f"{op}: {path} is a manifest-commit lake (its _delta_log is "
+            "an EXPORT projection; the next export_delta_log would diff "
+            "against the manifest and undo this operation, resurrecting "
+            "deleted rows) — use FileSink.compact_runs / FileSink.vacuum "
+            "on the lake instead"
+        )
+
+
+def _hive_dir_value(seg_value: str):
+    if seg_value == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    return unquote(seg_value)
+
+
+def _footer_stats(fp: str, skip_cols: set[str]) -> tuple[int, str]:
+    """(row count, add.stats JSON) from one parquet footer — numRecords
+    always; min/max/nullCount for top-level leaf columns whose
+    row-group statistics exist. Parquet writers may TRUNCATE binary
+    stats, but truncation keeps them valid (loose) bounds — exactly
+    what Delta stats are — so they are safe to export for skipping."""
+    import datetime as _dt
+
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(fp)
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+
+    def _json_safe(v):
+        if isinstance(v, bytes):
+            return None  # binary bounds don't serialize to Delta JSON
+        if isinstance(v, _dt.datetime):
+            # engine stats convention: 'T'-separated ISO, no zone
+            # (matches _delta_file_stats' normalization)
+            return v.isoformat()
+        if isinstance(v, _dt.date):
+            return v.isoformat()
+        if isinstance(v, float) and (math.isnan(v) or math.isinf(v)):
+            return None
+        return v
+
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in skip_cols:
+                continue  # nested leaves / partition cols: skip
+            st = col.statistics
+            if st is None:
+                continue
+            if st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + int(st.null_count)
+            if not st.has_min_max:
+                # one group without bounds poisons the column's bounds
+                mins[name] = maxs[name] = None
+                continue
+            lo, hi = _json_safe(st.min), _json_safe(st.max)
+            if lo is None or hi is None:
+                mins[name] = maxs[name] = None
+                continue
+            if name not in mins or (mins[name] is not None and lo < mins[name]):
+                mins[name] = lo
+            if name not in maxs or (maxs[name] is not None and hi > maxs[name]):
+                maxs[name] = hi
+
+    out: dict = {"numRecords": int(md.num_rows)}
+    mins = {k: v for k, v in mins.items() if v is not None}
+    maxs = {k: v for k, v in maxs.items() if v is not None}
+    if mins:
+        out["minValues"] = mins
+        out["maxValues"] = maxs
+    if nulls:
+        out["nullCount"] = nulls
+    return int(md.num_rows), json.dumps(out)
+
+
+def _move_parts(staging: str, dest_dir: str, tag: str) -> list[str]:
+    """Move Spark part files from a staging dir into ``dest_dir`` under
+    collision-free names; returns the new absolute paths."""
+    os.makedirs(dest_dir, exist_ok=True)
+    out = []
+    for i, fn in enumerate(sorted(os.listdir(staging))):
+        if not fn.endswith(".parquet"):
+            continue
+        dst = os.path.join(
+            dest_dir, f"part-{tag}-{_uuid.uuid4().hex[:12]}-{i:05d}.parquet"
+        )
+        shutil.move(os.path.join(staging, fn), dst)
+        out.append(dst)
+    return out
+
+
+def _publish_commit(
+    log_dir: str,
+    actions: list[dict],
+    expect_version: int,
+    *,
+    on_race_state=None,
+    cleanup=None,
+    op: str = "commit",
+) -> int:
+    """Put-if-absent commit publish shared by the maintenance writers.
+    ``on_race_state`` is called after a version advance with the
+    re-replayed (live, meta, proto); returning False aborts (after
+    ``cleanup``) with :class:`DeltaConcurrentModificationError`."""
+    for attempt in range(8):
+        versions = _log_versions(log_dir)
+        current = versions[-1] if versions else -1
+        if current != expect_version and on_race_state is not None:
+            state = _replay_state(log_dir, None)
+            if not on_race_state(state):
+                if cleanup:
+                    cleanup()
+                raise DeltaConcurrentModificationError(
+                    f"{op}: table advanced from version {expect_version} "
+                    f"to {current} with state changes while this "
+                    "operation was computing — re-run it"
+                )
+        version = current + 1
+        fname = os.path.join(log_dir, f"{version:020d}.json")
+        tmp = f"{fname}.tmp-{os.getpid()}-{attempt}"
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+        try:
+            os.link(tmp, fname)
+        except FileExistsError:
+            os.remove(tmp)
+            continue
+        os.remove(tmp)
+        return version
+    if cleanup:
+        cleanup()
+    raise DeltaConcurrentModificationError(
+        f"{op}: lost the commit race 8 times under {log_dir}"
+    )
+
+
+def write_delta_table(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str] | tuple[str, ...] = (),
+    mode: str = "error",
+) -> dict:
+    """Write ``df`` as a plain Delta table at ``path`` — the standalone
+    write path (delta-io PROTOCOL.md): data parquet + ``_delta_log``
+    JSON commits, protocol (1,2), footer-derived per-file stats
+    (numRecords/minValues/maxValues/nullCount) so readers file-skip.
+
+    ``mode``: ``error`` (create, refuse if a table exists), ``append``
+    (add files to an existing table — schema must match exactly),
+    ``overwrite`` (remove every live file, add the new ones). Appends
+    to tables with column mapping, row tracking, active constraints,
+    or unknown writer features refuse loudly rather than author files
+    those features obligate this writer to handle differently.
+
+    Returns ``{"version", "files_written", "rows"}``.
+    """
+    if mode not in ("error", "append", "overwrite"):
+        raise ValueError(f"write_delta_table: unknown mode {mode!r}")
+    part_cols = list(partition_by)
+    missing = [c for c in part_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"write_delta_table: partition_by {missing} not in df")
+    log_dir = os.path.join(path, "_delta_log")
+    exists = bool(
+        os.path.isdir(log_dir) and _log_versions(log_dir)
+    )
+    if exists and mode == "error":
+        raise FileExistsError(
+            f"write_delta_table: Delta table already exists at {path} "
+            "(mode='error'); use mode='append' or 'overwrite'"
+        )
+
+    prev_live: dict = {}
+    prev_meta = prev_proto = None
+    expect_version = -1
+    if exists:
+        prev_live, prev_meta, prev_proto = _replay_state(log_dir, None)
+        expect_version = _log_versions(log_dir)[-1]
+        _check_append_writable(prev_proto, prev_meta, mode)
+        declared = json.loads(prev_meta["schemaString"])
+        ours = json.loads(df.schema.json())
+        if _schema_fields(declared) != _schema_fields(ours):
+            raise ValueError(
+                "write_delta_table: df schema does not match the "
+                "table's declared schema — evolve the table explicitly"
+            )
+        if list(prev_meta.get("partitionColumns") or []) != part_cols:
+            raise ValueError(
+                "write_delta_table: partition_by "
+                f"{part_cols} != table's {prev_meta.get('partitionColumns')}"
+            )
+
+    os.makedirs(path, exist_ok=True)
+    staging = os.path.join(path, f".staging-{_uuid.uuid4().hex[:12]}")
+    try:
+        w = df.write.mode("overwrite")
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.parquet(staging)
+
+        adds: list[dict] = []
+        rows_total = 0
+        ts = int(_time.time() * 1000)
+        skip = set(part_cols)
+        if part_cols:
+            # one staged hive dir per partition tuple; move its files
+            # into the SAME relative dir under the table root
+            for dirpath, _dirs, files in os.walk(staging):
+                parts = [f for f in files if f.endswith(".parquet")]
+                if not parts:
+                    continue
+                rel_dir = os.path.relpath(dirpath, staging)
+                pvals: dict = {}
+                for seg in rel_dir.replace(os.sep, "/").split("/"):
+                    k, _, v = seg.partition("=")
+                    pvals[k] = _hive_dir_value(v)
+                moved = _move_parts(
+                    dirpath, os.path.join(path, rel_dir), "w"
+                )
+                for fp in moved:
+                    n, stats = _footer_stats(fp, skip)
+                    rows_total += n
+                    rel = os.path.relpath(fp, path).replace(os.sep, "/")
+                    adds.append(
+                        {
+                            "path": quote(rel),
+                            "partitionValues": pvals,
+                            "size": os.path.getsize(fp),
+                            "modificationTime": ts,
+                            "dataChange": True,
+                            "stats": stats,
+                        }
+                    )
+        else:
+            for fp in _move_parts(staging, path, "w"):
+                n, stats = _footer_stats(fp, skip)
+                rows_total += n
+                rel = os.path.relpath(fp, path).replace(os.sep, "/")
+                adds.append(
+                    {
+                        "path": quote(rel),
+                        "partitionValues": {},
+                        "size": os.path.getsize(fp),
+                        "modificationTime": ts,
+                        "dataChange": True,
+                        "stats": stats,
+                    }
+                )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "WRITE",
+                "operationParameters": {"mode": mode.upper()},
+                "engineInfo": "incubator-gobblin-spark write_delta_table",
+            }
+        }
+    ]
+    if not exists:
+        os.makedirs(log_dir, exist_ok=True)
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        )
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(_uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": df.schema.json(),
+                    "partitionColumns": part_cols,
+                    "configuration": {},
+                    "createdTime": ts,
+                }
+            }
+        )
+    if mode == "overwrite" and exists:
+        for rel, a in sorted(prev_live.items()):
+            rm = {
+                "path": rel,
+                "deletionTimestamp": ts,
+                "dataChange": True,
+                "extendedFileMetadata": True,
+                "partitionValues": a.get("partitionValues") or {},
+                "size": a.get("size"),
+            }
+            if a.get("deletionVector"):
+                rm["deletionVector"] = a["deletionVector"]
+            actions.append({"remove": rm})
+    actions.extend({"add": a} for a in adds)
+
+    def _cleanup():
+        for a in adds:
+            try:
+                os.remove(os.path.join(path, unquote(a["path"])))
+            except OSError:
+                pass
+
+    def _race_ok(state):
+        now_live, now_meta, now_proto = state
+        if not exists:
+            return False  # someone else created the table first: abort
+        if mode == "append":
+            # concurrent appends compose; metadata/protocol changes
+            # invalidate the gates this write already passed
+            return now_meta == prev_meta and now_proto == prev_proto
+        return False  # overwrite raced by anything: abort
+
+    version = _publish_commit(
+        log_dir,
+        actions,
+        expect_version,
+        on_race_state=_race_ok,
+        cleanup=_cleanup,
+        op="write_delta_table",
+    )
+    return {"version": version, "files_written": len(adds), "rows": rows_total}
+
+
+def _schema_fields(schema_json: dict) -> list[tuple]:
+    return [
+        (f["name"], json.dumps(f["type"], sort_keys=True))
+        for f in schema_json.get("fields", [])
+    ]
+
+
+def _check_append_writable(proto: dict, meta: dict, mode: str) -> None:
+    conf = (meta or {}).get("configuration") or {}
+
+    def _on(key: str) -> bool:
+        return str(conf.get(key, "")).lower() == "true"
+
+    if mode == "overwrite":
+        if _on("delta.appendOnly"):
+            raise ValueError(
+                "write_delta_table: delta.appendOnly=true forbids overwrite"
+            )
+        if _on("delta.enableChangeDataFeed"):
+            raise ValueError(
+                "write_delta_table: overwrite on a changeDataFeed table "
+                "must author _change_data files, which this engine does "
+                "not — refusing to break CDF readers"
+            )
+    mode_cm = conf.get("delta.columnMapping.mode", "none")
+    if mode_cm != "none":
+        raise ValueError(
+            "write_delta_table: table uses column mapping "
+            f"(mode={mode_cm}) — new files need physical names/ids this "
+            "writer does not author; refusing"
+        )
+    if any(k.startswith("delta.constraints.") for k in conf):
+        raise ValueError(
+            "write_delta_table: table declares CHECK constraints this "
+            "writer does not evaluate — refusing"
+        )
+    mwv = int((proto or {}).get("minWriterVersion", 2))
+    if mwv > 7:
+        raise ValueError(
+            f"write_delta_table: minWriterVersion={mwv} is newer than "
+            "this writer understands"
+        )
+    if mwv == 7:
+        feats = set(proto.get("writerFeatures") or [])
+        unknown = feats - (_COMPACT_SAFE_WRITER_FEATURES - {"rowTracking"})
+        if "rowTracking" in feats:
+            raise ValueError(
+                "write_delta_table: table enables rowTracking — new "
+                "files need fresh baseRowIds this writer does not assign"
+            )
+        if unknown:
+            raise ValueError(
+                "write_delta_table: table requires writer features "
+                f"{sorted(unknown)} this engine does not implement"
+            )
+    # invariants embedded in schema metadata (writer v2 feature)
+    schema_json = json.loads((meta or {}).get("schemaString", "{}"))
+    for f in schema_json.get("fields", []):
+        if (f.get("metadata") or {}).get("delta.invariants"):
+            raise ValueError(
+                "write_delta_table: table declares column invariants "
+                "this writer does not evaluate — refusing"
+            )
+
+
+def compact_delta_files(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_bytes: int = 128 << 20,
+    small_file_bytes: int | None = None,
+    absorb_dvs: bool = True,
+    union_threshold: int = 16,
+) -> dict:
+    """OPTIMIZE the Delta table at ``path``: within each partition,
+    rewrite (a) every file carrying a deletion vector — the surviving
+    rows come out as clean files and the bitmap is dropped — and (b)
+    groups of 2+ files smaller than ``small_file_bytes`` (default
+    ``target_file_bytes // 2``), bin-packed toward
+    ``target_file_bytes``. Committed in ONE version with
+    ``dataChange=false`` (delta-spark's OPTIMIZE shape: streams and
+    CDF readers skip it; ``skipChangeCommits`` consumers keep
+    working). Superseded deletion-vector descriptors ride the
+    ``remove`` actions so :func:`vacuum_delta` can clean the bitmaps.
+
+    Values are preserved bit-for-bit per column — column-mapped
+    tables rewrite in PHYSICAL name space (mode=name) or carry
+    ``parquet.field.id`` into the new footers (mode=id), so foreign
+    readers resolve the compacted files exactly like the originals.
+
+    Returns ``{"version", "files_compacted", "files_written",
+    "dvs_absorbed", "rows_rewritten", "groups_rewritten"}``; a table
+    with nothing to do commits nothing.
+    """
+    _refuse_manifest_lake(path, "compact_delta_files")
+    log_dir = os.path.join(path, "_delta_log")
+    live, meta, proto = _replay_state(log_dir, None)
+    check_reader_protocol(proto, meta, live, allow_column_mapping=True)
+    _check_compactable(proto, meta)
+    current_v = _log_versions(log_dir)[-1]
+    if small_file_bytes is None:
+        small_file_bytes = target_file_bytes // 2
+
+    schema_json = json.loads(meta["schemaString"])
+    logical_part_cols = list(meta.get("partitionColumns") or [])
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode == "name":
+        schema = StructType.fromJson(_physicalize_type(schema_json))
+        phys_of = {f["name"]: _cm_phys(f) for f in schema_json["fields"]}
+        pv_keys = [phys_of[c] for c in logical_part_cols]
+    elif mode == "id":
+        schema = StructType.fromJson(_fieldid_type(schema_json))
+        from incubator_gobblin_spark.session import ensure_field_id_read
+
+        ensure_field_id_read(spark)
+        phys_of = {f["name"]: _cm_phys(f) for f in schema_json["fields"]}
+        pv_keys = [phys_of[c] for c in logical_part_cols]
+    else:
+        schema = StructType.fromJson(schema_json)
+        phys_of = {c: c for c in logical_part_cols}
+        pv_keys = list(logical_part_cols)
+    data_fields = [
+        f for f in schema.fields
+        if f.name not in set(logical_part_cols) | set(pv_keys)
+    ]
+    data_schema = StructType(data_fields)
+
+    # ---- selection: per partition tuple, DV'd files + small files ----
+    groups: dict[tuple, list[tuple[str, dict]]] = {}
+    for rel, a in live.items():
+        pv = a.get("partitionValues") or {}
+        key = tuple(pv.get(k) for k in pv_keys)
+        groups.setdefault(key, []).append((rel, a))
+
+    plan: list[tuple[tuple, list[tuple[str, dict]]]] = []
+    for key, members in groups.items():
+        sel = [
+            (rel, a)
+            for rel, a in members
+            if (absorb_dvs and a.get("deletionVector"))
+            or int(a.get("size") or 0) < small_file_bytes
+        ]
+        has_dv = any(a.get("deletionVector") for _, a in sel)
+        if (has_dv and sel) or len(sel) >= 2:
+            plan.append((key, sorted(sel)))
+    if not plan:
+        return {
+            "version": current_v,
+            "files_compacted": 0,
+            "files_written": 0,
+            "dvs_absorbed": 0,
+            "rows_rewritten": 0,
+            "groups_rewritten": 0,
+        }
+
+    table_root = os.path.abspath(path)
+    from incubator_gobblin_spark.sources.mock_kafka import _ship_package
+
+    _ship_package(spark)
+
+    new_adds: list[dict] = []
+    removes: list[dict] = []
+    rows_rewritten = 0
+    dvs_absorbed = 0
+    new_paths: list[str] = []
+    ts = int(_time.time() * 1000)
+
+    # id-mode rewrites alias to physical names, keeping the field-id
+    # metadata so Spark writes parquet field ids into the new footers
+    if mode == "id":
+        out_cols = [
+            F.col(f.name).alias(
+                phys_of.get(f.name, f.name), metadata=dict(f.metadata)
+            )
+            for f in data_fields
+        ]
+    else:
+        out_cols = [F.col(f.name) for f in data_fields]
+
+    try:
+        for key, sel in plan:
+            files = [os.path.join(path, unquote(rel)) for rel, _ in sel]
+            df = spark.read.schema(data_schema).parquet(*files)
+            dv_pairs = [
+                (
+                    os.path.abspath(os.path.join(path, unquote(rel))),
+                    json.dumps(a["deletionVector"]),
+                )
+                for rel, a in sel
+                if a.get("deletionVector")
+            ]
+            if dv_pairs:
+                df = _anti_join_dvs(spark, df, table_root, dv_pairs)
+            live_bytes = sum(int(a.get("size") or 0) for _, a in sel)
+            n_out = max(1, math.ceil(live_bytes / target_file_bytes))
+            staging = os.path.join(
+                path, f".compact-{_uuid.uuid4().hex[:12]}"
+            )
+            try:
+                (
+                    df.select(*out_cols)
+                    .coalesce(n_out)
+                    .write.mode("overwrite")
+                    .parquet(staging)
+                )
+                dest_dir = os.path.dirname(
+                    os.path.join(path, unquote(sel[0][0]))
+                )
+                moved = _move_parts(staging, dest_dir, "c")
+            finally:
+                shutil.rmtree(staging, ignore_errors=True)
+
+            import pyarrow.parquet as pq
+
+            pvals = sel[0][1].get("partitionValues") or {}
+            for fp in moved:
+                n = pq.read_metadata(fp).num_rows
+                if n == 0:
+                    os.remove(fp)
+                    continue
+                rows_rewritten += n
+                rel = os.path.relpath(fp, path).replace(os.sep, "/")
+                new_paths.append(fp)
+                new_adds.append(
+                    {
+                        "path": quote(rel),
+                        "partitionValues": pvals,
+                        "size": os.path.getsize(fp),
+                        "modificationTime": ts,
+                        "dataChange": False,
+                        "stats": json.dumps(
+                            {"numRecords": int(n), "tightBounds": True}
+                        ),
+                    }
+                )
+            for rel, a in sel:
+                if a.get("deletionVector"):
+                    dvs_absorbed += 1
+                rm = {
+                    "path": rel,
+                    "deletionTimestamp": ts,
+                    "dataChange": False,
+                    "extendedFileMetadata": True,
+                    "partitionValues": a.get("partitionValues") or {},
+                    "size": a.get("size"),
+                }
+                if a.get("deletionVector"):
+                    rm["deletionVector"] = a["deletionVector"]
+                removes.append({"remove": rm})
+    except BaseException:
+        for fp in new_paths:
+            try:
+                os.remove(fp)
+            except OSError:
+                pass
+        raise
+
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "OPTIMIZE",
+                "operationParameters": {
+                    "targetSize": str(target_file_bytes)
+                },
+                "engineInfo": "incubator-gobblin-spark compact",
+            }
+        }
+    ]
+    actions.extend(removes)
+    actions.extend({"add": a} for a in new_adds)
+
+    def _cleanup():
+        for fp in new_paths:
+            try:
+                os.remove(fp)
+            except OSError:
+                pass
+
+    def _race_ok(state):
+        now_live, now_meta, now_proto = state
+        # ANY change to the files this compaction read (or table
+        # metadata/protocol) invalidates the rewrite
+        return (
+            now_live == live and now_meta == meta and now_proto == proto
+        )
+
+    version = _publish_commit(
+        log_dir,
+        actions,
+        current_v,
+        on_race_state=_race_ok,
+        cleanup=_cleanup,
+        op="compact_delta_files",
+    )
+    return {
+        "version": version,
+        "files_compacted": len(removes),
+        "files_written": len(new_adds),
+        "dvs_absorbed": dvs_absorbed,
+        "rows_rewritten": rows_rewritten,
+        "groups_rewritten": len(plan),
+    }
+
+
+def _check_compactable(proto: dict, meta: dict) -> None:
+    mwv = int((proto or {}).get("minWriterVersion", 2))
+    if mwv > 7:
+        raise ValueError(
+            f"compact_delta_files: minWriterVersion={mwv} is newer than "
+            "this writer understands — refusing"
+        )
+    if mwv == 7:
+        feats = set(proto.get("writerFeatures") or [])
+        if "rowTracking" in feats:
+            raise ValueError(
+                "compact_delta_files: table enables rowTracking — a "
+                "rewrite must assign fresh baseRowIds, which this "
+                "engine does not; refusing"
+            )
+        unknown = feats - _COMPACT_SAFE_WRITER_FEATURES
+        if unknown:
+            raise ValueError(
+                "compact_delta_files: table requires writer features "
+                f"{sorted(unknown)} this engine does not implement — "
+                "refusing"
+            )
+
+
+def _anti_join_dvs(
+    spark: SparkSession,
+    df: DataFrame,
+    table_root: str,
+    dv_pairs: list[tuple[str, str]],
+) -> DataFrame:
+    """Anti-join ``df`` (a raw parquet scan) against the deletion
+    vectors of its files — the read_delta DV path, scoped to a file
+    subset. Bitmaps decode EXECUTOR-side; the tombstone set is
+    broadcast (compaction groups are file-bounded, and the same
+    cardinality guard as read_delta applies upstream via selection)."""
+    from incubator_gobblin_spark.sources.delta_import import (
+        decoded_file_path,
+    )
+
+    desc_df = spark.createDataFrame(
+        dv_pairs, "_del_path string, _dv string"
+    ).repartition(min(len(dv_pairs), 64))
+
+    def expand(batches):
+        import json as _json
+
+        import pandas as pd
+
+        from incubator_gobblin_spark.formats.deletion_vectors import (
+            read_dv_positions,
+        )
+
+        for pdf in batches:
+            for p, dv in zip(pdf["_del_path"], pdf["_dv"]):
+                poss = read_dv_positions(table_root, _json.loads(dv))
+                if poss:
+                    yield pd.DataFrame(
+                        {
+                            "_del_path": p,
+                            "_del_pos": pd.Series(poss, dtype="int64"),
+                        }
+                    )
+
+    tombs = F.broadcast(
+        desc_df.mapInPandas(expand, "_del_path string, _del_pos long")
+    )
+    out = (
+        df.withColumn("_file_path", F.col("_metadata.file_path"))
+        .withColumn("_row_index", F.col("_metadata.row_index"))
+        .withColumn("_norm_path", decoded_file_path(F.col("_file_path")))
+        .join(
+            tombs,
+            (F.col("_norm_path") == F.col("_del_path"))
+            & (F.col("_row_index") == F.col("_del_pos")),
+            "left_anti",
+        )
+    )
+    return out.select(*df.columns)
+
+
+def vacuum_delta(
+    path: str,
+    *,
+    retention_hours: float = 168.0,
+    dry_run: bool = False,
+    allow_short_retention: bool = False,
+) -> dict:
+    """VACUUM the Delta table at ``path``: physically delete every
+    file under the table root that is (a) NOT referenced by the
+    CURRENT snapshot — neither as a live data file nor as a live
+    deletion-vector bitmap — and (b) older than ``retention_hours``.
+    Covers tombstoned data files, superseded DV bitmaps, and
+    crashed-writer orphans. ``_delta_log`` is never touched (log
+    retention is ``expire_delta_log``'s job); directories whose name
+    starts with ``_`` or ``.`` are skipped unless they are partition
+    dirs (contain ``=``) — delta-spark's exact listing rule.
+
+    Retention below 168h requires ``allow_short_retention=True``
+    (delta-spark's ``retentionDurationCheck``): a reader of an older
+    snapshot may still be reading the files.
+
+    Driver-side listing only — no Spark session needed; pass
+    ``dry_run=True`` to get the candidate list without deleting.
+
+    Returns ``{"files_deleted", "bytes_deleted", "candidates"}``
+    (candidates only under dry_run).
+    """
+    _refuse_manifest_lake(path, "vacuum_delta")
+    if retention_hours < 168.0 and not allow_short_retention:
+        raise ValueError(
+            f"vacuum_delta: retention_hours={retention_hours} is below "
+            "the 168h safety floor — readers of recent snapshots may "
+            "still reference these files; pass "
+            "allow_short_retention=True to override"
+        )
+    log_dir = os.path.join(path, "_delta_log")
+    live, meta, proto = _replay_state(log_dir, None)
+
+    from incubator_gobblin_spark.formats.deletion_vectors import (
+        dv_file_path,
+    )
+
+    referenced: set[str] = set()
+    for rel, a in live.items():
+        referenced.add(os.path.abspath(os.path.join(path, unquote(rel))))
+        if a.get("deletionVector"):
+            dvp = dv_file_path(os.path.abspath(path), a["deletionVector"])
+            if dvp:
+                referenced.add(os.path.abspath(dvp))
+
+    cutoff = _time.time() - retention_hours * 3600.0
+    candidates: list[str] = []
+    bytes_deleted = 0
+    root = os.path.abspath(path)
+    for dirpath, dirs, files in os.walk(root):
+        dirs[:] = [
+            d
+            for d in dirs
+            if "=" in d or not (d.startswith("_") or d.startswith("."))
+        ]
+        for fn in files:
+            if fn.startswith("."):
+                continue  # tmp files of in-flight writers
+            fp = os.path.join(dirpath, fn)
+            if os.path.abspath(fp) in referenced:
+                continue
+            try:
+                if os.path.getmtime(fp) >= cutoff:
+                    continue
+                size = os.path.getsize(fp)
+            except OSError:
+                continue
+            candidates.append(fp)
+            bytes_deleted += size
+    if dry_run:
+        return {
+            "files_deleted": 0,
+            "bytes_deleted": 0,
+            "candidates": sorted(candidates),
+        }
+    for fp in candidates:
+        try:
+            os.remove(fp)
+        except OSError:
+            pass
+    # prune now-empty partition dirs (never the root or _delta_log)
+    for dirpath, dirs, files in os.walk(root, topdown=False):
+        if dirpath == root or "_delta_log" in dirpath:
+            continue
+        if not dirs and not files:
+            try:
+                os.rmdir(dirpath)
+            except OSError:
+                pass
+    return {
+        "files_deleted": len(candidates),
+        "bytes_deleted": bytes_deleted,
+        "candidates": [],
+    }

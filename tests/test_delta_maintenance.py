@@ -1,0 +1,434 @@
+"""Delta maintenance: write_delta_table / compact_delta_files / vacuum_delta.
+
+Pins the OPTIMIZE + VACUUM lifecycle: deletes commit bitmaps
+(test_delta_delete), compaction absorbs the bitmaps into clean
+rewrites with dataChange=false, vacuum physically removes the
+superseded files — with the reader seeing identical rows at every
+step. Reference parity: gobblin-compaction MRCompactor (per-partition
+rewrite jobs) + gobblin-data-management retention cleaners.
+"""
+
+import json
+import os
+import sys
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from incubator_gobblin_spark.session import load_table  # noqa: E402
+from incubator_gobblin_spark.sinks.delta_delete import (  # noqa: E402
+    delete_delta_rows,
+)
+from incubator_gobblin_spark.sinks.delta_maintenance import (  # noqa: E402
+    compact_delta_files,
+    vacuum_delta,
+    write_delta_table,
+)
+from incubator_gobblin_spark.sources.delta_import import (  # noqa: E402
+    _log_versions,
+    _replay_state,
+    read_delta,
+)
+
+
+def _live(root):
+    return _replay_state(os.path.join(root, "_delta_log"), None)
+
+
+def _last_commit_actions(root):
+    log_dir = os.path.join(root, "_delta_log")
+    v = _log_versions(log_dir)[-1]
+    with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
+        return [json.loads(line) for line in fh if line.strip()]
+
+
+def _same_rows(got, expect):
+    assert got.count() == expect.count()
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
+
+
+# ---------------------------------------------------------------- writer
+
+
+def test_write_delta_table_roundtrip_with_stats(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "w1")
+    nat = load_table(spark, sf_dir, "nation")
+    res = write_delta_table(spark, nat, root)
+    assert res["version"] == 0 and res["rows"] == nat.count()
+    _same_rows(read_delta(spark, root), nat)
+    live, meta, proto = _live(root)
+    assert proto == {"minReaderVersion": 1, "minWriterVersion": 2}
+    # footer-derived stats enable file skipping
+    for a in live.values():
+        st = json.loads(a["stats"])
+        assert st["numRecords"] > 0
+        assert "n_nationkey" in st["minValues"]
+        assert st["maxValues"]["n_nationkey"] >= st["minValues"]["n_nationkey"]
+
+    # mode=error refuses a second create
+    with pytest.raises(FileExistsError):
+        write_delta_table(spark, nat, root)
+
+
+def test_write_delta_table_partitioned_append_overwrite(
+    spark, sf_dir, tmp_path
+):
+    root = str(tmp_path / "w2")
+    nat = load_table(spark, sf_dir, "nation")
+    write_delta_table(
+        spark, nat, root, partition_by=["n_regionkey"]
+    )
+    _same_rows(read_delta(spark, root), nat)
+    live, meta, _ = _live(root)
+    assert meta["partitionColumns"] == ["n_regionkey"]
+    # data files live under hive dirs and carry partitionValues
+    from urllib.parse import unquote
+
+    assert all("n_regionkey=" in unquote(rel) for rel in live)
+    assert all(
+        a["partitionValues"].get("n_regionkey") is not None
+        for a in live.values()
+    )
+
+    extra = nat.withColumn("n_nationkey", F.col("n_nationkey") + 1000)
+    res = write_delta_table(
+        spark, extra, root, partition_by=["n_regionkey"], mode="append"
+    )
+    assert res["version"] == 1
+    _same_rows(read_delta(spark, root), nat.unionByName(extra))
+
+    res = write_delta_table(
+        spark, nat, root, partition_by=["n_regionkey"], mode="overwrite"
+    )
+    assert res["version"] == 2
+    _same_rows(read_delta(spark, root), nat)
+
+    # append with a different schema refuses
+    with pytest.raises(ValueError, match="schema"):
+        write_delta_table(
+            spark,
+            nat.drop("n_name"),
+            root,
+            partition_by=["n_regionkey"],
+            mode="append",
+        )
+    # append with different partitioning refuses
+    with pytest.raises(ValueError, match="partition"):
+        write_delta_table(spark, nat, root, mode="append")
+
+
+def test_write_delta_table_null_partition_values(spark, tmp_path):
+    root = str(tmp_path / "w3")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b c")], "k long, g string"
+    )
+    write_delta_table(spark, df, root, partition_by=["g"])
+    _same_rows(read_delta(spark, root), df)
+    live, _, _ = _live(root)
+    pvs = {a["partitionValues"]["g"] for a in live.values()}
+    assert None in pvs and "b c" in pvs
+
+
+# ---------------------------------------------------------- compaction
+
+
+def test_compact_absorbs_deletion_vectors(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "c1")
+    cust = load_table(spark, sf_dir, "customer").repartition(4)
+    write_delta_table(spark, cust, root)
+    delete_delta_rows(spark, root, "c_custkey % 3 = 0")
+    expect = cust.filter(~(F.col("c_custkey") % 3 == 0))
+    live_before, _, _ = _live(root)
+    assert any(a.get("deletionVector") for a in live_before.values())
+
+    res = compact_delta_files(
+        spark, root, target_file_bytes=1 << 30,
+        small_file_bytes=1 << 30,
+    )
+    assert res["dvs_absorbed"] >= 1
+    assert res["rows_rewritten"] == expect.count()
+    _same_rows(read_delta(spark, root), expect)
+
+    live, _, _ = _live(root)
+    assert not any(a.get("deletionVector") for a in live.values())
+    # OPTIMIZE is dataChange=false throughout — streams skip it
+    acts = _last_commit_actions(root)
+    assert all(
+        not a["add"]["dataChange"] for a in acts if "add" in a
+    )
+    assert all(
+        not a["remove"]["dataChange"] for a in acts if "remove" in a
+    )
+    assert any(
+        a["commitInfo"]["operation"] == "OPTIMIZE"
+        for a in acts
+        if "commitInfo" in a
+    )
+    # superseded DV descriptors ride the removes for vacuum
+    assert any(
+        a["remove"].get("deletionVector") for a in acts if "remove" in a
+    )
+
+
+def test_compact_bin_packs_small_files(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "c2")
+    ords = load_table(spark, sf_dir, "orders").repartition(8)
+    write_delta_table(spark, ords, root)
+    live_before, _, _ = _live(root)
+    assert len(live_before) == 8
+
+    res = compact_delta_files(
+        spark, root, target_file_bytes=1 << 30, small_file_bytes=1 << 30
+    )
+    assert res["files_compacted"] == 8
+    assert res["files_written"] < 8
+    _same_rows(read_delta(spark, root), ords)
+
+    # second compact: nothing to do, no new version
+    v = _log_versions(os.path.join(root, "_delta_log"))[-1]
+    res2 = compact_delta_files(
+        spark, root, target_file_bytes=1 << 30, small_file_bytes=1 << 30
+    )
+    assert res2["files_compacted"] == 0
+    assert _log_versions(os.path.join(root, "_delta_log"))[-1] == v
+
+
+def test_compact_partitioned_rewrites_only_dvd_group(
+    spark, sf_dir, tmp_path
+):
+    root = str(tmp_path / "c3")
+    nat = load_table(spark, sf_dir, "nation")
+    write_delta_table(spark, nat, root, partition_by=["n_regionkey"])
+    # delete rows only in region 2; each partition already has ONE file
+    delete_delta_rows(spark, root, "n_regionkey = 2 AND n_nationkey % 2 = 0")
+    expect = nat.filter(
+        ~((F.col("n_regionkey") == 2) & (F.col("n_nationkey") % 2 == 0))
+    )
+    res = compact_delta_files(
+        spark, root, target_file_bytes=1 << 30, small_file_bytes=0
+    )
+    # only the DV'd partition rewrote (small_file_bytes=0 disables
+    # bin-pack selection)
+    assert res["groups_rewritten"] == 1
+    assert res["dvs_absorbed"] == 1
+    _same_rows(read_delta(spark, root), expect)
+    live, _, _ = _live(root)
+    assert not any(a.get("deletionVector") for a in live.values())
+    # rewritten file landed in its partition dir with correct pv
+    new = [a for a in live.values() if "part-c-" in a["path"]]
+    assert new and all(
+        a["partitionValues"]["n_regionkey"] == "2" for a in new
+    )
+
+
+def test_compact_column_mapped_name_mode(spark, tmp_path):
+    """mode=name compaction rewrites in PHYSICAL name space: the new
+    footers carry the physical column names, so mapped readers (ours
+    and foreign) resolve them exactly like the originals."""
+    root = str(tmp_path / "c4")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    os.makedirs(os.path.join(root, "data"))
+    physical = spark.createDataFrame(
+        [(i, i * 10) for i in range(40)], "`col-a` long, `col-c` long"
+    )
+    for tag in ("f1", "f2"):
+        out_dir = os.path.join(root, "data", "w")
+        physical.coalesce(1).write.mode("overwrite").parquet(out_dir)
+        part = next(
+            f
+            for f in os.listdir(out_dir)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        os.rename(
+            os.path.join(out_dir, part),
+            os.path.join(root, "data", f"{tag}.parquet"),
+        )
+    fields = [
+        {
+            "name": "doc_id",
+            "type": "long",
+            "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": 1,
+                "delta.columnMapping.physicalName": "col-a",
+            },
+        },
+        {
+            "name": "n",
+            "type": "long",
+            "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": 2,
+                "delta.columnMapping.physicalName": "col-c",
+            },
+        },
+    ]
+    acts = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "t",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(
+                    {"type": "struct", "fields": fields}
+                ),
+                "partitionColumns": [],
+                "configuration": {"delta.columnMapping.mode": "name"},
+                "createdTime": 0,
+            }
+        },
+    ] + [
+        {
+            "add": {
+                "path": f"data/{tag}.parquet",
+                "partitionValues": {},
+                "size": os.path.getsize(
+                    os.path.join(root, "data", f"{tag}.parquet")
+                ),
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        }
+        for tag in ("f1", "f2")
+    ]
+    with open(
+        os.path.join(root, "_delta_log", f"{0:020d}.json"), "w"
+    ) as fh:
+        fh.write("\n".join(json.dumps(a) for a in acts) + "\n")
+
+    delete_delta_rows(spark, root, "doc_id >= 30")
+    res = compact_delta_files(
+        spark, root, target_file_bytes=1 << 30, small_file_bytes=1 << 30
+    )
+    assert res["dvs_absorbed"] == 2
+    got = read_delta(spark, root)
+    assert got.columns == ["doc_id", "n"]
+    assert got.count() == 60  # 2 files x 40 rows - 2 x 10 deleted
+    assert got.filter("doc_id >= 30").count() == 0
+    # new footers are in PHYSICAL name space
+    import pyarrow.parquet as pq
+
+    live, _, _ = _live(root)
+    new_rel = next(rel for rel in live if "part-c-" in rel)
+    names = pq.read_schema(os.path.join(root, new_rel)).names
+    assert names == ["col-a", "col-c"]
+
+
+def test_compact_refuses_manifest_lake_and_rowtracking(
+    spark, sf_dir, tmp_path
+):
+    from tests.test_delta_delete import _export
+
+    root = str(tmp_path / "c5")
+    nat = load_table(spark, sf_dir, "nation")
+    _export(spark, nat, root)
+    with pytest.raises(ValueError, match="manifest"):
+        compact_delta_files(spark, root)
+    with pytest.raises(ValueError, match="manifest"):
+        vacuum_delta(root, retention_hours=0, allow_short_retention=True)
+
+    # rowTracking tables refuse: a rewrite must assign fresh baseRowIds
+    root2 = str(tmp_path / "c6")
+    write_delta_table(spark, nat, root2)
+    log = os.path.join(root2, "_delta_log")
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["deletionVectors"],
+                        "writerFeatures": [
+                            "deletionVectors",
+                            "rowTracking",
+                        ],
+                    }
+                }
+            )
+            + "\n"
+        )
+    with pytest.raises(ValueError, match="rowTracking"):
+        compact_delta_files(spark, root2)
+
+
+# -------------------------------------------------------------- vacuum
+
+
+def test_vacuum_cleans_tombstoned_files_and_dvs(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "v1")
+    cust = load_table(spark, sf_dir, "customer").repartition(3)
+    write_delta_table(spark, cust, root)
+    delete_delta_rows(spark, root, "c_custkey % 4 = 1")
+    expect = cust.filter(~(F.col("c_custkey") % 4 == 1))
+    compact_delta_files(
+        spark, root, target_file_bytes=1 << 30, small_file_bytes=1 << 30
+    )
+
+    def _data_files():
+        return {
+            fn
+            for fn in os.listdir(root)
+            if fn.endswith(".parquet") or fn.endswith(".bin")
+        }
+
+    before = _data_files()
+    assert any(fn.startswith("deletion_vector_") for fn in before)
+
+    # retention guard: short retention needs the explicit opt-in
+    with pytest.raises(ValueError, match="168"):
+        vacuum_delta(root, retention_hours=0)
+
+    # dry run lists but deletes nothing
+    dr = vacuum_delta(
+        root, retention_hours=0, allow_short_retention=True, dry_run=True
+    )
+    assert dr["files_deleted"] == 0 and len(dr["candidates"]) >= 4
+    assert _data_files() == before
+
+    res = vacuum_delta(
+        root, retention_hours=0, allow_short_retention=True
+    )
+    assert res["files_deleted"] == len(dr["candidates"])
+    after = _data_files()
+    # every DV bitmap and every tombstoned original is gone...
+    assert not any(fn.startswith("deletion_vector_") for fn in after)
+    live, _, _ = _live(root)
+    assert after == {os.path.basename(a) for a in live}
+    # ...and the reader still sees exactly the surviving rows
+    _same_rows(read_delta(spark, root), expect)
+
+
+def test_vacuum_retention_spares_recent_files(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "v2")
+    nat = load_table(spark, sf_dir, "nation")
+    write_delta_table(spark, nat, root)
+    delete_delta_rows(spark, root, "n_nationkey = 0")
+    compact_delta_files(
+        spark, root, target_file_bytes=1 << 30, small_file_bytes=1 << 30
+    )
+    # files were just written: a 1h retention window spares them all
+    res = vacuum_delta(
+        root, retention_hours=1, allow_short_retention=True
+    )
+    assert res["files_deleted"] == 0
+
+    # age ONE tombstoned file past the cutoff; only it is vacuumed
+    live, _, _ = _live(root)
+    tomb = next(
+        fn
+        for fn in os.listdir(root)
+        if fn.endswith(".parquet")
+        and fn not in {os.path.basename(a) for a in live}
+    )
+    old = time.time() - 7200
+    os.utime(os.path.join(root, tomb), (old, old))
+    res = vacuum_delta(
+        root, retention_hours=1, allow_short_retention=True
+    )
+    assert res["files_deleted"] == 1
+    assert not os.path.exists(os.path.join(root, tomb))
