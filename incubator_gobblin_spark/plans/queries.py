@@ -80,6 +80,7 @@ _WINDOW_HEAD = [
     "q140_iceberg_pos_delete_agg",
     "q141_iceberg_hidden_partition_agg",
     "q142_delta_optimize_vacuum_agg",
+    "q143_iceberg_rewrite_files_agg",
     # --- r07-stale block (last driver-green r07 — 3 rounds old at
     # r10, past the ~2-round policy; ALL 37 take slots per VERDICT r9
     # ask 1) ---
@@ -129,7 +130,6 @@ _WINDOW_HEAD = [
     "q58_envelope_decode_agg",
     "q60_time_partition_tree_rollup",
     "q62_winnow_fingerprints",
-    "q65_chunk_documents",
 ]
 
 
@@ -6052,6 +6052,80 @@ def q142_delta_optimize_vacuum_agg(
     live, _, _ = _replay_state(log_dir, None)
     assert not any(a.get("deletionVector") for a in live.values())
     df = read_delta(spark, cache)
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+
+
+@register(
+    "q143_iceberg_rewrite_files_agg",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents
+    WHERE doc_id % 9 <> 4
+    GROUP BY lang
+    """,
+)
+def q143_iceberg_rewrite_files_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full Iceberg DELETE lifecycle under the hard oracle:
+    ``write_iceberg_table`` authors a standalone lang-partitioned v2
+    table (no manifest lake underneath), ``delete_iceberg_rows``
+    commits a position-delete snapshot (doc_id%9==4), and
+    ``rewrite_iceberg_data_files`` ABSORBS the tombstones — rewriting
+    exactly the targeted files with deletes applied, marking the
+    originals DELETED with lineage kept, and DROPPING the absorbed
+    delete manifest from the new ``operation=replace`` snapshot
+    (iceberg-core RewriteDataFilesAction; reference parity
+    gobblin-compaction ``MRCompactor.java``). The read-back aggregate
+    must match the oracle value-for-value from a snapshot that
+    carries ZERO delete files — proving the rewrite preserved exactly
+    the surviving rows.
+
+    Scale shape: the rewrite is one job — the snapshot scan with
+    deletes applied, a broadcast join against the metadata-scale
+    affected-file map, one exchange keyed on (group, bin), and a
+    partitioned write; the driver holds per-file metadata only.
+    """
+    from incubator_gobblin_spark.sinks.iceberg_delete import (
+        delete_iceberg_rows,
+    )
+    from incubator_gobblin_spark.sinks.iceberg_maintenance import (
+        rewrite_iceberg_data_files,
+        write_iceberg_table,
+    )
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        _metadata_versions,
+    )
+    from incubator_gobblin_spark.sources.iceberg_import import (
+        current_metadata,
+        read_iceberg,
+        snapshot_files,
+    )
+
+    cache = _cache_dir("iceberg_rewrite", sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    import os as _os
+
+    meta_dir = _os.path.join(cache, "metadata")
+    if not _os.path.isdir(meta_dir) or not _metadata_versions(meta_dir):
+        write_iceberg_table(spark, docs, cache, partition_by=["lang"])
+    if _metadata_versions(meta_dir)[-1] < 2:
+        delete_iceberg_rows(spark, cache, "doc_id % 9 = 4")
+    if _metadata_versions(meta_dir)[-1] < 3:
+        rewrite_iceberg_data_files(spark, cache)
+    # the rewritten snapshot must carry ZERO delete files
+    _, dels = snapshot_files(
+        current_metadata(cache), cache, collect_deletes=True
+    )
+    assert not dels
+    df = read_iceberg(spark, cache)
     return df.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("chars"),

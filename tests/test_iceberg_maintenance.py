@@ -1,0 +1,288 @@
+"""Iceberg maintenance: write_iceberg_table / rewrite_iceberg_data_files.
+
+Pins the RewriteDataFiles compaction shape: position/equality deletes
+are ABSORBED into rewritten data files (surviving rows only), absorbed
+delete manifests drop out of the new snapshot, originals are marked
+DELETED with lineage kept, and the reader sees identical rows before
+and after. Reference parity: gobblin-compaction MRCompactor +
+iceberg-core actions/rewrite/RewriteDataFilesAction.
+"""
+
+import json
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from incubator_gobblin_spark.session import load_table  # noqa: E402
+from incubator_gobblin_spark.sinks.iceberg_delete import (  # noqa: E402
+    delete_iceberg_rows,
+)
+from incubator_gobblin_spark.sinks.iceberg_maintenance import (  # noqa: E402
+    rewrite_iceberg_data_files,
+    write_iceberg_table,
+)
+from incubator_gobblin_spark.sources.iceberg_import import (  # noqa: E402
+    current_metadata,
+    read_iceberg,
+    snapshot_files,
+)
+
+
+def _same_rows(got, expect):
+    # identity partition columns ride LAST in the authored schema (the
+    # export convention) — align by NAME before the positional compare
+    expect = expect.select(*got.columns)
+    assert got.count() == expect.count()
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
+
+
+def _deletes(root):
+    meta = current_metadata(root)
+    _, dels = snapshot_files(meta, root, collect_deletes=True)
+    return dels
+
+
+# ----------------------------------------------------------------- writer
+
+
+def test_write_iceberg_table_roundtrip(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "w1")
+    nat = load_table(spark, sf_dir, "nation")
+    meta_dir = write_iceberg_table(spark, nat, root)
+    assert os.path.exists(os.path.join(meta_dir, "v1.metadata.json"))
+    _same_rows(read_iceberg(spark, root), nat)
+    meta = current_metadata(root)
+    assert meta["format-version"] == 2
+    assert "schema.name-mapping.default" in meta["properties"]
+    with pytest.raises(FileExistsError):
+        write_iceberg_table(spark, nat, root)
+
+
+def test_write_iceberg_table_identity_partitioned(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "w2")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    write_iceberg_table(spark, docs, root, partition_by=["lang"])
+    _same_rows(read_iceberg(spark, root), docs)
+    meta = current_metadata(root)
+    spec = meta["partition-specs"][0]
+    assert [f["transform"] for f in spec["fields"]] == ["identity"]
+    files = snapshot_files(meta, root)
+    assert all(f["partition"].get("lang") for f in files)
+    # identity-partitioned data files drop the partition column
+    # (hive layout); the read restores it from the manifest
+    import pyarrow.parquet as pq
+
+    assert "lang" not in pq.read_schema(files[0]["path"]).names
+
+
+def test_write_iceberg_table_hidden_partitioning(spark, sf_dir, tmp_path):
+    from incubator_gobblin_spark.functions.iceberg_transforms import (
+        transform_expr,
+    )
+
+    root = str(tmp_path / "w3")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    derived = docs.withColumn(
+        "doc_id_trunc", transform_expr("truncate[100]", F.col("doc_id"), "long")
+    )
+    write_iceberg_table(
+        spark,
+        derived,
+        root,
+        partition_by=["doc_id_trunc"],
+        transform_spec=[
+            {
+                "name": "doc_id_trunc",
+                "transform": "truncate[100]",
+                "source": "doc_id",
+            }
+        ],
+    )
+    got = read_iceberg(spark, root)
+    # the derived partition field is METADATA, not a table column
+    assert sorted(got.columns) == ["doc_id", "lang", "n_chars"]
+    _same_rows(got, docs)
+    spec = current_metadata(root)["partition-specs"][0]
+    assert spec["fields"][0]["transform"] == "truncate[100]"
+    # transform pruning works against the authored spec
+    pruned = read_iceberg(
+        spark, root, filters=[("doc_id", "=", 101)]
+    ).filter("doc_id = 101")
+    _same_rows(pruned, docs.filter("doc_id = 101"))
+
+
+# ---------------------------------------------------------------- rewrite
+
+
+def test_rewrite_absorbs_position_deletes(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "r1")
+    cust = load_table(spark, sf_dir, "customer").repartition(4)
+    write_iceberg_table(spark, cust, root)
+    delete_iceberg_rows(spark, root, "c_custkey % 3 = 0")
+    expect = cust.filter(~(F.col("c_custkey") % 3 == 0))
+    assert _deletes(root)
+
+    res = rewrite_iceberg_data_files(spark, root)
+    assert res["files_rewritten"] == 4
+    assert res["delete_manifests_dropped"] == 1
+    assert res["rows_written"] == expect.count()
+    # tombstones are gone from the NEW snapshot...
+    assert not _deletes(root)
+    # ...and the reader sees exactly the surviving rows
+    _same_rows(read_iceberg(spark, root), expect)
+
+    # rewritten footers carry parquet field ids (rename-safe)
+    import pyarrow.parquet as pq
+
+    meta = current_metadata(root)
+    files = snapshot_files(meta, root)
+    new = [f for f in files if "rewrite-" in f["path"]]
+    assert new
+    sch = pq.read_schema(new[0]["path"])
+    assert sch.field(0).metadata and b"PARQUET:field_id" in sch.field(
+        0
+    ).metadata
+
+    # the PREVIOUS snapshot still time-travels with its tombstones
+    snaps = meta["snapshots"]
+    assert len(snaps) == 3  # append, delete, replace
+    assert snaps[-1]["summary"]["operation"] == "replace"
+    old = read_iceberg(spark, root, snapshot_id=snaps[1]["snapshot-id"])
+    _same_rows(old, expect)
+
+    # second rewrite: nothing to absorb, no new snapshot
+    v = res["version"]
+    res2 = rewrite_iceberg_data_files(spark, root)
+    assert res2["files_rewritten"] == 0 and res2["version"] == v
+
+
+def test_rewrite_absorbs_equality_deletes_partitioned(
+    spark, sf_dir, tmp_path
+):
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        append_equality_deletes,
+    )
+
+    root = str(tmp_path / "r2")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    write_iceberg_table(spark, docs, root, partition_by=["lang"])
+    keys = [int(r.doc_id) for r in docs.filter("doc_id % 10 = 0").collect()]
+    append_equality_deletes(
+        root, [{"doc_id": k} for k in sorted(keys)], ["doc_id"]
+    )
+    expect = docs.filter("doc_id % 10 <> 0")
+    _same_rows(read_iceberg(spark, root), expect)
+
+    res = rewrite_iceberg_data_files(spark, root)
+    # equality deletes conservatively rewrite every lower-sequenced file
+    assert res["files_rewritten"] >= 1
+    assert res["delete_manifests_dropped"] == 1
+    assert not _deletes(root)
+    _same_rows(read_iceberg(spark, root), expect)
+    # partition tuples survive the rewrite (grouped per partition)
+    meta = current_metadata(root)
+    files = snapshot_files(meta, root)
+    assert all(f["partition"].get("lang") for f in files)
+    by_lang = {}
+    for f in files:
+        by_lang.setdefault(f["partition"]["lang"], 0)
+        by_lang[f["partition"]["lang"]] += 1
+    got_langs = {
+        r.lang for r in read_iceberg(spark, root).select("lang").distinct().collect()
+    }
+    assert set(by_lang) == got_langs
+
+
+def test_rewrite_bin_packs_small_files(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "r3")
+    ords = load_table(spark, sf_dir, "orders").repartition(8)
+    write_iceberg_table(spark, ords, root)
+    meta = current_metadata(root)
+    assert len(snapshot_files(meta, root)) == 8
+
+    res = rewrite_iceberg_data_files(
+        spark, root, target_file_bytes=1 << 30, small_file_bytes=1 << 30
+    )
+    assert res["files_rewritten"] == 8 and res["files_written"] < 8
+    _same_rows(read_iceberg(spark, root), ords)
+
+
+def test_rewrite_then_second_delete_composes(spark, sf_dir, tmp_path):
+    """DELETE -> rewrite -> DELETE -> rewrite: sequence numbers stay
+    monotonic and each step's reader state is exact."""
+    root = str(tmp_path / "r4")
+    nat = load_table(spark, sf_dir, "nation")
+    write_iceberg_table(spark, nat, root)
+    delete_iceberg_rows(spark, root, "n_nationkey % 5 = 2")
+    rewrite_iceberg_data_files(spark, root)
+    e1 = nat.filter(~(F.col("n_nationkey") % 5 == 2))
+    _same_rows(read_iceberg(spark, root), e1)
+
+    delete_iceberg_rows(spark, root, "n_nationkey % 5 = 3")
+    e2 = e1.filter(~(F.col("n_nationkey") % 5 == 3))
+    _same_rows(read_iceberg(spark, root), e2)
+    rewrite_iceberg_data_files(spark, root)
+    assert not _deletes(root)
+    _same_rows(read_iceberg(spark, root), e2)
+
+
+def test_rewrite_refuses_manifest_lake(spark, sf_dir, tmp_path):
+    from incubator_gobblin_spark.sinks.files import FileSink, TableType
+
+    root = str(tmp_path / "r5")
+    sink = FileSink(
+        path=root, commit_mode="manifest", table_type=TableType.APPEND_ONLY
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    sink.write_staging(nat, "r0")
+    sink.publish("r0")
+    sink.export_iceberg()
+    with pytest.raises(ValueError, match="manifest"):
+        rewrite_iceberg_data_files(spark, root)
+
+
+def test_rewrite_conflict_refuses(spark, sf_dir, tmp_path):
+    """A snapshot that lands between scan and commit aborts the
+    rewrite (its coordinates may be stale) without publishing."""
+    from incubator_gobblin_spark.sinks.iceberg_delete import (
+        IcebergConcurrentModificationError,
+    )
+    from incubator_gobblin_spark.sinks import iceberg_maintenance as im
+
+    root = str(tmp_path / "r6")
+    nat = load_table(spark, sf_dir, "nation")
+    write_iceberg_table(spark, nat, root)
+    delete_iceberg_rows(spark, root, "n_nationkey % 2 = 0")
+
+    real = im._metadata_versions
+    calls = {"n": 0}
+
+    def racy(meta_dir):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the commit-loop re-check
+            delete_iceberg_rows(spark, root, "n_nationkey = 1")
+        return real(meta_dir)
+
+    im._metadata_versions = racy
+    try:
+        with pytest.raises(IcebergConcurrentModificationError):
+            rewrite_iceberg_data_files(spark, root)
+    finally:
+        im._metadata_versions = real
+    # nothing was published by the aborted rewrite: the racer's delete
+    # is the current state and reads exactly
+    expect = nat.filter(
+        ~((F.col("n_nationkey") % 2 == 0) | (F.col("n_nationkey") == 1))
+    )
+    _same_rows(read_iceberg(spark, root), expect)
