@@ -81,6 +81,8 @@ _WINDOW_HEAD = [
     "q141_iceberg_hidden_partition_agg",
     "q142_delta_optimize_vacuum_agg",
     "q143_iceberg_rewrite_files_agg",
+    "q144_iceberg_upsert_agg",
+    "q145_delta_merge_agg",
     # --- r07-stale block (last driver-green r07 — 3 rounds old at
     # r10, past the ~2-round policy; ALL 37 take slots per VERDICT r9
     # ask 1) ---
@@ -128,8 +130,6 @@ _WINDOW_HEAD = [
     "q34_ann_lsh_topk",
     "q57_orc_scan_agg",
     "q58_envelope_decode_agg",
-    "q60_time_partition_tree_rollup",
-    "q62_winnow_fingerprints",
 ]
 
 
@@ -6126,6 +6126,118 @@ def q143_iceberg_rewrite_files_agg(
     )
     assert not dels
     df = read_iceberg(spark, cache)
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+
+
+@register(
+    "q144_iceberg_upsert_agg",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN doc_id % 5 = 0 THEN n_chars + 50000
+                         ELSE n_chars END) AS BIGINT) AS chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q144_iceberg_upsert_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-facing Iceberg UPSERT under the hard oracle — the CDC /
+    Flink-upsert-sink shape (spec §Equality Delete Files):
+    ``upsert_iceberg_rows`` commits ONE snapshot carrying an
+    equality-delete manifest on ``doc_id`` (killing the old versions
+    of every doc_id%5==0 row) plus a data manifest appending the
+    updated rows at the SAME sequence number, so the strictly-before
+    rule spares them. The read-back must show every row exactly once
+    with the updated rows' n_chars shifted by 50000 — count unchanged
+    per lang (no duplicate, no loss), sums shifted value-for-value.
+
+    Scale shape: the upsert never reads or rewrites a data file —
+    O(new rows) staged writes + metadata; the read is the scan +
+    broadcast equality anti-join q137 pinned.
+    """
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        _metadata_versions,
+    )
+    from incubator_gobblin_spark.sinks.iceberg_maintenance import (
+        upsert_iceberg_rows,
+        write_iceberg_table,
+    )
+    from incubator_gobblin_spark.sources.iceberg_import import read_iceberg
+
+    import os as _os
+
+    cache = _cache_dir("iceberg_upsert", sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    meta_dir = _os.path.join(cache, "metadata")
+    if not _os.path.isdir(meta_dir) or not _metadata_versions(meta_dir):
+        write_iceberg_table(spark, docs, cache, partition_by=["lang"])
+    if _metadata_versions(meta_dir)[-1] < 2:
+        updates = docs.filter("doc_id % 5 = 0").withColumn(
+            "n_chars", F.col("n_chars") + 50000
+        )
+        upsert_iceberg_rows(spark, cache, updates, on="doc_id")
+    df = read_iceberg(spark, cache)
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+
+
+@register(
+    "q145_delta_merge_agg",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN doc_id % 8 = 1 THEN n_chars + 70000
+                         ELSE n_chars END) AS BIGINT) AS chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q145_delta_merge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-facing Delta MERGE under the hard oracle — merge-on-read
+    upsert (PROTOCOL.md §Deletion Vectors): ``merge_delta_rows``
+    commits ONE version in which every matched row (doc_id%8==1) dies
+    by deletion vector and its updated version is appended —
+    delta-spark's WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT
+    * with bitmaps instead of copy-on-write rewrites. The read-back
+    must show every row exactly once with matched rows' n_chars
+    shifted by 70000 — count unchanged per lang, sums shifted
+    value-for-value.
+
+    Scale shape: one scan + broadcast left-semi on the distinct
+    source keys, one coordinate exchange, executor bitmap writes, one
+    partitioned insert write — the driver holds per-file descriptors.
+    """
+    from incubator_gobblin_spark.sinks.delta_maintenance import (
+        merge_delta_rows,
+        write_delta_table,
+    )
+    from incubator_gobblin_spark.sources.delta_import import (
+        _log_versions,
+        read_delta,
+    )
+
+    import os as _os
+
+    cache = _cache_dir("delta_merge", sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    log_dir = _os.path.join(cache, "_delta_log")
+    if not _os.path.isdir(log_dir) or not _log_versions(log_dir):
+        write_delta_table(spark, docs, cache, partition_by=["lang"])
+    if _log_versions(log_dir)[-1] < 1:
+        updates = docs.filter("doc_id % 8 = 1").withColumn(
+            "n_chars", F.col("n_chars") + 70000
+        )
+        merge_delta_rows(spark, cache, updates, on="doc_id")
+    df = read_delta(spark, cache)
     return df.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("chars"),

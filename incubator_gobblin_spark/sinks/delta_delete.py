@@ -199,6 +199,67 @@ def _loosened_stats(add: dict) -> str | None:
     return json.dumps(d)
 
 
+def build_dv_descriptors(spark, matched, path: str, live: dict) -> list:
+    """Executor-side bitmap build shared by DELETE and MERGE: per
+    touched file, union the newly matched positions with the file's
+    existing DV (replace-descriptor semantics) and write the vector —
+    unless the union covers every physical row, in which case no
+    vector is written and the file is flagged for outright removal.
+    ``matched`` is a DataFrame of (``_path`` decoded-abs string,
+    ``_pos`` long); returns collected rows of (``_path``, ``_dv`` JSON
+    or None, ``_card``). One exchange keyed on file path; the driver
+    receives one descriptor row per touched file, never positions."""
+    table_root = os.path.abspath(path)
+    file_info = {
+        os.path.abspath(os.path.join(path, unquote(rel))): (
+            json.dumps(a["deletionVector"]) if a.get("deletionVector") else None,
+            _stats_num_records(a),
+        )
+        for rel, a in live.items()
+    }
+    from incubator_gobblin_spark.sources.mock_kafka import _ship_package
+
+    _ship_package(spark)
+    # explicit broadcast: the per-file map is metadata-scale but a
+    # closure pickle re-ships it with EVERY task — broadcast ships it
+    # once per executor
+    info_bc = spark.sparkContext.broadcast(file_info)
+
+    def _build(pdf):
+        import json as _json
+
+        import pandas as _pd
+
+        from incubator_gobblin_spark.formats.deletion_vectors import (
+            read_dv_positions,
+            write_dv_file,
+        )
+
+        fp = pdf["_path"].iloc[0]
+        old_dv, nrec = info_bc.value[fp]
+        if nrec is None:  # no stats: one footer read, touched files only
+            import pyarrow.parquet as _pq
+
+            nrec = _pq.read_metadata(fp).num_rows
+        positions = set(int(p) for p in pdf["_pos"])
+        if old_dv is not None:
+            positions.update(read_dv_positions(table_root, _json.loads(old_dv)))
+        if len(positions) >= nrec:
+            return _pd.DataFrame(
+                {"_path": [fp], "_dv": [None], "_card": [nrec]}
+            )
+        dv = write_dv_file(table_root, sorted(positions), storage="u")
+        return _pd.DataFrame(
+            {"_path": [fp], "_dv": [_json.dumps(dv)], "_card": [len(positions)]}
+        )
+
+    return (
+        matched.groupBy("_path")
+        .applyInPandas(_build, "_path string, _dv string, _card long")
+        .collect()
+    )
+
+
 def delete_delta_rows(
     spark: SparkSession,
     path: str,
@@ -333,59 +394,7 @@ def delete_delta_rows(
         )
     )
 
-    # executor-side bitmap build: per touched file, union the newly
-    # matched positions with the file's existing DV (replace-descriptor
-    # semantics) and write the vector — unless the union covers every
-    # physical row, in which case no vector is written and the file is
-    # flagged for outright removal
-    file_info = {
-        os.path.abspath(os.path.join(path, unquote(rel))): (
-            json.dumps(a["deletionVector"]) if a.get("deletionVector") else None,
-            _stats_num_records(a),
-        )
-        for rel, a in live.items()
-    }
-    from incubator_gobblin_spark.sources.mock_kafka import _ship_package
-
-    _ship_package(spark)
-    # explicit broadcast: the per-file map is metadata-scale but a
-    # closure pickle re-ships it with EVERY task — broadcast ships it
-    # once per executor
-    info_bc = spark.sparkContext.broadcast(file_info)
-
-    def _build(pdf):
-        import json as _json
-
-        import pandas as _pd
-
-        from incubator_gobblin_spark.formats.deletion_vectors import (
-            read_dv_positions,
-            write_dv_file,
-        )
-
-        fp = pdf["_path"].iloc[0]
-        old_dv, nrec = info_bc.value[fp]
-        if nrec is None:  # no stats: one footer read, touched files only
-            import pyarrow.parquet as _pq
-
-            nrec = _pq.read_metadata(fp).num_rows
-        positions = set(int(p) for p in pdf["_pos"])
-        if old_dv is not None:
-            positions.update(read_dv_positions(table_root, _json.loads(old_dv)))
-        if len(positions) >= nrec:
-            return _pd.DataFrame(
-                {"_path": [fp], "_dv": [None], "_card": [nrec]}
-            )
-        dv = write_dv_file(table_root, sorted(positions), storage="u")
-        return _pd.DataFrame(
-            {"_path": [fp], "_dv": [_json.dumps(dv)], "_card": [len(positions)]}
-        )
-
-    desc_rows = (
-        matched.groupBy("_path")
-        .applyInPandas(_build, "_path string, _dv string, _card long")
-        .collect()
-    )
+    desc_rows = build_dv_descriptors(spark, matched, path, live)
     if not desc_rows:
         return {
             "version": current_v,

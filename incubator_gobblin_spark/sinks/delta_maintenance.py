@@ -232,6 +232,73 @@ def _publish_commit(
     )
 
 
+def _stage_adds(
+    df: DataFrame, path: str, part_cols: list[str], ts: int
+) -> tuple[list[dict], int]:
+    """Write ``df`` through a staging dir and move the part files into
+    the table tree (hive dirs for partitioned tables), returning the
+    ``add`` actions with footer-derived stats. Shared by
+    write_delta_table and merge_delta_rows."""
+    os.makedirs(path, exist_ok=True)
+    staging = os.path.join(path, f".staging-{_uuid.uuid4().hex[:12]}")
+    adds: list[dict] = []
+    rows_total = 0
+    skip = set(part_cols)
+    try:
+        w = df.write.mode("overwrite")
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.parquet(staging)
+
+        if part_cols:
+            # one staged hive dir per partition tuple; move its files
+            # into the SAME relative dir under the table root
+            for dirpath, _dirs, files in os.walk(staging):
+                parts = [f for f in files if f.endswith(".parquet")]
+                if not parts:
+                    continue
+                rel_dir = os.path.relpath(dirpath, staging)
+                pvals: dict = {}
+                for seg in rel_dir.replace(os.sep, "/").split("/"):
+                    k, _, v = seg.partition("=")
+                    pvals[k] = _hive_dir_value(v)
+                moved = _move_parts(
+                    dirpath, os.path.join(path, rel_dir), "w"
+                )
+                for fp in moved:
+                    n, stats = _footer_stats(fp, skip)
+                    rows_total += n
+                    rel = os.path.relpath(fp, path).replace(os.sep, "/")
+                    adds.append(
+                        {
+                            "path": quote(rel),
+                            "partitionValues": pvals,
+                            "size": os.path.getsize(fp),
+                            "modificationTime": ts,
+                            "dataChange": True,
+                            "stats": stats,
+                        }
+                    )
+        else:
+            for fp in _move_parts(staging, path, "w"):
+                n, stats = _footer_stats(fp, skip)
+                rows_total += n
+                rel = os.path.relpath(fp, path).replace(os.sep, "/")
+                adds.append(
+                    {
+                        "path": quote(rel),
+                        "partitionValues": {},
+                        "size": os.path.getsize(fp),
+                        "modificationTime": ts,
+                        "dataChange": True,
+                        "stats": stats,
+                    }
+                )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return adds, rows_total
+
+
 def write_delta_table(
     spark: SparkSession,
     df: DataFrame,
@@ -290,64 +357,8 @@ def write_delta_table(
                 f"{part_cols} != table's {prev_meta.get('partitionColumns')}"
             )
 
-    os.makedirs(path, exist_ok=True)
-    staging = os.path.join(path, f".staging-{_uuid.uuid4().hex[:12]}")
-    try:
-        w = df.write.mode("overwrite")
-        if part_cols:
-            w = w.partitionBy(*part_cols)
-        w.parquet(staging)
-
-        adds: list[dict] = []
-        rows_total = 0
-        ts = int(_time.time() * 1000)
-        skip = set(part_cols)
-        if part_cols:
-            # one staged hive dir per partition tuple; move its files
-            # into the SAME relative dir under the table root
-            for dirpath, _dirs, files in os.walk(staging):
-                parts = [f for f in files if f.endswith(".parquet")]
-                if not parts:
-                    continue
-                rel_dir = os.path.relpath(dirpath, staging)
-                pvals: dict = {}
-                for seg in rel_dir.replace(os.sep, "/").split("/"):
-                    k, _, v = seg.partition("=")
-                    pvals[k] = _hive_dir_value(v)
-                moved = _move_parts(
-                    dirpath, os.path.join(path, rel_dir), "w"
-                )
-                for fp in moved:
-                    n, stats = _footer_stats(fp, skip)
-                    rows_total += n
-                    rel = os.path.relpath(fp, path).replace(os.sep, "/")
-                    adds.append(
-                        {
-                            "path": quote(rel),
-                            "partitionValues": pvals,
-                            "size": os.path.getsize(fp),
-                            "modificationTime": ts,
-                            "dataChange": True,
-                            "stats": stats,
-                        }
-                    )
-        else:
-            for fp in _move_parts(staging, path, "w"):
-                n, stats = _footer_stats(fp, skip)
-                rows_total += n
-                rel = os.path.relpath(fp, path).replace(os.sep, "/")
-                adds.append(
-                    {
-                        "path": quote(rel),
-                        "partitionValues": {},
-                        "size": os.path.getsize(fp),
-                        "modificationTime": ts,
-                        "dataChange": True,
-                        "stats": stats,
-                    }
-                )
-    finally:
-        shutil.rmtree(staging, ignore_errors=True)
+    ts = int(_time.time() * 1000)
+    adds, rows_total = _stage_adds(df, path, part_cols, ts)
 
     actions: list[dict] = [
         {
@@ -723,6 +734,197 @@ def compact_delta_files(
         "dvs_absorbed": dvs_absorbed,
         "rows_rewritten": rows_rewritten,
         "groups_rewritten": len(plan),
+    }
+
+
+def merge_delta_rows(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    *,
+    on,
+    union_threshold: int = 16,
+) -> dict:
+    """MERGE (upsert) ``source`` into the Delta table at ``path`` on
+    key columns ``on`` — the merge-on-read shape: every table row
+    whose key appears in ``source`` is deletion-vector-deleted and
+    every ``source`` row is appended, in ONE commit
+    (``operation=MERGE``, PROTOCOL.md §Deletion Vectors) — the
+    WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT * semantics
+    of delta-spark's MergeIntoCommand, with bitmaps instead of
+    copy-on-write file rewrites. ``source`` must match the table's
+    declared schema exactly; callers de-duplicate keys upstream (two
+    source rows with one key both insert — CDC feeds dedupe per
+    checkpoint, the reference's compaction delta-merge argmax shape).
+
+    Refuses manifest-commit lakes (new files would desync the
+    manifest projection), column-mapped tables (new files need
+    physical names/ids this writer does not author), and the same
+    writer-feature obligations the DELETE and append gates enforce.
+
+    Returns ``{"version", "rows_updated", "rows_inserted",
+    "dv_files", "files_removed", "files_added"}``.
+
+    Scale shape: one filtered scan + broadcast left-semi on the
+    distinct source keys, one exchange of matched coordinates,
+    executor-side bitmap writes, one partitioned staging write for
+    the inserts — the driver holds per-file descriptors only.
+    """
+    from incubator_gobblin_spark.sinks.delta_delete import (
+        _check_delete_writable,
+        _loosened_stats,
+        _upgraded_protocol,
+        build_dv_descriptors,
+    )
+    from incubator_gobblin_spark.sources.delta_import import (
+        assemble_snapshot,
+        check_reader_protocol,
+        decoded_file_path,
+    )
+
+    _refuse_manifest_lake(path, "merge_delta_rows")
+    on_cols = [on] if isinstance(on, str) else list(on)
+    if not on_cols:
+        raise ValueError("merge_delta_rows: on=<key cols> required")
+    log_dir = os.path.join(path, "_delta_log")
+    live, meta, proto = _replay_state(log_dir, None)
+    check_reader_protocol(proto, meta, live, allow_column_mapping=True)
+    _check_delete_writable(proto, meta)  # the DV half's obligations
+    _check_append_writable(proto, meta, "append")  # the insert half's
+    current_v = _log_versions(log_dir)[-1]
+
+    declared = json.loads(meta["schemaString"])
+    if _schema_fields(declared) != _schema_fields(
+        json.loads(source.schema.json())
+    ):
+        raise ValueError(
+            "merge_delta_rows: source schema does not match the "
+            "table's declared schema"
+        )
+    missing = [c for c in on_cols if c not in source.columns]
+    if missing:
+        raise ValueError(f"merge_delta_rows: key columns {missing} not in source")
+    part_cols = list(meta.get("partitionColumns") or [])
+    schema = StructType.fromJson(declared)
+
+    # ---- matched coordinates (rows already DV-deleted re-match
+    # harmlessly: the bitmap union is idempotent) ----
+    desc_rows: list = []
+    if live:
+        groups: dict[tuple, list[str]] = {}
+        for rel, a in live.items():
+            pv = a.get("partitionValues") or {}
+            key = tuple(pv.get(k) for k in part_cols)
+            groups.setdefault(key, []).append(
+                os.path.join(path, unquote(rel))
+            )
+        scan = assemble_snapshot(
+            spark, groups, schema, part_cols, union_threshold,
+            with_positions=True,
+        )
+        keys = source.select(*on_cols).distinct()
+        matched = (
+            scan.join(F.broadcast(keys), on=on_cols, how="left_semi")
+            .select(
+                decoded_file_path(F.col("_file_path")).alias("_path"),
+                F.col("_row_index").alias("_pos"),
+            )
+        )
+        desc_rows = build_dv_descriptors(spark, matched, path, live)
+
+    by_abs = {
+        os.path.abspath(os.path.join(path, unquote(rel))): rel
+        for rel in live
+    }
+    ts = int(_time.time() * 1000)
+    adds_new, rows_inserted = _stage_adds(source, path, part_cols, ts)
+
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "MERGE",
+                "operationParameters": {
+                    "matchedPredicates": json.dumps(
+                        [{"actionType": "delete"}]
+                    ),
+                    "notMatchedPredicates": json.dumps(
+                        [{"actionType": "insert"}]
+                    ),
+                },
+                "engineInfo": "incubator-gobblin-spark merge",
+            }
+        }
+    ]
+    rows_updated = 0
+    dv_files = 0
+    files_removed = 0
+    if desc_rows:
+        upgrade = _upgraded_protocol(proto)
+        if upgrade is not None:
+            actions.append({"protocol": upgrade})
+        for r in sorted(desc_rows, key=lambda x: x._path):
+            rel = by_abs[r._path]
+            old = live[rel]
+            old_card = int(
+                (old.get("deletionVector") or {}).get("cardinality") or 0
+            )
+            rows_updated += int(r._card) - old_card
+            remove = {
+                "path": rel,
+                "deletionTimestamp": ts,
+                "dataChange": True,
+                "extendedFileMetadata": True,
+                "partitionValues": old.get("partitionValues") or {},
+                "size": old.get("size"),
+            }
+            if old.get("deletionVector"):
+                remove["deletionVector"] = old["deletionVector"]
+            actions.append({"remove": remove})
+            if r._dv is None:
+                files_removed += 1
+                continue
+            add = {
+                **old,
+                "deletionVector": json.loads(r._dv),
+                "dataChange": True,
+            }
+            loosened = _loosened_stats(old)
+            if loosened is not None:
+                add["stats"] = loosened
+            actions.append({"add": add})
+            dv_files += 1
+    actions.extend({"add": a} for a in adds_new)
+
+    def _cleanup():
+        for a in adds_new:
+            try:
+                os.remove(os.path.join(path, unquote(a["path"])))
+            except OSError:
+                pass
+
+    def _race_ok(state):
+        now_live, now_meta, now_proto = state
+        # ANY change invalidates the matched coordinates / gates
+        return (
+            now_live == live and now_meta == meta and now_proto == proto
+        )
+
+    version = _publish_commit(
+        log_dir,
+        actions,
+        current_v,
+        on_race_state=_race_ok,
+        cleanup=_cleanup,
+        op="merge_delta_rows",
+    )
+    return {
+        "version": version,
+        "rows_updated": rows_updated,
+        "rows_inserted": rows_inserted,
+        "dv_files": dv_files,
+        "files_removed": files_removed,
+        "files_added": len(adds_new),
     }
 
 

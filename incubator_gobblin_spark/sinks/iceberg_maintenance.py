@@ -117,6 +117,70 @@ def _move_parts(staging: str, dest_dir: str, tag: str) -> list[str]:
     return out
 
 
+def _stage_iceberg_data(
+    df: DataFrame, location: str, part_cols: list[str]
+) -> list[dict]:
+    """Write ``df`` through a staging dir and move the part files
+    under ``data/`` (hive dirs for partitioned tables — ``partitionBy``
+    drops the partition columns from the data files, the spec's
+    hidden-partition file layout). Returns ``{path, partition
+    (string-valued dict), rows, size}`` per file. Shared by the
+    standalone writer and the upsert."""
+    os.makedirs(os.path.join(location, "data"), exist_ok=True)
+    staging = os.path.join(location, f".staging-{_uuid.uuid4().hex[:12]}")
+    files: list[dict] = []
+    try:
+        w = df.write.mode("overwrite")
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.parquet(staging)
+        import pyarrow.parquet as pq
+
+        if part_cols:
+            for dirpath, _dirs, fns in os.walk(staging):
+                parts = [f for f in fns if f.endswith(".parquet")]
+                if not parts:
+                    continue
+                rel_dir = os.path.relpath(dirpath, staging)
+                pvals: dict = {}
+                for seg in rel_dir.replace(os.sep, "/").split("/"):
+                    k, _, v = seg.partition("=")
+                    pvals[k] = (
+                        None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+                    )
+                moved = _move_parts(
+                    dirpath,
+                    os.path.join(location, "data", rel_dir),
+                    "part-w",
+                )
+                for fp in moved:
+                    md = pq.read_metadata(fp)
+                    files.append(
+                        {
+                            "path": fp,
+                            "partition": pvals,
+                            "rows": int(md.num_rows),
+                            "size": os.path.getsize(fp),
+                        }
+                    )
+        else:
+            for fp in _move_parts(
+                staging, os.path.join(location, "data"), "part-w"
+            ):
+                md = pq.read_metadata(fp)
+                files.append(
+                    {
+                        "path": fp,
+                        "partition": {},
+                        "rows": int(md.num_rows),
+                        "size": os.path.getsize(fp),
+                    }
+                )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return files
+
+
 def write_iceberg_table(
     spark: SparkSession,
     df: DataFrame,
@@ -170,58 +234,7 @@ def write_iceberg_table(
         transforms_by_name[t["name"]] = t
     identity_cols = [c for c in part_cols if c not in transforms_by_name]
 
-    os.makedirs(os.path.join(location, "data"), exist_ok=True)
-    staging = os.path.join(location, f".staging-{_uuid.uuid4().hex[:12]}")
-    files: list[dict] = []
-    try:
-        w = df.write.mode("overwrite")
-        if part_cols:
-            w = w.partitionBy(*part_cols)
-        w.parquet(staging)
-        import pyarrow.parquet as pq
-
-        if part_cols:
-            for dirpath, _dirs, fns in os.walk(staging):
-                parts = [f for f in fns if f.endswith(".parquet")]
-                if not parts:
-                    continue
-                rel_dir = os.path.relpath(dirpath, staging)
-                pvals: dict = {}
-                for seg in rel_dir.replace(os.sep, "/").split("/"):
-                    k, _, v = seg.partition("=")
-                    pvals[k] = (
-                        None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
-                    )
-                moved = _move_parts(
-                    dirpath,
-                    os.path.join(location, "data", rel_dir),
-                    "part-w",
-                )
-                for fp in moved:
-                    md = pq.read_metadata(fp)
-                    files.append(
-                        {
-                            "path": fp,
-                            "partition": pvals,
-                            "rows": int(md.num_rows),
-                            "size": os.path.getsize(fp),
-                        }
-                    )
-        else:
-            for fp in _move_parts(
-                staging, os.path.join(location, "data"), "part-w"
-            ):
-                md = pq.read_metadata(fp)
-                files.append(
-                    {
-                        "path": fp,
-                        "partition": {},
-                        "rows": int(md.num_rows),
-                        "size": os.path.getsize(fp),
-                    }
-                )
-    finally:
-        shutil.rmtree(staging, ignore_errors=True)
+    files = _stage_iceberg_data(df, location, part_cols)
     if not files:
         raise ValueError("write_iceberg_table: df wrote no rows")
 
@@ -901,4 +914,369 @@ def rewrite_iceberg_data_files(
     raise IcebergConcurrentModificationError(
         f"rewrite_iceberg_data_files: lost the commit race 8 times "
         f"under {meta_dir}"
+    )
+
+
+def upsert_iceberg_rows(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    *,
+    on,
+) -> dict:
+    """UPSERT ``df`` into the Iceberg table at ``path`` on key columns
+    ``on`` — the CDC / Flink-upsert-sink shape (spec §Equality Delete
+    Files): ONE snapshot carries (a) an EQUALITY-delete manifest whose
+    files hold the distinct source keys (killing every OLDER row equal
+    on them — equality deletes apply to data sequenced strictly
+    before them) and (b) a data manifest ADDing the new rows at the
+    same sequence number, so the appended rows themselves survive.
+    No data file is read or rewritten — the merge cost is O(new rows)
+    regardless of table size; ``rewrite_iceberg_data_files`` absorbs
+    the accumulated deletes later, exactly like a Flink+Iceberg
+    pipeline's maintenance job.
+
+    ``df`` must match the table's declared schema exactly; callers
+    de-duplicate keys upstream (duplicate source keys all insert).
+    Identity-partitioned and unpartitioned tables only — the delete
+    files are written GLOBAL (all-null partition scope, which every
+    spec reader must honor), and new data files partition by the
+    identity sources; transform-partitioned upserts refuse loudly.
+
+    Returns ``{"version", "snapshot_id", "rows_inserted",
+    "keys_deleted", "data_files", "delete_files"}``. Raises
+    :class:`IcebergConcurrentModificationError` if the current
+    snapshot moves between staging and commit.
+    """
+    from incubator_gobblin_spark.formats.avro_ocf import encode_ocf
+
+    _refuse_manifest_lake(path, "upsert_iceberg_rows")
+    on_cols = [on] if isinstance(on, str) else list(on)
+    if not on_cols:
+        raise ValueError("upsert_iceberg_rows: on=<key cols> required")
+    location = os.path.abspath(path)
+    meta_dir = os.path.join(location, "metadata")
+    versions = _metadata_versions(meta_dir)
+    if not versions:
+        raise FileNotFoundError(f"no Iceberg metadata under {meta_dir}")
+    current_v = versions[-1]
+    prev = _load_metadata_version(meta_dir, current_v)
+    if int(prev.get("format-version", 1)) != 2:
+        raise ValueError(
+            "upsert_iceberg_rows: equality deletes require format-"
+            "version 2"
+        )
+    base_snap_id = prev.get("current-snapshot-id")
+    if base_snap_id in (None, -1) or not prev.get("snapshots"):
+        raise FileNotFoundError(
+            "upsert_iceberg_rows: table has no current snapshot — "
+            "create it with write_iceberg_table first"
+        )
+    schema_json = next(
+        s
+        for s in prev["schemas"]
+        if s["schema-id"] == prev["current-schema-id"]
+    )
+    spec = next(
+        s
+        for s in prev["partition-specs"]
+        if s["spec-id"] == prev["default-spec-id"]
+    )
+    by_name = {f["name"]: f for f in schema_json["fields"]}
+    fname = {f["id"]: f["name"] for f in schema_json["fields"]}
+    ftype = {f["name"]: f["type"] for f in schema_json["fields"]}
+    bad = [pf for pf in spec["fields"] if pf["transform"] != "identity"]
+    if bad:
+        raise ValueError(
+            "upsert_iceberg_rows: table is transform-partitioned "
+            f"({[pf['transform'] for pf in bad]}) — only identity "
+            "partitioning is supported; use delete+append explicitly"
+        )
+    part_cols = [
+        pf.get("name") or fname[pf["source-id"]] for pf in spec["fields"]
+    ]
+    part_types = {c: ftype[c] for c in part_cols}
+    unsup = [c for c in part_cols if part_types[c] not in ("int", "long", "string")]
+    if unsup:
+        raise ValueError(
+            f"upsert_iceberg_rows: partition column types {unsup} not "
+            "supported by the hive-dir staging writer"
+        )
+    declared = [f["name"] for f in schema_json["fields"]]
+    if sorted(df.columns) != sorted(declared):
+        raise ValueError(
+            f"upsert_iceberg_rows: df columns {sorted(df.columns)} != "
+            f"table schema {sorted(declared)}"
+        )
+    missing = [c for c in on_cols if c not in by_name]
+    if missing:
+        raise ValueError(f"upsert_iceberg_rows: key columns {missing} not in schema")
+    equality_ids = [by_name[c]["id"] for c in on_cols]
+
+    # ---- stage new data files (hive layout: partition cols dropped
+    # from the files, exactly the standalone writer's shape) ----
+    data_files = _stage_iceberg_data(
+        df.select(*declared), location, part_cols
+    )
+    new_paths = [f["path"] for f in data_files]
+
+    # ---- stage equality-delete parquet(s): the DISTINCT source keys,
+    # written distributed (a CDC batch's key set can be large) ----
+    del_root = os.path.join(location, "_deletes")
+    os.makedirs(del_root, exist_ok=True)
+    del_staging = os.path.join(
+        location, f".upsert-del-{_uuid.uuid4().hex[:12]}"
+    )
+    delete_parts: list[dict] = []
+    try:
+        df.select(*on_cols).distinct().write.mode("overwrite").parquet(
+            del_staging
+        )
+        import pyarrow.parquet as pq
+
+        for fp in _move_parts(del_staging, del_root, "eq-upsert"):
+            n = pq.read_metadata(fp).num_rows
+            if n == 0:
+                os.remove(fp)
+                continue
+            new_paths.append(fp)
+            delete_parts.append(
+                {"path": fp, "rows": int(n), "size": os.path.getsize(fp)}
+            )
+    finally:
+        shutil.rmtree(del_staging, ignore_errors=True)
+
+    def _cleanup():
+        for fp in new_paths:
+            try:
+                os.remove(fp)
+            except OSError:
+                pass
+
+    if not data_files and not delete_parts:
+        return {
+            "version": current_v,
+            "snapshot_id": base_snap_id,
+            "rows_inserted": 0,
+            "keys_deleted": 0,
+            "data_files": 0,
+            "delete_files": 0,
+        }
+
+    def _typed(v, t):
+        if v is None:
+            return None
+        return int(v) if t in ("int", "long") else v
+
+    # ---- commit loop ----
+    for attempt in range(8):
+        versions = _metadata_versions(meta_dir)
+        if versions[-1] != current_v:
+            now = _load_metadata_version(meta_dir, versions[-1])
+            if now.get("current-snapshot-id") != base_snap_id:
+                _cleanup()
+                raise IcebergConcurrentModificationError(
+                    f"upsert_iceberg_rows: {location} advanced from "
+                    f"snapshot {base_snap_id} while this upsert was "
+                    "staging — re-run it (upsert ordering matters)"
+                )
+            prev, current_v = now, versions[-1]
+
+        snapshots = list(prev["snapshots"])
+        cur = next(
+            s for s in snapshots if s["snapshot-id"] == base_snap_id
+        )
+        sid = (
+            max(
+                max((s["snapshot-id"] for s in snapshots), default=0),
+                int(prev.get("last-sequence-number", 0)),
+            )
+            + 1
+        )
+        seq = sid
+        ts = int(_time.time() * 1000)
+        commit_uuid = str(
+            _uuid.uuid5(_uuid.NAMESPACE_URL, f"{location}#upsert#{sid}")
+        )
+        part_struct = _partition_struct_avro(part_cols, part_types)
+        entry_schema = _manifest_entry_avro(part_struct)
+        manifest_meta = {
+            "schema": json.dumps(schema_json).encode(),
+            "partition-spec": json.dumps(spec["fields"]).encode(),
+            "partition-spec-id": str(spec["spec-id"]).encode(),
+            "format-version": b"2",
+        }
+        written: list[str] = []
+        list_rows = [
+            dict(r) for r in _decode_manifest_list(cur, location)
+        ]
+
+        # (a) the equality-delete manifest — GLOBAL scope (all-null
+        # partition), applying to data sequenced strictly before `seq`
+        if delete_parts:
+            entries = [
+                {
+                    "status": 1,
+                    "snapshot_id": sid,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": {
+                        "content": 2,  # EQUALITY_DELETES
+                        "file_path": "file://" + p["path"],
+                        "file_format": "PARQUET",
+                        "partition": {c: None for c in part_cols},
+                        "record_count": p["rows"],
+                        "file_size_in_bytes": p["size"],
+                        "value_counts": None,
+                        "null_value_counts": None,
+                        "lower_bounds": None,
+                        "upper_bounds": None,
+                        "equality_ids": equality_ids,
+                    },
+                }
+                for p in delete_parts
+            ]
+            mdata = encode_ocf(
+                entry_schema,
+                entries,
+                codec="null",
+                extra_meta={**manifest_meta, "content": b"deletes"},
+            )
+            mp = os.path.join(meta_dir, f"{commit_uuid}-m0.avro")
+            with open(mp, "wb") as fh:
+                fh.write(mdata)
+            written.append(mp)
+            list_rows.append(
+                {
+                    "manifest_path": "file://" + mp,
+                    "manifest_length": len(mdata),
+                    "partition_spec_id": spec["spec-id"],
+                    "content": 1,  # DELETES
+                    "sequence_number": seq,
+                    "min_sequence_number": seq,
+                    "added_snapshot_id": sid,
+                    "added_files_count": len(delete_parts),
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                    "added_rows_count": sum(
+                        p["rows"] for p in delete_parts
+                    ),
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                }
+            )
+
+        # (b) the data manifest — the new rows, same sequence number,
+        # so the equality deletes (strictly-before rule) spare them
+        if data_files:
+            entries = [
+                {
+                    "status": 1,
+                    "snapshot_id": sid,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": "file://" + f["path"],
+                        "file_format": "PARQUET",
+                        "partition": {
+                            c: _typed(
+                                f["partition"].get(c), part_types[c]
+                            )
+                            for c in part_cols
+                        },
+                        "record_count": f["rows"],
+                        "file_size_in_bytes": f["size"],
+                        "value_counts": None,
+                        "null_value_counts": None,
+                        "lower_bounds": None,
+                        "upper_bounds": None,
+                    },
+                }
+                for f in data_files
+            ]
+            mdata = encode_ocf(
+                entry_schema,
+                entries,
+                codec="null",
+                extra_meta={**manifest_meta, "content": b"data"},
+            )
+            mp = os.path.join(meta_dir, f"{commit_uuid}-m1.avro")
+            with open(mp, "wb") as fh:
+                fh.write(mdata)
+            written.append(mp)
+            list_rows.append(
+                {
+                    "manifest_path": "file://" + mp,
+                    "manifest_length": len(mdata),
+                    "partition_spec_id": spec["spec-id"],
+                    "content": 0,
+                    "sequence_number": seq,
+                    "min_sequence_number": seq,
+                    "added_snapshot_id": sid,
+                    "added_files_count": len(data_files),
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                    "added_rows_count": sum(f["rows"] for f in data_files),
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                }
+            )
+
+        snap_path = os.path.join(
+            meta_dir, f"snap-{sid}-1-{commit_uuid}.avro"
+        )
+        with open(snap_path, "wb") as fh:
+            fh.write(
+                encode_ocf(
+                    _MANIFEST_LIST_AVRO,
+                    list_rows,
+                    codec="null",
+                    extra_meta={"format-version": b"2"},
+                )
+            )
+        written.append(snap_path)
+        snapshot = {
+            "snapshot-id": sid,
+            "sequence-number": seq,
+            "timestamp-ms": ts,
+            "summary": {
+                "operation": "overwrite",
+                "added-data-files": str(len(data_files)),
+                "added-delete-files": str(len(delete_parts)),
+                "added-records": str(
+                    sum(f["rows"] for f in data_files)
+                ),
+            },
+            "manifest-list": "file://" + snap_path,
+            "schema-id": schema_json.get("schema-id", 0),
+            "parent-snapshot-id": base_snap_id,
+        }
+        metadata = dict(prev)
+        metadata["last-sequence-number"] = seq
+        metadata["last-updated-ms"] = ts
+        metadata["current-snapshot-id"] = sid
+        metadata["snapshots"] = snapshots + [snapshot]
+        metadata["snapshot-log"] = list(
+            prev.get("snapshot-log", [])
+        ) + [{"timestamp-ms": ts, "snapshot-id": sid}]
+
+        if _publish_metadata(meta_dir, metadata, current_v + 1, attempt):
+            return {
+                "version": current_v + 1,
+                "snapshot_id": sid,
+                "rows_inserted": sum(f["rows"] for f in data_files),
+                "keys_deleted": sum(p["rows"] for p in delete_parts),
+                "data_files": len(data_files),
+                "delete_files": len(delete_parts),
+            }
+        for orphan in written:
+            try:
+                os.remove(orphan)
+            except OSError:
+                pass
+    _cleanup()
+    raise IcebergConcurrentModificationError(
+        f"upsert_iceberg_rows: lost the commit race 8 times under "
+        f"{meta_dir}"
     )

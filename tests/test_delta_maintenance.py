@@ -432,3 +432,97 @@ def test_vacuum_retention_spares_recent_files(spark, sf_dir, tmp_path):
     )
     assert res["files_deleted"] == 1
     assert not os.path.exists(os.path.join(root, tomb))
+
+
+# --------------------------------------------------------------- merge
+
+
+def test_merge_upsert_roundtrip(spark, sf_dir, tmp_path):
+    """MERGE = matched rows DV-deleted + all source rows appended in
+    ONE commit: updates change values, inserts appear, untouched rows
+    survive, and the data files of the matched rows are NOT rewritten."""
+    from incubator_gobblin_spark.sinks.delta_maintenance import (
+        merge_delta_rows,
+    )
+
+    root = str(tmp_path / "m1")
+    nat = load_table(spark, sf_dir, "nation")
+    write_delta_table(spark, nat, root, partition_by=["n_regionkey"])
+
+    updates = (
+        nat.filter("n_nationkey % 4 = 1")
+        .withColumn("n_name", F.concat(F.lit("UPD_"), F.col("n_name")))
+    )
+    inserts = nat.filter("n_nationkey < 3").withColumn(
+        "n_nationkey", F.col("n_nationkey") + 900
+    )
+    source = updates.unionByName(inserts)
+    res = merge_delta_rows(spark, root, source, on="n_nationkey")
+    assert res["rows_updated"] == updates.count()
+    assert res["rows_inserted"] == source.count()
+    assert res["dv_files"] >= 1 and res["files_added"] >= 1
+
+    expect = nat.filter("n_nationkey % 4 <> 1").unionByName(source)
+    got = read_delta(spark, root)
+    assert got.count() == expect.count()
+    assert got.exceptAll(expect).count() == 0
+
+    acts = _last_commit_actions(root)
+    assert any(
+        a["commitInfo"]["operation"] == "MERGE"
+        for a in acts
+        if "commitInfo" in a
+    )
+    # merge is ONE version: v0 create, v1 merge
+    assert _log_versions(os.path.join(root, "_delta_log"))[-1] == 1
+
+    # second merge touching rows the FIRST merge inserted: the new
+    # files' rows die by DV, the newer versions win
+    source2 = inserts.withColumn("n_name", F.lit("FINAL"))
+    merge_delta_rows(spark, root, source2, on="n_nationkey")
+    got = read_delta(spark, root)
+    assert got.filter("n_nationkey >= 900").count() == inserts.count()
+    assert (
+        got.filter("n_nationkey >= 900")
+        .filter("n_name <> 'FINAL'")
+        .count()
+        == 0
+    )
+
+    # compaction then vacuums the merge's bitmaps away, rows unchanged
+    before = got.count()
+    compact_delta_files(
+        spark, root, target_file_bytes=1 << 30, small_file_bytes=1 << 30
+    )
+    vacuum_delta(root, retention_hours=0, allow_short_retention=True)
+    assert read_delta(spark, root).count() == before
+
+
+def test_merge_pure_insert_and_refusals(spark, sf_dir, tmp_path):
+    from incubator_gobblin_spark.sinks.delta_maintenance import (
+        merge_delta_rows,
+    )
+
+    root = str(tmp_path / "m2")
+    nat = load_table(spark, sf_dir, "nation")
+    write_delta_table(spark, nat, root)
+
+    # no key overlap: a pure insert — no DVs, no removes
+    inserts = nat.limit(2).withColumn(
+        "n_nationkey", F.col("n_nationkey") + 5000
+    )
+    res = merge_delta_rows(spark, root, inserts, on="n_nationkey")
+    assert res["rows_updated"] == 0 and res["dv_files"] == 0
+    assert read_delta(spark, root).count() == nat.count() + 2
+
+    with pytest.raises(ValueError, match="schema"):
+        merge_delta_rows(
+            spark, root, nat.drop("n_name"), on="n_nationkey"
+        )
+
+    from tests.test_delta_delete import _export
+
+    lake = str(tmp_path / "m3")
+    _export(spark, nat, lake)
+    with pytest.raises(ValueError, match="manifest"):
+        merge_delta_rows(spark, lake, nat, on="n_nationkey")

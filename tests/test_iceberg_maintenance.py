@@ -286,3 +286,91 @@ def test_rewrite_conflict_refuses(spark, sf_dir, tmp_path):
         ~((F.col("n_nationkey") % 2 == 0) | (F.col("n_nationkey") == 1))
     )
     _same_rows(read_iceberg(spark, root), expect)
+
+
+# --------------------------------------------------------------- upsert
+
+
+def test_upsert_iceberg_roundtrip_partitioned(spark, sf_dir, tmp_path):
+    """CDC upsert: one snapshot carries the equality-delete manifest
+    (killing older rows on the keys) AND the new data manifest at the
+    same sequence number (so the new rows survive the strictly-before
+    rule); the reader sees exactly the upserted state, and a later
+    rewrite absorbs the accumulated deletes."""
+    from incubator_gobblin_spark.sinks.iceberg_maintenance import (
+        upsert_iceberg_rows,
+    )
+
+    root = str(tmp_path / "u1")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    write_iceberg_table(spark, docs, root, partition_by=["lang"])
+
+    updates = docs.filter("doc_id % 7 = 0").withColumn(
+        "n_chars", F.col("n_chars") + 100000
+    )
+    inserts = docs.filter("doc_id < 5").withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    source = updates.unionByName(inserts)
+    res = upsert_iceberg_rows(spark, root, source, on="doc_id")
+    assert res["rows_inserted"] == source.count()
+    assert res["keys_deleted"] == source.select("doc_id").distinct().count()
+    assert res["delete_files"] >= 1 and res["data_files"] >= 1
+
+    expect = docs.filter("doc_id % 7 <> 0").unionByName(source)
+    _same_rows(read_iceberg(spark, root), expect)
+    # the snapshot genuinely carries equality deletes (merge-on-read)
+    dels = _deletes(root)
+    assert dels and all(d["content"] == 2 for d in dels)
+
+    # a second upsert touching FIRST-upsert rows: newer wins (the new
+    # delete's sequence number exceeds the first insert's)
+    source2 = inserts.withColumn("n_chars", F.lit(7))
+    upsert_iceberg_rows(spark, root, source2, on="doc_id")
+    expect2 = docs.filter("doc_id % 7 <> 0").unionByName(updates).unionByName(
+        source2
+    )
+    _same_rows(read_iceberg(spark, root), expect2)
+
+    # maintenance absorbs the accumulated deletes; rows unchanged
+    rewrite_iceberg_data_files(spark, root)
+    assert not _deletes(root)
+    _same_rows(read_iceberg(spark, root), expect2)
+
+
+def test_upsert_refusals(spark, sf_dir, tmp_path):
+    from incubator_gobblin_spark.functions.iceberg_transforms import (
+        transform_expr,
+    )
+    from incubator_gobblin_spark.sinks.iceberg_maintenance import (
+        upsert_iceberg_rows,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    # transform-partitioned tables refuse (global eq-deletes + hive
+    # staging can't express the hidden layout)
+    root = str(tmp_path / "u2")
+    derived = docs.withColumn(
+        "b", transform_expr("truncate[100]", F.col("doc_id"), "long")
+    )
+    write_iceberg_table(
+        spark,
+        derived,
+        root,
+        partition_by=["b"],
+        transform_spec=[
+            {"name": "b", "transform": "truncate[100]", "source": "doc_id"}
+        ],
+    )
+    with pytest.raises(ValueError, match="transform"):
+        upsert_iceberg_rows(spark, root, docs, on="doc_id")
+
+    # schema mismatch refuses
+    root2 = str(tmp_path / "u3")
+    write_iceberg_table(spark, docs, root2)
+    with pytest.raises(ValueError, match="columns"):
+        upsert_iceberg_rows(spark, root2, docs.drop("lang"), on="doc_id")

@@ -109,6 +109,10 @@ MAP_IN_PANDAS_BY_DESIGN = {
     # bitmaps in an Arrow applyInPandas stage — executor-side by
     # design, the driver never holds O(deleted rows))
     "q138_delta_dv_delete_agg",
+    # same contract reading back merge_delta_rows' MERGE commit: the
+    # matched rows live on as DV tombstones until compaction absorbs
+    # them (q142 pins the absorbed/clean-plan end state)
+    "q145_delta_merge_agg",
 }
 
 _PY_NODES = ("EvalPython", "MapInPandas", "FlatMapGroupsInPandas")
