@@ -1280,3 +1280,124 @@ def upsert_iceberg_rows(
         f"upsert_iceberg_rows: lost the commit race 8 times under "
         f"{meta_dir}"
     )
+
+
+def remove_iceberg_orphan_files(
+    path: str,
+    *,
+    retention_hours: float = 168.0,
+    dry_run: bool = False,
+    allow_short_retention: bool = False,
+) -> dict:
+    """Physically delete files under the table's ``data/`` and
+    ``_deletes/`` trees that no snapshot in the CURRENT metadata
+    references and that are older than ``retention_hours`` —
+    iceberg-core's RemoveOrphanFiles action, the Iceberg twin of
+    :func:`~incubator_gobblin_spark.sinks.delta_maintenance.vacuum_delta`.
+    Run ``expire_iceberg_snapshots`` first: a data file is freed only
+    once every snapshot referencing it has been expired (rewritten
+    originals, absorbed delete files, crashed-writer staging parts).
+
+    ``metadata/`` is never touched (that chain is
+    ``expire_iceberg_snapshots``'s job). Retention below 168h needs
+    ``allow_short_retention=True`` — a reader planning against an
+    older metadata version may still be reading the files. Driver-side
+    listing only; ``dry_run=True`` returns the candidates.
+
+    Returns ``{"files_deleted", "bytes_deleted", "candidates"}``.
+    """
+    from incubator_gobblin_spark.sources.iceberg_import import (
+        _local_path,
+        snapshot_files,
+    )
+
+    _refuse_manifest_lake(path, "remove_iceberg_orphan_files")
+    if retention_hours < 168.0 and not allow_short_retention:
+        raise ValueError(
+            f"remove_iceberg_orphan_files: retention_hours="
+            f"{retention_hours} is below the 168h safety floor — pass "
+            "allow_short_retention=True to override"
+        )
+    location = os.path.abspath(path)
+    meta_dir = os.path.join(location, "metadata")
+    versions = _metadata_versions(meta_dir)
+    if not versions:
+        raise FileNotFoundError(f"no Iceberg metadata under {meta_dir}")
+    prev = _load_metadata_version(meta_dir, versions[-1])
+
+    def _abs(p: str) -> str:
+        p = _local_path(p)
+        return os.path.abspath(
+            p if os.path.isabs(p) else os.path.join(location, p)
+        )
+
+    referenced: set[str] = set()
+    for snap in prev.get("snapshots", []):
+        files, dels = snapshot_files(
+            prev, location, snapshot_id=snap["snapshot-id"],
+            collect_deletes=True,
+        )
+        referenced.update(_abs(f["path"]) for f in files)
+        referenced.update(_abs(d["path"]) for d in dels)
+        # DELETED entries keep their data_file rows in rewritten
+        # manifests; snapshot_files drops them, but they are still
+        # referenced by OLDER snapshots enumerated above — expired
+        # history is the only thing that frees a file.
+
+    cutoff = _time.time() - retention_hours * 3600.0
+    candidates: list[str] = []
+    bytes_deleted = 0
+    for sub in ("data", "_deletes"):
+        root = os.path.join(location, sub)
+        if not os.path.isdir(root):
+            continue
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in files:
+                if fn.startswith("."):
+                    # hadoop .crc sidecars are owned by their base
+                    # file: orphaned exactly when it is; anything
+                    # else dot-prefixed is in-flight staging — skip
+                    if not fn.endswith(".crc"):
+                        continue
+                    base = os.path.abspath(
+                        os.path.join(dirpath, fn[1:-4])
+                    )
+                    if base in referenced:
+                        continue
+                fp = os.path.abspath(os.path.join(dirpath, fn))
+                if fp in referenced:
+                    continue
+                try:
+                    if os.path.getmtime(fp) >= cutoff:
+                        continue
+                    size = os.path.getsize(fp)
+                except OSError:
+                    continue
+                candidates.append(fp)
+                bytes_deleted += size
+    if dry_run:
+        return {
+            "files_deleted": 0,
+            "bytes_deleted": 0,
+            "candidates": sorted(candidates),
+        }
+    for fp in candidates:
+        try:
+            os.remove(fp)
+        except OSError:
+            pass
+    for sub in ("data", "_deletes"):
+        root = os.path.join(location, sub)
+        if not os.path.isdir(root):
+            continue
+        for dirpath, dirs, files in os.walk(root, topdown=False):
+            if dirpath != root and not dirs and not files:
+                try:
+                    os.rmdir(dirpath)
+                except OSError:
+                    pass
+    return {
+        "files_deleted": len(candidates),
+        "bytes_deleted": bytes_deleted,
+        "candidates": [],
+    }

@@ -374,3 +374,97 @@ def test_upsert_refusals(spark, sf_dir, tmp_path):
     write_iceberg_table(spark, docs, root2)
     with pytest.raises(ValueError, match="columns"):
         upsert_iceberg_rows(spark, root2, docs.drop("lang"), on="doc_id")
+
+
+# --------------------------------------------------------- orphan removal
+
+
+def test_remove_orphan_files_after_expire(spark, sf_dir, tmp_path):
+    """The full physical lifecycle: delete -> rewrite -> expire
+    snapshots -> remove orphans. Only files referenced by NO remaining
+    snapshot die; the reader is unchanged throughout."""
+    import time
+
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        expire_iceberg_snapshots,
+    )
+    from incubator_gobblin_spark.sinks.iceberg_maintenance import (
+        remove_iceberg_orphan_files,
+    )
+
+    root = str(tmp_path / "o1")
+    cust = load_table(spark, sf_dir, "customer").repartition(3)
+    write_iceberg_table(spark, cust, root)
+    delete_iceberg_rows(spark, root, "c_custkey % 3 = 0")
+    rewrite_iceberg_data_files(spark, root)
+    expect = cust.filter(~(F.col("c_custkey") % 3 == 0))
+    _same_rows(read_iceberg(spark, root), expect)
+
+    def _walk(sub):
+        out = set()
+        for dp, _dd, fns in os.walk(os.path.join(root, sub)):
+            out.update(os.path.join(dp, f) for f in fns)
+        return out
+
+    before = _walk("data") | _walk("_deletes")
+    # age everything so retention is not the variable under test
+    old = time.time() - 10 * 3600
+    for fp in before:
+        os.utime(fp, (old, old))
+
+    # retention guard
+    with pytest.raises(ValueError, match="168"):
+        remove_iceberg_orphan_files(root, retention_hours=0)
+
+    # history still references the originals: no PARQUET is orphaned
+    # yet (writer marker files like _SUCCESS are genuine orphans)
+    dr0 = remove_iceberg_orphan_files(
+        root, retention_hours=1, allow_short_retention=True, dry_run=True
+    )
+    assert not [c for c in dr0["candidates"] if c.endswith(".parquet")]
+    remove_iceberg_orphan_files(
+        root, retention_hours=1, allow_short_retention=True
+    )
+    _same_rows(read_iceberg(spark, root), expect)
+    before = _walk("data") | _walk("_deletes")
+
+    # expire history down to the rewritten snapshot, then the
+    # originals and the absorbed delete parquet become orphans
+    expire_iceberg_snapshots(root, keep_last=1)
+    dr = remove_iceberg_orphan_files(
+        root, retention_hours=1, allow_short_retention=True, dry_run=True
+    )
+    assert len(dr["candidates"]) >= 4  # 3 originals + >=1 delete file
+    res = remove_iceberg_orphan_files(
+        root, retention_hours=1, allow_short_retention=True
+    )
+    assert res["files_deleted"] == len(dr["candidates"])
+    after = _walk("data") | _walk("_deletes")
+    assert after < before
+    # every surviving file is exactly the live set
+    meta = current_metadata(root)
+    live = {os.path.abspath(f["path"]) for f in snapshot_files(meta, root)}
+    assert {os.path.abspath(p) for p in after} == live
+    _same_rows(read_iceberg(spark, root), expect)
+
+
+def test_remove_orphan_retention_spares_recent(spark, sf_dir, tmp_path):
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        expire_iceberg_snapshots,
+    )
+    from incubator_gobblin_spark.sinks.iceberg_maintenance import (
+        remove_iceberg_orphan_files,
+    )
+
+    root = str(tmp_path / "o2")
+    nat = load_table(spark, sf_dir, "nation")
+    write_iceberg_table(spark, nat, root)
+    delete_iceberg_rows(spark, root, "n_nationkey % 2 = 0")
+    rewrite_iceberg_data_files(spark, root)
+    expire_iceberg_snapshots(root, keep_last=1)
+    # files were JUST written: a 1h window spares them all even
+    # though they are genuinely orphaned
+    res = remove_iceberg_orphan_files(
+        root, retention_hours=1, allow_short_retention=True
+    )
+    assert res["files_deleted"] == 0
