@@ -64,6 +64,12 @@ def get_spark(
         # inert for schemas without field-id metadata — plain reads
         # are unaffected.
         "spark.sql.parquet.fieldId.read.enabled": "true",
+        # Write timestamps as INT64 micros, not legacy INT96: INT96
+        # carries no row-group min/max, so footer-derived stats
+        # (write_delta_table) and every foreign reader's file skipping
+        # would silently lose timestamp bounds; micros is what modern
+        # parquet writers (Spark 3.x+ recommended, Arrow, DuckDB) emit
+        "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
         "spark.ui.enabled": os.environ.get("SPARK_GRAFT_UI", "false"),
     }
     if extra_conf:

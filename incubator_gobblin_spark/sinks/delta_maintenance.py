@@ -114,6 +114,7 @@ def _footer_stats(fp: str, skip_cols: set[str]) -> tuple[int, str]:
     stats, but truncation keeps them valid (loose) bounds — exactly
     what Delta stats are — so they are safe to export for skipping."""
     import datetime as _dt
+    import decimal as _decimal
 
     import pyarrow.parquet as pq
 
@@ -121,10 +122,13 @@ def _footer_stats(fp: str, skip_cols: set[str]) -> tuple[int, str]:
     mins: dict = {}
     maxs: dict = {}
     nulls: dict = {}
+    null_unknown: set = set()  # a group without null_count poisons it
 
     def _json_safe(v):
-        if isinstance(v, bytes):
-            return None  # binary bounds don't serialize to Delta JSON
+        if isinstance(v, (bytes, _decimal.Decimal)):
+            # binary doesn't serialize; a float()-rounded decimal could
+            # TIGHTEN the bound — both drop instead
+            return None
         if isinstance(v, _dt.datetime):
             # engine stats convention: 'T'-separated ISO, no zone
             # (matches _delta_file_stats' normalization)
@@ -144,14 +148,25 @@ def _footer_stats(fp: str, skip_cols: set[str]) -> tuple[int, str]:
                 continue  # nested leaves / partition cols: skip
             st = col.statistics
             if st is None:
+                null_unknown.add(name)
+                mins[name] = maxs[name] = None
                 continue
-            if st.null_count is not None:
+            if st.null_count is None:
+                # partial accumulation would UNDERCOUNT — drop instead
+                null_unknown.add(name)
+            else:
                 nulls[name] = nulls.get(name, 0) + int(st.null_count)
             if not st.has_min_max:
                 # one group without bounds poisons the column's bounds
                 mins[name] = maxs[name] = None
                 continue
-            lo, hi = _json_safe(st.min), _json_safe(st.max)
+            try:
+                lo, hi = _json_safe(st.min), _json_safe(st.max)
+            except Exception:
+                # pyarrow can't extract stats for some physical types
+                # (e.g. fixed-len decimals) — drop the bounds
+                mins[name] = maxs[name] = None
+                continue
             if lo is None or hi is None:
                 mins[name] = maxs[name] = None
                 continue
@@ -166,6 +181,7 @@ def _footer_stats(fp: str, skip_cols: set[str]) -> tuple[int, str]:
     if mins:
         out["minValues"] = mins
         out["maxValues"] = maxs
+    nulls = {k: v for k, v in nulls.items() if k not in null_unknown}
     if nulls:
         out["nullCount"] = nulls
     return int(md.num_rows), json.dumps(out)

@@ -526,3 +526,130 @@ def test_merge_pure_insert_and_refusals(spark, sf_dir, tmp_path):
     _export(spark, nat, lake)
     with pytest.raises(ValueError, match="manifest"):
         merge_delta_rows(spark, lake, nat, on="n_nationkey")
+
+
+def test_write_delta_table_decimal_and_timestamp_stats(spark, tmp_path):
+    """Columns whose footer bounds don't serialize to Delta-stats JSON
+    (decimal) DROP their min/max instead of crashing or emitting a
+    float-rounded (possibly TIGHTENED, hence wrong) bound; timestamps
+    export in the engine's 'T'-separated ISO convention."""
+    root = str(tmp_path / "w4")
+    df = spark.sql(
+        "SELECT id AS k, CAST(id AS DECIMAL(10,2)) AS d, "
+        "timestamp'2021-03-04 05:06:07.123456' + make_interval(0,0,0,0,0,0,id) AS ts "
+        "FROM range(5)"
+    ).coalesce(1)
+    write_delta_table(spark, df, root)
+    got = read_delta(spark, root)
+    assert got.count() == 5
+    live, _, _ = _live(root)
+    st = json.loads(next(iter(live.values()))["stats"])
+    assert st["numRecords"] == 5
+    assert "d" not in st.get("minValues", {})  # decimal bounds dropped
+    assert st["minValues"]["ts"].startswith("2021-03-04T05:06:07")
+    assert st["nullCount"]["k"] == 0
+
+
+def test_compact_column_mapped_id_mode(spark, tmp_path):
+    """mode=id compaction: the rewritten footers must carry
+    parquet field ids (readers resolve by id, names are free), under
+    the PHYSICAL column names, and a logically-renamed column still
+    reads its values after the rewrite."""
+    root = str(tmp_path / "cid")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    os.makedirs(os.path.join(root, "data"))
+    physical = spark.createDataFrame(
+        [(i, i * 10) for i in range(40)], "x long, y long"
+    ).select(
+        F.col("x").alias("p1", metadata={"parquet.field.id": 1}),
+        F.col("y").alias("p2", metadata={"parquet.field.id": 2}),
+    )
+    for tag in ("f1", "f2"):
+        out_dir = os.path.join(root, "data", "w")
+        physical.coalesce(1).write.mode("overwrite").parquet(out_dir)
+        part = next(
+            f
+            for f in os.listdir(out_dir)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        os.rename(
+            os.path.join(out_dir, part),
+            os.path.join(root, "data", f"{tag}.parquet"),
+        )
+    fields = [
+        {
+            "name": "doc_id",
+            "type": "long",
+            "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": 1,
+                "delta.columnMapping.physicalName": "p1",
+            },
+        },
+        {
+            "name": "n",
+            "type": "long",
+            "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": 2,
+                "delta.columnMapping.physicalName": "p2",
+            },
+        },
+    ]
+    acts = [
+        {
+            "protocol": {
+                "minReaderVersion": 2,
+                "minWriterVersion": 5,
+            }
+        },
+        {
+            "metaData": {
+                "id": "t",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(
+                    {"type": "struct", "fields": fields}
+                ),
+                "partitionColumns": [],
+                "configuration": {"delta.columnMapping.mode": "id"},
+                "createdTime": 0,
+            }
+        },
+    ] + [
+        {
+            "add": {
+                "path": f"data/{tag}.parquet",
+                "partitionValues": {},
+                "size": os.path.getsize(
+                    os.path.join(root, "data", f"{tag}.parquet")
+                ),
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        }
+        for tag in ("f1", "f2")
+    ]
+    with open(
+        os.path.join(root, "_delta_log", f"{0:020d}.json"), "w"
+    ) as fh:
+        fh.write("\n".join(json.dumps(a) for a in acts) + "\n")
+
+    delete_delta_rows(spark, root, "doc_id >= 30")
+    res = compact_delta_files(
+        spark, root, target_file_bytes=1 << 30, small_file_bytes=1 << 30
+    )
+    assert res["dvs_absorbed"] == 2
+    got = read_delta(spark, root)
+    assert got.columns == ["doc_id", "n"]
+    assert got.count() == 60
+    assert got.agg(F.sum("n")).collect()[0][0] == 2 * sum(
+        i * 10 for i in range(30)
+    )
+    # rewritten footers: PHYSICAL names + parquet field ids
+    import pyarrow.parquet as pq
+
+    live, _, _ = _live(root)
+    new_rel = next(rel for rel in live if "part-c-" in rel)
+    sch = pq.read_schema(os.path.join(root, new_rel))
+    assert sch.names == ["p1", "p2"]
+    assert sch.field(0).metadata[b"PARQUET:field_id"] == b"1"
