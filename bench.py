@@ -67,6 +67,15 @@ HEADLINE = [
     "q135_iceberg_time_travel_agg",   # historical-snapshot manifest read
     "q136_iceberg_rename_agg",        # rename-safe field-id resolution
     "q137_iceberg_eqdelete_scope_agg",  # partition-scoped equality delete
+    # round-10 additions: the write half of the lake lifecycle
+    "q138_delta_dv_delete_agg",    # DV DELETE write + read-back
+    "q139_iceberg_transform_scope_agg",  # transform-scoped eq delete
+    "q140_iceberg_pos_delete_agg",  # predicate position-DELETE write
+    "q141_iceberg_hidden_partition_agg",  # transform-partitioned export
+    "q142_delta_optimize_vacuum_agg",  # OPTIMIZE (DV absorb) + VACUUM
+    "q143_iceberg_rewrite_files_agg",  # RewriteDataFiles delete absorb
+    "q144_iceberg_upsert_agg",     # equality-delete CDC upsert
+    "q145_delta_merge_agg",        # merge-on-read MERGE (DV + append)
 ]
 
 

@@ -1008,6 +1008,27 @@ def upsert_iceberg_rows(
             f"upsert_iceberg_rows: df columns {sorted(df.columns)} != "
             f"table schema {sorted(declared)}"
         )
+    from incubator_gobblin_spark.sources.iceberg_import import _spark_type
+
+    ours = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    theirs = {
+        f["name"]: _spark_type(f["type"]).simpleString()
+        for f in schema_json["fields"]
+    }
+    # exact match or one of the spec's lossless type PROMOTIONS
+    # (int->long, float->double — the widenings readers must accept,
+    # and what the schema author applies when inferring from footers)
+    _promotable = {("int", "bigint"), ("float", "double")}
+
+    def _ok(c):
+        return ours[c] == theirs[c] or (ours[c], theirs[c]) in _promotable
+
+    bad_t = {c: (ours[c], theirs[c]) for c in ours if not _ok(c)}
+    if bad_t:
+        raise ValueError(
+            "upsert_iceberg_rows: df column types differ from the "
+            f"table schema: {bad_t} — cast explicitly"
+        )
     missing = [c for c in on_cols if c not in by_name]
     if missing:
         raise ValueError(f"upsert_iceberg_rows: key columns {missing} not in schema")

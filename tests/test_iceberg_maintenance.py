@@ -468,3 +468,18 @@ def test_remove_orphan_retention_spares_recent(spark, sf_dir, tmp_path):
         root, retention_hours=1, allow_short_retention=True
     )
     assert res["files_deleted"] == 0
+
+
+def test_upsert_refuses_type_mismatch(spark, sf_dir, tmp_path):
+    from incubator_gobblin_spark.sinks.iceberg_maintenance import (
+        upsert_iceberg_rows,
+    )
+
+    root = str(tmp_path / "u4")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    write_iceberg_table(spark, docs, root)
+    widened = docs.withColumn("n_chars", F.col("n_chars").cast("double"))
+    with pytest.raises(ValueError, match="types"):
+        upsert_iceberg_rows(spark, root, widened, on="doc_id")
