@@ -5913,7 +5913,7 @@ def q141_iceberg_hidden_partition_agg(
     """Transform-partitioned Iceberg EXPORT + engine row-level DELETE
     under the hard oracle (spec §Partition Transforms, write side —
     VERDICT r9 missing #3): the documents table is exported HIDDEN-
-    partitioned by truncate[100] over doc_id (the derived column is
+    partitioned by truncate[1000] over doc_id (the derived column is
     the physical partition key, dropped from data files by
     ``partitionBy`` while the SOURCE column stays — the spec's layout;
     the authored spec field carries the transform, the source field
@@ -5943,7 +5943,7 @@ def q141_iceberg_hidden_partition_agg(
     )
     from incubator_gobblin_spark.sources.iceberg_import import read_iceberg
 
-    cache = _cache_dir("iceberg_hiddenpart", sf_dir, "documents")
+    cache = _cache_dir("iceberg_hiddenpart2", sf_dir, "documents")
     sink = FileSink(
         path=cache,
         commit_mode="manifest",
@@ -5960,7 +5960,7 @@ def q141_iceberg_hidden_partition_agg(
     if not committed:
         staged = docs.withColumn(
             "doc_id_trunc",
-            transform_expr("truncate[100]", F.col("doc_id"), "long"),
+            transform_expr("truncate[1000]", F.col("doc_id"), "long"),
         )
         sink.write_staging(staged, "base")
         sink.publish("base")
@@ -5970,7 +5970,7 @@ def q141_iceberg_hidden_partition_agg(
             transform_spec=[
                 {
                     "name": "doc_id_trunc",
-                    "transform": "truncate[100]",
+                    "transform": "truncate[1000]",
                     "source": "doc_id",
                 }
             ]
