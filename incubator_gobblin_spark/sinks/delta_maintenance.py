@@ -1123,3 +1123,52 @@ def vacuum_delta(
         "bytes_deleted": bytes_deleted,
         "candidates": [],
     }
+
+
+def checkpoint_delta_table(path: str, *, part_size: int | None = None) -> dict:
+    """Write a Delta checkpoint parquet + ``_last_checkpoint`` for the
+    table's CURRENT version — the standalone sibling of the exporter's
+    ``checkpoint_interval`` option, so a long-lived table written and
+    mutated through this engine (write/DELETE/MERGE/OPTIMIZE) replays
+    O(tail) instead of O(history). The checkpoint carries the full
+    live state INCLUDING deletion-vector descriptors and the
+    table-features protocol lists (a checkpoint that dropped either
+    would resurrect deleted rows / strip writer obligations for any
+    reader trusting ``_last_checkpoint``), plus the un-expired remove
+    tombstones for vacuum-safety visibility.
+
+    Returns ``{"version", "adds", "removes"}``. Pair with
+    :func:`expire_delta_log` to bound the JSON chain.
+    """
+    from incubator_gobblin_spark.sinks.files import _write_delta_checkpoint
+
+    log_dir = os.path.join(path, "_delta_log")
+    live, meta, proto, tombs = _replay_state(
+        log_dir, None, collect_removes=True
+    )
+    version = _log_versions(log_dir)[-1]
+    standing = sorted(
+        (r for p, r in tombs.items() if p not in live),
+        key=lambda r: r["path"],
+    )
+    _write_delta_checkpoint(
+        log_dir,
+        version,
+        [live[p] for p in sorted(live)],
+        meta,
+        proto,
+        removes=standing,
+        part_size=part_size,
+    )
+    return {"version": version, "adds": len(live), "removes": len(standing)}
+
+
+def expire_delta_log(path: str) -> int:
+    """Delta log retention for a standalone table: delete commit JSONs
+    and checkpoints strictly older than the newest checkpoint (readers
+    trusting ``_last_checkpoint`` replay checkpoint + tail). Returns
+    the number of files removed; no-op until
+    :func:`checkpoint_delta_table` has written a checkpoint."""
+    from incubator_gobblin_spark.sinks.files import _expire_delta_log_dir
+
+    return _expire_delta_log_dir(os.path.join(path, "_delta_log"))

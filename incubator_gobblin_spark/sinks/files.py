@@ -1302,35 +1302,7 @@ class FileSink:
         the retention trade every Delta deployment makes. Returns the
         number of files removed. No-op (0) until a checkpoint exists —
         the full JSON chain is the only replay source before that."""
-        import json as _json
-
-        log_dir = os.path.join(self.path, "_delta_log")
-        lc_path = os.path.join(log_dir, "_last_checkpoint")
-        if not os.path.exists(lc_path):
-            return 0
-        with open(lc_path) as fh:
-            cp_v = int(_json.load(fh)["version"])
-        removed = 0
-        for f in os.listdir(log_dir):
-            if ".tmp-" in f:
-                continue  # a concurrent exporter's in-flight write
-            v: int | None = None
-            if f.endswith(".json") and f[:-5].isdigit():
-                v = int(f[:-5])
-                if v >= cp_v:
-                    continue
-            elif ".checkpoint" in f and f.split(".")[0].isdigit():
-                v = int(f.split(".")[0])
-                if v >= cp_v:
-                    continue
-            if v is None:
-                continue
-            try:
-                os.remove(os.path.join(log_dir, f))
-                removed += 1
-            except OSError:
-                pass
-        return removed
+        return _expire_delta_log_dir(os.path.join(self.path, "_delta_log"))
 
     def read_changes(
         self, spark, from_run: str, to_run: str | None = None
@@ -2410,6 +2382,41 @@ def _delta_schema_string(
     return json.dumps({"type": "struct", "fields": fields})
 
 
+def _expire_delta_log_dir(log_dir: str) -> int:
+    """Shared body of Delta log retention (see
+    ``FileSink.expire_delta_log``): delete commit JSONs and checkpoints
+    strictly older than the newest checkpoint. Standalone tables call
+    this through ``delta_maintenance.expire_delta_log``."""
+    import json as _json
+
+    lc_path = os.path.join(log_dir, "_last_checkpoint")
+    if not os.path.exists(lc_path):
+        return 0
+    with open(lc_path) as fh:
+        cp_v = int(_json.load(fh)["version"])
+    removed = 0
+    for f in os.listdir(log_dir):
+        if ".tmp-" in f:
+            continue  # a concurrent exporter's in-flight write
+        v: int | None = None
+        if f.endswith(".json") and f[:-5].isdigit():
+            v = int(f[:-5])
+            if v >= cp_v:
+                continue
+        elif ".checkpoint" in f and f.split(".")[0].isdigit():
+            v = int(f.split(".")[0])
+            if v >= cp_v:
+                continue
+        if v is None:
+            continue
+        try:
+            os.remove(os.path.join(log_dir, f))
+            removed += 1
+        except OSError:
+            pass
+    return removed
+
+
 def _delta_file_stats(entry: dict, ts_cols: set[str]) -> str | None:
     """One manifest entry's Delta ``add.stats`` JSON string
     (PROTOCOL.md Per-file Statistics: numRecords, minValues,
@@ -2466,6 +2473,19 @@ def _write_delta_checkpoint(
     import pyarrow.parquet as pq
 
     smap = pa.map_(pa.string(), pa.string())
+    # deletion vectors MUST survive a checkpoint (PROTOCOL.md: the
+    # checkpoint is a complete replay source) — a schema without the
+    # descriptor would silently resurrect deleted rows for any reader
+    # trusting _last_checkpoint
+    dv_t = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int32()),
+            ("sizeInBytes", pa.int32()),
+            ("cardinality", pa.int64()),
+        ]
+    )
     add_t = pa.struct(
         [
             ("path", pa.string()),
@@ -2474,6 +2494,7 @@ def _write_delta_checkpoint(
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
             ("stats", pa.string()),
+            ("deletionVector", dv_t),
         ]
     )
     meta_t = pa.struct(
@@ -2486,8 +2507,16 @@ def _write_delta_checkpoint(
             ("createdTime", pa.int64()),
         ]
     )
+    # table-features form (3,7) carries feature LISTS; dropping them
+    # in a checkpoint would strip obligations (deletionVectors,
+    # columnMapping...) from checkpoint-trusting replays
     proto_t = pa.struct(
-        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+        [
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ]
     )
 
     removes = removes or []
@@ -2496,6 +2525,7 @@ def _write_delta_checkpoint(
             ("path", pa.string()),
             ("deletionTimestamp", pa.int64()),
             ("dataChange", pa.bool_()),
+            ("deletionVector", dv_t),
         ]
     )
     rows_proto = [proto] + [None] * (1 + len(adds) + len(removes))
@@ -2517,6 +2547,18 @@ def _write_delta_checkpoint(
             "options": list((meta_row["format"].get("options") or {}).items()),
         }
     rows_meta = [None, meta_row] + [None] * (len(adds) + len(removes))
+    def _dv_row(action: dict):
+        dv = action.get("deletionVector")
+        if not dv:
+            return None
+        return {
+            "storageType": dv.get("storageType"),
+            "pathOrInlineDv": dv.get("pathOrInlineDv"),
+            "offset": dv.get("offset"),
+            "sizeInBytes": dv.get("sizeInBytes"),
+            "cardinality": dv.get("cardinality"),
+        }
+
     rows_add = [None, None] + [
         {
             "path": a["path"],
@@ -2525,6 +2567,7 @@ def _write_delta_checkpoint(
             "modificationTime": a.get("modificationTime"),
             "dataChange": bool(a.get("dataChange", True)),
             "stats": a.get("stats"),
+            "deletionVector": _dv_row(a),
         }
         for a in adds
     ] + [None] * len(removes)
@@ -2533,6 +2576,7 @@ def _write_delta_checkpoint(
             "path": r["path"],
             "deletionTimestamp": r.get("deletionTimestamp"),
             "dataChange": bool(r.get("dataChange", True)),
+            "deletionVector": _dv_row(r),
         }
         for r in removes
     ]

@@ -653,3 +653,52 @@ def test_compact_column_mapped_id_mode(spark, tmp_path):
     sch = pq.read_schema(os.path.join(root, new_rel))
     assert sch.names == ["p1", "p2"]
     assert sch.field(0).metadata[b"PARQUET:field_id"] == b"1"
+
+
+def test_checkpoint_preserves_dvs_and_protocol_features(
+    spark, sf_dir, tmp_path
+):
+    """A checkpoint is a COMPLETE replay source: after expire drops the
+    JSON history, the checkpoint-trusting replay must still carry the
+    deletion-vector descriptors and the (3,7) feature lists — a schema
+    without either silently resurrects deleted rows / strips writer
+    obligations."""
+    from incubator_gobblin_spark.sinks.delta_maintenance import (
+        checkpoint_delta_table,
+        expire_delta_log,
+    )
+
+    root = str(tmp_path / "cp1")
+    cust = load_table(spark, sf_dir, "customer").repartition(3)
+    write_delta_table(spark, cust, root)
+    delete_delta_rows(spark, root, "c_custkey % 5 = 2")
+    expect = cust.filter(~(F.col("c_custkey") % 5 == 2))
+
+    res = checkpoint_delta_table(root)
+    assert res["version"] == 1 and res["adds"] == 3
+    # expire prunes the pre-checkpoint JSON; replay now STARTS at the
+    # checkpoint
+    removed = expire_delta_log(root)
+    assert removed == 1  # version 0's JSON
+    log = os.path.join(root, "_delta_log")
+    assert not os.path.exists(os.path.join(log, f"{0:020d}.json"))
+
+    live, meta, proto = _live(root)
+    assert proto["minReaderVersion"] == 3
+    assert "deletionVectors" in proto["readerFeatures"]
+    assert "deletionVectors" in proto["writerFeatures"]
+    dv_adds = [a for a in live.values() if a.get("deletionVector")]
+    assert len(dv_adds) == 3
+    got = read_delta(spark, root)
+    assert got.count() == expect.count()
+    assert got.exceptAll(expect).count() == 0
+
+    # the lifecycle keeps composing on top of the checkpointed state:
+    # a second delete unions into the replayed DVs
+    delete_delta_rows(spark, root, "c_custkey % 5 = 3")
+    expect2 = expect.filter(~(F.col("c_custkey") % 5 == 3))
+    assert read_delta(spark, root).count() == expect2.count()
+
+    # time travel to the pruned version raises the standard error
+    with pytest.raises(Exception, match="0"):
+        read_delta(spark, root, version=0)

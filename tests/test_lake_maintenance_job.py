@@ -1,0 +1,181 @@
+"""The lake maintenance JOB: policy pass + schedule wiring.
+
+Reference parity: gobblin runs compaction (MRCompactor) and retention
+(CleanableDatasetBase) as SCHEDULED jobs; maintain_lake_table is the
+lake-native job body — format-detecting, idempotent, and composable
+with ScheduleDriver's run-when-due loop.
+"""
+
+import os
+import sys
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from incubator_gobblin_spark.jobs.lake_maintenance import (  # noqa: E402
+    maintain_lake_table,
+)
+from incubator_gobblin_spark.session import load_table  # noqa: E402
+from incubator_gobblin_spark.sinks.delta_delete import (  # noqa: E402
+    delete_delta_rows,
+)
+from incubator_gobblin_spark.sinks.delta_maintenance import (  # noqa: E402
+    write_delta_table,
+)
+from incubator_gobblin_spark.sinks.iceberg_delete import (  # noqa: E402
+    delete_iceberg_rows,
+)
+from incubator_gobblin_spark.sinks.iceberg_maintenance import (  # noqa: E402
+    write_iceberg_table,
+)
+from incubator_gobblin_spark.sources.delta_import import read_delta  # noqa: E402
+from incubator_gobblin_spark.sources.iceberg_import import (  # noqa: E402
+    current_metadata,
+    read_iceberg,
+    snapshot_files,
+)
+
+
+def test_maintain_delta_converges_and_is_idempotent(
+    spark, sf_dir, tmp_path
+):
+    root = str(tmp_path / "d")
+    cust = load_table(spark, sf_dir, "customer").repartition(3)
+    write_delta_table(spark, cust, root)
+    delete_delta_rows(spark, root, "c_custkey % 3 = 0")
+    expect = cust.filter(~(F.col("c_custkey") % 3 == 0))
+
+    rep = maintain_lake_table(
+        spark, root, retention_hours=0, allow_short_retention=True
+    )
+    assert rep["format"] == "delta"
+    assert rep["optimize"]["dvs_absorbed"] >= 1
+    assert rep["vacuum"]["files_deleted"] >= 3
+    got = read_delta(spark, root)
+    assert got.count() == expect.count()
+    assert got.exceptAll(expect).count() == 0
+
+    # second pass: converged, every stage no-ops
+    rep2 = maintain_lake_table(
+        spark, root, retention_hours=0, allow_short_retention=True
+    )
+    assert rep2["optimize"]["files_compacted"] == 0
+    assert rep2["vacuum"]["files_deleted"] == 0
+
+
+def test_maintain_iceberg_converges(spark, sf_dir, tmp_path):
+    import time
+
+    root = str(tmp_path / "i")
+    cust = load_table(spark, sf_dir, "customer").repartition(3)
+    write_iceberg_table(spark, cust, root)
+    delete_iceberg_rows(spark, root, "c_custkey % 4 = 2")
+    expect = cust.filter(~(F.col("c_custkey") % 4 == 2))
+
+    # age the tree so the orphan stage is retention-eligible
+    for dp, _dd, fns in os.walk(root):
+        for fn in fns:
+            fp = os.path.join(dp, fn)
+            old = time.time() - 7200
+            try:
+                os.utime(fp, (old, old))
+            except OSError:
+                pass
+
+    rep = maintain_lake_table(
+        spark,
+        root,
+        keep_snapshots=1,
+        retention_hours=1,
+        allow_short_retention=True,
+    )
+    assert rep["format"] == "iceberg"
+    assert rep["rewrite"]["files_rewritten"] == 3
+    assert rep["orphans"]["files_deleted"] >= 3
+    meta = current_metadata(root)
+    assert len(meta["snapshots"]) == 1  # expired to keep_snapshots
+    _, dels = snapshot_files(meta, root, collect_deletes=True)
+    assert not dels
+    got = read_iceberg(spark, root)
+    assert got.count() == expect.count()
+
+    rep2 = maintain_lake_table(
+        spark,
+        root,
+        keep_snapshots=1,
+        retention_hours=1,
+        allow_short_retention=True,
+    )
+    assert rep2["rewrite"]["files_rewritten"] == 0
+    assert rep2["orphans"]["files_deleted"] == 0
+
+
+def test_maintain_detects_and_refuses(spark, sf_dir, tmp_path):
+    nat = load_table(spark, sf_dir, "nation")
+    # neither format
+    with pytest.raises(FileNotFoundError, match="neither"):
+        maintain_lake_table(spark, str(tmp_path / "empty"))
+    # both formats: ambiguous, refuse
+    both = str(tmp_path / "both")
+    write_delta_table(spark, nat, both)
+    os.makedirs(os.path.join(both, "metadata"))
+    with pytest.raises(ValueError, match="BOTH"):
+        maintain_lake_table(spark, both)
+    # dry run: no commit, no deletion — only the candidate listing
+    solo = str(tmp_path / "solo")
+    write_delta_table(spark, nat, solo)
+    delete_delta_rows(spark, solo, "n_nationkey = 0")
+    rep = maintain_lake_table(
+        spark, solo, dry_run=True, retention_hours=0,
+        allow_short_retention=True,
+    )
+    assert "optimize" not in rep
+    assert rep["vacuum"]["files_deleted"] == 0
+    live, _, _ = __import__(
+        "incubator_gobblin_spark.sources.delta_import",
+        fromlist=["_replay_state"],
+    )._replay_state(os.path.join(solo, "_delta_log"), None)
+    assert any(a.get("deletionVector") for a in live.values())
+
+
+def test_maintenance_runs_on_schedule(spark, sf_dir, tmp_path):
+    """The reference's shape: maintenance is a CRON JOB. Register the
+    maintain body with ScheduleDriver; the run-when-due loop fires it
+    and the table converges."""
+    from incubator_gobblin_spark.jobs.schedule import ScheduleDriver
+
+    root = str(tmp_path / "s")
+    nat = load_table(spark, sf_dir, "nation")
+    write_delta_table(spark, nat, root)
+    delete_delta_rows(spark, root, "n_nationkey % 5 = 1")
+
+    reports = []
+
+    def runner(name, props):
+        reports.append(
+            maintain_lake_table(
+                spark,
+                props["lake.path"],
+                retention_hours=0,
+                allow_short_retention=True,
+            )
+        )
+
+    drv = ScheduleDriver(runner)
+    t0 = datetime(2026, 8, 16, 0, 0, 0)
+    drv.register(
+        "nightly-maintenance",
+        {"job.schedule": "0 0 3 * * ?", "lake.path": root},
+        t0,
+    )
+    fired = drv.tick(datetime(2026, 8, 16, 3, 0, 1))
+    assert fired == ["nightly-maintenance"]
+    assert reports and reports[0]["optimize"]["dvs_absorbed"] >= 1
+    live, _, _ = __import__(
+        "incubator_gobblin_spark.sources.delta_import",
+        fromlist=["_replay_state"],
+    )._replay_state(os.path.join(root, "_delta_log"), None)
+    assert not any(a.get("deletionVector") for a in live.values())
