@@ -76,6 +76,8 @@ HEADLINE = [
     "q143_iceberg_rewrite_files_agg",  # RewriteDataFiles delete absorb
     "q144_iceberg_upsert_agg",     # equality-delete CDC upsert
     "q145_delta_merge_agg",        # merge-on-read MERGE (DV + append)
+    "q146_delta_restore_agg",      # RESTORE TO VERSION (metadata diff)
+    "q147_iceberg_rollback_agg",   # rollbackTo (metadata-only pointer)
 ]
 
 

@@ -83,6 +83,8 @@ _WINDOW_HEAD = [
     "q143_iceberg_rewrite_files_agg",
     "q144_iceberg_upsert_agg",
     "q145_delta_merge_agg",
+    "q146_delta_restore_agg",
+    "q147_iceberg_rollback_agg",
     # --- r07-stale block (last driver-green r07 — 3 rounds old at
     # r10, past the ~2-round policy; ALL 37 take slots per VERDICT r9
     # ask 1) ---
@@ -128,8 +130,6 @@ _WINDOW_HEAD = [
     "q31_minhash_candidates",
     "q32_simhash_neardups",
     "q34_ann_lsh_topk",
-    "q57_orc_scan_agg",
-    "q58_envelope_decode_agg",
 ]
 
 
@@ -6238,6 +6238,117 @@ def q145_delta_merge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         merge_delta_rows(spark, cache, updates, on="doc_id")
     df = read_delta(spark, cache)
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+
+
+@register(
+    "q146_delta_restore_agg",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q146_delta_restore_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta RESTORE TO VERSION under the hard oracle (delta-spark
+    ``RestoreTableCommand``): the documents table is written standalone
+    (v0), a DV DELETE kills doc_id%3==0 (v1), and
+    ``restore_delta_table`` commits v2 turning the live state back
+    into v0's — the deleted rows RETURN, so the aggregate must equal
+    the unfiltered oracle exactly. History is appended, not erased:
+    the DV'd v1 stays time-travelable.
+
+    Scale shape: restore is a pure metadata diff (replay old + new,
+    emit remove/add actions) — no data read, no Spark job.
+    """
+    from incubator_gobblin_spark.sinks.delta_delete import delete_delta_rows
+    from incubator_gobblin_spark.sinks.delta_maintenance import (
+        restore_delta_table,
+        write_delta_table,
+    )
+    from incubator_gobblin_spark.sources.delta_import import (
+        _log_versions,
+        read_delta,
+    )
+
+    import os as _os
+
+    cache = _cache_dir("delta_restore", sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    log_dir = _os.path.join(cache, "_delta_log")
+    if not _os.path.isdir(log_dir) or not _log_versions(log_dir):
+        write_delta_table(spark, docs, cache, partition_by=["lang"])
+    if _log_versions(log_dir)[-1] < 1:
+        delete_delta_rows(spark, cache, "doc_id % 3 = 0")
+    if _log_versions(log_dir)[-1] < 2:
+        restore_delta_table(spark, cache, 0)
+    df = read_delta(spark, cache)
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+
+
+@register(
+    "q147_iceberg_rollback_agg",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q147_iceberg_rollback_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg rollback under the hard oracle (iceberg-core
+    ``ManageSnapshots.rollbackTo``): the documents table is written
+    standalone, a position-DELETE snapshot kills doc_id%4==1, and
+    ``rollback_iceberg_table`` publishes a METADATA-ONLY version whose
+    current-snapshot-id points back at the pre-delete snapshot — the
+    deleted rows RETURN without touching a single data or delete
+    file, so the aggregate must equal the unfiltered oracle exactly
+    while the abandoned delete snapshot stays time-travelable.
+
+    Scale shape: one metadata JSON write; no scan, no Spark job.
+    """
+    from incubator_gobblin_spark.sinks.iceberg_delete import (
+        delete_iceberg_rows,
+    )
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        _metadata_versions,
+    )
+    from incubator_gobblin_spark.sinks.iceberg_maintenance import (
+        rollback_iceberg_table,
+        write_iceberg_table,
+    )
+    from incubator_gobblin_spark.sources.iceberg_import import (
+        current_metadata,
+        read_iceberg,
+    )
+
+    import os as _os
+
+    cache = _cache_dir("iceberg_rollback", sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    meta_dir = _os.path.join(cache, "metadata")
+    if not _os.path.isdir(meta_dir) or not _metadata_versions(meta_dir):
+        write_iceberg_table(spark, docs, cache, partition_by=["lang"])
+    if _metadata_versions(meta_dir)[-1] < 2:
+        delete_iceberg_rows(spark, cache, "doc_id % 4 = 1")
+    if _metadata_versions(meta_dir)[-1] < 3:
+        meta = current_metadata(cache)
+        base = min(s["snapshot-id"] for s in meta["snapshots"])
+        rollback_iceberg_table(cache, base)
+    df = read_iceberg(spark, cache)
     return df.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("chars"),

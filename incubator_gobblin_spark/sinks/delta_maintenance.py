@@ -1172,3 +1172,109 @@ def expire_delta_log(path: str) -> int:
     from incubator_gobblin_spark.sinks.files import _expire_delta_log_dir
 
     return _expire_delta_log_dir(os.path.join(path, "_delta_log"))
+
+
+def restore_delta_table(
+    spark: SparkSession, path: str, version: int
+) -> dict:
+    """RESTORE the Delta table at ``path`` TO VERSION ``version`` —
+    delta-spark's ``RestoreTableCommand``: one commit whose
+    adds/removes turn the CURRENT live state back into the historical
+    version's (files the old version had and the current lacks come
+    back — deletion-vector descriptors included; files only the
+    current has are removed; a file present in both but re-added with
+    a different descriptor is swapped). The history is preserved —
+    restore APPENDS a version; nothing is deleted (a later
+    :func:`vacuum_delta` frees what nothing references). Metadata is
+    restored too when the schema/configuration changed since.
+    The protocol is never downgraded.
+
+    Refuses manifest lakes and versions pruned by
+    :func:`expire_delta_log` (the replay raises). Returns
+    ``{"version", "files_added", "files_removed"}``.
+    """
+    from incubator_gobblin_spark.sinks.delta_delete import (
+        _check_delete_writable,
+    )
+
+    _refuse_manifest_lake(path, "restore_delta_table")
+    log_dir = os.path.join(path, "_delta_log")
+    live_old, meta_old, proto_old = _replay_state(log_dir, version)
+    live_now, meta_now, proto_now = _replay_state(log_dir, None)
+    # restoring resurrects/deletes rows: the same obligations a DELETE
+    # carries (appendOnly forbids it, CDF needs _change_data, ...)
+    _check_delete_writable(proto_now, meta_now)
+    current_v = _log_versions(log_dir)[-1]
+    if version == current_v:
+        return {
+            "version": current_v,
+            "files_added": 0,
+            "files_removed": 0,
+        }
+
+    ts = int(_time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "RESTORE",
+                "operationParameters": {"version": str(version)},
+                "engineInfo": "incubator-gobblin-spark restore",
+            }
+        }
+    ]
+    if meta_old != meta_now and meta_old is not None:
+        actions.append({"metaData": meta_old})
+    removed = added = 0
+    for rel in sorted(set(live_now) | set(live_old)):
+        now_a = live_now.get(rel)
+        old_a = live_old.get(rel)
+        if now_a == old_a:
+            continue
+        if now_a is not None:
+            rm = {
+                "path": rel,
+                "deletionTimestamp": ts,
+                "dataChange": True,
+                "extendedFileMetadata": True,
+                "partitionValues": now_a.get("partitionValues") or {},
+                "size": now_a.get("size"),
+            }
+            if now_a.get("deletionVector"):
+                rm["deletionVector"] = now_a["deletionVector"]
+            actions.append({"remove": rm})
+            removed += 1
+        if old_a is not None:
+            # the historical file may have been vacuumed after its
+            # tombstone aged out — restoring a dangling add would
+            # fabricate an unreadable table
+            fp = os.path.join(path, unquote(rel))
+            if not os.path.exists(fp):
+                raise FileNotFoundError(
+                    f"restore_delta_table: {rel} of version {version} "
+                    "was physically removed (vacuum) — that version is "
+                    "no longer restorable"
+                )
+            actions.append({"add": {**old_a, "dataChange": True}})
+            added += 1
+
+    def _race_ok(state):
+        now_live2, now_meta2, now_proto2 = state
+        return (
+            now_live2 == live_now
+            and now_meta2 == meta_now
+            and now_proto2 == proto_now
+        )
+
+    new_v = _publish_commit(
+        log_dir,
+        actions,
+        current_v,
+        on_race_state=_race_ok,
+        op="restore_delta_table",
+    )
+    return {
+        "version": new_v,
+        "files_added": added,
+        "files_removed": removed,
+    }

@@ -1422,3 +1422,59 @@ def remove_iceberg_orphan_files(
         "bytes_deleted": bytes_deleted,
         "candidates": [],
     }
+
+
+def rollback_iceberg_table(path: str, snapshot_id: int) -> dict:
+    """Roll the Iceberg table at ``path`` back to ``snapshot_id`` —
+    iceberg-core ``ManageSnapshots.rollbackTo``: a METADATA-ONLY new
+    version whose ``current-snapshot-id`` points at the historical
+    snapshot (which must still be in the metadata's snapshot list —
+    expired history is not rollbackable). No snapshot is created and
+    none is deleted; readers of the table see the old state, time
+    travel still reaches the abandoned newer snapshots, and
+    ``expire_iceberg_snapshots`` refuses to expire the (now-current)
+    target out from under readers.
+
+    Put-if-absent publish; a concurrent commit raises
+    :class:`IcebergConcurrentModificationError`. Returns
+    ``{"version", "snapshot_id"}``.
+    """
+    _refuse_manifest_lake(path, "rollback_iceberg_table")
+    location = os.path.abspath(path)
+    meta_dir = os.path.join(location, "metadata")
+    versions = _metadata_versions(meta_dir)
+    if not versions:
+        raise FileNotFoundError(f"no Iceberg metadata under {meta_dir}")
+    current_v = versions[-1]
+    prev = _load_metadata_version(meta_dir, current_v)
+    if not any(
+        s["snapshot-id"] == snapshot_id for s in prev.get("snapshots", [])
+    ):
+        raise ValueError(
+            f"rollback_iceberg_table: snapshot {snapshot_id} is not in "
+            "the table's history "
+            f"({[s['snapshot-id'] for s in prev.get('snapshots', [])]})"
+        )
+    if prev.get("current-snapshot-id") == snapshot_id:
+        return {"version": current_v, "snapshot_id": snapshot_id}
+    ts = int(_time.time() * 1000)
+    metadata = dict(prev)
+    metadata["current-snapshot-id"] = snapshot_id
+    metadata["last-updated-ms"] = ts
+    metadata["snapshot-log"] = list(prev.get("snapshot-log", [])) + [
+        {"timestamp-ms": ts, "snapshot-id": snapshot_id}
+    ]
+    for attempt in range(8):
+        versions = _metadata_versions(meta_dir)
+        if versions[-1] != current_v:
+            raise IcebergConcurrentModificationError(
+                f"rollback_iceberg_table: {location} advanced past "
+                f"v{current_v} while rolling back — re-run against the "
+                "new state"
+            )
+        if _publish_metadata(meta_dir, metadata, current_v + 1, attempt):
+            return {"version": current_v + 1, "snapshot_id": snapshot_id}
+    raise IcebergConcurrentModificationError(
+        f"rollback_iceberg_table: lost the commit race 8 times under "
+        f"{meta_dir}"
+    )

@@ -702,3 +702,45 @@ def test_checkpoint_preserves_dvs_and_protocol_features(
     # time travel to the pruned version raises the standard error
     with pytest.raises(Exception, match="0"):
         read_delta(spark, root, version=0)
+
+
+def test_restore_delta_table(spark, sf_dir, tmp_path):
+    """RESTORE TO VERSION: resurrects the historical live set (DV
+    descriptors included), appends history instead of erasing it, and
+    refuses when vacuum physically removed a needed file."""
+    from incubator_gobblin_spark.sinks.delta_maintenance import (
+        restore_delta_table,
+    )
+
+    root = str(tmp_path / "rs1")
+    cust = load_table(spark, sf_dir, "customer").repartition(2)
+    write_delta_table(spark, cust, root)           # v0
+    delete_delta_rows(spark, root, "c_custkey % 3 = 0")  # v1 (DVs)
+    compact_delta_files(                           # v2 (absorbs)
+        spark, root, target_file_bytes=1 << 30, small_file_bytes=1 << 30
+    )
+    after_delete = cust.filter(~(F.col("c_custkey") % 3 == 0))
+
+    # back to v0: everything returns
+    res = restore_delta_table(spark, root, 0)
+    assert res["version"] == 3 and res["files_added"] == 2
+    got = read_delta(spark, root)
+    assert got.count() == cust.count()
+    assert got.exceptAll(cust).count() == 0
+
+    # back to v1: the DV'd state returns, descriptors intact
+    restore_delta_table(spark, root, 1)
+    live, _, _ = _live(root)
+    assert any(a.get("deletionVector") for a in live.values())
+    got = read_delta(spark, root)
+    assert got.count() == after_delete.count()
+
+    # no-op restore to the current version
+    v = _log_versions(os.path.join(root, "_delta_log"))[-1]
+    assert restore_delta_table(spark, root, v)["files_added"] == 0
+
+    # vacuumed-away versions are not restorable — refuse loudly
+    restore_delta_table(spark, root, 2)  # compacted state current
+    vacuum_delta(root, retention_hours=0, allow_short_retention=True)
+    with pytest.raises(FileNotFoundError, match="no longer restorable"):
+        restore_delta_table(spark, root, 0)

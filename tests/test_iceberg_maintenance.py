@@ -483,3 +483,45 @@ def test_upsert_refuses_type_mismatch(spark, sf_dir, tmp_path):
     widened = docs.withColumn("n_chars", F.col("n_chars").cast("double"))
     with pytest.raises(ValueError, match="types"):
         upsert_iceberg_rows(spark, root, widened, on="doc_id")
+
+
+def test_rollback_iceberg_table(spark, sf_dir, tmp_path):
+    """rollbackTo: metadata-only current-pointer move; the abandoned
+    snapshot stays time-travelable, expire refuses to strand current."""
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        expire_iceberg_snapshots,
+    )
+    from incubator_gobblin_spark.sinks.iceberg_maintenance import (
+        rollback_iceberg_table,
+    )
+
+    root = str(tmp_path / "rb1")
+    nat = load_table(spark, sf_dir, "nation")
+    write_iceberg_table(spark, nat, root)
+    meta = current_metadata(root)
+    base_sid = meta["current-snapshot-id"]
+    delete_iceberg_rows(spark, root, "n_nationkey % 2 = 0")
+    assert read_iceberg(spark, root).count() < nat.count()
+
+    res = rollback_iceberg_table(root, base_sid)
+    assert res["snapshot_id"] == base_sid
+    _same_rows(read_iceberg(spark, root), nat)
+    # the abandoned delete snapshot is still reachable by time travel
+    meta = current_metadata(root)
+    newer = [
+        s["snapshot-id"]
+        for s in meta["snapshots"]
+        if s["snapshot-id"] != base_sid
+    ]
+    old = read_iceberg(spark, root, snapshot_id=newer[0])
+    assert old.count() < nat.count()
+
+    # unknown snapshot refuses; expire refuses to strand current
+    with pytest.raises(ValueError, match="not in"):
+        rollback_iceberg_table(root, 999999)
+    with pytest.raises(ValueError, match="CURRENT"):
+        expire_iceberg_snapshots(root, keep_last=1)
+
+    # rollback to current: no new version
+    v = res["version"]
+    assert rollback_iceberg_table(root, base_sid)["version"] == v
