@@ -316,3 +316,147 @@ def test_deltars_reads_deletion_vector_table(spark, sf_dir, tmp_path):
     assert _sorted_rows(dt.to_pandas(), cols) == _spark_rows(
         df.filter(F.col("n_nationkey") % 3 != 0), cols
     )
+
+
+@live_delta
+@needs_deltars
+def test_deltars_reads_standalone_lifecycle(spark, sf_dir, tmp_path):
+    """The round-10 write surface against a REAL foreign reader:
+    delta-rs must see the exact surviving rows after write -> DV
+    DELETE -> MERGE -> OPTIMIZE -> VACUUM -> checkpoint+expire ->
+    RESTORE, at every stage."""
+    from incubator_gobblin_spark.sinks.delta_delete import delete_delta_rows
+    from incubator_gobblin_spark.sinks.delta_maintenance import (
+        checkpoint_delta_table,
+        compact_delta_files,
+        expire_delta_log,
+        merge_delta_rows,
+        restore_delta_table,
+        vacuum_delta,
+        write_delta_table,
+    )
+
+    nat = load_table(spark, sf_dir, "nation")
+    root = str(tmp_path / "dl-solo")
+    cols = sorted(nat.columns)
+
+    def foreign():
+        return _sorted_rows(DeltaTable(root).to_pandas(), cols)
+
+    write_delta_table(spark, nat, root, partition_by=["n_regionkey"])
+    assert foreign() == _spark_rows(nat, cols)
+
+    delete_delta_rows(spark, root, "n_nationkey % 3 = 0")
+    after_del = nat.filter(F.col("n_nationkey") % 3 != 0)
+    assert foreign() == _spark_rows(after_del, cols)
+
+    source = nat.filter("n_nationkey % 3 = 1").withColumn(
+        "n_name", F.concat(F.lit("M_"), F.col("n_name"))
+    )
+    merge_delta_rows(spark, root, source, on="n_nationkey")
+    expect = after_del.filter("n_nationkey % 3 <> 1").unionByName(source)
+    assert foreign() == _spark_rows(expect, cols)
+
+    compact_delta_files(
+        spark, root, target_file_bytes=1 << 30, small_file_bytes=1 << 30
+    )
+    vacuum_delta(root, retention_hours=0, allow_short_retention=True)
+    assert foreign() == _spark_rows(expect, cols)
+
+    checkpoint_delta_table(root)
+    expire_delta_log(root)
+    assert foreign() == _spark_rows(expect, cols)
+
+    restore_delta_table(spark, root, 1)  # back to the post-DELETE state
+    assert foreign() == _spark_rows(after_del, cols)
+
+
+@live_iceberg
+@needs_pyiceberg
+def test_pyiceberg_reads_standalone_lifecycle(spark, sf_dir, tmp_path):
+    """write_iceberg_table -> position DELETE -> RewriteDataFiles ->
+    equality UPSERT -> rollback, each state read by pyiceberg."""
+    from incubator_gobblin_spark.sinks.iceberg_delete import (
+        delete_iceberg_rows,
+    )
+    from incubator_gobblin_spark.sinks.iceberg_maintenance import (
+        rewrite_iceberg_data_files,
+        rollback_iceberg_table,
+        upsert_iceberg_rows,
+        write_iceberg_table,
+    )
+    from incubator_gobblin_spark.sources.iceberg_import import (
+        current_metadata,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    root = str(tmp_path / "icb-solo")
+    cols = ["doc_id", "lang", "n_chars"]
+
+    def foreign():
+        t = StaticTable.from_metadata(_latest_metadata_path(root))
+        return _sorted_rows(t.scan().to_pandas(), cols)
+
+    write_iceberg_table(spark, docs, root, partition_by=["lang"])
+    assert foreign() == _spark_rows(docs, cols)
+    pre_delete_sid = current_metadata(root)["current-snapshot-id"]
+
+    delete_iceberg_rows(spark, root, "doc_id % 4 = 2")
+    after_del = docs.filter("doc_id % 4 <> 2")
+    assert foreign() == _spark_rows(after_del, cols)
+
+    rewrite_iceberg_data_files(spark, root)
+    assert foreign() == _spark_rows(after_del, cols)
+
+    ups = docs.filter("doc_id % 10 = 1").withColumn(
+        "n_chars", (F.col("n_chars") + 7).cast("long")
+    )
+    upsert_iceberg_rows(spark, root, ups, on="doc_id")
+    expect = after_del.filter("doc_id % 10 <> 1").unionByName(
+        ups.select(*after_del.columns)
+    )
+    assert foreign() == _spark_rows(expect, cols)
+
+    rollback_iceberg_table(root, pre_delete_sid)
+    assert foreign() == _spark_rows(docs, cols)
+
+
+@live_iceberg
+@needs_pyiceberg
+def test_pyiceberg_reads_transform_partitioned_standalone(
+    spark, sf_dir, tmp_path
+):
+    """Hidden partitioning authored by write_iceberg_table: pyiceberg
+    must resolve the transform spec and plan a filtered scan."""
+    from incubator_gobblin_spark.functions.iceberg_transforms import (
+        transform_expr,
+    )
+    from incubator_gobblin_spark.sinks.iceberg_maintenance import (
+        write_iceberg_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    derived = docs.withColumn(
+        "b", transform_expr("truncate[1000]", F.col("doc_id"), "long")
+    )
+    root = str(tmp_path / "icb-hidden")
+    write_iceberg_table(
+        spark,
+        derived,
+        root,
+        partition_by=["b"],
+        transform_spec=[
+            {"name": "b", "transform": "truncate[1000]", "source": "doc_id"}
+        ],
+    )
+    t = StaticTable.from_metadata(_latest_metadata_path(root))
+    cols = ["doc_id", "lang", "n_chars"]
+    assert _sorted_rows(t.scan().to_pandas(), cols) == _spark_rows(docs, cols)
+    filtered = t.scan(row_filter="doc_id < 1000").to_pandas()
+    assert _sorted_rows(filtered, cols) == _spark_rows(
+        docs.filter("doc_id < 1000"), cols
+    )
