@@ -78,6 +78,7 @@ HEADLINE = [
     "q145_delta_merge_agg",        # merge-on-read MERGE (DV + append)
     "q146_delta_restore_agg",      # RESTORE TO VERSION (metadata diff)
     "q147_iceberg_rollback_agg",   # rollbackTo (metadata-only pointer)
+    "q148_iceberg_tag_read_agg",   # ref-pinned time travel past expiry
 ]
 
 

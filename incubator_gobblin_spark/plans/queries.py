@@ -85,6 +85,7 @@ _WINDOW_HEAD = [
     "q145_delta_merge_agg",
     "q146_delta_restore_agg",
     "q147_iceberg_rollback_agg",
+    "q148_iceberg_tag_read_agg",
     # --- r07-stale block (last driver-green r07 — 3 rounds old at
     # r10, past the ~2-round policy; ALL 37 take slots per VERDICT r9
     # ask 1) ---
@@ -125,11 +126,13 @@ _WINDOW_HEAD = [
     "q114_linear_probe_score",
     "q115_trim_contaminated",
     "q117_lsh_dedup_audit",
-    # --- r08-green fill (2 rounds old; the remaining 39 r08-green
-    # rotate at r11) ---
+    # --- r08-green fill (2 rounds old). The 10 new r10 queries
+    # (q138-q147) displaced q57/q58/q60/q62/q65/q67 from this round's
+    # fill — at r11 those six plus the remaining r08-green block are
+    # the rotation priority, then the 37 queries going r10-green this
+    # round age normally. ---
     "q31_minhash_candidates",
     "q32_simhash_neardups",
-    "q34_ann_lsh_topk",
 ]
 
 
@@ -6349,6 +6352,67 @@ def q147_iceberg_rollback_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         base = min(s["snapshot-id"] for s in meta["snapshots"])
         rollback_iceberg_table(cache, base)
     df = read_iceberg(spark, cache)
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+
+
+@register(
+    "q148_iceberg_tag_read_agg",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q148_iceberg_tag_read_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg refs under the hard oracle (spec §refs; iceberg-core
+    ``ManageSnapshots.createTag``): the pre-delete snapshot is TAGGED,
+    a position-DELETE snapshot then kills doc_id%6==3, and snapshot
+    history is EXPIRED to keep_last=1 — the tag is a retention ROOT,
+    so its snapshot survives the expiry that would otherwise free it.
+    ``read_iceberg(snapshot_id="pre-delete")`` resolves the name and
+    must reconstruct the FULL table value-for-value, while the
+    current read sees the post-delete state (pinned by pytest).
+
+    Scale shape: ref create/resolve are metadata-only; the tagged
+    read is the same scan time travel plans.
+    """
+    from incubator_gobblin_spark.sinks.iceberg_delete import (
+        delete_iceberg_rows,
+    )
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        _metadata_versions,
+        expire_iceberg_snapshots,
+    )
+    from incubator_gobblin_spark.sinks.iceberg_maintenance import (
+        set_iceberg_ref,
+        write_iceberg_table,
+    )
+    from incubator_gobblin_spark.sources.iceberg_import import (
+        current_metadata,
+        read_iceberg,
+    )
+
+    import os as _os
+
+    cache = _cache_dir("iceberg_tagread", sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    meta_dir = _os.path.join(cache, "metadata")
+    if not _os.path.isdir(meta_dir) or not _metadata_versions(meta_dir):
+        write_iceberg_table(spark, docs, cache, partition_by=["lang"])
+    meta = current_metadata(cache)
+    if "pre-delete" not in (meta.get("refs") or {}):
+        set_iceberg_ref(cache, "pre-delete")
+    if len(current_metadata(cache).get("snapshots", [])) < 2:
+        delete_iceberg_rows(spark, cache, "doc_id % 6 = 3")
+        expire_iceberg_snapshots(cache, keep_last=1)
+    df = read_iceberg(spark, cache, snapshot_id="pre-delete")
     return df.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("chars"),

@@ -1628,9 +1628,24 @@ def expire_iceberg_snapshots(
         snapshots = list(prev.get("snapshots", []))
         if len(snapshots) <= keep_last:
             return meta_dir  # nothing to expire
-        kept = snapshots[-keep_last:]
-        expired = snapshots[:-keep_last]
+        # refs are retention ROOTS (iceberg-core RemoveSnapshots):
+        # a snapshot a branch/tag points at survives expiry no matter
+        # how old — expiring it would break the ref for every reader
+        ref_ids = {
+            int(r["snapshot-id"])
+            for r in (prev.get("refs") or {}).values()
+            if r.get("snapshot-id") is not None
+        }
+        tail_ids = {s["snapshot-id"] for s in snapshots[-keep_last:]}
+        kept = [
+            s
+            for s in snapshots
+            if s["snapshot-id"] in tail_ids or s["snapshot-id"] in ref_ids
+        ]
         kept_ids = {s["snapshot-id"] for s in kept}
+        expired = [s for s in snapshots if s["snapshot-id"] not in kept_ids]
+        if not expired:
+            return meta_dir  # every old snapshot is ref-pinned
         # this exporter always points current at the newest snapshot,
         # but a foreign or rolled-back table may not — REFUSE rather
         # than expire the snapshot readers are on (iceberg-core
@@ -1644,11 +1659,12 @@ def expire_iceberg_snapshots(
             )
 
         metadata = dict(prev)
-        # the oldest kept snapshot's parent is gone
+        # any kept snapshot whose parent expired loses the pointer
+        # (ref-pinned islands included, not just the oldest)
         metadata["snapshots"] = [
             (
                 {k: v for k, v in s.items() if k != "parent-snapshot-id"}
-                if s["snapshot-id"] == kept[0]["snapshot-id"]
+                if s.get("parent-snapshot-id") not in kept_ids
                 else s
             )
             for s in kept

@@ -1478,3 +1478,100 @@ def rollback_iceberg_table(path: str, snapshot_id: int) -> dict:
         f"rollback_iceberg_table: lost the commit race 8 times under "
         f"{meta_dir}"
     )
+
+
+def set_iceberg_ref(
+    path: str,
+    name: str,
+    snapshot_id: int | None = None,
+    *,
+    ref_type: str = "tag",
+) -> dict:
+    """Create or move a named ref — spec §refs / iceberg-core
+    ``ManageSnapshots.createTag``/``createBranch``: a METADATA-ONLY
+    version whose ``refs[name]`` points at ``snapshot_id`` (default:
+    the current snapshot). Tagged/branched snapshots become retention
+    ROOTS: ``expire_iceberg_snapshots`` keeps them no matter how old,
+    so a tag is the durable audit/WAP pin the raw snapshot id is not.
+    ``read_iceberg(spark, path, snapshot_id="<name>")`` resolves the
+    name. Returns ``{"version", "name", "snapshot_id"}``.
+    """
+    if ref_type not in ("tag", "branch"):
+        raise ValueError(f"set_iceberg_ref: ref_type {ref_type!r}")
+    _refuse_manifest_lake(path, "set_iceberg_ref")
+    location = os.path.abspath(path)
+    meta_dir = os.path.join(location, "metadata")
+    versions = _metadata_versions(meta_dir)
+    if not versions:
+        raise FileNotFoundError(f"no Iceberg metadata under {meta_dir}")
+    current_v = versions[-1]
+    prev = _load_metadata_version(meta_dir, current_v)
+    sid = (
+        prev.get("current-snapshot-id")
+        if snapshot_id is None
+        else snapshot_id
+    )
+    if not any(
+        s["snapshot-id"] == sid for s in prev.get("snapshots", [])
+    ):
+        raise ValueError(
+            f"set_iceberg_ref: snapshot {sid} is not in the table's "
+            "history"
+        )
+    metadata = dict(prev)
+    refs = dict(prev.get("refs") or {})
+    refs[name] = {"snapshot-id": int(sid), "type": ref_type}
+    metadata["refs"] = refs
+    metadata["last-updated-ms"] = int(_time.time() * 1000)
+    for attempt in range(8):
+        versions = _metadata_versions(meta_dir)
+        if versions[-1] != current_v:
+            raise IcebergConcurrentModificationError(
+                f"set_iceberg_ref: {location} advanced past "
+                f"v{current_v} — re-run against the new state"
+            )
+        if _publish_metadata(meta_dir, metadata, current_v + 1, attempt):
+            return {
+                "version": current_v + 1,
+                "name": name,
+                "snapshot_id": int(sid),
+            }
+    raise IcebergConcurrentModificationError(
+        f"set_iceberg_ref: lost the commit race 8 times under {meta_dir}"
+    )
+
+
+def drop_iceberg_ref(path: str, name: str) -> dict:
+    """Remove a named ref (``ManageSnapshots.removeTag/removeBranch``);
+    the snapshot it pinned becomes expirable again. Metadata-only,
+    put-if-absent. Returns ``{"version", "name"}``."""
+    _refuse_manifest_lake(path, "drop_iceberg_ref")
+    location = os.path.abspath(path)
+    meta_dir = os.path.join(location, "metadata")
+    versions = _metadata_versions(meta_dir)
+    if not versions:
+        raise FileNotFoundError(f"no Iceberg metadata under {meta_dir}")
+    current_v = versions[-1]
+    prev = _load_metadata_version(meta_dir, current_v)
+    refs = dict(prev.get("refs") or {})
+    if name not in refs:
+        raise ValueError(
+            f"drop_iceberg_ref: no ref named {name!r} "
+            f"(have {sorted(refs)})"
+        )
+    del refs[name]
+    metadata = dict(prev)
+    metadata["refs"] = refs
+    metadata["last-updated-ms"] = int(_time.time() * 1000)
+    for attempt in range(8):
+        versions = _metadata_versions(meta_dir)
+        if versions[-1] != current_v:
+            raise IcebergConcurrentModificationError(
+                f"drop_iceberg_ref: {location} advanced past "
+                f"v{current_v} — re-run against the new state"
+            )
+        if _publish_metadata(meta_dir, metadata, current_v + 1, attempt):
+            return {"version": current_v + 1, "name": name}
+    raise IcebergConcurrentModificationError(
+        f"drop_iceberg_ref: lost the commit race 8 times under {meta_dir}"
+    )

@@ -613,6 +613,16 @@ def read_iceberg(
     from incubator_gobblin_spark.sources.delta_import import assemble_snapshot
 
     metadata = current_metadata(path)
+    # a STRING snapshot_id is a ref (spec §refs: branch/tag names map
+    # to snapshot ids) — resolve it, loudly refusing unknown names
+    if isinstance(snapshot_id, str):
+        ref = (metadata.get("refs") or {}).get(snapshot_id)
+        if ref is None or ref.get("snapshot-id") is None:
+            raise FileNotFoundError(
+                f"read_iceberg: no ref named {snapshot_id!r} "
+                f"(have {sorted((metadata.get('refs') or {}))})"
+            )
+        snapshot_id = int(ref["snapshot-id"])
     # time travel reads under the SNAPSHOT's schema (spec: a snapshot
     # records its schema-id; reading an old snapshot with a newer
     # schema would surface columns that did not exist then). Falls

@@ -525,3 +525,59 @@ def test_rollback_iceberg_table(spark, sf_dir, tmp_path):
     # rollback to current: no new version
     v = res["version"]
     assert rollback_iceberg_table(root, base_sid)["version"] == v
+
+
+# ------------------------------------------------------------------ refs
+
+
+def test_refs_tag_read_and_expiry_root(spark, sf_dir, tmp_path):
+    """spec §refs: a tag resolves in read_iceberg, pins its snapshot
+    through expiry (retention root), and dropping it makes the
+    snapshot expirable again."""
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        expire_iceberg_snapshots,
+    )
+    from incubator_gobblin_spark.sinks.iceberg_maintenance import (
+        drop_iceberg_ref,
+        set_iceberg_ref,
+    )
+
+    root = str(tmp_path / "refs1")
+    nat = load_table(spark, sf_dir, "nation")
+    write_iceberg_table(spark, nat, root)
+    res = set_iceberg_ref(root, "audit-2026Q3")  # tag the pre-delete state
+    base_sid = res["snapshot_id"]
+
+    delete_iceberg_rows(spark, root, "n_nationkey % 2 = 0")
+    delete_iceberg_rows(spark, root, "n_nationkey = 1")
+    expect_now = nat.filter(
+        ~((F.col("n_nationkey") % 2 == 0) | (F.col("n_nationkey") == 1))
+    )
+
+    # the tag reads the historical state by NAME
+    _same_rows(read_iceberg(spark, root, snapshot_id="audit-2026Q3"), nat)
+    with pytest.raises(FileNotFoundError, match="no ref"):
+        read_iceberg(spark, root, snapshot_id="nope")
+
+    # expiry keeps the ref-pinned snapshot even though keep_last=1
+    expire_iceberg_snapshots(root, keep_last=1)
+    meta = current_metadata(root)
+    ids = {s["snapshot-id"] for s in meta["snapshots"]}
+    assert base_sid in ids and len(ids) == 2
+    _same_rows(read_iceberg(spark, root, snapshot_id="audit-2026Q3"), nat)
+    _same_rows(read_iceberg(spark, root), expect_now)
+
+    # drop the tag: the snapshot becomes expirable, files free up
+    drop_iceberg_ref(root, "audit-2026Q3")
+    expire_iceberg_snapshots(root, keep_last=1)
+    meta = current_metadata(root)
+    assert len(meta["snapshots"]) == 1
+    with pytest.raises(FileNotFoundError, match="no ref"):
+        read_iceberg(spark, root, snapshot_id="audit-2026Q3")
+    _same_rows(read_iceberg(spark, root), expect_now)
+
+    # unknown snapshot refuses; unknown drop refuses
+    with pytest.raises(ValueError, match="not in"):
+        set_iceberg_ref(root, "x", 424242)
+    with pytest.raises(ValueError, match="no ref"):
+        drop_iceberg_ref(root, "x")
