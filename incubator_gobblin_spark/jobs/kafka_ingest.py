@@ -134,3 +134,115 @@ def ingest_kafka_batch(
     st2.high_watermark = sum(merged.values())
     store.commit(table, st2)
     return {"run_id": rid, "records_planned": planned, "published": True}
+
+
+def ingest_kafka_upsert_iceberg(
+    spark: SparkSession,
+    topic: str,
+    table_path: str,
+    *,
+    on,
+    value_schema=None,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    bootstrap_servers: str = "",
+    reader_format: str = "mockkafka",
+    reader_options: dict[str, str] | None = None,
+    metadata: tuple[dict[int, int], dict[int, int]] | None = None,
+    reset: OffsetResetPolicy = OffsetResetPolicy.FAIL,
+) -> dict[str, Any]:
+    """One exactly-once Kafka → Iceberg CDC-UPSERT run — the
+    Flink-upsert-sink loop as a batch job: plan offset ranges from the
+    CONSUMED WATERMARK STORED IN THE ICEBERG TABLE ITSELF
+    (``kafka.offsets.<topic>`` in the table properties), bounded-read
+    the batch, shape it with ``transform`` (must yield the table's
+    declared schema), and commit ONE snapshot that both applies the
+    upsert (equality-delete + same-sequence append,
+    :func:`~incubator_gobblin_spark.sinks.iceberg_maintenance.upsert_iceberg_rows`)
+    AND advances the watermark — the offsets ride the same
+    put-if-absent metadata publish as the data, so a crash anywhere
+    replans the identical ranges from the last committed state.
+
+    Exactly-once mechanics: the table is the state store (the
+    reference keeps the Kafka watermark in FsStateStore and publishes
+    separately, tolerating same-run replay; storing it IN the table
+    metadata makes data+watermark one atomic commit — the
+    Flink-Iceberg connector shape). Replay is additionally idempotent
+    BY KEY: re-applying a batch equality-deletes its own prior
+    versions, so even an operator-forced reprocess converges. A batch
+    whose planned ranges are nonempty but whose rows are all
+    filtered/empty still advances the watermark through a
+    properties-only metadata version.
+
+    Returns ``{"version", "records_planned", "rows_upserted",
+    "published"}``.
+    """
+    from incubator_gobblin_spark.sinks.iceberg_maintenance import (
+        set_iceberg_table_properties,
+        upsert_iceberg_rows,
+    )
+    from incubator_gobblin_spark.sources.iceberg_import import (
+        current_metadata,
+    )
+
+    prop_key = f"kafka.offsets.{topic}"
+    meta = current_metadata(table_path)
+    raw = (meta.get("properties") or {}).get(prop_key)
+    committed = (
+        {int(k): int(v) for k, v in json.loads(raw).items()} if raw else None
+    )
+
+    if metadata is not None:
+        earliest, latest = metadata
+    elif reader_format == "mockkafka":
+        from incubator_gobblin_spark.sources import mock_kafka as MK
+
+        earliest, latest = MK.earliest_latest(
+            (reader_options or {})["path"], topic
+        )
+    else:
+        raise ValueError(
+            "pass metadata=(earliest, latest) for non-mock brokers"
+        )
+
+    ranges = plan_offsets(earliest, latest, committed, topic, reset)
+    planned = sum(r.end - r.start for r in ranges)
+    if planned == 0:
+        return {
+            "version": None,
+            "records_planned": 0,
+            "rows_upserted": 0,
+            "published": False,
+        }
+    offsets_prop = {prop_key: json.dumps(next_committed(ranges))}
+
+    df = read_kafka_batch(
+        spark,
+        bootstrap_servers,
+        ranges,
+        value_schema=value_schema,
+        reader_format=reader_format,
+        reader_options=reader_options,
+    )
+    if transform is not None:
+        df = transform(df)
+
+    res = upsert_iceberg_rows(
+        spark, table_path, df, on=on, table_properties=offsets_prop
+    )
+    if res["rows_inserted"] == 0 and res["delete_files"] == 0:
+        # planned records all filtered away: the upsert no-op'd, so
+        # advance the watermark through a properties-only version —
+        # otherwise the next run replans the same ranges forever
+        v = set_iceberg_table_properties(table_path, offsets_prop)["version"]
+        return {
+            "version": v,
+            "records_planned": planned,
+            "rows_upserted": 0,
+            "published": True,
+        }
+    return {
+        "version": res["version"],
+        "records_planned": planned,
+        "rows_upserted": res["rows_inserted"],
+        "published": True,
+    }

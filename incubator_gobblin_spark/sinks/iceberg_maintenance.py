@@ -923,6 +923,7 @@ def upsert_iceberg_rows(
     df: DataFrame,
     *,
     on,
+    table_properties: dict | None = None,
 ) -> dict:
     """UPSERT ``df`` into the Iceberg table at ``path`` on key columns
     ``on`` — the CDC / Flink-upsert-sink shape (spec §Equality Delete
@@ -1281,6 +1282,15 @@ def upsert_iceberg_rows(
         metadata["snapshot-log"] = list(
             prev.get("snapshot-log", [])
         ) + [{"timestamp-ms": ts, "snapshot-id": sid}]
+        if table_properties:
+            # ATOMIC with the data commit — the exactly-once hook for
+            # ingestion watermarks (jobs.kafka_ingest stores consumed
+            # offsets here; properties survive snapshot expiry, unlike
+            # snapshot summaries)
+            metadata["properties"] = {
+                **(prev.get("properties") or {}),
+                **{str(k): str(v) for k, v in table_properties.items()},
+            }
 
         if _publish_metadata(meta_dir, metadata, current_v + 1, attempt):
             return {
@@ -1574,4 +1584,40 @@ def drop_iceberg_ref(path: str, name: str) -> dict:
             return {"version": current_v + 1, "name": name}
     raise IcebergConcurrentModificationError(
         f"drop_iceberg_ref: lost the commit race 8 times under {meta_dir}"
+    )
+
+
+def set_iceberg_table_properties(path: str, props: dict) -> dict:
+    """Merge ``props`` into the table's properties map through a
+    METADATA-ONLY put-if-absent version (iceberg-core
+    ``UpdateProperties``). Used by ingestion jobs to advance a
+    consumption watermark when a batch carried zero rows (a data
+    commit advances it atomically via ``upsert_iceberg_rows``'s
+    ``table_properties``). Returns ``{"version"}``."""
+    _refuse_manifest_lake(path, "set_iceberg_table_properties")
+    location = os.path.abspath(path)
+    meta_dir = os.path.join(location, "metadata")
+    versions = _metadata_versions(meta_dir)
+    if not versions:
+        raise FileNotFoundError(f"no Iceberg metadata under {meta_dir}")
+    current_v = versions[-1]
+    prev = _load_metadata_version(meta_dir, current_v)
+    metadata = dict(prev)
+    metadata["properties"] = {
+        **(prev.get("properties") or {}),
+        **{str(k): str(v) for k, v in props.items()},
+    }
+    metadata["last-updated-ms"] = int(_time.time() * 1000)
+    for attempt in range(8):
+        versions = _metadata_versions(meta_dir)
+        if versions[-1] != current_v:
+            raise IcebergConcurrentModificationError(
+                f"set_iceberg_table_properties: {location} advanced "
+                f"past v{current_v} — re-run against the new state"
+            )
+        if _publish_metadata(meta_dir, metadata, current_v + 1, attempt):
+            return {"version": current_v + 1}
+    raise IcebergConcurrentModificationError(
+        "set_iceberg_table_properties: lost the commit race 8 times "
+        f"under {meta_dir}"
     )

@@ -179,3 +179,107 @@ def test_maintenance_runs_on_schedule(spark, sf_dir, tmp_path):
         fromlist=["_replay_state"],
     )._replay_state(os.path.join(root, "_delta_log"), None)
     assert not any(a.get("deletionVector") for a in live.values())
+
+
+def test_kafka_upsert_iceberg_exactly_once(spark, sf_dir, tmp_path):
+    """Kafka -> Iceberg CDC upsert with the consumed watermark stored
+    IN the table metadata: data + offsets commit atomically, replays
+    plan zero records, updates win by key, and an all-filtered batch
+    still advances the watermark."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from incubator_gobblin_spark.jobs.kafka_ingest import (
+        ingest_kafka_upsert_iceberg,
+    )
+    from incubator_gobblin_spark.sources import mock_kafka as MK
+
+    MK.register(spark)
+    broker = str(tmp_path / "broker")
+    table = str(tmp_path / "cdc")
+
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("v", StringType()),
+        ]
+    )
+
+    def produce(rows):
+        src = spark.createDataFrame(rows, "k long, v string").select(
+            F.col("k").cast("string").alias("key"),
+            F.to_json(F.struct("k", "v")).alias("value"),
+        )
+        (
+            src.write.format("mockkafka")
+            .mode("append")
+            .option("path", broker)
+            .option("topic", "cdc")
+            .option("numPartitions", "2")
+            .save()
+        )
+
+    def shape(df):
+        return df.select("value.k", "value.v")
+
+    # seed the table (CDC bootstrap)
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k long, v string"
+    )
+    write_iceberg_table(spark, base, table)
+
+    kw = dict(
+        on="k",
+        value_schema=schema,
+        transform=shape,
+        reader_options={"path": broker},
+    )
+    # batch 1: updates for 0..4, inserts 100/101
+    produce([(i, f"NEW{i}") for i in range(5)] + [(100, "a"), (101, "b")])
+    r1 = ingest_kafka_upsert_iceberg(spark, "cdc", table, **kw)
+    assert r1["published"] and r1["rows_upserted"] == 7
+    got = {(r.k, r.v) for r in read_iceberg(spark, table).collect()}
+    expect = {(i, f"NEW{i}") for i in range(5)} | {
+        (i, f"v{i}") for i in range(5, 10)
+    } | {(100, "a"), (101, "b")}
+    assert got == expect
+
+    # replay with no new data: plans ZERO records (watermark in table)
+    r2 = ingest_kafka_upsert_iceberg(spark, "cdc", table, **kw)
+    assert not r2["published"] and r2["records_planned"] == 0
+
+    # batch 2: update one inserted key — the newer version wins
+    produce([(100, "a2")])
+    r3 = ingest_kafka_upsert_iceberg(spark, "cdc", table, **kw)
+    assert r3["rows_upserted"] == 1
+    got = {(r.k, r.v) for r in read_iceberg(spark, table).collect()}
+    assert (100, "a2") in got and (100, "a") not in got
+    assert len(got) == len(expect)
+
+    # batch 3: rows exist but transform filters them all — the
+    # watermark must STILL advance (properties-only version)
+    produce([(999, "drop")])
+
+    def drop_all(df):
+        return shape(df).filter("k < 0")
+
+    r4 = ingest_kafka_upsert_iceberg(
+        spark, "cdc", table, on="k", value_schema=schema,
+        transform=drop_all, reader_options={"path": broker},
+    )
+    assert r4["published"] and r4["rows_upserted"] == 0
+    r5 = ingest_kafka_upsert_iceberg(spark, "cdc", table, **kw)
+    assert r5["records_planned"] == 0  # 999 not replanned
+
+    # the maintenance job absorbs the accumulated CDC deletes
+    rep = maintain_lake_table(
+        spark, table, keep_snapshots=1, retention_hours=168
+    )
+    assert rep["rewrite"]["delete_manifests_dropped"] >= 1
+    got2 = {(r.k, r.v) for r in read_iceberg(spark, table).collect()}
+    assert got2 == got
