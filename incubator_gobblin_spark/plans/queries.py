@@ -6419,6 +6419,103 @@ def q148_iceberg_tag_read_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q149_kafka_cdc_upsert_agg",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q149_kafka_cdc_upsert_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exactly-once Kafka -> Iceberg CDC-upsert LOOP under the
+    hard oracle: the table is seeded with CORRUPTED values (every
+    n_chars shifted by +12345), every true document row is produced
+    to the file-backed broker as a keyed CDC message, and
+    ``ingest_kafka_upsert_iceberg`` consumes the batch — one snapshot
+    whose equality deletes kill every seeded version and whose
+    appends land the true rows, with the consumed offsets riding the
+    same atomic metadata publish. The read-back aggregate must equal
+    the plain oracle EXACTLY: one wrong/missed/duplicated key and the
+    +12345 shift surfaces in the hash. A second ingest plans zero
+    records (the watermark lives in the table), so re-runs are
+    no-ops — the idempotence the correctness gate re-executes.
+
+    Scale shape: upsert cost is O(batch), never O(table); the read is
+    the scan + broadcast equality anti-join q137/q144 pinned.
+    """
+    from incubator_gobblin_spark.jobs.kafka_ingest import (
+        ingest_kafka_upsert_iceberg,
+    )
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        _metadata_versions,
+    )
+    from incubator_gobblin_spark.sinks.iceberg_maintenance import (
+        write_iceberg_table,
+    )
+    from incubator_gobblin_spark.sources import mock_kafka as MK
+    from incubator_gobblin_spark.sources.iceberg_import import read_iceberg
+
+    import os as _os
+
+    cache = _cache_dir("kafka_cdc_upsert", sf_dir, "documents")
+    table = _os.path.join(cache, "table")
+    broker = _os.path.join(cache, "broker")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    meta_dir = _os.path.join(table, "metadata")
+    if not _os.path.isdir(meta_dir) or not _metadata_versions(meta_dir):
+        seeded = docs.withColumn(
+            "n_chars", (F.col("n_chars") + 12345).cast("long")
+        )
+        write_iceberg_table(spark, seeded, table, partition_by=["lang"])
+    MK.register(spark)
+    if not _os.path.isdir(broker):
+        src = docs.select(
+            F.col("doc_id").cast("string").alias("key"),
+            F.to_json(
+                F.struct("doc_id", "lang", "source", "n_chars")
+            ).alias("value"),
+        )
+        (
+            src.write.format("mockkafka")
+            .mode("append")
+            .option("path", broker)
+            .option("topic", "docs")
+            .option("numPartitions", "4")
+            .save()
+        )
+    schema = docs.schema
+
+    def _shape(df):
+        # the upsert enforces the table's declared types (the schema
+        # author widened ints to long)
+        return df.select("value.*").select(
+            F.col("doc_id").cast("long"),
+            "lang",
+            "source",
+            F.col("n_chars").cast("long"),
+        )
+
+    ingest_kafka_upsert_iceberg(
+        spark,
+        "docs",
+        table,
+        on="doc_id",
+        value_schema=schema,
+        transform=_shape,
+        reader_options={"path": broker},
+    )
+    df = read_iceberg(spark, table)
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the multi-way broadcast star join + aggregation."""
     return q03_revenue_by_nation(spark, sf_dir)
