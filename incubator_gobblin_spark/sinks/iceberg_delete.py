@@ -51,7 +51,7 @@ from incubator_gobblin_spark.sinks.iceberg_export import (
     _manifest_entry_avro,
     _metadata_versions,
     _partition_struct_avro,
-    _transform_result_type,
+    _unpartitioned_spec,
 )
 from incubator_gobblin_spark.sources.iceberg_import import read_iceberg
 
@@ -282,28 +282,14 @@ def delete_iceberg_rows(
             for s in prev["schemas"]
             if s["schema-id"] == prev["current-schema-id"]
         )
-        spec = next(
-            s
-            for s in prev["partition-specs"]
-            if s["spec-id"] == prev["default-spec-id"]
-        )
-        fname = {f["id"]: f["name"] for f in schema["fields"]}
-        ftype = {f["name"]: f["type"] for f in schema["fields"]}
-        # partition struct under the spec's OWN field names and result
-        # types (transform fields included — values are all null: this
-        # delete is snapshot-global, scoping is the scan's job)
-        pcols = [
-            pf.get("name") or fname[pf["source-id"]]
-            for pf in spec["fields"]
-        ]
-        ptypes = {
-            (pf.get("name") or fname[pf["source-id"]]): (
-                _transform_result_type(
-                    pf["transform"], ftype.get(fname.get(pf["source-id"]))
-                )
-            )
-            for pf in spec["fields"]
-        }
+        # This delete is snapshot-global (the matched rows span
+        # partitions), so per the spec it must be written under an
+        # UNPARTITIONED spec with an empty partition struct: under a
+        # partitioned spec the partition tuple is a scope VALUE, and
+        # an all-null tuple would scope the tombstones to "the null
+        # partition" for conformant readers (Spark/Trino/PyIceberg),
+        # silently un-deleting every real partition's rows.
+        unpart_id, all_specs = _unpartitioned_spec(prev)
         sid = (
             max(
                 max((s["snapshot-id"] for s in snapshots), default=0),
@@ -314,7 +300,7 @@ def delete_iceberg_rows(
         seq = sid
         ts = int(_time.time() * 1000)
 
-        part_struct = _partition_struct_avro(pcols, ptypes)
+        part_struct = _partition_struct_avro([], {})
         entry_schema = _manifest_entry_avro(part_struct)
         entries = [
             {
@@ -326,7 +312,7 @@ def delete_iceberg_rows(
                     "content": 1,  # POSITION_DELETES
                     "file_path": "file://" + fp,
                     "file_format": "PARQUET",
-                    "partition": {c: None for c in pcols},
+                    "partition": {},
                     "record_count": n,
                     "file_size_in_bytes": size,
                     "value_counts": None,
@@ -343,8 +329,8 @@ def delete_iceberg_rows(
             codec="null",
             extra_meta={
                 "schema": json.dumps(schema).encode(),
-                "partition-spec": json.dumps(spec["fields"]).encode(),
-                "partition-spec-id": str(spec["spec-id"]).encode(),
+                "partition-spec": b"[]",
+                "partition-spec-id": str(unpart_id).encode(),
                 "format-version": b"2",
                 "content": b"deletes",
             },
@@ -359,7 +345,7 @@ def delete_iceberg_rows(
             {
                 "manifest_path": "file://" + mpath,
                 "manifest_length": len(mdata),
-                "partition_spec_id": spec["spec-id"],
+                "partition_spec_id": unpart_id,
                 "content": 1,  # DELETES
                 "sequence_number": seq,
                 "min_sequence_number": seq,
@@ -405,6 +391,9 @@ def delete_iceberg_rows(
             "parent-snapshot-id": base_snap_id,
         }
         metadata = dict(prev)
+        # the delete manifest references the unpartitioned spec — the
+        # committed metadata must declare it
+        metadata["partition-specs"] = all_specs
         metadata["last-sequence-number"] = seq
         metadata["last-updated-ms"] = ts
         metadata["current-snapshot-id"] = sid

@@ -245,6 +245,28 @@ def _partition_struct_avro(
     }
 
 
+def _unpartitioned_spec(metadata: dict) -> tuple[int, list[dict]]:
+    """Return ``(spec_id, partition-specs)`` where ``spec_id`` names an
+    UNPARTITIONED spec (``{"fields": []}``), appending a fresh one when
+    the table has none.
+
+    Per the Iceberg spec (Scan Planning), a delete file applies
+    globally ONLY when written under an unpartitioned spec; under a
+    partitioned spec its partition tuple is a scope VALUE, so an
+    all-null tuple means "the null partition" to conformant readers
+    (Spark/Trino/PyIceberg) — which would silently skip the deletes
+    for every real partition. Global delete manifests must therefore
+    reference the spec id this returns, with an empty partition struct.
+    """
+    specs = [dict(s) for s in metadata.get("partition-specs", [])]
+    for s in specs:
+        if not s.get("fields"):
+            return int(s["spec-id"]), specs
+    new_id = max((int(s["spec-id"]) for s in specs), default=-1) + 1
+    specs.append({"spec-id": new_id, "fields": []})
+    return new_id, specs
+
+
 def _manifest_entry_avro(partition_struct: dict) -> dict:
     """Avro schema for manifest-file rows (spec: manifest_entry, v2)."""
     return {

@@ -48,6 +48,7 @@ import os
 import shutil
 import time as _time
 import uuid as _uuid
+from collections.abc import Callable
 from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
@@ -68,6 +69,7 @@ from incubator_gobblin_spark.sinks.iceberg_export import (
     _name_mapping,
     _partition_struct_avro,
     _transform_result_type,
+    _unpartitioned_spec,
 )
 
 
@@ -923,7 +925,7 @@ def upsert_iceberg_rows(
     df: DataFrame,
     *,
     on,
-    table_properties: dict | None = None,
+    table_properties: dict | Callable[[dict], dict] | None = None,
 ) -> dict:
     """UPSERT ``df`` into the Iceberg table at ``path`` on key columns
     ``on`` — the CDC / Flink-upsert-sink shape (spec §Equality Delete
@@ -1133,8 +1135,16 @@ def upsert_iceberg_rows(
             dict(r) for r in _decode_manifest_list(cur, location)
         ]
 
-        # (a) the equality-delete manifest — GLOBAL scope (all-null
-        # partition), applying to data sequenced strictly before `seq`
+        # (a) the equality-delete manifest — GLOBAL scope. Per the
+        # spec only a delete file written under an UNPARTITIONED spec
+        # applies globally; under the table's partitioned spec an
+        # all-null tuple would mean "the null partition" to conformant
+        # readers (Spark/Trino/PyIceberg) and silently resurrect every
+        # superseded row version. So the delete manifest is written
+        # under the table's unpartitioned spec (added to
+        # partition-specs if absent), with an EMPTY partition struct;
+        # it applies to data sequenced strictly before `seq`.
+        unpart_id, all_specs = _unpartitioned_spec(prev)
         if delete_parts:
             entries = [
                 {
@@ -1146,7 +1156,7 @@ def upsert_iceberg_rows(
                         "content": 2,  # EQUALITY_DELETES
                         "file_path": "file://" + p["path"],
                         "file_format": "PARQUET",
-                        "partition": {c: None for c in part_cols},
+                        "partition": {},
                         "record_count": p["rows"],
                         "file_size_in_bytes": p["size"],
                         "value_counts": None,
@@ -1159,10 +1169,15 @@ def upsert_iceberg_rows(
                 for p in delete_parts
             ]
             mdata = encode_ocf(
-                entry_schema,
+                _manifest_entry_avro(_partition_struct_avro([], {})),
                 entries,
                 codec="null",
-                extra_meta={**manifest_meta, "content": b"deletes"},
+                extra_meta={
+                    **manifest_meta,
+                    "partition-spec": b"[]",
+                    "partition-spec-id": str(unpart_id).encode(),
+                    "content": b"deletes",
+                },
             )
             mp = os.path.join(meta_dir, f"{commit_uuid}-m0.avro")
             with open(mp, "wb") as fh:
@@ -1172,7 +1187,7 @@ def upsert_iceberg_rows(
                 {
                     "manifest_path": "file://" + mp,
                     "manifest_length": len(mdata),
-                    "partition_spec_id": spec["spec-id"],
+                    "partition_spec_id": unpart_id,
                     "content": 1,  # DELETES
                     "sequence_number": seq,
                     "min_sequence_number": seq,
@@ -1275,6 +1290,10 @@ def upsert_iceberg_rows(
             "parent-snapshot-id": base_snap_id,
         }
         metadata = dict(prev)
+        if delete_parts:
+            # the delete manifest references the unpartitioned spec —
+            # the committed metadata must declare it
+            metadata["partition-specs"] = all_specs
         metadata["last-sequence-number"] = seq
         metadata["last-updated-ms"] = ts
         metadata["current-snapshot-id"] = sid
@@ -1286,10 +1305,20 @@ def upsert_iceberg_rows(
             # ATOMIC with the data commit — the exactly-once hook for
             # ingestion watermarks (jobs.kafka_ingest stores consumed
             # offsets here; properties survive snapshot expiry, unlike
-            # snapshot summaries)
+            # snapshot summaries). A callable is re-evaluated against
+            # the REFRESHED prev properties on every commit attempt so
+            # a monotonic watermark can merge with — instead of blindly
+            # overwriting — a racer's properties-only advance (which
+            # does not move current-snapshot-id and therefore does not
+            # abort this commit).
+            props = (
+                table_properties(dict(prev.get("properties") or {}))
+                if callable(table_properties)
+                else table_properties
+            )
             metadata["properties"] = {
                 **(prev.get("properties") or {}),
-                **{str(k): str(v) for k, v in table_properties.items()},
+                **{str(k): str(v) for k, v in props.items()},
             }
 
         if _publish_metadata(meta_dir, metadata, current_v + 1, attempt):
@@ -1587,13 +1616,18 @@ def drop_iceberg_ref(path: str, name: str) -> dict:
     )
 
 
-def set_iceberg_table_properties(path: str, props: dict) -> dict:
+def set_iceberg_table_properties(
+    path: str, props: dict | Callable[[dict], dict]
+) -> dict:
     """Merge ``props`` into the table's properties map through a
     METADATA-ONLY put-if-absent version (iceberg-core
     ``UpdateProperties``). Used by ingestion jobs to advance a
     consumption watermark when a batch carried zero rows (a data
     commit advances it atomically via ``upsert_iceberg_rows``'s
-    ``table_properties``). Returns ``{"version"}``."""
+    ``table_properties``). A callable receives the CURRENT properties
+    and returns the entries to merge — the monotonic-watermark hook
+    (max with a racer's value instead of blind overwrite). Returns
+    ``{"version"}``."""
     _refuse_manifest_lake(path, "set_iceberg_table_properties")
     location = os.path.abspath(path)
     meta_dir = os.path.join(location, "metadata")
@@ -1603,9 +1637,12 @@ def set_iceberg_table_properties(path: str, props: dict) -> dict:
     current_v = versions[-1]
     prev = _load_metadata_version(meta_dir, current_v)
     metadata = dict(prev)
+    resolved = (
+        props(dict(prev.get("properties") or {})) if callable(props) else props
+    )
     metadata["properties"] = {
         **(prev.get("properties") or {}),
-        **{str(k): str(v) for k, v in props.items()},
+        **{str(k): str(v) for k, v in resolved.items()},
     }
     metadata["last-updated-ms"] = int(_time.time() * 1000)
     for attempt in range(8):

@@ -311,3 +311,29 @@ def test_merge_job_emits_metrics(spark, sf_dir, tmp_path):
     assert e["event"] == "merge_run" and e["status"] == "committed"
     assert e["run_id"] == rid and e["duration_sec"] > 0
     assert e["keys"] == "r_regionkey"
+
+
+def test_bench_artifact_preserves_unknown_keys(tmp_path):
+    """bench.py's local-artifact rewrite must keep keys it doesn't own
+    (builder annotations like run_history_note) so a driver re-run
+    stops erasing them."""
+    import json
+
+    from bench import merge_local_artifact
+
+    existing = {
+        "metric": "old",
+        "value": 1.0,
+        "run_history_note": "nine same-code runs spanned ...",
+        "shared_subtotal_quietest": 24.26,
+    }
+    out = {"metric": "bench", "value": 2.0, "queries": {"q1": 0.5}}
+    merged = merge_local_artifact(existing, out)
+    assert merged["run_history_note"] == existing["run_history_note"]
+    assert merged["shared_subtotal_quietest"] == 24.26
+    assert merged["value"] == 2.0 and merged["metric"] == "bench"
+    # round-trips through the file unchanged
+    p = tmp_path / "BENCH_local_r99.json"
+    p.write_text(json.dumps(merged))
+    again = merge_local_artifact(json.loads(p.read_text()), out)
+    assert again == merged

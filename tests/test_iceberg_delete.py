@@ -98,7 +98,10 @@ def test_iceberg_delete_files_carry_spec_shape(spark, sf_dir, tmp_path):
     is content=1 and its list row content=1 with the new sequence."""
     import pyarrow.parquet as pq
 
-    from incubator_gobblin_spark.formats.avro_ocf import decode_ocf
+    from incubator_gobblin_spark.formats.avro_ocf import (
+        decode_ocf,
+        read_meta,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select(*COLS)
     root = str(tmp_path / "shape")
@@ -165,7 +168,10 @@ def test_iceberg_delete_foreign_duckdb_reconstruction(
     read_iceberg's view and the predicate's complement."""
     import duckdb
 
-    from incubator_gobblin_spark.formats.avro_ocf import decode_ocf
+    from incubator_gobblin_spark.formats.avro_ocf import (
+        decode_ocf,
+        read_meta,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select(*COLS)
     root = str(tmp_path / "foreign")
@@ -342,3 +348,60 @@ def test_iceberg_delete_conflict_raises_not_corrupts(
     assert r["rows_deleted"] > 0 and r["version"] == 3
     exp = docs.filter("doc_id % 5 != 0")
     assert _rows(read_iceberg(spark, root2)) == _rows(exp)
+
+
+def test_iceberg_delete_manifest_uses_unpartitioned_spec(
+    spark, sf_dir, tmp_path
+):
+    """Position-delete manifests of a predicate DELETE on a PARTITIONED
+    table are written under an UNPARTITIONED spec (empty partition
+    struct) — the tombstones span partitions, and per the spec only an
+    unpartitioned delete file applies globally; an all-null tuple under
+    the partitioned spec would scope them to "the null partition" for
+    conformant foreign readers."""
+    from incubator_gobblin_spark.formats.avro_ocf import (
+        decode_ocf,
+        read_meta,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(*COLS)
+    root = str(tmp_path / "unpart")
+    _export(spark, docs, root, partition_by=["lang"])
+    delete_iceberg_rows(spark, root, "doc_id % 5 = 2")
+
+    meta = current_metadata(root)
+    assert next(
+        s
+        for s in meta["partition-specs"]
+        if s["spec-id"] == meta["default-spec-id"]
+    )["fields"], "table must stay identity-partitioned"
+    unpart = [s for s in meta["partition-specs"] if not s["fields"]]
+    assert len(unpart) == 1
+    unpart_id = unpart[0]["spec-id"]
+
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    with open(snap["manifest-list"].replace("file://", ""), "rb") as fh:
+        _, list_rows = decode_ocf(fh.read())
+    del_rows = [r for r in list_rows if r["content"] == 1]
+    assert del_rows
+    for r in del_rows:
+        assert r["partition_spec_id"] == unpart_id
+        with open(r["manifest_path"].replace("file://", ""), "rb") as fh:
+            raw = fh.read()
+        hdr = read_meta(raw)
+        _, entries = decode_ocf(raw)
+        assert hdr.get("partition-spec-id") == b"%d" % unpart_id
+        assert hdr.get("partition-spec") == b"[]"
+        for e in entries:
+            assert dict(e["data_file"]["partition"] or {}) == {}
+    for r in list_rows:
+        if r["content"] == 0:
+            assert r["partition_spec_id"] == meta["default-spec-id"]
+    # deletes still apply across every partition through our reader
+    got = _rows(read_iceberg(spark, root))
+    expect = _rows(docs.filter("doc_id % 5 <> 2"))
+    assert got == expect

@@ -581,3 +581,82 @@ def test_refs_tag_read_and_expiry_root(spark, sf_dir, tmp_path):
         set_iceberg_ref(root, "x", 424242)
     with pytest.raises(ValueError, match="no ref"):
         drop_iceberg_ref(root, "x")
+
+
+def test_upsert_delete_manifest_uses_unpartitioned_spec(
+    spark, sf_dir, tmp_path
+):
+    """Global equality deletes on a PARTITIONED table must be written
+    under an UNPARTITIONED spec with an empty partition struct — per
+    the spec (Scan Planning) only those apply globally; an all-null
+    tuple under the partitioned spec would scope the deletes to "the
+    null partition" for conformant foreign readers (Spark/Trino/
+    PyIceberg), silently resurrecting every superseded row version."""
+    from incubator_gobblin_spark.formats.avro_ocf import (
+        decode_ocf,
+        read_meta,
+    )
+    from incubator_gobblin_spark.sinks.iceberg_maintenance import (
+        upsert_iceberg_rows,
+    )
+
+    root = str(tmp_path / "uspec")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    write_iceberg_table(spark, docs, root, partition_by=["lang"])
+    source = docs.filter("doc_id % 7 = 0").withColumn(
+        "n_chars", F.col("n_chars") + 1
+    )
+    upsert_iceberg_rows(spark, root, source, on="doc_id")
+
+    meta = current_metadata(root)
+    default_spec = next(
+        s
+        for s in meta["partition-specs"]
+        if s["spec-id"] == meta["default-spec-id"]
+    )
+    assert default_spec["fields"], "table must stay identity-partitioned"
+    unpart = [s for s in meta["partition-specs"] if not s["fields"]]
+    assert len(unpart) == 1, "metadata must declare the unpartitioned spec"
+    unpart_id = unpart[0]["spec-id"]
+    assert unpart_id != meta["default-spec-id"]
+
+    snap = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    with open(snap["manifest-list"].replace("file://", ""), "rb") as fh:
+        _, list_rows = decode_ocf(fh.read())
+    del_rows = [r for r in list_rows if r["content"] == 1]
+    assert del_rows, "the upsert must commit a delete manifest"
+    for r in del_rows:
+        assert r["partition_spec_id"] == unpart_id
+        with open(r["manifest_path"].replace("file://", ""), "rb") as fh:
+            raw = fh.read()
+        hdr = read_meta(raw)
+        _, entries = decode_ocf(raw)
+        assert hdr.get("partition-spec-id") == b"%d" % unpart_id
+        assert hdr.get("partition-spec") == b"[]"
+        for e in entries:
+            assert dict(e["data_file"]["partition"] or {}) == {}
+    # data manifests stay on the partitioned default spec
+    for r in list_rows:
+        if r["content"] == 0:
+            assert r["partition_spec_id"] == meta["default-spec-id"]
+    # and the engine's own reader still applies the deletes globally
+    expect = docs.filter("doc_id % 7 <> 0").unionByName(source)
+    _same_rows(read_iceberg(spark, root), expect)
+
+    # a second upsert reuses the declared spec — no duplicate entry
+    upsert_iceberg_rows(
+        spark,
+        root,
+        source.withColumn("n_chars", F.lit(7)),
+        on="doc_id",
+    )
+    meta2 = current_metadata(root)
+    assert (
+        len([s for s in meta2["partition-specs"] if not s["fields"]]) == 1
+    )

@@ -283,3 +283,107 @@ def test_kafka_upsert_iceberg_exactly_once(spark, sf_dir, tmp_path):
     assert rep["rewrite"]["delete_manifests_dropped"] >= 1
     got2 = {(r.k, r.v) for r in read_iceberg(spark, table).collect()}
     assert got2 == got
+
+
+def test_kafka_upsert_watermark_never_regresses(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A concurrent same-topic run that advances the stored watermark
+    through a properties-only commit (empty batch) must NOT be
+    overwritten by a slower run that planned from the older state: the
+    offsets property merges per-partition with max(stored, planned),
+    so the next run never replays already-committed ranges."""
+    import json
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    import incubator_gobblin_spark.jobs.kafka_ingest as KI
+    from incubator_gobblin_spark.sinks.iceberg_maintenance import (
+        set_iceberg_table_properties,
+    )
+    from incubator_gobblin_spark.sources import mock_kafka as MK
+    from incubator_gobblin_spark.sources.iceberg_import import (
+        current_metadata,
+    )
+
+    MK.register(spark)
+    broker = str(tmp_path / "broker")
+    table = str(tmp_path / "race")
+    schema = StructType(
+        [StructField("k", LongType()), StructField("v", StringType())]
+    )
+
+    def produce(rows):
+        src = spark.createDataFrame(rows, "k long, v string").select(
+            F.col("k").cast("string").alias("key"),
+            F.to_json(F.struct("k", "v")).alias("value"),
+        )
+        (
+            src.write.format("mockkafka")
+            .mode("append")
+            .option("path", broker)
+            .option("topic", "race")
+            .option("numPartitions", "1")
+            .save()
+        )
+
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(4)], "k long, v string"
+    )
+    write_iceberg_table(spark, base, table)
+    produce([(0, "NEW0"), (1, "NEW1")])
+
+    # the racer: between this run's offset planning and its commit, a
+    # faster run stores an ALREADY-ADVANCED watermark (properties-only
+    # commit — current-snapshot-id unchanged, so the slow run's upsert
+    # proceeds instead of aborting)
+    racer_offsets = {"0": 3}
+    real_read = KI.read_kafka_batch
+    fired = []
+
+    def read_then_race(*a, **kw):
+        out = real_read(*a, **kw)
+        if not fired:
+            fired.append(1)
+            set_iceberg_table_properties(
+                table, {"kafka.offsets.race": json.dumps(racer_offsets)}
+            )
+        return out
+
+    monkeypatch.setattr(KI, "read_kafka_batch", read_then_race)
+    res = KI.ingest_kafka_upsert_iceberg(
+        spark,
+        "race",
+        table,
+        on="k",
+        value_schema=schema,
+        transform=lambda df: df.select("value.k", "value.v"),
+        reader_options={"path": broker},
+    )
+    assert res["published"] and res["rows_upserted"] == 2
+
+    stored = json.loads(
+        current_metadata(table)["properties"]["kafka.offsets.race"]
+    )
+    # the slow run planned next=2 for partition 0; the racer stored 3;
+    # the committed watermark is the per-partition max, not a regression
+    assert stored == {"0": 3}
+
+    # and the next run plans nothing below the merged watermark
+    monkeypatch.setattr(KI, "read_kafka_batch", real_read)
+    produce([(2, "NEW2")])  # offset 2 — below the racer's watermark of 3
+    r2 = KI.ingest_kafka_upsert_iceberg(
+        spark,
+        "race",
+        table,
+        on="k",
+        value_schema=schema,
+        transform=lambda df: df.select("value.k", "value.v"),
+        reader_options={"path": broker},
+    )
+    assert r2["records_planned"] == 0 and not r2["published"]
