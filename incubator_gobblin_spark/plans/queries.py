@@ -54,85 +54,78 @@ def register(name: str, oracle: str | None):
 
 # The driver's correctness artifact records exactly the first 50
 # registry entries each round, so iteration order decides which queries
-# touch the hard gate. Round-9 rotation (staleness going into r9:
-# r06 = the 32 queries VERDICT r8 ask #1 names — 3 rounds old at r09,
-# past the ~2-round policy, incl. q104 explicitly promised this head
-# when displaced at r08; r07 = last-but-one window, 2 rounds old;
-# r08 = last round's window, fresh):
-# 1. the brand-new r9 queries q133-q135 (first driver rows ever),
-# 2. the ENTIRE r06-stale block (32 queries — relational core
-#    q01-q61, similarity anchors q50/q51/q55, format scans q56/q87,
-#    quality/sketch wave q101-q105),
-# 3. 13 of the 50 r07-green queries, prioritizing the single-row
-#    newcomers q125-q127 and the r5 LLM-pipeline wave (q115/q117
-#    displaced late for q136/q137 — their span/LSH machinery is
-#    re-proven in-window by q109 and the q50/q51/q55 similarity
-#    anchors; the rest of the r07 window rotates at r10, which has
-#    13 free slots to spare).
-# After the r09 driver run no query's last driver row is older than
-# r07. The local parity suite (tests/test_oracle_parity.py) still
-# proves ALL oracle-backed queries on every pytest run regardless.
+# touch the hard gate. Round-11 rotation (VERDICT r10 ask 1, exact):
+# 1. q149 (registered after the r10 driver run — oracle-proven locally
+#    since, first driver row here),
+# 2. the ENTIRE 48-query r08-stale block (last driver row r08 —
+#    3 rounds old at r11, past the ~2-round policy: the q57-q106
+#    LLM-pipeline/format/sketch wave + q124/q128-q132 lake block
+#    displaced by r9/r10's new lifecycle rows),
+# 3. fill = q144 (r10-green, but its equality-delete writer changed
+#    this round — delete manifests now committed under an
+#    UNPARTITIONED spec per the Iceberg scan-planning rule — so it
+#    re-proves the changed code path in-window alongside q149).
+# After the r11 driver run no query's last driver row is older than
+# r09. New this round: q150 (Delta CDF read) and q151 (Iceberg
+# changelog scan) register PAST position 50 — oracle-proven locally,
+# first driver rows due r12, exactly the q149 precedent. The local
+# parity suite (tests/test_oracle_parity.py) still proves ALL
+# oracle-backed queries on every pytest run regardless.
 _WINDOW_HEAD = [
-    # --- first driver rows ever (q138/q139 registered late r9; q140
-    # is new this round) ---
-    "q138_delta_dv_delete_agg",
-    "q139_iceberg_transform_scope_agg",
-    "q140_iceberg_pos_delete_agg",
-    "q141_iceberg_hidden_partition_agg",
-    "q142_delta_optimize_vacuum_agg",
-    "q143_iceberg_rewrite_files_agg",
+    # --- first driver row ever ---
+    "q149_kafka_cdc_upsert_agg",
+    # --- r08-stale block (all 48, per VERDICT r10 ask 1) ---
+    "q34_ann_lsh_topk",
+    "q57_orc_scan_agg",
+    "q58_envelope_decode_agg",
+    "q60_time_partition_tree_rollup",
+    "q62_winnow_fingerprints",
+    "q63_minhash_covers_exact_dups",
+    "q64_simhash_covers_exact_dups",
+    "q65_chunk_documents",
+    "q66_pii_redaction",
+    "q67_ivf_topk",
+    "q68_srplsh_covers_identical",
+    "q69_lsh_topk_self_retrieval",
+    "q70_decontamination",
+    "q71_repetition_stats",
+    "q72_hot_ngrams",
+    "q73_tfidf_top_terms",
+    "q74_stratified_sample",
+    "q75_bm25_search",
+    "q76_group_quantiles",
+    "q77_stats_moments",
+    "q78_multimodal_binary_stats",
+    "q79_skew_hot_keys",
+    "q80_dedup_clusters",
+    "q81_fuzzy_dedup_keep",
+    "q82_cap_per_source",
+    "q83_split_assignment",
+    "q84_pack_sequences",
+    "q85_scd2_intervals",
+    "q88_manifest_snapshot_agg",
+    "q89_dedup_lines",
+    "q90_trigram_logprob",
+    "q91_kafka_roundtrip_agg",
+    "q92_quality_classifier",
+    "q93_semantic_dedup",
+    "q94_mixture_materialize",
+    "q95_multimodal_decode_roundtrip",
+    "q96_dsir_weights",
+    "q97_perplexity_buckets",
+    "q98_lake_changes",
+    "q99_pq_topk",
+    "q100_ivfpq_topk",
+    "q106_curation_pipeline",
+    "q124_iceberg_roundtrip_agg",
+    "q128_iceberg_posdelete_agg",
+    "q129_rest_http_ingest_agg",
+    "q130_iceberg_incremental_scan",
+    "q131_delta_dv_agg",
+    "q132_cluster_balanced_sample",
+    # --- fill: re-proves this round's rewritten equality-delete
+    # writer (unpartitioned-spec scope) inside the hard gate ---
     "q144_iceberg_upsert_agg",
-    "q145_delta_merge_agg",
-    "q146_delta_restore_agg",
-    "q147_iceberg_rollback_agg",
-    "q148_iceberg_tag_read_agg",
-    # --- r07-stale block (last driver-green r07 — 3 rounds old at
-    # r10, past the ~2-round policy; ALL 37 take slots per VERDICT r9
-    # ask 1) ---
-    "q04_segment_rollup",
-    "q06_semi_join",
-    "q08_dedup_argmax",
-    "q09_topk_per_group",
-    "q10_newest_k_deletable",
-    "q11_time_retention",
-    "q12_select_between",
-    "q13_running_total",
-    "q15_rollup",
-    "q16_cube",
-    "q17_grouping_sets",
-    "q18_union",
-    "q19_intersect",
-    "q20_except",
-    "q21_explode_tokens",
-    "q22_regex_filter",
-    "q23_json_extract",
-    "q26_sample_mod",
-    "q28_text_stats",
-    "q29_lang_guess",
-    "q30_token_jaccard",
-    "q33_ann_cosine_topk",
-    "q35_pivot_events",
-    "q37_moving_sum",
-    "q42_full_outer_join",
-    "q48_oldest_k",
-    "q49_text_quality",
-    "q52_embedding_neardup_lsh",
-    "q53_asof_join",
-    "q54_range_join",
-    "q108_temperature_mixture",
-    "q110_trim_dup_spans",
-    "q111_unimax_mixture",
-    "q112_linear_probe_fit",
-    "q114_linear_probe_score",
-    "q115_trim_contaminated",
-    "q117_lsh_dedup_audit",
-    # --- r08-green fill (2 rounds old). The 10 new r10 queries
-    # (q138-q147) displaced q57/q58/q60/q62/q65/q67 from this round's
-    # fill — at r11 those six plus the remaining r08-green block are
-    # the rotation priority, then the 37 queries going r10-green this
-    # round age normally. ---
-    "q31_minhash_candidates",
-    "q32_simhash_neardups",
 ]
 
 
@@ -6512,6 +6505,204 @@ def q149_kafka_cdc_upsert_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = read_iceberg(spark, table)
     return df.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+
+
+@register(
+    "q150_delta_cdf_changes_agg",
+    """
+    WITH upd AS (
+      SELECT doc_id, lang, source, n_chars
+      FROM documents WHERE doc_id % 9 = 0
+    ),
+    ins AS (
+      SELECT doc_id + 500000 AS doc_id, lang, source, n_chars
+      FROM documents WHERE doc_id < 3
+    ),
+    live1 AS (
+      SELECT doc_id, lang, source, n_chars + 5 AS n_chars FROM upd
+      UNION ALL SELECT doc_id, lang, source, n_chars FROM ins
+      UNION ALL SELECT doc_id, lang, source, n_chars
+      FROM documents WHERE doc_id % 9 <> 0
+    ),
+    changes AS (
+      SELECT 0 AS version, 'insert' AS change_type, n_chars
+      FROM documents
+      UNION ALL SELECT 1, 'update_preimage', n_chars FROM upd
+      UNION ALL SELECT 1, 'update_postimage', n_chars + 5 FROM upd
+      UNION ALL SELECT 1, 'insert', n_chars FROM ins
+      UNION ALL SELECT 2, 'delete', n_chars
+      FROM live1 WHERE doc_id % 10 = 4
+    )
+    SELECT CAST(version AS BIGINT) AS version,
+           change_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM changes GROUP BY 1, 2
+    """,
+)
+def q150_delta_cdf_changes_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta CHANGE DATA FEED read under the hard oracle (PROTOCOL.md
+    §Add CDC File / §Change Data Files; delta-spark ``table_changes``
+    semantics; reference analogue: the CDC consumption half of
+    gobblin-modules/gobblin-kafka-common ingestion flows): the
+    documents table becomes a lang-partitioned CDF-enabled Delta table
+    (v0 = derived inserts), a MERGE commits update_preimage/
+    update_postimage/insert change files (v1) and a DV DELETE commits
+    delete change files NET of the rows the merge already killed (v2);
+    ``read_delta_changes`` then replays the full feed and the per-
+    (version, change_type) aggregate must match the oracle's
+    reconstruction value-for-value.
+
+    Scale shape: CDF planning is O(commits) driver-side JSON; the data
+    path is one grouped parquet scan per (version, kind) with typed
+    partition literals (assemble_snapshot), DV bitmaps decoding
+    executor-side — never O(rows) on the driver.
+    """
+    import os as _os
+
+    from incubator_gobblin_spark.sinks.delta_delete import delete_delta_rows
+    from incubator_gobblin_spark.sinks.delta_maintenance import (
+        merge_delta_rows,
+        write_delta_table,
+    )
+    from incubator_gobblin_spark.sources.delta_cdf import read_delta_changes
+    from incubator_gobblin_spark.sources.delta_import import _log_versions
+
+    cache = _cache_dir("delta_cdf", sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    log_dir = _os.path.join(cache, "_delta_log")
+    if not _os.path.isdir(log_dir) or not _log_versions(log_dir):
+        write_delta_table(
+            spark,
+            docs,
+            cache,
+            partition_by=["lang"],
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+    if _log_versions(log_dir)[-1] < 1:
+        updates = docs.filter("doc_id % 9 = 0").withColumn(
+            "n_chars", F.col("n_chars") + 5
+        )
+        inserts = docs.filter("doc_id < 3").withColumn(
+            "doc_id", F.col("doc_id") + 500000
+        )
+        merge_delta_rows(
+            spark, cache, updates.unionByName(inserts), on="doc_id"
+        )
+    if _log_versions(log_dir)[-1] < 2:
+        delete_delta_rows(spark, cache, "doc_id % 10 = 4")
+    ch = read_delta_changes(spark, cache, 0, 2)
+    return ch.groupBy(
+        F.col("_commit_version").alias("version"),
+        F.col("_change_type").alias("change_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+
+
+@register(
+    "q151_iceberg_changelog_agg",
+    """
+    WITH after1 AS (
+      SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 5 <> 2
+    ),
+    upd AS (
+      SELECT doc_id, lang, n_chars + 1000 AS n_chars
+      FROM after1 WHERE doc_id % 7 = 0
+    ),
+    ins AS (
+      SELECT doc_id + 900000 AS doc_id, lang, n_chars
+      FROM documents WHERE doc_id < 4
+    ),
+    changes AS (
+      SELECT 0 AS ordinal, 'insert' AS change_type, n_chars
+      FROM documents
+      UNION ALL SELECT 1, 'delete', n_chars
+      FROM documents WHERE doc_id % 5 = 2
+      UNION ALL SELECT 2, 'delete', n_chars
+      FROM after1 WHERE doc_id % 7 = 0
+      UNION ALL SELECT 2, 'insert', n_chars FROM upd
+      UNION ALL SELECT 2, 'insert', n_chars FROM ins
+    )
+    SELECT CAST(ordinal AS INT) AS ordinal,
+           change_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM changes GROUP BY 1, 2
+    """,
+)
+def q151_iceberg_changelog_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg incremental CHANGELOG scan under the hard oracle
+    (iceberg-core IncrementalChangelogScan semantics; reference
+    analogue: the CDC consumption half of gobblin-kafka-common): the
+    documents table becomes a lang-partitioned Iceberg v2 table (s0),
+    a predicate DELETE commits position deletes (s1), a CDC upsert
+    commits an equality-delete manifest + same-sequence append (s2),
+    and RewriteDataFiles compacts (s3, operation=replace). The
+    changelog over the full lineage must report s0's rows as inserts,
+    s1's matched rows as deletes, s2 as delete+insert pairs recovered
+    from the parent snapshot, and NOTHING for s3 — aggregated per
+    (ordinal, change_type) and value-hash-checked against the oracle's
+    reconstruction.
+
+    Scale shape: snapshot diffing is driver-side manifest metadata;
+    row recovery scans only touched files with delete coordinates/keys
+    broadcast — never O(rows) on the driver.
+    """
+    from incubator_gobblin_spark.sinks.iceberg_delete import (
+        delete_iceberg_rows,
+    )
+    from incubator_gobblin_spark.sinks.iceberg_maintenance import (
+        rewrite_iceberg_data_files,
+        upsert_iceberg_rows,
+        write_iceberg_table,
+    )
+    from incubator_gobblin_spark.sources.iceberg_changelog import (
+        read_iceberg_changelog,
+    )
+    from incubator_gobblin_spark.sources.iceberg_import import (
+        current_metadata,
+    )
+
+    cache = _cache_dir("iceberg_changelog", sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+    def _n_snaps() -> int:
+        try:
+            return len(current_metadata(cache).get("snapshots", []))
+        except FileNotFoundError:
+            return 0
+
+    if _n_snaps() < 1:
+        write_iceberg_table(spark, docs, cache, partition_by=["lang"])
+    if _n_snaps() < 2:
+        delete_iceberg_rows(spark, cache, "doc_id % 5 = 2")
+    if _n_snaps() < 3:
+        after1 = docs.filter("doc_id % 5 <> 2")
+        updates = after1.filter("doc_id % 7 = 0").withColumn(
+            "n_chars", F.col("n_chars") + 1000
+        )
+        inserts = docs.filter("doc_id < 4").withColumn(
+            "doc_id", F.col("doc_id") + 900000
+        )
+        upsert_iceberg_rows(
+            spark, cache, updates.unionByName(inserts), on="doc_id"
+        )
+    if _n_snaps() < 4:
+        rewrite_iceberg_data_files(spark, cache)
+    ch = read_iceberg_changelog(spark, cache, None)
+    return ch.groupBy(
+        F.col("_change_ordinal").alias("ordinal"),
+        F.col("_change_type").alias("change_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
         F.sum("n_chars").cast("long").alias("chars"),
     )
 

@@ -112,11 +112,13 @@ def _check_delete_writable(proto: dict, meta: dict) -> None:
             "delete_delta_rows: table sets delta.appendOnly=true — "
             "deletes are forbidden on this table"
         )
-    if _on("delta.enableChangeDataFeed"):
+    if _on("delta.enableChangeDataFeed") and (
+        conf.get("delta.columnMapping.mode", "none") != "none"
+    ):
         raise ValueError(
-            "delete_delta_rows: table enables changeDataFeed — a "
-            "conformant DELETE must also author _change_data files, "
-            "which this engine does not; refusing to break CDF readers"
+            "delete_delta_rows: changeDataFeed + column mapping — "
+            "_change_data files would need physical names/ids this "
+            "writer does not author; refusing to break CDF readers"
         )
     for v in ("V1", "V2"):
         if _on(f"delta.enableIcebergCompat{v}"):
@@ -257,6 +259,59 @@ def build_dv_descriptors(spark, matched, path: str, live: dict) -> list:
         matched.groupBy("_path")
         .applyInPandas(_build, "_path string, _dv string, _card long")
         .collect()
+    )
+
+
+def _anti_join_existing_dvs(
+    spark: SparkSession,
+    df: DataFrame,
+    table_root: str,
+    dv_pairs: list[tuple[str, str]],
+) -> DataFrame:
+    """Drop from ``df`` (already carrying ``_file_path``/``_row_index``
+    scan coordinates) the positions dead under the standing deletion
+    vectors ``dv_pairs`` [(abs file path, descriptor json)]. Bitmaps
+    decode executor-side, one task per vector (the read_delta shape)."""
+    from incubator_gobblin_spark.sources.delta_import import (
+        decoded_file_path,
+    )
+    from incubator_gobblin_spark.sources.mock_kafka import _ship_package
+
+    _ship_package(spark)
+    desc_df = spark.createDataFrame(
+        dv_pairs, "_del_path string, _dv string"
+    ).repartition(min(len(dv_pairs), 64))
+
+    def expand(batches):
+        import json as _json
+
+        import pandas as pd
+
+        from incubator_gobblin_spark.formats.deletion_vectors import (
+            read_dv_positions,
+        )
+
+        for pdf in batches:
+            for p, dv in zip(pdf["_del_path"], pdf["_dv"]):
+                poss = read_dv_positions(table_root, _json.loads(dv))
+                if poss:
+                    yield pd.DataFrame(
+                        {
+                            "_del_path": p,
+                            "_del_pos": pd.Series(poss, dtype="int64"),
+                        }
+                    )
+
+    tombs = F.broadcast(
+        desc_df.mapInPandas(expand, "_del_path string, _del_pos long")
+    )
+    return df.withColumn(
+        "_norm_path_cdc", decoded_file_path(F.col("_file_path"))
+    ).join(
+        tombs,
+        (F.col("_norm_path_cdc") == F.col("_del_path"))
+        & (F.col("_row_index") == F.col("_del_pos")),
+        "left_anti",
     )
 
 
@@ -404,6 +459,44 @@ def delete_delta_rows(
         }
 
     ts = int(_time.time() * 1000)
+    cdc_actions: list[dict] = []
+    conf = (meta or {}).get("configuration") or {}
+    if str(conf.get("delta.enableChangeDataFeed", "")).lower() == "true":
+        # PROTOCOL.md §Add CDC File: a DV delete's commit mixes a
+        # remove and a re-add of the SAME path, which is NOT derivable
+        # from add/remove actions — CDF writers must author the
+        # deleted rows as _change_data files. The change set is the
+        # matched rows MINUS positions already dead under a standing
+        # DV (they were reported deleted by the commit that killed
+        # them; emitting them again would double-count).
+        from incubator_gobblin_spark.sinks.delta_maintenance import (
+            stage_cdc_files,
+        )
+
+        changes = filtered
+        dv_pairs = [
+            (
+                os.path.abspath(os.path.join(path, unquote(rel))),
+                json.dumps(a["deletionVector"]),
+            )
+            for rel, a in live.items()
+            if a.get("deletionVector")
+        ]
+        if dv_pairs:
+            changes = _anti_join_existing_dvs(
+                spark, changes, os.path.abspath(path), dv_pairs
+            )
+        logical_cols = [f["name"] for f in schema_json["fields"]]
+        changes = changes.select(*logical_cols).withColumn(
+            "_change_type", F.lit("delete")
+        )
+        cdc_actions = [
+            {"cdc": c}
+            for c in stage_cdc_files(
+                changes, path, logical_part_cols, ts
+            )
+        ]
+
     actions: list[dict] = [
         {
             "commitInfo": {
@@ -413,6 +506,7 @@ def delete_delta_rows(
             }
         }
     ]
+    actions.extend(cdc_actions)
     upgrade = _upgraded_protocol(proto)
     if upgrade is not None:
         actions.append({"protocol": upgrade})
@@ -461,6 +555,11 @@ def delete_delta_rows(
             # silently drop the racer's upgraded feature list.
             now_live, now_meta, now_proto = _replay_state(log_dir, None)
             if now_live != live or now_meta != meta or now_proto != proto:
+                for c in cdc_actions:  # staged change files are orphans
+                    try:
+                        os.remove(os.path.join(path, unquote(c["cdc"]["path"])))
+                    except OSError:
+                        pass
                 raise DeltaConcurrentModificationError(
                     f"delete_delta_rows: {path} advanced from version "
                     f"{current_v} to {versions[-1]} with state, "

@@ -315,6 +315,79 @@ def _stage_adds(
     return adds, rows_total
 
 
+def cdf_enabled(meta: dict) -> bool:
+    """True when the table records its change data feed
+    (``delta.enableChangeDataFeed=true`` — PROTOCOL.md §Add CDC File:
+    row-level change writers must then author ``_change_data`` files)."""
+    conf = (meta or {}).get("configuration") or {}
+    return str(conf.get("delta.enableChangeDataFeed", "")).lower() == "true"
+
+
+def stage_cdc_files(
+    changes: DataFrame, path: str, part_cols: list[str], ts: int
+) -> list[dict]:
+    """Write ``changes`` (table columns + ``_change_type``) as change
+    data files under ``<table>/_change_data/`` and return the ``cdc``
+    actions (PROTOCOL.md §Add CDC File: path + partitionValues + size,
+    ``dataChange=false`` always — CDF rows never count as table data).
+    Partitioned tables keep the hive layout inside ``_change_data``,
+    with partition columns restored from ``partitionValues`` exactly
+    like data files; ``_change_type`` rides IN the file."""
+    cd_root = os.path.join(path, "_change_data")
+    os.makedirs(cd_root, exist_ok=True)
+    staging = os.path.join(path, f".cdc-staging-{_uuid.uuid4().hex[:12]}")
+    cdc_actions: list[dict] = []
+    try:
+        w = changes.write.mode("overwrite")
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.parquet(staging)
+        import pyarrow.parquet as pq
+
+        if part_cols:
+            for dirpath, _dirs, files in os.walk(staging):
+                if not any(f.endswith(".parquet") for f in files):
+                    continue
+                rel_dir = os.path.relpath(dirpath, staging)
+                pvals: dict = {}
+                for seg in rel_dir.replace(os.sep, "/").split("/"):
+                    k, _, v = seg.partition("=")
+                    pvals[k] = _hive_dir_value(v)
+                moved = _move_parts(
+                    dirpath, os.path.join(cd_root, rel_dir), "cdc"
+                )
+                for fp in moved:
+                    if pq.read_metadata(fp).num_rows == 0:
+                        os.remove(fp)
+                        continue
+                    rel = os.path.relpath(fp, path).replace(os.sep, "/")
+                    cdc_actions.append(
+                        {
+                            "path": quote(rel),
+                            "partitionValues": pvals,
+                            "size": os.path.getsize(fp),
+                            "dataChange": False,
+                        }
+                    )
+        else:
+            for fp in _move_parts(staging, cd_root, "cdc"):
+                if pq.read_metadata(fp).num_rows == 0:
+                    os.remove(fp)
+                    continue
+                rel = os.path.relpath(fp, path).replace(os.sep, "/")
+                cdc_actions.append(
+                    {
+                        "path": quote(rel),
+                        "partitionValues": {},
+                        "size": os.path.getsize(fp),
+                        "dataChange": False,
+                    }
+                )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return cdc_actions
+
+
 def write_delta_table(
     spark: SparkSession,
     df: DataFrame,
@@ -322,6 +395,7 @@ def write_delta_table(
     *,
     partition_by: list[str] | tuple[str, ...] = (),
     mode: str = "error",
+    configuration: dict | None = None,
 ) -> dict:
     """Write ``df`` as a plain Delta table at ``path`` — the standalone
     write path (delta-io PROTOCOL.md): data parquet + ``_delta_log``
@@ -339,6 +413,12 @@ def write_delta_table(
     """
     if mode not in ("error", "append", "overwrite"):
         raise ValueError(f"write_delta_table: unknown mode {mode!r}")
+    if configuration and mode != "error":
+        raise ValueError(
+            "write_delta_table: configuration is set at CREATE only "
+            "(mode='error'); table properties of an existing table "
+            "are not changed by appends/overwrites"
+        )
     part_cols = list(partition_by)
     missing = [c for c in part_cols if c not in df.columns]
     if missing:
@@ -388,8 +468,18 @@ def write_delta_table(
     ]
     if not exists:
         os.makedirs(log_dir, exist_ok=True)
+        conf = {str(k): str(v) for k, v in (configuration or {}).items()}
+        # CDF is a legacy writer-version-4 feature: declaring the
+        # property without the protocol would let old writers mutate
+        # the table with no _change_data authorship
+        wv = (
+            4
+            if str(conf.get("delta.enableChangeDataFeed", "")).lower()
+            == "true"
+            else 2
+        )
         actions.append(
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": wv}}
         )
         actions.append(
             {
@@ -398,7 +488,7 @@ def write_delta_table(
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": df.schema.json(),
                     "partitionColumns": part_cols,
-                    "configuration": {},
+                    "configuration": conf,
                     "createdTime": ts,
                 }
             }
@@ -464,12 +554,11 @@ def _check_append_writable(proto: dict, meta: dict, mode: str) -> None:
             raise ValueError(
                 "write_delta_table: delta.appendOnly=true forbids overwrite"
             )
-        if _on("delta.enableChangeDataFeed"):
-            raise ValueError(
-                "write_delta_table: overwrite on a changeDataFeed table "
-                "must author _change_data files, which this engine does "
-                "not — refusing to break CDF readers"
-            )
+        # changeDataFeed tables: an overwrite needs no cdc actions —
+        # a commit that only removes whole files and adds whole files
+        # is exactly the derivable shape (removes=deletes,
+        # adds=inserts; PROTOCOL.md §Add CDC File), and
+        # read_delta_changes derives it
     mode_cm = conf.get("delta.columnMapping.mode", "none")
     if mode_cm != "none":
         raise ValueError(
@@ -671,6 +760,11 @@ def compact_delta_files(
                 rows_rewritten += n
                 rel = os.path.relpath(fp, path).replace(os.sep, "/")
                 new_paths.append(fp)
+                # full footer stats, as delta-spark's OPTIMIZE
+                # recomputes them — numRecords-only adds would
+                # permanently degrade file skipping on every
+                # compacted table
+                _, stats = _footer_stats(fp, set(pvals))
                 new_adds.append(
                     {
                         "path": quote(rel),
@@ -678,9 +772,7 @@ def compact_delta_files(
                         "size": os.path.getsize(fp),
                         "modificationTime": ts,
                         "dataChange": False,
-                        "stats": json.dumps(
-                            {"numRecords": int(n), "tightBounds": True}
-                        ),
+                        "stats": stats,
                     }
                 )
             for rel, a in sel:
@@ -760,6 +852,7 @@ def merge_delta_rows(
     *,
     on,
     union_threshold: int = 16,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """MERGE (upsert) ``source`` into the Delta table at ``path`` on
     key columns ``on`` — the merge-on-read shape: every table row
@@ -855,6 +948,59 @@ def merge_delta_rows(
     ts = int(_time.time() * 1000)
     adds_new, rows_inserted = _stage_adds(source, path, part_cols, ts)
 
+    cdc_actions: list[dict] = []
+    if cdf_enabled(meta):
+        # PROTOCOL.md §Add CDC File: a MERGE that DV-deletes re-adds
+        # the same paths, so its changes are NOT derivable from
+        # add/remove — author the full change set as _change_data:
+        # matched old rows (minus positions already dead under a
+        # standing DV) as update_preimage, their replacements as
+        # update_postimage, unmatched source rows as insert.
+        from incubator_gobblin_spark.sinks.delta_delete import (
+            _anti_join_existing_dvs,
+        )
+
+        logical_cols = [f.name for f in schema.fields]
+        if live:
+            pre = scan.join(F.broadcast(keys), on=on_cols, how="left_semi")
+            dv_pairs = [
+                (
+                    os.path.abspath(os.path.join(path, unquote(rel))),
+                    json.dumps(a["deletionVector"]),
+                )
+                for rel, a in live.items()
+                if a.get("deletionVector")
+            ]
+            if dv_pairs:
+                pre = _anti_join_existing_dvs(
+                    spark, pre, os.path.abspath(path), dv_pairs
+                )
+            pre = pre.select(*logical_cols)
+            matched_keys = pre.select(*on_cols).distinct()
+            changes = (
+                pre.withColumn("_change_type", F.lit("update_preimage"))
+                .unionByName(
+                    source.join(
+                        F.broadcast(matched_keys), on=on_cols,
+                        how="left_semi",
+                    ).withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    )
+                )
+                .unionByName(
+                    source.join(
+                        F.broadcast(matched_keys), on=on_cols,
+                        how="left_anti",
+                    ).withColumn("_change_type", F.lit("insert"))
+                )
+            )
+        else:
+            changes = source.withColumn("_change_type", F.lit("insert"))
+        cdc_actions = [
+            {"cdc": c}
+            for c in stage_cdc_files(changes, path, part_cols, ts)
+        ]
+
     actions: list[dict] = [
         {
             "commitInfo": {
@@ -872,6 +1018,22 @@ def merge_delta_rows(
             }
         }
     ]
+    if txn is not None:
+        # PROTOCOL.md §Transaction Identifiers: the idempotent-writer
+        # stamp — a streaming MERGE marks each commit with (appId,
+        # epoch) so a replayed epoch is detected and skipped
+        # (StreamPipeline.to_delta_merge); rides the same atomic
+        # commit as the data
+        actions.append(
+            {
+                "txn": {
+                    "appId": str(txn[0]),
+                    "version": int(txn[1]),
+                    "lastUpdated": ts,
+                }
+            }
+        )
+    actions.extend(cdc_actions)
     rows_updated = 0
     dv_files = 0
     files_removed = 0
@@ -916,6 +1078,11 @@ def merge_delta_rows(
         for a in adds_new:
             try:
                 os.remove(os.path.join(path, unquote(a["path"])))
+            except OSError:
+                pass
+        for c in cdc_actions:
+            try:
+                os.remove(os.path.join(path, unquote(c["cdc"]["path"])))
             except OSError:
                 pass
 
@@ -1034,9 +1201,13 @@ def vacuum_delta(
     """VACUUM the Delta table at ``path``: physically delete every
     file under the table root that is (a) NOT referenced by the
     CURRENT snapshot — neither as a live data file nor as a live
-    deletion-vector bitmap — and (b) older than ``retention_hours``.
-    Covers tombstoned data files, superseded DV bitmaps, and
-    crashed-writer orphans. ``_delta_log`` is never touched (log
+    deletion-vector bitmap — and (b) older than ``retention_hours``:
+    tombstoned files age by their remove action's
+    ``deletionTimestamp`` (delta-spark's rule — an OPTIMIZE/MERGE/
+    RESTORE tombstone written seconds ago protects a weeks-old file
+    for the full window), untracked orphans by file mtime. Covers
+    tombstoned data files, superseded DV bitmaps, and crashed-writer
+    orphans. ``_delta_log`` is never touched (log
     retention is ``expire_delta_log``'s job); directories whose name
     starts with ``_`` or ``.`` are skipped unless they are partition
     dirs (contain ``=``) — delta-spark's exact listing rule.
@@ -1060,7 +1231,9 @@ def vacuum_delta(
             "allow_short_retention=True to override"
         )
     log_dir = os.path.join(path, "_delta_log")
-    live, meta, proto = _replay_state(log_dir, None)
+    live, meta, proto, removes = _replay_state(
+        log_dir, None, collect_removes=True
+    )
 
     from incubator_gobblin_spark.formats.deletion_vectors import (
         dv_file_path,
@@ -1075,6 +1248,22 @@ def vacuum_delta(
                 referenced.add(os.path.abspath(dvp))
 
     cutoff = _time.time() - retention_hours * 3600.0
+    # A standing remove tombstone guards its file by deletionTimestamp,
+    # NOT file mtime (delta-spark's VACUUM rule): a data file written
+    # weeks ago but tombstoned seconds ago — by OPTIMIZE, MERGE,
+    # overwrite, or RESTORE — must survive the full retention window
+    # for concurrent readers and time travel. mtime only decides for
+    # files the log never tracked (crashed-writer orphans).
+    cutoff_ms = cutoff * 1000.0
+    for rel, r in removes.items():
+        ts = r.get("deletionTimestamp")
+        if ts is None or float(ts) < cutoff_ms:
+            continue
+        referenced.add(os.path.abspath(os.path.join(path, unquote(rel))))
+        if r.get("deletionVector"):
+            dvp = dv_file_path(os.path.abspath(path), r["deletionVector"])
+            if dvp:
+                referenced.add(os.path.abspath(dvp))
     candidates: list[str] = []
     bytes_deleted = 0
     root = os.path.abspath(path)
@@ -1098,6 +1287,46 @@ def vacuum_delta(
                 continue
             candidates.append(fp)
             bytes_deleted += size
+    # _change_data (PROTOCOL.md §Add CDC File): cdc files referenced by
+    # any commit STILL IN THE LOG serve CDF reads of those versions —
+    # protected regardless of age. Unreferenced ones (aborted writers,
+    # or files of commits expire_delta_log already pruned) age out by
+    # mtime like other orphans. The main walk skips _-prefixed dirs,
+    # so this is the only pass that sees them.
+    cd_root = os.path.join(root, "_change_data")
+    if os.path.isdir(cd_root):
+        referenced_cdc: set[str] = set()
+        for fn in os.listdir(log_dir):
+            if not fn.endswith(".json"):
+                continue
+            with open(os.path.join(log_dir, fn)) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    act = json.loads(line)
+                    if "cdc" in act:
+                        referenced_cdc.add(
+                            os.path.abspath(
+                                os.path.join(
+                                    root, unquote(act["cdc"]["path"])
+                                )
+                            )
+                        )
+        for dirpath, _dirs, files in os.walk(cd_root):
+            for fn in files:
+                if fn.startswith("."):
+                    continue
+                fp = os.path.join(dirpath, fn)
+                if os.path.abspath(fp) in referenced_cdc:
+                    continue
+                try:
+                    if os.path.getmtime(fp) >= cutoff:
+                        continue
+                    size = os.path.getsize(fp)
+                except OSError:
+                    continue
+                candidates.append(fp)
+                bytes_deleted += size
     if dry_run:
         return {
             "files_deleted": 0,
@@ -1141,6 +1370,9 @@ def checkpoint_delta_table(path: str, *, part_size: int | None = None) -> dict:
     :func:`expire_delta_log` to bound the JSON chain.
     """
     from incubator_gobblin_spark.sinks.files import _write_delta_checkpoint
+    from incubator_gobblin_spark.sources.delta_import import (
+        last_txn_actions,
+    )
 
     log_dir = os.path.join(path, "_delta_log")
     live, meta, proto, tombs = _replay_state(
@@ -1151,6 +1383,13 @@ def checkpoint_delta_table(path: str, *, part_size: int | None = None) -> dict:
         (r for p, r in tombs.items() if p not in live),
         key=lambda r: r["path"],
     )
+    # txn/SetTransaction actions must survive (PROTOCOL.md: the
+    # checkpoint is a complete replay source) — dropping them would
+    # reset idempotent streaming writers' epoch watermarks and
+    # double-apply replayed epochs after expire_delta_log
+    txns = [
+        t for _, t in sorted(last_txn_actions(log_dir, version).items())
+    ]
     _write_delta_checkpoint(
         log_dir,
         version,
@@ -1159,6 +1398,7 @@ def checkpoint_delta_table(path: str, *, part_size: int | None = None) -> dict:
         proto,
         removes=standing,
         part_size=part_size,
+        txns=txns,
     )
     return {"version": version, "adds": len(live), "removes": len(standing)}
 
@@ -1255,6 +1495,22 @@ def restore_delta_table(
                     "was physically removed (vacuum) — that version is "
                     "no longer restorable"
                 )
+            # the add's DV bitmap is a separate physical file vacuum
+            # may also have reclaimed — committing without it would
+            # leave HEAD referencing a missing vector and break reads
+            dv = old_a.get("deletionVector")
+            if dv and dv.get("storageType") in ("u", "p"):
+                from incubator_gobblin_spark.formats.deletion_vectors import (
+                    dv_file_path,
+                )
+
+                dvp = dv_file_path(os.path.abspath(path), dv)
+                if dvp and not os.path.exists(dvp):
+                    raise FileNotFoundError(
+                        f"restore_delta_table: deletion vector of {rel} "
+                        f"at version {version} was physically removed "
+                        "(vacuum) — that version is no longer restorable"
+                    )
             actions.append({"add": {**old_a, "dataChange": True}})
             added += 1
 

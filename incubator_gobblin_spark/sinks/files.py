@@ -1275,6 +1275,10 @@ class FileSink:
                         "deletionTimestamp": ts,
                         "dataChange": True,
                     }
+                from incubator_gobblin_spark.sources.delta_import import (
+                    last_txn_actions,
+                )
+
                 _write_delta_checkpoint(
                     log_dir,
                     version,
@@ -1283,6 +1287,12 @@ class FileSink:
                     prev_proto,
                     removes=sorted(tombs.values(), key=lambda r: r["path"]),
                     part_size=checkpoint_part_size,
+                    txns=[
+                        t
+                        for _, t in sorted(
+                            last_txn_actions(log_dir, version).items()
+                        )
+                    ],
                 )
             return log_dir
         raise RuntimeError(
@@ -2457,9 +2467,12 @@ def _write_delta_checkpoint(
     proto: dict,
     removes: list[dict] | None = None,
     part_size: int | None = None,
+    txns: list[dict] | None = None,
 ) -> None:
     """Write a Delta checkpoint parquet (one row per action: protocol,
-    metaData, every live add, every un-expired remove tombstone) + the
+    metaData, every live add, every un-expired remove tombstone, every
+    appId's latest txn/SetTransaction — dropping those would reset
+    idempotent streaming writers' epoch watermarks) + the
     ``_last_checkpoint`` pointer — pyarrow-direct, no Spark session at
     export time. Schema follows the checkpoint-files section of
     delta-io PROTOCOL.md (nullable action structs; partitionValues/
@@ -2520,6 +2533,14 @@ def _write_delta_checkpoint(
     )
 
     removes = removes or []
+    txns = txns or []
+    txn_t = pa.struct(
+        [
+            ("appId", pa.string()),
+            ("version", pa.int64()),
+            ("lastUpdated", pa.int64()),
+        ]
+    )
     remove_t = pa.struct(
         [
             ("path", pa.string()),
@@ -2528,7 +2549,9 @@ def _write_delta_checkpoint(
             ("deletionVector", dv_t),
         ]
     )
-    rows_proto = [proto] + [None] * (1 + len(adds) + len(removes))
+    rows_proto = [proto] + [None] * (
+        1 + len(adds) + len(removes) + len(txns)
+    )
     meta_row = (
         {
             "id": meta.get("id") if meta else None,
@@ -2546,7 +2569,9 @@ def _write_delta_checkpoint(
             "provider": meta_row["format"].get("provider"),
             "options": list((meta_row["format"].get("options") or {}).items()),
         }
-    rows_meta = [None, meta_row] + [None] * (len(adds) + len(removes))
+    rows_meta = [None, meta_row] + [None] * (
+        len(adds) + len(removes) + len(txns)
+    )
     def _dv_row(action: dict):
         dv = action.get("deletionVector")
         if not dv:
@@ -2570,7 +2595,7 @@ def _write_delta_checkpoint(
             "deletionVector": _dv_row(a),
         }
         for a in adds
-    ] + [None] * len(removes)
+    ] + [None] * (len(removes) + len(txns))
     rows_remove = [None] * (2 + len(adds)) + [
         {
             "path": r["path"],
@@ -2579,6 +2604,14 @@ def _write_delta_checkpoint(
             "deletionVector": _dv_row(r),
         }
         for r in removes
+    ] + [None] * len(txns)
+    rows_txn = [None] * (2 + len(adds) + len(removes)) + [
+        {
+            "appId": t["appId"],
+            "version": t.get("version"),
+            "lastUpdated": t.get("lastUpdated"),
+        }
+        for t in txns
     ]
     total = len(rows_proto)
 
@@ -2589,6 +2622,7 @@ def _write_delta_checkpoint(
                 "metaData": pa.array(rows_meta[sl], type=meta_t),
                 "add": pa.array(rows_add[sl], type=add_t),
                 "remove": pa.array(rows_remove[sl], type=remove_t),
+                "txn": pa.array(rows_txn[sl], type=txn_t),
             }
         )
         tmp = f"{path}.tmp-{os.getpid()}"

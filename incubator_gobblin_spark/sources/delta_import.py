@@ -156,7 +156,9 @@ def _checkpoint_actions(log_dir: str, cp_v: int, parts: int | None):
             for name in table.column_names
         }
         for i in range(table.num_rows):
-            for kind in ("protocol", "metaData", "add", "remove", "sidecar"):
+            for kind in (
+                "protocol", "metaData", "add", "remove", "txn", "sidecar",
+            ):
                 if kind in cols and cols[kind][i] is not None:
                     yield {kind: _pa_to_plain(cols[kind][i])}
 
@@ -240,6 +242,42 @@ def _replay_state(
     if collect_removes:
         return live, meta, proto, removes
     return live, meta, proto
+
+
+def last_txn_actions(log_dir: str, version: int | None = None) -> dict:
+    """Latest ``txn`` (SetTransaction, PROTOCOL.md §Transaction
+    Identifiers) action per appId as of ``version`` (default latest) —
+    the protocol's idempotent-writer mechanism: a streaming writer
+    stamps each commit with (appId, epoch) and skips epochs at or
+    below the stored version on replay. Replays the newest covering
+    checkpoint + the JSON tail, exactly like ``_replay_state``."""
+    versions = _log_versions(log_dir)
+    if not versions:
+        raise FileNotFoundError(f"no Delta commits under {log_dir}")
+    target = versions[-1] if version is None else version
+    txns: dict[str, dict] = {}
+    start = 0
+    lc_path = os.path.join(log_dir, "_last_checkpoint")
+    if os.path.exists(lc_path):
+        with open(lc_path) as fh:
+            lc = json.load(fh)
+        cp_v = int(lc["version"])
+        if cp_v <= target:
+            for act in _checkpoint_actions(log_dir, cp_v, lc.get("parts")):
+                if "txn" in act:
+                    txns[act["txn"]["appId"]] = act["txn"]
+            start = cp_v + 1
+    for v in versions:
+        if v < start or v > target:
+            continue
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                act = json.loads(line)
+                if "txn" in act:
+                    txns[act["txn"]["appId"]] = act["txn"]
+    return txns
 
 
 def prune_adds(

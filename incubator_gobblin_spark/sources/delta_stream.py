@@ -183,6 +183,29 @@ class _AddedFile(InputPartition):
         self.partition_values = partition_values
 
 
+class _ChangeFile(InputPartition):
+    """One CDF input split: a cdc / added / removed parquet whose rows
+    become change rows (``change_type`` None = cdc file, the type
+    rides IN the file; ``dv`` = standing deletion-vector descriptor
+    JSON to subtract from a removed file's rows)."""
+
+    def __init__(
+        self,
+        path: str,
+        partition_values: dict,
+        change_type: str | None,
+        version: int,
+        ts: int,
+        dv: str | None = None,
+    ):
+        self.path = path
+        self.partition_values = partition_values
+        self.change_type = change_type
+        self.version = version
+        self.ts = ts
+        self.dv = dv
+
+
 class DeltaStreamReader(DataSourceStreamReader):
     def __init__(
         self, options, schema, part_cols: list[str], phys_of=None,
@@ -195,6 +218,13 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.ignore_changes = options.get("ignorechanges", "false") == "true"
         self.skip_change_commits = (
             options.get("skipchangecommits", "false") == "true"
+        )
+        # CDF mode (delta-spark's readChangeFeed): micro-batches carry
+        # CHANGE rows (+_change_type/_commit_version/_commit_timestamp)
+        # planned by sources.delta_cdf.plan_changes — updates and
+        # deletes stream exactly, no ignore*/skip* lossiness
+        self.read_change_feed = (
+            options.get("readchangefeed", "false") == "true"
         )
         self.fields = [(f.name, f.dataType.simpleString()) for f in schema.fields]
         self.part_cols = part_cols
@@ -219,6 +249,8 @@ class DeltaStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["version"]), int(end["version"])
+        if self.read_change_feed:
+            return self._cdf_partitions(lo, hi)
         vs = _versions(self.log_dir)
         if lo == -1 and hi >= 0 and vs and vs[0] > 0:
             # Fresh earliest-stream on a log-expired table: versions
@@ -307,6 +339,56 @@ class DeltaStreamReader(DataSourceStreamReader):
                 )
         return parts or [_AddedFile("", {})]
 
+    def _cdf_partitions(self, lo: int, hi: int):
+        """CDF micro-batch planning: one _ChangeFile per cdc / added /
+        removed parquet of versions (lo, hi], via the same driver-side
+        planner the batch CDF reader uses (same refusals: interval not
+        recorded, expired commits, non-derivable rewrites)."""
+        if hi <= lo:
+            return [_ChangeFile("", {}, "insert", -1, 0)]
+        from urllib.parse import unquote
+
+        from incubator_gobblin_spark.sources.delta_cdf import plan_changes
+
+        plan, _meta = plan_changes(self.root, lo + 1, hi)
+        parts: list[_ChangeFile] = []
+        for v, ts, kind, payload in plan:
+            if kind == "cdc":
+                for c in payload:
+                    parts.append(
+                        _ChangeFile(
+                            os.path.join(self.root, unquote(c["path"])),
+                            c.get("partitionValues") or {},
+                            None,
+                            v,
+                            ts,
+                        )
+                    )
+            elif kind == "insert":
+                for a in payload:
+                    parts.append(
+                        _ChangeFile(
+                            os.path.join(self.root, unquote(a["path"])),
+                            a.get("partitionValues") or {},
+                            "insert",
+                            v,
+                            ts,
+                        )
+                    )
+            else:
+                for r, dv in payload:
+                    parts.append(
+                        _ChangeFile(
+                            os.path.join(self.root, unquote(r["path"])),
+                            r.get("partitionValues") or {},
+                            "delete",
+                            v,
+                            ts,
+                            dv=json.dumps(dv) if dv else None,
+                        )
+                    )
+        return parts or [_ChangeFile("", {}, "insert", -1, 0)]
+
     def _cast_part(self, ddl_type: str, v):
         if v is None:
             return None
@@ -334,7 +416,10 @@ class DeltaStreamReader(DataSourceStreamReader):
             f"deltastream: unsupported partition column type {ddl_type}"
         )
 
-    def read(self, part: _AddedFile):
+    def read(self, part):
+        if isinstance(part, _ChangeFile):
+            yield from self._read_change(part)
+            return
         if not part.path:
             return
         import pyarrow.parquet as pq
@@ -359,6 +444,54 @@ class DeltaStreamReader(DataSourceStreamReader):
         for i in range(n):
             yield tuple(cols[name][i] for name, _ in self.fields)
 
+    def _read_change(self, part: _ChangeFile):
+        if not part.path:
+            return
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(part.path)
+        if part.dv:
+            # a removed file's delete rows = its rows MINUS positions
+            # already dead under the standing vector (file row order
+            # IS the DV position space)
+            from incubator_gobblin_spark.formats.deletion_vectors import (
+                read_dv_positions,
+            )
+
+            dead = set(read_dv_positions(self.root, json.loads(part.dv)))
+            if dead:
+                table = table.take(
+                    [i for i in range(table.num_rows) if i not in dead]
+                )
+        n = table.num_rows
+        extras = ("_change_type", "_commit_version", "_commit_timestamp")
+        cols = {}
+        for name, ddl in self.fields:
+            if name in extras:
+                continue
+            src = self.phys_of.get(name, name)
+            if name in self.part_cols:
+                cols[name] = [
+                    self._cast_part(ddl, part.partition_values.get(src))
+                ] * n
+            elif src in table.column_names:
+                vals = table.column(src).to_pylist()
+                tj = self.nested_types.get(name)
+                if tj is not None:
+                    vals = [_logicalize_value(x, tj) for x in vals]
+                cols[name] = vals
+            else:
+                cols[name] = [None] * n
+        cols["_change_type"] = (
+            table.column("_change_type").to_pylist()
+            if part.change_type is None  # cdc file: the type rides in it
+            else [part.change_type] * n
+        )
+        cols["_commit_version"] = [part.version] * n
+        cols["_commit_timestamp"] = [part.ts] * n
+        for i in range(n):
+            yield tuple(cols[name][i] for name, _ in self.fields)
+
     def commit(self, end: dict) -> None:
         pass
 
@@ -375,10 +508,31 @@ class DeltaStreamDataSource(DataSource):
         return "deltastream"
 
     def _allow_dv(self) -> bool:
-        return self.options.get("skipchangecommits", "false") == "true"
+        # skipChangeCommits never serves DV'd files; CDF mode reads
+        # change rows, not the snapshot, so live DVs are fine too
+        return (
+            self.options.get("skipchangecommits", "false") == "true"
+            or self.options.get("readchangefeed", "false") == "true"
+        )
 
     def schema(self):
         schema, _ = table_schema(self.options["path"], allow_dv=self._allow_dv())
+        if self.options.get("readchangefeed", "false") == "true":
+            from pyspark.sql.types import (
+                LongType,
+                StringType,
+                StructField,
+                StructType,
+            )
+
+            return StructType(
+                list(schema.fields)
+                + [
+                    StructField("_change_type", StringType()),
+                    StructField("_commit_version", LongType()),
+                    StructField("_commit_timestamp", LongType()),
+                ]
+            )
         return schema
 
     def streamReader(self, schema):

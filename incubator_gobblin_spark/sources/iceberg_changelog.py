@@ -1,0 +1,298 @@
+"""Iceberg incremental CHANGELOG scan — the NET row-level changes
+between two snapshots, deletes included (iceberg-core
+``IncrementalChangelogScan`` semantics; the Spark connector's
+``changes`` metadata table).
+
+Per snapshot in the lineage ``(from_snapshot_id, to_snapshot_id]``
+(parent-chain order, oldest first):
+
+- data files ADDED by the snapshot contribute their rows as
+  ``insert``;
+- data files REMOVED by the snapshot contribute the rows live in them
+  as of the parent snapshot as ``delete``;
+- delete files ADDED by the snapshot contribute the parent-snapshot
+  rows they newly kill as ``delete`` — position deletes by (file,
+  pos) coordinate, equality deletes by null-safe key match (the
+  spec's strictly-before sequence rule holds structurally: every
+  parent row is sequenced before the new delete file);
+- ``replace`` snapshots (RewriteDataFiles compaction) change no rows
+  and are skipped, exactly like iceberg-core.
+
+A snapshot that both adds data files and adds delete files (this
+engine's CDC upsert — equality-delete manifest + same-sequence
+append) emits both sides: the superseded parent rows as ``delete``
+and the replacement rows as ``insert``.
+
+Result columns: the table's declared columns + ``_change_type``
+(``insert`` / ``delete``) + ``_change_ordinal`` (0-based position of
+the snapshot in the requested range) + ``_commit_snapshot_id``.
+
+Reference parity: iceberg-core
+core/src/main/java/org/apache/iceberg/IncrementalChangelogScan.java
+semantics re-expressed as DataFrame plans; the reference's CDC
+consumption flows (gobblin-modules/gobblin-kafka-common) are the
+consumer shape.
+
+Scale shape: snapshot diffing is driver-side manifest metadata
+(O(files), never O(rows)); row recovery reads only the touched files
+— added files scan raw, parent-state lookups scan the parent snapshot
+once per snapshot with the delete coordinates/keys broadcast.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from incubator_gobblin_spark.sources.delta_import import (
+    assemble_snapshot,
+    decoded_file_path,
+)
+from incubator_gobblin_spark.sources.iceberg_import import (
+    _spark_type,
+    current_metadata,
+    read_iceberg,
+    snapshot_files,
+)
+
+
+def _abs(table_path: str, p: str) -> str:
+    return p if os.path.isabs(p) else os.path.join(table_path, p)
+
+CHANGE_TYPE_COL = "_change_type"
+CHANGE_ORDINAL_COL = "_change_ordinal"
+COMMIT_SNAPSHOT_COL = "_commit_snapshot_id"
+
+
+def _lineage(metadata: dict, from_id: int | None, to_id: int) -> list[dict]:
+    """Snapshots on the parent chain (from_id, to_id], oldest first."""
+    by_id = {s["snapshot-id"]: s for s in metadata.get("snapshots", [])}
+    if to_id not in by_id:
+        raise FileNotFoundError(
+            f"read_iceberg_changelog: snapshot {to_id} not present"
+        )
+    chain: list[dict] = []
+    cur = by_id[to_id]
+    while True:
+        chain.append(cur)
+        parent = cur.get("parent-snapshot-id")
+        if from_id is not None and parent == from_id:
+            break
+        if parent is None or parent not in by_id:
+            if from_id is not None:
+                raise ValueError(
+                    f"read_iceberg_changelog: snapshot {from_id} is not "
+                    f"an ancestor of {to_id} (expired or divergent "
+                    "branch) — its changelog is not reconstructible"
+                )
+            break
+        cur = by_id[parent]
+    return list(reversed(chain))
+
+
+def read_iceberg_changelog(
+    spark: SparkSession,
+    path: str,
+    from_snapshot_id: int | None,
+    to_snapshot_id: int | None = None,
+    union_threshold: int = 16,
+) -> DataFrame:
+    """Net row-level changes of the Iceberg table at ``path`` between
+    ``from_snapshot_id`` (exclusive; None = from the table's first
+    snapshot) and ``to_snapshot_id`` (inclusive; None = current). See
+    the module docstring for the exact semantics."""
+    metadata = current_metadata(path)
+    to_id = (
+        metadata.get("current-snapshot-id")
+        if to_snapshot_id is None
+        else int(to_snapshot_id)
+    )
+    schema_json = next(
+        s
+        for s in metadata["schemas"]
+        if s["schema-id"] == metadata["current-schema-id"]
+    )
+    schema = StructType(
+        [
+            StructField(
+                f["name"], _spark_type(f["type"]), not f.get("required")
+            )
+            for f in schema_json["fields"]
+        ]
+    )
+    field_name = {f["id"]: f["name"] for f in schema_json["fields"]}
+    spec = next(
+        s
+        for s in metadata["partition-specs"]
+        if s["spec-id"] == metadata["default-spec-id"]
+    )
+    part_cols = [
+        field_name[f["source-id"]]
+        for f in spec["fields"]
+        if f["transform"] == "identity"
+    ]
+    out_cols = [f.name for f in schema.fields] + [
+        CHANGE_TYPE_COL,
+        CHANGE_ORDINAL_COL,
+        COMMIT_SNAPSHOT_COL,
+    ]
+    empty_schema = StructType(
+        list(schema.fields)
+        + [
+            StructField(CHANGE_TYPE_COL, StringType()),
+            StructField(CHANGE_ORDINAL_COL, IntegerType()),
+            StructField(COMMIT_SNAPSHOT_COL, LongType()),
+        ]
+    )
+    if from_snapshot_id is not None and from_snapshot_id == to_id:
+        return spark.createDataFrame([], empty_schema)
+
+    chain = _lineage(metadata, from_snapshot_id, to_id)
+
+    def _stamp(df: DataFrame, kind: str, ordinal: int, sid: int) -> DataFrame:
+        return (
+            df.withColumn(CHANGE_TYPE_COL, F.lit(kind))
+            .withColumn(CHANGE_ORDINAL_COL, F.lit(ordinal).cast("int"))
+            .withColumn(COMMIT_SNAPSHOT_COL, F.lit(sid).cast("long"))
+            .select(*out_cols)
+        )
+
+    frames: list[DataFrame] = []
+    for ordinal, snap in enumerate(chain):
+        sid = snap["snapshot-id"]
+        if (snap.get("summary") or {}).get("operation") == "replace":
+            # RewriteDataFiles / compaction: files move, rows don't
+            continue
+        parent_id = snap.get("parent-snapshot-id")
+        files_s, dels_s = snapshot_files(
+            metadata, path, sid, collect_deletes=True
+        )
+        if parent_id is not None:
+            files_p, dels_p = snapshot_files(
+                metadata, path, parent_id, collect_deletes=True
+            )
+        else:
+            files_p, dels_p = [], []
+        paths_p = {f["path"] for f in files_p}
+        paths_s = {f["path"] for f in files_s}
+
+        # --- inserts: data files this snapshot added ---
+        added = [f for f in files_s if f["path"] not in paths_p]
+        if added:
+            groups: dict[tuple, list[str]] = {}
+            for f in added:
+                pv = f.get("partition") or {}
+                key = tuple(
+                    None if pv.get(c) is None else str(pv.get(c))
+                    for c in part_cols
+                )
+                groups.setdefault(key, []).append(_abs(path, f["path"]))
+            frames.append(
+                _stamp(
+                    assemble_snapshot(
+                        spark, groups, schema, part_cols, union_threshold
+                    ),
+                    "insert",
+                    ordinal,
+                    sid,
+                )
+            )
+
+        # --- deletes: removed data files + newly added delete files,
+        # both recovered from the PARENT snapshot's live rows ---
+        removed_paths = paths_p - paths_s
+        del_paths_p = {d["path"] for d in dels_p}
+        new_dels = [d for d in dels_s if d["path"] not in del_paths_p]
+        for d in new_dels:
+            if any(v is not None for v in (d.get("partition") or {}).values()):
+                raise ValueError(
+                    "read_iceberg_changelog: partition-scoped delete "
+                    f"file {d['path']} — scoped deletes are not "
+                    "supported by the changelog scan (global scope "
+                    "only); refusing rather than mis-attributing rows"
+                )
+        if parent_id is None or (not removed_paths and not new_dels):
+            continue
+        parent = read_iceberg(
+            spark, path, snapshot_id=parent_id, _coords=True
+        )
+        dead = None
+        if removed_paths:
+            removed_abs = [
+                os.path.abspath(_abs_path(path, p)) for p in removed_paths
+            ]
+            part = parent.filter(F.col("_norm_path").isin(removed_abs))
+            dead = part
+        pos_dels = [d for d in new_dels if d["content"] == 1]
+        if pos_dels:
+            coords = (
+                spark.read.parquet(
+                    *[_abs(path, d["path"]) for d in pos_dels]
+                )
+                .select(
+                    decoded_file_path(F.col("file_path")).alias("_dp"),
+                    F.col("pos").cast("long").alias("_dpos"),
+                )
+                .distinct()
+            )
+            hit = parent.join(
+                F.broadcast(coords),
+                (F.col("_norm_path") == F.col("_dp"))
+                & (F.col("_row_index") == F.col("_dpos")),
+                "left_semi",
+            )
+            dead = hit if dead is None else dead.unionByName(hit)
+        eq_dels = [d for d in new_dels if d["content"] == 2]
+        if eq_dels:
+            # group by key-column set; every parent row is sequenced
+            # strictly before the new delete file, so the spec's
+            # sequence rule needs no extra predicate here
+            by_ids: dict[tuple, list[dict]] = {}
+            for d in eq_dels:
+                by_ids.setdefault(
+                    tuple(sorted(d["equality_ids"])), []
+                ).append(d)
+            for ids, group in sorted(by_ids.items()):
+                cols = [field_name[i] for i in ids]
+                keys = (
+                    spark.read.parquet(
+                        *[_abs(path, d["path"]) for d in group]
+                    )
+                    .select(
+                        *[F.col(c).alias(f"_k_{c}") for c in cols]
+                    )
+                    .distinct()
+                )
+                cond = F.lit(True)
+                for c in cols:
+                    cond = cond & F.col(c).eqNullSafe(F.col(f"_k_{c}"))
+                hit = parent.join(F.broadcast(keys), cond, "left_semi")
+                dead = hit if dead is None else dead.unionByName(hit)
+        if dead is not None:
+            # one row may match several new delete files — coordinates
+            # dedupe exactly
+            dead = dead.dropDuplicates(["_norm_path", "_row_index"])
+            frames.append(
+                _stamp(
+                    dead.select(*[f.name for f in schema.fields]),
+                    "delete",
+                    ordinal,
+                    sid,
+                )
+            )
+
+    if not frames:
+        return spark.createDataFrame([], empty_schema)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -412,6 +412,151 @@ class StreamPipeline:
             writer = writer.trigger(processingTime=f"{trigger_secs} seconds")
         return writer.start()
 
+    def to_delta_merge(
+        self,
+        table_path: str,
+        on: Sequence[str],
+        checkpoint: str,
+        app_id: str | None = None,
+        order_col: str | None = None,
+        trigger_secs: int | None = 60,
+        once: bool = False,
+    ) -> StreamingQuery:
+        """Streaming CDC replication into a STANDALONE Delta table:
+        every micro-batch is one merge-on-read MERGE
+        (:func:`sinks.delta_maintenance.merge_delta_rows` — DV-delete
+        matched keys + append source rows in one commit).
+
+        Exactly-once via the protocol's OWN idempotent-writer
+        mechanism (PROTOCOL.md §Transaction Identifiers): each commit
+        carries a ``txn`` action with appId = the stream's identity
+        and version = the epoch id, riding the same atomic commit as
+        the data. A crash between the table commit and the stream
+        checkpoint replays the epoch, the stored txn version is >= the
+        epoch id, and the apply is a no-op — never a double-MERGE.
+        ``order_col`` compacts each micro-batch to one event per key
+        first (newest wins), as ``to_merge`` does for the manifest
+        lake."""
+        import os as _os
+
+        on = list(on)
+        app = app_id or f"gobblin-delta-merge:{_os.path.abspath(checkpoint)}"
+
+        def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+            from incubator_gobblin_spark.sinks.delta_maintenance import (
+                merge_delta_rows,
+            )
+            from incubator_gobblin_spark.sources.delta_import import (
+                last_txn_actions,
+            )
+
+            src = batch_df
+            if order_col is not None:
+                from incubator_gobblin_spark.operators.dedup import (
+                    dedup_argmax,
+                )
+
+                src = dedup_argmax(src, keys=on, delta=[order_col]).drop(
+                    order_col
+                )
+            if src.isEmpty():
+                return
+            log_dir = _os.path.join(table_path, "_delta_log")
+            stored = last_txn_actions(log_dir).get(app, {})
+            if int(stored.get("version", -1)) >= int(epoch_id):
+                return  # replayed epoch: the table already has it
+            merge_delta_rows(
+                src.sparkSession,
+                table_path,
+                src,
+                on=on,
+                txn=(app, int(epoch_id)),
+            )
+
+        writer = (
+            self.dataframe()
+            .writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", checkpoint)
+        )
+        if once:
+            writer = writer.trigger(availableNow=True)
+        elif trigger_secs:
+            writer = writer.trigger(processingTime=f"{trigger_secs} seconds")
+        return writer.start()
+
+    def to_iceberg_upsert(
+        self,
+        table_path: str,
+        on: Sequence[str],
+        checkpoint: str,
+        app_id: str | None = None,
+        order_col: str | None = None,
+        trigger_secs: int | None = 60,
+        once: bool = False,
+    ) -> StreamingQuery:
+        """Streaming CDC replication into a STANDALONE Iceberg table:
+        every micro-batch is one equality-delete + same-sequence
+        append commit
+        (:func:`sinks.iceberg_maintenance.upsert_iceberg_rows`).
+
+        Exactly-once via the watermark-in-table trick the batch
+        ingestion loop proved (jobs.kafka_ingest): the consumed epoch
+        id is stored as a table property that rides the SAME atomic
+        metadata publish as the data (monotonic max-merge against a
+        racer's refresh), so a replayed epoch sees a stored epoch >=
+        its own and no-ops — never a double-upsert."""
+        import os as _os
+
+        on = list(on)
+        app = app_id or f"gobblin-iceberg-upsert:{_os.path.abspath(checkpoint)}"
+        prop_key = f"streaming.upsert.epoch.{app}"
+
+        def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+            from incubator_gobblin_spark.sinks.iceberg_maintenance import (
+                upsert_iceberg_rows,
+            )
+            from incubator_gobblin_spark.sources.iceberg_import import (
+                current_metadata,
+            )
+
+            src = batch_df
+            if order_col is not None:
+                from incubator_gobblin_spark.operators.dedup import (
+                    dedup_argmax,
+                )
+
+                src = dedup_argmax(src, keys=on, delta=[order_col]).drop(
+                    order_col
+                )
+            if src.isEmpty():
+                return
+            props = current_metadata(table_path).get("properties") or {}
+            if int(props.get(prop_key, -1)) >= int(epoch_id):
+                return  # replayed epoch: the table already has it
+
+            def _epoch_prop(cur: dict) -> dict:
+                stored = int((cur or {}).get(prop_key, -1))
+                return {prop_key: str(max(stored, int(epoch_id)))}
+
+            upsert_iceberg_rows(
+                src.sparkSession,
+                table_path,
+                src,
+                on=on,
+                table_properties=_epoch_prop,
+            )
+
+        writer = (
+            self.dataframe()
+            .writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", checkpoint)
+        )
+        if once:
+            writer = writer.trigger(availableNow=True)
+        elif trigger_secs:
+            writer = writer.trigger(processingTime=f"{trigger_secs} seconds")
+        return writer.start()
+
     def to_egress(
         self,
         transport,

@@ -169,8 +169,10 @@ def test_dv_delete_zero_match_commits_nothing(spark, sf_dir, tmp_path):
 
 
 def test_dv_delete_refusals(spark, sf_dir, tmp_path):
-    """appendOnly tables, CDF-enabled tables, icebergCompat tables and
-    unknown writerFeatures all refuse BEFORE touching the log."""
+    """appendOnly tables, CDF+column-mapped tables, icebergCompat
+    tables and unknown writerFeatures all refuse BEFORE touching the
+    log. (Plain CDF tables no longer refuse: the DELETE authors
+    _change_data files — tests/test_delta_cdf.py pins that.)"""
     from tests.test_manifest_commit import _append_delta_commit
 
     root = str(tmp_path / "dvref")
@@ -185,8 +187,13 @@ def test_dv_delete_refusals(spark, sf_dir, tmp_path):
     _with_conf({"delta.appendOnly": "true"})
     with pytest.raises(ValueError, match="appendOnly"):
         delete_delta_rows(spark, root, "r_regionkey = 0")
-    _with_conf({"delta.enableChangeDataFeed": "true"})
-    with pytest.raises(ValueError, match="changeDataFeed"):
+    _with_conf(
+        {
+            "delta.enableChangeDataFeed": "true",
+            "delta.columnMapping.mode": "name",
+        }
+    )
+    with pytest.raises(ValueError, match="changeDataFeed|column mapping"):
         delete_delta_rows(spark, root, "r_regionkey = 0")
     _with_conf({"delta.enableIcebergCompatV2": "true"})
     with pytest.raises(ValueError, match="IcebergCompat"):

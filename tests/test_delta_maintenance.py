@@ -417,7 +417,10 @@ def test_vacuum_retention_spares_recent_files(spark, sf_dir, tmp_path):
     )
     assert res["files_deleted"] == 0
 
-    # age ONE tombstoned file past the cutoff; only it is vacuumed
+    # age ONE tombstoned file's MTIME past the cutoff: it must still
+    # survive — its remove tombstone is seconds old, and retention ages
+    # by deletionTimestamp (delta-spark's rule), protecting a weeks-old
+    # file that OPTIMIZE/MERGE/RESTORE tombstoned moments ago
     live, _, _ = _live(root)
     tomb = next(
         fn
@@ -427,6 +430,32 @@ def test_vacuum_retention_spares_recent_files(spark, sf_dir, tmp_path):
     )
     old = time.time() - 7200
     os.utime(os.path.join(root, tomb), (old, old))
+    res = vacuum_delta(
+        root, retention_hours=1, allow_short_retention=True
+    )
+    assert res["files_deleted"] == 0
+    assert os.path.exists(os.path.join(root, tomb))
+
+    # once the TOMBSTONE itself ages past the window, the file goes
+    log_dir = os.path.join(root, "_delta_log")
+    for fn in os.listdir(log_dir):
+        if not fn.endswith(".json"):
+            continue
+        fp = os.path.join(log_dir, fn)
+        lines = []
+        with open(fp) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                act = json.loads(line)
+                if (
+                    "remove" in act
+                    and os.path.basename(act["remove"]["path"]) == tomb
+                ):
+                    act["remove"]["deletionTimestamp"] = int(old * 1000)
+                lines.append(json.dumps(act))
+        with open(fp, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
     res = vacuum_delta(
         root, retention_hours=1, allow_short_retention=True
     )
@@ -744,3 +773,60 @@ def test_restore_delta_table(spark, sf_dir, tmp_path):
     vacuum_delta(root, retention_hours=0, allow_short_retention=True)
     with pytest.raises(FileNotFoundError, match="no longer restorable"):
         restore_delta_table(spark, root, 0)
+
+
+def test_restore_refuses_when_dv_bitmap_vacuumed(spark, sf_dir, tmp_path):
+    """A historical add's deletion-vector BITMAP is a separate physical
+    file vacuum may reclaim once compaction supersedes it — restoring
+    that version must refuse (committing would leave HEAD referencing
+    a missing vector and break every read), exactly like a vacuumed
+    data file."""
+    from incubator_gobblin_spark.sinks.delta_maintenance import (
+        restore_delta_table,
+    )
+
+    root = str(tmp_path / "rdv")
+    cust = load_table(spark, sf_dir, "customer").repartition(2)
+    write_delta_table(spark, cust, root)                  # v0
+    delete_delta_rows(spark, root, "c_custkey % 3 = 0")   # v1 (DVs)
+    compact_delta_files(                                  # v2 absorbs
+        spark, root, target_file_bytes=1 << 30, small_file_bytes=1 << 30
+    )
+    # simulate vacuum reclaiming the superseded bitmaps
+    dvs = [
+        fn for fn in os.listdir(root) if fn.startswith("deletion_vector_")
+    ]
+    assert dvs
+    for fn in dvs:
+        os.remove(os.path.join(root, fn))
+    with pytest.raises(FileNotFoundError, match="deletion vector"):
+        restore_delta_table(spark, root, 1)
+    # the failed restore committed NOTHING — the table still reads
+    live, _, _ = _live(root)
+    assert not any(a.get("deletionVector") for a in live.values())
+    assert (
+        read_delta(spark, root).count()
+        == cust.filter(~(F.col("c_custkey") % 3 == 0)).count()
+    )
+
+
+def test_compact_rewrites_full_footer_stats(spark, sf_dir, tmp_path):
+    """OPTIMIZE must RECOMPUTE full per-file stats (delta-spark does):
+    numRecords-only adds would permanently degrade min/max file
+    skipping on every compacted table."""
+    root = str(tmp_path / "cstats")
+    cust = load_table(spark, sf_dir, "customer").repartition(3)
+    write_delta_table(spark, cust, root)
+    delete_delta_rows(spark, root, "c_custkey % 4 = 1")
+    compact_delta_files(
+        spark, root, target_file_bytes=1 << 30, small_file_bytes=1 << 30
+    )
+    live, _, _ = _live(root)
+    assert live
+    for a in live.values():
+        st = json.loads(a["stats"])
+        assert st["numRecords"] > 0
+        assert "c_custkey" in st["minValues"]
+        assert "c_custkey" in st["maxValues"]
+        assert st["minValues"]["c_custkey"] <= st["maxValues"]["c_custkey"]
+        assert st["nullCount"]["c_custkey"] == 0

@@ -1,0 +1,194 @@
+"""Streaming CDC replication into STANDALONE lake tables:
+StreamPipeline.to_delta_merge (exactly-once via the Delta protocol's
+txn/SetTransaction identifiers) and to_iceberg_upsert (exactly-once
+via the epoch watermark riding the atomic metadata commit — the
+jobs.kafka_ingest trick as a foreachBatch face).
+
+The replay proof simulates a crash BETWEEN the table commit and the
+stream checkpoint: wipe the checkpoint and re-run the same broker
+data — the same epoch re-applies, the stored txn version / epoch
+property is >= the epoch id, and the apply is a no-op (no duplicate
+rows, no new table version).
+"""
+
+import os
+import shutil
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from incubator_gobblin_spark.sources import mock_kafka as MK  # noqa: E402
+from incubator_gobblin_spark.streaming.flow import StreamPipeline  # noqa: E402
+
+VALUE_SCHEMA = "k BIGINT, v STRING"
+
+
+def _produce(spark, root, events):
+    spark.createDataFrame(
+        events, "key STRING, value STRING"
+    ).write.format("mockkafka").mode("append").option("path", root).option(
+        "topic", "cdc"
+    ).option("numPartitions", "2").save()
+
+
+def _pipe(spark, root):
+    return (
+        StreamPipeline(spark, "lake-cdc")
+        .source_kafka(
+            "cdc",
+            fmt="mockkafka",
+            options={"path": root},
+            value_schema=VALUE_SCHEMA,
+        )
+        .convert(lambda df: df.select("offset", "value.*"))
+        .convert(lambda df: df.select("offset", "k", "v"))
+    )
+
+
+def test_stream_to_standalone_delta_merge_exactly_once(spark, tmp_path):
+    from incubator_gobblin_spark.sinks.delta_maintenance import (
+        write_delta_table,
+    )
+    from incubator_gobblin_spark.sources.delta_import import (
+        _log_versions,
+        last_txn_actions,
+        read_delta,
+    )
+
+    MK.register(spark)
+    broker = str(tmp_path / "broker")
+    MK.create_topic(broker, "cdc", 2)
+    table = str(tmp_path / "delta")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(6)], "k long, v string"
+    )
+    write_delta_table(spark, base, table)
+    log_dir = os.path.join(table, "_delta_log")
+
+    def run_once():
+        # the merge source must match the table schema exactly — drop
+        # the ordering column after in-batch compaction
+        q = _pipe(spark, broker).to_delta_merge(
+            table, on=["k"], checkpoint=ckpt, order_col="offset",
+            app_id="t-delta", once=True,
+        )
+        q.awaitTermination(120)
+
+    _produce(spark, broker, [
+        ("1", '{"k":1,"v":"old"}'),
+        ("1", '{"k":1,"v":"new"}'),      # same-key newer event wins
+        ("100", '{"k":100,"v":"ins"}'),
+    ])
+    run_once()
+    got = {r.k: r.v for r in read_delta(spark, table).collect()}
+    assert got[1] == "new" and got[100] == "ins" and len(got) == 7
+    v_after = _log_versions(log_dir)[-1]
+    assert last_txn_actions(log_dir)["t-delta"]["version"] == 0
+
+    # crash-replay: same epoch re-applies — the txn guard no-ops it
+    shutil.rmtree(ckpt)
+    run_once()
+    assert _log_versions(log_dir)[-1] == v_after
+    got2 = {r.k: r.v for r in read_delta(spark, table).collect()}
+    assert got2 == got
+
+    # progress: the next epoch applies with the next txn version
+    _produce(spark, broker, [("1", '{"k":1,"v":"v3"}')])
+    run_once()
+    got3 = {r.k: r.v for r in read_delta(spark, table).collect()}
+    assert got3[1] == "v3" and len(got3) == 7
+    assert last_txn_actions(log_dir)["t-delta"]["version"] == 1
+
+
+def test_stream_to_standalone_iceberg_upsert_exactly_once(
+    spark, tmp_path
+):
+    from incubator_gobblin_spark.sinks.iceberg_maintenance import (
+        write_iceberg_table,
+    )
+    from incubator_gobblin_spark.sources.iceberg_import import (
+        current_metadata,
+        read_iceberg,
+    )
+
+    MK.register(spark)
+    broker = str(tmp_path / "broker")
+    MK.create_topic(broker, "cdc", 2)
+    table = str(tmp_path / "iceberg")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(6)], "k long, v string"
+    )
+    write_iceberg_table(spark, base, table)
+
+    def run_once():
+        q = _pipe(spark, broker).to_iceberg_upsert(
+            table, on=["k"], checkpoint=ckpt, order_col="offset",
+            app_id="t-ice", once=True,
+        )
+        q.awaitTermination(120)
+
+    _produce(spark, broker, [
+        ("2", '{"k":2,"v":"B"}'),
+        ("200", '{"k":200,"v":"ins"}'),
+    ])
+    run_once()
+    got = {r.k: r.v for r in read_iceberg(spark, table).collect()}
+    assert got[2] == "B" and got[200] == "ins" and len(got) == 7
+    meta = current_metadata(table)
+    snap_after = meta["current-snapshot-id"]
+    assert meta["properties"]["streaming.upsert.epoch.t-ice"] == "0"
+
+    # crash-replay: same epoch, stored watermark >= epoch — no-op
+    shutil.rmtree(ckpt)
+    run_once()
+    meta2 = current_metadata(table)
+    assert meta2["current-snapshot-id"] == snap_after
+    assert {r.k: r.v for r in read_iceberg(spark, table).collect()} == got
+
+    # progress
+    _produce(spark, broker, [("2", '{"k":2,"v":"C"}')])
+    run_once()
+    got3 = {r.k: r.v for r in read_iceberg(spark, table).collect()}
+    assert got3[2] == "C" and len(got3) == 7
+    assert (
+        current_metadata(table)["properties"][
+            "streaming.upsert.epoch.t-ice"
+        ]
+        == "1"
+    )
+
+
+def test_txn_actions_survive_checkpoint_and_expiry(spark, tmp_path):
+    """The epoch watermark must survive checkpoint+expire: a Delta
+    checkpoint that dropped txn actions would reset the idempotent
+    writer and double-apply a replayed epoch after log expiry."""
+    from incubator_gobblin_spark.sinks.delta_maintenance import (
+        checkpoint_delta_table,
+        expire_delta_log,
+        merge_delta_rows,
+        write_delta_table,
+    )
+    from incubator_gobblin_spark.sources.delta_import import (
+        last_txn_actions,
+    )
+
+    table = str(tmp_path / "txn")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(4)], "k long, v string"
+    )
+    write_delta_table(spark, base, table)
+    src = spark.createDataFrame([(1, "X")], "k long, v string")
+    merge_delta_rows(spark, table, src, on="k", txn=("app-a", 7))
+    log_dir = os.path.join(table, "_delta_log")
+    assert last_txn_actions(log_dir)["app-a"]["version"] == 7
+
+    checkpoint_delta_table(table)
+    expire_delta_log(table)
+    # the pre-checkpoint JSON carrying the txn is gone; the checkpoint
+    # must still carry it
+    assert not os.path.exists(os.path.join(log_dir, f"{0:020d}.json"))
+    assert last_txn_actions(log_dir)["app-a"]["version"] == 7
