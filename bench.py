@@ -79,6 +79,10 @@ HEADLINE = [
     "q146_delta_restore_agg",      # RESTORE TO VERSION (metadata diff)
     "q147_iceberg_rollback_agg",   # rollbackTo (metadata-only pointer)
     "q148_iceberg_tag_read_agg",   # ref-pinned time travel past expiry
+    # round-11 additions: CDC in and out of both lake formats
+    "q149_kafka_cdc_upsert_agg",   # exactly-once Kafka->Iceberg upsert
+    "q150_delta_cdf_changes_agg",  # Delta change-data-feed read
+    "q151_iceberg_changelog_agg",  # Iceberg incremental changelog scan
 ]
 
 

@@ -55,15 +55,16 @@ def get_spark(
         # TIMESTAMP (ltz) at the scan so date/watermark filters stay
         # pushable (a post-scan ntz->ltz cast would block pushdown).
         "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
-        # Field-id column resolution is an engine default: lake reads
+        # Field-id column resolution is NOT a session default: the r11
+        # same-host interleaved A/B measured the session-wide flag at
+        # ~3% on plain parquet scans (it inserts the field-id matching
+        # pass per file even when no read schema carries ids), the
+        # bulk of the r10 shared-bench drift. The id-mode lake readers
         # (Delta column-mapping mode=id, Iceberg id-carrying files)
-        # attach parquet.field.id metadata to their read schemas and
-        # need this on AT ACTION TIME (the conf is consulted when the
-        # lazy scan executes, so a set/restore around DataFrame
-        # construction would silently break deferred reads). It is
-        # inert for schemas without field-id metadata — plain reads
-        # are unaffected.
-        "spark.sql.parquet.fieldId.read.enabled": "true",
+        # flip it on at their own read sites via ensure_field_id_read
+        # — and leave it on, because Spark consults the conf when the
+        # lazy scan executes. Sessions that never touch an id-mode
+        # table never pay.
         # Write timestamps as INT64 micros, not legacy INT96: INT96
         # carries no row-group min/max, so footer-derived stats
         # (write_delta_table) and every foreign reader's file skipping
@@ -84,15 +85,16 @@ def get_spark(
 def ensure_field_id_read(spark: SparkSession) -> None:
     """Enable parquet field-id column resolution for lake scans.
 
-    ``get_spark`` already sets this as an engine default; this helper
-    covers CALLER-BUILT sessions, enabling the conf on first lake read
-    and leaving it on DELIBERATELY: the import functions return lazy
-    DataFrames and Spark consults the conf when the scan executes, so
-    a set/restore around DataFrame construction would silently break
-    every deferred read. The conf is inert for read schemas without
-    ``parquet.field.id`` metadata, so unrelated parquet reads are
-    unaffected (the engine only attaches field-id metadata to its own
-    lake scans)."""
+    Called by every id-mode read site (Delta column-mapping mode=id,
+    Iceberg imports) on first touch, and left on DELIBERATELY: the
+    import functions return lazy DataFrames and Spark consults the
+    conf when the scan executes, so a set/restore around DataFrame
+    construction would silently break every deferred read. It is NOT
+    a session default — the r11 interleaved A/B measured the flag at
+    ~3% on plain parquet scans, so sessions that never read an
+    id-mode table shouldn't pay; after the first id-mode read the
+    session-wide cost is the unavoidable price of Spark's
+    conf-at-execution semantics."""
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
 
 

@@ -460,3 +460,78 @@ def test_pyiceberg_reads_transform_partitioned_standalone(
     assert _sorted_rows(filtered, cols) == _spark_rows(
         docs.filter("doc_id < 1000"), cols
     )
+
+
+@live_delta
+@needs_deltars
+def test_deltars_reads_change_data_feed(spark, sf_dir, tmp_path):
+    """delta-rs ``load_cdf`` over a CDF table THIS engine authored
+    (write with enableChangeDataFeed, MERGE + DV DELETE writing
+    _change_data) — updates AND deletes change-for-change, the check
+    our own CDF reader cannot give."""
+    from incubator_gobblin_spark.sinks.delta_delete import (
+        delete_delta_rows,
+    )
+    from incubator_gobblin_spark.sinks.delta_maintenance import (
+        merge_delta_rows,
+        write_delta_table,
+    )
+    from incubator_gobblin_spark.sources.delta_cdf import (
+        read_delta_changes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    root = str(tmp_path / "cdf-live")
+    write_delta_table(
+        spark,
+        docs,
+        root,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    updates = docs.filter("doc_id % 9 = 0").withColumn(
+        "n_chars", (F.col("n_chars") + 5).cast("long")
+    )
+    merge_delta_rows(spark, root, updates, on="doc_id")
+    delete_delta_rows(spark, root, "doc_id % 10 = 4")
+
+    dt = DeltaTable(root)
+    cols = ["doc_id", "lang", "n_chars", "_change_type", "_commit_version"]
+    foreign = dt.load_cdf(starting_version=0).read_all().to_pandas()
+    got = _sorted_rows(foreign, cols)
+    ours = read_delta_changes(spark, root, 0)
+    assert got == _spark_rows(ours, cols)
+    # the delete set delta-rs reports excludes rows the merge's DVs
+    # already killed — the spec's net-change contract
+    dels = foreign[foreign["_change_type"] == "delete"]
+    assert (dels["doc_id"] % 10 == 4).all()
+
+
+@live_delta
+@needs_deltars
+def test_deltars_honors_txn_and_tombstone_retention(
+    spark, sf_dir, tmp_path
+):
+    """delta-rs parses our txn/SetTransaction actions (idempotent
+    streaming epochs) and our checkpoints that carry them."""
+    from incubator_gobblin_spark.sinks.delta_maintenance import (
+        checkpoint_delta_table,
+        expire_delta_log,
+        merge_delta_rows,
+        write_delta_table,
+    )
+
+    nat = load_table(spark, sf_dir, "nation")
+    root = str(tmp_path / "txn-live")
+    write_delta_table(spark, nat, root)
+    src = nat.filter("n_nationkey < 2").withColumn("n_name", F.lit("X"))
+    merge_delta_rows(spark, root, src, on="n_nationkey", txn=("app-z", 9))
+    checkpoint_delta_table(root)
+    expire_delta_log(root)
+    dt = DeltaTable(root)
+    # delta-rs exposes per-app transaction versions
+    assert dt.transaction_version("app-z") == 9
+    cols = ["n_nationkey", "n_name"]
+    expect = nat.filter("n_nationkey >= 2").unionByName(src)
+    assert _sorted_rows(dt.to_pandas(), cols) == _spark_rows(expect, cols)

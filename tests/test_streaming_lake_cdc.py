@@ -192,3 +192,52 @@ def test_txn_actions_survive_checkpoint_and_expiry(spark, tmp_path):
     # must still carry it
     assert not os.path.exists(os.path.join(log_dir, f"{0:020d}.json"))
     assert last_txn_actions(log_dir)["app-a"]["version"] == 7
+
+
+def test_multipart_checkpoint_carries_dvs_and_txn(spark, sf_dir, tmp_path):
+    """A MULTI-PART checkpoint must slice DV descriptors and txn
+    actions across parts without losing either: replay from the parts
+    alone must keep deleted rows dead and the idempotent-writer epoch
+    watermark intact."""
+    from incubator_gobblin_spark.sinks.delta_delete import (
+        delete_delta_rows,
+    )
+    from incubator_gobblin_spark.sinks.delta_maintenance import (
+        checkpoint_delta_table,
+        expire_delta_log,
+        merge_delta_rows,
+        write_delta_table,
+    )
+    from incubator_gobblin_spark.session import load_table
+    from incubator_gobblin_spark.sources.delta_import import (
+        last_txn_actions,
+        read_delta,
+    )
+
+    table = str(tmp_path / "mp")
+    cust = load_table(spark, sf_dir, "customer").repartition(4)
+    write_delta_table(spark, cust, table)
+    delete_delta_rows(spark, table, "c_custkey % 3 = 1")  # DVs on files
+    src = cust.filter("c_custkey % 3 = 2").limit(5).withColumn(
+        "c_name", F.lit("X")
+    )
+    merge_delta_rows(spark, table, src, on="c_custkey", txn=("mp-app", 42))
+    expect = read_delta(spark, table)
+    n_expect = expect.count()
+
+    # part_size=2: protocol/meta/adds/removes/txn rows straddle parts
+    rep = checkpoint_delta_table(table, part_size=2)
+    assert rep["adds"] >= 2
+    expire_delta_log(table)
+    log_dir = os.path.join(table, "_delta_log")
+    import glob
+
+    parts = glob.glob(os.path.join(log_dir, "*.checkpoint.*.parquet"))
+    assert len(parts) > 2, "checkpoint must actually be multi-part"
+
+    # replay now STARTS from the parts: rows identical, DVs applied
+    got = read_delta(spark, table)
+    assert got.count() == n_expect
+    assert got.exceptAll(expect).count() == 0
+    # and the txn watermark survived the checkpoint + expiry
+    assert last_txn_actions(log_dir)["mp-app"]["version"] == 42
