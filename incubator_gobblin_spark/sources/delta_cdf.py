@@ -144,19 +144,9 @@ def plan_changes(
                 "base for the requested interval) was expired from "
                 "the log and no checkpoint covers it"
             )
-        check_reader_protocol(proto, meta, prev_live, allow_column_mapping=False)
+        check_reader_protocol(proto, meta, prev_live, allow_column_mapping=True)
     else:
         prev_live, meta, proto = {}, None, {}
-
-    if meta is not None:
-        mode = (meta.get("configuration") or {}).get(
-            "delta.columnMapping.mode", "none"
-        )
-        if mode != "none":
-            raise ValueError(
-                "read_delta_changes: column-mapped tables "
-                f"(mode={mode}) are not supported by the CDF reader"
-            )
 
     # ---- plan: walk the interval, classify each commit ----
     # each entry: (version, ts, kind, payload)
@@ -254,8 +244,52 @@ def read_delta_changes(
     exact protocol contract this implements."""
     plan, meta = plan_changes(path, starting_version, ending_version)
     schema_json = json.loads(meta["schemaString"])
-    table_schema = StructType.fromJson(schema_json)
-    part_cols = list(meta.get("partitionColumns") or [])
+    logical_part_cols = list(meta.get("partitionColumns") or [])
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode == "name":
+        # column mapping (PROTOCOL.md §Column Mapping): data files,
+        # cdc files, and partitionValues are all keyed by PHYSICAL
+        # name — read physical, rename back to logical last (the
+        # read_delta shape); _change_type itself is never mapped
+        from incubator_gobblin_spark.sources.delta_import import (
+            _cm_phys,
+            _logical_expr,
+            _physicalize_type,
+        )
+
+        table_schema = StructType.fromJson(_physicalize_type(schema_json))
+        phys_of = {f["name"]: _cm_phys(f) for f in schema_json["fields"]}
+        part_cols = [phys_of[c] for c in logical_part_cols]
+
+        def _finish(df: DataFrame) -> DataFrame:
+            return df.select(
+                *[
+                    _logical_expr(F.col(_cm_phys(f)), f["type"]).alias(
+                        f["name"]
+                    )
+                    for f in schema_json["fields"]
+                ],
+                CHANGE_TYPE_COL,
+                COMMIT_VERSION_COL,
+                COMMIT_TIMESTAMP_COL,
+            )
+
+    elif mode == "id":
+        raise ValueError(
+            "read_delta_changes: columnMapping mode=id is not "
+            "supported by the CDF reader (cdc files would need "
+            "field-id resolution alongside the unmapped _change_type "
+            "column) — use mode=name tables or the snapshot reader"
+        )
+    else:
+        table_schema = StructType.fromJson(schema_json)
+        part_cols = logical_part_cols
+
+        def _finish(df: DataFrame) -> DataFrame:
+            return df
+
     out_schema = StructType(
         list(table_schema.fields)
         + [StructField(CHANGE_TYPE_COL, StringType())]
@@ -337,11 +371,13 @@ def read_delta_changes(
                 frames.append(_stamp(df, v, ts))
 
     if not frames:
+        # empty frames come back in LOGICAL shape, mapped tables too
         return spark.createDataFrame(
             [],
             StructType(
-                list(out_schema.fields)
+                list(StructType.fromJson(schema_json).fields)
                 + [
+                    StructField(CHANGE_TYPE_COL, StringType()),
                     StructField(COMMIT_VERSION_COL, LongType()),
                     StructField(COMMIT_TIMESTAMP_COL, LongType()),
                 ]
@@ -350,4 +386,4 @@ def read_delta_changes(
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
-    return out
+    return _finish(out)

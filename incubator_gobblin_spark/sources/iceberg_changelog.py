@@ -105,11 +105,20 @@ def read_iceberg_changelog(
     from_snapshot_id: int | None,
     to_snapshot_id: int | None = None,
     union_threshold: int = 16,
+    identifier_fields: list[str] | None = None,
 ) -> DataFrame:
     """Net row-level changes of the Iceberg table at ``path`` between
     ``from_snapshot_id`` (exclusive; None = from the table's first
     snapshot) and ``to_snapshot_id`` (inclusive; None = current). See
-    the module docstring for the exact semantics."""
+    the module docstring for the exact semantics.
+
+    ``identifier_fields`` opts into UPDATE pairing (iceberg-spark's
+    ``create_changelog_view`` compute-updates): within each snapshot,
+    a key that is both deleted and inserted becomes an
+    ``update_preimage`` / ``update_postimage`` pair instead — the CDC
+    upsert shape rendered as updates. Requires at most one delete and
+    one insert per key per snapshot (Iceberg's identifier-field
+    contract); unpaired changes keep ``insert`` / ``delete``."""
     metadata = current_metadata(path)
     to_id = (
         metadata.get("current-snapshot-id")
@@ -166,6 +175,7 @@ def read_iceberg_changelog(
             .select(*out_cols)
         )
 
+    retained = {s["snapshot-id"] for s in metadata.get("snapshots", [])}
     frames: list[DataFrame] = []
     for ordinal, snap in enumerate(chain):
         sid = snap["snapshot-id"]
@@ -173,9 +183,34 @@ def read_iceberg_changelog(
             # RewriteDataFiles / compaction: files move, rows don't
             continue
         parent_id = snap.get("parent-snapshot-id")
+        if parent_id is not None and parent_id not in retained:
+            # foreign-style expiry keeps dangling parent pointers
+            # (iceberg-core RemoveSnapshots): this snapshot's delta is
+            # no longer reconstructible
+            raise ValueError(
+                f"read_iceberg_changelog: snapshot {sid}'s parent "
+                f"{parent_id} was expired — changes before the oldest "
+                "retained ancestry are not reconstructible; pass "
+                "from_snapshot_id of a retained snapshot"
+            )
         files_s, dels_s = snapshot_files(
             metadata, path, sid, collect_deletes=True
         )
+        if parent_id is None and dels_s:
+            # an expiry-truncated head (this engine's expire clears
+            # the survivor's parent pointer): raw file reads would
+            # resurrect the rows its own delete files kill, so serve
+            # the snapshot's EFFECTIVE state as the initial batch —
+            # the deltastream snapshot-as-batch-0 rule
+            frames.append(
+                _stamp(
+                    read_iceberg(spark, path, snapshot_id=sid),
+                    "insert",
+                    ordinal,
+                    sid,
+                )
+            )
+            continue
         if parent_id is not None:
             files_p, dels_p = snapshot_files(
                 metadata, path, parent_id, collect_deletes=True
@@ -212,14 +247,6 @@ def read_iceberg_changelog(
         removed_paths = paths_p - paths_s
         del_paths_p = {d["path"] for d in dels_p}
         new_dels = [d for d in dels_s if d["path"] not in del_paths_p]
-        for d in new_dels:
-            if any(v is not None for v in (d.get("partition") or {}).values()):
-                raise ValueError(
-                    "read_iceberg_changelog: partition-scoped delete "
-                    f"file {d['path']} — scoped deletes are not "
-                    "supported by the changelog scan (global scope "
-                    "only); refusing rather than mis-attributing rows"
-                )
         if parent_id is None or (not removed_paths and not new_dels):
             continue
         parent = read_iceberg(
@@ -253,28 +280,81 @@ def read_iceberg_changelog(
             dead = hit if dead is None else dead.unionByName(hit)
         eq_dels = [d for d in new_dels if d["content"] == 2]
         if eq_dels:
-            # group by key-column set; every parent row is sequenced
-            # strictly before the new delete file, so the spec's
-            # sequence rule needs no extra predicate here
+            # group by (key-column set, spec id); every parent row is
+            # sequenced strictly before the new delete file, so the
+            # spec's sequence rule needs no extra predicate here. A
+            # delete file written under a PARTITIONED spec applies
+            # only within its partition tuple (spec §Scan Planning) —
+            # the scope resolves through the delete file's own spec,
+            # exactly like the snapshot reader (q137's pinned path).
+            from incubator_gobblin_spark.functions.iceberg_transforms import (
+                epoch_norm,
+            )
+            from incubator_gobblin_spark.sources.iceberg_import import (
+                equality_delete_scope_expr,
+            )
+
+            specs_by_id = {
+                s["spec-id"]: s
+                for s in metadata.get("partition-specs", [])
+            }
+            field_type_all = {
+                f["id"]: f["type"] for f in schema_json["fields"]
+            }
             by_ids: dict[tuple, list[dict]] = {}
             for d in eq_dels:
                 by_ids.setdefault(
-                    tuple(sorted(d["equality_ids"])), []
+                    (
+                        tuple(sorted(d["equality_ids"])),
+                        d.get("spec_id", 0),
+                    ),
+                    [],
                 ).append(d)
-            for ids, group in sorted(by_ids.items()):
+            for (ids, _sid2), group in sorted(by_ids.items()):
                 cols = [field_name[i] for i in ids]
-                keys = (
-                    spark.read.parquet(
-                        *[_abs(path, d["path"]) for d in group]
+                scope_cols = sorted(
+                    {
+                        k
+                        for d in group
+                        for k, v in (d.get("partition") or {}).items()
+                        if v is not None
+                    }
+                )
+                scope_exprs = {
+                    sc: equality_delete_scope_expr(
+                        group[0],
+                        sc,
+                        specs_by_id=specs_by_id,
+                        field_name_all=field_name,
+                        field_type_all=field_type_all,
+                        current_part_cols=part_cols,
                     )
-                    .select(
+                    for sc in scope_cols
+                }
+                keys = None
+                for d in group:
+                    one = spark.read.parquet(_abs(path, d["path"])).select(
                         *[F.col(c).alias(f"_k_{c}") for c in cols]
                     )
-                    .distinct()
-                )
+                    for sc in scope_cols:
+                        v = (d.get("partition") or {}).get(sc)
+                        if not scope_exprs[sc][1]:
+                            v = epoch_norm(v)
+                        one = one.withColumn(f"_k_part_{sc}", F.lit(v))
+                    keys = one if keys is None else keys.unionByName(one)
                 cond = F.lit(True)
                 for c in cols:
                     cond = cond & F.col(c).eqNullSafe(F.col(f"_k_{c}"))
+                for sc in scope_cols:
+                    expr, stringify = scope_exprs[sc]
+                    rhs = F.col(f"_k_part_{sc}")
+                    comp = (
+                        (expr == rhs.cast("string"))
+                        if stringify
+                        else (expr == rhs)
+                    )
+                    # null scope component = global for that column
+                    cond = cond & (rhs.isNull() | comp)
                 hit = parent.join(F.broadcast(keys), cond, "left_semi")
                 dead = hit if dead is None else dead.unionByName(hit)
         if dead is not None:
@@ -295,4 +375,38 @@ def read_iceberg_changelog(
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
+    if identifier_fields:
+        bad = [c for c in identifier_fields if c not in schema.fieldNames()]
+        if bad:
+            raise ValueError(
+                f"read_iceberg_changelog: identifier_fields {bad} not "
+                "in the table schema"
+            )
+        key = [COMMIT_SNAPSHOT_COL, *identifier_fields]
+        upd = (
+            out.filter(F.col(CHANGE_TYPE_COL) == "delete")
+            .select(*key)
+            .intersect(
+                out.filter(F.col(CHANGE_TYPE_COL) == "insert").select(*key)
+            )
+            .withColumn("_is_upd", F.lit(True))
+        )
+        out = (
+            out.join(upd, on=key, how="left")
+            .withColumn(
+                CHANGE_TYPE_COL,
+                F.when(
+                    F.col("_is_upd").isNotNull()
+                    & (F.col(CHANGE_TYPE_COL) == "delete"),
+                    F.lit("update_preimage"),
+                )
+                .when(
+                    F.col("_is_upd").isNotNull()
+                    & (F.col(CHANGE_TYPE_COL) == "insert"),
+                    F.lit("update_postimage"),
+                )
+                .otherwise(F.col(CHANGE_TYPE_COL)),
+            )
+            .select(*out_cols)
+        )
     return out

@@ -829,62 +829,14 @@ def read_iceberg(
         }
 
         def _scope_expr(d: dict, sc: str):
-            """Row-side Column comparable to delete ``d``'s scope value
-            on partition field ``sc`` — resolved through the DELETE
-            FILE's own spec (spec §Scan Planning). Identity fields
-            compare the source column; transform fields (bucket/
-            truncate/year/month/day/hour) evaluate the transform
-            JVM-side (functions.iceberg_transforms). Returns
-            (expr, stringify). ValueError refuses the read — applying
-            the delete globally would over-delete."""
-            spec_d = specs_by_id.get(d.get("spec_id", 0))
-            pf = None
-            if spec_d:
-                pf = next(
-                    (
-                        f
-                        for f in spec_d["fields"]
-                        if (f.get("name") or field_name_all.get(f["source-id"]))
-                        == sc
-                    ),
-                    None,
-                )
-            if pf is None:
-                if sc in part_cols:
-                    # identity column of the current spec, restored by
-                    # the scan (the q137-pinned path)
-                    return F.col(sc).cast("string"), True
-                raise ValueError(
-                    f"read_iceberg: equality delete {d['path']} is "
-                    f"scoped to partition field {sc!r} not present in "
-                    f"its spec {d.get('spec_id')} — refusing to apply "
-                    "the delete globally (it would over-delete)"
-                )
-            src = field_name_all.get(pf["source-id"])
-            ice_t = field_type_all.get(pf["source-id"])
-            if pf["transform"] == "identity" and src is not None:
-                return F.col(src).cast("string"), True
-            from incubator_gobblin_spark.functions.iceberg_transforms import (
-                transform_expr,
+            return equality_delete_scope_expr(
+                d,
+                sc,
+                specs_by_id=specs_by_id,
+                field_name_all=field_name_all,
+                field_type_all=field_type_all,
+                current_part_cols=part_cols,
             )
-
-            if src is None or not isinstance(ice_t, str):
-                raise ValueError(
-                    f"read_iceberg: equality delete {d['path']} scope "
-                    f"field {sc!r} has a nested or unresolvable source "
-                    "column — refusing to apply the delete globally "
-                    "(it would over-delete)"
-                )
-            try:
-                return transform_expr(pf["transform"], F.col(src), ice_t), False
-            except ValueError as e:
-                raise ValueError(
-                    f"read_iceberg: equality delete {d['path']} is "
-                    f"scoped to partition field {sc!r} "
-                    f"({pf['transform']} over {ice_t}) this engine "
-                    f"cannot evaluate ({e}) — refusing to apply the "
-                    "delete globally (it would over-delete)"
-                ) from e
 
         def _plain_scope_value(v):
             # Avro-decoded day/timestamp partition values may arrive as
@@ -953,6 +905,74 @@ def read_iceberg(
     if _coords:
         keep += ["_norm_path", "_row_index"]
     return df.select(*keep)
+
+
+def equality_delete_scope_expr(
+    d: dict,
+    sc: str,
+    *,
+    specs_by_id: dict,
+    field_name_all: dict,
+    field_type_all: dict,
+    current_part_cols: list[str],
+):
+    """Row-side Column comparable to equality delete ``d``'s scope
+    value on partition field ``sc`` — resolved through the DELETE
+    FILE's own spec (spec §Scan Planning). Identity fields compare the
+    source column; transform fields (bucket/truncate/year/month/day/
+    hour) evaluate the transform JVM-side
+    (functions.iceberg_transforms). Returns ``(expr, stringify)``.
+    ValueError refuses the read — applying the delete globally would
+    over-delete. Shared by the snapshot reader and the changelog
+    scan."""
+    spec_d = specs_by_id.get(d.get("spec_id", 0))
+    pf = None
+    if spec_d:
+        pf = next(
+            (
+                f
+                for f in spec_d["fields"]
+                if (f.get("name") or field_name_all.get(f["source-id"]))
+                == sc
+            ),
+            None,
+        )
+    if pf is None:
+        if sc in current_part_cols:
+            # identity column of the current spec, restored by the
+            # scan (the q137-pinned path)
+            return F.col(sc).cast("string"), True
+        raise ValueError(
+            f"read_iceberg: equality delete {d['path']} is "
+            f"scoped to partition field {sc!r} not present in "
+            f"its spec {d.get('spec_id')} — refusing to apply "
+            "the delete globally (it would over-delete)"
+        )
+    src = field_name_all.get(pf["source-id"])
+    ice_t = field_type_all.get(pf["source-id"])
+    if pf["transform"] == "identity" and src is not None:
+        return F.col(src).cast("string"), True
+    from incubator_gobblin_spark.functions.iceberg_transforms import (
+        transform_expr,
+    )
+
+    if src is None or not isinstance(ice_t, str):
+        raise ValueError(
+            f"read_iceberg: equality delete {d['path']} scope "
+            f"field {sc!r} has a nested or unresolvable source "
+            "column — refusing to apply the delete globally "
+            "(it would over-delete)"
+        )
+    try:
+        return transform_expr(pf["transform"], F.col(src), ice_t), False
+    except ValueError as e:
+        raise ValueError(
+            f"read_iceberg: equality delete {d['path']} is "
+            f"scoped to partition field {sc!r} "
+            f"({pf['transform']} over {ice_t}) this engine "
+            f"cannot evaluate ({e}) — refusing to apply the "
+            "delete globally (it would over-delete)"
+        ) from e
 
 
 def read_iceberg_incremental(

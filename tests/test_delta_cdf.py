@@ -376,3 +376,121 @@ def test_deltastream_readchangefeed_mode(spark, sf_dir, tmp_path):
     assert len(new) == 1
     assert new[0]["_change_type"] == "delete"
     assert new[0]["n_nationkey"] == 10
+
+
+def test_hand_authored_column_mapped_cdf_table(spark, tmp_path):
+    """CDF over a columnMapping mode=name table (the Databricks
+    default once mapping is enabled): data files, cdc files, and
+    partitionValues are keyed by PHYSICAL column names; the feed
+    renames back to logical names — _change_type itself is never
+    mapped."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "mapped")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    os.makedirs(os.path.join(root, "_change_data"))
+
+    def _commit(v, actions):
+        with open(
+            os.path.join(root, "_delta_log", f"{v:020d}.json"), "w"
+        ) as fh:
+            fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+
+    def _parquet(rel, pdf):
+        fp = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(fp), exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), fp)
+        return os.path.getsize(fp)
+
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {
+                "delta.columnMapping.id": 1,
+                "delta.columnMapping.physicalName": "col-aaa",
+            }},
+            {"name": "v", "type": "string", "nullable": True, "metadata": {
+                "delta.columnMapping.id": 2,
+                "delta.columnMapping.physicalName": "col-bbb",
+            }},
+        ],
+    }
+    proto = {
+        "minReaderVersion": 2,
+        "minWriterVersion": 7,
+        "readerFeatures": ["columnMapping"],
+        "writerFeatures": ["columnMapping", "changeDataFeed"],
+    }
+    s0 = _parquet(
+        "part-0.parquet",
+        pd.DataFrame({"col-aaa": [1, 2], "col-bbb": ["a", "b"]}),
+    )
+    _commit(0, [
+        {"commitInfo": {"timestamp": 1000, "operation": "WRITE"}},
+        {"protocol": proto},
+        {"metaData": {
+            "id": "t-m", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema), "partitionColumns": [],
+            "configuration": {
+                "delta.enableChangeDataFeed": "true",
+                "delta.columnMapping.mode": "name",
+            },
+            "createdTime": 1000,
+        }},
+        {"add": {"path": "part-0.parquet", "partitionValues": {},
+                 "size": s0, "modificationTime": 1000, "dataChange": True}},
+    ])
+    # v1: cdc-described update — PHYSICAL names in the cdc file
+    s1 = _parquet(
+        "part-1.parquet",
+        pd.DataFrame({"col-aaa": [1, 2], "col-bbb": ["A", "b"]}),
+    )
+    c1 = _parquet(
+        "_change_data/cdc-1.parquet",
+        pd.DataFrame({
+            "col-aaa": [1, 1], "col-bbb": ["a", "A"],
+            "_change_type": ["update_preimage", "update_postimage"],
+        }),
+    )
+    _commit(1, [
+        {"commitInfo": {"timestamp": 2000, "operation": "UPDATE"}},
+        {"cdc": {"path": "_change_data/cdc-1.parquet",
+                 "partitionValues": {}, "size": c1, "dataChange": False}},
+        {"remove": {"path": "part-0.parquet", "deletionTimestamp": 2000,
+                    "dataChange": True, "partitionValues": {}, "size": s0}},
+        {"add": {"path": "part-1.parquet", "partitionValues": {},
+                 "size": s1, "modificationTime": 2000, "dataChange": True}},
+    ])
+    # v2: remove-only commit — the DERIVED delete reads the physical
+    # file and renames back
+    _commit(2, [
+        {"commitInfo": {"timestamp": 3000, "operation": "DELETE"}},
+        {"remove": {"path": "part-1.parquet", "deletionTimestamp": 3000,
+                    "dataChange": True, "partitionValues": {}, "size": s1}},
+    ])
+
+    ch = read_delta_changes(spark, root, 0)
+    assert [f for f in ch.columns[:2]] == ["k", "v"]
+    got = sorted(
+        (r.k, r.v, r._change_type, r._commit_version) for r in ch.collect()
+    )
+    assert got == sorted([
+        (1, "a", "insert", 0),
+        (2, "b", "insert", 0),
+        (1, "a", "update_preimage", 1),
+        (1, "A", "update_postimage", 1),
+        (1, "A", "delete", 2),
+        (2, "b", "delete", 2),
+    ])
+    # mode=id refuses loudly
+    log = os.path.join(root, "_delta_log", f"{0:020d}.json")
+    acts = [json.loads(line) for line in open(log) if line.strip()]
+    for a in acts:
+        if "metaData" in a:
+            a["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+    with open(log, "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in acts) + "\n")
+    with pytest.raises(ValueError, match="mode=id"):
+        read_delta_changes(spark, root, 0)

@@ -109,3 +109,127 @@ def test_changelog_delete_upsert_rewrite(spark, sf_dir, tmp_path):
     # non-ancestor from-snapshot refuses
     with pytest.raises(ValueError, match="not an ancestor"):
         read_iceberg_changelog(spark, root, 999999, s3)
+
+
+def test_changelog_update_pairing_and_expired_parent(
+    spark, sf_dir, tmp_path
+):
+    """identifier_fields pairs same-snapshot delete+insert of one key
+    into update_preimage/update_postimage (iceberg-spark
+    create_changelog_view compute-updates); a changelog whose oldest
+    snapshot has an EXPIRED parent refuses with guidance instead of
+    crashing."""
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        expire_iceberg_snapshots,
+    )
+
+    root = str(tmp_path / "cl2")
+    docs = load_table(spark, sf_dir, "documents").select(*COLS)
+    write_iceberg_table(spark, docs, root)  # s0
+    updates = docs.filter("doc_id % 7 = 0").withColumn(
+        "n_chars", F.col("n_chars") + 1
+    )
+    inserts = docs.filter("doc_id < 2").withColumn(
+        "doc_id", F.col("doc_id") + 800000
+    )
+    upsert_iceberg_rows(
+        spark, root, updates.unionByName(inserts), on="doc_id"
+    )  # s1
+    s0, s1 = _snapshot_ids(root)
+
+    ch = read_iceberg_changelog(
+        spark, root, s0, s1, identifier_fields=["doc_id"]
+    )
+    # updated keys render as pre/post pairs; brand-new keys stay insert
+    assert _rows(ch.filter("_change_type = 'update_preimage'")) == _rows(
+        docs.filter("doc_id % 7 = 0")
+    )
+    assert _rows(ch.filter("_change_type = 'update_postimage'")) == _rows(
+        updates
+    )
+    assert _rows(ch.filter("_change_type = 'insert'")) == _rows(inserts)
+    assert ch.filter("_change_type = 'delete'").count() == 0
+
+    # unknown identifier column refuses
+    with pytest.raises(ValueError, match="identifier_fields"):
+        read_iceberg_changelog(
+            spark, root, s0, s1, identifier_fields=["nope"]
+        )
+
+    # expire s0 (this engine's expire clears the survivor's parent
+    # pointer): the full-history changelog serves the EFFECTIVE state
+    # as the initial batch — its own delete files applied, never the
+    # superseded raw rows
+    expire_iceberg_snapshots(root, keep_last=1)
+    boot = read_iceberg_changelog(spark, root, None)
+    assert (
+        boot.select("_change_type").distinct().collect()[0][0] == "insert"
+    )
+    assert _rows(boot) == _rows(read_iceberg(spark, root))
+
+    # foreign-style expiry keeps a DANGLING parent pointer
+    # (iceberg-core RemoveSnapshots) — that head refuses with guidance
+    import json as _json
+
+    meta_dir = os.path.join(root, "metadata")
+    v = sorted(
+        int(f[1:].split(".")[0])
+        for f in os.listdir(meta_dir)
+        if f.endswith(".metadata.json")
+    )[-1]
+    mpath = os.path.join(meta_dir, f"v{v}.metadata.json")
+    m = _json.load(open(mpath))
+    m["snapshots"][0]["parent-snapshot-id"] = 999999
+    _json.dump(m, open(mpath, "w"))
+    with pytest.raises(ValueError, match="expired"):
+        read_iceberg_changelog(spark, root, None)
+
+
+def test_changelog_partition_scoped_equality_delete(
+    spark, sf_dir, tmp_path
+):
+    """A foreign writer's PARTITION-SCOPED equality delete (q137's
+    shape) attributes deletes to the scoped partition only — the
+    changelog must kill exactly the in-scope keys, never the same
+    keys in other partitions."""
+    from incubator_gobblin_spark.sinks.files import FileSink, TableType
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        append_equality_deletes,
+    )
+
+    root = str(tmp_path / "scoped")
+    sink = FileSink(
+        path=root,
+        commit_mode="manifest",
+        table_type=TableType.APPEND_ONLY,
+        partition_by=["lang"],
+    )
+    docs = load_table(spark, sf_dir, "documents").select(*COLS)
+    sink.write_staging(docs, "base")
+    sink.publish("base")
+    sink.export_iceberg()  # s0
+
+    first_lang = docs.agg(F.min("lang")).collect()[0][0]
+    keys = sorted(
+        int(r.doc_id)
+        for r in docs.filter("doc_id % 10 = 0").select("doc_id").collect()
+    )
+    append_equality_deletes(
+        root,
+        [{"doc_id": k} for k in keys],
+        ["doc_id"],
+        partition_scope={"lang": first_lang},
+    )  # s1
+    s0, s1 = _snapshot_ids(root)
+
+    ch = read_iceberg_changelog(spark, root, s0, s1)
+    expect = docs.filter(
+        (F.col("doc_id") % 10 == 0) & (F.col("lang") == first_lang)
+    )
+    assert expect.count() > 0
+    assert _rows(ch) == _rows(expect)
+    assert ch.select("_change_type").distinct().collect()[0][0] == "delete"
+    # cross-check: the snapshot reader and the applied changelog agree
+    assert _rows(read_iceberg(spark, root)) == _rows(
+        docs.exceptAll(expect)
+    )
