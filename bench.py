@@ -83,6 +83,9 @@ HEADLINE = [
     "q149_kafka_cdc_upsert_agg",   # exactly-once Kafka->Iceberg upsert
     "q150_delta_cdf_changes_agg",  # Delta change-data-feed read
     "q151_iceberg_changelog_agg",  # Iceberg incremental changelog scan
+    "q152_iceberg_changelog_updates_agg",  # compute-updates pairing
+    "q153_replicate_iceberg_to_delta_agg",  # cross-format CDC repl ->
+    "q154_replicate_delta_to_iceberg_agg",  # <- and the reverse
 ]
 
 

@@ -6707,6 +6707,263 @@ def q151_iceberg_changelog_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q152_iceberg_changelog_updates_agg",
+    """
+    WITH after1 AS (
+      SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 5 <> 2
+    ),
+    upd AS (
+      SELECT doc_id, lang, n_chars + 1000 AS n_chars
+      FROM after1 WHERE doc_id % 7 = 0
+    ),
+    ins AS (
+      SELECT doc_id + 900000 AS doc_id, lang, n_chars
+      FROM documents WHERE doc_id < 4
+    ),
+    changes AS (
+      SELECT 0 AS ordinal, 'insert' AS change_type, n_chars
+      FROM documents
+      UNION ALL SELECT 1, 'delete', n_chars
+      FROM documents WHERE doc_id % 5 = 2
+      UNION ALL SELECT 2, 'update_preimage', n_chars
+      FROM after1 WHERE doc_id % 7 = 0
+      UNION ALL SELECT 2, 'update_postimage', n_chars FROM upd
+      UNION ALL SELECT 2, 'insert', n_chars FROM ins
+    )
+    SELECT CAST(ordinal AS INT) AS ordinal,
+           change_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM changes GROUP BY 1, 2
+    """,
+)
+def q152_iceberg_changelog_updates_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The changelog's UPDATE pairing under the hard oracle
+    (iceberg-spark ``create_changelog_view`` compute-updates): over
+    q151's cached fixture, ``identifier_fields=["doc_id"]`` must
+    render the CDC upsert snapshot's same-key delete+insert pairs as
+    update_preimage/update_postimage — the standalone delete (s1, no
+    same-snapshot inserts) and the genuinely-new keys stay
+    delete/insert. Shares q151's table build, so the incremental cost
+    is the pairing join only (one broadcast-ready intersect + left
+    join on the snapshot+key)."""
+    # build (or reuse) exactly q151's fixture
+    q151_iceberg_changelog_agg(spark, sf_dir)
+    from incubator_gobblin_spark.sources.iceberg_changelog import (
+        read_iceberg_changelog,
+    )
+
+    cache = _cache_dir("iceberg_changelog", sf_dir, "documents")
+    ch = read_iceberg_changelog(
+        spark, cache, None, identifier_fields=["doc_id"]
+    )
+    return ch.groupBy(
+        F.col("_change_ordinal").alias("ordinal"),
+        F.col("_change_type").alias("change_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+
+
+@register(
+    "q153_replicate_iceberg_to_delta_agg",
+    """
+    WITH live AS (
+      SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 6 <> 3
+    ),
+    upd AS (
+      SELECT doc_id, lang, n_chars + 11 AS n_chars
+      FROM live WHERE doc_id % 7 = 0
+    ),
+    ins AS (
+      SELECT doc_id + 700000 AS doc_id, lang, n_chars
+      FROM documents WHERE doc_id < 3
+    ),
+    final AS (
+      SELECT doc_id, lang, n_chars FROM live WHERE doc_id % 7 <> 0
+      UNION ALL SELECT doc_id, lang, n_chars FROM upd
+      UNION ALL SELECT doc_id, lang, n_chars FROM ins
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM final GROUP BY lang
+    """,
+)
+def q153_replicate_iceberg_to_delta_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-format CDC replication, Iceberg -> Delta, under the hard
+    oracle (jobs/replicate.py; reference analogue:
+    gobblin-data-management replication flows at row granularity): a
+    lang-partitioned Iceberg source is bootstrapped into a Delta
+    destination, then a predicate DELETE + a CDC upsert land on the
+    source and ONE incremental run replays them through the changelog
+    scan (net-outcome collapse -> keyed DV-DELETE + txn-watermarked
+    MERGE). The aggregate reads the DESTINATION — a value mismatch
+    anywhere in changelog planning, collapse, delete, merge, or
+    watermarking breaks the hash.
+
+    Scale shape: changelog planning is driver-side manifest metadata;
+    the apply is one broadcast-keyed DV delete + one merge commit per
+    window — never O(table) rewrites.
+    """
+    import os as _os
+
+    from incubator_gobblin_spark.jobs.replicate import (
+        replicate_iceberg_to_delta,
+    )
+    from incubator_gobblin_spark.sinks.iceberg_delete import (
+        delete_iceberg_rows,
+    )
+    from incubator_gobblin_spark.sinks.iceberg_maintenance import (
+        upsert_iceberg_rows,
+        write_iceberg_table,
+    )
+    from incubator_gobblin_spark.sources.delta_import import read_delta
+    from incubator_gobblin_spark.sources.iceberg_import import (
+        current_metadata,
+    )
+
+    src = _cache_dir("repl_ice_src", sf_dir, "documents")
+    dst = _cache_dir("repl_delta_dst", sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+    def _n_snaps() -> int:
+        try:
+            return len(current_metadata(src).get("snapshots", []))
+        except FileNotFoundError:
+            return 0
+
+    if _n_snaps() < 1:
+        write_iceberg_table(spark, docs, src, partition_by=["lang"])
+    # bootstrap the destination from the base snapshot, so the later
+    # run exercises the INCREMENTAL path (the replicate call is a
+    # cheap no-op when already caught up)
+    if not _os.path.isdir(_os.path.join(dst, "_delta_log")):
+        replicate_iceberg_to_delta(spark, src, dst, on="doc_id")
+    if _n_snaps() < 2:
+        delete_iceberg_rows(spark, src, "doc_id % 6 = 3")
+    if _n_snaps() < 3:
+        live = docs.filter("doc_id % 6 <> 3")
+        updates = live.filter("doc_id % 7 = 0").withColumn(
+            "n_chars", F.col("n_chars") + 11
+        )
+        inserts = docs.filter("doc_id < 3").withColumn(
+            "doc_id", F.col("doc_id") + 700000
+        )
+        upsert_iceberg_rows(
+            spark, src, updates.unionByName(inserts), on="doc_id"
+        )
+    replicate_iceberg_to_delta(spark, src, dst, on="doc_id")
+    df = read_delta(spark, dst)
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+
+
+@register(
+    "q154_replicate_delta_to_iceberg_agg",
+    """
+    WITH upd AS (
+      SELECT doc_id, lang, n_chars + 3 AS n_chars
+      FROM documents WHERE doc_id % 8 = 0
+    ),
+    ins AS (
+      SELECT doc_id + 600000 AS doc_id, lang, n_chars
+      FROM documents WHERE doc_id < 2
+    ),
+    merged AS (
+      SELECT doc_id, lang, n_chars
+      FROM documents WHERE doc_id % 8 <> 0
+      UNION ALL SELECT doc_id, lang, n_chars FROM upd
+      UNION ALL SELECT doc_id, lang, n_chars FROM ins
+    ),
+    final AS (SELECT * FROM merged WHERE doc_id % 9 <> 1)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM final GROUP BY lang
+    """,
+)
+def q154_replicate_delta_to_iceberg_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-format CDC replication, Delta -> Iceberg, under the hard
+    oracle: a CDF-enabled Delta source is bootstrapped into an Iceberg
+    destination, then a MERGE (updates + inserts) and a DV DELETE land
+    on the source and ONE incremental run replays them through the
+    change data feed — the net-outcome collapse becomes ONE atomic
+    Iceberg commit (equality deletes for deleted + upserted keys,
+    same-sequence append of the upserted rows, consumed Delta version
+    in the table properties). The aggregate reads the DESTINATION.
+
+    Scale shape: CDF planning is driver-side JSON; the apply is one
+    O(batch) equality-delete + append commit per window — no table
+    rewrite, no driver-side row traffic.
+    """
+    from incubator_gobblin_spark.jobs.replicate import (
+        replicate_delta_to_iceberg,
+    )
+    from incubator_gobblin_spark.sinks.delta_delete import (
+        delete_delta_rows,
+    )
+    from incubator_gobblin_spark.sinks.delta_maintenance import (
+        merge_delta_rows,
+        write_delta_table,
+    )
+    from incubator_gobblin_spark.sources.delta_import import _log_versions
+    from incubator_gobblin_spark.sources.iceberg_import import (
+        current_metadata,
+        read_iceberg,
+    )
+
+    import os as _os
+
+    src = _cache_dir("repl_delta_src", sf_dir, "documents")
+    dst = _cache_dir("repl_ice_dst", sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    log_dir = _os.path.join(src, "_delta_log")
+    if not _os.path.isdir(log_dir) or not _log_versions(log_dir):
+        write_delta_table(
+            spark,
+            docs,
+            src,
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+    try:
+        current_metadata(dst)
+    except FileNotFoundError:
+        replicate_delta_to_iceberg(spark, src, dst, on="doc_id")
+    if _log_versions(log_dir)[-1] < 1:
+        updates = docs.filter("doc_id % 8 = 0").withColumn(
+            "n_chars", F.col("n_chars") + 3
+        )
+        inserts = docs.filter("doc_id < 2").withColumn(
+            "doc_id", F.col("doc_id") + 600000
+        )
+        merge_delta_rows(
+            spark, src, updates.unionByName(inserts), on="doc_id"
+        )
+    if _log_versions(log_dir)[-1] < 2:
+        delete_delta_rows(spark, src, "doc_id % 9 = 1")
+    replicate_delta_to_iceberg(spark, src, dst, on="doc_id")
+    df = read_iceberg(spark, dst)
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the multi-way broadcast star join + aggregation."""
     return q03_revenue_by_nation(spark, sf_dir)

@@ -323,6 +323,7 @@ def delete_delta_rows(
     ids=None,
     on=None,
     union_threshold: int = 16,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """DELETE FROM the Delta table at ``path`` WHERE ``condition`` —
     committed as deletion vectors (PROTOCOL.md §Deletion Vectors), not
@@ -506,6 +507,18 @@ def delete_delta_rows(
             }
         }
     ]
+    if txn is not None:
+        # PROTOCOL.md §Transaction Identifiers — the idempotent-writer
+        # stamp (replication/streaming epochs); rides the same commit
+        actions.append(
+            {
+                "txn": {
+                    "appId": str(txn[0]),
+                    "version": int(txn[1]),
+                    "lastUpdated": ts,
+                }
+            }
+        )
     actions.extend(cdc_actions)
     upgrade = _upgraded_protocol(proto)
     if upgrade is not None:

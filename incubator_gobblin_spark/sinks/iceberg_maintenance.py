@@ -926,6 +926,7 @@ def upsert_iceberg_rows(
     *,
     on,
     table_properties: dict | Callable[[dict], dict] | None = None,
+    extra_delete_keys: DataFrame | None = None,
 ) -> dict:
     """UPSERT ``df`` into the Iceberg table at ``path`` on key columns
     ``on`` — the CDC / Flink-upsert-sink shape (spec §Equality Delete
@@ -1053,9 +1054,22 @@ def upsert_iceberg_rows(
     )
     delete_parts: list[dict] = []
     try:
-        df.select(*on_cols).distinct().write.mode("overwrite").parquet(
-            del_staging
-        )
+        keys = df.select(*on_cols)
+        if extra_delete_keys is not None:
+            # pure DELETIONS riding the same atomic commit — the CDC
+            # apply shape (a replication batch's net outcome per key
+            # is upsert OR delete; both sides become equality-delete
+            # keys, only the upserts also append rows)
+            missing_k = [
+                c for c in on_cols if c not in extra_delete_keys.columns
+            ]
+            if missing_k:
+                raise ValueError(
+                    "upsert_iceberg_rows: extra_delete_keys lacks key "
+                    f"columns {missing_k}"
+                )
+            keys = keys.unionByName(extra_delete_keys.select(*on_cols))
+        keys.distinct().write.mode("overwrite").parquet(del_staging)
         import pyarrow.parquet as pq
 
         for fp in _move_parts(del_staging, del_root, "eq-upsert"):

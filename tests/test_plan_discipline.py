@@ -113,6 +113,10 @@ MAP_IN_PANDAS_BY_DESIGN = {
     # matched rows live on as DV tombstones until compaction absorbs
     # them (q142 pins the absorbed/clean-plan end state)
     "q145_delta_merge_agg",
+    # cross-format replication's Delta DESTINATION carries the keyed
+    # DV-DELETE's tombstones — the read-back is the same q131 decode
+    # contract (tombstone side only; data rows stay codegen)
+    "q153_replicate_iceberg_to_delta_agg",
 }
 
 _PY_NODES = ("EvalPython", "MapInPandas", "FlatMapGroupsInPandas")
