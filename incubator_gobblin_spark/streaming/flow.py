@@ -87,6 +87,7 @@ class StreamPipeline:
         ignore_deletes: bool = False,
         ignore_changes: bool = False,
         skip_change_commits: bool = False,
+        read_change_feed: bool = False,
     ) -> "StreamPipeline":
         """Tail an EXTERNAL Delta table's transaction log as an
         append stream (``sources/delta_stream.py``): offsets are Delta
@@ -97,7 +98,11 @@ class StreamPipeline:
         entirely (zero duplicates; safe across content-preserving
         compactions, lossy for genuine row changes). For exact
         row-level changes over THIS engine's lakes use
-        :meth:`source_lake_cdf`."""
+        :meth:`source_lake_cdf`; for an external CDF-enabled Delta
+        table pass ``read_change_feed=True`` (delta-spark's
+        readChangeFeed) — micro-batches then carry CHANGE rows
+        (+_change_type/_commit_version/_commit_timestamp), updates and
+        deletes included, and the ignore*/skip* knobs don't apply."""
 
         def _read(spark: SparkSession) -> DataFrame:
             from incubator_gobblin_spark.sources import delta_stream
@@ -112,6 +117,7 @@ class StreamPipeline:
                 .option(
                     "skipchangecommits", str(skip_change_commits).lower()
                 )
+                .option("readchangefeed", str(read_change_feed).lower())
                 .load()
             )
 
@@ -419,6 +425,7 @@ class StreamPipeline:
         checkpoint: str,
         app_id: str | None = None,
         order_col: str | None = None,
+        change_feed: bool = False,
         trigger_secs: int | None = 60,
         once: bool = False,
     ) -> StreamingQuery:
@@ -436,13 +443,24 @@ class StreamPipeline:
         epoch id, and the apply is a no-op — never a double-MERGE.
         ``order_col`` compacts each micro-batch to one event per key
         first (newest wins), as ``to_merge`` does for the manifest
-        lake."""
+        lake. ``change_feed=True`` instead treats the stream as a
+        CHANGE FEED (``source_delta(read_change_feed=True)`` /
+        ``source_lake_cdf`` shape: table columns + ``_change_type`` +
+        ``_commit_version``): each micro-batch collapses to its net
+        outcome per key and applies as a keyed DV-DELETE plus the
+        txn-stamped MERGE — updates AND deletes replicate. The txn
+        stamp rides the FINAL commit, so a crash between the two
+        replays a window whose deletes are already dead and whose
+        merge runs for the first time — never a duplicate."""
         import os as _os
 
         on = list(on)
         app = app_id or f"gobblin-delta-merge:{_os.path.abspath(checkpoint)}"
 
         def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+            from incubator_gobblin_spark.sinks.delta_delete import (
+                delete_delta_rows,
+            )
             from incubator_gobblin_spark.sinks.delta_maintenance import (
                 merge_delta_rows,
             )
@@ -451,7 +469,18 @@ class StreamPipeline:
             )
 
             src = batch_df
-            if order_col is not None:
+            deleted = None
+            if change_feed:
+                from incubator_gobblin_spark.jobs.replicate import (
+                    _net_outcome,
+                )
+
+                src = src.drop("_commit_timestamp")
+                order = [
+                    c for c in ("_commit_version",) if c in src.columns
+                ]
+                src, deleted = _net_outcome(src, on, order)
+            elif order_col is not None:
                 from incubator_gobblin_spark.operators.dedup import (
                     dedup_argmax,
                 )
@@ -459,12 +488,16 @@ class StreamPipeline:
                 src = dedup_argmax(src, keys=on, delta=[order_col]).drop(
                     order_col
                 )
-            if src.isEmpty():
+            if src.isEmpty() and (deleted is None or deleted.isEmpty()):
                 return
             log_dir = _os.path.join(table_path, "_delta_log")
             stored = last_txn_actions(log_dir).get(app, {})
             if int(stored.get("version", -1)) >= int(epoch_id):
                 return  # replayed epoch: the table already has it
+            if deleted is not None and not deleted.isEmpty():
+                delete_delta_rows(
+                    src.sparkSession, table_path, ids=deleted, on=on
+                )
             merge_delta_rows(
                 src.sparkSession,
                 table_path,
@@ -491,6 +524,7 @@ class StreamPipeline:
         checkpoint: str,
         app_id: str | None = None,
         order_col: str | None = None,
+        change_feed: bool = False,
         trigger_secs: int | None = 60,
         once: bool = False,
     ) -> StreamingQuery:
@@ -504,7 +538,16 @@ class StreamPipeline:
         id is stored as a table property that rides the SAME atomic
         metadata publish as the data (monotonic max-merge against a
         racer's refresh), so a replayed epoch sees a stored epoch >=
-        its own and no-ops — never a double-upsert."""
+        its own and no-ops — never a double-upsert.
+
+        ``change_feed=True`` treats the stream as a CHANGE FEED
+        (``source_delta(read_change_feed=True)`` / ``source_lake_cdf``
+        shape: table columns + ``_change_type`` + ``_commit_version``):
+        each micro-batch collapses to its net outcome per key and
+        applies as ONE commit — equality deletes for deleted AND
+        upserted keys, a same-sequence append of the upserted rows —
+        so updates and deletes replicate continuously, still
+        exactly-once (the epoch watermark rides that single commit)."""
         import os as _os
 
         on = list(on)
@@ -520,7 +563,18 @@ class StreamPipeline:
             )
 
             src = batch_df
-            if order_col is not None:
+            deleted = None
+            if change_feed:
+                from incubator_gobblin_spark.jobs.replicate import (
+                    _net_outcome,
+                )
+
+                src = src.drop("_commit_timestamp")
+                order = [
+                    c for c in ("_commit_version",) if c in src.columns
+                ]
+                src, deleted = _net_outcome(src, on, order)
+            elif order_col is not None:
                 from incubator_gobblin_spark.operators.dedup import (
                     dedup_argmax,
                 )
@@ -528,7 +582,7 @@ class StreamPipeline:
                 src = dedup_argmax(src, keys=on, delta=[order_col]).drop(
                     order_col
                 )
-            if src.isEmpty():
+            if src.isEmpty() and (deleted is None or deleted.isEmpty()):
                 return
             props = current_metadata(table_path).get("properties") or {}
             if int(props.get(prop_key, -1)) >= int(epoch_id):
@@ -543,6 +597,7 @@ class StreamPipeline:
                 table_path,
                 src,
                 on=on,
+                extra_delete_keys=deleted,
                 table_properties=_epoch_prop,
             )
 

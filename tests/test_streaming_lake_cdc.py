@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from incubator_gobblin_spark.session import load_table  # noqa: E402
 from incubator_gobblin_spark.sources import mock_kafka as MK  # noqa: E402
 from incubator_gobblin_spark.streaming.flow import StreamPipeline  # noqa: E402
 
@@ -241,3 +242,93 @@ def test_multipart_checkpoint_carries_dvs_and_txn(spark, sf_dir, tmp_path):
     assert got.exceptAll(expect).count() == 0
     # and the txn watermark survived the checkpoint + expiry
     assert last_txn_actions(log_dir)["mp-app"]["version"] == 42
+
+
+def test_continuous_delta_cdf_to_iceberg_replication(
+    spark, sf_dir, tmp_path
+):
+    """The FULL continuous cross-format path: a CDF-enabled Delta
+    source streams its change feed (source_delta read_change_feed)
+    into a standalone Iceberg table (to_iceberg_upsert
+    change_feed=True) — updates AND deletes replicate, each micro-batch
+    is one atomic commit, and a crash-replay applies nothing twice."""
+    from incubator_gobblin_spark.sinks.delta_delete import (
+        delete_delta_rows,
+    )
+    from incubator_gobblin_spark.sinks.delta_maintenance import (
+        merge_delta_rows,
+        write_delta_table,
+    )
+    from incubator_gobblin_spark.sinks.iceberg_maintenance import (
+        write_iceberg_table,
+    )
+    from incubator_gobblin_spark.sources.delta_import import read_delta
+    from incubator_gobblin_spark.sources.iceberg_import import (
+        current_metadata,
+        read_iceberg,
+    )
+
+    src = str(tmp_path / "src_delta")
+    dst = str(tmp_path / "dst_iceberg")
+    ckpt = str(tmp_path / "ckpt")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    write_delta_table(
+        spark, docs, src,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    # destination starts EMPTY — version 0's derived inserts arrive
+    # through the feed itself
+    write_iceberg_table(spark, docs.limit(0), dst)
+
+    def run_once():
+        q = (
+            StreamPipeline(spark, "cdf-repl")
+            .source_delta(src, read_change_feed=True)
+            .to_iceberg_upsert(
+                dst, on=["doc_id"], checkpoint=ckpt,
+                change_feed=True, app_id="repl", once=True,
+            )
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    assert _ice_rows(spark, dst, read_iceberg) == _delta_rows(
+        spark, src, read_delta
+    )
+
+    # source moves: MERGE + DELETE; the next trigger replicates both
+    updates = docs.filter("doc_id % 9 = 0").withColumn(
+        "n_chars", F.col("n_chars") + 7
+    )
+    merge_delta_rows(spark, src, updates, on="doc_id")
+    delete_delta_rows(spark, src, "doc_id % 10 = 5")
+    run_once()
+    assert _ice_rows(spark, dst, read_iceberg) == _delta_rows(
+        spark, src, read_delta
+    )
+
+    # crash-replay: wipe the stream checkpoint and re-run the same
+    # feed — the epoch watermark no-ops every replayed batch
+    snap = current_metadata(dst)["current-snapshot-id"]
+    shutil.rmtree(ckpt)
+    run_once()
+    assert current_metadata(dst)["current-snapshot-id"] == snap
+    assert _ice_rows(spark, dst, read_iceberg) == _delta_rows(
+        spark, src, read_delta
+    )
+
+
+def _ice_rows(spark, path, read_iceberg):
+    return sorted(
+        map(tuple, read_iceberg(spark, path).select(
+            "doc_id", "lang", "n_chars").collect())
+    )
+
+
+def _delta_rows(spark, path, read_delta):
+    return sorted(
+        map(tuple, read_delta(spark, path).select(
+            "doc_id", "lang", "n_chars").collect())
+    )
