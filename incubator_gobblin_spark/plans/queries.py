@@ -6605,6 +6605,54 @@ def q150_delta_cdf_changes_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _changelog_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Shared 4-snapshot Iceberg fixture for the changelog queries
+    (q151/q152): base write (s0), position DELETE (s1), CDC upsert
+    (s2), RewriteDataFiles (s3). Cached per source identity; each step
+    is guarded so an interrupted build resumes."""
+    from incubator_gobblin_spark.sinks.iceberg_delete import (
+        delete_iceberg_rows,
+    )
+    from incubator_gobblin_spark.sinks.iceberg_maintenance import (
+        rewrite_iceberg_data_files,
+        upsert_iceberg_rows,
+        write_iceberg_table,
+    )
+    from incubator_gobblin_spark.sources.iceberg_import import (
+        current_metadata,
+    )
+
+    cache = _cache_dir("iceberg_changelog", sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+    def _n_snaps() -> int:
+        try:
+            return len(current_metadata(cache).get("snapshots", []))
+        except FileNotFoundError:
+            return 0
+
+    if _n_snaps() < 1:
+        write_iceberg_table(spark, docs, cache, partition_by=["lang"])
+    if _n_snaps() < 2:
+        delete_iceberg_rows(spark, cache, "doc_id % 5 = 2")
+    if _n_snaps() < 3:
+        after1 = docs.filter("doc_id % 5 <> 2")
+        updates = after1.filter("doc_id % 7 = 0").withColumn(
+            "n_chars", F.col("n_chars") + 1000
+        )
+        inserts = docs.filter("doc_id < 4").withColumn(
+            "doc_id", F.col("doc_id") + 900000
+        )
+        upsert_iceberg_rows(
+            spark, cache, updates.unionByName(inserts), on="doc_id"
+        )
+    if _n_snaps() < 4:
+        rewrite_iceberg_data_files(spark, cache)
+    return cache
+
+
 @register(
     "q151_iceberg_changelog_agg",
     """
@@ -6654,49 +6702,11 @@ def q151_iceberg_changelog_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     row recovery scans only touched files with delete coordinates/keys
     broadcast — never O(rows) on the driver.
     """
-    from incubator_gobblin_spark.sinks.iceberg_delete import (
-        delete_iceberg_rows,
-    )
-    from incubator_gobblin_spark.sinks.iceberg_maintenance import (
-        rewrite_iceberg_data_files,
-        upsert_iceberg_rows,
-        write_iceberg_table,
-    )
     from incubator_gobblin_spark.sources.iceberg_changelog import (
         read_iceberg_changelog,
     )
-    from incubator_gobblin_spark.sources.iceberg_import import (
-        current_metadata,
-    )
 
-    cache = _cache_dir("iceberg_changelog", sf_dir, "documents")
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "n_chars"
-    )
-
-    def _n_snaps() -> int:
-        try:
-            return len(current_metadata(cache).get("snapshots", []))
-        except FileNotFoundError:
-            return 0
-
-    if _n_snaps() < 1:
-        write_iceberg_table(spark, docs, cache, partition_by=["lang"])
-    if _n_snaps() < 2:
-        delete_iceberg_rows(spark, cache, "doc_id % 5 = 2")
-    if _n_snaps() < 3:
-        after1 = docs.filter("doc_id % 5 <> 2")
-        updates = after1.filter("doc_id % 7 = 0").withColumn(
-            "n_chars", F.col("n_chars") + 1000
-        )
-        inserts = docs.filter("doc_id < 4").withColumn(
-            "doc_id", F.col("doc_id") + 900000
-        )
-        upsert_iceberg_rows(
-            spark, cache, updates.unionByName(inserts), on="doc_id"
-        )
-    if _n_snaps() < 4:
-        rewrite_iceberg_data_files(spark, cache)
+    cache = _changelog_fixture(spark, sf_dir)
     ch = read_iceberg_changelog(spark, cache, None)
     return ch.groupBy(
         F.col("_change_ordinal").alias("ordinal"),
@@ -6750,13 +6760,11 @@ def q152_iceberg_changelog_updates_agg(
     delete/insert. Shares q151's table build, so the incremental cost
     is the pairing join only (one broadcast-ready intersect + left
     join on the snapshot+key)."""
-    # build (or reuse) exactly q151's fixture
-    q151_iceberg_changelog_agg(spark, sf_dir)
     from incubator_gobblin_spark.sources.iceberg_changelog import (
         read_iceberg_changelog,
     )
 
-    cache = _cache_dir("iceberg_changelog", sf_dir, "documents")
+    cache = _changelog_fixture(spark, sf_dir)
     ch = read_iceberg_changelog(
         spark, cache, None, identifier_fields=["doc_id"]
     )
