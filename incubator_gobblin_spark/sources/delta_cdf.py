@@ -162,6 +162,19 @@ def plan_changes(
             if "commitInfo" in a:
                 ts = a["commitInfo"].get("timestamp")
             elif "metaData" in a:
+                if meta is not None and a["metaData"].get(
+                    "schemaString"
+                ) != meta.get("schemaString"):
+                    # delta-spark's CDC read errors on a schema change
+                    # inside the interval; silently reading older
+                    # change files under the new schema would null-fill
+                    # renamed/added columns instead
+                    raise ValueError(
+                        "read_delta_changes: the table schema changed "
+                        f"at version {v}, inside the requested interval "
+                        "— read the feed in two calls split at that "
+                        "version"
+                    )
                 meta = a["metaData"]
         if ts is None:
             ts = int(

@@ -494,3 +494,37 @@ def test_hand_authored_column_mapped_cdf_table(spark, tmp_path):
         fh.write("\n".join(json.dumps(a) for a in acts) + "\n")
     with pytest.raises(ValueError, match="mode=id"):
         read_delta_changes(spark, root, 0)
+
+
+def test_cdf_refuses_mid_interval_schema_change(spark, sf_dir, tmp_path):
+    """A schema change inside the requested interval refuses (the
+    delta-spark CDC rule) — silently reading older change files under
+    the new schema would null-fill instead of erroring."""
+    root = str(tmp_path / "schemachange")
+    nat = load_table(spark, sf_dir, "nation")
+    write_delta_table(spark, nat, root, configuration=CDF_CONF)
+    delete_delta_rows(spark, root, "n_nationkey = 5")  # v1
+    # simulate a foreign writer evolving the schema at v2
+    log = os.path.join(root, "_delta_log", f"{2:020d}.json")
+    meta = {
+        "id": "t-evolved",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps({
+            "type": "struct",
+            "fields": [
+                {"name": "n_nationkey", "type": "long",
+                 "nullable": True, "metadata": {}},
+                {"name": "brand_new", "type": "string",
+                 "nullable": True, "metadata": {}},
+            ],
+        }),
+        "partitionColumns": [],
+        "configuration": {"delta.enableChangeDataFeed": "true"},
+        "createdTime": 99,
+    }
+    with open(log, "w") as fh:
+        fh.write(json.dumps({"metaData": meta}) + "\n")
+    with pytest.raises(ValueError, match="schema changed"):
+        read_delta_changes(spark, root, 0)
+    # split at the change: the pre-change half still reads
+    assert read_delta_changes(spark, root, 0, 1).count() > 0
