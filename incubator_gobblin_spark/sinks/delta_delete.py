@@ -555,6 +555,38 @@ def delete_delta_rows(
         actions.append({"add": add})
         dv_files += 1
 
+    if rows_deleted == 0 and files_removed == 0:
+        # every matched position was ALREADY dead (a replayed window's
+        # keyed delete, the jobs.replicate crash-recovery path): the
+        # new bitmaps equal the standing ones, so committing would add
+        # a pure no-op version — skip it, like delta-spark's
+        # zero-affected-rows DELETE. The freshly staged vectors are
+        # orphans; reclaim them now.
+        from incubator_gobblin_spark.formats.deletion_vectors import (
+            dv_file_path,
+        )
+
+        for r in desc_rows:
+            if r._dv is None:
+                continue
+            fp = dv_file_path(os.path.abspath(path), json.loads(r._dv))
+            if fp:
+                try:
+                    os.remove(fp)
+                except OSError:
+                    pass
+        for c in cdc_actions:
+            try:
+                os.remove(os.path.join(path, unquote(c["cdc"]["path"])))
+            except OSError:
+                pass
+        return {
+            "version": current_v,
+            "rows_deleted": 0,
+            "dv_files": 0,
+            "files_removed": 0,
+        }
+
     # put-if-absent publish; a racer invalidates the scanned snapshot
     for attempt in range(8):
         versions = _log_versions(log_dir)

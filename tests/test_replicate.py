@@ -170,3 +170,72 @@ def test_replicate_delta_to_iceberg(spark, sf_dir, tmp_path):
     # properties-only: the data snapshot did not move
     assert current_metadata(dst)["current-snapshot-id"] == snap_b4
     assert _rows(read_iceberg(spark, dst)) == _rows(read_delta(spark, src))
+
+
+def test_replicate_iceberg_to_delta_crash_between_commits(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A crash AFTER the delete commit but BEFORE the txn-stamped
+    merge replays the whole window: the replayed deletes are
+    zero-match (no commit), the merge runs once — state converges with
+    no duplicates and the watermark lands exactly once."""
+    import incubator_gobblin_spark.jobs.replicate as R
+    from incubator_gobblin_spark.sinks.iceberg_delete import (
+        delete_iceberg_rows,
+    )
+    from incubator_gobblin_spark.sinks.iceberg_maintenance import (
+        upsert_iceberg_rows,
+        write_iceberg_table,
+    )
+    from incubator_gobblin_spark.sources.delta_import import (
+        _log_versions,
+        last_txn_actions,
+        read_delta,
+    )
+    from incubator_gobblin_spark.sources.iceberg_import import read_iceberg
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    docs = load_table(spark, sf_dir, "documents").select(*COLS)
+    write_iceberg_table(spark, docs, src)
+    replicate_iceberg_to_delta(spark, src, dst, on="doc_id")
+
+    delete_iceberg_rows(spark, src, "doc_id % 4 = 1")
+    ups = docs.filter("doc_id % 4 <> 1").filter("doc_id % 5 = 0").withColumn(
+        "n_chars", F.col("n_chars") + 2
+    )
+    upsert_iceberg_rows(spark, src, ups, on="doc_id")
+
+    # crash injection: the merge dies AFTER the window's deletes landed
+    import incubator_gobblin_spark.sinks.delta_maintenance as DM
+
+    real_merge = DM.merge_delta_rows
+    boom = {"armed": True}
+
+    def exploding_merge(*a, **kw):
+        if boom["armed"]:
+            boom["armed"] = False
+            raise RuntimeError("simulated crash before the merge commit")
+        return real_merge(*a, **kw)
+
+    monkeypatch.setattr(R, "_net_outcome", R._net_outcome)  # no-op anchor
+    monkeypatch.setattr(DM, "merge_delta_rows", exploding_merge)
+    # replicate imports merge_delta_rows inside the function body, so
+    # the patched module attribute is what it resolves
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        replicate_iceberg_to_delta(spark, src, dst, on="doc_id")
+
+    log_dir = os.path.join(dst, "_delta_log")
+    app = f"iceberg-repl:{os.path.abspath(src)}"
+    # the watermark did NOT advance (the dying merge owned the stamp)
+    assert last_txn_actions(log_dir).get(app, {}).get("version") == 1
+
+    # the re-run replays the window and converges
+    v_before = _log_versions(log_dir)[-1]
+    r = replicate_iceberg_to_delta(spark, src, dst, on="doc_id")
+    assert r["to_sequence"] > 1
+    got = _rows(read_delta(spark, dst))
+    assert got == _rows(read_iceberg(spark, src))
+    # the replayed deletes were zero-match: only the merge committed
+    assert _log_versions(log_dir)[-1] == v_before + 1
+    assert last_txn_actions(log_dir)[app]["version"] == r["to_sequence"]

@@ -332,3 +332,54 @@ def _delta_rows(spark, path, read_delta):
         map(tuple, read_delta(spark, path).select(
             "doc_id", "lang", "n_chars").collect())
     )
+
+
+def test_lakecdf_to_standalone_delta_replication(spark, tmp_path):
+    """Manifest lake -> standalone Delta, continuously: the lake's
+    change stream (lakecdf, insert/delete tagged, no commit-version
+    column) drives to_delta_merge(change_feed=True) — the collapse
+    tolerates the missing ordering column because lakecdf batches are
+    run-scoped."""
+    from incubator_gobblin_spark.sinks.delta_maintenance import (
+        write_delta_table,
+    )
+    from incubator_gobblin_spark.sinks.files import FileSink
+    from incubator_gobblin_spark.sources.delta_import import read_delta
+
+    lake = str(tmp_path / "lake")
+    dst = str(tmp_path / "dst_delta")
+    ckpt = str(tmp_path / "ckpt")
+    sink = FileSink(path=lake, commit_mode="manifest")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(8)], "k long, v string"
+    )
+    sink.write_staging(base, "r0")
+    sink.publish("r0")
+    write_delta_table(spark, base.limit(0), dst)  # empty destination
+
+    def run_once():
+        q = (
+            StreamPipeline(spark, "lake-to-delta")
+            .source_lake_cdf(lake)
+            .to_delta_merge(
+                dst, on=["k"], checkpoint=ckpt, change_feed=True,
+                app_id="lake-repl", once=True,
+            )
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert sorted(map(tuple, read_delta(spark, dst).collect())) == sorted(
+        map(tuple, base.collect())
+    )
+
+    # the lake merges a CDC batch (update + delete + insert)
+    src = spark.createDataFrame(
+        [(1, "NEW", "upsert"), (3, None, "delete"), (99, "ins", "upsert")],
+        "k long, v string, op string",
+    )
+    sink.merge_into(spark, src, on=["k"], run_id="r1", op_col="op")
+    run_once()
+    got = {r.k: r.v for r in read_delta(spark, dst).collect()}
+    assert got[1] == "NEW" and 3 not in got and got[99] == "ins"
+    assert len(got) == 8  # 8 - 1 delete + 1 insert
