@@ -76,10 +76,15 @@ def replicate_iceberg_to_delta(
     dst_path: str,
     *,
     on,
+    max_snapshots_per_window: int | None = None,
 ) -> dict:
     """One incremental replication run: apply the src Iceberg table's
     changelog since the last consumed snapshot to the dst Delta table.
-    First run bootstraps dst from the src snapshot. Returns
+    First run bootstraps dst from the src snapshot. A backlog deeper
+    than ``max_snapshots_per_window`` (default: the changelog reader's
+    ``MAX_SNAPSHOTS_PER_CALL``) is consumed in CHUNKS, each chunk one
+    atomic apply carrying its own consumed-watermark txn stamp — a
+    crash mid-backlog resumes at the last committed chunk. Returns
     ``{"bootstrapped", "from_sequence", "to_sequence",
     "rows_upserted", "keys_deleted"}``."""
     from incubator_gobblin_spark.sinks.delta_delete import (
@@ -94,12 +99,16 @@ def replicate_iceberg_to_delta(
         last_txn_actions,
     )
     from incubator_gobblin_spark.sources.iceberg_changelog import (
+        MAX_SNAPSHOTS_PER_CALL,
+        _lineage,
         read_iceberg_changelog,
     )
     from incubator_gobblin_spark.sources.iceberg_import import (
         current_metadata,
         read_iceberg,
     )
+
+    window_cap = max_snapshots_per_window or MAX_SNAPSHOTS_PER_CALL
 
     on_cols = [on] if isinstance(on, str) else list(on)
     app = f"iceberg-repl:{os.path.abspath(src_path)}"
@@ -162,24 +171,37 @@ def replicate_iceberg_to_delta(
             "re-bootstrap the destination"
         )
 
-    ch = read_iceberg_changelog(spark, src_path, from_id, cur_id)
-    upserts, deleted = _net_outcome(
-        ch.drop("_commit_snapshot_id"), on_cols, ["_change_ordinal"]
-    )
-    n_del = deleted.count()
-    if n_del:
-        # dead keys first; the txn stamp rides the FINAL commit so a
-        # crash between the two replays the window (idempotently)
-        delete_delta_rows(spark, dst_path, ids=deleted, on=on_cols)
-    res = merge_delta_rows(
-        spark, dst_path, upserts, on=on_cols, txn=(app, cur_seq)
-    )
+    chain = _lineage(meta, from_id, cur_id)
+    total_up = total_del = 0
+    start_id = from_id
+    for i in range(0, len(chain), window_cap):
+        window = chain[i : i + window_cap]
+        to_id_w = window[-1]["snapshot-id"]
+        to_seq_w = int(window[-1].get("sequence-number", 0))
+        ch = read_iceberg_changelog(
+            spark, src_path, start_id, to_id_w, max_snapshots=window_cap
+        )
+        upserts, deleted = _net_outcome(
+            ch.drop("_commit_snapshot_id"), on_cols, ["_change_ordinal"]
+        )
+        n_del = deleted.count()
+        if n_del:
+            # dead keys first; the txn stamp rides the FINAL commit of
+            # the chunk so a crash between the two replays the chunk
+            # (idempotently)
+            delete_delta_rows(spark, dst_path, ids=deleted, on=on_cols)
+        res = merge_delta_rows(
+            spark, dst_path, upserts, on=on_cols, txn=(app, to_seq_w)
+        )
+        total_up += res["rows_inserted"]
+        total_del += n_del
+        start_id = to_id_w
     return {
         "bootstrapped": False,
         "from_sequence": last_seq,
         "to_sequence": cur_seq,
-        "rows_upserted": res["rows_inserted"],
-        "keys_deleted": n_del,
+        "rows_upserted": total_up,
+        "keys_deleted": total_del,
     }
 
 
@@ -189,22 +211,28 @@ def replicate_delta_to_iceberg(
     dst_path: str,
     *,
     on,
+    max_versions_per_window: int | None = None,
 ) -> dict:
     """One incremental replication run: apply the src Delta table's
     change data feed since the last consumed version to the dst
-    Iceberg table as ONE atomic commit (equality deletes for net
-    deletions + upserted keys, same-sequence append of the upserted
-    rows, consumed-version watermark in the table properties). First
-    run bootstraps dst from the src snapshot. The src table must have
-    ``delta.enableChangeDataFeed`` for the replicated window. Returns
-    ``{"bootstrapped", "from_version", "to_version", "rows_upserted",
-    "keys_deleted"}``."""
+    Iceberg table as ONE atomic commit per window (equality deletes
+    for net deletions + upserted keys, same-sequence append of the
+    upserted rows, consumed-version watermark in the table
+    properties). First run bootstraps dst from the src snapshot. A
+    backlog deeper than ``max_versions_per_window`` (default: the CDF
+    reader's ``MAX_VERSIONS_PER_CALL``) is consumed in CHUNKS, each
+    chunk's watermark riding its own atomic commit — a crash
+    mid-backlog resumes at the last committed chunk. The src table
+    must have ``delta.enableChangeDataFeed`` for the replicated
+    window. Returns ``{"bootstrapped", "from_version", "to_version",
+    "rows_upserted", "keys_deleted"}``."""
     from incubator_gobblin_spark.sinks.iceberg_maintenance import (
         set_iceberg_table_properties,
         upsert_iceberg_rows,
         write_iceberg_table,
     )
     from incubator_gobblin_spark.sources.delta_cdf import (
+        MAX_VERSIONS_PER_CALL,
         read_delta_changes,
     )
     from incubator_gobblin_spark.sources.delta_import import (
@@ -216,14 +244,20 @@ def replicate_delta_to_iceberg(
         read_iceberg,
     )
 
+    window_cap = max_versions_per_window or MAX_VERSIONS_PER_CALL
     on_cols = [on] if isinstance(on, str) else list(on)
     prop_key = f"replication.delta.version.{os.path.abspath(src_path)}"
     src_log = os.path.join(src_path, "_delta_log")
     cur_v = _log_versions(src_log)[-1]
 
-    def _watermark(cur_props: dict) -> dict:
-        stored = int((cur_props or {}).get(prop_key, -1))
-        return {prop_key: str(max(stored, cur_v))}
+    def _watermark_to(v: int):
+        def _wm(cur_props: dict) -> dict:
+            stored = int((cur_props or {}).get(prop_key, -1))
+            return {prop_key: str(max(stored, v))}
+
+        return _wm
+
+    _watermark = _watermark_to(cur_v)
 
     try:
         dst_meta = current_metadata(dst_path)
@@ -259,37 +293,43 @@ def replicate_delta_to_iceberg(
             "keys_deleted": 0,
         }
 
-    ch = read_delta_changes(spark, src_path, last_v + 1, cur_v)
-    upserts, deleted = _net_outcome(
-        ch.drop("_commit_timestamp"), on_cols, ["_commit_version"]
-    )
-    if deleted.isEmpty() and upserts.isEmpty():
-        # net-empty window (e.g. insert-then-delete): advance the
-        # watermark through a properties-only version
-        set_iceberg_table_properties(dst_path, _watermark)
-        return {
-            "bootstrapped": False,
-            "from_version": last_v,
-            "to_version": cur_v,
-            "rows_upserted": 0,
-            "keys_deleted": 0,
-        }
-    res = upsert_iceberg_rows(
-        spark,
-        dst_path,
-        upserts,
-        on=on_cols,
-        extra_delete_keys=deleted,
-        table_properties=_watermark,
-    )
-    if res["rows_inserted"] == 0 and res["delete_files"] == 0:
-        set_iceberg_table_properties(dst_path, _watermark)
+    total_up = total_del = 0
+    start_v = last_v + 1
+    while start_v <= cur_v:
+        end_v = min(start_v + window_cap - 1, cur_v)
+        wm = _watermark_to(end_v)
+        ch = read_delta_changes(
+            spark, src_path, start_v, end_v, max_versions=window_cap
+        )
+        upserts, deleted = _net_outcome(
+            ch.drop("_commit_timestamp"), on_cols, ["_commit_version"]
+        )
+        if deleted.isEmpty() and upserts.isEmpty():
+            # net-empty chunk (e.g. insert-then-delete): advance the
+            # watermark through a properties-only version
+            set_iceberg_table_properties(dst_path, wm)
+        else:
+            res = upsert_iceberg_rows(
+                spark,
+                dst_path,
+                upserts,
+                on=on_cols,
+                extra_delete_keys=deleted,
+                table_properties=wm,
+            )
+            if res["rows_inserted"] == 0 and res["delete_files"] == 0:
+                set_iceberg_table_properties(dst_path, wm)
+            total_up += res["rows_inserted"]
+            total_del += (
+                res["keys_deleted"] - res["rows_inserted"]
+                if res["keys_deleted"] >= res["rows_inserted"]
+                else 0
+            )
+        start_v = end_v + 1
     return {
         "bootstrapped": False,
         "from_version": last_v,
         "to_version": cur_v,
-        "rows_upserted": res["rows_inserted"],
-        "keys_deleted": res["keys_deleted"] - res["rows_inserted"]
-        if res["keys_deleted"] >= res["rows_inserted"]
-        else 0,
+        "rows_upserted": total_up,
+        "keys_deleted": total_del,
     }

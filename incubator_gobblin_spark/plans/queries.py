@@ -54,78 +54,83 @@ def register(name: str, oracle: str | None):
 
 # The driver's correctness artifact records exactly the first 50
 # registry entries each round, so iteration order decides which queries
-# touch the hard gate. Round-11 rotation (VERDICT r10 ask 1, exact):
-# 1. q149 (registered after the r10 driver run — oracle-proven locally
-#    since, first driver row here),
-# 2. the ENTIRE 48-query r08-stale block (last driver row r08 —
-#    3 rounds old at r11, past the ~2-round policy: the q57-q106
-#    LLM-pipeline/format/sketch wave + q124/q128-q132 lake block
-#    displaced by r9/r10's new lifecycle rows),
-# 3. fill = q144 (r10-green, but its equality-delete writer changed
-#    this round — delete manifests now committed under an
-#    UNPARTITIONED spec per the Iceberg scan-planning rule — so it
-#    re-proves the changed code path in-window alongside q149).
-# After the r11 driver run no query's last driver row is older than
-# r09. New this round: q150 (Delta CDF read) and q151 (Iceberg
-# changelog scan) register PAST position 50 — oracle-proven locally,
-# first driver rows due r12, exactly the q149 precedent. The local
-# parity suite (tests/test_oracle_parity.py) still proves ALL
-# oracle-backed queries on every pytest run regardless.
+# touch the hard gate. Round-12 rotation (VERDICT r11 ask 1, exact):
+# 1. q150-q154 (registered after the r11 driver run — oracle-proven
+#    locally on every pytest run since, first driver rows here: the
+#    Delta CDF read, the Iceberg changelog scans, and both
+#    cross-format replication directions),
+# 2. 45 of the 50 r09-stale queries (last driver row r09 — 3 rounds
+#    old at r12).
+# 55 candidates for 50 slots: the window can no longer cover
+# everything, so five r09-stale deferrals are chosen DELIBERATELY —
+# each one's machinery is re-proven by another query INSIDE this
+# window (VERDICT r11 "wrong #1" asks exactly this):
+#  - q39_count_distinct — HashAggregate distinct-expand over lineitem;
+#    q01 (in-window) drives the same HashAggregate paths and q104
+#    (in-window) the distinct-counting semantics.
+#  - q40_having — groupBy + post-agg filter; q01/q03 (in-window) are
+#    the same agg machinery, filters included.
+#  - q41_case_bucketing — CASE/scalar bucketing; q38 (in-window)
+#    exercises the scalar-function surface wholesale.
+#  - q46_union_all — set-op union; q151 (in-window) unions
+#    per-snapshot frames and q60 (in-window) unions rollup levels.
+#  - q86_profile_columns — column-stat aggregation; q76/q77
+#    (in-window) are the same group-quantile/moment kernels.
+# All five stay oracle-proven locally on every pytest run
+# (tests/test_oracle_parity.py); they rotate back in-window r13.
 _WINDOW_HEAD = [
-    # --- first driver row ever ---
-    "q149_kafka_cdc_upsert_agg",
-    # --- r08-stale block (all 48, per VERDICT r10 ask 1) ---
-    "q34_ann_lsh_topk",
-    "q57_orc_scan_agg",
-    "q58_envelope_decode_agg",
-    "q60_time_partition_tree_rollup",
-    "q62_winnow_fingerprints",
-    "q63_minhash_covers_exact_dups",
-    "q64_simhash_covers_exact_dups",
-    "q65_chunk_documents",
-    "q66_pii_redaction",
-    "q67_ivf_topk",
-    "q68_srplsh_covers_identical",
-    "q69_lsh_topk_self_retrieval",
-    "q70_decontamination",
-    "q71_repetition_stats",
-    "q72_hot_ngrams",
-    "q73_tfidf_top_terms",
-    "q74_stratified_sample",
-    "q75_bm25_search",
-    "q76_group_quantiles",
-    "q77_stats_moments",
-    "q78_multimodal_binary_stats",
-    "q79_skew_hot_keys",
-    "q80_dedup_clusters",
-    "q81_fuzzy_dedup_keep",
-    "q82_cap_per_source",
-    "q83_split_assignment",
-    "q84_pack_sequences",
-    "q85_scd2_intervals",
-    "q88_manifest_snapshot_agg",
-    "q89_dedup_lines",
-    "q90_trigram_logprob",
-    "q91_kafka_roundtrip_agg",
-    "q92_quality_classifier",
-    "q93_semantic_dedup",
-    "q94_mixture_materialize",
-    "q95_multimodal_decode_roundtrip",
-    "q96_dsir_weights",
-    "q97_perplexity_buckets",
-    "q98_lake_changes",
-    "q99_pq_topk",
-    "q100_ivfpq_topk",
-    "q106_curation_pipeline",
-    "q124_iceberg_roundtrip_agg",
-    "q128_iceberg_posdelete_agg",
-    "q129_rest_http_ingest_agg",
-    "q130_iceberg_incremental_scan",
-    "q131_delta_dv_agg",
-    "q132_cluster_balanced_sample",
-    # --- fill: re-proves this round's rewritten equality-delete
-    # writer (unpartitioned-spec scope) inside the hard gate ---
-    "q144_iceberg_upsert_agg",
+    # --- first driver rows ever: the r11 CDC/replication flagships ---
+    "q150_delta_cdf_changes_agg",
+    "q151_iceberg_changelog_agg",
+    "q152_iceberg_changelog_updates_agg",
+    "q153_replicate_iceberg_to_delta_agg",
+    "q154_replicate_delta_to_iceberg_agg",
+    # --- r09-stale block (45 of 50; the five deferrals above) ---
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q03_revenue_by_nation",
+    "q05_purge_anti_join",
+    "q07_dedup_exact_fingerprint",
+    "q14_sessionize",
+    "q24_time_partition",
+    "q25_watermark_increment",
+    "q27_quality_counts",
+    "q36_window_functions",
+    "q38_scalar_functions",
+    "q43_cross_join",
+    "q44_shuffle_join",
+    "q45_from_json_struct",
+    "q47_compaction_audit",
+    "q50_knn_l2",
+    "q51_embedding_neardup_exact",
+    "q55_ivf_assign",
+    "q56_avro_scan_agg",
+    "q59_scalar_subquery_above_avg",
+    "q61_rest_entry_projection",
+    "q87_orc_scan_agg",
+    "q101_c4_rules",
+    "q102_gopher_rules",
+    "q103_weighted_sample",
+    "q104_approx_distinct",
+    "q105_approx_median_rank",
+    "q107_rest_ingest_agg",
+    "q109_duplicated_spans",
+    "q113_shuffle_shards",
+    "q116_semantic_decontaminate",
+    "q118_cms_heavy_hitters",
+    "q119_funnel_steps",
+    "q120_cohort_retention",
+    "q121_bpe_pair_counts",
+    "q122_char_entropy",
+    "q123_delta_roundtrip_agg",
+    "q125_semantic_decontam_lsh",
+    "q126_semantic_prefilter_audit",
+    "q127_iceberg_incremental_agg",
+    "q133_delta_column_mapping_agg",
+    "q134_delta_time_travel_agg",
+    "q135_iceberg_time_travel_agg",
+    "q136_iceberg_rename_agg",
+    "q137_iceberg_eqdelete_scope_agg",
 ]
 
 

@@ -91,8 +91,18 @@ def _groups_of(path: str, files: list[dict], pv_keys: list[str]):
     return groups
 
 
+#: Default per-call version-interval bound — the CDF plan unions one
+#: frame set per commit, so plan size is linear in interval length;
+#: past the bound the read refuses with chunking guidance (the same
+#: rule as iceberg_changelog.MAX_SNAPSHOTS_PER_CALL).
+MAX_VERSIONS_PER_CALL = 64
+
+
 def plan_changes(
-    path: str, starting_version: int, ending_version: int | None = None
+    path: str,
+    starting_version: int,
+    ending_version: int | None = None,
+    max_versions: int = MAX_VERSIONS_PER_CALL,
 ) -> tuple[list[tuple[int, int, str, list]], dict]:
     """Driver-side CDF planning shared by the batch reader and the
     ``deltastream`` CDF mode: walk commits ``starting_version ..
@@ -121,6 +131,17 @@ def plan_changes(
         raise ValueError(
             f"read_delta_changes: ending_version {end} beyond the "
             f"table's current version {versions[-1]}"
+        )
+    if end - start + 1 > max_versions:
+        raise ValueError(
+            f"read_delta_changes: the requested interval spans "
+            f"{end - start + 1} versions (> max_versions="
+            f"{max_versions}) — the CDF plan is linear in interval "
+            "length, so a deep backlog must be consumed in CHUNKS: "
+            "call repeatedly with intermediate ending_version values "
+            "(the replication jobs in jobs/replicate.py do this "
+            "automatically), or raise max_versions deliberately if "
+            "the plan size is acceptable"
         )
     missing = [v for v in range(start, end + 1) if v not in set(versions)]
     if missing:
@@ -250,12 +271,15 @@ def read_delta_changes(
     starting_version: int,
     ending_version: int | None = None,
     union_threshold: int = 16,
+    max_versions: int = MAX_VERSIONS_PER_CALL,
 ) -> DataFrame:
     """Read the change data feed of the Delta table at ``path`` for
     commits ``starting_version .. ending_version`` (inclusive;
     default = current version). See the module docstring for the
     exact protocol contract this implements."""
-    plan, meta = plan_changes(path, starting_version, ending_version)
+    plan, meta = plan_changes(
+        path, starting_version, ending_version, max_versions
+    )
     schema_json = json.loads(meta["schemaString"])
     logical_part_cols = list(meta.get("partitionColumns") or [])
     mode = (meta.get("configuration") or {}).get(

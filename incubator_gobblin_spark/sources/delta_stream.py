@@ -350,7 +350,13 @@ class DeltaStreamReader(DataSourceStreamReader):
 
         from incubator_gobblin_spark.sources.delta_cdf import plan_changes
 
-        plan, _meta = plan_changes(self.root, lo + 1, hi)
+        # no version bound here: the stream emits one InputPartition
+        # per changed file (no per-version union plan), so a deep
+        # catch-up backlog is linear in FILES, not in plan arms — the
+        # batch reader's MAX_VERSIONS_PER_CALL guard doesn't apply
+        plan, _meta = plan_changes(
+            self.root, lo + 1, hi, max_versions=1 << 62
+        )
         parts: list[_ChangeFile] = []
         for v, ts, kind, payload in plan:
             if kind == "cdc":

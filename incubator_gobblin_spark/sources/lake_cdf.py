@@ -3,8 +3,12 @@
 ``spark.readStream.format("lakecdf").option("path", lake_root)`` tails
 the lake's commit log: each micro-batch delivers the row-level changes
 of the commits that landed since the last checkpointed offset, tagged
-with ``_change_type`` in {insert, delete}. The offset is the consumed
-run id — checkpointed by Structured Streaming, so a restarted query
+with ``_change_type`` in {insert, delete} and ``_commit_ordinal`` (the
+commit's 0-based position in the batch's chain, oldest first — the
+ordering column CDC consumers need to collapse a multi-commit batch to
+its net outcome per key; without it an insert in one commit and a
+delete of the same key in a later commit of the SAME batch would be
+unorderable). The offset is the consumed run id — checkpointed by Structured Streaming, so a restarted query
 resumes exactly after the last committed batch (the same
 no-reprocess contract as every streaming source in the engine; batch
 consumers use ``FileSink.read_incremental`` instead).
@@ -151,8 +155,9 @@ def _arrow_ddl(t) -> str:
 
 
 def snapshot_ddl(root: str) -> str:
-    """DDL of the current snapshot's schema + _change_type, from one
-    parquet footer (driver-side metadata read)."""
+    """DDL of the current snapshot's schema + _change_type +
+    _commit_ordinal, from one parquet footer (driver-side metadata
+    read)."""
     import pyarrow.parquet as pq
 
     rid = _read_pointer(root)
@@ -169,7 +174,10 @@ def snapshot_ddl(root: str) -> str:
                 f"`{name}` {_arrow_ddl(schema.field(name).type)}"
                 for name in schema.names
             ]
-            return ", ".join(cols + ["`_change_type` string"])
+            return ", ".join(
+                cols
+                + ["`_change_type` string", "`_commit_ordinal` bigint"]
+            )
     raise FileNotFoundError(f"no readable data file under {root}")
 
 
@@ -177,16 +185,18 @@ def snapshot_ddl(root: str) -> str:
 
 
 class _FileChange(InputPartition):
-    def __init__(self, path: str, change_type: str | None):
+    def __init__(self, path: str, change_type: str | None, ordinal: int = 0):
         self.path = path
         self.change_type = change_type
+        self.ordinal = ordinal
 
 
 class LakeCdfStreamReader(DataSourceStreamReader):
     def __init__(self, options, field_names: list[str]):
         self.root = options["path"]
         self.start_opt = options.get("startingposition", "earliest").lower()
-        self.fields = field_names  # includes _change_type last
+        # data columns + _change_type + _commit_ordinal (last two)
+        self.fields = field_names
 
     def initialOffset(self) -> dict:
         if self.start_opt == "latest":
@@ -204,8 +214,8 @@ class LakeCdfStreamReader(DataSourceStreamReader):
             # no-op batch
             return [_FileChange("", None)]
         parts = [
-            _FileChange(path, ct)
-            for m in _chain(self.root, from_rid, to_rid)
+            _FileChange(path, ct, ordinal)
+            for ordinal, m in enumerate(_chain(self.root, from_rid, to_rid))
             for path, ct in _commit_actions(self.root, m)
         ]
         return parts or [_FileChange("", None)]
@@ -217,7 +227,8 @@ class LakeCdfStreamReader(DataSourceStreamReader):
 
         table = pq.read_table(part.path)
         cols = {}
-        for name in self.fields[:-1]:
+        data_fields = self.fields[:-2]
+        for name in data_fields:
             if name in table.column_names:
                 cols[name] = table.column(name).to_pylist()
             else:  # schema evolution: older file lacks the column
@@ -226,8 +237,12 @@ class LakeCdfStreamReader(DataSourceStreamReader):
             ct = table.column("_change_type").to_pylist()
         else:
             ct = [part.change_type] * table.num_rows
+        ordinal = getattr(part, "ordinal", 0)
         for i in range(table.num_rows):
-            yield tuple(cols[name][i] for name in self.fields[:-1]) + (ct[i],)
+            yield tuple(cols[name][i] for name in data_fields) + (
+                ct[i],
+                ordinal,
+            )
 
     def commit(self, end: dict) -> None:
         pass

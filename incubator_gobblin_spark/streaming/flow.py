@@ -35,6 +35,32 @@ from incubator_gobblin_spark.operators.converters import Transform
 from incubator_gobblin_spark.operators.quality import RowPolicy, check_rows
 
 
+def _change_feed_order_cols(src: DataFrame) -> list[str]:
+    """Ordering columns for a change-feed micro-batch's net-outcome
+    collapse: ``_commit_version`` (Delta CDF shape) or
+    ``_commit_ordinal`` (lakecdf / Iceberg changelog shape). A feed
+    with NEITHER is refused: a micro-batch can span several source
+    commits (catch-up after downtime, ``once=True`` over a backlog),
+    and without commit ordering an insert in one commit and a delete
+    of the same key in a LATER commit are unorderable — the
+    survives-flag tiebreak would keep the key alive (r11 ADVICE
+    medium)."""
+    order = [
+        c
+        for c in ("_commit_version", "_commit_ordinal")
+        if c in src.columns
+    ]
+    if not order:
+        raise ValueError(
+            "change_feed=True requires a commit-ordering column "
+            "(_commit_version or _commit_ordinal) in the stream — "
+            f"got columns {src.columns}. A multi-commit micro-batch "
+            "cannot be collapsed to its net outcome per key without "
+            "one."
+        )
+    return order
+
+
 @dataclass
 class StreamBranch:
     """One fork branch of a streaming pipeline (its own transforms +
@@ -476,9 +502,7 @@ class StreamPipeline:
                 )
 
                 src = src.drop("_commit_timestamp")
-                order = [
-                    c for c in ("_commit_version",) if c in src.columns
-                ]
+                order = _change_feed_order_cols(src)
                 src, deleted = _net_outcome(src, on, order)
             elif order_col is not None:
                 from incubator_gobblin_spark.operators.dedup import (
@@ -570,9 +594,7 @@ class StreamPipeline:
                 )
 
                 src = src.drop("_commit_timestamp")
-                order = [
-                    c for c in ("_commit_version",) if c in src.columns
-                ]
+                order = _change_feed_order_cols(src)
                 src, deleted = _net_outcome(src, on, order)
             elif order_col is not None:
                 from incubator_gobblin_spark.operators.dedup import (

@@ -233,3 +233,201 @@ def test_changelog_partition_scoped_equality_delete(
     assert _rows(read_iceberg(spark, root)) == _rows(
         docs.exceptAll(expect)
     )
+
+
+def test_changelog_removed_data_files_emit_parent_rows_as_deletes(
+    spark, sf_dir, tmp_path
+):
+    """A snapshot that REMOVES whole data files (a foreign writer's
+    copy-on-write overwrite; this engine's re-export after a lake
+    merge) contributes the rows live in them at the parent snapshot as
+    ``delete``. Regression: r11 shipped `_abs_path` (undefined) on
+    this path — any removed-data-file snapshot raised NameError
+    (r12 ADVICE high)."""
+    from incubator_gobblin_spark.sinks.files import FileSink
+
+    root = str(tmp_path / "cow")
+    sink = FileSink(path=root, commit_mode="manifest")
+    docs = load_table(spark, sf_dir, "documents").select(*COLS)
+    sink.write_staging(docs.repartition(4), "base")
+    sink.publish("base")
+    sink.export_iceberg()  # s0: append
+
+    # lake-side CDC merge rewrites the touched files; the re-export is
+    # an OVERWRITE snapshot: removed data files + added data files
+    cdc = docs.filter("doc_id % 10 = 3").withColumn(
+        "op", F.lit("delete")
+    )
+    sink.merge_into(spark, cdc, on=["doc_id"], run_id="m1", op_col="op")
+    sink.export_iceberg()  # s1: overwrite
+    s0, s1 = _snapshot_ids(root)
+    meta = current_metadata(root)
+    assert (
+        next(s for s in meta["snapshots"] if s["snapshot-id"] == s1)[
+            "summary"
+        ]["operation"]
+        == "overwrite"
+    )
+
+    ch = read_iceberg_changelog(spark, root, s0, s1)
+    dels = ch.filter("_change_type = 'delete'")
+    ins = ch.filter("_change_type = 'insert'")
+    # survivor rows of rewritten files ride as delete+insert pairs (the
+    # per-file form cannot cancel them), so assert the NET outcome:
+    # parent state + changelog == final state, and the actually-deleted
+    # keys appear ONLY on the delete side
+    gone = docs.filter("doc_id % 10 = 3")
+    assert gone.count() > 0
+    assert _rows(dels.join(gone.select("doc_id"), "doc_id", "left_semi")) \
+        == _rows(gone)
+    assert ins.join(gone.select("doc_id"), "doc_id", "left_semi").count() == 0
+    parent = read_iceberg(spark, root, snapshot_id=s0)
+    final = read_iceberg(spark, root, snapshot_id=s1)
+    assert _rows(parent.exceptAll(dels.select(*COLS)).unionByName(
+        ins.select(*COLS)
+    )) == _rows(final)
+
+
+def test_changelog_added_foreign_files_resolve_by_field_id(spark, tmp_path):
+    """Changelog INSERTS from files added by a conformant foreign
+    writer (parquet field ids, pre-rename column names) must resolve
+    columns by ID like the snapshot reader — a name-based read would
+    null-fill the renamed column in changelog output only (r12 ADVICE
+    low). Two hand-authored snapshots: s0 adds a plain engine-style
+    file under the current name, s1 adds a foreign id-carrying file
+    under the OLD name."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incubator_gobblin_spark.formats.avro_ocf import encode_ocf
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        _MANIFEST_LIST_AVRO,
+        _manifest_entry_avro,
+    )
+
+    root = str(tmp_path / "clren")
+    os.makedirs(os.path.join(root, "data"))
+    meta_dir = os.path.join(root, "metadata")
+    os.makedirs(meta_dir)
+    # s0's file: engine-style, no ids, current (renamed) column name
+    fb = os.path.join(root, "data", "fb.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array([3], pa.int64()),
+                  "new_name": pa.array(["c"], pa.string())}),
+        fb,
+    )
+    # s1's file: foreign writer — field ids, column still named old_name
+    fa = os.path.join(root, "data", "fa.parquet")
+    pq.write_table(
+        pa.table(
+            {"k": pa.array([1, 2], pa.int64()),
+             "old_name": pa.array(["a", "b"], pa.string())},
+            schema=pa.schema(
+                [
+                    pa.field("k", pa.int64(),
+                             metadata={b"PARQUET:field_id": b"1"}),
+                    pa.field("old_name", pa.string(),
+                             metadata={b"PARQUET:field_id": b"2"}),
+                ]
+            ),
+        ),
+        fa,
+    )
+
+    entry_schema = _manifest_entry_avro(
+        {"type": "record", "name": "r102", "fields": []}
+    )
+
+    def _manifest(name, snap_id, seq, fp, rc):
+        p = os.path.join(meta_dir, name)
+        with open(p, "wb") as fh:
+            fh.write(
+                encode_ocf(
+                    entry_schema,
+                    [{"status": 1, "snapshot_id": snap_id,
+                      "sequence_number": seq, "file_sequence_number": seq,
+                      "data_file": {
+                          "content": 0, "file_path": fp,
+                          "file_format": "PARQUET", "partition": {},
+                          "record_count": rc,
+                          "file_size_in_bytes": os.path.getsize(fp)}}],
+                    codec="null",
+                    extra_meta={"schema": b"{}", "partition-spec": b"[]",
+                                "partition-spec-id": b"0",
+                                "format-version": b"2", "content": b"data"},
+                )
+            )
+        return p
+
+    def _mlist(name, entries):
+        p = os.path.join(meta_dir, name)
+        with open(p, "wb") as fh:
+            fh.write(
+                encode_ocf(
+                    _MANIFEST_LIST_AVRO,
+                    [{"manifest_path": mp,
+                      "manifest_length": os.path.getsize(mp),
+                      "partition_spec_id": 0, "content": 0,
+                      "sequence_number": seq, "min_sequence_number": seq,
+                      "added_snapshot_id": sid, "added_files_count": 1,
+                      "existing_files_count": 0, "deleted_files_count": 0,
+                      "added_rows_count": rc, "existing_rows_count": 0,
+                      "deleted_rows_count": 0}
+                     for mp, sid, seq, rc in entries],
+                    codec="null",
+                    extra_meta={"format-version": b"2"},
+                )
+            )
+        return p
+
+    m0 = _manifest("clren-m0.avro", 10, 1, fb, 1)
+    m1 = _manifest("clren-m1.avro", 11, 2, fa, 2)
+    ml0 = _mlist("snap-10-1-clren.avro", [(m0, 10, 1, 1)])
+    ml1 = _mlist("snap-11-1-clren.avro", [(m0, 10, 1, 1), (m1, 11, 2, 2)])
+    metadata = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-00000000000c",
+        "location": root,
+        "last-sequence-number": 2,
+        "last-updated-ms": 0,
+        "last-column-id": 2,
+        "current-schema-id": 0,
+        "schemas": [
+            {"type": "struct", "schema-id": 0, "fields": [
+                {"id": 1, "name": "k", "required": False, "type": "long"},
+                {"id": 2, "name": "new_name", "required": False,
+                 "type": "string"},
+            ]}
+        ],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {},
+        "current-snapshot-id": 11,
+        "snapshots": [
+            {"snapshot-id": 10, "sequence-number": 1, "timestamp-ms": 0,
+             "summary": {"operation": "append"}, "manifest-list": ml0,
+             "schema-id": 0},
+            {"snapshot-id": 11, "sequence-number": 2, "timestamp-ms": 1,
+             "parent-snapshot-id": 10,
+             "summary": {"operation": "append"}, "manifest-list": ml1,
+             "schema-id": 0},
+        ],
+        "snapshot-log": [],
+        "metadata-log": [],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(metadata, fh)
+
+    ch = read_iceberg_changelog(spark, root, None)
+    got = sorted(
+        map(tuple, ch.select("k", "new_name", "_commit_snapshot_id")
+            .collect())
+    )
+    # the foreign file's old_name values surface under new_name —
+    # never null
+    assert got == [(1, "a", 11), (2, "b", 11), (3, "c", 10)]

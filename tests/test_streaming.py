@@ -593,10 +593,12 @@ def test_lakecdf_streams_append_commits_without_materialization(spark, tmp_path)
     )
     q.awaitTermination(120)
     rows = {
-        (r.k, r.v, r._change_type)
+        (r.k, r.v, r._change_type, r._commit_ordinal)
         for r in spark.sql("SELECT * FROM cdf_append").collect()
     }
-    assert rows == {(1, "a", "insert"), (2, "b", "insert")}
+    # _commit_ordinal sequences the commits WITHIN the batch (oldest
+    # first) — the ordering column the net-outcome collapse needs
+    assert rows == {(1, "a", "insert", 0), (2, "b", "insert", 1)}
 
 
 def test_lake_replication_via_cdf_stream(spark, tmp_path):
@@ -635,7 +637,7 @@ def test_lake_replication_via_cdf_stream(spark, tmp_path):
                     F.when(
                         F.col("_change_type") == "delete", "delete"
                     ).otherwise(None),
-                ).drop("_change_type")
+                ).drop("_change_type", "_commit_ordinal")
             )
             .to_merge(
                 b, on=["k"], checkpoint=ckpt, op_col="op",

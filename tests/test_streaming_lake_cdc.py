@@ -336,10 +336,10 @@ def _delta_rows(spark, path, read_delta):
 
 def test_lakecdf_to_standalone_delta_replication(spark, tmp_path):
     """Manifest lake -> standalone Delta, continuously: the lake's
-    change stream (lakecdf, insert/delete tagged, no commit-version
-    column) drives to_delta_merge(change_feed=True) — the collapse
-    tolerates the missing ordering column because lakecdf batches are
-    run-scoped."""
+    change stream (lakecdf, insert/delete tagged, commits sequenced by
+    _commit_ordinal) drives to_delta_merge(change_feed=True) — the
+    collapse orders by the ordinal so multi-commit micro-batches net
+    correctly."""
     from incubator_gobblin_spark.sinks.delta_maintenance import (
         write_delta_table,
     )
@@ -383,3 +383,87 @@ def test_lakecdf_to_standalone_delta_replication(spark, tmp_path):
     got = {r.k: r.v for r in read_delta(spark, dst).collect()}
     assert got[1] == "NEW" and 3 not in got and got[99] == "ins"
     assert len(got) == 8  # 8 - 1 delete + 1 insert
+
+
+def test_lakecdf_multi_commit_batch_nets_cross_commit_delete(spark, tmp_path):
+    """One micro-batch spanning SEVERAL lake commits must collapse to
+    the net outcome ACROSS commits (r11 ADVICE medium): a key inserted
+    in commit N and deleted in commit N+1 of the same batch must NOT
+    survive — _commit_ordinal sequences the commits so the delete
+    outranks the earlier insert. The reverse (delete then reinsert)
+    must survive."""
+    from incubator_gobblin_spark.sinks.delta_maintenance import (
+        write_delta_table,
+    )
+    from incubator_gobblin_spark.sinks.files import FileSink
+    from incubator_gobblin_spark.sources.delta_import import read_delta
+
+    lake = str(tmp_path / "lake")
+    dst = str(tmp_path / "dst_delta")
+    sink = FileSink(path=lake, commit_mode="manifest")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(4)], "k long, v string"
+    )
+    sink.write_staging(base, "r0")
+    sink.publish("r0")
+    # commit r1: insert key 100; delete key 2
+    sink.merge_into(
+        spark,
+        spark.createDataFrame(
+            [(100, "born", "upsert"), (2, None, "delete")],
+            "k long, v string, op string",
+        ),
+        on=["k"],
+        run_id="r1",
+        op_col="op",
+    )
+    # commit r2: delete key 100 (insert->delete across commits);
+    # reinsert key 2 (delete->insert across commits)
+    sink.merge_into(
+        spark,
+        spark.createDataFrame(
+            [(100, None, "delete"), (2, "reborn", "upsert")],
+            "k long, v string, op string",
+        ),
+        on=["k"],
+        run_id="r2",
+        op_col="op",
+    )
+
+    write_delta_table(spark, base.limit(0), dst)
+    q = (
+        StreamPipeline(spark, "lake-to-delta-multicommit")
+        .source_lake_cdf(lake)
+        .to_delta_merge(
+            dst,
+            on=["k"],
+            checkpoint=str(tmp_path / "ckpt"),
+            change_feed=True,
+            app_id="lake-repl-mc",
+            once=True,
+        )
+    )
+    q.awaitTermination(120)
+    got = {r.k: r.v for r in read_delta(spark, dst).collect()}
+    assert 100 not in got, "insert-then-delete across commits must die"
+    assert got[2] == "reborn", "delete-then-reinsert must survive"
+    assert got == {0: "v0", 1: "v1", 2: "reborn", 3: "v3"}
+
+
+def test_change_feed_without_order_column_is_refused(spark, tmp_path):
+    """change_feed=True over a stream with no _commit_version /
+    _commit_ordinal raises rather than collapsing unorderably."""
+    import pytest
+
+    from incubator_gobblin_spark.streaming.flow import (
+        _change_feed_order_cols,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", "insert")], "k long, v string, _change_type string"
+    )
+    with pytest.raises(ValueError, match="commit-ordering column"):
+        _change_feed_order_cols(df)
+    assert _change_feed_order_cols(
+        df.withColumn("_commit_ordinal", F.lit(0).cast("long"))
+    ) == ["_commit_ordinal"]
