@@ -6977,6 +6977,96 @@ def q154_replicate_delta_to_iceberg_agg(
     )
 
 
+@register(
+    "q155_iceberg_changelog_stream_agg",
+    """
+    WITH after1 AS (
+      SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 5 <> 2
+    ),
+    upd AS (
+      SELECT doc_id, lang, n_chars + 1000 AS n_chars
+      FROM after1 WHERE doc_id % 7 = 0
+    ),
+    ins AS (
+      SELECT doc_id + 900000 AS doc_id, lang, n_chars
+      FROM documents WHERE doc_id < 4
+    ),
+    changes AS (
+      SELECT 0 AS ordinal, 'insert' AS change_type, n_chars
+      FROM documents
+      UNION ALL SELECT 1, 'delete', n_chars
+      FROM documents WHERE doc_id % 5 = 2
+      UNION ALL SELECT 2, 'delete', n_chars
+      FROM after1 WHERE doc_id % 7 = 0
+      UNION ALL SELECT 2, 'insert', n_chars FROM upd
+      UNION ALL SELECT 2, 'insert', n_chars FROM ins
+    )
+    SELECT CAST(ordinal AS INT) AS ordinal,
+           change_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM changes GROUP BY 1, 2
+    """,
+)
+def q155_iceberg_changelog_stream_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Iceberg changelog as a STRUCTURED STREAMING source
+    (icebergstream readchangefeed=true — the r11 VERDICT's "last hole
+    in the CDC matrix") under the hard oracle: one availableNow drain
+    of q151's cached 4-snapshot fixture must deliver exactly the batch
+    changelog's rows — per-snapshot inserts, parent-state-recovered
+    deletes (position AND equality tombstones applied executor-side
+    with pyarrow), the replace snapshot invisible — aggregated per
+    (ordinal, change_type) against the same oracle as q151.
+
+    Scale shape: offsets and snapshot diffing are driver-side manifest
+    metadata; every touched data file is one executor-side pyarrow
+    split, tombstones read once per split — never O(table) per batch.
+    """
+    import os as _os
+    import shutil as _shutil
+
+    from incubator_gobblin_spark.sources import iceberg_stream
+
+    cache = _changelog_fixture(spark, sf_dir)
+    stream_cache = _cache_dir("iceberg_changelog_stream", sf_dir, "documents")
+    out = _os.path.join(stream_cache, "out")
+    ckpt = _os.path.join(stream_cache, "ckpt")
+    done = _os.path.join(stream_cache, "_DRAINED")
+    if not _os.path.exists(done):
+        # an interrupted drain leaves a partial sink — rebuild it whole
+        _shutil.rmtree(out, ignore_errors=True)
+        _shutil.rmtree(ckpt, ignore_errors=True)
+        iceberg_stream.register(spark)
+        q = (
+            spark.readStream.format("icebergstream")
+            .option("path", cache)
+            .option("readchangefeed", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(
+                "q155: changelog stream drain did not terminate"
+            )
+        with open(done, "w") as fh:
+            fh.write("ok")
+    ch = spark.read.parquet(out)
+    return ch.groupBy(
+        F.col("_change_ordinal").alias("ordinal"),
+        F.col("_change_type").alias("change_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship: the multi-way broadcast star join + aggregation."""
     return q03_revenue_by_nation(spark, sf_dir)

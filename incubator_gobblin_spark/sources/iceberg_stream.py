@@ -27,10 +27,31 @@ delete manifests refuse in served snapshots, and a checkpointed
 offset that predates the surviving chain (expiry dropped unconsumed
 snapshots) fails loudly rather than silently skipping rows.
 
+``option("readchangefeed", "true")`` switches the stream to CHANGELOG
+mode — the streaming face of ``sources.iceberg_changelog``: each
+micro-batch carries the net row-level CHANGES of the snapshots that
+landed since the checkpointed offset, tagged ``_change_type``
+(``insert``/``delete``) + ``_change_ordinal`` (the snapshot's 0-based
+position within the batch, the ordering column CDC sinks collapse on)
++ ``_commit_snapshot_id``. Deletes are RECOVERED from the parent
+snapshot per data file, executor-side with pyarrow (no Spark session
+inside a Python DataSource — the lakecdf precedent): removed data
+files contribute their parent-live rows, new position-delete files
+their (file, pos) hits, new equality-delete files their key matches
+(identity partition scope honored; transform-scoped delete files
+refuse with guidance to the batch reader). ``replace`` snapshots
+(compaction) are invisible, exactly like iceberg-core's
+IncrementalChangelogScan. A fresh earliest-stream on an
+expiry-truncated head serves the survivor's EFFECTIVE state (its own
+delete files applied) as the initial batch — the same rule as the
+batch changelog and the append stream.
+
 Scale shape: snapshot replay is driver-side metadata (the range
 manifests only); every added data file is one executor-side pyarrow
 partition; identity partition values restore from the manifest's
-typed partition struct.
+typed partition struct. Changelog delete recovery reads each parent
+data file once per delete-carrying snapshot, tombstone files once per
+touched split — O(touched files), never O(table).
 """
 
 from __future__ import annotations
@@ -48,6 +69,41 @@ class _AddedFile(InputPartition):
     def __init__(self, path: str, partition_values: dict):
         self.path = path
         self.partition_values = partition_values
+
+
+class _ChangeSplit(InputPartition):
+    """One changelog split: an added data file streaming raw rows as
+    ``insert`` (no masks), or a parent data file whose rows are
+    recovered against tombstones. ``emit`` is the change type produced;
+    ``standing_*`` are the tombstones already dead at the parent (or,
+    for effective-state inserts, at the served snapshot); ``new_*``
+    are the snapshot's new tombstones whose hits BECOME the deletes.
+    ``new_eq``/``standing_eq`` entries are ``(path, key_cols,
+    [(scope_src_col, scope_value_str), ...])``."""
+
+    def __init__(
+        self,
+        path: str,
+        partition_values: dict,
+        ordinal: int,
+        snapshot_id: int,
+        emit: str,
+        removed: bool = False,
+        new_pos: list | None = None,
+        new_eq: list | None = None,
+        standing_pos: list | None = None,
+        standing_eq: list | None = None,
+    ):
+        self.path = path
+        self.partition_values = partition_values
+        self.ordinal = ordinal
+        self.snapshot_id = snapshot_id
+        self.emit = emit
+        self.removed = removed
+        self.new_pos = new_pos or []
+        self.new_eq = new_eq or []
+        self.standing_pos = standing_pos or []
+        self.standing_eq = standing_eq or []
 
 
 def _metadata(path: str) -> dict:
@@ -100,6 +156,9 @@ def _table_schema(path: str):
     return schema, part_cols, ftype
 
 
+_CHANGE_COLS = ("_change_type", "_change_ordinal", "_commit_snapshot_id")
+
+
 class IcebergStreamReader(DataSourceStreamReader):
     def __init__(self, options, schema, part_cols, part_types):
         self.root = options["path"]
@@ -107,8 +166,16 @@ class IcebergStreamReader(DataSourceStreamReader):
         self.skip_change_commits = (
             options.get("skipchangecommits", "false") == "true"
         )
+        # changelog mode (the batch read_iceberg_changelog semantics
+        # as a stream): micro-batches carry change rows, deletes
+        # recovered executor-side — see the module docstring
+        self.read_change_feed = (
+            options.get("readchangefeed", "false") == "true"
+        )
         self.fields = [
-            (f.name, f.dataType.simpleString()) for f in schema.fields
+            (f.name, f.dataType.simpleString())
+            for f in schema.fields
+            if f.name not in _CHANGE_COLS
         ]
         self.part_cols = part_cols
         self.part_types = part_types
@@ -153,6 +220,8 @@ class IcebergStreamReader(DataSourceStreamReader):
         )
 
         lo, hi = int(start["seq"]), int(end["seq"])
+        if self.read_change_feed:
+            return self._changelog_partitions(lo, hi)
         snaps = self._snaps()
         in_range = [s for s in snaps if lo < self._seq_of(s) <= hi]
         # truncation guard (the delta_stream discipline): a previously
@@ -259,6 +328,216 @@ class IcebergStreamReader(DataSourceStreamReader):
                 _emit(snap, full_state=False)
         return parts or [_AddedFile("", {})]
 
+    def _changelog_partitions(self, lo: int, hi: int):
+        """Changelog micro-batch planning (driver-side manifest
+        metadata only): per snapshot in (lo, hi] by sequence number,
+        added data files become raw ``insert`` splits and every parent
+        data file touched by removals / new delete files becomes one
+        recovery split (the batch read_iceberg_changelog semantics,
+        shipped as per-file pyarrow work instead of union plans)."""
+        from incubator_gobblin_spark.sources.iceberg_import import (
+            snapshot_files,
+        )
+
+        if hi <= lo:
+            return [_ChangeSplit("", {}, 0, 0, "insert")]
+        metadata = _metadata(self.root)
+        snaps = self._snaps()
+        in_range = [s for s in snaps if lo < self._seq_of(s) <= hi]
+        if not in_range:
+            return [_ChangeSplit("", {}, 0, 0, "insert")]
+        if lo > 0 and snaps and self._seq_of(snaps[0]) > lo + 1:
+            raise ValueError(
+                f"icebergstream: snapshots ({lo}, "
+                f"{self._seq_of(snaps[0])}) were expired; the stream's "
+                "checkpointed offset predates the surviving history — "
+                "restart from a fresh checkpoint"
+            )
+        schema_json = next(
+            s
+            for s in metadata["schemas"]
+            if s["schema-id"] == metadata["current-schema-id"]
+        )
+        field_name = {f["id"]: f["name"] for f in schema_json["fields"]}
+        specs_by_id = {
+            s["spec-id"]: s for s in metadata.get("partition-specs", [])
+        }
+        retained = {s["snapshot-id"] for s in metadata.get("snapshots", [])}
+
+        def _abs(p: str) -> str:
+            from incubator_gobblin_spark.sources.iceberg_import import (
+                _local_path,
+            )
+
+            p = _local_path(p)
+            return p if os.path.isabs(p) else os.path.join(self.root, p)
+
+        def _eq_scopes(d: dict) -> list[tuple[str, str]]:
+            """(source_col, scope_value_str) per non-null scope entry
+            of equality delete ``d``, resolved through the delete
+            file's own spec. Identity transforms only — a
+            transform-scoped delete (bucket/truncate/day...) cannot be
+            re-evaluated here without the JVM expression library, so
+            it refuses with guidance rather than over- or
+            under-deleting."""
+            scopes: list[tuple[str, str]] = []
+            spec_d = specs_by_id.get(d.get("spec_id", 0))
+            for sc, v in sorted((d.get("partition") or {}).items()):
+                if v is None:
+                    continue  # null scope component = global
+                pf = None
+                if spec_d:
+                    pf = next(
+                        (
+                            f
+                            for f in spec_d["fields"]
+                            if (
+                                f.get("name")
+                                or field_name.get(f["source-id"])
+                            )
+                            == sc
+                        ),
+                        None,
+                    )
+                if pf is None:
+                    src = sc  # identity column of the current spec
+                elif pf["transform"] == "identity":
+                    src = field_name.get(pf["source-id"], sc)
+                else:
+                    raise ValueError(
+                        "icebergstream changelog: equality delete "
+                        f"{d['path']} is scoped to TRANSFORM partition "
+                        f"field {sc!r} ({pf['transform']}) — not "
+                        "evaluable in the stream reader; use the batch "
+                        "read_iceberg_changelog for this table"
+                    )
+                scopes.append((src, str(v)))
+            return scopes
+
+        def _op(s: dict) -> str:
+            return s.get("summary", {}).get("operation", "append")
+
+        parts: list[_ChangeSplit] = []
+        for ordinal, snap in enumerate(in_range):
+            sid = snap["snapshot-id"]
+            if _op(snap) == "replace":
+                # RewriteDataFiles / compaction: files move, rows don't
+                continue
+            parent_id = snap.get("parent-snapshot-id")
+            if parent_id is not None and parent_id not in retained:
+                raise ValueError(
+                    f"icebergstream changelog: snapshot {sid}'s parent "
+                    f"{parent_id} was expired — changes before the "
+                    "oldest retained ancestry are not reconstructible; "
+                    "restart from a fresh checkpoint"
+                )
+            files_s, dels_s = snapshot_files(
+                metadata, self.root, sid, collect_deletes=True
+            )
+            if parent_id is None:
+                if lo > 0:
+                    raise ValueError(
+                        f"icebergstream changelog: snapshot {sid} has "
+                        "no retained parent but the stream is mid-"
+                        "history (offset {lo}) — expiry truncated the "
+                        "chain; restart from a fresh checkpoint"
+                    )
+                # fresh stream's initial batch: the snapshot's
+                # EFFECTIVE state (its own delete files applied) as
+                # inserts — the expiry-truncated-head rule shared with
+                # the batch changelog and deltastream
+                for f in files_s:
+                    st_pos = [
+                        _abs(d["path"]) for d in dels_s if d["content"] == 1
+                    ]
+                    st_eq = [
+                        (
+                            _abs(d["path"]),
+                            [field_name[i] for i in d["equality_ids"]],
+                            _eq_scopes(d),
+                        )
+                        for d in dels_s
+                        if d["content"] == 2 and d["seq"] > f["seq"]
+                    ]
+                    parts.append(
+                        _ChangeSplit(
+                            _abs(f["path"]),
+                            dict(f.get("partition") or {}),
+                            ordinal,
+                            sid,
+                            "insert",
+                            standing_pos=st_pos,
+                            standing_eq=st_eq,
+                        )
+                    )
+                continue
+            files_p, dels_p = snapshot_files(
+                metadata, self.root, parent_id, collect_deletes=True
+            )
+            paths_p = {f["path"] for f in files_p}
+            paths_s = {f["path"] for f in files_s}
+            # inserts: data files this snapshot added, read raw
+            for f in files_s:
+                if f["path"] not in paths_p:
+                    parts.append(
+                        _ChangeSplit(
+                            _abs(f["path"]),
+                            dict(f.get("partition") or {}),
+                            ordinal,
+                            sid,
+                            "insert",
+                        )
+                    )
+            removed_paths = paths_p - paths_s
+            del_paths_p = {d["path"] for d in dels_p}
+            new_dels = [d for d in dels_s if d["path"] not in del_paths_p]
+            if not removed_paths and not new_dels:
+                continue
+            new_pos = [_abs(d["path"]) for d in new_dels if d["content"] == 1]
+            new_eq = [
+                (
+                    _abs(d["path"]),
+                    [field_name[i] for i in d["equality_ids"]],
+                    _eq_scopes(d),
+                )
+                for d in new_dels
+                if d["content"] == 2
+            ]
+            # deletes: recover from every parent data file that could
+            # be hit — removed files entirely, others against the new
+            # tombstones (a split with zero hits emits zero rows)
+            for f in files_p:
+                was_removed = f["path"] in removed_paths
+                if not was_removed and not new_pos and not new_eq:
+                    continue
+                st_pos = [
+                    _abs(d["path"]) for d in dels_p if d["content"] == 1
+                ]
+                st_eq = [
+                    (
+                        _abs(d["path"]),
+                        [field_name[i] for i in d["equality_ids"]],
+                        _eq_scopes(d),
+                    )
+                    for d in dels_p
+                    if d["content"] == 2 and d["seq"] > f["seq"]
+                ]
+                parts.append(
+                    _ChangeSplit(
+                        _abs(f["path"]),
+                        dict(f.get("partition") or {}),
+                        ordinal,
+                        sid,
+                        "delete",
+                        removed=was_removed,
+                        new_pos=new_pos,
+                        new_eq=new_eq,
+                        standing_pos=st_pos,
+                        standing_eq=st_eq,
+                    )
+                )
+        return parts or [_ChangeSplit("", {}, 0, 0, "insert")]
+
     def _cast_part(self, ddl_type: str, v):
         if v is None:
             return None
@@ -280,12 +559,12 @@ class IcebergStreamReader(DataSourceStreamReader):
             f"icebergstream: unsupported partition column type {ddl_type}"
         )
 
-    def read(self, part: _AddedFile):
-        if not part.path:
-            return
-        import pyarrow.parquet as pq
-
-        table = pq.read_table(part.path)
+    def _columns(self, table, partition_values: dict) -> dict[str, list]:
+        """Declared-schema column values of one data file (pyarrow
+        Table): parquet columns resolve by embedded field id when the
+        file carries ids (rename-safe, spec §Schema Evolution), by
+        name otherwise; identity partition columns restore from the
+        manifest's typed partition struct."""
         n = table.num_rows
         # field-id index of THIS file's columns (empty when the file
         # carries no ids — this engine's own exports match by name)
@@ -312,14 +591,117 @@ class IcebergStreamReader(DataSourceStreamReader):
                 src = name
             if name in self.part_cols:
                 cols[name] = [
-                    self._cast_part(ddl, part.partition_values.get(name))
+                    self._cast_part(ddl, partition_values.get(name))
                 ] * n
             elif src is not None and src in table.column_names:
                 cols[name] = table.column(src).to_pylist()
             else:
                 cols[name] = [None] * n
-        for i in range(n):
+        return cols
+
+    def read(self, part):
+        if isinstance(part, _ChangeSplit):
+            yield from self._read_change(part)
+            return
+        if not part.path:
+            return
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(part.path)
+        cols = self._columns(table, part.partition_values)
+        for i in range(table.num_rows):
             yield tuple(cols[name][i] for name, _ in self.fields)
+
+    def _read_change(self, part: _ChangeSplit):
+        """Recover one data file's change rows against its tombstones
+        (pure pyarrow — no Spark session inside a Python DataSource).
+        ``emit="insert"`` without masks streams the file raw (an added
+        file); with standing tombstones it streams the file's ALIVE
+        rows (effective-state initial batch). ``emit="delete"``
+        streams the rows alive at the parent that the snapshot's new
+        tombstones (or whole-file removal) kill."""
+        if not part.path:
+            return
+        from urllib.parse import unquote
+
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(part.path)
+        n = table.num_rows
+        cols = self._columns(table, part.partition_values)
+        me = os.path.abspath(part.path)
+
+        def _norm_fp(fp: str) -> str:
+            """Position-delete file_path values come as file:// URIs,
+            single-slash file: URIs (the _metadata form), or plain
+            (possibly percent-encoded, possibly relative) paths —
+            normalize all to a decoded absolute path, the same rule as
+            the batch reader's decoded_file_path."""
+            fp = str(fp)
+            if fp.startswith("file://"):
+                from urllib.parse import urlparse
+
+                fp = unquote(urlparse(fp).path)
+            elif fp.startswith("file:"):
+                fp = unquote(fp[5:])
+            else:
+                fp = unquote(fp)
+            if not os.path.isabs(fp):
+                fp = os.path.join(self.root, fp)
+            return os.path.abspath(fp)
+
+        def _pos_hits(paths: list[str]) -> set[int]:
+            hits: set[int] = set()
+            for p in paths:
+                t = pq.read_table(p, columns=["file_path", "pos"])
+                fps = t.column("file_path").to_pylist()
+                poss = t.column("pos").to_pylist()
+                for fp, pos in zip(fps, poss):
+                    if _norm_fp(fp) == me:
+                        hits.add(int(pos))
+            return hits
+
+        def _eq_hits(entries: list) -> set[int]:
+            hits: set[int] = set()
+            for p, key_cols, scopes in entries:
+                t = pq.read_table(p, columns=list(key_cols))
+                keys = set(
+                    zip(*[t.column(c).to_pylist() for c in key_cols])
+                )
+                if not keys:
+                    continue
+                row_keys = [cols.get(c, [None] * n) for c in key_cols]
+                scope_vals = [
+                    (cols.get(src, [None] * n), sval)
+                    for src, sval in scopes
+                ]
+                for i in range(n):
+                    if tuple(rk[i] for rk in row_keys) not in keys:
+                        continue
+                    # identity partition scope: every component must
+                    # match (None row value never matches a scope)
+                    in_scope = all(
+                        vals[i] is not None and str(vals[i]) == sval
+                        for vals, sval in scope_vals
+                    )
+                    if in_scope:
+                        hits.add(i)
+            return hits
+
+        dead = _pos_hits(part.standing_pos) | _eq_hits(part.standing_eq)
+        if part.emit == "insert":
+            emit_rows = [i for i in range(n) if i not in dead]
+        elif part.removed:
+            emit_rows = [i for i in range(n) if i not in dead]
+        else:
+            killed = _pos_hits(part.new_pos) | _eq_hits(part.new_eq)
+            emit_rows = sorted(killed - dead)
+        for i in emit_rows:
+            yield tuple(cols[name][i] for name, _ in self.fields) + (
+                part.emit,
+                part.ordinal,
+                part.snapshot_id,
+            )
 
     def commit(self, end: dict) -> None:
         pass
@@ -338,6 +720,23 @@ class IcebergStreamDataSource(DataSource):
 
     def schema(self):
         schema, _, _ = _table_schema(self.options["path"])
+        if self.options.get("readchangefeed", "false") == "true":
+            from pyspark.sql.types import (
+                IntegerType,
+                LongType,
+                StringType,
+                StructField,
+                StructType,
+            )
+
+            return StructType(
+                list(schema.fields)
+                + [
+                    StructField("_change_type", StringType()),
+                    StructField("_change_ordinal", IntegerType()),
+                    StructField("_commit_snapshot_id", LongType()),
+                ]
+            )
         return schema
 
     def streamReader(self, schema):

@@ -559,6 +559,22 @@ def _ship_package(spark) -> None:
                     full = os.path.join(dirpath, f)
                     z.write(full, os.path.relpath(full, root))
     spark.sparkContext.addPyFile(zpath)
+    # Spark's DRIVER-side Python streaming source runner resolves its
+    # includes under <userFiles>/streaming_job/ (the root it is handed
+    # is suffixed), but addPyFile materializes the zip in <userFiles>/
+    # itself — without this mirror copy, every streaming Python
+    # DataSource unpickle fails with ModuleNotFoundError whenever the
+    # driver's cwd isn't the repo root.
+    try:
+        import shutil
+
+        from pyspark.core.files import SparkFiles
+
+        sj = os.path.join(SparkFiles.getRootDirectory(), "streaming_job")
+        os.makedirs(sj, exist_ok=True)
+        shutil.copy(zpath, os.path.join(sj, os.path.basename(zpath)))
+    except Exception:
+        pass  # non-local deployments install the package instead
     spark._igs_pkg_shipped = True
 
 

@@ -35,11 +35,15 @@ from incubator_gobblin_spark.operators.converters import Transform
 from incubator_gobblin_spark.operators.quality import RowPolicy, check_rows
 
 
+#: Non-ordering change-feed metadata columns dropped before the merge
+_CHANGE_FEED_META = ("_commit_timestamp", "_commit_snapshot_id")
+
+
 def _change_feed_order_cols(src: DataFrame) -> list[str]:
     """Ordering columns for a change-feed micro-batch's net-outcome
-    collapse: ``_commit_version`` (Delta CDF shape) or
-    ``_commit_ordinal`` (lakecdf / Iceberg changelog shape). A feed
-    with NEITHER is refused: a micro-batch can span several source
+    collapse: ``_commit_version`` (Delta CDF shape), ``_commit_ordinal``
+    (lakecdf shape), or ``_change_ordinal`` (Iceberg changelog shape).
+    A feed with NONE is refused: a micro-batch can span several source
     commits (catch-up after downtime, ``once=True`` over a backlog),
     and without commit ordering an insert in one commit and a delete
     of the same key in a LATER commit are unorderable — the
@@ -47,16 +51,16 @@ def _change_feed_order_cols(src: DataFrame) -> list[str]:
     medium)."""
     order = [
         c
-        for c in ("_commit_version", "_commit_ordinal")
+        for c in ("_commit_version", "_commit_ordinal", "_change_ordinal")
         if c in src.columns
     ]
     if not order:
         raise ValueError(
             "change_feed=True requires a commit-ordering column "
-            "(_commit_version or _commit_ordinal) in the stream — "
-            f"got columns {src.columns}. A multi-commit micro-batch "
-            "cannot be collapsed to its net outcome per key without "
-            "one."
+            "(_commit_version, _commit_ordinal or _change_ordinal) in "
+            f"the stream — got columns {src.columns}. A multi-commit "
+            "micro-batch cannot be collapsed to its net outcome per "
+            "key without one."
         )
     return order
 
@@ -155,6 +159,7 @@ class StreamPipeline:
         table_path: str,
         starting_position: str = "earliest",
         skip_change_commits: bool = False,
+        read_change_feed: bool = False,
     ) -> "StreamPipeline":
         """Tail an EXTERNAL Iceberg table's snapshot chain as an append
         stream (``sources/iceberg_stream.py``): offsets are snapshot
@@ -164,7 +169,13 @@ class StreamPipeline:
         snapshots fail loudly unless ``skip_change_commits`` skips them
         entirely (zero duplicates; safe across content-preserving
         compactions like this engine's ``mode="full"`` exports, lossy
-        for genuine row rewrites)."""
+        for genuine row rewrites). ``read_change_feed=True`` switches
+        to CHANGELOG mode (the batch ``read_iceberg_changelog``
+        semantics as a stream): micro-batches carry CHANGE rows
+        (+_change_type/_change_ordinal/_commit_snapshot_id), updates
+        and deletes included, compaction invisible — compose with
+        ``to_delta_merge(change_feed=True)`` for continuous
+        Iceberg→Delta replication as ONE streaming query."""
 
         def _read(spark: SparkSession) -> DataFrame:
             from incubator_gobblin_spark.sources import iceberg_stream
@@ -177,6 +188,7 @@ class StreamPipeline:
                 .option(
                     "skipchangecommits", str(skip_change_commits).lower()
                 )
+                .option("readchangefeed", str(read_change_feed).lower())
                 .load()
             )
 
@@ -501,7 +513,7 @@ class StreamPipeline:
                     _net_outcome,
                 )
 
-                src = src.drop("_commit_timestamp")
+                src = src.drop(*_CHANGE_FEED_META)
                 order = _change_feed_order_cols(src)
                 src, deleted = _net_outcome(src, on, order)
             elif order_col is not None:
@@ -593,7 +605,7 @@ class StreamPipeline:
                     _net_outcome,
                 )
 
-                src = src.drop("_commit_timestamp")
+                src = src.drop(*_CHANGE_FEED_META)
                 order = _change_feed_order_cols(src)
                 src, deleted = _net_outcome(src, on, order)
             elif order_col is not None:
