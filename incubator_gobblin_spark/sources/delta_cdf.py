@@ -299,6 +299,7 @@ def read_delta_changes(
         table_schema = StructType.fromJson(_physicalize_type(schema_json))
         phys_of = {f["name"]: _cm_phys(f) for f in schema_json["fields"]}
         part_cols = [phys_of[c] for c in logical_part_cols]
+        pv_keys = part_cols
 
         def _finish(df: DataFrame) -> DataFrame:
             return df.select(
@@ -314,15 +315,35 @@ def read_delta_changes(
             )
 
     elif mode == "id":
-        raise ValueError(
-            "read_delta_changes: columnMapping mode=id is not "
-            "supported by the CDF reader (cdc files would need "
-            "field-id resolution alongside the unmapped _change_type "
-            "column) — use mode=name tables or the snapshot reader"
+        # columnMapping mode=id: data AND cdc parquet carry field ids
+        # (physical names on disk); the read schema keeps LOGICAL
+        # names tagged with parquet.field.id so Spark's native
+        # field-id matching resolves the columns inside the scan.
+        # _change_type itself is never mapped and carries no id — a
+        # requested field WITHOUT an id falls back to name matching,
+        # so it resolves alongside the id-tagged table columns.
+        # partitionValues stay keyed by PHYSICAL name (the protocol's
+        # rule in both modes) — grouping keys use pv_keys while the
+        # restored column keeps its logical schema name.
+        from incubator_gobblin_spark.session import ensure_field_id_read
+        from incubator_gobblin_spark.sources.delta_import import (
+            _cm_phys,
+            _fieldid_type,
         )
+
+        ensure_field_id_read(spark)
+        table_schema = StructType.fromJson(_fieldid_type(schema_json))
+        phys_of = {f["name"]: _cm_phys(f) for f in schema_json["fields"]}
+        part_cols = list(logical_part_cols)
+        pv_keys = [phys_of[c] for c in logical_part_cols]
+
+        def _finish(df: DataFrame) -> DataFrame:
+            return df
+
     else:
         table_schema = StructType.fromJson(schema_json)
         part_cols = logical_part_cols
+        pv_keys = part_cols
 
         def _finish(df: DataFrame) -> DataFrame:
             return df
@@ -351,7 +372,7 @@ def read_delta_changes(
             # cdc files carry _change_type IN the file
             df = assemble_snapshot(
                 spark,
-                _groups_of(path, payload, part_cols),
+                _groups_of(path, payload, pv_keys),
                 out_schema,
                 part_cols,
                 union_threshold,
@@ -360,7 +381,7 @@ def read_delta_changes(
         elif kind == "insert":
             df = assemble_snapshot(
                 spark,
-                _groups_of(path, payload, part_cols),
+                _groups_of(path, payload, pv_keys),
                 table_schema,
                 part_cols,
                 union_threshold,
@@ -372,7 +393,7 @@ def read_delta_changes(
             if plain:
                 df = assemble_snapshot(
                     spark,
-                    _groups_of(path, plain, part_cols),
+                    _groups_of(path, plain, pv_keys),
                     table_schema,
                     part_cols,
                     union_threshold,
@@ -385,7 +406,7 @@ def read_delta_changes(
 
                 df = assemble_snapshot(
                     spark,
-                    _groups_of(path, [r for r, _ in dvd], part_cols),
+                    _groups_of(path, [r for r, _ in dvd], pv_keys),
                     table_schema,
                     part_cols,
                     union_threshold,

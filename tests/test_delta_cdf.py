@@ -484,16 +484,121 @@ def test_hand_authored_column_mapped_cdf_table(spark, tmp_path):
         (1, "A", "delete", 2),
         (2, "b", "delete", 2),
     ])
-    # mode=id refuses loudly
-    log = os.path.join(root, "_delta_log", f"{0:020d}.json")
-    acts = [json.loads(line) for line in open(log) if line.strip()]
-    for a in acts:
-        if "metaData" in a:
-            a["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
-    with open(log, "w") as fh:
-        fh.write("\n".join(json.dumps(a) for a in acts) + "\n")
-    with pytest.raises(ValueError, match="mode=id"):
-        read_delta_changes(spark, root, 0)
+
+def test_hand_authored_id_mapped_cdf_table(spark, tmp_path):
+    """CDF over a columnMapping mode=id table: data AND cdc parquet
+    carry parquet field ids with physical on-disk names; the reader
+    resolves table columns by FIELD ID (rename-safe) while the
+    unmapped _change_type column resolves by name alongside them
+    (r11 VERDICT ask 7 — the mode=name test cloned to id mode)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "idmapped")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    os.makedirs(os.path.join(root, "_change_data"))
+
+    def _commit(v, actions):
+        with open(
+            os.path.join(root, "_delta_log", f"{v:020d}.json"), "w"
+        ) as fh:
+            fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+
+    def _ids_parquet(rel, cols, with_ct=None):
+        """Write parquet whose table columns carry PARQUET:field_id
+        and PHYSICAL names — the id-mode writer's on-disk shape."""
+        fields = [
+            pa.field("col-aaa", pa.int64(),
+                     metadata={b"PARQUET:field_id": b"1"}),
+            pa.field("col-bbb", pa.string(),
+                     metadata={b"PARQUET:field_id": b"2"}),
+        ]
+        arrays = [
+            pa.array(cols[0], pa.int64()),
+            pa.array(cols[1], pa.string()),
+        ]
+        if with_ct is not None:
+            fields.append(pa.field("_change_type", pa.string()))
+            arrays.append(pa.array(with_ct, pa.string()))
+        fp = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(fp), exist_ok=True)
+        pq.write_table(pa.table(dict(zip(
+            [f.name for f in fields], arrays
+        )), schema=pa.schema(fields)), fp)
+        return os.path.getsize(fp)
+
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {
+                "delta.columnMapping.id": 1,
+                "delta.columnMapping.physicalName": "col-aaa",
+            }},
+            {"name": "v", "type": "string", "nullable": True, "metadata": {
+                "delta.columnMapping.id": 2,
+                "delta.columnMapping.physicalName": "col-bbb",
+            }},
+        ],
+    }
+    proto = {
+        "minReaderVersion": 2,
+        "minWriterVersion": 7,
+        "readerFeatures": ["columnMapping"],
+        "writerFeatures": ["columnMapping", "changeDataFeed"],
+    }
+    s0 = _ids_parquet("part-0.parquet", ([1, 2], ["a", "b"]))
+    _commit(0, [
+        {"commitInfo": {"timestamp": 1000, "operation": "WRITE"}},
+        {"protocol": proto},
+        {"metaData": {
+            "id": "t-id", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema), "partitionColumns": [],
+            "configuration": {
+                "delta.enableChangeDataFeed": "true",
+                "delta.columnMapping.mode": "id",
+            },
+            "createdTime": 1000,
+        }},
+        {"add": {"path": "part-0.parquet", "partitionValues": {},
+                 "size": s0, "modificationTime": 1000, "dataChange": True}},
+    ])
+    # v1: cdc-described update — field ids in the cdc file, unmapped
+    # _change_type riding alongside
+    s1 = _ids_parquet("part-1.parquet", ([1, 2], ["A", "b"]))
+    c1 = _ids_parquet(
+        "_change_data/cdc-1.parquet",
+        ([1, 1], ["a", "A"]),
+        with_ct=["update_preimage", "update_postimage"],
+    )
+    _commit(1, [
+        {"commitInfo": {"timestamp": 2000, "operation": "UPDATE"}},
+        {"cdc": {"path": "_change_data/cdc-1.parquet",
+                 "partitionValues": {}, "size": c1, "dataChange": False}},
+        {"remove": {"path": "part-0.parquet", "deletionTimestamp": 2000,
+                    "dataChange": True, "partitionValues": {}, "size": s0}},
+        {"add": {"path": "part-1.parquet", "partitionValues": {},
+                 "size": s1, "modificationTime": 2000, "dataChange": True}},
+    ])
+    # v2: remove-only commit — the DERIVED delete resolves by field id
+    _commit(2, [
+        {"commitInfo": {"timestamp": 3000, "operation": "DELETE"}},
+        {"remove": {"path": "part-1.parquet", "deletionTimestamp": 3000,
+                    "dataChange": True, "partitionValues": {}, "size": s1}},
+    ])
+
+    ch = read_delta_changes(spark, root, 0)
+    assert [f for f in ch.columns[:2]] == ["k", "v"]
+    got = sorted(
+        (r.k, r.v, r._change_type, r._commit_version) for r in ch.collect()
+    )
+    assert got == sorted([
+        (1, "a", "insert", 0),
+        (2, "b", "insert", 0),
+        (1, "a", "update_preimage", 1),
+        (1, "A", "update_postimage", 1),
+        (1, "A", "delete", 2),
+        (2, "b", "delete", 2),
+    ])
 
 
 def test_cdf_refuses_mid_interval_schema_change(spark, sf_dir, tmp_path):
