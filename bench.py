@@ -86,6 +86,8 @@ HEADLINE = [
     "q152_iceberg_changelog_updates_agg",  # compute-updates pairing
     "q153_replicate_iceberg_to_delta_agg",  # cross-format CDC repl ->
     "q154_replicate_delta_to_iceberg_agg",  # <- and the reverse
+    # round-12 addition: the changelog as a Structured Streaming source
+    "q155_iceberg_changelog_stream_agg",  # streaming changelog drain
 ]
 
 

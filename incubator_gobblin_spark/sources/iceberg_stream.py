@@ -400,6 +400,18 @@ class IcebergStreamReader(DataSourceStreamReader):
                         None,
                     )
                 if pf is None:
+                    if sc not in self.part_cols:
+                        # the batch reader's rule (iceberg_import.
+                        # equality_delete_scope_expr): an unresolvable
+                        # scope field must refuse — matching a guessed
+                        # column would silently under- or over-delete
+                        raise ValueError(
+                            "icebergstream changelog: equality delete "
+                            f"{d['path']} is scoped to partition field "
+                            f"{sc!r} not present in its spec "
+                            f"{d.get('spec_id')} — refusing to apply "
+                            "the delete globally"
+                        )
                     src = sc  # identity column of the current spec
                 elif pf["transform"] == "identity":
                     src = field_name.get(pf["source-id"], sc)

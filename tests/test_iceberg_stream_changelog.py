@@ -272,3 +272,58 @@ def test_changelog_stream_scoped_eq_delete_and_mid_stream_expiry_guard(
     assert sorted(map(tuple, got.select(*COLS).collect())) == sorted(
         map(tuple, expect.collect())
     )
+
+
+def test_changelog_stream_to_iceberg_upsert_one_query(
+    spark, sf_dir, tmp_path
+):
+    """Iceberg→Iceberg continuous replication as ONE streaming query
+    (changelog stream → to_iceberg_upsert(change_feed=True)) —
+    completes the streaming CDC matrix. Exactly-once via the epoch
+    watermark riding the destination's atomic metadata commit; the
+    wiped-checkpoint replay is a no-op."""
+    from incubator_gobblin_spark.sinks.iceberg_maintenance import (
+        write_iceberg_table,
+    )
+    from incubator_gobblin_spark.sources.iceberg_import import (
+        current_metadata,
+        read_iceberg,
+    )
+
+    src = str(tmp_path / "src_ice")
+    dst = str(tmp_path / "dst_ice")
+    ckpt = str(tmp_path / "ckpt")
+    docs = load_table(spark, sf_dir, "documents").select(*COLS)
+    write_iceberg_table(spark, docs, src)
+    write_iceberg_table(spark, docs.limit(0), dst)  # empty destination
+
+    def run_once():
+        q = (
+            StreamPipeline(spark, "ice-to-ice")
+            .source_iceberg(src, read_change_feed=True)
+            .to_iceberg_upsert(
+                dst, on=["doc_id"], checkpoint=ckpt, change_feed=True,
+                app_id="ice-ice-repl", once=True,
+            )
+        )
+        q.awaitTermination(180)
+
+    def _rows(df):
+        return sorted(map(tuple, df.select(*COLS).collect()))
+
+    run_once()
+    assert _rows(read_iceberg(spark, dst)) == _rows(docs)
+
+    _mutate(spark, docs, src)  # delete + upsert + compaction
+    run_once()
+    assert _rows(read_iceberg(spark, dst)) == _rows(read_iceberg(spark, src))
+
+    # wiped-checkpoint replay: the stored epoch watermark no-ops every
+    # replayed epoch — no new destination snapshot
+    import shutil
+
+    snap = current_metadata(dst)["current-snapshot-id"]
+    shutil.rmtree(ckpt)
+    run_once()
+    assert current_metadata(dst)["current-snapshot-id"] == snap
+    assert _rows(read_iceberg(spark, dst)) == _rows(read_iceberg(spark, src))
