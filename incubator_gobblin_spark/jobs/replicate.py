@@ -108,7 +108,16 @@ def replicate_iceberg_to_delta(
         read_iceberg,
     )
 
-    window_cap = max_snapshots_per_window or MAX_SNAPSHOTS_PER_CALL
+    window_cap = (
+        MAX_SNAPSHOTS_PER_CALL
+        if max_snapshots_per_window is None
+        else int(max_snapshots_per_window)
+    )
+    if window_cap <= 0:
+        raise ValueError(
+            "replicate_iceberg_to_delta: max_snapshots_per_window must "
+            f"be positive, got {window_cap}"
+        )
 
     on_cols = [on] if isinstance(on, str) else list(on)
     app = f"iceberg-repl:{os.path.abspath(src_path)}"
@@ -244,7 +253,18 @@ def replicate_delta_to_iceberg(
         read_iceberg,
     )
 
-    window_cap = max_versions_per_window or MAX_VERSIONS_PER_CALL
+    window_cap = (
+        MAX_VERSIONS_PER_CALL
+        if max_versions_per_window is None
+        else int(max_versions_per_window)
+    )
+    if window_cap <= 0:
+        # a negative cap would make the chunk loop below DECREASE
+        # start_v and never exit, committing metadata versions forever
+        raise ValueError(
+            "replicate_delta_to_iceberg: max_versions_per_window must "
+            f"be positive, got {window_cap}"
+        )
     on_cols = [on] if isinstance(on, str) else list(on)
     prop_key = f"replication.delta.version.{os.path.abspath(src_path)}"
     src_log = os.path.join(src_path, "_delta_log")

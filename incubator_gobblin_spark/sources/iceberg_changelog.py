@@ -198,10 +198,18 @@ def read_iceberg_changelog(
     frames: list[DataFrame] = []
     for ordinal, snap in enumerate(chain):
         sid = snap["snapshot-id"]
-        if (snap.get("summary") or {}).get("operation") == "replace":
-            # RewriteDataFiles / compaction: files move, rows don't
-            continue
         parent_id = snap.get("parent-snapshot-id")
+        if (
+            (snap.get("summary") or {}).get("operation") == "replace"
+            and parent_id is not None
+        ):
+            # RewriteDataFiles / compaction: files move, rows don't.
+            # A parent-LESS replace is different: it is the
+            # expiry-truncated HEAD (expire cleared the survivor's
+            # parent pointer), and skipping it would silently drop the
+            # table's entire base state from the changelog — fall
+            # through to the initial-state branches below instead.
+            continue
         if parent_id is not None and parent_id not in retained:
             # foreign-style expiry keeps dangling parent pointers
             # (iceberg-core RemoveSnapshots): this snapshot's delta is

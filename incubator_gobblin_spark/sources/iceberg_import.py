@@ -173,6 +173,28 @@ def _split_groups_by_field_ids(
     return with_ids, plain
 
 
+def norm_file_ref(p: str, root: str) -> str:
+    """Normalize a manifest- or delete-file-carried file reference to
+    a decoded ABSOLUTE local path — the single rule for path
+    COMPARISONS between manifest entries and position-delete
+    ``file_path`` values. Accepts ``file://`` URIs (the exporter's
+    spec form), single-slash ``file:`` URIs (Spark's
+    ``_metadata.file_path`` form), and plain (possibly relative)
+    paths; only URI forms are percent-decoded — a plain path may
+    legitimately contain a literal ``%``, and decoding just one side
+    of a comparison would silently mismatch."""
+    from urllib.parse import unquote, urlparse
+
+    p = str(p)
+    if p.startswith("file://"):
+        p = unquote(urlparse(p).path)
+    elif p.startswith("file:"):
+        p = unquote(p[len("file:"):])
+    if not os.path.isabs(p):
+        p = os.path.join(root, p)
+    return os.path.abspath(p)
+
+
 def _local_path(p: str) -> str:
     """Resolve a metadata-carried location to a local filesystem path.
     The exporter emits ``file://`` URIs per the Iceberg spec; older

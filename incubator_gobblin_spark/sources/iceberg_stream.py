@@ -427,15 +427,25 @@ class IcebergStreamReader(DataSourceStreamReader):
             return scopes
 
         def _op(s: dict) -> str:
-            return s.get("summary", {}).get("operation", "append")
+            return (s.get("summary") or {}).get("operation", "append")
+
+        def _eq_entry(d: dict) -> tuple:
+            return (
+                _abs(d["path"]),
+                [field_name[i] for i in d["equality_ids"]],
+                _eq_scopes(d),
+            )
 
         parts: list[_ChangeSplit] = []
         for ordinal, snap in enumerate(in_range):
             sid = snap["snapshot-id"]
-            if _op(snap) == "replace":
-                # RewriteDataFiles / compaction: files move, rows don't
-                continue
             parent_id = snap.get("parent-snapshot-id")
+            if _op(snap) == "replace" and parent_id is not None:
+                # RewriteDataFiles / compaction: files move, rows
+                # don't. A parent-LESS replace is the expiry-truncated
+                # HEAD — skipping it would drop the table's entire
+                # base state; fall through to the initial-state branch.
+                continue
             if parent_id is not None and parent_id not in retained:
                 raise ValueError(
                     f"icebergstream changelog: snapshot {sid}'s parent "
@@ -450,27 +460,23 @@ class IcebergStreamReader(DataSourceStreamReader):
                 if lo > 0:
                     raise ValueError(
                         f"icebergstream changelog: snapshot {sid} has "
-                        "no retained parent but the stream is mid-"
-                        "history (offset {lo}) — expiry truncated the "
-                        "chain; restart from a fresh checkpoint"
+                        f"no retained parent but the stream is mid-"
+                        f"history (offset {lo}) — expiry truncated "
+                        "the chain; restart from a fresh checkpoint"
                     )
                 # fresh stream's initial batch: the snapshot's
                 # EFFECTIVE state (its own delete files applied) as
                 # inserts — the expiry-truncated-head rule shared with
                 # the batch changelog and deltastream
+                st_pos = [
+                    _abs(d["path"]) for d in dels_s if d["content"] == 1
+                ]
+                eq_s = [
+                    (_eq_entry(d), d["seq"])
+                    for d in dels_s
+                    if d["content"] == 2
+                ]
                 for f in files_s:
-                    st_pos = [
-                        _abs(d["path"]) for d in dels_s if d["content"] == 1
-                    ]
-                    st_eq = [
-                        (
-                            _abs(d["path"]),
-                            [field_name[i] for i in d["equality_ids"]],
-                            _eq_scopes(d),
-                        )
-                        for d in dels_s
-                        if d["content"] == 2 and d["seq"] > f["seq"]
-                    ]
                     parts.append(
                         _ChangeSplit(
                             _abs(f["path"]),
@@ -479,7 +485,9 @@ class IcebergStreamReader(DataSourceStreamReader):
                             sid,
                             "insert",
                             standing_pos=st_pos,
-                            standing_eq=st_eq,
+                            standing_eq=[
+                                e for e, seq in eq_s if seq > f["seq"]
+                            ],
                         )
                     )
                 continue
@@ -506,13 +514,11 @@ class IcebergStreamReader(DataSourceStreamReader):
             if not removed_paths and not new_dels:
                 continue
             new_pos = [_abs(d["path"]) for d in new_dels if d["content"] == 1]
-            new_eq = [
-                (
-                    _abs(d["path"]),
-                    [field_name[i] for i in d["equality_ids"]],
-                    _eq_scopes(d),
-                )
-                for d in new_dels
+            new_eq = [_eq_entry(d) for d in new_dels if d["content"] == 2]
+            st_pos = [_abs(d["path"]) for d in dels_p if d["content"] == 1]
+            eq_p = [
+                (_eq_entry(d), d["seq"])
+                for d in dels_p
                 if d["content"] == 2
             ]
             # deletes: recover from every parent data file that could
@@ -522,18 +528,6 @@ class IcebergStreamReader(DataSourceStreamReader):
                 was_removed = f["path"] in removed_paths
                 if not was_removed and not new_pos and not new_eq:
                     continue
-                st_pos = [
-                    _abs(d["path"]) for d in dels_p if d["content"] == 1
-                ]
-                st_eq = [
-                    (
-                        _abs(d["path"]),
-                        [field_name[i] for i in d["equality_ids"]],
-                        _eq_scopes(d),
-                    )
-                    for d in dels_p
-                    if d["content"] == 2 and d["seq"] > f["seq"]
-                ]
                 parts.append(
                     _ChangeSplit(
                         _abs(f["path"]),
@@ -545,7 +539,9 @@ class IcebergStreamReader(DataSourceStreamReader):
                         new_pos=new_pos,
                         new_eq=new_eq,
                         standing_pos=st_pos,
-                        standing_eq=st_eq,
+                        standing_eq=[
+                            e for e, seq in eq_p if seq > f["seq"]
+                        ],
                     )
                 )
         return parts or [_ChangeSplit("", {}, 0, 0, "insert")]
@@ -634,33 +630,18 @@ class IcebergStreamReader(DataSourceStreamReader):
         tombstones (or whole-file removal) kill."""
         if not part.path:
             return
-        from urllib.parse import unquote
-
         import pyarrow.parquet as pq
+
+        from incubator_gobblin_spark.sources.iceberg_import import (
+            norm_file_ref,
+        )
 
         table = pq.read_table(part.path)
         n = table.num_rows
         cols = self._columns(table, part.partition_values)
-        me = os.path.abspath(part.path)
-
-        def _norm_fp(fp: str) -> str:
-            """Position-delete file_path values come as file:// URIs,
-            single-slash file: URIs (the _metadata form), or plain
-            (possibly percent-encoded, possibly relative) paths —
-            normalize all to a decoded absolute path, the same rule as
-            the batch reader's decoded_file_path."""
-            fp = str(fp)
-            if fp.startswith("file://"):
-                from urllib.parse import urlparse
-
-                fp = unquote(urlparse(fp).path)
-            elif fp.startswith("file:"):
-                fp = unquote(fp[5:])
-            else:
-                fp = unquote(fp)
-            if not os.path.isabs(fp):
-                fp = os.path.join(self.root, fp)
-            return os.path.abspath(fp)
+        # both sides of the coordinate comparison go through the ONE
+        # shared normalization rule (file://, file:, plain, relative)
+        me = norm_file_ref(part.path, self.root)
 
         def _pos_hits(paths: list[str]) -> set[int]:
             hits: set[int] = set()
@@ -669,7 +650,7 @@ class IcebergStreamReader(DataSourceStreamReader):
                 fps = t.column("file_path").to_pylist()
                 poss = t.column("pos").to_pylist()
                 for fp, pos in zip(fps, poss):
-                    if _norm_fp(fp) == me:
+                    if norm_file_ref(fp, self.root) == me:
                         hits.add(int(pos))
             return hits
 

@@ -327,3 +327,75 @@ def test_changelog_stream_to_iceberg_upsert_one_query(
     run_once()
     assert current_metadata(dst)["current-snapshot-id"] == snap
     assert _rows(read_iceberg(spark, dst)) == _rows(read_iceberg(spark, src))
+
+
+def test_changelog_replace_survivor_serves_effective_state(
+    spark, sf_dir, tmp_path
+):
+    """An expiry-truncated head whose survivor is a REPLACE snapshot
+    (expire right after compaction — a routine maintenance sequence)
+    must serve the survivor's effective state as the initial batch in
+    BOTH changelog faces. Regression: the replace-skip used to precede
+    the parent-None branch, silently dropping the table's entire base
+    state while the offset still advanced."""
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        expire_iceberg_snapshots,
+    )
+    from incubator_gobblin_spark.sources.iceberg_changelog import (
+        read_iceberg_changelog,
+    )
+    from incubator_gobblin_spark.sources.iceberg_import import (
+        current_metadata,
+        read_iceberg,
+    )
+
+    root = str(tmp_path / "repl_head")
+    docs = load_table(spark, sf_dir, "documents").select(*COLS)
+    write_iceberg_table(spark, docs, root)
+    delete_iceberg_rows(spark, root, "doc_id % 4 = 2")
+    rewrite_iceberg_data_files(spark, root)  # replace absorbs deletes
+    expire_iceberg_snapshots(root, keep_last=1)
+    meta = current_metadata(root)
+    assert len(meta["snapshots"]) == 1
+    surv = meta["snapshots"][0]
+    assert (surv.get("summary") or {}).get("operation") == "replace"
+    assert surv.get("parent-snapshot-id") is None
+
+    want = sorted(map(tuple, read_iceberg(spark, root).collect()))
+    assert want  # non-empty live state
+
+    # batch face
+    ch = read_iceberg_changelog(spark, root, None)
+    assert ch.select("_change_type").distinct().collect()[0][0] == "insert"
+    assert sorted(map(tuple, ch.select(*COLS).collect())) == want
+
+    # stream face
+    register(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drain(spark, root, out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.select("_change_type").distinct().collect()[0][0] == "insert"
+    assert sorted(map(tuple, got.select(*COLS).collect())) == want
+
+
+def test_replicate_window_caps_validate(spark, sf_dir, tmp_path):
+    """Non-positive chunk caps refuse loudly: a negative
+    max_versions_per_window used to spin the delta->iceberg chunk loop
+    forever (start_v decreasing), and a negative snapshot cap made the
+    iceberg->delta run report the backlog consumed while applying
+    nothing."""
+    from incubator_gobblin_spark.jobs.replicate import (
+        replicate_delta_to_iceberg,
+        replicate_iceberg_to_delta,
+    )
+
+    with pytest.raises(ValueError, match="must be positive"):
+        replicate_iceberg_to_delta(
+            spark, str(tmp_path / "a"), str(tmp_path / "b"),
+            on="doc_id", max_snapshots_per_window=-1,
+        )
+    with pytest.raises(ValueError, match="must be positive"):
+        replicate_delta_to_iceberg(
+            spark, str(tmp_path / "c"), str(tmp_path / "d"),
+            on="doc_id", max_versions_per_window=0,
+        )
