@@ -77,7 +77,10 @@ def register(name: str, oracle: str | None):
 #  - q86_profile_columns — column-stat aggregation; q76/q77
 #    (in-window) are the same group-quantile/moment kernels.
 # All five stay oracle-proven locally on every pytest run
-# (tests/test_oracle_parity.py); they rotate back in-window r13.
+# (tests/test_oracle_parity.py); they rotate back in-window r13,
+# together with q155 (the streaming changelog — registered after this
+# round's window was fixed, oracle-proven locally, first driver row
+# due r13 — the q149/q150 precedent).
 _WINDOW_HEAD = [
     # --- first driver rows ever: the r11 CDC/replication flagships ---
     "q150_delta_cdf_changes_agg",

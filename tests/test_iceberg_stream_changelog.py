@@ -399,3 +399,84 @@ def test_replicate_window_caps_validate(spark, sf_dir, tmp_path):
             spark, str(tmp_path / "c"), str(tmp_path / "d"),
             on="doc_id", max_versions_per_window=0,
         )
+
+
+def test_changelog_stream_refuses_transform_scoped_eq_delete(
+    spark, sf_dir, tmp_path
+):
+    """A TRANSFORM-scoped equality delete (truncate[100] bucket, the
+    q139 shape) cannot be re-evaluated inside the pure-Python stream
+    reader — the stream must refuse with guidance to the batch
+    changelog (which evaluates the transform JVM-side and succeeds)
+    rather than over- or under-deleting."""
+    import json
+
+    from incubator_gobblin_spark.sinks.files import FileSink, TableType
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        _metadata_versions,
+        append_equality_deletes,
+    )
+    from incubator_gobblin_spark.sources.iceberg_changelog import (
+        read_iceberg_changelog,
+    )
+    from incubator_gobblin_spark.sources.iceberg_import import (
+        current_metadata,
+    )
+
+    root = str(tmp_path / "tscope")
+    sink = FileSink(
+        path=root, commit_mode="manifest", table_type=TableType.APPEND_ONLY
+    )
+    docs = load_table(spark, sf_dir, "documents").select(*COLS)
+    sink.write_staging(docs, "base")
+    sink.publish("base")
+    sink.export_iceberg()  # s0
+    meta_dir = os.path.join(root, "metadata")
+    meta = current_metadata(root)
+    key_id = next(
+        f["id"] for f in meta["schemas"][0]["fields"]
+        if f["name"] == "doc_id"
+    )
+    v = _metadata_versions(meta_dir)[-1]
+    mpath = os.path.join(meta_dir, f"v{v}.metadata.json")
+    mjson = json.load(open(mpath))
+    mjson["partition-specs"][0]["fields"] = [{
+        "name": "doc_trunc", "transform": "truncate[100]",
+        "source-id": key_id, "field-id": 1000,
+    }]
+    json.dump(mjson, open(mpath, "w"))
+    keys = [
+        int(r.doc_id)
+        for r in docs.filter("doc_id % 10 = 0").select("doc_id").collect()
+    ]
+    append_equality_deletes(
+        root,
+        [{"doc_id": k} for k in sorted(keys)],
+        ["doc_id"],
+        partition_scope={"doc_trunc": 300},
+    )  # s1
+
+    # batch face succeeds (JVM transform evaluation)
+    s0 = next(
+        s["snapshot-id"]
+        for s in current_metadata(root)["snapshots"]
+        if s.get("parent-snapshot-id") is None
+    )
+    ch = read_iceberg_changelog(spark, root, s0)
+    want = {k for k in keys if k - k % 100 == 300}
+    assert {r.doc_id for r in ch.collect()} == want
+
+    # stream face refuses with guidance
+    register(spark)
+    q = (
+        spark.readStream.format("icebergstream")
+        .option("path", root)
+        .option("readchangefeed", "true")
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="TRANSFORM partition field"):
+        q.awaitTermination(120)
