@@ -128,7 +128,16 @@ def replicate_iceberg_to_delta(
         raise FileNotFoundError(
             f"replicate_iceberg_to_delta: {src_path} has no current snapshot"
         )
-    cur_seq = int(by_id[cur_id].get("sequence-number", 0))
+    if "sequence-number" not in by_id[cur_id]:
+        # a v1 table's snapshots carry no sequence numbers: the
+        # watermark would default to 0 on every run and the loop would
+        # silently never replicate another commit — refuse instead
+        raise ValueError(
+            "replicate_iceberg_to_delta: the source table's snapshots "
+            "carry no sequence-number (Iceberg format v1) — the "
+            "monotonic consumed-sequence watermark requires format v2"
+        )
+    cur_seq = int(by_id[cur_id]["sequence-number"])
 
     log_dir = os.path.join(dst_path, "_delta_log")
     exists = os.path.isdir(log_dir) and _log_versions(log_dir)
@@ -193,15 +202,26 @@ def replicate_iceberg_to_delta(
         upserts, deleted = _net_outcome(
             ch.drop("_commit_snapshot_id"), on_cols, ["_change_ordinal"]
         )
-        n_del = deleted.count()
-        if n_del:
-            # dead keys first; the txn stamp rides the FINAL commit of
-            # the chunk so a crash between the two replays the chunk
-            # (idempotently)
-            delete_delta_rows(spark, dst_path, ids=deleted, on=on_cols)
-        res = merge_delta_rows(
-            spark, dst_path, upserts, on=on_cols, txn=(app, to_seq_w)
-        )
+        # the collapse re-executes the multi-arm changelog scan on
+        # every action (count, delete, merge) — cache it once per
+        # window instead of re-reading every changed file 3×
+        upserts = upserts.persist()
+        deleted = deleted.persist()
+        try:
+            n_del = deleted.count()
+            if n_del:
+                # dead keys first; the txn stamp rides the FINAL
+                # commit of the chunk so a crash between the two
+                # replays the chunk (idempotently)
+                delete_delta_rows(
+                    spark, dst_path, ids=deleted, on=on_cols
+                )
+            res = merge_delta_rows(
+                spark, dst_path, upserts, on=on_cols, txn=(app, to_seq_w)
+            )
+        finally:
+            upserts.unpersist()
+            deleted.unpersist()
         total_up += res["rows_inserted"]
         total_del += n_del
         start_id = to_id_w
@@ -324,27 +344,35 @@ def replicate_delta_to_iceberg(
         upserts, deleted = _net_outcome(
             ch.drop("_commit_timestamp"), on_cols, ["_commit_version"]
         )
-        if deleted.isEmpty() and upserts.isEmpty():
-            # net-empty chunk (e.g. insert-then-delete): advance the
-            # watermark through a properties-only version
-            set_iceberg_table_properties(dst_path, wm)
-        else:
-            res = upsert_iceberg_rows(
-                spark,
-                dst_path,
-                upserts,
-                on=on_cols,
-                extra_delete_keys=deleted,
-                table_properties=wm,
-            )
-            if res["rows_inserted"] == 0 and res["delete_files"] == 0:
+        # cache the collapse: isEmpty + the apply each re-execute the
+        # per-commit union scan otherwise
+        upserts = upserts.persist()
+        deleted = deleted.persist()
+        try:
+            if deleted.isEmpty() and upserts.isEmpty():
+                # net-empty chunk (e.g. insert-then-delete): advance
+                # the watermark through a properties-only version
                 set_iceberg_table_properties(dst_path, wm)
-            total_up += res["rows_inserted"]
-            total_del += (
-                res["keys_deleted"] - res["rows_inserted"]
-                if res["keys_deleted"] >= res["rows_inserted"]
-                else 0
-            )
+            else:
+                res = upsert_iceberg_rows(
+                    spark,
+                    dst_path,
+                    upserts,
+                    on=on_cols,
+                    extra_delete_keys=deleted,
+                    table_properties=wm,
+                )
+                if res["rows_inserted"] == 0 and res["delete_files"] == 0:
+                    set_iceberg_table_properties(dst_path, wm)
+                total_up += res["rows_inserted"]
+                total_del += (
+                    res["keys_deleted"] - res["rows_inserted"]
+                    if res["keys_deleted"] >= res["rows_inserted"]
+                    else 0
+                )
+        finally:
+            upserts.unpersist()
+            deleted.unpersist()
         start_v = end_v + 1
     return {
         "bootstrapped": False,

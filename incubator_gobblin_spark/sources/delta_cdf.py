@@ -197,6 +197,18 @@ def plan_changes(
                         "version"
                     )
                 meta = a["metaData"]
+            elif "protocol" in a:
+                proto = a["protocol"]
+        # the interval's protocol (v0's creating action when start=0,
+        # or a mid-interval upgrade) must pass the reader gate — a
+        # table requiring reader features this engine doesn't
+        # implement would otherwise be misread instead of refused
+        if any("protocol" in a for a in acts) or (
+            v == start and start == 0
+        ):
+            check_reader_protocol(
+                proto, meta or {}, prev_live, allow_column_mapping=True
+            )
         if ts is None:
             ts = int(
                 os.path.getmtime(os.path.join(log_dir, f"{v:020d}.json"))
@@ -238,6 +250,19 @@ def plan_changes(
                     "change data was not recorded for this commit"
                 )
             if removes:
+                # a remove action's partitionValues is OPTIONAL
+                # (PROTOCOL.md: extendedFileMetadata=false omits it) —
+                # the standing add in prev_live carries the true
+                # values; without them a partitioned table's derived
+                # deletes would null-fill their partition columns
+                def _with_pv(r: dict) -> dict:
+                    if r.get("partitionValues"):
+                        return r
+                    pv = (prev_live.get(r["path"]) or {}).get(
+                        "partitionValues"
+                    )
+                    return {**r, "partitionValues": pv or {}}
+
                 plan.append(
                     (
                         v,
@@ -245,7 +270,7 @@ def plan_changes(
                         "delete",
                         [
                             (
-                                r,
+                                _with_pv(r),
                                 (prev_live.get(r["path"]) or {}).get(
                                     "deletionVector"
                                 ),

@@ -193,9 +193,25 @@ def _replay_state(
         raise FileNotFoundError(f"no Delta commits under {log_dir}")
     target = versions[-1] if version is None else version
     if target not in versions:
-        raise FileNotFoundError(
-            f"Delta version {target} not present (have {versions[0]}..{versions[-1]})"
-        )
+        # a target whose commit JSON was expired is still replayable
+        # when a checkpoint fully defines it AND every version after
+        # the checkpoint up to the target survives as JSON (in
+        # practice: target == checkpoint version, the state base the
+        # CDF reader needs after external log cleanup)
+        lc_path = os.path.join(log_dir, "_last_checkpoint")
+        covered = False
+        if os.path.exists(lc_path):
+            with open(lc_path) as fh:
+                cp_v = int(json.load(fh)["version"])
+            have = set(versions)
+            covered = cp_v <= target and all(
+                x in have for x in range(cp_v + 1, target + 1)
+            )
+        if not covered:
+            raise FileNotFoundError(
+                f"Delta version {target} not present "
+                f"(have {versions[0]}..{versions[-1]})"
+            )
 
     live: dict[str, dict] = {}
     removes: dict[str, dict] = {}

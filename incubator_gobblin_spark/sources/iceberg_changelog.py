@@ -194,21 +194,72 @@ def read_iceberg_changelog(
             .select(*out_cols)
         )
 
+    # a schema change INSIDE the interval whose top-level (id, name)
+    # field set differs from the current schema would make the parent
+    # recovery select fail opaquely (or serve old rows under the wrong
+    # column set) — refuse with split guidance, the delta_cdf rule
+    cur_fields = {
+        (f["id"], f["name"]) for f in schema_json["fields"]
+    }
+    schemas_by_id = {s["schema-id"]: s for s in metadata["schemas"]}
+    for snap in chain:
+        s_id = snap.get("schema-id")
+        if s_id is None or s_id == metadata["current-schema-id"]:
+            continue
+        s = schemas_by_id.get(s_id)
+        if s is None:
+            continue
+        if {(f["id"], f["name"]) for f in s["fields"]} != cur_fields:
+            raise ValueError(
+                "read_iceberg_changelog: the table schema changed at "
+                f"snapshot {snap['snapshot-id']}, inside the requested "
+                "interval — read the changelog in two calls split at "
+                "that snapshot"
+            )
+
+    def _bounded_broadcast(frame: DataFrame, rows: int) -> DataFrame:
+        # tombstone sets are metadata-scale in practice, but a
+        # pathological delete file must not OOM the broadcast — past
+        # the bound (known from manifest record counts, zero extra
+        # I/O) fall back to a shuffle join: identical result, bounded
+        # memory (the read_iceberg rule)
+        from incubator_gobblin_spark.sources.delta_import import (
+            TOMBSTONE_BROADCAST_MAX_ROWS,
+        )
+
+        return (
+            F.broadcast(frame)
+            if rows <= TOMBSTONE_BROADCAST_MAX_ROWS
+            else frame
+        )
+
     retained = {s["snapshot-id"] for s in metadata.get("snapshots", [])}
     frames: list[DataFrame] = []
+    # (snapshot-id, files, deletes) of the previous iteration — each
+    # snapshot's manifests decode ONCE per walk instead of twice (as
+    # itself and as the next snapshot's parent)
+    prev_state: tuple | None = None
     for ordinal, snap in enumerate(chain):
         sid = snap["snapshot-id"]
         parent_id = snap.get("parent-snapshot-id")
-        if (
+        is_replace = (
             (snap.get("summary") or {}).get("operation") == "replace"
             and parent_id is not None
-        ):
+        )
+        files_s, dels_s = snapshot_files(
+            metadata, path, sid, collect_deletes=True
+        )
+        cached_parent = prev_state
+        prev_state = (sid, files_s, dels_s)
+        if is_replace:
             # RewriteDataFiles / compaction: files move, rows don't.
             # A parent-LESS replace is different: it is the
             # expiry-truncated HEAD (expire cleared the survivor's
             # parent pointer), and skipping it would silently drop the
-            # table's entire base state from the changelog — fall
-            # through to the initial-state branches below instead.
+            # table's entire base state from the changelog — that case
+            # reaches the initial-state branches below instead. The
+            # replace's file set stays cached: it IS the next
+            # snapshot's parent state.
             continue
         if parent_id is not None and parent_id not in retained:
             # foreign-style expiry keeps dangling parent pointers
@@ -220,9 +271,6 @@ def read_iceberg_changelog(
                 "retained ancestry are not reconstructible; pass "
                 "from_snapshot_id of a retained snapshot"
             )
-        files_s, dels_s = snapshot_files(
-            metadata, path, sid, collect_deletes=True
-        )
         if parent_id is None and dels_s:
             # an expiry-truncated head (this engine's expire clears
             # the survivor's parent pointer): raw file reads would
@@ -239,13 +287,33 @@ def read_iceberg_changelog(
             )
             continue
         if parent_id is not None:
-            files_p, dels_p = snapshot_files(
-                metadata, path, parent_id, collect_deletes=True
-            )
+            if cached_parent is not None and cached_parent[0] == parent_id:
+                files_p, dels_p = cached_parent[1], cached_parent[2]
+            else:
+                files_p, dels_p = snapshot_files(
+                    metadata, path, parent_id, collect_deletes=True
+                )
         else:
             files_p, dels_p = [], []
         paths_p = {f["path"] for f in files_p}
         paths_s = {f["path"] for f in files_s}
+        del_paths_p = {d["path"] for d in dels_p}
+        new_dels = [d for d in dels_s if d["path"] not in del_paths_p]
+        pos_dels = [d for d in new_dels if d["content"] == 1]
+
+        def _pos_coords():
+            return (
+                spark.read.parquet(
+                    *[_abs(path, d["path"]) for d in pos_dels]
+                )
+                .select(
+                    decoded_file_path(F.col("file_path")).alias("_dp"),
+                    F.col("pos").cast("long").alias("_dpos"),
+                )
+                .distinct()
+            )
+
+        pos_rows = sum(d.get("record_count") or 0 for d in pos_dels)
 
         # --- inserts: data files this snapshot added ---
         added = [f for f in files_s if f["path"] not in paths_p]
@@ -263,27 +331,37 @@ def read_iceberg_changelog(
             # safe), this engine's plain exports by name — without the
             # split a renamed column would silently null-fill in
             # changelog output only (r11 ADVICE low).
-            frames.append(
-                _stamp(
-                    _assemble_iceberg(
-                        spark,
-                        groups,
-                        schema_json,
-                        schema,
-                        part_cols,
-                        union_threshold,
-                    ),
-                    "insert",
-                    ordinal,
-                    sid,
-                )
+            ins = _assemble_iceberg(
+                spark,
+                groups,
+                schema_json,
+                schema,
+                part_cols,
+                union_threshold,
+                with_positions=bool(pos_dels),
             )
+            if pos_dels:
+                # position deletes MAY target data files added in the
+                # SAME snapshot (spec: pos deletes apply at seq <=,
+                # unlike equality's strictly-before — the Flink
+                # same-checkpoint dedupe shape): those rows were never
+                # live and must not surface as inserts (iceberg-core
+                # attaches the snapshot's deletes to
+                # AddedRowsScanTask)
+                ins = ins.join(
+                    _bounded_broadcast(_pos_coords(), pos_rows),
+                    (
+                        decoded_file_path(F.col("_file_path"))
+                        == F.col("_dp")
+                    )
+                    & (F.col("_row_index") == F.col("_dpos")),
+                    "left_anti",
+                ).drop("_file_path", "_row_index")
+            frames.append(_stamp(ins, "insert", ordinal, sid))
 
         # --- deletes: removed data files + newly added delete files,
         # both recovered from the PARENT snapshot's live rows ---
         removed_paths = paths_p - paths_s
-        del_paths_p = {d["path"] for d in dels_p}
-        new_dels = [d for d in dels_s if d["path"] not in del_paths_p]
         if parent_id is None or (not removed_paths and not new_dels):
             continue
         parent = read_iceberg(
@@ -296,20 +374,9 @@ def read_iceberg_changelog(
             ]
             part = parent.filter(F.col("_norm_path").isin(removed_abs))
             dead = part
-        pos_dels = [d for d in new_dels if d["content"] == 1]
         if pos_dels:
-            coords = (
-                spark.read.parquet(
-                    *[_abs(path, d["path"]) for d in pos_dels]
-                )
-                .select(
-                    decoded_file_path(F.col("file_path")).alias("_dp"),
-                    F.col("pos").cast("long").alias("_dpos"),
-                )
-                .distinct()
-            )
             hit = parent.join(
-                F.broadcast(coords),
+                _bounded_broadcast(_pos_coords(), pos_rows),
                 (F.col("_norm_path") == F.col("_dp"))
                 & (F.col("_row_index") == F.col("_dpos")),
                 "left_semi",
@@ -392,7 +459,14 @@ def read_iceberg_changelog(
                     )
                     # null scope component = global for that column
                     cond = cond & (rhs.isNull() | comp)
-                hit = parent.join(F.broadcast(keys), cond, "left_semi")
+                hit = parent.join(
+                    _bounded_broadcast(
+                        keys,
+                        sum(d.get("record_count") or 0 for d in group),
+                    ),
+                    cond,
+                    "left_semi",
+                )
                 dead = hit if dead is None else dead.unionByName(hit)
         if dead is not None:
             # one row may match several new delete files — coordinates

@@ -358,6 +358,27 @@ class IcebergStreamReader(DataSourceStreamReader):
             for s in metadata["schemas"]
             if s["schema-id"] == metadata["current-schema-id"]
         )
+        # a schema change inside the batch whose (id, name) field set
+        # differs from the current schema would misresolve the parent
+        # recovery — refuse with split guidance (the batch reader's
+        # rule)
+        cur_fields = {(f["id"], f["name"]) for f in schema_json["fields"]}
+        schemas_by_id = {s["schema-id"]: s for s in metadata["schemas"]}
+        for s in in_range:
+            s_id = s.get("schema-id")
+            if s_id is None or s_id == metadata["current-schema-id"]:
+                continue
+            sj = schemas_by_id.get(s_id)
+            if sj and {(f["id"], f["name"]) for f in sj["fields"]} \
+                    != cur_fields:
+                raise ValueError(
+                    "icebergstream changelog: the table schema changed "
+                    f"at snapshot {s['snapshot-id']}, inside this "
+                    "micro-batch — restart the stream from a fresh "
+                    "checkpoint after the change, or consume the "
+                    "pre-change history with the batch "
+                    "read_iceberg_changelog first"
+                )
         field_name = {f["id"]: f["name"] for f in schema_json["fields"]}
         specs_by_id = {
             s["spec-id"]: s for s in metadata.get("partition-specs", [])
@@ -437,14 +458,24 @@ class IcebergStreamReader(DataSourceStreamReader):
             )
 
         parts: list[_ChangeSplit] = []
+        # previous iteration's (snapshot-id, files, deletes): each
+        # snapshot's manifests decode once per batch, not twice
+        prev_state: tuple | None = None
         for ordinal, snap in enumerate(in_range):
             sid = snap["snapshot-id"]
             parent_id = snap.get("parent-snapshot-id")
+            files_s, dels_s = snapshot_files(
+                metadata, self.root, sid, collect_deletes=True
+            )
+            cached_parent = prev_state
+            prev_state = (sid, files_s, dels_s)
             if _op(snap) == "replace" and parent_id is not None:
                 # RewriteDataFiles / compaction: files move, rows
                 # don't. A parent-LESS replace is the expiry-truncated
                 # HEAD — skipping it would drop the table's entire
-                # base state; fall through to the initial-state branch.
+                # base state; that case reaches the initial-state
+                # branch below. The replace's file set stays cached:
+                # it IS the next snapshot's parent state.
                 continue
             if parent_id is not None and parent_id not in retained:
                 raise ValueError(
@@ -453,9 +484,6 @@ class IcebergStreamReader(DataSourceStreamReader):
                     "oldest retained ancestry are not reconstructible; "
                     "restart from a fresh checkpoint"
                 )
-            files_s, dels_s = snapshot_files(
-                metadata, self.root, sid, collect_deletes=True
-            )
             if parent_id is None:
                 if lo > 0:
                     raise ValueError(
@@ -491,12 +519,22 @@ class IcebergStreamReader(DataSourceStreamReader):
                         )
                     )
                 continue
-            files_p, dels_p = snapshot_files(
-                metadata, self.root, parent_id, collect_deletes=True
-            )
+            if cached_parent is not None and cached_parent[0] == parent_id:
+                files_p, dels_p = cached_parent[1], cached_parent[2]
+            else:
+                files_p, dels_p = snapshot_files(
+                    metadata, self.root, parent_id, collect_deletes=True
+                )
             paths_p = {f["path"] for f in files_p}
             paths_s = {f["path"] for f in files_s}
-            # inserts: data files this snapshot added, read raw
+            del_paths_p = {d["path"] for d in dels_p}
+            new_dels = [d for d in dels_s if d["path"] not in del_paths_p]
+            new_pos = [_abs(d["path"]) for d in new_dels if d["content"] == 1]
+            # inserts: data files this snapshot added. Position deletes
+            # MAY target files added in the SAME snapshot (spec: pos
+            # deletes apply at seq <=, unlike equality's strictly-
+            # before — the Flink same-checkpoint dedupe shape): the
+            # split's standing_pos mask excludes those never-live rows.
             for f in files_s:
                 if f["path"] not in paths_p:
                     parts.append(
@@ -506,14 +544,12 @@ class IcebergStreamReader(DataSourceStreamReader):
                             ordinal,
                             sid,
                             "insert",
+                            standing_pos=new_pos,
                         )
                     )
             removed_paths = paths_p - paths_s
-            del_paths_p = {d["path"] for d in dels_p}
-            new_dels = [d for d in dels_s if d["path"] not in del_paths_p]
             if not removed_paths and not new_dels:
                 continue
-            new_pos = [_abs(d["path"]) for d in new_dels if d["content"] == 1]
             new_eq = [_eq_entry(d) for d in new_dels if d["content"] == 2]
             st_pos = [_abs(d["path"]) for d in dels_p if d["content"] == 1]
             eq_p = [

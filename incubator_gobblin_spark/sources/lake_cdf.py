@@ -93,10 +93,13 @@ def _chain(root: str, from_rid: str | None, to_rid: str) -> list[dict]:
 
 
 def _commit_actions(
-    root: str, m: dict
+    root: str, m: dict, parent_m: dict | None = None
 ) -> list[tuple[str, str | None]]:
     """(file_path, change_type) per changed file of one commit;
-    change_type None means the file is a tagged _changes sidecar."""
+    change_type None means the file is a tagged _changes sidecar.
+    ``parent_m`` short-circuits the parent manifest load when the
+    caller already holds it (the chain walk does — each commit's
+    parent IS the preceding chain element)."""
     rid = m["run_id"]
     cdir = os.path.join(root, "_data", rid, "_changes")
     if os.path.isdir(cdir):
@@ -108,7 +111,12 @@ def _commit_actions(
     parent = m.get("parent")
     parent_files: set[str] = set()
     if parent is not None:
-        parent_files = {e["file"] for e in _load_manifest(root, parent)["entries"]}
+        if parent_m is not None and parent_m.get("run_id") == parent:
+            parent_files = {e["file"] for e in parent_m["entries"]}
+        else:
+            parent_files = {
+                e["file"] for e in _load_manifest(root, parent)["entries"]
+            }
     cur_files = {e["file"] for e in m["entries"]}
     actions = [
         (os.path.join(root, f), "insert")
@@ -213,10 +221,13 @@ class LakeCdfStreamReader(DataSourceStreamReader):
             # Spark requires >=1 partition; an empty file list is the
             # no-op batch
             return [_FileChange("", None)]
+        chain = _chain(self.root, from_rid, to_rid)
         parts = [
             _FileChange(path, ct, ordinal)
-            for ordinal, m in enumerate(_chain(self.root, from_rid, to_rid))
-            for path, ct in _commit_actions(self.root, m)
+            for ordinal, m in enumerate(chain)
+            for path, ct in _commit_actions(
+                self.root, m, chain[ordinal - 1] if ordinal else None
+            )
         ]
         return parts or [_FileChange("", None)]
 

@@ -344,3 +344,360 @@ def test_replicate_delete_then_reinsert_same_key_one_window(
     assert len(got) == 1 and got[0].n_chars == -77
     assert sorted(map(tuple, read_delta(spark, dst_d).collect())) == \
         sorted(map(tuple, read_iceberg(spark, src_i).collect()))
+
+
+def test_changelog_same_snapshot_pos_deletes_on_added_files(
+    spark, sf_dir, tmp_path
+):
+    """Position deletes MAY target data files added in the SAME
+    snapshot (spec: pos deletes apply at seq <=, unlike equality's
+    strictly-before — Flink's same-checkpoint dedupe shape). The
+    changelog must NOT surface those never-live rows as inserts, in
+    batch or stream (iceberg-core attaches the snapshot's deletes to
+    AddedRowsScanTask)."""
+    from incubator_gobblin_spark.sinks.files import FileSink, TableType
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        append_position_deletes,
+    )
+    from incubator_gobblin_spark.sources import iceberg_stream
+    from incubator_gobblin_spark.sources.iceberg_changelog import (
+        read_iceberg_changelog,
+    )
+    from incubator_gobblin_spark.sources.iceberg_import import (
+        current_metadata,
+        read_iceberg,
+        snapshot_files,
+    )
+
+    root = str(tmp_path / "samesnap")
+    sink = FileSink(
+        path=root, commit_mode="manifest", table_type=TableType.APPEND_ONLY
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .coalesce(1)
+    )
+    base = docs.filter("doc_id % 2 = 0")
+    extra = docs.filter("doc_id % 2 = 1")
+    sink.write_staging(base, "base")
+    sink.publish("base")
+    sink.export_iceberg()  # s0
+    sink.write_staging(extra.coalesce(1), "extra")
+    sink.publish("extra")
+    sink.export_iceberg()  # s1: adds the extra file
+    meta = current_metadata(root)
+    s0_id, s1_id = (s["snapshot-id"] for s in sorted(
+        meta["snapshots"], key=lambda s: s["sequence-number"]
+    ))
+    files_s1 = snapshot_files(meta, root, s1_id)
+    files_s0 = {f["path"] for f in snapshot_files(meta, root, s0_id)}
+    added = next(f["path"] for f in files_s1 if f["path"] not in files_s0)
+    rows = extra.collect()
+    dead_pos = [i for i, r in enumerate(rows) if r.doc_id % 10 == 1][:15]
+    dead_ids = {rows[i].doc_id for i in dead_pos}
+    assert dead_ids
+    append_position_deletes(root, [(added, i) for i in dead_pos])  # s2
+
+    # fold s2 into s1: one snapshot that ADDS the file AND pos-deletes
+    # rows of it (s2's manifest list already carries everything)
+    import json
+
+    meta_dir = os.path.join(root, "metadata")
+    v = max(
+        int(f[1:].split(".")[0])
+        for f in os.listdir(meta_dir)
+        if f.endswith(".metadata.json")
+    )
+    raw = json.load(open(os.path.join(meta_dir, f"v{v}.metadata.json")))
+    s2 = next(s for s in raw["snapshots"] if s["sequence-number"] == 3)
+    s2["parent-snapshot-id"] = s0_id
+    raw["snapshots"] = [
+        s for s in raw["snapshots"]
+        if s["sequence-number"] in (1, 3)
+    ]
+    json.dump(raw, open(os.path.join(meta_dir, f"v{v + 1}.metadata.json"), "w"))
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(v + 1))
+
+    live_extra = [tuple(r) for r in rows if r.doc_id not in dead_ids]
+    # the snapshot reader agrees the dead rows never lived
+    assert sorted(map(tuple, read_iceberg(spark, root).collect())) == \
+        sorted([tuple(r) for r in base.collect()] + live_extra)
+
+    ch = read_iceberg_changelog(spark, root, s0_id)
+    ins = ch.filter("_change_type = 'insert'")
+    assert sorted(map(tuple, ins.select("doc_id", "lang", "n_chars")
+                      .collect())) == sorted(live_extra)
+    assert ch.filter("_change_type = 'delete'").count() == 0
+
+    # the stream face agrees
+    iceberg_stream.register(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("icebergstream")
+        .option("path", root)
+        .option("readchangefeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    s_ins = got.filter(
+        f"_change_type = 'insert' AND _commit_snapshot_id = {s2['snapshot-id']}"
+    )
+    assert sorted(
+        map(tuple, s_ins.select("doc_id", "lang", "n_chars").collect())
+    ) == sorted(live_extra)
+
+
+def test_replicate_refuses_v1_iceberg_source(spark, sf_dir, tmp_path):
+    """A format-v1 Iceberg source (snapshots without sequence-number)
+    refuses loudly — the consumed-sequence watermark would default to
+    0 forever and silently stop replicating."""
+    import json
+
+    from incubator_gobblin_spark.jobs.replicate import (
+        replicate_iceberg_to_delta,
+    )
+    from incubator_gobblin_spark.sinks.iceberg_maintenance import (
+        write_iceberg_table,
+    )
+
+    src = str(tmp_path / "v1src")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    ).limit(20)
+    write_iceberg_table(spark, docs, src)
+    meta_dir = os.path.join(src, "metadata")
+    v = max(
+        int(f[1:].split(".")[0])
+        for f in os.listdir(meta_dir)
+        if f.endswith(".metadata.json")
+    )
+    mp = os.path.join(meta_dir, f"v{v}.metadata.json")
+    raw = json.load(open(mp))
+    for s in raw["snapshots"]:
+        s.pop("sequence-number", None)
+    json.dump(raw, open(mp, "w"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="format v1"):
+        replicate_iceberg_to_delta(
+            spark, src, str(tmp_path / "dst"), on="doc_id"
+        )
+
+
+def test_cdf_derived_delete_restores_partition_values_from_state(
+    spark, tmp_path
+):
+    """A cdc-less remove WITHOUT partitionValues (extendedFileMetadata
+    =false is legal per PROTOCOL.md) on a partitioned CDF table: the
+    derived delete rows must restore the partition column from the
+    standing add in the replayed state — not null-fill it."""
+    import json
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incubator_gobblin_spark.sources.delta_cdf import read_delta_changes
+
+    root = str(tmp_path / "nopv")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    os.makedirs(os.path.join(root, "p=1"))
+    fp = os.path.join(root, "p=1", "part-0.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame({"k": [1, 2]}), preserve_index=False
+        ),
+        fp,
+    )
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "p", "type": "string", "nullable": True,
+             "metadata": {}},
+        ],
+    }
+
+    def _commit(v, actions):
+        with open(
+            os.path.join(root, "_delta_log", f"{v:020d}.json"), "w"
+        ) as fh:
+            fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+
+    _commit(0, [
+        {"commitInfo": {"timestamp": 1000, "operation": "WRITE"}},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "id": "t-pv", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": ["p"],
+            "configuration": {"delta.enableChangeDataFeed": "true"},
+            "createdTime": 1000,
+        }},
+        {"add": {"path": "p=1/part-0.parquet",
+                 "partitionValues": {"p": "1"},
+                 "size": os.path.getsize(fp), "modificationTime": 1000,
+                 "dataChange": True}},
+    ])
+    # v1: remove with NO partitionValues (extendedFileMetadata=false)
+    _commit(1, [
+        {"commitInfo": {"timestamp": 2000, "operation": "DELETE"}},
+        {"remove": {"path": "p=1/part-0.parquet",
+                    "deletionTimestamp": 2000, "dataChange": True}},
+    ])
+
+    ch = read_delta_changes(spark, root, 1, 1)
+    got = sorted((r.k, r.p, r._change_type) for r in ch.collect())
+    assert got == [(1, "1", "delete"), (2, "1", "delete")]
+
+
+def test_cdf_refuses_unsupported_reader_feature_at_v0(spark, tmp_path):
+    """read_delta_changes must run the reader-protocol gate for
+    start=0 intervals (and mid-interval protocol upgrades) — a table
+    requiring a reader feature this engine doesn't implement refuses
+    instead of misreading."""
+    import json
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from incubator_gobblin_spark.sources.delta_cdf import read_delta_changes
+
+    root = str(tmp_path / "feat")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    fp = os.path.join(root, "part-0.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame({"k": [1]}), preserve_index=False),
+        fp,
+    )
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+    ]}
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in [
+            {"commitInfo": {"timestamp": 1000, "operation": "WRITE"}},
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["typeWidening"],
+                          "writerFeatures": ["typeWidening"]}},
+            {"metaData": {
+                "id": "t-f", "format": {"provider": "parquet",
+                                        "options": {}},
+                "schemaString": json.dumps(schema), "partitionColumns": [],
+                "configuration": {"delta.enableChangeDataFeed": "true"},
+                "createdTime": 1000,
+            }},
+            {"add": {"path": "part-0.parquet", "partitionValues": {},
+                     "size": os.path.getsize(fp),
+                     "modificationTime": 1000, "dataChange": True}},
+        ]) + "\n")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="typeWidening"):
+        read_delta_changes(spark, root, 0)
+
+
+def test_cdf_state_base_from_checkpoint_after_log_cleanup(
+    spark, sf_dir, tmp_path
+):
+    """External log cleanup that leaves a checkpoint but removes its
+    commit JSON: a CDF read starting right after the checkpoint must
+    replay the state base FROM the checkpoint instead of refusing."""
+    from incubator_gobblin_spark.sinks.delta_delete import delete_delta_rows
+    from incubator_gobblin_spark.sinks.delta_maintenance import (
+        checkpoint_delta_table,
+        merge_delta_rows,
+        write_delta_table,
+    )
+    from incubator_gobblin_spark.sources.delta_cdf import read_delta_changes
+
+    root = str(tmp_path / "cpbase")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    ).limit(40)
+    write_delta_table(spark, docs, root, configuration=CDF_CONF)  # v0
+    merge_delta_rows(
+        spark, root,
+        docs.limit(4).withColumn("n_chars", F.col("n_chars") + 1),
+        on="doc_id",
+    )  # v1
+    checkpoint_delta_table(root)  # checkpoint at v1
+    delete_delta_rows(spark, root, "doc_id % 7 = 3")  # v2
+    # external cleaner removes v0 AND v1 JSONs (v1 covered by the
+    # checkpoint)
+    log_dir = os.path.join(root, "_delta_log")
+    for v in (0, 1):
+        os.remove(os.path.join(log_dir, f"{v:020d}.json"))
+
+    ch = read_delta_changes(spark, root, 2, 2)
+    assert ch.select("_change_type").distinct().collect()[0][0] == "delete"
+    assert sorted(r.doc_id for r in ch.collect()) == sorted(
+        r.doc_id for r in docs.filter("doc_id % 7 = 3").collect()
+    )
+
+
+def test_iceberg_changelog_refuses_mid_interval_column_set_change(
+    spark, sf_dir, tmp_path
+):
+    """A column ADDED inside the changelog interval refuses with split
+    guidance (the delta_cdf rule) — the parent recovery would
+    otherwise fail opaquely or serve rows under the wrong column
+    set."""
+    import json
+
+    from incubator_gobblin_spark.sinks.iceberg_maintenance import (
+        upsert_iceberg_rows,
+        write_iceberg_table,
+    )
+    from incubator_gobblin_spark.sources.iceberg_changelog import (
+        read_iceberg_changelog,
+    )
+
+    root = str(tmp_path / "schmid")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    ).limit(30)
+    write_iceberg_table(spark, docs, root)  # s0
+    upsert_iceberg_rows(
+        spark, root,
+        docs.limit(3).withColumn("n_chars", F.col("n_chars") + 1),
+        on="doc_id",
+    )  # s1
+    meta_dir = os.path.join(root, "metadata")
+    v = max(
+        int(f[1:].split(".")[0])
+        for f in os.listdir(meta_dir)
+        if f.endswith(".metadata.json")
+    )
+    mp = os.path.join(meta_dir, f"v{v}.metadata.json")
+    raw = json.load(open(mp))
+    old = raw["schemas"][0]
+    new_schema = {
+        "type": "struct",
+        "schema-id": old["schema-id"] + 1,
+        "fields": old["fields"] + [
+            {"id": 99, "name": "added_later", "required": False,
+             "type": "string"},
+        ],
+    }
+    raw["schemas"].append(new_schema)
+    raw["current-schema-id"] = new_schema["schema-id"]
+    raw["last-column-id"] = 99
+    # s1 committed under the NEW schema; s0 stays on the old one
+    snaps = sorted(raw["snapshots"], key=lambda s: s["sequence-number"])
+    snaps[0]["schema-id"] = old["schema-id"]
+    snaps[1]["schema-id"] = new_schema["schema-id"]
+    json.dump(raw, open(mp, "w"))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="schema changed"):
+        read_iceberg_changelog(spark, root, None)

@@ -224,13 +224,11 @@ def test_changelog_stream_effective_state_after_expiry(
     )
 
 
-def test_changelog_stream_scoped_eq_delete_and_mid_stream_expiry_guard(
-    spark, sf_dir, tmp_path
-):
+def test_changelog_stream_scoped_eq_delete(spark, sf_dir, tmp_path):
     """A foreign writer's PARTITION-SCOPED equality delete (identity
     transform, the q137 shape) kills exactly the in-scope keys in the
-    stream; and a checkpointed stream whose next snapshot lost its
-    retained parent to expiry refuses instead of fabricating changes."""
+    stream — never the same keys in other partitions. (The mid-stream
+    expiry guard is pinned separately below.)"""
     from incubator_gobblin_spark.sinks.files import FileSink, TableType
     from incubator_gobblin_spark.sinks.iceberg_export import (
         append_equality_deletes,
@@ -480,3 +478,49 @@ def test_changelog_stream_refuses_transform_scoped_eq_delete(
     )
     with pytest.raises(Exception, match="TRANSFORM partition field"):
         q.awaitTermination(120)
+
+
+def test_changelog_stream_mid_stream_expired_parent_refuses(
+    spark, sf_dir, tmp_path
+):
+    """A checkpointed changelog stream whose next unconsumed snapshot
+    lost its parent to expiry (keep_last kept the snapshot but cleared
+    its parent pointer) refuses with restart guidance instead of
+    fabricating an initial-state batch mid-history — which would
+    re-insert the whole table into the consumer."""
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        expire_iceberg_snapshots,
+    )
+    from incubator_gobblin_spark.sources.iceberg_stream import (
+        IcebergStreamReader,
+        _table_schema,
+    )
+
+    root = str(tmp_path / "midexp")
+    docs = load_table(spark, sf_dir, "documents").select(*COLS).limit(50)
+    write_iceberg_table(spark, docs, root)  # s0 (seq 1)
+    upsert_iceberg_rows(
+        spark, root,
+        docs.limit(5).withColumn("n_chars", F.col("n_chars") + 1),
+        on="doc_id",
+    )  # s1 (seq 2)
+    upsert_iceberg_rows(
+        spark, root,
+        docs.limit(3).withColumn("n_chars", F.col("n_chars") + 2),
+        on="doc_id",
+    )  # s2 (seq 3)
+    # keep s1+s2; s1's parent pointer is cleared by the engine expire
+    expire_iceberg_snapshots(root, keep_last=2)
+
+    schema, part_cols, part_types = _table_schema(root)
+    reader = IcebergStreamReader(
+        {"path": root, "readchangefeed": "true"},
+        schema, part_cols, part_types,
+    )
+    # consumed through seq 1 (the expired s0): next snapshot s1 has no
+    # retained parent -> refuse
+    with pytest.raises(ValueError, match="fresh checkpoint"):
+        reader.partitions({"seq": 1}, reader.latestOffset())
+    # a FRESH stream on the same table is fine (initial-state rule)
+    parts = reader.partitions({"seq": 0}, reader.latestOffset())
+    assert len(parts) > 0
