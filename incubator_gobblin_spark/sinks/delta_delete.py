@@ -153,13 +153,19 @@ def _upgraded_protocol(proto: dict) -> dict | None:
     wfeats = set(proto.get("writerFeatures") or [])
     if mrv >= 3 and mwv >= 7 and "deletionVectors" in rfeats & wfeats:
         return None
-    # carry the legacy-implied features into the table-features form
-    for v, feats in _LEGACY_WRITER_FEATURES.items():
-        if mwv >= v:
-            wfeats.update(feats)
-    for v, feats in _LEGACY_READER_FEATURES.items():
-        if mrv >= v:
-            rfeats.update(feats)
+    # carry the legacy-implied features into the table-features form —
+    # ONLY when upgrading FROM a legacy version (PROTOCOL.md: at
+    # version 7/3 the feature lists are already EXPLICIT; force-adding
+    # every legacy feature to an explicit list would obligate readers
+    # and writers to features the table never declared)
+    if mwv < 7:
+        for v, feats in _LEGACY_WRITER_FEATURES.items():
+            if mwv >= v:
+                wfeats.update(feats)
+    if mrv < 3:
+        for v, feats in _LEGACY_READER_FEATURES.items():
+            if mrv >= v:
+                rfeats.update(feats)
     rfeats.add("deletionVectors")
     wfeats.add("deletionVectors")
     return {
@@ -199,6 +205,50 @@ def _loosened_stats(add: dict) -> str | None:
         return stats
     d["tightBounds"] = False
     return json.dumps(d)
+
+
+def _stage_cdf_deletes(
+    spark,
+    path: str,
+    filtered,
+    live: dict,
+    meta: dict,
+    schema_json: dict,
+    logical_part_cols: list[str],
+    ts: int,
+) -> list[dict]:
+    """PROTOCOL.md §Add CDC File: a DV delete's commit mixes a remove
+    and a re-add of the SAME path, which is NOT derivable from
+    add/remove actions — CDF writers must author the deleted rows as
+    _change_data files. The change set is the matched rows MINUS
+    positions already dead under a standing DV (they were reported
+    deleted by the commit that killed them; emitting them again would
+    double-count). Returns the staged ``{"cdc": ...}`` actions."""
+    from incubator_gobblin_spark.sinks.delta_maintenance import (
+        stage_cdc_files,
+    )
+
+    changes = filtered
+    dv_pairs = [
+        (
+            os.path.abspath(os.path.join(path, unquote(rel))),
+            json.dumps(a["deletionVector"]),
+        )
+        for rel, a in live.items()
+        if a.get("deletionVector")
+    ]
+    if dv_pairs:
+        changes = _anti_join_existing_dvs(
+            spark, changes, os.path.abspath(path), dv_pairs
+        )
+    logical_cols = [f["name"] for f in schema_json["fields"]]
+    changes = changes.select(*logical_cols).withColumn(
+        "_change_type", F.lit("delete")
+    )
+    return [
+        {"cdc": c}
+        for c in stage_cdc_files(changes, path, logical_part_cols, ts)
+    ]
 
 
 def build_dv_descriptors(spark, matched, path: str, live: dict) -> list:
@@ -360,10 +410,15 @@ def delete_delta_rows(
     if ids is not None and not on:
         raise ValueError("delete_delta_rows: ids requires on=<key cols>")
     log_dir = os.path.join(path, "_delta_log")
-    live, meta, proto = _replay_state(log_dir, None)
+    # pin the version FIRST, then replay exactly it: listing after the
+    # replay would let a racer's commit land in between — versions[-1]
+    # would equal current_v while the scanned state is stale, and the
+    # commit-loop's re-replay guard would never fire (the Iceberg
+    # writers' pin-then-load discipline)
+    current_v = _log_versions(log_dir)[-1]
+    live, meta, proto = _replay_state(log_dir, current_v)
     check_reader_protocol(proto, meta, live, allow_column_mapping=True)
     _check_delete_writable(proto, meta)
-    current_v = _log_versions(log_dir)[-1]
     if not live:
         return {
             "version": current_v,
@@ -442,6 +497,19 @@ def delete_delta_rows(
             condition if isinstance(condition, Column) else F.expr(condition)
         )
         filtered = logical.filter(cond)
+    cdf_on = (
+        str(
+            ((meta or {}).get("configuration") or {}).get(
+                "delta.enableChangeDataFeed", ""
+            )
+        ).lower()
+        == "true"
+    )
+    if cdf_on:
+        # the matched set is consumed TWICE on CDF tables (bitmap
+        # build + cdc staging) — cache it once instead of re-running
+        # the full scan + predicate per consumer
+        filtered = filtered.persist()
     matched = (
         filtered
         .select(
@@ -450,54 +518,24 @@ def delete_delta_rows(
         )
     )
 
-    desc_rows = build_dv_descriptors(spark, matched, path, live)
-    if not desc_rows:
-        return {
-            "version": current_v,
-            "rows_deleted": 0,
-            "dv_files": 0,
-            "files_removed": 0,
-        }
+    try:
+        desc_rows = build_dv_descriptors(spark, matched, path, live)
+        if not desc_rows:
+            return {
+                "version": current_v,
+                "rows_deleted": 0,
+                "dv_files": 0,
+                "files_removed": 0,
+            }
 
-    ts = int(_time.time() * 1000)
-    cdc_actions: list[dict] = []
-    conf = (meta or {}).get("configuration") or {}
-    if str(conf.get("delta.enableChangeDataFeed", "")).lower() == "true":
-        # PROTOCOL.md §Add CDC File: a DV delete's commit mixes a
-        # remove and a re-add of the SAME path, which is NOT derivable
-        # from add/remove actions — CDF writers must author the
-        # deleted rows as _change_data files. The change set is the
-        # matched rows MINUS positions already dead under a standing
-        # DV (they were reported deleted by the commit that killed
-        # them; emitting them again would double-count).
-        from incubator_gobblin_spark.sinks.delta_maintenance import (
-            stage_cdc_files,
-        )
-
-        changes = filtered
-        dv_pairs = [
-            (
-                os.path.abspath(os.path.join(path, unquote(rel))),
-                json.dumps(a["deletionVector"]),
-            )
-            for rel, a in live.items()
-            if a.get("deletionVector")
-        ]
-        if dv_pairs:
-            changes = _anti_join_existing_dvs(
-                spark, changes, os.path.abspath(path), dv_pairs
-            )
-        logical_cols = [f["name"] for f in schema_json["fields"]]
-        changes = changes.select(*logical_cols).withColumn(
-            "_change_type", F.lit("delete")
-        )
-        cdc_actions = [
-            {"cdc": c}
-            for c in stage_cdc_files(
-                changes, path, logical_part_cols, ts
-            )
-        ]
-
+        ts = int(_time.time() * 1000)
+        cdc_actions = _stage_cdf_deletes(
+            spark, path, filtered, live, meta, schema_json,
+            logical_part_cols, ts,
+        ) if cdf_on else []
+    finally:
+        if cdf_on:
+            filtered.unpersist()
     actions: list[dict] = [
         {
             "commitInfo": {
@@ -587,6 +625,31 @@ def delete_delta_rows(
             "files_removed": 0,
         }
 
+    def _reclaim_staged() -> None:
+        """An aborted DELETE's staged artifacts are orphans: the cdc
+        sidecars AND the freshly written deletion-vector bitmaps (the
+        no-op path above reclaims both; the abort paths must too, or
+        every lost race on a contended table permanently accumulates
+        unreferenced bitmap files for vacuum to sweep)."""
+        from incubator_gobblin_spark.formats.deletion_vectors import (
+            dv_file_path,
+        )
+
+        for c in cdc_actions:
+            try:
+                os.remove(os.path.join(path, unquote(c["cdc"]["path"])))
+            except OSError:
+                pass
+        for r in desc_rows:
+            if r._dv is None:
+                continue
+            fp = dv_file_path(os.path.abspath(path), json.loads(r._dv))
+            if fp:
+                try:
+                    os.remove(fp)
+                except OSError:
+                    pass
+
     # put-if-absent publish; a racer invalidates the scanned snapshot
     for attempt in range(8):
         versions = _log_versions(log_dir)
@@ -600,11 +663,7 @@ def delete_delta_rows(
             # silently drop the racer's upgraded feature list.
             now_live, now_meta, now_proto = _replay_state(log_dir, None)
             if now_live != live or now_meta != meta or now_proto != proto:
-                for c in cdc_actions:  # staged change files are orphans
-                    try:
-                        os.remove(os.path.join(path, unquote(c["cdc"]["path"])))
-                    except OSError:
-                        pass
+                _reclaim_staged()
                 raise DeltaConcurrentModificationError(
                     f"delete_delta_rows: {path} advanced from version "
                     f"{current_v} to {versions[-1]} with state, "
@@ -628,6 +687,7 @@ def delete_delta_rows(
             "dv_files": dv_files,
             "files_removed": files_removed,
         }
+    _reclaim_staged()
     raise DeltaConcurrentModificationError(
         f"delete_delta_rows: lost the commit race 8 times under {log_dir}"
     )

@@ -223,11 +223,17 @@ def _name_mapping(schema: dict) -> list:
 
 
 def _partition_struct_avro(
-    partition_cols: list[str], part_types: dict[str, str]
+    partition_cols: list[str],
+    part_types: dict[str, str],
+    field_ids: dict[str, int] | None = None,
 ) -> dict:
     """Avro schema of the manifest's data_file.partition struct (r102):
-    one nullable field per identity partition column, field-ids from
-    the spec's partition range."""
+    one nullable field per identity partition column. ``field_ids``
+    carries the spec's ACTUAL partition field ids (an evolved or
+    foreign spec's ids need not be consecutive from 1000 — positional
+    assignment would make id-resolving readers miss the values);
+    omitted, ids assign positionally from the initial partition range
+    (correct for specs this engine authors)."""
     avro_of = {"long": "long", "string": "string", "int": "int",
                "double": "double", "float": "float", "boolean": "boolean"}
     return {
@@ -238,7 +244,9 @@ def _partition_struct_avro(
                 "name": c,
                 "type": ["null", avro_of[part_types[c]]],
                 "default": None,
-                "field-id": _INITIAL_PARTITION_FIELD_ID + i,
+                "field-id": (field_ids or {}).get(
+                    c, _INITIAL_PARTITION_FIELD_ID + i
+                ),
             }
             for i, c in enumerate(partition_cols)
         ],

@@ -243,6 +243,33 @@ def write_iceberg_table(
     schema, last_column_id, part_types = _iceberg_schema(
         files[0]["path"], identity_cols, [f["partition"] for f in files]
     )
+    # _iceberg_schema can only INFER identity partition types from the
+    # hive-dir path strings (the export path's only evidence) — but
+    # this writer HOLDS df.schema: a string column with numeric-looking
+    # values ("00123") must not silently become long (leading zeros
+    # lost forever, later upserts type-mismatched). Override with the
+    # declared types; refuse types the manifest partition encoding
+    # doesn't carry.
+    spark_to_iceberg = {
+        "bigint": "long",
+        "int": "int",
+        "smallint": "int",
+        "tinyint": "int",
+        "string": "string",
+    }
+    df_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    for c in identity_cols:
+        it = spark_to_iceberg.get(df_types[c])
+        if it is None:
+            raise ValueError(
+                "write_iceberg_table: unsupported identity partition "
+                f"column type {df_types[c]!r} for {c!r} — supported: "
+                f"{sorted(spark_to_iceberg)}"
+            )
+        part_types[c] = it
+        for f in schema["fields"]:
+            if f["name"] == c:
+                f["type"] = it
     field_id = {f["name"]: f["id"] for f in schema["fields"]}
     field_type = {f["name"]: f["type"] for f in schema["fields"]}
     for name, t in transforms_by_name.items():
@@ -525,8 +552,8 @@ def rewrite_iceberg_data_files(
                 affected.update(members)
 
     if not affected:
-        return noop
-    if not dels and small_file_bytes is None:
+        # covers the no-deletes + no-binpack case too: affected only
+        # gains members from delete targets or small-file groups
         return noop
 
     # ---- group affected files by (spec_id, partition tuple) ----
@@ -566,6 +593,32 @@ def rewrite_iceberg_data_files(
         for s in prev["schemas"]
         if s["schema-id"] == prev["current-schema-id"]
     )
+    # refuse unsupported partition value types UP FRONT (the upsert
+    # writer's guard): failing later inside the commit loop would
+    # orphan the already-moved rewrite files under data/
+    _fname = {f["id"]: f["name"] for f in schema_json["fields"]}
+    _ftype = {f["name"]: f["type"] for f in schema_json["fields"]}
+    for sp in prev.get("partition-specs", []):
+        for pf in sp["fields"]:
+            try:
+                t = _transform_result_type(
+                    pf["transform"],
+                    _ftype.get(_fname.get(pf["source-id"])),
+                )
+            except ValueError as e:
+                raise ValueError(
+                    f"rewrite_iceberg_data_files: {e}"
+                ) from e
+            if t not in (
+                "long", "string", "int", "double", "float", "boolean"
+            ):
+                raise ValueError(
+                    "rewrite_iceberg_data_files: partition field "
+                    f"{pf.get('name')!r} of spec {sp['spec-id']} has "
+                    f"unsupported value type {t!r} — the manifest "
+                    "partition encoding carries "
+                    "long/int/string/double/float/boolean only"
+                )
     id_schema = _schema_with_field_ids(schema_json)
     df = read_iceberg(
         spark, location, union_threshold=union_threshold, _coords=True
@@ -665,7 +718,18 @@ def rewrite_iceberg_data_files(
             )
             for pf in sp["fields"]
         }
-        return sp, pcols, ptypes
+        # the spec's ACTUAL partition field ids — an evolved/foreign
+        # spec's ids need not be consecutive from 1000, and an
+        # id-resolving reader of the rewritten manifests would miss
+        # the partition values under positionally assigned ids
+        fids = {
+            (pf.get("name") or fname_by_id[pf["source-id"]]): pf[
+                "field-id"
+            ]
+            for pf in sp["fields"]
+            if pf.get("field-id") is not None
+        }
+        return sp, pcols, ptypes, fids
 
     # ---- commit loop ----
     for attempt in range(8):
@@ -702,10 +766,10 @@ def rewrite_iceberg_data_files(
 
         def _write_manifest(rows, spec_id: int) -> tuple[str, int]:
             nonlocal m_idx
-            sp, pcols, ptypes = _spec_struct(spec_id)
+            sp, pcols, ptypes, fids = _spec_struct(spec_id)
             data = encode_ocf(
                 _manifest_entry_avro(
-                    _partition_struct_avro(pcols, ptypes)
+                    _partition_struct_avro(pcols, ptypes, fids)
                 ),
                 rows,
                 codec="null",
@@ -811,7 +875,7 @@ def rewrite_iceberg_data_files(
             g = group_info[nf["gid"]]
             new_by_spec.setdefault(g["spec_id"], []).append(nf)
         for spec_id, nfs in sorted(new_by_spec.items()):
-            sp, pcols, ptypes = _spec_struct(spec_id)
+            sp, pcols, ptypes, _fids = _spec_struct(spec_id)
             entries = [
                 {
                     "status": 1,  # ADDED

@@ -701,3 +701,267 @@ def test_iceberg_changelog_refuses_mid_interval_column_set_change(
 
     with _pytest.raises(ValueError, match="schema changed"):
         read_iceberg_changelog(spark, root, None)
+
+
+def test_dv_upgrade_keeps_explicit_feature_lists(spark, sf_dir, tmp_path):
+    """A table already on the table-features protocol (3/7) has
+    EXPLICIT feature lists: the DV delete's protocol upgrade must add
+    deletionVectors ONLY — force-adding every legacy-implied feature
+    (appendOnly, checkConstraints, invariants...) would obligate
+    readers/writers to features the table never declared."""
+    from incubator_gobblin_spark.sinks.delta_delete import delete_delta_rows
+    from incubator_gobblin_spark.sinks.delta_maintenance import (
+        write_delta_table,
+    )
+    from incubator_gobblin_spark.sources.delta_import import _replay_state
+
+    root = str(tmp_path / "feat37")
+    nat = load_table(spark, sf_dir, "nation")
+    write_delta_table(spark, nat, root)
+    log_dir = os.path.join(root, "_delta_log")
+    # rewrite v0's protocol to explicit 3/7 with a minimal feature set
+    p0 = os.path.join(log_dir, f"{0:020d}.json")
+    acts = [json.loads(l) for l in open(p0) if l.strip()]
+    for a in acts:
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["columnMapping"],
+                "writerFeatures": ["columnMapping"],
+            }
+    with open(p0, "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in acts) + "\n")
+
+    delete_delta_rows(spark, root, "n_nationkey = 3")
+    _, _, proto = _replay_state(log_dir, None)
+    assert sorted(proto["writerFeatures"]) == [
+        "columnMapping", "deletionVectors",
+    ]
+    assert sorted(proto["readerFeatures"]) == [
+        "columnMapping", "deletionVectors",
+    ]
+
+
+def test_write_iceberg_table_keeps_string_partition_type(
+    spark, tmp_path
+):
+    """A STRING partition column whose values look numeric ('00123')
+    must stay a string with its leading zeros — path-string inference
+    would silently declare it long and corrupt the restored values."""
+    from incubator_gobblin_spark.sinks.iceberg_maintenance import (
+        upsert_iceberg_rows,
+        write_iceberg_table,
+    )
+    from incubator_gobblin_spark.sources.iceberg_import import (
+        current_metadata,
+        read_iceberg,
+    )
+
+    root = str(tmp_path / "zipcodes")
+    df = spark.createDataFrame(
+        [(1, "00123"), (2, "00456"), (3, "789")],
+        "k long, zip string",
+    )
+    write_iceberg_table(spark, df, root, partition_by=["zip"])
+    meta = current_metadata(root)
+    zf = next(
+        f for f in meta["schemas"][0]["fields"] if f["name"] == "zip"
+    )
+    assert zf["type"] == "string"
+    got = sorted(map(tuple, read_iceberg(spark, root).collect()))
+    assert got == [(1, "00123"), (2, "00456"), (3, "789")]
+    # and the CDC upsert accepts the same frame (no type mismatch)
+    upsert_iceberg_rows(
+        spark, root,
+        spark.createDataFrame([(1, "00123")], "k long, zip string"),
+        on="k",
+    )
+    assert read_iceberg(spark, root).count() == 3
+
+
+def test_rewrite_manifest_carries_spec_partition_field_ids(
+    spark, sf_dir, tmp_path
+):
+    """Rewritten manifests must declare the spec's ACTUAL partition
+    field ids — an evolved/foreign spec's ids need not start at 1000,
+    and id-resolving readers would miss the partition values under
+    positionally assigned ids."""
+    import json
+    import re
+
+    from incubator_gobblin_spark.sinks.iceberg_maintenance import (
+        rewrite_iceberg_data_files,
+        write_iceberg_table,
+    )
+    from incubator_gobblin_spark.sources.iceberg_import import (
+        current_metadata,
+        read_iceberg,
+    )
+
+    root = str(tmp_path / "specid")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .limit(40)
+        .repartition(4)  # several files per partition: bin-pack work
+    )
+    write_iceberg_table(spark, docs, root, partition_by=["lang"])
+    # simulate an evolved spec: the (single) partition field id is 1001
+    meta_dir = os.path.join(root, "metadata")
+    v = max(
+        int(f[1:].split(".")[0])
+        for f in os.listdir(meta_dir)
+        if f.endswith(".metadata.json")
+    )
+    mp = os.path.join(meta_dir, f"v{v}.metadata.json")
+    raw = json.load(open(mp))
+    raw["partition-specs"][0]["fields"][0]["field-id"] = 1001
+    raw["last-partition-id"] = 1001
+    json.dump(raw, open(mp, "w"))
+
+    before = sorted(map(tuple, read_iceberg(spark, root).collect()))
+    res = rewrite_iceberg_data_files(
+        spark, root, target_file_bytes=1 << 30, small_file_bytes=1 << 30
+    )
+    assert res.get("files_rewritten", 0) > 0, f"rewrite no-oped: {res}"
+    after = sorted(map(tuple, read_iceberg(spark, root).collect()))
+    assert after == before
+
+    # the NEW manifest's avro partition struct declares field-id 1001
+    meta = current_metadata(root)
+    cur = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    from incubator_gobblin_spark.sources.iceberg_import import (
+        _decode_avro_rows,
+        _local_path,
+    )
+
+    mlist = _local_path(cur["manifest-list"])
+    if not os.path.isabs(mlist):
+        mlist = os.path.join(root, mlist)
+    new_manifests = [
+        _local_path(r["manifest_path"])
+        for r in _decode_avro_rows(mlist)
+        if "rewrite" in r["manifest_path"]
+        or str(cur["snapshot-id"]) in str(r.get("added_snapshot_id"))
+    ]
+    assert new_manifests
+    found = False
+    for m in new_manifests:
+        if not os.path.isabs(m):
+            m = os.path.join(root, m)
+        head = open(m, "rb").read(8192)
+        ids = re.findall(rb'"field-id":\s*(\d+)', head)
+        if b"1001" in ids:
+            found = True
+        assert b"1000" not in ids, "positional id leaked into manifest"
+    assert found
+
+
+def test_rewrite_refuses_unsupported_partition_type_before_staging(
+    spark, sf_dir, tmp_path
+):
+    """An identity partition whose value type the manifest encoding
+    cannot carry (date) refuses UP FRONT — failing later inside the
+    commit loop would orphan already-moved rewrite files."""
+    import json
+
+    from incubator_gobblin_spark.sinks.iceberg_delete import (
+        delete_iceberg_rows,
+    )
+    from incubator_gobblin_spark.sinks.iceberg_maintenance import (
+        rewrite_iceberg_data_files,
+        write_iceberg_table,
+    )
+
+    root = str(tmp_path / "datetype")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    ).limit(30)
+    write_iceberg_table(spark, docs, root, partition_by=["lang"])
+    delete_iceberg_rows(spark, root, "doc_id % 3 = 0")  # give it work
+    meta_dir = os.path.join(root, "metadata")
+    v = max(
+        int(f[1:].split(".")[0])
+        for f in os.listdir(meta_dir)
+        if f.endswith(".metadata.json")
+    )
+    mp = os.path.join(meta_dir, f"v{v}.metadata.json")
+    raw = json.load(open(mp))
+    for f in raw["schemas"][0]["fields"]:
+        if f["name"] == "lang":
+            f["type"] = "date"
+    json.dump(raw, open(mp, "w"))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported value type"):
+        rewrite_iceberg_data_files(spark, root)
+    # nothing staged, nothing orphaned
+    assert not [d for d in os.listdir(root) if d.startswith(".rewrite-")]
+    data_dir = os.path.join(root, "data")
+    assert not [
+        f
+        for f in os.listdir(data_dir)
+        if "rewrite" in f and f.endswith(".parquet")
+    ]
+
+
+def test_aborted_delete_reclaims_staged_dv_bitmaps(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A DELETE that loses the commit race to a state-changing racer
+    must reclaim its staged deletion-vector bitmaps AND cdc sidecars —
+    otherwise every lost race on a contended table permanently
+    accumulates unreferenced files."""
+    import incubator_gobblin_spark.sinks.delta_delete as DD
+    from incubator_gobblin_spark.sinks.delta_maintenance import (
+        write_delta_table,
+    )
+
+    root = str(tmp_path / "race")
+    nat = load_table(spark, sf_dir, "nation")
+    write_delta_table(spark, nat, root, configuration=CDF_CONF)
+
+    def _all_files():
+        out = set()
+        for dp, _, fs in os.walk(root):
+            for f in fs:
+                out.add(os.path.join(dp, f))
+        return out
+
+    real_build = DD.build_dv_descriptors
+    fired = {"done": False}
+
+    def racing_build(*a, **kw):
+        rows = real_build(*a, **kw)
+        if not fired["done"]:
+            fired["done"] = True
+            # the racer lands AFTER this delete scanned its state:
+            # a genuine append that changes the live file set
+            write_delta_table(
+                spark,
+                nat.limit(2).withColumn(
+                    "n_nationkey", F.col("n_nationkey") + 500
+                ),
+                root,
+                mode="append",
+            )
+        return rows
+
+    monkeypatch.setattr(DD, "build_dv_descriptors", racing_build)
+    before = _all_files()
+    import pytest as _pytest
+
+    with _pytest.raises(DD.DeltaConcurrentModificationError):
+        DD.delete_delta_rows(spark, root, "n_nationkey % 2 = 0")
+    after = _all_files()
+    leaked = {
+        f
+        for f in after - before
+        if "deletion_vector" in f or "_change_data" in f
+    }
+    assert not leaked, f"aborted delete leaked staged files: {leaked}"
