@@ -437,8 +437,13 @@ def write_delta_table(
     prev_meta = prev_proto = None
     expect_version = -1
     if exists:
-        prev_live, prev_meta, prev_proto = _replay_state(log_dir, None)
+        # pin-then-replay (the delete writer's discipline): a racer's
+        # commit between a latest-replay and the version listing would
+        # pass the publish race check with stale state
         expect_version = _log_versions(log_dir)[-1]
+        prev_live, prev_meta, prev_proto = _replay_state(
+            log_dir, expect_version
+        )
         _check_append_writable(prev_proto, prev_meta, mode)
         declared = json.loads(prev_meta["schemaString"])
         ours = json.loads(df.schema.json())
@@ -631,10 +636,11 @@ def compact_delta_files(
     """
     _refuse_manifest_lake(path, "compact_delta_files")
     log_dir = os.path.join(path, "_delta_log")
-    live, meta, proto = _replay_state(log_dir, None)
+    # pin-then-replay: see write_delta_table
+    current_v = _log_versions(log_dir)[-1]
+    live, meta, proto = _replay_state(log_dir, current_v)
     check_reader_protocol(proto, meta, live, allow_column_mapping=True)
     _check_compactable(proto, meta)
-    current_v = _log_versions(log_dir)[-1]
     if small_file_bytes is None:
         small_file_bytes = target_file_bytes // 2
 
@@ -896,11 +902,12 @@ def merge_delta_rows(
     if not on_cols:
         raise ValueError("merge_delta_rows: on=<key cols> required")
     log_dir = os.path.join(path, "_delta_log")
-    live, meta, proto = _replay_state(log_dir, None)
+    # pin-then-replay: see write_delta_table
+    current_v = _log_versions(log_dir)[-1]
+    live, meta, proto = _replay_state(log_dir, current_v)
     check_reader_protocol(proto, meta, live, allow_column_mapping=True)
     _check_delete_writable(proto, meta)  # the DV half's obligations
     _check_append_writable(proto, meta, "append")  # the insert half's
-    current_v = _log_versions(log_dir)[-1]
 
     declared = json.loads(meta["schemaString"])
     if _schema_fields(declared) != _schema_fields(
@@ -932,12 +939,17 @@ def merge_delta_rows(
             with_positions=True,
         )
         keys = source.select(*on_cols).distinct()
-        matched = (
-            scan.join(F.broadcast(keys), on=on_cols, how="left_semi")
-            .select(
-                decoded_file_path(F.col("_file_path")).alias("_path"),
-                F.col("_row_index").alias("_pos"),
-            )
+        matched_rows = scan.join(
+            F.broadcast(keys), on=on_cols, how="left_semi"
+        )
+        if cdf_enabled(meta):
+            # the matched set feeds BOTH the bitmap build and the cdc
+            # preimages below — cache it once instead of running the
+            # full table scan + key join twice
+            matched_rows = matched_rows.persist()
+        matched = matched_rows.select(
+            decoded_file_path(F.col("_file_path")).alias("_path"),
+            F.col("_row_index").alias("_pos"),
         )
         desc_rows = build_dv_descriptors(spark, matched, path, live)
 
@@ -962,7 +974,7 @@ def merge_delta_rows(
 
         logical_cols = [f.name for f in schema.fields]
         if live:
-            pre = scan.join(F.broadcast(keys), on=on_cols, how="left_semi")
+            pre = matched_rows
             dv_pairs = [
                 (
                     os.path.abspath(os.path.join(path, unquote(rel))),
@@ -1000,6 +1012,8 @@ def merge_delta_rows(
             {"cdc": c}
             for c in stage_cdc_files(changes, path, part_cols, ts)
         ]
+        if live:
+            matched_rows.unpersist()
 
     actions: list[dict] = [
         {
@@ -1375,10 +1389,14 @@ def checkpoint_delta_table(path: str, *, part_size: int | None = None) -> dict:
     )
 
     log_dir = os.path.join(path, "_delta_log")
-    live, meta, proto, tombs = _replay_state(
-        log_dir, None, collect_removes=True
-    )
+    # pin-then-replay: a commit landing between a latest-replay and
+    # the version listing would label the checkpoint with a version
+    # whose actions it does NOT contain — readers replaying
+    # checkpoint+tail would silently lose that commit forever
     version = _log_versions(log_dir)[-1]
+    live, meta, proto, tombs = _replay_state(
+        log_dir, version, collect_removes=True
+    )
     standing = sorted(
         (r for p, r in tombs.items() if p not in live),
         key=lambda r: r["path"],
@@ -1439,12 +1457,13 @@ def restore_delta_table(
 
     _refuse_manifest_lake(path, "restore_delta_table")
     log_dir = os.path.join(path, "_delta_log")
+    # pin-then-replay: see write_delta_table
+    current_v = _log_versions(log_dir)[-1]
     live_old, meta_old, proto_old = _replay_state(log_dir, version)
-    live_now, meta_now, proto_now = _replay_state(log_dir, None)
+    live_now, meta_now, proto_now = _replay_state(log_dir, current_v)
     # restoring resurrects/deletes rows: the same obligations a DELETE
     # carries (appendOnly forbids it, CDF needs _change_data, ...)
     _check_delete_writable(proto_now, meta_now)
-    current_v = _log_versions(log_dir)[-1]
     if version == current_v:
         return {
             "version": current_v,
@@ -1465,6 +1484,48 @@ def restore_delta_table(
     ]
     if meta_old != meta_now and meta_old is not None:
         actions.append({"metaData": meta_old})
+    cdc_actions: list[dict] = []
+    if cdf_enabled(meta_now):
+        # PROTOCOL.md §Add CDC File: restore authors same-path
+        # remove+re-add and DV-carrying adds — a commit shape CDF
+        # readers cannot derive changes from. The row-level change set
+        # is the exact multiset diff between the current and target
+        # states, staged as _change_data (delta-spark's
+        # RestoreTableCommand does the same).
+        from incubator_gobblin_spark.sources.delta_import import read_delta
+
+        mode = ((meta_now or {}).get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        if mode in ("name", "id"):
+            raise ValueError(
+                "restore_delta_table: restoring a CDF-enabled table "
+                "under column mapping is not supported (the change "
+                "files would need physical-name authorship) — disable "
+                "delta.enableChangeDataFeed for the restore or use a "
+                "keyed merge instead"
+            )
+        cur_df = read_delta(spark, path, version=current_v)
+        old_df = read_delta(spark, path, version=version)
+        changes = (
+            cur_df.exceptAll(old_df)
+            .withColumn("_change_type", F.lit("delete"))
+            .unionByName(
+                old_df.exceptAll(cur_df).withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            )
+        )
+        cdc_actions = [
+            {"cdc": c}
+            for c in stage_cdc_files(
+                changes,
+                path,
+                list((meta_now or {}).get("partitionColumns") or []),
+                ts,
+            )
+        ]
+        actions.extend(cdc_actions)
     removed = added = 0
     for rel in sorted(set(live_now) | set(live_old)):
         now_a = live_now.get(rel)
@@ -1522,13 +1583,21 @@ def restore_delta_table(
             and now_proto2 == proto_now
         )
 
-    new_v = _publish_commit(
-        log_dir,
-        actions,
-        current_v,
-        on_race_state=_race_ok,
-        op="restore_delta_table",
-    )
+    try:
+        new_v = _publish_commit(
+            log_dir,
+            actions,
+            current_v,
+            on_race_state=_race_ok,
+            op="restore_delta_table",
+        )
+    except Exception:
+        for c in cdc_actions:  # staged change files are orphans
+            try:
+                os.remove(os.path.join(path, unquote(c["cdc"]["path"])))
+            except OSError:
+                pass
+        raise
     return {
         "version": new_v,
         "files_added": added,

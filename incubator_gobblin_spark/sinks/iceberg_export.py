@@ -160,11 +160,15 @@ def _iceberg_schema(
         vals = [pv.get(c) for pv in partition_values]
 
         def _is_int(v) -> bool:
-            try:
-                int(v)
-                return True
-            except (TypeError, ValueError):
-                return False
+            # plain ASCII digits only (optional sign) — Python's
+            # int() also accepts underscore/whitespace forms
+            # ("2024_01" -> 202401) that Spark's partition discovery
+            # (the behavioral reference) treats as strings; exporting
+            # them as long would fabricate values
+            s = str(v)
+            if s.startswith("-"):
+                s = s[1:]
+            return s.isascii() and s.isdigit()
 
         t = (
             "long"
@@ -1172,10 +1176,13 @@ def append_position_deletes(
         for s in prev["partition-specs"]
         if s["spec-id"] == prev["default-spec-id"]
     )
-    fname = {f["id"]: f["name"] for f in schema["fields"]}
-    ftype = {f["name"]: f["type"] for f in schema["fields"]}
-    part_cols = [fname[f["source-id"]] for f in spec["fields"]]
-    part_types = {c: ftype[c] for c in part_cols}
+    # position deletes here are GLOBAL (no partition scope parameter):
+    # per the spec they must ride an UNPARTITIONED spec — under the
+    # table's partitioned spec an all-null tuple means "the null
+    # partition" to conformant readers (Spark/Trino/PyIceberg), which
+    # would skip the deletes for every real partition. This also
+    # sidesteps transform-partitioned struct derivation entirely.
+    unpart_id, all_specs = _unpartitioned_spec(prev)
     sid = (
         max(
             max((s["snapshot-id"] for s in snapshots), default=0),
@@ -1219,15 +1226,13 @@ def append_position_deletes(
         dpath,
     )
 
-    # --- content=1 delete manifest (attributed to the DEFAULT spec's
-    # actual id — hardcoding 0 would make a reader resolve the scope
-    # fields through the wrong spec on a spec-evolved table) ---
-    part_struct = _partition_struct_avro(part_cols, part_types)
+    # --- content=1 delete manifest under the UNPARTITIONED spec ---
+    part_struct = _partition_struct_avro([], {})
     entry_schema = _manifest_entry_avro(part_struct)
     manifest_meta = {
         "schema": json.dumps(schema).encode(),
-        "partition-spec": json.dumps(spec["fields"]).encode(),
-        "partition-spec-id": str(spec["spec-id"]).encode(),
+        "partition-spec": json.dumps([]).encode(),
+        "partition-spec-id": str(unpart_id).encode(),
         "format-version": b"2",
         "content": b"deletes",
     }
@@ -1240,7 +1245,7 @@ def append_position_deletes(
             "content": 1,  # POSITION_DELETES
             "file_path": "file://" + dpath,
             "file_format": "PARQUET",
-            "partition": {c: None for c in part_cols},
+            "partition": {},
             "record_count": len(rows),
             "file_size_in_bytes": os.path.getsize(dpath),
             "value_counts": None,
@@ -1261,7 +1266,7 @@ def append_position_deletes(
         {
             "manifest_path": "file://" + mpath,
             "manifest_length": len(mdata),
-            "partition_spec_id": spec["spec-id"],
+            "partition_spec_id": unpart_id,
             "content": 1,  # DELETES
             "sequence_number": seq,
             "min_sequence_number": seq,
@@ -1305,6 +1310,7 @@ def append_position_deletes(
         "parent-snapshot-id": cur["snapshot-id"],
     }
     metadata = dict(prev)
+    metadata["partition-specs"] = all_specs  # incl. the unpartitioned
     metadata["last-sequence-number"] = seq
     metadata["last-updated-ms"] = ts
     metadata["current-snapshot-id"] = sid
@@ -1389,21 +1395,42 @@ def append_equality_deletes(
     equality_ids = [by_name[c]["id"] for c in equality_cols]
     fname = {f["id"]: f["name"] for f in schema["fields"]}
     ftype = {f["name"]: f["type"] for f in schema["fields"]}
-    # the delete manifest's partition struct is keyed by partition
-    # FIELD name (== source name for identity transforms) and typed by
-    # the TRANSFORM's result (bucket/time transforms produce int —
-    # spec §Partition Transforms); the caller supplies the transformed
-    # scope value for non-identity fields, as a foreign partitioned
-    # writer would
-    part_cols = [
-        f.get("name") or fname[f["source-id"]] for f in spec["fields"]
-    ]
-    part_types = {
-        (f.get("name") or fname[f["source-id"]]): _transform_result_type(
-            f["transform"], ftype.get(fname.get(f["source-id"]))
-        )
-        for f in spec["fields"]
-    }
+    # SCOPED deletes ride the table's partitioned spec: the manifest's
+    # partition struct is keyed by partition FIELD name (== source
+    # name for identity transforms), typed by the TRANSFORM's result
+    # (spec §Partition Transforms), and carries the spec's ACTUAL
+    # field ids (an evolved spec's ids need not start at 1000 — an
+    # id-resolving reader would otherwise miss the scope values). A
+    # GLOBAL delete (partition_scope=None) must instead ride an
+    # UNPARTITIONED spec: an all-null tuple under the partitioned spec
+    # means "the null partition" to conformant readers, which would
+    # skip the delete for every real partition.
+    if partition_scope is None:
+        manifest_spec_id, all_specs = _unpartitioned_spec(prev)
+        manifest_spec_fields: list = []
+        part_cols = []
+        part_types = {}
+        part_fids: dict = {}
+    else:
+        manifest_spec_id = spec["spec-id"]
+        manifest_spec_fields = spec["fields"]
+        all_specs = prev.get("partition-specs", [])
+        part_cols = [
+            f.get("name") or fname[f["source-id"]] for f in spec["fields"]
+        ]
+        part_types = {
+            (f.get("name") or fname[f["source-id"]]): (
+                _transform_result_type(
+                    f["transform"], ftype.get(fname.get(f["source-id"]))
+                )
+            )
+            for f in spec["fields"]
+        }
+        part_fids = {
+            (f.get("name") or fname[f["source-id"]]): f["field-id"]
+            for f in spec["fields"]
+            if f.get("field-id") is not None
+        }
     sid = (
         max(
             max((s["snapshot-id"] for s in snapshots), default=0),
@@ -1438,7 +1465,7 @@ def append_equality_deletes(
 
     from incubator_gobblin_spark.formats.avro_ocf import encode_ocf
 
-    part_struct = _partition_struct_avro(part_cols, part_types)
+    part_struct = _partition_struct_avro(part_cols, part_types, part_fids)
     entry_schema = _manifest_entry_avro(part_struct)
     entry = {
         "status": 1,
@@ -1467,8 +1494,8 @@ def append_equality_deletes(
         codec="null",
         extra_meta={
             "schema": json.dumps(schema).encode(),
-            "partition-spec": json.dumps(spec["fields"]).encode(),
-            "partition-spec-id": str(spec["spec-id"]).encode(),
+            "partition-spec": json.dumps(manifest_spec_fields).encode(),
+            "partition-spec-id": str(manifest_spec_id).encode(),
             "format-version": b"2",
             "content": b"deletes",
         },
@@ -1480,7 +1507,7 @@ def append_equality_deletes(
         {
             "manifest_path": "file://" + mpath,
             "manifest_length": len(mdata),
-            "partition_spec_id": spec["spec-id"],
+            "partition_spec_id": manifest_spec_id,
             "content": 1,
             "sequence_number": seq,
             "min_sequence_number": seq,
@@ -1520,6 +1547,7 @@ def append_equality_deletes(
         "parent-snapshot-id": cur["snapshot-id"],
     }
     metadata = dict(prev)
+    metadata["partition-specs"] = all_specs  # incl. unpartitioned when global
     metadata["last-sequence-number"] = seq
     metadata["last-updated-ms"] = ts
     metadata["current-snapshot-id"] = sid

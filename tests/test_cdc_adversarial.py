@@ -965,3 +965,118 @@ def test_aborted_delete_reclaims_staged_dv_bitmaps(
         if "deletion_vector" in f or "_change_data" in f
     }
     assert not leaked, f"aborted delete leaked staged files: {leaked}"
+
+
+def test_restore_authors_cdc_on_cdf_tables(spark, sf_dir, tmp_path):
+    """RESTORE on a CDF-enabled table previously authored same-path
+    remove+re-add and DV-carrying adds with NO cdc actions — a commit
+    the engine's own CDF reader rejects as non-derivable. Restore now
+    stages the exact row-level diff as _change_data: the feed reads
+    clean across the restore and its net replay reconstructs the
+    restored state."""
+    from incubator_gobblin_spark.sinks.delta_delete import delete_delta_rows
+    from incubator_gobblin_spark.sinks.delta_maintenance import (
+        restore_delta_table,
+        write_delta_table,
+    )
+    from incubator_gobblin_spark.sources.delta_cdf import read_delta_changes
+    from incubator_gobblin_spark.sources.delta_import import read_delta
+
+    root = str(tmp_path / "restorecdf")
+    nat = load_table(spark, sf_dir, "nation")
+    write_delta_table(spark, nat, root, configuration=CDF_CONF)  # v0
+    delete_delta_rows(spark, root, "n_nationkey % 3 = 1")  # v1
+    res = restore_delta_table(spark, root, 0)  # v2
+    assert res["version"] == 2
+
+    ch = read_delta_changes(spark, root, 0)  # must not refuse
+    v2 = ch.filter("_commit_version = 2")
+    # the restore's change set = the deleted rows coming back
+    assert v2.select("_change_type").distinct().collect()[0][0] == "insert"
+    assert sorted(r.n_nationkey for r in v2.collect()) == sorted(
+        r.n_nationkey for r in nat.filter("n_nationkey % 3 = 1").collect()
+    )
+    # net replay across the whole feed == the restored table
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("n_nationkey").orderBy(
+        F.col("_commit_version").desc(),
+        F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), 1
+        ).otherwise(0).desc(),
+    )
+    survivors = (
+        ch.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .filter("_change_type IN ('insert', 'update_postimage')")
+    )
+    cols = nat.columns
+    assert sorted(map(tuple, survivors.select(*cols).collect())) == sorted(
+        map(tuple, read_delta(spark, root).collect())
+    )
+
+
+def test_global_delete_appenders_use_unpartitioned_spec(
+    spark, sf_dir, tmp_path
+):
+    """GLOBAL position/equality deletes on a PARTITIONED table must
+    ride an unpartitioned spec: under the partitioned spec their
+    all-null tuple means 'the null partition' to conformant readers
+    (Spark/Trino/PyIceberg), silently skipping the deletes everywhere
+    real — the r10 high-severity fix, applied to the foreign-writer
+    fixtures too."""
+    from incubator_gobblin_spark.sinks.files import FileSink, TableType
+    from incubator_gobblin_spark.sinks.iceberg_export import (
+        append_equality_deletes,
+        append_position_deletes,
+    )
+    from incubator_gobblin_spark.sources.iceberg_import import (
+        current_metadata,
+        read_iceberg,
+        snapshot_files,
+    )
+
+    root = str(tmp_path / "globspec")
+    sink = FileSink(
+        path=root,
+        commit_mode="manifest",
+        table_type=TableType.APPEND_ONLY,
+        partition_by=["lang"],
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    sink.write_staging(docs, "base")
+    sink.publish("base")
+    sink.export_iceberg()  # s0 (partitioned spec 0)
+
+    meta = current_metadata(root)
+    files = snapshot_files(meta, root, meta["current-snapshot-id"])
+    target = files[0]["path"]
+    append_position_deletes(root, [(target, 0), (target, 1)])  # s1
+    keys = sorted(
+        int(r.doc_id)
+        for r in docs.filter("doc_id % 10 = 7").select("doc_id").collect()
+    )
+    append_equality_deletes(
+        root, [{"doc_id": k} for k in keys], ["doc_id"]
+    )  # s2: GLOBAL
+
+    meta = current_metadata(root)
+    specs = {s["spec-id"]: s for s in meta["partition-specs"]}
+    _, dels = snapshot_files(
+        meta, root, meta["current-snapshot-id"], collect_deletes=True
+    )
+    assert dels
+    for d in dels:
+        sp = specs[d["spec_id"]]
+        assert sp["fields"] == [], (
+            f"global delete file {d['path']} rides partitioned spec "
+            f"{d['spec_id']} — conformant readers would scope it to "
+            "the null partition"
+        )
+        assert not (d.get("partition") or {}), d
+    # and the engine read still applies them
+    live = read_iceberg(spark, root)
+    assert live.filter(F.col("doc_id") % 10 == 7).count() == 0
+    assert live.count() < docs.count()
