@@ -61,6 +61,7 @@ from pyspark.sql.types import (
 from incubator_gobblin_spark.sources.delta_import import (
     _log_versions,
     _replay_state,
+    add_file_path,
     assemble_snapshot,
     check_reader_protocol,
 )
@@ -85,9 +86,7 @@ def _groups_of(path: str, files: list[dict], pv_keys: list[str]):
     for a in files:
         pv = a.get("partitionValues") or {}
         key = tuple(pv.get(k) for k in pv_keys)
-        groups.setdefault(key, []).append(
-            os.path.join(path, unquote(a["path"]))
-        )
+        groups.setdefault(key, []).append(add_file_path(path, a["path"]))
     return groups
 
 
@@ -444,7 +443,7 @@ def read_delta_changes(
                     [
                         (
                             os.path.abspath(
-                                os.path.join(path, unquote(r["path"]))
+                                add_file_path(path, r["path"])
                             ),
                             json.dumps(dv),
                         )

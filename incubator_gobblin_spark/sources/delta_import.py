@@ -62,13 +62,35 @@ def decoded_file_path(col):
     '%'), resurrecting deleted rows. Decode first. Java's URLDecoder
     maps '+' to space, but '+' in a URI path segment is a literal plus —
     protect it first (same trick as assemble_snapshot's suffix key; a
-    literal '%2B' or other '%xx' sequence in a RAW unencoded path is
-    the one remaining ambiguity, pathological)."""
+    literal '%2B' or other VALID '%xx' sequence in a RAW unencoded
+    path is the one remaining ambiguity, pathological). A raw path
+    whose '%' forms an INVALID escape ('100%done') must not kill the
+    read — try_url_decode falls back to the raw value."""
     return F.regexp_replace(
-        F.url_decode(F.replace(col, F.lit("+"), F.lit("%2B"))),
+        F.coalesce(
+            F.try_url_decode(F.replace(col, F.lit("+"), F.lit("%2B"))),
+            col,
+        ),
         "^file:/+",
         "/",
     )
+
+
+def add_file_path(table_path: str, raw: str) -> str:
+    """Local filesystem path of an add/remove/cdc action's ``path``.
+    PROTOCOL.md: the common form is a RELATIVE percent-encoded path
+    under the table root, but ABSOLUTE paths and absolute ``file:``
+    URIs are legal too — joining those under the root would fabricate
+    a bogus path and fail the read."""
+    s = str(raw)
+    if s.startswith("file://"):
+        from urllib.parse import urlparse
+
+        return unquote(urlparse(s).path)
+    if s.startswith("file:"):
+        return unquote(s[len("file:"):])
+    p = unquote(s)
+    return p if os.path.isabs(p) else os.path.join(table_path, p)
 
 
 def _log_versions(log_dir: str) -> list[int]:
@@ -235,6 +257,20 @@ def _replay_state(
                     proto = act["protocol"]
             start = cp_v + 1
 
+    # contiguity guard: every version in [start, target] must exist as
+    # JSON, or the replay would SILENTLY return a partial state (log
+    # cleanup expired versions below the latest checkpoint; time
+    # travel to a target the checkpoint doesn't cover)
+    have = set(versions)
+    missing = [v for v in range(start, target + 1) if v not in have]
+    if missing:
+        raise FileNotFoundError(
+            f"Delta versions {missing[:5]}{'...' if len(missing) > 5 else ''} "
+            f"needed to replay version {target} were expired from "
+            f"{log_dir} and no checkpoint covers them — that version "
+            "is no longer reconstructible"
+        )
+
     for v in versions:
         if v < start or v > target:
             continue
@@ -354,10 +390,9 @@ def prune_adds(
             pv = (a.get("partitionValues") or {}).get(col)
             if pv is None:
                 return True
-            try:
-                pv = type(val)(pv)
-            except (TypeError, ValueError):
-                return True
+            pv = _coerce_partition_str(pv, val)
+            if pv is None:
+                return True  # un-coercible: keep the file (conservative)
             return cmp(pv, pv)
         st = a.get("stats")
         if not st:
@@ -379,6 +414,23 @@ def prune_adds(
 # ---------------------------------------------------------------------------
 # column mapping (PROTOCOL.md §Column Mapping)
 # ---------------------------------------------------------------------------
+
+
+def _coerce_partition_str(pv: str, val):
+    """Coerce a Hive-string partition value to the FILTER literal's
+    type — conservatively: None means "could not coerce, don't prune".
+    Naive ``type(val)(pv)`` is non-conservative for booleans
+    (``bool('false') is True``) and would silently drop matching
+    files."""
+    try:
+        if isinstance(val, bool):
+            s = str(pv).lower()
+            if s in ("true", "false"):
+                return s == "true"
+            return None
+        return type(val)(pv)
+    except (TypeError, ValueError):
+        return None
 
 
 def _cm_phys(f: dict) -> str:
@@ -722,7 +774,7 @@ def read_delta(
     for a in live.values():
         pv = a.get("partitionValues") or {}
         key = tuple(pv.get(k) for k in pv_keys)
-        fp = os.path.join(path, unquote(a["path"]))
+        fp = add_file_path(path, a["path"])
         groups.setdefault(key, []).append(fp)
         if a.get("deletionVector"):
             dv_adds.append((os.path.abspath(fp), json.dumps(a["deletionVector"])))

@@ -197,12 +197,18 @@ def norm_file_ref(p: str, root: str) -> str:
 
 def _local_path(p: str) -> str:
     """Resolve a metadata-carried location to a local filesystem path.
-    The exporter emits ``file://`` URIs per the Iceberg spec; older
-    exports (and foreign writers) may carry plain paths — accept both."""
+    The exporter emits ``file://`` URIs per the Iceberg spec; Hadoop
+    ``Path.toString()`` emits the single-slash ``file:/...`` form;
+    older exports and foreign writers may carry plain paths — accept
+    all three."""
     if p.startswith("file://"):
         from urllib.parse import unquote, urlparse
 
         return unquote(urlparse(p).path)
+    if p.startswith("file:"):
+        from urllib.parse import unquote
+
+        return unquote(p[len("file:"):])
     return p
 
 
@@ -244,7 +250,31 @@ def current_metadata(path: str) -> dict:
     ):
         raise FileNotFoundError(f"no Iceberg metadata under {meta_dir}")
     with open(os.path.join(meta_dir, f"v{best}.metadata.json")) as fh:
-        return json.load(fh)
+        return _normalize_v1(json.load(fh))
+
+
+def _normalize_v1(meta: dict) -> dict:
+    """Fill the v2 plural forms from format-v1 singular fields
+    (spec §Table Metadata: ``schemas``/``current-schema-id`` and
+    ``partition-specs``/``default-spec-id`` are v2-required but
+    OPTIONAL in v1, where ``schema`` and ``partition-spec`` are the
+    source of truth). Every consumer indexes the plural forms — an
+    older foreign v1 table would otherwise die with a bare KeyError."""
+    if "schemas" not in meta and "schema" in meta:
+        sch = dict(meta["schema"])
+        sch.setdefault("schema-id", 0)
+        meta["schemas"] = [sch]
+    if "current-schema-id" not in meta and meta.get("schemas"):
+        meta["current-schema-id"] = meta["schemas"][-1].get("schema-id", 0)
+    if "partition-specs" not in meta and "partition-spec" in meta:
+        meta["partition-specs"] = [
+            {"spec-id": 0, "fields": meta["partition-spec"]}
+        ]
+    if "default-spec-id" not in meta and meta.get("partition-specs"):
+        meta["default-spec-id"] = meta["partition-specs"][0].get(
+            "spec-id", 0
+        )
+    return meta
 
 
 def _decode_avro_rows(path: str) -> list[dict]:
@@ -395,6 +425,25 @@ def _decode_bound(raw: bytes, iceberg_type: str):
     return None
 
 
+def _coerce_typed_partition(pv, val):
+    """Cross-type coercion of a typed manifest partition value to the
+    filter literal's type, CONSERVATIVELY: only int-family widening
+    and exact numeric-string parses; None = could not coerce safely
+    (caller keeps the file)."""
+    try:
+        if isinstance(val, bool) or isinstance(pv, bool):
+            return None  # bool vs anything else: never coerce
+        if isinstance(val, int) and isinstance(pv, int):
+            return pv
+        if isinstance(val, (int, float)) and isinstance(pv, (int, float)):
+            return type(val)(pv)
+        if isinstance(val, str) and isinstance(pv, str):
+            return pv
+    except (TypeError, ValueError):
+        pass
+    return None
+
+
 def prune_files(
     files: list[dict],
     filters: list[tuple],
@@ -494,10 +543,16 @@ def prune_files(
             pv = f["partition"].get(col)
             if pv is None:
                 return True  # null partition: only = can exclude, keep
-            try:
-                pv = type(val)(pv)
-            except (TypeError, ValueError):
-                return True
+            if type(pv) is not type(val):
+                # Iceberg manifests carry TYPED values; coercing across
+                # types (str(True) != 'true', bool('false') is True) is
+                # non-conservative — compare only same-typed values,
+                # keep the file otherwise (pruning may only ever cost
+                # a read it skipped)
+                coerced = _coerce_typed_partition(pv, val)
+                if coerced is None:
+                    return True
+                pv = coerced
             return {
                 "=": pv == val,
                 "<": pv < val,
@@ -720,25 +775,73 @@ def read_iceberg(
                 "_norm_path", F.lit(None).cast("string")
             ).withColumn("_row_index", F.lit(None).cast("long"))
         return empty
-    groups: dict[tuple, list[str]] = {}
+    # group and restore per FILE SPEC, not the default spec: a file
+    # written before partition evolution physically STORES the column
+    # the current spec derives (restoring it from the default spec's
+    # field would null every pre-evolution row), and a spec may name
+    # its identity field differently from the source column (the
+    # partition tuple is keyed by FIELD name, the restored column by
+    # SOURCE name)
+    specs_by_id_all = {
+        s["spec-id"]: s for s in metadata.get("partition-specs", [])
+    }
+    default_spec_id = metadata["default-spec-id"]
+    ident_cache: dict[int, list[tuple[str, str]]] = {}
+
+    def _ident(spec_id: int) -> list[tuple[str, str]]:
+        """(partition-field-name, source-column-name) identity pairs
+        of one spec."""
+        if spec_id not in ident_cache:
+            sp2 = specs_by_id_all.get(spec_id) or spec
+            ident_cache[spec_id] = [
+                (
+                    f2.get("name") or field_name[f2["source-id"]],
+                    field_name[f2["source-id"]],
+                )
+                for f2 in sp2["fields"]
+                if f2["transform"] == "identity"
+                and f2["source-id"] in field_name
+            ]
+        return ident_cache[spec_id]
+
+    per_spec: dict[int, dict[tuple, list[str]]] = {}
     for f in files:
+        f_sid = f.get("spec_id", default_spec_id)
+        idf = _ident(f_sid)
         pv = f["partition"]
         # assemble_snapshot casts from strings (the Hive-path evidence
         # Delta carries); Iceberg manifests carry typed values, so
         # stringify — the cast back through the declared type is exact
         # for identity transforms over long/string/date partitions
         key = tuple(
-            None if pv.get(c) is None else str(pv[c]) for c in part_cols
+            None if pv.get(p) is None else str(pv[p]) for p, _ in idf
         )
         fp = f["path"]
         if not os.path.isabs(fp):
             fp = os.path.join(path, fp)
-        groups.setdefault(key, []).append(fp)
+        per_spec.setdefault(f_sid, {}).setdefault(key, []).append(fp)
+
+    def _assemble_all(with_positions: bool) -> DataFrame:
+        parts = []
+        for f_sid in sorted(per_spec):
+            parts.append(
+                _assemble_iceberg(
+                    spark,
+                    per_spec[f_sid],
+                    schema_json,
+                    schema,
+                    [src for _, src in _ident(f_sid)],
+                    union_threshold,
+                    with_positions=with_positions,
+                )
+            )
+        out2 = parts[0]
+        for p2 in parts[1:]:
+            out2 = out2.unionByName(p2)
+        return out2
+
     if not delete_files:
-        out = _assemble_iceberg(
-            spark, groups, schema_json, schema, part_cols, union_threshold,
-            with_positions=_coords,
-        )
+        out = _assemble_all(_coords)
         if _coords:
             from incubator_gobblin_spark.sources.delta_import import (
                 decoded_file_path as _dfp,
@@ -758,10 +861,7 @@ def read_iceberg(
         decoded_file_path,
     )
 
-    df = _assemble_iceberg(
-        spark, groups, schema_json, schema, part_cols, union_threshold,
-        with_positions=True,
-    )
+    df = _assemble_all(True)
 
     def _abs(p: str) -> str:
         return p if os.path.isabs(p) else os.path.join(path, p)
@@ -792,7 +892,7 @@ def read_iceberg(
             return frame
         seq_joined = True
         seq_map = spark.createDataFrame(
-            [(os.path.abspath(_abs(f["path"])), int(f.get("seq") or 0))
+            [(norm_file_ref(f["path"], path), int(f.get("seq") or 0))
              for f in files],
             "_seq_path string, _data_seq long",
         )
@@ -1053,11 +1153,27 @@ def read_iceberg_incremental(
         if s["spec-id"] == metadata["default-spec-id"]
     )
     field_name = {f["id"]: f["name"] for f in schema_json["fields"]}
-    part_cols = [
-        field_name[f["source-id"]]
-        for f in spec["fields"]
-        if f["transform"] == "identity"
-    ]
+    # per-FILE-SPEC identity restore (the read_iceberg rule): a file
+    # written before partition evolution stores the column the current
+    # spec derives — restoring from the default spec would null it
+    specs_by_id_all = {
+        s["spec-id"]: s for s in metadata.get("partition-specs", [])
+    }
+    ident_cache: dict[int, list[tuple[str, str]]] = {}
+
+    def _ident(spec_id: int) -> list[tuple[str, str]]:
+        if spec_id not in ident_cache:
+            sp2 = specs_by_id_all.get(spec_id) or spec
+            ident_cache[spec_id] = [
+                (
+                    f2.get("name") or field_name[f2["source-id"]],
+                    field_name[f2["source-id"]],
+                )
+                for f2 in sp2["fields"]
+                if f2["transform"] == "identity"
+                and f2["source-id"] in field_name
+            ]
+        return ident_cache[spec_id]
 
     # snapshot order: the metadata list is append-ordered; the range is
     # (after, until] by position
@@ -1068,7 +1184,7 @@ def read_iceberg_incremental(
             f"until_snapshot_id {until} precedes after_snapshot_id "
             f"{after_snapshot_id}"
         )
-    groups: dict[tuple, list[str]] = {}
+    per_spec: dict[int, dict[tuple, list[str]]] = {}
     for sid in order[lo + 1 : hi + 1]:
         snap = by_id[sid]
         op = snap.get("summary", {}).get("operation", "append")
@@ -1099,17 +1215,33 @@ def read_iceberg_incremental(
                 ):
                     continue
                 df_ = entry["data_file"]
+                f_sid = int(mf.get("partition_spec_id") or 0)
+                idf = _ident(f_sid)
                 pv = df_.get("partition") or {}
                 key = tuple(
-                    None if pv.get(c) is None else str(pv[c])
-                    for c in part_cols
+                    None if pv.get(p) is None else str(pv[p])
+                    for p, _ in idf
                 )
                 fp = _local_path(df_["file_path"])
                 if not os.path.isabs(fp):
                     fp = os.path.join(path, fp)
-                groups.setdefault(key, []).append(fp)
-    if not groups:
+                per_spec.setdefault(f_sid, {}).setdefault(key, []).append(
+                    fp
+                )
+    if not per_spec:
         return spark.createDataFrame([], schema)
-    return _assemble_iceberg(
-        spark, groups, schema_json, schema, part_cols, union_threshold
-    )
+    parts = [
+        _assemble_iceberg(
+            spark,
+            per_spec[f_sid],
+            schema_json,
+            schema,
+            [src for _, src in _ident(f_sid)],
+            union_threshold,
+        )
+        for f_sid in sorted(per_spec)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
