@@ -283,6 +283,47 @@ def cosine_pairs(
     )
 
 
+def srp_scale_params(
+    expected_n: int,
+    bands: int = 8,
+    target_bucket_rows: int = 64,
+) -> tuple[int, int]:
+    """Scale rule for the SRP-LSH band parameters: ``(num_bits,
+    bands)`` sized so expected bucket occupancy stays ~constant as the
+    corpus grows. Each band keys into ``2^(num_bits/bands)`` buckets,
+    so at FIXED bits a 10× corpus means 10× rows per bucket and ~100×
+    candidate pairs — the near-linear wall the sf1 soak measured on
+    q52 (7.86× at 10× data). Holding ``bits_per_band =
+    ceil(log2(n / target_bucket_rows))`` keeps per-bucket pair
+    expansion flat; wall then scales ~linearly with n (candidate
+    count), not quadratically inside buckets.
+
+    Tuning table (bands=8, target 64 rows/bucket):
+
+    =============  =============  ========
+    expected_n     bits_per_band  num_bits
+    =============  =============  ========
+    ~60 k (sf1)          10             80
+    ~600 k (sf10)        14            112
+    ~6 M                 17            136
+    ~600 M (100 TB)      24            192
+    =============  =============  ========
+
+    More bits per band = fewer collisions = lower recall per band;
+    callers holding a recall target raise ``bands`` together with the
+    bits (each extra band is one more posexplode copy + groupBy —
+    linear cost). The defaults of :func:`cosine_near_dup_pairs` stay
+    FIXED for reproducibility; pass these results explicitly when the
+    corpus outgrows them."""
+    import math
+
+    n = max(int(expected_n), 1)
+    bits_per_band = max(
+        4, math.ceil(math.log2(max(n / max(target_bucket_rows, 1), 2.0)))
+    )
+    return bits_per_band * bands, bands
+
+
 def cosine_near_dup_pairs(
     vectors: DataFrame,
     dim: int,
@@ -299,6 +340,16 @@ def cosine_near_dup_pairs(
     filter. Same candidate discipline as MinHash dedup — the all-pairs
     expansion only ever happens inside a bucket, via one groupBy shuffle;
     recall < 1 by design (raise bands to recover).
+
+    SCALE CONTRACT: the defaults (64 bits / 8 bands = 8 bits per band,
+    256 buckets per band) are sized for ~10-100 k vectors. They do NOT
+    auto-scale — at fixed bits, bucket occupancy grows linearly with n
+    and in-bucket pair expansion quadratically, until
+    ``max_bucket_size`` drops the hottest buckets (recall loss instead
+    of blow-up). Past ~100 k vectors pass
+    ``num_bits, bands = srp_scale_params(expected_n)`` — see its
+    tuning table; the sf1 soak's q52 ratio (7.86× wall at 10× data)
+    is exactly this effect at fixed defaults.
 
     Skew guards: zero-norm vectors (cosine undefined; every one of them
     projects to the all-ones band key) are excluded up front, and

@@ -190,12 +190,29 @@ def replicate_iceberg_to_delta(
         )
 
     chain = _lineage(meta, from_id, cur_id)
+    # v1-to-v2 upgraded tables: the CURRENT snapshot carries a
+    # sequence-number (checked above) but pre-upgrade snapshots in the
+    # chain may not. Defaulting a chunk watermark to 0 would regress
+    # last_seq below already-consumed sequences (or strand the resume
+    # lookup on a sequence no snapshot reports) — refuse the whole run
+    # up front, before any chunk commits, with the same v2-required
+    # error the all-v1 case gets.
+    no_seq = [s["snapshot-id"] for s in chain if "sequence-number" not in s]
+    if no_seq:
+        raise ValueError(
+            "replicate_iceberg_to_delta: snapshot(s) "
+            f"{no_seq} in the replication chain carry no "
+            "sequence-number (written under Iceberg format v1 before "
+            "an upgrade) — the monotonic consumed-sequence watermark "
+            "requires format v2 history; re-bootstrap the destination "
+            "from the current snapshot instead"
+        )
     total_up = total_del = 0
     start_id = from_id
     for i in range(0, len(chain), window_cap):
         window = chain[i : i + window_cap]
         to_id_w = window[-1]["snapshot-id"]
-        to_seq_w = int(window[-1].get("sequence-number", 0))
+        to_seq_w = int(window[-1]["sequence-number"])
         ch = read_iceberg_changelog(
             spark, src_path, start_id, to_id_w, max_snapshots=window_cap
         )

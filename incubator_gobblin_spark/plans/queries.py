@@ -54,87 +54,116 @@ def register(name: str, oracle: str | None):
 
 # The driver's correctness artifact records exactly the first 50
 # registry entries each round, so iteration order decides which queries
-# touch the hard gate. Round-12 rotation (VERDICT r11 ask 1, exact):
-# 1. q150-q154 (registered after the r11 driver run — oracle-proven
-#    locally on every pytest run since, first driver rows here: the
-#    Delta CDF read, the Iceberg changelog scans, and both
-#    cross-format replication directions),
-# 2. 45 of the 50 r09-stale queries (last driver row r09 — 3 rounds
-#    old at r12).
-# 55 candidates for 50 slots: the window can no longer cover
-# everything, so five r09-stale deferrals are chosen DELIBERATELY —
-# each one's machinery is re-proven by another query INSIDE this
-# window (VERDICT r11 "wrong #1" asks exactly this):
-#  - q39_count_distinct — HashAggregate distinct-expand over lineitem;
-#    q01 (in-window) drives the same HashAggregate paths and q104
-#    (in-window) the distinct-counting semantics.
-#  - q40_having — groupBy + post-agg filter; q01/q03 (in-window) are
-#    the same agg machinery, filters included.
-#  - q41_case_bucketing — CASE/scalar bucketing; q38 (in-window)
-#    exercises the scalar-function surface wholesale.
-#  - q46_union_all — set-op union; q151 (in-window) unions
-#    per-snapshot frames and q60 (in-window) unions rollup levels.
-#  - q86_profile_columns — column-stat aggregation; q76/q77
-#    (in-window) are the same group-quantile/moment kernels.
-# All five stay oracle-proven locally on every pytest run
-# (tests/test_oracle_parity.py); they rotate back in-window r13,
-# together with q155 (the streaming changelog — registered after this
-# round's window was fixed, oracle-proven locally, first driver row
-# due r13 — the q149/q150 precedent).
+# touch the hard gate. Round-13 rotation (VERDICT r12 ask 1, exact):
+# 1. q155 (the streaming changelog — registered after the r12 window
+#    was fixed, oracle-proven locally on every pytest run, first
+#    driver row here — the q149/q150–q154 precedent, all of which
+#    then passed first try),
+# 2. the five r09-stale deliberate deferrals from r12
+#    (q39/q40/q41/q46/q86 — last driver row r09, rotating back
+#    exactly as the r12 rationale promised),
+# 3. 44 of the 49 r10-stale queries (last driver row r10 — 3 rounds
+#    old at r13).
+# 55 candidates for 50 slots again: five r10-stale deferrals are
+# chosen DELIBERATELY, each one's machinery re-proven by another
+# query INSIDE this window (the r12-blessed pattern), recorded in
+# _DEFERRALS below so the staleness test
+# (tests/test_window_rotation.py) can hold the rotation to its own
+# rule. All five stay oracle-proven locally on every pytest run
+# (tests/test_oracle_parity.py) and rotate back r14 at the front of
+# the window.
 _WINDOW_HEAD = [
-    # --- first driver rows ever: the r11 CDC/replication flagships ---
-    "q150_delta_cdf_changes_agg",
-    "q151_iceberg_changelog_agg",
-    "q152_iceberg_changelog_updates_agg",
-    "q153_replicate_iceberg_to_delta_agg",
-    "q154_replicate_delta_to_iceberg_agg",
-    # --- r09-stale block (45 of 50; the five deferrals above) ---
-    "q01_pricing_summary",
-    "q02_filter_project",
-    "q03_revenue_by_nation",
-    "q05_purge_anti_join",
-    "q07_dedup_exact_fingerprint",
-    "q14_sessionize",
-    "q24_time_partition",
-    "q25_watermark_increment",
-    "q27_quality_counts",
-    "q36_window_functions",
-    "q38_scalar_functions",
-    "q43_cross_join",
-    "q44_shuffle_join",
-    "q45_from_json_struct",
-    "q47_compaction_audit",
-    "q50_knn_l2",
-    "q51_embedding_neardup_exact",
-    "q55_ivf_assign",
-    "q56_avro_scan_agg",
-    "q59_scalar_subquery_above_avg",
-    "q61_rest_entry_projection",
-    "q87_orc_scan_agg",
-    "q101_c4_rules",
-    "q102_gopher_rules",
-    "q103_weighted_sample",
-    "q104_approx_distinct",
-    "q105_approx_median_rank",
-    "q107_rest_ingest_agg",
-    "q109_duplicated_spans",
-    "q113_shuffle_shards",
-    "q116_semantic_decontaminate",
-    "q118_cms_heavy_hitters",
-    "q119_funnel_steps",
-    "q120_cohort_retention",
-    "q121_bpe_pair_counts",
-    "q122_char_entropy",
-    "q123_delta_roundtrip_agg",
-    "q125_semantic_decontam_lsh",
-    "q126_semantic_prefilter_audit",
-    "q127_iceberg_incremental_agg",
-    "q133_delta_column_mapping_agg",
-    "q134_delta_time_travel_agg",
-    "q135_iceberg_time_travel_agg",
-    "q136_iceberg_rename_agg",
-    "q137_iceberg_eqdelete_scope_agg",
+    # --- first driver row ever: the r12 streaming changelog ---
+    "q155_iceberg_changelog_stream_agg",
+    # --- the five r09-stale deferrals, back in-window per the r12
+    # rationale (last driver row r09) ---
+    "q39_count_distinct",
+    "q40_having",
+    "q41_case_bucketing",
+    "q46_union_all",
+    "q86_profile_columns",
+    # --- r10-stale block (44 of 49; the five deferrals in
+    # _DEFERRALS below) ---
+    "q04_segment_rollup",
+    "q06_semi_join",
+    "q08_dedup_argmax",
+    "q09_topk_per_group",
+    "q10_newest_k_deletable",
+    "q11_time_retention",
+    "q12_select_between",
+    "q17_grouping_sets",
+    "q19_intersect",
+    "q20_except",
+    "q21_explode_tokens",
+    "q22_regex_filter",
+    "q23_json_extract",
+    "q26_sample_mod",
+    "q28_text_stats",
+    "q29_lang_guess",
+    "q30_token_jaccard",
+    "q31_minhash_candidates",
+    "q32_simhash_neardups",
+    "q33_ann_cosine_topk",
+    "q35_pivot_events",
+    "q37_moving_sum",
+    "q42_full_outer_join",
+    "q49_text_quality",
+    "q52_embedding_neardup_lsh",
+    "q53_asof_join",
+    "q54_range_join",
+    "q108_temperature_mixture",
+    "q110_trim_dup_spans",
+    "q111_unimax_mixture",
+    "q112_linear_probe_fit",
+    "q114_linear_probe_score",
+    "q115_trim_contaminated",
+    "q117_lsh_dedup_audit",
+    "q138_delta_dv_delete_agg",
+    "q139_iceberg_transform_scope_agg",
+    "q140_iceberg_pos_delete_agg",
+    "q141_iceberg_hidden_partition_agg",
+    "q142_delta_optimize_vacuum_agg",
+    "q143_iceberg_rewrite_files_agg",
+    "q145_delta_merge_agg",
+    "q146_delta_restore_agg",
+    "q147_iceberg_rollback_agg",
+    "q148_iceberg_tag_read_agg",
 ]
+
+# Deliberate out-of-window deferrals for THIS round: name -> the
+# in-window queries that re-prove the same machinery. The rotation
+# invariant test (tests/test_window_rotation.py) permits a query's
+# driver staleness to reach 4 rounds ONLY when it was deferred here
+# with a rationale; anything past that fails the suite. All entries
+# must rotate back in-window next round (the r12 precedent:
+# q39/q40/q41/q46/q86 deferred at r12, in-window r13).
+_DEFERRALS: dict[str, str] = {
+    "q13_running_total": (
+        "q37_moving_sum (in-window) drives the same WindowExec "
+        "running-frame machinery; the unbounded-preceding frame is a "
+        "degenerate sliding frame"
+    ),
+    "q15_rollup": (
+        "q17_grouping_sets (in-window) drives the same "
+        "Expand+grouping-id aggregation; ROLLUP is a grouping-sets "
+        "special case in Catalyst"
+    ),
+    "q16_cube": (
+        "q17_grouping_sets (in-window) — CUBE compiles to the same "
+        "Expand+Aggregate shape as grouping sets"
+    ),
+    "q18_union": (
+        "q46_union_all (in-window, returning this round) unions the "
+        "same frames; q19_intersect/q20_except (in-window) cover "
+        "distinct set-op machinery and q08 the dedup face union "
+        "DISTINCT adds"
+    ),
+    "q48_oldest_k": (
+        "q10_newest_k_deletable (in-window) is the same "
+        "rank-and-filter retention kernel with inverted order; "
+        "q09_topk_per_group (in-window) the general top-k-per-group"
+    ),
+}
 
 
 def _ordered_names() -> list[str]:

@@ -469,3 +469,55 @@ def read_delta_changes(
     for f in frames[1:]:
         out = out.unionByName(f)
     return _finish(out)
+
+
+def read_delta_changes_chunked(
+    spark: SparkSession,
+    path: str,
+    starting_version: int,
+    ending_version: int | None = None,
+    *,
+    chunk_versions: int = MAX_VERSIONS_PER_CALL,
+    union_threshold: int = 16,
+):
+    """Deep-backlog ergonomics for the CDF read (the
+    read_iceberg_changelog_chunked sibling): iterate a version
+    interval of ANY depth as bounded chunks instead of refusing past
+    ``max_versions``. Yields ``(info, DataFrame)`` oldest-first with
+    ``info = {"starting_version", "ending_version", "versions"}``;
+    ``ending_version`` is the inclusive chunk watermark a consumer
+    commits AFTER applying the chunk, and restarting with
+    ``watermark + 1`` as ``starting_version`` resumes on exactly the
+    un-applied suffix. ``_commit_version`` is globally monotonic, so
+    no per-chunk rebasing is needed — concatenating every chunk equals
+    one unbounded call."""
+    if chunk_versions <= 0:
+        raise ValueError(
+            "read_delta_changes_chunked: chunk_versions must be "
+            f"positive, got {chunk_versions}"
+        )
+    log_dir = os.path.join(path, "_delta_log")
+    versions = _log_versions(log_dir)
+    if not versions:
+        raise FileNotFoundError(f"no Delta commits under {log_dir}")
+    end = versions[-1] if ending_version is None else int(ending_version)
+    start = int(starting_version)
+    if start > end:
+        return
+    for lo in range(start, end + 1, chunk_versions):
+        hi = min(lo + chunk_versions - 1, end)
+        yield (
+            {
+                "starting_version": lo,
+                "ending_version": hi,
+                "versions": hi - lo + 1,
+            },
+            read_delta_changes(
+                spark,
+                path,
+                lo,
+                hi,
+                union_threshold=union_threshold,
+                max_versions=chunk_versions,
+            ),
+        )

@@ -250,7 +250,23 @@ def current_metadata(path: str) -> dict:
     ):
         raise FileNotFoundError(f"no Iceberg metadata under {meta_dir}")
     with open(os.path.join(meta_dir, f"v{best}.metadata.json")) as fh:
-        return _normalize_v1(json.load(fh))
+        meta = json.load(fh)
+    # Format-version gate (the Delta reader-protocol discipline,
+    # delta_import._check_reader_protocol): this engine implements the
+    # v1/v2 spec. A v3 table (deletion vectors as Puffin blobs, row
+    # lineage) parsed as v2 would at best crash mid-scan on unknown
+    # delete-file content and at worst silently resurrect deleted rows
+    # — refuse at EVERY metadata load (read, changelog, stream,
+    # replicate, and the writers all come through here).
+    fv = int(meta.get("format-version", 1))
+    if fv > 2:
+        raise ValueError(
+            f"Iceberg table at {path} is format-version {fv}; this "
+            "reader implements format v1/v2 only — v3 content "
+            "(deletion vectors, row lineage) cannot be honored and "
+            "would risk silently wrong rows"
+        )
+    return _normalize_v1(meta)
 
 
 def _normalize_v1(meta: dict) -> dict:
@@ -436,7 +452,23 @@ def _coerce_typed_partition(pv, val):
         if isinstance(val, int) and isinstance(pv, int):
             return pv
         if isinstance(val, (int, float)) and isinstance(pv, (int, float)):
-            return type(val)(pv)
+            # Exact conversions only: int(10.5) would silently truncate a
+            # float/double partition value toward zero, so an int filter
+            # literal `('p','>',10)` against partition value 10.5 would
+            # evaluate 10 > 10 = False and prune a file whose rows match —
+            # a wrong answer, not a skipped read. Compare in float space
+            # (lossless for the int range these columns hold) and keep the
+            # value only when the round-trip is exact; otherwise None and
+            # the caller keeps the file.
+            coerced = type(val)(pv)
+            if coerced == pv:
+                return coerced
+            if isinstance(val, int) and isinstance(pv, float):
+                # Widen the comparison instead of narrowing pv: the caller
+                # compares pv-vs-val directly, and Python's int/float
+                # comparison is exact, so returning pv unchanged is safe.
+                return pv
+            return None
         if isinstance(val, str) and isinstance(pv, str):
             return pv
     except (TypeError, ValueError):

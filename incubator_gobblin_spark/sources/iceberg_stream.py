@@ -66,9 +66,10 @@ from pyspark.sql.datasource import (
 
 
 class _AddedFile(InputPartition):
-    def __init__(self, path: str, partition_values: dict):
+    def __init__(self, path: str, partition_values: dict, spec_id: int = 0):
         self.path = path
         self.partition_values = partition_values
+        self.spec_id = spec_id
 
 
 class _ChangeSplit(InputPartition):
@@ -93,6 +94,7 @@ class _ChangeSplit(InputPartition):
         new_eq: list | None = None,
         standing_pos: list | None = None,
         standing_eq: list | None = None,
+        spec_id: int = 0,
     ):
         self.path = path
         self.partition_values = partition_values
@@ -104,6 +106,7 @@ class _ChangeSplit(InputPartition):
         self.new_eq = new_eq or []
         self.standing_pos = standing_pos or []
         self.standing_eq = standing_eq or []
+        self.spec_id = spec_id
 
 
 def _metadata(path: str) -> dict:
@@ -190,6 +193,39 @@ class IcebergStreamReader(DataSourceStreamReader):
             self.field_ids = _field_id_map(self.root)
         except Exception:
             self.field_ids = {}
+        # spec-id -> [(partition-field-name, source-column)] identity
+        # pairs, resolved driver-side and shipped with the reader: a
+        # file's partition tuple is keyed by its OWN spec's FIELD names
+        # and restores the SOURCE column — after partition evolution, a
+        # pre-evolution file whose spec does not derive a column falls
+        # back to the column physically stored in its parquet (the
+        # batch readers' per-file-spec _ident rule, iceberg_import.py).
+        try:
+            md = _metadata(self.root)
+            sj = next(
+                s
+                for s in md["schemas"]
+                if s["schema-id"] == md["current-schema-id"]
+            )
+            fname = {f["id"]: f["name"] for f in sj["fields"]}
+            self.ident_by_spec = {
+                sp["spec-id"]: [
+                    (
+                        f.get("name") or fname[f["source-id"]],
+                        fname[f["source-id"]],
+                    )
+                    for f in sp["fields"]
+                    if f["transform"] == "identity"
+                    and f["source-id"] in fname
+                ]
+                for sp in md.get("partition-specs", [])
+            }
+        except Exception:
+            # metadata unavailable (e.g. empty root at planning time):
+            # fall back to treating the default-spec identity columns
+            # as every file's — pre-fix behavior, exercised only when
+            # the table has no metadata to read anyway
+            self.ident_by_spec = {}
 
     def _snaps(self) -> list[dict]:
         try:
@@ -292,7 +328,11 @@ class IcebergStreamReader(DataSourceStreamReader):
                     if not os.path.isabs(fp):
                         fp = os.path.join(self.root, fp)
                     parts.append(
-                        _AddedFile(fp, dict(df_.get("partition") or {}))
+                        _AddedFile(
+                            fp,
+                            dict(df_.get("partition") or {}),
+                            int(mf.get("partition_spec_id") or 0),
+                        )
                     )
 
         if lo == 0 and in_range:
@@ -516,6 +556,7 @@ class IcebergStreamReader(DataSourceStreamReader):
                             standing_eq=[
                                 e for e, seq in eq_s if seq > f["seq"]
                             ],
+                            spec_id=f.get("spec_id", 0),
                         )
                     )
                 continue
@@ -545,6 +586,7 @@ class IcebergStreamReader(DataSourceStreamReader):
                             sid,
                             "insert",
                             standing_pos=new_pos,
+                            spec_id=f.get("spec_id", 0),
                         )
                     )
             removed_paths = paths_p - paths_s
@@ -578,6 +620,7 @@ class IcebergStreamReader(DataSourceStreamReader):
                         standing_eq=[
                             e for e, seq in eq_p if seq > f["seq"]
                         ],
+                        spec_id=f.get("spec_id", 0),
                     )
                 )
         return parts or [_ChangeSplit("", {}, 0, 0, "insert")]
@@ -603,13 +646,26 @@ class IcebergStreamReader(DataSourceStreamReader):
             f"icebergstream: unsupported partition column type {ddl_type}"
         )
 
-    def _columns(self, table, partition_values: dict) -> dict[str, list]:
+    def _columns(
+        self, table, partition_values: dict, spec_id: int = 0
+    ) -> dict[str, list]:
         """Declared-schema column values of one data file (pyarrow
         Table): parquet columns resolve by embedded field id when the
         file carries ids (rename-safe, spec §Schema Evolution), by
         name otherwise; identity partition columns restore from the
-        manifest's typed partition struct."""
+        manifest's typed partition struct THROUGH THE FILE'S OWN SPEC
+        (``spec_id``) — a pre-evolution file whose spec does not
+        derive a column reads it from the parquet instead of
+        null-filling it, and a spec naming its identity field
+        differently from the source column restores by the FIELD
+        name the partition tuple is keyed with."""
         n = table.num_rows
+        if self.ident_by_spec:
+            ident = self.ident_by_spec.get(spec_id, [])
+        else:  # metadata was unreadable at plan time: default-spec view
+            ident = [(c, c) for c in self.part_cols]
+        # source-column -> partition-FIELD name of this file's spec
+        part_field_of = {src: pf for pf, src in ident}
         # field-id index of THIS file's columns (empty when the file
         # carries no ids — this engine's own exports match by name)
         by_id: dict[int, str] = {}
@@ -633,9 +689,11 @@ class IcebergStreamReader(DataSourceStreamReader):
                 src = by_id.get(fid)
             else:
                 src = name
-            if name in self.part_cols:
+            if name in part_field_of:
                 cols[name] = [
-                    self._cast_part(ddl, partition_values.get(name))
+                    self._cast_part(
+                        ddl, partition_values.get(part_field_of[name])
+                    )
                 ] * n
             elif src is not None and src in table.column_names:
                 cols[name] = table.column(src).to_pylist()
@@ -652,7 +710,9 @@ class IcebergStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         table = pq.read_table(part.path)
-        cols = self._columns(table, part.partition_values)
+        cols = self._columns(
+            table, part.partition_values, getattr(part, "spec_id", 0)
+        )
         for i in range(table.num_rows):
             yield tuple(cols[name][i] for name, _ in self.fields)
 
@@ -674,7 +734,9 @@ class IcebergStreamReader(DataSourceStreamReader):
 
         table = pq.read_table(part.path)
         n = table.num_rows
-        cols = self._columns(table, part.partition_values)
+        cols = self._columns(
+            table, part.partition_values, getattr(part, "spec_id", 0)
+        )
         # both sides of the coordinate comparison go through the ONE
         # shared normalization rule (file://, file:, plain, relative)
         me = norm_file_ref(part.path, self.root)

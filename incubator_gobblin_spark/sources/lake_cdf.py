@@ -8,7 +8,12 @@ commit's 0-based position in the batch's chain, oldest first — the
 ordering column CDC consumers need to collapse a multi-commit batch to
 its net outcome per key; without it an insert in one commit and a
 delete of the same key in a later commit of the SAME batch would be
-unorderable). The offset is the consumed run id — checkpointed by Structured Streaming, so a restarted query
+unorderable). ``_commit_ordinal`` postdates the source's first
+release: a query RESTARTED from an old checkpoint whose file sink
+carries the pre-ordinal schema sets ``emitCommitOrdinal=false`` to
+keep that schema (the CDC sinks require the ordinal and will refuse
+such a feed — legacy consumers restart fresh to adopt it). The offset
+is the consumed run id — checkpointed by Structured Streaming, so a restarted query
 resumes exactly after the last committed batch (the same
 no-reprocess contract as every streaming source in the engine; batch
 consumers use ``FileSink.read_incremental`` instead).
@@ -162,10 +167,21 @@ def _arrow_ddl(t) -> str:
     raise ValueError(f"lakecdf: unsupported column type {s}")
 
 
-def snapshot_ddl(root: str) -> str:
+def snapshot_ddl(root: str, include_ordinal: bool = True) -> str:
     """DDL of the current snapshot's schema + _change_type +
     _commit_ordinal, from one parquet footer (driver-side metadata
-    read)."""
+    read).
+
+    COMPATIBILITY: ``_commit_ordinal`` was added to the source schema
+    after the first release of this source. A streaming query
+    restarted from an existing checkpoint against a file sink written
+    with the OLD schema would fail (or mix schemas in the sink) —
+    such in-flight consumers set ``emitCommitOrdinal=false``
+    (``include_ordinal=False`` here) to keep the pre-ordinal schema,
+    or restart with a fresh checkpoint and sink to pick the ordinal
+    up. Fresh queries leave the default on: the CDC sinks
+    (streaming/flow.py) REQUIRE an ordering column to collapse
+    multi-commit batches."""
     import pyarrow.parquet as pq
 
     rid = _read_pointer(root)
@@ -182,10 +198,10 @@ def snapshot_ddl(root: str) -> str:
                 f"`{name}` {_arrow_ddl(schema.field(name).type)}"
                 for name in schema.names
             ]
-            return ", ".join(
-                cols
-                + ["`_change_type` string", "`_commit_ordinal` bigint"]
-            )
+            extra = ["`_change_type` string"]
+            if include_ordinal:
+                extra.append("`_commit_ordinal` bigint")
+            return ", ".join(cols + extra)
     raise FileNotFoundError(f"no readable data file under {root}")
 
 
@@ -203,8 +219,10 @@ class LakeCdfStreamReader(DataSourceStreamReader):
     def __init__(self, options, field_names: list[str]):
         self.root = options["path"]
         self.start_opt = options.get("startingposition", "earliest").lower()
-        # data columns + _change_type + _commit_ordinal (last two)
+        # data columns + _change_type (+ _commit_ordinal unless the
+        # legacy-checkpoint escape hatch emitCommitOrdinal=false)
         self.fields = field_names
+        self.emit_ordinal = "_commit_ordinal" in field_names
 
     def initialOffset(self) -> dict:
         if self.start_opt == "latest":
@@ -238,7 +256,7 @@ class LakeCdfStreamReader(DataSourceStreamReader):
 
         table = pq.read_table(part.path)
         cols = {}
-        data_fields = self.fields[:-2]
+        data_fields = self.fields[: -2 if self.emit_ordinal else -1]
         for name in data_fields:
             if name in table.column_names:
                 cols[name] = table.column(name).to_pylist()
@@ -249,11 +267,17 @@ class LakeCdfStreamReader(DataSourceStreamReader):
         else:
             ct = [part.change_type] * table.num_rows
         ordinal = getattr(part, "ordinal", 0)
-        for i in range(table.num_rows):
-            yield tuple(cols[name][i] for name in data_fields) + (
-                ct[i],
-                ordinal,
-            )
+        if self.emit_ordinal:
+            for i in range(table.num_rows):
+                yield tuple(cols[name][i] for name in data_fields) + (
+                    ct[i],
+                    ordinal,
+                )
+        else:  # legacy pre-ordinal schema (emitCommitOrdinal=false)
+            for i in range(table.num_rows):
+                yield tuple(cols[name][i] for name in data_fields) + (
+                    ct[i],
+                )
 
     def commit(self, end: dict) -> None:
         pass
@@ -271,7 +295,12 @@ class LakeCdfDataSource(DataSource):
         return "lakecdf"
 
     def schema(self):
-        return snapshot_ddl(self.options["path"])
+        return snapshot_ddl(
+            self.options["path"],
+            include_ordinal=(
+                self.options.get("emitcommitordinal", "true") != "false"
+            ),
+        )
 
     def streamReader(self, schema):
         return LakeCdfStreamReader(self.options, list(schema.fieldNames()))

@@ -633,3 +633,48 @@ def test_cdf_refuses_mid_interval_schema_change(spark, sf_dir, tmp_path):
         read_delta_changes(spark, root, 0)
     # split at the change: the pre-change half still reads
     assert read_delta_changes(spark, root, 0, 1).count() > 0
+
+
+def test_chunked_cdf_matches_unbounded_and_resumes(spark, sf_dir, tmp_path):
+    """read_delta_changes_chunked over a backlog deeper than the chunk
+    size: concatenated chunks equal one unbounded call, and restarting
+    from a committed chunk watermark (+1) yields exactly the
+    un-applied suffix."""
+    from incubator_gobblin_spark.sources.delta_cdf import (
+        read_delta_changes_chunked,
+    )
+
+    root = str(tmp_path / "cdfchunks")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    ).limit(60)
+    write_delta_table(spark, docs, root, configuration=CDF_CONF)  # v0
+    delete_delta_rows(spark, root, "doc_id % 9 = 1")  # v1
+    for bump in range(1, 5):  # v2..v5
+        merge_delta_rows(
+            spark, root,
+            docs.limit(4).withColumn("n_chars", F.col("n_chars") + bump),
+            on="doc_id",
+        )
+    cols = ["doc_id", "lang", "n_chars", "_change_type", "_commit_version"]
+    want = _rows(read_delta_changes(spark, root, 0, max_versions=64), cols)
+
+    chunks = list(read_delta_changes_chunked(spark, root, 0,
+                                             chunk_versions=2))
+    assert [i["ending_version"] for i, _ in chunks] == [1, 3, 5]
+    got = sorted(t for _, df in chunks for t in _rows(df, cols))
+    assert got == want
+
+    # crash-resume: chunk 1 applied (watermark 1) -> restart at 2
+    resumed = list(read_delta_changes_chunked(spark, root, 2,
+                                              chunk_versions=2))
+    assert [i["ending_version"] for i, _ in resumed] == [3, 5]
+    tail_want = sorted(
+        t for _, df in chunks[1:] for t in _rows(df, cols)
+    )
+    assert sorted(
+        t for _, df in resumed for t in _rows(df, cols)
+    ) == tail_want
+
+    # up-to-date watermark yields nothing
+    assert list(read_delta_changes_chunked(spark, root, 6)) == []

@@ -431,3 +431,82 @@ def test_changelog_added_foreign_files_resolve_by_field_id(spark, tmp_path):
     # the foreign file's old_name values surface under new_name —
     # never null
     assert got == [(1, "a", 11), (2, "b", 11), (3, "c", 10)]
+
+
+def test_chunked_changelog_matches_unbounded_and_resumes(
+    spark, sf_dir, tmp_path
+):
+    """read_iceberg_changelog_chunked over a backlog deeper than the
+    chunk size: (1) concatenating every chunk equals one unbounded
+    call row-for-row (ordinals rebased globally); (2) the crash-resume
+    contract — restart from a committed chunk watermark yields exactly
+    the un-applied suffix (parity with jobs/replicate.py's loop)."""
+    from incubator_gobblin_spark.sources.iceberg_changelog import (
+        read_iceberg_changelog_chunked,
+    )
+
+    root = str(tmp_path / "chunked")
+    docs = load_table(spark, sf_dir, "documents").select(*COLS).limit(60)
+    write_iceberg_table(spark, docs, root)  # s0
+    # 5 more commits: deletes and upserts
+    delete_iceberg_rows(spark, root, "doc_id % 9 = 1")
+    for bump in range(1, 5):
+        upsert_iceberg_rows(
+            spark, root,
+            docs.limit(4).withColumn("n_chars", F.col("n_chars") + bump),
+            on="doc_id",
+        )
+    all_cols = [*COLS, "_change_type", "_change_ordinal",
+                "_commit_snapshot_id"]
+    want = sorted(map(tuple, read_iceberg_changelog(
+        spark, root, None, max_snapshots=64
+    ).select(*all_cols).collect()))
+
+    chunks = list(read_iceberg_changelog_chunked(
+        spark, root, None, chunk_snapshots=2
+    ))
+    assert len(chunks) == 3  # 6 snapshots / 2 per chunk
+    assert [i["ordinal_base"] for i, _ in chunks] == [0, 2, 4]
+    # chunk watermarks are the chain's snapshot ids, oldest-first
+    sids = _snapshot_ids(root)
+    assert [i["to_snapshot_id"] for i, _ in chunks] == [
+        sids[1], sids[3], sids[5]
+    ]
+    got = sorted(
+        t
+        for _, df in chunks
+        for t in map(tuple, df.select(*all_cols).collect())
+    )
+    assert got == want
+
+    # crash after applying chunk 1 (watermark = its to_snapshot_id):
+    # the restarted generator yields ONLY the remaining chunks
+    wm = chunks[0][0]["to_snapshot_id"]
+    resumed = list(read_iceberg_changelog_chunked(
+        spark, root, wm, chunk_snapshots=2
+    ))
+    assert [i["to_snapshot_id"] for i, _ in resumed] == [sids[3], sids[5]]
+    # resumed ordinals rebase from 0 (a fresh consumer epoch), but the
+    # ROWS are exactly the suffix
+    tail_want = sorted(
+        t
+        for _, df in chunks[1:]
+        for t in map(
+            tuple, df.select(*COLS, "_change_type",
+                             "_commit_snapshot_id").collect()
+        )
+    )
+    tail_got = sorted(
+        t
+        for _, df in resumed
+        for t in map(
+            tuple, df.select(*COLS, "_change_type",
+                             "_commit_snapshot_id").collect()
+        )
+    )
+    assert tail_got == tail_want
+
+    # an up-to-date watermark yields nothing
+    assert list(read_iceberg_changelog_chunked(
+        spark, root, sids[5], chunk_snapshots=2
+    )) == []

@@ -482,3 +482,120 @@ def test_iceberg_stream_id_files_never_fall_back_to_name(spark, tmp_path):
     # b streams the old values by id; the re-added "a" streams null —
     # a name fallback would have put "old1"/"old2" in the a slot
     assert rows == [(1, "old1", None), (2, "old2", None)]
+
+
+def _evolve_to_identity_lang(root):
+    """Append a spec-1 identity(lang) partition spec to an
+    UNPARTITIONED table's current metadata and make it the default —
+    the external-writer spec-evolution shape: existing spec-0 data
+    files physically store lang and their partition tuples are
+    empty."""
+    import json
+
+    meta_dir = os.path.join(root, "metadata")
+    v = max(
+        int(f[1:].split(".")[0])
+        for f in os.listdir(meta_dir)
+        if f.endswith(".metadata.json")
+    )
+    mp = os.path.join(meta_dir, f"v{v}.metadata.json")
+    raw = json.load(open(mp))
+    lang_id = next(
+        f["id"] for f in raw["schemas"][0]["fields"] if f["name"] == "lang"
+    )
+    raw["partition-specs"].append({
+        "spec-id": 1,
+        "fields": [{
+            "name": "lang", "transform": "identity",
+            "source-id": lang_id, "field-id": 1000,
+        }],
+    })
+    raw["default-spec-id"] = 1
+    raw["last-partition-id"] = 1000
+    json.dump(raw, open(mp, "w"))
+
+
+def test_stream_spec_evolution_restores_stored_partition_column(
+    spark, sf_dir, tmp_path
+):
+    """Partition evolution (unpartitioned -> identity(lang)): the
+    pre-evolution data files physically STORE lang and their partition
+    tuples lack the field. The stream reader restored identity columns
+    from the DEFAULT spec's part_cols, so those rows streamed lang as
+    null — it must resolve per FILE spec and fall back to the parquet
+    column, mirroring read_iceberg's _ident rule."""
+    from incubator_gobblin_spark.sinks.iceberg_maintenance import (
+        write_iceberg_table,
+    )
+
+    root = str(tmp_path / "specevo-stream")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .limit(40)
+    )
+    write_iceberg_table(spark, docs, root)  # spec 0: unpartitioned
+    _evolve_to_identity_lang(root)
+
+    register(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("icebergstream")
+        .option("path", root)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.filter(F.col("lang").isNull()).count() == 0
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, docs.collect())
+    )
+
+
+def test_changelog_stream_spec_evolution_restores_partition_column(
+    spark, sf_dir, tmp_path
+):
+    """Same fixture through readchangefeed=true: the changelog splits
+    carry each file's own spec_id, so pre-evolution insert rows stream
+    lang from the parquet column, not null from the missing partition
+    field."""
+    from incubator_gobblin_spark.sinks.iceberg_maintenance import (
+        write_iceberg_table,
+    )
+
+    root = str(tmp_path / "specevo-cdc")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .limit(40)
+    )
+    write_iceberg_table(spark, docs, root)
+    _evolve_to_identity_lang(root)
+
+    register(spark)
+    out, ckpt = str(tmp_path / "outc"), str(tmp_path / "ckptc")
+    q = (
+        spark.readStream.format("icebergstream")
+        .option("path", root)
+        .option("readchangefeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.filter(F.col("lang").isNull()).count() == 0
+    base = got.filter(F.col("_change_type") == "insert").select(
+        "doc_id", "lang", "n_chars"
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, docs.collect())
+    )

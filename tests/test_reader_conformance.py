@@ -104,6 +104,36 @@ def test_iceberg_typed_partition_prune_is_conservative(spark):
     assert len(kept) == 2
 
 
+def test_iceberg_float_partition_int_literal_no_truncation(spark):
+    """A float/double partition value compared against an INT filter
+    literal must not be truncated toward zero: int(10.5)=10 made
+    ('p','>',10) evaluate 10>10=False and prune a file whose rows
+    (p=10.5) match — silent missing rows. The coercion now widens the
+    comparison instead of narrowing the partition value."""
+    from incubator_gobblin_spark.sources.iceberg_import import (
+        _coerce_typed_partition,
+        prune_files,
+    )
+
+    fields = [
+        {"id": 1, "name": "p", "required": False, "type": "double"},
+    ]
+    files = [
+        {"path": "hi.parquet", "partition": {"p": 10.5}, "spec_id": 0,
+         "seq": 1, "lower_bounds": {}, "upper_bounds": {}},
+        {"path": "lo.parquet", "partition": {"p": 9.5}, "spec_id": 0,
+         "seq": 1, "lower_bounds": {}, "upper_bounds": {}},
+    ]
+    kept = prune_files(files, [("p", ">", 10)], fields, ["p"])
+    assert [f["path"] for f in kept] == ["hi.parquet"]
+    kept = prune_files(files, [("p", "<", 10)], fields, ["p"])
+    assert [f["path"] for f in kept] == ["lo.parquet"]
+    # exact conversions still coerce; lossy int->float keeps the file
+    assert _coerce_typed_partition(10.0, 10) == 10
+    assert _coerce_typed_partition(10.5, 10) == 10.5
+    assert _coerce_typed_partition(2**60 + 1, 0.5) is None
+
+
 def test_delta_time_travel_below_checkpoint_refuses_after_cleanup(
     spark, sf_dir, tmp_path
 ):
@@ -248,3 +278,63 @@ def test_delta_absolute_add_path(spark, tmp_path):
         ]) + "\n")
     got = read_delta(spark, root)
     assert sorted(r.k for r in got.collect()) == [1, 2]
+
+
+def test_iceberg_format_version_3_refused_at_every_load(
+    spark, sf_dir, tmp_path
+):
+    """A hand-authored v3 table (spec ratified upstream: deletion
+    vectors as Puffin blobs, row lineage) must be refused loudly at
+    metadata load — parsing it as v2 could silently resurrect deleted
+    rows. Mirrors the Delta reader-protocol gate."""
+    import json
+
+    from incubator_gobblin_spark.sinks.iceberg_maintenance import (
+        write_iceberg_table,
+    )
+    from incubator_gobblin_spark.sources.iceberg_changelog import (
+        read_iceberg_changelog,
+    )
+    from incubator_gobblin_spark.sources.iceberg_import import (
+        current_metadata,
+        read_iceberg,
+    )
+
+    root = str(tmp_path / "v3")
+    docs = load_table(spark, sf_dir, "documents").select(*COLS).limit(10)
+    write_iceberg_table(spark, docs, root)
+    meta_dir = os.path.join(root, "metadata")
+    v = max(
+        int(f[1:].split(".")[0])
+        for f in os.listdir(meta_dir)
+        if f.endswith(".metadata.json")
+    )
+    mp = os.path.join(meta_dir, f"v{v}.metadata.json")
+    raw = json.load(open(mp))
+    raw["format-version"] = 3
+    json.dump(raw, open(mp, "w"))
+
+    with pytest.raises(ValueError, match="format-version 3"):
+        current_metadata(root)
+    with pytest.raises(ValueError, match="format-version 3"):
+        read_iceberg(spark, root)
+    with pytest.raises(ValueError, match="format-version 3"):
+        read_iceberg_changelog(spark, root, None)
+    # replication refuses before touching the destination
+    from incubator_gobblin_spark.jobs.replicate import (
+        replicate_iceberg_to_delta,
+    )
+
+    with pytest.raises(ValueError, match="format-version 3"):
+        replicate_iceberg_to_delta(
+            spark, root, str(tmp_path / "dst"), on="doc_id"
+        )
+    # the streaming source refuses at plan time (schema resolution
+    # goes through the same gated metadata load)
+    from incubator_gobblin_spark.sources.iceberg_stream import register
+
+    register(spark)
+    with pytest.raises(Exception, match="format-version 3"):
+        spark.readStream.format("icebergstream").option(
+            "path", root
+        ).load()

@@ -505,3 +505,55 @@ def test_replicate_multi_cycle_soak_with_compaction_and_expiry(
             # checkpoint + expire CONSUMED history only
             checkpoint_delta_table(src_d)
             expire_delta_log(src_d)
+
+
+def test_replicate_refuses_mid_chain_snapshot_without_sequence_number(
+    spark, sf_dir, tmp_path
+):
+    """v1-to-v2 upgraded source: the CURRENT snapshot carries a
+    sequence-number but a pre-upgrade snapshot in the chain does not.
+    Defaulting that chunk's watermark to 0 would regress last_seq
+    below consumed sequences (and strand the resume lookup) — the run
+    must refuse up front, before any chunk commits."""
+    import json
+
+    from incubator_gobblin_spark.sinks.iceberg_maintenance import (
+        upsert_iceberg_rows,
+        write_iceberg_table,
+    )
+    from incubator_gobblin_spark.sources.delta_import import (
+        _log_versions,
+    )
+
+    src = str(tmp_path / "src_v1up")
+    dst = str(tmp_path / "dst_v1up")
+    docs = load_table(spark, sf_dir, "documents").select(*COLS).limit(50)
+    write_iceberg_table(spark, docs, src)
+    replicate_iceberg_to_delta(spark, src, dst, on="doc_id")
+
+    # two more commits; then strip sequence-number from the FIRST of
+    # them — the pre-upgrade shape
+    for bump in (1, 2):
+        upsert_iceberg_rows(
+            spark, src,
+            docs.limit(3).withColumn("n_chars", F.col("n_chars") + bump),
+            on="doc_id",
+        )
+    meta_dir = os.path.join(src, "metadata")
+    v = max(
+        int(f[1:].split(".")[0])
+        for f in os.listdir(meta_dir)
+        if f.endswith(".metadata.json")
+    )
+    mp = os.path.join(meta_dir, f"v{v}.metadata.json")
+    raw = json.load(open(mp))
+    snaps = sorted(raw["snapshots"], key=lambda s: s["sequence-number"])
+    del snaps[-2]["sequence-number"]  # mid-chain, not current
+    json.dump(raw, open(mp, "w"))
+
+    log_dir = os.path.join(dst, "_delta_log")
+    v_before = _log_versions(log_dir)[-1]
+    with pytest.raises(ValueError, match="sequence-number"):
+        replicate_iceberg_to_delta(spark, src, dst, on="doc_id")
+    # refused BEFORE any chunk committed
+    assert _log_versions(log_dir)[-1] == v_before

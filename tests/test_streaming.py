@@ -1488,3 +1488,41 @@ def test_deltastream_skip_change_commits(spark, tmp_path):
         (2, 20),
         (3, 30),
     ]
+
+
+def test_lakecdf_legacy_schema_escape_hatch(spark, tmp_path):
+    """emitCommitOrdinal=false keeps the pre-ordinal source schema —
+    the compatibility hatch for a query restarted from an old
+    checkpoint whose file sink predates _commit_ordinal (a fresh
+    restart would otherwise fail on the sink's narrower schema)."""
+    from incubator_gobblin_spark.sinks.files import FileSink, TableType
+    from incubator_gobblin_spark.sources import lake_cdf
+
+    lake = str(tmp_path / "lake")
+    sink = FileSink(
+        path=lake, table_type=TableType.APPEND_ONLY, commit_mode="manifest"
+    )
+    sink.write_staging(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k INT, v STRING"), "r1"
+    )
+    sink.publish("r1")
+
+    lake_cdf.register(spark)
+    q = (
+        spark.readStream.format("lakecdf")
+        .option("path", lake)
+        .option("emitCommitOrdinal", "false")
+        .load()
+        .writeStream.format("memory")
+        .queryName("cdf_legacy")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    df = spark.sql("SELECT * FROM cdf_legacy")
+    assert "_commit_ordinal" not in df.columns
+    assert {(r.k, r.v, r._change_type) for r in df.collect()} == {
+        (1, "a", "insert"),
+        (2, "b", "insert"),
+    }
