@@ -56,6 +56,7 @@ from pyspark.sql.types import (
 from incubator_gobblin_spark.sources.delta_import import decoded_file_path
 from incubator_gobblin_spark.sources.iceberg_import import (
     _assemble_iceberg,
+    _parsed_name_mapping,
     _spark_type,
     current_metadata,
     read_iceberg,
@@ -339,6 +340,7 @@ def read_iceberg_changelog(
                 part_cols,
                 union_threshold,
                 with_positions=bool(pos_dels),
+                name_mapping=_parsed_name_mapping(metadata),
             )
             if pos_dels:
                 # position deletes MAY target data files added in the

@@ -620,6 +620,120 @@ def prune_files(
     return out
 
 
+def _parsed_name_mapping(metadata: dict) -> list | None:
+    """The table's ``schema.name-mapping.default`` property parsed to
+    its mapping list, or None when absent/unparseable (absent mapping
+    = identity name resolution, the pre-mapping behavior)."""
+    raw = (metadata.get("properties") or {}).get(
+        "schema.name-mapping.default"
+    )
+    if not raw:
+        return None
+    try:
+        nm = json.loads(raw)
+    except ValueError:
+        return None
+    return nm if isinstance(nm, list) else None
+
+
+def _assemble_plain_with_mapping(
+    spark: SparkSession,
+    plain: dict[tuple, list[str]],
+    schema_json: dict,
+    schema: StructType,
+    part_cols: list[str],
+    union_threshold: int,
+    with_positions: bool,
+    name_mapping: list | None,
+) -> list[DataFrame]:
+    """Resolve ID-LESS data files through the table's
+    ``schema.name-mapping.default`` (spec §Column Projection rule 2 /
+    §Name Mapping Serialization): a foreign file written before a
+    column rename stores the OLD name, carries no parquet field ids,
+    and would null-fill under current-name resolution — the mapping
+    lists every name a field id was ever written under, so the reader
+    picks, per file, the first mapped name the footer actually has and
+    aliases it back to the current schema name. Files are classed by
+    their top-level footer name set (driver-side pyarrow metadata —
+    the same footers `_split_groups_by_field_ids` just sniffed) so one
+    physical-schema scan serves each class. Top level only, the same
+    caveat as the streaming reader's id resolution; a well-formed
+    mapping keeps names unique across fields (spec requirement), which
+    is what makes first-present-name resolution exact."""
+    from incubator_gobblin_spark.sources.delta_import import assemble_snapshot
+
+    names_of_id = {
+        e.get("field-id"): list(e.get("names") or [])
+        for e in (name_mapping or [])
+        if isinstance(e, dict)
+    }
+    fid_of = {f["name"]: f["id"] for f in schema_json["fields"]}
+    # Identity shortcut: when every mapped name IS the current schema
+    # name (this engine's own exports, un-renamed foreign tables),
+    # name resolution cannot differ from the declared schema — keep
+    # the single-scan plan and skip the footer class-split entirely
+    # (an evolved table's heterogeneous footers would otherwise split
+    # one scan into several union arms for no resolution gain).
+    identity = all(
+        set(names_of_id.get(f["id"], [])) <= {f["name"]}
+        for f in schema_json["fields"]
+    )
+    if not name_mapping or identity:
+        return [
+            assemble_snapshot(
+                spark, plain, schema, part_cols, union_threshold,
+                with_positions,
+            )
+        ]
+    import pyarrow.parquet as pq
+    classes: dict[frozenset, dict[tuple, list[str]]] = {}
+    for key, files in plain.items():
+        for fp in files:
+            try:
+                fnames = frozenset(pq.read_schema(fp).names)
+            except Exception:
+                fnames = frozenset()
+            classes.setdefault(fnames, {}).setdefault(key, []).append(fp)
+    parts: list[DataFrame] = []
+    for fnames, grp in classes.items():
+        rename: dict[str, str] = {}  # current name -> stored name
+        for f in schema.fields:
+            if f.name in part_cols:
+                continue  # restored from metadata, never read from files
+            cands = names_of_id.get(fid_of.get(f.name), [])
+            phys = next((c for c in cands if c in fnames), None)
+            if phys is not None and phys != f.name:
+                rename[f.name] = phys
+        if not rename:
+            parts.append(
+                assemble_snapshot(
+                    spark, grp, schema, part_cols, union_threshold,
+                    with_positions,
+                )
+            )
+            continue
+        phys_schema = StructType(
+            [
+                StructField(
+                    rename.get(f.name, f.name), f.dataType, f.nullable
+                )
+                for f in schema.fields
+            ]
+        )
+        df = assemble_snapshot(
+            spark, grp, phys_schema, part_cols, union_threshold,
+            with_positions,
+        )
+        sel = [
+            F.col(rename.get(f.name, f.name)).alias(f.name)
+            for f in schema.fields
+        ]
+        if with_positions:
+            sel += [F.col("_file_path"), F.col("_row_index")]
+        parts.append(df.select(*sel))
+    return parts
+
+
 def _assemble_iceberg(
     spark: SparkSession,
     groups: dict[tuple, list[str]],
@@ -628,21 +742,24 @@ def _assemble_iceberg(
     part_cols: list[str],
     union_threshold: int,
     with_positions: bool = False,
+    name_mapping: list | None = None,
 ) -> DataFrame:
     """assemble_snapshot with the spec's column-resolution rule: files
     carrying parquet field ids resolve by ID (Spark field-id matching —
-    survives column renames), files without resolve by name (identity
-    name-mapping, this engine's own exports); the two classes read
-    separately and union."""
+    survives column renames), files without resolve by name-mapping
+    when the table carries ``schema.name-mapping.default``
+    (:func:`_assemble_plain_with_mapping`) and by identity name
+    otherwise (this engine's own exports); the classes read separately
+    and union."""
     from incubator_gobblin_spark.sources.delta_import import assemble_snapshot
 
     with_ids, plain = _split_groups_by_field_ids(groups)
     parts: list[DataFrame] = []
     if plain:
-        parts.append(
-            assemble_snapshot(
-                spark, plain, schema, part_cols, union_threshold,
-                with_positions,
+        parts.extend(
+            _assemble_plain_with_mapping(
+                spark, plain, schema_json, schema, part_cols,
+                union_threshold, with_positions, name_mapping,
             )
         )
     if with_ids:
@@ -865,6 +982,7 @@ def read_iceberg(
                     [src for _, src in _ident(f_sid)],
                     union_threshold,
                     with_positions=with_positions,
+                    name_mapping=_parsed_name_mapping(metadata),
                 )
             )
         out2 = parts[0]
@@ -1270,6 +1388,7 @@ def read_iceberg_incremental(
             schema,
             [src for _, src in _ident(f_sid)],
             union_threshold,
+            name_mapping=_parsed_name_mapping(metadata),
         )
         for f_sid in sorted(per_spec)
     ]

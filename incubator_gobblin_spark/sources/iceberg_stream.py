@@ -226,6 +226,34 @@ class IcebergStreamReader(DataSourceStreamReader):
             # as every file's — pre-fix behavior, exercised only when
             # the table has no metadata to read anyway
             self.ident_by_spec = {}
+        # current column name -> candidate STORED names, from
+        # schema.name-mapping.default (spec §Column Projection rule 2):
+        # an id-less foreign file written before a rename stores the
+        # old name; the batch reader resolves it through the mapping
+        # (_assemble_plain_with_mapping) and the stream mirrors that
+        # in _columns' name fallback.
+        self.nm_names: dict[str, list[str]] = {}
+        try:
+            from incubator_gobblin_spark.sources.iceberg_import import (
+                _parsed_name_mapping,
+            )
+
+            md = _metadata(self.root)
+            nm = _parsed_name_mapping(md) or []
+            sj = next(
+                s
+                for s in md["schemas"]
+                if s["schema-id"] == md["current-schema-id"]
+            )
+            cur_of_id = {int(f["id"]): f["name"] for f in sj["fields"]}
+            for e in nm:
+                if not isinstance(e, dict):
+                    continue
+                cur = cur_of_id.get(e.get("field-id"))
+                if cur and e.get("names"):
+                    self.nm_names[cur] = list(e["names"])
+        except Exception:
+            self.nm_names = {}
 
     def _snaps(self) -> list[dict]:
         try:
@@ -688,7 +716,17 @@ class IcebergStreamReader(DataSourceStreamReader):
             if by_id and fid is not None:
                 src = by_id.get(fid)
             else:
-                src = name
+                # id-less file: name-mapping resolution first (the
+                # file may store a pre-rename name), identity name
+                # otherwise
+                src = next(
+                    (
+                        c
+                        for c in self.nm_names.get(name, [])
+                        if c in table.column_names
+                    ),
+                    name,
+                )
             if name in part_field_of:
                 cols[name] = [
                     self._cast_part(

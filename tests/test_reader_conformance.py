@@ -338,3 +338,87 @@ def test_iceberg_format_version_3_refused_at_every_load(
         spark.readStream.format("icebergstream").option(
             "path", root
         ).load()
+
+
+def _foreign_rename_lang_to_language(root):
+    """Simulate a FOREIGN catalog rename on an id-less table: the
+    current schema calls the column ``language`` (same field id), the
+    name-mapping records the old stored name — data files keep
+    storing ``lang`` with no parquet field ids (spec §Column
+    Projection rule 2: resolve through
+    ``schema.name-mapping.default``)."""
+    import json
+
+    meta_dir = os.path.join(root, "metadata")
+    v = max(
+        int(f[1:].split(".")[0])
+        for f in os.listdir(meta_dir)
+        if f.endswith(".metadata.json")
+    )
+    mp = os.path.join(meta_dir, f"v{v}.metadata.json")
+    raw = json.load(open(mp))
+    for sch in raw["schemas"]:
+        for f in sch["fields"]:
+            if f["name"] == "lang":
+                f["name"] = "language"
+                lang_id = f["id"]
+    nm = json.loads(raw["properties"]["schema.name-mapping.default"])
+    for e in nm:
+        if e.get("field-id") == lang_id:
+            e["names"] = ["lang", "language"]
+    raw["properties"]["schema.name-mapping.default"] = json.dumps(nm)
+    json.dump(raw, open(mp, "w"))
+
+
+def test_iceberg_name_mapping_resolves_idless_files_after_rename(
+    spark, sf_dir, tmp_path
+):
+    """An id-less data file written before a rename stores the OLD
+    column name; current-name resolution silently null-fills it. The
+    reader must resolve through schema.name-mapping.default — batch,
+    changelog, and stream faces."""
+    from incubator_gobblin_spark.sinks.iceberg_maintenance import (
+        write_iceberg_table,
+    )
+    from incubator_gobblin_spark.sources.iceberg_changelog import (
+        read_iceberg_changelog,
+    )
+    from incubator_gobblin_spark.sources.iceberg_import import read_iceberg
+
+    root = str(tmp_path / "nmap")
+    docs = load_table(spark, sf_dir, "documents").select(*COLS).limit(30)
+    write_iceberg_table(spark, docs, root)
+    _foreign_rename_lang_to_language(root)
+    want = sorted(map(tuple, docs.collect()))
+
+    got = read_iceberg(spark, root)
+    assert got.columns == ["doc_id", "language", "n_chars"]
+    assert got.filter(F.col("language").isNull()).count() == 0
+    assert sorted(map(tuple, got.collect())) == want
+
+    ch = read_iceberg_changelog(spark, root, None)
+    assert ch.filter(F.col("language").isNull()).count() == 0
+    assert sorted(
+        map(tuple, ch.select("doc_id", "language", "n_chars").collect())
+    ) == want
+
+    from incubator_gobblin_spark.sources.iceberg_stream import register
+
+    register(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("icebergstream")
+        .option("path", root)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    sgot = spark.read.parquet(out)
+    assert sgot.filter(F.col("language").isNull()).count() == 0
+    assert sorted(
+        map(tuple, sgot.select("doc_id", "language", "n_chars").collect())
+    ) == want

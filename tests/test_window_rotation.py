@@ -130,6 +130,6 @@ def test_r12_style_undocumented_deferral_would_fail():
     # every CURRENT deferral sits exactly in the age-3 band the
     # invariant polices — proving the rationale requirement is load-
     # bearing, not decorative
-    assert trips == sorted(
+    assert sorted(trips) == sorted(
         Q._DEFERRALS
     ), f"deferrals outside the policed band: {sorted(set(Q._DEFERRALS) - set(trips))}"
