@@ -98,6 +98,27 @@ def ensure_field_id_read(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
 
 
+def rebalance_for_write(df, part_cols: list[str] | None = None):
+    """Right-size a frame's partitioning for a file write (guide rule:
+    output files in the 100 MB - 1 GB range, never one shard per
+    shuffle partition).
+
+    A frame arriving with N shuffle partitions writes N part files per
+    hive partition value — a small CDC batch staged at the session's
+    32 shuffle partitions becomes 32 tiny delete/data files whose read
+    plans then pay one scan arm (or one task) per file. The REBALANCE
+    hint lets AQE coalesce the write into advisory-size
+    (``spark.sql.adaptive.advisoryPartitionSizeInBytes``) output
+    partitions — and, keyed by the hive partition columns, clusters
+    each partition value's rows together (Iceberg's
+    ``write.distribution-mode=hash`` shape) while still SPLITTING a
+    skewed value across tasks. Scale-adaptive by construction: a
+    10-row batch becomes one file, a 10 TB table becomes
+    advisory-sized files."""
+    cols = [c for c in (part_cols or []) if c in df.columns]
+    return df.hint("rebalance", *cols) if cols else df.hint("rebalance")
+
+
 def table_path(sf_dir: str, name: str) -> str:
     """Path of one driver-generated parquet table."""
     return os.path.join(sf_dir, f"{name}.parquet")

@@ -352,8 +352,16 @@ def _anti_join_existing_dvs(
                         }
                     )
 
+    from incubator_gobblin_spark.sources.delta_import import (
+        materialize_small,
+    )
+
+    # decode once: a semi/anti pushdown below the scan's partition
+    # union would otherwise re-run the Python DV decode per union arm
     tombs = F.broadcast(
-        desc_df.mapInPandas(expand, "_del_path string, _del_pos long")
+        materialize_small(
+            desc_df.mapInPandas(expand, "_del_path string, _del_pos long")
+        )
     )
     return df.withColumn(
         "_norm_path_cdc", decoded_file_path(F.col("_file_path"))

@@ -249,18 +249,29 @@ def _publish_commit(
 
 
 def _stage_adds(
-    df: DataFrame, path: str, part_cols: list[str], ts: int
+    df: DataFrame,
+    path: str,
+    part_cols: list[str],
+    ts: int,
+    coalesce_output: bool = True,
 ) -> tuple[list[dict], int]:
     """Write ``df`` through a staging dir and move the part files into
     the table tree (hive dirs for partitioned tables), returning the
     ``add`` actions with footer-derived stats. Shared by
-    write_delta_table and merge_delta_rows."""
+    write_delta_table and merge_delta_rows. ``coalesce_output`` right-
+    sizes output files via an AQE rebalance (session.rebalance_for_write)
+    — pass False to keep the frame's own partitioning (layout-
+    controlled writes, small-file test fixtures)."""
     os.makedirs(path, exist_ok=True)
     staging = os.path.join(path, f".staging-{_uuid.uuid4().hex[:12]}")
     adds: list[dict] = []
     rows_total = 0
     skip = set(part_cols)
     try:
+        from incubator_gobblin_spark.session import rebalance_for_write
+
+        if coalesce_output:
+            df = rebalance_for_write(df, part_cols)
         w = df.write.mode("overwrite")
         if part_cols:
             w = w.partitionBy(*part_cols)
@@ -338,7 +349,11 @@ def stage_cdc_files(
     staging = os.path.join(path, f".cdc-staging-{_uuid.uuid4().hex[:12]}")
     cdc_actions: list[dict] = []
     try:
-        w = changes.write.mode("overwrite")
+        from incubator_gobblin_spark.session import rebalance_for_write
+
+        w = rebalance_for_write(changes, part_cols).write.mode(
+            "overwrite"
+        )
         if part_cols:
             w = w.partitionBy(*part_cols)
         w.parquet(staging)
@@ -396,11 +411,14 @@ def write_delta_table(
     partition_by: list[str] | tuple[str, ...] = (),
     mode: str = "error",
     configuration: dict | None = None,
+    coalesce_output: bool = True,
 ) -> dict:
     """Write ``df`` as a plain Delta table at ``path`` — the standalone
     write path (delta-io PROTOCOL.md): data parquet + ``_delta_log``
     JSON commits, protocol (1,2), footer-derived per-file stats
     (numRecords/minValues/maxValues/nullCount) so readers file-skip.
+    ``coalesce_output=False`` keeps the frame's own partitioning
+    instead of the default AQE-rebalanced file sizing.
 
     ``mode``: ``error`` (create, refuse if a table exists), ``append``
     (add files to an existing table — schema must match exactly),
@@ -459,7 +477,9 @@ def write_delta_table(
             )
 
     ts = int(_time.time() * 1000)
-    adds, rows_total = _stage_adds(df, path, part_cols, ts)
+    adds, rows_total = _stage_adds(
+        df, path, part_cols, ts, coalesce_output=coalesce_output
+    )
 
     actions: list[dict] = [
         {
@@ -1188,8 +1208,16 @@ def _anti_join_dvs(
                         }
                     )
 
+    from incubator_gobblin_spark.sources.delta_import import (
+        materialize_small,
+    )
+
+    # decode once — see materialize_small (anti pushdown below a scan
+    # union would re-run the Python decode per arm)
     tombs = F.broadcast(
-        desc_df.mapInPandas(expand, "_del_path string, _del_pos long")
+        materialize_small(
+            desc_df.mapInPandas(expand, "_del_path string, _del_pos long")
+        )
     )
     out = (
         df.withColumn("_file_path", F.col("_metadata.file_path"))

@@ -215,8 +215,15 @@ def delete_iceberg_rows(
     del_dir = os.path.join(
         location, "_deletes", f"del-{uuid.uuid4().hex[:12]}"
     )
+    from incubator_gobblin_spark.session import rebalance_for_write
+
     (
-        matched.repartition(F.col("file_path"))
+        # rebalance (not a fixed-N repartition): a small DELETE's
+        # coordinates coalesce to one advisory-size file instead of
+        # one shard per shuffle partition, while a huge one still
+        # splits — file_path clustering + the (file_path, pos) sort
+        # the spec recommends are preserved
+        rebalance_for_write(matched, ["file_path"])
         .sortWithinPartitions("file_path", "pos")
         .select(
             F.col("file_path").alias(

@@ -120,18 +120,27 @@ def _move_parts(staging: str, dest_dir: str, tag: str) -> list[str]:
 
 
 def _stage_iceberg_data(
-    df: DataFrame, location: str, part_cols: list[str]
+    df: DataFrame,
+    location: str,
+    part_cols: list[str],
+    coalesce_output: bool = True,
 ) -> list[dict]:
     """Write ``df`` through a staging dir and move the part files
     under ``data/`` (hive dirs for partitioned tables — ``partitionBy``
     drops the partition columns from the data files, the spec's
     hidden-partition file layout). Returns ``{path, partition
     (string-valued dict), rows, size}`` per file. Shared by the
-    standalone writer and the upsert."""
+    standalone writer and the upsert. ``coalesce_output`` right-sizes
+    output files via an AQE rebalance (session.rebalance_for_write) —
+    False keeps the frame's own partitioning."""
     os.makedirs(os.path.join(location, "data"), exist_ok=True)
     staging = os.path.join(location, f".staging-{_uuid.uuid4().hex[:12]}")
     files: list[dict] = []
     try:
+        from incubator_gobblin_spark.session import rebalance_for_write
+
+        if coalesce_output:
+            df = rebalance_for_write(df, part_cols)
         w = df.write.mode("overwrite")
         if part_cols:
             w = w.partitionBy(*part_cols)
@@ -190,6 +199,7 @@ def write_iceberg_table(
     *,
     partition_by: list[str] | tuple[str, ...] = (),
     transform_spec: list[dict] | None = None,
+    coalesce_output: bool = True,
 ) -> str:
     """Author a v2 Iceberg table at ``path`` directly from ``df`` —
     data parquet under ``data/`` plus a self-contained
@@ -236,7 +246,9 @@ def write_iceberg_table(
         transforms_by_name[t["name"]] = t
     identity_cols = [c for c in part_cols if c not in transforms_by_name]
 
-    files = _stage_iceberg_data(df, location, part_cols)
+    files = _stage_iceberg_data(
+        df, location, part_cols, coalesce_output=coalesce_output
+    )
     if not files:
         raise ValueError("write_iceberg_table: df wrote no rows")
 
@@ -1133,7 +1145,11 @@ def upsert_iceberg_rows(
                     f"columns {missing_k}"
                 )
             keys = keys.unionByName(extra_delete_keys.select(*on_cols))
-        keys.distinct().write.mode("overwrite").parquet(del_staging)
+        from incubator_gobblin_spark.session import rebalance_for_write
+
+        rebalance_for_write(keys.distinct()).write.mode(
+            "overwrite"
+        ).parquet(del_staging)
         import pyarrow.parquet as pq
 
         for fp in _move_parts(del_staging, del_root, "eq-upsert"):

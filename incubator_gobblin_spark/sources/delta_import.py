@@ -51,6 +51,23 @@ from pyspark.sql.types import StructField, StructType
 TOMBSTONE_BROADCAST_MAX_ROWS = 4_000_000
 
 
+def materialize_small(df):
+    """Compute a metadata-scale frame ONCE and serve every downstream
+    reference from the materialized partitions.
+
+    Catalyst's ``PushdownLeftSemiAntiJoin`` pushes a semi/anti join
+    below a Union, copying the BUILD side into every arm — for the
+    lake readers that means the tombstone/delete-key subtree (DV
+    decode ``mapInPandas``, delete-file parquet scans) re-executes
+    once per partition-group arm. ``localCheckpoint`` truncates the
+    lineage to the computed blocks, so the copies degenerate to reads
+    of the same small RDD and AQE's exchange reuse collapses the
+    broadcasts. Only ever called on frames already bounded by
+    ``TOMBSTONE_BROADCAST_MAX_ROWS``-scale gates, so the blocks are
+    metadata-scale by construction."""
+    return df.localCheckpoint(eager=True)
+
+
 def decoded_file_path(col):
     """Normalize a URI-form path Column (``_metadata.file_path``, a
     manifest-carried location) to a bare decoded absolute path.
@@ -823,7 +840,9 @@ def read_delta(
                         {"_del_path": p, "_del_pos": pd.Series(poss, dtype="int64")}
                     )
 
-    tombs = desc_df.mapInPandas(expand, "_del_path string, _del_pos long")
+    tombs = materialize_small(
+        desc_df.mapInPandas(expand, "_del_path string, _del_pos long")
+    )
     # the scan's _metadata.file_path is a percent-encoded URI while
     # _del_path is a decoded abspath — decode before comparing, or a
     # path with a space/'+'/'%' silently resurrects its deleted rows

@@ -302,17 +302,33 @@ def read_iceberg_changelog(
         new_dels = [d for d in dels_s if d["path"] not in del_paths_p]
         pos_dels = [d for d in new_dels if d["content"] == 1]
 
+        # decoded once per snapshot and materialized: the coords feed
+        # up to TWO joins (added-file anti-join + parent semi-join),
+        # and Catalyst's semi/anti pushdown through the scan unions
+        # would re-read the delete files once per union arm besides
+        _pos_cache: list[DataFrame] = []
+
         def _pos_coords():
-            return (
-                spark.read.parquet(
-                    *[_abs(path, d["path"]) for d in pos_dels]
+            if not _pos_cache:
+                from incubator_gobblin_spark.sources.delta_import import (
+                    materialize_small,
                 )
-                .select(
-                    decoded_file_path(F.col("file_path")).alias("_dp"),
-                    F.col("pos").cast("long").alias("_dpos"),
+
+                _pos_cache.append(
+                    materialize_small(
+                        spark.read.parquet(
+                            *[_abs(path, d["path"]) for d in pos_dels]
+                        )
+                        .select(
+                            decoded_file_path(F.col("file_path")).alias(
+                                "_dp"
+                            ),
+                            F.col("pos").cast("long").alias("_dpos"),
+                        )
+                        .distinct()
+                    )
                 )
-                .distinct()
-            )
+            return _pos_cache[0]
 
         pos_rows = sum(d.get("record_count") or 0 for d in pos_dels)
 
@@ -362,28 +378,35 @@ def read_iceberg_changelog(
             frames.append(_stamp(ins, "insert", ordinal, sid))
 
         # --- deletes: removed data files + newly added delete files,
-        # both recovered from the PARENT snapshot's live rows ---
+        # both recovered from the PARENT snapshot's live rows in ONE
+        # pass: each delete source left-outer-joins a marker onto the
+        # parent scan (instead of the former union of per-branch
+        # semi-joins, which re-executed the whole parent subtree —
+        # itself a partition-group union with its own delete
+        # anti-joins — once per branch), then one filter keeps any
+        # marked row and the coordinate dedupe collapses multi-matched
+        # rows exactly as before ---
         removed_paths = paths_p - paths_s
         if parent_id is None or (not removed_paths and not new_dels):
             continue
         parent = read_iceberg(
             spark, path, snapshot_id=parent_id, _coords=True
         )
-        dead = None
+        joined = parent
+        markers = []
         if removed_paths:
             removed_abs = [
                 os.path.abspath(_abs(path, p)) for p in removed_paths
             ]
-            part = parent.filter(F.col("_norm_path").isin(removed_abs))
-            dead = part
+            markers.append(F.col("_norm_path").isin(removed_abs))
         if pos_dels:
-            hit = parent.join(
+            joined = joined.join(
                 _bounded_broadcast(_pos_coords(), pos_rows),
                 (F.col("_norm_path") == F.col("_dp"))
                 & (F.col("_row_index") == F.col("_dpos")),
-                "left_semi",
+                "left_outer",
             )
-            dead = hit if dead is None else dead.unionByName(hit)
+            markers.append(F.col("_dp").isNotNull())
         eq_dels = [d for d in new_dels if d["content"] == 2]
         if eq_dels:
             # group by (key-column set, spec id); every parent row is
@@ -416,7 +439,13 @@ def read_iceberg_changelog(
                     ),
                     [],
                 ).append(d)
-            for (ids, _sid2), group in sorted(by_ids.items()):
+            from incubator_gobblin_spark.sources.delta_import import (
+                materialize_small,
+            )
+
+            for gi, ((ids, _sid2), group) in enumerate(
+                sorted(by_ids.items())
+            ):
                 cols = [field_name[i] for i in ids]
                 scope_cols = sorted(
                     {
@@ -437,23 +466,42 @@ def read_iceberg_changelog(
                     )
                     for sc in scope_cols
                 }
-                keys = None
+                # one scan per distinct scope tuple, not per delete
+                # file (a CDC commit stages its key set across N
+                # shuffle partitions -> N same-scope files)
+                sub: dict[tuple, list] = {}
                 for d in group:
-                    one = spark.read.parquet(_abs(path, d["path"])).select(
-                        *[F.col(c).alias(f"_k_{c}") for c in cols]
-                    )
+                    sv = []
                     for sc in scope_cols:
                         v = (d.get("partition") or {}).get(sc)
                         if not scope_exprs[sc][1]:
                             v = epoch_norm(v)
-                        one = one.withColumn(f"_k_part_{sc}", F.lit(v))
+                        sv.append(v)
+                    sub.setdefault(
+                        tuple(repr(v) for v in sv), []
+                    ).append((d, sv))
+                keys = None
+                for _svk, ds in sorted(sub.items()):
+                    one = spark.read.parquet(
+                        *[_abs(path, d["path"]) for d, _ in ds]
+                    ).select(
+                        *[F.col(c).alias(f"_k{gi}_{c}") for c in cols]
+                    )
+                    for sc, v in zip(scope_cols, ds[0][1]):
+                        one = one.withColumn(f"_k{gi}_part_{sc}", F.lit(v))
                     keys = one if keys is None else keys.unionByName(one)
+                # the marker column (not the key columns, which may be
+                # legitimately NULL under null-safe equality) proves a
+                # match after the outer join
+                keys = materialize_small(
+                    keys.withColumn(f"_hit_eq{gi}", F.lit(1))
+                )
                 cond = F.lit(True)
                 for c in cols:
-                    cond = cond & F.col(c).eqNullSafe(F.col(f"_k_{c}"))
+                    cond = cond & F.col(c).eqNullSafe(F.col(f"_k{gi}_{c}"))
                 for sc in scope_cols:
                     expr, stringify = scope_exprs[sc]
-                    rhs = F.col(f"_k_part_{sc}")
+                    rhs = F.col(f"_k{gi}_part_{sc}")
                     comp = (
                         (expr == rhs.cast("string"))
                         if stringify
@@ -461,19 +509,25 @@ def read_iceberg_changelog(
                     )
                     # null scope component = global for that column
                     cond = cond & (rhs.isNull() | comp)
-                hit = parent.join(
+                joined = joined.join(
                     _bounded_broadcast(
                         keys,
                         sum(d.get("record_count") or 0 for d in group),
                     ),
                     cond,
-                    "left_semi",
+                    "left_outer",
                 )
-                dead = hit if dead is None else dead.unionByName(hit)
-        if dead is not None:
-            # one row may match several new delete files — coordinates
-            # dedupe exactly
-            dead = dead.dropDuplicates(["_norm_path", "_row_index"])
+                markers.append(F.col(f"_hit_eq{gi}").isNotNull())
+        if markers:
+            any_hit = markers[0]
+            for m in markers[1:]:
+                any_hit = any_hit | m
+            # one row may match several new delete files (and an outer
+            # join multi-match can duplicate it) — coordinates dedupe
+            # exactly
+            dead = joined.filter(any_hit).dropDuplicates(
+                ["_norm_path", "_row_index"]
+            )
             frames.append(
                 _stamp(
                     dead.select(*[f.name for f in schema.fields]),
@@ -495,33 +549,33 @@ def read_iceberg_changelog(
                 f"read_iceberg_changelog: identifier_fields {bad} not "
                 "in the table schema"
             )
-        key = [COMMIT_SNAPSHOT_COL, *identifier_fields]
-        upd = (
-            out.filter(F.col(CHANGE_TYPE_COL) == "delete")
-            .select(*key)
-            .intersect(
-                out.filter(F.col(CHANGE_TYPE_COL) == "insert").select(*key)
+        # ONE pass: a key is an update iff its (snapshot, key) group
+        # holds both a delete and an insert — computed with window
+        # flags over the changelog instead of the former
+        # intersect-then-join, which re-evaluated the whole
+        # per-snapshot union THREE times (delete side, insert side,
+        # join left side) and tripled every underlying file scan.
+        # Identifier fields are required non-null per the Iceberg spec
+        # (identifier-field-ids must reference required fields), so
+        # window null-grouping vs join null semantics cannot diverge.
+        from pyspark.sql.window import Window as _W
+
+        w = _W.partitionBy(COMMIT_SNAPSHOT_COL, *identifier_fields)
+        is_del = F.when(F.col(CHANGE_TYPE_COL) == "delete", 1).otherwise(0)
+        is_ins = F.when(F.col(CHANGE_TYPE_COL) == "insert", 1).otherwise(0)
+        both = (F.max(is_del).over(w) == 1) & (F.max(is_ins).over(w) == 1)
+        out = out.withColumn(
+            CHANGE_TYPE_COL,
+            F.when(
+                both & (F.col(CHANGE_TYPE_COL) == "delete"),
+                F.lit("update_preimage"),
             )
-            .withColumn("_is_upd", F.lit(True))
-        )
-        out = (
-            out.join(upd, on=key, how="left")
-            .withColumn(
-                CHANGE_TYPE_COL,
-                F.when(
-                    F.col("_is_upd").isNotNull()
-                    & (F.col(CHANGE_TYPE_COL) == "delete"),
-                    F.lit("update_preimage"),
-                )
-                .when(
-                    F.col("_is_upd").isNotNull()
-                    & (F.col(CHANGE_TYPE_COL) == "insert"),
-                    F.lit("update_postimage"),
-                )
-                .otherwise(F.col(CHANGE_TYPE_COL)),
+            .when(
+                both & (F.col(CHANGE_TYPE_COL) == "insert"),
+                F.lit("update_postimage"),
             )
-            .select(*out_cols)
-        )
+            .otherwise(F.col(CHANGE_TYPE_COL)),
+        ).select(*out_cols)
     return out
 
 

@@ -1009,6 +1009,7 @@ def read_iceberg(
     from incubator_gobblin_spark.sources.delta_import import (
         TOMBSTONE_BROADCAST_MAX_ROWS,
         decoded_file_path,
+        materialize_small,
     )
 
     df = _assemble_all(True)
@@ -1061,17 +1062,28 @@ def read_iceberg(
 
     pos_deletes = [d for d in delete_files if d["content"] == 1]
     if pos_deletes:
-        dels = None
+        # one scan per distinct data sequence, not per delete file: a
+        # commit staging its coordinates across N shuffle partitions
+        # yields N files that differ only in content — reading them as
+        # N union arms made the plan linear in the file count
+        by_seq: dict[int, list[dict]] = {}
         for d in pos_deletes:
+            by_seq.setdefault(int(d["seq"]), []).append(d)
+        dels = None
+        for seq, ds in sorted(by_seq.items()):
             one = (
-                spark.read.parquet(_abs(d["path"]))
+                spark.read.parquet(*[_abs(d["path"]) for d in ds])
                 .select(
                     decoded_file_path(F.col("file_path")).alias("_del_path"),
                     F.col("pos").cast("long").alias("_del_pos"),
                 )
-                .withColumn("_del_seq", F.lit(int(d["seq"])))
+                .withColumn("_del_seq", F.lit(seq))
             )
             dels = one if dels is None else dels.unionByName(one)
+        # decode + union of the delete files happens ONCE — Catalyst's
+        # semi/anti pushdown through the scan union would otherwise
+        # re-read every position-delete file once per union arm
+        dels = materialize_small(dels)
         cond = (F.col("_norm_path") == F.col("_del_path")) & (
             F.col("_row_index") == F.col("_del_pos")
         )
@@ -1140,17 +1152,31 @@ def read_iceberg(
             scope_exprs = {
                 sc: _scope_expr(dels_of_group[0], sc) for sc in scope_cols
             }
-            parts_df = None
+            # one scan per distinct (sequence, scope tuple), not per
+            # delete file: a CDC commit stages its key set across N
+            # shuffle partitions -> N files sharing seq and scope
+            sub: dict[tuple, list[dict]] = {}
             for d in dels_of_group:
-                one = spark.read.parquet(_abs(d["path"])).select(
-                    *[F.col(c).alias(f"_eq_{c}") for c in cols]
-                ).withColumn("_del_seq", F.lit(int(d["seq"])))
+                sv = []
                 for sc in scope_cols:
                     v = d["partition"].get(sc)
                     if not scope_exprs[sc][1]:
                         v = _plain_scope_value(v)
+                    sv.append(v)
+                sub.setdefault(
+                    (int(d["seq"]), tuple(repr(v) for v in sv)), []
+                ).append((d, sv))
+            parts_df = None
+            for (seq, _svk), ds in sorted(sub.items()):
+                one = spark.read.parquet(
+                    *[_abs(d["path"]) for d, _ in ds]
+                ).select(
+                    *[F.col(c).alias(f"_eq_{c}") for c in cols]
+                ).withColumn("_del_seq", F.lit(seq))
+                for sc, v in zip(scope_cols, ds[0][1]):
                     one = one.withColumn(f"_eq_part_{sc}", F.lit(v))
                 parts_df = one if parts_df is None else parts_df.unionByName(one)
+            parts_df = materialize_small(parts_df)
             cond = F.col("_data_seq") < F.col("_del_seq")
             for c in cols:
                 # null-safe equality: a null delete value matches a

@@ -121,7 +121,7 @@ def test_cdf_delete_skips_already_dv_dead_rows(spark, sf_dir, tmp_path):
     any downstream replication."""
     root = str(tmp_path / "cdf2")
     nat = load_table(spark, sf_dir, "nation")
-    write_delta_table(spark, nat, root, configuration=CDF_CONF)
+    write_delta_table(spark, nat, root, configuration=CDF_CONF, coalesce_output=False)
     delete_delta_rows(spark, root, "n_nationkey % 2 = 0")  # v1
     # overlapping predicate: %4=0 rows are already dead
     delete_delta_rows(spark, root, "n_nationkey % 4 = 0 OR n_nationkey = 7")
@@ -157,7 +157,7 @@ def test_cdf_overwrite_and_append_derive(spark, sf_dir, tmp_path):
 def test_cdf_optimize_is_invisible(spark, sf_dir, tmp_path):
     root = str(tmp_path / "cdf4")
     nat = load_table(spark, sf_dir, "nation").repartition(4)
-    write_delta_table(spark, nat, root, configuration=CDF_CONF)
+    write_delta_table(spark, nat, root, configuration=CDF_CONF, coalesce_output=False)
     delete_delta_rows(spark, root, "n_nationkey = 3")  # v1
     compact_delta_files(
         spark, root, target_file_bytes=1 << 30, small_file_bytes=1 << 30
@@ -295,7 +295,7 @@ def test_hand_authored_foreign_cdf_table(spark, tmp_path):
 def test_vacuum_protects_referenced_cdc_files(spark, sf_dir, tmp_path):
     root = str(tmp_path / "cdfv")
     nat = load_table(spark, sf_dir, "nation")
-    write_delta_table(spark, nat, root, configuration=CDF_CONF)
+    write_delta_table(spark, nat, root, configuration=CDF_CONF, coalesce_output=False)
     delete_delta_rows(spark, root, "n_nationkey % 3 = 0")
     cd = os.path.join(root, "_change_data")
     cdc_files = [
@@ -607,7 +607,7 @@ def test_cdf_refuses_mid_interval_schema_change(spark, sf_dir, tmp_path):
     the new schema would null-fill instead of erroring."""
     root = str(tmp_path / "schemachange")
     nat = load_table(spark, sf_dir, "nation")
-    write_delta_table(spark, nat, root, configuration=CDF_CONF)
+    write_delta_table(spark, nat, root, configuration=CDF_CONF, coalesce_output=False)
     delete_delta_rows(spark, root, "n_nationkey = 5")  # v1
     # simulate a foreign writer evolving the schema at v2
     log = os.path.join(root, "_delta_log", f"{2:020d}.json")

@@ -139,7 +139,7 @@ def test_write_delta_table_null_partition_values(spark, tmp_path):
 def test_compact_absorbs_deletion_vectors(spark, sf_dir, tmp_path):
     root = str(tmp_path / "c1")
     cust = load_table(spark, sf_dir, "customer").repartition(4)
-    write_delta_table(spark, cust, root)
+    write_delta_table(spark, cust, root, coalesce_output=False)
     delete_delta_rows(spark, root, "c_custkey % 3 = 0")
     expect = cust.filter(~(F.col("c_custkey") % 3 == 0))
     live_before, _, _ = _live(root)
@@ -177,7 +177,7 @@ def test_compact_absorbs_deletion_vectors(spark, sf_dir, tmp_path):
 def test_compact_bin_packs_small_files(spark, sf_dir, tmp_path):
     root = str(tmp_path / "c2")
     ords = load_table(spark, sf_dir, "orders").repartition(8)
-    write_delta_table(spark, ords, root)
+    write_delta_table(spark, ords, root, coalesce_output=False)
     live_before, _, _ = _live(root)
     assert len(live_before) == 8
 
@@ -362,7 +362,7 @@ def test_compact_refuses_manifest_lake_and_rowtracking(
 def test_vacuum_cleans_tombstoned_files_and_dvs(spark, sf_dir, tmp_path):
     root = str(tmp_path / "v1")
     cust = load_table(spark, sf_dir, "customer").repartition(3)
-    write_delta_table(spark, cust, root)
+    write_delta_table(spark, cust, root, coalesce_output=False)
     delete_delta_rows(spark, root, "c_custkey % 4 = 1")
     expect = cust.filter(~(F.col("c_custkey") % 4 == 1))
     compact_delta_files(
@@ -699,7 +699,7 @@ def test_checkpoint_preserves_dvs_and_protocol_features(
 
     root = str(tmp_path / "cp1")
     cust = load_table(spark, sf_dir, "customer").repartition(3)
-    write_delta_table(spark, cust, root)
+    write_delta_table(spark, cust, root, coalesce_output=False)
     delete_delta_rows(spark, root, "c_custkey % 5 = 2")
     expect = cust.filter(~(F.col("c_custkey") % 5 == 2))
 
@@ -743,7 +743,7 @@ def test_restore_delta_table(spark, sf_dir, tmp_path):
 
     root = str(tmp_path / "rs1")
     cust = load_table(spark, sf_dir, "customer").repartition(2)
-    write_delta_table(spark, cust, root)           # v0
+    write_delta_table(spark, cust, root, coalesce_output=False)  # v0
     delete_delta_rows(spark, root, "c_custkey % 3 = 0")  # v1 (DVs)
     compact_delta_files(                           # v2 (absorbs)
         spark, root, target_file_bytes=1 << 30, small_file_bytes=1 << 30
@@ -787,7 +787,7 @@ def test_restore_refuses_when_dv_bitmap_vacuumed(spark, sf_dir, tmp_path):
 
     root = str(tmp_path / "rdv")
     cust = load_table(spark, sf_dir, "customer").repartition(2)
-    write_delta_table(spark, cust, root)                  # v0
+    write_delta_table(spark, cust, root, coalesce_output=False)  # v0
     delete_delta_rows(spark, root, "c_custkey % 3 = 0")   # v1 (DVs)
     compact_delta_files(                                  # v2 absorbs
         spark, root, target_file_bytes=1 << 30, small_file_bytes=1 << 30
@@ -816,7 +816,7 @@ def test_compact_rewrites_full_footer_stats(spark, sf_dir, tmp_path):
     skipping on every compacted table."""
     root = str(tmp_path / "cstats")
     cust = load_table(spark, sf_dir, "customer").repartition(3)
-    write_delta_table(spark, cust, root)
+    write_delta_table(spark, cust, root, coalesce_output=False)
     delete_delta_rows(spark, root, "c_custkey % 4 = 1")
     compact_delta_files(
         spark, root, target_file_bytes=1 << 30, small_file_bytes=1 << 30

@@ -126,7 +126,7 @@ def test_write_iceberg_table_hidden_partitioning(spark, sf_dir, tmp_path):
 def test_rewrite_absorbs_position_deletes(spark, sf_dir, tmp_path):
     root = str(tmp_path / "r1")
     cust = load_table(spark, sf_dir, "customer").repartition(4)
-    write_iceberg_table(spark, cust, root)
+    write_iceberg_table(spark, cust, root, coalesce_output=False)
     delete_iceberg_rows(spark, root, "c_custkey % 3 = 0")
     expect = cust.filter(~(F.col("c_custkey") % 3 == 0))
     assert _deletes(root)
@@ -207,7 +207,7 @@ def test_rewrite_absorbs_equality_deletes_partitioned(
 def test_rewrite_bin_packs_small_files(spark, sf_dir, tmp_path):
     root = str(tmp_path / "r3")
     ords = load_table(spark, sf_dir, "orders").repartition(8)
-    write_iceberg_table(spark, ords, root)
+    write_iceberg_table(spark, ords, root, coalesce_output=False)
     meta = current_metadata(root)
     assert len(snapshot_files(meta, root)) == 8
 
@@ -394,7 +394,7 @@ def test_remove_orphan_files_after_expire(spark, sf_dir, tmp_path):
 
     root = str(tmp_path / "o1")
     cust = load_table(spark, sf_dir, "customer").repartition(3)
-    write_iceberg_table(spark, cust, root)
+    write_iceberg_table(spark, cust, root, coalesce_output=False)
     delete_iceberg_rows(spark, root, "c_custkey % 3 = 0")
     rewrite_iceberg_data_files(spark, root)
     expect = cust.filter(~(F.col("c_custkey") % 3 == 0))
