@@ -255,6 +255,12 @@ def cms_heavy_hitters(
         df.filter(F.col(item_col).isNotNull())
         .groupBy(F.col(item_col).alias("item"))
         .agg(F.count(F.lit(1)).alias("exact"))
+        # computed ONCE: this frame feeds both the sketch build and the
+        # probe side, and Spark shares no subplans across branches — the
+        # token-count shuffle (a full corpus explode upstream) would
+        # otherwise run twice. Lazy checkpoint: first use computes the
+        # |distinct items| rows, the other branch reads the blocks.
+        .localCheckpoint(eager=False)
     )
     sketch = cms_sketch(
         exact, "item", depth=depth, width=width, weight_col="exact"

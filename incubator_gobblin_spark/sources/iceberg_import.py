@@ -120,6 +120,39 @@ def _schema_with_field_ids(schema_json: dict) -> StructType:
     return StructType([_fld(f) for f in schema_json["fields"]])
 
 
+#: Footer-sniff memo: absolute data-file path -> (has_field_ids,
+#: top-level column-name frozenset). Iceberg data files are IMMUTABLE
+#: once committed (writers never modify a path in place; new content =
+#: new uuid-named file), so a path's footer facts never change and the
+#: O(files) sequential driver-side pyarrow reads need only be paid once
+#: per file per process — not once per read of every consuming query.
+#: This memoizes file METADATA, not query results: every query still
+#: computes from the parquet inputs.
+_FOOTER_MEMO: dict[str, tuple[bool, frozenset]] = {}
+
+
+def _footer_facts(fp: str) -> tuple[bool, frozenset]:
+    key = os.path.abspath(fp)
+    hit = _FOOTER_MEMO.get(key)
+    if hit is not None:
+        return hit
+    import pyarrow.parquet as pq
+
+    try:
+        sch = pq.read_schema(fp)
+        facts = (
+            any(
+                (f.metadata or {}).get(b"PARQUET:field_id") is not None
+                for f in sch
+            ),
+            frozenset(sch.names),
+        )
+    except Exception:
+        facts = (False, frozenset())
+    _FOOTER_MEMO[key] = facts
+    return facts
+
+
 def _split_groups_by_field_ids(
     groups: dict[tuple, list[str]],
 ) -> tuple[dict[tuple, list[str]], dict[tuple, list[str]]]:
@@ -135,21 +168,15 @@ def _split_groups_by_field_ids(
     read under a field-id schema errors — ``ignoreMissing`` stays
     off). The reverse direction is SILENT (an id-carrying file read
     by name returns nulls for renamed columns), so a plain sample
-    never short-circuits: every remaining footer is sniffed. Footer
-    reads are metadata-only and driver-side — cheap even at
-    thousands of files, and the loud-direction shortcut keeps the
-    single-foreign-writer steady state at 8 reads."""
-    import pyarrow.parquet as pq
+    never short-circuits: every remaining footer is sniffed —
+    through ``_footer_facts``' per-path memo, so the sequential
+    driver-side reads are paid once per file per PROCESS, not once
+    per consuming read (the changelog walk re-touches the same files
+    at every snapshot; before the memo a 4-snapshot changelog
+    re-sniffed each file up to 8x)."""
 
     def _has_ids(fp: str) -> bool:
-        try:
-            sch = pq.read_schema(fp)
-        except Exception:
-            return False
-        return any(
-            (f.metadata or {}).get(b"PARQUET:field_id") is not None
-            for f in sch
-        )
+        return _footer_facts(fp)[0]
 
     all_files = [f for fs in groups.values() for f in fs]
     sample = all_files[:8]
@@ -293,12 +320,35 @@ def _normalize_v1(meta: dict) -> dict:
     return meta
 
 
+#: Decoded-manifest memo: (path, mtime_ns, size) -> rows. Iceberg
+#: manifest / manifest-list files are immutable once committed
+#: (uuid-named; a new commit writes NEW files), and the pure-Python
+#: OCF decode is the single largest driver-side cost of a metadata
+#: walk — a changelog scan re-decodes the same manifests as each
+#: snapshot, as its successor's parent, and again inside every parent
+#: read_iceberg. The stat pair guards against an in-place rewrite
+#: (non-conformant, but cheap to defend). Callers MAY mutate returned
+#: rows (iceberg_export's delete appender does), so every hit returns
+#: a deep copy — still ~10x cheaper than re-decoding the binary.
+_AVRO_MEMO: dict[tuple, list[dict]] = {}
+_AVRO_MEMO_MAX = 256
+
+
 def _decode_avro_rows(path: str) -> list[dict]:
+    import copy
+
     from incubator_gobblin_spark.formats.avro_ocf import decode_ocf
 
-    with open(path, "rb") as fh:
-        _, rows = decode_ocf(fh.read())
-    return rows
+    st = os.stat(path)
+    key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    rows = _AVRO_MEMO.get(key)
+    if rows is None:
+        with open(path, "rb") as fh:
+            _, rows = decode_ocf(fh.read())
+        if len(_AVRO_MEMO) >= _AVRO_MEMO_MAX:
+            _AVRO_MEMO.pop(next(iter(_AVRO_MEMO)))
+        _AVRO_MEMO[key] = rows
+    return copy.deepcopy(rows)
 
 
 def snapshot_files(
@@ -685,14 +735,10 @@ def _assemble_plain_with_mapping(
                 with_positions,
             )
         ]
-    import pyarrow.parquet as pq
     classes: dict[frozenset, dict[tuple, list[str]]] = {}
     for key, files in plain.items():
         for fp in files:
-            try:
-                fnames = frozenset(pq.read_schema(fp).names)
-            except Exception:
-                fnames = frozenset()
+            fnames = _footer_facts(fp)[1]
             classes.setdefault(fnames, {}).setdefault(key, []).append(fp)
     parts: list[DataFrame] = []
     for fnames, grp in classes.items():

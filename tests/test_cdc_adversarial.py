@@ -806,7 +806,9 @@ def test_rewrite_manifest_carries_spec_partition_field_ids(
         .limit(40)
         .repartition(4)  # several files per partition: bin-pack work
     )
-    write_iceberg_table(spark, docs, root, partition_by=["lang"])
+    write_iceberg_table(
+        spark, docs, root, partition_by=["lang"], coalesce_output=False
+    )
     # simulate an evolved spec: the (single) partition field id is 1001
     meta_dir = os.path.join(root, "metadata")
     v = max(

@@ -44,7 +44,7 @@ def test_maintain_delta_converges_and_is_idempotent(
 ):
     root = str(tmp_path / "d")
     cust = load_table(spark, sf_dir, "customer").repartition(3)
-    write_delta_table(spark, cust, root)
+    write_delta_table(spark, cust, root, coalesce_output=False)
     delete_delta_rows(spark, root, "c_custkey % 3 = 0")
     expect = cust.filter(~(F.col("c_custkey") % 3 == 0))
 
@@ -71,7 +71,7 @@ def test_maintain_iceberg_converges(spark, sf_dir, tmp_path):
 
     root = str(tmp_path / "i")
     cust = load_table(spark, sf_dir, "customer").repartition(3)
-    write_iceberg_table(spark, cust, root)
+    write_iceberg_table(spark, cust, root, coalesce_output=False)
     delete_iceberg_rows(spark, root, "c_custkey % 4 = 2")
     expect = cust.filter(~(F.col("c_custkey") % 4 == 2))
 

@@ -99,10 +99,19 @@ MAP_IN_PANDAS_BY_DESIGN = {
     # same contract over the REAL wire (urllib against the in-process
     # HTTP server) — the transport changed, not the plan
     "q129_rest_http_ingest_agg",
-    # deletion-vector decode is a binary roaring-bitmap codec (Python-
-    # library territory, like the multimodal codecs): one Arrow
-    # mapInPandas task per DV builds the TOMBSTONE side only — the
-    # data row path stays whole-stage codegen + broadcast anti-join
+}
+
+# Deletion-vector decode is a binary roaring-bitmap codec (Python-
+# library territory, like the multimodal codecs): one Arrow
+# mapInPandas task per DV builds the TOMBSTONE side only — the data
+# row path stays whole-stage codegen + broadcast anti-join. Since the
+# round-13 optimization the decode runs ONCE at read construction
+# (delta_import.materialize_small, so Catalyst's anti-join pushdown
+# through the partition-group union cannot re-execute it per arm) —
+# the final query plan therefore shows NO Python node at all; the
+# single-decode shape is pinned by
+# tests/test_optimization_shapes.py::test_read_delta_dv_decode_not_in_query_plan.
+DV_DECODE_MATERIALIZED = {
     "q131_delta_dv_agg",
     # same tombstone-decode contract reading back the engine's OWN
     # delete_delta_rows commits (the DELETE fixture also builds its
@@ -126,7 +135,7 @@ def test_no_python_in_any_query_row_path(spark, sf_dir):
     """No registered query may fall back to Python in the row path —
     EvalPython, MapInPandas, or grouped-pandas nodes — except the
     explicitly documented exemption sets."""
-    exempt = PYTHON_BY_NECESSITY | MAP_IN_PANDAS_BY_DESIGN
+    exempt = PYTHON_BY_NECESSITY | MAP_IN_PANDAS_BY_DESIGN | DV_DECODE_MATERIALIZED
     for name, fn in Q.queries().items():
         if name in exempt:
             continue
@@ -147,6 +156,15 @@ def test_python_by_necessity_is_arrow_batched(spark, sf_dir):
         plan = _plan(Q.queries()[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan, f"{name} is row-at-a-time Python"
         assert "MapInPandas" in plan, f"{name} should be an Arrow mapInPandas stage"
+    for name in DV_DECODE_MATERIALIZED:
+        # the decode happened once at construction: the query plan must
+        # show NO Python node (the anti-join reads the materialized RDD)
+        plan = _plan(Q.queries()[name](spark, sf_dir))
+        for node in _PY_NODES:
+            assert node not in plan, f"{name} re-entered Python ({node})"
+        assert "Scan ExistingRDD" in plan, (
+            f"{name} should anti-join a materialized tombstone frame"
+        )
 
 
 def test_aggregation_uses_whole_stage_codegen(spark, sf_dir):
