@@ -62,10 +62,14 @@ def materialize_small(df):
     once per partition-group arm. ``localCheckpoint`` truncates the
     lineage to the computed blocks, so the copies degenerate to reads
     of the same small RDD and AQE's exchange reuse collapses the
-    broadcasts. Only ever called on frames already bounded by
-    ``TOMBSTONE_BROADCAST_MAX_ROWS``-scale gates, so the blocks are
-    metadata-scale by construction."""
-    return df.localCheckpoint(eager=True)
+    broadcasts. LAZY on purpose: an eager checkpoint would run one
+    extra Spark job per delete group at plan-construction time (a
+    measurable fixed cost on small reads), while the lazy form
+    computes inside the first consuming job and every later reference
+    shares the same RDD blocks. Only ever called on frames already
+    bounded by ``TOMBSTONE_BROADCAST_MAX_ROWS``-scale gates, so the
+    blocks are metadata-scale by construction."""
+    return df.localCheckpoint(eager=False)
 
 
 def decoded_file_path(col):
