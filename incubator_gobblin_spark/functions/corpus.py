@@ -38,15 +38,22 @@ def _toks(col: Column | str) -> Column:
 
 
 def _word_ngrams(col: Column | str, n: int) -> Column:
-    """Word n-grams over :func:`_toks` as array<string> (space-joined)."""
-    toks = _toks(col)
-    k = F.size(toks) - (n - 1)
-    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    """Word n-grams over :func:`_toks` as array<string> (space-joined).
+    The token array is bound once per row (text.bind_once): slice()
+    inside the transform lambda would otherwise re-run the regex
+    tokenize once per gram position — quadratic in document length."""
+    from incubator_gobblin_spark.functions.text import bind_once
+
+    def _grams_of(toks: Column) -> Column:
+        k = F.size(toks) - (n - 1)
+        return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
         )
-    )
+
+    return bind_once(_toks(col), _grams_of)
 
 
 def ngram_postings(
@@ -785,17 +792,26 @@ def trigram_logprob(
     are absent from the output, matching the SQL oracle's empty
     ``range``. Per-term log values round to 6 dp before an
     order-independent decimal sum so engines agree exactly."""
+    from incubator_gobblin_spark.functions.text import bind_once as _bind_once
+
     clipped = F.lower(F.substring(F.col(text_col), 1, max_chars))
     tris = df.select(
         F.col(id_col).alias("_id"),
+        # the clipped lowercased prefix is bound once per row
+        # (text.bind_once): substr() inside the per-trigram lambda would
+        # otherwise re-lowercase and re-clip the text once per trigram
+        # position — quadratic in the scored prefix length
         F.explode(
-            F.when(
-                F.length(clipped) >= 3,
-                F.transform(
-                    F.sequence(F.lit(1), F.length(clipped) - F.lit(2)),
-                    lambda i: clipped.substr(i, F.lit(3)),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
+            _bind_once(
+                clipped,
+                lambda clip: F.when(
+                    F.length(clip) >= 3,
+                    F.transform(
+                        F.sequence(F.lit(1), F.length(clip) - F.lit(2)),
+                        lambda i: clip.substr(i, F.lit(3)),
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+            )
         ).alias("_tri"),
     )
     model = tris.groupBy("_tri").agg(F.count(F.lit(1)).alias("_c"))

@@ -28,6 +28,25 @@ STOPWORDS = {
 _BPEISH_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+def bind_once(value: Column, body) -> Column:
+    """Evaluate ``value`` exactly once per row and hand it to ``body``
+    as a lambda variable.
+
+    Catalyst performs no common-subexpression elimination inside
+    higher-order-function lambdas (they are interpreted per element),
+    so a lambda body that references an expensive expression — the
+    regex tokenize, a lowercased/clipped string — re-evaluates it once
+    per produced element, turning a linear projection quadratic in the
+    element count (the same trap ``minhash_signature`` documents for
+    its base-hash argument). Routing the expression through a
+    one-element ``transform`` binds it to a NamedLambdaVariable: the
+    engine evaluates it once per row and every reference inside
+    ``body`` reads the bound value. Result, type, and null behavior
+    are identical to inlining (``body(NULL)`` evaluates with a NULL
+    binding exactly as the inlined expression tree would)."""
+    return F.transform(F.array(value), body)[0]
+
+
 def tokens(col: Column | str, delimiter: str = r"\s+") -> Column:
     """Whitespace tokenization -> array<string>."""
     return F.split(F.col(col) if isinstance(col, str) else col, delimiter)
@@ -131,29 +150,42 @@ def winnow_fingerprints(
     oracle) reproduces them bit-for-bit; window minimum is
     lexicographic on the hex strings, identical in both engines."""
     c = F.col(col) if isinstance(col, str) else col
-    toks = F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != "")
-    n_grams = F.size(toks) - (k - 1)
-    grams = F.when(n_grams <= 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n_grams),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-        )
-    )
-    hashes = F.transform(grams, lambda g: F.substring(F.md5(g), 1, 16))
-    n_win = F.size(hashes) - (window - 1)
-    return (
-        F.when(F.size(hashes) == 0, F.array().cast("array<string>"))
-        .when(n_win <= 0, F.array_distinct(F.array(F.array_min(hashes))))
-        .otherwise(
-            F.array_sort(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(1), n_win),
-                        lambda i: F.array_min(F.slice(hashes, i, window)),
+
+    # Both the token array and the hash array are bound once per row
+    # (bind_once): slice() inside the sliding-window lambdas would
+    # otherwise re-run the regex tokenize / the md5 chain once per
+    # window position — cubic in document length.
+    def _windows_of(hashes: Column) -> Column:
+        n_win = F.size(hashes) - (window - 1)
+        return (
+            F.when(F.size(hashes) == 0, F.array().cast("array<string>"))
+            .when(n_win <= 0, F.array_distinct(F.array(F.array_min(hashes))))
+            .otherwise(
+                F.array_sort(
+                    F.array_distinct(
+                        F.transform(
+                            F.sequence(F.lit(1), n_win),
+                            lambda i: F.array_min(F.slice(hashes, i, window)),
+                        )
                     )
                 )
             )
         )
+
+    def _fps_of(toks: Column) -> Column:
+        n_grams = F.size(toks) - (k - 1)
+        grams = F.when(n_grams <= 0, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            )
+        )
+        hashes = F.transform(grams, lambda g: F.substring(F.md5(g), 1, 16))
+        return bind_once(hashes, _windows_of)
+
+    return bind_once(
+        F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != ""),
+        _fps_of,
     )
 
 
@@ -176,31 +208,39 @@ def chunk_spans(
         raise ValueError("overlap must be < chunk_tokens")
     stride = chunk_tokens - overlap
     c = F.col(col) if isinstance(col, str) else col
-    toks = F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
-    n = F.size(toks)
-    # number of chunks: 1 + ceil(max(0, n - chunk) / stride); 0 if no tokens
-    extra = F.greatest(n - chunk_tokens, F.lit(0))
-    n_chunks = F.when(n <= 0, 0).otherwise(
-        F.lit(1) + F.ceil(extra / F.lit(stride)).cast("int")
+
+    # the token array is bound once per row (bind_once): slice() inside
+    # the chunk lambda would otherwise re-run the regex tokenize once
+    # per chunk — quadratic in document length
+    def _spans_of(toks: Column) -> Column:
+        n = F.size(toks)
+        # number of chunks: 1 + ceil(max(0, n - chunk) / stride); 0 if no tokens
+        extra = F.greatest(n - chunk_tokens, F.lit(0))
+        n_chunks = F.when(n <= 0, 0).otherwise(
+            F.lit(1) + F.ceil(extra / F.lit(stride)).cast("int")
+        )
+        spans = F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_id"),
+                (i * stride).cast("int").alias("start_tok"),
+                F.least(n - i * stride, F.lit(chunk_tokens))
+                .cast("int")
+                .alias("n_tokens"),
+                F.concat_ws(
+                    " ", F.slice(toks, i * stride + 1, chunk_tokens)
+                ).alias("chunk"),
+            ),
+        )
+        # sequence(0, -1) would generate a DESCENDING [0, -1] — token-less
+        # docs must yield an empty span array, not two bogus chunks
+        return F.when(n_chunks <= 0, F.array().cast(
+            "array<struct<chunk_id:int,start_tok:int,n_tokens:int,chunk:string>>"
+        )).otherwise(spans)
+
+    return bind_once(
+        F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != ""), _spans_of
     )
-    spans = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.struct(
-            i.cast("int").alias("chunk_id"),
-            (i * stride).cast("int").alias("start_tok"),
-            F.least(n - i * stride, F.lit(chunk_tokens))
-            .cast("int")
-            .alias("n_tokens"),
-            F.concat_ws(
-                " ", F.slice(toks, i * stride + 1, chunk_tokens)
-            ).alias("chunk"),
-        ),
-    )
-    # sequence(0, -1) would generate a DESCENDING [0, -1] — token-less
-    # docs must yield an empty span array, not two bogus chunks
-    return F.when(n_chunks <= 0, F.array().cast(
-        "array<struct<chunk_id:int,start_tok:int,n_tokens:int,chunk:string>>"
-    )).otherwise(spans)
 
 
 # (pattern, replacement) in application order; \b word boundaries keep
@@ -229,13 +269,19 @@ def redact_pii(col: Column | str) -> Column:
 
 def ngrams(col: Column | str, n: int = 3) -> Column:
     """Word n-grams as array<string> (for Jaccard similarity / shingling).
-    Pure-Column: transform over a token index sequence."""
-    toks = tokens(col)
-    k = F.size(toks) - (n - 1)
-    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
-    return F.when(k <= 0, F.array()).otherwise(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    )
+    Pure-Column: transform over a token index sequence. The token array
+    is bound once per row (bind_once): slice() inside the lambda would
+    otherwise re-run the regex tokenize once per gram position —
+    quadratic in document length."""
+
+    def _grams_of(toks: Column) -> Column:
+        k = F.size(toks) - (n - 1)
+        idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
+        return F.when(k <= 0, F.array()).otherwise(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        )
+
+    return bind_once(tokens(col), _grams_of)
 
 
 def char_entropy(
@@ -262,15 +308,21 @@ def char_entropy(
     from pyspark.sql import functions as F  # local: keep module head slim
 
     t = F.lower(F.substring(F.col(text_col), 1, max_chars))
+    # the clipped lowercased prefix is bound once per row (bind_once):
+    # substring() inside the per-character lambda would otherwise
+    # re-lowercase and re-clip the text once per character position —
+    # quadratic in the scored prefix length
+    char_arr = bind_once(
+        t,
+        lambda clip: F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(clip), F.lit(1))),
+            lambda i: clip.substr(i, F.lit(1)),
+        ),
+    )
     chars = df.select(
         F.col(id_col),
         F.length(t).alias("_n"),
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, greatest(length(lower(substring({text_col}, 1, {max_chars}))), 1)), "
-                f"i -> substring(lower(substring({text_col}, 1, {max_chars})), i, 1))"
-            )
-        ).alias("_ch"),
+        F.explode(char_arr).alias("_ch"),
     ).filter(F.col("_n") > 0)
     counts = chars.groupBy(id_col, "_n", "_ch").agg(
         F.count(F.lit(1)).alias("_c")
