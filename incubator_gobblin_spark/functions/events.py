@@ -43,44 +43,97 @@ def funnel(
     ``(t_{k-1}, t_{k-1} + within]``. First-match semantics make the
     funnel a pure function of the event set, independent of row order.
 
-    Scale shape: step k is `filter(type = step_k)` — pushed to the scan
-    — joined to the (users-sized, one row per user) step k-1 frame on
-    the user key, then min-aggregated on the same key. Every exchange
-    hashes the same column, every aggregation combines map-side, and
-    the frames shrink monotonically down the funnel. No windows, no
-    per-user event sorting."""
+    Scale shape: ONE scan (filtered to the step types, pushed to the
+    scan) and ONE shuffle on the user key. Each user's step-typed
+    events aggregate to one array of (ts, type) structs, the sequential
+    step times fall out of array higher-order functions over it (step
+    k's time = min event of type k inside the gate after step k-1 —
+    pure per-row JVM expressions), and the k per-step counts come from
+    one conditional aggregation unpivoted by ``stack``. The former
+    shape — per-step `filter` + join against the step-(k-1) frame, one
+    count branch per step union'd at the end — re-executed the whole
+    chain once per union branch (Spark shares no subplans), scanning
+    the events table O(steps²) times. Per-user arrays are bounded by
+    that user's step-typed event count — the same per-key bound the
+    sessionizer carries.
+
+    The collected array is min-reduced per step, so element order
+    (and therefore row order) cannot affect the result — the funnel
+    stays a pure function of the event set."""
     if len(steps) < 2:
         raise ValueError("funnel needs at least 2 steps")
-    u, t = F.col(user_col), F.col(ts_col)
-    reached = (
-        df.filter(F.col(type_col) == steps[0])
+    per_user = (
+        df.filter(F.col(type_col).isin(list(steps)))
         .groupBy(user_col)
-        .agg(F.min(ts_col).alias("_t"))
+        .agg(
+            F.collect_list(
+                F.struct(F.col(ts_col).alias("_ts"), F.col(type_col).alias("_ty"))
+            ).alias("_ev")
+        )
     )
-    counts = [reached.agg(F.count(F.lit(1)).alias("n_users"))]
-    for step in steps[1:]:
-        nxt = df.filter(F.col(type_col) == step).join(
-            reached.select(u, F.col("_t").alias("_prev")), user_col
-        )
-        gate = t > F.col("_prev")
-        if within_seconds is not None:
-            gate = gate & (
-                t <= F.col("_prev") + F.expr(f"INTERVAL {int(within_seconds)} SECOND")
+    # step-1 time: earliest step-1 event; step-k time: earliest step-k
+    # event strictly after t_{k-1} (and <= t_{k-1} + within, when set).
+    # array_min over a filter of the per-user array == the old chain's
+    # min-aggregate over the joined, gated rows, user by user. Each
+    # step time is BOUND once (text.bind_once) before the next step's
+    # gate references it — a chained withColumn would let Catalyst's
+    # project collapse inline t_{k-1}'s expression into every reference
+    # and blow the tree up 2^k.
+    from incubator_gobblin_spark.functions.text import bind_once
+
+    ev = F.col("_ev")
+
+    def _sel(i, prev):
+        step = steps[i]
+
+        def _pred(e):
+            ok = e["_ty"] == F.lit(step)
+            if prev is not None:
+                ok = ok & (e["_ts"] > prev)
+                if within_seconds is not None:
+                    ok = ok & (
+                        e["_ts"]
+                        <= prev + F.expr(f"INTERVAL {int(within_seconds)} SECOND")
+                    )
+            return ok
+
+        return F.filter(ev, _pred)
+
+    def _times(i, prev, acc):
+        if i == len(steps):
+            return F.struct(
+                *[a.alias(f"_t{j}") for j, a in enumerate(acc)]
             )
-        reached = nxt.filter(gate).groupBy(user_col).agg(F.min(ts_col).alias("_t"))
-        counts.append(reached.agg(F.count(F.lit(1)).alias("n_users")))
-    rows = [
-        cnt.select(
-            F.lit(i + 1).cast("long").alias("step_idx"),
-            F.lit(step).alias("step"),
-            F.col("n_users").cast("long"),
+        ti = F.array_min(F.transform(_sel(i, prev), lambda e: e["_ts"]))
+        return bind_once(ti, lambda tv: _times(i + 1, tv, acc + [tv]))
+
+    # step 1 counts users with ANY step-1 event (the old chain counted
+    # the groupBy row even when every matching ts was null); step k>=2
+    # counts non-null t_k — the gate comparison already excludes
+    # null-ts events, exactly as the old `ts > _prev` filter did
+    timed = per_user.select(
+        (F.size(_sel(0, None)) > 0).alias("_h0"),
+        _times(0, None, []).alias("_t"),
+    )
+    one_row = timed.agg(
+        F.sum(F.when(F.col("_h0"), 1).otherwise(0)).cast("long").alias("_n0"),
+        *[
+            F.count(F.col(f"_t._t{i}")).cast("long").alias(f"_n{i}")
+            for i in range(1, len(steps))
+        ],
+    )
+    # unpivot the single aggregate row to (step_idx, step, n_users) —
+    # stack is one Generate over one row; a union of per-step selects
+    # would re-execute the aggregate once per branch
+    stack_args = ", ".join(
+        "CAST({} AS BIGINT), '{}', coalesce(_n{}, CAST(0 AS BIGINT))".format(
+            i + 1, step.replace("'", "''"), i
         )
-        for i, (step, cnt) in enumerate(zip(steps, counts))
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out
+        for i, step in enumerate(steps)
+    )
+    return one_row.selectExpr(
+        f"stack({len(steps)}, {stack_args}) AS (step_idx, step, n_users)"
+    )
 
 
 def cohort_retention(
@@ -95,27 +148,36 @@ def cohort_retention(
     appear in. ``bucket_offset`` 0 is the cohort bucket itself; the
     drop-off along increasing offsets is the retention curve.
 
-    Scale shape: the first-seen frame is one min-aggregation on the
-    user key; activity buckets come from joining events back to it on
-    the same key (exchange reuse) and a distinct on (user, cohort,
-    offset) that combines map-side; the final matrix is tiny
-    (cohorts x offsets). Integer day arithmetic only."""
+    Scale shape: ONE scan. Events project to (user, day) pairs that
+    dedup with map-side combine BEFORE any wide exchange (the offset
+    depends only on the pair, so deduping first is lossless and the
+    shuffle carries distinct pairs, not raw events); the cohort day is
+    a min window over the user partition of those pairs — replacing
+    the former second scan + join-back of the full events table; the
+    final matrix is tiny (cohorts x offsets). Integer day arithmetic
+    only."""
     if bucket_days < 1:
         raise ValueError("bucket_days must be >= 1")
+    from pyspark.sql.window import Window
+
     day = F.to_date(F.col(ts_col))
-    first = df.groupBy(user_col).agg(F.min(day).alias("cohort_day"))
-    active = (
-        df.select(F.col(user_col), day.alias("_d"))
-        .join(first, user_col)
-        .select(
-            F.col(user_col),
-            "cohort_day",
-            (F.datediff(F.col("_d"), F.col("cohort_day")) / bucket_days)
-            .cast("long")
-            .alias("bucket_offset"),
-        )
-        .distinct()
+    day_pairs = df.select(F.col(user_col), day.alias("_d")).distinct()
+    active = day_pairs.select(
+        F.col(user_col),
+        F.min("_d").over(Window.partitionBy(user_col)).alias("cohort_day"),
+        F.col("_d"),
+    ).select(
+        F.col(user_col),
+        "cohort_day",
+        (F.datediff(F.col("_d"), F.col("cohort_day")) / bucket_days)
+        .cast("long")
+        .alias("bucket_offset"),
     )
+    if bucket_days > 1:
+        # several distinct days can share one bucket; for bucket_days=1
+        # the (user, day) -> (user, offset) map is injective and the
+        # distinct above already holds
+        active = active.distinct()
     return active.groupBy("cohort_day", "bucket_offset").agg(
         F.count(F.lit(1)).alias("n_users")
     )

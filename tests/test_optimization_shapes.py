@@ -164,3 +164,40 @@ def test_changelog_update_pairing_is_window_flags(spark, sf_dir, tmp_path):
         for r in df.select("_change_type").distinct().collect()
     }
     assert "update_preimage" in kinds and "update_postimage" in kinds
+
+
+def test_funnel_is_one_scan_no_joins(spark, sf_dir):
+    """The funnel computes every step from ONE pass over the events
+    table: per-user (ts, type) arrays + sequential array mins. The old
+    per-step filter+join chain re-executed the whole prefix once per
+    count branch — O(steps^2) scans of the events table."""
+    import re
+
+    from incubator_gobblin_spark.functions import events as events_fn
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = _formatted(
+        events_fn.funnel(
+            ev, ["view", "click", "purchase"], within_seconds=259200
+        )
+    )
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, (
+        "funnel re-scans the events table; the one-pass shape computes "
+        "all steps from one collect_list aggregation"
+    )
+    assert "Join" not in plan
+
+
+def test_cohort_retention_is_one_scan_no_join(spark, sf_dir):
+    """Cohort retention derives the cohort day from a window min over
+    the deduped (user, day) pairs — one scan of the events table, no
+    join-back of the full event set."""
+    import re
+
+    from incubator_gobblin_spark.functions import events as events_fn
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = _formatted(events_fn.cohort_retention(ev, bucket_days=1))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+    assert "Window" in plan
