@@ -35,8 +35,11 @@ consumer shape.
 
 Scale shape: snapshot diffing is driver-side manifest metadata
 (O(files), never O(rows)); row recovery reads only the touched files
-— added files scan raw, parent-state lookups scan the parent snapshot
-once per snapshot with the delete coordinates/keys broadcast.
+— added files scan raw, and parent-state lookups share ONE scan of
+the union of parent-snapshot file sets across the whole interval
+(per-snapshot liveness and kill sets are presence/marker predicates
+over broadcast per-file facts and once-decoded delete groups), so the
+table is read O(1) times per changelog call, not O(snapshots).
 """
 
 from __future__ import annotations
@@ -236,11 +239,54 @@ def read_iceberg_changelog(
 
     retained = {s["snapshot-id"] for s in metadata.get("snapshots", [])}
     frames: list[DataFrame] = []
-    # (snapshot-id, files, deletes) of the previous iteration — each
-    # snapshot's manifests decode ONCE per walk instead of twice (as
-    # itself and as the next snapshot's parent)
-    prev_state: tuple | None = None
+
+    from incubator_gobblin_spark.sources.delta_import import (
+        materialize_small,
+    )
+    from incubator_gobblin_spark.sources.iceberg_import import (
+        assemble_file_set,
+        norm_file_ref,
+    )
+
+    # --- one driver-side walk over the chain -------------------------
+    # Chain positions: 0 = the base parent (from_snapshot_id, when
+    # given); i+1 = chain[i]. Per data/delete file we record the SET
+    # of positions whose snapshot contains it — O(distinct files)
+    # manifest metadata, the same scale read_iceberg already holds for
+    # one snapshot. Membership drives the ONE-pass parent recovery
+    # below: every parent state is a (presence, kill-marker) predicate
+    # over a single shared scan instead of its own table read.
+    data_facts: dict[str, dict] = {}  # norm path -> {file, pos}
+    del_facts: dict[str, dict] = {}   # manifest path -> {del, pos}
+
+    def _record(position: int, files_x: list[dict], dels_x: list[dict]):
+        for f in files_x:
+            e = data_facts.setdefault(
+                norm_file_ref(f["path"], path), {"file": f, "pos": set()}
+            )
+            e["pos"].add(position)
+        for d in dels_x:
+            e = del_facts.setdefault(d["path"], {"del": d, "pos": set()})
+            e["pos"].add(position)
+
+    if from_snapshot_id is not None:
+        files_b, dels_b = snapshot_files(
+            metadata, path, from_snapshot_id, collect_deletes=True
+        )
+        _record(0, files_b, dels_b)
+        prev_paths = {f["path"] for f in files_b}
+        prev_del_paths = {d["path"] for d in dels_b}
+    else:
+        prev_paths, prev_del_paths = set(), set()
+
+    # (ordinal, sid, parent position) of snapshots whose deletes must
+    # be recovered from parent-state rows
+    recoveries: list[tuple[int, int, int]] = []
+    # (ordinal, sid, added files, snapshot position) for the inserts
+    insert_jobs: list[tuple[int, int, list[dict], int]] = []
+
     for ordinal, snap in enumerate(chain):
+        position = ordinal + 1
         sid = snap["snapshot-id"]
         parent_id = snap.get("parent-snapshot-id")
         is_replace = (
@@ -250,8 +296,9 @@ def read_iceberg_changelog(
         files_s, dels_s = snapshot_files(
             metadata, path, sid, collect_deletes=True
         )
-        cached_parent = prev_state
-        prev_state = (sid, files_s, dels_s)
+        _record(position, files_s, dels_s)
+        paths_s = {f["path"] for f in files_s}
+        del_paths_s = {d["path"] for d in dels_s}
         if is_replace:
             # RewriteDataFiles / compaction: files move, rows don't.
             # A parent-LESS replace is different: it is the
@@ -259,8 +306,9 @@ def read_iceberg_changelog(
             # parent pointer), and skipping it would silently drop the
             # table's entire base state from the changelog — that case
             # reaches the initial-state branches below instead. The
-            # replace's file set stays cached: it IS the next
+            # replace's file set stays recorded: it IS the next
             # snapshot's parent state.
+            prev_paths, prev_del_paths = paths_s, del_paths_s
             continue
         if parent_id is not None and parent_id not in retained:
             # foreign-style expiry keeps dangling parent pointers
@@ -286,255 +334,359 @@ def read_iceberg_changelog(
                     sid,
                 )
             )
+            prev_paths, prev_del_paths = paths_s, del_paths_s
             continue
-        if parent_id is not None:
-            if cached_parent is not None and cached_parent[0] == parent_id:
-                files_p, dels_p = cached_parent[1], cached_parent[2]
-            else:
-                files_p, dels_p = snapshot_files(
-                    metadata, path, parent_id, collect_deletes=True
-                )
-        else:
-            files_p, dels_p = [], []
-        paths_p = {f["path"] for f in files_p}
-        paths_s = {f["path"] for f in files_s}
-        del_paths_p = {d["path"] for d in dels_p}
-        new_dels = [d for d in dels_s if d["path"] not in del_paths_p]
-        pos_dels = [d for d in new_dels if d["content"] == 1]
-
-        # decoded once per snapshot and materialized: the coords feed
-        # up to TWO joins (added-file anti-join + parent semi-join),
-        # and Catalyst's semi/anti pushdown through the scan unions
-        # would re-read the delete files once per union arm besides
-        _pos_cache: list[DataFrame] = []
-
-        def _pos_coords():
-            if not _pos_cache:
-                from incubator_gobblin_spark.sources.delta_import import (
-                    materialize_small,
-                )
-
-                _pos_cache.append(
-                    materialize_small(
-                        spark.read.parquet(
-                            *[_abs(path, d["path"]) for d in pos_dels]
-                        )
-                        .select(
-                            decoded_file_path(F.col("file_path")).alias(
-                                "_dp"
-                            ),
-                            F.col("pos").cast("long").alias("_dpos"),
-                        )
-                        .distinct()
-                    )
-                )
-            return _pos_cache[0]
-
-        pos_rows = sum(d.get("record_count") or 0 for d in pos_dels)
-
-        # --- inserts: data files this snapshot added ---
-        added = [f for f in files_s if f["path"] not in paths_p]
+        added = [f for f in files_s if f["path"] not in prev_paths]
+        new_dels = [d for d in dels_s if d["path"] not in prev_del_paths]
         if added:
-            groups: dict[tuple, list[str]] = {}
-            for f in added:
-                pv = f.get("partition") or {}
-                key = tuple(
-                    None if pv.get(c) is None else str(pv.get(c))
-                    for c in part_cols
+            insert_jobs.append((ordinal, sid, added, position))
+        removed = prev_paths - paths_s
+        if parent_id is not None and (removed or new_dels):
+            recoveries.append((ordinal, sid, position - 1))
+        prev_paths, prev_del_paths = paths_s, del_paths_s
+
+    # --- delete-group frames, decoded ONCE and shared -----------------
+    # A group = delete files identical in (content, equality ids, spec,
+    # membership signature); its frame serves BOTH the same-snapshot
+    # insert anti-join and every parent-position kill marker, so each
+    # delete file is read exactly once no matter how many snapshots it
+    # stays live in. Join conditions carry the spec's sequence rules
+    # verbatim from read_iceberg (pos: data seq <= delete seq, eq:
+    # STRICTLY <) — structurally true for parent rows vs a NEW delete
+    # file (every parent data file predates it), and load-bearing when
+    # the same group later acts as an accumulated kill marker (a CDC
+    # upsert's same-sequence appended rows must survive their own
+    # commit's equality delete).
+
+    def _pos_group_frame(gi: int, ds: list[dict]) -> DataFrame:
+        # one scan per distinct data sequence, not per delete file (a
+        # commit stages its coordinates across N shuffle partitions)
+        by_seq: dict[int, list[dict]] = {}
+        for d in ds:
+            by_seq.setdefault(int(d["seq"]), []).append(d)
+        out = None
+        for seq, sub in sorted(by_seq.items()):
+            one = (
+                spark.read.parquet(*[_abs(path, d["path"]) for d in sub])
+                .select(
+                    decoded_file_path(F.col("file_path")).alias(
+                        f"_dp_g{gi}"
+                    ),
+                    F.col("pos").cast("long").alias(f"_dpos_g{gi}"),
                 )
-                groups.setdefault(key, []).append(_abs(path, f["path"]))
-            # id-resolution split mirrors the snapshot reader: foreign
-            # files carrying parquet field ids resolve by ID (rename-
-            # safe), this engine's plain exports by name — without the
-            # split a renamed column would silently null-fill in
-            # changelog output only (r11 ADVICE low).
-            ins = _assemble_iceberg(
-                spark,
-                groups,
-                schema_json,
-                schema,
-                part_cols,
-                union_threshold,
-                with_positions=bool(pos_dels),
-                name_mapping=_parsed_name_mapping(metadata),
+                .withColumn(f"_dseq_g{gi}", F.lit(seq).cast("long"))
+                .distinct()
             )
-            if pos_dels:
-                # position deletes MAY target data files added in the
-                # SAME snapshot (spec: pos deletes apply at seq <=,
-                # unlike equality's strictly-before — the Flink
-                # same-checkpoint dedupe shape): those rows were never
-                # live and must not surface as inserts (iceberg-core
-                # attaches the snapshot's deletes to
-                # AddedRowsScanTask)
-                ins = ins.join(
-                    _bounded_broadcast(_pos_coords(), pos_rows),
-                    (
-                        decoded_file_path(F.col("_file_path"))
-                        == F.col("_dp")
-                    )
-                    & (F.col("_row_index") == F.col("_dpos")),
-                    "left_anti",
-                ).drop("_file_path", "_row_index")
-            frames.append(_stamp(ins, "insert", ordinal, sid))
+            out = one if out is None else out.unionByName(one)
+        return materialize_small(out)
 
-        # --- deletes: removed data files + newly added delete files,
-        # both recovered from the PARENT snapshot's live rows in ONE
-        # pass: each delete source left-outer-joins a marker onto the
-        # parent scan (instead of the former union of per-branch
-        # semi-joins, which re-executed the whole parent subtree —
-        # itself a partition-group union with its own delete
-        # anti-joins — once per branch), then one filter keeps any
-        # marked row and the coordinate dedupe collapses multi-matched
-        # rows exactly as before ---
-        removed_paths = paths_p - paths_s
-        if parent_id is None or (not removed_paths and not new_dels):
-            continue
-        parent = read_iceberg(
-            spark, path, snapshot_id=parent_id, _coords=True
+    def _eq_group_frame(gi: int, ids: tuple, ds: list[dict]):
+        from incubator_gobblin_spark.functions.iceberg_transforms import (
+            epoch_norm,
         )
-        joined = parent
-        markers = []
-        if removed_paths:
-            removed_abs = [
-                os.path.abspath(_abs(path, p)) for p in removed_paths
-            ]
-            markers.append(F.col("_norm_path").isin(removed_abs))
-        if pos_dels:
-            joined = joined.join(
-                _bounded_broadcast(_pos_coords(), pos_rows),
-                (F.col("_norm_path") == F.col("_dp"))
-                & (F.col("_row_index") == F.col("_dpos")),
-                "left_outer",
-            )
-            markers.append(F.col("_dp").isNotNull())
-        eq_dels = [d for d in new_dels if d["content"] == 2]
-        if eq_dels:
-            # group by (key-column set, spec id); every parent row is
-            # sequenced strictly before the new delete file, so the
-            # spec's sequence rule needs no extra predicate here. A
-            # delete file written under a PARTITIONED spec applies
-            # only within its partition tuple (spec §Scan Planning) —
-            # the scope resolves through the delete file's own spec,
-            # exactly like the snapshot reader (q137's pinned path).
-            from incubator_gobblin_spark.functions.iceberg_transforms import (
-                epoch_norm,
-            )
-            from incubator_gobblin_spark.sources.iceberg_import import (
-                equality_delete_scope_expr,
-            )
+        from incubator_gobblin_spark.sources.iceberg_import import (
+            equality_delete_scope_expr,
+        )
 
-            specs_by_id = {
-                s["spec-id"]: s
-                for s in metadata.get("partition-specs", [])
+        specs_by_id = {
+            s["spec-id"]: s for s in metadata.get("partition-specs", [])
+        }
+        field_type_all = {
+            f["id"]: f["type"] for f in schema_json["fields"]
+        }
+        cols = [field_name[i] for i in ids]
+        scope_cols = sorted(
+            {
+                k
+                for d in ds
+                for k, v in (d.get("partition") or {}).items()
+                if v is not None
             }
-            field_type_all = {
-                f["id"]: f["type"] for f in schema_json["fields"]
-            }
-            by_ids: dict[tuple, list[dict]] = {}
-            for d in eq_dels:
-                by_ids.setdefault(
+        )
+        scope_exprs = {
+            sc: equality_delete_scope_expr(
+                ds[0],
+                sc,
+                specs_by_id=specs_by_id,
+                field_name_all=field_name,
+                field_type_all=field_type_all,
+                current_part_cols=part_cols,
+            )
+            for sc in scope_cols
+        }
+        # one scan per distinct (sequence, scope tuple), not per file
+        sub: dict[tuple, list] = {}
+        for d in ds:
+            sv = []
+            for sc in scope_cols:
+                v = (d.get("partition") or {}).get(sc)
+                if not scope_exprs[sc][1]:
+                    v = epoch_norm(v)
+                sv.append(v)
+            sub.setdefault(
+                (int(d["seq"]), tuple(repr(v) for v in sv)), []
+            ).append((d, sv))
+        keys = None
+        for (seq, _svk), pairs in sorted(sub.items()):
+            one = spark.read.parquet(
+                *[_abs(path, d["path"]) for d, _ in pairs]
+            ).select(
+                *[F.col(c).alias(f"_k{gi}_{c}") for c in cols]
+            ).withColumn(f"_dseq_g{gi}", F.lit(seq).cast("long"))
+            for sc, v in zip(scope_cols, pairs[0][1]):
+                one = one.withColumn(f"_k{gi}_part_{sc}", F.lit(v))
+            keys = one if keys is None else keys.unionByName(one)
+        # the marker column (not the key columns, which may be
+        # legitimately NULL under null-safe equality) proves a match
+        # after the outer join
+        keys = materialize_small(keys.withColumn(f"_hit_g{gi}", F.lit(1)))
+        cond = F.col("_data_seq") < F.col(f"_dseq_g{gi}")
+        for c in cols:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"_k{gi}_{c}"))
+        for sc in scope_cols:
+            expr, stringify = scope_exprs[sc]
+            rhs = F.col(f"_k{gi}_part_{sc}")
+            comp = (
+                (expr == rhs.cast("string"))
+                if stringify
+                else (expr == rhs)
+            )
+            # null scope component = global for that column
+            cond = cond & (rhs.isNull() | comp)
+        return keys, cond
+
+    group_cache: dict = {}
+
+    def _groups() -> list[dict]:
+        """Distinct delete groups (frames built lazily via _frame_of,
+        cached across the insert anti-joins and the recovery markers)."""
+        if "groups" not in group_cache:
+            by_key: dict[tuple, list[str]] = {}
+            for p, e in sorted(del_facts.items()):
+                d = e["del"]
+                by_key.setdefault(
                     (
+                        d["content"],
                         tuple(sorted(d["equality_ids"])),
-                        d.get("spec_id", 0),
+                        int(d.get("spec_id", 0)),
+                        tuple(sorted(e["pos"])),
                     ),
                     [],
-                ).append(d)
-            from incubator_gobblin_spark.sources.delta_import import (
-                materialize_small,
-            )
-
-            for gi, ((ids, _sid2), group) in enumerate(
-                sorted(by_ids.items())
-            ):
-                cols = [field_name[i] for i in ids]
-                scope_cols = sorted(
-                    {
-                        k
-                        for d in group
-                        for k, v in (d.get("partition") or {}).items()
-                        if v is not None
-                    }
-                )
-                scope_exprs = {
-                    sc: equality_delete_scope_expr(
-                        group[0],
-                        sc,
-                        specs_by_id=specs_by_id,
-                        field_name_all=field_name,
-                        field_type_all=field_type_all,
-                        current_part_cols=part_cols,
-                    )
-                    for sc in scope_cols
-                }
-                # one scan per distinct scope tuple, not per delete
-                # file (a CDC commit stages its key set across N
-                # shuffle partitions -> N same-scope files)
-                sub: dict[tuple, list] = {}
-                for d in group:
-                    sv = []
-                    for sc in scope_cols:
-                        v = (d.get("partition") or {}).get(sc)
-                        if not scope_exprs[sc][1]:
-                            v = epoch_norm(v)
-                        sv.append(v)
-                    sub.setdefault(
-                        tuple(repr(v) for v in sv), []
-                    ).append((d, sv))
-                keys = None
-                for _svk, ds in sorted(sub.items()):
-                    one = spark.read.parquet(
-                        *[_abs(path, d["path"]) for d, _ in ds]
-                    ).select(
-                        *[F.col(c).alias(f"_k{gi}_{c}") for c in cols]
-                    )
-                    for sc, v in zip(scope_cols, ds[0][1]):
-                        one = one.withColumn(f"_k{gi}_part_{sc}", F.lit(v))
-                    keys = one if keys is None else keys.unionByName(one)
-                # the marker column (not the key columns, which may be
-                # legitimately NULL under null-safe equality) proves a
-                # match after the outer join
-                keys = materialize_small(
-                    keys.withColumn(f"_hit_eq{gi}", F.lit(1))
-                )
-                cond = F.lit(True)
-                for c in cols:
-                    cond = cond & F.col(c).eqNullSafe(F.col(f"_k{gi}_{c}"))
-                for sc in scope_cols:
-                    expr, stringify = scope_exprs[sc]
-                    rhs = F.col(f"_k{gi}_part_{sc}")
-                    comp = (
-                        (expr == rhs.cast("string"))
-                        if stringify
-                        else (expr == rhs)
-                    )
-                    # null scope component = global for that column
-                    cond = cond & (rhs.isNull() | comp)
-                joined = joined.join(
-                    _bounded_broadcast(
-                        keys,
-                        sum(d.get("record_count") or 0 for d in group),
+                ).append(p)
+            group_cache["groups"] = [
+                {
+                    "gi": gi,
+                    "content": key[0],
+                    "ids": key[1],
+                    "pos": set(key[3]),
+                    "dels": [del_facts[p]["del"] for p in paths_g],
+                    "rows": sum(
+                        del_facts[p]["del"].get("record_count") or 0
+                        for p in paths_g
                     ),
-                    cond,
+                }
+                for gi, (key, paths_g) in enumerate(sorted(by_key.items()))
+            ]
+        return group_cache["groups"]
+
+    def _frame_of(g: dict) -> DataFrame:
+        if "frame" not in g:
+            gi = g["gi"]
+            if g["content"] == 1:
+                g["frame"] = _pos_group_frame(gi, g["dels"])
+                g["cond"] = (
+                    (F.col("_norm_path") == F.col(f"_dp_g{gi}"))
+                    & (F.col("_row_index") == F.col(f"_dpos_g{gi}"))
+                    & (F.col("_data_seq") <= F.col(f"_dseq_g{gi}"))
+                )
+                g["marker"] = F.col(f"_dp_g{gi}").isNotNull()
+            else:
+                g["frame"], g["cond"] = _eq_group_frame(
+                    gi, g["ids"], g["dels"]
+                )
+                g["marker"] = F.col(f"_hit_g{gi}").isNotNull()
+        return g["frame"]
+
+    def _new_at(g: dict, position: int) -> bool:
+        return position in g["pos"] and (position - 1) not in g["pos"]
+
+    # --- inserts: data files each snapshot added ----------------------
+    for ordinal, sid, added, position in insert_jobs:
+        groups_files: dict[tuple, list[str]] = {}
+        for f in added:
+            pv = f.get("partition") or {}
+            key = tuple(
+                None if pv.get(c) is None else str(pv.get(c))
+                for c in part_cols
+            )
+            groups_files.setdefault(key, []).append(_abs(path, f["path"]))
+        new_pos_groups = [
+            g
+            for g in _groups()
+            if g["content"] == 1 and _new_at(g, position)
+        ]
+        # id-resolution split mirrors the snapshot reader: foreign
+        # files carrying parquet field ids resolve by ID (rename-
+        # safe), this engine's plain exports by name — without the
+        # split a renamed column would silently null-fill in
+        # changelog output only (r11 ADVICE low).
+        ins = _assemble_iceberg(
+            spark,
+            groups_files,
+            schema_json,
+            schema,
+            part_cols,
+            union_threshold,
+            with_positions=bool(new_pos_groups),
+            name_mapping=_parsed_name_mapping(metadata),
+        )
+        if new_pos_groups:
+            # position deletes MAY target data files added in the
+            # SAME snapshot (spec: pos deletes apply at seq <=,
+            # unlike equality's strictly-before — the Flink
+            # same-checkpoint dedupe shape): those rows were never
+            # live and must not surface as inserts (iceberg-core
+            # attaches the snapshot's deletes to AddedRowsScanTask)
+            for g in new_pos_groups:
+                gi = g["gi"]
+                ins = ins.join(
+                    _bounded_broadcast(_frame_of(g), g["rows"]),
+                    (
+                        decoded_file_path(F.col("_file_path"))
+                        == F.col(f"_dp_g{gi}")
+                    )
+                    & (F.col("_row_index") == F.col(f"_dpos_g{gi}")),
+                    "left_anti",
+                )
+            ins = ins.drop("_file_path", "_row_index")
+        frames.append(_stamp(ins, "insert", ordinal, sid))
+
+    # --- deletes: ONE shared parent scan for every snapshot -----------
+    # Removed data files and newly added delete files are recovered
+    # from parent-state rows. Instead of re-reading each parent
+    # snapshot per recovery (O(chain) full table passes), assemble the
+    # UNION of the parent-position file sets once with coordinates,
+    # broadcast per-file facts (_data_seq + membership positions),
+    # outer-join each delete group once as a marker, and derive every
+    # snapshot's dead set from plain column predicates:
+    #   live(p)  = present(p) & ~killed(p)   [== read_iceberg at p]
+    #   dead(k)  = live(p) & (~present(p+1) | new-del marker at k)
+    # All ordinals emit through one explode — no per-snapshot union
+    # arms, no per-snapshot parent re-scan. Multi-matched rows from
+    # the outer joins dedupe ONCE on coordinates (marker truth values
+    # are identical across copies), and a coordinate legitimately dead
+    # at several snapshots (delete files rewritten between commits)
+    # still emits once per ordinal via the explode.
+    if recoveries:
+        parent_positions = {ppos for _, _, ppos in recoveries}
+        scan_entries = [
+            e for e in data_facts.values() if e["pos"] & parent_positions
+        ]
+        if scan_entries:
+            parent = assemble_file_set(
+                spark,
+                metadata,
+                path,
+                [e["file"] for e in scan_entries],
+                schema_json,
+                schema,
+                union_threshold,
+                with_positions=True,
+            ).withColumn(
+                "_norm_path", decoded_file_path(F.col("_file_path"))
+            )
+            # O(files) driver-side metadata — the read_iceberg seq-map
+            # rule: every comparison keys on the DECODED absolute path
+            facts = spark.createDataFrame(
+                [
+                    (
+                        norm_file_ref(e["file"]["path"], path),
+                        int(e["file"].get("seq") or 0),
+                        sorted(e["pos"]),
+                    )
+                    for e in scan_entries
+                ],
+                "_f_path string, _data_seq long, _f_pos array<int>",
+            )
+            joined = parent.join(
+                F.broadcast(facts),
+                F.col("_norm_path") == F.col("_f_path"),
+                "left",
+            )
+            marker_groups = []
+            for g in _groups():
+                if not (
+                    g["pos"] & parent_positions
+                    or any(_new_at(g, p + 1) for p in parent_positions)
+                ):
+                    continue
+                joined = joined.join(
+                    _bounded_broadcast(_frame_of(g), g["rows"]),
+                    g["cond"],
                     "left_outer",
                 )
-                markers.append(F.col(f"_hit_eq{gi}").isNotNull())
-        if markers:
-            any_hit = markers[0]
-            for m in markers[1:]:
-                any_hit = any_hit | m
-            # one row may match several new delete files (and an outer
-            # join multi-match can duplicate it) — coordinates dedupe
-            # exactly
-            dead = joined.filter(any_hit).dropDuplicates(
-                ["_norm_path", "_row_index"]
+                marker_groups.append(g)
+
+            def _any(conds):
+                out = None
+                for c in conds:
+                    out = c if out is None else (out | c)
+                return out
+
+            dead_structs = []
+            dead_conds = []
+            for ordinal, sid, ppos in recoveries:
+                present_p = F.array_contains(F.col("_f_pos"), ppos)
+                present_s = F.array_contains(F.col("_f_pos"), ppos + 1)
+                killed = _any(
+                    [g["marker"] for g in marker_groups if ppos in g["pos"]]
+                )
+                new_hit = _any(
+                    [
+                        g["marker"]
+                        for g in marker_groups
+                        if _new_at(g, ppos + 1)
+                    ]
+                )
+                live = (
+                    present_p if killed is None else (present_p & ~killed)
+                )
+                hit = (
+                    ~present_s
+                    if new_hit is None
+                    else (~present_s | new_hit)
+                )
+                dead = live & hit
+                dead_conds.append(dead)
+                dead_structs.append(
+                    F.when(
+                        dead,
+                        F.struct(
+                            F.lit(ordinal).cast("int").alias("o"),
+                            F.lit(sid).cast("long").alias("s"),
+                        ),
+                    )
+                )
+            dead_rows = (
+                joined.filter(_any(dead_conds))
+                .dropDuplicates(["_norm_path", "_row_index"])
+                .select(
+                    *[f.name for f in schema.fields],
+                    F.explode(
+                        F.filter(
+                            F.array(*dead_structs),
+                            lambda x: x.isNotNull(),
+                        )
+                    ).alias("_ord"),
+                )
             )
             frames.append(
-                _stamp(
-                    dead.select(*[f.name for f in schema.fields]),
-                    "delete",
-                    ordinal,
-                    sid,
-                )
+                dead_rows.select(
+                    *[f.name for f in schema.fields],
+                    F.lit("delete").alias(CHANGE_TYPE_COL),
+                    F.col("_ord.o").alias(CHANGE_ORDINAL_COL),
+                    F.col("_ord.s").alias(COMMIT_SNAPSHOT_COL),
+                ).select(*out_cols)
             )
 
     if not frames:

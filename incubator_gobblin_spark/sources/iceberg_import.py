@@ -828,6 +828,85 @@ def _assemble_iceberg(
     return out
 
 
+def assemble_file_set(
+    spark: SparkSession,
+    metadata: dict,
+    path: str,
+    files: list[dict],
+    schema_json: dict,
+    schema: StructType,
+    union_threshold: int,
+    with_positions: bool = False,
+) -> DataFrame:
+    """Assemble an EXPLICIT data-file list of one Iceberg table under
+    the given schema — read_iceberg's per-FILE-spec identity-partition
+    restore (a file written before partition evolution physically
+    STORES the column the current spec derives, and a spec may name
+    its identity field differently from the source column) plus
+    field-id / name-mapping column resolution. No deletes applied:
+    callers own delete semantics (read_iceberg itself; the changelog's
+    shared parent scan)."""
+    field_name = {f["id"]: f["name"] for f in schema_json["fields"]}
+    specs_by_id_all = {
+        s["spec-id"]: s for s in metadata.get("partition-specs", [])
+    }
+    default_spec_id = metadata["default-spec-id"]
+    default_spec = specs_by_id_all[default_spec_id]
+    ident_cache: dict[int, list[tuple[str, str]]] = {}
+
+    def _ident(spec_id: int) -> list[tuple[str, str]]:
+        """(partition-field-name, source-column-name) identity pairs
+        of one spec."""
+        if spec_id not in ident_cache:
+            sp2 = specs_by_id_all.get(spec_id) or default_spec
+            ident_cache[spec_id] = [
+                (
+                    f2.get("name") or field_name[f2["source-id"]],
+                    field_name[f2["source-id"]],
+                )
+                for f2 in sp2["fields"]
+                if f2["transform"] == "identity"
+                and f2["source-id"] in field_name
+            ]
+        return ident_cache[spec_id]
+
+    per_spec: dict[int, dict[tuple, list[str]]] = {}
+    for f in files:
+        f_sid = f.get("spec_id", default_spec_id)
+        idf = _ident(f_sid)
+        pv = f["partition"]
+        # assemble_snapshot casts from strings (the Hive-path evidence
+        # Delta carries); Iceberg manifests carry typed values, so
+        # stringify — the cast back through the declared type is exact
+        # for identity transforms over long/string/date partitions
+        key = tuple(
+            None if pv.get(p) is None else str(pv[p]) for p, _ in idf
+        )
+        fp = f["path"]
+        if not os.path.isabs(fp):
+            fp = os.path.join(path, fp)
+        per_spec.setdefault(f_sid, {}).setdefault(key, []).append(fp)
+
+    parts = []
+    for f_sid in sorted(per_spec):
+        parts.append(
+            _assemble_iceberg(
+                spark,
+                per_spec[f_sid],
+                schema_json,
+                schema,
+                [src for _, src in _ident(f_sid)],
+                union_threshold,
+                with_positions=with_positions,
+                name_mapping=_parsed_name_mapping(metadata),
+            )
+        )
+    out = parts[0]
+    for p2 in parts[1:]:
+        out = out.unionByName(p2)
+    return out
+
+
 def read_iceberg(
     spark: SparkSession,
     path: str,
@@ -970,71 +1049,20 @@ def read_iceberg(
                 "_norm_path", F.lit(None).cast("string")
             ).withColumn("_row_index", F.lit(None).cast("long"))
         return empty
-    # group and restore per FILE SPEC, not the default spec: a file
-    # written before partition evolution physically STORES the column
-    # the current spec derives (restoring it from the default spec's
-    # field would null every pre-evolution row), and a spec may name
-    # its identity field differently from the source column (the
-    # partition tuple is keyed by FIELD name, the restored column by
-    # SOURCE name)
-    specs_by_id_all = {
-        s["spec-id"]: s for s in metadata.get("partition-specs", [])
-    }
-    default_spec_id = metadata["default-spec-id"]
-    ident_cache: dict[int, list[tuple[str, str]]] = {}
-
-    def _ident(spec_id: int) -> list[tuple[str, str]]:
-        """(partition-field-name, source-column-name) identity pairs
-        of one spec."""
-        if spec_id not in ident_cache:
-            sp2 = specs_by_id_all.get(spec_id) or spec
-            ident_cache[spec_id] = [
-                (
-                    f2.get("name") or field_name[f2["source-id"]],
-                    field_name[f2["source-id"]],
-                )
-                for f2 in sp2["fields"]
-                if f2["transform"] == "identity"
-                and f2["source-id"] in field_name
-            ]
-        return ident_cache[spec_id]
-
-    per_spec: dict[int, dict[tuple, list[str]]] = {}
-    for f in files:
-        f_sid = f.get("spec_id", default_spec_id)
-        idf = _ident(f_sid)
-        pv = f["partition"]
-        # assemble_snapshot casts from strings (the Hive-path evidence
-        # Delta carries); Iceberg manifests carry typed values, so
-        # stringify — the cast back through the declared type is exact
-        # for identity transforms over long/string/date partitions
-        key = tuple(
-            None if pv.get(p) is None else str(pv[p]) for p, _ in idf
-        )
-        fp = f["path"]
-        if not os.path.isabs(fp):
-            fp = os.path.join(path, fp)
-        per_spec.setdefault(f_sid, {}).setdefault(key, []).append(fp)
-
+    # per-FILE-spec grouping + identity restore + id/name resolution
+    # live in assemble_file_set (shared with the changelog's one-pass
+    # parent recovery)
     def _assemble_all(with_positions: bool) -> DataFrame:
-        parts = []
-        for f_sid in sorted(per_spec):
-            parts.append(
-                _assemble_iceberg(
-                    spark,
-                    per_spec[f_sid],
-                    schema_json,
-                    schema,
-                    [src for _, src in _ident(f_sid)],
-                    union_threshold,
-                    with_positions=with_positions,
-                    name_mapping=_parsed_name_mapping(metadata),
-                )
-            )
-        out2 = parts[0]
-        for p2 in parts[1:]:
-            out2 = out2.unionByName(p2)
-        return out2
+        return assemble_file_set(
+            spark,
+            metadata,
+            path,
+            files,
+            schema_json,
+            schema,
+            union_threshold,
+            with_positions,
+        )
 
     if not delete_files:
         out = _assemble_all(_coords)

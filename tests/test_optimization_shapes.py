@@ -132,6 +132,57 @@ def test_changelog_parent_recovery_is_single_pass(spark, sf_dir, tmp_path):
     )
 
 
+def test_changelog_parent_scan_is_shared_across_snapshots(
+    spark, sf_dir, tmp_path
+):
+    """The whole interval's parent-state recovery reads the table ONCE:
+    one scan over the union of parent-snapshot file sets, per-snapshot
+    liveness/kill sets as broadcast-marker predicates, ordinals emitted
+    through one explode. The per-snapshot formulation re-read the
+    parent table once per changed snapshot — O(snapshots) full passes.
+
+    Unpartitioned 3-snapshot fixture (base + pos-delete + CDC upsert),
+    one data file per commit under the rebalanced writers, so the plan
+    holds exactly 5 parquet scans: s0 inserts, s2 inserts, the SHARED
+    parent union scan, and the two delete-file frames. The old shape
+    scanned the parent at s1 and again at s2 (plus its re-applied
+    delete file) = 7+."""
+    import re
+
+    from incubator_gobblin_spark.sinks.iceberg_delete import (
+        delete_iceberg_rows,
+    )
+    from incubator_gobblin_spark.sinks.iceberg_maintenance import (
+        upsert_iceberg_rows,
+        write_iceberg_table,
+    )
+    from incubator_gobblin_spark.sources.iceberg_changelog import (
+        read_iceberg_changelog,
+    )
+
+    root = str(tmp_path / "chshared")
+    docs = _docs(spark, sf_dir)
+    write_iceberg_table(spark, docs, root)
+    delete_iceberg_rows(spark, root, "doc_id % 5 = 2")
+    upserts = docs.filter("doc_id % 7 = 0").withColumn(
+        "n_chars", F.col("n_chars") + 1
+    )
+    upsert_iceberg_rows(spark, root, upserts, on="doc_id")
+    df = read_iceberg_changelog(spark, root, None)
+    plan = _formatted(df)
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans <= 5, (
+        f"{n_scans} parquet scans for a 3-snapshot changelog over a "
+        "1-file-per-commit table — the parent scan is no longer shared "
+        "across snapshots (expected: s0 inserts + s2 inserts + ONE "
+        "parent union scan + 2 delete frames = 5)"
+    )
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1, (
+        "per-snapshot ordinals must emit through ONE explode, not "
+        "per-snapshot union arms over repeated recovery subtrees"
+    )
+
+
 def test_changelog_update_pairing_is_window_flags(spark, sf_dir, tmp_path):
     """identifier_fields pairing = window flags over one pass; the
     intersect-then-join formulation tripled the changelog subtree."""
