@@ -245,6 +245,10 @@ def main() -> None:
             "q116_semantic_decontaminate",  # bench-vs-corpus sims at 20k vecs
             "q118_cms_heavy_hitters",   # CMS build+probe at ~5M tokens
             "q121_bpe_pair_counts",     # BPE pair counting at ~5M tokens
+            # r13 additions (r12 VERDICT ask 4): the remaining top-10
+            # cost queries previously unprobed at 10x
+            "q33_ann_cosine_topk",      # brute-force ANN at 20k vectors
+            "q152_iceberg_changelog_updates_agg",  # changelog + pairing
         ]
         for name in SOAK:
             runs = []
