@@ -395,29 +395,178 @@ def cosine_near_dup_pairs(
         )
         .filter(F.size("_ms") <= max_bucket_size)
     )
-    pair = F.explode(
-        F.flatten(
-            F.transform(
-                F.col("_ms"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("_ms"), i + 2, F.size(F.col("_ms")) - i - 1),
-                    lambda y: F.struct(
-                        x["_id"].alias("id_l"),
-                        y["_id"].alias("id_r"),
-                        F.round(
-                            dot(x["_v"], y["_v"]) * x["_inv"] * y["_inv"], 6
-                        ).alias("sim"),
-                    ),
-                ),
-            )
-        )
+    # In-bucket pair expansion + re-rank as ONE Arrow stage. The former
+    # nested-transform expansion evaluated an interpreted HOF dot fold
+    # per candidate pair — ~10s of q52's 11.3s sf1 wall went to re-rank
+    # alone (10.4M pairs; an unrolled element_at codegen formulation
+    # measured 12x WORSE, the struct-carrying Generate dominates).
+    # Parity discipline: the UDF emits the RAW pair sim, bit-identical
+    # to the JVM fold — a chained element-wise float64 add reproduces
+    # `aggregate(zip_with(..))`'s left-fold order exactly, and the
+    # (dot * inv_l) * inv_r multiply order is preserved — and the
+    # ROUNDING + threshold comparison stay in the JVM, so no decimal
+    # emulation is ever attempted in Python. A BLAS matmul serves only
+    # as a candidate PREFILTER at threshold - 2e-6 (its summation-order
+    # error vs the fold is < ~2e-14 for unit-normalized 64-term dots,
+    # six orders inside the margin); every emitted row's sim is the
+    # exact fold value, and sub-threshold candidates inside the margin
+    # are dropped by the JVM filter exactly as before.
+    id_type = banded.schema["_id"].dataType.simpleString()
+    raw = members.select("_ms").mapInArrow(
+        _bucket_pair_raw_sims(threshold),
+        schema=f"id_l {id_type}, id_r {id_type}, sim double",
     )
     return (
-        members.select(pair.alias("_p"))
-        .select("_p.id_l", "_p.id_r", "_p.sim")
+        raw.withColumn("sim", F.round(F.col("sim"), 6))
         .filter(F.col("sim") >= threshold)
         .distinct()
     )
+
+
+def _bucket_pair_raw_sims(threshold: float):
+    """mapInArrow generator for :func:`cosine_near_dup_pairs`: one
+    record-batch of buckets (`_ms` = id-sorted array<struct<_id, _v,
+    _inv>>) in, candidate pairs (id_l, id_r, raw sim) out.
+
+    Exactness contract (why every emitted sim is bit-identical to the
+    interpreted-HOF formulation it replaced):
+
+    - `_v` elements arrive as the same float32 values the JVM fold
+      casts to double — float→double widening is exact;
+    - the dot is recomputed for candidates as 64 chained element-wise
+      float64 adds, the SAME IEEE operation sequence as
+      `aggregate(zip_with(a, b, a*b), 0.0, acc+x)` (0.0 + t0 == t0
+      for any product the threshold filter can keep);
+    - `_inv` is computed JVM-side and transferred bit-exact via Arrow;
+      the multiply order (dot * inv_l) * inv_r is preserved;
+    - pairs whose vectors differ in length produce NULL under
+      `zip_with` (null-padded tail) and were dropped by the filter —
+      here cross-length pairs are never generated (same outcome);
+    - rounding and the `>= threshold` comparison do NOT happen here:
+      the caller applies `F.round(sim, 6)` to the emitted raw value,
+      so decimal HALF_UP semantics remain the JVM's own.
+
+    The BLAS prefilter margin of 2e-6 below `threshold` strictly
+    contains the smallest raw value HALF_UP can round into the kept
+    set (threshold - 5e-7) plus the matmul-vs-fold error (< ~2e-14
+    after inverse-norm scaling, |Σ|a_k b_k|| <= |a||b| by
+    Cauchy-Schwarz), so no JVM-kept pair is ever prefiltered away."""
+    margin = float(threshold) - 2e-6
+    chunk = 1 << 16
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        triu_cache: dict[int, tuple] = {}
+
+        def _triu(m: int):
+            if m not in triu_cache:
+                triu_cache[m] = np.triu_indices(m, 1)
+            return triu_cache[m]
+
+        for batch in batches:
+            ms = batch.column(0)
+            if ms.null_count:
+                # collect_set can't produce a null bucket; never drop
+                # data silently if that invariant ever breaks upstream
+                raise ValueError("cosine_near_dup_pairs: null bucket array")
+            if len(ms) == 0:
+                continue
+            st = ms.flatten()  # struct array: all members, all buckets
+            ids = st.field("_id")
+            vs = st.field("_v")
+            inv = st.field("_inv").to_numpy(zero_copy_only=False)
+            offs = ms.offsets.to_numpy()
+            starts = (offs - offs[0]).astype(np.int64)
+            voffs = vs.offsets.to_numpy().astype(np.int64)
+            vlen = np.diff(voffs)
+            vstart = voffs[:-1] - voffs[0]
+            flat = (
+                vs.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64, copy=False)
+            )
+            has_elem_nulls = bool(vs.flatten().null_count)
+            gl_parts: list = []
+            gr_parts: list = []
+            for b in range(len(ms)):
+                lo, hi = int(starts[b]), int(starts[b + 1])
+                m = hi - lo
+                if m < 2:
+                    continue
+                lens = vlen[lo:hi]
+                L = int(lens[0])
+                if (lens == L).all() and not has_elem_nulls:
+                    subsets = [np.arange(lo, hi, dtype=np.int64)]
+                else:
+                    # ragged bucket: a cross-length pair nulls out
+                    # under zip_with (dropped), so pairs are generated
+                    # only within equal-length subsets; with element
+                    # nulls the fold is null-sticky (dropped) — those
+                    # vectors never reach here (norm > 0 filter), but
+                    # stay excluded defensively
+                    subsets = []
+                    for length in np.unique(lens):
+                        sub = lo + np.nonzero(lens == length)[0]
+                        if has_elem_nulls:
+                            sub = np.array(
+                                [
+                                    i
+                                    for i in sub
+                                    if not vs.slice(i, 1).flatten().null_count
+                                ],
+                                dtype=np.int64,
+                            )
+                        if len(sub) >= 2:
+                            subsets.append(sub.astype(np.int64))
+                for sub in subsets:
+                    mm = len(sub)
+                    L = int(vlen[sub[0]])
+                    if L == 0:
+                        continue
+                    idx = vstart[sub][:, None] + np.arange(L)[None, :]
+                    V = flat[idx]
+                    S = (V @ V.T) * inv[sub][:, None] * inv[sub][None, :]
+                    iu, ju = _triu(mm)
+                    # NOT (< margin): keeps NaN candidates — Spark SQL
+                    # orders NaN above every double, so the JVM filter
+                    # kept NaN sims; the exact fold below reproduces
+                    # them and the JVM still makes the final call
+                    keep = ~(S[iu, ju] < margin)
+                    if keep.any():
+                        gl_parts.append(sub[iu[keep]])
+                        gr_parts.append(sub[ju[keep]])
+            if not gl_parts:
+                continue
+            gl = np.concatenate(gl_parts)
+            gr = np.concatenate(gr_parts)
+            sims = np.empty(len(gl), dtype=np.float64)
+            for c0 in range(0, len(gl), chunk):
+                sl = slice(c0, min(c0 + chunk, len(gl)))
+                Ls = vlen[gl[sl]]
+                # candidates in one chunk share a length iff their
+                # buckets did; group to keep the gather rectangular
+                for length in np.unique(Ls):
+                    pick = np.nonzero(Ls == length)[0] + c0
+                    li = vstart[gl[pick]][:, None] + np.arange(length)
+                    ri = vstart[gr[pick]][:, None] + np.arange(length)
+                    A = flat[li]
+                    B = flat[ri]
+                    acc = A[:, 0] * B[:, 0]
+                    for d in range(1, int(length)):
+                        acc = acc + A[:, d] * B[:, d]
+                    sims[pick] = (acc * inv[gl[pick]]) * inv[gr[pick]]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(gl)),
+                    ids.take(pa.array(gr)),
+                    pa.array(sims, type=pa.float64()),
+                ],
+                names=["id_l", "id_r", "sim"],
+            )
+
+    return gen
 
 
 def kmeans_fit(
