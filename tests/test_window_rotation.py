@@ -15,8 +15,11 @@ retire a query from the gate:
 - out-of-window at age 4+ always fails (a deferral lasts ONE round);
 - a query with no driver history (newly registered) must be in-window
   or deferred with a rationale;
-- deferrals are capped at 5 (the 155/50 arithmetic) and must not also
-  sit in the window.
+- deferrals are capped at 5 steady-state (the 155/50 arithmetic) plus
+  one per driver-mandated early refresh (`queries._FORCED_REFRESH`:
+  an age<=2 query given a window slot because its implementation
+  changed after its last driver row), and must not also sit in the
+  window.
 
 Had round 12 deferred q39/q40/q41/q46/q86 (last green r09, age 3 at
 the r12 run) without recording rationales, this test would have
@@ -101,8 +104,35 @@ def test_no_query_silently_retires_from_the_gate():
 
 
 def test_deferrals_are_bounded_documented_and_disjoint():
-    assert len(Q._DEFERRALS) <= 5, (
-        "155 queries / 50 slots sustains at most 5 deferrals per cycle"
+    # Steady-state cap: 5 (the 155/50 arithmetic). Every deferral past
+    # that must be paid for by a driver-mandated EARLY refresh — a
+    # window slot spent on a query of age <= 2 whose implementation
+    # changed after its last driver row (queries._FORCED_REFRESH).
+    # The slot arithmetic is zero-sum, so the cap is 5 + one per
+    # forced refresh actually sitting in the window.
+    latest, last_green = _history()
+    upcoming = latest + 1
+    head = set(Q._WINDOW_HEAD)
+    forced_in_head = 0
+    for q, why in Q._FORCED_REFRESH.items():
+        assert q in Q._REGISTRY, f"forced refresh {q} is not registered"
+        assert q in head, (
+            f"forced refresh {q} must be in _WINDOW_HEAD — it is the "
+            "justification for an extra deferral slot"
+        )
+        assert len(why) > 20, f"forced refresh {q} needs a real rationale"
+        g = last_green.get(q)
+        if g is not None:
+            assert upcoming - g <= 2, (
+                f"forced refresh {q} is age {upcoming - g} — it would "
+                "be due in-window anyway and cannot pay for a deferral"
+            )
+        forced_in_head += 1
+    cap = 5 + forced_in_head
+    assert len(Q._DEFERRALS) <= cap, (
+        f"{len(Q._DEFERRALS)} deferrals exceed the cap of {cap} "
+        f"(5 steady-state + {forced_in_head} driver-mandated early "
+        "refreshes)"
     )
     for q, why in Q._DEFERRALS.items():
         assert q in Q._REGISTRY, f"deferral {q} is not registered"
