@@ -153,6 +153,32 @@ def _footer_facts(fp: str) -> tuple[bool, frozenset]:
     return facts
 
 
+def _footer_facts_bulk(paths: list[str]) -> None:
+    """Warm `_FOOTER_MEMO` for many files at once: memo hits cost
+    nothing, misses are sniffed CONCURRENTLY through a bounded thread
+    pool (pyarrow ``read_schema`` releases the GIL during file I/O and
+    footer decode) instead of the former one-by-one sequential driver
+    loop. At O(10^5) files the first-read metadata walk was the
+    residual driver-side scale-killer on the Iceberg read path (guide
+    §5 driver discipline); the pool bounds memory while overlapping
+    the per-file open/seek latency."""
+    seen: set[str] = set()
+    missing: list[str] = []
+    for fp in paths:
+        key = os.path.abspath(fp)
+        if key not in _FOOTER_MEMO and key not in seen:
+            seen.add(key)
+            missing.append(fp)
+    if len(missing) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, len(missing))) as pool:
+            # _footer_facts fills the memo; dict writes are atomic
+            # under the GIL and the value for a path is deterministic,
+            # so a racing duplicate sniff is harmless
+            list(pool.map(_footer_facts, missing))
+
+
 def _split_groups_by_field_ids(
     groups: dict[tuple, list[str]],
 ) -> tuple[dict[tuple, list[str]], dict[tuple, list[str]]]:
@@ -169,17 +195,20 @@ def _split_groups_by_field_ids(
     off). The reverse direction is SILENT (an id-carrying file read
     by name returns nulls for renamed columns), so a plain sample
     never short-circuits: every remaining footer is sniffed —
-    through ``_footer_facts``' per-path memo, so the sequential
-    driver-side reads are paid once per file per PROCESS, not once
-    per consuming read (the changelog walk re-touches the same files
-    at every snapshot; before the memo a 4-snapshot changelog
-    re-sniffed each file up to 8x)."""
+    concurrently via ``_footer_facts_bulk`` and through
+    ``_footer_facts``' per-path memo, so the driver-side reads are
+    paid once per file per PROCESS and overlap their I/O latency,
+    not one sequential read per file per consuming read (the
+    changelog walk re-touches the same files at every snapshot;
+    before the memo a 4-snapshot changelog re-sniffed each file up
+    to 8x)."""
 
     def _has_ids(fp: str) -> bool:
         return _footer_facts(fp)[0]
 
     all_files = [f for fs in groups.values() for f in fs]
     sample = all_files[:8]
+    _footer_facts_bulk(sample)
     flags = {f: _has_ids(f) for f in sample}
     rest = all_files[len(sample):]
     if rest:
@@ -190,7 +219,9 @@ def _split_groups_by_field_ids(
         else:
             # any id-less file in the sample: sniff everything — a
             # later id-carrying file classified by name would read
-            # renamed columns as null SILENTLY
+            # renamed columns as null SILENTLY (concurrently via the
+            # bulk warm; the memo then serves every re-touch)
+            _footer_facts_bulk(rest)
             flags.update({f: _has_ids(f) for f in rest})
     with_ids: dict[tuple, list[str]] = {}
     plain: dict[tuple, list[str]] = {}
