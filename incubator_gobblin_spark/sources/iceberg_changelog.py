@@ -261,12 +261,35 @@ def read_iceberg_changelog(
 
     def _record(position: int, files_x: list[dict], dels_x: list[dict]):
         for f in files_x:
-            e = data_facts.setdefault(
-                norm_file_ref(f["path"], path), {"file": f, "pos": set()}
-            )
+            key = norm_file_ref(f["path"], path)
+            e = data_facts.setdefault(key, {"file": f, "pos": set()})
+            # facts are pinned to a path's FIRST appearance in the
+            # interval; that is only sound because Iceberg paths are
+            # unique and immutable (uuid-named, never rewritten in
+            # place). A later snapshot recording a DIFFERENT data
+            # sequence for an already-seen path would gate kill
+            # markers against a stale seq — refuse loudly instead of
+            # silently mis-gating (r13 ADVICE)
+            if int(e["file"].get("seq") or 0) != int(f.get("seq") or 0):
+                raise ValueError(
+                    "read_iceberg_changelog: data file "
+                    f"{key} appears with data sequence "
+                    f"{f.get('seq')} at chain position {position} but "
+                    f"was first recorded at sequence "
+                    f"{e['file'].get('seq')} — non-unique or rewritten "
+                    "path; the one-pass recovery cannot gate deletes "
+                    "against it"
+                )
             e["pos"].add(position)
         for d in dels_x:
-            e = del_facts.setdefault(d["path"], {"del": d, "pos": set()})
+            # keyed by the same normalized form as data_facts: a
+            # delete file referenced relatively in one snapshot and
+            # absolutely in another must group as ONE file, or
+            # _new_at would flag the second form as a new delete and
+            # re-emit its kills (r13 ADVICE)
+            e = del_facts.setdefault(
+                norm_file_ref(d["path"], path), {"del": d, "pos": set()}
+            )
             e["pos"].add(position)
 
     if from_snapshot_id is not None:
@@ -435,6 +458,14 @@ def read_iceberg_changelog(
             ).withColumn(f"_dseq_g{gi}", F.lit(seq).cast("long"))
             for sc, v in zip(scope_cols, pairs[0][1]):
                 one = one.withColumn(f"_k{gi}_part_{sc}", F.lit(v))
+            # distinct per (seq, scope) sub-scan, mirroring
+            # _pos_group_frame: eq keys CAN repeat across the files of
+            # one group, and every duplicate multiplies the matched
+            # rows of the SHARED parent scan multiplicatively across
+            # groups before the single coordinate dedupe — correct
+            # (marker truth is idempotent) but a hot-key inflation
+            # hazard at scale (r13 ADVICE)
+            one = one.distinct()
             keys = one if keys is None else keys.unionByName(one)
         # the marker column (not the key columns, which may be
         # legitimately NULL under null-safe equality) proves a match
