@@ -90,6 +90,26 @@ HEADLINE = [
     "q155_iceberg_changelog_stream_agg",  # streaming changelog drain
 ]
 
+# sf1 soak set (module-level so tools/scaling_probe.py reuses the
+# exact list): the most expensive corpus/vector queries re-run at 10x
+# data to report per-query linearity; see the soak section in main().
+SOAK = [
+    "q01_pricing_summary",      # 6M-row scan + hash agg baseline
+    "q31_minhash_candidates",   # LSH dedup at 50k docs
+    "q52_embedding_neardup_lsh",  # SRP-LSH at 20k vectors
+    "q96_dsir_weights",         # hashed-model scoring at 50k docs
+    "q99_pq_topk",              # PQ ADC scan at 20k vectors
+    "q106_curation_pipeline",   # five-stage chain at 50k docs
+    "q109_duplicated_spans",    # substring dedup at 50k docs
+    "q116_semantic_decontaminate",  # bench-vs-corpus sims at 20k vecs
+    "q118_cms_heavy_hitters",   # CMS build+probe at ~5M tokens
+    "q121_bpe_pair_counts",     # BPE pair counting at ~5M tokens
+    # r13 additions (r12 VERDICT ask 4): the remaining top-10
+    # cost queries previously unprobed at 10x
+    "q33_ann_cosine_topk",      # brute-force ANN at 20k vectors
+    "q152_iceberg_changelog_updates_agg",  # changelog + pairing
+]
+
 
 def bench_merge_into(spark, sf_dir: str) -> tuple[float, float]:
     """Time the copy-on-write MERGE apply on a manifest lake built from
@@ -234,22 +254,6 @@ def main() -> None:
             except Exception:
                 pass  # soak is optional; the headline bench must not fail
     if os.path.isdir(os.path.join(sf1_dir, "documents.parquet")):
-        SOAK = [
-            "q01_pricing_summary",      # 6M-row scan + hash agg baseline
-            "q31_minhash_candidates",   # LSH dedup at 50k docs
-            "q52_embedding_neardup_lsh",  # SRP-LSH at 20k vectors
-            "q96_dsir_weights",         # hashed-model scoring at 50k docs
-            "q99_pq_topk",              # PQ ADC scan at 20k vectors
-            "q106_curation_pipeline",   # five-stage chain at 50k docs
-            "q109_duplicated_spans",    # substring dedup at 50k docs
-            "q116_semantic_decontaminate",  # bench-vs-corpus sims at 20k vecs
-            "q118_cms_heavy_hitters",   # CMS build+probe at ~5M tokens
-            "q121_bpe_pair_counts",     # BPE pair counting at ~5M tokens
-            # r13 additions (r12 VERDICT ask 4): the remaining top-10
-            # cost queries previously unprobed at 10x
-            "q33_ann_cosine_topk",      # brute-force ANN at 20k vectors
-            "q152_iceberg_changelog_updates_agg",  # changelog + pairing
-        ]
         for name in SOAK:
             runs = []
             for _ in range(2):
@@ -274,16 +278,29 @@ def main() -> None:
         "queries_cold": cold,
         "methodology": "untimed warmup; 2 timed runs/query: run1=cold, min=steady; value=sum(steady)",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # additions-only (r13 VERDICT ask 4): record the core count the
+        # run honored, so the driver's 32- and 8-core artifacts can be
+        # joined into core-scaling ratios — at sf1 via the soak block
+        # (sf0.1 is fixed-overhead-bound and cannot show core scaling);
+        # tools/scaling_probe.py runs that comparison directly.
+        "cpus": int(cpus),
     }
     if soak:
         out["sf1"] = soak
         out["sf1_dir"] = sf1_dir
 
-    # round-over-round delta against the latest BENCH_r{N}.json present
+    # round-over-round delta against the latest BENCH_r{N}.json present.
+    # Strictly-numeric rounds only: side artifacts like BENCH_r13_c8.json
+    # (the driver's 8-core scaling run) must neither become the delta
+    # baseline (cross-core-count deltas are meaningless) nor break the
+    # int() round parse below, which silently skipped the local-artifact
+    # write in r13.
     here = os.path.dirname(os.path.abspath(__file__))
     prevs = sorted(
         f for f in os.listdir(here)
-        if f.startswith("BENCH_r") and f.endswith(".json")
+        if f.startswith("BENCH_r")
+        and f.endswith(".json")
+        and f[len("BENCH_r"):-len(".json")].isdigit()
     )
     if prevs:
         try:
