@@ -24,6 +24,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from incubator_gobblin_spark.session import load_table  # noqa: E402
 
+# adversarial CDC replay constructions: correctness net, not per-commit gating — the slow
+# marker keeps the default run inside the driver verify budget
+# (run with -m slow; must stay green before every round)
+import pytest
+
+pytestmark = pytest.mark.slow
+
 CDF_CONF = {"delta.enableChangeDataFeed": "true"}
 
 

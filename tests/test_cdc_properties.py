@@ -28,6 +28,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from incubator_gobblin_spark.session import load_table  # noqa: E402
 
+import pytest
+
+# Hypothesis replay proofs: correctness net, not per-commit gating — the slow
+# marker keeps the default run inside the driver verify budget
+# (run with -m slow; must stay green before every round)
+pytestmark = pytest.mark.slow
+
 COLS = ["doc_id", "lang", "n_chars"]
 
 # each op: ("upsert", mod, shift) touches keys doc_id % 7 == mod,

@@ -42,6 +42,7 @@ def test_murmur3_python_matches_spec_vectors():
         assert murmur3_32(data) == expected, data
 
 
+@pytest.mark.slow  # soak/sweep: run with -m slow, not in the default budget
 def test_bucket_columns_match_spec_vectors(spark):
     """The Column forms reproduce the spec hashes: bucket over the
     published values with a modulus chosen so the bucket value exposes
@@ -67,6 +68,7 @@ def test_bucket_columns_match_spec_vectors(spark):
     assert row.bts == ((-2047944441) & 0x7FFFFFFF) % 97
 
 
+@pytest.mark.slow  # soak/sweep: run with -m slow, not in the default budget
 def test_bucket_column_cross_checks_python_on_random_values(spark):
     """Property cross-check: the JVM expression and the pure-Python
     reference agree on longs spanning the signed range and on strings

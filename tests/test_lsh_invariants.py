@@ -30,6 +30,11 @@ from incubator_gobblin_spark.functions import dedup_fuzzy, similarity
 from incubator_gobblin_spark.plans import queries as Q
 from incubator_gobblin_spark.session import load_table
 
+# LSH coverage-invariant sweeps: correctness net, not per-commit gating — the slow
+# marker keeps the default run inside the driver verify budget
+# (run with -m slow; must stay green before every round)
+pytestmark = pytest.mark.slow
+
 ALL = Q.queries()
 
 

@@ -396,6 +396,7 @@ def _tree_bytes(root):
     )
 
 
+@pytest.mark.slow  # soak/sweep: run with -m slow, not in the default budget
 def test_manifest_scale_soak_commit_cost_is_touched_partitions(
     spark, tmp_path
 ):

@@ -17,6 +17,13 @@ from incubator_gobblin_spark.schema import from_struct_type, to_struct_type
 from incubator_gobblin_spark.sources import jdbc as J
 from incubator_gobblin_spark.sources import kafka_batch as K
 
+# Hypothesis property suites: correctness net, not per-commit gating — the slow
+# marker keeps the default run inside the driver verify budget
+# (run with -m slow; must stay green before every round)
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 # ------------------------------------------------ integer partition tiling
 

@@ -413,6 +413,7 @@ def test_replicate_delta_backlog_chunks(spark, sf_dir, tmp_path):
     assert _rows(read_iceberg(spark, dst)) == _rows(read_delta(spark, src))
 
 
+@pytest.mark.slow  # soak/sweep: run with -m slow, not in the default budget
 def test_replicate_multi_cycle_soak_with_compaction_and_expiry(
     spark, sf_dir, tmp_path
 ):

@@ -184,6 +184,7 @@ def test_stateful_running_stats_across_batches(spark, tmp_path):
     assert last["b"] == (2, 30.0)
 
 
+@pytest.mark.slow  # soak/sweep: run with -m slow, not in the default budget
 def test_stateful_seen_keys_filter_dedups_across_batches(spark, tmp_path):
     import json
     from incubator_gobblin_spark.streaming.stateful import seen_keys_filter
