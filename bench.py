@@ -160,6 +160,22 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
+    # Driver/JVM heap is parameterized but DEFAULTS to Spark's own 1g so
+    # the driver's round-over-round bench numbers stay like-for-like.
+    # The r14 interleaved A/B (1g: 44.25/50.58 s vs 4g: 42.97/44.64 s
+    # steady, same tree, same host) favored 4g in both pairs but inside
+    # the host's ambient spread — in local[N] mode all N tasks share
+    # this one heap, so production local deployments should size it to
+    # the machine (guide §5); set SPARK_GRAFT_DRIVER_MEM to do so here.
+    # NB: driver memory must reach the JVM LAUNCH (a builder conf set
+    # after gateway start is silently ignored), hence PYSPARK_SUBMIT_ARGS
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if driver_mem:
+        prev_args = os.environ.get("PYSPARK_SUBMIT_ARGS", "pyspark-shell")
+        if "--driver-memory" not in prev_args:
+            os.environ["PYSPARK_SUBMIT_ARGS"] = (
+                f"--driver-memory {driver_mem} " + prev_args
+            )
     spark = get_spark(
         app_name="gobblin-spark-bench",
         master=f"local[{cpus}]",
