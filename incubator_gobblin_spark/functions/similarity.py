@@ -139,10 +139,17 @@ def _srp_band_keys(planes: list[list[float]], bands: int):
     Sign ties: a projection within float ulp of 0 may bucket
     differently than a sequential-fold formulation (BLAS accumulation
     order) — irrelevant to LSH semantics, noted for reproducibility.
-    The closure carries the plane matrix by value (plain lists), so the
-    UDF is self-contained under cloudpickle on any executor."""
-    plane_rows = [list(p) for p in planes]
+    The closure carries the plane matrix by value as a float64 ndarray
+    (same values the list formulation converted to per batch), so the
+    UDF is self-contained under cloudpickle on any executor; the
+    ndarray pickles as one contiguous buffer instead of a list-of-lists
+    of boxed floats, and the per-batch asarray conversion disappears."""
+    import numpy as np
+
+    P = np.asarray([list(p) for p in planes], dtype=np.float64)  # bits x dim
     n_bands = int(bands)
+    bpb = P.shape[0] // n_bands
+    weights = (1 << np.arange(bpb)).astype(np.int64)
 
     @F.pandas_udf("array<long>")
     def srp_band_keys(embs):  # pd.Series[np.ndarray] -> pd.Series[list]
@@ -151,11 +158,8 @@ def _srp_band_keys(planes: list[list[float]], bands: int):
 
         if len(embs) == 0:
             return pd.Series([], dtype=object)
-        P = np.asarray(plane_rows, dtype=np.float64)  # num_bits x dim
         M = np.stack(embs.to_numpy()).astype(np.float64)  # n x dim
         bits = (M @ P.T) >= 0.0  # n x num_bits
-        bpb = P.shape[0] // n_bands
-        weights = (1 << np.arange(bpb)).astype(np.int64)
         keys = bits.reshape(len(embs), n_bands, bpb) @ weights  # n x bands
         return pd.Series(list(keys))
 
